@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis functions for large-scale training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All pure Column expressions
+  * over codegen'd built-ins — no UDFs — so they run inside whole-stage codegen
+  * and scale linearly with no shuffle.
+  */
+object TextFunctions {
+
+  /** Whitespace token count. Empty/blank text counts 0. */
+  def tokenCount(c: Column): Column =
+    when(trim(c) === "", lit(0)).otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish token-count estimate: counts maximal runs of letters, digits, or
+    * other non-space symbols (each optionally preceded by one space) — the
+    * GPT-2-style pre-tokenizer shape, minus lookaheads so the same regex runs on
+    * Java regex and RE2. */
+  val BpeishPattern = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+  def bpeishTokenCount(c: Column): Column = regexp_count(c, lit(BpeishPattern))
+
+  /** Stopword sets for the n-gram language-ID heuristic: score each language by
+    * occurrences of its most frequent function words, take the argmax
+    * (ties → earlier language in this list). Deterministic and SQL-expressible. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "una", "por", "con", "para"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"),
+  )
+
+  /** Count of whole-word occurrences of `word` in lowercased text. */
+  private def wordCount(c: Column, word: String): Column = {
+    val quoted = java.util.regex.Pattern.quote(word)
+    regexp_count(lower(c), lit(s"\\b$quoted\\b"))
+  }
+
+  /** Per-language stopword score (sum of stopword hit counts). */
+  def langScore(c: Column, lang: String): Column =
+    LangStopwords.toMap.apply(lang).map(wordCount(c, _)).reduce(_ + _)
+
+  /** Language-ID: argmax over [[LangStopwords]]; "und" (undetermined) when no
+    * stopword of any language appears. */
+  def langId(c: Column): Column = {
+    val scores = LangStopwords.map { case (lang, _) => lang -> langScore(c, lang) }
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight means the FIRST language in list order wins ties (each earlier
+    // when() shadows later ones).
+    pick
+  }
+
+  /** Quality-score components + weighted score in [0,1]:
+    * alpha ratio, whitespace sanity, mean word length in a sane band, doc length
+    * band, stopword presence. Mirrors the shape of published heuristic filters
+    * (C4/Gopher-style length+symbol+stopword rules) with exact integer counts so
+    * any SQL engine reproduces it bit-for-bit. */
+  def qualityScore(c: Column): Column = {
+    val chars = length(c).cast(DoubleType)
+    val alpha = regexp_count(c, lit("[\\p{L}]")).cast(DoubleType)
+    val spaces = regexp_count(c, lit("\\s")).cast(DoubleType)
+    val words = tokenCount(c).cast(DoubleType)
+    val alphaRatio = when(chars > 0, alpha / chars).otherwise(lit(0.0))
+    val meanWordLen = when(words > 0, (chars - spaces) / words).otherwise(lit(0.0))
+    val lenOk = when(chars >= 50 && chars <= 100000, lit(1.0)).otherwise(lit(0.0))
+    val wordLenOk = when(meanWordLen >= 2.0 && meanWordLen <= 12.0, lit(1.0)).otherwise(lit(0.0))
+    val stopOk = when(langScore(c, "en") > 0, lit(1.0)).otherwise(lit(0.0))
+    alphaRatio * 0.4 + lenOk * 0.2 + wordLenOk * 0.2 + stopOk * 0.2
+  }
+
+  /** Content fingerprint: SHA-256 of normalized text (lowercase, whitespace
+    * collapsed, trimmed). Equal fingerprints == exact near-whitespace dup. */
+  def fingerprint(c: Column): Column =
+    sha2(trim(regexp_replace(lower(c), "\\s+", " ")), 256)
+
+  /** Rolling polynomial hash (Rabin-Karp, base 257 mod 2^31-1) of each
+    * char-k-gram, as an array column — building block for winnowing-style
+    * fingerprints. Pure higher-order-function expression: no UDF. */
+  def rollingHashes(c: Column, k: Int): Column = {
+    val n = length(c)
+    val hashes = transform(sequence(lit(1), n - (k - 1)), i =>
+      aggregate(
+        transform(sequence(lit(0), lit(k - 1)), j => ascii(c.substr(i + j, lit(1)))),
+        lit(0L),
+        (acc, ch) => pmod(acc * 257L + ch.cast(LongType), lit(2147483647L))
+      ))
+    when(n >= k, hashes).otherwise(array().cast(ArrayType(LongType)))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.mapping
+
+import graft.functions.SimilarityFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** One row of a schema-mapping file: rename `sourceName` → `destName`.
+  * `destName == "null"` (the literal string, as in the reference) drops the
+  * column; `threshold`+`scorer` mark a fuzzy row that matches leftover source
+  * columns by name similarity. Ref: custom_mapping.py:48-115. */
+case class MappingRow(sourceName: String, destName: String,
+                      threshold: Option[Double] = None, scorer: Option[String] = None)
+
+/** P1 `custommapping` + P2 `flatten_schema` + P3 `clean_column_names`
+  * (SURVEY.md §2.3). All name logic is driver-side — the data-side result is a
+  * single `select(alias...)`, which Catalyst collapses into the scan's
+  * ReadSchema (column pruning is free at any scale). */
+object CustomMapping {
+
+  /** Apply a mapping: select+alias each mapped column; `destName=="null"` drops;
+    * unmapped source columns are discarded. Fuzzy rows (threshold set) match
+    * against still-unmapped source columns using the named scorer. Nested fields
+    * are addressed after [[graft.functions.StructuredTransforms.flattenSchema]]
+    * naming (`a_b_c`). */
+  def applyMapping(df: DataFrame, rows: Seq[MappingRow]): DataFrame = {
+    val flat = if (df.schema.fields.exists(_.dataType.isInstanceOf[StructType]))
+      graft.functions.StructuredTransforms.flattenSchema(df) else df
+    val available = scala.collection.mutable.LinkedHashSet(flat.columns: _*)
+    val exact = rows.filter(_.threshold.isEmpty).flatMap { r =>
+      if (!available.contains(r.sourceName)) None
+      else { available -= r.sourceName; Some(r) }
+    }
+    val fuzzy = rows.filter(_.threshold.isDefined).flatMap { r =>
+      val scorer = FuzzyScorers(r.scorer.getOrElse("token_sort_ratio"))
+      val best = available.toSeq
+        .map(c => c -> scorer(r.sourceName.toLowerCase, c.toLowerCase))
+        .filter(_._2 >= r.threshold.get)
+        .sortBy(-_._2)
+        .headOption
+      best.map { case (c, _) => available -= c; MappingRow(c, r.destName) }
+    }
+    val selected = (exact ++ fuzzy).filterNot(_.destName == "null")
+    flat.select(selected.map(r => col(s"`${r.sourceName}`").as(r.destName)): _*)
+  }
+
+  /** P3 `clean_column_names` — Parquet/Athena-safe names: trim, ≤255 chars,
+    * lowercase, strip `,;{}()\n\r\t=`, and `[ .:]` → `_`.
+    * Ref: glue_catalog_helpers.py:330-368. */
+  def cleanName(name: String): String =
+    name.trim.take(255).toLowerCase
+      .replaceAll("[,;{}()\n\r\t=]", "")
+      .replaceAll("[ .:]", "_")
+
+  def cleanColumnNames(df: DataFrame): (DataFrame, Seq[(String, String)]) = {
+    val renames = df.columns.map(c => c -> cleanName(c)).toSeq
+    (df.select(renames.map { case (s, t) => col(s"`$s`").as(t) }: _*), renames)
+  }
+}
+
+/** RapidFuzz-style name scorers (pure Scala, driver-side — they compare column
+  * NAMES, never data). Scores in [0,100] like rapidfuzz.
+  * Ref use: custom_mapping.py:88-112. */
+object FuzzyScorers {
+
+  /** Indel (longest-common-subsequence based) normalized similarity ×100 — the
+    * core of rapidfuzz's `ratio`. */
+  def ratio(a: String, b: String): Double = {
+    if (a.isEmpty && b.isEmpty) return 100.0
+    val lcs = lcsLength(a, b)
+    200.0 * lcs / (a.length + b.length)
+  }
+
+  private def lcsLength(a: String, b: String): Int = {
+    val dp = Array.ofDim[Int](b.length + 1)
+    var i = 0
+    while (i < a.length) {
+      var prev = 0
+      var j = 0
+      while (j < b.length) {
+        val tmp = dp(j + 1)
+        dp(j + 1) = if (a(i) == b(j)) prev + 1 else math.max(dp(j + 1), dp(j))
+        prev = tmp
+        j += 1
+      }
+      i += 1
+    }
+    dp(b.length)
+  }
+
+  /** token_sort_ratio: sort whitespace tokens, then ratio. */
+  def tokenSortRatio(a: String, b: String): Double =
+    ratio(a.split("\\s+").sorted.mkString(" "), b.split("\\s+").sorted.mkString(" "))
+
+  /** partial_ratio: best ratio of the shorter string against any same-length
+    * window of the longer. */
+  def partialRatio(a: String, b: String): Double = {
+    val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
+    if (s.isEmpty) return if (l.isEmpty) 100.0 else 0.0
+    (0 to (l.length - s.length)).map(i => ratio(s, l.substring(i, i + s.length))).max
+  }
+
+  /** jaro_winkler scaled to [0,100]. */
+  def jaroWinklerRatio(a: String, b: String): Double =
+    SimilarityFunctions.jaroWinkler(a, b) * 100.0
+
+  def apply(name: String): (String, String) => Double = name match {
+    case "ratio"             => ratio
+    case "token_sort_ratio"  => tokenSortRatio
+    case "partial_ratio"     => partialRatio
+    case "jaro_winkler"      => jaroWinklerRatio
+    case other => throw new IllegalArgumentException(s"unknown scorer: $other")
+  }
+}

@@ -1,0 +1,326 @@
+package graft.queries
+
+import graft.functions.{ColumnTransforms => C, StructuredTransforms => G}
+import graft.operators.{Lookup, WindowOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference-operator query pack (SURVEY.md §2): one named query per operator
+  * family, each with a DuckDB oracle in [[oracles]]. Column names are aligned
+  * between the Spark plan and the oracle SQL (the driver sorts columns by name
+  * before hashing).
+  *
+  * Float discipline: double columns are summed as decimal(18,2) then cast back
+  * to double so Spark and DuckDB agree bit-for-bit regardless of summation
+  * order; plain double arithmetic is written with the identical expression tree
+  * on both sides.
+  */
+object RefQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A5 aggregate — TPC-H Q1 shape (sum/avg/count per flag+status).
+    "q01_agg" -> ((s, d) => {
+      Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+          (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // P4 transform_filterrows — raw SQL condition filter.
+    "q02_filter" -> ((s, d) => {
+      Tables(s, d, "lineitem")
+        .filter(expr("l_quantity < 5 AND l_discount > 0.05"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // P1 custommapping — select+alias projection; unmapped columns dropped.
+    "q03_mapping" -> ((s, d) => {
+      graft.mapping.CustomMapping.applyMapping(
+        Tables(s, d, "part"),
+        Seq(
+          graft.mapping.MappingRow("p_partkey", "part_id"),
+          graft.mapping.MappingRow("p_name", "part_name"),
+          graft.mapping.MappingRow("p_retailprice", "retail_price"),
+          graft.mapping.MappingRow("p_size", "null")))
+        .orderBy(col("part_id"))
+    }),
+
+    // J1 lookup — broadcast value-substitution join (nation-name lookup).
+    "q04_lookup" -> ((s, d) => {
+      val lkp = Tables(s, d, "nation")
+        .select(col("n_nationkey").as("orig_value"), col("n_name").as("new_value"))
+      Lookup.lookup(Tables(s, d, "customer"), lkp, field = "nation_name",
+          source = Some("c_nationkey"), noMatch = Some("unknown"))
+        .select(col("c_custkey"), col("c_name"), col("nation_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J2 multilookup — composite-key broadcast join returning several attrs.
+    "q05_multilookup" -> ((s, d) => {
+      val lkp = Tables(s, d, "nation")
+        .select(col("n_nationkey").cast(StringType).as("lookup_key"), col("n_name"), col("n_regionkey"))
+      Lookup.multiLookup(Tables(s, d, "supplier"), lkp,
+          matchColumns = Seq("s_nationkey"), keyCol = "lookup_key",
+          returnAttributes = Seq("n_name", "n_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // J5 consume-layer SQL — multi-table LEFT OUTER join + CASE, via spark.sql
+    // over temp views (the reference's cleanse-to-consume SQL stage).
+    "q06_consume_sql" -> ((s, d) => {
+      Tables(s, d, "orders").createOrReplaceTempView("orders")
+      Tables(s, d, "customer").createOrReplaceTempView("customer")
+      Tables(s, d, "nation").createOrReplaceTempView("nation")
+      Tables(s, d, "region").createOrReplaceTempView("region")
+      s.sql("""
+        SELECT o.o_orderkey, c.c_name, n.n_name AS nation, r.r_name AS region,
+               CASE WHEN o.o_totalprice > 200000 THEN 'large'
+                    WHEN o.o_totalprice > 50000 THEN 'medium'
+                    ELSE 'small' END AS order_band
+        FROM orders o
+        LEFT OUTER JOIN customer c ON o.o_custkey = c.c_custkey
+        LEFT OUTER JOIN nation n ON c.c_nationkey = n.n_nationkey
+        LEFT OUTER JOIN region r ON n.n_regionkey = r.r_regionkey
+        ORDER BY o.o_orderkey""")
+    }),
+
+    // W2 rownumber — top-3 most recent orders per customer.
+    "q07_rownumber" -> ((s, d) => {
+      WindowOps.rowNumber(Tables(s, d, "orders"), "rn",
+          partition = Seq(col("o_custkey")),
+          sort = Seq(col("o_orderdate").desc, col("o_orderkey")))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn").cast(LongType).as("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // W1 filldown — forward-fill nulls per user ordered by time.
+    "q08_filldown" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+        .withColumn("v", when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+      WindowOps.fillDown(ev, Seq("v"), sort = Seq(col("ts"), col("event_id")),
+          partition = Seq(col("user_id")))
+        .select(col("event_id"), col("user_id"), col("v").as("filled_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // C12-C15 merge/addcolumns/multiplycolumns/flipsign — null-safe arithmetic.
+    "q09_premium_calc" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+        .withColumn("disc_n", when(col("l_discount") === 0.0, lit(null)).otherwise(col("l_discount")))
+      li.select(
+          col("l_orderkey"), col("l_linenumber"),
+          C.addColumns(Seq(col("l_tax"), col("disc_n"))).as("add_col"),
+          C.multiplyColumns(Seq(col("l_quantity"), col("disc_n"))).as("mult_col"),
+          C.flipSign(col("l_extendedprice")).as("flip_col"),
+          C.mergeColumns(Seq(col("disc_n"), col("l_tax")), Some(lit(0.0))).as("merge_col"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // C1/C16/C17 date parse + enddate + policymonths.
+    "q10_dates" -> ((s, d) => {
+      val o = Tables(s, d, "orders").withColumn("odate", to_date(col("o_orderdate")))
+      o.select(
+          col("o_orderkey"),
+          col("odate").as("order_date"),
+          C.endDate(col("odate"), pmod(col("o_custkey"), lit(12)).cast(IntegerType)).as("end_date"),
+          C.policyMonths(col("odate"), lit("1998-12-31").cast(DateType), normalized = true)
+            .cast(LongType).as("months_to_end"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // C4 implieddecimal — trailing digits as implied fraction.
+    "q11_implieddecimal" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast(LongType))
+        .withColumn("raw", col("cents").cast(StringType))
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          C.impliedDecimal(col("raw"), 2).cast(DoubleType).as("implied_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // C5 currency — strip US + euro formatting, cast decimal.
+    "q12_currency" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast(LongType))
+        .withColumn("usd", concat(lit("$"), (col("cents") / 100).cast(LongType).cast(StringType),
+          lit("."), lpad(pmod(col("cents"), lit(100)).cast(StringType), 2, "0")))
+        .withColumn("eur", translate(col("usd"), "$.", "€,"))
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          C.currency(col("usd")).cast(DoubleType).as("usd_amount"),
+          C.currency(col("eur"), euro = true).cast(DoubleType).as("eur_amount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // C18/C19/C10 hash/redact/literal — data-protection trio.
+    "q13_protect" -> ((s, d) => {
+      Tables(s, d, "customer")
+        .select(
+          col("c_custkey"),
+          C.sha256Hash(col("c_name")).as("name_hash"),
+          C.sha256Hash(when(col("c_custkey") % 10 === 0, lit(null)).otherwise(col("c_mktsegment")))
+            .as("segment_hash"),
+          C.redact("****").as("acctbal_redacted"),
+          lit("graft").cast(StringType).as("source_system"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // C11 combinecolumns — null→'' printf-merge, trimmed.
+    "q14_combine" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+        .withColumn("seg_n", when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_mktsegment")))
+      c.select(col("c_custkey"),
+          C.combineColumns("%s-%s", Seq(col("c_name"), col("seg_n"))).as("combined"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // G1 jsonexpandarray — explode with 1-based index.
+    "q15_expandarray" -> ((s, d) => {
+      val p = Tables(s, d, "part").withColumn("words", split(col("p_name"), " "))
+        .select("p_partkey", "words")
+      G.expandArray(p, "words", "word_index", "word")
+        .withColumn("word_index", col("word_index").cast(LongType))
+        .orderBy(col("p_partkey"), col("word_index"))
+    }),
+
+    // G5-ish JSON string column — extract + aggregate.
+    "q16_json_props" -> ((s, d) => {
+      Tables(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Streaming-analog tumbling-window aggregation (batch form).
+    "q17_hourly_events" -> ((s, d) => {
+      Tables(s, d, "events")
+        .withColumn("hour", date_trunc("hour", col("ts")))
+        .groupBy(col("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // unionByName — recombine split frames (entity-match recombination shape).
+    "q18_union" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val big = ev.filter(col("value") >= 50).withColumn("slice", lit("big"))
+      val small = ev.filter(col("value") < 50).select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+        .withColumn("slice", lit("small"))
+      big.unionByName(small)
+        .select(col("event_id"), col("event_type"), col("slice"))
+        .orderBy(col("event_id"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+             count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+      WHERE l_quantity < 5 AND l_discount > 0.05 ORDER BY l_orderkey, l_linenumber""",
+    "q03_mapping" -> """
+      SELECT p_partkey AS part_id, p_name AS part_name, p_retailprice AS retail_price
+      FROM part ORDER BY part_id""",
+    "q04_lookup" -> """
+      SELECT c_custkey, c_name, COALESCE(n.n_name, 'unknown') AS nation_name
+      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      ORDER BY c_custkey""",
+    "q05_multilookup" -> """
+      SELECT s_suppkey, s_name, n.n_name, n.n_regionkey
+      FROM supplier s LEFT JOIN nation n ON CAST(s.s_nationkey AS VARCHAR) = CAST(n.n_nationkey AS VARCHAR)
+      ORDER BY s_suppkey""",
+    "q06_consume_sql" -> """
+      SELECT o.o_orderkey, c.c_name, n.n_name AS nation, r.r_name AS region,
+             CASE WHEN o.o_totalprice > 200000 THEN 'large'
+                  WHEN o.o_totalprice > 50000 THEN 'medium'
+                  ELSE 'small' END AS order_band
+      FROM orders o
+      LEFT OUTER JOIN customer c ON o.o_custkey = c.c_custkey
+      LEFT OUTER JOIN nation n ON c.c_nationkey = n.n_nationkey
+      LEFT OUTER JOIN region r ON n.n_regionkey = r.r_regionkey
+      ORDER BY o.o_orderkey""",
+    "q07_rownumber" -> """
+      SELECT o_custkey, o_orderkey, rn FROM (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q08_filldown" -> """
+      SELECT event_id, user_id,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      FROM (SELECT event_id, user_id, ts,
+              CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events)
+      ORDER BY event_id""",
+    "q09_premium_calc" -> """
+      SELECT l_orderkey, l_linenumber,
+             COALESCE(l_tax, 0) + COALESCE(disc_n, 0) AS add_col,
+             COALESCE(l_quantity, 1.0) * COALESCE(disc_n, 1.0) AS mult_col,
+             -l_extendedprice AS flip_col,
+             COALESCE(disc_n, l_tax, 0.0) AS merge_col
+      FROM (SELECT *, CASE WHEN l_discount = 0.0 THEN NULL ELSE l_discount END AS disc_n
+            FROM lineitem)
+      ORDER BY l_orderkey, l_linenumber""",
+    "q10_dates" -> """
+      SELECT o_orderkey, odate AS order_date,
+             (odate + to_months(CAST(o_custkey % 12 AS INT)))::DATE AS end_date,
+             (1998 - year(odate)) * 12 + (12 - month(odate)) + 1 AS months_to_end
+      FROM (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS odate FROM orders)
+      ORDER BY o_orderkey""",
+    "q11_implieddecimal" -> """
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE) / 100 AS implied_price
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q12_currency" -> """
+      SELECT l_orderkey, l_linenumber,
+             CAST(cents AS DOUBLE) / 100 AS usd_amount,
+             CAST(cents AS DOUBLE) / 100 AS eur_amount
+      FROM (SELECT l_orderkey, l_linenumber, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem)
+      ORDER BY l_orderkey, l_linenumber""",
+    "q13_protect" -> """
+      SELECT c_custkey, sha256(c_name) AS name_hash,
+             sha256(COALESCE(CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_mktsegment END, 'None')) AS segment_hash,
+             '****' AS acctbal_redacted, 'graft' AS source_system
+      FROM customer ORDER BY c_custkey""",
+    "q14_combine" -> """
+      SELECT c_custkey,
+             trim(printf('%s-%s', COALESCE(c_name, ''),
+               COALESCE(CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END, ''))) AS combined
+      FROM customer ORDER BY c_custkey""",
+    "q15_expandarray" -> """
+      SELECT p_partkey,
+             unnest(range(1, len(string_split(p_name, ' ')) + 1)) AS word_index,
+             unnest(string_split(p_name, ' ')) AS word
+      FROM part ORDER BY p_partkey, word_index""",
+    "q16_json_props" -> """
+      SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+             count(*) AS n_events
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q17_hourly_events" -> """
+      SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q18_union" -> """
+      SELECT event_id, event_type, CASE WHEN value >= 50 THEN 'big' ELSE 'small' END AS slice
+      FROM events ORDER BY event_id""",
+  )
+}

@@ -1,0 +1,203 @@
+package graft.queries
+
+import graft.functions.{SimilarityFunctions => S, TextFunctions => T}
+import graft.operators.{Ann, Dedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data-pipeline query pack: dedup, similarity search, text analysis.
+  * Oracle-checked where the computation is SQL-expressible in DuckDB;
+  * LSH-bucketed variants (minhash/simhash/hyperplane) are checked rows-only —
+  * their exact-verification counterparts ARE oracle-checked.
+  */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup (hash-groupBy) — keep min doc_id per (lang, source) group.
+    "q20_dedup_exact" -> ((s, d) => {
+      Dedup.exact(Tables(s, d, "documents"), Seq("lang", "source"), "doc_id")
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // Fingerprint dedup — normalized-text SHA-256 groups.
+    "q21_fingerprint" -> ((s, d) => {
+      Dedup.byFingerprint(Tables(s, d, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token counting — whitespace + BPE-ish regex estimate.
+    "q22_token_counts" -> ((s, d) => {
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          T.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          T.bpeishTokenCount(col("text")).cast(LongType).as("n_bpeish"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring — length/alpha/word-length/stopword heuristics.
+    "q23_quality" -> ((s, d) => {
+      Tables(s, d, "documents")
+        .select(col("doc_id"), T.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID — stopword-count argmax heuristic.
+    "q24_langid" -> ((s, d) => {
+      Tables(s, d, "documents")
+        .select(col("doc_id"), T.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // n-gram (unigram) Jaccard near-dup within (lang, source) blocks — the
+    // exact verification step of blocked dedup, fully oracle-checked.
+    "q25_jaccard_block" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          array_distinct(S.tokens(col("text"))).as("toks"))
+      val a = docs.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("toks").as("t_a"))
+      val b = docs.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("toks").as("t_b"))
+      a.join(b, Seq("lang", "source"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), S.jaccard(col("t_a"), col("t_b")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MinHash+LSH candidate pairs w/ exact-Jaccard verification (rows-only
+    // check: LSH banding is not SQL-expressible in the oracle).
+    "q26_minhash_pairs" -> ((s, d) => {
+      Dedup.minhashPairs(Tables(s, d, "documents"), "text", "doc_id",
+          shingleN = 2, bands = 16, rowsPerBand = 4, threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash fingerprints + banded near-dup pairs (rows-only).
+    "q27_simhash_pairs" -> ((s, d) => {
+      Dedup.simhashPairs(Tables(s, d, "documents"), "text", "doc_id", maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Brute-force cosine top-k ANN (exact; oracle-checked with rounded sims).
+    "q28_ann_topk" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Ann.bruteForceTopK(emb, queries, "embedding", "vec_id", "query_id", k = 10)
+        .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine_r"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN (approximate; rows-only).
+    "q29_ann_lsh" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Ann.lshTopK(emb, queries, "embedding", "vec_id", "query_id",
+          dim = 64, k = 10, planes = 8)
+        .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine_r"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Embedding near-dup pairs via hyperplane LSH + exact cosine (rows-only).
+    "q30_embedding_neardup" -> ((s, d) => {
+      Dedup.embeddingNearDupPairs(Tables(s, d, "embeddings"), "embedding", "vec_id",
+          dim = 64, planes = 6, threshold = 0.1)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Rolling-hash fingerprint (Rabin-Karp k-gram min — winnowing-lite):
+    // min rolling hash per doc as a content signature (rows-only — exercises
+    // the HOF rolling-hash expression).
+    "q31_rolling_fingerprint" -> ((s, d) => {
+      Tables(s, d, "documents")
+        .select(col("doc_id"), array_min(T.rollingHashes(col("text"), 16)).as("min_kgram_hash"))
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  private val langIdOracle: String = {
+    val scoreExprs = T.LangStopwords.map { case (lang, words) =>
+      val sum = words.map(w => s"len(regexp_extract_all(lower(text), '\\b${w}\\b'))").mkString(" + ")
+      s"($sum) AS s_$lang"
+    }.mkString(",\n               ")
+    val langs = T.LangStopwords.map(_._1)
+    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString("\n               ")
+    s"""
+      SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+      FROM (SELECT doc_id, ${langs.map("s_" + _).mkString(", ")}, $best AS best FROM (
+              SELECT doc_id, text,
+               $scoreExprs
+              FROM documents))
+      ORDER BY doc_id"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q20_dedup_exact" -> """
+      SELECT lang, source, min(doc_id) AS doc_id, count(*) AS dup_count
+      FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "q21_fingerprint" -> """
+      SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+             min(doc_id) AS doc_id, count(*) AS dup_count
+      FROM documents GROUP BY 1 ORDER BY doc_id""",
+    "q22_token_counts" -> """
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+             len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS n_bpeish
+      FROM documents ORDER BY doc_id""",
+    "q23_quality" -> """
+      SELECT doc_id,
+             (CASE WHEN chars > 0 THEN alpha / chars ELSE 0.0 END) * 0.4
+             + (CASE WHEN chars >= 50 AND chars <= 100000 THEN 1.0 ELSE 0.0 END) * 0.2
+             + (CASE WHEN words > 0 AND (chars - spaces) / words >= 2.0
+                      AND (chars - spaces) / words <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+             + (CASE WHEN s_en > 0 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality
+      FROM (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS chars,
+               CAST(len(regexp_extract_all(text, '[\p{L}]')) AS DOUBLE) AS alpha,
+               CAST(len(regexp_extract_all(text, '\s')) AS DOUBLE) AS spaces,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS words,
+               len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\band\b'))
+               + len(regexp_extract_all(lower(text), '\bof\b')) + len(regexp_extract_all(lower(text), '\bto\b'))
+               + len(regexp_extract_all(lower(text), '\ba\b')) + len(regexp_extract_all(lower(text), '\bin\b'))
+               + len(regexp_extract_all(lower(text), '\bis\b')) + len(regexp_extract_all(lower(text), '\bthat\b')) AS s_en
+        FROM documents)
+      ORDER BY doc_id""",
+    "q24_langid" -> langIdOracle,
+    "q25_jaccard_block" -> """
+      WITH toks AS (
+        SELECT doc_id, lang, source,
+               list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CASE WHEN len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                       / CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS DOUBLE) END AS jaccard
+      FROM toks a JOIN toks b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CASE WHEN len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) = 0 THEN 0.0
+                 ELSE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                      / CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS DOUBLE) END >= 0.5
+      ORDER BY id_a, id_b""",
+    "q28_ann_topk" -> """
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+                    * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cosine
+        FROM q CROSS JOIN embeddings e),
+      ranked AS (
+        SELECT query_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored)
+      SELECT query_id, vec_id, round(cosine, 6) AS cosine_r, rank
+      FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+  )
+}
