@@ -34,7 +34,9 @@ object ColumnTransforms {
     val pat = s"([+-]?\\d+)(\\d{$digits})$$"
     val whole = regexp_extract(c, pat, 1)
     val frac  = regexp_extract(c, pat, 2)
-    when(c.isNull, lit(null).cast(DecimalType(precision, scale)))
+    // no-match (regexp_extract yields "") → null, like the reference's
+    // non-ANSI cast; an ANSI cast of "." would throw.
+    when(c.isNull.or(whole === ""), lit(null).cast(DecimalType(precision, scale)))
       .otherwise(concat_ws(".", whole, frac).cast(DecimalType(precision, scale)))
   }
 

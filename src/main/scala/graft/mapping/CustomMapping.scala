@@ -104,11 +104,19 @@ object FuzzyScorers {
   def jaroWinklerRatio(a: String, b: String): Double =
     SimilarityFunctions.jaroWinkler(a, b) * 100.0
 
-  def apply(name: String): (String, String) => Double = name match {
-    case "ratio"             => ratio
-    case "token_sort_ratio"  => tokenSortRatio
-    case "partial_ratio"     => partialRatio
-    case "jaro_winkler"      => jaroWinklerRatio
-    case other => throw new IllegalArgumentException(s"unknown scorer: $other")
+  /** rapidfuzz default_process: lowercase, non-alphanumeric → space, trim —
+    * applied before every scorer, as the reference's fuzzy matching does. */
+  def preprocess(s: String): String =
+    s.toLowerCase.replaceAll("[^\\p{L}\\p{N}]+", " ").trim
+
+  def apply(name: String): (String, String) => Double = {
+    val raw: (String, String) => Double = name match {
+      case "ratio"             => ratio
+      case "token_sort_ratio"  => tokenSortRatio
+      case "partial_ratio"     => partialRatio
+      case "jaro_winkler"      => jaroWinklerRatio
+      case other => throw new IllegalArgumentException(s"unknown scorer: $other")
+    }
+    (a, b) => raw(preprocess(a), preprocess(b))
   }
 }

@@ -1,0 +1,264 @@
+package graft
+
+import graft.functions.{SimilarityFunctions => S, StructuredTransforms => G, TextFunctions => T}
+import graft.mapping.{CustomMapping, FuzzyScorers, MappingRow}
+import graft.operators.{Ann, Dedup, Lookup, WindowOps}
+import org.apache.spark.sql.functions._
+
+class LookupSpec extends SparkSpec {
+  import spark.implicits._
+  private val lkp = Seq(("S", "Smoker"), ("N", "NonSmoker")).toDF("orig_value", "new_value")
+
+  test("lookup replaces in place; nomatch fills default") {
+    val df = Seq(("p1", "S"), ("p2", "N"), ("p3", "X")).toDF("id", "smokingclass")
+    val got = Lookup.lookup(df, lkp, "smokingclass", noMatch = Some("N/A"))
+      .orderBy("id").select("smokingclass").as[String].collect().toSeq
+    assert(got == Seq("Smoker", "NonSmoker", "N/A"))
+  }
+
+  test("lookup derives new column when source given; unmatched stays null") {
+    val df = Seq(("p1", "S"), ("p3", "X")).toDF("id", "sc")
+    val out = Lookup.lookup(df, lkp, "sc_desc", source = Some("sc")).orderBy("id")
+    assert(out.columns.toSeq == Seq("id", "sc", "sc_desc"))
+    assert(out.select("sc_desc").as[Option[String]].collect().toSeq == Seq(Some("Smoker"), None))
+  }
+
+  test("multilookup joins composite key and fills nomatch attributes") {
+    val lookupDf = Seq(("a-1", "east", 10), ("b-2", "west", 20))
+      .toDF("lookup_item", "region", "zone")
+    val df = Seq(("r1", "a", 1), ("r2", "b", 2), ("r3", "c", 3)).toDF("id", "k1", "k2")
+    val got = Lookup.multiLookup(df, lookupDf, Seq("k1", "k2"), "lookup_item",
+        Seq("region", "zone"), noMatch = Map("region" -> "none", "zone" -> -1))
+      .orderBy("id").select("region", "zone").as[(String, Int)].collect().toSeq
+    assert(got == Seq(("east", 10), ("west", 20), ("none", -1)))
+  }
+}
+
+class WindowOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fillDown forward-fills within partition by sort order") {
+    val df = Seq((1, 1, Some("a")), (1, 2, None), (1, 3, None), (2, 1, None), (2, 2, Some("z")))
+      .toDF("grp", "seq", "v")
+    val got = WindowOps.fillDown(df, Seq("v"), Seq($"seq"), Seq($"grp"))
+      .orderBy("grp", "seq").select("v").as[Option[String]].collect().toSeq
+    assert(got == Seq(Some("a"), Some("a"), Some("a"), None, Some("z")))
+  }
+
+  test("rowNumber defaults to lit(1) partition/sort") {
+    val df = Seq("a", "b", "c").toDF("v")
+    val got = WindowOps.rowNumber(df, "rn").select("rn").as[Int].collect().toSeq.sorted
+    assert(got == Seq(1, 2, 3))
+  }
+
+  test("topKPerGroup bounds each group to k rows") {
+    val df = Seq((1, 10), (1, 20), (1, 30), (2, 5)).toDF("g", "v")
+    val got = WindowOps.topKPerGroup(df, Seq($"g"), Seq($"v".desc), 2)
+    assert(got.count() == 3)
+    assert(got.filter($"g" === 1).agg(max("v")).as[Int].head() == 30)
+  }
+}
+
+class StructuredSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("expandArray explodes with 1-based index, keeps null rows (outer)") {
+    val df = Seq((1, Seq("x", "y")), (2, null)).toDF("id", "arr")
+    val got = G.expandArray(df, "arr", "idx", "v").orderBy("id", "idx")
+      .select("id", "idx", "v").as[(Int, Option[Int], Option[String])].collect().toSeq
+    assert(got == Seq((1, Some(1), Some("x")), (1, Some(2), Some("y")), (2, None, None)))
+  }
+
+  test("expandMap converts struct→map and explodes (index,key,value)") {
+    val df = spark.sql("SELECT 1 AS id, named_struct('a', 10, 'b', 20) AS st")
+    val got = G.expandMap(df, "st", "idx", "k", "v").orderBy("idx")
+      .select("idx", "k", "v").as[(Int, String, Int)].collect().toSeq
+    assert(got == Seq((1, "a", 10), (2, "b", 20)))
+  }
+
+  test("flattenOneLevel prefixes child fields; flattenSchema recurses") {
+    val df = spark.sql(
+      "SELECT 1 AS id, named_struct('x', 1, 'y', named_struct('z', 2)) AS s")
+    val one = G.flattenOneLevel(df, "s")
+    assert(one.columns.toSeq == Seq("id", "s_x", "s_y"))
+    val full = G.flattenSchema(df)
+    assert(full.columns.toSeq == Seq("id", "s_x", "s_y_z"))
+    assert(full.select("s_y_z").as[Int].head() == 2)
+  }
+
+  test("jsonStringToStruct infers schema from the column") {
+    val df = Seq("""{"a":1,"b":"x"}""", """{"a":2,"b":"y"}""").toDF("j")
+    val got = G.jsonStringToStruct(df, "j")
+    assert(got.select($"j.a").as[Long].collect().toSeq.sorted == Seq(1L, 2L))
+  }
+
+  test("expandPolicyMonths: one row per calendar month, index + last day") {
+    val df = Seq(("2024-01-15", "2024-03-10")).toDF("eff", "exp")
+      .select($"eff".cast("date").as("eff"), $"exp".cast("date").as("exp"))
+    val got = G.expandPolicyMonths(df, "eff", "exp")
+    assert(got.count() == 3)
+    val last = got.orderBy($"policy_month_index".desc).head()
+    assert(last.getAs[Int]("policy_month_index") == 3)
+    assert(last.getAs[java.sql.Date]("last_day_of_month").toString == "2024-03-31")
+  }
+}
+
+class MappingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("applyMapping renames, drops destname=null, discards unmapped") {
+    val df = Seq((1, "a", 2.0, true)).toDF("keep", "rename", "drop", "unmapped")
+    val out = CustomMapping.applyMapping(df, Seq(
+      MappingRow("keep", "kept"), MappingRow("rename", "renamed"), MappingRow("drop", "null")))
+    assert(out.columns.toSeq == Seq("kept", "renamed"))
+  }
+
+  test("applyMapping fuzzy row matches leftover source column by scorer") {
+    val df = Seq((1, "x")).toDF("policyid", "insured_company_nam") // typo'd source
+    val out = CustomMapping.applyMapping(df, Seq(
+      MappingRow("policyid", "policy_id"),
+      MappingRow("insured company name", "company", Some(80.0), Some("token_sort_ratio"))))
+    assert(out.columns.toSeq == Seq("policy_id", "company"))
+  }
+
+  test("applyMapping addresses nested fields via flattened names") {
+    val df = spark.sql("SELECT named_struct('b', named_struct('c', 7)) AS a")
+    val out = CustomMapping.applyMapping(df, Seq(MappingRow("a_b_c", "leaf")))
+    assert(out.select("leaf").as[Int].head() == 7)
+  }
+
+  test("cleanName sanitizes to parquet/athena-safe form") {
+    assert(CustomMapping.cleanName("  My Col; (USD) ") == "my_col_usd")
+    assert(CustomMapping.cleanName("a.b:c d") == "a_b_c_d")
+  }
+
+  test("FuzzyScorers known values") {
+    assert(FuzzyScorers.ratio("abcd", "abcd") == 100.0)
+    assert(math.abs(FuzzyScorers.ratio("kitten", "sitting") - 61.538) < 0.01)
+    assert(FuzzyScorers.tokenSortRatio("world hello", "hello world") == 100.0)
+    assert(FuzzyScorers.partialRatio("abc", "xxabcxx") == 100.0)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jaroWinkler matches published values") {
+    assert(math.abs(S.jaroWinkler("MARTHA", "MARHTA") - 0.9611) < 1e-3)
+    assert(math.abs(S.jaroWinkler("DIXON", "DICKSONX") - 0.8133) < 1e-3)
+    assert(S.jaroWinkler("same", "same") == 1.0)
+    assert(S.jaroWinkler("", "x") == 0.0)
+  }
+
+  test("minhash estimate approximates true jaccard") {
+    val df = Seq(
+      ("a b c d e f g h i j", "a b c d e f g h i x"),
+      ("a b c d e", "v w x y z")).toDF("t1", "t2")
+    val got = df.select(
+      S.minhashJaccardEstimate(
+        S.minHashSignature(S.wordShingles($"t1", 1), 128),
+        S.minHashSignature(S.wordShingles($"t2", 1), 128)).as("est"),
+      S.jaccard(S.wordShingles($"t1", 1), S.wordShingles($"t2", 1)).as("true"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (est, truth) => assert(math.abs(est - truth) < 0.15) }
+  }
+
+  test("simhash: identical texts collide, disjoint texts differ") {
+    val df = Seq(("x y z", "x y z", "p q r s t u v w")).toDF("a", "b", "c")
+    val row = df.select(
+      S.simHash64(S.tokens($"a")).as("ha"),
+      S.simHash64(S.tokens($"b")).as("hb"),
+      S.simHash64(S.tokens($"c")).as("hc"))
+    val r = row.head()
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(0) != r.getLong(2))
+  }
+
+  test("cosine: parallel=1, orthogonal=0") {
+    val df = Seq((Seq(1f, 0f), Seq(2f, 0f), Seq(0f, 3f))).toDF("a", "b", "c")
+    val r = df.select(S.cosine($"a", $"b").as("p"), S.cosine($"a", $"c").as("o")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12 && math.abs(r.getDouble(1)) < 1e-12)
+  }
+}
+
+class DedupAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps min id per key with dup_count") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "k")
+    val got = Dedup.exact(df, Seq("k"), "id").orderBy("k")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("x", 1L, 2L), ("y", 3L, 1L)))
+  }
+
+  test("minhashPairs finds a near-duplicate pair and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " extra"),
+      (3L, "completely different content about spark query engines at scale")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(df, "text", "doc_id", shingleN = 2,
+      bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhashPairs: whitespace-dup docs collide at hamming 0") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha  beta gamma  delta"),
+      (3L, "unrelated totally other words")).toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(df, "text", "doc_id", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
+  test("bruteForceTopK rank-1 of a query over itself is itself") {
+    val emb = sf("embeddings")
+    val q = emb.filter($"vec_id" === 7).select($"vec_id".as("qid"), $"embedding")
+    val top = Ann.bruteForceTopK(emb, q, "embedding", "vec_id", "qid", 3)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(top.head == 7L)
+  }
+
+  test("lshTopK self-match survives bucketing") {
+    val emb = sf("embeddings")
+    val q = emb.filter($"vec_id" === 7).select($"vec_id".as("qid"), $"embedding")
+    val top = Ann.lshTopK(emb, q, "embedding", "vec_id", "qid", dim = 64, k = 3, planes = 8)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(top.head == 7L)
+  }
+}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount and bpeishTokenCount") {
+    val df = Seq(("hello world  foo", ""), ("a,b 42", " ")).toDF("t", "e")
+    val got = df.select(T.tokenCount($"t").as("n"), T.tokenCount($"e").as("z"),
+      T.bpeishTokenCount($"t").as("b")).collect()
+    assert(got(0).getInt(0) == 3 && got(0).getInt(1) == 0)
+    assert(got(1).getInt(0) == 2)
+    assert(got(1).getInt(2) == 4) // "a" "," "b" " 42"
+  }
+
+  test("langId picks stopword-richest language; und when none") {
+    val df = Seq("the cat and the dog is in a house",
+      "der hund ist nicht ein katze und", "zzz qqq").toDF("t")
+    val got = df.select(T.langId($"t").as("l")).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "und"))
+  }
+
+  test("fingerprint is whitespace/case invariant") {
+    val df = Seq(("Hello  World", "hello world")).toDF("a", "b")
+    val r = df.select(T.fingerprint($"a").as("fa"), T.fingerprint($"b").as("fb")).head()
+    assert(r.getString(0) == r.getString(1))
+  }
+
+  test("rollingHashes: k-gram count and shared grams across overlapping texts") {
+    val df = Seq(("abcdef", "xabcdey")).toDF("a", "b")
+    val r = df.select(T.rollingHashes($"a", 3).as("ha"), T.rollingHashes($"b", 3).as("hb")).head()
+    val ha = r.getSeq[Long](0); val hb = r.getSeq[Long](1)
+    assert(ha.length == 4 && hb.length == 5)
+    assert(ha.toSet.intersect(hb.toSet).nonEmpty) // shared "abc","bcd","cde"
+  }
+}
