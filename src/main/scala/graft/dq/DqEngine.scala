@@ -1,0 +1,267 @@
+package graft.dq
+
+import graft.dq.Dqdl._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Outcome of one rule against one frame. */
+case class RuleOutcome(rule: String, passed: Boolean, metric: Option[Double],
+                       failureReason: Option[String]) {
+  def outcome: String = if (passed) "Passed" else "Failed"
+}
+
+/** Result of a quarantine run: rows that passed, rows that failed (with
+  * `quarantine_timestamp`), and per-rule outcomes. */
+case class QuarantineResult(passed: DataFrame, failed: DataFrame,
+                            outcomes: Seq[RuleOutcome])
+
+/** Compiles parsed DQDL rules to Spark and evaluates them with the reference's
+  * three action tiers (dataquality_check.py:116-258).
+  *
+  * Scale design: all aggregate metrics of a ruleset are folded into ONE
+  * `df.agg(...)` pass (the reference's Glue DQ evaluates per-ruleset too); the
+  * row-level quarantine split is a pair of complementary filters over one
+  * boolean column — no extra shuffle. Each `CustomSql` rule is its own Spark
+  * job by nature (arbitrary SQL over a temp view named `primary`).
+  *
+  * Null semantics: `ColumnValues` / `ColumnDataType` treat NULL as failing
+  * (Glue DQ does not skip nulls); use `Completeness`/`IsComplete` to reason
+  * about nulls explicitly.
+  */
+class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
+
+  /** Row-level pass predicate for a rule expr, where expressible.
+    * Missing column → constant false (rule fails every row, like Glue marking
+    * the whole frame failed). CustomSql handled separately (semi-join). */
+  private def rowPredicate(df: DataFrame, e: Expr): Option[Column] = e match {
+    case And(l, r) => for (a <- rowPredicate(df, l); b <- rowPredicate(df, r)) yield a && b
+    case Or(l, r)  => for (a <- rowPredicate(df, l); b <- rowPredicate(df, r)) yield a || b
+    case Leaf(rule) => rule match {
+      case ColumnValues(c, pred) =>
+        if (!df.columns.contains(c)) Some(lit(false))
+        else Some(valuePredicate(col(c), pred))
+      case ColumnDataType(c, t) =>
+        if (!df.columns.contains(c)) Some(lit(false))
+        else Some(try_cast_ok(col(c), t))
+      case IsComplete(c) =>
+        Some(if (df.columns.contains(c)) col(c).isNotNull else lit(false))
+      case ColumnExists(c) => Some(lit(df.columns.contains(c)))
+      case _ => None // dataset-level only (Completeness/RowCount/IsUnique/CustomSql)
+    }
+  }
+
+  private def valuePredicate(c: Column, pred: ValuePred): Column = pred match {
+    case Matches(re)   => c.cast("string").rlike(s"^(?:$re)$$")
+    case InList(vs)    => c.cast("string").isin(vs: _*)
+    case Between(l, h) => c.cast(DoubleType).between(l, h)
+    case Cmp(op, Left(d))  => cmp(c.cast(DoubleType), op, lit(d))
+    case Cmp(op, Right(s)) => cmp(c.cast("string"), op, lit(s))
+  }
+
+  private def cmp(c: Column, op: String, v: Column): Column = op match {
+    case ">" => c > v; case ">=" => c >= v; case "<" => c < v
+    case "<=" => c <= v; case "=" => c === v; case "!=" => c =!= v
+  }
+
+  private def cmpD(a: Double, op: String, b: Double): Boolean = op match {
+    case ">" => a > b; case ">=" => a >= b; case "<" => a < b
+    case "<=" => a <= b; case "=" => a == b; case "!=" => a != b
+  }
+
+  /** Castability test used by ColumnDataType; DATE/TIMESTAMP/numeric DDL names. */
+  private def try_cast_ok(c: Column, typeName: String): Column = {
+    val ddl = typeName.toLowerCase match {
+      case "int" | "integer" => "int"
+      case "bigint" | "long" => "bigint"
+      case "float"           => "float"
+      case "double"          => "double"
+      case "date"            => "date"
+      case "timestamp"       => "timestamp"
+      case "boolean"         => "boolean"
+      case other             => other
+    }
+    c.isNotNull && try_element_cast(c, ddl).isNotNull
+  }
+
+  private def try_element_cast(c: Column, ddl: String): Column =
+    c.cast("string").try_cast(ddl)
+
+  // --------------------------------------------------------- dataset evaluation
+
+  /** Evaluate rules dataset-level: one combined agg pass for metric rules plus
+    * one spark.sql per CustomSql (temp view `primary`). */
+  def evaluateDataset(df: DataFrame, rules: Seq[String]): Seq[RuleOutcome] = {
+    val parsed = rules.map(r => r -> Dqdl.parse(r))
+
+    // Collect (metricName, aggExpr) for every leaf that needs aggregation.
+    val aggs = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+    def collect(e: Expr): Unit = e match {
+      case And(l, r) => collect(l); collect(r)
+      case Or(l, r)  => collect(l); collect(r)
+      case Leaf(rule) => rule match {
+        case ColumnValues(c, pred) if df.columns.contains(c) =>
+          aggs.getOrElseUpdate(s"cv:${rule.describe}",
+            avg(valuePredicate(col(c), pred).cast(DoubleType)))
+        case ColumnDataType(c, t) if df.columns.contains(c) =>
+          aggs.getOrElseUpdate(s"cdt:$c:$t", avg(try_cast_ok(col(c), t).cast(DoubleType)))
+        case Completeness(c, _, _) if df.columns.contains(c) =>
+          aggs.getOrElseUpdate(s"comp:$c", avg(col(c).isNotNull.cast(DoubleType)))
+        case IsComplete(c) if df.columns.contains(c) =>
+          aggs.getOrElseUpdate(s"comp:$c", avg(col(c).isNotNull.cast(DoubleType)))
+        case IsUnique(c) if df.columns.contains(c) =>
+          aggs.getOrElseUpdate(s"uniq:$c",
+            (count_distinct(col(c)) === count(lit(1))).cast(DoubleType))
+        case RowCount(_, _) =>
+          aggs.getOrElseUpdate("rowcount", count(lit(1)).cast(DoubleType))
+        case _ => ()
+      }
+    }
+    parsed.foreach { case (_, e) => collect(e) }
+
+    val metrics: Map[String, Double] =
+      if (aggs.isEmpty) Map.empty
+      else {
+        val row = df.agg(aggs.values.head, aggs.values.tail.toSeq: _*).head()
+        aggs.keys.zipWithIndex.map { case (k, i) =>
+          k -> (if (row.isNullAt(i)) 1.0 else row.getDouble(i)) // empty frame → vacuous pass
+        }.toMap
+      }
+
+    def verdict(e: Expr): (Boolean, Option[Double], Option[String]) = e match {
+      case And(l, r) =>
+        val (p1, m1, r1) = verdict(l); val (p2, _, r2) = verdict(r)
+        (p1 && p2, m1, Seq(r1, r2).flatten.headOption)
+      case Or(l, r) =>
+        val (p1, m1, r1) = verdict(l); val (p2, _, r2) = verdict(r)
+        (p1 || p2, m1, if (p1 || p2) None else Seq(r1, r2).flatten.headOption)
+      case Leaf(rule) => rule match {
+        case ColumnValues(c, _) if !df.columns.contains(c) =>
+          (false, None, Some(s"column $c does not exist"))
+        case r @ ColumnValues(_, _) =>
+          val m = metrics(s"cv:${r.describe}")
+          (m == 1.0, Some(m), if (m == 1.0) None else Some(f"compliance ${m * 100}%.2f%%"))
+        case ColumnDataType(c, t) if !df.columns.contains(c) =>
+          (false, None, Some(s"column $c does not exist"))
+        case ColumnDataType(c, t) =>
+          val m = metrics(s"cdt:$c:$t")
+          (m == 1.0, Some(m), if (m == 1.0) None else Some(f"castable ${m * 100}%.2f%%"))
+        case Completeness(c, _, _) if !df.columns.contains(c) =>
+          (false, None, Some(s"column $c does not exist"))
+        case Completeness(c, op, t) =>
+          val m = metrics(s"comp:$c")
+          (cmpD(m, op, t), Some(m), if (cmpD(m, op, t)) None else Some(f"completeness $m%.4f not $op $t"))
+        case ColumnExists(c) =>
+          (df.columns.contains(c), None,
+            if (df.columns.contains(c)) None else Some(s"column $c does not exist"))
+        case IsComplete(c) if !df.columns.contains(c) =>
+          (false, None, Some(s"column $c does not exist"))
+        case IsComplete(c) =>
+          val m = metrics(s"comp:$c")
+          (m == 1.0, Some(m), if (m == 1.0) None else Some(f"completeness $m%.4f < 1.0"))
+        case IsUnique(c) if !df.columns.contains(c) =>
+          (false, None, Some(s"column $c does not exist"))
+        case IsUnique(c) =>
+          val m = metrics(s"uniq:$c")
+          (m == 1.0, Some(m), if (m == 1.0) None else Some("duplicate values present"))
+        case RowCount(op, n) =>
+          val m = metrics("rowcount")
+          (cmpD(m, op, n), Some(m), if (cmpD(m, op, n)) None else Some(f"row count $m%.0f not $op $n"))
+        case CustomSql(sql, cmpOpt) =>
+          df.createOrReplaceTempView("primary")
+          val res = df.sparkSession.sql(sql)
+          cmpOpt match {
+            case Some((op, n)) =>
+              val v = Option(res.head().get(0)).map(_.toString.toDouble).getOrElse(Double.NaN)
+              (cmpD(v, op, n), Some(v), if (cmpD(v, op, n)) None else Some(s"custom sql returned $v, expected $op $n"))
+            case None =>
+              val c = res.limit(1).count()
+              (c > 0, Some(c.toDouble), if (c > 0) None else Some("custom sql returned no rows"))
+          }
+      }
+    }
+
+    parsed.map { case (text, e) =>
+      val (p, m, reason) = verdict(e)
+      RuleOutcome(text, p, m, reason)
+    }
+  }
+
+  // ------------------------------------------------------------------- actions
+
+  /** warn_rules: evaluate + log; never mutates the frame.
+    * Ref: dataquality_check.py:145-171. */
+  def runWarn(df: DataFrame, rules: Seq[String]): Seq[RuleOutcome] = {
+    val outcomes = evaluateDataset(df, rules)
+    outcomes.filterNot(_.passed).foreach(o =>
+      System.err.println(s"[dq][warn] ${o.rule}: ${o.failureReason.getOrElse("")}"))
+    outcomes
+  }
+
+  /** halt_rules: raise if any rule fails. Ref: dataquality_check.py:116-142. */
+  def runHalt(df: DataFrame, rules: Seq[String]): Seq[RuleOutcome] = {
+    val outcomes = evaluateDataset(df, rules)
+    if (outcomes.exists(!_.passed))
+      throw new RuntimeException("Data quality check failed: " +
+        outcomes.filterNot(_.passed).map(_.rule).mkString("; "))
+    outcomes
+  }
+
+  /** quarantine_rules: row-level split. Rows failing ANY rule are quarantined
+    * (with `quarantine_timestamp`); dataset-only rules apply their verdict to
+    * every row; row-level CustomSql keeps rows whose projected key(s) appear in
+    * the query result (left-semi join — the reference's process_rows
+    * semantics). Throws when every row fails.
+    * Ref: dataquality_check.py:175-258. */
+  def runQuarantine(df: DataFrame, rules: Seq[String],
+                    sinkName: String = "quarantine"): QuarantineResult = {
+    val parsed = rules.map(r => r -> Dqdl.parse(r))
+    val outcomes = evaluateDataset(df, rules)
+
+    // Combine row predicates; CustomSql row-level rules become semi-joins.
+    var current = df
+    var pred: Column = lit(true)
+    parsed.zipWithIndex.foreach { case ((_, e), i) =>
+      rowPredicate(df, e) match {
+        case Some(p) => pred = pred && p
+        case None => e match {
+          case Leaf(CustomSql(sql, None)) =>
+            df.createOrReplaceTempView("primary")
+            val keys = df.sparkSession.sql(sql).distinct()
+            val keyCols = keys.columns
+            val marker = keys.withColumn("__dq_pass", lit(true))
+            current = current.join(marker, keyCols.toSeq, "left")
+            pred = pred && col("__dq_pass").isNotNull
+          case _ =>
+            // dataset-level rule inside quarantine tier: verdict applies to all rows
+            pred = pred && lit(outcomes(i).passed)
+        }
+      }
+    }
+
+    val marked = current.withColumn("__dq_pass_all", pred)
+    val passed = marked.filter(col("__dq_pass_all")).drop("__dq_pass_all", "__dq_pass")
+    val failed = marked.filter(!col("__dq_pass_all")).drop("__dq_pass_all", "__dq_pass")
+      .withColumn("quarantine_timestamp", current_timestamp())
+
+    quarantineSink.foreach(sink => sink(failed, sinkName))
+
+    if (!failed.isEmpty && passed.isEmpty)
+      throw new RuntimeException("Data quality check quarantined all rows")
+    QuarantineResult(passed, failed, outcomes)
+  }
+
+  /** Full ruleset orchestration, matching run_data_quality ordering and the
+    * halt-runs-on-PRE-quarantine-frame quirk (dataquality_check.py:296-316). */
+  def runRuleset(df: DataFrame, ruleset: Map[String, Seq[String]],
+                 rulesetName: String = "ruleset"): DataFrame = {
+    if (ruleset.isEmpty) return df
+    ruleset.get("warn_rules").foreach(runWarn(df, _))
+    val filtered = ruleset.get("quarantine_rules") match {
+      case Some(q) => runQuarantine(df, q, rulesetName).passed
+      case None    => df
+    }
+    ruleset.get("halt_rules").foreach(runHalt(df, _)) // NOTE: original frame
+    filtered
+  }
+}

@@ -212,6 +212,17 @@ object RefQueries {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // §2.11 DQ quarantine — row-level DQDL rules split pass/fail (the passed
+    // side; the failed side is the quarantine table minus its timestamp).
+    "q19_dq_quarantine" -> ((s, d) => {
+      val res = new graft.dq.DqEngine().runQuarantine(Tables(s, d, "orders"), Seq(
+        "ColumnValues 'o_orderstatus' in ['O','F']",
+        "ColumnValues 'o_totalprice' >= 30000",
+        "CustomSql 'SELECT o_orderkey FROM primary WHERE o_custkey IS NOT NULL'"))
+      res.passed.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // unionByName — recombine split frames (entity-match recombination shape).
     "q18_union" -> ((s, d) => {
       val ev = Tables(s, d, "events")
@@ -322,5 +333,9 @@ object RefQueries {
     "q18_union" -> """
       SELECT event_id, event_type, CASE WHEN value >= 50 THEN 'big' ELSE 'small' END AS slice
       FROM events ORDER BY event_id""",
+    "q19_dq_quarantine" -> """
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderstatus IN ('O','F') AND o_totalprice >= 30000 AND o_custkey IS NOT NULL
+      ORDER BY o_orderkey""",
   )
 }

@@ -1,0 +1,71 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.config.Specs.NodeOps
+import graft.mapping.MappingRow
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source format dispatch (SURVEY.md §2.1 S1–S6): extension + `input_spec`
+  * driven, mirroring etl_collect_to_cleanse.py:136-240. Excel (S3) needs a
+  * third-party reader jar and is out of scope; every other shipped format is a
+  * Spark built-in. */
+object Sources {
+
+  /** Fixed-width mapping row: destName + width (SourceName ignored, destname
+    * "null" drops the field). */
+  case class FixedWidthField(destName: String, width: Int)
+
+  def readFixedWidth(spark: SparkSession, path: String,
+                     fields: Seq[FixedWidthField]): DataFrame = {
+    val raw = spark.read.text(path)
+    val offsets = fields.scanLeft(1)((acc, f) => acc + f.width)
+    val cols = fields.zip(offsets).collect {
+      case (f, start) if !f.destName.equalsIgnoreCase("null") =>
+        trim(col("value").substr(start, f.width)).as(f.destName)
+    }
+    raw.select(cols: _*)
+  }
+
+  /** Extension- and spec-driven read of a single collected file. */
+  def read(spark: SparkSession, path: String, inputSpec: Option[JsonNode],
+           fixedWidthFields: Seq[FixedWidthField] = Seq.empty): DataFrame = {
+    val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
+    def has(key: String) = inputSpec.exists(_.has(key))
+    def node(key: String) = inputSpec.flatMap(s => Option(s.get(key)))
+
+    if (has("fixed")) readFixedWidth(spark, path, fixedWidthFields)
+    else if (ext == "json" || ext == "jsonl") {
+      spark.read.format("json")
+        .option("prefersDecimal", "true")
+        .option("allowComments", "true")
+        .option("multiLine", node("json").flatMap(_.bool("multiline")).getOrElse(false))
+        .option("mode", "PERMISSIVE")
+        .load(path)
+    }
+    else if (ext == "xml") {
+      spark.read.format("xml")
+        .option("rowTag", node("xml").flatMap(_.str("row_tag")).getOrElse("row"))
+        .option("mode", "PERMISSIVE")
+        .load(path)
+    }
+    else if (ext == "parquet" || has("parquet")) spark.read.parquet(path)
+    else {
+      // CSV family: comma default; tsv/pipe switch the delimiter.
+      var delimiter = ","
+      var fmt: Option[JsonNode] = None
+      if (has("csv")) fmt = node("csv")
+      if (has("tsv")) { delimiter = "\t"; fmt = node("tsv") }
+      if (has("pipe")) { delimiter = "|"; fmt = node("pipe") }
+      spark.read.format("csv")
+        .option("header", fmt.flatMap(_.bool("header")).getOrElse(true))
+        .option("delimiter", fmt.flatMap(_.str("delimiter")).getOrElse(delimiter))
+        .option("quote", fmt.flatMap(_.str("quote_character")).getOrElse("\""))
+        .option("escape", fmt.flatMap(_.str("escape_character")).getOrElse("\""))
+        .option("multiLine", true)
+        .option("inferSchema", true)
+        .option("mode", "PERMISSIVE")
+        .load(path)
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.dq.{Dqdl, DqEngine}
+import org.apache.spark.sql.functions._
+
+class DqdlParserSpec extends SparkSpec {
+
+  test("parses every shipped reference rule") {
+    val shipped = Seq(
+      """ColumnValues 'StartDate' matches '\d{1,2}/\d{1,2}/\d\d'""",
+      """ColumnDataType 'EffectiveDate' = 'DATE'""",
+      """Completeness 'EarnedPremium' > 0.80""",
+      """ColumnValues "WrittenPremiumAmount" >= 0""",
+      """ColumnValues 'WrittenPremiumAmount' < 10000000""",
+      """ColumnValues 'NewOrRenewal' in [ 'New', 'Renewal' ]""",
+      """(ColumnExists 'StartDate') and (IsComplete 'StartDate')""",
+      """CustomSql 'SELECT COUNT(*) FROM primary WHERE EffectiveDate > ExpirationDate' = 0""",
+      """CustomSql 'SELECT PolicyNumber FROM primary WHERE amt <= lim OR amt is null'""",
+    )
+    shipped.foreach(r => Dqdl.parse(r)) // must not throw
+  }
+
+  test("parse shapes") {
+    import Dqdl._
+    assert(parse("ColumnValues 'x' between 1 and 5") ==
+      Leaf(ColumnValues("x", Between(1, 5))))
+    assert(parse("RowCount > 0") == Leaf(RowCount(">", 0)))
+    assert(parse("(IsUnique 'a') or (IsComplete 'b')") ==
+      Or(Leaf(IsUnique("a")), Leaf(IsComplete("b"))))
+  }
+}
+
+class DqEngineSpec extends SparkSpec {
+  import spark.implicits._
+  private def engine = new DqEngine()
+
+  private def df = Seq(
+    (1, Some(100.0), "New", "2024-01-01"),
+    (2, Some(-5.0), "Renewal", "2024-02-30"), // bad amount, bad date
+    (3, None, "Other", "2024-03-01")          // null amount, bad category
+  ).toDF("id", "amount", "kind", "d")
+
+  test("dataset evaluation: completeness, values, datatype, exists") {
+    val out = engine.evaluateDataset(df, Seq(
+      "Completeness 'amount' > 0.5",
+      "ColumnValues 'amount' >= 0",
+      "ColumnValues 'kind' in ['New','Renewal']",
+      "ColumnDataType 'd' = 'DATE'",
+      "(ColumnExists 'id') and (IsComplete 'id')",
+      "ColumnExists 'missing'",
+      "RowCount > 2",
+      "IsUnique 'id'"))
+    val byRule = out.map(o => o.rule -> o.passed).toMap
+    assert(byRule("Completeness 'amount' > 0.5"))        // 2/3 non-null
+    assert(!byRule("ColumnValues 'amount' >= 0"))        // -5 and null fail
+    assert(!byRule("ColumnValues 'kind' in ['New','Renewal']"))
+    assert(!byRule("ColumnDataType 'd' = 'DATE'"))       // 2024-02-30 invalid
+    assert(byRule("(ColumnExists 'id') and (IsComplete 'id')"))
+    assert(!byRule("ColumnExists 'missing'"))
+    assert(byRule("RowCount > 2"))
+    assert(byRule("IsUnique 'id'"))
+  }
+
+  test("CustomSql scalar comparator") {
+    val out = engine.evaluateDataset(df, Seq(
+      "CustomSql 'SELECT COUNT(*) FROM primary WHERE amount < 0' = 0"))
+    assert(!out.head.passed)
+    assert(out.head.metric.contains(1.0))
+  }
+
+  test("quarantine splits rows and stamps quarantine_timestamp") {
+    val res = engine.runQuarantine(df, Seq(
+      "ColumnValues 'amount' >= 0",
+      "ColumnValues 'kind' in ['New','Renewal']"))
+    assert(res.passed.select("id").as[Int].collect().toSeq == Seq(1))
+    assert(res.failed.select("id").as[Int].collect().sorted.toSeq == Seq(2, 3))
+    assert(res.failed.columns.contains("quarantine_timestamp"))
+  }
+
+  test("quarantine CustomSql row-level keeps only returned keys") {
+    val res = engine.runQuarantine(df, Seq(
+      "CustomSql 'SELECT id FROM primary WHERE amount IS NOT NULL'"))
+    assert(res.passed.select("id").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    assert(res.failed.select("id").as[Int].collect().toSeq == Seq(3))
+  }
+
+  test("quarantine throws when all rows fail; halt throws on any failure") {
+    intercept[RuntimeException] {
+      engine.runQuarantine(df, Seq("ColumnValues 'id' > 100"))
+    }
+    intercept[RuntimeException] {
+      engine.runHalt(df, Seq("IsComplete 'amount'"))
+    }
+  }
+
+  test("runRuleset: warn does not filter, quarantine does, halt sees pre-quarantine frame") {
+    // halt rule passes on the ORIGINAL frame (row id=2 has amount<0 but
+    // completeness on the original is 2/3 > 0.5); quarantine then removes rows
+    val out = engine.runRuleset(df, Map(
+      "warn_rules" -> Seq("ColumnValues 'amount' >= 0"),
+      "quarantine_rules" -> Seq("ColumnValues 'kind' in ['New','Renewal']"),
+      "halt_rules" -> Seq("Completeness 'amount' > 0.5")))
+    assert(out.select("id").as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
+  test("empty frame: value rules pass vacuously") {
+    val empty = df.filter(lit(false))
+    val out = engine.evaluateDataset(empty, Seq("ColumnValues 'amount' >= 0"))
+    assert(out.head.passed)
+  }
+}

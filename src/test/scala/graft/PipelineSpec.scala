@@ -1,0 +1,233 @@
+package graft
+
+import graft.catalog.SchemaEvolution
+import graft.config.Specs
+import graft.pipeline.{JobArgs, PipelineRunner}
+import graft.sources.Sources
+import graft.stores.{LookupStore, TokenStore}
+import graft.transforms.TransformContext
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class SchemaEvolutionSpec extends SparkSpec {
+  private def st(fields: (String, DataType)*) =
+    StructType(fields.map { case (n, t) => StructField(n, t) })
+
+  test("policy matrix mirrors the reference decision table") {
+    val base = st("a" -> IntegerType, "b" -> StringType)
+    assert(SchemaEvolution.allowed(base, base, "strict"))
+    assert(!SchemaEvolution.allowed(base, st("b" -> StringType, "a" -> IntegerType), "strict"))
+    assert(SchemaEvolution.allowed(base, st("b" -> StringType, "a" -> IntegerType), "reorder"))
+    assert(!SchemaEvolution.allowed(base, st("a" -> IntegerType), "reorder"))
+    // evolve: add ok, delete not ok, widen int→bigint ok, narrow not ok
+    assert(SchemaEvolution.allowed(base, st("a" -> IntegerType, "b" -> StringType, "c" -> DoubleType), "evolve"))
+    assert(!SchemaEvolution.allowed(base, st("a" -> IntegerType), "evolve"))
+    assert(SchemaEvolution.allowed(base, st("a" -> LongType, "b" -> StringType), "evolve"))
+    assert(!SchemaEvolution.allowed(st("a" -> LongType), st("a" -> IntegerType), "evolve"))
+    assert(SchemaEvolution.allowed(st("a" -> FloatType), st("a" -> DoubleType), "evolve"))
+    assert(SchemaEvolution.allowed(st("a" -> DateType), st("a" -> TimestampType), "evolve"))
+    assert(SchemaEvolution.allowed(base, st("x" -> BinaryType), "permissive"))
+    intercept[IllegalArgumentException](SchemaEvolution.allowed(base, base, "bogus"))
+  }
+
+  test("decimal growth comparison") {
+    assert(SchemaEvolution.decimalGrows("decimal(10,2)", "decimal(12,2)"))
+    assert(SchemaEvolution.decimalGrows("decimal(10,2)", "decimal(12,4)"))
+    assert(!SchemaEvolution.decimalGrows("decimal(10,2)", "decimal(10,2)"))
+    assert(!SchemaEvolution.decimalGrows("decimal(10,2)", "decimal(12,1)"))
+    assert(SchemaEvolution.allowed(
+      st("m" -> DecimalType(10, 2)), st("m" -> DecimalType(16, 2)), "evolve"))
+  }
+
+  test("environment defaults") {
+    assert(SchemaEvolution.defaultPolicy("Dev") == "permissive")
+    assert(SchemaEvolution.defaultPolicy("Test") == "reorder")
+    assert(SchemaEvolution.defaultPolicy("Prod") == "strict")
+  }
+}
+
+class SourcesSpec extends SparkSpec {
+
+  test("fixed-width read slices by cumulative widths and drops null-dest fields") {
+    val dir = Files.createTempDirectory("graft_fw")
+    val f = dir.resolve("data.txt")
+    Files.writeString(f, "AB123 x\nCD456 y\n")
+    val out = Sources.readFixedWidth(spark, f.toString, Seq(
+      Sources.FixedWidthField("code", 2),
+      Sources.FixedWidthField("num", 3),
+      Sources.FixedWidthField("null", 1),
+      Sources.FixedWidthField("tag", 1)))
+    assert(out.columns.toSeq == Seq("code", "num", "tag"))
+    assert(out.collect().map(_.toSeq).toSeq == Seq(Seq("AB", "123", "x"), Seq("CD", "456", "y")))
+  }
+
+  test("csv dispatch honors delimiter/header spec; tsv/pipe switch delimiters") {
+    val dir = Files.createTempDirectory("graft_csv")
+    val f = dir.resolve("t.csv")
+    Files.writeString(f, "a|b\n1|x\n2|y\n")
+    val spec = Specs.parseJson("""{"pipe": {}}""")
+    val out = Sources.read(spark, f.toString, Some(spec))
+    assert(out.columns.toSeq == Seq("a", "b"))
+    assert(out.count() == 2)
+  }
+
+  test("json multiline read with prefersDecimal") {
+    val dir = Files.createTempDirectory("graft_json")
+    val f = dir.resolve("t.json")
+    Files.writeString(f, """[{"a": 1.50, "b": "x"}, {"a": 2.25, "b": "y"}]""")
+    val spec = Specs.parseJson("""{"json": {"multiline": true}}""")
+    val out = Sources.read(spark, f.toString, Some(spec))
+    assert(out.schema("a").dataType.isInstanceOf[DecimalType])
+    assert(out.count() == 2)
+  }
+}
+
+class SpecsSpec extends SparkSpec {
+  test("transform_spec preserves JSON key order and strips :suffix") {
+    val root = Specs.parseJson(
+      """{"transform_spec": {"date": [], "literal": {}, "date:2": [], "currency": []}}""")
+    val ds = Specs.datasetSpec(root)
+    assert(ds.transformSpec.map(_._1) == Seq("date", "literal", "date:2", "currency"))
+    assert(Specs.dispatchName("date:2") == "date")
+  }
+
+  test("dq rules json → ruleset/action map") {
+    val rules = Specs.dqRules(Specs.parseJson(
+      """{"before_transform": {"quarantine_rules": ["IsComplete 'a'"]},
+          "after_transform": {"warn_rules": ["RowCount > 0"], "halt_rules": []}}"""))
+    assert(rules("before_transform")("quarantine_rules") == Seq("IsComplete 'a'"))
+    assert(rules("after_transform")("warn_rules") == Seq("RowCount > 0"))
+  }
+
+  test("mapping csv parse with drop + fuzzy rows and BOM tolerance") {
+    val rows = Specs.mappingCsv("﻿SourceName,DestName\nTIN,EIN\nDrop,Null\nfuzzy col,dest,80,ratio\n")
+    assert(rows(0) == graft.mapping.MappingRow("TIN", "EIN"))
+    assert(rows(1).destName == "null")
+    assert(rows(2).threshold.contains(80.0) && rows(2).scorer.contains("ratio"))
+  }
+}
+
+class PipelineE2eSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def uniqueDb = s"testdb${System.nanoTime()}"
+
+  test("collect-to-cleanse end to end: csv → mapping → transforms → dq → partitioned table") {
+    val dir = Files.createTempDirectory("graft_e2e")
+    Files.writeString(dir.resolve("policy-20240115.csv"),
+      "PolicyNumber,EffDate,Premium,SmokerClass,Secret\n" +
+      "P001,2024-01-01,1200.50,S,abc\nP002,2024-02-01,800.25,N,def\nP003,2024-03-01,-1,X,ghi\n")
+    val spec = Specs.datasetSpec(Specs.parseJson(
+      """{
+        "input_spec": {"csv": {"header": true}, "allow_schema_change": "evolve"},
+        "transform_spec": {
+          "filename": [{"field": "valuationdate", "pattern": "\\S+-(\\d{8})\\.csv", "required": true}],
+          "date": [{"field": "effectivedate", "format": "yyyy-MM-dd"}],
+          "changetype": {"premium": "decimal(10,2)"},
+          "lookup": [{"field": "smokerclass", "lookup": "smokingclass", "nomatch": "N/A"}],
+          "hash": ["secret"],
+          "literal": {"source_system": "synthetic"}
+        }
+      }"""))
+    val mapping = Specs.mappingCsv(
+      "SourceName,DestName\nPolicyNumber,policynumber\nEffDate,effectivedate\nPremium,premium\nSmokerClass,smokerclass\nSecret,secret\n")
+    val dq = Specs.dqRules(Specs.parseJson(
+      """{"after_transform": {
+           "quarantine_rules": ["ColumnValues 'premium' >= 0"],
+           "halt_rules": ["(ColumnExists 'policynumber') and (IsComplete 'policynumber')"]}}"""))
+    val db = uniqueDb
+    val args = JobArgs("SynTest", "policydata", dir.resolve("policy-20240115.csv").toString,
+      "exec-1", Map("year" -> "2024", "month" -> "01", "day" -> "15"), db)
+    val ctx = TransformContext(spark, filename = "policy-20240115.csv",
+      lookupStore = LookupStore.inMemory(Map("smokingclass" -> Map("S" -> "Smoker", "N" -> "NonSmoker"))))
+
+    val out = new PipelineRunner(spark).collectToCleanse(args, spec, mapping, dq, ctx)
+
+    val stored = spark.table(s"$db.policydata")
+    assert(stored.count() == 2) // P003 quarantined (negative premium)
+    assert(stored.schema("premium").dataType == DecimalType(10, 2))
+    assert(stored.schema("effectivedate").dataType == DateType)
+    assert(stored.select("valuationdate").distinct().as[String].head() == "20240115")
+    assert(stored.select("smokerclass").as[String].collect().toSet == Set("Smoker", "NonSmoker"))
+    assert(stored.select("year").distinct().as[String].head() == "2024")
+    val q = spark.table(s"$db.policydata_quarantine_after_transform")
+    assert(q.count() == 1)
+    assert(q.columns.contains("quarantine_timestamp"))
+  }
+
+  test("idempotent reload: rerunning the same partition does not duplicate rows") {
+    val db = uniqueDb
+    val runner = new PipelineRunner(spark)
+    val df = Seq((1, "a", "2024", "01"), (2, "b", "2024", "01")).toDF("id", "v", "year", "month")
+    runner.writePartitioned(df, s"$db.t", Seq("year", "month"), "strict")
+    runner.writePartitioned(df, s"$db.t", Seq("year", "month"), "strict")
+    assert(spark.table(s"$db.t").count() == 2)
+  }
+
+  test("dynamic partition overwrite keeps other partitions") {
+    val db = uniqueDb
+    val runner = new PipelineRunner(spark)
+    val jan = Seq((1, "a", "2024", "01")).toDF("id", "v", "year", "month")
+    val feb = Seq((9, "z", "2024", "02")).toDF("id", "v", "year", "month")
+    runner.writePartitioned(jan, s"$db.t", Seq("year", "month"), "strict")
+    runner.writePartitioned(feb, s"$db.t", Seq("year", "month"), "strict")
+    assert(spark.table(s"$db.t").count() == 2)
+    val jan2 = Seq((7, "a2", "2024", "01")).toDF("id", "v", "year", "month")
+    runner.writePartitioned(jan2, s"$db.t", Seq("year", "month"), "strict")
+    val rows = spark.table(s"$db.t").select("id").as[Int].collect().toSet
+    assert(rows == Set(7, 9)) // Jan replaced, Feb kept
+  }
+
+  test("schema evolution gate: strict rejects new column, evolve adds it") {
+    val db = uniqueDb
+    val runner = new PipelineRunner(spark)
+    val v1 = Seq((1, "2023")).toDF("id", "year")
+    runner.writePartitioned(v1, s"$db.t", Seq("year"), "strict")
+    val v2 = Seq((2, "x", "2024")).toDF("id", "extra", "year")
+    intercept[RuntimeException] {
+      runner.writePartitioned(v2, s"$db.t", Seq("year"), "strict")
+    }
+    runner.writePartitioned(v2, s"$db.t", Seq("year"), "evolve")
+    val t = spark.table(s"$db.t")
+    assert(t.columns.contains("extra"))
+    assert(t.count() == 2)
+    assert(t.filter(col("id") === 1).select("extra").head().isNullAt(0))
+  }
+
+  test("cleanse-to-consume: sql over cleanse tables with substitution and view ddl") {
+    val db = uniqueDb
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    Seq((1, "P1", 100.0, "2024"), (2, "P2", 50.0, "2024"))
+      .toDF("id", "policy", "amount", "year")
+      .write.format("parquet").partitionBy("year").saveAsTable(s"$db.policies")
+    val sql = s"SELECT policy, amount * {factor} AS scaled, year FROM $db.policies"
+    val args = JobArgs("SynTest", "scaledpolicies", "", "exec-2",
+      Map("year" -> "2024"), db)
+    val out = new PipelineRunner(spark).cleanseToConsume(args, sql,
+      Map("factor" -> "2"), Map.empty,
+      viewSql = Seq(s"CREATE OR REPLACE VIEW ${db}_consume.v_scaled AS SELECT * FROM ${db}_consume.scaledpolicies"))
+    assert(spark.table(s"${db}_consume.scaledpolicies")
+      .filter(col("policy") === "P1").select("scaled").as[Double].head() == 200.0)
+    assert(spark.table(s"${db}_consume.v_scaled").count() == 2)
+  }
+
+  test("cleanse-to-consume: CREATE TABLE <t> AS prefix overrides target") {
+    val db = uniqueDb
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    Seq((1, "x")).toDF("id", "v").write.format("parquet").saveAsTable(s"$db.src")
+    val args = JobArgs("S", "ignored", "", "e", Map.empty, db)
+    new PipelineRunner(spark).cleanseToConsume(args,
+      s"CREATE TABLE $db.overridden AS SELECT * FROM $db.src", Map.empty, Map.empty)
+    assert(spark.table(s"$db.overridden").count() == 1)
+  }
+
+  test("tokenize persists distinct pairs to the token store idempotently") {
+    val dir = Files.createTempDirectory("graft_tok").resolve("store").toString
+    val store = new TokenStore(dir)
+    val df = Seq("a", "b", "a").toDF("raw")
+    store.append(df.select(col("raw").as("raw_data"), sha2(col("raw"), 256).as("hash_key")))
+    store.append(df.select(col("raw").as("raw_data"), sha2(col("raw"), 256).as("hash_key")))
+    assert(store.read(spark).count() == 2)
+  }
+}
