@@ -51,15 +51,20 @@ object SimilarityFunctions {
       i += 1
     }
     val m = matches.toDouble
-    (m / a.length + m / b.length + (m - transpositions / 2.0) / m) / 3.0
+    // transpositions = floor(mismatched-position count / 2) — the Commons/
+    // DuckDB convention (standard Jaro uses the exact half; they differ only
+    // when the mismatch count is odd).
+    (m / a.length + m / b.length + (m - transpositions / 2) / m) / 3.0
   }
 
-  /** Jaro-Winkler: Jaro boosted by shared prefix (≤4 chars, scale 0.1), applied
-    * unconditionally (matches rapidfuzz/duckdb semantics; the classic variant
-    * gates on jaro>0.7 — reference's recordlinkage uses the ungated jellyfish
-    * form). Ref use: etl_consume_entity_match.py:198-283. */
-  def jaroWinkler(s1: String, s2: String): Double = {
+  /** Jaro-Winkler: Jaro boosted by shared prefix (≤4 chars, scale 0.1). The
+    * boost applies only when jaro > `boostThreshold` (0.7 default — the classic
+    * Winkler definition, matching DuckDB's jaro_winkler_similarity; the
+    * reference's match thresholds are ≥0.85 where the gate is irrelevant).
+    * Ref use: etl_consume_entity_match.py:198-283. */
+  def jaroWinkler(s1: String, s2: String, boostThreshold: Double = 0.7): Double = {
     val j = jaro(s1, s2)
+    if (j <= boostThreshold) return j
     val maxPrefix = math.min(4, math.min(s1.length, s2.length))
     var l = 0
     while (l < maxPrefix && s1(l) == s2(l)) l += 1

@@ -1,0 +1,211 @@
+package graft.operators
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.config.Specs.NodeOps
+import graft.functions.{SimilarityFunctions => S}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Entity matching (SURVEY.md §2.4 J3/J4, §3.3): exact key match + leveled
+  * fuzzy record-linkage + manual MERGE upsert into the primary entity table.
+  *
+  * The reference collapses BOTH frames to driver pandas for the fuzzy pass
+  * (etl_consume_entity_match.py:243-245) — a scale dead-end called out in its
+  * own comments. Here each level is a distributed blocking equi-join: both
+  * sides shuffle only on the block key, per-field similarity runs on candidate
+  * pairs, and each incoming row keeps its best candidate via one window. At
+  * 100 TB the block key bounds the join fan-out; skewed blocks can be salted
+  * upstream.
+  */
+object EntityMatch {
+
+  case class FieldSpec(name: String, kind: String, method: String,
+                       threshold: Option[Double], weight: Double)
+  case class LevelSpec(id: String, blocks: Seq[String], fields: Seq[FieldSpec],
+                       threshold: Double)
+  case class MatchSpec(primaryTable: String, globalIdField: String, sortField: String,
+                       sourcePrimaryKey: String, sourceSystemKey: String,
+                       levels: Seq[LevelSpec])
+
+  def parseSpec(root: JsonNode): MatchSpec = {
+    val exact = Option(root.get("exact_match_fields"))
+    MatchSpec(
+      primaryTable = root.str("primary_entity_table").getOrElse("entity_primary"),
+      globalIdField = root.str("global_id_field").getOrElse("globalid"),
+      sortField = root.str("sort_field").getOrElse(""),
+      sourcePrimaryKey = exact.flatMap(_.str("source_primary_key")).getOrElse(""),
+      sourceSystemKey = exact.flatMap(_.str("source_system_key")).getOrElse(""),
+      levels = Option(root.get("levels")).toSeq.flatMap(_.elems).map { l =>
+        LevelSpec(
+          id = l.str("id").getOrElse("1"),
+          blocks = l.strList("blocks"),
+          fields = Option(l.get("fields")).toSeq.flatMap(_.elems).map { f =>
+            FieldSpec(f.str("fieldname").get, f.str("type").getOrElse("exact"),
+              f.str("method").getOrElse("jarowinkler"), f.dbl("threshold"),
+              f.dbl("weight").getOrElse(1.0))
+          },
+          threshold = l.dbl("threshold").getOrElse(1.0))
+      })
+  }
+
+  private val sliceRe = """(\w+)\[(\d*):(\d*)\]""".r
+
+  /** Python-style `col[a:b]` slice markup → Spark substring, replicating the
+    * reference's off-by-one conversion EXACTLY (`substring(col, a+1, b+1-a)` —
+    * one char longer than a Python slice; etl_consume_entity_match.py:184-195)
+    * so blocking behavior matches the reference bit-for-bit. */
+  def blockPiece(spec: String): Column = spec match {
+    case sliceRe(name, a, b) =>
+      val start = if (a.isEmpty) 0 else a.toInt
+      val stopExpr = if (b.isEmpty) s"length($name)" else b
+      expr(s"substring($name, $start + 1, $stopExpr + 1 - $start)")
+    case name => col(name)
+  }
+
+  def blockingCol(blocks: Seq[String]): Column = concat(blocks.map(blockPiece): _*)
+
+  /** J3 exact match: left-outer join on (source_primary_key, source_system_key);
+    * incoming keeps its gid else inherits the primary's
+    * (etl_consume_entity_match.py:94-157). Returns (matched, unmatched). */
+  def exactMatch(incoming: DataFrame, primary: DataFrame, spec: MatchSpec): (DataFrame, DataFrame) = {
+    val gid = spec.globalIdField
+    val p = primary.select(
+      col(spec.sourcePrimaryKey).as("__pk"), col(spec.sourceSystemKey).as("__sk"),
+      col(gid).as("__primary_gid"))
+      .dropDuplicates("__pk", "__sk")
+    val joined = incoming.join(p,
+      incoming(spec.sourcePrimaryKey) === col("__pk") &&
+        incoming(spec.sourceSystemKey) === col("__sk"),
+      "left")
+      .withColumn(gid, coalesce(col(gid), col("__primary_gid")))
+      .drop("__pk", "__sk", "__primary_gid")
+    splitByNull(joined, gid)
+  }
+
+  /** P5 null-split (etl_consume_entity_match.py:74-91). */
+  def splitByNull(df: DataFrame, field: String): (DataFrame, DataFrame) =
+    (df.filter(col(field).isNotNull), df.filter(col(field).isNull))
+
+  /** J4 distributed fuzzy match. For each level (in order): blocking equi-join
+    * incoming×primary on the level's concatenated block column, score candidate
+    * pairs by weighted-average features, keep pairs ≥ level threshold, and per
+    * incoming row keep the best (highest score, deterministic tie-break).
+    * Later levels override earlier ones, mirroring the reference's sequential
+    * assignment loop (etl_consume_entity_match.py:269-273). */
+  def fuzzyMatch(incoming: DataFrame, primary: DataFrame, spec: MatchSpec,
+                 rowKey: Seq[String]): (DataFrame, DataFrame) = {
+    val gid = spec.globalIdField
+    if (spec.levels.isEmpty || incoming.isEmpty) return splitByNull(incoming, gid)
+
+    var assignments: DataFrame = null
+    spec.levels.zipWithIndex.foreach { case (level, li) =>
+      val inc = incoming.withColumn("__block", blockingCol(level.blocks))
+        .filter(col("__block").isNotNull).alias("i")
+      val pri = primary.withColumn("__block", blockingCol(level.blocks))
+        .filter(col("__block").isNotNull)
+        .select(col("__block"), col(gid).as("__cand_gid"),
+          struct(level.fields.map(f => col(f.name)): _*).as("__pf")).alias("p")
+      val prExp = pri.select(col("__block"), col("__cand_gid"), col("__pf.*"))
+        .toDF(("__block" +: "__cand_gid" +: level.fields.map(f => s"__p_${f.name}")): _*)
+
+      val cands = inc.join(prExp, Seq("__block"))
+      val wSum = level.fields.map(_.weight).sum
+      // per-field similarity feature in [0,1] — recordlinkage semantics:
+      // `exact` is 1/0 equality (null never matches); `string` with a
+      // threshold is binarized jaro-winkler similarity.
+      val score = level.fields.map { f =>
+        val l = col(s"i.${f.name}")
+        val r = col(s"__p_${f.name}")
+        val feat = f.kind match {
+          case "exact" => when(l.isNotNull && r.isNotNull && l === r, 1.0).otherwise(0.0)
+          case "string" =>
+            val sim = coalesce(S.jaro_winkler(l.cast("string"), r.cast("string")), lit(0.0))
+            f.threshold.fold(sim)(t => when(sim >= t, 1.0).otherwise(0.0))
+          case k => throw new IllegalArgumentException(s"unsupported comparator type $k")
+        }
+        feat * f.weight
+      }.reduce(_ + _) / wSum
+
+      val scored = cands.withColumn("__score", score)
+        .filter(col("__score") >= level.threshold)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(rowKey.map(k => col(s"i.$k")): _*)
+            .orderBy(col("__score").desc, col("__cand_gid"))))
+        .filter(col("__rn") === 1)
+        .select(rowKey.map(k => col(s"i.$k")) :+ col("__cand_gid").as("__new_gid") :+
+          lit(li).as("__level"): _*)
+
+      assignments =
+        if (assignments == null) scored
+        else assignments.unionByName(scored)
+    }
+
+    // later level wins per row (reference overwrites sequentially)
+    val best = assignments
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(rowKey.map(col): _*).orderBy(col("__level").desc)))
+      .filter(col("__rn") === 1)
+      .select(rowKey.map(col) :+ col("__new_gid"): _*)
+
+    val out = incoming.join(best, rowKey, "left")
+      .withColumn(gid, coalesce(col(gid), col("__new_gid")))
+      .drop("__new_gid")
+    splitByNull(out, gid)
+  }
+
+  /** fill_global_id: deterministic uuid per still-unmatched row
+    * (etl_consume_entity_match.py:42-71). */
+  def fillGlobalId(df: DataFrame, gidField: String): DataFrame =
+    df.withColumn(gidField, coalesce(col(gidField), expr("uuid()")))
+
+  /** K5 MERGE upsert without Iceberg: latest-per-gid incoming row updates (or
+    * inserts into) the primary table — anti-join + unionByName + atomic
+    * overwrite via scratch dir. At real scale this is the operator to back
+    * with a MERGE-capable table format. */
+  def upsert(spark: SparkSession, primaryTable: String, incoming: DataFrame,
+             spec: MatchSpec): Unit = {
+    val gid = spec.globalIdField
+    val latest =
+      if (spec.sortField.nonEmpty && incoming.columns.contains(spec.sortField))
+        incoming.withColumn("__rn", row_number().over(
+          Window.partitionBy(col(gid)).orderBy(col(spec.sortField).desc)))
+          .filter(col("__rn") === 1).drop("__rn")
+      else incoming.dropDuplicates(gid)
+    val primary = spark.table(primaryTable)
+    val kept = primary.join(latest.select(col(gid)), Seq(gid), "left_anti")
+    val merged = kept.unionByName(latest.select(primary.columns.map(col): _*))
+    val scratch = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    merged.write.mode(SaveMode.Overwrite).parquet(scratch)
+    spark.read.parquet(scratch).write.mode(SaveMode.Overwrite)
+      .option("overwriteSchema", "true").saveAsTable(primaryTable)
+  }
+
+  /** Full entity-match job (etl_consume_entity_match.py:286-459): first run
+    * creates the primary table with uuid-filled gids; subsequent runs split
+    * prematched/tomatch, exact-match, fuzzy-match, uuid-fill, recombine, and
+    * upsert. Returns the final incoming frame with gids assigned. */
+  def run(spark: SparkSession, incoming0: DataFrame, spec: MatchSpec,
+          rowKey: Seq[String]): DataFrame = {
+    val gid = spec.globalIdField
+    val incoming =
+      if (incoming0.columns.contains(gid)) incoming0
+      else incoming0.withColumn(gid, lit(null).cast("string"))
+
+    if (!spark.catalog.tableExists(spec.primaryTable)) {
+      val filled = fillGlobalId(incoming, gid)
+      filled.write.mode(SaveMode.Overwrite).saveAsTable(spec.primaryTable)
+      filled
+    } else {
+      val primary = spark.table(spec.primaryTable)
+      val (prematched, tomatch) = splitByNull(incoming, gid)
+      val (exactMatched, exactUnmatched) = exactMatch(tomatch, primary, spec)
+      val (fuzzyMatched, fuzzyUnmatched) = fuzzyMatch(exactUnmatched, primary, spec, rowKey)
+      val newEntities = fillGlobalId(fuzzyUnmatched, gid)
+      val all = prematched.unionByName(exactMatched)
+        .unionByName(fuzzyMatched).unionByName(newEntities)
+      upsert(spark, spec.primaryTable, all, spec)
+      all
+    }
+  }
+}

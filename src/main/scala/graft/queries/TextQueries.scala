@@ -109,6 +109,22 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Fuzzy entity-match core (J4): blocked jaro-winkler best-candidate join —
+    // suppliers matched to customers within the same nation block; oracle via
+    // DuckDB's jaro_winkler_similarity.
+    "q32_fuzzy_match" -> ((s, d) => {
+      val cust = Tables(s, d, "customer")
+        .select(col("c_nationkey").as("nk"), col("c_custkey"), col("c_name"))
+      val supp = Tables(s, d, "supplier")
+        .select(col("s_nationkey").as("nk"), col("s_suppkey"), col("s_name"))
+      val scored = supp.join(cust, Seq("nk"))
+        .withColumn("jw_r", round(S.jaro_winkler(col("s_name"), col("c_name")), 6))
+      graft.operators.WindowOps.topKPerGroup(scored,
+          Seq(col("s_suppkey")), Seq(col("jw_r").desc, col("c_custkey")), 1)
+        .select(col("s_suppkey"), col("c_custkey"), col("jw_r"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // Rolling-hash fingerprint (Rabin-Karp k-gram min — winnowing-lite):
     // min rolling hash per doc as a content signature (rows-only — exercises
     // the HOF rolling-hash expression).
@@ -185,6 +201,16 @@ object TextQueries {
                  ELSE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
                       / CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS DOUBLE) END >= 0.5
       ORDER BY id_a, id_b""",
+    "q32_fuzzy_match" -> """
+      WITH scored AS (
+        SELECT s.s_suppkey, c.c_custkey,
+               round(jaro_winkler_similarity(s.s_name, c.c_name), 6) AS jw_r
+        FROM supplier s JOIN customer c ON s.s_nationkey = c.c_nationkey),
+      ranked AS (
+        SELECT s_suppkey, c_custkey, jw_r,
+               row_number() OVER (PARTITION BY s_suppkey ORDER BY jw_r DESC, c_custkey) AS rnk
+        FROM scored)
+      SELECT s_suppkey, c_custkey, jw_r FROM ranked WHERE rnk = 1 ORDER BY s_suppkey""",
     "q28_ann_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
       scored AS (

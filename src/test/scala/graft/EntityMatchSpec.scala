@@ -1,0 +1,116 @@
+package graft
+
+import graft.config.Specs
+import graft.operators.EntityMatch
+import org.apache.spark.sql.functions._
+
+class EntityMatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val specJson = Specs.parseJson(
+    """{
+      "primary_entity_table": "SHOULD_BE_OVERRIDDEN",
+      "global_id_field": "globalid",
+      "sort_field": "lastupdated",
+      "exact_match_fields": {
+        "source_primary_key": "customerno",
+        "source_system_key": "srcsystemid"
+      },
+      "levels": [
+        {"id": "1",
+         "blocks": ["firstname[:1]", "zip"],
+         "fields": [
+           {"fieldname": "firstname", "type": "string", "weight": 0.3,
+            "method": "jarowinkler", "threshold": 0.85},
+           {"fieldname": "dob", "type": "exact", "weight": 0.7}],
+         "threshold": 0.85},
+        {"id": "2",
+         "blocks": ["phone"],
+         "fields": [{"fieldname": "email", "type": "exact", "weight": 1.0}],
+         "threshold": 1.0}
+      ]
+    }""")
+
+  private def mkSpec(table: String) =
+    EntityMatch.parseSpec(specJson).copy(primaryTable = table)
+
+  private def primaryDf = Seq(
+    ("C1", "A01", "g-1", "alice", "1990-01-01", "10001", "555-1111", "a@x.com", "2024-01-01"),
+    ("C2", "A01", "g-2", "robert", "1985-05-05", "20002", "555-2222", "b@x.com", "2024-01-01"),
+    ("C3", "C25", "g-3", "carol", "1970-10-10", "30003", "555-3333", "c@x.com", "2024-01-01")
+  ).toDF("customerno", "srcsystemid", "globalid", "firstname", "dob", "zip", "phone", "email", "lastupdated")
+
+  test("parseSpec reads the reference dialect") {
+    val s = EntityMatch.parseSpec(specJson)
+    assert(s.globalIdField == "globalid" && s.sourcePrimaryKey == "customerno")
+    assert(s.levels.map(_.blocks) == Seq(Seq("firstname[:1]", "zip"), Seq("phone")))
+    assert(s.levels.head.fields.head.threshold.contains(0.85))
+  }
+
+  test("blocking slice replicates the reference substring conversion") {
+    val df = Seq(("alice", "10001")).toDF("firstname", "zip")
+    val got = df.select(EntityMatch.blockingCol(Seq("firstname[:1]", "zip")).as("b"))
+      .as[String].head()
+    // reference quirk: [:1] yields substring(col,1,2) = first TWO chars
+    assert(got == "al10001")
+  }
+
+  test("exact match inherits primary gid; unmatched stays null") {
+    val spec = mkSpec("t")
+    val incoming = Seq(
+      ("C1", "A01", null, "alice", "1990-01-01", "10001", "555-1111", "a@x.com", "2024-02-01"),
+      ("C9", "A01", null, "zed", "2000-02-02", "90009", "555-9999", "z@x.com", "2024-02-01")
+    ).toDF("customerno", "srcsystemid", "globalid", "firstname", "dob", "zip", "phone", "email", "lastupdated")
+    val (matched, unmatched) = EntityMatch.exactMatch(incoming, primaryDf, spec)
+    assert(matched.select("globalid").as[String].collect().toSeq == Seq("g-1"))
+    assert(unmatched.select("customerno").as[String].collect().toSeq == Seq("C9"))
+  }
+
+  test("fuzzy match: jarowinkler+exact weighted level matches typo'd name in same block") {
+    val spec = mkSpec("t")
+    // same first-2-chars block ("al"+zip), firstname typo, same dob → score 1.0
+    val incoming = Seq(
+      ("X1", "F15", null, "alicia", "1990-01-01", "10001", "555-0000", "other@x.com", "2024-02-01"),
+      ("X2", "F15", null, "nomatch", "1999-09-09", "99999", "555-0001", "no@x.com", "2024-02-01")
+    ).toDF("customerno", "srcsystemid", "globalid", "firstname", "dob", "zip", "phone", "email", "lastupdated")
+    val (matched, unmatched) =
+      EntityMatch.fuzzyMatch(incoming, primaryDf, spec, Seq("customerno", "srcsystemid"))
+    assert(matched.select("customerno", "globalid").as[(String, String)].collect().toSeq ==
+      Seq(("X1", "g-1")))
+    assert(unmatched.select("customerno").as[String].collect().toSeq == Seq("X2"))
+  }
+
+  test("fuzzy match level 2 (phone block, exact email) overrides level 1 miss") {
+    val spec = mkSpec("t")
+    val incoming = Seq(
+      // different name+zip (level 1 cannot match) but same phone+email → level 2
+      ("Y1", "F15", null, "bob", "1985-05-05", "77777", "555-2222", "b@x.com", "2024-02-01")
+    ).toDF("customerno", "srcsystemid", "globalid", "firstname", "dob", "zip", "phone", "email", "lastupdated")
+    val (matched, _) =
+      EntityMatch.fuzzyMatch(incoming, primaryDf, spec, Seq("customerno", "srcsystemid"))
+    assert(matched.select("globalid").as[String].head() == "g-2")
+  }
+
+  test("full run: first run creates primary with uuids; second run matches + upserts") {
+    val table = s"emdb${System.nanoTime()}.primary"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${table.split('.')(0)}")
+    val spec = mkSpec(table)
+    val day1 = primaryDf.drop("globalid")
+    val out1 = EntityMatch.run(spark, day1, spec, Seq("customerno", "srcsystemid"))
+    assert(out1.filter(col("globalid").isNull).isEmpty)
+    assert(spark.table(table).count() == 3)
+
+    val day2 = Seq(
+      // exact re-match of C1 with newer timestamp
+      ("C1", "A01", "alice", "1990-01-01", "10001", "555-1111", "a@x.com", "2024-03-01"),
+      // brand new entity
+      ("N1", "C25", "nina", "1992-02-02", "40004", "555-4444", "n@x.com", "2024-03-01")
+    ).toDF("customerno", "srcsystemid", "firstname", "dob", "zip", "phone", "email", "lastupdated")
+    EntityMatch.run(spark, day2, spec, Seq("customerno", "srcsystemid"))
+    val primary = spark.table(table)
+    assert(primary.count() == 4) // C1 updated in place, N1 inserted
+    assert(primary.filter(col("customerno") === "C1")
+      .select("lastupdated").as[String].head() == "2024-03-01")
+    assert(primary.select("globalid").distinct().count() == 4)
+  }
+}
