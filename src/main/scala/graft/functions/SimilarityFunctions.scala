@@ -112,11 +112,15 @@ object SimilarityFunctions {
   }
 
   /** MinHash signature (array of `numHashes` longs) over a shingle array.
-    * h_i(x) = (a_i * (xxhash64(x) mod p) + b_i) mod p with p = 2^31-1 — all
-    * codegen'd HOF built-ins, no shuffle, no UDF; 31-bit domain keeps the
-    * universal-hash multiply inside a long under ANSI mode. Empty shingle set →
-    * signature of p (sentinel max). */
-  def minHashSignature(shingles: Column, numHashes: Int): Column = {
+    * h_i(x) = (a_i * (xxhash64(x) mod p) + b_i) mod p with p = 2^31-1; 31-bit
+    * domain keeps the universal-hash multiply inside a long. Empty shingle
+    * set → signature of p (sentinel max). Delegates to the native Catalyst
+    * expression (one array scan); [[minHashSignatureHof]] is the pure-built-in
+    * formulation kept for cross-checking. */
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    graft.functions.expressions.HashExpressions.minhash_signature(shingles, numHashes)
+
+  def minHashSignatureHof(shingles: Column, numHashes: Int): Column = {
     val p = 2147483647L // 2^31-1
     val sigs = minhashParams(numHashes).map { case (a, b) =>
       coalesce(
@@ -143,10 +147,13 @@ object SimilarityFunctions {
   // -------------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over tokens: per-token xxhash64; each bit position
-    * accumulates +1/-1 by bit value; sign → fingerprint bit. Expressed with
-    * HOF built-ins over a per-row hash array — static bit positions keep every
-    * shift a codegen'd constant-shift. */
-  def simHash64(tokensCol: Column): Column = {
+    * accumulates +1/-1 by bit value; sign → fingerprint bit. Delegates to the
+    * native Catalyst expression (one array scan); [[simHash64Hof]] is the
+    * pure-built-in formulation kept for cross-checking. */
+  def simHash64(tokensCol: Column): Column =
+    graft.functions.expressions.HashExpressions.simhash64(tokensCol)
+
+  def simHash64Hof(tokensCol: Column): Column = {
     val hs = transform(tokensCol, t => xxhash64(t))
     val bitCols = (0 until 64).map { b =>
       val vote = aggregate(hs, lit(0),
@@ -161,8 +168,13 @@ object SimilarityFunctions {
 
   // --------------------------------------------------------------------- Cosine
 
-  /** Dot product of two float-array columns (computed in double). */
+  /** Dot product of two float/double-array columns (computed in double,
+    * sequential order). Native expression; [[dotHof]] is the built-in
+    * formulation (bit-identical result) kept for cross-checking. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.expressions.HashExpressions.dot_product(a, b)
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)
 

@@ -29,8 +29,13 @@ object Ann {
   }
 
   /** Sign-bit bucket of a vector under `planes` fixed hyperplanes: a long whose
-    * bit p is 1 iff dot(v, plane_p) > 0. Pure codegen'd expression. */
-  def hyperplaneBucket(v: Column, dim: Int, planes: Int): Column = {
+    * bit p is 1 iff dot(v, plane_p) > 0. Native Catalyst expression (one array
+    * scan; the element_at formulation built a dim×planes expression tree). */
+  def hyperplaneBucket(v: Column, dim: Int, planes: Int): Column =
+    graft.functions.expressions.HashExpressions.hyperplane_bucket(v, dim, planes)
+
+  /** Built-in-only formulation, kept for cross-checking the expression. */
+  def hyperplaneBucketHof(v: Column, dim: Int, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       val dotP = (0 until dim).map(d => element_at(v, d + 1) * lit(planeComponent(p, d))).reduce(_ + _)
       when(dotP > 0, lit(1L << p)).otherwise(lit(0L))

@@ -41,18 +41,26 @@ object Dedup {
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                    threshold: Double = 0.7): DataFrame = {
-    val sig = df
-      .select(col(idCol).as("id"), S.wordShingles(col(textCol), shingleN).as("shingles"))
-      .withColumn("sig", S.minHashSignature(col("shingles"), bands * rowsPerBand))
-    val buckets = sig
-      .select(col("id"), col("shingles"), explode(S.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("shingles"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val a = buckets.select(col("band"), col("bucket"), col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = buckets.select(col("band"), col("bucket"), col("id").as("id_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), S.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    // Shingles are verified as 64-bit hashes (same Jaccard modulo ~2^-64
+    // collisions) so the band join shuffles only (band,bucket,id) — the heavy
+    // shingle arrays are joined back exactly once per DISTINCT candidate pair,
+    // not once per shared bucket.
+    val hashed = df.select(col(idCol).as("id"),
+        graft.functions.expressions.HashExpressions
+          .hashed_shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("sig", S.minHashSignature(col("sh"), bands * rowsPerBand))
+    val buckets = hashed
+      .select(col("id"), explode(S.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val candidates = buckets.alias("a")
+      .join(buckets.alias("b"), Seq("band", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    candidates
+      .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), S.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -202,6 +202,14 @@ object RefQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Streaming sessionization, batch form (same gap semantics as the
+    // flatMapGroupsWithState event-time-timeout operator).
+    "q33_sessions" -> ((s, d) => {
+      graft.streaming.StreamingOps.sessionizeBatch(
+          Tables(s, d, "events"), gapSecs = 1800, tieBreak = Seq("event_id"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // Streaming-analog tumbling-window aggregation (batch form).
     "q17_hourly_events" -> ((s, d) => {
       Tables(s, d, "events")
@@ -326,6 +334,20 @@ object RefQueries {
       SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
              count(*) AS n_events
       FROM events GROUP BY event_type ORDER BY event_type""",
+    "q33_sessions" -> """
+      WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts,
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM marked)
+      SELECT user_id, session_id, count(*) AS n_events,
+             min(ts) AS session_start, max(ts) AS session_end
+      FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""",
     "q17_hourly_events" -> """
       SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming surface (SURVEY.md §1.4).
+  *
+  * The reference has NO Spark streaming — its "streaming" is S3-event-driven
+  * micro-batch (one Glue job per arriving file). Two idiomatic Spark mappings
+  * are provided:
+  *
+  *  1. [[fileArrivalStream]] — the faithful port: a `readStream` file source
+  *     with `Trigger.AvailableNow`, so each run drains newly arrived files as
+  *     one batch (the Lambda→Glue loop without the Lambda).
+  *  2. Event-time analytics the reference cannot express: watermarked tumbling
+  *     windows ([[windowedCounts]]) and session windows via
+  *     `flatMapGroupsWithState` ([[sessionize]]).
+  *
+  * All operators here are also usable in batch mode (a batch DataFrame with
+  * the same schema runs through the same column logic), which is how the
+  * deterministic oracle checks exercise them.
+  */
+object StreamingOps {
+
+  /** File-arrival micro-batch: stream new files under `path` (any Spark file
+    * format), processing available data then stopping — the reference's
+    * per-file job trigger, idiomatically. */
+  def fileArrivalStream(spark: SparkSession, path: String, format: String = "csv",
+                        schemaDdl: String, options: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.readStream.format(format).schema(schemaDdl)
+    options.foldLeft(r)((acc, kv) => acc.option(kv._1, kv._2)).load(path)
+  }
+
+  /** Watermarked tumbling-window aggregation over an event stream:
+    * count + sum(value) per (window, event_type). Late data beyond the
+    * watermark is dropped; state is bounded — the 100 TB-friendly shape. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "2 hours",
+                     tsCol: String = "ts", typeCol: String = "event_type",
+                     valueCol: String = "value"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(typeCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+      .select(col("window.start").as("window_start"), col(typeCol), col("n"), col("sum_value"))
+
+  // ------------------------------------------------------- custom state logic
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  case class SessionState(count: Long, sum: Double, start: Long, last: Long)
+  case class Session(user_id: Long, n_events: Long, total_value: Double,
+                     duration_secs: Long, closed: Boolean)
+
+  /** Session windows per user with a gap timeout: `flatMapGroupsWithState`
+    * with an EVENT-TIME timeout — a session closes when the watermark passes
+    * `last event + gap`. State per key is O(1) and garbage-collects with the
+    * watermark, the only shape that is bounded on an unbounded 100 TB stream.
+    * (A processing-time timeout would also keep scheduling wake-up batches
+    * forever under drain-style triggers.) Caller must `withWatermark` the
+    * input on `ts`. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.count, s.sum, (s.last - s.start) / 1000, closed = true))
+          } else {
+            val evs = rows.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0, 0.0, Long.MaxValue, 0L))
+            val next = evs.foldLeft(prev) { (st, e) =>
+              SessionState(st.count + 1, st.sum + e.value,
+                math.min(st.start, e.ts.getTime), math.max(st.last, e.ts.getTime))
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(next.last + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Batch-mode session windows (same semantics, deterministic, oracle-able):
+    * split a user's ordered events into sessions whenever the gap to the
+    * previous event exceeds `gapSecs`; one aggregate row per session. Built on
+    * window functions + a running session counter — two narrow shuffles on
+    * user_id. */
+  def sessionizeBatch(events: DataFrame, gapSecs: Long,
+                      userCol: String = "user_id", tsCol: String = "ts",
+                      valueCol: String = "value",
+                      tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev").isNull ||
+          unix_timestamp(col(tsCol)) - unix_timestamp(col("__prev")) > gapSecs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("__new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"))
+  }
+
+  /** Run a streaming frame to completion over currently-available input and
+    * return the collected result via a memory sink (test/drain helper). */
+  def drainToMemory(df: DataFrame, queryName: String): DataFrame = {
+    val q: StreamingQuery = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(if (df.isStreaming) OutputMode.Complete else OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(queryName)
+  }
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark 4's `private[sql]` Column↔Expression conversion — the
+  * supported extension pattern for libraries contributing custom Catalyst
+  * expressions (the public Column is ColumnNode-backed since Spark 4.0). */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

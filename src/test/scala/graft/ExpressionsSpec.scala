@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.{SimilarityFunctions => S}
+import graft.functions.expressions.HashExpressions
+import graft.operators.Ann
+import org.apache.spark.sql.functions._
+
+/** Cross-checks: each native Catalyst expression must produce EXACTLY the
+  * values of its pure-built-in (HOF) formulation on real data. */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = sf("documents").limit(100)
+  private lazy val embs = sf("embeddings").limit(100)
+
+  test("minhash signature expression == HOF formulation") {
+    val cmp = docs.select(
+      S.minHashSignature(S.wordShingles(col("text"), 2), 32).as("fast"),
+      S.minHashSignatureHof(S.wordShingles(col("text"), 2), 32).as("slow"))
+    assert(cmp.filter(col("fast") =!= col("slow")).isEmpty)
+  }
+
+  test("simhash expression == HOF formulation") {
+    val cmp = docs.select(
+      S.simHash64(S.tokens(col("text"))).as("fast"),
+      S.simHash64Hof(S.tokens(col("text"))).as("slow"))
+    assert(cmp.filter(col("fast") =!= col("slow")).isEmpty)
+  }
+
+  test("hyperplane bucket expression == HOF formulation") {
+    val cmp = embs.select(
+      Ann.hyperplaneBucket(col("embedding"), 64, 12).as("fast"),
+      Ann.hyperplaneBucketHof(col("embedding"), 64, 12).as("slow"))
+    assert(cmp.filter(col("fast") =!= col("slow")).isEmpty)
+  }
+
+  test("dot product expression == HOF formulation, bit for bit") {
+    val a = embs.select(col("vec_id"), col("embedding").as("e1"))
+    val b = embs.select(col("vec_id"), col("embedding").as("e2"))
+    val cmp = a.join(b, "vec_id")
+      .select(S.dot(col("e1"), col("e2")).as("fast"), S.dotHof(col("e1"), col("e2")).as("slow"))
+    assert(cmp.filter(col("fast") =!= col("slow")).isEmpty)
+  }
+
+  test("dot product handles double arrays too") {
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+    assert(df.select(S.dot(col("a"), col("b"))).as[Double].head() == 11.0)
+  }
+
+  test("minhash expression null and empty semantics") {
+    val df = Seq(Some(Seq("a", "b")), Some(Seq.empty[String]), None).toDF("sh")
+    val got = df.select(HashExpressions.minhash_signature(col("sh"), 4).as("s")).collect()
+    assert(got(1).getSeq[Long](0).forall(_ == HashExpressions.P31)) // empty → sentinel
+    assert(got(2).isNullAt(0)) // null in → null out
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import java.nio.file.Files
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file-arrival stream drains available files as one batch (AvailableNow)") {
+    val dir = Files.createTempDirectory("graft_stream")
+    Files.writeString(dir.resolve("f1.csv"), "1,a\n2,b\n")
+    Files.writeString(dir.resolve("f2.csv"), "3,c\n")
+    val stream = StreamingOps.fileArrivalStream(spark, dir.toString, "csv",
+      "id INT, v STRING", Map("header" -> "false"))
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("file_arrivals")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("file_arrivals").count() == 3)
+  }
+
+  test("watermarked windowed aggregation over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingOps.windowedCounts(df, "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode(OutputMode.Complete).start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((t("2024-01-01 10:05:00"), "click", 1.0),
+      (t("2024-01-01 10:55:00"), "click", 2.0),
+      (t("2024-01-01 11:05:00"), "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_agg").orderBy("window_start", "event_type").collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n") == 2) // both clicks in 10:00 window
+    assert(rows(0).getAs[Double]("sum_value") == 3.0)
+  }
+
+  test("event-time-timeout sessionization closes a session when the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.Event]
+    val watermarked = mem.toDS().withWatermark("ts", "0 seconds")
+    val sessions = StreamingOps.sessionize(watermarked, gapMs = 1000)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      StreamingOps.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "click", 1.0),
+      StreamingOps.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:10"), "view", 2.0))
+    q.processAllAvailable()
+    // advance the watermark far past user 1's gap → its session times out
+    mem.addData(StreamingOps.Event(2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), "click", 9.0))
+    q.processAllAvailable()
+    mem.addData(StreamingOps.Event(2L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    val closed = spark.table("sessions").collect()
+    q.stop()
+    assert(closed.length == 1)
+    val s = closed.head
+    assert(s.getAs[Long]("user_id") == 1L && s.getAs[Long]("n_events") == 2L
+      && s.getAs[Double]("total_value") == 3.0 && s.getAs[Long]("duration_secs") == 10L
+      && s.getAs[Boolean]("closed"))
+  }
+
+  test("batch sessionization splits on gap and aggregates per session") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0),
+      (1L, "2024-01-01 10:10:00", 2.0),
+      (1L, "2024-01-01 12:00:00", 3.0), // >1h gap → new session
+      (2L, "2024-01-01 09:00:00", 4.0)
+    ).toDF("user_id", "ts", "value").withColumn("ts", col("ts").cast("timestamp"))
+    val out = StreamingOps.sessionizeBatch(df, gapSecs = 3600)
+    assert(out.count() == 3)
+    val u1 = out.filter(col("user_id") === 1).orderBy("session_id")
+      .select("n_events").as[Long].collect().toSeq
+    assert(u1 == Seq(2L, 1L))
+  }
+}
