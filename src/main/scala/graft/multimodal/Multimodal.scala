@@ -1,0 +1,148 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines: image/audio/video as opaque
+  * `binary` columns with typed metadata structs.
+  *
+  * The Spark-side plumbing — schema, batching shape, partition sizing — is
+  * real; the pixel/sample DECODE itself is a clearly-marked deterministic STUB
+  * ([[StubCodec]]) because no image/audio codec library ships in this
+  * environment. Swapping in a real codec changes only that object.
+  *
+  * Scale notes: content bytes never reach the driver; [[mapBatched]] processes
+  * fixed-size row batches inside `mapPartitions` (the JVM analog of
+  * `mapInPandas` batch semantics — bound memory by batch size × item size,
+  * not partition size). Repartition by size (`targetPartitionBytes`) before
+  * heavy decode so a straggler partition can't hold gigabytes.
+  */
+object Multimodal {
+
+  /** Typed metadata for an opaque media blob. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Canonical media-table schema: stable id, opaque content, typed meta. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType),
+    StructField("meta", mediaMetaType)))
+
+  // ------------------------------------------------------------------- codec
+
+  /** STUB CODEC — deterministic fake in place of a real image/audio decoder
+    * (none available in this container). Every function is pure and
+    * deterministic in the input bytes so tests and benchmarks are stable. */
+  object StubCodec {
+    /** "Decode" bytes to float pixels in [0,1): pixel i = byte (i*2654435761
+      * mod len) scaled. Real impl: JPEG/PNG decode. */
+    def decode(content: Array[Byte], pixels: Int): Array[Float] = {
+      if (content.isEmpty) return new Array[Float](pixels)
+      val out = new Array[Float](pixels)
+      var i = 0
+      while (i < pixels) {
+        val idx = (((i.toLong * 2654435761L) % content.length).toInt + content.length) % content.length
+        out(i) = (content(idx) & 0xFF) / 256.0f
+        i += 1
+      }
+      out
+    }
+
+    /** "Resize": re-encode to a byte payload of the target dimensions.
+      * Real impl: scale pixels. */
+    def resize(content: Array[Byte], w: Int, h: Int, channels: Int): Array[Byte] = {
+      val n = w * h * channels
+      val out = new Array[Byte](n)
+      if (content.nonEmpty) {
+        var i = 0
+        while (i < n) { out(i) = content(i % content.length); i += 1 }
+      }
+      out
+    }
+  }
+
+  // ---------------------------------------------------------------- plumbing
+
+  /** Batched per-partition map — the JVM analog of `mapInPandas`: rows stream
+    * through in fixed-size batches; `f` sees a whole batch (for vectorized /
+    * model-call workloads) and returns output rows. Output schema explicit,
+    * like a pandas-UDF signature. */
+  def mapBatched(df: DataFrame, batchSize: Int, outSchema: StructType)
+                (f: Seq[Row] => Iterator[Row]): DataFrame = {
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows => rows.grouped(batchSize).flatMap(batch => f(batch)) }(enc)
+  }
+
+  /** Wrap any frame as a media table: id + utf8 bytes of a source column as
+    * opaque content + synthesized meta (for pipelines whose real input is a
+    * binary store). */
+  def asMediaTable(df: DataFrame, idCol: String, payloadCol: String,
+                   format: String = "fake"): DataFrame =
+    df.select(
+      col(idCol).cast(LongType).as("media_id"),
+      col(payloadCol).cast(StringType).cast(BinaryType).as("content"),
+      struct(
+        lit(format).as("format"),
+        (pmod(col(idCol), lit(64)) + 1).cast(IntegerType).as("width"),
+        (pmod(col(idCol), lit(48)) + 1).cast(IntegerType).as("height"),
+        lit(3).cast(IntegerType).as("channels"),
+        length(col(payloadCol)).cast(LongType).as("duration_ms")).as("meta"))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("embedding", ArrayType(FloatType, containsNull = false))))
+
+  /** Decode + feature-extract in batches: each blob → fixed-dim embedding
+    * (stub decode + mean-pool). The shape users swap a real model into. */
+  def featurize(media: DataFrame, dim: Int = 16, batchSize: Int = 64): DataFrame =
+    mapBatched(media.select("media_id", "content"), batchSize, featureSchema) { batch =>
+      // whole-batch hook: a real impl would run one vectorized model call here
+      batch.iterator.map { r =>
+        val id = r.getLong(0)
+        val content = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val px = StubCodec.decode(content, dim * 4)
+        val emb = Array.tabulate(dim) { d =>
+          var acc = 0.0f; var i = d * 4
+          while (i < (d + 1) * 4) { acc += px(i); i += 1 }
+          acc / 4.0f
+        }
+        Row(id, content.length, emb.toSeq)
+      }
+    }
+
+  /** Resize images to target dims, updating meta — runs through the same
+    * batched plumbing. */
+  def resize(media: DataFrame, w: Int, h: Int, batchSize: Int = 64): DataFrame = {
+    val outSchema = mediaSchema
+    mapBatched(media.select("media_id", "content", "meta"), batchSize, outSchema) { batch =>
+      batch.iterator.map { r =>
+        val content = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val meta = r.getStruct(2)
+        val channels = if (meta.isNullAt(3)) 3 else meta.getInt(3)
+        Row(r.getLong(0), StubCodec.resize(content, w, h, channels),
+          Row(meta.get(0), w, h, channels, meta.get(4)))
+      }
+    }
+  }
+
+  /** Frame-sample a "video" blob: one row per sampled frame — pure Column
+    * logic (codegen'd): frame i = bytes [i*frameBytes, (i+1)*frameBytes),
+    * stride `everyN`. */
+  def sampleFrames(media: DataFrame, frameBytes: Int, everyN: Int): DataFrame = {
+    val nFrames = floor(length(col("content")) / frameBytes).cast(IntegerType)
+    media
+      .withColumn("__idx", sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(everyN)))
+      .select(col("media_id"), col("meta"), col("content"),
+        posexplode_outer(col("__idx")).as(Seq("frame_no", "__i")))
+      .withColumn("frame", expr(s"substring(content, __i * $frameBytes + 1, $frameBytes)"))
+      .drop("__i", "content")
+  }
+}

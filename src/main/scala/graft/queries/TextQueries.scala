@@ -125,6 +125,25 @@ object TextQueries {
         .orderBy(col("s_suppkey"))
     }),
 
+    // Multimodal plumbing: binary media table → batched stub-decode →
+    // fixed-dim embeddings (rows-only; decode is the documented stub).
+    "q34_media_featurize" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.asMediaTable(
+        Tables(s, d, "documents"), "doc_id", "text")
+      graft.multimodal.Multimodal.featurize(media, dim = 16, batchSize = 128)
+        .select(col("media_id"), col("n_bytes"), col("embedding"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Multimodal frame sampling: strided binary frame explode (rows-only).
+    "q35_frame_sample" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.asMediaTable(
+        Tables(s, d, "documents"), "doc_id", "text")
+      graft.multimodal.Multimodal.sampleFrames(media, frameBytes = 64, everyN = 2)
+        .select(col("media_id"), col("frame_no"), length(col("frame")).as("frame_len"))
+        .orderBy(col("media_id"), col("frame_no"))
+    }),
+
     // Rolling-hash fingerprint (Rabin-Karp k-gram min — winnowing-lite):
     // min rolling hash per doc as a content signature (rows-only — exercises
     // the HOF rolling-hash expression).
