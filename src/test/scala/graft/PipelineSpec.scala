@@ -231,3 +231,25 @@ class PipelineE2eSpec extends SparkSpec {
     assert(store.read(spark).count() == 2)
   }
 }
+
+class XmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("xml source read with row_tag (Spark 4 native)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml")
+    java.nio.file.Files.writeString(dir.resolve("t.xml"),
+      "<rows><rec><id>1</id><name>a</name></rec><rec><id>2</id><name>b</name></rec></rows>")
+    val spec = graft.config.Specs.parseJson("""{"xml": {"row_tag": "rec"}}""")
+    val out = graft.sources.Sources.read(spark, dir.resolve("t.xml").toString, Some(spec))
+    assert(out.count() == 2)
+    assert(out.columns.toSet == Set("id", "name"))
+  }
+
+  test("G4 xmlStringToStruct infers schema from an XML string column") {
+    val df = Seq("<r><a>1</a><b>x</b></r>", "<r><a>2</a><b>y</b></r>").toDF("payload")
+    val out = graft.functions.StructuredTransforms.xmlStringToStruct(df, "payload")
+    assert(out.schema("payload").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    assert(out.select(org.apache.spark.sql.functions.col("payload.a").cast("long"))
+      .as[Long].collect().toSet == Set(1L, 2L))
+  }
+}

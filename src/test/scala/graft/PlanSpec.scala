@@ -1,0 +1,57 @@
+package graft
+
+import graft.queries.{RefQueries, TextQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan quality gates: the properties that make these operators
+  * survive a 100× scale-up are asserted, not hoped for — broadcast on lookup
+  * joins (never shuffle the fact side), parquet filter pushdown, and column
+  * pruning at the scan. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("lookup joins broadcast the lookup side (J1/J2)") {
+    assert(plan(RefQueries.queries("q04_lookup")(spark, dir)).contains("BroadcastHashJoin"))
+    assert(plan(RefQueries.queries("q05_multilookup")(spark, dir)).contains("BroadcastHashJoin"))
+  }
+
+  test("filters push down to the parquet scan (P4)") {
+    val p = plan(RefQueries.queries("q02_filter")(spark, dir))
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"))
+    // the pushed filter list must actually carry the predicates
+    assert(p.replaceAll("\\s+", " ").matches("(?s).*PushedFilters: \\[[^\\]]*LessThan\\(l_quantity.*"))
+  }
+
+  test("mapping projection prunes unread columns at the scan (P1)") {
+    val p = plan(RefQueries.queries("q03_mapping")(spark, dir))
+    // part has 6 columns; the mapping reads 4 (one dropped post-read? no —
+    // dropped mapping rows never reach the scan), so p_brand/p_type must not
+    // appear in ReadSchema
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("p_partkey") && readSchema.contains("p_name"))
+    assert(!readSchema.contains("p_brand") && !readSchema.contains("p_type"))
+  }
+
+  test("ANN brute-force broadcasts the query side, never the corpus") {
+    val p = plan(TextQueries.queries("q28_ann_topk")(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("partitioned-aggregation queries use partial (map-side) aggregation") {
+    val p = plan(RefQueries.queries("q01_agg")(spark, dir))
+    // HashAggregate appears twice: partial then final — map-side combine
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
+  test("whole-stage codegen covers the scalar-transform hot paths") {
+    val df = RefQueries.queries("q09_premium_calc")(spark, dir)
+    df.collect() // AQE: codegen spans appear in the FINAL executed plan
+                 // (count() would execute a different query execution)
+    // "*(n)" prefixes mark WholeStageCodegen spans in the compact plan string
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.catalog.SchemaEvolution
+import graft.functions.{ColumnTransforms => C, SimilarityFunctions => S, TextFunctions => T}
+import graft.mapping.FuzzyScorers
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SC}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (SURVEY.md §5 plan) via raw ScalaCheck (no scalatestplus in
+  * the offline cache). */
+trait PropHelper { self: AnyFunSuite =>
+  def checkProp(p: Prop, tests: Int = 100): Unit = {
+    val res = SC.check(SC.Parameters.default.withMinSuccessfulTests(tests), p)
+    assert(res.passed, res.status.toString)
+  }
+}
+
+class PropertySpec extends AnyFunSuite with PropHelper {
+
+  test("jaro/jaroWinkler are symmetric, bounded, and 1.0 on equal strings") {
+    checkProp(Prop.forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (a, b) =>
+      val j = S.jaro(a, b)
+      val jw = S.jaroWinkler(a, b)
+      j >= 0.0 && j <= 1.0 && jw >= 0.0 && jw <= 1.0 &&
+        jw >= j - 1e-12 && S.jaro(b, a) == j &&
+        (a != b || a.isEmpty || jw == 1.0)
+    })
+  }
+
+  test("fuzzy scorers are bounded [0,100]") {
+    val scorers = Seq("ratio", "token_sort_ratio", "partial_ratio", "jaro_winkler")
+    checkProp(Prop.forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (a, b) =>
+      scorers.forall { name =>
+        val s = FuzzyScorers(name)(a, b)
+        s >= 0.0 && s <= 100.0 + 1e-9
+      }
+    })
+  }
+
+  // NOTE deliberately NOT reorder⟹evolve: reorder compares only name SETS
+  // (a type change passes reorder but fails evolve), faithful to the
+  // reference's check_schema_change.
+  test("schema evolution: strict ⊆ reorder, strict ⊆ evolve, permissive ⊤") {
+    val types = Seq(IntegerType, LongType, StringType, DoubleType, FloatType, DateType)
+    val genField = for {
+      n <- Gen.oneOf("a", "b", "c", "d")
+      t <- Gen.oneOf(types)
+    } yield StructField(n, t)
+    val genSchema = Gen.listOfN(3, genField).map(fs => StructType(fs.distinctBy(_.name)))
+    checkProp(Prop.forAll(genSchema, genSchema) { (ex, nw) =>
+      val strict = SchemaEvolution.allowed(ex, nw, "strict")
+      val reorder = SchemaEvolution.allowed(ex, nw, "reorder")
+      val evolve = SchemaEvolution.allowed(ex, nw, "evolve")
+      val permissive = SchemaEvolution.allowed(ex, nw, "permissive")
+      (!strict || reorder) && (!strict || evolve) && permissive
+    })
+  }
+
+  test("cleanName is idempotent and produces only safe characters") {
+    checkProp(Prop.forAll { (s: String) =>
+      val cleaned = graft.mapping.CustomMapping.cleanName(s)
+      graft.mapping.CustomMapping.cleanName(cleaned) == cleaned &&
+        !cleaned.exists(c => ",;{}()\n\r\t= .:".contains(c)) &&
+        cleaned.length <= 255
+    })
+  }
+
+  test("DQDL parser round-trips generated comparison rules") {
+    val genCol = Gen.identifier.suchThat(_.nonEmpty).map(_.take(12))
+    val genOp = Gen.oneOf(">", ">=", "<", "<=", "=", "!=")
+    val genNum = Gen.chooseNum(-1e6, 1e6)
+    checkProp(Prop.forAll(genCol, genOp, genNum) { (c, op, n) =>
+      graft.dq.Dqdl.parse(s"ColumnValues '$c' $op $n") match {
+        case graft.dq.Dqdl.Leaf(graft.dq.Dqdl.ColumnValues(col, graft.dq.Dqdl.Cmp(o, Left(v)))) =>
+          col == c && o == op && math.abs(v - n) < 1e-6
+        case _ => false
+      }
+    })
+  }
+}
+
+/** Spark-dependent properties (shared session; fewer cases — each case is a
+  * Spark job). */
+class SparkPropertySpec extends SparkSpec with PropHelper {
+  import spark.implicits._
+
+  test("impliedDecimal round-trips cents for arbitrary amounts") {
+    checkProp(Prop.forAll(Gen.chooseNum(-999999999L, 999999999L)) { cents =>
+      math.abs(cents) < 10 || {
+        val df = Seq(cents.toString).toDF("v")
+        val got = df.select(C.impliedDecimal($"v", 2).cast("double")).as[Double].head()
+        math.abs(got - cents / 100.0) < 1e-9
+      }
+    }, tests = 15)
+  }
+
+  test("fingerprint invariant under whitespace runs and case") {
+    val gen = Gen.listOfN(5, Gen.alphaNumStr.suchThat(_.nonEmpty)).map(_.mkString(" "))
+    checkProp(Prop.forAll(gen) { text =>
+      val messy = "  " + text.toUpperCase.replace(" ", "\t  ") + " \n"
+      val df = Seq((text, messy)).toDF("a", "b")
+      val r = df.select(T.fingerprint($"a").as("fa"), T.fingerprint($"b").as("fb")).head()
+      r.getString(0) == r.getString(1)
+    }, tests = 15)
+  }
+}
