@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.expressions.HashExpressions._
+import graft.functions.SimilarityFunctions
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's native Catalyst
+  * expressions (and the Jaro-Winkler UDF) as SQL functions so the consume
+  * stage's user SQL can call them directly:
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * SELECT simhash64(tokens), minhash_signature(shingles, 64),
+  *        hyperplane_bucket(vec, 64, 12), dot_product(a, b) FROM ...
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) — 64-bit SimHash of a string array"),
+      (args: Seq[Expression]) => SimHash64Expr(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(shingles, n) — n-component MinHash signature"),
+      (args: Seq[Expression]) => MinHashSignatureExpr(args.head, intArg(args(1)))))
+
+    ext.injectFunction((FunctionIdentifier("hashed_shingles"),
+      info("hashed_shingles", "hashed_shingles(text, n) — distinct xxhash64'd word n-grams"),
+      (args: Seq[Expression]) => HashedShinglesExpr(args.head, intArg(args(1)))))
+
+    ext.injectFunction((FunctionIdentifier("hyperplane_bucket"),
+      info("hyperplane_bucket", "hyperplane_bucket(vec, dim, planes) — LSH sign bucket"),
+      (args: Seq[Expression]) => HyperplaneBucketExpr(args.head, intArg(args(1)), intArg(args(2)))))
+
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) — sequential double dot product"),
+      (args: Seq[Expression]) => DotProductExpr(args.head, args(1))))
+  }
+
+  private def intArg(e: Expression): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(s"expected integer literal, got $other")
+  }
+}
+
+/** Session-local registration for sessions created without the conf (tests,
+  * REPL): registers the same functions on an existing SparkSession. */
+object GraftExtensions {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64",
+      args => SimHash64Expr(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      args => MinHashSignatureExpr(args.head, args(1).eval(null).toString.toInt), "scala_udf")
+    reg.createOrReplaceTempFunction("hashed_shingles",
+      args => HashedShinglesExpr(args.head, args(1).eval(null).toString.toInt), "scala_udf")
+    reg.createOrReplaceTempFunction("hyperplane_bucket",
+      args => HyperplaneBucketExpr(args.head,
+        args(1).eval(null).toString.toInt, args(2).eval(null).toString.toInt), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product",
+      args => DotProductExpr(args.head, args(1)), "scala_udf")
+    spark.udf.register("jaro_winkler", SimilarityFunctions.jaroWinklerUdf)
+  }
+}

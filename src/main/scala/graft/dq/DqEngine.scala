@@ -244,9 +244,13 @@ class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
     val failed = marked.filter(!col("__dq_pass_all")).drop("__dq_pass_all", "__dq_pass")
       .withColumn("quarantine_timestamp", current_timestamp())
 
-    quarantineSink.foreach(sink => sink(failed, sinkName))
+    // one pass for both counts (two isEmpty probes would each run the plan)
+    val cnts = marked.agg(count(lit(1)), count(when(col("__dq_pass_all"), 1))).head()
+    val (total, passCount) = (cnts.getLong(0), cnts.getLong(1))
 
-    if (!failed.isEmpty && passed.isEmpty)
+    if (total > passCount) quarantineSink.foreach(sink => sink(failed, sinkName))
+
+    if (total > 0 && passCount == 0)
       throw new RuntimeException("Data quality check quarantined all rows")
     QuarantineResult(passed, failed, outcomes)
   }

@@ -56,6 +56,39 @@ object CustomMapping {
     val renames = df.columns.map(c => c -> cleanName(c)).toSeq
     (df.select(renames.map { case (s, t) => col(s"`$s`").as(t) }: _*), renames)
   }
+
+  /** Generate a recommended transform spec from an inferred schema: float/
+    * double → decimal(16,2) changetype; *date* names → date parse; *time*
+    * names → timestamp parse (glue_catalog_helpers.py:371-403). Returned as
+    * JSON text a user edits into the dataset's spec file. */
+  def generateSpec(df: DataFrame): String = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val changetype = df.schema.fields.collect {
+      case f if f.dataType == DoubleType || f.dataType == FloatType =>
+        s"""      "${f.name}": "decimal(16,2)""""
+    }
+    val dates = df.schema.fields.collect {
+      case f if f.name.toLowerCase.contains("date") =>
+        s"""      { "field": "${f.name}", "format": "MM/dd/yy" }"""
+    }
+    val times = df.schema.fields.collect {
+      case f if f.name.toLowerCase.contains("time") =>
+        s"""      { "field": "${f.name}", "format": "yyyy-MM-dd HH:mm:ss" }"""
+    }
+    s"""{
+  "transform_spec": {
+    "date": [
+${dates.mkString(",\n")}
+    ],
+    "timestamp": [
+${times.mkString(",\n")}
+    ],
+    "changetype": {
+${changetype.mkString(",\n")}
+    }
+  }
+}"""
+  }
 }
 
 /** RapidFuzz-style name scorers (pure Scala, driver-side — they compare column

@@ -253,3 +253,50 @@ class XmlSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L, 2L))
   }
 }
+
+class DependencyGateSpec extends SparkSpec {
+  import graft.pipeline.DependencyGate
+  import java.time.{Duration, Instant}
+
+  private val spec = DependencyGate.parseSpec(Specs.parseJson(
+    """{"depends_on": {"SynGeneral/PolicyData": 1}, "lookback": {"days": 1}}"""))
+
+  test("parseSpec reads depends_on + lookback") {
+    assert(spec.dependsOn == Map("SynGeneral/PolicyData" -> 1))
+    assert(spec.lookback.contains(Duration.ofDays(1)))
+  }
+
+  test("queues until the dependency succeeded within lookback, then releases") {
+    val audit = new DependencyGate.AuditLog
+    val now = Instant.parse("2026-08-12T12:00:00Z")
+    assert(DependencyGate.mustQueue(spec, audit, now)) // no run yet
+    audit.record(DependencyGate.JobRun("SynGeneral/PolicyData", "e1", "SUCCEEDED",
+      now.minus(Duration.ofDays(3))))
+    assert(DependencyGate.mustQueue(spec, audit, now)) // stale success
+    audit.record(DependencyGate.JobRun("SynGeneral/PolicyData", "e2", "FAILED",
+      now.minus(Duration.ofHours(1))))
+    assert(DependencyGate.mustQueue(spec, audit, now)) // failure doesn't count
+    audit.record(DependencyGate.JobRun("SynGeneral/PolicyData", "e3", "SUCCEEDED",
+      now.minus(Duration.ofHours(2))))
+    assert(!DependencyGate.mustQueue(spec, audit, now)) // fresh success
+  }
+
+  test("no dependencies → never queue; no lookback → queue while deps exist") {
+    val none = DependencyGate.parseSpec(Specs.parseJson("""{}"""))
+    assert(!DependencyGate.mustQueue(none, new DependencyGate.AuditLog))
+    val noLb = DependencyGate.parseSpec(Specs.parseJson(
+      """{"depends_on": {"X/Y": 1}}"""))
+    assert(DependencyGate.mustQueue(noLb, new DependencyGate.AuditLog))
+  }
+
+  test("generateSpec recommends type conversions from inferred schema") {
+    import spark.implicits._
+    val df = Seq((1.5, "a", "2024-01-01", "10:00")).toDF("amount", "name", "startdate", "loadtime")
+    val out = graft.mapping.CustomMapping.generateSpec(df)
+    val parsed = Specs.datasetSpec(Specs.parseJson(out))
+    assert(parsed.transformSpec.map(_._1) == Seq("date", "timestamp", "changetype"))
+    assert(out.contains(""""amount": "decimal(16,2)""""))
+    assert(out.contains(""""field": "startdate""""))
+    assert(out.contains(""""field": "loadtime""""))
+  }
+}
