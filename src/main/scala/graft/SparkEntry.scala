@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{RefQueries, TextQueries}
+import graft.queries.{PipelineQueries, RefQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,8 +18,8 @@ object SparkEntry {
     RefQueries.queries("q06_consume_sql")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefQueries.queries ++ TextQueries.queries
+    RefQueries.queries ++ TextQueries.queries ++ PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
-    RefQueries.oracles ++ TextQueries.oracles
+    RefQueries.oracles ++ TextQueries.oracles ++ PipelineQueries.oracles
 }

@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fresh warehouse per run: the in-memory catalog starts empty each JVM,
+      // so a persistent ./spark-warehouse would collide on managed-table
+      // locations written by pipeline queries
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

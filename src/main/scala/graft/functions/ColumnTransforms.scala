@@ -44,8 +44,9 @@ object ColumnTransforms {
     * US "1,234.56" / euro "1.234,56" handled per flag.
     * Ref: datatransform_typeconversion.py:126-160. */
   def currency(c: Column, euro: Boolean = false, precision: Int = 16, scale: Int = 2): Column = {
+    // one regex pass; euro's ','→'.' swap is a cheap translate, not a regex
     val cleaned =
-      if (euro) regexp_replace(regexp_replace(regexp_replace(c, "[^0-9,+-]", ""), "\\.", ""), ",", ".")
+      if (euro) translate(regexp_replace(c, "[^0-9,+-]", ""), ",", ".")
       else regexp_replace(c, "[^0-9.+-]", "")
     cleaned.cast(DecimalType(precision, scale))
   }

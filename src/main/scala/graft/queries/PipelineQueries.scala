@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.config.Specs
+import graft.pipeline.{JobArgs, PipelineRunner}
+import graft.transforms.TransformContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end pipeline as an oracle-checked, benchmarked query: lineitem is
+  * re-materialized as a raw CSV (insurance-feed stand-in), then runs the FULL
+  * collect-to-cleanse path — csv read with inferSchema, mapping rename, date
+  * parse, decimal changetype, filterrows, DQ quarantine, partition literals,
+  * evolution-gated partitioned write — and the cleansed frame is compared to
+  * a DuckDB oracle replicating the same semantics over the parquet source. */
+object PipelineQueries {
+
+  private def csvPath(sfDir: String): String =
+    s"/tmp/graft_ingest_csv/${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+  private def ensureCsv(spark: SparkSession, sfDir: String): String = {
+    val dir = csvPath(sfDir)
+    val done = new java.io.File(s"$dir/_SUCCESS")
+    if (!done.exists()) {
+      Tables(spark, sfDir, "lineitem")
+        .select(
+          col("l_orderkey").as("OrderKey"),
+          col("l_linenumber").as("LineNumber"),
+          col("l_quantity").as("Quantity"),
+          col("l_extendedprice").as("ExtendedPrice"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ShipDate"),
+          col("l_returnflag").as("ReturnFlag"))
+        .coalesce(4)
+        .write.mode("overwrite").option("header", "true").csv(dir)
+    }
+    dir
+  }
+
+  private val specJson = Specs.parseJson(
+    """{
+      "input_spec": {"csv": {"header": true}, "allow_schema_change": "permissive"},
+      "transform_spec": {
+        "date": [{"field": "shipdate", "format": "yyyy-MM-dd"}],
+        "changetype": {"extendedprice": "decimal(18,2)", "quantity": "decimal(18,2)"},
+        "filterrows": [{"condition": "quantity IS NOT NULL"}],
+        "literal": {"source_system": "bench"}
+      }
+    }""")
+
+  private val mapping = Specs.mappingCsv(
+    "SourceName,DestName\nOrderKey,orderkey\nLineNumber,linenumber\nQuantity,quantity\n" +
+      "ExtendedPrice,extendedprice\nShipDate,shipdate\nReturnFlag,returnflag\n")
+
+  private val dq = Specs.dqRules(Specs.parseJson(
+    """{"after_transform": {
+         "quarantine_rules": ["ColumnValues 'extendedprice' >= 2000"],
+         "halt_rules": ["(ColumnExists 'orderkey') and (IsComplete 'orderkey')"]}}"""))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_pipeline_e2e" -> ((s, d) => {
+      val src = ensureCsv(s, d)
+      val args = JobArgs("Bench", "lineitem_cleansed", src, "bench-exec",
+        Map("year" -> "2026", "month" -> "08", "day" -> "12"),
+        s"graftbench${math.abs(d.hashCode)}", environment = "Dev")
+      val out = new PipelineRunner(s).collectToCleanse(
+        args, Specs.datasetSpec(specJson), mapping, dq, TransformContext(s, filename = "lineitem.csv"))
+      out.select(
+          col("orderkey").cast(LongType).as("orderkey"),
+          col("linenumber").cast(LongType).as("linenumber"),
+          col("quantity").cast(DoubleType).as("quantity"),
+          col("extendedprice").cast(DoubleType).as("extendedprice"),
+          col("shipdate"), col("returnflag"), col("source_system"), col("year"))
+        .orderBy(col("orderkey"), col("linenumber"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q37_pipeline_e2e" -> """
+      SELECT CAST(l_orderkey AS BIGINT) AS orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS quantity,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS extendedprice,
+             CAST(l_shipdate AS DATE) AS shipdate,
+             l_returnflag AS returnflag,
+             'bench' AS source_system, '2026' AS year
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) >= 2000
+      ORDER BY orderkey, linenumber""",
+  )
+}
