@@ -1,0 +1,68 @@
+package graft
+
+import graft.config.Specs
+import graft.pipeline.{JobArgs, PipelineRunner}
+import graft.stores.{LookupStore, TokenStore}
+import graft.transforms.TransformContext
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** CLI entry point — one collect-to-cleanse run per invocation, the analog of
+  * the reference's per-file Glue job submission:
+  *
+  * {{{
+  * runMain graft.RunPipeline <sourceFile> <specJson> <db> <table> \
+  *     [mappingCsv] [dqJson] [lookupDir] [yyyy-MM-dd]
+  * }}}
+  *
+  * Config files use the reference dialects verbatim (transformation-spec
+  * JSON, mapping CSV, dq-rules JSON), so a reference user's per-dataset
+  * config carries over unchanged.
+  */
+object RunPipeline {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: RunPipeline <sourceFile> <specJson> <db> <table> [mappingCsv] [dqJson] [lookupDir] [yyyy-MM-dd]")
+    val Array(sourceFile, specPath, db, table) = args.take(4)
+    val mapping = args.lift(4).filter(_.nonEmpty)
+      .map(p => Specs.mappingCsv(Files.readString(Paths.get(p)))).getOrElse(Seq.empty)
+    val dq = args.lift(5).filter(_.nonEmpty)
+      .map(p => Specs.dqRules(Specs.readJsonFile(p))).getOrElse(Map.empty[String, Map[String, Seq[String]]])
+    val lookupStore = args.lift(6).filter(_.nonEmpty)
+      .map(LookupStore.fromDirectory).getOrElse(LookupStore.empty)
+    val date = args.lift(7).map(java.time.LocalDate.parse)
+      .getOrElse(java.time.LocalDate.now())
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
+
+    val runner = new PipelineRunner(spark)
+    val executionId = java.util.UUID.randomUUID().toString
+    val jobArgs = JobArgs(
+      sourceSystem = db, tableName = table, sourcePath = sourceFile,
+      executionId = executionId,
+      partition = runner.partitionFor(date),
+      databaseName = db,
+      environment = sys.env.getOrElse("GRAFT_ENV", "Dev"),
+      lineageSink = sys.env.get("GRAFT_LINEAGE_FILE"))
+    val ctx = TransformContext(spark,
+      filename = Paths.get(sourceFile).getFileName.toString,
+      lookupStore = lookupStore,
+      tokenStore = sys.env.get("GRAFT_TOKEN_STORE").map(new TokenStore(_)),
+      lineage = Some(new graft.lineage.Lineage(executionId,
+        sys.env.get("GRAFT_LINEAGE_FILE"))))
+
+    val out = runner.collectToCleanse(jobArgs, Specs.datasetSpec(Specs.readJsonFile(specPath)),
+      mapping, dq, ctx)
+    println(s"[graft] wrote ${out.count()} rows to $db.$table " +
+      s"partition ${jobArgs.partition.values.mkString("/")}")
+    spark.stop()
+  }
+}

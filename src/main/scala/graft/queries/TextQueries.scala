@@ -144,6 +144,24 @@ object TextQueries {
         .orderBy(col("media_id"), col("frame_no"))
     }),
 
+    // J3 exact entity match through the EntityMatch operator: orders as the
+    // incoming frame inherit the primary's (customer) global id on the
+    // (custkey, system) composite key; unmatched stay null and split out.
+    "q38_entity_exact" -> ((s, d) => {
+      val primary = Tables(s, d, "customer")
+        .select(col("c_custkey").as("customerno"), lit("A").as("srcsystemid"),
+          concat(lit("g-"), col("c_custkey")).as("globalid"))
+      val incoming = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("customerno"),
+          lit("A").as("srcsystemid"), lit(null).cast("string").as("globalid"))
+      val spec = graft.operators.EntityMatch.MatchSpec(
+        "unused", "globalid", "", "customerno", "srcsystemid", Seq.empty)
+      val (matched, unmatched) = graft.operators.EntityMatch.exactMatch(incoming, primary, spec)
+      matched.unionByName(unmatched)
+        .select(col("o_orderkey"), col("customerno"), col("globalid"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Rolling-hash fingerprint (Rabin-Karp k-gram min — winnowing-lite):
     // min rolling hash per doc as a content signature (rows-only — exercises
     // the HOF rolling-hash expression).
@@ -230,6 +248,11 @@ object TextQueries {
                row_number() OVER (PARTITION BY s_suppkey ORDER BY jw_r DESC, c_custkey) AS rnk
         FROM scored)
       SELECT s_suppkey, c_custkey, jw_r FROM ranked WHERE rnk = 1 ORDER BY s_suppkey""",
+    "q38_entity_exact" -> """
+      SELECT o.o_orderkey, o.o_custkey AS customerno,
+             CASE WHEN c.c_custkey IS NOT NULL THEN 'g-' || CAST(c.c_custkey AS VARCHAR) END AS globalid
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      ORDER BY o.o_orderkey""",
     "q28_ann_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
       scored AS (

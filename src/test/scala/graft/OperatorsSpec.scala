@@ -262,3 +262,49 @@ class TextFunctionsSpec extends SparkSpec {
     assert(ha.toSet.intersect(hb.toSet).nonEmpty) // shared "abc","bcd","cde"
   }
 }
+
+class SkewOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.SkewOps
+
+  private val df = Seq(
+    ("hot", 1.0), ("hot", 2.0), ("hot", 3.0), ("hot", 4.0),
+    ("cold", 10.0), ("cool", 20.0)).toDF("k", "v")
+
+  test("saltedAggregate equals direct aggregation") {
+    val direct = df.groupBy("k").agg(
+      sum($"v").as("sum_v"), max($"v").as("max_v"), count(lit(1)).as("count_v"))
+      .orderBy("k").collect().toSeq
+    val salted = SkewOps.saltedAggregate(df, Seq("k"),
+      Map("v" -> "sum"), saltBuckets = 3)
+      .orderBy("k").collect().toSeq
+    assert(salted.map(r => (r.getString(0), r.getDouble(1))) ==
+      direct.map(r => (r.getString(0), r.getDouble(1))))
+  }
+
+  test("saltedJoin equals plain join") {
+    val dim = Seq(("hot", "H"), ("cold", "C"), ("cool", "L")).toDF("k", "label")
+    val plain = df.join(dim, Seq("k")).orderBy("k", "v")
+      .select("k", "v", "label").collect().toSeq
+    val salted = SkewOps.saltedJoin(df, dim, Seq("k"), saltBuckets = 4)
+      .orderBy("k", "v").select("k", "v", "label").collect().toSeq
+    assert(salted == plain)
+  }
+}
+
+class LineageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("numericAudit sums every numeric column in one pass; log sequences monotonically") {
+    val lineage = new graft.lineage.Lineage("exec-lineage")
+    val df = Seq((1.0, BigDecimal("2.50"), "x"), (3.0, BigDecimal("4.25"), "y"))
+      .toDF("d", "m", "s")
+    val metrics = lineage.numericAudit(df, "before")
+    assert(metrics("rowcount") == 2.0)
+    assert(metrics("d") == 4.0)
+    assert(math.abs(metrics("m") - 6.75) < 1e-9)
+    lineage.update(df, "mapping")
+    val seqs = lineage.log.map(l => "\"seq\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toInt)
+    assert(seqs == Seq(1, 2))
+  }
+}
