@@ -74,6 +74,25 @@ object TextFunctions {
     alphaRatio * 0.4 + lenOk * 0.2 + wordLenOk * 0.2 + stopOk * 0.2
   }
 
+  /** PII patterns for detect/scrub passes over free text — the document-level
+    * complement of the column-level hash/redact/tokenize transforms. Patterns
+    * avoid lookarounds so the same regex runs on Java regex and RE2. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn"   -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "phone" -> "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b",
+  )
+
+  /** Count of PII matches of one kind. */
+  def piiCount(c: Column, kind: String): Column =
+    regexp_count(c, lit(PiiPatterns.toMap.apply(kind)))
+
+  /** Scrub all PII kinds, replacing each match with `[<KIND>]`. */
+  def piiScrub(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (kind, pat)) =>
+      regexp_replace(acc, pat, s"[${kind.toUpperCase}]")
+    }
+
   /** Content fingerprint: SHA-256 of normalized text (lowercase, whitespace
     * collapsed, trimmed). Equal fingerprints == exact near-whitespace dup. */
   def fingerprint(c: Column): Column =

@@ -144,6 +144,22 @@ object TextQueries {
         .orderBy(col("media_id"), col("frame_no"))
     }),
 
+    // PII detect + scrub over free text (emails/SSNs/phones synthesized onto
+    // the document corpus so counts are non-trivial).
+    "q39_pii_scrub" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("text2", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or "),
+          lpad(pmod(col("doc_id"), lit(900)) + 100, 3, "0"), lit("-555-"),
+          lpad(pmod(col("doc_id"), lit(9000)) + 1000, 4, "0")))
+      docs.select(col("doc_id"),
+          T.piiCount(col("text2"), "email").cast(LongType).as("n_email"),
+          T.piiCount(col("text2"), "phone").cast(LongType).as("n_phone"),
+          T.piiCount(col("text2"), "ssn").cast(LongType).as("n_ssn"),
+          T.piiScrub(col("text2")).as("scrubbed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // J3 exact entity match through the EntityMatch operator: orders as the
     // incoming frame inherit the primary's (customer) global id on the
     // (custkey, system) composite key; unmatched stay null and split out.
@@ -248,6 +264,21 @@ object TextQueries {
                row_number() OVER (PARTITION BY s_suppkey ORDER BY jw_r DESC, c_custkey) AS rnk
         FROM scored)
       SELECT s_suppkey, c_custkey, jw_r FROM ranked WHERE rnk = 1 ORDER BY s_suppkey""",
+    "q39_pii_scrub" -> """
+      WITH docs AS (
+        SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or '
+               || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-555-'
+               || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0') AS text2
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+             CAST(len(regexp_extract_all(text2, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+             CAST(len(regexp_extract_all(text2, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+             regexp_replace(regexp_replace(regexp_replace(text2,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS scrubbed
+      FROM docs ORDER BY doc_id""",
     "q38_entity_exact" -> """
       SELECT o.o_orderkey, o.o_custkey AS customerno,
              CASE WHEN c.c_custkey IS NOT NULL THEN 'g-' || CAST(c.c_custkey AS VARCHAR) END AS globalid
