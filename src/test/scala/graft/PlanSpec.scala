@@ -55,3 +55,27 @@ class PlanSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
   }
 }
+
+/** Bucketed co-located join: both sides bucketed on the join key with the
+  * same bucket count → the equi-join runs with NO shuffle exchange. */
+class BucketingSpec extends SparkSpec {
+  test("join of two same-bucketed tables has no shuffle Exchange") {
+    val db = s"bucketdb${System.nanoTime()}"
+    graft.catalog.CatalogOps.writeBucketed(
+      sf("orders"), s"$db.orders_b", Seq("o_orderkey"), 8, Seq("o_orderkey"))
+    graft.catalog.CatalogOps.writeBucketed(
+      sf("lineitem"), s"$db.lineitem_b", Seq("l_orderkey"), 8, Seq("l_orderkey"))
+    // bucketed joins need SMJ, not broadcast — disable auto-broadcast here
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table(s"$db.orders_b")
+        .join(spark.table(s"$db.lineitem_b"),
+          org.apache.spark.sql.functions.col("o_orderkey") ===
+            org.apache.spark.sql.functions.col("l_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
