@@ -47,7 +47,10 @@ class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
       case IsComplete(c) =>
         Some(if (df.columns.contains(c)) col(c).isNotNull else lit(false))
       case ColumnExists(c) => Some(lit(df.columns.contains(c)))
-      case _ => None // dataset-level only (Completeness/RowCount/IsUnique/CustomSql)
+      case ColumnLength(c, op, n) =>
+        if (!df.columns.contains(c)) Some(lit(false))
+        else Some(cmp(length(col(c).cast("string")).cast(DoubleType), op, lit(n)))
+      case _ => None // dataset-level only (Completeness/RowCount/IsUnique/AggRule/CustomSql)
     }
   }
 
@@ -114,6 +117,19 @@ class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
             (count_distinct(col(c)) === count(lit(1))).cast(DoubleType))
         case RowCount(_, _) =>
           aggs.getOrElseUpdate("rowcount", count(lit(1)).cast(DoubleType))
+        case AggRule(agg, c, _, _) if df.columns.contains(c) =>
+          val e = agg match {
+            case "Mean" => avg(col(c).cast(DoubleType))
+            case "Sum" => sum(col(c).cast(DoubleType))
+            case "StandardDeviation" => stddev_pop(col(c).cast(DoubleType))
+            case "DistinctValuesCount" => count_distinct(col(c)).cast(DoubleType)
+            case "Uniqueness" =>
+              count_distinct(col(c)).cast(DoubleType) / count(lit(1)).cast(DoubleType)
+          }
+          aggs.getOrElseUpdate(s"agg:$agg:$c", e)
+        case ColumnLength(c, _, _) if df.columns.contains(c) =>
+          aggs.getOrElseUpdate(s"len:${rule.describe}",
+            avg(rowPredicate(df, Leaf(rule)).get.cast(DoubleType)))
         case _ => ()
       }
     }
@@ -167,6 +183,16 @@ class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
         case RowCount(op, n) =>
           val m = metrics("rowcount")
           (cmpD(m, op, n), Some(m), if (cmpD(m, op, n)) None else Some(f"row count $m%.0f not $op $n"))
+        case AggRule(agg, c, _, _) if !df.columns.contains(c) =>
+          (false, None, Some(s"column $c does not exist"))
+        case AggRule(agg, c, op, n) =>
+          val m = metrics(s"agg:$agg:$c")
+          (cmpD(m, op, n), Some(m), if (cmpD(m, op, n)) None else Some(f"$agg $m%.4f not $op $n"))
+        case ColumnLength(c, _, _) if !df.columns.contains(c) =>
+          (false, None, Some(s"column $c does not exist"))
+        case r @ ColumnLength(_, _, _) =>
+          val m = metrics(s"len:${r.describe}")
+          (m == 1.0, Some(m), if (m == 1.0) None else Some(f"length compliance ${m * 100}%.2f%%"))
         case CustomSql(sql, cmpOpt) =>
           df.createOrReplaceTempView("primary")
           val res = df.sparkSession.sql(sql)

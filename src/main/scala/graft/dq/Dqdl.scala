@@ -46,6 +46,15 @@ object Dqdl {
   final case class IsComplete(col: String) extends Rule { def describe = s"IsComplete $col" }
   final case class IsUnique(col: String) extends Rule { def describe = s"IsUnique $col" }
   final case class RowCount(op: String, n: Double) extends Rule { def describe = s"RowCount $op $n" }
+  /** Numeric-aggregate rules: Mean | Sum | StandardDeviation |
+    * DistinctValuesCount | Uniqueness (distinct/total fraction). */
+  final case class AggRule(agg: String, col: String, op: String, n: Double) extends Rule {
+    def describe = s"$agg $col $op $n"
+  }
+  /** ColumnLength — string length bounds, row-level evaluable. */
+  final case class ColumnLength(col: String, op: String, n: Double) extends Rule {
+    def describe = s"ColumnLength $col $op $n"
+  }
   final case class CustomSql(sql: String, cmp: Option[(String, Double)]) extends Rule {
     def describe = s"CustomSql ${cmp.fold("(row-level)")(c => s"${c._1} ${c._2}")}"
   }
@@ -151,6 +160,11 @@ object Dqdl {
     case Word("IsComplete") :: Str(col) :: rest => (IsComplete(col), rest)
     case Word("IsUnique") :: Str(col) :: rest => (IsUnique(col), rest)
     case Word("RowCount") :: Sym(op) :: Num(d) :: rest if cmpOps(op) => (RowCount(op, d), rest)
+    case Word(agg) :: Str(col) :: Sym(op) :: Num(d) :: rest
+      if Set("Mean", "Sum", "StandardDeviation", "DistinctValuesCount", "Uniqueness")(agg) && cmpOps(op) =>
+      (AggRule(agg, col, op, d), rest)
+    case Word("ColumnLength") :: Str(col) :: Sym(op) :: Num(d) :: rest if cmpOps(op) =>
+      (ColumnLength(col, op, d), rest)
     case Word("CustomSql") :: Str(sql) :: Sym(op) :: Num(d) :: rest if cmpOps(op) =>
       (CustomSql(sql, Some((op, d))), rest)
     case Word("CustomSql") :: Str(sql) :: rest => (CustomSql(sql, None), rest)

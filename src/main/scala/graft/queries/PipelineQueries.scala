@@ -72,9 +72,43 @@ object PipelineQueries {
           col("shipdate"), col("returnflag"), col("source_system"), col("year"))
         .orderBy(col("orderkey"), col("linenumber"))
     }),
+
+    "q40_consume_e2e" -> ((s, d) => consumeQuery(s, d)),
   )
 
+  /** Cleanse→Consume end to end: catalog tables + user SQL with {placeholder}
+    * substitution + after_sparksql DQ quarantine + consume-table publish. */
+  private def consumeQuery(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val db = s"graftcleanse${math.abs(d.hashCode)}"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    if (!s.catalog.tableExists(s"$db.orders"))
+      Tables(s, d, "orders").write.mode("overwrite").saveAsTable(s"$db.orders")
+    if (!s.catalog.tableExists(s"$db.customer"))
+      Tables(s, d, "customer").write.mode("overwrite").saveAsTable(s"$db.customer")
+    val sql = s"""
+      SELECT o.o_orderkey, c.c_name, c.c_mktsegment,
+             CASE WHEN o.o_totalprice > {cutoff} THEN 'large' ELSE 'small' END AS band,
+             o.o_totalprice
+      FROM $db.orders o LEFT OUTER JOIN $db.customer c ON o.o_custkey = c.c_custkey
+      ORDER BY o.o_orderkey"""
+    val dqRules = Specs.dqRules(Specs.parseJson(
+      """{"after_sparksql": {"quarantine_rules":
+           ["CustomSql 'SELECT o_orderkey FROM primary WHERE o_totalprice >= 30000'"]}}"""))
+    val args = JobArgs("Bench", "orders_enriched", "", "bench-exec",
+      Map.empty, db, environment = "Dev")
+    new PipelineRunner(s).cleanseToConsume(args, sql,
+        Map("cutoff" -> "200000"), dqRules)
+      .orderBy(col("o_orderkey"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q40_consume_e2e" -> """
+      SELECT o.o_orderkey, c.c_name, c.c_mktsegment,
+             CASE WHEN o.o_totalprice > 200000 THEN 'large' ELSE 'small' END AS band,
+             o.o_totalprice
+      FROM orders o LEFT OUTER JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_totalprice >= 30000
+      ORDER BY o.o_orderkey""",
     "q37_pipeline_e2e" -> """
       SELECT CAST(l_orderkey AS BIGINT) AS orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
              CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS quantity,

@@ -109,3 +109,32 @@ class DqEngineSpec extends SparkSpec {
     assert(out.head.passed)
   }
 }
+
+class DqAggRulesSpec extends SparkSpec {
+  import spark.implicits._
+  private def engine = new graft.dq.DqEngine()
+
+  private val df = Seq((1, 10.0, "ab"), (2, 20.0, "abcd"), (3, 30.0, "ab"))
+    .toDF("id", "v", "s")
+
+  test("Mean/Sum/StandardDeviation/DistinctValuesCount/Uniqueness rules") {
+    val out = engine.evaluateDataset(df, Seq(
+      "Mean 'v' = 20",
+      "Sum 'v' >= 60",
+      "StandardDeviation 'v' < 10",
+      "DistinctValuesCount 's' = 2",
+      "Uniqueness 'id' = 1",
+      "Uniqueness 's' < 1"))
+    val m = out.map(o => o.rule -> o.passed).toMap
+    assert(m("Mean 'v' = 20") && m("Sum 'v' >= 60"))
+    assert(m("StandardDeviation 'v' < 10")) // pop stddev = 8.165
+    assert(m("DistinctValuesCount 's' = 2"))
+    assert(m("Uniqueness 'id' = 1") && m("Uniqueness 's' < 1"))
+  }
+
+  test("ColumnLength is row-level quarantineable") {
+    val res = engine.runQuarantine(df, Seq("ColumnLength 's' <= 3"))
+    assert(res.passed.select("id").as[Int].collect().sorted.toSeq == Seq(1, 3))
+    assert(res.failed.select("id").as[Int].collect().toSeq == Seq(2))
+  }
+}
