@@ -1,0 +1,106 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-scan JVM kernels behind the native expressions. Top-level object →
+  * scalac emits static forwarders, so generated (whole-stage codegen) Java
+  * calls these directly: `Kernels.dot(a, b, true, true)`. */
+object Kernels {
+
+  private val SEED = 42L
+  val P31 = 2147483647L // 2^31-1
+
+  def xx(s: UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, SEED)
+
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  def simhash64(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = xx(arr.getUTF8String(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def minhashSignature(arr: ArrayData, elementsAreLong: Boolean,
+                       as: Array[Long], bs: Array[Long]): ArrayData = {
+    val numHashes = as.length
+    val sig = Array.fill(numHashes)(P31)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = if (elementsAreLong) arr.getLong(i) else xx(arr.getUTF8String(i))
+      val h0 = ((h % P31) + P31) % P31
+      var j = 0
+      while (j < numHashes) {
+        val v = (as(j) * h0 + bs(j)) % P31
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def hyperplaneBucket(arr: ArrayData, matrix: Array[Array[Double]], dim: Int): Long = {
+    val n = math.min(dim, arr.numElements())
+    var bucket = 0L
+    var p = 0
+    while (p < matrix.length) {
+      val row = matrix(p)
+      var acc = 0.0
+      var d = 0
+      while (d < n) { acc += arr.getFloat(d) * row(d); d += 1 }
+      if (acc > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  def hashedShingles(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString.toLowerCase.trim
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Long])
+    val tokens = s.split("\\s+")
+    if (tokens.length < n) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= tokens.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(tokens(i + j)); j += 1 }
+      seen.add(xx(UTF8String.fromString(sb.toString)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
