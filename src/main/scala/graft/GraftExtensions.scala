@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) — sequential double dot product"),
       (args: Seq[Expression]) => DotProductExpr(args.head, args(1))))
+
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(a, b) — Jaro-Winkler similarity in [0,1]"),
+      (args: Seq[Expression]) => JaroWinklerExpr(args.head, args(1))))
   }
 
   private def intArg(e: Expression): Int = e.eval(null) match {
@@ -66,6 +70,7 @@ object GraftExtensions {
         args(1).eval(null).toString.toInt, args(2).eval(null).toString.toInt), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product",
       args => DotProductExpr(args.head, args(1)), "scala_udf")
-    spark.udf.register("jaro_winkler", SimilarityFunctions.jaroWinklerUdf)
+    reg.createOrReplaceTempFunction("jaro_winkler",
+      args => JaroWinklerExpr(args.head, args(1)), "scala_udf")
   }
 }

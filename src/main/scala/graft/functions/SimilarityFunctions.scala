@@ -75,7 +75,10 @@ object SimilarityFunctions {
     if (a == null || b == null) null.asInstanceOf[java.lang.Double]
     else java.lang.Double.valueOf(jaroWinkler(a, b)))
 
-  def jaro_winkler(a: Column, b: Column): Column = jaroWinklerUdf(a, b)
+  /** Native codegen expression (the UDF form above is kept for
+    * spark.udf.register compatibility). */
+  def jaro_winkler(a: Column, b: Column): Column =
+    graft.functions.expressions.HashExpressions.jaro_winkler(a, b)
 
   // ------------------------------------------------------------------- Shingles
 

@@ -157,6 +157,25 @@ object HashExpressions {
     override def prettyName: String = "dot_product"
   }
 
+  /** Jaro-Winkler similarity of two strings as a native expression — replaces
+    * the Scala UDF (no Option boxing, stays inside codegen spans). */
+  case class JaroWinklerExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Double.valueOf(Kernels.jaroWinkler(
+        l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = $KernelsClass.jaroWinkler($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "jaro_winkler"
+  }
+
   // ----------------------------------------------------------- Column facade
   // Spark 4's public Column is ColumnNode-backed; the classic bridge converts
   // Expression ↔ Column.
@@ -171,4 +190,6 @@ object HashExpressions {
     column(HyperplaneBucketExpr(expression(vec), dim, planes))
   def dot_product(a: Column, b: Column): Column =
     column(DotProductExpr(expression(a), expression(b)))
+  def jaro_winkler(a: Column, b: Column): Column =
+    column(JaroWinklerExpr(expression(a), expression(b)))
 }

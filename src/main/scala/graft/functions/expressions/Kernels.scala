@@ -82,6 +82,11 @@ object Kernels {
     bucket
   }
 
+  /** Jaro-Winkler — same algorithm as SimilarityFunctions.jaroWinkler
+    * (floored transpositions, boost gated at jaro > 0.7). */
+  def jaroWinkler(s1: UTF8String, s2: UTF8String): Double =
+    graft.functions.SimilarityFunctions.jaroWinkler(s1.toString, s2.toString)
+
   def hashedShingles(text: UTF8String, n: Int): ArrayData = {
     val s = text.toString.toLowerCase.trim
     if (s.isEmpty) return new GenericArrayData(Array.empty[Long])

@@ -264,6 +264,15 @@ object TextQueries {
                row_number() OVER (PARTITION BY s_suppkey ORDER BY jw_r DESC, c_custkey) AS rnk
         FROM scored)
       SELECT s_suppkey, c_custkey, jw_r FROM ranked WHERE rnk = 1 ORDER BY s_suppkey""",
+    "q31_rolling_fingerprint" -> """
+      SELECT doc_id,
+        CASE WHEN length(text) >= 16 THEN
+          list_min([
+            list_reduce([CAST(0 AS BIGINT)] || [CAST(ord(text[i+j]) AS BIGINT) for j in range(0, 16)],
+                        (acc, c) -> (acc * 257 + c) % 2147483647)
+            for i in range(1, length(text) - 16 + 2)])
+        ELSE NULL END AS min_kgram_hash
+      FROM documents ORDER BY doc_id""",
     "q39_pii_scrub" -> """
       WITH docs AS (
         SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or '
