@@ -108,6 +108,27 @@ object StreamingOps {
         max(col(tsCol)).as("session_end"))
   }
 
+  /** Streaming-native pipeline driver: the reference's S3-event→Glue-job loop
+    * as ONE standing (or AvailableNow-drained) Structured Streaming query —
+    * new files under `path` stream in, each micro-batch runs the caller's
+    * cleanse logic (mapping/transforms/DQ) via `processBatch`, and failures
+    * restart from the checkpoint instead of a Step Functions retry. At scale
+    * this replaces per-file job submission overhead with incremental file
+    * listing + exactly-once sink semantics. */
+  def fileArrivalPipeline(spark: SparkSession, path: String, format: String,
+                          schemaDdl: String, checkpoint: String,
+                          options: Map[String, String] = Map.empty,
+                          availableNow: Boolean = true)
+                         (processBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    val stream = fileArrivalStream(spark, path, format, schemaDdl, options)
+    val w = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        processBatch(batch, id)
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
   /** Run a streaming frame to completion over currently-available input and
     * return the collected result via a memory sink (test/drain helper). */
   def drainToMemory(df: DataFrame, queryName: String): DataFrame = {

@@ -79,4 +79,42 @@ class StreamingSpec extends SparkSpec {
       .select("n_events").as[Long].collect().toSeq
     assert(u1 == Seq(2L, 1L))
   }
+
+  test("fileArrivalPipeline: incremental cleanse of arriving files with exactly-once batches") {
+    val dir = Files.createTempDirectory("graft_sp")
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val db = s"streamdb${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    Files.writeString(dir.resolve("day1.csv"), "1,100.0\n2,-5.0\n")
+
+    def runOnce(): Unit = {
+      val q = StreamingOps.fileArrivalPipeline(spark, dir.toString, "csv",
+        "id INT, amount DOUBLE", ckpt, Map("header" -> "false")) { (batch, _) =>
+        // foreachBatch executes in a CLONED session — use the batch's session
+        // for catalog ops, and the outer session must REFRESH afterwards
+        // (its per-session relation cache does not see the clone's inserts)
+        val s = batch.sparkSession
+        if (!batch.isEmpty) {
+          // per-batch cleanse: DQ quarantine + append-publish
+          val res = new graft.dq.DqEngine().runQuarantine(batch,
+            Seq("ColumnValues 'amount' >= 0"))
+          if (s.catalog.tableExists(s"$db.cleansed"))
+            res.passed.write.mode("append").insertInto(s"$db.cleansed")
+          else res.passed.write.saveAsTable(s"$db.cleansed")
+        }
+      }
+      q.awaitTermination()
+      spark.sql(s"REFRESH TABLE $db.cleansed")
+    }
+
+    runOnce()
+    assert(spark.table(s"$db.cleansed").count() == 1) // -5 quarantined
+    // same files again: checkpoint makes re-run a no-op (exactly-once)
+    runOnce()
+    assert(spark.table(s"$db.cleansed").count() == 1)
+    // a NEW file arrives: only it is processed
+    Files.writeString(dir.resolve("day2.csv"), "3,7.5\n4,8.5\n")
+    runOnce()
+    assert(spark.table(s"$db.cleansed").count() == 3)
+  }
 }
