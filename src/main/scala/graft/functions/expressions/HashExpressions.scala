@@ -157,6 +157,26 @@ object HashExpressions {
     override def prettyName: String = "dot_product"
   }
 
+  /** Nearest-centroid id for IVF assignment — centroid matrix carried as a
+    * codegen reference object. */
+  case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Integer.valueOf(
+        Kernels.nearestCentroid(input.asInstanceOf[ArrayData], centroids))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $KernelsClass.nearestCentroid($c, $cRef);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "nearest_centroid"
+  }
+
   /** Jaro-Winkler similarity of two strings as a native expression — replaces
     * the Scala UDF (no Option boxing, stays inside codegen spans). */
   case class JaroWinklerExpr(left: Expression, right: Expression)
@@ -192,4 +212,6 @@ object HashExpressions {
     column(DotProductExpr(expression(a), expression(b)))
   def jaro_winkler(a: Column, b: Column): Column =
     column(JaroWinklerExpr(expression(a), expression(b)))
+  def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    column(NearestCentroidExpr(expression(vec), centroids))
 }

@@ -87,6 +87,24 @@ object Kernels {
   def jaroWinkler(s1: UTF8String, s2: UTF8String): Double =
     graft.functions.SimilarityFunctions.jaroWinkler(s1.toString, s2.toString)
 
+  /** Index of the nearest centroid (max dot product ≙ min cosine distance for
+    * normalized vectors); deterministic first-wins tie-break. */
+  def nearestCentroid(arr: ArrayData, centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var cIdx = 0
+    while (cIdx < centroids.length) {
+      val c = centroids(cIdx)
+      val n = math.min(c.length, arr.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += arr.getFloat(i) * c(i); i += 1 }
+      if (acc > bestScore) { bestScore = acc; best = cIdx }
+      cIdx += 1
+    }
+    best
+  }
+
   def hashedShingles(text: UTF8String, n: Int): ArrayData = {
     val s = text.toString.toLowerCase.trim
     if (s.isEmpty) return new GenericArrayData(Array.empty[Long])

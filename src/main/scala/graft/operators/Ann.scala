@@ -60,6 +60,100 @@ object Ann {
       .drop("__qv", "__cv")
   }
 
+  /** IVF centroid training: deterministic k-means (k-means|| replaced by a
+    * fixed farthest-point init over a driver-side sample — the standard IVF
+    * "train on a sample" step; sample size is bounded regardless of corpus
+    * size, so this scales to any corpus). */
+  def trainIvfCentroids(corpus: org.apache.spark.sql.DataFrame, vecCol: String,
+                        nlist: Int, sampleSize: Int = 2048,
+                        iters: Int = 8): Array[Array[Double]] = {
+    val sample = corpus.select(col(vecCol)).limit(sampleSize).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    // farthest-point init (deterministic): start from sample(0)
+    val centroids = scala.collection.mutable.ArrayBuffer(sample.head.clone())
+    while (centroids.length < math.min(nlist, sample.length)) {
+      var bestIdx = 0; var bestDist = -1.0
+      var i = 0
+      while (i < sample.length) {
+        var minD = Double.MaxValue
+        centroids.foreach { c =>
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = sample(i)(j) - c(j); d += t * t; j += 1 }
+          if (d < minD) minD = d
+        }
+        if (minD > bestDist) { bestDist = minD; bestIdx = i }
+        i += 1
+      }
+      centroids += sample(bestIdx).clone()
+    }
+    // Lloyd iterations on the sample
+    var cs = centroids.toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cs.length)(new Array[Double](dim))
+      val counts = new Array[Int](cs.length)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var cI = 0
+        while (cI < cs.length) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = v(j) - cs(cI)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = cI }
+          cI += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      cs = cs.indices.map { cI =>
+        if (counts(cI) == 0) cs(cI)
+        else sums(cI).map(_ / counts(cI))
+      }.toArray
+      it += 1
+    }
+    cs
+  }
+
+  /** IVF ANN: corpus assigned once to its nearest centroid (a persistable
+    * partition key); each query probes its `nprobe` nearest centroid lists and
+    * ranks candidates by exact cosine. Recall/compute tradeoff via
+    * nlist/nprobe — the classic inverted-file layout, expressed as a bucket
+    * equi-join exactly like the LSH path. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              vecCol: String, idCol: String, queryIdCol: String,
+              centroids: Array[Array[Double]], k: Int, nprobe: Int = 4): DataFrame = {
+    import graft.functions.expressions.HashExpressions.nearest_centroid
+    val assigned = corpus.select(col(idCol), col(vecCol).as("__cv"))
+      .withColumn("__list", nearest_centroid(col("__cv"), centroids))
+    // query probes: nprobe nearest centroids via a small literal cross product
+    val qProbes = queries.select(col(queryIdCol), col(vecCol).as("__qv"))
+      .withColumn("__probes", probeListsColumn(col("__qv"), centroids, nprobe))
+      .withColumn("__list", explode(col("__probes"))).drop("__probes")
+    qProbes.join(assigned, Seq("__list"))
+      .withColumn("cosine", S.cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryIdCol)).orderBy(col("cosine").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("cosine"), col("rank"))
+  }
+
+  /** nprobe nearest centroid ids for a query vector, as an array column:
+    * scores against each centroid (literal matrix) + sort take nprobe. */
+  private def probeListsColumn(v: Column, centroids: Array[Array[Double]],
+                               nprobe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val dot = graft.functions.expressions.HashExpressions.dot_product(
+        v, array(c.map(x => lit(x.toFloat)): _*))
+      struct(dot.as("s"), lit(i).as("i"))
+    }
+    val arr = array_sort(array(scored: _*),
+      (a, b) => when(a.getField("s") > b.getField("s"), -1)
+        .when(a.getField("s") < b.getField("s"), 1).otherwise(0))
+    transform(slice(arr, 1, nprobe), x => x.getField("i"))
+  }
+
   /** LSH ANN: corpus and queries bucketed by [[hyperplaneBucket]]; each query
     * joins only its bucket, then exact cosine + top-k within the candidates.
     * Recall is tunable via `planes` (fewer planes → bigger buckets → higher

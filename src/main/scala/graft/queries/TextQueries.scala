@@ -101,6 +101,20 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF ANN: sample-trained centroids, inverted-list probe (rows-only —
+    // approximate by design; recall vs brute force is spec-asserted).
+    "q41_ann_ivf" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val centroids = Ann.trainIvfCentroids(emb, "embedding", nlist = 16)
+      Ann.ivfTopK(emb, queries, "embedding", "vec_id", "query_id",
+          centroids, k = 10, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine_r"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Embedding near-dup pairs via hyperplane LSH + exact cosine (rows-only).
     "q30_embedding_neardup" -> ((s, d) => {
       Dedup.embeddingNearDupPairs(Tables(s, d, "embeddings"), "embedding", "vec_id",

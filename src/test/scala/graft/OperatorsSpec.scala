@@ -308,3 +308,33 @@ class LineageSpec extends SparkSpec {
     assert(seqs == Seq(1, 2))
   }
 }
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Ann
+
+  test("IVF: centroid training is deterministic; self-match survives probing") {
+    val emb = sf("embeddings")
+    val c1 = Ann.trainIvfCentroids(emb, "embedding", nlist = 8)
+    val c2 = Ann.trainIvfCentroids(emb, "embedding", nlist = 8)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    assert(c1.length == 8 && c1.head.length == 64)
+
+    val q = emb.filter($"vec_id" === 11).select($"vec_id".as("qid"), $"embedding")
+    val top = Ann.ivfTopK(emb, q, "embedding", "vec_id", "qid", c1, k = 3, nprobe = 2)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(top.head == 11L) // own list is always probed first
+  }
+
+  test("IVF recall vs brute force at nprobe=4 is substantial") {
+    val emb = sf("embeddings")
+    val q = emb.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding")
+    val cs = Ann.trainIvfCentroids(emb, "embedding", nlist = 8)
+    val exact = Ann.bruteForceTopK(emb, q, "embedding", "vec_id", "qid", 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(emb, q, "embedding", "vec_id", "qid", cs, k = 5, nprobe = 4)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+}
