@@ -33,12 +33,20 @@ object RunPipeline {
     val date = args.lift(7).map(java.time.LocalDate.parse)
       .getOrElse(java.time.LocalDate.now())
 
+    // Persistent catalog (embedded Derby metastore) so cleanse tables written
+    // by this JVM are visible to later consume/entity-match runs — the local
+    // analog of the Glue Data Catalog.
+    val wh = sys.env.getOrElse("GRAFT_WAREHOUSE", "/tmp/graft_warehouse")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-pipeline")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", s"$wh/tables")
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$wh/metastore_db;create=true")
+      .enableHiveSupport()
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)

@@ -67,6 +67,13 @@ object Specs {
   private def normalizeDestNull(dest: String): String =
     if (dest.equalsIgnoreCase("null")) "null" else dest
 
+  /** Split a SQL file into statements on ';' (the reference's handling of
+    * athena-*.sql / redshift-*.sql view files, etl_cleanse_to_consume.py:
+    * 212-223), dropping line comments and empty statements. */
+  def sqlStatements(text: String): Seq[String] =
+    text.linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n")
+      .split(";").map(_.trim).filter(_.nonEmpty).toSeq
+
   // -------------------------------------------------- JsonNode access helpers
 
   implicit class NodeOps(val n: JsonNode) extends AnyVal {
