@@ -204,8 +204,14 @@ object EntityMatch {
       val newEntities = fillGlobalId(fuzzyUnmatched, gid)
       val all = prematched.unionByName(exactMatched)
         .unionByName(fuzzyMatched).unionByName(newEntities)
-      upsert(spark, spec.primaryTable, all, spec)
-      all
+      // materialize BEFORE upsert: the plan references the primary table,
+      // whose files the upsert's overwrite deletes — re-executing it after
+      // the upsert (e.g. caller counts the result) would read dead files
+      val scratch = java.nio.file.Files.createTempDirectory("graft_em").toString
+      all.write.mode(SaveMode.Overwrite).parquet(scratch)
+      val materialized = spark.read.parquet(scratch)
+      upsert(spark, spec.primaryTable, materialized, spec)
+      materialized
     }
   }
 }
