@@ -300,3 +300,34 @@ class DependencyGateSpec extends SparkSpec {
     assert(out.contains(""""field": "loadtime""""))
   }
 }
+
+class FixedWidthPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("collect-to-cleanse with fixed-width source: widths from the mapping file") {
+    val dir = Files.createTempDirectory("graft_fwp")
+    // layout: policy(4) drop(2) amount(6)
+    Files.writeString(dir.resolve("feed-20240115.txt"),
+      "P001xx001200\nP002yy000850\n")
+    val spec = Specs.datasetSpec(Specs.parseJson(
+      """{
+        "input_spec": {"fixed": {}, "allow_schema_change": "permissive"},
+        "transform_spec": {
+          "implieddecimal": [{"field": "amount", "num_implied": "2", "format": "10,2"}]
+        }
+      }"""))
+    val mapping = Specs.mappingCsv(
+      "SourceName,DestName,Width\nf1,policy,4\nf2,Null,2\nf3,amount,6\n")
+    val db = s"fwdb${System.nanoTime()}"
+    val args = JobArgs("S", "fixeddata", dir.resolve("feed-20240115.txt").toString,
+      "e-fw", Map("year" -> "2024"), db)
+    val out = new graft.pipeline.PipelineRunner(spark)
+      .collectToCleanse(args, spec, mapping, Map.empty,
+        graft.transforms.TransformContext(spark, filename = "feed-20240115.txt"))
+    val rows = spark.table(s"$db.fixeddata")
+      .select("policy", "amount").orderBy("policy")
+      .as[(String, java.math.BigDecimal)].collect().toSeq
+    assert(rows.map(_._1) == Seq("P001", "P002"))
+    assert(rows.map(_._2.toString) == Seq("12.00", "8.50"))
+  }
+}
