@@ -163,8 +163,13 @@ class PipelineRunner(spark: SparkSession) {
         else df
       if (sameTypes) {
         // dynamic partitionOverwriteMode → Overwrite replaces only the
-        // incoming partitions; insertInto keeps the table's partitioning.
-        aligned.write.mode(SaveMode.Overwrite).insertInto(table)
+        // incoming partitions (idempotent per-partition reload, K1);
+        // overwriteAll (consume's purge-then-publish, K2) needs STATIC mode
+        // so partitions absent from this run are dropped too.
+        if (overwriteAll)
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        try aligned.write.mode(SaveMode.Overwrite).insertInto(table)
+        finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       } else {
         // widening under evolve/permissive: full rewrite with the new schema
         val widened = df.schema

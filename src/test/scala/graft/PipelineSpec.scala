@@ -331,3 +331,24 @@ class FixedWidthPipelineSpec extends SparkSpec {
     assert(rows.map(_._2.toString) == Seq("12.00", "8.50"))
   }
 }
+
+class ConsumeOverwriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("consume publish replaces the WHOLE table, not just incoming partitions") {
+    val db = s"cons${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    val runner = new graft.pipeline.PipelineRunner(spark)
+    def publish(year: String, id: Int): Unit = {
+      Seq((id, year)).toDF("id", "year")
+        .createOrReplaceTempView("consume_src")
+      val args = JobArgs("S", "summary", "", s"e-$id", Map("year" -> year), db)
+      runner.cleanseToConsume(args, "SELECT id, year FROM consume_src", Map.empty, Map.empty)
+    }
+    publish("2023", 1)
+    publish("2024", 2) // full overwrite: 2023 partition must be gone
+    val got = spark.table(s"${db}_consume.summary").select("id", "year")
+      .as[(Int, String)].collect().toSeq
+    assert(got == Seq((2, "2024")), s"stale partitions survived: $got")
+  }
+}
