@@ -247,6 +247,7 @@ class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
     // Combine row predicates; CustomSql row-level rules become semi-joins.
     var current = df
     var pred: Column = lit(true)
+    val markerCols = scala.collection.mutable.ListBuffer.empty[String]
     parsed.zipWithIndex.foreach { case ((_, e), i) =>
       rowPredicate(df, e) match {
         case Some(p) => pred = pred && p
@@ -255,9 +256,11 @@ class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
             df.createOrReplaceTempView("primary")
             val keys = df.sparkSession.sql(sql).distinct()
             val keyCols = keys.columns
-            val marker = keys.withColumn("__dq_pass", lit(true))
+            val markerName = s"__dq_pass_$i" // unique per rule — several
+            markerCols += markerName        // CustomSql rules may coexist
+            val marker = keys.withColumn(markerName, lit(true))
             current = current.join(marker, keyCols.toSeq, "left")
-            pred = pred && col("__dq_pass").isNotNull
+            pred = pred && col(markerName).isNotNull
           case _ =>
             // dataset-level rule inside quarantine tier: verdict applies to all rows
             pred = pred && lit(outcomes(i).passed)
@@ -266,8 +269,9 @@ class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
     }
 
     val marked = current.withColumn("__dq_pass_all", pred)
-    val passed = marked.filter(col("__dq_pass_all")).drop("__dq_pass_all", "__dq_pass")
-    val failed = marked.filter(!col("__dq_pass_all")).drop("__dq_pass_all", "__dq_pass")
+    val dropCols = "__dq_pass_all" +: markerCols.toSeq
+    val passed = marked.filter(col("__dq_pass_all")).drop(dropCols: _*)
+    val failed = marked.filter(!col("__dq_pass_all")).drop(dropCols: _*)
       .withColumn("quarantine_timestamp", current_timestamp())
 
     // one pass for both counts (two isEmpty probes would each run the plan)

@@ -138,3 +138,18 @@ class DqAggRulesSpec extends SparkSpec {
     assert(res.failed.select("id").as[Int].collect().toSeq == Seq(2))
   }
 }
+
+class DqMultiCustomSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two row-level CustomSql quarantine rules compose (intersection of keys)") {
+    val df = Seq((1, 10.0, "x"), (2, -1.0, "x"), (3, 10.0, null.asInstanceOf[String]))
+      .toDF("id", "amount", "tag")
+    val res = new graft.dq.DqEngine().runQuarantine(df, Seq(
+      "CustomSql 'SELECT id FROM primary WHERE amount >= 0'",
+      "CustomSql 'SELECT id FROM primary WHERE tag IS NOT NULL'"))
+    assert(res.passed.select("id").as[Int].collect().toSeq == Seq(1))
+    assert(res.failed.select("id").as[Int].collect().sorted.toSeq == Seq(2, 3))
+    assert(!res.passed.columns.exists(_.startsWith("__dq")))
+  }
+}
