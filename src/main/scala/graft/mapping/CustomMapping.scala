@@ -22,13 +22,19 @@ object CustomMapping {
     * unmapped source columns are discarded. Fuzzy rows (threshold set) match
     * against still-unmapped source columns using the named scorer. Nested fields
     * are addressed after [[graft.functions.StructuredTransforms.flattenSchema]]
-    * naming (`a_b_c`). */
-  def applyMapping(df: DataFrame, rows: Seq[MappingRow]): DataFrame = {
+    * naming (`a_b_c`). With `strict=true`, a non-fuzzy mapping row whose source
+    * column is absent raises (the reference's strict_schema_mapping,
+    * custom_mapping.py:88). */
+  def applyMapping(df: DataFrame, rows: Seq[MappingRow], strict: Boolean = false): DataFrame = {
     val flat = if (df.schema.fields.exists(_.dataType.isInstanceOf[StructType]))
       graft.functions.StructuredTransforms.flattenSchema(df) else df
     val available = scala.collection.mutable.LinkedHashSet(flat.columns: _*)
     val exact = rows.filter(_.threshold.isEmpty).flatMap { r =>
-      if (!available.contains(r.sourceName)) None
+      if (!available.contains(r.sourceName)) {
+        if (strict && r.destName != "null") throw new IllegalArgumentException(
+          s"strict schema mapping: source column ${r.sourceName} missing from incoming data")
+        None
+      }
       else { available -= r.sourceName; Some(r) }
     }
     val fuzzy = rows.filter(_.threshold.isDefined).flatMap { r =>

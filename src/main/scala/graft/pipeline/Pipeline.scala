@@ -59,9 +59,10 @@ class PipelineRunner(spark: SparkSession) {
       throw new RuntimeException("No data found in source file; aborting")
 
     // 3. mapping (or generated clean-names mapping when absent)
+    val strictMapping = spec.inputSpec.flatMap(_.bool("strict_schema_mapping")).getOrElse(false)
     val mapped =
       if (mapping.nonEmpty && !spec.inputSpec.exists(_.has("fixed")))
-        CustomMapping.applyMapping(initial, mapping)
+        CustomMapping.applyMapping(initial, mapping, strictMapping)
       else if (mapping.isEmpty) CustomMapping.cleanColumnNames(initial)._1
       else initial
     lineage.update(mapped, "mapping")

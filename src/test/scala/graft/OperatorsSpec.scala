@@ -338,3 +338,22 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 }
+
+class StrictMappingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.mapping.{CustomMapping, MappingRow}
+
+  test("strict mapping raises on a missing source column; lenient drops it") {
+    val df = Seq((1, "a")).toDF("id", "name")
+    val rows = Seq(MappingRow("id", "policy_id"), MappingRow("missing_col", "x"))
+    val lenient = CustomMapping.applyMapping(df, rows)
+    assert(lenient.columns.toSeq == Seq("policy_id"))
+    val e = intercept[IllegalArgumentException] {
+      CustomMapping.applyMapping(df, rows, strict = true)
+    }
+    assert(e.getMessage.contains("missing_col"))
+    // a drop row (destname null) for a missing column is fine even in strict
+    CustomMapping.applyMapping(df,
+      Seq(MappingRow("id", "policy_id"), MappingRow("gone", "null")), strict = true)
+  }
+}
