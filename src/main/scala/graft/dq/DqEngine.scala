@@ -286,16 +286,48 @@ class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
   }
 
   /** Full ruleset orchestration, matching run_data_quality ordering and the
-    * halt-runs-on-PRE-quarantine-frame quirk (dataquality_check.py:296-316). */
+    * halt-runs-on-PRE-quarantine-frame quirk (dataquality_check.py:296-316).
+    * Rule outcomes from every tier are appended to [[resultsLog]] (K7 — the
+    * reference's DynamoDB DQ-results table); flush with [[writeResults]]. */
   def runRuleset(df: DataFrame, ruleset: Map[String, Seq[String]],
                  rulesetName: String = "ruleset"): DataFrame = {
     if (ruleset.isEmpty) return df
-    ruleset.get("warn_rules").foreach(runWarn(df, _))
-    val filtered = ruleset.get("quarantine_rules") match {
-      case Some(q) => runQuarantine(df, q, rulesetName).passed
-      case None    => df
+    ruleset.get("warn_rules").foreach { rules =>
+      record(rulesetName, "warn", runWarn(df, rules))
     }
-    ruleset.get("halt_rules").foreach(runHalt(df, _)) // NOTE: original frame
+    val filtered = ruleset.get("quarantine_rules") match {
+      case Some(q) =>
+        val res = runQuarantine(df, q, rulesetName)
+        record(rulesetName, "quarantine", res.outcomes)
+        res.passed
+      case None => df
+    }
+    ruleset.get("halt_rules").foreach { rules =>
+      try record(rulesetName, "halt", runHalt(df, rules)) // NOTE: original frame
+      catch {
+        case e: RuntimeException =>
+          record(rulesetName, "halt", evaluateDataset(df, rules)); throw e
+      }
+    }
     filtered
+  }
+
+  private val resultsBuf =
+    scala.collection.mutable.ListBuffer.empty[(String, String, RuleOutcome)]
+  private def record(rulesetName: String, action: String, outcomes: Seq[RuleOutcome]): Unit =
+    resultsBuf ++= outcomes.map(o => (rulesetName, action, o))
+
+  /** All (ruleset, action, outcome) rows recorded so far. */
+  def resultsLog: Seq[(String, String, RuleOutcome)] = resultsBuf.toSeq
+
+  /** K7: persist recorded outcomes as a parquet table/path
+    * (ruleset, action, rule, outcome, metric, failure_reason). */
+  def writeResults(spark: org.apache.spark.sql.SparkSession, target: String): Unit = {
+    import spark.implicits._
+    val df = resultsBuf.toSeq.map { case (rs, act, o) =>
+      (rs, act, o.rule, o.outcome, o.metric.getOrElse(Double.NaN), o.failureReason.getOrElse(""))
+    }.toDF("ruleset", "action", "rule", "outcome", "metric", "failure_reason")
+    if (target.contains("/")) df.write.mode("append").parquet(target)
+    else df.write.mode("append").saveAsTable(target)
   }
 }

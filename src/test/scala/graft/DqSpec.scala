@@ -153,3 +153,23 @@ class DqMultiCustomSqlSpec extends SparkSpec {
     assert(!res.passed.columns.exists(_.startsWith("__dq")))
   }
 }
+
+class DqResultsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("runRuleset records per-tier outcomes; writeResults persists them") {
+    val df = Seq((1, 5.0), (2, -1.0)).toDF("id", "v")
+    val engine = new graft.dq.DqEngine()
+    engine.runRuleset(df, Map(
+      "warn_rules" -> Seq("ColumnValues 'v' >= 0"),
+      "quarantine_rules" -> Seq("ColumnValues 'v' >= 0")), "t1")
+    val log = engine.resultsLog
+    assert(log.map(_._2).toSet == Set("warn", "quarantine"))
+    assert(log.forall(_._1 == "t1"))
+    val out = java.nio.file.Files.createTempDirectory("dqres").toString + "/results"
+    engine.writeResults(spark, out)
+    val stored = spark.read.parquet(out)
+    assert(stored.count() == 2)
+    assert(stored.columns.contains("failure_reason"))
+  }
+}
