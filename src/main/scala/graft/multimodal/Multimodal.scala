@@ -70,6 +70,19 @@ object Multimodal {
 
   // ---------------------------------------------------------------- plumbing
 
+  /** Repartition a media table so each partition carries ≈`targetPartitionBytes`
+    * of content — decode work then parallelizes by payload size, not row
+    * count, and no single task holds gigabytes of blobs. */
+  def repartitionBySize(media: DataFrame, targetPartitionBytes: Long,
+                        contentCol: String = "content"): DataFrame = {
+    val totalBytes = media.agg(sum(length(col(contentCol)))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetPartitionBytes).toInt)
+    media.repartition(parts)
+  }
+
   /** Batched per-partition map — the JVM analog of `mapInPandas`: rows stream
     * through in fixed-size batches; `f` sees a whole batch (for vectorized /
     * model-call workloads) and returns output rows. Output schema explicit,

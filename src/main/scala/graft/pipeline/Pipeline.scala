@@ -138,6 +138,10 @@ class PipelineRunner(spark: SparkSession) {
   def writePartitioned(df: DataFrame, table: String, partitionCols: Seq[String],
                        policy: String, overwriteAll: Boolean = false): Unit = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // zstd: ~30% smaller than snappy at similar read speed — at 100 TB the
+    // scan-bytes saving dominates the extra write cpu
+    spark.conf.set("spark.sql.parquet.compression.codec",
+      spark.conf.get("graft.parquet.codec", "zstd"))
     ensureDatabase(table)
     val exists = spark.catalog.tableExists(table)
     if (!exists) {

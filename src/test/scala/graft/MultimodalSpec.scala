@@ -45,4 +45,11 @@ class MultimodalSpec extends SparkSpec {
     val f0 = frames.orderBy("frame_no").head()
     assert(f0.getAs[Array[Byte]]("frame").length == math.min(32, contentLen))
   }
+
+  test("repartitionBySize bounds per-partition payload bytes") {
+    val sized = Multimodal.repartitionBySize(media, targetPartitionBytes = 4096)
+    val totalBytes = media.agg(sum(length(col("content")))).head().getLong(0)
+    val expected = math.max(1, math.ceil(totalBytes / 4096.0).toInt)
+    assert(sized.rdd.getNumPartitions == expected)
+  }
 }
