@@ -79,3 +79,25 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 }
+
+/** Partition pruning: a y/m/d-partitioned table queried with a partition
+  * predicate must scan only the matching partition directories. */
+class PartitionPruningSpec extends SparkSpec {
+  test("partition predicate reaches PartitionFilters and prunes the scan") {
+    import spark.implicits._
+    val db = s"prunedb${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    Seq((1, "2023", "01"), (2, "2024", "01"), (3, "2024", "02"))
+      .toDF("id", "year", "month")
+      .write.format("parquet").partitionBy("year", "month").saveAsTable(s"$db.t")
+    val q = spark.table(s"$db.t")
+      .filter(org.apache.spark.sql.functions.col("year") === "2024")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // predicate lands in PartitionFilters (directory pruning), with no
+    // residual data Filter node above the scan
+    assert(plan.contains("PartitionFilters: [isnotnull(year"), plan)
+    assert(!plan.contains("+- Filter "), plan)
+    assert(q.count() == 2)
+  }
+}
