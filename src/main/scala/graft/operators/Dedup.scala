@@ -93,6 +93,38 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Per-stage outcome of [[dedupPipeline]]. */
+  case class DedupStage(stage: String, docsIn: Long, docsOut: Long)
+
+  /** The standard document-dedup recipe, composed: exact text → normalized
+    * fingerprint → MinHash near-dup, each stage feeding the survivors of the
+    * previous (cheapest filters first, so the expensive LSH pass sees the
+    * smallest corpus). Returns survivors plus a per-stage report. */
+  def dedupPipeline(df: DataFrame, textCol: String, idCol: String,
+                    shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                    threshold: Double = 0.7): (DataFrame, Seq[DedupStage]) = {
+    val report = scala.collection.mutable.ListBuffer.empty[DedupStage]
+    val n0 = df.count()
+
+    val afterExact = df.join(
+      df.groupBy(textCol).agg(min(col(idCol)).as(idCol)).drop(textCol)
+        .select(col(idCol)), Seq(idCol), "left_semi")
+    val n1 = afterExact.count()
+    report += DedupStage("exact", n0, n1)
+
+    val afterFp = afterExact.join(
+      byFingerprint(afterExact, textCol, idCol).select(col(idCol)), Seq(idCol), "left_semi")
+    val n2 = afterFp.count()
+    report += DedupStage("fingerprint", n1, n2)
+
+    val afterMinhash = minhashDedup(afterFp, textCol, idCol,
+      shingleN, bands, rowsPerBand, threshold)
+    val n3 = afterMinhash.count()
+    report += DedupStage("minhash", n2, n3)
+
+    (afterMinhash, report.toSeq)
+  }
+
   /** Embedding-cosine near-dup pairs: LSH-bucketed by random-hyperplane sign
     * bits (shared deterministic planes), verified by exact cosine ≥ threshold.
     * Candidate generation is a bucket equi-join; no full cross join. */

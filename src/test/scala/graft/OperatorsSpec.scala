@@ -357,3 +357,24 @@ class StrictMappingSpec extends SparkSpec {
       Seq(MappingRow("id", "policy_id"), MappingRow("gone", "null")), strict = true)
   }
 }
+
+class DedupPipelineSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Dedup
+
+  test("composed dedup: exact, then fingerprint, then minhash, with a stage report") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq(
+      (1L, base),
+      (2L, base),                    // exact dup of 1
+      (3L, "  " + base.toUpperCase), // fingerprint dup of 1
+      (4L, base + " extra"),         // minhash near-dup of 1
+      (5L, "entirely different content about distributed query engines")
+    ).toDF("doc_id", "text")
+    val (survivors, report) = Dedup.dedupPipeline(df, "text", "doc_id",
+      shingleN = 2, threshold = 0.5)
+    assert(survivors.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 5L))
+    assert(report.map(s => (s.stage, s.docsIn, s.docsOut)) ==
+      Seq(("exact", 5L, 4L), ("fingerprint", 4L, 3L), ("minhash", 3L, 2L)))
+  }
+}
