@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.functions.{SimilarityFunctions => S}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF over a document corpus — term weighting for keyword extraction,
+  * search, and near-dup feature vectors.
+  *
+  * Scale shape: one explode + two hash aggregations (term frequency per doc,
+  * document frequency per token) and one broadcast-friendly join on token —
+  * the document-frequency table is vocabulary-sized, orders of magnitude
+  * smaller than the corpus, so the fact side never shuffles twice. */
+object Tfidf {
+
+  /** (doc, token, tf, df, tfidf) for every distinct (doc, token) pair.
+    * tf = occurrences of token in doc; df = docs containing token;
+    * tfidf = tf × ln(N / df). */
+  def tfidf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val n = docs.count()
+    val terms = docs.select(col(idCol), explode(S.tokens(col(textCol))).as("token"))
+    val tf = terms.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("token"))
+      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+  }
+
+  /** Top-k highest-tfidf tokens per document (deterministic: rounded score,
+    * then token, breaks ties). */
+  def topTerms(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    tfidf(docs, textCol, idCol)
+      .withColumn("tfidf_r", round(col("tfidf"), 6))
+      .withColumn("term_rank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("tfidf_r").desc, col("token"))))
+      .filter(col("term_rank") <= k)
+      .select(col(idCol), col("token"), col("tfidf_r"), col("term_rank"))
+}

@@ -158,6 +158,14 @@ object TextQueries {
         .orderBy(col("media_id"), col("frame_no"))
     }),
 
+    // TF-IDF top terms per document (classic term weighting; fully
+    // oracle-checked including the log-scaled scores).
+    "q42_tfidf" -> ((s, d) => {
+      graft.operators.Tfidf.topTerms(Tables(s, d, "documents"), "text", "doc_id", k = 3)
+        .withColumn("term_rank", col("term_rank").cast(LongType))
+        .orderBy(col("doc_id"), col("term_rank"))
+    }),
+
     // PII detect + scrub over free text (emails/SSNs/phones synthesized onto
     // the document corpus so counts are non-trivial).
     "q39_pii_scrub" -> ((s, d) => {
@@ -287,6 +295,23 @@ object TextQueries {
             for i in range(1, length(text) - 16 + 2)])
         ELSE NULL END AS min_kgram_hash
       FROM documents ORDER BY doc_id""",
+    "q42_tfidf" -> """
+      WITH terms AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        FROM documents WHERE trim(text) <> ''),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
+      docfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.token,
+               round(tf.tf * ln(CAST(n.n AS DOUBLE) / docfreq.df), 6) AS tfidf_r
+        FROM tf JOIN docfreq USING (token) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, token, tfidf_r,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_r DESC, token) AS term_rank
+        FROM scored)
+      SELECT doc_id, token, tfidf_r, CAST(term_rank AS BIGINT) AS term_rank
+      FROM ranked WHERE term_rank <= 3 ORDER BY doc_id, term_rank""",
     "q39_pii_scrub" -> """
       WITH docs AS (
         SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or '

@@ -378,3 +378,33 @@ class DedupPipelineSpec extends SparkSpec {
       Seq(("exact", 5L, 4L), ("fingerprint", 4L, 3L), ("minhash", 3L, 2L)))
   }
 }
+
+class TfidfSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Tfidf
+
+  test("tfidf: corpus-wide terms weigh zero, rare terms weigh high") {
+    val docs = Seq(
+      (1L, "common rare1 common"),
+      (2L, "common rare2"),
+      (3L, "common other")).toDF("doc_id", "text")
+    val out = Tfidf.tfidf(docs, "text", "doc_id")
+    val byToken = out.select("doc_id", "token", "tfidf")
+      .as[(Long, String, Double)].collect()
+      .groupBy(_._2).view.mapValues(_.head._3).toMap
+    assert(byToken("common") == 0.0) // in every doc → ln(3/3)=0
+    assert(math.abs(byToken("rare1") - math.log(3.0)) < 1e-12)
+    val tf2 = out.filter($"doc_id" === 1 && $"token" === "common")
+      .select("tf").as[Long].head()
+    assert(tf2 == 2) // term frequency counts repeats
+  }
+
+  test("topTerms returns k deterministic highest-weight tokens per doc") {
+    val docs = Seq((1L, "aa bb bb cc"), (2L, "aa dd")).toDF("doc_id", "text")
+    val top = Tfidf.topTerms(docs, "text", "doc_id", k = 2)
+    assert(top.filter($"doc_id" === 1).count() == 2)
+    val first = top.filter($"doc_id" === 1 && $"term_rank" === 1)
+      .select("token").as[String].head()
+    assert(first == "bb") // tf=2 of a doc-unique token dominates
+  }
+}
