@@ -231,6 +231,33 @@ object RefQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // A5-class: ROLLUP grouping (subtotals + grand total), null group keys
+    // coalesced for deterministic compare.
+    "q43_rollup" -> ((s, d) => {
+      Tables(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast(DoubleType).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy(col("status"), col("priority"))
+    }),
+
+    // Frame-based window: trailing 3-order moving sum per customer.
+    "q44_moving_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables(s, d, "orders")
+        .withColumn("trailing_sum",
+          sum(dec(col("o_totalprice"))).over(w).cast(DoubleType))
+        .select(col("o_custkey"), col("o_orderkey"), col("trailing_sum"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // unionByName — recombine split frames (entity-match recombination shape).
     "q18_union" -> ((s, d) => {
       val ev = Tables(s, d, "events")
@@ -352,6 +379,19 @@ object RefQueries {
       SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q43_rollup" -> """
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""",
+    "q44_moving_window" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_sum
+      FROM orders ORDER BY o_custkey, o_orderkey""",
     "q18_union" -> """
       SELECT event_id, event_type, CASE WHEN value >= 50 THEN 'big' ELSE 'small' END AS slice
       FROM events ORDER BY event_id""",
