@@ -231,6 +231,30 @@ object RefQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Semi/anti joins — the primitives behind the manual MERGE upsert (K5):
+    // customers WITH orders (semi) and WITHOUT orders (anti), one frame.
+    "q45_semi_anti" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders").select(col("o_custkey"))
+      val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .withColumn("has_orders", lit(true))
+      val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .withColumn("has_orders", lit(false))
+      withOrders.unionByName(withoutOrders)
+        .select(col("c_custkey"), col("has_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Exact linear-interpolation percentiles of order totals per status.
+    "q46_percentiles" -> ((s, d) => {
+      Tables(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // A5-class: ROLLUP grouping (subtotals + grand total), null group keys
     // coalesced for deterministic compare.
     "q43_rollup" -> ((s, d) => {
@@ -379,6 +403,15 @@ object RefQueries {
       SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q45_semi_anti" -> """
+      SELECT c_custkey,
+             EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_orders
+      FROM customer c ORDER BY c_custkey""",
+    "q46_percentiles" -> """
+      SELECT o_orderstatus,
+             round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q43_rollup" -> """
       SELECT COALESCE(o_orderstatus, 'ALL') AS status,
              COALESCE(o_orderpriority, 'ALL') AS priority,
