@@ -231,6 +231,21 @@ object RefQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // As-of join: each purchase event picks up the user's most recent prior
+    // view timestamp — single keyed shuffle + running window, no range/cross
+    // join; oracle via DuckDB's native ASOF JOIN.
+    "q47_asof_join" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"))
+      graft.operators.AsOfJoin.asof(purchases, views, Seq("user_id"),
+          "ts", "vts", Seq("vts"))
+        .select(col("event_id"), col("user_id"), col("vts").as("last_view_ts"))
+        .orderBy(col("event_id"))
+    }),
+
     // Semi/anti joins — the primitives behind the manual MERGE upsert (K5):
     // customers WITH orders (semi) and WITHOUT orders (anti), one frame.
     "q45_semi_anti" -> ((s, d) => {
@@ -403,6 +418,12 @@ object RefQueries {
       SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q47_asof_join" -> """
+      SELECT p.event_id, p.user_id, v.vts AS last_view_ts
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND p.ts >= v.vts
+      ORDER BY p.event_id""",
     "q45_semi_anti" -> """
       SELECT c_custkey,
              EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_orders

@@ -408,3 +408,29 @@ class TfidfSpec extends SparkSpec {
     assert(first == "bb") // tf=2 of a doc-unique token dominates
   }
 }
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.AsOfJoin
+
+  test("asof attaches the latest right state at or before each left time") {
+    val quotes = Seq(
+      ("A", 1L, 10.0), ("A", 5L, 11.0), ("B", 3L, 20.0)
+    ).toDF("sym", "qts", "px").select($"sym", $"qts", $"px".as("quote_px"), $"qts".as("quote_ts"))
+    val trades = Seq(
+      ("A", 0L), ("A", 1L), ("A", 4L), ("A", 7L), ("B", 2L), ("B", 9L)
+    ).toDF("sym", "tts")
+    val out = AsOfJoin.asof(trades, quotes, Seq("sym"), "tts", "qts",
+        Seq("quote_px", "quote_ts"))
+      .orderBy("sym", "tts")
+      .select("sym", "tts", "quote_px", "quote_ts")
+      .as[(String, Long, Option[Double], Option[Long])].collect().toSeq
+    assert(out == Seq(
+      ("A", 0L, None, None),             // before any quote
+      ("A", 1L, Some(10.0), Some(1L)),   // inclusive at equal time
+      ("A", 4L, Some(10.0), Some(1L)),
+      ("A", 7L, Some(11.0), Some(5L)),
+      ("B", 2L, None, None),
+      ("B", 9L, Some(20.0), Some(3L))))
+  }
+}
