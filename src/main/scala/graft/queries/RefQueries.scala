@@ -231,6 +231,24 @@ object RefQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Range join: error events located in their user's session interval via
+    // the binned point-in-interval equi-join (cross-validates sessionization:
+    // every event lands in exactly one of its user's sessions).
+    "q48_range_join" -> ((s, d) => {
+      val sessions = graft.streaming.StreamingOps.sessionizeBatch(
+          Tables(s, d, "events"), gapSecs = 1800, tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("session_id"),
+          unix_timestamp(col("session_start")).as("start_s"),
+          unix_timestamp(col("session_end")).as("end_s"))
+      val errors = Tables(s, d, "events")
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("ts_s"))
+      graft.operators.RangeJoin.pointInInterval(errors, sessions,
+          "ts_s", "start_s", "end_s", Seq("user_id"), binWidth = 3600)
+        .select(col("event_id"), col("user_id"), col("session_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // As-of join: each purchase event picks up the user's most recent prior
     // view timestamp — single keyed shuffle + running window, no range/cross
     // join; oracle via DuckDB's native ASOF JOIN.
@@ -418,6 +436,25 @@ object RefQueries {
       SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q48_range_join" -> """
+      WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts,
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM marked),
+      sessions AS (
+        SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end
+        FROM sess GROUP BY 1, 2)
+      SELECT e.event_id, e.user_id, s.session_id
+      FROM events e JOIN sessions s
+        ON e.user_id = s.user_id AND e.ts BETWEEN s.session_start AND s.session_end
+      WHERE e.event_type = 'error'
+      ORDER BY e.event_id""",
     "q47_asof_join" -> """
       SELECT p.event_id, p.user_id, v.vts AS last_view_ts
       FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p

@@ -434,3 +434,21 @@ class AsOfJoinSpec extends SparkSpec {
       ("B", 9L, Some(20.0), Some(3L))))
   }
 }
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.RangeJoin
+
+  test("binned point-in-interval join equals the naive BETWEEN join") {
+    val points = Seq((1L, 5L), (2L, 15L), (3L, 25L), (4L, 99L)).toDF("pid", "ts")
+    val intervals = Seq((10L, 0L, 9L), (20L, 10L, 30L), (30L, 20L, 26L))
+      .toDF("iid", "start", "end")
+    val binned = RangeJoin.pointInInterval(points, intervals, "ts", "start", "end",
+        Seq.empty, binWidth = 7)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = points.join(intervals, $"ts".between($"start", $"end"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(binned == naive)
+    assert(binned == Set((1L, 10L), (2L, 20L), (3L, 20L), (3L, 30L)))
+  }
+}
