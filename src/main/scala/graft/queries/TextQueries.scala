@@ -158,6 +158,16 @@ object TextQueries {
         .orderBy(col("media_id"), col("frame_no"))
     }),
 
+    // Deterministic train/val/test split: md5-bucket assignment is a pure
+    // function of doc_id — reproducible across engines (oracle replicates
+    // the exact arithmetic) and stable as the corpus grows.
+    "q49_split" -> ((s, d) => {
+      graft.operators.Sampling.splitByHash(Tables(s, d, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TF-IDF top terms per document (classic term weighting; fully
     // oracle-checked including the log-scaled scores).
     "q42_tfidf" -> ((s, d) => {
@@ -295,6 +305,15 @@ object TextQueries {
             for i in range(1, length(text) - 16 + 2)])
         ELSE NULL END AS min_kgram_hash
       FROM documents ORDER BY doc_id""",
+    "q49_split" -> """
+      SELECT doc_id,
+             CASE WHEN b < 52429 THEN 'train'
+                  WHEN b < 58982 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS b
+            FROM documents)
+      ORDER BY doc_id""",
     "q42_tfidf" -> """
       WITH terms AS (
         SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token

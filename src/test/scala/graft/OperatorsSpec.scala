@@ -452,3 +452,25 @@ class RangeJoinSpec extends SparkSpec {
     assert(binned == Set((1L, 10L), (2L, 20L), (3L, 20L), (3L, 30L)))
   }
 }
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Sampling
+
+  test("splitByHash is deterministic, exhaustive, and ~respects weights") {
+    val df = spark.range(10000).toDF("id")
+    val s1 = Sampling.splitByHash(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val s2 = Sampling.splitByHash(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(s1.collect().toSet == s2.collect().toSet) // reproducible
+    val counts = s1.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 10000)
+    assert(math.abs(counts("train") - 8000) < 300)
+    assert(math.abs(counts("val") - 1000) < 150)
+    // growing the corpus never moves existing rows between splits
+    val bigger = Sampling.splitByHash(spark.range(20000).toDF("id"), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val joined = s1.withColumnRenamed("split", "s1")
+      .join(bigger.withColumnRenamed("split", "s2"), "id")
+    assert(joined.filter($"s1" =!= $"s2").isEmpty)
+  }
+}
