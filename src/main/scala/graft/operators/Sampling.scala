@@ -29,4 +29,21 @@ object Sampling {
     }
     df.withColumn("split", expr)
   }
+
+  /** Deterministic stratified sample: keep `fractions(stratum)` of each
+    * stratum (default fraction for unlisted strata), selected by the same
+    * stable id-hash — the reproducible analog of `DataFrame.stat.sampleBy`.
+    * The hash is salted with the stratum so the same id can be selected in
+    * one stratum and not another. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0): DataFrame = {
+    val bucket = hashBucket(concat(col(stratumCol).cast("string"), lit("|"),
+      col(idCol).cast("string")))
+    val cutoff = fractions.foldLeft(lit(math.round(defaultFraction * 65536).toInt)) {
+      case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit(math.round(f * 65536).toInt)).otherwise(acc)
+    }
+    df.filter(bucket < cutoff)
+  }
 }

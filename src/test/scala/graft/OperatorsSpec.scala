@@ -474,3 +474,22 @@ class SamplingSpec extends SparkSpec {
     assert(joined.filter($"s1" =!= $"s2").isEmpty)
   }
 }
+
+class StratifiedSampleSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Sampling
+
+  test("stratified sample keeps ~per-stratum fractions, deterministically") {
+    val df = spark.range(6000).toDF("id")
+      .withColumn("grp", (org.apache.spark.sql.functions.col("id") % 3).cast("string"))
+    val s = Sampling.stratifiedSample(df, "id", "grp",
+      Map("0" -> 0.5, "1" -> 0.1), defaultFraction = 0.0)
+    val counts = s.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("0") - 1000) < 150) // 2000 * 0.5
+    assert(math.abs(counts("1") - 200) < 80)   // 2000 * 0.1
+    assert(!counts.contains("2"))              // default 0
+    val s2 = Sampling.stratifiedSample(df, "id", "grp",
+      Map("0" -> 0.5, "1" -> 0.1), defaultFraction = 0.0)
+    assert(s.collect().toSet == s2.collect().toSet)
+  }
+}
