@@ -93,6 +93,23 @@ object TextFunctions {
       regexp_replace(acc, pat, s"[${kind.toUpperCase}]")
     }
 
+  /** Token-window chunks for pretraining prep: split a document into windows
+    * of `chunkTokens` whitespace tokens advancing by `chunkTokens - overlap`,
+    * the last (possibly short) window included. Returns
+    * array<struct<chunk_id int, chunk>> — explode for one row per chunk.
+    * Pure HOF expression: no UDF, no shuffle. */
+  def chunkTokens(c: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(overlap >= 0 && overlap < chunkTokens, "0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = split(trim(c), "\\s+")
+    val n = size(toks)
+    // number of windows: ceil(max(n - overlap, 1) / stride), at least 1
+    val numChunks = greatest(ceil((n - overlap).cast("double") / stride).cast("int"), lit(1))
+    transform(sequence(lit(0), numChunks - 1), i =>
+      struct(i.as("chunk_id"),
+        array_join(slice(toks, i * stride + 1, lit(chunkTokens)), " ").as("chunk")))
+  }
+
   /** Content fingerprint: SHA-256 of normalized text (lowercase, whitespace
     * collapsed, trimmed). Equal fingerprints == exact near-whitespace dup. */
   def fingerprint(c: Column): Column =

@@ -158,6 +158,20 @@ object TextQueries {
         .orderBy(col("media_id"), col("frame_no"))
     }),
 
+    // Token-window chunking (pretraining prep): 64-token windows with
+    // 16-token overlap, one row per chunk, fully oracle-checked.
+    "q50_chunking" -> ((s, d) => {
+      val chunked = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(T.chunkTokens(col("text"), chunkTokens = 64, overlap = 16))
+            .as(Seq("__p", "c")))
+      chunked.select(col("doc_id"),
+          col("c.chunk_id").cast(LongType).as("chunk_id"),
+          col("c.chunk").as("chunk_text"))
+        .withColumn("chunk_tokens", T.tokenCount(col("chunk_text")).cast(LongType))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // Deterministic train/val/test split: md5-bucket assignment is a pure
     // function of doc_id — reproducible across engines (oracle replicates
     // the exact arithmetic) and stable as the corpus grows.
@@ -305,6 +319,18 @@ object TextQueries {
             for i in range(1, length(text) - 16 + 2)])
         ELSE NULL END AS min_kgram_hash
       FROM documents ORDER BY doc_id""",
+    "q50_chunking" -> """
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      chunks AS (
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_id,
+               array_to_string(t[(i * 48 + 1):(i * 48 + 64)], ' ') AS chunk_text
+        FROM toks, LATERAL (
+          SELECT unnest(range(0, greatest(CAST(ceil((len(t) - 16) / 48.0) AS BIGINT), 1))) AS i))
+      SELECT doc_id, chunk_id, chunk_text,
+             CAST(len(regexp_split_to_array(chunk_text, '\s+')) AS BIGINT) AS chunk_tokens
+      FROM chunks ORDER BY doc_id, chunk_id""",
     "q49_split" -> """
       SELECT doc_id,
              CASE WHEN b < 52429 THEN 'train'

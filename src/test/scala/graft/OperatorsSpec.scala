@@ -493,3 +493,21 @@ class StratifiedSampleSpec extends SparkSpec {
     assert(s.collect().toSet == s2.collect().toSet)
   }
 }
+
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.{TextFunctions => T}
+
+  test("chunkTokens: overlapping windows cover the doc; short docs get one chunk") {
+    val df = Seq(((1 to 10).map(i => s"w$i").mkString(" ")), "a b").toDF("text")
+    val out = df.select(explode(T.chunkTokens($"text", chunkTokens = 4, overlap = 1)).as("c"))
+      .select($"c.chunk_id", $"c.chunk").as[(Int, String)].collect().toSeq
+    // doc1: stride 3 → ceil((10-1)/3)=3 chunks: [w1..w4],[w4..w7],[w7..w10]
+    val doc1 = out.filter(_._2.startsWith("w"))
+    assert(doc1 == Seq((0, "w1 w2 w3 w4"), (1, "w4 w5 w6 w7"), (2, "w7 w8 w9 w10")))
+    // doc2 shorter than a window → single chunk with everything
+    assert(out.contains((0, "a b")))
+    // consecutive chunks overlap by exactly `overlap` tokens
+    assert(doc1(0)._2.split(" ").last == doc1(1)._2.split(" ").head)
+  }
+}
