@@ -231,6 +231,20 @@ object RefQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Snapshot diff (CDC): classify inserts/deletes/updates between two
+    // deterministic variants of orders — the incremental-refresh feed when a
+    // source only delivers full reloads.
+    "q51_snapshot_diff" -> ((s, d) => {
+      val orders = Tables(s, d, "orders")
+      val oldSnap = orders.filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+      val newSnap = orders.withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(7)) === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      graft.operators.SnapshotDiff.diff(oldSnap, newSnap, Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Range join: error events located in their user's session interval via
     // the binned point-in-interval equi-join (cross-validates sessionization:
     // every event lands in exactly one of its user's sessions).
@@ -436,6 +450,23 @@ object RefQueries {
       SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q51_snapshot_diff" -> """
+      WITH oldsnap AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+      newsnap AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders)
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN o.o_orderstatus <> n.o_orderstatus
+                    OR o.o_totalprice <> n.o_totalprice THEN 'update'
+                  ELSE 'unchanged' END AS change_type
+      FROM oldsnap o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey
+      WHERE NOT (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                 AND o.o_orderstatus = n.o_orderstatus AND o.o_totalprice = n.o_totalprice)
+      ORDER BY o_orderkey""",
     "q48_range_join" -> """
       WITH marked AS (
         SELECT user_id, ts, event_id,

@@ -511,3 +511,24 @@ class ChunkingSpec extends SparkSpec {
     assert(doc1(0)._2.split(" ").last == doc1(1)._2.split(" ").head)
   }
 }
+
+class SnapshotDiffSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.SnapshotDiff
+
+  test("diff classifies insert/delete/update and can keep unchanged rows") {
+    val oldS = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("k", "s", "v")
+    val newS = Seq((1, "a", 10.0), (2, "b", 99.0), (4, "d", 40.0)).toDF("k", "s", "v")
+    val out = SnapshotDiff.diff(oldS, newS, Seq("k"), Seq("s", "v"))
+      .select("k", "change_type").as[(Int, String)].collect().toMap
+    assert(out == Map(2 -> "update", 3 -> "delete", 4 -> "insert"))
+    val all = SnapshotDiff.diff(oldS, newS, Seq("k"), Seq("s", "v"), includeUnchanged = true)
+    assert(all.count() == 4)
+    // null-safe compare: null is distinct from any real value (incl. blank)
+    val o2 = Seq((1, Option.empty[String]), (2, Option.empty[String])).toDF("k", "s")
+    val n2 = Seq((1, Some(" ")), (2, Option.empty[String])).toDF("k", "s")
+    val ct = SnapshotDiff.diff(o2, n2, Seq("k"), Seq("s"), includeUnchanged = true)
+      .select("k", "change_type").as[(Int, String)].collect().toMap
+    assert(ct == Map(1 -> "update", 2 -> "unchanged"))
+  }
+}
