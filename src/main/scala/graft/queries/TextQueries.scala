@@ -158,6 +158,26 @@ object TextQueries {
         .orderBy(col("media_id"), col("frame_no"))
     }),
 
+    // Dedup clustering: near-dup pairs (blocked unigram jaccard, as q25) →
+    // connected components via min-label propagation; every doc reports its
+    // cluster id. Oracle computes the same closure with a recursive CTE.
+    "q52_dedup_clusters" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          array_distinct(S.tokens(col("text"))).as("toks"))
+      val a = docs.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("toks").as("t_a"))
+      val b = docs.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("toks").as("t_b"))
+      val pairs = a.join(b, Seq("lang", "source"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(S.jaccard(col("t_a"), col("t_b")) >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      val comp = graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+      Tables(s, d, "documents").select(col("doc_id"))
+        .join(comp, col("doc_id") === col("vertex"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-window chunking (pretraining prep): 64-token windows with
     // 16-token overlap, one row per chunk, fully oracle-checked.
     "q50_chunking" -> ((s, d) => {
@@ -319,6 +339,28 @@ object TextQueries {
             for i in range(1, length(text) - 16 + 2)])
         ELSE NULL END AS min_kgram_hash
       FROM documents ORDER BY doc_id""",
+    "q52_dedup_clusters" -> """
+      WITH toks AS (
+        SELECT doc_id, lang, source,
+               list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM toks a JOIN toks b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+              / CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS DOUBLE) >= 0.5),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      rec AS (
+        WITH RECURSIVE reach(v, l) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, reach.l FROM reach JOIN edges e ON e.src = reach.v)
+        SELECT v, min(l) AS component FROM reach GROUP BY v)
+      SELECT d.doc_id, COALESCE(rec.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN rec ON d.doc_id = rec.v
+      ORDER BY d.doc_id""",
     "q50_chunking" -> """
       WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),

@@ -532,3 +532,27 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(ct == Map(1 -> "update", 2 -> "unchanged"))
   }
 }
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.ConnectedComponents
+
+  test("min-label propagation finds components of chains, cliques, singletons") {
+    // chain 1-2-3-4, clique 10-11-12, pair 20-21
+    val edges = Seq((2L,1L),(2L,3L),(3L,4L),(10L,11L),(11L,12L),(10L,12L),(20L,21L))
+      .toDF("src", "dst")
+    val comp = ConnectedComponents.run(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L,2L,3L,4L).forall(comp(_) == 1L))
+    assert(Seq(10L,11L,12L).forall(comp(_) == 10L))
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+  }
+
+  test("dedupByComponents keeps one rep per cluster plus unpaired ids") {
+    val ids = Seq(1L,2L,3L,4L,5L,6L).toDF("doc_id")
+    val pairs = Seq((1L,2L),(2L,3L),(5L,6L)).toDF("id_a","id_b")
+    val kept = ConnectedComponents.dedupByComponents(ids, pairs, "doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L)) // {1,2,3}→1, 4 unpaired, {5,6}→5
+  }
+}
