@@ -15,31 +15,42 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param edges two-column frame (src, dst), undirected (direction ignored)
-    * @return (vertex, component) — component = min vertex id reachable */
+    * @return (vertex, component) — component = min vertex id reachable
+    *
+    * Each round: one neighbor-min hop + one path-halving jump
+    * (label ← label(label)), so convergence takes O(log diameter) rounds
+    * instead of O(diameter). Labels only ever decrease, so the sum of labels
+    * is a convergence certificate — one agg per round, no change-detection
+    * join. */
   def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
           maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    val sym = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .unionByName(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
       .distinct().cache()
     var labels = sym.select(col("a").as("v")).distinct()
       .withColumn("label", col("v")).cache()
+    var prevSum = Option.empty[java.math.BigDecimal]
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val neighborMin = sym
         .join(labels, sym("b") === labels("v"))
         .groupBy(col("a").as("v0")).agg(min(col("label")).as("nmin"))
-      val updated = labels.join(neighborMin, labels("v") === col("v0"), "left")
+      val hop = labels.join(neighborMin, labels("v") === col("v0"), "left")
         .select(col("v"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
-      updated.count()
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), col("u.v") === col("l.v"))
-        .filter(col("u.label") =!= col("l.label"))
-        .limit(1).count()
+      // path halving: label ← label(label)
+      val jumped = hop.alias("x")
+        .join(hop.select(col("v").as("lv"), col("label").as("ll")).alias("y"),
+          col("x.label") === col("lv"), "left")
+        .select(col("x.v").as("v"), coalesce(col("ll"), col("x.label")).as("label"))
+        // localCheckpoint truncates lineage — without it each round's plan
+        // nests the previous rounds' and planning/recompute cost explodes
+        .localCheckpoint(true)
+      val s = jumped.agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
       labels.unpersist()
-      labels = updated
-      converged = changed == 0
+      labels = jumped
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
       iter += 1
     }
     sym.unpersist()
