@@ -38,18 +38,22 @@ class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
     case And(l, r) => for (a <- rowPredicate(df, l); b <- rowPredicate(df, r)) yield a && b
     case Or(l, r)  => for (a <- rowPredicate(df, l); b <- rowPredicate(df, r)) yield a || b
     case Leaf(rule) => rule match {
+      // every leaf is coalesced to FALSE: a NULL input makes these SQL
+      // predicates NULL, and a three-valued row predicate would make the
+      // quarantine split drop the row from BOTH passed and failed frames
       case ColumnValues(c, pred) =>
         if (!df.columns.contains(c)) Some(lit(false))
-        else Some(valuePredicate(col(c), pred))
+        else Some(coalesce(valuePredicate(col(c), pred), lit(false)))
       case ColumnDataType(c, t) =>
         if (!df.columns.contains(c)) Some(lit(false))
-        else Some(try_cast_ok(col(c), t))
+        else Some(coalesce(try_cast_ok(col(c), t), lit(false)))
       case IsComplete(c) =>
         Some(if (df.columns.contains(c)) col(c).isNotNull else lit(false))
       case ColumnExists(c) => Some(lit(df.columns.contains(c)))
       case ColumnLength(c, op, n) =>
         if (!df.columns.contains(c)) Some(lit(false))
-        else Some(cmp(length(col(c).cast("string")).cast(DoubleType), op, lit(n)))
+        else Some(coalesce(
+          cmp(length(col(c).cast("string")).cast(DoubleType), op, lit(n)), lit(false)))
       case _ => None // dataset-level only (Completeness/RowCount/IsUnique/AggRule/CustomSql)
     }
   }
@@ -103,11 +107,15 @@ class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
       case And(l, r) => collect(l); collect(r)
       case Or(l, r)  => collect(l); collect(r)
       case Leaf(rule) => rule match {
+        // NULL predicate results count as VIOLATIONS (coalesce to false):
+        // a plain avg would skip them and report an all-NULL column as 100%
+        // compliant
         case ColumnValues(c, pred) if df.columns.contains(c) =>
           aggs.getOrElseUpdate(s"cv:${rule.describe}",
-            avg(valuePredicate(col(c), pred).cast(DoubleType)))
+            avg(coalesce(valuePredicate(col(c), pred), lit(false)).cast(DoubleType)))
         case ColumnDataType(c, t) if df.columns.contains(c) =>
-          aggs.getOrElseUpdate(s"cdt:$c:$t", avg(try_cast_ok(col(c), t).cast(DoubleType)))
+          aggs.getOrElseUpdate(s"cdt:$c:$t",
+            avg(coalesce(try_cast_ok(col(c), t), lit(false)).cast(DoubleType)))
         case Completeness(c, _, _) if df.columns.contains(c) =>
           aggs.getOrElseUpdate(s"comp:$c", avg(col(c).isNotNull.cast(DoubleType)))
         case IsComplete(c) if df.columns.contains(c) =>
@@ -198,7 +206,11 @@ class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
           val res = df.sparkSession.sql(sql)
           cmpOpt match {
             case Some((op, n)) =>
-              val v = Option(res.head().get(0)).map(_.toString.toDouble).getOrElse(Double.NaN)
+              // empty result (e.g. aggregate + HAVING with no groups) → NaN,
+              // which fails every comparator, instead of head() throwing
+              val v = res.limit(1).collect().headOption
+                .flatMap(r => Option(r.get(0))).map(_.toString.toDouble)
+                .getOrElse(Double.NaN)
               (cmpD(v, op, n), Some(v), if (cmpD(v, op, n)) None else Some(s"custom sql returned $v, expected $op $n"))
             case None =>
               val c = res.limit(1).count()
@@ -303,11 +315,14 @@ class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
       case None => df
     }
     ruleset.get("halt_rules").foreach { rules =>
-      try record(rulesetName, "halt", runHalt(df, rules)) // NOTE: original frame
-      catch {
-        case e: RuntimeException =>
-          record(rulesetName, "halt", evaluateDataset(df, rules)); throw e
-      }
+      // evaluate once, record, THEN throw — runHalt would discard the
+      // outcomes it computed when throwing (NOTE: original frame, the
+      // reference's pre-quarantine halt quirk)
+      val outcomes = evaluateDataset(df, rules)
+      record(rulesetName, "halt", outcomes)
+      if (outcomes.exists(!_.passed))
+        throw new RuntimeException("Data quality check failed: " +
+          outcomes.filterNot(_.passed).map(_.rule).mkString("; "))
     }
     filtered
   }

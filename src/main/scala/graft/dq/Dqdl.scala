@@ -172,8 +172,10 @@ object Dqdl {
   }
 
   private def parseValuePred(col: String, toks: List[Tok]): (Rule, List[Tok]) = toks match {
-    case Word("matches") :: Str(re) :: rest => (ColumnValues(col, Matches(re)), rest)
-    case Word("in") :: Sym("[") :: tail =>
+    // predicate keywords are case-insensitive, like the and/or connectors
+    case Word(w) :: Str(re) :: rest if w.equalsIgnoreCase("matches") =>
+      (ColumnValues(col, Matches(re)), rest)
+    case Word(w) :: Sym("[") :: tail if w.equalsIgnoreCase("in") =>
       val vals = scala.collection.mutable.ListBuffer.empty[String]
       var rest = tail
       var done = false
@@ -185,7 +187,8 @@ object Dqdl {
         case other => throw new IllegalArgumentException(s"bad in-list at: $other")
       }
       (ColumnValues(col, InList(vals.toSeq)), rest)
-    case Word("between") :: Num(lo) :: Word("and") :: Num(hi) :: rest =>
+    case Word(b) :: Num(lo) :: Word(a) :: Num(hi) :: rest
+      if b.equalsIgnoreCase("between") && a.equalsIgnoreCase("and") =>
       (ColumnValues(col, Between(lo, hi)), rest)
     case Sym(op) :: Num(d) :: rest if cmpOps(op) => (ColumnValues(col, Cmp(op, Left(d))), rest)
     case Sym(op) :: Str(s) :: rest if cmpOps(op) => (ColumnValues(col, Cmp(op, Right(s))), rest)

@@ -175,10 +175,12 @@ object EntityMatch {
     val primary = spark.table(primaryTable)
     val kept = primary.join(latest.select(col(gid)), Seq(gid), "left_anti")
     val merged = kept.unionByName(latest.select(primary.columns.map(col): _*))
-    val scratch = java.nio.file.Files.createTempDirectory("graft_upsert").toString
-    merged.write.mode(SaveMode.Overwrite).parquet(scratch)
-    spark.read.parquet(scratch).write.mode(SaveMode.Overwrite)
-      .option("overwriteSchema", "true").saveAsTable(primaryTable)
+    // scratch under the warehouse FS (works on real clusters) and cleaned up
+    graft.catalog.Scratch.withScratch(spark, "upsert") { scratch =>
+      merged.write.mode(SaveMode.Overwrite).parquet(scratch)
+      spark.read.parquet(scratch).write.mode(SaveMode.Overwrite)
+        .option("overwriteSchema", "true").saveAsTable(primaryTable)
+    }
   }
 
   /** Full entity-match job (etl_consume_entity_match.py:286-459): first run
@@ -206,8 +208,10 @@ object EntityMatch {
         .unionByName(fuzzyMatched).unionByName(newEntities)
       // materialize BEFORE upsert: the plan references the primary table,
       // whose files the upsert's overwrite deletes — re-executing it after
-      // the upsert (e.g. caller counts the result) would read dead files
-      val scratch = java.nio.file.Files.createTempDirectory("graft_em").toString
+      // the upsert (e.g. caller counts the result) would read dead files.
+      // This scratch intentionally outlives the call (the returned frame
+      // reads from it) — under the warehouse FS so executors see it.
+      val scratch = graft.catalog.Scratch.newDir(spark, "match_result")
       all.write.mode(SaveMode.Overwrite).parquet(scratch)
       val materialized = spark.read.parquet(scratch)
       upsert(spark, spec.primaryTable, materialized, spec)

@@ -45,8 +45,17 @@ class PipelineRunner(spark: SparkSession) {
     val lineage = ctx.lineage.getOrElse(new Lineage(args.executionId, args.lineageSink))
 
     // 1. format-dispatched read
+    val isFixed = spec.inputSpec.exists(_.has("fixed"))
+    if (isFixed) {
+      val missing = mapping.filter(_.threshold.isEmpty)
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        "fixed-width input: every mapping row needs a width (3rd column); missing for: " +
+          missing.map(_.sourceName).mkString(", "))
+      // silently skipping a width-less row would shift every later field's
+      // offsets and garble the whole file
+    }
     val fixedFields = mapping.collect {
-      case MappingRow(_, dest, Some(w), _) if spec.inputSpec.exists(_.has("fixed")) =>
+      case MappingRow(_, dest, Some(w), _) if isFixed =>
         Sources.FixedWidthField(dest, w.toInt)
     }
     val initial = Sources.read(spark, args.sourcePath, spec.inputSpec, fixedFields)
@@ -176,20 +185,31 @@ class PipelineRunner(spark: SparkSession) {
         try aligned.write.mode(SaveMode.Overwrite).insertInto(table)
         finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       } else {
-        // widening under evolve/permissive: full rewrite with the new schema
+        // widening under evolve/permissive: full rewrite with the new schema.
+        // Keep the overwrite semantics of the fast path: overwriteAll keeps
+        // NO old rows; otherwise old rows in the incoming partitions are
+        // replaced (idempotent per-partition reload), not duplicated.
         val widened = df.schema
         val old = spark.table(table)
         val oldAligned = old.select(widened.fieldNames.map(n =>
           (if (old.columns.contains(n)) col(n).cast(widened(n).dataType)
            else lit(null).cast(widened(n).dataType)).as(n)): _*)
-        val merged = oldAligned.unionByName(df)
-        // materialize to a scratch path BEFORE dropping (DROP TABLE on a
-        // managed table deletes its files; a spilled cache is not durable)
-        val scratch = java.nio.file.Files.createTempDirectory("graft_evolve").toString
-        merged.write.mode(SaveMode.Overwrite).parquet(scratch)
-        spark.sql(s"DROP TABLE $table")
-        val w = spark.read.parquet(scratch).write.format("parquet").mode(SaveMode.Overwrite)
-        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).saveAsTable(table)
+        val oldKept =
+          if (overwriteAll) oldAligned.limit(0)
+          else if (partitionCols.nonEmpty)
+            oldAligned.join(df.select(partitionCols.map(col): _*).distinct(),
+              partitionCols, "left_anti")
+          else oldAligned.limit(0)
+        val merged = oldKept.unionByName(df)
+        // materialize to a scratch path (on the warehouse filesystem, so it
+        // works on a real cluster) BEFORE dropping — DROP TABLE on a managed
+        // table deletes its files and a spilled cache is not durable
+        graft.catalog.Scratch.withScratch(spark, "evolve") { scratch =>
+          merged.write.mode(SaveMode.Overwrite).parquet(scratch)
+          spark.sql(s"DROP TABLE $table")
+          val w = spark.read.parquet(scratch).write.format("parquet").mode(SaveMode.Overwrite)
+          (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).saveAsTable(table)
+        }
       }
     }
   }
@@ -210,7 +230,15 @@ class PipelineRunner(spark: SparkSession) {
     if (!exists)
       withPart.write.format("parquet").mode(SaveMode.Append)
         .partitionBy(args.partition.keys.toSeq: _*).saveAsTable(table)
-    else withPart.select(spark.table(table).schema.fieldNames.map(col): _*)
-      .write.mode(SaveMode.Append).insertInto(table)
+    else {
+      // align leniently to the stored quarantine schema: historical columns
+      // the failed frame no longer has become nulls (a quarantine side-write
+      // must never kill the job over mapping drift); new columns are dropped
+      val target = spark.table(table).schema
+      val aligned = withPart.select(target.fields.map(f =>
+        (if (withPart.columns.contains(f.name)) col(f.name).cast(f.dataType)
+         else lit(null).cast(f.dataType)).as(f.name)).toSeq: _*)
+      aligned.write.mode(SaveMode.Append).insertInto(table)
+    }
   }
 }

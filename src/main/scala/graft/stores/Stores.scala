@@ -61,8 +61,16 @@ class TokenStore(path: String) {
   def append(pairs: DataFrame): Unit = {
     val spark = pairs.sparkSession
     val existing =
+      // only a missing path means "empty store"; any other read failure
+      // (corrupt footer, permissions) must NOT silently skip the dedup
+      // anti-join, or duplicate raw_data rows fan out every detokenize join
       try spark.read.parquet(path).select("raw_data", "hash_key")
-      catch { case _: Exception => spark.emptyDataFrame }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("PATH_NOT_FOUND") ||
+             e.getMessage.toLowerCase.contains("path does not exist") =>
+          spark.emptyDataFrame
+      }
     val fresh =
       if (existing.isEmpty) pairs.dropDuplicates("raw_data")
       else pairs.dropDuplicates("raw_data")

@@ -173,3 +173,34 @@ class DqResultsSpec extends SparkSpec {
     assert(stored.columns.contains("failure_reason"))
   }
 }
+
+class DqNullSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("NULL predicate rows land in FAILED, never vanish from the split") {
+    val df = Seq((1, Some(5.0)), (2, None), (3, Some(-1.0))).toDF("id", "amount")
+    val res = new graft.dq.DqEngine().runQuarantine(df, Seq("ColumnValues 'amount' > 0"))
+    assert(res.passed.select("id").as[Int].collect().toSeq == Seq(1))
+    assert(res.failed.select("id").as[Int].collect().sorted.toSeq == Seq(2, 3))
+    assert(res.passed.count() + res.failed.count() == 3) // nothing lost
+  }
+
+  test("all-NULL column reports 0% compliance, not a vacuous pass") {
+    val df = Seq((1, Option.empty[String]), (2, Option.empty[String])).toDF("id", "v")
+    val out = new graft.dq.DqEngine().evaluateDataset(df, Seq("ColumnValues 'v' matches '\\d+'"))
+    assert(!out.head.passed)
+    assert(out.head.metric.contains(0.0))
+  }
+
+  test("CustomSql comparator on empty result fails cleanly instead of throwing") {
+    val df = Seq((1, 5.0)).toDF("id", "v")
+    val out = new graft.dq.DqEngine().evaluateDataset(df, Seq(
+      "CustomSql 'SELECT v FROM primary WHERE v > 100' >= 1"))
+    assert(!out.head.passed)
+  }
+
+  test("BETWEEN keyword is case-insensitive") {
+    graft.dq.Dqdl.parse("ColumnValues 'x' BETWEEN 1 AND 5")
+    graft.dq.Dqdl.parse("ColumnValues 'x' Between 1 and 5")
+  }
+}
