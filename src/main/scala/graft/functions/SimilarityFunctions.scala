@@ -82,10 +82,12 @@ object SimilarityFunctions {
 
   // ------------------------------------------------------------------- Shingles
 
-  /** Lowercased whitespace tokens. */
-  def tokens(c: Column): Column =
-    when(trim(c) === "", array().cast(ArrayType(StringType)))
-      .otherwise(split(trim(lower(c)), "\\s+"))
+  /** Lowercased whitespace tokens (full-whitespace trim — Spark's trim
+    * strips only ' ', and a leading tab would yield a phantom empty token). */
+  def tokens(c: Column): Column = {
+    val t = graft.functions.TextFunctions.wsTrim(lower(c))
+    when(t === "", array().cast(ArrayType(StringType))).otherwise(split(t, "\\s+"))
+  }
 
   /** Word n-gram shingles as strings ("w1 w2 ... wn"). Pure HOF expression. */
   def wordShingles(c: Column, n: Int): Column = {

@@ -11,9 +11,13 @@ import org.apache.spark.sql.types._
   */
 object TextFunctions {
 
+  /** Trim ALL whitespace (Spark's trim strips only ' ' — a leading tab
+    * would otherwise produce a phantom empty token after split). */
+  def wsTrim(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+
   /** Whitespace token count. Empty/blank text counts 0. */
   def tokenCount(c: Column): Column =
-    when(trim(c) === "", lit(0)).otherwise(size(split(trim(c), "\\s+")))
+    when(wsTrim(c) === "", lit(0)).otherwise(size(split(wsTrim(c), "\\s+")))
 
   /** BPE-ish token-count estimate: counts maximal runs of letters, digits, or
     * other non-space symbols (each optionally preceded by one space) — the
@@ -33,10 +37,14 @@ object TextFunctions {
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"),
   )
 
-  /** Count of whole-word occurrences of `word` in lowercased text. */
+  /** Count of occurrences of `word` in lowercased text: whole-word (\b) for
+    * ASCII-word stopwords; plain substring count for CJK stopwords — \b never
+    * matches between CJK chars under Java's ASCII \w, so boundary-anchored
+    * CJK patterns would count zero in unsegmented text. */
   private def wordCount(c: Column, word: String): Column = {
     val quoted = java.util.regex.Pattern.quote(word)
-    regexp_count(lower(c), lit(s"\\b$quoted\\b"))
+    if (word.matches("^\\w+$")) regexp_count(lower(c), lit(s"\\b$quoted\\b"))
+    else regexp_count(lower(c), lit(quoted))
   }
 
   /** Per-language stopword score (sum of stopword hit counts). */
@@ -101,7 +109,7 @@ object TextFunctions {
   def chunkTokens(c: Column, chunkTokens: Int, overlap: Int): Column = {
     require(overlap >= 0 && overlap < chunkTokens, "0 <= overlap < chunkTokens")
     val stride = chunkTokens - overlap
-    val toks = split(trim(c), "\\s+")
+    val toks = split(wsTrim(c), "\\s+")
     val n = size(toks)
     // number of windows: ceil(max(n - overlap, 1) / stride), at least 1
     val numChunks = greatest(ceil((n - overlap).cast("double") / stride).cast("int"), lit(1))

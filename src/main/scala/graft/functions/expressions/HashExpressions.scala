@@ -109,15 +109,19 @@ object HashExpressions {
 
     @transient private lazy val matrix: Array[Array[Double]] =
       Array.tabulate(planes, dim)((p, d) => planeComponent(p, d))
+    private def isFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
 
     override def nullSafeEval(input: Any): Any =
       java.lang.Long.valueOf(
-        Kernels.hyperplaneBucket(input.asInstanceOf[ArrayData], matrix, dim))
+        Kernels.hyperplaneBucket(input.asInstanceOf[ArrayData], matrix, dim, isFloat))
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val mRef = ctx.addReferenceObj("hpMatrix", matrix, "double[][]")
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = $KernelsClass.hyperplaneBucket($c, $mRef, $dim);")
+        s"${ev.value} = $KernelsClass.hyperplaneBucket($c, $mRef, $dim, $isFloat);")
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
     override def prettyName: String = "hyperplane_bucket"
@@ -163,15 +167,19 @@ object HashExpressions {
       extends UnaryExpression {
     override def dataType: DataType = IntegerType
     override def nullIntolerant: Boolean = true
+    private def isFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
 
     override def nullSafeEval(input: Any): Any =
       java.lang.Integer.valueOf(
-        Kernels.nearestCentroid(input.asInstanceOf[ArrayData], centroids))
+        Kernels.nearestCentroid(input.asInstanceOf[ArrayData], centroids, isFloat))
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val cRef = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = $KernelsClass.nearestCentroid($c, $cRef);")
+        s"${ev.value} = $KernelsClass.nearestCentroid($c, $cRef, $isFloat);")
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
     override def prettyName: String = "nearest_centroid"

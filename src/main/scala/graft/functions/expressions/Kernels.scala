@@ -67,7 +67,8 @@ object Kernels {
     new GenericArrayData(sig)
   }
 
-  def hyperplaneBucket(arr: ArrayData, matrix: Array[Array[Double]], dim: Int): Long = {
+  def hyperplaneBucket(arr: ArrayData, matrix: Array[Array[Double]], dim: Int,
+                       isFloat: Boolean): Long = {
     val n = math.min(dim, arr.numElements())
     var bucket = 0L
     var p = 0
@@ -75,7 +76,10 @@ object Kernels {
       val row = matrix(p)
       var acc = 0.0
       var d = 0
-      while (d < n) { acc += arr.getFloat(d) * row(d); d += 1 }
+      while (d < n) {
+        acc += (if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)) * row(d)
+        d += 1
+      }
       if (acc > 0) bucket |= (1L << p)
       p += 1
     }
@@ -89,7 +93,8 @@ object Kernels {
 
   /** Index of the nearest centroid (max dot product ≙ min cosine distance for
     * normalized vectors); deterministic first-wins tie-break. */
-  def nearestCentroid(arr: ArrayData, centroids: Array[Array[Double]]): Int = {
+  def nearestCentroid(arr: ArrayData, centroids: Array[Array[Double]],
+                      isFloat: Boolean): Int = {
     var best = 0
     var bestScore = Double.NegativeInfinity
     var cIdx = 0
@@ -98,7 +103,10 @@ object Kernels {
       val n = math.min(c.length, arr.numElements())
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += arr.getFloat(i) * c(i); i += 1 }
+      while (i < n) {
+        acc += (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)) * c(i)
+        i += 1
+      }
       if (acc > bestScore) { bestScore = acc; best = cIdx }
       cIdx += 1
     }

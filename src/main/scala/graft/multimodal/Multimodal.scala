@@ -138,10 +138,12 @@ object Multimodal {
     mapBatched(media.select("media_id", "content", "meta"), batchSize, outSchema) { batch =>
       batch.iterator.map { r =>
         val content = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-        val meta = r.getStruct(2)
-        val channels = if (meta.isNullAt(3)) 3 else meta.getInt(3)
+        val meta = if (r.isNullAt(2)) null else r.getStruct(2)
+        val channels = if (meta == null || meta.isNullAt(3)) 3 else meta.getInt(3)
+        val fmt = if (meta == null) null else meta.get(0)
+        val dur = if (meta == null) null else meta.get(4)
         Row(r.getLong(0), StubCodec.resize(content, w, h, channels),
-          Row(meta.get(0), w, h, channels, meta.get(4)))
+          Row(fmt, w, h, channels, dur))
       }
     }
   }
@@ -152,9 +154,12 @@ object Multimodal {
   def sampleFrames(media: DataFrame, frameBytes: Int, everyN: Int): DataFrame = {
     val nFrames = floor(length(col("content")) / frameBytes).cast(IntegerType)
     media
-      .withColumn("__idx", sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(everyN)))
+      // blobs shorter than one frame (or with null content) emit ZERO rows —
+      // partial frames are dropped consistently, not only at the tail
+      .withColumn("__idx",
+        when(nFrames >= 1, sequence(lit(0), nFrames - 1, lit(everyN))))
       .select(col("media_id"), col("meta"), col("content"),
-        posexplode_outer(col("__idx")).as(Seq("frame_no", "__i")))
+        posexplode(col("__idx")).as(Seq("frame_no", "__i")))
       .withColumn("frame", expr(s"substring(content, __i * $frameBytes + 1, $frameBytes)"))
       .drop("__i", "content")
   }

@@ -197,7 +197,10 @@ object EntityMatch {
     if (!spark.catalog.tableExists(spec.primaryTable)) {
       val filled = fillGlobalId(incoming, gid)
       filled.write.mode(SaveMode.Overwrite).saveAsTable(spec.primaryTable)
-      filled
+      // return the PERSISTED rows: uuid() is nondeterministic per execution,
+      // so re-running the unmaterialized plan would hand the caller gids that
+      // match nothing in the primary table
+      spark.table(spec.primaryTable)
     } else {
       val primary = spark.table(spec.primaryTable)
       val (prematched, tomatch) = splitByNull(incoming, gid)

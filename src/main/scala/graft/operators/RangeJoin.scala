@@ -26,14 +26,25 @@ object RangeJoin {
                       keys: Seq[String], binWidth: Long,
                       joinType: String = "inner"): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val l = left.withColumn("__bin", floor(col(leftTs).cast(LongType) / binWidth))
+    val l = left.withColumn("__bin", floor(col(leftTs).cast(LongType) / binWidth)).alias("l")
     val r = right
       .withColumn("__bin", explode(sequence(
         floor(col(rightStart).cast(LongType) / binWidth),
         floor(col(rightEnd).cast(LongType) / binWidth))))
-    l.join(r, keys :+ "__bin", joinType)
-      .filter(col(leftTs).cast(LongType).between(
-        col(rightStart).cast(LongType), col(rightEnd).cast(LongType)))
-      .drop("__bin")
+      .alias("r")
+    // the range predicate goes INTO the join condition — filtering after the
+    // join would silently turn an outer join into an inner one (unmatched
+    // rows have null bounds, and filter drops null predicates)
+    val cond = (keys.map(k => col(s"l.$k") === col(s"r.$k")) :+
+      (col(s"l.__bin") === col(s"r.__bin")) :+
+      col(s"l.$leftTs").cast(LongType).between(
+        col(s"r.$rightStart").cast(LongType), col(s"r.$rightEnd").cast(LongType)))
+      .reduce(_ && _)
+    val rightOut = right.columns.filterNot(keys.contains)
+      .map(c => col(s"r.$c").as(c)).toSeq
+    l.join(r, cond, joinType)
+      .select(keys.map(k => col(s"l.$k").as(k)) ++
+        left.columns.filterNot(keys.contains).map(c => col(s"l.$c").as(c)) ++
+        rightOut: _*)
   }
 }

@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   * which depends on partitioning and seed plumbing. */
 object Sampling {
 
-  /** Stable bucket in [0, 65536) from the md5 of the stringified id. */
+  /** Stable bucket in [0, 65536) from the md5 of the stringified id.
+    * NULL ids land deterministically in bucket 0 (the first-named split /
+    * always-sampled stratum) instead of silently falling through to the
+    * LAST split via three-valued logic. */
   def hashBucket(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int")
+    coalesce(conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int"), lit(0))
 
   /** Assign each row a named split with the given weights (normalized).
     * Buckets partition [0, 65536) by cumulative weight. */

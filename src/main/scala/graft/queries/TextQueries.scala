@@ -281,8 +281,8 @@ object TextQueries {
       FROM documents GROUP BY 1 ORDER BY doc_id""",
     "q22_token_counts" -> """
       SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+             CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                  ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens,
              len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS n_bpeish
       FROM documents ORDER BY doc_id""",
     "q23_quality" -> """
@@ -297,8 +297,8 @@ object TextQueries {
                CAST(length(text) AS DOUBLE) AS chars,
                CAST(len(regexp_extract_all(text, '[\p{L}]')) AS DOUBLE) AS alpha,
                CAST(len(regexp_extract_all(text, '\s')) AS DOUBLE) AS spaces,
-               CAST(CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS words,
+               CAST(CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                    ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS DOUBLE) AS words,
                len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\band\b'))
                + len(regexp_extract_all(lower(text), '\bof\b')) + len(regexp_extract_all(lower(text), '\bto\b'))
                + len(regexp_extract_all(lower(text), '\ba\b')) + len(regexp_extract_all(lower(text), '\bin\b'))
@@ -309,7 +309,7 @@ object TextQueries {
     "q25_jaccard_block" -> """
       WITH toks AS (
         SELECT doc_id, lang, source,
-               list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+               list_distinct(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS t
         FROM documents)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CASE WHEN len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) = 0 THEN 0.0
@@ -342,7 +342,7 @@ object TextQueries {
     "q52_dedup_clusters" -> """
       WITH toks AS (
         SELECT doc_id, lang, source,
-               list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+               list_distinct(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS t
         FROM documents),
       pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -363,7 +363,7 @@ object TextQueries {
       ORDER BY d.doc_id""",
     "q50_chunking" -> """
       WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t FROM documents),
       chunks AS (
         SELECT doc_id,
                CAST(i AS BIGINT) AS chunk_id,
@@ -384,8 +384,8 @@ object TextQueries {
       ORDER BY doc_id""",
     "q42_tfidf" -> """
       WITH terms AS (
-        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
-        FROM documents WHERE trim(text) <> ''),
+        SELECT doc_id, unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS token
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
       tf AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
       docfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
       n AS (SELECT count(*) AS n FROM documents),

@@ -70,15 +70,25 @@ object StreamingOps {
             state.remove()
             Iterator.single(Session(userId, s.count, s.sum, (s.last - s.start) / 1000, closed = true))
           } else {
-            val evs = rows.toSeq
-            val prev = state.getOption.getOrElse(SessionState(0, 0.0, Long.MaxValue, 0L))
-            val next = evs.foldLeft(prev) { (st, e) =>
-              SessionState(st.count + 1, st.sum + e.value,
-                math.min(st.start, e.ts.getTime), math.max(st.last, e.ts.getTime))
+            // events inside one micro-batch can themselves span session gaps
+            // (catch-up/backfill batches) — process in time order and close a
+            // session whenever the in-batch gap exceeds gapMs, exactly like
+            // the batch-mode sessionizeBatch
+            val evs = rows.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.getOrElse(SessionState(0, 0.0, Long.MaxValue, 0L))
+            val closed = scala.collection.mutable.ListBuffer.empty[Session]
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              if (st.count > 0 && t - st.last > gapMs) {
+                closed += Session(userId, st.count, st.sum, (st.last - st.start) / 1000, closed = true)
+                st = SessionState(0, 0.0, Long.MaxValue, 0L)
+              }
+              st = SessionState(st.count + 1, st.sum + e.value,
+                math.min(st.start, t), math.max(st.last, t))
             }
-            state.update(next)
-            state.setTimeoutTimestamp(next.last + gapMs)
-            Iterator.empty
+            state.update(st)
+            state.setTimeoutTimestamp(st.last + gapMs)
+            closed.iterator
           }
       }
   }
@@ -130,12 +140,15 @@ object StreamingOps {
   }
 
   /** Run a streaming frame to completion over currently-available input and
-    * return the collected result via a memory sink (test/drain helper). */
-  def drainToMemory(df: DataFrame, queryName: String): DataFrame = {
+    * return the collected result via a memory sink (test/drain helper).
+    * Pass OutputMode.Complete for aggregated streams; the Append default
+    * suits sources/maps/sessionize. */
+  def drainToMemory(df: DataFrame, queryName: String,
+                    mode: OutputMode = OutputMode.Append): DataFrame = {
     val q: StreamingQuery = df.writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode(if (df.isStreaming) OutputMode.Complete else OutputMode.Append)
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -36,14 +36,18 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getInt(1) == 4 && meta.getInt(2) == 3)
   }
 
-  test("sampleFrames: one row per strided frame with positional index") {
+  test("sampleFrames: strided FULL frames only; short blobs emit zero rows") {
     val one = media.filter(col("media_id") === 1)
     val contentLen = one.select(length(col("content"))).as[Int].head()
     val frames = Multimodal.sampleFrames(one, frameBytes = 32, everyN = 2)
-    val expected = math.max((contentLen / 32 + 1) / 2, 1)
+    val full = contentLen / 32
+    val expected = (full + 1) / 2 // indices 0,2,4,... below `full`
     assert(frames.count() == expected)
     val f0 = frames.orderBy("frame_no").head()
-    assert(f0.getAs[Array[Byte]]("frame").length == math.min(32, contentLen))
+    assert(f0.getAs[Array[Byte]]("frame").length == 32)
+    // a blob shorter than one frame yields no rows at all
+    val tiny = Multimodal.sampleFrames(one, frameBytes = contentLen + 1, everyN = 1)
+    assert(tiny.count() == 0)
   }
 
   test("repartitionBySize bounds per-partition payload bytes") {

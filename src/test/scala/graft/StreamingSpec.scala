@@ -59,11 +59,16 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     val closed = spark.table("sessions").collect()
     q.stop()
-    assert(closed.length == 1)
-    val s = closed.head
-    assert(s.getAs[Long]("user_id") == 1L && s.getAs[Long]("n_events") == 2L
-      && s.getAs[Double]("total_value") == 3.0 && s.getAs[Long]("duration_secs") == 10L
-      && s.getAs[Boolean]("closed"))
+    // gap 1s: user 1's two events (10s apart) split IN-batch into two
+    // single-event sessions; user 2's 11:00 session closes when 12:00
+    // arrives. The 12:00 session is still open.
+    assert(closed.length == 3)
+    val u1 = closed.filter(_.getAs[Long]("user_id") == 1L)
+      .map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+    assert(u1 == Set((1L, 1.0), (1L, 2.0)))
+    val u2 = closed.filter(_.getAs[Long]("user_id") == 2L)
+    assert(u2.length == 1 && u2.head.getAs[Double]("total_value") == 9.0)
+    assert(closed.forall(_.getAs[Boolean]("closed")))
   }
 
   test("batch sessionization splits on gap and aggregates per session") {
