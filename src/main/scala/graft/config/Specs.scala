@@ -74,6 +74,18 @@ object Specs {
     text.linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n")
       .split(";").map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** JSON string escape shared by the JSONL lineage sink and Verify's
+    * oracle_sql.json writer (backslash, quote, all control chars). */
+  def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   // -------------------------------------------------- JsonNode access helpers
 
   implicit class NodeOps(val n: JsonNode) extends AnyVal {
@@ -82,7 +94,13 @@ object Specs {
     def dbl(field: String): Option[Double] = Option(n.get(field)).filterNot(_.isNull).map(_.asDouble)
     def bool(field: String): Option[Boolean] = Option(n.get(field)).filterNot(_.isNull).map(_.asBoolean)
     def strList(field: String): Seq[String] =
-      Option(n.get(field)).toSeq.flatMap(_.elements().asScala.map(_.asText()).toSeq)
+      Option(n.get(field)).filterNot(_.isNull).toSeq.flatMap { v =>
+        // lenient: a scalar where the dialect wants a list means the single
+        // value (silently returning empty would e.g. drop a filldown sort key
+        // and fill in arbitrary row order)
+        if (v.isArray) v.elements().asScala.map(_.asText()).toSeq
+        else Seq(v.asText())
+      }
     def elems: Seq[JsonNode] = n.elements().asScala.toSeq
     def objFields: Seq[(String, JsonNode)] =
       n.properties().asScala.toSeq.map(e => e.getKey -> e.getValue)

@@ -14,18 +14,23 @@ import org.apache.spark.sql.types._
   */
 object ColumnTransforms {
 
-  /** C1 `date` — parse string with a given pattern into DateType.
+  /** C1 `date` — parse string with a given pattern into DateType. Malformed
+    * values yield NULL (the reference runs non-ANSI Spark where to_date nulls
+    * on parse failure; Spark 4's default ANSI mode would throw and kill the
+    * job instead of letting DQ quarantine the row).
     * Ref: datatransform_typeconversion.py:26-45. */
-  def parseDate(c: Column, fmt: String): Column = to_date(c, fmt)
+  def parseDate(c: Column, fmt: String): Column =
+    try_to_timestamp(c, lit(fmt)).cast(DateType)
 
-  /** C2 `timestamp` — parse string with pattern into TimestampType.
-    * Ref: datatransform_typeconversion.py:48-68. */
-  def parseTimestamp(c: Column, fmt: String): Column = to_timestamp(c, fmt)
+  /** C2 `timestamp` — parse string with pattern into TimestampType; malformed
+    * → NULL (see parseDate). Ref: datatransform_typeconversion.py:48-68. */
+  def parseTimestamp(c: Column, fmt: String): Column = try_to_timestamp(c, lit(fmt))
 
   /** C3 `changetype` — cast to any DDL type string; `json` means serialize.
+    * Malformed values null out rather than throwing under ANSI.
     * Ref: datatransform_typeconversion.py:71-88. */
   def changeType(c: Column, ddl: String): Column =
-    if (ddl.equalsIgnoreCase("json")) to_json(c) else c.cast(ddl)
+    if (ddl.equalsIgnoreCase("json")) to_json(c) else c.try_cast(ddl)
 
   /** C4 `implieddecimal` — a numeric string whose last `digits` characters are an
     * implied fraction: "12345" w/ digits=2 → 123.45. Negatives keep their sign.
@@ -48,7 +53,7 @@ object ColumnTransforms {
     val cleaned =
       if (euro) translate(regexp_replace(c, "[^0-9,+-]", ""), ",", ".")
       else regexp_replace(c, "[^0-9.+-]", "")
-    cleaned.cast(DecimalType(precision, scale))
+    cleaned.try_cast(DecimalType(precision, scale).sql) // garbage → NULL, not ANSI abort
   }
 
   /** C6 `titlecase`. Ref: datatransform_typeconversion.py:163-177. */
@@ -96,13 +101,18 @@ object ColumnTransforms {
   def endDate(start: Column, months: Column): Column = add_months(start, months)
 
   /** C17 `policymonths` — months between two dates. `normalized=false` is plain
-    * months_between (31-day fraction) as decimal(16,2); `normalized=true` counts
-    * calendar months touched, inclusive (reference UDF months_between_normalized,
-    * datatransform_premium.py:30-45) — re-expressed with built-ins: the count of
-    * month starts in [trunc(start,'MM') .. end]. */
+    * months_between (31-day fraction) as decimal(16,2); `normalized=true` is
+    * the reference's floor-style month count (months_between_normalized,
+    * datatransform_premium.py:30-45): subtract one month from the end date
+    * (unless that lands before the start — one-month policies) and count month
+    * starts inclusive. A 12-month annual policy Jan 1→Jan 1 counts 12, not 13. */
   def policyMonths(start: Column, end: Column, normalized: Boolean = false): Column =
     if (!normalized) months_between(end, start).cast(DecimalType(16, 2))
-    else (months_between(trunc(end, "MM"), trunc(start, "MM")).cast(IntegerType) + 1)
+    else {
+      val prior0 = add_months(end, -1)
+      val prior = when(prior0 < start, end).otherwise(prior0)
+      months_between(trunc(prior, "MM"), trunc(start, "MM")).cast(IntegerType) + 1
+    }
 
   /** C18 `hash` — SHA-256 hex of the stringified column. The reference hashes
     * Python `str(value)` so SQL NULL hashes as the literal "None"
@@ -114,12 +124,22 @@ object ColumnTransforms {
     * Ref: datatransform_dataprotection.py:46-77. */
   def redact(mask: String): Column = lit(mask)
 
-  /** earnedpremium (straight-line): premium / policy-month-count for months within
-    * [periodStart..periodEnd]; guards zero/invalid month counts.
-    * Ref: datatransform_premium.py:162-178 (Python UDF) — pure Column here. */
-  def earnedPremiumStraightLine(premium: Column, totalMonths: Column): Column =
-    when(totalMonths.isNull.or(totalMonths <= 0), lit(null).cast(DecimalType(16, 2)))
-      .otherwise((premium / totalMonths).cast(DecimalType(16, 2)))
+  /** earnedpremium (straight-line): premium / normalized policy-month count,
+    * NULL outside the policy term — faithful to the reference UDF incl. its
+    * quirk that the period end must be on or before the FIRST day of the
+    * policy's last month (month_list[-1] is a month start).
+    * Ref: datatransform_premium.py:162-178. */
+  def earnedPremiumStraightLine(premium: Column, eff: Column, exp: Column,
+                                periodStart: Column, periodEnd: Column): Column = {
+    val nullDec = lit(null).cast(DecimalType(16, 2))
+    val lastMonthStart = trunc(exp, "MM")
+    when(premium.isNull || eff.isNull || exp.isNull ||
+        periodStart.isNull || periodEnd.isNull, nullDec)
+      .when(trunc(eff, "MM") > exp, nullDec) // empty month list (bad data)
+      .when(periodEnd < eff || periodEnd > lastMonthStart, nullDec)
+      .otherwise((premium / policyMonths(eff, exp, normalized = true))
+        .cast(DecimalType(16, 2)))
+  }
 
   /** earnedpremium (by-day): premium prorated by overlap-day count over total
     * policy days. Ref: datatransform_premium.py:181-201. */

@@ -18,9 +18,7 @@ class Lineage(executionId: String, sink: Option[String] = None) {
   private val seq = new AtomicInteger(0)
   private val entries = scala.collection.mutable.ListBuffer.empty[String]
 
-  private def esc(s: String): String =
-    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-                case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+  private def esc(s: String): String = graft.config.Specs.jsonEscape(s)
 
   def update(df: DataFrame, operation: String, detail: String = ""): Unit = {
     val n = seq.incrementAndGet()

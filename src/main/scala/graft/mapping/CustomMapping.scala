@@ -31,7 +31,7 @@ object CustomMapping {
     val available = scala.collection.mutable.LinkedHashSet(flat.columns: _*)
     val exact = rows.filter(_.threshold.isEmpty).flatMap { r =>
       if (!available.contains(r.sourceName)) {
-        if (strict && r.destName != "null") throw new IllegalArgumentException(
+        if (strict && !r.destName.equalsIgnoreCase("null")) throw new IllegalArgumentException(
           s"strict schema mapping: source column ${r.sourceName} missing from incoming data")
         None
       }
@@ -46,7 +46,9 @@ object CustomMapping {
         .headOption
       best.map { case (c, _) => available -= c; MappingRow(c, r.destName) }
     }
-    val selected = (exact ++ fuzzy).filterNot(_.destName == "null")
+    // the reference compares the drop sentinel case-insensitively
+    // (custom_mapping.py:88 lower()s it; shipped files spell it "Null")
+    val selected = (exact ++ fuzzy).filterNot(_.destName.equalsIgnoreCase("null"))
     flat.select(selected.map(r => col(s"`${r.sourceName}`").as(r.destName)): _*)
   }
 

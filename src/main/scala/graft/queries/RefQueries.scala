@@ -399,7 +399,9 @@ object RefQueries {
     "q10_dates" -> """
       SELECT o_orderkey, odate AS order_date,
              (odate + to_months(CAST(o_custkey % 12 AS INT)))::DATE AS end_date,
-             (1998 - year(odate)) * 12 + (12 - month(odate)) + 1 AS months_to_end
+             CASE WHEN odate > DATE '1998-11-30'
+                  THEN (1998 - year(odate)) * 12 + (12 - month(odate)) + 1
+                  ELSE (1998 - year(odate)) * 12 + (11 - month(odate)) + 1 END AS months_to_end
       FROM (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS odate FROM orders)
       ORDER BY o_orderkey""",
     "q11_implieddecimal" -> """

@@ -309,7 +309,8 @@ object TextQueries {
     "q25_jaccard_block" -> """
       WITH toks AS (
         SELECT doc_id, lang, source,
-               list_distinct(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS t
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) END AS t
         FROM documents)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CASE WHEN len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) = 0 THEN 0.0
@@ -342,7 +343,8 @@ object TextQueries {
     "q52_dedup_clusters" -> """
       WITH toks AS (
         SELECT doc_id, lang, source,
-               list_distinct(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS t
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) END AS t
         FROM documents),
       pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -371,7 +373,8 @@ object TextQueries {
         FROM toks, LATERAL (
           SELECT unnest(range(0, greatest(CAST(ceil((len(t) - 16) / 48.0) AS BIGINT), 1))) AS i))
       SELECT doc_id, chunk_id, chunk_text,
-             CAST(len(regexp_split_to_array(chunk_text, '\s+')) AS BIGINT) AS chunk_tokens
+             CASE WHEN chunk_text = '' THEN CAST(0 AS BIGINT)
+                  ELSE CAST(len(regexp_split_to_array(chunk_text, '\s+')) AS BIGINT) END AS chunk_tokens
       FROM chunks ORDER BY doc_id, chunk_id""",
     "q49_split" -> """
       SELECT doc_id,

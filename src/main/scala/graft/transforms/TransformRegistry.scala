@@ -111,7 +111,7 @@ object TransformRegistry {
     "implieddecimal" -> ((df, spec, _) => perEntry(df, spec) { s =>
       val (field, source) = fieldOrSource(s)
       val Array(p, sc) = s.str("format").getOrElse("16,2").split(",").map(_.trim.toInt)
-      field -> C.impliedDecimal(col(source), s.str("num_implied").get.toInt, p, sc)
+      field -> C.impliedDecimal(col(source), s.str("num_implied").getOrElse("2").toInt, p, sc)
     }),
 
     // C5 currency.
@@ -198,10 +198,14 @@ object TransformRegistry {
       }
     }),
 
-    // C10 literal — map of column → constant.
+    // C10 literal — map of column → constant, preserving the JSON value's
+    // native type (an int literal must not become a double partition value).
     "literal" -> ((df, spec, _) =>
       df.withColumns(spec.objFields.map { case (c, v) =>
-        c -> (if (v.isNumber) lit(v.asDouble) else lit(v.asText))
+        c -> (if (v.isIntegralNumber) lit(v.asLong)
+              else if (v.isNumber) lit(v.asDouble)
+              else if (v.isBoolean) lit(v.asBoolean)
+              else lit(v.asText))
       }.toMap)),
 
     // C13 addcolumns.
@@ -257,8 +261,8 @@ object TransformRegistry {
         field -> C.earnedPremiumByDay(premium,
           col(s.str("period_start_date").get), col(s.str("period_end_date").get), eff, exp)
       else
-        field -> C.earnedPremiumStraightLine(premium,
-          C.policyMonths(eff, exp, normalized = true))
+        field -> C.earnedPremiumStraightLine(premium, eff, exp,
+          col(s.str("period_start_date").get), col(s.str("period_end_date").get))
     }),
 
     // C11 combinecolumns — Python '{}' placeholders → '%s'.

@@ -75,7 +75,7 @@ class ColumnTransformsSpec extends SparkSpec {
       C.policyMonths($"s", $"e", normalized = true).as("norm"),
       C.policyMonths($"s", $"e").as("frac")).head()
     assert(row.getDate(0).toString == "2024-02-29") // month-end clamp
-    assert(row.getInt(1) == 3)                      // Jan, Feb, Mar
+    assert(row.getInt(1) == 2)                      // floor-style: Jan, Feb
     assert(row.getDecimal(2).toString == "1.03")    // months_between fraction
   }
 
@@ -96,10 +96,14 @@ class ColumnTransformsSpec extends SparkSpec {
       .withColumn("ps", lit("2024-01-01").cast("date"))
       .withColumn("pe", lit("2024-01-31").cast("date"))
     val row = df.select(
-      C.earnedPremiumStraightLine($"prem", $"months").as("sl"),
-      C.earnedPremiumByDay($"prem", $"ps", $"pe", $"eff", $"exp").as("bd")).head()
-    assert(row.getDecimal(0).toString == "100.00")
+      C.earnedPremiumStraightLine($"prem", $"eff", $"exp", $"ps", $"pe").as("sl"),
+      C.earnedPremiumByDay($"prem", $"ps", $"pe", $"eff", $"exp").as("bd"),
+      C.earnedPremiumStraightLine($"prem", $"eff", $"exp", $"ps",
+        org.apache.spark.sql.functions.lit("2026-06-30").cast("date")).as("outside")).head()
+    // reference floor months: Jan1..Dec31 normalizes to 11 months
+    assert(row.getDecimal(0).toString == "109.09")
     assert(row.getDecimal(1).toString == "101.64") // 31/366 * 1200
+    assert(row.isNullAt(2)) // period beyond the policy term → NULL
   }
 
   test("cleanNullTypes casts NullType columns to string") {

@@ -56,7 +56,8 @@ class TransformRegistrySpec extends SparkSpec {
           "policymonths": [{"field": "months", "policy_effective_date": "effdate",
             "policy_expiration_date": "calc_end", "normalized": true}],
           "earnedpremium": [{"field": "earned", "written_premium_list": ["premium"],
-            "policy_effective_date": "effdate", "policy_expiration_date": "calc_end"}],
+            "policy_effective_date": "effdate", "policy_expiration_date": "calc_end",
+            "period_start_date": "effdate", "period_end_date": "effdate"}],
           "combinecolumns": [{"field": "rowkey", "format": "{}-{}",
             "source_columns": ["policy", "state"]}],
           "filterrows": [{"condition": "amt1 is not null"}]
@@ -89,7 +90,7 @@ class TransformRegistrySpec extends SparkSpec {
     assert(row.getAs[Double]("product") == 20.0)
     assert(row.getAs[Double]("neg_total") == -12.0)
     assert(row.getAs[java.sql.Date]("calc_end").toString == "2025-01-01")
-    assert(row.getAs[Int]("months") == 13)
+    assert(row.getAs[Int]("months") == 12)
     assert(row.getAs[java.math.BigDecimal]("earned").doubleValue() > 0)
     assert(row.getAs[String]("rowkey") == "POL-1-CA")
     assert(out.count() == 1)
