@@ -14,14 +14,19 @@ object Bench {
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional arg: comma-separated query-name filter (local iteration only;
+    // the driver invokes with no args → full suite)
+    val wanted = args.headOption.map(_.split(",").toSeq)
+    val selected = wanted.fold(SparkEntry.queries.toSeq)(w =>
+      w.flatMap(k => SparkEntry.queries.get(k).map(k -> _)))
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

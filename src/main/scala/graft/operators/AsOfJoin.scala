@@ -43,9 +43,13 @@ object AsOfJoin {
         left.columns.filterNot(c => keys.contains(c)).map(c => col(c)): _*)
       .unionByName(rightTagged, allowMissingColumns = true)
 
-    // right rows sort BEFORE left rows at equal time → inclusive (<=) semantics
+    // right rows sort BEFORE left rows at equal time → inclusive (<=)
+    // semantics; the payload-hash tiebreak makes the winner among right rows
+    // with IDENTICAL timestamps deterministic (any stable total order works —
+    // without it, `last` returns whichever duplicate the sort happened to
+    // place last). xxhash64 orders any payload type, including maps.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__is_left"))
+      .orderBy(col("__t"), col("__is_left"), xxhash64(col("__payload")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = unioned.withColumn("__state", last(col("__payload"), ignoreNulls = true).over(w))

@@ -30,8 +30,12 @@ object ConnectedComponents {
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct().cache()
-    var labels = sym.select(col("a").as("v")).distinct()
-      .withColumn("label", col("v")).localCheckpoint(true)
+    // seed labels with the first neighbor-min hop folded into vertex
+    // extraction (label₀ = min(v, neighbors)) — one aggregation replaces the
+    // identity-label init + a full first round
+    var labels = sym.groupBy(col("a").as("v")).agg(min(col("b")).as("nm"))
+      .select(col("v"), least(col("v"), col("nm")).as("label"))
+      .localCheckpoint(true)
     var prevSum: Option[Any] = None
     var converged = false
     var iter = 0

@@ -96,33 +96,129 @@ object Dedup {
   /** Per-stage outcome of [[dedupPipeline]]. */
   case class DedupStage(stage: String, docsIn: Long, docsOut: Long)
 
+  /** Near-dup dedup with DETERMINISTIC results: drop every doc whose word
+    * n-gram shingle set has Jaccard ≥ threshold with an earlier (lower-id)
+    * doc, using the exact prefix-filtering join — the reproducible
+    * counterpart of [[minhashDedup]] (same contract, no LSH recall loss). */
+  def jaccardDedup(df: DataFrame, textCol: String, idCol: String,
+                   shingleN: Int = 3, threshold: Double = 0.7,
+                   blockCols: Seq[String] = Seq.empty): DataFrame = {
+    val toks = df.select(blockCols.map(col) :+ col(idCol) :+
+      S.wordShingles(col(textCol), shingleN).as("__sh"): _*)
+    val dupIds = jaccardSelfJoin(toks, "__sh", idCol, blockCols, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** The standard document-dedup recipe, composed: exact text → normalized
-    * fingerprint → MinHash near-dup, each stage feeding the survivors of the
-    * previous (cheapest filters first, so the expensive LSH pass sees the
-    * smallest corpus). Returns survivors plus a per-stage report. */
+    * fingerprint → near-dup, each stage feeding the survivors of the previous
+    * (cheapest filters first, so the expensive similarity pass sees the
+    * smallest corpus). Returns survivors plus a per-stage report.
+    *
+    * Each stage is persisted (MEMORY_AND_DISK) before its report count so the
+    * chain is computed once, not re-derived per downstream stage; intermediate
+    * stages are unpersisted once the final stage is materialized. The RETURNED
+    * frame stays persisted — caller unpersists when done.
+    *
+    * @param exactVerify true → stage 3 uses the deterministic prefix-filter
+    *                    Jaccard join ([[jaccardDedup]]); false → MinHash LSH
+    *                    ([[minhashDedup]], cheaper at very large corpus sizes)
+    * @param blockCols   near-dup blocking keys for the exactVerify path
+    *                    (e.g. per-language dedup); ignored by the LSH path
+    */
   def dedupPipeline(df: DataFrame, textCol: String, idCol: String,
                     shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                    threshold: Double = 0.7): (DataFrame, Seq[DedupStage]) = {
+                    threshold: Double = 0.7,
+                    exactVerify: Boolean = false,
+                    blockCols: Seq[String] = Seq.empty): (DataFrame, Seq[DedupStage]) = {
+    import org.apache.spark.storage.StorageLevel
     val report = scala.collection.mutable.ListBuffer.empty[DedupStage]
     val n0 = df.count()
 
     val afterExact = df.join(
       df.groupBy(textCol).agg(min(col(idCol)).as(idCol)).drop(textCol)
         .select(col(idCol)), Seq(idCol), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n1 = afterExact.count()
     report += DedupStage("exact", n0, n1)
 
     val afterFp = afterExact.join(
       byFingerprint(afterExact, textCol, idCol).select(col(idCol)), Seq(idCol), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n2 = afterFp.count()
     report += DedupStage("fingerprint", n1, n2)
 
-    val afterMinhash = minhashDedup(afterFp, textCol, idCol,
-      shingleN, bands, rowsPerBand, threshold)
-    val n3 = afterMinhash.count()
-    report += DedupStage("minhash", n2, n3)
+    val afterNearDup =
+      (if (exactVerify) jaccardDedup(afterFp, textCol, idCol, shingleN, threshold, blockCols)
+       else minhashDedup(afterFp, textCol, idCol, shingleN, bands, rowsPerBand, threshold))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val n3 = afterNearDup.count() // materializes the final stage
+    report += DedupStage(if (exactVerify) "jaccard" else "minhash", n2, n3)
+    afterExact.unpersist()
+    afterFp.unpersist()
 
-    (afterMinhash, report.toSeq)
+    (afterNearDup, report.toSeq)
+  }
+
+  /** EXACT all-pairs Jaccard self-join via prefix filtering — the deterministic
+    * counterpart of [[minhashPairs]]: returns EVERY pair with token-set Jaccard
+    * ≥ `threshold` (no LSH recall loss), without ever joining all pairs.
+    *
+    * Algorithm (prefix-filtering principle, as in the AllPairs/PPJoin family
+    * and the MapReduce set-similarity join of Vernica/Carey/Li, SIGMOD 2010):
+    * order each document's distinct tokens by ascending global frequency
+    * (rarest first; ties by token) and key each doc only by its first
+    * `|x| − ⌈t·|x|⌉ + 1` tokens. Any pair with Jaccard ≥ t shares ≥ ⌈t·max⌉
+    * common tokens, and its first common token (in the canonical order)
+    * provably falls inside BOTH prefixes — so an equi-join on
+    * (block, prefix-token) has 100% recall. Candidates are then length-filtered
+    * (min-size ≥ t·max-size), deduped, and exact-verified.
+    *
+    * Scale: shuffles are linear in corpus token count; the self-join keys on
+    * RARE tokens (frequent tokens live in suffixes), so bucket sizes stay
+    * bounded where an all-pairs-per-block join is quadratic. Replaces the
+    * reference-style blocked cross pairing for dedup clustering.
+    *
+    * @param df        input with `idCol`, `tokensCol` (array; de-dup'd inside)
+    *                  and `blockCols` (pairs must agree on these; may be empty)
+    * @param threshold Jaccard threshold in (0, 1]
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
+    */
+  def jaccardSelfJoin(df: DataFrame, tokensCol: String, idCol: String,
+                      blockCols: Seq[String], threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1]: $threshold")
+    val blocks = blockCols.map(col)
+    val base = df
+      .select(blocks :+ col(idCol).as("id") :+ array_distinct(col(tokensCol)).as("toks"): _*)
+      .withColumn("sz", size(col("toks")))
+      .filter(col("sz") > 0) // empty sets have Jaccard 0 with everything
+    val tok = base.select(blocks :+ col("id") :+ col("sz") :+ explode(col("toks")).as("token"): _*)
+    val freq = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val ranked = tok.join(freq, Seq("token"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("cnt"), col("token"))))
+    val prefixLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
+    // eager localCheckpoint: the prefix subtree (scan → explode → freq join →
+    // per-doc rank) feeds BOTH sides of the self-join below; materializing it
+    // once halves the heaviest stage. Executor-local blocks — swap for
+    // reliable checkpoint on preemptible clusters.
+    val prefix = ranked.filter(col("rnk") <= prefixLen)
+      .select(blocks :+ col("token") :+ col("id") :+ col("sz"): _*)
+      .localCheckpoint(true)
+    val a = prefix.select(blocks ++ Seq(col("token"), col("id").as("id_a"), col("sz").as("sz_a")): _*)
+    val b = prefix.select(blocks ++ Seq(col("token"), col("id").as("id_b"), col("sz").as("sz_b")): _*)
+    val candidates = a.join(b, blockCols :+ "token")
+      .filter(col("id_a") < col("id_b"))
+      // length filter: J ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|)
+      .filter(least(col("sz_a"), col("sz_b")).cast("double")
+        >= greatest(col("sz_a"), col("sz_b")) * threshold)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("id").as("id_a"), col("toks").as("t_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("toks").as("t_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), S.jaccard(col("t_a"), col("t_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Embedding-cosine near-dup pairs: LSH-bucketed by random-hyperplane sign

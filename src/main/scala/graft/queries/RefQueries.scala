@@ -1,7 +1,11 @@
 package graft.queries
 
+import graft.config.Specs
+import graft.config.Specs.NodeOps
 import graft.functions.{ColumnTransforms => C, StructuredTransforms => G}
 import graft.operators.{Lookup, WindowOps}
+import graft.stores.TokenStore
+import graft.transforms.{TransformContext, TransformRegistry}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -191,6 +195,79 @@ object RefQueries {
       G.expandArray(p, "words", "word_index", "word")
         .withColumn("word_index", col("word_index").cast(LongType))
         .orderBy(col("p_partkey"), col("word_index"))
+    }),
+
+    // C2/C6/C8/C9/C20 via the config-driven TransformRegistry dialect:
+    // timestamp parse (malformed → NULL), titlecase, regex extract/replace,
+    // tokenize with a REAL token-store write — the store is read back and
+    // joined on the hash so the oracle verifies the K6 round trip too.
+    "q54_string_protect" -> ((s, d) => {
+      val storePath = s"/tmp/graft_tokstore_q54/${math.abs(d.hashCode)}"
+      val base = Tables(s, d, "customer")
+        .withColumn("segment", lower(col("c_mktsegment")))
+        .withColumn("phone", concat(lit("555-"), lpad(pmod(col("c_custkey"), lit(10000)), 4, "0")))
+        .withColumn("ts_str",
+          when(pmod(col("c_custkey"), lit(11)) === 0, lit("not-a-date"))
+            .otherwise(concat(lit("2026-0"), pmod(col("c_custkey"), lit(9)) + 1,
+              lit("-1"), pmod(col("c_custkey"), lit(9)),
+              lit(" 07:3"), pmod(col("c_custkey"), lit(6)), lit(":15"))))
+      val spec = Specs.parseJson("""{
+          "titlecase": ["segment"],
+          "columnfromcolumn": [{"field": "cust_num", "source": "c_name", "pattern": "Customer#0*(\\d+)"}],
+          "columnreplace": [{"field": "name_short", "source": "c_name", "pattern": "Customer#", "replacement": "C-"}],
+          "timestamp": [{"field": "ts_parsed", "source": "ts_str", "format": "yyyy-MM-dd HH:mm:ss"}],
+          "tokenize": ["phone"]
+        }""")
+      val ctx = TransformContext(s, tokenStore = Some(new TokenStore(storePath)))
+      val out = TransformRegistry.applyAll(base, spec.objFields, ctx)
+      val store = new TokenStore(storePath).read(s)
+        .select(col("hash_key"), col("raw_data").as("detokenized"))
+      out.join(store, col("phone") === col("hash_key"))
+        .select(col("c_custkey"), col("segment"), col("cust_num"), col("name_short"),
+          col("ts_parsed").cast("timestamp_ntz").as("ts_parsed"),
+          col("phone").as("phone_token"), col("detokenized"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // G5 json string→struct (schema inferred) → G3 one-level flatten →
+    // G2 expandmap to (index, key, value) rows, chained.
+    "q55_nested_structs" -> ((s, d) => {
+      val n = Tables(s, d, "nation")
+        .withColumn("payload", to_json(struct(
+          col("n_nationkey").cast(LongType).as("key_a"),
+          col("n_regionkey").cast(LongType).as("key_b"))))
+        .select(col("n_nationkey"), col("n_name"), col("payload"))
+      val parsed = G.jsonStringToStruct(n, "payload")
+      val flat = G.flattenOneLevel(parsed, "payload", keepParent = true)
+      val rows = G.expandMap(flat, "payload", "prop_index", "prop_key", "prop_value")
+      rows.select(col("n_nationkey").cast(LongType).as("n_nationkey"), col("n_name"),
+          col("payload_key_a"), col("payload_key_b"),
+          col("prop_index").cast(LongType).as("prop_index"),
+          col("prop_key"), col("prop_value"))
+        .orderBy(col("n_nationkey"), col("prop_index"))
+    }),
+
+    // G6 expandpolicymonths + earnedpremium in BOTH modes (straight-line with
+    // its outside-the-term NULL quirk, and by-day proration) — orders recast
+    // as policies with a per-row month term.
+    "q56_policy_expand" -> ((s, d) => {
+      val pol = Tables(s, d, "orders").filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("eff"),
+          add_months(to_date(col("o_orderdate")),
+            (pmod(col("o_custkey"), lit(12)) + 1).cast(IntegerType)).as("exp"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("written_premium"))
+      val expanded = G.expandPolicyMonths(pol, "eff", "exp")
+      expanded.select(col("o_orderkey"),
+          col("policy_month_index").cast(LongType).as("policy_month_index"),
+          col("policy_month_start"), col("last_day_of_month"),
+          C.earnedPremiumStraightLine(col("written_premium"), col("eff"), col("exp"),
+            col("policy_month_start"), col("policy_month_start"))
+            .cast(DoubleType).as("earned_sl"),
+          C.earnedPremiumByDay(col("written_premium"), col("policy_month_start"),
+            col("last_day_of_month"), col("eff"), col("exp"))
+            .cast(DoubleType).as("earned_byday"))
+        .orderBy(col("o_orderkey"), col("policy_month_index"))
     }),
 
     // G5-ish JSON string column — extract + aggregate.
@@ -404,6 +481,63 @@ object RefQueries {
                   ELSE (1998 - year(odate)) * 12 + (11 - month(odate)) + 1 END AS months_to_end
       FROM (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS odate FROM orders)
       ORDER BY o_orderkey""",
+    "q54_string_protect" -> """
+      SELECT c_custkey,
+             upper(substr(lower(c_mktsegment), 1, 1)) || substr(lower(c_mktsegment), 2) AS segment,
+             regexp_extract(c_name, 'Customer#0*(\d+)', 1) AS cust_num,
+             regexp_replace(c_name, 'Customer#', 'C-', 'g') AS name_short,
+             try_strptime(ts_str, '%Y-%m-%d %H:%M:%S') AS ts_parsed,
+             sha256('555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')) AS phone_token,
+             '555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS detokenized
+      FROM (SELECT *, CASE WHEN c_custkey % 11 = 0 THEN 'not-a-date'
+                           ELSE '2026-0' || CAST(c_custkey % 9 + 1 AS VARCHAR)
+                                || '-1' || CAST(c_custkey % 9 AS VARCHAR)
+                                || ' 07:3' || CAST(c_custkey % 6 AS VARCHAR) || ':15' END AS ts_str
+            FROM customer)
+      ORDER BY c_custkey""",
+    "q55_nested_structs" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+             CAST(n_nationkey AS BIGINT) AS payload_key_a,
+             CAST(n_regionkey AS BIGINT) AS payload_key_b,
+             CAST(i AS BIGINT) AS prop_index,
+             CASE WHEN i = 1 THEN 'key_a' ELSE 'key_b' END AS prop_key,
+             CAST(CASE WHEN i = 1 THEN n_nationkey ELSE n_regionkey END AS BIGINT) AS prop_value
+      FROM nation, (SELECT unnest([1, 2]) AS i)
+      ORDER BY n_nationkey, prop_index""",
+    "q56_policy_expand" -> """
+      WITH pol AS (
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS eff,
+               (CAST(o_orderdate AS DATE) + to_months(CAST(o_custkey % 12 + 1 AS INT)))::DATE AS exp,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS premium_cents
+        FROM orders WHERE o_orderkey % 20 = 0),
+      m AS (
+        SELECT pol.*,
+               CASE WHEN (exp + to_months(-1))::DATE < eff THEN exp
+                    ELSE (exp + to_months(-1))::DATE END AS prior
+        FROM pol),
+      mm AS (
+        SELECT m.*, datediff('month', date_trunc('month', eff), date_trunc('month', prior)) + 1 AS n_months
+        FROM m),
+      exp_rows AS (
+        SELECT mm.*, CAST(i + 1 AS BIGINT) AS policy_month_index,
+               (date_trunc('month', eff) + to_months(CAST(i AS INT)))::DATE AS policy_month_start
+        FROM mm, LATERAL (SELECT unnest(range(0,
+               datediff('month', date_trunc('month', eff), date_trunc('month', exp)) + 1)) AS i)),
+      calc AS (
+        SELECT exp_rows.*, last_day(policy_month_start) AS last_day_of_month,
+               greatest(policy_month_start, eff) AS cs,
+               least(last_day(policy_month_start), exp) AS ce,
+               datediff('day', eff, exp) + 1 AS total_days
+        FROM exp_rows)
+      SELECT o_orderkey, policy_month_index, policy_month_start, last_day_of_month,
+             CASE WHEN policy_month_start < eff OR policy_month_start > date_trunc('month', exp)
+                  THEN NULL
+                  ELSE CAST((2 * premium_cents + n_months) // (2 * n_months) AS DOUBLE) / 100 END AS earned_sl,
+             CAST((2 * premium_cents * (datediff('day', cs, ce) + 1) + total_days)
+                  // (2 * total_days) AS DOUBLE) / 100 AS earned_byday
+      FROM calc
+      ORDER BY o_orderkey, policy_month_index""",
     "q11_implieddecimal" -> """
       SELECT l_orderkey, l_linenumber,
              CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE) / 100 AS implied_price

@@ -7,20 +7,33 @@ import org.apache.spark.sql.functions._
   *
   * `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized reader
   * rejects; we read nanos as long (`spark.sql.legacy.parquet.nanosAsLong`) and
-  * rebuild a microsecond TIMESTAMP_NTZ — same wall-clock values DuckDB sees. */
+  * rebuild a microsecond TIMESTAMP_NTZ — same wall-clock values DuckDB sees.
+  *
+  * Spark 4.1 has no per-read option for nanosAsLong (session conf only), so
+  * the flip is made safe instead of per-read: it runs under a global lock and
+  * only ONCE per (session, dir) — the resolved plan is memoized and reused.
+  * The conf affects only schema inference of TIMESTAMP(NANOS) columns, so a
+  * concurrent read of any OTHER table (none carry nanos) is unaffected by a
+  * transient `true`; concurrent events reads are serialized by the memoizer.
+  */
 object Tables {
+  private val eventsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // restore the caller's prior conf value (hardcoding "false" would
-      // clobber a session that legitimately runs with nanosAsLong=true);
-      // note this flip is still not safe under concurrent plan construction
-      val prior = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      try spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
-      finally prior match {
-        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-      }
+      val key = System.identityHashCode(spark) + ":" + dir
+      eventsCache.computeIfAbsent(key, _ => this.synchronized {
+        // restore the caller's prior conf value (hardcoding "false" would
+        // clobber a session that legitimately runs with nanosAsLong=true)
+        val prior = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+        finally prior match {
+          case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+          case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        }
+      })
     } else spark.read.parquet(s"$dir/$name.parquet")
 }

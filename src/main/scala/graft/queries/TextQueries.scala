@@ -49,18 +49,13 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // n-gram (unigram) Jaccard near-dup within (lang, source) blocks — the
-    // exact verification step of blocked dedup, fully oracle-checked.
+    // n-gram (unigram) Jaccard near-dup within (lang, source) blocks — EXACT
+    // result via the prefix-filtering similarity join (100% recall, no
+    // all-pairs-per-block quadratics), fully oracle-checked.
     "q25_jaccard_block" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
-        .select(col("doc_id"), col("lang"), col("source"),
-          array_distinct(S.tokens(col("text"))).as("toks"))
-      val a = docs.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("toks").as("t_a"))
-      val b = docs.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("toks").as("t_b"))
-      a.join(b, Seq("lang", "source"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), S.jaccard(col("t_a"), col("t_b")).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_id"), col("lang"), col("source"), S.tokens(col("text")).as("toks"))
+      Dedup.jaccardSelfJoin(docs, "toks", "doc_id", Seq("lang", "source"), 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -141,11 +136,16 @@ object TextQueries {
 
     // Multimodal plumbing: binary media table → batched stub-decode →
     // fixed-dim embeddings (rows-only; decode is the documented stub).
+    // The embedding array is emitted as a JSON string of rounded values:
+    // the driver's checker sorts result columns, and a raw float array is
+    // unhashable there — and a stable text form is deterministic anyway.
     "q34_media_featurize" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.asMediaTable(
         Tables(s, d, "documents"), "doc_id", "text")
       graft.multimodal.Multimodal.featurize(media, dim = 16, batchSize = 128)
-        .select(col("media_id"), col("n_bytes"), col("embedding"))
+        .select(col("media_id"), col("n_bytes"),
+          to_json(transform(col("embedding"), x => round(x.cast(DoubleType), 6)))
+            .as("embedding_json"))
         .orderBy(col("media_id"))
     }),
 
@@ -158,23 +158,31 @@ object TextQueries {
         .orderBy(col("media_id"), col("frame_no"))
     }),
 
-    // Dedup clustering: near-dup pairs (blocked unigram jaccard, as q25) →
-    // connected components via min-label propagation; every doc reports its
-    // cluster id. Oracle computes the same closure with a recursive CTE.
+    // Dedup clustering: near-dup pairs (blocked unigram jaccard, same
+    // semantics as q25 but via the exact prefix-filtering join) → connected
+    // components via min-label propagation; every doc reports its cluster id.
+    // Oracle computes the same closure with a recursive CTE.
     "q52_dedup_clusters" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
-        .select(col("doc_id"), col("lang"), col("source"),
-          array_distinct(S.tokens(col("text"))).as("toks"))
-      val a = docs.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("toks").as("t_a"))
-      val b = docs.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("toks").as("t_b"))
-      val pairs = a.join(b, Seq("lang", "source"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(S.jaccard(col("t_a"), col("t_b")) >= 0.5)
+        .select(col("doc_id"), col("lang"), col("source"), S.tokens(col("text")).as("toks"))
+      val pairs = Dedup.jaccardSelfJoin(docs, "toks", "doc_id", Seq("lang", "source"), 0.5)
         .select(col("id_a"), col("id_b"))
       val comp = graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
       Tables(s, d, "documents").select(col("doc_id"))
         .join(comp, col("doc_id") === col("vertex"), "left")
         .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Composed dedup pipeline (exact text → normalized fingerprint → blocked
+    // near-dup, cheapest first, stages persisted) with the DETERMINISTIC
+    // prefix-filter Jaccard stage so the whole chain is oracle-checkable
+    // end-to-end; emits the survivor set.
+    "q53_dedup_pipeline" -> ((s, d) => {
+      val (survivors, _) = Dedup.dedupPipeline(Tables(s, d, "documents"),
+        "text", "doc_id", shingleN = 1, threshold = 0.7,
+        exactVerify = true, blockCols = Seq("lang", "source"))
+      survivors.select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     }),
 
@@ -340,6 +348,31 @@ object TextQueries {
             for i in range(1, length(text) - 16 + 2)])
         ELSE NULL END AS min_kgram_hash
       FROM documents ORDER BY doc_id""",
+    "q53_dedup_pipeline" -> """
+      WITH s1 AS (
+        SELECT d.doc_id, d.lang, d.source, d.text FROM documents d
+        JOIN (SELECT text, min(doc_id) AS keep FROM documents GROUP BY text) k
+          ON d.doc_id = k.keep),
+      s2 AS (
+        SELECT d.doc_id, d.lang, d.source, d.text FROM s1 d
+        JOIN (SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                     min(doc_id) AS keep
+              FROM s1 GROUP BY 1) k
+          ON d.doc_id = k.keep),
+      toks AS (
+        SELECT doc_id, lang, source,
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) END AS t
+        FROM s2),
+      dups AS (
+        SELECT DISTINCT b.doc_id FROM toks a JOIN toks b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) > 0
+          AND CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+              / CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS DOUBLE) >= 0.7)
+      SELECT doc_id, lang, source FROM s2
+      WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+      ORDER BY doc_id""",
     "q52_dedup_clusters" -> """
       WITH toks AS (
         SELECT doc_id, lang, source,

@@ -45,6 +45,19 @@ object TransformRegistry {
       out
     }
 
+  /** Sort-spec dialect for filldown/rownumber: "field", "field asc",
+    * "field desc" (case-insensitive). The reference leaves descending sort as
+    * a TODO (datatransform_misc.py:50,89 — ascending only); we accept the
+    * suffix form so configs can express it without a pre-transform. */
+  private def sortCol(specStr: String): Column = {
+    val parts = specStr.trim.split("\\s+")
+    if (parts.length >= 2 && parts.last.equalsIgnoreCase("desc"))
+      col(parts.dropRight(1).mkString(" ")).desc
+    else if (parts.length >= 2 && parts.last.equalsIgnoreCase("asc"))
+      col(parts.dropRight(1).mkString(" ")).asc
+    else col(specStr.trim)
+  }
+
   private def fieldOrSource(spec: JsonNode): (String, String) = {
     val field = spec.str("field").get
     (field, spec.str("source").getOrElse(field))
@@ -184,7 +197,7 @@ object TransformRegistry {
     "filldown" -> ((df, spec, _) => {
       spec.elems.foldLeft(df) { (acc, s) =>
         WindowOps.fillDown(acc, Seq(s.str("field").get),
-          sort = { val srt = s.strList("sort"); if (srt.isEmpty) Seq(lit(1)) else srt.map(col) },
+          sort = { val srt = s.strList("sort"); if (srt.isEmpty) Seq(lit(1)) else srt.map(sortCol) },
           partition = s.strList("partition").map(col))
       }
     }),
@@ -194,7 +207,7 @@ object TransformRegistry {
       spec.elems.foldLeft(df) { (acc, s) =>
         WindowOps.rowNumber(acc, s.str("field").get,
           partition = s.strList("partition").map(col),
-          sort = s.strList("sort").map(col))
+          sort = s.strList("sort").map(sortCol))
       }
     }),
 
