@@ -99,6 +99,12 @@ class PipelineRunner(spark: SparkSession) {
       .getOrElse(SchemaEvolution.defaultPolicy(args.environment))
     writePartitioned(afterDq2, s"${args.databaseName}.${args.tableName}",
       args.partition.keys.toSeq, policy)
+
+    // 9. K7: persist every recorded rule outcome next to the dataset (the
+    // reference writes one DynamoDB item per rule on every job,
+    // dataquality_check.py:92-113)
+    if (engine.resultsLog.nonEmpty)
+      engine.writeResults(spark, s"${args.databaseName}.${args.tableName}_dq_results")
     afterDq2
   }
 
@@ -130,6 +136,9 @@ class PipelineRunner(spark: SparkSession) {
     val toWrite = if (partCols.nonEmpty) filtered.repartition(partCols.map(col): _*) else filtered
     writePartitioned(toWrite, target, partCols, "permissive", overwriteAll = true)
     viewSql.foreach(v => spark.sql(v)) // Athena/Redshift passthrough → local views
+    // K7: rule outcomes land beside the consume table as on the cleanse side
+    if (engine.resultsLog.nonEmpty)
+      engine.writeResults(spark, s"${args.databaseName}.${args.tableName}_dq_results")
     filtered
   }
 

@@ -74,6 +74,34 @@ object PipelineQueries {
     }),
 
     "q40_consume_e2e" -> ((s, d) => consumeQuery(s, d)),
+
+    // K7 + K8: the DQ-results table written by PipelineRunner (one row per
+    // rule outcome, metrics included) unioned with the lineage JSONL sink's
+    // op sequence — both produced by one collect-to-cleanse run and both
+    // fully oracle-checked.
+    "q58_dq_lineage" -> ((s, d) => {
+      val src = ensureCsv(s, d)
+      val db = s"graftdq${math.abs(d.hashCode)}"
+      val lineagePath = s"/tmp/graft_lineage_${math.abs(d.hashCode)}.jsonl"
+      new java.io.File(lineagePath).delete() // fresh sink per run (JSONL appends)
+      val args = JobArgs("Bench", "lineitem_dq", src, "dq-exec",
+        Map("year" -> "2026"), db, environment = "Dev", lineageSink = Some(lineagePath))
+      val dq = Specs.dqRules(Specs.parseJson(
+        """{"before_transform": {"warn_rules": ["Completeness 'quantity' >= 0.5",
+               "ColumnValues 'returnflag' in ['A','N','R']"]},
+            "after_transform": {"quarantine_rules": ["ColumnValues 'extendedprice' >= 2000"],
+               "halt_rules": ["(ColumnExists 'orderkey') and (IsComplete 'orderkey')"]}}"""))
+      new PipelineRunner(s).collectToCleanse(args, Specs.datasetSpec(specJson), mapping, dq,
+        TransformContext(s, filename = "lineitem.csv"))
+      val dqRows = s.table(s"$db.lineitem_dq_dq_results")
+        .select(lit("dq").as("kind"), lit(0L).as("seq"),
+          concat_ws("|", col("ruleset"), col("action"), col("rule")).as("name"),
+          col("outcome"), round(col("metric"), 6).as("metric"))
+      val lin = s.read.json(lineagePath).distinct()
+        .select(lit("lineage").as("kind"), col("seq").cast(LongType).as("seq"),
+          col("op").as("name"), lit("").as("outcome"), lit(Double.NaN).as("metric"))
+      dqRows.unionByName(lin).orderBy(col("kind"), col("seq"), col("name"))
+    }),
   )
 
   /** Cleanse→Consume end to end: catalog tables + user SQL with {placeholder}
@@ -102,6 +130,29 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q58_dq_lineage" -> """
+      WITH mapped AS (
+        SELECT l_quantity AS quantity,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS ep
+        FROM lineitem WHERE l_quantity IS NOT NULL),
+      frac AS (SELECT avg(CASE WHEN ep >= 2000 THEN 1.0 ELSE 0.0 END) AS m FROM mapped)
+      SELECT 'dq' AS kind, CAST(0 AS BIGINT) AS seq,
+             'before_transform|warn|Completeness ''quantity'' >= 0.5' AS name,
+             'Passed' AS outcome, 1.0 AS metric
+      UNION ALL SELECT 'dq', 0,
+             'before_transform|warn|ColumnValues ''returnflag'' in [''A'',''N'',''R'']',
+             'Passed', 1.0
+      UNION ALL SELECT 'dq', 0,
+             'after_transform|quarantine|ColumnValues ''extendedprice'' >= 2000',
+             CASE WHEN m = 1.0 THEN 'Passed' ELSE 'Failed' END, round(m, 6) FROM frac
+      UNION ALL SELECT 'dq', 0,
+             'after_transform|halt|(ColumnExists ''orderkey'') and (IsComplete ''orderkey'')',
+             'Passed', 'NaN'::DOUBLE
+      UNION ALL SELECT 'lineage', 1, 'read', '', 'NaN'::DOUBLE
+      UNION ALL SELECT 'lineage', 2, 'numericaudit', '', 'NaN'::DOUBLE
+      UNION ALL SELECT 'lineage', 3, 'mapping', '', 'NaN'::DOUBLE
+      UNION ALL SELECT 'lineage', 4, 'numericaudit', '', 'NaN'::DOUBLE
+      ORDER BY kind, seq, name""",
     "q40_consume_e2e" -> """
       SELECT o.o_orderkey, c.c_name, c.c_mktsegment,
              CASE WHEN o.o_totalprice > 200000 THEN 'large' ELSE 'small' END AS band,

@@ -270,6 +270,62 @@ object RefQueries {
         .orderBy(col("o_orderkey"), col("policy_month_index"))
     }),
 
+    // J4/J6/K5 full entity-match job e2e (etl_consume_entity_match.py:286-459):
+    // first run creates the primary table; second batch exercises exact match
+    // (same keys), leveled fuzzy match (new key, same name, slice-markup
+    // blocking), uuid-fill for new entities, and the MERGE upsert. The final
+    // primary table state is oracle-checked; nondeterministic uuids are
+    // masked to '[new]'.
+    "q57_entity_match_e2e" -> ((s, d) => {
+      val db = s"graftmatch${math.abs(d.hashCode)}"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      s.sql(s"DROP TABLE IF EXISTS $db.entity_primary")
+      val cust = Tables(s, d, "customer")
+      val spec = graft.operators.EntityMatch.parseSpec(Specs.parseJson(
+        s"""{
+          "primary_entity_table": "$db.entity_primary",
+          "global_id_field": "globalid",
+          "exact_match_fields": {"source_primary_key": "customerno",
+                                 "source_system_key": "srcsystemid"},
+          "levels": [{"id": "1", "blocks": ["name[12:18]"], "threshold": 0.999,
+                      "fields": [{"fieldname": "name", "type": "string",
+                                  "method": "jarowinkler", "weight": 1.0}]}]
+        }"""))
+      val initial = cust.select(
+        col("c_custkey").as("customerno"), lit("A").as("srcsystemid"),
+        col("c_name").as("name"), col("c_nationkey").as("nationkey"),
+        col("c_mktsegment").as("segment"),
+        concat(lit("g-"), col("c_custkey")).as("globalid"))
+      graft.operators.EntityMatch.run(s, initial, spec, Seq("customerno"))
+      val batch = cust.filter(pmod(col("c_custkey"), lit(4)) < 3).select(
+        when(pmod(col("c_custkey"), lit(4)) === 0, col("c_custkey"))
+          .otherwise(col("c_custkey") + 1000000).as("customerno"),
+        lit("A").as("srcsystemid"),
+        when(pmod(col("c_custkey"), lit(4)) === 2, concat(lit("Zz-"), col("c_custkey")))
+          .otherwise(col("c_name")).as("name"),
+        col("c_nationkey").as("nationkey"),
+        lit("UPDATED").as("segment"))
+      graft.operators.EntityMatch.run(s, batch, spec, Seq("customerno"))
+      s.table(s"$db.entity_primary")
+        .select(col("customerno"), col("name"), col("nationkey"), col("segment"),
+          when(col("globalid").startsWith("g-"), col("globalid"))
+            .otherwise(lit("[new]")).as("gid"))
+        .orderBy(col("customerno"), col("name"))
+    }),
+
+    // W2 via the config dialect with DESCENDING sort ("field desc") — exceeds
+    // the reference's ascending-only TODO (datatransform_misc.py:50,89).
+    "q61_desc_window" -> ((s, d) => {
+      val spec = Specs.parseJson("""{
+        "rownumber": [{"field": "rn", "partition": ["user_id"],
+                       "sort": ["ts desc", "event_id desc"]}]
+      }""")
+      TransformRegistry.applyAll(Tables(s, d, "events"), spec.objFields, TransformContext(s))
+        .filter(col("rn") <= 2)
+        .select(col("event_id"), col("user_id"), col("rn").cast(LongType).as("rn"))
+        .orderBy(col("event_id"))
+    }),
+
     // G5-ish JSON string column — extract + aggregate.
     "q16_json_props" -> ((s, d) => {
       Tables(s, d, "events")
@@ -481,6 +537,34 @@ object RefQueries {
                   ELSE (1998 - year(odate)) * 12 + (11 - month(odate)) + 1 END AS months_to_end
       FROM (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS odate FROM orders)
       ORDER BY o_orderkey""",
+    "q57_entity_match_e2e" -> """
+      SELECT * FROM (
+        SELECT c_custkey AS customerno, c_name AS name, c_nationkey AS nationkey,
+               'UPDATED' AS segment, 'g-' || CAST(c_custkey AS VARCHAR) AS gid
+        FROM customer WHERE c_custkey % 4 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_nationkey, 'UPDATED',
+               'g-' || CAST(c_custkey AS VARCHAR)
+        FROM customer WHERE c_custkey % 4 = 1
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+               'g-' || CAST(c_custkey AS VARCHAR)
+        FROM customer WHERE c_custkey % 4 = 2
+        UNION ALL
+        SELECT c_custkey + 1000000, 'Zz-' || CAST(c_custkey AS VARCHAR), c_nationkey,
+               'UPDATED', '[new]'
+        FROM customer WHERE c_custkey % 4 = 2
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+               'g-' || CAST(c_custkey AS VARCHAR)
+        FROM customer WHERE c_custkey % 4 = 3)
+      ORDER BY customerno, name""",
+    "q61_desc_window" -> """
+      SELECT event_id, user_id, rn FROM (
+        SELECT event_id, user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn <= 2 ORDER BY event_id""",
     "q54_string_protect" -> """
       SELECT c_custkey,
              upper(substr(lower(c_mktsegment), 1, 1)) || substr(lower(c_mktsegment), 2) AS segment,

@@ -210,6 +210,26 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Salted two-phase aggregation (skew mitigation): must equal the plain
+    // groupBy result exactly — exact-integer sums and min keep the oracle
+    // float-order-independent.
+    "q59_salted_agg" -> ((s, d) => {
+      graft.operators.SkewOps.saltedAggregate(Tables(s, d, "events"),
+          Seq("event_type"),
+          Map("user_id" -> "sum", "event_id" -> "count", "value" -> "min"),
+          saltBuckets = 8)
+        .orderBy(col("event_type"))
+    }),
+
+    // Deterministic stratified sampling: per-stratum keep fraction selected by
+    // a pure stratum-salted id hash, replicated exactly by the oracle.
+    "q60_stratified_sample" -> ((s, d) => {
+      graft.operators.Sampling.stratifiedSample(Tables(s, d, "documents"),
+          "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TF-IDF top terms per document (classic term weighting; fully
     // oracle-checked including the log-scaled scores).
     "q42_tfidf" -> ((s, d) => {
@@ -348,6 +368,19 @@ object TextQueries {
             for i in range(1, length(text) - 16 + 2)])
         ELSE NULL END AS min_kgram_hash
       FROM documents ORDER BY doc_id""",
+    "q59_salted_agg" -> """
+      SELECT event_type,
+             CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+             count(event_id) AS count_event_id,
+             min(value) AS min_value
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q60_stratified_sample" -> """
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS b
+        FROM documents)
+      WHERE b < CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 16384 ELSE 6554 END
+      ORDER BY doc_id""",
     "q53_dedup_pipeline" -> """
       WITH s1 AS (
         SELECT d.doc_id, d.lang, d.source, d.text FROM documents d
