@@ -22,7 +22,8 @@ case class JobArgs(
     partition: Map[String, String], // year/month/day, zero-padded
     databaseName: String,
     environment: String = "Prod",
-    lineageSink: Option[String] = None)
+    lineageSink: Option[String] = None,
+    specOutDir: Option[String] = None) // K10: generated mapping/spec land here
 
 /** The 3-stage pipeline IR (SURVEY.md §3.4): Ingest → Map → DQ(before) →
   * Transform* → DQ(after) → Publish, then SQL → DQ(after_sparksql) → Publish.
@@ -72,9 +73,25 @@ class PipelineRunner(spark: SparkSession) {
     val mapped =
       if (mapping.nonEmpty && !spec.inputSpec.exists(_.has("fixed")))
         CustomMapping.applyMapping(initial, mapping, strictMapping)
-      else if (mapping.isEmpty) CustomMapping.cleanColumnNames(initial)._1
-      else initial
+      else if (mapping.isEmpty) {
+        val (cleaned, renames) = CustomMapping.cleanColumnNames(initial)
+        // K10: persist the generated mapping so a user can promote it to the
+        // dataset's config (etl_collect_to_cleanse.py:256-263 writes the
+        // recommended mapping CSV to the job TempDir when none exists)
+        args.specOutDir.foreach { dir =>
+          writeText(s"$dir/${args.tableName}.csv",
+            "SourceName,DestName\n" +
+              renames.map { case (s, t) => s"$s,$t" }.mkString("\n") + "\n")
+        }
+        cleaned
+      } else initial
     lineage.update(mapped, "mapping")
+
+    // K10: no transform spec → generate the recommended one next to the job
+    // (etl_collect_to_cleanse.py:292-296)
+    if (spec.transformSpec.isEmpty)
+      args.specOutDir.foreach(dir =>
+        writeText(s"$dir/${args.tableName}.json", CustomMapping.generateSpec(mapped)))
 
     // 4. DQ before_transform
     val engine = new DqEngine(Some(quarantineSink(args)))
@@ -221,6 +238,14 @@ class PipelineRunner(spark: SparkSession) {
         }
       }
     }
+  }
+
+  /** Driver-side small-text write (the local analog of the reference's
+    * put_s3_object, which bypasses Spark for tiny config artifacts). */
+  private def writeText(path: String, text: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p, text)
   }
 
   private def ensureDatabase(table: String): Unit = {

@@ -156,6 +156,25 @@ class PipelineE2eSpec extends SparkSpec {
     assert(q.columns.contains("quarantine_timestamp"))
   }
 
+  test("K10: missing mapping and transform spec write generated files to specOutDir") {
+    val dir = Files.createTempDirectory("graft_k10")
+    Files.writeString(dir.resolve("raw.csv"),
+      "Policy Number,Eff Date,Premium\nP1,01/02/24,10.5\n")
+    val spec = Specs.datasetSpec(Specs.parseJson(
+      """{"input_spec": {"csv": {"header": true}, "allow_schema_change": "permissive"}}"""))
+    val out = Files.createTempDirectory("graft_k10_out")
+    val args = JobArgs("S", "gen", dir.resolve("raw.csv").toString, "e",
+      Map("year" -> "2024"), uniqueDb, environment = "Dev", specOutDir = Some(out.toString))
+    new PipelineRunner(spark).collectToCleanse(args, spec, Seq.empty, Map.empty,
+      TransformContext(spark, filename = "raw.csv"))
+    val mappingCsv = Files.readString(out.resolve("gen.csv"))
+    assert(mappingCsv.startsWith("SourceName,DestName\n"))
+    assert(mappingCsv.contains("Policy Number,policy_number"))
+    val specJson = Files.readString(out.resolve("gen.json"))
+    assert(specJson.contains(""""premium": "decimal(16,2)"""")) // inferred double
+    assert(specJson.contains("eff_date")) // *date* column gets a date-parse entry
+  }
+
   test("idempotent reload: rerunning the same partition does not duplicate rows") {
     val db = uniqueDb
     val runner = new PipelineRunner(spark)

@@ -1,0 +1,121 @@
+package graft
+
+import graft.config.Specs
+import graft.config.Specs.NodeOps
+import graft.functions.{SimilarityFunctions => S}
+import graft.operators.{AsOfJoin, Dedup}
+import graft.transforms.{TransformContext, TransformRegistry}
+import org.apache.spark.sql.functions._
+
+/** Round-2 additions: exact prefix-filter similarity join, deterministic
+  * as-of tiebreak, descending sort dialect, events-reader memoization. */
+class Round2OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val words = Seq("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta", "iota", "kappa")
+
+  /** Deterministic corpus with many partial token overlaps across 2 blocks. */
+  private def corpus = (1 to 40).map { i =>
+    val lang = if (i % 2 == 0) "en" else "de"
+    val n = 3 + i % 6
+    val text = (0 until n).map(k => words((i * 3 + k * 7) % words.length)).mkString(" ")
+    (i.toLong, lang, text)
+  }.toDF("id", "lang", "text")
+
+  test("jaccardSelfJoin equals the brute-force all-pairs join (100% recall)") {
+    val toks = corpus.select($"lang", $"id",
+      array_distinct(S.tokens($"text")).as("toks"))
+    val a = toks.select($"lang", $"id".as("id_a"), $"toks".as("t_a"))
+    val b = toks.select($"lang", $"id".as("id_b"), $"toks".as("t_b"))
+    val brute = a.join(b, Seq("lang")).filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", S.jaccard($"t_a", $"t_b").as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val fast = Dedup.jaccardSelfJoin(toks, "toks", "id", Seq("lang"), 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty, "test corpus should contain near-dup pairs")
+    assert(fast == brute)
+  }
+
+  test("jaccardSelfJoin never pairs across blocks") {
+    val df = Seq((1L, "en", "alpha beta gamma"), (2L, "de", "alpha beta gamma"))
+      .toDF("id", "lang", "text")
+      .select($"lang", $"id", array_distinct(S.tokens($"text")).as("toks"))
+    assert(Dedup.jaccardSelfJoin(df, "toks", "id", Seq("lang"), 0.5).isEmpty)
+  }
+
+  test("jaccardDedup drops the higher id of each near-dup pair") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different words entirely")).toDF("doc_id", "text")
+    val kept = Dedup.jaccardDedup(df, "text", "doc_id", shingleN = 1, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+  }
+
+  test("dedupPipeline exactVerify reports a 'jaccard' stage and matches the LSH recipe here") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq(
+      (1L, base),
+      (2L, base),                    // exact dup
+      (3L, "  " + base.toUpperCase), // fingerprint dup
+      (4L, base + " extra"),         // near-dup
+      (5L, "entirely different content about distributed query engines")
+    ).toDF("doc_id", "text")
+    val (survivors, report) = Dedup.dedupPipeline(df, "text", "doc_id",
+      shingleN = 2, threshold = 0.5, exactVerify = true)
+    assert(survivors.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 5L))
+    assert(report.map(s => (s.stage, s.docsIn, s.docsOut)) ==
+      Seq(("exact", 5L, 4L), ("fingerprint", 4L, 3L), ("jaccard", 3L, 2L)))
+    survivors.unpersist()
+  }
+
+  test("asof join picks a deterministic winner among identical right timestamps") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    def run(rows: Seq[(Long, Long, String)], parts: Int): String = {
+      val right = rows.toDF("k", "rt", "v").repartition(parts)
+      AsOfJoin.asof(left, right, Seq("k"), "t", "rt", Seq("v"))
+        .select("v").as[String].head()
+    }
+    val winners = Seq(
+      run(Seq((1L, 5L, "x"), (1L, 5L, "y")), 1),
+      run(Seq((1L, 5L, "y"), (1L, 5L, "x")), 1),
+      run(Seq((1L, 5L, "x"), (1L, 5L, "y")), 3),
+      run(Seq((1L, 5L, "y"), (1L, 5L, "x")), 4))
+    assert(winners.distinct.size == 1, s"nondeterministic winners: $winners")
+  }
+
+  test("rownumber registry dialect accepts 'field desc'") {
+    val df = Seq(("a", 1L), ("a", 3L), ("a", 2L), ("b", 9L)).toDF("g", "v")
+    val spec = Specs.parseJson(
+      """{"rownumber": [{"field": "rn", "partition": ["g"], "sort": ["v desc"]}]}""")
+    val out = TransformRegistry.applyAll(df, spec.objFields, TransformContext(spark))
+    val got = out.select("g", "v", "rn").as[(String, Long, Int)].collect().toSet
+    assert(got == Set(("a", 3L, 1), ("a", 2L, 2), ("a", 1L, 3), ("b", 9L, 1)))
+  }
+
+  test("filldown registry dialect accepts 'field desc' (fills from the later row)") {
+    val df = Seq((1L, Some("x")), (2L, None), (3L, Some("z")))
+      .toDF("seq", "v")
+    val spec = Specs.parseJson(
+      """{"filldown": [{"field": "v", "sort": ["seq desc"]}]}""")
+    val out = TransformRegistry.applyAll(df, spec.objFields, TransformContext(spark))
+    val got = out.select("seq", "v").as[(Long, String)].collect().toMap
+    // descending order: seq 2 takes the last non-null AT OR AFTER it → "z"
+    assert(got == Map(1L -> "x", 2L -> "z", 3L -> "z"))
+  }
+
+  test("events reader memoizes per (session, dir) and restores the conf") {
+    val dir = "/root/testdata/sf0.001"
+    // getOption surfaces the registered DEFAULT ("false") for SQLConf entries
+    val prior = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    assert(!prior.contains("true"))
+    val d1 = graft.queries.Tables(spark, dir, "events")
+    val d2 = graft.queries.Tables(spark, dir, "events")
+    assert(d1 eq d2) // memoized plan, no second conf flip
+    assert(d1.count() > 0)
+    assert(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") == prior)
+  }
+}
