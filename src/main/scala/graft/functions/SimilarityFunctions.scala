@@ -89,8 +89,16 @@ object SimilarityFunctions {
     when(t === "", array().cast(ArrayType(StringType))).otherwise(split(t, "\\s+"))
   }
 
-  /** Word n-gram shingles as strings ("w1 w2 ... wn"). Pure HOF expression. */
+  /** Word n-gram shingles as strings ("w1 w2 ... wn"). Pure HOF expression.
+    *
+    * n=1 short-circuits to distinct tokens: the general HOF form references
+    * the token array inside a lambda, where Catalyst re-evaluates the whole
+    * split() subtree per ELEMENT (no CSE across lambda boundaries) — measured
+    * 7× slower as a similarity-join input. Callers composing shingles with
+    * joins should also materialize the shingle column once (see
+    * Dedup.jaccardSelfJoin) rather than letting CollapseProject re-inline it. */
   def wordShingles(c: Column, n: Int): Column = {
+    if (n == 1) return array_distinct(tokens(c))
     val ts = tokens(c)
     val cnt = size(ts)
     val grams = transform(sequence(lit(0), cnt - n), i =>

@@ -188,10 +188,15 @@ object Dedup {
                       blockCols: Seq[String], threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1]: $threshold")
     val blocks = blockCols.map(col)
+    // eager localCheckpoint: base feeds THREE consumers (prefix extraction +
+    // both verify joins), and the token/shingle expression may be expensive —
+    // materialize it once instead of recomputing per consumer (CollapseProject
+    // would otherwise re-inline the tokenization into every branch)
     val base = df
       .select(blocks :+ col(idCol).as("id") :+ array_distinct(col(tokensCol)).as("toks"): _*)
       .withColumn("sz", size(col("toks")))
       .filter(col("sz") > 0) // empty sets have Jaccard 0 with everything
+      .localCheckpoint(true)
     val tok = base.select(blocks :+ col("id") :+ col("sz") :+ explode(col("toks")).as("token"): _*)
     val freq = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
     val ranked = tok.join(freq, Seq("token"))

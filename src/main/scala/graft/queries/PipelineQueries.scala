@@ -36,6 +36,31 @@ object PipelineQueries {
     dir
   }
 
+  /** Driver-written single-file fixtures for the non-CSV source formats
+    * (S2/S4/S5): nation re-materialized as JSONL, XML, and fixed-width text.
+    * Tiny (25-row) config-like artifacts — driver-side writes by design. */
+  private def ensureFormats(s: SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = s"/tmp/graft_src_formats/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!Files.exists(Paths.get(dir, ".done"))) {
+      Files.createDirectories(Paths.get(dir))
+      val rows = Tables(s, d, "nation")
+        .select(col("n_nationkey").cast(LongType), col("n_regionkey").cast(LongType), col("n_name"))
+        .orderBy(col("n_nationkey")).collect()
+      Files.writeString(Paths.get(dir, "nation.jsonl"), rows.map(r =>
+        s"""{"nationkey": ${r.getLong(0)}, "regionkey": ${r.getLong(1)}, "name": "${r.getString(2)}"}""")
+        .mkString("\n"))
+      Files.writeString(Paths.get(dir, "nation.xml"),
+        "<nations>\n" + rows.map(r =>
+          s"  <nation><nationkey>${r.getLong(0)}</nationkey><regionkey>${r.getLong(1)}</regionkey>" +
+          s"<name>${r.getString(2)}</name></nation>").mkString("\n") + "\n</nations>")
+      Files.writeString(Paths.get(dir, "nation.dat"), rows.map(r =>
+        f"${r.getLong(0)}%-6d${r.getLong(1)}%-6d${r.getString(2)}%-20s").mkString("\n"))
+      Files.writeString(Paths.get(dir, ".done"), "ok")
+    }
+    dir
+  }
+
   private val specJson = Specs.parseJson(
     """{
       "input_spec": {"csv": {"header": true}, "allow_schema_change": "permissive"},
@@ -74,6 +99,28 @@ object PipelineQueries {
     }),
 
     "q40_consume_e2e" -> ((s, d) => consumeQuery(s, d)),
+
+    // S2/S4/S5: fixed-width, JSONL, and XML scans through the Sources
+    // dispatcher, all three verified against the parquet nation table.
+    "q62_source_formats" -> ((s, d) => {
+      import graft.sources.Sources
+      val dir = ensureFormats(s, d)
+      def longs(df: DataFrame) = df.select(
+        col("nationkey").cast(LongType).as("nationkey"),
+        col("regionkey").cast(LongType).as("regionkey"), col("name"))
+      val j = longs(Sources.read(s, s"$dir/nation.jsonl", None))
+        .withColumn("fmt", lit("json"))
+      val x = longs(Sources.read(s, s"$dir/nation.xml",
+          Some(Specs.parseJson("""{"xml": {"row_tag": "nation"}}"""))))
+        .withColumn("fmt", lit("xml"))
+      val f = longs(Sources.read(s, s"$dir/nation.dat",
+          Some(Specs.parseJson("""{"fixed": {}}""")),
+          Seq(Sources.FixedWidthField("nationkey", 6),
+            Sources.FixedWidthField("regionkey", 6),
+            Sources.FixedWidthField("name", 20))))
+        .withColumn("fmt", lit("fixed"))
+      j.unionByName(x).unionByName(f).orderBy(col("fmt"), col("nationkey"))
+    }),
 
     // K7 + K8: the DQ-results table written by PipelineRunner (one row per
     // rule outcome, metrics included) unioned with the lineage JSONL sink's
@@ -130,6 +177,12 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q62_source_formats" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+             CAST(n_regionkey AS BIGINT) AS regionkey,
+             n_name AS name, fmt
+      FROM nation, (SELECT unnest(['fixed', 'json', 'xml']) AS fmt)
+      ORDER BY fmt, nationkey""",
     "q58_dq_lineage" -> """
       WITH mapped AS (
         SELECT l_quantity AS quantity,
