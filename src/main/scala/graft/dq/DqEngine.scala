@@ -336,12 +336,17 @@ class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
   def resultsLog: Seq[(String, String, RuleOutcome)] = resultsBuf.toSeq
 
   /** K7: persist recorded outcomes as a parquet table/path
-    * (ruleset, action, rule, outcome, metric, failure_reason). */
-  def writeResults(spark: org.apache.spark.sql.SparkSession, target: String): Unit = {
+    * (execution_id, ruleset, action, rule, outcome, metric, failure_reason).
+    * Append-only like the reference's per-run DynamoDB items — execution_id
+    * distinguishes runs, so a rerun adds a new identifiable batch rather than
+    * indistinguishable duplicates. */
+  def writeResults(spark: org.apache.spark.sql.SparkSession, target: String,
+                   executionId: String = ""): Unit = {
     import spark.implicits._
     val df = resultsBuf.toSeq.map { case (rs, act, o) =>
-      (rs, act, o.rule, o.outcome, o.metric.getOrElse(Double.NaN), o.failureReason.getOrElse(""))
-    }.toDF("ruleset", "action", "rule", "outcome", "metric", "failure_reason")
+      (executionId, rs, act, o.rule, o.outcome,
+        o.metric.getOrElse(Double.NaN), o.failureReason.getOrElse(""))
+    }.toDF("execution_id", "ruleset", "action", "rule", "outcome", "metric", "failure_reason")
     if (target.contains("/")) df.write.mode("append").parquet(target)
     else df.write.mode("append").saveAsTable(target)
   }

@@ -47,9 +47,21 @@ object AsOfJoin {
     // semantics; the payload-hash tiebreak makes the winner among right rows
     // with IDENTICAL timestamps deterministic (any stable total order works —
     // without it, `last` returns whichever duplicate the sort happened to
-    // place last). xxhash64 orders any payload type, including maps.
+    // place last). Hash expressions reject MapType (Spark's
+    // HASH_MAP_TYPE check), so map-carrying payloads keep the legacy
+    // two-key order rather than failing analysis.
+    def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => containsMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+      case _ => false
+    }
+    val payloadType = right.select(rightCols.map(col): _*).schema
+    val order =
+      if (containsMap(payloadType)) Seq(col("__t"), col("__is_left"))
+      else Seq(col("__t"), col("__is_left"), xxhash64(col("__payload")))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__is_left"), xxhash64(col("__payload")))
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = unioned.withColumn("__state", last(col("__payload"), ignoreNulls = true).over(w))

@@ -202,7 +202,11 @@ object Dedup {
     val ranked = tok.join(freq, Seq("token"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("cnt"), col("token"))))
-    val prefixLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
+    // ceil(t·sz) must be the ceiling of the EXACT real product: double rounding
+    // can land just above an integer (e.g. 25×0.56 = 14.000000000000002) which
+    // would shorten the prefix and silently drop qualifying pairs. The epsilon
+    // biases toward a LONGER prefix — extra candidates, never lost recall.
+    val prefixLen = (col("sz") - ceil(col("sz") * threshold - lit(1e-9)) + 1).cast("int")
     // eager localCheckpoint: the prefix subtree (scan → explode → freq join →
     // per-doc rank) feeds BOTH sides of the self-join below; materializing it
     // once halves the heaviest stage. Executor-local blocks — swap for
@@ -214,9 +218,11 @@ object Dedup {
     val b = prefix.select(blocks ++ Seq(col("token"), col("id").as("id_b"), col("sz").as("sz_b")): _*)
     val candidates = a.join(b, blockCols :+ "token")
       .filter(col("id_a") < col("id_b"))
-      // length filter: J ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|)
+      // length filter: J ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|); epsilon keeps a
+      // boundary pair (min exactly t·max in reals) from being excluded by a
+      // double product that rounds up
       .filter(least(col("sz_a"), col("sz_b")).cast("double")
-        >= greatest(col("sz_a"), col("sz_b")) * threshold)
+        >= greatest(col("sz_a"), col("sz_b")) * threshold - lit(1e-9))
       .select(col("id_a"), col("id_b"))
       .distinct()
     candidates

@@ -79,9 +79,13 @@ class PipelineRunner(spark: SparkSession) {
         // dataset's config (etl_collect_to_cleanse.py:256-263 writes the
         // recommended mapping CSV to the job TempDir when none exists)
         args.specOutDir.foreach { dir =>
+          def q(f: String): String = // raw headers may contain CSV metachars
+            if (f.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+              "\"" + f.replace("\"", "\"\"") + "\""
+            else f
           writeText(s"$dir/${args.tableName}.csv",
             "SourceName,DestName\n" +
-              renames.map { case (s, t) => s"$s,$t" }.mkString("\n") + "\n")
+              renames.map { case (s, t) => s"${q(s)},${q(t)}" }.mkString("\n") + "\n")
         }
         cleaned
       } else initial
@@ -119,9 +123,10 @@ class PipelineRunner(spark: SparkSession) {
 
     // 9. K7: persist every recorded rule outcome next to the dataset (the
     // reference writes one DynamoDB item per rule on every job,
-    // dataquality_check.py:92-113)
+    // dataquality_check.py:92-113); execution_id keys the run
     if (engine.resultsLog.nonEmpty)
-      engine.writeResults(spark, s"${args.databaseName}.${args.tableName}_dq_results")
+      engine.writeResults(spark, s"${args.databaseName}.${args.tableName}_dq_results",
+        args.executionId)
     afterDq2
   }
 
@@ -153,9 +158,10 @@ class PipelineRunner(spark: SparkSession) {
     val toWrite = if (partCols.nonEmpty) filtered.repartition(partCols.map(col): _*) else filtered
     writePartitioned(toWrite, target, partCols, "permissive", overwriteAll = true)
     viewSql.foreach(v => spark.sql(v)) // Athena/Redshift passthrough → local views
-    // K7: rule outcomes land beside the consume table as on the cleanse side
+    // K7: rule outcomes land beside the ACTUAL consume target (which a
+    // CREATE TABLE <t> AS prefix may have overridden), keyed by execution_id
     if (engine.resultsLog.nonEmpty)
-      engine.writeResults(spark, s"${args.databaseName}.${args.tableName}_dq_results")
+      engine.writeResults(spark, s"${target}_dq_results", args.executionId)
     filtered
   }
 

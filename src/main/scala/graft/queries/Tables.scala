@@ -17,23 +17,36 @@ import org.apache.spark.sql.functions._
   * transient `true`; concurrent events reads are serialized by the memoizer.
   */
 object Tables {
+  // weak session keys: stopped sessions (and their memoized plans) become
+  // collectable instead of pinned forever, and identity-keyed lookup cannot
+  // hand a dead session's plan to a new one. All access under one lock —
+  // the lock also serializes the conf flip.
   private val eventsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      val key = System.identityHashCode(spark) + ":" + dir
-      eventsCache.computeIfAbsent(key, _ => this.synchronized {
+    if (name == "events") this.synchronized {
+      val perSession = {
+        val m = eventsCache.get(spark)
+        if (m != null) m
+        else { val m2 = new java.util.HashMap[String, DataFrame](); eventsCache.put(spark, m2); m2 }
+      }
+      val cached = perSession.get(dir)
+      if (cached != null) cached
+      else {
         // restore the caller's prior conf value (hardcoding "false" would
         // clobber a session that legitimately runs with nanosAsLong=true)
         val prior = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        try spark.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
-        finally prior match {
-          case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-          case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        }
-      })
+        val df =
+          try spark.read.parquet(s"$dir/events.parquet")
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+          finally prior match {
+            case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+            case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+          }
+        perSession.put(dir, df)
+        df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 }

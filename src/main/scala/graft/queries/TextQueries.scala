@@ -182,8 +182,14 @@ object TextQueries {
       val (survivors, _) = Dedup.dedupPipeline(Tables(s, d, "documents"),
         "text", "doc_id", shingleN = 1, threshold = 0.7,
         exactVerify = true, blockCols = Seq("lang", "source"))
-      survivors.select(col("doc_id"), col("lang"), col("source"))
+      // materialize the small projection, then release the pipeline's cached
+      // survivor blocks (caller-owns-unpersist contract) so they don't occupy
+      // executor memory for the rest of the suite
+      val out = survivors.select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+      survivors.unpersist()
+      out
     }),
 
     // Token-window chunking (pretraining prep): 64-token windows with
