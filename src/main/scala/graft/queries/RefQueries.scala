@@ -326,6 +326,23 @@ object RefQueries {
         .orderBy(col("event_id"))
     }),
 
+    // G4 xml string→struct: schema inferred from a sampled row via
+    // schema_of_xml, then from_xml over the column (Spark 4 native).
+    "q63_xml_struct" -> ((s, d) => {
+      val n = Tables(s, d, "nation")
+        .withColumn("payload", concat(
+          lit("<rec><k>"), col("n_nationkey").cast(LongType),
+          lit("</k><r>"), col("n_regionkey").cast(LongType),
+          lit("</r><nm>"), col("n_name"), lit("</nm></rec>")))
+        .select(col("n_nationkey"), col("payload"))
+      val parsed = G.xmlStringToStruct(n, "payload")
+      parsed.select(col("n_nationkey").cast(LongType).as("n_nationkey"),
+          col("payload.k").cast(LongType).as("k"),
+          col("payload.r").cast(LongType).as("r"),
+          col("payload.nm").as("nm"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // G5-ish JSON string column — extract + aggregate.
     "q16_json_props" -> ((s, d) => {
       Tables(s, d, "events")
@@ -559,6 +576,12 @@ object RefQueries {
                'g-' || CAST(c_custkey AS VARCHAR)
         FROM customer WHERE c_custkey % 4 = 3)
       ORDER BY customerno, name""",
+    "q63_xml_struct" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+             CAST(n_nationkey AS BIGINT) AS k,
+             CAST(n_regionkey AS BIGINT) AS r,
+             n_name AS nm
+      FROM nation ORDER BY n_nationkey""",
     "q61_desc_window" -> """
       SELECT event_id, user_id, rn FROM (
         SELECT event_id, user_id,
