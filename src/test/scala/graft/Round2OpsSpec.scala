@@ -38,6 +38,20 @@ class Round2OpsSpec extends SparkSpec {
     assert(fast == brute)
   }
 
+  test("jaccardSelfJoin recall survives FP-hostile thresholds (25*0.56 rounds above 14)") {
+    // A has 25 tokens, B the last 14 of them in the canonical order:
+    // J(A,B) = 14/25 = 0.56 exactly. A naive ceil(t*sz) computes
+    // ceil(14.000000000000002) = 15 → prefix one token short → pair missed.
+    val ts = (1 to 25).map(i => f"t$i%02d")
+    val df = Seq(
+      (1L, ts.mkString(" ")),
+      (2L, ts.drop(11).mkString(" "))).toDF("id", "text")
+      .select($"id", array_distinct(S.tokens($"text")).as("toks"))
+    val pairs = Dedup.jaccardSelfJoin(df, "toks", "id", Seq.empty, 0.56)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 0.56)))
+  }
+
   test("jaccardSelfJoin never pairs across blocks") {
     val df = Seq((1L, "en", "alpha beta gamma"), (2L, "de", "alpha beta gamma"))
       .toDF("id", "lang", "text")
