@@ -38,32 +38,37 @@ object ConnectedComponents {
     var labels = sym.groupBy(col("a").as("v")).agg(min(col("b")).as("nm"))
       .select(col("v"), least(col("v"), col("nm")).as("label"))
       .localCheckpoint(true)
-    var prevSum: Option[Any] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val neighborMin = sym
         .join(labels, sym("b") === labels("v"))
         .groupBy(col("a").as("v0")).agg(min(col("label")).as("nmin"))
-      // materialize hop before the self-join below, or the neighbor-min
-      // join+agg subtree is planned (and largely executed) twice per round
+      // materialize hop before the probe and self-join below, or the
+      // neighbor-min join+agg subtree is planned (and largely executed)
+      // twice per round. __old is carried so convergence is detected IN this
+      // round: labels only decrease, and over SYMMETRIC edges a hop that
+      // changes nothing means every label ≤ all neighbors' labels ⇒ (by
+      // symmetry) equal across every edge ⇒ already component-constant —
+      // no need for the old two-round checksum confirmation, and the
+      // path-halving jump is provably a no-op then (label(label) ≤ label
+      // with equality at the fixpoint).
       val hop = labels.join(neighborMin, labels("v") === col("v0"), "left")
-        .select(col("v"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .select(col("v"), col("label").as("__old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint(true)
-      // path halving: label ← label(label)
-      val jumped = hop.alias("x")
-        .join(hop.select(col("v").as("lv"), col("label").as("ll")).alias("y"),
-          col("x.label") === col("lv"), "left")
-        .select(col("x.v").as("v"), coalesce(col("ll"), col("x.label")).as("label"))
-        .localCheckpoint(true)
-      // labels only decrease, so an unchanged checksum certifies convergence.
-      // sha2 of the sorted-agg-free sum-of-hashes works for ANY id type and
-      // cannot overflow: xxhash64 each (v,label) pair, sum as decimal.
-      val s = jumped.agg(
-        sum(xxhash64(col("v"), col("label")).cast("decimal(38,0)"))).head().get(0)
-      labels = jumped
-      converged = prevSum.contains(s)
-      prevSum = Some(s)
+      if (hop.filter(col("label") < col("__old")).isEmpty) {
+        labels = hop.select(col("v"), col("label"))
+        converged = true
+      } else {
+        val h = hop.select(col("v"), col("label"))
+        // path halving: label ← label(label)
+        labels = h.alias("x")
+          .join(h.select(col("v").as("lv"), col("label").as("ll")).alias("y"),
+            col("x.label") === col("lv"), "left")
+          .select(col("x.v").as("v"), coalesce(col("ll"), col("x.label")).as("label"))
+          .localCheckpoint(true)
+      }
       iter += 1
     }
     sym.unpersist()
