@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 
 /** Round-2 additions: exact prefix-filter similarity join, deterministic
   * as-of tiebreak, descending sort dialect, events-reader memoization. */
-class Round2OpsSpec extends SparkSpec {
+class Round2OpsSpec extends SparkSpec with PropHelper {
   import spark.implicits._
 
   private val words = Seq("alpha", "beta", "gamma", "delta", "eps",
@@ -36,6 +36,33 @@ class Round2OpsSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(brute.nonEmpty, "test corpus should contain near-dup pairs")
     assert(fast == brute)
+  }
+
+  test("jaccardSelfJoin equals driver-side brute force on random corpora (property)") {
+    import org.scalacheck.{Gen, Prop}
+    val vocab = (1 to 30).map(i => s"w$i")
+    val gen = for {
+      n <- Gen.choose(15, 35)
+      docs <- Gen.listOfN(n, Gen.nonEmptyListOf(Gen.oneOf(vocab)).map(_.distinct))
+      t <- Gen.oneOf(0.3, 0.5, 0.56, 0.7, 0.85)
+    } yield (docs, t)
+    checkProp(Prop.forAll(gen) { case (docs, t) =>
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("id", "text")
+        .select($"id", array_distinct(S.tokens($"text")).as("toks"))
+      val got = Dedup.jaccardSelfJoin(df, "toks", "id", Seq.empty, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val sets = docs.map(_.toSet).zipWithIndex
+      val want = (for {
+        (sa, ia) <- sets
+        (sb, ib) <- sets if ia < ib
+        inter = (sa & sb).size.toDouble
+        uni = (sa ++ sb).size.toDouble
+        j = if (uni == 0) 0.0 else inter / uni
+        if j >= t
+      } yield (ia.toLong, ib.toLong, j)).toSet
+      got == want
+    }, tests = 8)
   }
 
   test("jaccardSelfJoin recall survives FP-hostile thresholds (25*0.56 rounds above 14)") {
