@@ -45,6 +45,17 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
       .select(col("window.start").as("window_start"), col(typeCol), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup with BOUNDED state: duplicates arriving within the
+    * watermark delay of each other are dropped, and per-key state expires with
+    * the watermark (`dropDuplicatesWithinWatermark`) — the only dedup shape
+    * whose state does not grow without bound on an unbounded stream. Use the
+    * content hash (e.g. `sha2(text, 256)`) as the key column for
+    * training-corpus streams so state rows stay tiny. */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+                     tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // ------------------------------------------------------- custom state logic
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

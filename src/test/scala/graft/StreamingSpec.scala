@@ -41,6 +41,24 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getAs[Double]("sum_value") == 3.0)
   }
 
+  test("streaming dedup drops watermark-window duplicates with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "content_hash")
+    val out = StreamingOps.streamingDedup(df, Seq("content_hash"), "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode(OutputMode.Append).start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((t("2024-01-01 10:00:00"), "aaa"), (t("2024-01-01 10:01:00"), "aaa"),
+      (t("2024-01-01 10:02:00"), "bbb"))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 10:03:00"), "aaa")) // still within window: dropped
+    q.processAllAvailable()
+    val rows = spark.table("stream_dedup").orderBy("ts").collect()
+    q.stop()
+    assert(rows.map(_.getString(1)).toSeq == Seq("aaa", "bbb"))
+  }
+
   test("event-time-timeout sessionization closes a session when the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingOps.Event]
