@@ -8,6 +8,8 @@ import org.apache.spark.sql.functions._
   * id offsets and time the similarity-join family, validating that runtime
   * tracks OUTPUT size (true pairs grow ~N² from replicated cliques) rather
   * than input-pairs (which would be the all-pairs quadratic signature).
+  * Each stage is materialized inside its own timer (localCheckpoint + count)
+  * so the CC timing measures CC, not a lazy re-execution of the join.
   * Usage: runMain graft.ScaleCheck [sfDir] [replication]. */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
@@ -21,10 +23,11 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def t(tag: String)(f: => Long): Unit = {
+    def timed[A](tag: String)(f: => (A, Long)): A = {
       val t0 = System.nanoTime()
-      val rows = f
+      val (a, rows) = f
       println(f"[scale] $tag: $rows rows in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      a
     }
     def toks(df: DataFrame) = df.select(col("lang"), col("source"), col("doc_id"),
       array_distinct(S.tokens(col("text"))).as("toks"))
@@ -32,25 +35,27 @@ object ScaleCheck {
     val docs = queries.Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
     docs.count() // warm
+    // replica offset must clear the real id range or replicas would alias
+    val offset = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     val rep = (0 until n).map(i => docs.select(
-        (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        (col("doc_id") + lit(i.toLong * offset)).as("doc_id"),
         col("lang"), col("source"), col("text")))
       .reduce(_ unionByName _)
 
-    t("jaccardSelfJoin t=0.7 blocked 1x")(
-      operators.Dedup.jaccardSelfJoin(toks(docs), "toks", "doc_id",
-        Seq("lang", "source"), 0.7).count())
-    t(s"jaccardSelfJoin t=0.7 blocked ${n}x")(
-      operators.Dedup.jaccardSelfJoin(toks(rep), "toks", "doc_id",
-        Seq("lang", "source"), 0.7).count())
-    val pairs1 = operators.Dedup.jaccardSelfJoin(toks(docs), "toks", "doc_id",
-      Seq("lang", "source"), 0.7).select(col("id_a"), col("id_b"))
-    t("connected components 1x")(
-      operators.ConnectedComponents.run(pairs1, "id_a", "id_b").count())
-    val pairsN = operators.Dedup.jaccardSelfJoin(toks(rep), "toks", "doc_id",
-      Seq("lang", "source"), 0.7).select(col("id_a"), col("id_b"))
-    t(s"connected components ${n}x")(
-      operators.ConnectedComponents.run(pairsN, "id_a", "id_b").count())
+    def pairsOf(df: DataFrame, tag: String): DataFrame =
+      timed(s"jaccardSelfJoin t=0.7 blocked $tag") {
+        val p = operators.Dedup.jaccardSelfJoin(toks(df), "toks", "doc_id",
+            Seq("lang", "source"), 0.7)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint(true) // materialized INSIDE this timer
+        (p, p.count())
+      }
+    val pairs1 = pairsOf(docs, "1x")
+    val pairsN = pairsOf(rep, s"${n}x")
+    timed("connected components 1x")(((), // pairs pre-materialized: pure CC time
+      operators.ConnectedComponents.run(pairs1, "id_a", "id_b").count()))
+    timed(s"connected components ${n}x")(((),
+      operators.ConnectedComponents.run(pairsN, "id_a", "id_b").count()))
     spark.stop()
   }
 }

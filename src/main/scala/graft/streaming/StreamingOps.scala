@@ -47,9 +47,10 @@ object StreamingOps {
 
   /** Streaming exact dedup with BOUNDED state: duplicates arriving within the
     * watermark delay of each other are dropped, and per-key state expires with
-    * the watermark (`dropDuplicatesWithinWatermark`) — the only dedup shape
-    * whose state does not grow without bound on an unbounded stream. Use the
-    * content hash (e.g. `sha2(text, 256)`) as the key column for
+    * the watermark (`dropDuplicatesWithinWatermark`) — dedup by content alone
+    * with bounded state. (The other bounded shape, plain `dropDuplicates`
+    * with the event-time column IN the key, dedups exact (key, time) repeats
+    * only.) Use a content hash (e.g. `sha2(text, 256)`) as the key column for
     * training-corpus streams so state rows stay tiny. */
   def streamingDedup(events: DataFrame, keyCols: Seq[String],
                      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
