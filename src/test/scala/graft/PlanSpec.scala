@@ -47,6 +47,23 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2)
   }
 
+  test("exact similarity join never plans a cartesian or nested-loop join") {
+    val p = plan(TextQueries.queries("q25_jaccard_block")(spark, dir))
+    assert(!p.contains("CartesianProduct"), "prefix-filter join must not cross-join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "prefix-filter join must stay an equi-join")
+  }
+
+  test("salted aggregation plans two aggregation phases over distinct keys") {
+    val df = graft.operators.SkewOps.saltedAggregate(
+      graft.queries.Tables(spark, dir, "events"), Seq("event_type"),
+      Map("user_id" -> "sum"), saltBuckets = 4)
+    val p = plan(df)
+    // partial+final per groupBy → at least 4 HashAggregate nodes total, and
+    // the salt column must appear as a grouping key of the inner phase
+    assert(p.split("HashAggregate").length - 1 >= 4)
+    assert(p.contains("__salt"))
+  }
+
   test("whole-stage codegen covers the scalar-transform hot paths") {
     val df = RefQueries.queries("q09_premium_calc")(spark, dir)
     df.collect() // AQE: codegen spans appear in the FINAL executed plan
