@@ -17,6 +17,11 @@ object Bench {
     // optional arg: comma-separated query-name filter (local iteration only;
     // the driver invokes with no args → full suite)
     val wanted = args.headOption.map(_.split(",").toSeq)
+    wanted.foreach { w =>
+      val unknown = w.filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty, // a typo must not masquerade as a measurement
+        s"unknown quer${if (unknown.size == 1) "y" else "ies"}: ${unknown.mkString(", ")}")
+    }
     val selected = wanted.fold(SparkEntry.queries.toSeq)(w =>
       w.flatMap(k => SparkEntry.queries.get(k).map(k -> _)))
     val results = selected.map { case (name, fn) =>

@@ -98,7 +98,10 @@ object SimilarityFunctions {
     * joins should also materialize the shingle column once (see
     * Dedup.jaccardSelfJoin) rather than letting CollapseProject re-inline it. */
   def wordShingles(c: Column, n: Int): Column = {
-    if (n == 1) return array_distinct(tokens(c))
+    // coalesce keeps NULL-text behavior identical to the general path below
+    // (its when() guard turns a NULL count into the empty array)
+    if (n == 1) return coalesce(array_distinct(tokens(c)),
+      array().cast(ArrayType(StringType)))
     val ts = tokens(c)
     val cnt = size(ts)
     val grams = transform(sequence(lit(0), cnt - n), i =>

@@ -131,6 +131,10 @@ object PipelineQueries {
       val db = s"graftdq${math.abs(d.hashCode)}"
       val lineagePath = s"/tmp/graft_lineage_${math.abs(d.hashCode)}.jsonl"
       new java.io.File(lineagePath).delete() // fresh sink per run (JSONL appends)
+      // the DQ-results table is append-only by contract — reset it too, or a
+      // second invocation in one session would double the oracle's 4 rows
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      s.sql(s"DROP TABLE IF EXISTS $db.lineitem_dq_dq_results")
       val args = JobArgs("Bench", "lineitem_dq", src, "dq-exec",
         Map("year" -> "2026"), db, environment = "Dev", lineageSink = Some(lineagePath))
       val dq = Specs.dqRules(Specs.parseJson(

@@ -19,19 +19,25 @@ import org.apache.spark.sql.functions._
 object Tables {
   // weak session keys: stopped sessions (and their memoized plans) become
   // collectable instead of pinned forever, and identity-keyed lookup cannot
-  // hand a dead session's plan to a new one. All access under one lock —
-  // the lock also serializes the conf flip.
-  private val eventsCache =
-    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]()
+  // hand a dead session's plan to a new one. The VALUES are WeakReferences
+  // too — a DataFrame strongly references its session, so a strong value
+  // would resurrect the key via the value→key path the WeakHashMap javadoc
+  // warns about (losing a memoized plan to GC merely re-runs the read under
+  // the lock). All access under one lock — it also serializes the conf flip.
+  private val eventsCache = new java.util.WeakHashMap[
+    SparkSession, java.util.HashMap[String, java.lang.ref.WeakReference[DataFrame]]]()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") this.synchronized {
       val perSession = {
         val m = eventsCache.get(spark)
         if (m != null) m
-        else { val m2 = new java.util.HashMap[String, DataFrame](); eventsCache.put(spark, m2); m2 }
+        else {
+          val m2 = new java.util.HashMap[String, java.lang.ref.WeakReference[DataFrame]]()
+          eventsCache.put(spark, m2); m2
+        }
       }
-      val cached = perSession.get(dir)
+      val cached = Option(perSession.get(dir)).flatMap(r => Option(r.get())).orNull
       if (cached != null) cached
       else {
         // restore the caller's prior conf value (hardcoding "false" would
@@ -45,7 +51,7 @@ object Tables {
             case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
             case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
           }
-        perSession.put(dir, df)
+        perSession.put(dir, new java.lang.ref.WeakReference(df))
         df
       }
     } else spark.read.parquet(s"$dir/$name.parquet")

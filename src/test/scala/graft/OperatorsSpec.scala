@@ -376,6 +376,7 @@ class DedupPipelineSpec extends SparkSpec {
     assert(survivors.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 5L))
     assert(report.map(s => (s.stage, s.docsIn, s.docsOut)) ==
       Seq(("exact", 5L, 4L), ("fingerprint", 4L, 3L), ("minhash", 3L, 2L)))
+    survivors.unpersist() // caller-owns-unpersist contract
   }
 }
 
