@@ -12,7 +12,10 @@ import java.nio.file.{Files, Paths}
   *
   * {{{
   * runMain graft.RunPipeline <sourceFile> <specJson> <db> <table> \
-  *     [mappingCsv] [dqJson] [lookupDir] [yyyy-MM-dd]
+  *     [mappingCsv|-] [dqJson|-] [lookupDir|-] [yyyy-MM-dd]
+  *
+  * `-` skips an optional positional argument (sbt's runMain arg splitting
+  * cannot pass an empty string).
   * }}}
   *
   * Config files use the reference dialects verbatim (transformation-spec
@@ -24,13 +27,15 @@ object RunPipeline {
     require(args.length >= 4,
       "usage: RunPipeline <sourceFile> <specJson> <db> <table> [mappingCsv] [dqJson] [lookupDir] [yyyy-MM-dd]")
     val Array(sourceFile, specPath, db, table) = args.take(4)
-    val mapping = args.lift(4).filter(_.nonEmpty)
+    def opt(i: Int): Option[String] =
+      args.lift(i).filter(p => p.nonEmpty && p != "-")
+    val mapping = opt(4)
       .map(p => Specs.mappingCsv(Files.readString(Paths.get(p)))).getOrElse(Seq.empty)
-    val dq = args.lift(5).filter(_.nonEmpty)
+    val dq = opt(5)
       .map(p => Specs.dqRules(Specs.readJsonFile(p))).getOrElse(Map.empty[String, Map[String, Seq[String]]])
-    val lookupStore = args.lift(6).filter(_.nonEmpty)
+    val lookupStore = opt(6)
       .map(LookupStore.fromDirectory).getOrElse(LookupStore.empty)
-    val date = args.lift(7).map(java.time.LocalDate.parse)
+    val date = opt(7).map(java.time.LocalDate.parse)
       .getOrElse(java.time.LocalDate.now())
 
     // Persistent catalog (embedded Derby metastore) so cleanse tables written

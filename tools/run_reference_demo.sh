@@ -1,0 +1,44 @@
+#!/usr/bin/env bash
+# Drop-in compatibility demo: run the CLI triple against the reference's OWN
+# sample data and UNMODIFIED per-dataset config files (read in place from
+# /root/reference — never copied into this repo):
+#   1. collect-to-cleanse of syntheticlife claim + policy CSVs
+#      (mapping CSV + transformation-spec JSON + dq-rules JSON verbatim)
+#   2. cleanse-to-consume with the reference's spark-*.sql verbatim
+# A reference user's config directory carries over unchanged.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+REF=/root/reference
+DEMO=/tmp/graft_refdemo
+rm -rf "$DEMO"
+mkdir -p "$DEMO/lookups"
+export GRAFT_WAREHOUSE="$DEMO/wh"
+export GRAFT_LINEAGE_FILE="$DEMO/lineage.jsonl"
+
+# the reference seeds its DynamoDB lookup table from one JSON of
+# {name: {orig: new}}; our directory store wants one <name>.json per lookup
+python3 - <<EOF
+import json
+d = json.load(open("$REF/resources/syntheticlife_lookup_data.json"))
+for name, mapping in d.items():
+    json.dump(mapping, open("$DEMO/lookups/%s.json" % name, "w"))
+EOF
+
+SPEC=$REF/lib/glue_scripts/transformation-spec
+DQ=$REF/lib/glue_scripts/dq-rules
+
+sbt -batch "runMain graft.RunPipeline $REF/resources/syntheticlife-claim-data.csv \
+  $SPEC/SyntheticLifeData-ClaimData.json syntheticlifedata claimdata \
+  $SPEC/SyntheticLifeData-ClaimData.csv - - 2023-01-01" 2>&1 | grep '\[graft\]'
+
+sbt -batch "runMain graft.RunPipeline $REF/resources/syntheticlife-policy-data.csv \
+  $SPEC/SyntheticLifeData-PolicyData.json syntheticlifedata policydata \
+  $SPEC/SyntheticLifeData-PolicyData.csv $DQ/dq-SyntheticLifeData-PolicyData.json \
+  $DEMO/lookups 2023-01-01" 2>&1 | grep '\[graft\]'
+
+sbt -batch "runMain graft.RunConsume \
+  $REF/lib/glue_scripts/transformation-sql/spark-SyntheticLifeData-PolicyData.sql \
+  syntheticlifedata policydata $DQ/dq-SyntheticLifeData-PolicyData.json" 2>&1 | grep '\[graft\]'
+
+echo "[demo] done — tables under $GRAFT_WAREHOUSE, lineage in $GRAFT_LINEAGE_FILE"
