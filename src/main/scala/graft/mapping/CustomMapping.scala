@@ -18,29 +18,49 @@ case class MappingRow(sourceName: String, destName: String,
   * ReadSchema (column pruning is free at any scale). */
 object CustomMapping {
 
-  /** Apply a mapping: select+alias each mapped column; `destName=="null"` drops;
-    * unmapped source columns are discarded. Fuzzy rows (threshold set) match
-    * against still-unmapped source columns using the named scorer. Nested fields
-    * are addressed after [[graft.functions.StructuredTransforms.flattenSchema]]
-    * naming (`a_b_c`). With `strict=true`, a non-fuzzy mapping row whose source
-    * column is absent raises (the reference's strict_schema_mapping,
-    * custom_mapping.py:88). */
+  /** Every addressable nesting level of a schema as an unescaped dotted path —
+    * struct NODES included (so a whole sub-struct can be mapped to one column)
+    * and array-of-struct elements descended, exactly like the reference's
+    * flatten_schema (custom_mapping.py:13-33). */
+  def flattenPaths(schema: StructType, prefix: String = ""): Seq[String] =
+    schema.fields.toSeq.flatMap { f =>
+      val name = s"$prefix${f.name}"
+      val children = f.dataType match {
+        case st: StructType => flattenPaths(st, s"$name.")
+        case org.apache.spark.sql.types.ArrayType(st: StructType, _) =>
+          flattenPaths(st, s"$name.")
+        case _ => Seq.empty
+      }
+      name +: children
+    }
+
+  private def unescape(n: String): String = n.replace("`", "")
+  private def escapePath(p: String): String =
+    p.split("\\.").map(s => s"`$s`").mkString(".")
+
+  /** Apply a mapping: select+alias each mapped field; `destName=="null"` drops;
+    * unmapped source fields are discarded. Nested fields are addressed by the
+    * reference's backtick path dialect (`` `Insured`.`InsuredAddress` `` — any
+    * nesting level, including whole sub-structs), matched against
+    * [[flattenPaths]]. Fuzzy rows (threshold set) match against still-unmapped
+    * paths using the named scorer. With `strict=true`, a non-fuzzy mapping row
+    * whose source field is absent raises (the reference's
+    * strict_schema_mapping, custom_mapping.py:88). */
   def applyMapping(df: DataFrame, rows: Seq[MappingRow], strict: Boolean = false): DataFrame = {
-    val flat = if (df.schema.fields.exists(_.dataType.isInstanceOf[StructType]))
-      graft.functions.StructuredTransforms.flattenSchema(df) else df
-    val available = scala.collection.mutable.LinkedHashSet(flat.columns: _*)
+    val available = scala.collection.mutable.LinkedHashSet(flattenPaths(df.schema): _*)
     val exact = rows.filter(_.threshold.isEmpty).flatMap { r =>
-      if (!available.contains(r.sourceName)) {
+      val src = unescape(r.sourceName)
+      if (!available.contains(src)) {
         if (strict && !r.destName.equalsIgnoreCase("null")) throw new IllegalArgumentException(
           s"strict schema mapping: source column ${r.sourceName} missing from incoming data")
         None
       }
-      else { available -= r.sourceName; Some(r) }
+      else { available -= src; Some(r.copy(sourceName = src)) }
     }
     val fuzzy = rows.filter(_.threshold.isDefined).flatMap { r =>
       val scorer = FuzzyScorers(r.scorer.getOrElse("token_sort_ratio"))
       val best = available.toSeq
-        .map(c => c -> scorer(r.sourceName.toLowerCase, c.toLowerCase))
+        .map(c => c -> scorer(unescape(r.sourceName).toLowerCase, c.toLowerCase))
         .filter(_._2 >= r.threshold.get)
         .sortBy(-_._2)
         .headOption
@@ -49,7 +69,7 @@ object CustomMapping {
     // the reference compares the drop sentinel case-insensitively
     // (custom_mapping.py:88 lower()s it; shipped files spell it "Null")
     val selected = (exact ++ fuzzy).filterNot(_.destName.equalsIgnoreCase("null"))
-    flat.select(selected.map(r => col(s"`${r.sourceName}`").as(r.destName)): _*)
+    df.select(selected.map(r => col(escapePath(r.sourceName)).as(r.destName)): _*)
   }
 
   /** P3 `clean_column_names` — Parquet/Athena-safe names: trim, ≤255 chars,

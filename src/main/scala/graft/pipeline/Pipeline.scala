@@ -141,10 +141,15 @@ class PipelineRunner(spark: SparkSession) {
     val substituted = substitutions.foldLeft(sql) { case (s, (k, v)) =>
       s.replace(s"{$k}", v)
     }
-    // CREATE TABLE <t> AS prefix overrides the target table (:126-131)
+    // CREATE TABLE <t> AS prefix overrides the target TABLE name; a bare name
+    // stays inside the consume database, as in the reference (its regex only
+    // captures a bare [\w]+ and swaps target_table within target_database,
+    // etl_cleanse_to_consume.py:126-131). A dotted name overrides the db too
+    // (extension).
     val createRe = "(?is)^\\s*CREATE\\s+TABLE\\s+([\\w.]+)\\s+AS\\s+(.*)".r
     val (target, query) = substituted match {
-      case createRe(t, rest) => (t, rest)
+      case createRe(t, rest) =>
+        (if (t.contains(".")) t else s"${args.databaseName}_consume.$t", rest)
       case q => (s"${args.databaseName}_consume.${args.tableName}", q)
     }
     val df = spark.sql(query)

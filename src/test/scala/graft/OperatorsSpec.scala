@@ -121,10 +121,19 @@ class MappingSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("policy_id", "company"))
   }
 
-  test("applyMapping addresses nested fields via flattened names") {
+  test("applyMapping addresses nested fields via the reference backtick-path dialect") {
     val df = spark.sql("SELECT named_struct('b', named_struct('c', 7)) AS a")
-    val out = CustomMapping.applyMapping(df, Seq(MappingRow("a_b_c", "leaf")))
+    val out = CustomMapping.applyMapping(df, Seq(MappingRow("`a`.`b`.`c`", "leaf")))
     assert(out.select("leaf").as[Int].head() == 7)
+  }
+
+  test("applyMapping can map a whole sub-struct to one column and drop its parent") {
+    val df = spark.sql("SELECT 1 AS id, named_struct('addr', named_struct('city', 'x'), 'n', 5) AS ins")
+    val out = CustomMapping.applyMapping(df, Seq(
+      MappingRow("id", "id"), MappingRow("ins", "null"),
+      MappingRow("`ins`.`addr`", "addresses"), MappingRow("`ins`.`n`", "n_employees")))
+    assert(out.columns.toSeq == Seq("id", "addresses", "n_employees"))
+    assert(out.select("addresses.city").as[String].head() == "x")
   }
 
   test("cleanName sanitizes to parquet/athena-safe form") {

@@ -241,6 +241,16 @@ class PipelineE2eSpec extends SparkSpec {
     assert(spark.table(s"$db.overridden").count() == 1)
   }
 
+  test("cleanse-to-consume: BARE CREATE TABLE name stays in the consume database (reference semantics)") {
+    val db = uniqueDb
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    Seq((1, "x")).toDF("id", "v").write.format("parquet").saveAsTable(s"$db.src2")
+    val args = JobArgs("S", "ignored", "", "e", Map.empty, db)
+    new PipelineRunner(spark).cleanseToConsume(args,
+      s"CREATE TABLE renamed AS SELECT * FROM $db.src2", Map.empty, Map.empty)
+    assert(spark.table(s"${db}_consume.renamed").count() == 1)
+  }
+
   test("tokenize persists distinct pairs to the token store idempotently") {
     val dir = Files.createTempDirectory("graft_tok").resolve("store").toString
     val store = new TokenStore(dir)

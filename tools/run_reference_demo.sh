@@ -41,4 +41,31 @@ sbt -batch "runMain graft.RunConsume \
   $REF/lib/glue_scripts/transformation-sql/spark-SyntheticLifeData-PolicyData.sql \
   syntheticlifedata policydata $DQ/dq-SyntheticLifeData-PolicyData.json" 2>&1 | grep '\[graft\]'
 
+# second dataset family: general insurance (tokenize -> token store, redact,
+# merge, its own dq + consume SQL), same verbatim configs
+python3 - <<PYEOF
+import json
+d = json.load(open("$REF/resources/syntheticgeneral_lookup_data.json"))
+for name, mapping in d.items():
+    json.dump(mapping, open("$DEMO/lookups/%s.json" % name, "w"))
+PYEOF
+export GRAFT_TOKEN_STORE="$DEMO/token_store"
+
+# written policies: the premium showcase (lookup, enddate, policymonths,
+# expandpolicymonths, earnedpremium, flipsign, combinecolumns) + its consume
+# SQL and the Athena view passthrough, configs verbatim
+sbt -batch "runMain graft.RunPipeline $REF/resources/syntheticgeneral-writtenpolicies.csv \
+  $SPEC/SyntheticGeneralData-WrittenPolicyData.json syntheticgeneraldata writtenpolicydata \
+  $SPEC/SyntheticGeneralData-WrittenPolicyData.csv - $DEMO/lookups 2023-01-01" 2>&1 | grep '\[graft\]'
+
+sbt -batch "runMain graft.RunConsume \
+  $REF/lib/glue_scripts/transformation-sql/spark-SyntheticGeneralData-WrittenPolicyData.sql \
+  syntheticgeneraldata writtenpolicydata - \
+  $REF/lib/glue_scripts/transformation-sql/athena-SyntheticGeneralData-WrittenPolicyData.sql" 2>&1 | grep '\[graft\]'
+
+# nested policies: JSON source + jsonexpandarray/jsonexpandmap + month expand
+sbt -batch "runMain graft.RunPipeline $REF/resources/syntheticgeneral-nested-policies.json \
+  $SPEC/SyntheticGeneralData-NestedPolicyData.json syntheticgeneraldata nestedpolicydata \
+  $SPEC/SyntheticGeneralData-NestedPolicyData.csv - - 2023-01-01" 2>&1 | grep '\[graft\]'
+
 echo "[demo] done — tables under $GRAFT_WAREHOUSE, lineage in $GRAFT_LINEAGE_FILE"
