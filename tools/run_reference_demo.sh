@@ -68,4 +68,20 @@ sbt -batch "runMain graft.RunPipeline $REF/resources/syntheticgeneral-nested-pol
   $SPEC/SyntheticGeneralData-NestedPolicyData.json syntheticgeneraldata nestedpolicydata \
   $SPEC/SyntheticGeneralData-NestedPolicyData.csv - - 2023-01-01" 2>&1 | grep '\[graft\]'
 
+# entity-match family: two source systems over two days — cleanse + consume
+# per file, then the match job (exact on (customerno, srcsystemid), leveled
+# fuzzy with slice-markup blocking, uuid-fill, MERGE upsert) against the
+# shared primary table, configs verbatim
+SQL=$REF/lib/glue_scripts/transformation-sql
+em() { # <csv> <specBase> <table>
+  sbt -batch "runMain graft.RunPipeline $REF/resources/$1 \
+    $SPEC/$2.json customer $3 $SPEC/$2.csv - - $4" 2>&1 | grep '\[graft\]'
+  sbt -batch "runMain graft.RunConsume $SQL/spark-$2.sql customer $3" 2>&1 | grep '\[graft\]'
+  sbt -batch "runMain graft.RunEntityMatch $SPEC/Customer-entitymatch.json \
+    customer_consume.$3" 2>&1 | grep '\[graft\]'
+}
+em customer_A01_entitymatch_day1.csv Customer-A01 a01 2023-01-01
+em customer_A01_entitymatch_day2.csv Customer-A01 a01 2023-01-02
+em customer_C25_entitymatch_day1.csv Customer-C25 c25 2023-01-01
+
 echo "[demo] done — tables under $GRAFT_WAREHOUSE, lineage in $GRAFT_LINEAGE_FILE"
