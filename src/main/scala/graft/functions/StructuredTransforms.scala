@@ -51,9 +51,11 @@ object StructuredTransforms {
     df.select(kept ++ children: _*)
   }
 
-  /** Recursive schema flatten: every nested struct field becomes a top-level
-    * column named `parent_child_...`. Used by custommapping to address `a.b.c`.
-    * Ref: custom_mapping.py:13-33. */
+  /** Recursive DataFrame flatten: every nested struct field becomes a
+    * top-level column named `parent_child_...` — a standalone utility beyond
+    * the reference. (The reference's flatten_schema NAME enumerator that
+    * custommapping matches paths against is `CustomMapping.flattenPaths`,
+    * custom_mapping.py:13-33.) */
   def flattenSchema(df: DataFrame, sep: String = "_"): DataFrame = {
     def expand(prefix: String, path: String, st: StructType): Seq[Column] =
       st.fields.toSeq.flatMap { f =>
