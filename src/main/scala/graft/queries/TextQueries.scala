@@ -227,6 +227,19 @@ object TextQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Salted (replicate-and-salt) join for skewed keys: must equal the plain
+    // equi-join row-for-row — the oracle IS the plain join.
+    "q64_salted_join" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"))
+      val dim = Tables(s, d, "events")
+        .select(col("user_id")).distinct()
+        .withColumn("user_bucket", pmod(col("user_id"), lit(7)).cast(LongType))
+      graft.operators.SkewOps.saltedJoin(ev, dim, Seq("user_id"), saltBuckets = 4)
+        .select(col("event_id"), col("user_id"), col("user_bucket"))
+        .orderBy(col("event_id"))
+    }),
+
     // Deterministic stratified sampling: per-stratum keep fraction selected by
     // a pure stratum-salted id hash, replicated exactly by the oracle.
     "q60_stratified_sample" -> ((s, d) => {
@@ -380,6 +393,11 @@ object TextQueries {
              count(event_id) AS count_event_id,
              min(value) AS min_value
       FROM events GROUP BY event_type ORDER BY event_type""",
+    "q64_salted_join" -> """
+      SELECT e.event_id, e.user_id, u.user_id % 7 AS user_bucket
+      FROM events e JOIN (SELECT DISTINCT user_id FROM events) u
+        ON e.user_id = u.user_id
+      ORDER BY e.event_id""",
     "q60_stratified_sample" -> """
       SELECT doc_id, lang FROM (
         SELECT doc_id, lang,
