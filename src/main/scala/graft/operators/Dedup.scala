@@ -232,6 +232,54 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus EXACT Jaccard join — the decontamination operator: every
+    * (left, right) pair with token-set Jaccard ≥ `threshold`, e.g. training
+    * docs that near-duplicate benchmark/eval docs. Same prefix-filtering
+    * principle as [[jaccardSelfJoin]] with ONE canonical token order shared
+    * by both corpora (frequencies counted over their union, so the prefix
+    * lemma applies to cross pairs); candidates join prefix-to-prefix on
+    * (block, token), then length-filter, dedupe, exact-verify.
+    *
+    * @return (id_l, id_r, jaccard) with jaccard ≥ threshold */
+  def jaccardCrossJoin(left: DataFrame, right: DataFrame, tokensCol: String,
+                       idCol: String, blockCols: Seq[String],
+                       threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1]: $threshold")
+    val blocks = blockCols.map(col)
+    def baseOf(df: DataFrame) = df
+      .select(blocks :+ col(idCol).as("id") :+ array_distinct(col(tokensCol)).as("toks"): _*)
+      .withColumn("sz", size(col("toks")))
+      .filter(col("sz") > 0)
+      .localCheckpoint(true) // feeds prefix extraction + its verify join
+    val (lBase, rBase) = (baseOf(left), baseOf(right))
+    def tokStream(base: DataFrame) = base
+      .select(blocks :+ col("id") :+ col("sz") :+ explode(col("toks")).as("token"): _*)
+    val (lTok, rTok) = (tokStream(lBase), tokStream(rBase))
+    // ONE canonical order for both corpora: global frequency over the union
+    val freq = lTok.select(col("token")).unionByName(rTok.select(col("token")))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val prefixLen = (col("sz") - ceil(col("sz") * threshold - lit(1e-9)) + 1).cast("int")
+    def prefixOf(tok: DataFrame) = tok.join(freq, Seq("token"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("cnt"), col("token"))))
+      .filter(col("rnk") <= prefixLen)
+      .select(blocks :+ col("token") :+ col("id") :+ col("sz"): _*)
+    val lPrefix = prefixOf(lTok)
+      .select(blocks ++ Seq(col("token"), col("id").as("id_l"), col("sz").as("sz_l")): _*)
+    val rPrefix = prefixOf(rTok)
+      .select(blocks ++ Seq(col("token"), col("id").as("id_r"), col("sz").as("sz_r")): _*)
+    val candidates = lPrefix.join(rPrefix, blockCols :+ "token")
+      .filter(least(col("sz_l"), col("sz_r")).cast("double")
+        >= greatest(col("sz_l"), col("sz_r")) * threshold - lit(1e-9))
+      .select(col("id_l"), col("id_r"))
+      .distinct()
+    candidates
+      .join(lBase.select(col("id").as("id_l"), col("toks").as("t_l")), Seq("id_l"))
+      .join(rBase.select(col("id").as("id_r"), col("toks").as("t_r")), Seq("id_r"))
+      .select(col("id_l"), col("id_r"), S.jaccard(col("t_l"), col("t_r")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Embedding-cosine near-dup pairs: LSH-bucketed by random-hyperplane sign
     * bits (shared deterministic planes), verified by exact cosine ≥ threshold.
     * Candidate generation is a bucket equi-join; no full cross join. */

@@ -59,6 +59,18 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Decontamination: training docs that near-duplicate "benchmark" docs
+    // (the held-out tenth of the corpus), via the EXACT cross-corpus
+    // prefix-filter join — benchmark-leakage detection, fully oracle-checked.
+    "q65_decontamination" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), S.tokens(col("text")).as("toks"))
+      val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      Dedup.jaccardCrossJoin(train, bench, "toks", "doc_id", Seq("lang", "source"), 0.5)
+        .orderBy(col("id_l"), col("id_r"))
+    }),
+
     // MinHash+LSH candidate pairs w/ exact-Jaccard verification (rows-only
     // check: LSH banding is not SQL-expressible in the oracle).
     "q26_minhash_pairs" -> ((s, d) => {
@@ -393,6 +405,23 @@ object TextQueries {
              count(event_id) AS count_event_id,
              min(value) AS min_value
       FROM events GROUP BY event_type ORDER BY event_type""",
+    "q65_decontamination" -> """
+      WITH toks AS (
+        SELECT doc_id, lang, source,
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) END AS t
+        FROM documents),
+      tr AS (SELECT * FROM toks WHERE doc_id % 10 <> 0),
+      be AS (SELECT * FROM toks WHERE doc_id % 10 = 0)
+      SELECT tr.doc_id AS id_l, be.doc_id AS id_r,
+             CASE WHEN len(tr.t) + len(be.t) - len(list_intersect(tr.t, be.t)) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(tr.t, be.t)) AS DOUBLE)
+                       / CAST(len(tr.t) + len(be.t) - len(list_intersect(tr.t, be.t)) AS DOUBLE) END AS jaccard
+      FROM tr JOIN be ON tr.lang = be.lang AND tr.source = be.source
+      WHERE CASE WHEN len(tr.t) + len(be.t) - len(list_intersect(tr.t, be.t)) = 0 THEN 0.0
+                 ELSE CAST(len(list_intersect(tr.t, be.t)) AS DOUBLE)
+                      / CAST(len(tr.t) + len(be.t) - len(list_intersect(tr.t, be.t)) AS DOUBLE) END >= 0.5
+      ORDER BY id_l, id_r""",
     "q64_salted_join" -> """
       SELECT e.event_id, e.user_id, u.user_id % 7 AS user_bucket
       FROM events e JOIN (SELECT DISTINCT user_id FROM events) u

@@ -79,6 +79,21 @@ class Round2OpsSpec extends SparkSpec with PropHelper {
     assert(pairs == Seq((1L, 2L, 0.56)))
   }
 
+  test("jaccardCrossJoin (decontamination) equals the brute-force cross join") {
+    val toks = corpus.select($"lang", $"id", array_distinct(S.tokens($"text")).as("toks"))
+    val l = toks.filter($"id" % 3 =!= 0)
+    val r = toks.filter($"id" % 3 === 0)
+    val brute = l.select($"lang", $"id".as("id_l"), $"toks".as("t_l"))
+      .join(r.select($"lang", $"id".as("id_r"), $"toks".as("t_r")), Seq("lang"))
+      .select($"id_l", $"id_r", S.jaccard($"t_l", $"t_r").as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val fast = Dedup.jaccardCrossJoin(l, r, "toks", "id", Seq("lang"), 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty, "test corpus should contain cross near-dups")
+    assert(fast == brute)
+  }
+
   test("jaccardSelfJoin never pairs across blocks") {
     val df = Seq((1L, "en", "alpha beta gamma"), (2L, "de", "alpha beta gamma"))
       .toDF("id", "lang", "text")
