@@ -24,6 +24,12 @@ object Bench {
     }
     val selected = wanted.fold(SparkEntry.queries.toSeq)(w =>
       w.flatMap(k => SparkEntry.queries.get(k).map(k -> _)))
+    // untimed warm-up: JIT/codegen/first-scan costs otherwise land on
+    // whichever query happens to run first and distort its number
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().count()
+    } catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
