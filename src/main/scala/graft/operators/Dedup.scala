@@ -160,6 +160,52 @@ object Dedup {
     (afterNearDup, report.toSeq)
   }
 
+  // ------------- shared prefix-filter machinery (self + cross joins) --------
+
+  /** (blocks, id, toks, sz) with empty sets dropped (Jaccard 0 with
+    * everything), eagerly materialized: the frame feeds prefix extraction AND
+    * the verify join(s), and the token/shingle expression may be expensive —
+    * CollapseProject would otherwise re-inline it into every consumer. */
+  private def tokenSetBase(df: DataFrame, tokensCol: String, idCol: String,
+                           blocks: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.select(blocks :+ col(idCol).as("id") :+ array_distinct(col(tokensCol)).as("toks"): _*)
+      .withColumn("sz", size(col("toks")))
+      .filter(col("sz") > 0)
+      .localCheckpoint(true)
+
+  /** Token frequencies over the given bases — the shared canonical order. */
+  private def tokenFreq(bases: Seq[DataFrame]): DataFrame =
+    bases.map(_.select(explode(col("toks")).as("token"))).reduce(_ unionByName _)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** Prefix length |x| − ⌈t·|x|⌉ + 1, with ⌈⌉ taken of the EXACT real
+    * product: IEEE rounding can land just above an integer (25×0.56 =
+    * 14.000000000000002), which would shorten the prefix and silently drop
+    * qualifying pairs. The epsilon biases toward a LONGER prefix — extra
+    * candidates, never lost recall. */
+  private def prefixLenCol(threshold: Double) =
+    (col("sz") - ceil(col("sz") * threshold - lit(1e-9)) + 1).cast("int")
+
+  /** The (blocks…, token, id, sz) prefix rows of `base`: each set keyed only
+    * by its |x|−⌈t|x|⌉+1 rarest tokens under the canonical (freq, token)
+    * order. */
+  private def prefixRows(base: DataFrame, freq: DataFrame,
+                         blocks: Seq[org.apache.spark.sql.Column],
+                         threshold: Double): DataFrame =
+    base.select(blocks :+ col("id") :+ col("sz") :+ explode(col("toks")).as("token"): _*)
+      .join(freq, Seq("token"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("cnt"), col("token"))))
+      .filter(col("rnk") <= prefixLenCol(threshold))
+      .select(blocks :+ col("token") :+ col("id") :+ col("sz"): _*)
+
+  /** Length filter: J ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|); the epsilon keeps
+    * an exact-boundary pair (min = t·max in reals) from being excluded by a
+    * double product that rounds up. */
+  private def lengthFilter(szA: String, szB: String, threshold: Double) =
+    least(col(szA), col(szB)).cast("double") >=
+      greatest(col(szA), col(szB)) * threshold - lit(1e-9)
+
   /** EXACT all-pairs Jaccard self-join via prefix filtering — the deterministic
     * counterpart of [[minhashPairs]]: returns EVERY pair with token-set Jaccard
     * ≥ `threshold` (no LSH recall loss), without ever joining all pairs.
@@ -188,41 +234,18 @@ object Dedup {
                       blockCols: Seq[String], threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1]: $threshold")
     val blocks = blockCols.map(col)
-    // eager localCheckpoint: base feeds THREE consumers (prefix extraction +
-    // both verify joins), and the token/shingle expression may be expensive —
-    // materialize it once instead of recomputing per consumer (CollapseProject
-    // would otherwise re-inline the tokenization into every branch)
-    val base = df
-      .select(blocks :+ col(idCol).as("id") :+ array_distinct(col(tokensCol)).as("toks"): _*)
-      .withColumn("sz", size(col("toks")))
-      .filter(col("sz") > 0) // empty sets have Jaccard 0 with everything
-      .localCheckpoint(true)
-    val tok = base.select(blocks :+ col("id") :+ col("sz") :+ explode(col("toks")).as("token"): _*)
-    val freq = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
-    val ranked = tok.join(freq, Seq("token"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("cnt"), col("token"))))
-    // ceil(t·sz) must be the ceiling of the EXACT real product: double rounding
-    // can land just above an integer (e.g. 25×0.56 = 14.000000000000002) which
-    // would shorten the prefix and silently drop qualifying pairs. The epsilon
-    // biases toward a LONGER prefix — extra candidates, never lost recall.
-    val prefixLen = (col("sz") - ceil(col("sz") * threshold - lit(1e-9)) + 1).cast("int")
+    val base = tokenSetBase(df, tokensCol, idCol, blocks)
+    val freq = tokenFreq(Seq(base))
     // eager localCheckpoint: the prefix subtree (scan → explode → freq join →
     // per-doc rank) feeds BOTH sides of the self-join below; materializing it
     // once halves the heaviest stage. Executor-local blocks — swap for
     // reliable checkpoint on preemptible clusters.
-    val prefix = ranked.filter(col("rnk") <= prefixLen)
-      .select(blocks :+ col("token") :+ col("id") :+ col("sz"): _*)
-      .localCheckpoint(true)
+    val prefix = prefixRows(base, freq, blocks, threshold).localCheckpoint(true)
     val a = prefix.select(blocks ++ Seq(col("token"), col("id").as("id_a"), col("sz").as("sz_a")): _*)
     val b = prefix.select(blocks ++ Seq(col("token"), col("id").as("id_b"), col("sz").as("sz_b")): _*)
     val candidates = a.join(b, blockCols :+ "token")
       .filter(col("id_a") < col("id_b"))
-      // length filter: J ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|); epsilon keeps a
-      // boundary pair (min exactly t·max in reals) from being excluded by a
-      // double product that rounds up
-      .filter(least(col("sz_a"), col("sz_b")).cast("double")
-        >= greatest(col("sz_a"), col("sz_b")) * threshold - lit(1e-9))
+      .filter(lengthFilter("sz_a", "sz_b", threshold))
       .select(col("id_a"), col("id_b"))
       .distinct()
     candidates
@@ -246,31 +269,15 @@ object Dedup {
                        threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1]: $threshold")
     val blocks = blockCols.map(col)
-    def baseOf(df: DataFrame) = df
-      .select(blocks :+ col(idCol).as("id") :+ array_distinct(col(tokensCol)).as("toks"): _*)
-      .withColumn("sz", size(col("toks")))
-      .filter(col("sz") > 0)
-      .localCheckpoint(true) // feeds prefix extraction + its verify join
-    val (lBase, rBase) = (baseOf(left), baseOf(right))
-    def tokStream(base: DataFrame) = base
-      .select(blocks :+ col("id") :+ col("sz") :+ explode(col("toks")).as("token"): _*)
-    val (lTok, rTok) = (tokStream(lBase), tokStream(rBase))
-    // ONE canonical order for both corpora: global frequency over the union
-    val freq = lTok.select(col("token")).unionByName(rTok.select(col("token")))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val prefixLen = (col("sz") - ceil(col("sz") * threshold - lit(1e-9)) + 1).cast("int")
-    def prefixOf(tok: DataFrame) = tok.join(freq, Seq("token"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("cnt"), col("token"))))
-      .filter(col("rnk") <= prefixLen)
-      .select(blocks :+ col("token") :+ col("id") :+ col("sz"): _*)
-    val lPrefix = prefixOf(lTok)
+    val lBase = tokenSetBase(left, tokensCol, idCol, blocks)
+    val rBase = tokenSetBase(right, tokensCol, idCol, blocks)
+    val freq = tokenFreq(Seq(lBase, rBase)) // shared canonical order
+    val lPrefix = prefixRows(lBase, freq, blocks, threshold)
       .select(blocks ++ Seq(col("token"), col("id").as("id_l"), col("sz").as("sz_l")): _*)
-    val rPrefix = prefixOf(rTok)
+    val rPrefix = prefixRows(rBase, freq, blocks, threshold)
       .select(blocks ++ Seq(col("token"), col("id").as("id_r"), col("sz").as("sz_r")): _*)
     val candidates = lPrefix.join(rPrefix, blockCols :+ "token")
-      .filter(least(col("sz_l"), col("sz_r")).cast("double")
-        >= greatest(col("sz_l"), col("sz_r")) * threshold - lit(1e-9))
+      .filter(lengthFilter("sz_l", "sz_r", threshold))
       .select(col("id_l"), col("id_r"))
       .distinct()
     candidates

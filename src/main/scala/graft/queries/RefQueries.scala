@@ -218,9 +218,10 @@ object RefQueries {
           "timestamp": [{"field": "ts_parsed", "source": "ts_str", "format": "yyyy-MM-dd HH:mm:ss"}],
           "tokenize": ["phone"]
         }""")
-      val ctx = TransformContext(s, tokenStore = Some(new TokenStore(storePath)))
+      val tokenStore = new TokenStore(storePath)
+      val ctx = TransformContext(s, tokenStore = Some(tokenStore))
       val out = TransformRegistry.applyAll(base, spec.objFields, ctx)
-      val store = new TokenStore(storePath).read(s)
+      val store = tokenStore.read(s)
         .select(col("hash_key"), col("raw_data").as("detokenized"))
       out.join(store, col("phone") === col("hash_key"))
         .select(col("c_custkey"), col("segment"), col("cust_num"), col("name_short"),
