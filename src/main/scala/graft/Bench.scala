@@ -32,8 +32,17 @@ object Bench {
     } catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // noop sink: materializes EVERY column (count() would let Catalyst
+      // prune the projections being measured — regex passes, hashes, sorts)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // untimed inter-query cleanup: drop caches and nudge the
+      // ContextCleaner so one query's localCheckpoint blocks don't
+      // pressure the next query's memory (position-dependent noise)
+      try { spark.catalog.clearCache() } catch { case _: Throwable => () }
+      System.gc()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

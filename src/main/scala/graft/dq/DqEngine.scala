@@ -347,6 +347,22 @@ class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
       (executionId, rs, act, o.rule, o.outcome,
         o.metric.getOrElse(Double.NaN), o.failureReason.getOrElse(""))
     }.toDF("execution_id", "ruleset", "action", "rule", "outcome", "metric", "failure_reason")
+    // execution_id was added in front of the original 6 columns; appending to
+    // a target created before that change would mix 6- and 7-column batches
+    // (saveAsTable throws late, parquet paths read back inconsistently) —
+    // fail fast with a migration message instead
+    val existing: Option[org.apache.spark.sql.types.StructType] =
+      if (target.contains("/"))
+        try Some(spark.read.parquet(target).schema) catch { case _: Exception => None }
+      else if (spark.catalog.tableExists(target)) Some(spark.table(target).schema)
+      else None
+    existing.filterNot(_.fieldNames.contains("execution_id")).foreach { old =>
+      throw new IllegalStateException(
+        s"DQ results target '$target' predates the execution_id column " +
+        s"(found schema: ${old.fieldNames.mkString(", ")}); migrate it " +
+        "(add an execution_id string column, e.g. rewrite with a '' default) " +
+        "or point writeResults at a fresh target")
+    }
     if (target.contains("/")) df.write.mode("append").parquet(target)
     else df.write.mode("append").saveAsTable(target)
   }

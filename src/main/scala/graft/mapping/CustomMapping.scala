@@ -35,8 +35,15 @@ object CustomMapping {
     }
 
   private def unescape(n: String): String = n.replace("`", "")
-  private def escapePath(p: String): String =
-    p.split("\\.").map(s => s"`$s`").mkString(".")
+
+  /** Dotted-path splitting applies ONLY to names the config wrote with
+    * per-segment backticks (the reference's nested dialect); a plain name is
+    * wrapped in ONE backtick pair so a raw CSV header literally containing a
+    * dot (`"a.b"`) still addresses the top-level column, not field b of
+    * struct a. */
+  private def escapePath(p: String, nested: Boolean): String =
+    if (nested) p.split("\\.").map(s => s"`$s`").mkString(".")
+    else s"`${p.replace("`", "``")}`"
 
   /** Apply a mapping: select+alias each mapped field; `destName=="null"` drops;
     * unmapped source fields are discarded. Nested fields are addressed by the
@@ -48,6 +55,7 @@ object CustomMapping {
     * strict_schema_mapping, custom_mapping.py:88). */
   def applyMapping(df: DataFrame, rows: Seq[MappingRow], strict: Boolean = false): DataFrame = {
     val available = scala.collection.mutable.LinkedHashSet(flattenPaths(df.schema): _*)
+    val topLevel = df.schema.fieldNames.toSet
     val exact = rows.filter(_.threshold.isEmpty).flatMap { r =>
       val src = unescape(r.sourceName)
       if (!available.contains(src)) {
@@ -55,7 +63,9 @@ object CustomMapping {
           s"strict schema mapping: source column ${r.sourceName} missing from incoming data")
         None
       }
-      else { available -= src; Some(r.copy(sourceName = src)) }
+      // nested addressing only when the config row spelled the path with
+      // backticks (the reference dialect) — a plain name stays one column
+      else { available -= src; Some((r.copy(sourceName = src), r.sourceName.contains("`"))) }
     }
     val fuzzy = rows.filter(_.threshold.isDefined).flatMap { r =>
       val scorer = FuzzyScorers(r.scorer.getOrElse("token_sort_ratio"))
@@ -64,12 +74,15 @@ object CustomMapping {
         .filter(_._2 >= r.threshold.get)
         .sortBy(-_._2)
         .headOption
-      best.map { case (c, _) => available -= c; MappingRow(c, r.destName) }
+      // fuzzy candidates come from flattenPaths: nested iff not a literal
+      // top-level field name
+      best.map { case (c, _) => available -= c; (MappingRow(c, r.destName), !topLevel.contains(c)) }
     }
     // the reference compares the drop sentinel case-insensitively
     // (custom_mapping.py:88 lower()s it; shipped files spell it "Null")
-    val selected = (exact ++ fuzzy).filterNot(_.destName.equalsIgnoreCase("null"))
-    df.select(selected.map(r => col(escapePath(r.sourceName)).as(r.destName)): _*)
+    val selected = (exact ++ fuzzy).filterNot(_._1.destName.equalsIgnoreCase("null"))
+    df.select(selected.map { case (r, nested) =>
+      col(escapePath(r.sourceName, nested)).as(r.destName) }: _*)
   }
 
   /** P3 `clean_column_names` — Parquet/Athena-safe names: trim, ≤255 chars,

@@ -44,31 +44,28 @@ object ConnectedComponents {
       val neighborMin = sym
         .join(labels, sym("b") === labels("v"))
         .groupBy(col("a").as("v0")).agg(min(col("label")).as("nmin"))
-      // materialize hop before the probe and self-join below, or the
-      // neighbor-min join+agg subtree is planned (and largely executed)
-      // twice per round. __old is carried so convergence is detected IN this
-      // round: labels only decrease, and over SYMMETRIC edges a hop that
-      // changes nothing means every label ≤ all neighbors' labels ⇒ (by
-      // symmetry) equal across every edge ⇒ already component-constant —
-      // no need for the old two-round checksum confirmation, and the
-      // path-halving jump is provably a no-op then (label(label) ≤ label
-      // with equality at the fixpoint).
       val hop = labels.join(neighborMin, labels("v") === col("v0"), "left")
         .select(col("v"), col("label").as("__old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache() // both sides of the halving self-join read this subtree
+      // Path halving (label ← label(label)) folded into the SAME
+      // materialization as the hop: one blocking localCheckpoint per round
+      // (round 2 did two — hop AND halved — and that fixed per-round barrier,
+      // not data volume, dominated small-graph wall time). __old is carried
+      // through so convergence is detected on the HALVED frame, which is
+      // sound because labels only decrease (halved ≤ hop ≤ old): halved ==
+      // old everywhere ⇒ the hop changed nothing ⇒ every label ≤ all
+      // neighbors' labels ⇒ (by edge symmetry) component-constant, and the
+      // halving jump is a no-op at that fixpoint.
+      val halved = hop.alias("x")
+        .join(hop.select(col("v").as("lv"), col("label").as("ll")).alias("y"),
+          col("x.label") === col("lv"), "left")
+        .select(col("x.v").as("v"), col("x.__old").as("__old"),
+          coalesce(col("ll"), col("x.label")).as("label"))
         .localCheckpoint(true)
-      if (hop.filter(col("label") < col("__old")).isEmpty) {
-        labels = hop.select(col("v"), col("label"))
-        converged = true
-      } else {
-        val h = hop.select(col("v"), col("label"))
-        // path halving: label ← label(label)
-        labels = h.alias("x")
-          .join(h.select(col("v").as("lv"), col("label").as("ll")).alias("y"),
-            col("x.label") === col("lv"), "left")
-          .select(col("x.v").as("v"), coalesce(col("ll"), col("x.label")).as("label"))
-          .localCheckpoint(true)
-      }
+      hop.unpersist(false)
+      converged = halved.filter(col("label") < col("__old")).isEmpty
+      labels = halved.select(col("v"), col("label"))
       iter += 1
     }
     sym.unpersist()

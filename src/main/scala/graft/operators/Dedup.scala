@@ -188,14 +188,17 @@ object Dedup {
 
   /** The (blocks…, token, id, sz) prefix rows of `base`: each set keyed only
     * by its |x|−⌈t|x|⌉+1 rarest tokens under the canonical (freq, token)
-    * order. */
+    * order. The rank window partitions by blocks :+ id so rows that share an
+    * id across different blocks still rank their prefixes independently
+    * (within one block, duplicate ids remain the caller's contract — the
+    * verify joins key on id alone). */
   private def prefixRows(base: DataFrame, freq: DataFrame,
                          blocks: Seq[org.apache.spark.sql.Column],
                          threshold: Double): DataFrame =
     base.select(blocks :+ col("id") :+ col("sz") :+ explode(col("toks")).as("token"): _*)
       .join(freq, Seq("token"))
       .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("cnt"), col("token"))))
+        Window.partitionBy(blocks :+ col("id"): _*).orderBy(col("cnt"), col("token"))))
       .filter(col("rnk") <= prefixLenCol(threshold))
       .select(blocks :+ col("token") :+ col("id") :+ col("sz"): _*)
 
@@ -226,7 +229,9 @@ object Dedup {
     * reference-style blocked cross pairing for dedup clustering.
     *
     * @param df        input with `idCol`, `tokensCol` (array; de-dup'd inside)
-    *                  and `blockCols` (pairs must agree on these; may be empty)
+    *                  and `blockCols` (pairs must agree on these; may be empty).
+    *                  Ids must be GLOBALLY unique — the verify join keys on id
+    *                  alone, so duplicate ids silently merge token sets
     * @param threshold Jaccard threshold in (0, 1]
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
     */
@@ -262,6 +267,7 @@ object Dedup {
     * by both corpora (frequencies counted over their union, so the prefix
     * lemma applies to cross pairs); candidates join prefix-to-prefix on
     * (block, token), then length-filter, dedupe, exact-verify.
+    * Ids must be globally unique within each side (see [[jaccardSelfJoin]]).
     *
     * @return (id_l, id_r, jaccard) with jaccard ≥ threshold */
   def jaccardCrossJoin(left: DataFrame, right: DataFrame, tokensCol: String,

@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * search, and near-dup feature vectors.
   *
   * Scale shape: one explode + two hash aggregations (term frequency per doc,
-  * document frequency per token) and one broadcast-friendly join on token —
-  * the document-frequency table is vocabulary-sized, orders of magnitude
-  * smaller than the corpus, so the fact side never shuffles twice. */
+  * document frequency per token) and one join on token. The join strategy is
+  * LEFT TO CATALYST/AQE: the document-frequency side is vocabulary-sized and
+  * usually broadcasts on its own statistics, but a web-scale shingle
+  * vocabulary can exceed the broadcast limit — an unconditional hint would
+  * turn that into a driver OOM instead of a (correct) shuffle join. */
 object Tfidf {
 
   /** (doc, token, tf, df, tfidf) for every distinct (doc, token) pair.
@@ -22,7 +24,7 @@ object Tfidf {
     val terms = docs.select(col(idCol), explode(S.tokens(col(textCol))).as("token"))
     val tf = terms.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), Seq("token"))
+    tf.join(df, Seq("token"))
       .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
   }
 

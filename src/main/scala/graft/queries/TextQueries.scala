@@ -62,11 +62,17 @@ object TextQueries {
     // Decontamination: training docs that near-duplicate "benchmark" docs
     // (the held-out tenth of the corpus), via the EXACT cross-corpus
     // prefix-filter join — benchmark-leakage detection, fully oracle-checked.
+    // Leaks are PLANTED (every 5th bench doc re-id'd into the train side with
+    // a +1000000 offset) so the oracle verifies a guaranteed-non-empty result
+    // — the natural sf0.01 split has zero cross-corpus near-dups, and a 0==0
+    // match proves nothing about the join.
     "q65_decontamination" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("source"), S.tokens(col("text")).as("toks"))
       val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-      val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val leaked = bench.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000))
+      val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0).unionByName(leaked)
       Dedup.jaccardCrossJoin(train, bench, "toks", "doc_id", Seq("lang", "source"), 0.5)
         .orderBy(col("id_l"), col("id_r"))
     }),
@@ -411,7 +417,10 @@ object TextQueries {
                CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
                     ELSE list_distinct(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) END AS t
         FROM documents),
-      tr AS (SELECT * FROM toks WHERE doc_id % 10 <> 0),
+      tr AS (SELECT * FROM toks WHERE doc_id % 10 <> 0
+             UNION ALL
+             SELECT doc_id + 1000000 AS doc_id, lang, source, t
+             FROM toks WHERE doc_id % 50 = 0),
       be AS (SELECT * FROM toks WHERE doc_id % 10 = 0)
       SELECT tr.doc_id AS id_l, be.doc_id AS id_r,
              CASE WHEN len(tr.t) + len(be.t) - len(list_intersect(tr.t, be.t)) = 0 THEN 0.0

@@ -62,7 +62,10 @@ object Sources {
         .option("delimiter", fmt.flatMap(_.str("delimiter")).getOrElse(delimiter))
         .option("quote", fmt.flatMap(_.str("quote_character")).getOrElse("\""))
         .option("escape", fmt.flatMap(_.str("escape_character")).getOrElse("\""))
-        .option("multiLine", true)
+        // multiLine CSV is UNSPLITTABLE (one task per file, whatever its
+        // size) — opt-in per input_spec only, never the default
+        // (etl_collect_to_cleanse.py:222-229 reads it from the spec too)
+        .option("multiLine", fmt.flatMap(_.bool("multiline")).getOrElse(false))
         .option("inferSchema", true)
         .option("mode", "PERMISSIVE")
         .load(path)
