@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -32,10 +33,20 @@ object Bench {
     } catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      // noop sink: materializes EVERY column (count() would let Catalyst
-      // prune the projections being measured — regex passes, hashes, sorts)
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      // Checksum aggregation: materializes EVERY column (count() would let
+      // Catalyst prune the projections being measured — regex passes, hashes,
+      // derived columns), while EliminateSorts drops the top-level orderBy
+      // that exists only for the oracle's deterministic compare — a global
+      // sort would execute the whole subtree twice (range-partitioner
+      // sampling pass + sort pass) and we'd be timing the harness, not the
+      // operator. Falls back to the noop sink for column types xxhash64
+      // can't digest.
+      try {
+        val out = fn(spark, sfDir)
+        try out.agg(sum(xxhash64(struct(out.columns.map(col): _*)))).head()
+        catch { case _: Throwable =>
+          out.write.format("noop").mode("overwrite").save() }
+      } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // untimed inter-query cleanup: drop caches and nudge the
       // ContextCleaner so one query's localCheckpoint blocks don't

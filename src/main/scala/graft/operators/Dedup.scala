@@ -253,11 +253,17 @@ object Dedup {
       .filter(lengthFilter("sz_a", "sz_b", threshold))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    candidates
+    val verified = candidates
       .join(base.select(col("id").as("id_a"), col("toks").as("t_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("toks").as("t_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), S.jaccard(col("t_a"), col("t_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      // barrier: without it PushDownPredicates folds the threshold filter
+      // into the verify join via alias substitution, so array_intersect runs
+      // once per candidate in the join AND again per survivor in the project.
+      // Materializing (id, id, double) rows is candidate-count-proportional
+      // and tiny next to a second intersect pass over the token arrays.
+      .localCheckpoint(true)
+    verified.filter(col("jaccard") >= threshold)
   }
 
   /** Cross-corpus EXACT Jaccard join — the decontamination operator: every
@@ -286,11 +292,12 @@ object Dedup {
       .filter(lengthFilter("sz_l", "sz_r", threshold))
       .select(col("id_l"), col("id_r"))
       .distinct()
-    candidates
+    val verified = candidates
       .join(lBase.select(col("id").as("id_l"), col("toks").as("t_l")), Seq("id_l"))
       .join(rBase.select(col("id").as("id_r"), col("toks").as("t_r")), Seq("id_r"))
       .select(col("id_l"), col("id_r"), S.jaccard(col("t_l"), col("t_r")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true) // single-eval barrier, see jaccardSelfJoin
+    verified.filter(col("jaccard") >= threshold)
   }
 
   /** Embedding-cosine near-dup pairs: LSH-bucketed by random-hyperplane sign
