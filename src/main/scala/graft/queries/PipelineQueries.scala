@@ -81,7 +81,120 @@ object PipelineQueries {
          "quarantine_rules": ["ColumnValues 'extendedprice' >= 2000"],
          "halt_rules": ["(ColumnExists 'orderkey') and (IsComplete 'orderkey')"]}}"""))
 
+  /** Driver-written lookup-store fixture (S9/S10): a value-lookup JSON map and
+    * a multi-lookup parquet derived from the nation table — tiny config-like
+    * artifacts, written once per sf dir. */
+  private def ensureLookupDir(s: SparkSession, d: String): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = s"/tmp/graft_lookup_store/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!Files.exists(Paths.get(dir, ".done"))) {
+      Files.createDirectories(Paths.get(dir))
+      Files.writeString(Paths.get(dir, "mktseg.json"),
+        """{"AUTOMOBILE": "AUTO", "BUILDING": "BLDG", "FURNITURE": "FURN",
+           |"HOUSEHOLD": "HSLD", "MACHINERY": "MACH"}""".stripMargin)
+      Tables(s, d, "nation")
+        .select(col("n_nationkey").cast(StringType).as("lookup_item"),
+          col("n_name").as("nation_name"),
+          col("n_regionkey").cast(LongType).as("region_key"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/multi_nations.parquet")
+      Files.writeString(Paths.get(dir, ".done"), "ok")
+    }
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C7 filename + S9/S10 directory-backed lookup store, all driven through
+    // the config-dispatched transform registry exactly as a dataset spec
+    // would: feed date parsed from the incoming file name, a value lookup
+    // recoding mktsegment, and a multilookup appending nation attributes.
+    "q66_filename_lookup_store" -> ((s, d) => {
+      import graft.stores.LookupStore
+      val dir = ensureLookupDir(s, d)
+      val spec = Specs.datasetSpec(Specs.parseJson(
+        """{"transform_spec": {
+          "filename": [{"field": "feed_date", "pattern": "customer_(\\d{8})\\.csv", "required": true}],
+          "lookup": [{"field": "segment_code", "source": "c_mktsegment",
+                      "lookup": "mktseg", "nomatch": "OTHER"}],
+          "multilookup": [{"lookup_group": "nations", "match_columns": ["c_nationkey"],
+                           "return_attributes": ["nation_name", "region_key"]}]
+        }}"""))
+      val ctx = TransformContext(s, filename = "customer_20260812.csv",
+        lookupStore = LookupStore.fromDirectory(dir))
+      val transformed = graft.transforms.TransformRegistry.applyAll(
+        Tables(s, d, "customer"), spec.transformSpec, ctx)
+      transformed.select(
+          col("c_custkey").cast(LongType).as("custkey"),
+          col("segment_code"), col("feed_date"),
+          col("nation_name"), col("region_key"))
+        .orderBy(col("custkey"))
+    }),
+
+    // K9 DDL passthrough → local views: cleanse-to-consume publishes a
+    // consume table AND runs the passthrough view DDL; the query returns a
+    // read of the CREATED VIEW, proving the round-trip the reference drives
+    // through Athena (dataquery.py:7-117).
+    "q67_view_passthrough" -> ((s, d) => {
+      val db = s"graftviews${math.abs(d.hashCode)}"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      if (!s.catalog.tableExists(s"$db.orders"))
+        Tables(s, d, "orders").write.mode("overwrite").saveAsTable(s"$db.orders")
+      val sql = s"""
+        SELECT o_orderkey, o_totalprice FROM $db.orders
+        WHERE o_totalprice > {cutoff} ORDER BY o_orderkey"""
+      val args = JobArgs("Bench", "orders_big", "", "bench-exec",
+        Map.empty, db, environment = "Dev")
+      new PipelineRunner(s).cleanseToConsume(args, sql, Map("cutoff" -> "250000"),
+        Map.empty,
+        viewSql = Seq(s"""CREATE OR REPLACE VIEW ${db}_consume.orders_big_v AS
+          SELECT o_orderkey, CASE WHEN o_totalprice > 350000 THEN 'xl' ELSE 'l' END AS band,
+                 o_totalprice
+          FROM ${db}_consume.orders_big"""))
+      s.table(s"${db}_consume.orders_big_v").orderBy(col("o_orderkey"))
+    }),
+
+    // §1.4 streaming parity: the SAME cleanse logic (mapping → date/decimal
+    // types → filterrows → literal) driven through readStream + foreachBatch
+    // with Trigger.AvailableNow over the q37 CSV feed — the reference's
+    // S3-event→Glue loop as one Structured Streaming drain. The published
+    // parquet must equal the batch pipeline's semantics (same DuckDB oracle
+    // shape as q37, minus the quarantine rule).
+    "q68_streaming_ingest" -> ((s, d) => {
+      import graft.streaming.StreamingOps
+      val src = ensureCsv(s, d)
+      // fresh sink + checkpoint per invocation: exactly-once bookkeeping is
+      // the checkpoint's job in production; the bench/verify contract here is
+      // a clean drain
+      val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+      val streamSpec = Specs.datasetSpec(Specs.parseJson(
+        """{"transform_spec": {
+            "date": [{"field": "shipdate", "format": "yyyy-MM-dd"}],
+            "changetype": {"extendedprice": "decimal(18,2)", "quantity": "decimal(18,2)"},
+            "filterrows": [{"condition": "quantity IS NOT NULL"}],
+            "literal": {"source_system": "stream"}}}"""))
+      val q = StreamingOps.fileArrivalPipeline(s, src, "csv",
+        "OrderKey BIGINT, LineNumber BIGINT, Quantity DOUBLE, ExtendedPrice DOUBLE, " +
+          "ShipDate STRING, ReturnFlag STRING",
+        ckpt, Map("header" -> "true")) { (batch, _) =>
+        // foreachBatch runs in a cloned session — everything references
+        // batch.sparkSession, nothing the outer session
+        val ctx = TransformContext(batch.sparkSession, filename = "lineitem.csv")
+        val mapped = graft.mapping.CustomMapping.applyMapping(batch, mapping)
+        val transformed = graft.transforms.TransformRegistry.applyAll(
+          mapped, streamSpec.transformSpec, ctx)
+        transformed.write.mode("append").parquet(out)
+      }
+      q.awaitTermination()
+      s.read.parquet(out).select(
+          col("orderkey").cast(LongType).as("orderkey"),
+          col("linenumber").cast(LongType).as("linenumber"),
+          col("quantity").cast(DoubleType).as("quantity"),
+          col("extendedprice").cast(DoubleType).as("extendedprice"),
+          col("shipdate"), col("returnflag"), col("source_system"))
+        .orderBy(col("orderkey"), col("linenumber"))
+    }),
+
     "q37_pipeline_e2e" -> ((s, d) => {
       val src = ensureCsv(s, d)
       val args = JobArgs("Bench", "lineitem_cleansed", src, "bench-exec",
@@ -181,6 +294,33 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q66_filename_lookup_store" -> """
+      SELECT CAST(c.c_custkey AS BIGINT) AS custkey,
+             CASE c.c_mktsegment
+               WHEN 'AUTOMOBILE' THEN 'AUTO' WHEN 'BUILDING' THEN 'BLDG'
+               WHEN 'FURNITURE' THEN 'FURN' WHEN 'HOUSEHOLD' THEN 'HSLD'
+               WHEN 'MACHINERY' THEN 'MACH' ELSE 'OTHER' END AS segment_code,
+             '20260812' AS feed_date,
+             n.n_name AS nation_name,
+             CAST(n.n_regionkey AS BIGINT) AS region_key
+      FROM customer c LEFT JOIN nation n ON CAST(c.c_nationkey AS VARCHAR) = CAST(n.n_nationkey AS VARCHAR)
+      ORDER BY custkey""",
+    "q67_view_passthrough" -> """
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice > 350000 THEN 'xl' ELSE 'l' END AS band,
+             o_totalprice
+      FROM orders WHERE o_totalprice > 250000
+      ORDER BY o_orderkey""",
+    "q68_streaming_ingest" -> """
+      SELECT CAST(l_orderkey AS BIGINT) AS orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS quantity,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS extendedprice,
+             CAST(l_shipdate AS DATE) AS shipdate,
+             l_returnflag AS returnflag,
+             'stream' AS source_system
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL
+      ORDER BY orderkey, linenumber""",
     "q62_source_formats" -> """
       SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
              CAST(n_regionkey AS BIGINT) AS regionkey,
