@@ -160,9 +160,13 @@ object EntityMatch {
     df.withColumn(gidField, coalesce(col(gidField), expr("uuid()")))
 
   /** K5 MERGE upsert without Iceberg: latest-per-gid incoming row updates (or
-    * inserts into) the primary table — anti-join + unionByName + atomic
-    * overwrite via scratch dir. At real scale this is the operator to back
-    * with a MERGE-capable table format. */
+    * inserts into) the primary table. When the primary table is PARTITIONED,
+    * only the affected partitions are rewritten (dynamic partition overwrite)
+    * — the closest no-table-format approximation of Iceberg's file-level
+    * `MERGE INTO` (etl_consume_entity_match.py:443-455): untouched partitions
+    * keep their files byte-for-byte. An unpartitioned primary falls back to
+    * the full anti-join + atomic overwrite. At real scale this is still the
+    * operator to back with a MERGE-capable table format. */
   def upsert(spark: SparkSession, primaryTable: String, incoming: DataFrame,
              spec: MatchSpec): Unit = {
     val gid = spec.globalIdField
@@ -173,13 +177,48 @@ object EntityMatch {
           .filter(col("__rn") === 1).drop("__rn")
       else incoming.dropDuplicates(gid)
     val primary = spark.table(primaryTable)
-    val kept = primary.join(latest.select(col(gid)), Seq(gid), "left_anti")
-    val merged = kept.unionByName(latest.select(primary.columns.map(col): _*))
+    val partCols =
+      try spark.catalog.listColumns(primaryTable).filter(_.isPartition)
+        .collect().map(_.name).toSeq
+      catch { case _: Exception => Seq.empty }
     // scratch under the warehouse FS (works on real clusters) and cleaned up
-    graft.catalog.Scratch.withScratch(spark, "upsert") { scratch =>
-      merged.write.mode(SaveMode.Overwrite).parquet(scratch)
-      spark.read.parquet(scratch).write.mode(SaveMode.Overwrite)
-        .option("overwriteSchema", "true").saveAsTable(primaryTable)
+    if (partCols.isEmpty) {
+      val kept = primary.join(latest.select(col(gid)), Seq(gid), "left_anti")
+      val merged = kept.unionByName(latest.select(primary.columns.map(col): _*))
+      graft.catalog.Scratch.withScratch(spark, "upsert") { scratch =>
+        merged.write.mode(SaveMode.Overwrite).parquet(scratch)
+        spark.read.parquet(scratch).write.mode(SaveMode.Overwrite)
+          .option("overwriteSchema", "true").saveAsTable(primaryTable)
+      }
+    } else {
+      // Affected partitions = those holding a stale version of an upserted
+      // gid (must drop the old row) ∪ those receiving a latest row. Every
+      // affected partition is rewritten as (surviving old rows) ∪ (latest
+      // rows); dynamic overwrite replaces exactly the partitions present in
+      // the written frame and leaves the rest alone. The semi-joins on the
+      // partition columns prune the primary scan at runtime (DPP/AQE).
+      val latestKeys = latest.select(col(gid)).distinct()
+      val staleParts = primary.join(latestKeys, Seq(gid), "left_semi")
+        .select(partCols.map(col): _*).distinct()
+      val newParts = latest.select(partCols.map(col): _*).distinct()
+      val affected = staleParts.unionByName(newParts).distinct()
+      val keptInAffected = primary
+        .join(affected, partCols, "left_semi")
+        .join(latest.select(col(gid)), Seq(gid), "left_anti")
+      val replacement = keptInAffected.unionByName(latest.select(primary.columns.map(col): _*))
+      graft.catalog.Scratch.withScratch(spark, "upsert") { scratch =>
+        replacement.write.mode(SaveMode.Overwrite).parquet(scratch)
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try spark.read.parquet(scratch)
+          // insertInto is position-based against the table schema
+          .select(primary.columns.map(col): _*)
+          .write.mode(SaveMode.Overwrite).insertInto(primaryTable)
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
     }
   }
 

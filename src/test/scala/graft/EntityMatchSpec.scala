@@ -91,6 +91,35 @@ class EntityMatchSpec extends SparkSpec {
     assert(matched.select("globalid").as[String].head() == "g-2")
   }
 
+  test("partitioned primary: upsert rewrites only the affected partitions") {
+    val db = s"emdbp${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val table = s"$db.primary_part"
+    primaryDf.write.partitionBy("srcsystemid").saveAsTable(table)
+    val loc = spark.sql(s"DESCRIBE FORMATTED $table")
+      .filter(col("col_name") === "Location").select("data_type").as[String].head()
+    def listing(part: String) = {
+      val d = new java.io.File(new java.net.URI(s"$loc/srcsystemid=$part"))
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified(), f.length())).toSeq.sortBy(_._1)
+    }
+    val c25Before = listing("C25")
+    val a01Before = listing("A01")
+    assert(c25Before.nonEmpty && a01Before.nonEmpty)
+    val incoming = Seq(
+      ("C1", "A01", "g-1", "alicia", "1990-01-01", "10001", "555-1111", "a2@x.com", "2024-04-01")
+    ).toDF("customerno", "srcsystemid", "globalid", "firstname", "dob", "zip", "phone", "email", "lastupdated")
+    EntityMatch.upsert(spark, table, incoming, mkSpec(table))
+    // untouched partition: same files, byte-for-byte; touched partition: rewritten
+    assert(listing("C25") == c25Before)
+    assert(listing("A01") != a01Before)
+    val primary = spark.table(table)
+    assert(primary.count() == 3)
+    assert(primary.filter(col("customerno") === "C1").select("email").as[String].head() == "a2@x.com")
+    assert(primary.filter(col("srcsystemid") === "C25")
+      .select("globalid").as[String].collect().toSeq == Seq("g-3"))
+  }
+
   test("full run: first run creates primary with uuids; second run matches + upserts") {
     val table = s"emdb${System.nanoTime()}.primary"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${table.split('.')(0)}")
