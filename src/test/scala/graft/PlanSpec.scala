@@ -64,6 +64,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__salt"))
   }
 
+  test("tfidf leaves the df-join strategy to Catalyst (no forced broadcast)") {
+    // a web-scale shingle vocabulary can exceed the broadcast limit, so the
+    // operator must not pin a broadcast hint: with auto-broadcast disabled
+    // (standing in for "vocab side too big"), the planner must be FREE to
+    // pick a shuffle join — a hard-coded hint would still broadcast here
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.Tfidf.tfidf(
+        graft.queries.Tables(spark, dir, "documents"), "text", "doc_id")
+      val p = plan(df)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(2000))
+      assert(!p.contains("BroadcastHashJoin"), "broadcast hint must not be pinned")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("whole-stage codegen covers the scalar-transform hot paths") {
     val df = RefQueries.queries("q09_premium_calc")(spark, dir)
     df.collect() // AQE: codegen spans appear in the FINAL executed plan
