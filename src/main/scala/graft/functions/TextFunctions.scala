@@ -125,8 +125,14 @@ object TextFunctions {
 
   /** Rolling polynomial hash (Rabin-Karp, base 257 mod 2^31-1) of each
     * char-k-gram, as an array column — building block for winnowing-style
-    * fingerprints. Pure higher-order-function expression: no UDF. */
-  def rollingHashes(c: Column, k: Int): Column = {
+    * fingerprints. Native single-scan expression: the HOF rebuild
+    * ([[rollingHashesHof]], kept as a value cross-check) costs O(n²·k) per
+    * document because char-indexed substr on UTF8String is O(position). */
+  def rollingHashes(c: Column, k: Int): Column =
+    graft.functions.expressions.HashExpressions.rolling_hashes(c, k)
+
+  /** HOF formulation of [[rollingHashes]] — spec cross-check only. */
+  def rollingHashesHof(c: Column, k: Int): Column = {
     val n = length(c)
     val hashes = transform(sequence(lit(1), n - (k - 1)), i =>
       aggregate(

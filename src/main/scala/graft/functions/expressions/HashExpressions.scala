@@ -185,6 +185,23 @@ object HashExpressions {
     override def prettyName: String = "nearest_centroid"
   }
 
+  /** Rolling Rabin-Karp k-gram hashes of a text column in ONE scan — the HOF
+    * formulation rebuilds every k-gram from scratch through char-indexed
+    * substr (O(position) each on UTF8String), i.e. O(n²·k) per document;
+    * the kernel's rolling update is O(n) with identical values. */
+  case class RollingHashesExpr(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.rollingHashes(input.asInstanceOf[UTF8String], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $KernelsClass.rollingHashes($c, $k);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "rolling_hashes"
+  }
+
   /** Jaro-Winkler similarity of two strings as a native expression — replaces
     * the Scala UDF (no Option boxing, stays inside codegen spans). */
   case class JaroWinklerExpr(left: Expression, right: Expression)
@@ -222,4 +239,6 @@ object HashExpressions {
     column(JaroWinklerExpr(expression(a), expression(b)))
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     column(NearestCentroidExpr(expression(vec), centroids))
+  def rolling_hashes(text: Column, k: Int): Column =
+    column(RollingHashesExpr(expression(text), k))
 }

@@ -134,4 +134,32 @@ object Kernels {
     while (it.hasNext) { out(k) = it.next(); k += 1 }
     new GenericArrayData(out)
   }
+
+  /** Rolling polynomial hash (Rabin-Karp, base 257 mod 2^31−1) of every
+    * char-k-gram in ONE scan: h' = (h − cp·257^(k−1))·257 + cp_new (mod p).
+    * Value-identical to the per-position HOF rebuild (which is O(n²·k):
+    * char-indexed substr on UTF8String is O(position)) — this is O(n).
+    * Code-point semantics match `ascii()` of a 1-char substring. */
+  def rollingHashes(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val p = P31
+    var pow = 1L // 257^(k-1) mod p
+    var j = 1
+    while (j < k) { pow = pow * 257L % p; j += 1 }
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * 257L + cps(i)) % p; i += 1 }
+    out(0) = h
+    i = k
+    while (i < n) {
+      h = ((h - cps(i - k) * pow % p + p) % p * 257L + cps(i)) % p
+      out(i - k + 1) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

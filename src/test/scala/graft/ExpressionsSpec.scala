@@ -47,6 +47,23 @@ class ExpressionsSpec extends SparkSpec {
     assert(df.select(S.dot(col("a"), col("b"))).as[Double].head() == 11.0)
   }
 
+  test("rolling hashes expression == HOF formulation") {
+    import graft.functions.{TextFunctions => T}
+    val cmp = docs.select(
+      T.rollingHashes(col("text"), 16).as("fast"),
+      T.rollingHashesHof(col("text"), 16).as("slow"))
+    assert(cmp.filter(col("fast") =!= col("slow")).isEmpty)
+    // edge cases: shorter than k → empty; exactly k → one hash
+    val edges = Seq("short", "exactly sixteen!", "").toDF("t")
+      .select(T.rollingHashes(col("t"), 16).as("fast"),
+        T.rollingHashesHof(col("t"), 16).as("slow"))
+    assert(edges.filter(col("fast") =!= col("slow")).count() == 0)
+    // null-in → null-out (Spark convention; the HOF's otherwise() returned
+    // an empty array here, which array_min turns into the same null anyway)
+    val nulls = Seq(Option.empty[String]).toDF("t")
+    assert(nulls.select(T.rollingHashes(col("t"), 16)).head().isNullAt(0))
+  }
+
   test("minhash expression null and empty semantics") {
     val df = Seq(Some(Seq("a", "b")), Some(Seq.empty[String]), None).toDF("sh")
     val got = df.select(HashExpressions.minhash_signature(col("sh"), 4).as("s")).collect()
