@@ -236,7 +236,8 @@ object Dedup {
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
     */
   def jaccardSelfJoin(df: DataFrame, tokensCol: String, idCol: String,
-                      blockCols: Seq[String], threshold: Double): DataFrame = {
+                      blockCols: Seq[String], threshold: Double,
+                      materializeVerify: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1]: $threshold")
     val blocks = blockCols.map(col)
     val base = tokenSetBase(df, tokensCol, idCol, blocks)
@@ -253,16 +254,18 @@ object Dedup {
       .filter(lengthFilter("sz_a", "sz_b", threshold))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val verified = candidates
+    val verified0 = candidates
       .join(base.select(col("id").as("id_a"), col("toks").as("t_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("toks").as("t_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), S.jaccard(col("t_a"), col("t_b")).as("jaccard"))
-      // barrier: without it PushDownPredicates folds the threshold filter
-      // into the verify join via alias substitution, so array_intersect runs
-      // once per candidate in the join AND again per survivor in the project.
-      // Materializing (id, id, double) rows is candidate-count-proportional
-      // and tiny next to a second intersect pass over the token arrays.
-      .localCheckpoint(true)
+    // barrier: without it PushDownPredicates folds the threshold filter
+    // into the verify join via alias substitution, so array_intersect runs
+    // once per candidate in the join AND again per survivor in the project.
+    // Materializing (id, id, double) rows is candidate-count-proportional
+    // and tiny next to a second intersect pass over the token arrays.
+    // `materializeVerify=false` keeps the plan lazy so PlanSpec/Plans can
+    // inspect the real join shape (the barrier hides it behind an RDD scan).
+    val verified = if (materializeVerify) verified0.localCheckpoint(true) else verified0
     verified.filter(col("jaccard") >= threshold)
   }
 
