@@ -44,8 +44,13 @@ object Bench {
       try {
         val out = fn(spark, sfDir)
         try out.agg(sum(xxhash64(struct(out.columns.map(col): _*)))).head()
-        catch { case _: Throwable =>
-          out.write.format("noop").mode("overwrite").save() }
+        catch {
+          // only a plan-time rejection (e.g. a type xxhash64 can't digest)
+          // falls back to the noop sink; a RUNTIME failure must not silently
+          // re-execute the whole query and report the doubled time
+          case _: org.apache.spark.sql.AnalysisException =>
+            out.write.format("noop").mode("overwrite").save()
+        }
       } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // untimed inter-query cleanup: drop caches and nudge the

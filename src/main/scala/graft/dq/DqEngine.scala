@@ -353,7 +353,15 @@ class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
     // fail fast with a migration message instead
     val existing: Option[org.apache.spark.sql.types.StructType] =
       if (target.contains("/"))
-        try Some(spark.read.parquet(target).schema) catch { case _: Exception => None }
+        // only a MISSING path means "fresh target"; any other read failure
+        // (corrupt footer, permissions) must not skip the schema check — the
+        // append would then create exactly the mixed-schema state this guards
+        try Some(spark.read.parquet(target).schema)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+               e.getMessage.toLowerCase.contains("path does not exist") => None
+        }
       else if (spark.catalog.tableExists(target)) Some(spark.table(target).schema)
       else None
     existing.filterNot(_.fieldNames.contains("execution_id")).foreach { old =>

@@ -36,11 +36,10 @@ object CustomMapping {
 
   private def unescape(n: String): String = n.replace("`", "")
 
-  /** Dotted-path splitting applies ONLY to names the config wrote with
-    * per-segment backticks (the reference's nested dialect); a plain name is
-    * wrapped in ONE backtick pair so a raw CSV header literally containing a
-    * dot (`"a.b"`) still addresses the top-level column, not field b of
-    * struct a. */
+  /** Dotted-path splitting applies ONLY when the matched path is genuinely
+    * nested (not a literal top-level field name); a literal name is wrapped
+    * in ONE backtick pair so a raw CSV header containing a dot (`"a.b"`)
+    * addresses the top-level column, not field b of struct a. */
   private def escapePath(p: String, nested: Boolean): String =
     if (nested) p.split("\\.").map(s => s"`$s`").mkString(".")
     else s"`${p.replace("`", "``")}`"
@@ -63,9 +62,11 @@ object CustomMapping {
           s"strict schema mapping: source column ${r.sourceName} missing from incoming data")
         None
       }
-      // nested addressing only when the config row spelled the path with
-      // backticks (the reference dialect) — a plain name stays one column
-      else { available -= src; Some((r.copy(sourceName = src), r.sourceName.contains("`"))) }
+      // nested-vs-literal is decided by the SCHEMA, not by quoting style: a
+      // literal top-level column wins (so a raw CSV header "a.b" — however
+      // the config quotes it — stays one column), and any other matched
+      // dotted path is nested addressing
+      else { available -= src; Some((r.copy(sourceName = src), !topLevel.contains(src))) }
     }
     val fuzzy = rows.filter(_.threshold.isDefined).flatMap { r =>
       val scorer = FuzzyScorers(r.scorer.getOrElse("token_sort_ratio"))

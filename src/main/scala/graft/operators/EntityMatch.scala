@@ -196,27 +196,50 @@ object EntityMatch {
       // affected partition is rewritten as (surviving old rows) ∪ (latest
       // rows); dynamic overwrite replaces exactly the partitions present in
       // the written frame and leaves the rest alone. The semi-joins on the
-      // partition columns prune the primary scan at runtime (DPP/AQE).
+      // partition columns prune the primary scan at runtime (DPP/AQE); they
+      // are null-SAFE so a __HIVE_DEFAULT_PARTITION__ (null key) partition
+      // is kept intact rather than silently losing its non-upserted rows.
       val latestKeys = latest.select(col(gid)).distinct()
       val staleParts = primary.join(latestKeys, Seq(gid), "left_semi")
         .select(partCols.map(col): _*).distinct()
       val newParts = latest.select(partCols.map(col): _*).distinct()
       val affected = staleParts.unionByName(newParts).distinct()
+      val aff = affected.toDF(partCols.map(c => s"__aff_$c"): _*)
+      val nullSafeOn = partCols.map(c => col(c) <=> col(s"__aff_$c")).reduce(_ && _)
       val keptInAffected = primary
-        .join(affected, partCols, "left_semi")
+        .join(aff, nullSafeOn, "left_semi")
         .join(latest.select(col(gid)), Seq(gid), "left_anti")
       val replacement = keptInAffected.unionByName(latest.select(primary.columns.map(col): _*))
       graft.catalog.Scratch.withScratch(spark, "upsert") { scratch =>
         replacement.write.mode(SaveMode.Overwrite).parquet(scratch)
+        val materialized = spark.read.parquet(scratch)
         val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try spark.read.parquet(scratch)
+        try materialized
           // insertInto is position-based against the table schema
           .select(primary.columns.map(col): _*)
           .write.mode(SaveMode.Overwrite).insertInto(primaryTable)
         finally prev match {
           case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
           case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        // A MERGE can DRAIN a partition: if a gid's only row moves to another
+        // partition and nothing else lives in the old one, the replacement
+        // frame has no rows there and dynamic overwrite never touches it —
+        // the stale row would survive. Drop such now-empty partitions
+        // explicitly (the drained set is small by construction: bounded by
+        // the batch's distinct partition values).
+        val drained = affected
+          .join(materialized.select(partCols.map(col): _*).distinct()
+            .toDF(partCols.map(c => s"__aff_$c"): _*),
+            nullSafeOn, "left_anti")
+          .collect()
+        drained.foreach { row =>
+          val spec = partCols.zipWithIndex.map { case (c, i) =>
+            val v = row.get(i)
+            if (v == null) s"$c = null" else s"$c = '${v.toString.replace("'", "''")}'"
+          }.mkString(", ")
+          spark.sql(s"ALTER TABLE $primaryTable DROP IF EXISTS PARTITION ($spec)")
         }
       }
     }

@@ -162,11 +162,20 @@ object PipelineQueries {
     "q68_streaming_ingest" -> ((s, d) => {
       import graft.streaming.StreamingOps
       val src = ensureCsv(s, d)
-      // fresh sink + checkpoint per invocation: exactly-once bookkeeping is
-      // the checkpoint's job in production; the bench/verify contract here is
-      // a clean drain
-      val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+      // fixed per-sf sink + checkpoint, WIPED at query start: a clean drain
+      // each run (exactly-once bookkeeping is the checkpoint's job in
+      // production) without accumulating one lineitem copy per invocation
+      val base = s"/tmp/graft_stream/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      def reset(sub: String): String = {
+        val p = java.nio.file.Paths.get(base, sub)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        java.nio.file.Files.createDirectories(p)
+        p.toString
+      }
+      val out = reset("out")
+      val ckpt = reset("ckpt")
       val streamSpec = Specs.datasetSpec(Specs.parseJson(
         """{"transform_spec": {
             "date": [{"field": "shipdate", "format": "yyyy-MM-dd"}],

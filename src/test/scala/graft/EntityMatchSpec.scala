@@ -120,6 +120,26 @@ class EntityMatchSpec extends SparkSpec {
       .select("globalid").as[String].collect().toSeq == Seq("g-3"))
   }
 
+  test("upsert drops a partition the merge drained (row moved between partitions)") {
+    val db = s"emdbd${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val table = s"$db.primary_drain"
+    primaryDf.write.partitionBy("srcsystemid").saveAsTable(table)
+    // g-3 is the ONLY row in partition C25; its latest version moves to A01 —
+    // dynamic overwrite alone would never touch C25 and the stale row would
+    // survive as a duplicate gid
+    val incoming = Seq(
+      ("C3", "A01", "g-3", "carol", "1970-10-10", "30003", "555-3333", "c@x.com", "2024-04-01")
+    ).toDF("customerno", "srcsystemid", "globalid", "firstname", "dob", "zip", "phone", "email", "lastupdated")
+    EntityMatch.upsert(spark, table, incoming, mkSpec(table))
+    val primary = spark.table(table)
+    assert(primary.count() == 3)
+    assert(primary.filter(col("globalid") === "g-3").count() == 1)
+    assert(primary.filter(col("srcsystemid") === "C25").isEmpty)
+    assert(primary.filter(col("globalid") === "g-3")
+      .select("srcsystemid").as[String].head() == "A01")
+  }
+
   test("full run: first run creates primary with uuids; second run matches + upserts") {
     val table = s"emdb${System.nanoTime()}.primary"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${table.split('.')(0)}")

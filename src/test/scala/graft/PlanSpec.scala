@@ -50,12 +50,7 @@ class PlanSpec extends SparkSpec {
   test("exact similarity join never plans a cartesian or nested-loop join") {
     // materializeVerify=false: the production barrier hides the join behind
     // an RDD scan, which would make this assertion vacuous
-    import org.apache.spark.sql.functions.col
-    val docs = graft.queries.Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("source"),
-        graft.functions.SimilarityFunctions.tokens(col("text")).as("toks"))
-    val p = plan(graft.operators.Dedup.jaccardSelfJoin(
-      docs, "toks", "doc_id", Seq("lang", "source"), 0.5, materializeVerify = false))
+    val p = plan(TextQueries.jaccardBlock(spark, dir, materializeVerify = false))
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), "prefix join must be an equi-join")
     assert(!p.contains("CartesianProduct"), "prefix-filter join must not cross-join")
