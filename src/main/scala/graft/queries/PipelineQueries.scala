@@ -153,6 +153,53 @@ object PipelineQueries {
       s.table(s"${db}_consume.orders_big_v").orderBy(col("o_orderkey"))
     }),
 
+    // K10: a dataset arriving with NO mapping/transform config makes the
+    // pipeline write the recommended config files (clean-names mapping CSV +
+    // transform-spec skeleton) next to the job — this query runs that path on
+    // a messy-header feed and returns the PARSED generated artifacts, so the
+    // oracle pins their exact content.
+    "q70_generated_specs" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      val base = s"/tmp/graft_genspec/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val srcDir = Paths.get(base, "src")
+      if (!Files.exists(srcDir.resolve("feed.csv"))) {
+        Files.createDirectories(srcDir)
+        val rows = Tables(s, d, "region")
+          .select(col("r_regionkey").cast(LongType), col("r_name"))
+          .orderBy(col("r_regionkey")).collect()
+        Files.writeString(srcDir.resolve("feed.csv"),
+          "Region Key,Region.Name,Created Date,Acct Bal\n" + rows.map(r =>
+            s"${r.getLong(0)},${r.getString(1)},01/1${r.getLong(0)}/24,${r.getLong(0)}00.25")
+            .mkString("\n") + "\n")
+      }
+      val outDir = Paths.get(base, "generated")
+      if (Files.exists(outDir))
+        Files.walk(outDir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+      Files.createDirectories(outDir)
+      val db = s"graftgen${math.abs(d.hashCode)}"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      val args = JobArgs("Bench", "genspec", s"$srcDir/feed.csv", "gen-exec",
+        Map("year" -> "2026"), db, environment = "Dev", specOutDir = Some(outDir.toString))
+      new PipelineRunner(s).collectToCleanse(args,
+        Specs.datasetSpec(Specs.parseJson("""{"input_spec": {"csv": {"header": true}}}""")),
+        Seq.empty, Map.empty, TransformContext(s, filename = "feed.csv"))
+      val mappingRows = s.read.option("header", "true")
+        .csv(s"$outDir/genspec.csv")
+        .select(lit("mapping").as("kind"), col("SourceName").as("name"),
+          col("DestName").as("value"))
+      val gen = Specs.parseJson(Files.readString(outDir.resolve("genspec.json")))
+      val t = gen.get("transform_spec")
+      import scala.collection.JavaConverters._
+      val dates = t.get("date").elements().asScala.map(n =>
+        ("date", n.get("field").asText, n.get("format").asText)).toSeq
+      val cts = t.get("changetype").properties().asScala.map(e =>
+        ("changetype", e.getKey, e.getValue.asText)).toSeq
+      import s.implicits._
+      val specRows = (dates ++ cts).toDF("kind", "name", "value")
+      mappingRows.unionByName(specRows).orderBy(col("kind"), col("name"))
+    }),
+
     // §1.4 streaming parity: the SAME cleanse logic (mapping → date/decimal
     // types → filterrows → literal) driven through readStream + foreachBatch
     // with Trigger.AvailableNow over the q37 CSV feed — the reference's
@@ -320,6 +367,16 @@ object PipelineQueries {
              o_totalprice
       FROM orders WHERE o_totalprice > 250000
       ORDER BY o_orderkey""",
+    "q70_generated_specs" -> """
+      SELECT * FROM (VALUES
+        ('changetype', 'acct_bal', 'decimal(16,2)'),
+        ('date', 'created_date', 'MM/dd/yy'),
+        ('mapping', 'Acct Bal', 'acct_bal'),
+        ('mapping', 'Created Date', 'created_date'),
+        ('mapping', 'Region Key', 'region_key'),
+        ('mapping', 'Region.Name', 'region_name')
+      ) AS t(kind, name, value)
+      ORDER BY kind, name""",
     "q68_streaming_ingest" -> """
       SELECT CAST(l_orderkey AS BIGINT) AS orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
              CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS quantity,

@@ -25,6 +25,24 @@ object RefQueries {
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P3 clean_column_names + P6 clean_nulltypes + §2.7 limit: messy incoming
+    // headers (spaces, dots, parens, colons, mixed case) are normalized to
+    // parquet/Athena-safe names, an untyped all-null column is made
+    // writable, and the frame is cut to a deterministic top-50.
+    "q69_clean_names_limit" -> ((s, d) => {
+      val messy = Tables(s, d, "supplier").select(
+          col("s_suppkey").as("Supp Key"),
+          col("s_name").as("Supplier.Name (raw)"),
+          col("s_acctbal").as("Acct:Bal"))
+        .withColumn("Empty Col", lit(null)) // NullType — breaks parquet writes
+      val (renamed, _) = graft.mapping.CustomMapping.cleanColumnNames(messy)
+      graft.functions.ColumnTransforms.cleanNullTypes(renamed)
+        .select(col("supp_key").cast(LongType).as("supp_key"),
+          col("supplier_name_raw"), col("acct_bal"), col("empty_col"))
+        .orderBy(col("supp_key"))
+        .limit(50)
+    }),
+
     // A1/A5 aggregate — TPC-H Q1 shape (sum/avg/count per flag+status).
     "q01_agg" -> ((s, d) => {
       Tables(s, d, "lineitem")
@@ -494,6 +512,12 @@ object RefQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q69_clean_names_limit" -> """
+      SELECT CAST(s_suppkey AS BIGINT) AS supp_key,
+             s_name AS supplier_name_raw,
+             s_acctbal AS acct_bal,
+             CAST(NULL AS VARCHAR) AS empty_col
+      FROM supplier ORDER BY supp_key LIMIT 50""",
     "q01_agg" -> """
       SELECT l_returnflag, l_linestatus,
              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
