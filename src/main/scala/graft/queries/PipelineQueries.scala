@@ -200,6 +200,32 @@ object PipelineQueries {
       mappingRows.unionByName(specRows).orderBy(col("kind"), col("name"))
     }),
 
+    // §1.4 watermarked tumbling-window aggregation driven as a REAL stream:
+    // events staged to plain parquet (the nanos-typed original needs a
+    // session conf streams can't set per-read), readStream + window + drain
+    // to a memory sink in Complete mode — must equal the batch hourly
+    // aggregation (q17 semantics; DECIMAL sums keep the compare exact).
+    "q71_streaming_windows" -> ((s, d) => {
+      import graft.streaming.StreamingOps
+      val dir = s"/tmp/graft_stream_events/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        Tables(s, d, "events").select(col("event_id"), col("event_type"), col("ts"), col("value"))
+          .write.mode("overwrite").parquet(dir)
+      val staged = s.read.parquet(dir)
+      val stream = s.readStream.schema(staged.schema).parquet(dir)
+        // parquet round-trips the column as TIMESTAMP_NTZ; watermarks demand
+        // the instant-typed TIMESTAMP (session tz is pinned UTC, so no shift)
+        .withColumn("ts", col("ts").cast(TimestampType))
+        .withColumn("value", col("value").cast(DecimalType(18, 2)))
+      val counts = StreamingOps.windowedCounts(stream)
+      val drained = StreamingOps.drainToMemory(counts,
+        s"q71w_${math.abs(d.hashCode)}",
+        org.apache.spark.sql.streaming.OutputMode.Complete)
+      drained.select(col("window_start").as("hour"), col("event_type"),
+          col("n"), col("sum_value").cast(DoubleType).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
     // §1.4 streaming parity: the SAME cleanse logic (mapping → date/decimal
     // types → filterrows → literal) driven through readStream + foreachBatch
     // with Trigger.AvailableNow over the q37 CSV feed — the reference's
@@ -377,6 +403,10 @@ object PipelineQueries {
         ('mapping', 'Region.Name', 'region_name')
       ) AS t(kind, name, value)
       ORDER BY kind, name""",
+    "q71_streaming_windows" -> """
+      SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
     "q68_streaming_ingest" -> """
       SELECT CAST(l_orderkey AS BIGINT) AS orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
              CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS quantity,
