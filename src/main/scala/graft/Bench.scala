@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
+import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,11 +39,13 @@ object Bench {
       // that exists only for the oracle's deterministic compare — a global
       // sort would execute the whole subtree twice (range-partitioner
       // sampling pass + sort pass) and we'd be timing the harness, not the
-      // operator. Falls back to the noop sink for column types xxhash64
-      // can't digest.
+      // operator. bit_xor, NOT sum: ANSI mode throws ARITHMETIC_OVERFLOW on
+      // a sum of uniform 64-bit hashes after a handful of rows, which would
+      // abort (and under-time) every large-output query. Falls back to the
+      // noop sink for column types xxhash64 can't digest.
       try {
         val out = fn(spark, sfDir)
-        try out.agg(sum(xxhash64(struct(out.columns.map(col): _*)))).head()
+        try out.agg(bit_xor(xxhash64(struct(out.columns.map(col): _*)))).head()
         catch {
           // only a plan-time rejection (e.g. a type xxhash64 can't digest)
           // falls back to the noop sink; a RUNTIME failure must not silently

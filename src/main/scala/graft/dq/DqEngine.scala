@@ -358,8 +358,11 @@ class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
         // append would then create exactly the mixed-schema state this guards
         try Some(spark.read.parquet(target).schema)
         catch {
+          // missing path OR existing-but-empty dir (e.g. a killed run left
+          // only _temporary) both mean "fresh target"
           case e: org.apache.spark.sql.AnalysisException
             if e.getMessage.contains("PATH_NOT_FOUND") ||
+               e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
                e.getMessage.toLowerCase.contains("path does not exist") => None
         }
       else if (spark.catalog.tableExists(target)) Some(spark.table(target).schema)

@@ -213,6 +213,18 @@ object EntityMatch {
       graft.catalog.Scratch.withScratch(spark, "upsert") { scratch =>
         replacement.write.mode(SaveMode.Overwrite).parquet(scratch)
         val materialized = spark.read.parquet(scratch)
+        // A MERGE can DRAIN a partition: if a gid's only row moves to another
+        // partition and nothing else lives in the old one, the replacement
+        // frame has no rows there and dynamic overwrite never touches it —
+        // the stale row would survive. Compute the drained set BEFORE the
+        // overwrite (affected's lineage scans the primary table; running it
+        // afterwards would re-read files the overwrite just deleted). Small
+        // by construction: bounded by the batch's distinct partition values.
+        val drained = affected
+          .join(materialized.select(partCols.map(col): _*).distinct()
+            .toDF(partCols.map(c => s"__aff_$c"): _*),
+            nullSafeOn, "left_anti")
+          .collect()
         val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try materialized
@@ -223,21 +235,13 @@ object EntityMatch {
           case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
           case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         }
-        // A MERGE can DRAIN a partition: if a gid's only row moves to another
-        // partition and nothing else lives in the old one, the replacement
-        // frame has no rows there and dynamic overwrite never touches it —
-        // the stale row would survive. Drop such now-empty partitions
-        // explicitly (the drained set is small by construction: bounded by
-        // the batch's distinct partition values).
-        val drained = affected
-          .join(materialized.select(partCols.map(col): _*).distinct()
-            .toDF(partCols.map(c => s"__aff_$c"): _*),
-            nullSafeOn, "left_anti")
-          .collect()
         drained.foreach { row =>
           val spec = partCols.zipWithIndex.map { case (c, i) =>
             val v = row.get(i)
-            if (v == null) s"$c = null" else s"$c = '${v.toString.replace("'", "''")}'"
+            // escape backslashes too: SQL string literals process them, and
+            // IF EXISTS would make a mangled key a silent no-op
+            if (v == null) s"$c = null"
+            else s"$c = '${v.toString.replace("\\", "\\\\").replace("'", "''")}'"
           }.mkString(", ")
           spark.sql(s"ALTER TABLE $primaryTable DROP IF EXISTS PARTITION ($spec)")
         }

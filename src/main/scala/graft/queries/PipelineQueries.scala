@@ -15,6 +15,16 @@ import org.apache.spark.sql.types._
   * a DuckDB oracle replicating the same semantics over the parquet source. */
 object PipelineQueries {
 
+  /** Recursive delete with the walk stream closed (Files.walk holds open
+    * directory handles — unclosed, it leaks fds on every bench invocation). */
+  private def wipeDir(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally s.close()
+    }
+
   private def csvPath(sfDir: String): String =
     s"/tmp/graft_ingest_csv/${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
 
@@ -173,9 +183,7 @@ object PipelineQueries {
             .mkString("\n") + "\n")
       }
       val outDir = Paths.get(base, "generated")
-      if (Files.exists(outDir))
-        Files.walk(outDir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.delete(f))
+      wipeDir(outDir)
       Files.createDirectories(outDir)
       val db = s"graftgen${math.abs(d.hashCode)}"
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
@@ -241,9 +249,7 @@ object PipelineQueries {
       val base = s"/tmp/graft_stream/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
       def reset(sub: String): String = {
         val p = java.nio.file.Paths.get(base, sub)
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.delete(f))
+        wipeDir(p)
         java.nio.file.Files.createDirectories(p)
         p.toString
       }
