@@ -111,7 +111,14 @@ object SimilarityFunctions {
 
   /** n-gram Jaccard similarity between two already-computed distinct shingle
     * arrays. */
-  def jaccard(a: Column, b: Column): Column = {
+  /** Native one-pass kernel (no intersection-array allocation — the verify
+    * hot path of the similarity joins); [[jaccardHof]] kept as the value
+    * cross-check. */
+  def jaccard(a: Column, b: Column): Column =
+    graft.functions.expressions.HashExpressions.jaccard(a, b)
+
+  /** HOF formulation of [[jaccard]] — spec cross-check only. */
+  def jaccardHof(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast(DoubleType)
     val uni = size(a) + size(b) - size(array_intersect(a, b))
     when(uni === 0, lit(0.0)).otherwise(inter / uni.cast(DoubleType))

@@ -185,6 +185,30 @@ object HashExpressions {
     override def prettyName: String = "nearest_centroid"
   }
 
+  /** Jaccard similarity in one hash pass — the HOF formulation evaluates
+    * array_intersect (which allocates the intersection array) per pair in the
+    * similarity-join verify hot path. */
+  case class JaccardExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    private def isLong: Boolean = left.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Double.valueOf(Kernels.jaccard(
+        l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], isLong))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = $KernelsClass.jaccard($a, $b, $isLong);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "jaccard"
+  }
+
   /** Rolling Rabin-Karp k-gram hashes of a text column in ONE scan — the HOF
     * formulation rebuilds every k-gram from scratch through char-indexed
     * substr (O(position) each on UTF8String), i.e. O(n²·k) per document;
@@ -241,4 +265,6 @@ object HashExpressions {
     column(NearestCentroidExpr(expression(vec), centroids))
   def rolling_hashes(text: Column, k: Int): Column =
     column(RollingHashesExpr(expression(text), k))
+  def jaccard(a: Column, b: Column): Column =
+    column(JaccardExpr(expression(a), expression(b)))
 }

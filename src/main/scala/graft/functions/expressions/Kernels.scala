@@ -135,6 +135,33 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Jaccard similarity of two arrays with array_intersect semantics in ONE
+    * hash pass (no intersection-array allocation): distinct common elements /
+    * (rawLenA + rawLenB − distinct common). NULL elements compare equal, as
+    * in array_intersect. Works on string and long element types. */
+  def jaccard(a: ArrayData, b: ArrayData, isLong: Boolean): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na + nb == 0) return 0.0
+    val setA = new java.util.HashSet[Any](na * 2)
+    var i = 0
+    while (i < na) {
+      setA.add(if (a.isNullAt(i)) null
+        else if (isLong) java.lang.Long.valueOf(a.getLong(i)) else a.getUTF8String(i))
+      i += 1
+    }
+    var inter = 0
+    i = 0
+    while (i < nb) {
+      val v = if (b.isNullAt(i)) null
+        else if (isLong) java.lang.Long.valueOf(b.getLong(i)) else b.getUTF8String(i)
+      if (setA.remove(v)) inter += 1 // remove ⇒ each common element counts once
+      i += 1
+    }
+    val u = na + nb - inter
+    if (u == 0) 0.0 else inter.toDouble / u
+  }
+
   /** Rolling polynomial hash (Rabin-Karp, base 257 mod 2^31−1) of every
     * char-k-gram in ONE scan: h' = (h − cp·257^(k−1))·257 + cp_new (mod p).
     * Value-identical to the per-position HOF rebuild (which is O(n²·k):

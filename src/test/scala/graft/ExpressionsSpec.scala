@@ -47,6 +47,23 @@ class ExpressionsSpec extends SparkSpec {
     assert(df.select(S.dot(col("a"), col("b"))).as[Double].head() == 11.0)
   }
 
+  test("jaccard expression == HOF formulation on token and hashed arrays") {
+    val toks = docs.select(col("doc_id"), S.tokens(col("text")).as("t"))
+    val pairs = toks.as("a").crossJoin(toks.limit(10).as("b"))
+      .select(col("a.t").as("ta"), col("b.t").as("tb"))
+    val cmp = pairs.select(S.jaccard(col("ta"), col("tb")).as("fast"),
+      S.jaccardHof(col("ta"), col("tb")).as("slow"))
+    assert(cmp.filter(col("fast") =!= col("slow")).isEmpty)
+    // long arrays + edge cases: empty/empty → 0.0, duplicate elements, nulls
+    val edge = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(1L, 1L, 2L), Seq(1L, 3L))).toDF("a", "b")
+    val ecmp = edge.select(S.jaccard(col("a"), col("b")).as("fast"),
+      S.jaccardHof(col("a"), col("b")).as("slow"))
+    assert(ecmp.filter(col("fast") =!= col("slow")).isEmpty)
+  }
+
   test("rolling hashes expression == HOF formulation") {
     import graft.functions.{TextFunctions => T}
     val cmp = docs.select(

@@ -565,4 +565,25 @@ class ConnectedComponentsSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq
     assert(kept == Seq(1L, 4L, 5L)) // {1,2,3}→1, 4 unpaired, {5,6}→5
   }
+
+  test("local union-find cutover is value-identical to the distributed loop") {
+    // randomized-ish graph shape: chains, cliques, cross-links, singeltons
+    val edges = Seq(
+      (2L,1L),(2L,3L),(3L,4L),(4L,9L),(9L,2L),          // cycle+chain
+      (10L,11L),(11L,12L),(10L,12L),(12L,13L),           // clique + tail
+      (20L,21L),(30L,31L),(31L,32L),(21L,30L),           // merged via 21-30
+      (40L,40L),                                         // self loop
+      (50L,51L)).toDF("src", "dst")
+    val local = ConnectedComponents.run(edges)                       // cutover
+      .as[(Long, Long)].collect().toMap
+    val dist = ConnectedComponents.run(edges, localEdgeThreshold = 0) // forced loop
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    // and the same equivalence for string ids (different ordering rules)
+    val sEdges = Seq(("b","a"),("b","c"),("x","y")).toDF("src","dst")
+    val sLocal = ConnectedComponents.run(sEdges).as[(String, String)].collect().toMap
+    val sDist = ConnectedComponents.run(sEdges, localEdgeThreshold = 0)
+      .as[(String, String)].collect().toMap
+    assert(sLocal == sDist && sLocal("c") == "a" && sLocal("y") == "x")
+  }
 }
