@@ -26,7 +26,8 @@ object EntityMatch {
                        threshold: Double)
   case class MatchSpec(primaryTable: String, globalIdField: String, sortField: String,
                        sourcePrimaryKey: String, sourceSystemKey: String,
-                       levels: Seq[LevelSpec])
+                       levels: Seq[LevelSpec],
+                       partitionBy: Seq[String] = Seq.empty)
 
   def parseSpec(root: JsonNode): MatchSpec = {
     val exact = Option(root.get("exact_match_fields"))
@@ -36,6 +37,9 @@ object EntityMatch {
       sortField = root.str("sort_field").getOrElse(""),
       sourcePrimaryKey = exact.flatMap(_.str("source_primary_key")).getOrElse(""),
       sourceSystemKey = exact.flatMap(_.str("source_system_key")).getOrElse(""),
+      // extension beyond the reference: partition the primary entity table so
+      // upserts rewrite only affected partitions (see upsert)
+      partitionBy = root.strList("primary_partition_by"),
       levels = Option(root.get("levels")).toSeq.flatMap(_.elems).map { l =>
         LevelSpec(
           id = l.str("id").getOrElse("1"),
@@ -262,7 +266,9 @@ object EntityMatch {
 
     if (!spark.catalog.tableExists(spec.primaryTable)) {
       val filled = fillGlobalId(incoming, gid)
-      filled.write.mode(SaveMode.Overwrite).saveAsTable(spec.primaryTable)
+      val w = filled.write.mode(SaveMode.Overwrite)
+      (if (spec.partitionBy.nonEmpty) w.partitionBy(spec.partitionBy: _*) else w)
+        .saveAsTable(spec.primaryTable)
       // return the PERSISTED rows: uuid() is nondeterministic per execution,
       // so re-running the unmaterialized plan would hand the caller gids that
       // match nothing in the primary table

@@ -304,6 +304,7 @@ object RefQueries {
         s"""{
           "primary_entity_table": "$db.entity_primary",
           "global_id_field": "globalid",
+          "primary_partition_by": ["nationkey"],
           "exact_match_fields": {"source_primary_key": "customerno",
                                  "source_system_key": "srcsystemid"},
           "levels": [{"id": "1", "blocks": ["name[12:18]"], "threshold": 0.999,
