@@ -57,7 +57,7 @@ object Sources {
       if (has("csv")) fmt = node("csv")
       if (has("tsv")) { delimiter = "\t"; fmt = node("tsv") }
       if (has("pipe")) { delimiter = "|"; fmt = node("pipe") }
-      spark.read.format("csv")
+      val reader = spark.read.format("csv")
         .option("header", fmt.flatMap(_.bool("header")).getOrElse(true))
         .option("delimiter", fmt.flatMap(_.str("delimiter")).getOrElse(delimiter))
         .option("quote", fmt.flatMap(_.str("quote_character")).getOrElse("\""))
@@ -66,9 +66,15 @@ object Sources {
         // size) — opt-in per input_spec only, never the default
         // (etl_collect_to_cleanse.py:222-229 reads it from the spec too)
         .option("multiLine", fmt.flatMap(_.bool("multiline")).getOrElse(false))
-        .option("inferSchema", true)
         .option("mode", "PERMISSIVE")
-        .load(path)
+      // input_spec-provided schema DDL skips the inference pre-scan — at
+      // scale inferSchema reads every byte TWICE; production specs should
+      // always pin the schema (extension; the reference leans on Glue's
+      // inference)
+      fmt.flatMap(_.str("schema")) match {
+        case Some(ddl) => reader.schema(ddl).load(path)
+        case None => reader.option("inferSchema", true).load(path)
+      }
     }
   }
 }

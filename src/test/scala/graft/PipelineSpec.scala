@@ -72,6 +72,18 @@ class SourcesSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("csv spec-provided schema DDL skips inference and pins types") {
+    val dir = Files.createTempDirectory("graft_csv_schema")
+    val f = dir.resolve("t.csv")
+    Files.writeString(f, "k,v\n1,1.5\n2,2.5\n")
+    val spec = Specs.parseJson(
+      """{"csv": {"schema": "k BIGINT, v DECIMAL(10,2)"}}""")
+    val out = Sources.read(spark, f.toString, Some(spec))
+    assert(out.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(out.schema("v").dataType == DecimalType(10, 2))
+    assert(out.count() == 2)
+  }
+
   test("json multiline read with prefersDecimal") {
     val dir = Files.createTempDirectory("graft_json")
     val f = dir.resolve("t.json")
