@@ -52,10 +52,17 @@ object ScaleCheck {
       }
     val pairs1 = pairsOf(docs, "1x")
     val pairsN = pairsOf(rep, s"${n}x")
-    timed("connected components 1x")(((), // pairs pre-materialized: pure CC time
+    // localEdgeThreshold=0 FORCES the distributed loop at both scales: this
+    // checkpoint validates the distributed algorithm's growth curve, and the
+    // small-graph union-find cutover would otherwise make 1x incomparable
+    timed("connected components (distributed) 1x")(((),
+      operators.ConnectedComponents.run(pairs1, "id_a", "id_b",
+        localEdgeThreshold = 0).count()))
+    timed(s"connected components (distributed) ${n}x")(((),
+      operators.ConnectedComponents.run(pairsN, "id_a", "id_b",
+        localEdgeThreshold = 0).count()))
+    timed("connected components (auto cutover) 1x")(((),
       operators.ConnectedComponents.run(pairs1, "id_a", "id_b").count()))
-    timed(s"connected components ${n}x")(((),
-      operators.ConnectedComponents.run(pairsN, "id_a", "id_b").count()))
     spark.stop()
   }
 }
