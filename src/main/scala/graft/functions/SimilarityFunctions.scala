@@ -109,13 +109,16 @@ object SimilarityFunctions {
     when(cnt >= n, array_distinct(grams)).otherwise(array().cast(ArrayType(StringType)))
   }
 
-  /** n-gram Jaccard similarity between two already-computed distinct shingle
-    * arrays. */
-  /** Native one-pass kernel (no intersection-array allocation — the verify
-    * hot path of the similarity joins); [[jaccardHof]] kept as the value
-    * cross-check. */
+  /** n-gram Jaccard similarity between two already-computed shingle arrays —
+    * native one-pass kernel (no intersection-array allocation; the verify hot
+    * path of the similarity joins); [[jaccardHof]] kept as the value
+    * cross-check. The when() guard handles nulls EXPLICITLY so the top-level
+    * expression is not null-intolerant: otherwise InferFiltersFromConstraints
+    * pushes an isnotnull(<whole shingle expression>) predicate below the
+    * projection and the O(text) shingle kernel runs twice per row. */
   def jaccard(a: Column, b: Column): Column =
-    graft.functions.expressions.HashExpressions.jaccard(a, b)
+    when(a.isNull.or(b.isNull), lit(null).cast(DoubleType))
+      .otherwise(graft.functions.expressions.HashExpressions.jaccard(a, b))
 
   /** HOF formulation of [[jaccard]] — spec cross-check only. */
   def jaccardHof(a: Column, b: Column): Column = {

@@ -192,6 +192,23 @@ object HashExpressions {
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
+    // the kernel reads elements as UTF8String or Long — anything else must
+    // fail at ANALYSIS, not produce garbage at runtime (use jaccardHof for
+    // other element types)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def elem(e: Expression) = e.dataType match {
+        case ArrayType(t, _) => Some(t)
+        case _ => None
+      }
+      (elem(left), elem(right)) match {
+        case (Some(a), Some(b)) if a == b && (a == StringType || a == LongType) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case _ =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"jaccard requires two arrays of matching string or long elements, " +
+              s"got ${left.dataType.sql} and ${right.dataType.sql}")
+      }
+    }
     private def isLong: Boolean = left.dataType match {
       case ArrayType(LongType, _) => true
       case _ => false

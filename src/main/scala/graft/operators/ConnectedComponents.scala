@@ -30,16 +30,25 @@ object ConnectedComponents {
     *              are solved with a driver-side union-find instead of the
     *              distributed loop — the loop pays O(log diameter) blocking
     *              rounds of fixed overhead, which dominates on small graphs
-    *              (the same cutover GraphFrames applies). 5M edges ≈ 80 MB
-    *              collected; pass 0 to force the distributed path. Types the
-    *              local solver can't order fall through to the loop.
+    *              (the same cutover GraphFrames applies). Driver footprint is
+    *              Row-object-dominated, roughly 150-300 bytes/edge (~0.3 GB
+    *              transient at the 1M default); raise it only with driver
+    *              memory to match, pass 0 to force the distributed path.
+    *              Inputs the local solver can't handle exactly — unorderable
+    *              or mismatched id types, null ids — fall through to the
+    *              distributed loop. The decision uses take(threshold+1), so
+    *              an oversized graph stops fetching after the first
+    *              partitions rather than paying a full count.
     * @return (vertex, component) — component = min vertex id reachable */
   def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-          maxIter: Int = 20, localEdgeThreshold: Long = 5000000L): DataFrame = {
+          maxIter: Int = 20, localEdgeThreshold: Long = 1000000L): DataFrame = {
     val local =
-      if (localEdgeThreshold > 0 && edges.count() <= localEdgeThreshold)
-        localRun(edges, srcCol, dstCol)
-      else None
+      if (localEdgeThreshold > 0 && localEdgeThreshold < Int.MaxValue) {
+        val rows = edges.select(col(srcCol), col(dstCol))
+          .take(localEdgeThreshold.toInt + 1)
+        if (rows.length <= localEdgeThreshold) localRun(edges, srcCol, dstCol, rows)
+        else None
+      } else None
     local.getOrElse(distributedRun(edges, srcCol, dstCol, maxIter))
   }
 
@@ -92,22 +101,29 @@ object ConnectedComponents {
 
   /** Driver-side union-find (path compression + union by size) with min-id
     * component labels — value-identical to the distributed loop, milliseconds
-    * instead of per-round barriers on small graphs. Returns None for id types
-    * without a defined ordering here (they take the distributed path, whose
-    * `min` aggregate orders any Spark-orderable type). */
-  private def localRun(edges: DataFrame, srcCol: String,
-                       dstCol: String): Option[DataFrame] = {
-    val dt = edges.schema(srcCol).dataType
+    * instead of per-round barriers on small graphs. Returns None (distributed
+    * path) for: id types without an ordering here, MISMATCHED src/dst types
+    * (boxed equality would split vertices the loop's coercion unifies), and
+    * null ids (the loop's min/joins ignore them). Strings compare in UTF-8
+    * byte order — the same order the distributed `min` aggregate uses —
+    * NOT Java's UTF-16 compareTo, which disagrees beyond the BMP. */
+  private def localRun(edges: DataFrame, srcCol: String, dstCol: String,
+                       rows: Array[Row]): Option[DataFrame] = {
+    // case-insensitive resolution, like the col() lookups everywhere else
+    val projected = edges.select(col(srcCol), col(dstCol)).schema
+    val dt = projected.head.dataType
+    if (projected(1).dataType != dt) return None
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
     val ord: Option[Ordering[Any]] = dt match {
       case ByteType | ShortType | IntegerType | LongType =>
         Some(Ordering.by((v: Any) => v.asInstanceOf[Number].longValue))
       case FloatType | DoubleType =>
         Some(Ordering.by((v: Any) => v.asInstanceOf[Number].doubleValue))
-      case StringType => Some(Ordering.by((v: Any) => v.asInstanceOf[String]))
+      case StringType => Some(Ordering.by((v: Any) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(v.asInstanceOf[String])))
       case _ => None
     }
     ord.map { o =>
-      val rows = edges.select(col(srcCol), col(dstCol)).collect()
       val index = new java.util.HashMap[Any, java.lang.Integer]()
       val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
       def idx(v: Any): Int = {

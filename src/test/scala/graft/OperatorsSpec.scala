@@ -586,4 +586,20 @@ class ConnectedComponentsSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(sLocal == sDist && sLocal("c") == "a" && sLocal("y") == "x")
   }
+
+  test("cutover falls back to the distributed loop on inputs it can't solve exactly") {
+    // mismatched src/dst types: boxed equality would split what coercion joins
+    val mixed = Seq((5, 7L), (7, 9L)).toDF("src", "dst")
+      .select(col("src").cast("int").as("src"), col("dst"))
+    val comp = ConnectedComponents.run(mixed).as[(Long, Long)].collect().toMap
+    assert(comp == Map(5L -> 5L, 7L -> 5L, 9L -> 5L))
+    // null ids: the loop's joins/min ignore them instead of NPEing
+    val withNull = Seq((Some(1L), Some(2L)), (None, Some(3L))).toDF("src", "dst")
+    ConnectedComponents.run(withNull).collect() // must not throw
+    // case-insensitive column resolution, same as the distributed path
+    val cased = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val c2 = ConnectedComponents.run(cased, "ID_A", "ID_B")
+      .as[(Long, Long)].collect().toMap
+    assert(c2 == Map(1L -> 1L, 2L -> 1L))
+  }
 }
