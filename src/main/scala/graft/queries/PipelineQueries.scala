@@ -163,6 +163,30 @@ object PipelineQueries {
       s.table(s"${db}_consume.orders_big_v").orderBy(col("o_orderkey"))
     }),
 
+    // S3 Excel source: nation re-materialized as a real .xlsx workbook
+    // (driver-written fixture, like the other single-file format fixtures)
+    // and read back through the Sources dispatcher via the minimal native
+    // XLSX reader — numeric cells and shared-string cells both exercised,
+    // verified against the parquet nation table.
+    "q72_excel_source" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      val dir = s"/tmp/graft_xlsx_src/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val f = Paths.get(dir, "nation.xlsx")
+      if (!Files.exists(f)) {
+        Files.createDirectories(Paths.get(dir))
+        val rows = Tables(s, d, "nation")
+          .select(col("n_nationkey").cast(LongType), col("n_regionkey").cast(LongType), col("n_name"))
+          .orderBy(col("n_nationkey")).collect()
+        graft.sources.ExcelSource.write(f.toString,
+          Seq(Seq("nationkey", "regionkey", "name")) ++ rows.map(r =>
+            Seq(r.getLong(0).toString, r.getLong(1).toString, r.getString(2))))
+      }
+      graft.sources.Sources.read(s, f.toString, Some(Specs.parseJson("""{"excel": {}}""")))
+        .select(col("nationkey").cast(LongType).as("nationkey"),
+          col("regionkey").cast(LongType).as("regionkey"), col("name"))
+        .orderBy(col("nationkey"))
+    }),
+
     // K10: a dataset arriving with NO mapping/transform config makes the
     // pipeline write the recommended config files (clean-names mapping CSV +
     // transform-spec skeleton) next to the job — this query runs that path on
@@ -399,6 +423,11 @@ object PipelineQueries {
              o_totalprice
       FROM orders WHERE o_totalprice > 250000
       ORDER BY o_orderkey""",
+    "q72_excel_source" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+             CAST(n_regionkey AS BIGINT) AS regionkey,
+             n_name AS name
+      FROM nation ORDER BY nationkey""",
     "q70_generated_specs" -> """
       SELECT * FROM (VALUES
         ('changetype', 'acct_bal', 'decimal(16,2)'),

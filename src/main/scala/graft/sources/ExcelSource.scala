@@ -1,0 +1,201 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.w3c.dom.Element
+
+import java.util.zip.ZipFile
+import scala.collection.mutable.ArrayBuffer
+
+/** S3 Excel source — a MINIMAL native XLSX reader built on JDK-only pieces
+  * (java.util.zip + javax.xml DOM), closing the gap left by the absence of a
+  * spark-excel/POI jar in this environment. Ref: the reference ingests
+  * spreadsheets via spark-excel (etl_collect_to_cleanse.py:154-185); its
+  * workbooks are small config-like feeds (quickstart samples are ~3k rows).
+  *
+  * Scope and scale contract: the workbook is parsed ON THE DRIVER (an .xlsx
+  * is one ZIP — it is not splittable by any reader), so this is for
+  * config-sized workbooks, same as the reference's usage; bulk data belongs
+  * in CSV/parquet. Cells come back as STRINGS (header row → column names),
+  * exactly like a CSV read without inferSchema — the mapping/typing
+  * transforms downstream do the conversion. Supported cell types: shared
+  * strings (t="s"), inline strings (t="inlineStr"), formula/plain values
+  * (the cached `<v>`), booleans (t="b" → "true"/"false"). Dates appear as
+  * their raw serial numbers (style-table date detection is out of scope —
+  * the reference's own date transform parses strings anyway). */
+object ExcelSource {
+
+  def read(spark: SparkSession, path: String, sheet: Option[String] = None,
+           header: Boolean = true): DataFrame = {
+    val grid = readGrid(path, sheet)
+    if (grid.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq.empty))
+    val width = grid.map(_.length).max
+    val padded: Seq[Seq[String]] = grid.map(r => r.padTo(width, null: String).toSeq)
+    val (names, data) =
+      if (header) (padded.head.zipWithIndex.map { case (n, i) =>
+        if (n == null || n.isEmpty) s"_c$i" else n }, padded.tail)
+      else (Seq.tabulate(width)(i => s"_c$i"), padded)
+    val schema = StructType(names.map(n => StructField(n, StringType)).toSeq)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data.map(Row.fromSeq)), schema)
+  }
+
+  /** Raw cell grid of the chosen sheet: rows of strings, nulls for gaps. */
+  private def readGrid(path: String, sheet: Option[String]): Seq[ArrayBuffer[String]] = {
+    val zip = new ZipFile(path)
+    try {
+      val sheetPath = resolveSheetPath(zip, sheet)
+      val shared = readSharedStrings(zip)
+      val doc = parse(zip, sheetPath)
+      val rows = elems(doc.getDocumentElement, "row")
+      rows.map { r =>
+        val out = ArrayBuffer.empty[String]
+        elems(r, "c").foreach { c =>
+          val colIdx = columnIndex(c.getAttribute("r"))
+          while (out.length <= colIdx) out += null
+          out(colIdx) = cellValue(c, shared)
+        }
+        out
+      }
+    } finally zip.close()
+  }
+
+  private def parse(zip: ZipFile, entry: String): org.w3c.dom.Document = {
+    val e = Option(zip.getEntry(entry)).getOrElse(
+      throw new IllegalArgumentException(s"xlsx missing $entry"))
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setNamespaceAware(false) // match on local tag names only
+    val in = zip.getInputStream(e)
+    try f.newDocumentBuilder().parse(in) finally in.close()
+  }
+
+  private def elems(parent: Element, tag: String): Seq[Element] = {
+    val nl = parent.getElementsByTagName(tag)
+    (0 until nl.getLength).map(nl.item(_).asInstanceOf[Element])
+  }
+
+  /** workbook.xml names sheets; its rels map each r:id to a worksheet file.
+    * No sheet requested → the first declared sheet. */
+  private def resolveSheetPath(zip: ZipFile, sheet: Option[String]): String = {
+    val wb = parse(zip, "xl/workbook.xml")
+    val sheets = elems(wb.getDocumentElement, "sheet")
+    require(sheets.nonEmpty, "xlsx has no sheets")
+    val chosen = sheet match {
+      case Some(n) => sheets.find(_.getAttribute("name") == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"sheet '$n' not found; has: ${sheets.map(_.getAttribute("name")).mkString(", ")}"))
+      case None => sheets.head
+    }
+    val rid = chosen.getAttribute("r:id")
+    val rels = parse(zip, "xl/_rels/workbook.xml.rels")
+    val target = elems(rels.getDocumentElement, "Relationship")
+      .find(_.getAttribute("Id") == rid)
+      .map(_.getAttribute("Target"))
+      .getOrElse(throw new IllegalArgumentException(s"no relationship for sheet id $rid"))
+    if (target.startsWith("/")) target.stripPrefix("/") else s"xl/$target"
+  }
+
+  private def readSharedStrings(zip: ZipFile): IndexedSeq[String] =
+    if (zip.getEntry("xl/sharedStrings.xml") == null) IndexedSeq.empty
+    else elems(parse(zip, "xl/sharedStrings.xml").getDocumentElement, "si")
+      // an <si> may hold one <t> or rich-text runs of <r><t>…; concatenating
+      // every nested <t> covers both
+      .map(si => elems(si, "t").map(_.getTextContent).mkString)
+      .toIndexedSeq
+
+  private def cellValue(c: Element, shared: IndexedSeq[String]): String = {
+    def v: Option[String] = elems(c, "v").headOption.map(_.getTextContent)
+    c.getAttribute("t") match {
+      case "s" => v.map(i => shared(i.trim.toInt)).orNull
+      case "inlineStr" => elems(c, "is").headOption
+        .map(is => elems(is, "t").map(_.getTextContent).mkString).orNull
+      case "b" => v.map(x => if (x.trim == "1") "true" else "false").orNull
+      case _ => v.orNull // number, cached formula result, or empty
+    }
+  }
+
+  /** "BC23" → 0-based column 54. */
+  private def columnIndex(ref: String): Int = {
+    val letters = ref.takeWhile(_.isLetter)
+    if (letters.isEmpty) 0
+    else letters.foldLeft(0)((acc, ch) => acc * 26 + (ch.toUpper - 'A' + 1)) - 1
+  }
+
+  // ------------------------------------------------------------------ writer
+
+  /** Minimal XLSX writer (fixtures + round-trip tests): purely-numeric values
+    * become number cells, everything else goes through sharedStrings — so a
+    * round-trip exercises both reader paths. */
+  def write(path: String, rows: Seq[Seq[String]], sheetName: String = "Sheet1"): Unit = {
+    val shared = ArrayBuffer.empty[String]
+    val sharedIdx = new java.util.HashMap[String, Integer]()
+    def sIdx(s: String): Int = {
+      val i = sharedIdx.get(s)
+      if (i != null) i.intValue
+      else { val n = shared.length; shared += s; sharedIdx.put(s, n); n }
+    }
+    def colRef(i: Int): String = {
+      var n = i + 1; val sb = new StringBuilder
+      while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+      sb.toString
+    }
+    def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val numeric = "-?\\d+(\\.\\d+)?".r
+    val sheetXml = new StringBuilder
+    sheetXml.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    sheetXml.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    rows.zipWithIndex.foreach { case (r, ri) =>
+      sheetXml.append(s"""<row r="${ri + 1}">""")
+      r.zipWithIndex.foreach { case (v, ci) =>
+        if (v != null) {
+          val ref = s"${colRef(ci)}${ri + 1}"
+          if (numeric.pattern.matcher(v).matches())
+            sheetXml.append(s"""<c r="$ref"><v>$v</v></c>""")
+          else
+            sheetXml.append(s"""<c r="$ref" t="s"><v>${sIdx(v)}</v></c>""")
+        }
+      }
+      sheetXml.append("</row>")
+    }
+    sheetXml.append("</sheetData></worksheet>")
+    val sharedXml = new StringBuilder
+    sharedXml.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    sharedXml.append(s"""<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${shared.length}" uniqueCount="${shared.length}">""")
+    shared.foreach(s => sharedXml.append(s"<si><t>${esc(s)}</t></si>"))
+    sharedXml.append("</sst>")
+    val entries = Seq(
+      "[Content_Types].xml" ->
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+          """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+          """<Default Extension="xml" ContentType="application/xml"/>""" +
+          """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+          """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+          """<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>""" +
+          """</Types>"""),
+      "_rels/.rels" ->
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+          """</Relationships>"""),
+      "xl/workbook.xml" ->
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+          s"""<sheets><sheet name="${esc(sheetName)}" sheetId="1" r:id="rId1"/></sheets></workbook>"""),
+      "xl/_rels/workbook.xml.rels" ->
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+          """</Relationships>"""),
+      "xl/worksheets/sheet1.xml" -> sheetXml.toString,
+      "xl/sharedStrings.xml" -> sharedXml.toString)
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    try entries.foreach { case (name, content) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    } finally zos.close()
+  }
+}

@@ -7,9 +7,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Source format dispatch (SURVEY.md §2.1 S1–S6): extension + `input_spec`
-  * driven, mirroring etl_collect_to_cleanse.py:136-240. Excel (S3) needs a
-  * third-party reader jar and is out of scope; every other shipped format is a
-  * Spark built-in. */
+  * driven, mirroring etl_collect_to_cleanse.py:136-240. Excel (S3) goes
+  * through [[ExcelSource]], a minimal JDK-only XLSX reader (no third-party
+  * jar available here); every other shipped format is a Spark built-in. */
 object Sources {
 
   /** Fixed-width mapping row: destName + width (SourceName ignored, destname
@@ -35,6 +35,13 @@ object Sources {
     def node(key: String) = inputSpec.flatMap(s => Option(s.get(key)))
 
     if (has("fixed")) readFixedWidth(spark, path, fixedWidthFields)
+    else if (ext == "xlsx" || has("excel")) {
+      // S3: minimal native XLSX reader (driver-side; config-sized workbooks —
+      // the reference's use case, etl_collect_to_cleanse.py:154-185)
+      ExcelSource.read(spark, path,
+        sheet = node("excel").flatMap(_.str("sheet")),
+        header = node("excel").flatMap(_.bool("header")).getOrElse(true))
+    }
     else if (ext == "json" || ext == "jsonl") {
       spark.read.format("json")
         .option("prefersDecimal", "true")

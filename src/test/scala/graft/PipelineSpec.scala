@@ -3,7 +3,7 @@ package graft
 import graft.catalog.SchemaEvolution
 import graft.config.Specs
 import graft.pipeline.{JobArgs, PipelineRunner}
-import graft.sources.Sources
+import graft.sources.{ExcelSource, Sources}
 import graft.stores.{LookupStore, TokenStore}
 import graft.transforms.TransformContext
 import org.apache.spark.sql.functions._
@@ -70,6 +70,29 @@ class SourcesSpec extends SparkSpec {
     val out = Sources.read(spark, f.toString, Some(spec))
     assert(out.columns.toSeq == Seq("a", "b"))
     assert(out.count() == 2)
+  }
+
+  test("xlsx round-trip: shared strings, numbers, gaps, header, sheet select") {
+    val dir = Files.createTempDirectory("graft_xlsx")
+    val f = dir.resolve("t.xlsx").toString
+    ExcelSource.write(f, Seq(
+      Seq("Name", "Qty", "Note"),
+      Seq("alpha", "1", "x & y"),
+      Seq("beta", "2.5", null),       // trailing gap
+      Seq("alpha", "3", "<tag>")),    // shared string reused + xml escapes
+      sheetName = "Data")
+    val out = Sources.read(spark, f, Some(Specs.parseJson("""{"excel": {"sheet": "Data"}}""")))
+    assert(out.columns.toSeq == Seq("Name", "Qty", "Note"))
+    assert(out.schema.fields.forall(_.dataType == org.apache.spark.sql.types.StringType))
+    val rows = out.collect().map(_.toSeq).sortBy(_.apply(1).asInstanceOf[String])
+    assert(rows(0) == Seq("alpha", "1", "x & y"))
+    assert(rows(1) == Seq("beta", "2.5", null))
+    assert(rows(2) == Seq("alpha", "3", "<tag>"))
+    // unknown sheet name → clear error
+    val err = intercept[IllegalArgumentException] {
+      ExcelSource.read(spark, f, sheet = Some("Nope"))
+    }
+    assert(err.getMessage.contains("Data"))
   }
 
   test("csv spec-provided schema DDL skips inference and pins types") {
