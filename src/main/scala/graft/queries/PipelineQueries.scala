@@ -163,6 +163,28 @@ object PipelineQueries {
       s.table(s"${db}_consume.orders_big_v").orderBy(col("o_orderkey"))
     }),
 
+    // Bucketed co-located join: orders and lineitem bucketed on the join key
+    // with the same bucket count, then joined + aggregated WITHOUT a shuffle
+    // on either fact side (BucketingSpec asserts the no-Exchange plan; this
+    // row proves the VALUES match the plain-join oracle).
+    "q73_bucketed_join" -> ((s, d) => {
+      val db = s"graftbkt${math.abs(d.hashCode)}"
+      if (!s.catalog.databaseExists(db) || !s.catalog.tableExists(s"$db.orders_b")) {
+        graft.catalog.CatalogOps.writeBucketed(
+          Tables(s, d, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          s"$db.orders_b", Seq("o_orderkey"), 8, Seq("o_orderkey"))
+        graft.catalog.CatalogOps.writeBucketed(
+          Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+          s"$db.lineitem_b", Seq("l_orderkey"), 8, Seq("l_orderkey"))
+      }
+      s.table(s"$db.orders_b")
+        .join(s.table(s"$db.lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // S3 Excel source: nation re-materialized as a real .xlsx workbook
     // (driver-written fixture, like the other single-file format fixtures)
     // and read back through the Sources dispatcher via the minimal native
@@ -423,6 +445,11 @@ object PipelineQueries {
              o_totalprice
       FROM orders WHERE o_totalprice > 250000
       ORDER BY o_orderkey""",
+    "q73_bucketed_join" -> """
+      SELECT o.o_orderkey, count(*) AS n_lines,
+             CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey ORDER BY o.o_orderkey""",
     "q72_excel_source" -> """
       SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
              CAST(n_regionkey AS BIGINT) AS regionkey,
