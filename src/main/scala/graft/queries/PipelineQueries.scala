@@ -169,7 +169,10 @@ object PipelineQueries {
     // row proves the VALUES match the plain-join oracle).
     "q73_bucketed_join" -> ((s, d) => {
       val db = s"graftbkt${math.abs(d.hashCode)}"
-      if (!s.catalog.databaseExists(db) || !s.catalog.tableExists(s"$db.orders_b")) {
+      // guard on BOTH tables: a crash between the two writes must not leave
+      // the fixture half-created forever
+      if (!s.catalog.tableExists(s"$db.orders_b") ||
+          !s.catalog.tableExists(s"$db.lineitem_b")) {
         graft.catalog.CatalogOps.writeBucketed(
           Tables(s, d, "orders").select(col("o_orderkey"), col("o_totalprice")),
           s"$db.orders_b", Seq("o_orderkey"), 8, Seq("o_orderkey"))
@@ -199,9 +202,13 @@ object PipelineQueries {
         val rows = Tables(s, d, "nation")
           .select(col("n_nationkey").cast(LongType), col("n_regionkey").cast(LongType), col("n_name"))
           .orderBy(col("n_nationkey")).collect()
-        graft.sources.ExcelSource.write(f.toString,
+        // write-then-atomic-move: a crash mid-write must not leave a corrupt
+        // zip behind the Files.exists guard forever
+        val tmp = Paths.get(dir, "nation.xlsx.tmp")
+        graft.sources.ExcelSource.write(tmp.toString,
           Seq(Seq("nationkey", "regionkey", "name")) ++ rows.map(r =>
             Seq(r.getLong(0).toString, r.getLong(1).toString, r.getString(2))))
+        Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
       graft.sources.Sources.read(s, f.toString, Some(Specs.parseJson("""{"excel": {}}""")))
         .select(col("nationkey").cast(LongType).as("nationkey"),

@@ -33,10 +33,18 @@ object ExcelSource {
         StructType(Seq.empty))
     val width = grid.map(_.length).max
     val padded: Seq[Seq[String]] = grid.map(r => r.padTo(width, null: String).toSeq)
-    val (names, data) =
+    val (names0, data) =
       if (header) (padded.head.zipWithIndex.map { case (n, i) =>
         if (n == null || n.isEmpty) s"_c$i" else n }, padded.tail)
       else (Seq.tabulate(width)(i => s"_c$i"), padded)
+    // duplicate header names get positional suffixes (as Spark's CSV reader
+    // does) so the schema stays unambiguous for by-name access
+    val counts = names0.groupBy(identity).view.mapValues(_.size).toMap
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val names = names0.map { n =>
+      if (counts(n) == 1) n
+      else { val i = seen.getOrElse(n, 0); seen(n) = i + 1; s"$n$i" }
+    }
     val schema = StructType(names.map(n => StructField(n, StringType)).toSeq)
     spark.createDataFrame(
       spark.sparkContext.parallelize(data.map(Row.fromSeq)), schema)
@@ -52,13 +60,18 @@ object ExcelSource {
       val rows = elems(doc.getDocumentElement, "row")
       rows.map { r =>
         val out = ArrayBuffer.empty[String]
+        var last = -1 // the r= cell ref is OPTIONAL; refless cells place sequentially
         elems(r, "c").foreach { c =>
-          val colIdx = columnIndex(c.getAttribute("r"))
+          val ref = c.getAttribute("r")
+          val colIdx = if (ref.isEmpty) last + 1 else columnIndex(ref)
+          last = colIdx
           while (out.length <= colIdx) out += null
           out(colIdx) = cellValue(c, shared)
         }
         out
-      }
+        // styled-but-valueless rows would otherwise surface as phantom
+        // all-null records a CSV read of the same data never produces
+      }.filter(_.exists(_ != null))
     } finally zip.close()
   }
 
@@ -67,6 +80,13 @@ object ExcelSource {
       throw new IllegalArgumentException(s"xlsx missing $entry"))
     val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     f.setNamespaceAware(false) // match on local tag names only
+    // ingested workbooks are external input: no DTDs, no external entities
+    // (XXE/SSRF hardening)
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    f.setXIncludeAware(false)
+    f.setExpandEntityReferences(false)
     val in = zip.getInputStream(e)
     try f.newDocumentBuilder().parse(in) finally in.close()
   }
@@ -97,20 +117,26 @@ object ExcelSource {
     if (target.startsWith("/")) target.stripPrefix("/") else s"xl/$target"
   }
 
+  /** Visible text of an <si> or <is>: one <t>, or rich-text runs <r><t>….
+    * Phonetic <rPh> runs are EXCLUDED (POI/spark-excel do the same —
+    * concatenating them corrupts join keys in phonetic-annotated books). */
+  private def visibleText(container: Element): String =
+    elems(container, "t").filter { t =>
+      val p = t.getParentNode.getNodeName
+      p == container.getTagName || p == "r"
+    }.map(_.getTextContent).mkString
+
   private def readSharedStrings(zip: ZipFile): IndexedSeq[String] =
     if (zip.getEntry("xl/sharedStrings.xml") == null) IndexedSeq.empty
     else elems(parse(zip, "xl/sharedStrings.xml").getDocumentElement, "si")
-      // an <si> may hold one <t> or rich-text runs of <r><t>…; concatenating
-      // every nested <t> covers both
-      .map(si => elems(si, "t").map(_.getTextContent).mkString)
+      .map(visibleText)
       .toIndexedSeq
 
   private def cellValue(c: Element, shared: IndexedSeq[String]): String = {
     def v: Option[String] = elems(c, "v").headOption.map(_.getTextContent)
     c.getAttribute("t") match {
       case "s" => v.map(i => shared(i.trim.toInt)).orNull
-      case "inlineStr" => elems(c, "is").headOption
-        .map(is => elems(is, "t").map(_.getTextContent).mkString).orNull
+      case "inlineStr" => elems(c, "is").headOption.map(visibleText).orNull
       case "b" => v.map(x => if (x.trim == "1") "true" else "false").orNull
       case _ => v.orNull // number, cached formula result, or empty
     }
@@ -141,7 +167,8 @@ object ExcelSource {
       while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
       sb.toString
     }
-    def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;") // also used in attributes
     val numeric = "-?\\d+(\\.\\d+)?".r
     val sheetXml = new StringBuilder
     sheetXml.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")

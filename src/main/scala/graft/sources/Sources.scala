@@ -35,6 +35,11 @@ object Sources {
     def node(key: String) = inputSpec.flatMap(s => Option(s.get(key)))
 
     if (has("fixed")) readFixedWidth(spark, path, fixedWidthFields)
+    else if (ext == "xls")
+      // binary BIFF would fall through to the CSV reader and parse as
+      // mojibake — fail loudly instead
+      throw new IllegalArgumentException(
+        s"legacy .xls (binary BIFF) is not supported — convert to .xlsx: $path")
     else if (ext == "xlsx" || has("excel")) {
       // S3: minimal native XLSX reader (driver-side; config-sized workbooks —
       // the reference's use case, etl_collect_to_cleanse.py:154-185)

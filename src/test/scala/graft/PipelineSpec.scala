@@ -93,6 +93,23 @@ class SourcesSpec extends SparkSpec {
       ExcelSource.read(spark, f, sheet = Some("Nope"))
     }
     assert(err.getMessage.contains("Data"))
+    // legacy .xls must fail loudly, not mojibake through the CSV reader
+    val xlsErr = intercept[IllegalArgumentException] {
+      Sources.read(spark, dir.resolve("old.xls").toString, None)
+    }
+    assert(xlsErr.getMessage.contains("xlsx"))
+  }
+
+  test("xlsx reader edge cases: refless cells, duplicate headers, blank rows") {
+    val dir = Files.createTempDirectory("graft_xlsx_edge")
+    val f = dir.resolve("e.xlsx").toString
+    ExcelSource.write(f, Seq(
+      Seq("amount", "amount", "note"),
+      Seq("1", "2", "x"),
+      Seq(null, null, null))) // all-null row: must be dropped, as in CSV reads
+    val out = ExcelSource.read(spark, f)
+    assert(out.columns.toSeq == Seq("amount0", "amount1", "note"))
+    assert(out.count() == 1)
   }
 
   test("csv spec-provided schema DDL skips inference and pins types") {
