@@ -12,6 +12,9 @@ object TestSession {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // a doGenCode bug must FAIL tests, not silently fall back to
+      // interpreted eval (which would hide both the bug and the perf loss)
+      .config("spark.sql.codegen.fallback", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
