@@ -41,6 +41,15 @@ sbt -batch "runMain graft.RunConsume \
   $REF/lib/glue_scripts/transformation-sql/spark-SyntheticLifeData-PolicyData.sql \
   syntheticlifedata policydata $DQ/dq-SyntheticLifeData-PolicyData.json" 2>&1 | grep '\[graft\]'
 
+# Excel leg: the reference's quickstart data ARRIVES as spreadsheets — prove
+# the same claim config ingests a real .xlsx (claim CSV re-materialized as a
+# workbook, read by the native XLSX source) with identical row counts
+sbt -batch "runMain graft.CsvToXlsx $REF/resources/syntheticlife-claim-data.csv \
+  $DEMO/syntheticlife-claim-data.xlsx" 2>&1 | grep '\[graft\]'
+sbt -batch "runMain graft.RunPipeline $DEMO/syntheticlife-claim-data.xlsx \
+  $SPEC/SyntheticLifeData-ClaimData.json syntheticlifedata claimdata_xlsx \
+  $SPEC/SyntheticLifeData-ClaimData.csv - - 2023-01-01" 2>&1 | grep '\[graft\]'
+
 # second dataset family: general insurance (tokenize -> token store, redact,
 # merge, its own dq + consume SQL), same verbatim configs
 python3 - <<PYEOF
