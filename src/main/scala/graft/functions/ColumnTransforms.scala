@@ -49,10 +49,12 @@ object ColumnTransforms {
     * US "1,234.56" / euro "1.234,56" handled per flag.
     * Ref: datatransform_typeconversion.py:126-160. */
   def currency(c: Column, euro: Boolean = false, precision: Int = 16, scale: Int = 2): Column = {
-    // one regex pass; euro's ','→'.' swap is a cheap translate, not a regex
+    // native byte-scan keep-chars (regex-equivalent for an ASCII allow-set,
+    // see Kernels.keepChars); euro's ','→'.' swap is a cheap translate
+    import graft.functions.expressions.{HashExpressions => H}
     val cleaned =
-      if (euro) translate(regexp_replace(c, "[^0-9,+-]", ""), ",", ".")
-      else regexp_replace(c, "[^0-9.+-]", "")
+      if (euro) translate(H.keep_chars(c, "0123456789,+-"), ",", ".")
+      else H.keep_chars(c, "0123456789.+-")
     cleaned.try_cast(DecimalType(precision, scale).sql) // garbage → NULL, not ANSI abort
   }
 

@@ -185,6 +185,32 @@ object HashExpressions {
     override def prettyName: String = "nearest_centroid"
   }
 
+  /** Keep-only-allowed-ASCII-chars string filter — one byte scan instead of
+    * a char-class regexp_replace (the currency-cleanup hot path). */
+  case class KeepCharsExpr(child: Expression, allowed: String)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val table: Array[Boolean] = {
+      val t = new Array[Boolean](128)
+      allowed.foreach { ch =>
+        require(ch < 128, s"keep_chars allow-set must be ASCII, got '$ch'")
+        t(ch) = true
+      }
+      t
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.keepChars(input.asInstanceOf[UTF8String], table)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tRef = ctx.addReferenceObj("keepTable", table, "boolean[]")
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $KernelsClass.keepChars($c, $tRef);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "keep_chars"
+  }
+
   /** Jaccard similarity in one hash pass — the HOF formulation evaluates
     * array_intersect (which allocates the intersection array) per pair in the
     * similarity-join verify hot path. */
@@ -284,4 +310,6 @@ object HashExpressions {
     column(RollingHashesExpr(expression(text), k))
   def jaccard(a: Column, b: Column): Column =
     column(JaccardExpr(expression(a), expression(b)))
+  def keep_chars(c: Column, allowed: String): Column =
+    column(KeepCharsExpr(expression(c), allowed))
 }

@@ -135,6 +135,23 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Keep only the allowed ASCII characters of a string — byte-level filter,
+    * exactly equivalent to `regexp_replace(c, "[^<allowed>]", "")` for an
+    * ASCII allow-set: every byte of a multibyte UTF-8 char is ≥ 0x80 and so
+    * dropped, just as the char-class regex drops the char. */
+  def keepChars(s: UTF8String, allowed: Array[Boolean]): UTF8String = {
+    val bytes = s.getBytes
+    val out = new Array[Byte](bytes.length)
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 0 && allowed(b)) { out(n) = b; n += 1 }
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, n))
+  }
+
   /** Jaccard similarity of two arrays with array_intersect semantics in ONE
     * hash pass (no intersection-array allocation): distinct common elements /
     * (rawLenA + rawLenB − distinct common). NULL elements compare equal, as

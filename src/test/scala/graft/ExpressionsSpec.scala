@@ -64,6 +64,16 @@ class ExpressionsSpec extends SparkSpec {
     assert(ecmp.filter(col("fast") =!= col("slow")).isEmpty)
   }
 
+  test("keep_chars expression == char-class regexp_replace") {
+    import graft.functions.expressions.{HashExpressions => H}
+    val vals = Seq("$1,234.56", "€1.234,56", "-9.99", "", "abc", "１２三 -1.5").toDF("v")
+      .unionByName(docs.select(col("text").as("v")))
+    val cmp = vals.select(
+      H.keep_chars(col("v"), "0123456789.+-").as("fast"),
+      regexp_replace(col("v"), "[^0-9.+-]", "").as("slow"))
+    assert(cmp.filter(col("fast") =!= col("slow")).isEmpty)
+  }
+
   test("rolling hashes expression == HOF formulation") {
     import graft.functions.{TextFunctions => T}
     val cmp = docs.select(
