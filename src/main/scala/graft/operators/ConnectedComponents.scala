@@ -31,17 +31,18 @@ object ConnectedComponents {
     *              distributed loop — the loop pays O(log diameter) blocking
     *              rounds of fixed overhead, which dominates on small graphs
     *              (the same cutover GraphFrames applies). Driver footprint is
-    *              Row-object-dominated, roughly 150-300 bytes/edge (~0.3 GB
-    *              transient at the 1M default); raise it only with driver
-    *              memory to match, pass 0 to force the distributed path.
-    *              Inputs the local solver can't handle exactly — unorderable
-    *              or mismatched id types, null ids — fall through to the
-    *              distributed loop. The decision uses take(threshold+1), so
+    *              Row-object-dominated, roughly 150-300 bytes/edge (~30 MB
+    *              transient at the 100k default — modest enough to be on by
+    *              default); raise it only with driver memory to match, pass 0
+    *              to force the distributed path.
+    *              Inputs the local solver can't handle exactly — unorderable,
+    *              float, or mismatched id types, null ids — fall through to
+    *              the distributed loop. The decision uses take(threshold+1), so
     *              an oversized graph stops fetching after the first
     *              partitions rather than paying a full count.
     * @return (vertex, component) — component = min vertex id reachable */
   def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-          maxIter: Int = 20, localEdgeThreshold: Long = 1000000L): DataFrame = {
+          maxIter: Int = 20, localEdgeThreshold: Long = 100000L): DataFrame = {
     val local =
       if (localEdgeThreshold > 0 && localEdgeThreshold < Int.MaxValue) {
         val rows = edges.select(col(srcCol), col(dstCol))
@@ -117,8 +118,11 @@ object ConnectedComponents {
     val ord: Option[Ordering[Any]] = dt match {
       case ByteType | ShortType | IntegerType | LongType =>
         Some(Ordering.by((v: Any) => v.asInstanceOf[Number].longValue))
-      case FloatType | DoubleType =>
-        Some(Ordering.by((v: Any) => v.asInstanceOf[Number].doubleValue))
+      // Float/Double ids go to the distributed loop: its joins/aggregates
+      // normalize floats (NormalizeFloatingNumbers: -0.0 == 0.0, NaN == NaN)
+      // but the boxed HashMap here would keep them as distinct vertices —
+      // the cutover would not be value-identical.
+      case FloatType | DoubleType => None
       case StringType => Some(Ordering.by((v: Any) =>
         org.apache.spark.unsafe.types.UTF8String.fromString(v.asInstanceOf[String])))
       case _ => None

@@ -185,6 +185,23 @@ object EntityMatch {
       try spark.catalog.listColumns(primaryTable).filter(_.isPartition)
         .collect().map(_.name).toSeq
       catch { case _: Exception => Seq.empty }
+    // The drained-partition DROP below serializes partition values as SQL
+    // literals via toString; that round-trips exactly only for string and
+    // integral keys (Timestamp.toString, e.g. '2024-01-01 00:00:00.0', may
+    // not cast back to the stored partition value, turning DROP IF EXISTS
+    // into a silent no-op that leaves a stale duplicate gid). Fail fast
+    // rather than corrupt silently.
+    partCols.foreach { c =>
+      val dt = primary.schema(c).dataType
+      import org.apache.spark.sql.types._
+      val ok = dt match {
+        case StringType | ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok, s"primary_partition_by column '$c' has type ${dt.simpleString}; " +
+        "only string and integral partition keys are supported (date/timestamp " +
+        "values do not round-trip through DROP PARTITION literals)")
+    }
     // scratch under the warehouse FS (works on real clusters) and cleaned up
     if (partCols.isEmpty) {
       val kept = primary.join(latest.select(col(gid)), Seq(gid), "left_anti")

@@ -37,13 +37,18 @@ object ExcelSource {
       if (header) (padded.head.zipWithIndex.map { case (n, i) =>
         if (n == null || n.isEmpty) s"_c$i" else n }, padded.tail)
       else (Seq.tabulate(width)(i => s"_c$i"), padded)
-    // duplicate header names get positional suffixes (as Spark's CSV reader
-    // does) so the schema stays unambiguous for by-name access
-    val counts = names0.groupBy(identity).view.mapValues(_.size).toMap
-    val seen = scala.collection.mutable.Map.empty[String, Int]
-    val names = names0.map { n =>
-      if (counts(n) == 1) n
-      else { val i = seen.getOrElse(n, 0); seen(n) = i + 1; s"$n$i" }
+    // Spark CSV parity (CSVDataSource.makeSafeHeader): every occurrence of a
+    // duplicated header gets its column POSITION appended
+    // ([note, amount, amount] -> note, amount1, amount2). Unlike Spark we
+    // also re-check against the full name set, so a generated name can't
+    // collide with a real column already called 'amount1'.
+    val dup = names0.diff(names0.distinct).toSet
+    var names = names0.zipWithIndex.map { case (n, i) =>
+      if (dup.contains(n)) s"$n$i" else n }
+    while (names.distinct.size != names.size) {
+      val d = names.diff(names.distinct).toSet
+      names = names.zipWithIndex.map { case (n, i) =>
+        if (d.contains(n)) s"${n}_$i" else n }
     }
     val schema = StructType(names.map(n => StructField(n, StringType)).toSeq)
     spark.createDataFrame(

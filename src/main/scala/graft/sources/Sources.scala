@@ -74,10 +74,13 @@ object Sources {
         .option("delimiter", fmt.flatMap(_.str("delimiter")).getOrElse(delimiter))
         .option("quote", fmt.flatMap(_.str("quote_character")).getOrElse("\""))
         .option("escape", fmt.flatMap(_.str("escape_character")).getOrElse("\""))
-        // multiLine CSV is UNSPLITTABLE (one task per file, whatever its
-        // size) — opt-in per input_spec only, never the default
-        // (etl_collect_to_cleanse.py:222-229 reads it from the spec too)
-        .option("multiLine", fmt.flatMap(_.bool("multiline")).getOrElse(false))
+        // Reference parity: CSV always reads multiLine
+        // (etl_collect_to_cleanse.py:237 hard-codes .option('multiLine', True);
+        // only the JSON branch reads a multiline spec key, lines 188-190).
+        // multiLine CSV is UNSPLITTABLE (one task per file) — the spec key
+        // `multiline: false` is an opt-OUT for feeds known to have no quoted
+        // embedded newlines, restoring per-file splittability at scale.
+        .option("multiLine", fmt.flatMap(_.bool("multiline")).getOrElse(true))
         .option("mode", "PERMISSIVE")
       // input_spec-provided schema DDL skips the inference pre-scan — at
       // scale inferSchema reads every byte TWICE; production specs should

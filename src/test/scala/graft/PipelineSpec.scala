@@ -108,8 +108,31 @@ class SourcesSpec extends SparkSpec {
       Seq("1", "2", "x"),
       Seq(null, null, null))) // all-null row: must be dropped, as in CSV reads
     val out = ExcelSource.read(spark, f)
+    // position-suffixed, matching Spark's CSV makeSafeHeader
     assert(out.columns.toSeq == Seq("amount0", "amount1", "note"))
     assert(out.count() == 1)
+    // a real column named like a would-be generated suffix must not collide
+    val f2 = dir.resolve("e2.xlsx").toString
+    ExcelSource.write(f2, Seq(
+      Seq("amount", "amount", "amount1"),
+      Seq("1", "2", "3")))
+    val out2 = ExcelSource.read(spark, f2)
+    assert(out2.columns.distinct.length == 3)
+    assert(out2.columns.contains("amount0"))
+  }
+
+  test("csv reads quoted embedded newlines by default (reference parity)") {
+    // etl_collect_to_cleanse.py:237 hard-codes multiLine=True for CSV
+    val dir = Files.createTempDirectory("graft_csv_ml")
+    val f = dir.resolve("m.csv")
+    Files.writeString(f, "k,v\n1,\"line1\nline2\"\n2,plain\n")
+    val out = Sources.read(spark, f.toString, Some(Specs.parseJson("""{"csv": {}}""")))
+    assert(out.count() == 2)
+    assert(out.filter(out("v").contains("line2")).count() == 1)
+    // splittability opt-out still honored
+    val off = Sources.read(spark, f.toString,
+      Some(Specs.parseJson("""{"csv": {"multiline": false}}""")))
+    assert(off.count() == 3) // continuation line becomes its own (malformed) row
   }
 
   test("csv spec-provided schema DDL skips inference and pins types") {
