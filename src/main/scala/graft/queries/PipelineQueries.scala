@@ -216,6 +216,49 @@ object PipelineQueries {
         .orderBy(col("nationkey"))
     }),
 
+    // A3 count/isEmpty control flow (etl_collect_to_cleanse.py:249-250): the
+    // pipeline must ABORT on an empty source file and PROCEED on a non-empty
+    // one. Both decisions are exercised through the real collectToCleanse
+    // path and returned as rows the oracle pins: (scenario, proceeded,
+    // out_rows). The gate is isEmpty — O(first non-empty partition), not a
+    // full count — so the decision itself is O(1) at 100 TB.
+    "q75_empty_gate" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      val base = s"/tmp/graft_emptygate/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val srcDir = Paths.get(base, "src")
+      if (!Files.exists(srcDir.resolve("feed.csv"))) {
+        Files.createDirectories(srcDir)
+        Files.writeString(srcDir.resolve("empty.csv"), "RegionKey,RegionName\n")
+        val rows = Tables(s, d, "region")
+          .select(col("r_regionkey").cast(LongType), col("r_name"))
+          .orderBy(col("r_regionkey")).collect()
+        Files.writeString(srcDir.resolve("feed.csv"),
+          "RegionKey,RegionName\n" + rows.map(r =>
+            s"${r.getLong(0)},${r.getString(1)}").mkString("\n") + "\n")
+      }
+      val db = s"graftgate${math.abs(d.hashCode)}"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      val spec = Specs.datasetSpec(
+        Specs.parseJson("""{"input_spec": {"csv": {"header": true}}}"""))
+      def attempt(file: String): (Boolean, Long) =
+        try {
+          val out = new PipelineRunner(s).collectToCleanse(
+            JobArgs("Bench", "gate", s"$srcDir/$file", s"gate-$file",
+              Map("year" -> "2026"), db, environment = "Dev"),
+            spec, Seq.empty, Map.empty, TransformContext(s, filename = file))
+          (true, out.count())
+        } catch {
+          case e: RuntimeException if e.getMessage.contains("No data found") =>
+            (false, 0L)
+        }
+      val (pEmpty, nEmpty) = attempt("empty.csv")
+      val (pFeed, nFeed) = attempt("feed.csv")
+      import s.implicits._
+      Seq(("empty", pEmpty, nEmpty), ("nonempty", pFeed, nFeed))
+        .toDF("scenario", "proceeded", "out_rows")
+        .orderBy(col("scenario"))
+    }),
+
     // K10: a dataset arriving with NO mapping/transform config makes the
     // pipeline write the recommended config files (clean-names mapping CSV +
     // transform-spec skeleton) next to the job — this query runs that path on
@@ -462,6 +505,11 @@ object PipelineQueries {
              CAST(n_regionkey AS BIGINT) AS regionkey,
              n_name AS name
       FROM nation ORDER BY nationkey""",
+    "q75_empty_gate" -> """
+      SELECT 'empty' AS scenario, false AS proceeded, CAST(0 AS BIGINT) AS out_rows
+      UNION ALL
+      SELECT 'nonempty', true, (SELECT count(*) FROM region)
+      ORDER BY scenario""",
     "q70_generated_specs" -> """
       SELECT * FROM (VALUES
         ('changetype', 'acct_bal', 'decimal(16,2)'),

@@ -76,6 +76,30 @@ object RefQueries {
         .orderBy(col("part_id"))
     }),
 
+    // P2 flatten_schema addressing (custom_mapping.py:13-33): mapping rows
+    // target NESTED fields by dotted path — both the reference's backtick
+    // dialect and bare dots — plus the two disambiguation corners: a literal
+    // top-level column whose NAME contains a dot (must stay one column, not
+    // become struct addressing), and the case-insensitive "Null" drop
+    // sentinel on a nested path. The nested frame is built from customer so
+    // the oracle can pin the flattened output exactly.
+    "q74_flatten_mapping" -> ((s, d) => {
+      val nested = Tables(s, d, "customer").select(
+        col("c_custkey").as("CustKey"),
+        struct(
+          col("c_name").as("Name"),
+          struct(col("c_nationkey").cast(LongType).as("Nation"),
+                 col("c_acctbal").as("Balance")).as("Acct")).as("Insured"),
+        col("c_mktsegment").as("Market.Segment"))
+      graft.mapping.CustomMapping.applyMapping(nested, Seq(
+          graft.mapping.MappingRow("`Insured`.`Name`", "insured_name"),
+          graft.mapping.MappingRow("Insured.Acct.Nation", "nation_key"),
+          graft.mapping.MappingRow("`Insured`.`Acct`.`Balance`", "Null"),
+          graft.mapping.MappingRow("Market.Segment", "segment"),
+          graft.mapping.MappingRow("CustKey", "cust_id")))
+        .orderBy(col("cust_id"))
+    }),
+
     // J1 lookup — broadcast value-substitution join (nation-name lookup).
     "q04_lookup" -> ((s, d) => {
       val lkp = Tables(s, d, "nation")
@@ -533,6 +557,11 @@ object RefQueries {
     "q03_mapping" -> """
       SELECT p_partkey AS part_id, p_name AS part_name, p_retailprice AS retail_price
       FROM part ORDER BY part_id""",
+    "q74_flatten_mapping" -> """
+      SELECT c_custkey AS cust_id, c_name AS insured_name,
+             CAST(c_nationkey AS BIGINT) AS nation_key,
+             c_mktsegment AS segment
+      FROM customer ORDER BY cust_id""",
     "q04_lookup" -> """
       SELECT c_custkey, c_name, COALESCE(n.n_name, 'unknown') AS nation_name
       FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
