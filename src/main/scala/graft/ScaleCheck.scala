@@ -63,6 +63,27 @@ object ScaleCheck {
         localEdgeThreshold = 0).count()))
     timed("connected components (auto cutover) 1x")(((),
       operators.ConnectedComponents.run(pairs1, "id_a", "id_b").count()))
+
+    // Adversarial LSH skew: a flood of IDENTICAL docs puts one degenerate
+    // bucket in every band — unguarded, the within-bucket self-join is
+    // quadratic in the flood (50k copies → 1.25B candidate pairs per band).
+    // The guard chains hot buckets, so the hot run must stay within ~2× of
+    // the uniform run (growth tracks flood SIZE, not flood²).
+    val hotText = docs.select(col("text")).head().getString(0)
+    def minhashOn(df: DataFrame, tag: String): Unit =
+      timed(s"minhash pairs $tag") {
+        val p = operators.Dedup.minhashPairs(df, "text", "doc_id")
+          .localCheckpoint(true)
+        (p, p.count())
+      }
+    val ids = docs.select(col("doc_id"), col("text"))
+    minhashOn(ids, "uniform 1x")
+    Seq(5000, 5000 * n).foreach { flood =>
+      val floodDf = spark.range(flood).select(
+        (col("id") + lit(10L * offset * math.max(n, 1))).as("doc_id"),
+        lit(hotText).as("text"))
+      minhashOn(ids.unionByName(floodDf), s"hot-bucket flood=$flood")
+    }
     spark.stop()
   }
 }

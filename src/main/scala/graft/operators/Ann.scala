@@ -63,11 +63,21 @@ object Ann {
   /** IVF centroid training: deterministic k-means (k-means|| replaced by a
     * fixed farthest-point init over a driver-side sample — the standard IVF
     * "train on a sample" step; sample size is bounded regardless of corpus
-    * size, so this scales to any corpus). */
+    * size, so this scales to any corpus).
+    *
+    * The sample is the `sampleSize` rows with the smallest `xxhash64(vec)` —
+    * a deterministic uniform sample over the WHOLE corpus. (A bare `limit()`
+    * would take the first partitions: on a sorted/clustered corpus the
+    * centroids would see one region of the distribution and recall would
+    * degrade silently.) orderBy+limit plans as TakeOrderedAndProject —
+    * map-side partial top-K, no full sort shuffle; murmur3 `hash` is the
+    * tiebreak so equal-hash ties stay deterministic. */
   def trainIvfCentroids(corpus: org.apache.spark.sql.DataFrame, vecCol: String,
                         nlist: Int, sampleSize: Int = 2048,
                         iters: Int = 8): Array[Array[Double]] = {
-    val sample = corpus.select(col(vecCol)).limit(sampleSize).collect()
+    val sample = corpus.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol)), hash(col(vecCol)))
+      .limit(sampleSize).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length
@@ -158,12 +168,28 @@ object Ann {
     * joins only its bucket, then exact cosine + top-k within the candidates.
     * Recall is tunable via `planes` (fewer planes → bigger buckets → higher
     * recall, more compute). Multi-probe: also probe buckets at hamming
-    * distance 1 when `probe1` (flips each bit once → planes+1 probes/query). */
+    * distance 1 when `probe1` (flips each bit once → planes+1 probes/query).
+    *
+    * `maxBucketSize` is the skew guard: a degenerate corpus bucket (e.g. a
+    * flood of boilerplate embeddings sharing all sign bits) would otherwise
+    * multiply EVERY query probing it by the flood size. Membership is capped
+    * by a deterministic hash-ordered sample of the bucket (row_number over
+    * xxhash64(id)) — unbiased, reproducible, and for a flood of
+    * near-identical vectors the survivors score the same cosine anyway, so
+    * top-k quality is preserved while the join stays bounded at
+    * buckets × maxBucketSize candidates. Pass 0 to disable. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, queryIdCol: String,
-              dim: Int, k: Int, planes: Int = 10, probe1: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol), col(vecCol).as("__cv"))
+              dim: Int, k: Int, planes: Int = 10, probe1: Boolean = true,
+              maxBucketSize: Int = 4096): DataFrame = {
+    val c0 = corpus.select(col(idCol), col(vecCol).as("__cv"))
       .withColumn("bucket", hyperplaneBucket(col("__cv"), dim, planes))
+    val c =
+      if (maxBucketSize <= 0) c0
+      else c0.withColumn("__rn", row_number().over(
+          Window.partitionBy(col("bucket"))
+            .orderBy(xxhash64(col(idCol)), col(idCol))))
+        .filter(col("__rn") <= maxBucketSize).drop("__rn")
     val qb = queries.select(col(queryIdCol), col(vecCol).as("__qv"))
       .withColumn("bucket0", hyperplaneBucket(col("__qv"), dim, planes))
     val probes =

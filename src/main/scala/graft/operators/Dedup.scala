@@ -29,6 +29,40 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
+  /** Bucket-skew guard for LSH-banded candidate generation: buckets at or
+    * below `maxBucketSize` get the full pairwise self-join; DEGENERATE buckets
+    * (thousands of boilerplate docs sharing a band key — the quadratic
+    * scale-killer at 100 TB) degrade to CHAIN pairs over the id-sorted bucket
+    * via `lead()`: B-1 candidates instead of B²/2. Nothing is silently
+    * dropped — every member of a hot bucket still appears in a candidate
+    * pair, so after verification + connected components the cluster stays
+    * fully linked (a flood of identical docs chains a→b→c→…); only
+    * NON-transitive coincidental pairs inside a hot bucket can be missed,
+    * which is the approximate-path contract already. The hot path is one
+    * window (count + lead over the same partitioning, one shuffle); a hot
+    * bucket occupies a single task but at O(B log B) sort cost, carrying only
+    * (keys, id, payload) — not the O(B²) join blow-up. */
+  private def guardedBucketPairs(buckets: DataFrame, keyCols: Seq[String],
+                                 idCol: String, payloadCols: Seq[String],
+                                 maxBucketSize: Int): DataFrame = {
+    val W = Window.partitionBy(keyCols.map(col): _*)
+    val sized = buckets.withColumn("__bsz", count(lit(1)).over(W))
+    val carry = idCol +: payloadCols
+    def side(sfx: String)(d: DataFrame) = d.select(
+      keyCols.map(col) ++ carry.map(c => col(c).as(s"${c}_$sfx")): _*)
+    val small = sized.filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val smallPairs = side("a")(small).join(side("b")(small), keyCols)
+      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+    val Wo = W.orderBy(col(idCol))
+    val hotPairs = sized.filter(col("__bsz") > maxBucketSize)
+      .select(keyCols.map(col) ++
+        carry.map(c => col(c).as(s"${c}_a")) ++
+        carry.map(c => lead(col(c), 1).over(Wo).as(s"${c}_b")): _*)
+      .filter(col(s"${idCol}_b").isNotNull)
+    smallPairs.unionByName(hotPairs)
+      .drop(keyCols: _*)
+  }
+
   /** MinHash+LSH near-dup candidate pairs with exact-Jaccard verification.
     *
     * shingle → minhash signature → band keys → self-join per bucket (id<id) →
@@ -36,11 +70,11 @@ object Dedup {
     *
     * Returns (idA, idB, jaccard). Both sides shuffle on the band bucket key —
     * never a full cross join. `shingleN`=word-shingle width; bands×rows = total
-    * hashes.
+    * hashes. `maxBucketSize` is the skew guard ([[guardedBucketPairs]]).
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                   threshold: Double = 0.7): DataFrame = {
+                   threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
     // Shingles are verified as 64-bit hashes (same Jaccard modulo ~2^-64
     // collisions) so the band join shuffles only (band,bucket,id) — the heavy
     // shingle arrays are joined back exactly once per DISTINCT candidate pair,
@@ -52,10 +86,8 @@ object Dedup {
     val buckets = hashed
       .select(col("id"), explode(S.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val candidates = buckets.alias("a")
-      .join(buckets.alias("b"), Seq("band", "bucket"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val candidates = guardedBucketPairs(buckets, Seq("band", "bucket"),
+        "id", Seq.empty, maxBucketSize)
       .distinct()
     candidates
       .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -68,8 +100,9 @@ object Dedup {
     * Survivors = all ids minus the right side of candidate pairs. */
   def minhashDedup(df: DataFrame, textCol: String, idCol: String,
                    shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-                   threshold: Double = 0.7): DataFrame = {
-    val dupIds = minhashPairs(df, textCol, idCol, shingleN, bands, rowsPerBand, threshold)
+                   threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
+    val dupIds = minhashPairs(df, textCol, idCol, shingleN, bands, rowsPerBand,
+        threshold, maxBucketSize)
       .select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }
@@ -78,16 +111,13 @@ object Dedup {
     * bands (tolerates hamming ≤ 3 by pigeonhole when split 4 ways); verified by
     * full hamming distance ≤ maxHamming. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val fp = df.select(col(idCol).as("id"), S.simHash64(S.tokens(col(textCol))).as("fp"))
     val banded = fp.select(col("id"), col("fp"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), shiftright(col("fp"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
       .select(col("id"), col("fp"), col("bk.band"), col("bk.key"))
-    val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("fp").as("fp_a"))
-    val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("fp").as("fp_b"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
+    guardedBucketPairs(banded, Seq("band", "key"), "id", Seq("fp"), maxBucketSize)
       .select(col("id_a"), col("id_b"), S.hamming64(col("fp_a"), col("fp_b")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
@@ -308,13 +338,11 @@ object Dedup {
     * Candidate generation is a bucket equi-join; no full cross join. */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                             dim: Int, planes: Int = 12,
-                            threshold: Double = 0.95): DataFrame = {
+                            threshold: Double = 0.95,
+                            maxBucketSize: Int = 1000): DataFrame = {
     val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", Ann.hyperplaneBucket(col("v"), dim, planes))
-    val a = keyed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = keyed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+    guardedBucketPairs(keyed, Seq("bucket"), "id", Seq("v"), maxBucketSize)
       .select(col("id_a"), col("id_b"), S.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }

@@ -213,6 +213,43 @@ class DedupAnnSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("hot-bucket guard: identical-doc flood chains linearly, dedups to one survivor") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val flood = (0L until 200L).map(i => (i, base))
+    val others = Seq((900L, "completely different content about spark query engines at scale"),
+      (901L, "a third unrelated document mentioning neither foxes nor dogs here"))
+    val df = (flood ++ others).toDF("doc_id", "text")
+    // cap far below the flood size: every band bucket goes through the chain
+    val pairs = Dedup.minhashPairs(df, "text", "doc_id", shingleN = 2,
+      bands = 16, rowsPerBand = 4, threshold = 0.5, maxBucketSize = 20)
+    val n = pairs.count()
+    // chained, not pairwise: O(B) pairs, nowhere near 200*199/2 = 19900
+    assert(n >= 199 && n < 1000, s"expected ~199 chain pairs, got $n")
+    // connectivity preserved: the whole flood still collapses to one survivor
+    val survivors = Dedup.minhashDedup(df, "text", "doc_id", shingleN = 2,
+      bands = 16, rowsPerBand = 4, threshold = 0.5, maxBucketSize = 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(0L, 900L, 901L))
+    // guard off (cap above bucket size): values identical pair-set superset,
+    // same survivors
+    val unguarded = Dedup.minhashDedup(df, "text", "doc_id", shingleN = 2,
+      bands = 16, rowsPerBand = 4, threshold = 0.5, maxBucketSize = 100000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(unguarded == survivors)
+  }
+
+  test("lshTopK bucket cap keeps top-k usable under an identical-vector flood") {
+    val vec = Array(1.0f, 0.0f, 0.5f, 0.25f)
+    val corpus = ((0L until 100L).map(i => (i, vec)) :+ (500L, Array(-1.0f, 0.2f, -0.3f, 0.9f)))
+      .toDF("id", "emb")
+    val queries = Seq((1000L, vec)).toDF("qid", "emb")
+    val got = Ann.lshTopK(corpus, queries, "emb", "id", "qid",
+      dim = 4, k = 5, planes = 6, probe1 = true, maxBucketSize = 10)
+    val rows = got.collect()
+    assert(rows.length == 5)               // k results survive the cap
+    assert(rows.forall(_.getDouble(2) > 0.99)) // all from the flood, cosine ~1
+  }
+
   test("simhashPairs: whitespace-dup docs collide at hamming 0") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha  beta gamma  delta"),
       (3L, "unrelated totally other words")).toDF("doc_id", "text")
