@@ -84,6 +84,53 @@ object ScaleCheck {
         lit(hotText).as("text"))
       minhashOn(ids.unionByName(floodDf), s"hot-bucket flood=$flood")
     }
+
+    // K5 partition-scoped upsert: a batch confined to ONE of 25 nationkey
+    // partitions must cost ~the affected partition, not the table — the Nx
+    // upsert should grow FAR slower than Nx (the residual growth is the
+    // column-pruned semi-join scan that finds stale partitions).
+    val db = s"graftscale${math.abs(sfDir.hashCode)}"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val cust = queries.Tables(spark, sfDir, "customer")
+    def entity(i: Long) = cust.select(
+      (col("c_custkey") + lit(i * 10000000L)).as("customerno"),
+      col("c_name").as("name"), col("c_nationkey").as("nationkey"),
+      col("c_mktsegment").as("segment"),
+      concat(lit("g-"), col("c_custkey") + lit(i * 10000000L)).as("globalid"))
+    def mkPrimary(tbl: String, df: DataFrame): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $db.$tbl")
+      df.write.partitionBy("nationkey").saveAsTable(s"$db.$tbl")
+    }
+    mkPrimary("prim1", entity(0))
+    mkPrimary("primN", (0 until n).map(i => entity(i.toLong)).reduce(_ unionByName _))
+    val mspec = operators.EntityMatch.MatchSpec(
+      primaryTable = "", globalIdField = "globalid", sortField = "",
+      sourcePrimaryKey = "", sourceSystemKey = "", levels = Seq.empty,
+      partitionBy = Seq("nationkey"))
+    val batch = entity(0).filter(col("nationkey") === 0)
+      .withColumn("segment", lit("UPDATED")).localCheckpoint(true)
+    val batchRows = batch.count()
+    Seq("prim1" -> "1x", "primN" -> s"${n}x").foreach { case (tbl, tag) =>
+      timed(s"upsert $batchRows rows into 1/25 partitions of $tag table")(((),
+        { operators.EntityMatch.upsert(spark, s"$db.$tbl", batch, mspec)
+          spark.table(s"$db.$tbl").count() }))
+    }
+
+    // DQ quarantine: 3 row-level rules fold into ONE pass — runtime must
+    // track input size (≤ Nx), never rules × passes.
+    val orders = queries.Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val ordersN = (0 until n).map(_ => orders).reduce(_ unionByName _)
+    val dqRules = Seq(
+      "ColumnValues 'o_orderstatus' in ['O','F']",
+      "ColumnValues 'o_totalprice' >= 30000",
+      "CustomSql 'SELECT o_orderkey FROM primary WHERE o_custkey IS NOT NULL'")
+    Seq(orders -> "1x", ordersN -> s"${n}x").foreach { case (df, tag) =>
+      timed(s"dq quarantine 3 rules $tag")(((),
+        { val r = new dq.DqEngine().runQuarantine(df, dqRules)
+          r.passed.count() + r.failed.count() }))
+    }
     spark.stop()
   }
 }
