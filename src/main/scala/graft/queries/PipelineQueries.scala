@@ -216,6 +216,37 @@ object PipelineQueries {
         .orderBy(col("nationkey"))
     }),
 
+    // S3 + data_address: the table sits at C3:E28 of a sheet with a title
+    // row, margin notes, and a TOTAL footer — the range (with a quoted sheet
+    // prefix and a sheet_names try-list) must crop all of it away
+    // (etl_collect_to_cleanse.py:165-175).
+    "q76_excel_range" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      val dir = s"/tmp/graft_xlsx_rng/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val f = Paths.get(dir, "report.xlsx")
+      if (!Files.exists(f)) {
+        Files.createDirectories(Paths.get(dir))
+        val rows = Tables(s, d, "nation")
+          .select(col("n_nationkey").cast(LongType), col("n_regionkey").cast(LongType), col("n_name"))
+          .orderBy(col("n_nationkey")).collect()
+        val pad2 = Seq(null, null): Seq[String]
+        val grid =
+          Seq(Seq("NATION EXTRACT — INTERNAL"), Seq.empty[String],
+            pad2 ++ Seq("nationkey", "regionkey", "name")) ++
+          rows.map(r => pad2 ++ Seq(r.getLong(0).toString, r.getLong(1).toString, r.getString(2))) ++
+          Seq(pad2 ++ Seq("TOTAL", rows.length.toString, null))
+        val tmp = Paths.get(dir, "report.xlsx.tmp")
+        graft.sources.ExcelSource.write(tmp.toString, grid, sheetName = "Q1 Data")
+        Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      graft.sources.Sources.read(s, f.toString, Some(Specs.parseJson(
+          s"""{"excel": {"sheet_names": ["Summary", "Q1 Data"],
+                         "data_address": "'Q1 Data'!C3:E${3 + 25}"}}""")))
+        .select(col("nationkey").cast(LongType).as("nationkey"),
+          col("regionkey").cast(LongType).as("regionkey"), col("name"))
+        .orderBy(col("nationkey"))
+    }),
+
     // A3 count/isEmpty control flow (etl_collect_to_cleanse.py:249-250): the
     // pipeline must ABORT on an empty source file and PROCEED on a non-empty
     // one. Both decisions are exercised through the real collectToCleanse
@@ -501,6 +532,11 @@ object PipelineQueries {
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       GROUP BY o.o_orderkey ORDER BY o.o_orderkey""",
     "q72_excel_source" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+             CAST(n_regionkey AS BIGINT) AS regionkey,
+             n_name AS name
+      FROM nation ORDER BY nationkey""",
+    "q76_excel_range" -> """
       SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
              CAST(n_regionkey AS BIGINT) AS regionkey,
              n_name AS name

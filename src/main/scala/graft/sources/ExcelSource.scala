@@ -25,9 +25,61 @@ import scala.collection.mutable.ArrayBuffer
   * the reference's own date transform parses strings anyway). */
 object ExcelSource {
 
+  /** One parsed `dataAddress` range: 0-based start cell, optional inclusive
+    * 0-based end cell, optional sheet override. */
+  private[sources] case class CellRange(startCol: Int, startRow: Int,
+                                        endCol: Option[Int], endRow: Option[Int],
+                                        sheet: Option[String])
+
+  /** spark-excel-style data addresses (etl_collect_to_cleanse.py:165-175):
+    * `A1`, `A3:F100`, `'My Sheet'!B2:D50` — an optional (possibly quoted)
+    * sheet prefix, a start cell, and an optional inclusive end cell. The
+    * header row, when enabled, is the FIRST row of the range. */
+  private[sources] def parseDataAddress(addr: String): CellRange = {
+    val (sheetOpt, rest) = addr.lastIndexOf('!') match {
+      case -1 => (None, addr)
+      case i =>
+        val raw = addr.substring(0, i)
+        val name = if (raw.length >= 2 && raw.startsWith("'") && raw.endsWith("'"))
+          raw.substring(1, raw.length - 1).replace("''", "'")
+        else raw
+        (Some(name), addr.substring(i + 1))
+    }
+    def cell(ref: String): (Int, Int) = {
+      val letters = ref.takeWhile(_.isLetter)
+      val digits = ref.drop(letters.length)
+      require(letters.nonEmpty && digits.nonEmpty && digits.forall(_.isDigit),
+        s"bad cell reference '$ref' in dataAddress '$addr'")
+      (columnIndex(ref), digits.toInt - 1)
+    }
+    rest.split(":", -1) match {
+      case Array(a) =>
+        val (c, r) = cell(a.trim); CellRange(c, r, None, None, sheetOpt)
+      case Array(a, b) =>
+        val (c1, r1) = cell(a.trim); val (c2, r2) = cell(b.trim)
+        require(c2 >= c1 && r2 >= r1, s"inverted range in dataAddress '$addr'")
+        CellRange(c1, r1, Some(c2), Some(r2), sheetOpt)
+      case _ => throw new IllegalArgumentException(s"bad dataAddress '$addr'")
+    }
+  }
+
   def read(spark: SparkSession, path: String, sheet: Option[String] = None,
-           header: Boolean = true): DataFrame = {
-    val grid = readGrid(path, sheet)
+           header: Boolean = true, dataAddress: Option[String] = None): DataFrame = {
+    val range = dataAddress.map(parseDataAddress)
+    val grid0 = readGrid(path, range.flatMap(_.sheet).orElse(sheet))
+    // crop to the range by TRUE sheet coordinates (the r= attributes), so
+    // blank leading rows/columns around the table don't shift the window
+    val grid = range match {
+      case None => grid0.map(_._2).filter(_.exists(_ != null))
+      case Some(cr) =>
+        grid0.filter { case (rowNum, _) =>
+            rowNum >= cr.startRow && cr.endRow.forall(rowNum <= _) }
+          .map { case (_, cells) =>
+            val upTo = cr.endCol.map(_ + 1).getOrElse(cells.length)
+            cells.slice(cr.startCol, upTo)
+          }
+          .filter(_.exists(_ != null))
+    }
     if (grid.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(Seq.empty))
@@ -55,15 +107,24 @@ object ExcelSource {
       spark.sparkContext.parallelize(data.map(Row.fromSeq)), schema)
   }
 
-  /** Raw cell grid of the chosen sheet: rows of strings, nulls for gaps. */
-  private def readGrid(path: String, sheet: Option[String]): Seq[ArrayBuffer[String]] = {
+  /** Raw cell grid of the chosen sheet: (0-based sheet row number, cells) —
+    * rows of strings, nulls for gaps. Row numbers come from the OPTIONAL
+    * `r=` attributes (sparse sheets skip empty rows in the XML), so range
+    * cropping sees true coordinates. All-null "styled but valueless" rows are
+    * filtered by the CALLER after cropping — dropping them here would shift
+    * nothing (numbers are explicit) but they'd surface as phantom records. */
+  private def readGrid(path: String, sheet: Option[String]): Seq[(Int, ArrayBuffer[String])] = {
     val zip = new ZipFile(path)
     try {
       val sheetPath = resolveSheetPath(zip, sheet)
       val shared = readSharedStrings(zip)
       val doc = parse(zip, sheetPath)
       val rows = elems(doc.getDocumentElement, "row")
+      var lastRow = -1 // the row r= attribute is optional too
       rows.map { r =>
+        val rAttr = r.getAttribute("r")
+        val rowNum = if (rAttr.isEmpty) lastRow + 1 else rAttr.trim.toInt - 1
+        lastRow = rowNum
         val out = ArrayBuffer.empty[String]
         var last = -1 // the r= cell ref is OPTIONAL; refless cells place sequentially
         elems(r, "c").foreach { c =>
@@ -73,10 +134,8 @@ object ExcelSource {
           while (out.length <= colIdx) out += null
           out(colIdx) = cellValue(c, shared)
         }
-        out
-        // styled-but-valueless rows would otherwise surface as phantom
-        // all-null records a CSV read of the same data never produces
-      }.filter(_.exists(_ != null))
+        (rowNum, out)
+      }
     } finally zip.close()
   }
 
@@ -108,8 +167,11 @@ object ExcelSource {
     val sheets = elems(wb.getDocumentElement, "sheet")
     require(sheets.nonEmpty, "xlsx has no sheets")
     val chosen = sheet match {
-      case Some(n) => sheets.find(_.getAttribute("name") == n).getOrElse(
-        throw new IllegalArgumentException(
+      case Some(n) => sheets.find(_.getAttribute("name") == n)
+        // the reference's default sheet_names is ['0'] — an all-digit name
+        // with no exact match is a 0-based sheet INDEX
+        .orElse(if (n.nonEmpty && n.forall(_.isDigit)) sheets.lift(n.toInt) else None)
+        .getOrElse(throw new IllegalArgumentException(
           s"sheet '$n' not found; has: ${sheets.map(_.getAttribute("name")).mkString(", ")}"))
       case None => sheets.head
     }

@@ -43,9 +43,31 @@ object Sources {
     else if (ext == "xlsx" || has("excel")) {
       // S3: minimal native XLSX reader (driver-side; config-sized workbooks —
       // the reference's use case, etl_collect_to_cleanse.py:154-185)
-      ExcelSource.read(spark, path,
-        sheet = node("excel").flatMap(_.str("sheet")),
-        header = node("excel").flatMap(_.bool("header")).getOrElse(true))
+      val ex = node("excel")
+      if (ex.exists(_.str("password").isDefined))
+        // OOXML agile encryption (AES + spin-count key derivation) is
+        // deliberately out of scope for the JDK-only reader — a wrong
+        // silent decrypt would be worse than a loud gap
+        throw new IllegalArgumentException(
+          "password-protected workbooks are not supported — decrypt upstream")
+      val header = ex.flatMap(_.bool("header")).getOrElse(true)
+      val dataAddress = ex.flatMap(_.str("data_address"))
+      // sheet_names is a TRY-LIST: first sheet that resolves wins
+      // (etl_collect_to_cleanse.py:169-181 loops with except-pass);
+      // singular `sheet` remains as the simple spelling
+      val candidates = ex.map(_.strList("sheet_names")).filter(_.nonEmpty)
+        .getOrElse(ex.flatMap(_.str("sheet")).toSeq)
+      if (candidates.isEmpty)
+        ExcelSource.read(spark, path, None, header, dataAddress)
+      else {
+        val attempts = candidates.iterator.map { s =>
+          try Right(ExcelSource.read(spark, path, Some(s), header, dataAddress))
+          catch { case e: IllegalArgumentException => Left(e.getMessage) }
+        }
+        attempts.collectFirst { case Right(df) => df }.getOrElse(
+          throw new IllegalArgumentException(
+            s"none of sheet_names ${candidates.mkString("[", ", ", "]")} found in $path"))
+      }
     }
     else if (ext == "json" || ext == "jsonl") {
       spark.read.format("json")

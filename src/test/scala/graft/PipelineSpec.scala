@@ -121,6 +121,37 @@ class SourcesSpec extends SparkSpec {
     assert(out2.columns.contains("amount0"))
   }
 
+  test("xlsx data_address range crops junk around the table; sheet_names try-list") {
+    val dir = Files.createTempDirectory("graft_xlsx_range")
+    val f = dir.resolve("r.xlsx").toString
+    // table lives at C3:E5 with a title above, notes left, totals below
+    ExcelSource.write(f, Seq(
+      Seq("QUARTERLY REPORT"),
+      Seq(null, null, null),
+      Seq("note", null, "k", "v", "w"),
+      Seq(null, null, "1", "a", "x"),
+      Seq(null, null, "2", "b", "y"),
+      Seq(null, null, "TOTAL", null, null)), sheetName = "Data")
+    val spec = Specs.parseJson(
+      """{"excel": {"sheet_names": ["Missing", "Data"], "data_address": "C3:E5"}}""")
+    val out = Sources.read(spark, f, Some(spec))
+    assert(out.columns.toSeq == Seq("k", "v", "w"))
+    assert(out.count() == 2) // TOTAL row at C6 excluded by the range
+    // sheet override inside the address, open-ended range, index fallback
+    val out2 = ExcelSource.read(spark, f, sheet = None,
+      dataAddress = Some("'Data'!C3"))
+    assert(out2.columns.toSeq == Seq("k", "v", "w"))
+    assert(out2.count() == 3) // open-ended: TOTAL row included
+    val byIndex = ExcelSource.read(spark, f, sheet = Some("0"))
+    assert(byIndex.count() == 4) // title row is the header; blank row dropped
+    // password workbooks are a loud unsupported, not a silent mojibake
+    val pwErr = intercept[IllegalArgumentException] {
+      Sources.read(spark, f, Some(Specs.parseJson(
+        """{"excel": {"password": "hunter2"}}""")))
+    }
+    assert(pwErr.getMessage.contains("password"))
+  }
+
   test("csv reads quoted embedded newlines by default (reference parity)") {
     // etl_collect_to_cleanse.py:237 hard-codes multiLine=True for CSV
     val dir = Files.createTempDirectory("graft_csv_ml")
