@@ -163,16 +163,18 @@ object EntityMatch {
   def fillGlobalId(df: DataFrame, gidField: String): DataFrame =
     df.withColumn(gidField, coalesce(col(gidField), expr("uuid()")))
 
-  /** K5 MERGE upsert without Iceberg: latest-per-gid incoming row updates (or
-    * inserts into) the primary table. When the primary table is PARTITIONED,
-    * only the affected partitions are rewritten (dynamic partition overwrite)
-    * — the closest no-table-format approximation of Iceberg's file-level
-    * `MERGE INTO` (etl_consume_entity_match.py:443-455): untouched partitions
-    * keep their files byte-for-byte. An unpartitioned primary falls back to
-    * the full anti-join + atomic overwrite. At real scale this is still the
-    * operator to back with a MERGE-capable table format. */
+  /** K5 MERGE upsert: latest-per-gid incoming row updates (or inserts into)
+    * the primary table. The operator owns the "latest" semantics (one row per
+    * gid, newest by sort_field, matching the reference's window
+    * etl_consume_entity_match.py:420-441); HOW rows are replaced is the
+    * [[graft.catalog.TableFormat]] seam — [[graft.catalog.HiveParquetFormat]]
+    * (partition-scoped rewrite, the sandbox default) and
+    * [[graft.catalog.SqlMergeFormat]] (a real `MERGE INTO` for
+    * Iceberg/Delta-backed deployments, etl_consume_entity_match.py:443-455)
+    * are interchangeable here. */
   def upsert(spark: SparkSession, primaryTable: String, incoming: DataFrame,
-             spec: MatchSpec): Unit = {
+             spec: MatchSpec,
+             format: graft.catalog.TableFormat = graft.catalog.HiveParquetFormat): Unit = {
     val gid = spec.globalIdField
     val latest =
       if (spec.sortField.nonEmpty && incoming.columns.contains(spec.sortField))
@@ -180,94 +182,7 @@ object EntityMatch {
           Window.partitionBy(col(gid)).orderBy(col(spec.sortField).desc)))
           .filter(col("__rn") === 1).drop("__rn")
       else incoming.dropDuplicates(gid)
-    val primary = spark.table(primaryTable)
-    val partCols =
-      try spark.catalog.listColumns(primaryTable).filter(_.isPartition)
-        .collect().map(_.name).toSeq
-      catch { case _: Exception => Seq.empty }
-    // The drained-partition DROP below serializes partition values as SQL
-    // literals via toString; that round-trips exactly only for string and
-    // integral keys (Timestamp.toString, e.g. '2024-01-01 00:00:00.0', may
-    // not cast back to the stored partition value, turning DROP IF EXISTS
-    // into a silent no-op that leaves a stale duplicate gid). Fail fast
-    // rather than corrupt silently.
-    partCols.foreach { c =>
-      val dt = primary.schema(c).dataType
-      import org.apache.spark.sql.types._
-      val ok = dt match {
-        case StringType | ByteType | ShortType | IntegerType | LongType => true
-        case _ => false
-      }
-      require(ok, s"primary_partition_by column '$c' has type ${dt.simpleString}; " +
-        "only string and integral partition keys are supported (date/timestamp " +
-        "values do not round-trip through DROP PARTITION literals)")
-    }
-    // scratch under the warehouse FS (works on real clusters) and cleaned up
-    if (partCols.isEmpty) {
-      val kept = primary.join(latest.select(col(gid)), Seq(gid), "left_anti")
-      val merged = kept.unionByName(latest.select(primary.columns.map(col): _*))
-      graft.catalog.Scratch.withScratch(spark, "upsert") { scratch =>
-        merged.write.mode(SaveMode.Overwrite).parquet(scratch)
-        spark.read.parquet(scratch).write.mode(SaveMode.Overwrite)
-          .option("overwriteSchema", "true").saveAsTable(primaryTable)
-      }
-    } else {
-      // Affected partitions = those holding a stale version of an upserted
-      // gid (must drop the old row) ∪ those receiving a latest row. Every
-      // affected partition is rewritten as (surviving old rows) ∪ (latest
-      // rows); dynamic overwrite replaces exactly the partitions present in
-      // the written frame and leaves the rest alone. The semi-joins on the
-      // partition columns prune the primary scan at runtime (DPP/AQE); they
-      // are null-SAFE so a __HIVE_DEFAULT_PARTITION__ (null key) partition
-      // is kept intact rather than silently losing its non-upserted rows.
-      val latestKeys = latest.select(col(gid)).distinct()
-      val staleParts = primary.join(latestKeys, Seq(gid), "left_semi")
-        .select(partCols.map(col): _*).distinct()
-      val newParts = latest.select(partCols.map(col): _*).distinct()
-      val affected = staleParts.unionByName(newParts).distinct()
-      val aff = affected.toDF(partCols.map(c => s"__aff_$c"): _*)
-      val nullSafeOn = partCols.map(c => col(c) <=> col(s"__aff_$c")).reduce(_ && _)
-      val keptInAffected = primary
-        .join(aff, nullSafeOn, "left_semi")
-        .join(latest.select(col(gid)), Seq(gid), "left_anti")
-      val replacement = keptInAffected.unionByName(latest.select(primary.columns.map(col): _*))
-      graft.catalog.Scratch.withScratch(spark, "upsert") { scratch =>
-        replacement.write.mode(SaveMode.Overwrite).parquet(scratch)
-        val materialized = spark.read.parquet(scratch)
-        // A MERGE can DRAIN a partition: if a gid's only row moves to another
-        // partition and nothing else lives in the old one, the replacement
-        // frame has no rows there and dynamic overwrite never touches it —
-        // the stale row would survive. Compute the drained set BEFORE the
-        // overwrite (affected's lineage scans the primary table; running it
-        // afterwards would re-read files the overwrite just deleted). Small
-        // by construction: bounded by the batch's distinct partition values.
-        val drained = affected
-          .join(materialized.select(partCols.map(col): _*).distinct()
-            .toDF(partCols.map(c => s"__aff_$c"): _*),
-            nullSafeOn, "left_anti")
-          .collect()
-        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try materialized
-          // insertInto is position-based against the table schema
-          .select(primary.columns.map(col): _*)
-          .write.mode(SaveMode.Overwrite).insertInto(primaryTable)
-        finally prev match {
-          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        }
-        drained.foreach { row =>
-          val spec = partCols.zipWithIndex.map { case (c, i) =>
-            val v = row.get(i)
-            // escape backslashes too: SQL string literals process them, and
-            // IF EXISTS would make a mangled key a silent no-op
-            if (v == null) s"$c = null"
-            else s"$c = '${v.toString.replace("\\", "\\\\").replace("'", "''")}'"
-          }.mkString(", ")
-          spark.sql(s"ALTER TABLE $primaryTable DROP IF EXISTS PARTITION ($spec)")
-        }
-      }
-    }
+    format.mergeUpsert(spark, primaryTable, latest, gid)
   }
 
   /** Full entity-match job (etl_consume_entity_match.py:286-459): first run

@@ -162,4 +162,30 @@ class EntityMatchSpec extends SparkSpec {
       .select("lastupdated").as[String].head() == "2024-03-01")
     assert(primary.select("globalid").distinct().count() == 4)
   }
+
+  test("TableFormat seam: explicit HiveParquetFormat behaves identically") {
+    val db = s"emdbs${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val table = s"$db.primary_seam"
+    primaryDf.write.saveAsTable(table)
+    val incoming = Seq(
+      ("C1", "A01", "g-1", "alicia", "1990-01-01", "10001", "555-1111", "seam@x.com", "2024-04-01")
+    ).toDF("customerno", "srcsystemid", "globalid", "firstname", "dob", "zip", "phone", "email", "lastupdated")
+    EntityMatch.upsert(spark, table, incoming, mkSpec(table),
+      format = graft.catalog.HiveParquetFormat)
+    val primary = spark.table(table)
+    assert(primary.count() == 3)
+    assert(primary.filter(col("globalid") === "g-1")
+      .select("email").as[String].head() == "seam@x.com")
+  }
+
+  test("SqlMergeFormat emits the reference's MERGE statement shape") {
+    val sql = graft.catalog.SqlMergeFormat.mergeSql("db.entity_primary", "src_v", "global`id")
+    assert(sql.contains("MERGE INTO db.entity_primary t"))
+    assert(sql.contains("USING `src_v` s"))
+    // null-safe key equality and backtick-escaped identifier
+    assert(sql.contains("ON t.`global``id` <=> s.`global``id`"))
+    assert(sql.contains("WHEN MATCHED THEN UPDATE SET *"))
+    assert(sql.contains("WHEN NOT MATCHED THEN INSERT *"))
+  }
 }
