@@ -66,6 +66,38 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    diffAgainstBaseline(results)
     spark.stop()
+  }
+
+  /** Regression gate against the pinned driver artifact (`bench_baseline.json`,
+    * re-pinned each round from `BENCH_r{N}.json` — BASELINE.md §pinning).
+    * Queries >2× their pinned time AND >0.5 s absolute (sub-half-second
+    * timings are JIT/GC noise at this scale) are reported to STDERR — stdout
+    * stays the driver's one-JSON-line contract. Set
+    * SPARK_GRAFT_FAIL_ON_REGRESSION=1 (local iteration) to exit non-zero. */
+  private def diffAgainstBaseline(results: Seq[(String, Double)]): Unit = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_baseline.json")
+    val f = new java.io.File(path)
+    if (!f.isFile) return
+    try {
+      val root = graft.config.Specs.parseJson(
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      val base = root.get("queries")
+      val regressions = results.flatMap { case (name, sec) =>
+        Option(base.get(name)).map(_.asDouble).collect {
+          case b if b > 0 && sec > 2 * b && sec > 0.5 => (name, b, sec)
+        }
+      }
+      regressions.foreach { case (name, b, sec) =>
+        System.err.println(f"[bench-regression] $name: $sec%.2fs vs pinned $b%.2fs (${sec / b}%.1fx)")
+      }
+      if (regressions.nonEmpty && sys.env.get("SPARK_GRAFT_FAIL_ON_REGRESSION").contains("1")) {
+        System.err.println(s"[bench-regression] ${regressions.size} quer(ies) exceeded 2x pinned time")
+        sys.exit(1)
+      }
+    } catch {
+      case e: Exception => System.err.println(s"[bench-regression] baseline unreadable: ${e.getMessage}")
+    }
   }
 }

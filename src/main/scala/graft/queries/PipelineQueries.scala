@@ -113,6 +113,34 @@ object PipelineQueries {
     dir
   }
 
+  /** Staged event stream for the q77/q78 streaming-operator oracles: events
+    * with ts truncated to MILLISECONDS (java.sql.Timestamp.getTime is
+    * ms-granular — truncating on BOTH sides keeps gap/duration arithmetic
+    * exact vs DuckDB's `date_trunc('milliseconds', ts)`), sorted by ts into a
+    * single file (one file → one AvailableNow micro-batch → deterministic
+    * in-batch processing order), plus one `__sentinel` event per user past
+    * every real ts + session gap so trailing sessions provably close inside
+    * the drain. Verification staging only — production streams are unbounded
+    * and never need a closing sentinel. */
+  private def ensureEventStream(s: SparkSession, d: String): String = {
+    val dir = s"/tmp/graft_stream_sessions/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      val real = Tables(s, d, "events")
+        .select(col("user_id").cast(LongType).as("user_id"),
+          expr("timestamp_millis(unix_micros(cast(ts as timestamp)) div 1000)").as("ts"),
+          col("event_type"), col("value").cast(DoubleType).as("value"))
+      val mx = real.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinelTs = new java.sql.Timestamp(mx.getTime + 1800000L + 3600000L)
+      val sentinels = real.select(col("user_id")).distinct()
+        .withColumn("ts", lit(sentinelTs))
+        .withColumn("event_type", lit("__sentinel"))
+        .withColumn("value", lit(0.0))
+      real.unionByName(sentinels).orderBy(col("ts")).coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C7 filename + S9/S10 directory-backed lookup store, all driven through
     // the config-dispatched transform registry exactly as a dataset spec
@@ -361,6 +389,48 @@ object PipelineQueries {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // §1.4 bounded-state streaming dedup driven as a REAL stream:
+    // readStream → withWatermark → dropDuplicatesWithinWatermark on
+    // (user_id, event_type) → drain. The staged span (~30 days) sits inside
+    // the 90-day watermark delay, so no per-key state expires mid-drain and
+    // the drained keys equal the batch DISTINCT — which IS the DuckDB oracle.
+    // (Shorter delays drop only within-watermark repeats and expire state
+    // with the watermark — the bounded-state contract on an unbounded
+    // stream; that shape is exercised in StreamingSpec.)
+    "q77_streaming_dedup" -> ((s, d) => {
+      import graft.streaming.StreamingOps
+      val dir = ensureEventStream(s, d)
+      val staged = s.read.parquet(dir)
+      val stream = s.readStream.schema(staged.schema).parquet(dir)
+        .filter(col("event_type") =!= "__sentinel")
+      val deduped = StreamingOps.streamingDedup(
+        stream, Seq("user_id", "event_type"), tsCol = "ts", watermark = "90 days")
+      StreamingOps.drainToMemory(deduped.select(col("user_id"), col("event_type")),
+          s"q77d_${math.abs(d.hashCode)}")
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // §1.4 session windows via flatMapGroupsWithState (event-time timeout)
+    // driven as a REAL stream. Sessions close in-batch when the gap to the
+    // next event exceeds 30 min (sentinels close each user's trailing
+    // session); sentinel-opened sessions never close and are never emitted.
+    // total_value is deliberately NOT compared — double summation order is
+    // engine-specific; counts and ms-exact durations are integers.
+    "q78_streaming_sessions" -> ((s, d) => {
+      import graft.streaming.StreamingOps
+      import s.implicits._
+      val dir = ensureEventStream(s, d)
+      val staged = s.read.parquet(dir)
+      val evs = s.readStream.schema(staged.schema).parquet(dir)
+        .withWatermark("ts", "1 second")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .as[StreamingOps.Event]
+      val sessions = StreamingOps.sessionize(evs, gapMs = 1800000L)
+      StreamingOps.drainToMemory(sessions.toDF(), s"q78s_${math.abs(d.hashCode)}")
+        .select(col("user_id"), col("n_events"), col("duration_secs"))
+        .orderBy(col("user_id"), col("n_events"), col("duration_secs"))
+    }),
+
     // §1.4 streaming parity: the SAME cleanse logic (mapping → date/decimal
     // types → filterrows → literal) driven through readStream + foreachBatch
     // with Trigger.AvailableNow over the q37 CSV feed — the reference's
@@ -509,6 +579,32 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q77_streaming_dedup" -> """
+      SELECT CAST(user_id AS BIGINT) AS user_id, event_type
+      FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""",
+    // replicate the staging's millisecond truncation, then the same 30-min
+    // gap sessionization as the streaming operator; durations in whole
+    // seconds via integer floor-division on epoch milliseconds
+    "q78_streaming_sessions" -> """
+      WITH e AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               date_trunc('milliseconds', ts) AS ts, event_id
+        FROM events),
+      marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                    THEN 1 ELSE 0 END AS new_s, event_id
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+      SELECT user_id, count(*) AS n_events,
+             CAST((epoch_ms(max(ts)) - epoch_ms(min(ts))) // 1000 AS BIGINT) AS duration_secs
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, n_events, duration_secs""",
     "q66_filename_lookup_store" -> """
       SELECT CAST(c.c_custkey AS BIGINT) AS custkey,
              CASE c.c_mktsegment
