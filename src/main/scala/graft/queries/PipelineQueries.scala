@@ -71,9 +71,14 @@ object PipelineQueries {
     dir
   }
 
+  // multiline: false — the staged feed is machine-written with no quoted
+  // embedded newlines; the opt-out restores per-file SPLITTABLE parsing
+  // (multiLine CSV pins one task per file — the reference-parity default
+  // costs ~1.5 s of 4-way-parallel parse on 32 cores here, and at 100 TB
+  // it is the difference between a parallel scan and per-file stragglers)
   private val specJson = Specs.parseJson(
     """{
-      "input_spec": {"csv": {"header": true}, "allow_schema_change": "permissive"},
+      "input_spec": {"csv": {"header": true, "multiline": false}, "allow_schema_change": "permissive"},
       "transform_spec": {
         "date": [{"field": "shipdate", "format": "yyyy-MM-dd"}],
         "changetype": {"extendedprice": "decimal(18,2)", "quantity": "decimal(18,2)"},

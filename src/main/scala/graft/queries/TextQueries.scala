@@ -193,7 +193,14 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("source"), S.tokens(col("text")).as("toks"))
       val pairs = Dedup.jaccardSelfJoin(docs, "toks", "doc_id", Seq("lang", "source"), 0.5)
         .select(col("id_a"), col("id_b"))
-      val comp = graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+      // Explicit cutover budget: the OPERATOR default (100k edges) is
+      // conservative for arbitrary callers; this pipeline budgets 1M edges
+      // (~0.3 GB transient driver footprint, bounded by the take-probe) for
+      // the driver union-find because verified pair evidence is orders of
+      // magnitude smaller than the corpus — past the budget it falls through
+      // to the distributed loop (BASELINE.md 10× row exercises exactly that).
+      val comp = graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b",
+        localEdgeThreshold = 1000000L)
       Tables(s, d, "documents").select(col("doc_id"))
         .join(comp, col("doc_id") === col("vertex"), "left")
         .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
