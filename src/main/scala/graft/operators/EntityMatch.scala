@@ -71,19 +71,27 @@ object EntityMatch {
 
   /** J3 exact match: left-outer join on (source_primary_key, source_system_key);
     * incoming keeps its gid else inherits the primary's
-    * (etl_consume_entity_match.py:94-157). Returns (matched, unmatched). */
-  def exactMatch(incoming: DataFrame, primary: DataFrame, spec: MatchSpec): (DataFrame, DataFrame) = {
+    * (etl_consume_entity_match.py:94-157). Returns (matched, unmatched).
+    *
+    * `materialize` truncates the join's lineage (executor-local checkpoint)
+    * before the null-split: both split outputs AND every fuzzy-level branch
+    * downstream otherwise re-execute the join subtree — ~5 executions in the
+    * full job's final union. Swap for reliable `checkpoint` on clusters with
+    * preemptible executors. */
+  def exactMatch(incoming: DataFrame, primary: DataFrame, spec: MatchSpec,
+                 materialize: Boolean = false): (DataFrame, DataFrame) = {
     val gid = spec.globalIdField
     val p = primary.select(
       col(spec.sourcePrimaryKey).as("__pk"), col(spec.sourceSystemKey).as("__sk"),
       col(gid).as("__primary_gid"))
       .dropDuplicates("__pk", "__sk")
-    val joined = incoming.join(p,
+    val joined0 = incoming.join(p,
       incoming(spec.sourcePrimaryKey) === col("__pk") &&
         incoming(spec.sourceSystemKey) === col("__sk"),
       "left")
       .withColumn(gid, coalesce(col(gid), col("__primary_gid")))
       .drop("__pk", "__sk", "__primary_gid")
+    val joined = if (materialize) joined0.localCheckpoint(true) else joined0
     splitByNull(joined, gid)
   }
 
@@ -145,12 +153,16 @@ object EntityMatch {
         else assignments.unionByName(scored)
     }
 
-    // later level wins per row (reference overwrites sequentially)
+    // later level wins per row (reference overwrites sequentially).
+    // best is tiny (rowKey + gid per matched row) but its plan contains every
+    // level's blocking join — materialize so the split below (and the
+    // caller's union) executes those joins once, not once per consumer.
     val best = assignments
       .withColumn("__rn", row_number().over(
         Window.partitionBy(rowKey.map(col): _*).orderBy(col("__level").desc)))
       .filter(col("__rn") === 1)
       .select(rowKey.map(col) :+ col("__new_gid"): _*)
+      .localCheckpoint(true)
 
     val out = incoming.join(best, rowKey, "left")
       .withColumn(gid, coalesce(col(gid), col("__new_gid")))
@@ -208,7 +220,8 @@ object EntityMatch {
     } else {
       val primary = spark.table(spec.primaryTable)
       val (prematched, tomatch) = splitByNull(incoming, gid)
-      val (exactMatched, exactUnmatched) = exactMatch(tomatch, primary, spec)
+      val (exactMatched, exactUnmatched) = exactMatch(tomatch, primary, spec,
+        materialize = true)
       val (fuzzyMatched, fuzzyUnmatched) = fuzzyMatch(exactUnmatched, primary, spec, rowKey)
       val newEntities = fillGlobalId(fuzzyUnmatched, gid)
       val all = prematched.unionByName(exactMatched)
