@@ -282,6 +282,22 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-family within-document repetition metrics (duplicate-line and
+    // duplicate-char fractions): the training-corpus boilerplate filter.
+    // Repeated lines are synthesized onto the corpus (every 3rd doc gets its
+    // first 40 chars appended twice as extra lines) so fractions are
+    // non-trivial; hash-reduced explode keeps the shuffle O(distinct lines).
+    "q79_repetition" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("text2",
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(col("text"), lit("\n"), substring(col("text"), 1, 40),
+              lit("\n"), substring(col("text"), 1, 40)))
+            .otherwise(col("text")))
+      graft.operators.Repetition.lineRepetition(docs, "doc_id", "text2")
+        .orderBy(col("doc_id"))
+    }),
+
     // TF-IDF top terms per document (classic term weighting; fully
     // oracle-checked including the log-scaled scores).
     "q42_tfidf" -> ((s, d) => {
@@ -352,6 +368,29 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q79_repetition" -> """
+      WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || chr(10) || substring(text, 1, 40)
+                              || chr(10) || substring(text, 1, 40)
+                    ELSE text END AS text2
+        FROM documents),
+      l AS (
+        SELECT doc_id, unnest(string_split(text2, chr(10))) AS line FROM d),
+      g AS (
+        SELECT doc_id, line, count(*) AS c, len(line) AS ln
+        FROM l GROUP BY doc_id, line)
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_lines,
+             CAST(count(*) AS BIGINT) AS n_distinct_lines,
+             CASE WHEN sum(c) > 0
+                  THEN CAST(sum(c) - count(*) AS DOUBLE) / sum(c)
+                  ELSE 0.0 END AS dup_line_frac,
+             CASE WHEN sum(ln * c) > 0
+                  THEN CAST(sum(CASE WHEN c > 1 THEN ln * c ELSE 0 END) AS DOUBLE) / sum(ln * c)
+                  ELSE 0.0 END AS dup_char_frac
+      FROM g GROUP BY doc_id ORDER BY doc_id""",
     "q20_dedup_exact" -> """
       SELECT lang, source, min(doc_id) AS doc_id, count(*) AS dup_count
       FROM documents GROUP BY lang, source ORDER BY lang, source""",

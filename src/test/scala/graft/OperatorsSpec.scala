@@ -640,3 +640,31 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(c2 == Map(1L -> 1L, 2L -> 1L))
   }
 }
+
+class RepetitionSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Repetition
+
+  test("line repetition metrics: duplicate-line and duplicate-char fractions") {
+    val df = Seq(
+      (1L, "aaa\nbbb\naaa\nccc"),   // 4 lines, 3 distinct; dup chars 6 of 12
+      (2L, "xx\nyy"),               // no repetition
+      (3L, "")                      // single empty line
+    ).toDF("doc_id", "text")
+    val got = Repetition.lineRepetition(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got(0) == ((1L, 4L, 3L, 0.25, 0.5)))
+    assert(got(1) == ((2L, 2L, 2L, 0.0, 0.0)))
+    // empty text: one zero-length line, zero chars -> zero fractions, no /0
+    assert(got(2) == ((3L, 1L, 1L, 0.0, 0.0)))
+  }
+
+  test("repetition aggregation collapses a boilerplate flood map-side (counts stay exact)") {
+    val flood = (1 to 500).map(_ => "same line").mkString("\n")
+    val df = Seq((9L, flood)).toDF("doc_id", "text")
+    val r = Repetition.lineRepetition(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(r == ((9L, 500L, 1L, 499.0 / 500.0, 1.0)))
+  }
+}
