@@ -333,6 +333,33 @@ object Dedup {
     verified.filter(col("jaccard") >= threshold)
   }
 
+  /** Exact word-n-gram decontamination (the GPT-3/PaLM recipe: a training doc
+    * is contaminated if it shares ANY exact n-gram — canonically n=13 — with
+    * a benchmark doc; [[jaccardCrossJoin]] is the NEAR-dup complement).
+    *
+    * Returns (id_l = corpus doc, id_r = benchmark doc, n_shared = distinct
+    * shared n-grams), n_shared ≥ 1.
+    *
+    * Scale shape: each side explodes to (id, 64-bit gram hash) with per-doc
+    * distinct grams — the fused [[graft.functions.expressions.HashExpressions
+    * .hashedShingles]] kernel means the shuffle never carries gram TEXT. The
+    * benchmark side is small by nature (eval sets), so the equi-join on the
+    * gram hash broadcasts it; a 100 TB corpus streams map-side. Collision
+    * contract: counts are over 64-bit hashes (~2⁻⁶⁴ false shares), same as
+    * the whole shingle pipeline. */
+  def ngramOverlapJoin(corpus: DataFrame, bench: DataFrame, textCol: String,
+                       idCol: String, n: Int = 13): DataFrame = {
+    import graft.functions.expressions.{HashExpressions => HE}
+    def grams(df: DataFrame, side: String) = df.select(
+        col(idCol).as(s"id_$side"),
+        explode(HE.hashed_shingles(col(textCol), n)).as("__g"))
+      .dropDuplicates(s"id_$side", "__g")
+    grams(corpus, "l")
+      .join(broadcast(grams(bench, "r")), Seq("__g"))
+      .groupBy(col("id_l"), col("id_r"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Embedding-cosine near-dup pairs: LSH-bucketed by random-hyperplane sign
     * bits (shared deterministic planes), verified by exact cosine ≥ threshold.
     * Candidate generation is a bucket equi-join; no full cross join. */

@@ -46,4 +46,42 @@ object Repetition {
           col("__dup_chars").cast("double") / col("__chars"))
           .otherwise(0.0).as("dup_char_frac"))
   }
+
+  /** Top word-n-gram character coverage — the other Gopher repetition rule
+    * ("fraction of characters in the most frequent word n-gram"; n=2..4 in
+    * the paper). Coverage of a gram = occurrences × gram length (incl. inner
+    * spaces), normalized by the doc's total character count; the reported
+    * gram is the deterministic STRUCT MAX over (count, coverage, gram) —
+    * both Spark and DuckDB order structs lexicographically by field, so the
+    * oracle replicates the tie-break exactly. Docs with fewer than n tokens
+    * report ('', 0, 0.0).
+    *
+    * Scale shape: explode n-grams (string form — the gram itself is the
+    * output), one (id, gram) aggregation with map-side partial combine, then
+    * one per-id struct-max aggregation — never a window over the exploded
+    * frame. For a huge corpus pre-materialize the token array column (see
+    * SimilarityFunctions.wordShingles on HOF re-evaluation under
+    * CollapseProject). */
+  def topNgramCharFrac(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 2): DataFrame = {
+    val ts = graft.functions.SimilarityFunctions.tokens(col(textCol))
+    val base = df.select(col(idCol), length(col(textCol)).cast("long").as("__chars"),
+      ts.as("__ts"))
+    val grams = base.filter(size(col("__ts")) >= n).select(col(idCol),
+      explode(transform(sequence(lit(0), size(col("__ts")) - n), i =>
+        array_join(slice(col("__ts"), i + 1, lit(n)), " "))).as("__gram"))
+    val top = grams.groupBy(col(idCol), col("__gram"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col(idCol), struct(col("__c"),
+        (col("__c") * length(col("__gram"))).as("__cov"), col("__gram").as("__g")).as("__s"))
+      .groupBy(col(idCol)).agg(max(col("__s")).as("__top"))
+    base.select(col(idCol), col("__chars"))
+      .join(top, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__top.__g"), lit("")).as("top_gram"),
+        coalesce(col("__top.__c"), lit(0L)).as("top_gram_count"),
+        when(col("__chars") > 0 && col("__top.__c").isNotNull,
+          col("__top.__cov").cast("double") / col("__chars"))
+          .otherwise(0.0).as("top_gram_char_frac"))
+  }
 }

@@ -298,6 +298,34 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // GPT-3-style EXACT 13-gram decontamination: benchmark docs synthesized
+    // as 30-token windows of every 25th document; any corpus doc sharing one
+    // exact 13-gram with a bench doc is flagged with the shared-gram count.
+    // Spark counts distinct 64-bit gram hashes (fused shingle kernel, no gram
+    // text in the shuffle); the oracle counts the gram strings — identical
+    // modulo ~2^-64 collisions.
+    "q80_ngram_decontamination" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id"),
+          array_join(slice(S.tokens(col("text")), 3, 30), " ").as("text"))
+      graft.operators.Dedup.ngramOverlapJoin(docs, bench, "text", "doc_id", n = 13)
+        .orderBy(col("id_l"), col("id_r"))
+    }),
+
+    // Gopher top-bigram character coverage; every 4th doc gets a planted
+    // repeated bigram so argmax + fraction paths are non-trivial. Struct-max
+    // tie-break replicated exactly by the oracle.
+    "q81_top_ngram" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("text2",
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(col("text"), repeat(lit(" spam ham"), 5)))
+            .otherwise(col("text")))
+      graft.operators.Repetition.topNgramCharFrac(docs, "doc_id", "text2", n = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // TF-IDF top terms per document (classic term weighting; fully
     // oracle-checked including the log-scaled scores).
     "q42_tfidf" -> ((s, d) => {
@@ -368,6 +396,51 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q80_ngram_decontamination" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') END AS t
+        FROM documents),
+      cg AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 11),
+                 i -> array_to_string(t[i:i+12], ' ')))) AS g
+        FROM tok WHERE len(t) >= 13),
+      bench AS (
+        SELECT doc_id, t[3:32] AS bt FROM tok WHERE doc_id % 25 = 0),
+      bg AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(bt) - 11),
+                 i -> array_to_string(bt[i:i+12], ' ')))) AS g
+        FROM bench WHERE len(bt) >= 13)
+      SELECT c.doc_id AS id_l, b.doc_id AS id_r, count(*) AS n_shared
+      FROM cg c JOIN bg b USING (g)
+      GROUP BY 1, 2 ORDER BY id_l, id_r""",
+    "q81_top_ngram" -> """
+      WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN text || repeat(' spam ham', 5)
+                    ELSE text END AS text2
+        FROM documents),
+      base AS (
+        SELECT doc_id, len(text2) AS chars,
+               CASE WHEN regexp_replace(text2, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(lower(regexp_replace(text2, '^\s+|\s+$', '', 'g')), '\s+') END AS t
+        FROM d),
+      g AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                 i -> array_to_string(t[i:i+1], ' '))) AS gram
+        FROM base WHERE len(t) >= 2),
+      c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+      top AS (
+        SELECT doc_id, max(struct_pack(c := c, cov := c * len(gram), gram := gram)) AS s
+        FROM c GROUP BY 1)
+      SELECT b.doc_id,
+             COALESCE(struct_extract(t.s, 'gram'), '') AS top_gram,
+             CAST(COALESCE(struct_extract(t.s, 'c'), 0) AS BIGINT) AS top_gram_count,
+             CASE WHEN b.chars > 0 AND struct_extract(t.s, 'c') IS NOT NULL
+                  THEN CAST(struct_extract(t.s, 'cov') AS DOUBLE) / b.chars
+                  ELSE 0.0 END AS top_gram_char_frac
+      FROM base b LEFT JOIN top t USING (doc_id) ORDER BY doc_id""",
     "q79_repetition" -> """
       WITH d AS (
         SELECT doc_id,

@@ -668,3 +668,33 @@ class RepetitionSpec extends SparkSpec {
     assert(r == ((9L, 500L, 1L, 499.0 / 500.0, 1.0)))
   }
 }
+
+class NgramSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{Dedup, Repetition}
+
+  test("13-gram overlap join flags docs sharing an exact n-gram, with counts") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),   // 16 tokens
+      (2L, "x y z totally different tokens here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "b c d e f g h i j k l m n o")).toDF("doc_id", "text") // 14 tokens
+    val got = Dedup.ngramOverlapJoin(corpus, bench, "text", "doc_id", n = 13)
+      .as[(Long, Long, Long)].collect().toSeq
+    // bench has 2 distinct 13-grams, both inside doc 1's window set
+    assert(got == Seq((1L, 100L, 2L)))
+  }
+
+  test("top bigram coverage: counts, deterministic struct-max tie-break, short docs") {
+    val df = Seq(
+      (1L, "go go go go"),            // "go go" x3, chars 11 -> 3*5/11
+      (2L, "one token"),              // single bigram
+      (3L, "solo")                    // < 2 tokens -> ('', 0, 0.0)
+    ).toDF("doc_id", "text")
+    val got = Repetition.topNgramCharFrac(df, "doc_id", "text", n = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Double)].collect().toSeq
+    assert(got(0) == ((1L, "go go", 3L, 15.0 / 11.0)))
+    assert(got(1) == ((2L, "one token", 1L, 1.0)))
+    assert(got(2) == ((3L, "", 0L, 0.0)))
+  }
+}
