@@ -1,0 +1,100 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** REAL image codec on the JDK's own `javax.imageio` (PNG/JPEG/BMP/GIF — no
+  * third-party jar): decode, deterministic pixel extraction, Graphics2D
+  * resize, PNG encode. This replaces the documented [[Multimodal.StubCodec]]
+  * for content that actually decodes as an image; non-image payloads still
+  * fall back to the stub so text-backed fixtures keep their semantics.
+  *
+  * Determinism: PNG is lossless, so decode(encode(pixels)) == pixels and the
+  * q82 oracle can predict decoded values in closed form. Pixel channels are
+  * normalized as v/256.0 — exact in binary floating point (v × 2⁻⁸), so sums
+  * of per-row means are order-independent and bit-exact across engines. */
+object ImageIoCodec {
+
+  def decodeImage(content: Array[Byte]): Option[BufferedImage] =
+    if (content == null || content.isEmpty) None
+    else
+      try Option(ImageIO.read(new ByteArrayInputStream(content)))
+      catch { case _: Exception => None }
+
+  /** Decode at NATIVE size to row-major red-channel doubles in [0,1)
+    * (v/256.0 — exact). Returns (width, height, pixels). */
+  def decodeNative(content: Array[Byte]): Option[(Int, Int, Array[Double])] =
+    decodeImage(content).map { img =>
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Double](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out(y * w + x) = ((img.getRGB(x, y) >> 16) & 0xFF) / 256.0
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, out)
+    }
+
+  /** Decode + resize to w×h, luminance floats in [0,1) (real path of
+    * [[Multimodal.featurize]]). Nearest-neighbor keeps scaling deterministic
+    * across JVMs (no AA rounding). */
+  def decodeGray(content: Array[Byte], w: Int, h: Int): Option[Array[Float]] =
+    decodeImage(content).map { img =>
+      val scaled = scaleTo(img, w, h)
+      val out = new Array[Float](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = scaled.getRGB(x, y)
+          val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+          out(y * w + x) = (0.299f * r + 0.587f * g + 0.114f * b) / 256.0f
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+  def scaleTo(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+    if (img.getWidth == w && img.getHeight == h && img.getType == BufferedImage.TYPE_INT_RGB)
+      return img
+    val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    dst
+  }
+
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic test pattern: gray pixel (x,y) = (seed·31 + y·w + x) mod
+    * 256 in all three channels. The q82 oracle recomputes decoded values from
+    * this formula — PNG round-trips it losslessly. */
+  def testPattern(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (((seed * 31 + y * w + x) % 256 + 256) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+}

@@ -9,9 +9,12 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata structs.
   *
   * The Spark-side plumbing — schema, batching shape, partition sizing — is
-  * real; the pixel/sample DECODE itself is a clearly-marked deterministic STUB
-  * ([[StubCodec]]) because no image/audio codec library ships in this
-  * environment. Swapping in a real codec changes only that object.
+  * real. IMAGE decode is real too: [[ImageIoCodec]] (the JDK's javax.imageio,
+  * no third-party jar) handles PNG/JPEG/BMP/GIF, and [[imageRowMeans]] is
+  * oracle-verified end-to-end (q82) on losslessly round-tripped synthetic
+  * PNGs. Payloads that don't decode as images fall back to the deterministic
+  * [[StubCodec]] (audio/video codecs genuinely aren't in this environment —
+  * that residual stub is documented, not hidden).
   *
   * Scale notes: content bytes never reach the driver; [[mapBatched]] processes
   * fixed-size row batches inside `mapPartitions` (the JVM analog of
@@ -37,9 +40,11 @@ object Multimodal {
 
   // ------------------------------------------------------------------- codec
 
-  /** STUB CODEC — deterministic fake in place of a real image/audio decoder
-    * (none available in this container). Every function is pure and
-    * deterministic in the input bytes so tests and benchmarks are stable. */
+  /** STUB CODEC — deterministic fake for payloads [[ImageIoCodec]] cannot
+    * decode (audio/video — those codec libraries genuinely aren't in this
+    * container — and non-media bytes in text-backed fixtures). Every function
+    * is pure and deterministic in the input bytes so tests and benchmarks are
+    * stable. */
   object StubCodec {
     /** "Decode" bytes to float pixels in [0,1): pixel i = byte (i*2654435761
       * mod len) scaled. Real impl: JPEG/PNG decode. */
@@ -114,14 +119,17 @@ object Multimodal {
     StructField("embedding", ArrayType(FloatType, containsNull = false))))
 
   /** Decode + feature-extract in batches: each blob → fixed-dim embedding
-    * (stub decode + mean-pool). The shape users swap a real model into. */
+    * (decode + mean-pool). Real JDK image decode when the bytes ARE an image
+    * (resized to 4×dim luminance); stub otherwise. The shape users swap a
+    * real model into. */
   def featurize(media: DataFrame, dim: Int = 16, batchSize: Int = 64): DataFrame =
     mapBatched(media.select("media_id", "content"), batchSize, featureSchema) { batch =>
       // whole-batch hook: a real impl would run one vectorized model call here
       batch.iterator.map { r =>
         val id = r.getLong(0)
         val content = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-        val px = StubCodec.decode(content, dim * 4)
+        val px = ImageIoCodec.decodeGray(content, 4, dim)
+          .getOrElse(StubCodec.decode(content, dim * 4))
         val emb = Array.tabulate(dim) { d =>
           var acc = 0.0f; var i = d * 4
           while (i < (d + 1) * 4) { acc += px(i); i += 1 }
@@ -131,8 +139,36 @@ object Multimodal {
       }
     }
 
+  val rowMeanSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("y", LongType),
+    StructField("row_mean", DoubleType)))
+
+  /** REAL decode, oracle-able: per image row y, the mean of the red channel
+    * as v/256.0 doubles (exact in binary — sums are order-independent, so an
+    * external oracle that knows the pixel values reproduces these bit-for-
+    * bit). One output row per (image, y); undecodable blobs emit nothing. */
+  def imageRowMeans(media: DataFrame, batchSize: Int = 64): DataFrame =
+    mapBatched(media.select("media_id", "content"), batchSize, rowMeanSchema) { batch =>
+      batch.iterator.flatMap { r =>
+        val id = r.getLong(0)
+        val content = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        ImageIoCodec.decodeNative(content).iterator.flatMap { case (w, h, px) =>
+          (0 until h).iterator.map { y =>
+            var acc = 0.0; var x = 0
+            while (x < w) { acc += px(y * w + x); x += 1 }
+            Row(id, w.toLong, h.toLong, y.toLong, acc / w)
+          }
+        }
+      }
+    }
+
   /** Resize images to target dims, updating meta — runs through the same
-    * batched plumbing. */
+    * batched plumbing. Real images are rescaled with Graphics2D and
+    * re-encoded as PNG (meta.format follows); other payloads keep the stub
+    * byte-resize. */
   def resize(media: DataFrame, w: Int, h: Int, batchSize: Int = 64): DataFrame = {
     val outSchema = mediaSchema
     mapBatched(media.select("media_id", "content", "meta"), batchSize, outSchema) { batch =>
@@ -142,8 +178,14 @@ object Multimodal {
         val channels = if (meta == null || meta.isNullAt(3)) 3 else meta.getInt(3)
         val fmt = if (meta == null) null else meta.get(0)
         val dur = if (meta == null) null else meta.get(4)
-        Row(r.getLong(0), StubCodec.resize(content, w, h, channels),
-          Row(fmt, w, h, channels, dur))
+        ImageIoCodec.decodeImage(content) match {
+          case Some(img) =>
+            Row(r.getLong(0), ImageIoCodec.encodePng(ImageIoCodec.scaleTo(img, w, h)),
+              Row("png", w, h, 3, dur))
+          case None =>
+            Row(r.getLong(0), StubCodec.resize(content, w, h, channels),
+              Row(fmt, w, h, channels, dur))
+        }
       }
     }
   }

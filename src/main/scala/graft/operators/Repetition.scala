@@ -67,9 +67,19 @@ object Repetition {
     val ts = graft.functions.SimilarityFunctions.tokens(col(textCol))
     val base = df.select(col(idCol), length(col(textCol)).cast("long").as("__chars"),
       ts.as("__ts"))
-    val grams = base.filter(size(col("__ts")) >= n).select(col(idCol),
-      explode(transform(sequence(lit(0), size(col("__ts")) - n), i =>
-        array_join(slice(col("__ts"), i + 1, lit(n)), " "))).as("__gram"))
+    // n-grams via ZIPPED SHIFTED SLICES, not slice()-inside-a-lambda: a
+    // lambda body referencing the token array re-evaluates the whole split()
+    // subtree per ELEMENT (no CSE across lambda boundaries — see
+    // SimilarityFunctions.wordShingles), turning gram construction O(tokens²).
+    // Slices are row-level (n evaluations of the array), the lambda touches
+    // only its own zipped element — linear.
+    val cnt = size(col("__ts"))
+    val m = cnt - (n - 1)
+    val shifted = (0 until n).map(k => slice(col("__ts"), lit(k + 1), m).as(s"t$k"))
+    val gramArr = transform(arrays_zip(shifted: _*), s =>
+      concat_ws(" ", (0 until n).map(k => s.getField(s"t$k")): _*))
+    val grams = base.filter(cnt >= n).select(col(idCol),
+      explode(gramArr).as("__gram"))
     val top = grams.groupBy(col(idCol), col("__gram"))
       .agg(count(lit(1)).as("__c"))
       .select(col(idCol), struct(col("__c"),

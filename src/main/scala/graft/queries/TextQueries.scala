@@ -184,6 +184,28 @@ object TextQueries {
         .orderBy(col("media_id"), col("frame_no"))
     }),
 
+    // REAL image decode, fully oracle-checked: synthetic 8×8 PNGs (gray
+    // pixel = (id·31 + y·8 + x) mod 256, generated in executors) round-trip
+    // losslessly through javax.imageio; per-row means use v/256.0 doubles
+    // (exact in binary, order-independent sums) so the oracle predicts the
+    // decoded values in closed form — if the decode path breaks, values
+    // mismatch.
+    "q82_image_decode" -> ((s, d) => {
+      import graft.multimodal.{ImageIoCodec, Multimodal}
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+      val ids = Tables(s, d, "documents")
+        .select(col("doc_id").cast(LongType).as("media_id"))
+      val mediaSchema = StructType(Seq(
+        StructField("media_id", LongType), StructField("content", BinaryType)))
+      val media = Multimodal.mapBatched(ids, 64, mediaSchema) { batch =>
+        batch.iterator.map(r =>
+          Row(r.getLong(0), ImageIoCodec.testPattern(r.getLong(0), 8, 8)))
+      }
+      Multimodal.imageRowMeans(media)
+        .orderBy(col("media_id"), col("y"))
+    }),
+
     // Dedup clustering: near-dup pairs (blocked unigram jaccard, same
     // semantics as q25 but via the exact prefix-filtering join) → connected
     // components via min-label propagation; every doc reports its cluster id.
@@ -396,6 +418,18 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q82_image_decode" -> """
+      WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents),
+      g AS (
+        SELECT media_id, y, x
+        FROM ids,
+             (SELECT unnest(range(0, 8)) AS y) yy,
+             (SELECT unnest(range(0, 8)) AS x) xx)
+      SELECT media_id,
+             CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+             CAST(y AS BIGINT) AS y,
+             sum(((media_id * 31 + y * 8 + x) % 256) / 256.0) / 8 AS row_mean
+      FROM g GROUP BY media_id, y ORDER BY media_id, y""",
     "q80_ngram_decontamination" -> """
       WITH tok AS (
         SELECT doc_id,
