@@ -131,6 +131,13 @@ object ScaleCheck {
         { val r = new dq.DqEngine().runQuarantine(df, dqRules)
           r.passed.count() + r.failed.count() }))
     }
+
+    // Repetition metrics: hash-reduced explode — runtime must track input
+    // lines (~Nx), with map-side combine absorbing duplicate-line floods.
+    Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+      timed(s"line repetition metrics $tag")(((),
+        operators.Repetition.lineRepetition(df, "doc_id", "text").count()))
+    }
     spark.stop()
   }
 }

@@ -47,6 +47,29 @@ object Repetition {
           .otherwise(0.0).as("dup_char_frac"))
   }
 
+  /** Repeated-line REMOVAL (the cleanse counterpart of [[lineRepetition]]):
+    * rebuild each document keeping only the FIRST occurrence of every line,
+    * in original order — the standard template/boilerplate scrub before
+    * training. Returns (id, cleaned).
+    *
+    * Scale shape: posexplode → min-position per (id, line) with map-side
+    * partial aggregation (a boilerplate flood collapses before the shuffle)
+    * → one per-id rebuild via array_sort over (position, line) structs
+    * (positions are unique, so the sort is total and collect_list's
+    * arrival-order nondeterminism is neutralized). Line text rides the
+    * shuffle here by necessity — the output IS the text. */
+  def dropRepeatedLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__p", "__l")))
+    val firsts = lines.groupBy(col(idCol), col("__l"))
+      .agg(min(col("__p")).as("__p"))
+    firsts.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__p"), col("__l")))),
+          s => s.getField("__l")),
+        "\n").as("cleaned"))
+  }
+
   /** Top word-n-gram character coverage — the other Gopher repetition rule
     * ("fraction of characters in the most frequent word n-gram"; n=2..4 in
     * the paper). Coverage of a gram = occurrences × gram length (incl. inner

@@ -335,6 +335,20 @@ object TextQueries {
         .orderBy(col("id_l"), col("id_r"))
     }),
 
+    // Repeated-line removal (cleanse counterpart of q79, same planted
+    // duplicates): rebuild docs keeping first occurrence of each line in
+    // original order; exact string compare against the oracle's rebuild.
+    "q83_drop_repeated_lines" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("text2",
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(col("text"), lit("\n"), substring(col("text"), 1, 40),
+              lit("\n"), substring(col("text"), 1, 40)))
+            .otherwise(col("text")))
+      graft.operators.Repetition.dropRepeatedLines(docs, "doc_id", "text2")
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher top-bigram character coverage; every 4th doc gets a planted
     // repeated bigram so argmax + fraction paths are non-trivial. Struct-max
     // tie-break replicated exactly by the oracle.
@@ -418,6 +432,20 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q83_drop_repeated_lines" -> """
+      WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || chr(10) || substring(text, 1, 40)
+                              || chr(10) || substring(text, 1, 40)
+                    ELSE text END AS text2
+        FROM documents),
+      base AS (SELECT doc_id, string_split(text2, chr(10)) AS ls FROM d),
+      pos AS (SELECT doc_id, i, ls[i] AS line
+              FROM base, unnest(range(1, len(ls) + 1)) AS r(i)),
+      firsts AS (SELECT doc_id, line, min(i) AS p FROM pos GROUP BY 1, 2)
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS cleaned
+      FROM firsts GROUP BY doc_id ORDER BY doc_id""",
     "q82_image_decode" -> """
       WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents),
       g AS (

@@ -698,3 +698,19 @@ class NgramSpec extends SparkSpec {
     assert(got(2) == ((3L, "", 0L, 0.0)))
   }
 }
+
+class DropRepeatedLinesSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Repetition
+
+  test("keeps first occurrence of each line in original order") {
+    val df = Seq(
+      (1L, "header\nbody a\nheader\nbody b\nbody a\ntail"),
+      (2L, "only\nlines")
+    ).toDF("doc_id", "text")
+    val got = Repetition.dropRepeatedLines(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got(0) == ((1L, "header\nbody a\nbody b\ntail")))
+    assert(got(1) == ((2L, "only\nlines")))
+  }
+}
