@@ -105,4 +105,22 @@ class SparkPropertySpec extends SparkSpec with PropHelper {
       r.getString(0) == r.getString(1)
     }, tests = 15)
   }
+
+  test("dropRepeatedLines: idempotent, preserves line set and first-occurrence order") {
+    val genDoc = Gen.listOfN(8, Gen.oneOf("a", "bb", "c line", "", "dd")).map(_.mkString("\n"))
+    checkProp(Prop.forAll(genDoc) { text =>
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val once = graft.operators.Repetition.dropRepeatedLines(df, "doc_id", "text")
+        .select($"doc_id", $"cleaned".as("text"))
+      val cleaned1 = once.select("text").as[String].head()
+      val cleaned2 = graft.operators.Repetition.dropRepeatedLines(once, "doc_id", "text")
+        .select("cleaned").as[String].head()
+      val expected = {
+        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+        text.split("\n", -1).foreach(seen += _)
+        seen.mkString("\n")
+      }
+      cleaned1 == expected && cleaned2 == cleaned1
+    }, tests = 10)
+  }
 }
