@@ -206,4 +206,84 @@ object Kernels {
     }
     new GenericArrayData(out)
   }
+
+  // ------------------------------------------------------ per-doc text stats
+
+  /** One-pass line-repetition stats over a document:
+    * [n_lines, n_distinct_lines, total_chars, dup_chars] (chars = code
+    * points, matching SQL length()). Per-row — documents are rows, so the
+    * whole Gopher line-repetition filter needs NO shuffle. */
+  def lineStats(text: UTF8String): ArrayData = {
+    val lines = text.toString.split("\n", -1)
+    val counts = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < lines.length) {
+      counts.merge(lines(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    var distinct = 0L; var chars = 0L; var dupChars = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val len = e.getKey.codePointCount(0, e.getKey.length).toLong
+      val c = e.getValue
+      distinct += 1
+      chars += len * c
+      if (c > 1) dupChars += len * c
+    }
+    new GenericArrayData(Array(lines.length.toLong, distinct, chars, dupChars))
+  }
+
+  /** Keep the FIRST occurrence of every line, in order — per-row repeated-
+    * line scrub. */
+  def dropRepeatedLines(text: UTF8String): UTF8String = {
+    val lines = text.toString.split("\n", -1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < lines.length) { seen.add(lines(i)); i += 1 }
+    UTF8String.fromString(String.join("\n", seen))
+  }
+
+  /** Most frequent word n-gram in one pass: [countStr, covStr, gram] packed
+    * as (count, count*gramChars, gram) with the SAME argmax order as a
+    * struct max — (count, coverage, gram-binary-UTF8) — so results match the
+    * DataFrame/DuckDB struct-max formulations bit for bit. Returns null gram
+    * (count 0) when the doc has fewer than n tokens. Tokenization replicates
+    * SimilarityFunctions.tokens: trim, lowercase, split on \\s+. */
+  def topNgram(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val trimmed = text.toLowerCase.toString.replaceAll("^\\s+|\\s+$", "")
+    def empty = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](0L, 0L, null))
+    if (trimmed.isEmpty) return empty
+    val toks = trimmed.split("\\s+")
+    if (toks.length < n) return empty
+    val counts = new java.util.HashMap[String, Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      counts.merge(sb.toString, 1L, (a, b) => a + b)
+      i += 1
+    }
+    var bestC = -1L; var bestCov = -1L; var best: UTF8String = null
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val g = UTF8String.fromString(e.getKey)
+      val c = e.getValue
+      val cov = c * g.numChars()
+      if (c > bestC || (c == bestC && (cov > bestCov ||
+          (cov == bestCov && (best == null || g.compareTo(best) > 0))))) {
+        bestC = c; bestCov = cov; best = g
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestC, bestCov, best))
+  }
 }

@@ -1,0 +1,72 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native per-row text-repetition kernels (SURVEY.md LLM pack). Documents are
+  * rows, so repetition metrics/scrubs are per-row math: these expressions
+  * keep the whole Gopher filter family inside whole-stage codegen with ZERO
+  * shuffle — the explode+groupBy formulations in
+  * [[graft.operators.Repetition]] exist only as cross-check references
+  * (spec-asserted equal). */
+object TextStatsExpressions {
+
+  private val KernelsClass = "graft.functions.expressions.Kernels"
+
+  /** [n_lines, n_distinct_lines, total_chars, dup_chars] per document. */
+  case class LineStatsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.lineStats(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $KernelsClass.lineStats($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "line_stats"
+  }
+
+  /** Document with only the first occurrence of each line kept, in order. */
+  case class DropRepeatedLinesExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.dropRepeatedLines(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $KernelsClass.dropRepeatedLines($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "drop_repeated_lines"
+  }
+
+  /** struct(count, coverage, gram): the most frequent word n-gram under the
+    * (count, count×gramChars, gram) struct-max order; (0, 0, null) below n
+    * tokens. */
+  case class TopNgramExpr(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, "n must be >= 1")
+    override def dataType: DataType = StructType(Seq(
+      StructField("cnt", LongType, nullable = false),
+      StructField("cov", LongType, nullable = false),
+      StructField("gram", StringType, nullable = true)))
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.topNgram(input.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $KernelsClass.topNgram($c, $n);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "top_ngram"
+  }
+
+  def line_stats(text: Column): Column = column(LineStatsExpr(expression(text)))
+  def drop_repeated_lines(text: Column): Column =
+    column(DropRepeatedLinesExpr(expression(text)))
+  def top_ngram(text: Column, n: Int): Column = column(TopNgramExpr(expression(text), n))
+}

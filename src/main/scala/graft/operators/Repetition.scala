@@ -1,30 +1,75 @@
 package graft.operators
 
+import graft.functions.expressions.{TextStatsExpressions => TS}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Within-document repetition metrics — the Gopher-family quality filter for
-  * training corpora (a document whose text is mostly repeated lines is
-  * boilerplate/template spam and gets dropped before training). The reference
-  * ETL has no analog; this is part of the LLM-pipeline pack alongside
-  * dedup/quality/langid.
+/** Within-document repetition — the Gopher-family quality filters for
+  * training corpora (a document whose text is mostly repeated lines or one
+  * hammered n-gram is boilerplate/template spam and gets dropped before
+  * training). The reference ETL has no analog; this is part of the
+  * LLM-pipeline pack alongside dedup/quality/langid.
   *
   * Per document over its newline-split lines:
   *  - `n_lines`, `n_distinct_lines`
   *  - `dup_line_frac`  = (n_lines − n_distinct_lines) / n_lines
   *  - `dup_char_frac`  = chars in lines occurring >1× / total chars
+  * Plus the most frequent word n-gram and its character coverage, and the
+  * repeated-line scrub.
   *
-  * Scale shape: lines are EXPLODED then immediately reduced by
-  * (id, xxhash64(line)) — the shuffle carries (id, 8-byte hash, length, count)
-  * per DISTINCT line, never line text (same 2⁻⁶⁴-collision contract as the
-  * shingle pipeline). Two hash-partitioned aggregations on the doc id, no
-  * window, no driver state; a 100 TB corpus shuffles O(distinct lines) small
-  * rows. Map-side partial aggregation collapses a degenerate doc's repeated
-  * lines before the exchange, so boilerplate floods don't skew the shuffle.
-  */
+  * Scale shape: documents are ROWS, so all of this is per-row math — each
+  * operator is one native codegen'd kernel call
+  * ([[graft.functions.expressions.TextStatsExpressions]]) inside whole-stage
+  * codegen with ZERO shuffle; a 100 TB corpus runs these entirely map-side.
+  * The explode+groupBy formulations are kept below (`*ViaExplode`) purely as
+  * independent cross-check references — RepetitionSpec asserts equality with
+  * codegen fallback disabled. */
 object Repetition {
 
-  def lineRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def lineRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TS.line_stats(col(textCol)).as("__s"))
+      .select(col(idCol),
+        col("__s").getItem(0).as("n_lines"),
+        col("__s").getItem(1).as("n_distinct_lines"),
+        when(col("__s").getItem(0) > 0,
+          (col("__s").getItem(0) - col("__s").getItem(1)).cast("double") / col("__s").getItem(0))
+          .otherwise(0.0).as("dup_line_frac"),
+        when(col("__s").getItem(2) > 0,
+          col("__s").getItem(3).cast("double") / col("__s").getItem(2))
+          .otherwise(0.0).as("dup_char_frac"))
+
+  /** Repeated-line REMOVAL (the cleanse counterpart of [[lineRepetition]]):
+    * rebuild each document keeping only the FIRST occurrence of every line,
+    * in original order. Returns (id, cleaned). */
+  def dropRepeatedLines(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TS.drop_repeated_lines(col(textCol)).as("cleaned"))
+
+  /** Top word-n-gram character coverage — the other Gopher repetition rule
+    * ("fraction of characters in the most frequent word n-gram"; n=2..4 in
+    * the paper). Coverage of a gram = occurrences × gram length (incl. inner
+    * spaces), normalized by the doc's total character count; the reported
+    * gram is the deterministic argmax under the (count, coverage, gram)
+    * struct order — the same order DuckDB's struct max uses, so the oracle
+    * replicates tie-breaks exactly. Docs with fewer than n tokens report
+    * ('', 0, 0.0). */
+  def topNgramCharFrac(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 2): DataFrame =
+    df.select(col(idCol), length(col(textCol)).cast("long").as("__chars"),
+        TS.top_ngram(col(textCol), n).as("__top"))
+      .select(col(idCol),
+        coalesce(col("__top.gram"), lit("")).as("top_gram"),
+        col("__top.cnt").as("top_gram_count"),
+        when(col("__chars") > 0 && col("__top.gram").isNotNull,
+          col("__top.cov").cast("double") / col("__chars"))
+          .otherwise(0.0).as("top_gram_char_frac"))
+
+  // ------------------------------------------------ cross-check formulations
+
+  /** Reference implementation of [[lineRepetition]] via explode + two
+    * hash aggregations (the shuffle carries 8-byte line hashes, never text).
+    * Kept for spec cross-checks; the kernel path above needs no shuffle. */
+  private[graft] def lineRepetitionViaExplode(df: DataFrame, idCol: String,
+                                              textCol: String): DataFrame = {
     val lines = df.select(col(idCol),
         explode(split(col(textCol), "\n")).as("__line"))
       .select(col(idCol), xxhash64(col("__line")).as("__lh"),
@@ -47,55 +92,14 @@ object Repetition {
           .otherwise(0.0).as("dup_char_frac"))
   }
 
-  /** Repeated-line REMOVAL (the cleanse counterpart of [[lineRepetition]]):
-    * rebuild each document keeping only the FIRST occurrence of every line,
-    * in original order — the standard template/boilerplate scrub before
-    * training. Returns (id, cleaned).
-    *
-    * Scale shape: posexplode → min-position per (id, line) with map-side
-    * partial aggregation (a boilerplate flood collapses before the shuffle)
-    * → one per-id rebuild via array_sort over (position, line) structs
-    * (positions are unique, so the sort is total and collect_list's
-    * arrival-order nondeterminism is neutralized). Line text rides the
-    * shuffle here by necessity — the output IS the text. */
-  def dropRepeatedLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val lines = df.select(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("__p", "__l")))
-    val firsts = lines.groupBy(col(idCol), col("__l"))
-      .agg(min(col("__p")).as("__p"))
-    firsts.groupBy(col(idCol))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("__p"), col("__l")))),
-          s => s.getField("__l")),
-        "\n").as("cleaned"))
-  }
-
-  /** Top word-n-gram character coverage — the other Gopher repetition rule
-    * ("fraction of characters in the most frequent word n-gram"; n=2..4 in
-    * the paper). Coverage of a gram = occurrences × gram length (incl. inner
-    * spaces), normalized by the doc's total character count; the reported
-    * gram is the deterministic STRUCT MAX over (count, coverage, gram) —
-    * both Spark and DuckDB order structs lexicographically by field, so the
-    * oracle replicates the tie-break exactly. Docs with fewer than n tokens
-    * report ('', 0, 0.0).
-    *
-    * Scale shape: explode n-grams (string form — the gram itself is the
-    * output), one (id, gram) aggregation with map-side partial combine, then
-    * one per-id struct-max aggregation — never a window over the exploded
-    * frame. For a huge corpus pre-materialize the token array column (see
-    * SimilarityFunctions.wordShingles on HOF re-evaluation under
-    * CollapseProject). */
-  def topNgramCharFrac(df: DataFrame, idCol: String, textCol: String,
-                       n: Int = 2): DataFrame = {
+  /** Reference implementation of [[topNgramCharFrac]]: zipped-shifted-slice
+    * gram construction (NOT slice()-in-a-lambda, which re-evaluates the token
+    * array per element — O(tokens²)), two aggregations, struct max. */
+  private[graft] def topNgramViaExplode(df: DataFrame, idCol: String,
+                                        textCol: String, n: Int): DataFrame = {
     val ts = graft.functions.SimilarityFunctions.tokens(col(textCol))
     val base = df.select(col(idCol), length(col(textCol)).cast("long").as("__chars"),
       ts.as("__ts"))
-    // n-grams via ZIPPED SHIFTED SLICES, not slice()-inside-a-lambda: a
-    // lambda body referencing the token array re-evaluates the whole split()
-    // subtree per ELEMENT (no CSE across lambda boundaries — see
-    // SimilarityFunctions.wordShingles), turning gram construction O(tokens²).
-    // Slices are row-level (n evaluations of the array), the lambda touches
-    // only its own zipped element — linear.
     val cnt = size(col("__ts"))
     val m = cnt - (n - 1)
     val shifted = (0 until n).map(k => slice(col("__ts"), lit(k + 1), m).as(s"t$k"))

@@ -714,3 +714,44 @@ class DropRepeatedLinesSpec extends SparkSpec {
     assert(got(1) == ((2L, "only\nlines")))
   }
 }
+
+class RepetitionKernelCrossCheckSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Repetition
+
+  private val docs = Seq(
+    (1L, "aaa\nbbb\naaa\nccc"),
+    (2L, "  Mixed CASE tokens  with   runs\nmixed case tokens with runs"),
+    (3L, ""),
+    (4L, "solo"),
+    (5L, "x y x y x y z\nx y"),
+    (6L, "tab\tsep and\nnewlines\n\n\ndup\ndup")
+  ).toDF("doc_id", "text")
+
+  test("native line_stats kernel == explode+groupBy reference") {
+    val a = Repetition.lineRepetition(docs, "doc_id", "text").orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    val b = Repetition.lineRepetitionViaExplode(docs, "doc_id", "text").orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("native top_ngram kernel == explode+struct-max reference (incl. tie-breaks)") {
+    for (n <- Seq(2, 3)) {
+      val a = Repetition.topNgramCharFrac(docs, "doc_id", "text", n).orderBy("doc_id")
+        .as[(Long, String, Long, Double)].collect().toSeq
+      val b = Repetition.topNgramViaExplode(docs, "doc_id", "text", n).orderBy("doc_id")
+        .as[(Long, String, Long, Double)].collect().toSeq
+      assert(a == b, s"n=$n")
+    }
+  }
+
+  test("kernels run under real codegen on the documents corpus (no shuffle in plan)") {
+    val real = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val a = Repetition.lineRepetition(real, "doc_id", "text")
+    val b = Repetition.lineRepetitionViaExplode(real, "doc_id", "text")
+    assert(a.orderBy("doc_id").collect().toSeq == b.orderBy("doc_id").collect().toSeq)
+    // the kernel path must be shuffle-free
+    assert(!a.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+}
