@@ -166,6 +166,20 @@ object TransformRegistry {
       }
     }),
 
+    // Extension (LLM pack): within-document repeated-line scrub — keep the
+    // first occurrence of every line, in order (per-row native kernel,
+    // operators.Repetition semantics; no shuffle). Spec rows:
+    // {"field": ..., "target": ...?} — in place when no target.
+    "droprepeatedlines" -> ((df, spec, _) => {
+      val fields = spec.elems.map(s => (s.str("field").get, s.str("target")))
+      requireColumns(df, fields.map(_._1), "droprepeatedlines")
+      fields.foldLeft(df) { case (acc, (f, target)) =>
+        acc.withColumn(target.getOrElse(f),
+          graft.functions.expressions.TextStatsExpressions
+            .drop_repeated_lines(col(f)))
+      }
+    }),
+
     // J1 lookup — via the local lookup store.
     "lookup" -> ((df, spec, ctx) => {
       spec.elems.foldLeft(df) { (acc, s) =>

@@ -136,4 +136,17 @@ class TransformRegistrySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no registered function"))
   }
+
+  test("droprepeatedlines scrubs via the config dialect, in place or to a target") {
+    val df = Seq((1L, "h\nb\nh\nt")).toDF("id", "text")
+    val spec = Specs.datasetSpec(Specs.parseJson(
+      """{"transform_spec": {"droprepeatedlines": [{"field": "text", "target": "clean"}]}}"""))
+    val out = TransformRegistry.applyAll(df, spec.transformSpec, ctx)
+    assert(out.select("clean").as[String].head() == "h\nb\nt")
+    assert(out.select("text").as[String].head() == "h\nb\nh\nt")
+    val spec2 = Specs.datasetSpec(Specs.parseJson(
+      """{"transform_spec": {"droprepeatedlines": [{"field": "text"}]}}"""))
+    val out2 = TransformRegistry.applyAll(df, spec2.transformSpec, ctx)
+    assert(out2.select("text").as[String].head() == "h\nb\nt")
+  }
 }
