@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.expressions.HashExpressions._
+import graft.functions.expressions.TextStatsExpressions.{DropRepeatedLinesExpr, LineStatsExpr, TopNgramExpr}
 import graft.functions.SimilarityFunctions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -45,6 +46,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("jaro_winkler"),
       info("jaro_winkler", "jaro_winkler(a, b) — Jaro-Winkler similarity in [0,1]"),
       (args: Seq[Expression]) => JaroWinklerExpr(args.head, args(1))))
+
+    ext.injectFunction((FunctionIdentifier("line_stats"),
+      info("line_stats", "line_stats(text) — [n_lines, n_distinct, chars, dup_chars]"),
+      (args: Seq[Expression]) => LineStatsExpr(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("drop_repeated_lines"),
+      info("drop_repeated_lines", "drop_repeated_lines(text) — first occurrence of each line, in order"),
+      (args: Seq[Expression]) => DropRepeatedLinesExpr(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("top_ngram"),
+      info("top_ngram", "top_ngram(text, n) — struct(cnt, cov, gram) of the most frequent word n-gram"),
+      (args: Seq[Expression]) => TopNgramExpr(args.head, intArg(args(1)))))
   }
 
   private def intArg(e: Expression): Int = e.eval(null) match {
@@ -72,5 +85,11 @@ object GraftExtensions {
       args => DotProductExpr(args.head, args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("jaro_winkler",
       args => JaroWinklerExpr(args.head, args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("line_stats",
+      args => LineStatsExpr(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("drop_repeated_lines",
+      args => DropRepeatedLinesExpr(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("top_ngram",
+      args => TopNgramExpr(args.head, args(1).eval(null).toString.toInt), "scala_udf")
   }
 }

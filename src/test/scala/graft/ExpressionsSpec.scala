@@ -112,6 +112,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getLong(0) != 0L)
     assert(row.getSeq[Long](1).length == 16)
     assert(math.abs(row.getDouble(2) - 0.9611) < 1e-3)
+    val rep = spark.sql(
+      """SELECT line_stats('a\na\nb') AS ls,
+               drop_repeated_lines('a\na\nb') AS dl,
+               top_ngram('x y x y', 2) AS tg""").head()
+    assert(rep.getSeq[Long](0) == Seq(3L, 2L, 3L, 2L))
+    assert(rep.getString(1) == "a\nb")
+    assert(rep.getStruct(2).getString(2) == "x y")
   }
 
   test("extensions class wires into a session via spark.sql.extensions") {
