@@ -61,6 +61,10 @@ object Bench {
       base.limit(1000).withColumn("p", (col("id") % 2).cast("int"))
         .write.mode("overwrite").partitionBy("p").saveAsTable("graft_warmup.w")
       spark.sql("DROP TABLE graft_warmup.w")
+      // one-time fixture staging (CSV feed, event stream, format files,
+      // lookup store): queries re-use staged dirs, so whichever query ran
+      // first was otherwise also timing a fixture write
+      graft.queries.PipelineQueries.stageFixtures(spark, sfDir)
     } catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
