@@ -184,6 +184,40 @@ object TextQueries {
         .orderBy(col("media_id"), col("frame_no"))
     }),
 
+    // FLAGSHIP composed curation pipeline — the full training-data recipe as
+    // one oracle-checked query: repetition filter (planted boilerplate on
+    // every 7th doc) → token-count band → normalized-fingerprint dedup →
+    // exact-13-gram decontamination vs the q80 benchmark windows →
+    // deterministic 80/10/10 split. Every stage is an already-proven
+    // operator; the DuckDB oracle chains the same proven fragments.
+    "q84_curation_pipeline" -> ((s, d) => {
+      import graft.operators.{Dedup, Repetition, Sampling}
+      val docs0 = Tables(s, d, "documents")
+      val docs = docs0.withColumn("text2",
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), repeat(concat(lit("\n"), substring(col("text"), 1, 40)), 5)))
+          .otherwise(col("text")))
+      val keepRep = Repetition.lineRepetition(docs, "doc_id", "text2")
+        .filter(col("dup_line_frac") <= 0.3).select("doc_id")
+      val kept = docs0.join(keepRep, Seq("doc_id"), "left_semi")
+        .withColumn("n_tokens", T.tokenCount(col("text")).cast(LongType))
+        .filter(col("n_tokens").between(20, 2000))
+      val withFp = kept.withColumn("fp", T.fingerprint(col("text")))
+      val minIds = withFp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      val deduped = withFp.join(minIds, Seq("fp", "doc_id"), "left_semi")
+      val bench = docs0.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id"),
+          array_join(slice(S.tokens(col("text")), 3, 30), " ").as("text"))
+      val contaminated = Dedup.ngramOverlapJoin(
+          deduped.select(col("doc_id"), col("text")), bench, "text", "doc_id", n = 13)
+        .select(col("id_l").as("doc_id")).distinct()
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      Sampling.splitByHash(clean, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("n_tokens"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL image decode, fully oracle-checked: synthetic 8×8 PNGs (gray
     // pixel = (id·31 + y·8 + x) mod 256, generated in executors) round-trip
     // losslessly through javax.imageio; per-row means use v/256.0 doubles
@@ -432,6 +466,62 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q84_curation_pipeline" -> """
+      WITH d AS (
+        SELECT doc_id, text,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || repeat(chr(10) || substring(text, 1, 40), 5)
+                    ELSE text END AS text2
+        FROM documents),
+      lrep AS (
+        SELECT doc_id FROM (
+          SELECT doc_id, line, count(*) AS c FROM (
+            SELECT doc_id, unnest(string_split(text2, chr(10))) AS line FROM d)
+          GROUP BY 1, 2)
+        GROUP BY doc_id
+        HAVING CAST(sum(c) - count(*) AS DOUBLE) / sum(c) <= 0.3),
+      tok AS (
+        SELECT d.doc_id, d.text,
+               CASE WHEN regexp_replace(d.text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                    ELSE len(regexp_split_to_array(regexp_replace(d.text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens
+        FROM d JOIN lrep USING (doc_id)),
+      filt AS (SELECT * FROM tok WHERE n_tokens BETWEEN 20 AND 2000),
+      fp AS (SELECT doc_id, text, n_tokens,
+                    sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+             FROM filt),
+      dedup AS (
+        SELECT fp.* FROM fp
+        JOIN (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f) m USING (f, doc_id)),
+      tokz AS (
+        SELECT doc_id,
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') END AS t
+        FROM dedup),
+      cg AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 11),
+                 i -> array_to_string(t[i:i+12], ' ')))) AS g
+        FROM tokz WHERE len(t) >= 13),
+      btok AS (
+        SELECT doc_id,
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') END AS t
+        FROM documents WHERE doc_id % 25 = 0),
+      bg AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t[3:32]) - 11),
+                 i -> array_to_string((t[3:32])[i:i+12], ' ')))) AS g
+        FROM btok WHERE len(t[3:32]) >= 13),
+      contaminated AS (SELECT DISTINCT c.doc_id FROM cg c JOIN bg b USING (g)),
+      clean AS (
+        SELECT doc_id, n_tokens FROM dedup
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CASE WHEN b < 52429 THEN 'train'
+                  WHEN b < 58982 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, n_tokens,
+              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS b
+            FROM clean)
+      ORDER BY doc_id""",
     "q83_drop_repeated_lines" -> """
       WITH d AS (
         SELECT doc_id,
