@@ -45,21 +45,24 @@ object HiveParquetFormat extends TableFormat {
         .collect().map(_.name).toSeq
       catch { case _: Exception => Seq.empty }
     // The drained-partition DROP below serializes partition values as SQL
-    // literals via toString; that round-trips exactly only for string and
-    // integral keys (Timestamp.toString, e.g. '2024-01-01 00:00:00.0', may
-    // not cast back to the stored partition value, turning DROP IF EXISTS
-    // into a silent no-op that leaves a stale duplicate key). Fail fast
-    // rather than corrupt silently.
+    // literals via toString; that round-trips exactly for string, integral
+    // and DATE keys (java.sql.Date.toString is the ISO 'yyyy-MM-dd' form
+    // partition specs parse) but NOT in general for timestamp/decimal/float
+    // (Timestamp.toString, e.g. '2024-01-01 00:00:00.0', may not cast back
+    // to the stored partition value, turning DROP IF EXISTS into a silent
+    // no-op that leaves a stale duplicate key). Fail fast rather than
+    // corrupt silently.
     partCols.foreach { c =>
       val dt = primary.schema(c).dataType
       import org.apache.spark.sql.types._
       val ok = dt match {
-        case StringType | ByteType | ShortType | IntegerType | LongType => true
+        case StringType | ByteType | ShortType | IntegerType | LongType | DateType => true
         case _ => false
       }
       require(ok, s"partition column '$c' has type ${dt.simpleString}; " +
-        "only string and integral partition keys are supported (date/timestamp " +
-        "values do not round-trip through DROP PARTITION literals)")
+        "only string, integral and date partition keys are supported " +
+        "(timestamp/decimal/float values do not round-trip through DROP " +
+        "PARTITION literals)")
     }
     if (partCols.isEmpty) {
       val kept = primary.join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")

@@ -170,18 +170,22 @@ object Ann {
     * recall, more compute). Multi-probe: also probe buckets at hamming
     * distance 1 when `probe1` (flips each bit once → planes+1 probes/query).
     *
-    * `maxBucketSize` is the skew guard: a degenerate corpus bucket (e.g. a
-    * flood of boilerplate embeddings sharing all sign bits) would otherwise
-    * multiply EVERY query probing it by the flood size. Membership is capped
-    * by a deterministic hash-ordered sample of the bucket (row_number over
-    * xxhash64(id)) — unbiased, reproducible, and for a flood of
-    * near-identical vectors the survivors score the same cosine anyway, so
-    * top-k quality is preserved while the join stays bounded at
-    * buckets × maxBucketSize candidates. Pass 0 to disable. */
+    * `maxBucketSize` is an OPT-IN skew guard (default 0 = off): a degenerate
+    * corpus bucket (e.g. a flood of boilerplate embeddings sharing all sign
+    * bits) would otherwise multiply EVERY query probing it by the flood
+    * size. When set, membership is capped by a deterministic hash-ordered
+    * sample of the bucket (row_number over xxhash64(id)). UNLIKE the
+    * pair-generation chain guard (Dedup.guardedBucketPairs), a capped row
+    * here appears in NO candidate at all — on a uniform corpus with only
+    * 2^planes buckets the cap binds once rows ≫ 2^planes × cap and recall
+    * collapses silently. Leave it off unless a flood is known; size it
+    * against corpus/2^planes, and prefer more `planes` for routine bucket
+    * slimming (the flood case is exactly where near-identical survivors
+    * score the same cosine, which is why the sample is sound THERE). */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, queryIdCol: String,
               dim: Int, k: Int, planes: Int = 10, probe1: Boolean = true,
-              maxBucketSize: Int = 4096): DataFrame = {
+              maxBucketSize: Int = 0): DataFrame = {
     val c0 = corpus.select(col(idCol), col(vecCol).as("__cv"))
       .withColumn("bucket", hyperplaneBucket(col("__cv"), dim, planes))
     val c =

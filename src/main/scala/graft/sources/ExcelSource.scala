@@ -23,6 +23,12 @@ import scala.collection.mutable.ArrayBuffer
   * (the cached `<v>`), booleans (t="b" → "true"/"false"). Dates appear as
   * their raw serial numbers (style-table date detection is out of scope —
   * the reference's own date transform parses strings anyway). */
+/** Requested sheet absent from the workbook — distinguished from other
+  * config errors so the `sheet_names` try-list can retry the NEXT candidate
+  * on this and ONLY this failure (a bad dataAddress must surface, not be
+  * misreported as "no sheet found"). */
+class SheetNotFoundException(msg: String) extends IllegalArgumentException(msg)
+
 object ExcelSource {
 
   /** One parsed `dataAddress` range: 0-based start cell, optional inclusive
@@ -169,9 +175,11 @@ object ExcelSource {
     val chosen = sheet match {
       case Some(n) => sheets.find(_.getAttribute("name") == n)
         // the reference's default sheet_names is ['0'] — an all-digit name
-        // with no exact match is a 0-based sheet INDEX
-        .orElse(if (n.nonEmpty && n.forall(_.isDigit)) sheets.lift(n.toInt) else None)
-        .getOrElse(throw new IllegalArgumentException(
+        // with no exact match is a 0-based sheet INDEX (toIntOption: a
+        // digit string beyond Int range falls through to the informative
+        // not-found error, not a NumberFormatException)
+        .orElse(n.toIntOption.filter(_ >= 0).flatMap(sheets.lift))
+        .getOrElse(throw new SheetNotFoundException(
           s"sheet '$n' not found; has: ${sheets.map(_.getAttribute("name")).mkString(", ")}"))
       case None => sheets.head
     }

@@ -60,9 +60,12 @@ object Sources {
       if (candidates.isEmpty)
         ExcelSource.read(spark, path, None, header, dataAddress)
       else {
+        // retry ONLY on sheet-not-found (the reference's except-pass loop
+        // semantics); any other failure — bad dataAddress, corrupt workbook —
+        // is a real error and must surface as itself
         val attempts = candidates.iterator.map { s =>
           try Right(ExcelSource.read(spark, path, Some(s), header, dataAddress))
-          catch { case e: IllegalArgumentException => Left(e.getMessage) }
+          catch { case e: SheetNotFoundException => Left(e.getMessage) }
         }
         attempts.collectFirst { case Right(df) => df }.getOrElse(
           throw new IllegalArgumentException(

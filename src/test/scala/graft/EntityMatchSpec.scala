@@ -179,6 +179,28 @@ class EntityMatchSpec extends SparkSpec {
       .select("email").as[String].head() == "seam@x.com")
   }
 
+  test("date-partitioned primary: upsert merges and drained-partition DROP round-trips") {
+    val db = s"emdbdate${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val table = s"$db.primary_date"
+    // C1→2024-01-01, C2→2024-02-01, C3→2024-03-01 (one partition each)
+    primaryDf.withColumn("load_date",
+        to_date(concat(lit("2024-0"), substring(col("customerno"), 2, 1), lit("-01"))))
+      .write.partitionBy("load_date").saveAsTable(table)
+    // g-3's only row moves to a different load_date: exercises BOTH the
+    // dynamic overwrite and the drained-partition DROP with a DATE literal
+    val incoming = Seq(
+      ("C3", "A01", "g-3", "carol", "1970-10-10", "30003", "555-3333", "c@x.com", "2024-04-01")
+    ).toDF("customerno", "srcsystemid", "globalid", "firstname", "dob", "zip", "phone", "email", "lastupdated")
+      .withColumn("load_date", to_date(lit("2024-01-01")))
+    EntityMatch.upsert(spark, table, incoming, mkSpec(table))
+    val primary = spark.table(table)
+    assert(primary.count() == 3)
+    assert(primary.filter(col("globalid") === "g-3").count() == 1)
+    assert(primary.filter(col("globalid") === "g-3")
+      .select("load_date").as[java.sql.Date].head().toString == "2024-01-01")
+  }
+
   test("SqlMergeFormat emits the reference's MERGE statement shape") {
     val sql = graft.catalog.SqlMergeFormat.mergeSql("db.entity_primary", "src_v", "global`id")
     assert(sql.contains("MERGE INTO db.entity_primary t"))
