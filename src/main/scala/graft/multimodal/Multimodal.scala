@@ -146,6 +146,34 @@ object Multimodal {
     StructField("y", LongType),
     StructField("row_mean", DoubleType)))
 
+  val windowMeanSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("sample_rate", LongType),
+    StructField("window_no", LongType),
+    StructField("window_mean", DoubleType)))
+
+  /** REAL audio decode, oracle-able: per fixed-size sample window, the mean
+    * of the PCM16 samples as v/32768.0 doubles (exact in binary — an
+    * external oracle that knows the samples reproduces these bit-for-bit).
+    * One output row per full window; undecodable/compressed blobs emit
+    * nothing (their codecs aren't in the JDK — see
+    * [[AudioWavCodec.decodePcm16Mono]]). */
+  def audioWindowMeans(media: DataFrame, windowSize: Int = 64,
+                       batchSize: Int = 64): DataFrame =
+    mapBatched(media.select("media_id", "content"), batchSize, windowMeanSchema) { batch =>
+      batch.iterator.flatMap { r =>
+        val id = r.getLong(0)
+        val content = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        AudioWavCodec.decodePcm16Mono(content).iterator.flatMap { case (rate, samples) =>
+          (0 until samples.length / windowSize).iterator.map { w =>
+            var acc = 0.0; var i = w * windowSize
+            while (i < (w + 1) * windowSize) { acc += samples(i); i += 1 }
+            Row(id, rate.toLong, w.toLong, acc / windowSize)
+          }
+        }
+      }
+    }
+
   /** REAL decode, oracle-able: per image row y, the mean of the red channel
     * as v/256.0 doubles (exact in binary — sums are order-independent, so an
     * external oracle that knows the pixel values reproduces these bit-for-

@@ -240,6 +240,27 @@ object TextQueries {
         .orderBy(col("media_id"), col("y"))
     }),
 
+    // REAL audio decode, fully oracle-checked: synthetic PCM16 WAV tones
+    // (sample i = (id·31 + i) mod 65536 − 32768, generated in executors)
+    // round-trip losslessly through javax.sound; 64-sample window means use
+    // v/32768.0 doubles (exact, order-independent sums) so the oracle
+    // predicts decoded values in closed form.
+    "q85_audio_decode" -> ((s, d) => {
+      import graft.multimodal.{AudioWavCodec, Multimodal}
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+      val ids = Tables(s, d, "documents")
+        .select(col("doc_id").cast(LongType).as("media_id"))
+      val mediaSchema = StructType(Seq(
+        StructField("media_id", LongType), StructField("content", BinaryType)))
+      val media = Multimodal.mapBatched(ids, 64, mediaSchema) { batch =>
+        batch.iterator.map(r =>
+          Row(r.getLong(0), AudioWavCodec.testTone(r.getLong(0), nSamples = 256)))
+      }
+      Multimodal.audioWindowMeans(media, windowSize = 64)
+        .orderBy(col("media_id"), col("window_no"))
+    }),
+
     // Dedup clustering: near-dup pairs (blocked unigram jaccard, same
     // semantics as q25 but via the exact prefix-filtering join) → connected
     // components via min-label propagation; every doc reports its cluster id.
@@ -466,6 +487,18 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q85_audio_decode" -> """
+      WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents),
+      g AS (
+        SELECT media_id, w, i
+        FROM ids,
+             (SELECT unnest(range(0, 4)) AS w) ww,
+             (SELECT unnest(range(0, 64)) AS i) ii)
+      SELECT media_id,
+             CAST(8000 AS BIGINT) AS sample_rate,
+             CAST(w AS BIGINT) AS window_no,
+             sum(((media_id * 31 + w * 64 + i) % 65536 - 32768) / 32768.0) / 64 AS window_mean
+      FROM g GROUP BY media_id, w ORDER BY media_id, window_no""",
     "q84_curation_pipeline" -> """
       WITH d AS (
         SELECT doc_id, text,

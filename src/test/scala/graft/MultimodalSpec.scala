@@ -122,3 +122,33 @@ class ImageIoCodecSpec extends SparkSpec {
     assert(a.head._3 == expected.toSeq)
   }
 }
+
+class AudioWavCodecSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.multimodal.{AudioWavCodec, Multimodal}
+
+  test("WAV test tone round-trips losslessly through javax.sound") {
+    val wav = AudioWavCodec.testTone(seed = 3, nSamples = 128)
+    val Some((rate, samples)) = AudioWavCodec.decodePcm16Mono(wav)
+    assert(rate == 8000 && samples.length == 128)
+    for (i <- 0 until 128)
+      assert(samples(i) == ((3 * 31 + i) % 65536 - 32768) / 32768.0)
+  }
+
+  test("audioWindowMeans decodes real WAVs through the batched plumbing; non-audio emits nothing") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    val rows = Seq(
+      Row(1L, AudioWavCodec.testTone(1, 128)),
+      Row(2L, "definitely not audio".getBytes("UTF-8")))
+    val media = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = Multimodal.audioWindowMeans(media, windowSize = 64)
+      .orderBy("media_id", "window_no")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length == 2 && out.forall(_._1 == 1L))
+    val expected0 = (0 until 64).map(i => ((1 * 31 + i) % 65536 - 32768) / 32768.0).sum / 64
+    assert(out(0)._4 == expected0)
+  }
+}
