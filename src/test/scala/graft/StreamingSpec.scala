@@ -141,3 +141,30 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(s"$db.cleansed").count() == 3)
   }
 }
+
+class StreamingDqSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DQ quarantine inside a streaming drain equals the batch split") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dq")
+    java.nio.file.Files.writeString(dir.resolve("f1.csv"),
+      "id,amount\n1,50\n2,5\n3,75\n")
+    java.nio.file.Files.writeString(dir.resolve("f2.csv"),
+      "id,amount\n4,3\n5,90\n")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_dq_ck")
+    val rules = Seq("ColumnValues 'amount' >= 10")
+    var passed = 0L; var failed = 0L
+    val q = StreamingOps.fileArrivalPipeline(spark, dir.toString, "csv",
+      "id INT, amount INT", ckpt.toString, Map("header" -> "true")) { (batch, _) =>
+      // the DQ engine is batch-agnostic: foreachBatch hands it a plain
+      // DataFrame, so the same DQDL rules run per micro-batch
+      val r = new graft.dq.DqEngine().runQuarantine(batch, rules)
+      passed += r.passed.count(); failed += r.failed.count()
+    }
+    q.awaitTermination()
+    val all = Seq((1, 50), (2, 5), (3, 75), (4, 3), (5, 90)).toDF("id", "amount")
+    val batchRef = new graft.dq.DqEngine().runQuarantine(all, rules)
+    assert(passed == batchRef.passed.count())
+    assert(failed == batchRef.failed.count())
+  }
+}
