@@ -16,6 +16,11 @@ import javax.imageio.ImageIO
   * of per-row means are order-independent and bit-exact across engines. */
 object ImageIoCodec {
 
+  // in-memory stream cache: the default disk cache writes a temp file per
+  // decode, pointless overhead (and tmp-dir churn) for byte-array payloads
+  // on executors
+  ImageIO.setUseCache(false)
+
   def decodeImage(content: Array[Byte]): Option[BufferedImage] =
     if (content == null || content.isEmpty) None
     else

@@ -204,7 +204,11 @@ object TextQueries {
         .filter(col("n_tokens").between(20, 2000))
       val withFp = kept.withColumn("fp", T.fingerprint(col("text")))
       val minIds = withFp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      // deduped feeds THREE consumers (gram generation, the anti-join's left
+      // side, the final projection) — materialize once or the filter+dedup
+      // subtree re-executes per consumer
       val deduped = withFp.join(minIds, Seq("fp", "doc_id"), "left_semi")
+        .localCheckpoint(true)
       val bench = docs0.filter(pmod(col("doc_id"), lit(25)) === 0)
         .select(col("doc_id"),
           array_join(slice(S.tokens(col("text")), 3, 30), " ").as("text"))
