@@ -132,11 +132,22 @@ object ScaleCheck {
           r.passed.count() + r.failed.count() }))
     }
 
-    // Repetition metrics: hash-reduced explode — runtime must track input
-    // lines (~Nx), with map-side combine absorbing duplicate-line floods.
+    // Repetition metrics: per-row kernel — runtime must track input (~Nx),
+    // zero shuffle.
     Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
       timed(s"line repetition metrics $tag")(((),
         operators.Repetition.lineRepetition(df, "doc_id", "text").count()))
+    }
+
+    // 13-gram decontamination: per-doc distinct gram hashes against a
+    // broadcast bench side — runtime must track corpus size (~Nx), never
+    // corpus × bench.
+    val benchDocs = docs.filter(col("doc_id") % 25 === 0).select(col("doc_id"),
+      array_join(slice(S.tokens(col("text")), 3, 30), " ").as("text"))
+    Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+      timed(s"13-gram decontamination $tag")(((),
+        operators.Dedup.ngramOverlapJoin(df.select(col("doc_id"), col("text")),
+          benchDocs, "text", "doc_id", n = 13).count()))
     }
     spark.stop()
   }

@@ -119,9 +119,10 @@ object Multimodal {
     StructField("embedding", ArrayType(FloatType, containsNull = false))))
 
   /** Decode + feature-extract in batches: each blob → fixed-dim embedding
-    * (decode + mean-pool). Real JDK image decode when the bytes ARE an image
-    * (resized to 4×dim luminance); stub otherwise. The shape users swap a
-    * real model into. */
+    * (decode + mean-pool). Real JDK decode when the bytes ARE an image
+    * (resized to 4×dim luminance) or a PCM WAV (first 4×dim samples,
+    * zero-padded, shifted to [0,1)); stub for everything else. The shape
+    * users swap a real model into. */
   def featurize(media: DataFrame, dim: Int = 16, batchSize: Int = 64): DataFrame =
     mapBatched(media.select("media_id", "content"), batchSize, featureSchema) { batch =>
       // whole-batch hook: a real impl would run one vectorized model call here
@@ -129,6 +130,10 @@ object Multimodal {
         val id = r.getLong(0)
         val content = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
         val px = ImageIoCodec.decodeGray(content, 4, dim)
+          .orElse(AudioWavCodec.decodePcm16Mono(content).map { case (_, samples) =>
+            Array.tabulate(dim * 4)(i =>
+              if (i < samples.length) ((samples(i) + 1.0) / 2.0).toFloat else 0.0f)
+          })
           .getOrElse(StubCodec.decode(content, dim * 4))
         val emb = Array.tabulate(dim) { d =>
           var acc = 0.0f; var i = d * 4

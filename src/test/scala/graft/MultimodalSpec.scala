@@ -152,3 +152,32 @@ class AudioWavCodecSpec extends SparkSpec {
     assert(out(0)._4 == expected0)
   }
 }
+
+class FeaturizeFallbackChainSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.multimodal.{AudioWavCodec, ImageIoCodec, Multimodal}
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  test("featurize routes image -> imageio, wav -> pcm, other -> stub, all deterministic") {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    val rows = Seq(
+      Row(1L, ImageIoCodec.testPattern(5, 8, 8)),
+      Row(2L, AudioWavCodec.testTone(5, 128)),
+      Row(3L, "neither image nor audio".getBytes("UTF-8")))
+    def run() = Multimodal.featurize(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), schema), dim = 4)
+      .orderBy("media_id").as[(Long, Int, Seq[Float])].collect().toSeq
+    val a = run()
+    assert(a == run())
+    // audio path: embedding d pools samples 4d..4d+3, shifted to [0,1)
+    val Some((_, samples)) = AudioWavCodec.decodePcm16Mono(AudioWavCodec.testTone(5, 128))
+    val expectedAudio = Array.tabulate(4) { d =>
+      (0 until 4).map(j => ((samples(d * 4 + j) + 1.0) / 2.0).toFloat).sum / 4.0f
+    }
+    assert(a(1)._3 == expectedAudio.toSeq)
+    // the three payloads take three DIFFERENT paths -> distinct embeddings
+    assert(Set(a(0)._3, a(1)._3, a(2)._3).size == 3)
+  }
+}

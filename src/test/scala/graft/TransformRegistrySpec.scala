@@ -149,4 +149,17 @@ class TransformRegistrySpec extends SparkSpec {
     val out2 = TransformRegistry.applyAll(df, spec2.transformSpec, ctx)
     assert(out2.select("text").as[String].head() == "h\nb\nt")
   }
+
+  test("filterrows + registered SQL kernels = config-driven quality filtering") {
+    GraftExtensions.register(spark)
+    val df = Seq(
+      (1L, "good line\nother line"),          // no repeated lines -> kept
+      (2L, "dup\ndup\ndup\ndup")            // 75% duplicate lines -> dropped
+    ).toDF("id", "text")
+    val spec = Specs.datasetSpec(Specs.parseJson(
+      """{"transform_spec": {"filterrows": [{"condition":
+           "(line_stats(text)[0] - line_stats(text)[1]) / CAST(line_stats(text)[0] AS DOUBLE) <= 0.3"}]}}"""))
+    val out = TransformRegistry.applyAll(df, spec.transformSpec, ctx)
+    assert(out.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
 }
