@@ -136,10 +136,11 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // Embedding near-dup pairs via hyperplane LSH + exact cosine (rows-only).
+    // Embedding near-dup pairs via BANDED hyperplane LSH + exact cosine
+    // verification (rows-only; recall vs brute force is spec-asserted).
     "q30_embedding_neardup" -> ((s, d) => {
       Dedup.embeddingNearDupPairs(Tables(s, d, "embeddings"), "embedding", "vec_id",
-          dim = 64, planes = 6, threshold = 0.1)
+          dim = 64, planesPerBand = 6, bands = 4, threshold = 0.1)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
         .orderBy(col("id_a"), col("id_b"))
     }),
