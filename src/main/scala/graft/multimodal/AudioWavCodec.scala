@@ -17,8 +17,15 @@ object AudioWavCodec {
   /** Decode a WAV payload to (sampleRate, samples in [-1,1)). Only PCM_SIGNED
     * 16-bit mono is extracted (the synthesizable, exactly-normalizable case);
     * anything else → None (callers fall back to the stub). */
+  /** Magic-byte sniff ('RIFF....WAVE') before the AudioSystem probe — same
+    * rationale as [[ImageIoCodec.looksLikeImage]]. */
+  def looksLikeWav(c: Array[Byte]): Boolean =
+    c != null && c.length >= 12 &&
+      c(0) == 'R' && c(1) == 'I' && c(2) == 'F' && c(3) == 'F' &&
+      c(8) == 'W' && c(9) == 'A' && c(10) == 'V' && c(11) == 'E'
+
   def decodePcm16Mono(content: Array[Byte]): Option[(Int, Array[Double])] = {
-    if (content == null || content.isEmpty) return None
+    if (!looksLikeWav(content)) return None
     try {
       val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(content))
       try {
