@@ -63,6 +63,34 @@ object Repetition {
           col("__top.cov").cast("double") / col("__chars"))
           .otherwise(0.0).as("top_gram_char_frac"))
 
+  /** CORPUS-level repeated-line dedup (the C4/RefinedWeb recipe): across ALL
+    * documents, every distinct line survives exactly once — in the document
+    * where it first appears (min (doc, position) order) — and each document is
+    * rebuilt from its surviving lines in original order. Unlike the per-row
+    * [[dropRepeatedLines]], this is genuinely corpus-global state (the
+    * boilerplate being scrubbed repeats ACROSS pages), so it shuffles:
+    * explode → keep-first per line via one aggregation + semi-join (map-side
+    * partial min collapses floods before the exchange) → per-doc ordered
+    * rebuild. Documents whose every line was claimed elsewhere come back as
+    * empty strings, not dropped — callers filter on length if they want
+    * removal. Returns (id, cleaned). */
+  def dropRepeatedLinesCorpus(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__p", "__l")))
+    val firstInstance = lines.groupBy(col("__l"))
+      .agg(min(struct(col(idCol), col("__p"))).as("__first"))
+      .select(col("__l"), col("__first").getField(idCol).as(idCol),
+        col("__first").getField("__p").as("__p"))
+    val kept = lines.join(firstInstance, Seq("__l", idCol, "__p"), "left_semi")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__p"), col("__l")))),
+          s => s.getField("__l")),
+        "\n").as("cleaned"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   // ------------------------------------------------ cross-check formulations
 
   /** Reference implementation of [[lineRepetition]] via explode + two

@@ -409,6 +409,19 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CORPUS-level line dedup (C4/RefinedWeb recipe): a shared boilerplate
+    // line is planted on EVERY doc plus a per-doc unique line; across the
+    // corpus the boilerplate must survive only in the first document (min
+    // (doc, position)), every other doc keeps its unique content.
+    "q86_corpus_line_dedup" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("text2", concat(col("text"),
+          lit("\nSTANDARD DISCLAIMER APPLIES"),
+          lit("\nref "), substring(col("text"), 1, 20)))
+      graft.operators.Repetition.dropRepeatedLinesCorpus(docs, "doc_id", "text2")
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher top-bigram character coverage; every 4th doc gets a planted
     // repeated bigram so argmax + fraction paths are non-trivial. Struct-max
     // tie-break replicated exactly by the oracle.
@@ -560,6 +573,25 @@ object TextQueries {
               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS b
             FROM clean)
       ORDER BY doc_id""",
+    "q86_corpus_line_dedup" -> """
+      WITH d AS (
+        SELECT doc_id,
+               text || chr(10) || 'STANDARD DISCLAIMER APPLIES'
+                    || chr(10) || 'ref ' || substring(text, 1, 20) AS text2
+        FROM documents),
+      base AS (SELECT doc_id, string_split(text2, chr(10)) AS ls FROM d),
+      pos AS (SELECT doc_id, i, ls[i] AS line
+              FROM base, unnest(range(1, len(ls) + 1)) AS r(i)),
+      keep AS (
+        SELECT doc_id, i, line FROM (
+          SELECT doc_id, i, line,
+                 row_number() OVER (PARTITION BY line ORDER BY doc_id, i) AS rn
+          FROM pos)
+        WHERE rn = 1)
+      SELECT b.doc_id,
+             COALESCE(string_agg(k.line, chr(10) ORDER BY k.i), '') AS cleaned
+      FROM base b LEFT JOIN keep k USING (doc_id)
+      GROUP BY b.doc_id ORDER BY b.doc_id""",
     "q83_drop_repeated_lines" -> """
       WITH d AS (
         SELECT doc_id,

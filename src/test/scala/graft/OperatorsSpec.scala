@@ -789,3 +789,28 @@ class EmbeddingNearDupRecallSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall (${lsh.size}/${brute.size})")
   }
 }
+
+class CorpusLineDedupSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Repetition
+
+  test("corpus-level keep-first: shared boilerplate survives only in the earliest doc") {
+    val df = Seq(
+      (1L, "unique one\nBOILER\ntail one"),
+      (2L, "BOILER\nunique two"),
+      (3L, "BOILER")                      // everything claimed elsewhere
+    ).toDF("doc_id", "text")
+    val got = Repetition.dropRepeatedLinesCorpus(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got(0) == ((1L, "unique one\nBOILER\ntail one")))
+    assert(got(1) == ((2L, "unique two")))
+    assert(got(2) == ((3L, "")))          // emptied, not dropped
+  }
+
+  test("within-doc repeats also collapse to the first instance corpus-wide") {
+    val df = Seq((5L, "a\na\nb"), (6L, "b\nc")).toDF("doc_id", "text")
+    val got = Repetition.dropRepeatedLinesCorpus(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((5L, "a\nb"), (6L, "c")))
+  }
+}
