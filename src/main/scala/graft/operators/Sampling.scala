@@ -49,4 +49,42 @@ object Sampling {
     }
     df.filter(bucket < cutoff)
   }
+
+  /** Deterministic TOKEN-BUDGET sample: keep documents, in stable
+    * (hashBucket, id) order, while the running token total stays ≤ `budget`
+    * — "give me ~N tokens of corpus", reproducible across runs and cluster
+    * sizes (the training-mixture primitive; fraction-based sampling can't
+    * hit a token target when doc lengths are skewed).
+    *
+    * Scale shape: NO global sort/cumsum. Phase 1 aggregates token totals per
+    * 16-bit hash bucket (≤65536 rows — a bounded frame) and prefix-sums them
+    * with a window on that tiny frame; full buckets under the budget are
+    * kept by a broadcast semi-join on the bucket id. Phase 2 runs the
+    * intra-bucket cumulative sum ONLY inside the single boundary bucket
+    * (~1/65536 of the corpus). Equivalent to the global-order cumsum ≤
+    * budget, which is exactly what the oracle computes. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, tokensCol: String,
+                        budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withB = df.withColumn("__b", hashBucket(col(idCol)))
+    val perBucket = withB.groupBy(col("__b"))
+      .agg(sum(col(tokensCol)).as("__t"))
+      .withColumn("__cum", sum(col("__t")).over(
+        Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, 0)))
+    val fullBuckets = perBucket.filter(col("__cum") <= budget)
+      .select(col("__b"))
+    // the first bucket whose cumulative total crosses the budget gets the
+    // residual budget for its intra-bucket prefix scan
+    val boundary = perBucket.filter(col("__cum") > budget)
+      .orderBy(col("__b")).limit(1)
+      .select(col("__b"), (lit(budget) - (col("__cum") - col("__t"))).as("__residual"))
+    val keptFull = withB.join(broadcast(fullBuckets), Seq("__b"), "left_semi")
+    val boundaryRows = withB.join(broadcast(boundary), Seq("__b"))
+      .withColumn("__cum", sum(col(tokensCol)).over(
+        Window.partitionBy(col("__b"))
+          .orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("__cum") <= col("__residual"))
+      .drop("__cum", "__residual")
+    keptFull.unionByName(boundaryRows).drop("__b")
+  }
 }

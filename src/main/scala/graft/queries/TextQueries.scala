@@ -409,6 +409,17 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic token-budget sample ("~10k tokens of corpus"): stable
+    // (hash-bucket, id) order, keep while the running token total fits —
+    // two-phase bucket prefix-sum on the Spark side, equivalent global
+    // cumsum in the oracle.
+    "q87_token_budget" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), T.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      graft.operators.Sampling.tokenBudgetSample(docs, "doc_id", "n_tokens", budget = 10000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // CORPUS-level line dedup (C4/RefinedWeb recipe): a shared boilerplate
     // line is planted on EVERY doc plus a per-doc unique line; across the
     // corpus the boilerplate must survive only in the first document (min
@@ -573,6 +584,21 @@ object TextQueries {
               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS b
             FROM clean)
       ORDER BY doc_id""",
+    "q87_token_budget" -> """
+      WITH t AS (
+        SELECT doc_id,
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                    ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens
+        FROM documents),
+      b AS (SELECT doc_id, n_tokens,
+              COALESCE(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER), 0) AS bkt
+            FROM t),
+      c AS (SELECT doc_id, n_tokens,
+              sum(n_tokens) OVER (ORDER BY bkt, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM b)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+      FROM c WHERE cum <= 10000 ORDER BY doc_id""",
     "q86_corpus_line_dedup" -> """
       WITH d AS (
         SELECT doc_id,

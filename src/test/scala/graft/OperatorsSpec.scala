@@ -814,3 +814,24 @@ class CorpusLineDedupSpec extends SparkSpec {
     assert(got == Seq((5L, "a\nb"), (6L, "c")))
   }
 }
+
+class TokenBudgetSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Sampling
+
+  test("token-budget sample equals global-order cumsum <= budget, and respects the budget") {
+    val docs = (1L to 200L).map(i => (i, 1L + (i * 7) % 50)).toDF("doc_id", "n_tokens")
+    val budget = 1000L
+    val got = Sampling.tokenBudgetSample(docs, "doc_id", "n_tokens", budget)
+      .as[(Long, Long)].collect().toMap
+    // reference: global (bucket, id) order, keep while cum <= budget
+    val ordered = docs.withColumn("b", Sampling.hashBucket(col("doc_id")))
+      .orderBy("b", "doc_id").as[(Long, Long, Int)].collect()
+    var cum = 0L
+    val expected = ordered.takeWhile { case (_, t, _) => { cum += t; cum <= budget } }
+      .map(r => r._1 -> r._2).toMap
+    assert(got == expected)
+    assert(got.values.sum <= budget)
+    assert(got.values.sum >= budget - 50) // fills to within one max-doc of target
+  }
+}
