@@ -149,6 +149,26 @@ object ScaleCheck {
         operators.Dedup.ngramOverlapJoin(df.select(col("doc_id"), col("text")),
           benchDocs, "text", "doc_id", n = 13).count()))
     }
+
+    // Corpus-level keep-first line dedup: replicated corpora are the
+    // adversarial case (every line repeats Nx across replicas) — the
+    // keep-first aggregation must absorb that map-side, runtime ~Nx.
+    Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+      timed(s"corpus line dedup $tag")(((),
+        operators.Repetition.dropRepeatedLinesCorpus(df, "doc_id", "text").count()))
+    }
+
+    // Token-budget sample: two-phase bucket prefix-sum — runtime must stay
+    // ~flat in corpus size (bounded bucket frame + one boundary bucket),
+    // not track a global sort.
+    val docsTok = docs.select(col("doc_id"),
+      functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val repTok = rep.select(col("doc_id"),
+      functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Seq(docsTok -> "1x", repTok -> s"${n}x").foreach { case (df, tag) =>
+      timed(s"token-budget sample $tag")(((),
+        operators.Sampling.tokenBudgetSample(df, "doc_id", "n_tokens", 100000L).count()))
+    }
     spark.stop()
   }
 }
