@@ -32,6 +32,7 @@ object Bench {
     // agg, broadcast + shuffle join, window, sort, localCheckpoint — on a
     // tiny generated frame so the codegen/janino/shuffle/block-manager
     // stacks are compiled before the first timed query.
+    val warmDir = java.nio.file.Files.createTempDirectory("graft_warm")
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().count()
@@ -50,7 +51,6 @@ object Bench {
       // CSV parse + schema inference + managed-table write paths: the
       // pipeline queries otherwise pay ~4 s of univocity/committer/catalog
       // first-use cost in whichever of them the suite happens to time first
-      val warmDir = java.nio.file.Files.createTempDirectory("graft_warm").toString
       base.coalesce(2).write.mode("overwrite").option("header", "true")
         .csv(s"$warmDir/w.csv")
       spark.read.option("header", "true").option("inferSchema", true)
@@ -60,12 +60,26 @@ object Bench {
       spark.sql("CREATE DATABASE IF NOT EXISTS graft_warmup")
       base.limit(1000).withColumn("p", (col("id") % 2).cast("int"))
         .write.mode("overwrite").partitionBy("p").saveAsTable("graft_warmup.w")
-      spark.sql("DROP TABLE graft_warmup.w")
       // one-time fixture staging (CSV feed, event stream, format files,
       // lookup store): queries re-use staged dirs, so whichever query ran
       // first was otherwise also timing a fixture write
       graft.queries.PipelineQueries.stageFixtures(spark, sfDir)
-    } catch { case _: Throwable => () }
+    } catch {
+      // visible, never silent: a skipped warm-up means the first timed query
+      // pays staging and can trip the regression gate as a false positive
+      case e: Throwable => System.err.println(
+        s"[bench-warmup] incomplete (${e.getClass.getSimpleName}: ${e.getMessage}); " +
+          "first timed query may absorb staging cost")
+    } finally {
+      // leave no warm-up residue behind in the session or on disk
+      try spark.sql("DROP DATABASE IF EXISTS graft_warmup CASCADE")
+      catch { case _: Throwable => () }
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(warmDir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Throwable => () }
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Checksum aggregation: materializes EVERY column (count() would let
@@ -100,7 +114,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Lossless per-query artifact: the driver's BENCH_r{N}.json truncates the
+    // head of this (long) stdout line, leaving ~24 of 86 per-query numbers
+    // unrecoverable — bench_full.json is the complete record the baseline is
+    // re-pinned from (BASELINE.md §pinning).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"), line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}") }
     diffAgainstBaseline(results)
     spark.stop()
   }

@@ -116,6 +116,63 @@ object ScaleCheck {
           spark.table(s"$db.$tbl").count() }))
     }
 
+    // J4 fuzzy blocking join — adversarial hot block: flood rows sharing ONE
+    // block value with boilerplate (identical) field values on BOTH sides.
+    // Unguarded, the blocking join is flood² score evaluations (50k flood →
+    // 2.5B jaro calls); the primary-side tuple collapse (EntityMatch.scala)
+    // makes it flood × distinct-tuples, so the hot run must stay within ~2×
+    // of the uniform run.
+    val fspec = operators.EntityMatch.MatchSpec(
+      primaryTable = "", globalIdField = "globalid", sortField = "",
+      sourcePrimaryKey = "", sourceSystemKey = "",
+      levels = Seq(operators.EntityMatch.LevelSpec("1", Seq("blk"),
+        Seq(operators.EntityMatch.FieldSpec("name", "string", "jarowinkler",
+          Some(0.85), 1.0)), 1.0)))
+    def fuzzySide(side: String, nRows: Int): DataFrame = spark.range(nRows).select(
+      concat(lit(side), col("id")).as("rid"),
+      concat(lit("blk"), pmod(col("id"), lit(1000))).as("blk"),
+      concat(lit("name "), pmod(xxhash64(col("id") * 7), lit(4000))).as("name"))
+    def withGid(df: DataFrame) =
+      df.withColumn("globalid", concat(lit("g-"), col("rid")))
+    def noGid(df: DataFrame) =
+      df.withColumn("globalid", lit(null).cast("string"))
+    def fuzzyRun(tag: String, incoming: DataFrame, primary: DataFrame): Unit =
+      timed(s"fuzzy match $tag") {
+        val (m, u) = operators.EntityMatch.fuzzyMatch(incoming, primary, fspec, Seq("rid"))
+        ((), m.count() + u.count())
+      }
+    val fuzzyBase = 20000
+    fuzzyRun("uniform 1x", noGid(fuzzySide("i", fuzzyBase)),
+      withGid(fuzzySide("p", fuzzyBase)))
+    Seq(5000, 5000 * n).foreach { flood =>
+      def floodDf(side: String) = spark.range(flood).select(
+        concat(lit(s"f$side"), col("id")).as("rid"), lit("HOTBLOCK").as("blk"),
+        lit("Boilerplate Corp Inc").as("name"))
+      fuzzyRun(s"hot-block flood=$flood",
+        noGid(fuzzySide("i", fuzzyBase).unionByName(floodDf("i"))),
+        withGid(fuzzySide("p", fuzzyBase).unionByName(floodDf("p"))))
+    }
+
+    // Realistic key distribution (not uniform replication): Zipf(≈1) block
+    // values via inverse CDF — floor(exp(u·ln K)) gives P(block=r) ∝
+    // ln(1+1/r) ≈ 1/r — with bounded field cardinality (200 distinct names),
+    // the shape real boilerplate-heavy head blocks have. Candidate count is
+    // Σ_b inc_b × distinctTuples_b, so 10× rows must grow wall ~linearly,
+    // never head-block².
+    def zipfSide(side: String, nRows: Int): DataFrame = {
+      val k = 10000.0
+      val u = pmod(xxhash64(col("id"), lit(side)), lit(1000000)).cast("double") / 1000000.0
+      spark.range(nRows).select(
+        concat(lit(side), col("id")).as("rid"),
+        concat(lit("z"), floor(exp(u * math.log(k)))).as("blk"),
+        concat(lit("name "), pmod(xxhash64(col("id") * 13), lit(200))).as("name"))
+    }
+    val zipfBase = 15000
+    Seq(1 -> "1x", n -> s"${n}x").foreach { case (m, tag) =>
+      fuzzyRun(s"zipf-blocks $tag", noGid(zipfSide("i", zipfBase * m)),
+        withGid(zipfSide("p", zipfBase * m)))
+    }
+
     // DQ quarantine: 3 row-level rules fold into ONE pass — runtime must
     // track input size (≤ Nx), never rules × passes.
     val orders = queries.Tables(spark, sfDir, "orders")

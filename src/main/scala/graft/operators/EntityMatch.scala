@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * own comments. Here each level is a distributed blocking equi-join: both
   * sides shuffle only on the block key, per-field similarity runs on candidate
   * pairs, and each incoming row keeps its best candidate via one window. At
-  * 100 TB the block key bounds the join fan-out; skewed blocks can be salted
-  * upstream.
+  * 100 TB the block key bounds the join fan-out; hot blocks are guarded by a
+  * primary-side candidate collapse (see [[fuzzyMatch]]) and residual
+  * task-level skew on a genuinely-diverse hot block is AQE's skew-join split
+  * (the join is a plain equi-join, the shape AQE can split).
   */
 object EntityMatch {
 
@@ -121,7 +123,22 @@ object EntityMatch {
       val prExp = pri.select(col("__block"), col("__cand_gid"), col("__pf.*"))
         .toDF(("__block" +: "__cand_gid" +: level.fields.map(f => s"__p_${f.name}")): _*)
 
-      val cands = inc.join(prExp, Seq("__block"))
+      // Boilerplate-flood guard: the score below is a pure function of the
+      // candidate's (block, field-values) tuple, and the per-row winner
+      // tie-breaks on MIN __cand_gid among max-score candidates — so primary
+      // rows with identical tuples are interchangeable up to that min.
+      // Collapsing them to one row with min(gid) is EXACTLY result-preserving
+      // (min over max-score tuples = min over the tuple-mins) and turns the
+      // 100 TB scale-killer — a hot block of B boilerplate primary rows
+      // joining F incoming flood rows (F×B candidates) — into F×distinct
+      // tuples. groupBy groups nulls, so null-field tuples collapse too.
+      // Residual skew (a hot block of genuinely DISTINCT tuples) is an
+      // equi-join partition AQE's skew-join split redistributes.
+      val fieldCols = level.fields.map(f => s"__p_${f.name}")
+      val prDistinct = prExp.groupBy(("__block" +: fieldCols).map(col): _*)
+        .agg(min(col("__cand_gid")).as("__cand_gid"))
+
+      val cands = inc.join(prDistinct, Seq("__block"))
       val wSum = level.fields.map(_.weight).sum
       // per-field similarity feature in [0,1] — recordlinkage semantics:
       // `exact` is 1/0 equality (null never matches); `string` with a
