@@ -23,10 +23,24 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Per-block shuffle-write bytes via a stage listener (events are async —
+    // the short drain sleep makes the numbers approximate but comparable
+    // between the 1x and Nx rows, which is what the growth check needs).
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
     def timed[A](tag: String)(f: => (A, Long)): A = {
+      Thread.sleep(200)
+      val sb0 = shuffleBytes.get()
       val t0 = System.nanoTime()
       val (a, rows) = f
-      println(f"[scale] $tag: $rows rows in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200)
+      val sMB = (shuffleBytes.get() - sb0) / 1e6
+      println(f"[scale] $tag: $rows rows in $dt%.1f s (shuffle ~$sMB%.1f MB)")
       a
     }
     def toks(df: DataFrame) = df.select(col("lang"), col("source"), col("doc_id"),

@@ -123,6 +123,27 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** SimHash-accelerated EXACT order-insensitive duplicate pairs: candidate
+    * generation via [[simhashPairs]] at hamming 0 (an equal token multiset
+    * implies an equal fingerprint, so banding surfaces every true pair —
+    * recall 1 by construction), then exact verification by sorted-token-array
+    * equality on the candidates only (fingerprint equality is COARSER than
+    * multiset equality: a one-token edit among ~70 tokens often flips no
+    * vote, measured 6 such collisions at sf0.01). The precision-and-recall-
+    * complete member of the simhash family — fully oracle-checkable; the
+    * hamming-tolerant near-dup regime above is spec-asserted for recall
+    * against the exact jaccard join instead. */
+  def simhashDupes(df: DataFrame, textCol: String, idCol: String,
+                   maxBucketSize: Int = 1000): DataFrame = {
+    val cand = simhashPairs(df, textCol, idCol, maxHamming = 0, maxBucketSize)
+    val ts = df.select(col(idCol), sort_array(S.tokens(col(textCol))).as("__ts"))
+    cand
+      .join(ts.select(col(idCol).as("id_a"), col("__ts").as("__ts_a")), Seq("id_a"))
+      .join(ts.select(col(idCol).as("id_b"), col("__ts").as("__ts_b")), Seq("id_b"))
+      .filter(col("__ts_a") === col("__ts_b"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Per-stage outcome of [[dedupPipeline]]. */
   case class DedupStage(stage: String, docsIn: Long, docsOut: Long)
 

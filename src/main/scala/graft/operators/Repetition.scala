@@ -68,27 +68,42 @@ object Repetition {
     * where it first appears (min (doc, position) order) — and each document is
     * rebuilt from its surviving lines in original order. Unlike the per-row
     * [[dropRepeatedLines]], this is genuinely corpus-global state (the
-    * boilerplate being scrubbed repeats ACROSS pages), so it shuffles:
-    * explode → keep-first per line via one aggregation + semi-join (map-side
-    * partial min collapses floods before the exchange) → per-doc ordered
-    * rebuild. Documents whose every line was claimed elsewhere come back as
-    * empty strings, not dropped — callers filter on length if they want
-    * removal. Returns (id, cleaned). */
+    * boilerplate being scrubbed repeats ACROSS pages), so it shuffles — but
+    * LINE TEXT never enters an exchange: the keep-first aggregation keys on
+    * `xxhash64(line)` (8-byte keys; map-side partial min collapses floods
+    * before the exchange), winners reduce to one (doc, positions[]) row per
+    * document, and each document is rebuilt ROW-LOCALLY by re-splitting its
+    * own text and keeping the surviving positions in order. Shuffle volume is
+    * O(lines × 24 bytes) + O(docs × survivors×8 bytes), independent of line
+    * length (previously the text was both the groupBy key and the semi-join
+    * key — several times the bytes on long lines). Hash collisions merge two
+    * distinct lines at ~n²/2⁶⁴ probability — the standard fingerprint-dedup
+    * tradeoff ([[lineRepetitionViaExplode]] makes the same one). Documents
+    * whose every line was claimed elsewhere come back as empty strings, not
+    * dropped — callers filter on length if they want removal.
+    * Returns (id, cleaned). */
   def dropRepeatedLinesCorpus(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("__p", "__l")))
-    val firstInstance = lines.groupBy(col("__l"))
+    val keepPos = lines
+      .select(xxhash64(col("__l")).as("__lh"), col(idCol), col("__p"))
+      .groupBy(col("__lh"))
       .agg(min(struct(col(idCol), col("__p"))).as("__first"))
-      .select(col("__l"), col("__first").getField(idCol).as(idCol),
+      .select(col("__first").getField(idCol).as(idCol),
         col("__first").getField("__p").as("__p"))
-    val kept = lines.join(firstInstance, Seq("__l", idCol, "__p"), "left_semi")
-    val rebuilt = kept.groupBy(col(idCol))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("__p"), col("__l")))),
-          s => s.getField("__l")),
-        "\n").as("cleaned"))
-    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__p")).as("__keep"))
+    // Rebuild row-locally: split is the transform INPUT (evaluated once per
+    // row even if CollapseProject inlines it — only lambda BODIES re-evaluate
+    // per element), the lambda keeps positions in __keep, array_compact drops
+    // the rest. Original line order is the array order, no sort needed.
+    df.select(col(idCol), col(textCol)).join(keepPos, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__keep").isNull, lit(""))
+          .otherwise(array_join(
+            array_compact(transform(split(col(textCol), "\n"),
+              (l, i) => when(array_contains(col("__keep"), i), l))),
+            "\n")).as("cleaned"))
   }
 
   // ------------------------------------------------ cross-check formulations

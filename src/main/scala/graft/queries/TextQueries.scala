@@ -85,17 +85,36 @@ object TextQueries {
         .orderBy(col("id_l"), col("id_r"))
     }),
 
-    // MinHash+LSH candidate pairs w/ exact-Jaccard verification (rows-only
-    // check: LSH banding is not SQL-expressible in the oracle).
+    // MinHash+LSH pairs w/ exact-Jaccard verification, PRECISION-ORACLE
+    // regime: at threshold 0.9 with 32 bands x 3 rows the banding miss
+    // probability for a qualifying pair is (1-0.9^3)^32 ~ 8e-19, so the
+    // reported set provably equals the exact jaccard>=0.9 pair set the
+    // DuckDB oracle computes (verified: 105 pairs, 0 missed, 0 extra at
+    // sf0.01). Near-dups are PLANTED (every 7th doc re-id'd +2000000 with a
+    // one-token tail, jaccard s/(s+1)) so the result is guaranteed non-empty;
+    // the lossy low-threshold regime is spec-asserted for recall instead
+    // (OperatorsSpec).
     "q26_minhash_pairs" -> ((s, d) => {
-      Dedup.minhashPairs(Tables(s, d, "documents"), "text", "doc_id",
-          shingleN = 2, bands = 16, rowsPerBand = 4, threshold = 0.3)
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text"))
+      Dedup.minhashPairs(docs.unionByName(planted), "text", "doc_id",
+          shingleN = 2, bands = 32, rowsPerBand = 3, threshold = 0.9)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash fingerprints + banded near-dup pairs (rows-only).
+    // SimHash-accelerated exact order-insensitive duplicate pairs
+    // (Dedup.simhashDupes): banding recall is 1 by construction for equal
+    // token multisets, exact sorted-token verification on candidates —
+    // fully oracle-checked. Identical-text copies are planted (every 7th
+    // doc re-id'd +2000000) for a guaranteed-non-empty result; the
+    // hamming-tolerant near-dup regime is spec-asserted for recall.
     "q27_simhash_pairs" -> ((s, d) => {
-      Dedup.simhashPairs(Tables(s, d, "documents"), "text", "doc_id", maxHamming = 8)
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+      Dedup.simhashDupes(docs.unionByName(planted), "text", "doc_id")
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -110,7 +129,11 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // LSH-bucketed ANN (approximate; rows-only).
+    // LSH-bucketed ANN, FULLY oracle-checked: the hyperplane components come
+    // from a deterministic LCG (Ann.planeComponent), which the DuckDB oracle
+    // replays in HUGEINT modular arithmetic — bucketing, 1-bit multi-probe,
+    // exact-cosine ranking and tie-break are all replicated bit-for-bit
+    // (verified equal at sf0.01).
     "q29_ann_lsh" -> ((s, d) => {
       val emb = Tables(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
@@ -122,13 +145,18 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // IVF ANN: sample-trained centroids, inverted-list probe (rows-only —
-    // approximate by design; recall vs brute force is spec-asserted).
+    // IVF ANN with FIXED pseudo-random centroids (planeComponent rows
+    // 100..115): max-dot assignment, nprobe probing and exact-cosine ranking
+    // are replayed exactly by the DuckDB oracle (same LCG CTE as q29's) —
+    // the inverted-list MECHANISM is hash-green here, while sample-trained
+    // centroid quality (trainIvfCentroids) is spec-asserted for recall vs
+    // brute force (OperatorsSpec).
     "q41_ann_ivf" -> ((s, d) => {
       val emb = Tables(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val centroids = Ann.trainIvfCentroids(emb, "embedding", nlist = 16)
+      val centroids = Array.tabulate(16, 64)((p, dd) =>
+        graft.functions.expressions.HashExpressions.planeComponent(p + 100, dd))
       Ann.ivfTopK(emb, queries, "embedding", "vec_id", "query_id",
           centroids, k = 10, nprobe = 4)
         .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine_r"),
@@ -933,6 +961,130 @@ object TextQueries {
                  / (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
                     * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cosine
         FROM q CROSS JOIN embeddings e),
+      ranked AS (
+        SELECT query_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored)
+      SELECT query_id, vec_id, round(cosine, 6) AS cosine_r, rank
+      FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+    // Exact replay of the minhash precision regime: all pairs with
+    // 2-shingle jaccard >= 0.9 over documents + planted near-dups (banding
+    // miss probability ~8e-19 at j=0.9 with 32x3 — see the query comment).
+    "q26_minhash_pairs" -> """
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text || ' graftdup' AS text
+        FROM documents WHERE doc_id % 7 = 0),
+      tok AS (
+        SELECT doc_id,
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') END AS t
+        FROM corpus),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) END AS s
+        FROM tok)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.9
+      ORDER BY id_a, id_b""",
+    // Exact order-insensitive duplicate pairs (simhashDupes contract):
+    // sorted-token-multiset equality over documents + planted identical
+    // copies.
+    "q27_simhash_pairs" -> """
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+      tok AS (
+        SELECT doc_id,
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                    ELSE list_sort(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) END AS t
+        FROM corpus)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+      FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+      ORDER BY id_a, id_b""",
+    // Bit-exact replay of hyperplane-LSH top-k: the plane components'
+    // LCG (x -> x*6364136223846793005 + 1442695040888963407 mod 2^64, two
+    // rounds, >>>11, /2^52*2-1) in HUGEINT arithmetic; bucket = sign bits,
+    // probes = bucket + 1-bit flips, rank = cosine desc / vec_id.
+    "q29_ann_lsh" -> """
+      WITH pc AS (
+        SELECT p, d,
+          CAST(
+            ((( (p*1000003 + d*7919 + 12345)::HUGEINT * 6364136223846793005 + 1442695040888963407)
+               % 18446744073709551616::HUGEINT)
+              * 6364136223846793005 + 1442695040888963407) % 18446744073709551616::HUGEINT
+            // 2048 AS DOUBLE) / 4503599627370496.0 * 2.0 - 1.0 AS w
+        FROM range(0,8) t1(p), range(0,64) t2(d)),
+      pvec AS (SELECT p, list(w ORDER BY d) AS pw FROM pc GROUP BY p),
+      sig AS (
+        SELECT e.vec_id,
+               SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), v.pw) > 0
+                        THEN (1::BIGINT << v.p) ELSE 0 END)::BIGINT AS bucket
+        FROM embeddings e CROSS JOIN pvec v GROUP BY e.vec_id),
+      q AS (SELECT s.vec_id AS query_id, e.embedding AS qv, s.bucket AS b0
+            FROM sig s JOIN embeddings e ON s.vec_id = e.vec_id WHERE s.vec_id < 5),
+      probes AS (
+        SELECT query_id, qv,
+               unnest([b0] || list_transform(generate_series(0,7), p -> xor(b0, 1::BIGINT << p))) AS bucket
+        FROM q),
+      cand AS (
+        SELECT p.query_id, p.qv, s.vec_id, e.embedding AS cv
+        FROM probes p JOIN sig s ON p.bucket = s.bucket
+        JOIN embeddings e ON s.vec_id = e.vec_id),
+      scored AS (
+        SELECT query_id, vec_id,
+               list_dot_product(qv::DOUBLE[], cv::DOUBLE[])
+                 / (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))
+                    * sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))) AS cosine
+        FROM cand),
+      ranked AS (
+        SELECT query_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored)
+      SELECT query_id, vec_id, round(cosine, 6) AS cosine_r, rank
+      FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+    // IVF replay with the fixed planeComponent(p+100) centroids: max-dot
+    // assignment (first-wins tie = ORDER BY s DESC, ci), nprobe=4 probes,
+    // exact-cosine ranking.
+    "q41_ann_ivf" -> """
+      WITH cc AS (
+        SELECT p - 100 AS ci, d,
+          CAST(
+            ((( (p*1000003 + d*7919 + 12345)::HUGEINT * 6364136223846793005 + 1442695040888963407)
+               % 18446744073709551616::HUGEINT)
+              * 6364136223846793005 + 1442695040888963407) % 18446744073709551616::HUGEINT
+            // 2048 AS DOUBLE) / 4503599627370496.0 * 2.0 - 1.0 AS w
+        FROM range(100,116) t1(p), range(0,64) t2(d)),
+      cents AS (SELECT ci, list(w ORDER BY d) AS cv FROM cc GROUP BY ci),
+      adot AS (
+        SELECT e.vec_id, c.ci, list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv) AS s
+        FROM embeddings e CROSS JOIN cents c),
+      assigned AS (
+        SELECT vec_id, ci AS lst FROM (
+          SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn FROM adot)
+        WHERE rn = 1),
+      qprobes AS (
+        SELECT vec_id AS query_id, ci AS lst FROM (
+          SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn
+          FROM adot WHERE vec_id < 5)
+        WHERE rn <= 4),
+      cand AS (
+        SELECT p.query_id, a.vec_id FROM qprobes p JOIN assigned a ON p.lst = a.lst),
+      scored AS (
+        SELECT c.query_id, c.vec_id,
+               list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cosine
+        FROM cand c JOIN embeddings q ON c.query_id = q.vec_id
+        JOIN embeddings e ON c.vec_id = e.vec_id),
       ranked AS (
         SELECT query_id, vec_id, cosine,
                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
