@@ -334,6 +334,60 @@ object PipelineQueries {
         .orderBy(col("scenario"))
     }),
 
+    // §1.4 dependency gate (lambda_handler.py:157-178): queue / release /
+    // lookback-expiry decisions materialized as rows. The audit log is built
+    // from the events table (latest SUCCEEDED run per event_type = its max
+    // ts); "now" is the corpus max ts + 1h, so every decision is a
+    // deterministic function of the data, which the oracle recomputes with
+    // interval arithmetic. A later FAILED run is planted to prove only
+    // SUCCEEDED rows gate.
+    "q88_dependency_gate" -> ((s, d) => {
+      import graft.pipeline.DependencyGate
+      import graft.pipeline.DependencyGate.JobRun
+      import s.implicits._
+      val maxPerType = Tables(s, d, "events")
+        .groupBy(col("event_type")).agg(max(col("ts")).as("mx"))
+        .collect().map { r =>
+          val inst = r.get(1) match { // ts may be TIMESTAMP or TIMESTAMP_NTZ
+            case t: java.sql.Timestamp => t.toInstant
+            case l: java.time.LocalDateTime => l.toInstant(java.time.ZoneOffset.UTC)
+          }
+          r.getString(0) -> inst
+        }.toMap
+      val now = maxPerType.values.maxBy(_.toEpochMilli)
+        .plus(java.time.Duration.ofHours(1))
+      val audit = new DependencyGate.AuditLog
+      maxPerType.foreach { case (k, t) => audit.record(JobRun(k, "e1", "SUCCEEDED", t)) }
+      audit.record(JobRun(maxPerType.keys.min, "e2", "FAILED", now))
+      def spec(json: String) = DependencyGate.parseSpec(Specs.parseJson(json))
+      val types = maxPerType.keys.toSeq.sorted
+      val perType = types.map { t =>
+        (s"tight_$t", DependencyGate.mustQueue(
+          spec(s"""{"depends_on": {"$t": 1}, "lookback": {"hours": 2}}"""), audit, now))
+      } ++ types.map { t =>
+        // lookback == now-offset: only the type(s) holding the global max ts
+        // are still fresh — every other dependency has EXPIRED
+        (s"expiry_$t", DependencyGate.mustQueue(
+          spec(s"""{"depends_on": {"$t": 1}, "lookback": {"hours": 1}}"""), audit, now))
+      }
+      val allDeps = types.map(t => s""""$t": 1""").mkString(", ")
+      val fixed = Seq(
+        ("no_deps", DependencyGate.mustQueue(spec("{}"), audit, now)),
+        ("all_wide", DependencyGate.mustQueue(
+          spec(s"""{"depends_on": {$allDeps}, "lookback": {"days": 3650}}"""), audit, now)),
+        ("missing_dep", DependencyGate.mustQueue(
+          spec("""{"depends_on": {"never_ran": 1}, "lookback": {"days": 3650}}"""), audit, now)),
+        ("no_lookback", DependencyGate.mustQueue(
+          spec(s"""{"depends_on": {$allDeps}}"""), audit, now)))
+      // release: the queued dependent is re-evaluated once its source reports
+      val relSpec = spec("""{"depends_on": {"late_src": 1}, "lookback": {"hours": 2}}""")
+      val before = DependencyGate.mustQueue(relSpec, audit, now)
+      audit.record(JobRun("late_src", "e3", "SUCCEEDED", now))
+      val after = DependencyGate.mustQueue(relSpec, audit, now)
+      (fixed ++ perType ++ Seq(("release_before", before), ("release_after", after)))
+        .toDF("scenario", "queued").orderBy(col("scenario"))
+    }),
+
     // K10: a dataset arriving with NO mapping/transform config makes the
     // pipeline write the recommended config files (clean-names mapping CSV +
     // transform-spec skeleton) next to the job — this query runs that path on
@@ -657,6 +711,23 @@ object PipelineQueries {
       SELECT 'empty' AS scenario, false AS proceeded, CAST(0 AS BIGINT) AS out_rows
       UNION ALL
       SELECT 'nonempty', true, (SELECT count(*) FROM region)
+      ORDER BY scenario""",
+    "q88_dependency_gate" -> """
+      WITH mx AS (SELECT event_type, max(ts) AS m FROM events GROUP BY event_type),
+      g AS (SELECT max(ts) + INTERVAL 1 HOUR AS now FROM events)
+      SELECT 'tight_' || event_type AS scenario,
+             NOT (m >= (SELECT now FROM g) - INTERVAL 2 HOUR) AS queued
+      FROM mx
+      UNION ALL
+      SELECT 'expiry_' || event_type,
+             NOT (m >= (SELECT now FROM g) - INTERVAL 1 HOUR)
+      FROM mx
+      UNION ALL SELECT 'no_deps', false
+      UNION ALL SELECT 'all_wide', false
+      UNION ALL SELECT 'missing_dep', true
+      UNION ALL SELECT 'no_lookback', true
+      UNION ALL SELECT 'release_before', true
+      UNION ALL SELECT 'release_after', false
       ORDER BY scenario""",
     "q70_generated_specs" -> """
       SELECT * FROM (VALUES
