@@ -7,9 +7,11 @@ import org.apache.spark.sql.types._
 /** Similarity primitives: Jaro-Winkler (entity match, fuzzy mapping), MinHash /
   * SimHash / n-gram Jaccard (dedup), cosine (embedding near-dup + ANN).
   *
-  * Everything that runs per-row at scale is either a codegen'd built-in
-  * higher-order-function expression or a deterministic Scala function wrapped in
-  * a `udf` (Jaro-Winkler / SimHash, which are not expressible as built-ins).
+  * Everything that runs per-row at scale is a codegen'd expression — either a
+  * built-in / higher-order-function composition or a native Catalyst kernel
+  * (graft.functions.expressions) for the shapes built-ins can't express
+  * (Jaro-Winkler, SimHash, minhash signatures, shingle hashing, dot products).
+  * Zero Scala UDFs remain on any hot path.
   */
 object SimilarityFunctions {
 
@@ -71,12 +73,8 @@ object SimilarityFunctions {
     j + l * 0.1 * (1.0 - j)
   }
 
-  val jaroWinklerUdf = udf((a: String, b: String) =>
-    if (a == null || b == null) null.asInstanceOf[java.lang.Double]
-    else java.lang.Double.valueOf(jaroWinkler(a, b)))
-
-  /** Native codegen expression (the UDF form above is kept for
-    * spark.udf.register compatibility). */
+  /** Native codegen expression ([[graft.functions.expressions]]); the SQL
+    * name is injected by GraftExtensions. */
   def jaro_winkler(a: Column, b: Column): Column =
     graft.functions.expressions.HashExpressions.jaro_winkler(a, b)
 
