@@ -210,4 +210,41 @@ class EntityMatchSpec extends SparkSpec {
     assert(sql.contains("WHEN MATCHED THEN UPDATE SET *"))
     assert(sql.contains("WHEN NOT MATCHED THEN INSERT *"))
   }
+
+  test("SqlMergeFormat dry-run: generated MERGE parses and analyzes against real relations") {
+    // No Iceberg/Delta jar exists in this sandbox, so the statement can't
+    // EXECUTE — but parsing + analysis against a real target table and source
+    // view still validates syntax and column references, catching drift
+    // before a real deployment. Spark's analyzer resolves the MERGE fully and
+    // only then rejects the v1 parquet target's missing row-level-op
+    // capability, so the error CLASS tells the two cases apart.
+    val db = "graft_mergedry"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    try {
+      Seq(("g-1", "alice", 1)).toDF("globalid", "name", "nationkey")
+        .write.mode("overwrite").saveAsTable(s"$db.primary_t")
+      Seq(("g-2", "bob", 2)).toDF("globalid", "name", "nationkey")
+        .createOrReplaceTempView("merge_src_v")
+
+      val good = graft.catalog.SqlMergeFormat.mergeSql(s"$db.primary_t", "merge_src_v", "globalid")
+      // syntax: must parse
+      spark.sessionState.sqlParser.parsePlan(good)
+      // analysis: every reference must resolve; the only acceptable failure
+      // is the target-table capability rejection
+      val eGood = intercept[Exception](spark.sql(good))
+      assert(eGood.getMessage.toLowerCase.contains("merge"),
+        s"expected a MERGE capability rejection, got: ${eGood.getMessage}")
+      assert(!eGood.getMessage.contains("UNRESOLVED"), eGood.getMessage)
+
+      // a drifted key column must fail RESOLUTION, proving the dry-run
+      // actually checks columns, not just syntax
+      val bad = graft.catalog.SqlMergeFormat.mergeSql(s"$db.primary_t", "merge_src_v", "no_such_col")
+      val eBad = intercept[org.apache.spark.sql.AnalysisException](spark.sql(bad))
+      assert(eBad.getCondition != null &&
+        eBad.getCondition.startsWith("UNRESOLVED"), s"${eBad.getCondition}: ${eBad.getMessage}")
+    } finally {
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      spark.catalog.dropTempView("merge_src_v")
+    }
+  }
 }
