@@ -16,28 +16,35 @@ import javax.imageio.ImageIO
   * of per-row means are order-independent and bit-exact across engines. */
 object ImageIoCodec {
 
-  // in-memory stream cache: the default disk cache writes a temp file per
-  // decode, pointless overhead (and tmp-dir churn) for byte-array payloads
-  // on executors
-  ImageIO.setUseCache(false)
-
   /** Magic-byte sniff before the (expensive) ImageIO probe: PNG, JPEG, GIF,
-    * BMP. On mixed media/text corpora most payloads are NOT this format —
+    * BMP, TIFF (both byte orders — JDK 9+ ImageIO decodes TIFF natively).
+    * On mixed media/text corpora most payloads are NOT this format —
     * rejecting them on the first bytes instead of an ImageIO reader-search
     * per blob keeps the decode chain cheap (measured ~4× on featurize over
-    * text payloads). */
+    * text payloads). This set IS the supported-format contract of
+    * [[Multimodal.featurize]]/resize's real-decode path. */
   def looksLikeImage(c: Array[Byte]): Boolean =
     c != null && c.length >= 4 && (
       (c(0) == 0x89.toByte && c(1) == 'P' && c(2) == 'N' && c(3) == 'G') ||
       (c(0) == 0xFF.toByte && c(1) == 0xD8.toByte) ||            // JPEG
       (c(0) == 'G' && c(1) == 'I' && c(2) == 'F') ||
-      (c(0) == 'B' && c(1) == 'M'))
+      (c(0) == 'B' && c(1) == 'M') ||
+      (c(0) == 'I' && c(1) == 'I' && c(2) == 42 && c(3) == 0) || // TIFF LE
+      (c(0) == 'M' && c(1) == 'M' && c(2) == 0 && c(3) == 42))   // TIFF BE
 
   def decodeImage(content: Array[Byte]): Option[BufferedImage] =
     if (!looksLikeImage(content)) None
     else
-      try Option(ImageIO.read(new ByteArrayInputStream(content)))
-      catch { case _: Exception => None }
+      try {
+        // Per-read in-memory stream instead of the JVM-GLOBAL
+        // ImageIO.setUseCache(false) toggle (a class-load side effect that
+        // would change behavior for every other ImageIO user in the JVM):
+        // the default disk cache writes a temp file per decode — pointless
+        // overhead and tmp churn for byte arrays on executors.
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(content))
+        try Option(ImageIO.read(in)) finally in.close()
+      } catch { case _: Exception => None }
 
   /** Decode at NATIVE size to row-major red-channel doubles in [0,1)
     * (v/256.0 — exact). Returns (width, height, pixels). */
@@ -93,7 +100,10 @@ object ImageIoCodec {
 
   def encodePng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    // memory-cached output stream for the same reason as decodeImage — the
+    // OutputStream overload would go through the global disk-cache setting
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try ImageIO.write(img, "png", out) finally out.close()
     bos.toByteArray
   }
 

@@ -182,10 +182,30 @@ object Ann {
     * against corpus/2^planes, and prefer more `planes` for routine bucket
     * slimming (the flood case is exactly where near-identical survivors
     * score the same cosine, which is why the sample is sound THERE). */
+  /** Per-bucket membership histogram under the same bucketing [[lshTopK]]
+    * uses — the cheap pre-flight check for degenerate corpora (run it once
+    * on a new corpus; a bucket ≫ corpus/2^planes means a boilerplate flood
+    * that will multiply every probing query). */
+  def bucketStats(corpus: DataFrame, vecCol: String, dim: Int,
+                  planes: Int): DataFrame =
+    corpus.select(hyperplaneBucket(col(vecCol), dim, planes).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("members"))
+      .orderBy(col("members").desc)
+
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, queryIdCol: String,
               dim: Int, k: Int, planes: Int = 10, probe1: Boolean = true,
               maxBucketSize: Int = 0): DataFrame = {
+    if (maxBucketSize <= 0)
+      // no data pass here (a pre-aggregation would defeat the single-join
+      // plan) — make the round-4 default flip (4096 -> 0/off) visible to
+      // callers instead of letting a degenerate corpus regress silently
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"lshTopK skew guard is OFF (maxBucketSize=0, the default since the " +
+          s"guard drops rows and collapses recall); a degenerate corpus " +
+          s"bucket multiplies every probing query by its size — run " +
+          s"Ann.bucketStats(corpus, ..., planes=$planes) once per new corpus " +
+          s"to check, and prefer more planes over the cap for bucket slimming")
     val c0 = corpus.select(col(idCol), col(vecCol).as("__cv"))
       .withColumn("bucket", hyperplaneBucket(col("__cv"), dim, planes))
     val c =

@@ -66,9 +66,16 @@ object Sampling {
   def tokenBudgetSample(df: DataFrame, idCol: String, tokensCol: String,
                         budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Determinism hardening: NULL token counts count as 0 (a window sum
+    // would otherwise SKIP them, leaving their keep/drop to row order), and
+    // the boundary scan tie-breaks on the token count so duplicate ids with
+    // different counts still cut deterministically. Rows identical in BOTH
+    // (id, tokens) remain interchangeable — the kept multiset is the same
+    // either way, which is all the reproducibility contract promises.
+    val tok = coalesce(col(tokensCol).cast("long"), lit(0L))
     val withB = df.withColumn("__b", hashBucket(col(idCol)))
     val perBucket = withB.groupBy(col("__b"))
-      .agg(sum(col(tokensCol)).as("__t"))
+      .agg(sum(tok).as("__t"))
       .withColumn("__cum", sum(col("__t")).over(
         Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, 0)))
     val fullBuckets = perBucket.filter(col("__cum") <= budget)
@@ -80,9 +87,9 @@ object Sampling {
       .select(col("__b"), (lit(budget) - (col("__cum") - col("__t"))).as("__residual"))
     val keptFull = withB.join(broadcast(fullBuckets), Seq("__b"), "left_semi")
     val boundaryRows = withB.join(broadcast(boundary), Seq("__b"))
-      .withColumn("__cum", sum(col(tokensCol)).over(
+      .withColumn("__cum", sum(tok).over(
         Window.partitionBy(col("__b"))
-          .orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, 0)))
+          .orderBy(col(idCol), tok).rowsBetween(Window.unboundedPreceding, 0)))
       .filter(col("__cum") <= col("__residual"))
       .drop("__cum", "__residual")
     keptFull.unionByName(boundaryRows).drop("__b")
