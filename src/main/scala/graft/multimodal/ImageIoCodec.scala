@@ -43,7 +43,10 @@ object ImageIoCodec {
         // overhead and tmp churn for byte arrays on executors.
         val in = new javax.imageio.stream.MemoryCacheImageInputStream(
           new ByteArrayInputStream(content))
-        try Option(ImageIO.read(in)) finally in.close()
+        // NO finally-close: ImageIO.read(ImageInputStream) closes the stream
+        // itself (a second close throws IOException("closed")); the backing
+        // ByteArrayInputStream needs no release either way
+        Option(ImageIO.read(in))
       } catch { case _: Exception => None }
 
   /** Decode at NATIVE size to row-major red-channel doubles in [0,1)
