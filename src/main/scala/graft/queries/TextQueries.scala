@@ -165,7 +165,13 @@ object TextQueries {
     }),
 
     // Embedding near-dup pairs via BANDED hyperplane LSH + exact cosine
-    // verification (rows-only; recall vs brute force is spec-asserted).
+    // verification — fully oracle-checked since round 5: the DuckDB oracle
+    // replays the 24-bit hyperplane signature (same LCG CTE as q29), the
+    // 4x6-bit banding, the bucket self-join, pair dedup and the exact cosine
+    // filter. (The hot-bucket chain guard never triggers at this scale —
+    // max bucket ≪ 1000 — so the plain per-bucket pairing the oracle
+    // computes is the executed plan; recall vs brute force additionally
+    // spec-asserted.)
     "q30_embedding_neardup" -> ((s, d) => {
       Dedup.embeddingNearDupPairs(Tables(s, d, "embeddings"), "embedding", "vec_id",
           dim = 64, planesPerBand = 6, bands = 4, threshold = 0.1)
@@ -1091,5 +1097,38 @@ object TextQueries {
         FROM scored)
       SELECT query_id, vec_id, round(cosine, 6) AS cosine_r, rank
       FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+    // Banded-hyperplane near-dup replay: 24-bit signature via the same LCG,
+    // 4 bands of 6 bits, per-band bucket self-join, pair dedup, exact cosine.
+    "q30_embedding_neardup" -> """
+      WITH pc AS (
+        SELECT p, d,
+          CAST(
+            ((( (p*1000003 + d*7919 + 12345)::HUGEINT * 6364136223846793005 + 1442695040888963407)
+               % 18446744073709551616::HUGEINT)
+              * 6364136223846793005 + 1442695040888963407) % 18446744073709551616::HUGEINT
+            // 2048 AS DOUBLE) / 4503599627370496.0 * 2.0 - 1.0 AS w
+        FROM range(0,24) t1(p), range(0,64) t2(d)),
+      pvec AS (SELECT p, list(w ORDER BY d) AS pw FROM pc GROUP BY p),
+      sig AS (
+        SELECT e.vec_id,
+               SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), v.pw) > 0
+                        THEN (1::BIGINT << v.p) ELSE 0 END)::BIGINT AS sig
+        FROM embeddings e CROSS JOIN pvec v GROUP BY e.vec_id),
+      banded AS (
+        SELECT vec_id, b.band, (sig >> (b.band * 6)) & 63 AS key
+        FROM sig, (SELECT unnest([0,1,2,3]) AS band) b),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+      scored AS (
+        SELECT c.id_a, c.id_b,
+               list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))) AS cosine
+        FROM cand c JOIN embeddings x ON c.id_a = x.vec_id
+        JOIN embeddings y ON c.id_b = y.vec_id)
+      SELECT id_a, id_b, round(cosine, 6) AS cosine_r
+      FROM scored WHERE cosine >= 0.1 ORDER BY id_a, id_b""",
   )
 }
