@@ -196,7 +196,10 @@ object TextQueries {
     }),
 
     // Multimodal plumbing: binary media table → batched stub-decode →
-    // fixed-dim embeddings (rows-only; decode is the documented stub).
+    // fixed-dim embeddings. Oracle-checked since round 5: the stub codec is
+    // pure byte arithmetic (pixel j = byte[(j*2654435761) mod len]/256,
+    // embedding d = mean of 4 pixels = byte-sum/1024 — EXACT in float), and
+    // the corpus text is ASCII so the oracle indexes bytes as characters.
     // The embedding array is emitted as a JSON string of rounded values:
     // the driver's checker sorts result columns, and a raw float array is
     // unhashable there — and a stable text form is deterministic anyway.
@@ -210,7 +213,9 @@ object TextQueries {
         .orderBy(col("media_id"))
     }),
 
-    // Multimodal frame sampling: strided binary frame explode (rows-only).
+    // Multimodal frame sampling: strided binary frame explode — oracle-
+    // checked since round 5 (frame count/positions are closed-form in the
+    // payload byte length; all emitted frames are full 64-byte slices).
     "q35_frame_sample" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.asMediaTable(
         Tables(s, d, "documents"), "doc_id", "text")
@@ -1130,5 +1135,36 @@ object TextQueries {
         JOIN embeddings y ON c.id_b = y.vec_id)
       SELECT id_a, id_b, round(cosine, 6) AS cosine_r
       FROM scored WHERE cosine >= 0.1 ORDER BY id_a, id_b""",
+    // Stub-featurize replay: byte-arithmetic decode (see the query comment);
+    // valid because documents.text is ASCII (byte index == char index,
+    // octet_length == length). k/1024 is exact in float AND double, and
+    // DuckDB's VARCHAR cast of the rounded double matches Spark to_json's
+    // shortest-round-trip form (verified value-equal at sf0.01).
+    "q34_media_featurize" -> """
+      WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+      px AS (
+        SELECT doc_id, j,
+               CASE WHEN len = 0 THEN 0
+                    ELSE ord(substr(text, CAST((j * 2654435761) % len AS INTEGER) + 1, 1)) END AS b
+        FROM d, (SELECT unnest(range(0, 64)) AS j)),
+      emb AS (
+        SELECT doc_id, j // 4 AS dd, sum(b) AS k
+        FROM px GROUP BY doc_id, j // 4),
+      js AS (
+        SELECT doc_id,
+               '[' || string_agg(CAST(round(k / 1024.0, 6) AS VARCHAR), ',' ORDER BY dd) || ']' AS embedding_json
+        FROM emb GROUP BY doc_id)
+      SELECT d.doc_id AS media_id, CAST(d.len AS INTEGER) AS n_bytes, js.embedding_json
+      FROM d JOIN js ON d.doc_id = js.doc_id
+      ORDER BY media_id""",
+    // Frame-sample replay: nFrames = len/64; strided indices 0,2,4,… are
+    // re-numbered by posexplode position, every emitted frame is a full
+    // 64-byte slice.
+    "q35_frame_sample" -> """
+      WITH d AS (SELECT doc_id, octet_length(encode(text)) // 64 AS n FROM documents),
+      f AS (SELECT doc_id, CAST((n + 1) // 2 AS INTEGER) AS cnt FROM d WHERE n >= 1)
+      SELECT doc_id AS media_id, CAST(unnest(range(0, cnt)) AS INTEGER) AS frame_no,
+             CAST(64 AS INTEGER) AS frame_len
+      FROM f ORDER BY media_id, frame_no""",
   )
 }
