@@ -150,9 +150,11 @@ object ScaleCheck {
       df.withColumn("globalid", concat(lit("g-"), col("rid")))
     def noGid(df: DataFrame) =
       df.withColumn("globalid", lit(null).cast("string"))
-    def fuzzyRun(tag: String, incoming: DataFrame, primary: DataFrame): Unit =
+    def fuzzyRun(tag: String, incoming: DataFrame, primary: DataFrame,
+                 collapse: Boolean = false): Unit =
       timed(s"fuzzy match $tag") {
-        val (m, u) = operators.EntityMatch.fuzzyMatch(incoming, primary, fspec, Seq("rid"))
+        val (m, u) = operators.EntityMatch.fuzzyMatch(incoming, primary, fspec,
+          Seq("rid"), collapseIncoming = collapse)
         ((), m.count() + u.count())
       }
     val fuzzyBase = 20000
@@ -165,6 +167,12 @@ object ScaleCheck {
       fuzzyRun(s"hot-block flood=$flood",
         noGid(fuzzySide("i", fuzzyBase).unionByName(floodDf("i"))),
         withGid(fuzzySide("p", fuzzyBase).unionByName(floodDf("p"))))
+      // incoming-side signature collapse: the flood's F identical incoming
+      // rows score ONCE, the winner broadcasts back — F×1 becomes 1×1
+      fuzzyRun(s"hot-block flood=$flood collapseIncoming",
+        noGid(fuzzySide("i", fuzzyBase).unionByName(floodDf("i"))),
+        withGid(fuzzySide("p", fuzzyBase).unionByName(floodDf("p"))),
+        collapse = true)
     }
 
     // Realistic key distribution (not uniform replication): Zipf(≈1) block

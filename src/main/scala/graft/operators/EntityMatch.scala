@@ -106,9 +106,18 @@ object EntityMatch {
     * pairs by weighted-average features, keep pairs ≥ level threshold, and per
     * incoming row keep the best (highest score, deterministic tie-break).
     * Later levels override earlier ones, mirroring the reference's sequential
-    * assignment loop (etl_consume_entity_match.py:269-273). */
+    * assignment loop (etl_consume_entity_match.py:269-273).
+    *
+    * `collapseIncoming` (opt-in): additionally dedupe the INCOMING side per
+    * level to distinct (block, field-values) signatures before scoring, then
+    * join the per-signature winner back to rows null-safely — EXACTLY
+    * result-preserving (a row's winner is a pure function of its signature).
+    * Worth it when incoming carries many duplicate field tuples (boilerplate
+    * floods: F identical rows score once instead of F times); costs an extra
+    * dedupe + join-back per level, so it stays off for mostly-unique feeds. */
   def fuzzyMatch(incoming: DataFrame, primary: DataFrame, spec: MatchSpec,
-                 rowKey: Seq[String]): (DataFrame, DataFrame) = {
+                 rowKey: Seq[String],
+                 collapseIncoming: Boolean = false): (DataFrame, DataFrame) = {
     val gid = spec.globalIdField
     if (spec.levels.isEmpty || incoming.isEmpty) return splitByNull(incoming, gid)
 
@@ -138,13 +147,23 @@ object EntityMatch {
       val prDistinct = prExp.groupBy(("__block" +: fieldCols).map(col): _*)
         .agg(min(col("__cand_gid")).as("__cand_gid"))
 
-      val cands = inc.join(prDistinct, Seq("__block"))
+      // optional incoming-side collapse: score each distinct signature once
+      val sigNames = "__block" +: level.fields.map(f => s"__i_${f.name}")
+      val leftFrame =
+        if (!collapseIncoming) inc
+        else inc.select(col("__block") +:
+            level.fields.map(f => col(s"i.${f.name}").as(s"__i_${f.name}")): _*)
+          .dropDuplicates(sigNames) // nulls group together, like <=> below
+      def leftField(name: String): Column =
+        if (collapseIncoming) col(s"__i_$name") else col(s"i.$name")
+
+      val cands = leftFrame.join(prDistinct, Seq("__block"))
       val wSum = level.fields.map(_.weight).sum
       // per-field similarity feature in [0,1] — recordlinkage semantics:
       // `exact` is 1/0 equality (null never matches); `string` with a
       // threshold is binarized jaro-winkler similarity.
       val score = level.fields.map { f =>
-        val l = col(s"i.${f.name}")
+        val l = leftField(f.name)
         val r = col(s"__p_${f.name}")
         val feat = f.kind match {
           case "exact" => when(l.isNotNull && r.isNotNull && l === r, 1.0).otherwise(0.0)
@@ -156,14 +175,39 @@ object EntityMatch {
         feat * f.weight
       }.reduce(_ + _) / wSum
 
-      val scored = cands.withColumn("__score", score)
+      val scored0 = cands.withColumn("__score", score)
         .filter(col("__score") >= level.threshold)
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(rowKey.map(k => col(s"i.$k")): _*)
-            .orderBy(col("__score").desc, col("__cand_gid"))))
-        .filter(col("__rn") === 1)
-        .select(rowKey.map(k => col(s"i.$k")) :+ col("__cand_gid").as("__new_gid") :+
-          lit(li).as("__level"): _*)
+      val scored =
+        if (!collapseIncoming)
+          scored0
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy(rowKey.map(k => col(s"i.$k")): _*)
+                .orderBy(col("__score").desc, col("__cand_gid"))))
+            .filter(col("__rn") === 1)
+            .select(rowKey.map(k => col(s"i.$k")) :+ col("__cand_gid").as("__new_gid") :+
+              lit(li).as("__level"): _*)
+        else {
+          // one winner per SIGNATURE (same tie-break), then a null-safe
+          // join-back hands it to every row carrying that signature — inner,
+          // so signatures with no qualifying candidate drop out exactly as
+          // unmatched rows do on the direct path
+          val winNames = sigNames.indices.map(i => s"__w_$i")
+          val perSig = scored0
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy(sigNames.map(col): _*)
+                .orderBy(col("__score").desc, col("__cand_gid"))))
+            .filter(col("__rn") === 1)
+            .select(sigNames.map(col) :+ col("__cand_gid"): _*)
+            .toDF(winNames :+ "__w_gid": _*)
+          val rowsWithSig = inc.select(rowKey.map(k => col(s"i.$k")) ++
+            (col("__block") +:
+              level.fields.map(f => col(s"i.${f.name}").as(s"__i_${f.name}"))): _*)
+          val cond = sigNames.zip(winNames)
+            .map { case (l, w) => col(l) <=> col(w) }.reduce(_ && _)
+          rowsWithSig.join(perSig, cond)
+            .select(rowKey.map(col) :+ col("__w_gid").as("__new_gid") :+
+              lit(li).as("__level"): _*)
+        }
 
       assignments =
         if (assignments == null) scored

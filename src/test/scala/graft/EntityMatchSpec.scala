@@ -80,6 +80,31 @@ class EntityMatchSpec extends SparkSpec {
     assert(unmatched.select("customerno").as[String].collect().toSeq == Seq("X2"))
   }
 
+  test("collapseIncoming is exactly result-preserving (incl. duplicate signatures, nulls, multi-level)") {
+    val spec = mkSpec("t")
+    val incoming = Seq(
+      ("X1", "F15", null, "alicia", "1990-01-01", "10001", "555-0000", "other@x.com", "2024-02-01"),
+      // duplicate field signature of X1 under a different row key
+      ("X9", "F16", null, "alicia", "1990-01-01", "10001", "555-0000", "other@x.com", "2024-03-01"),
+      ("X2", "F15", null, "nomatch", "1999-09-09", "99999", "555-0001", "no@x.com", "2024-02-01"),
+      // null field values inside a valid block
+      ("X3", "F15", null, "alicia", null, "10001", "555-2222", "b@x.com", "2024-02-01"),
+      // level-2 (phone block) match only
+      ("Y1", "F15", null, "bob", "1985-05-05", "77777", "555-2222", "b@x.com", "2024-02-01")
+    ).toDF("customerno", "srcsystemid", "globalid", "firstname", "dob", "zip", "phone", "email", "lastupdated")
+    val key = Seq("customerno", "srcsystemid")
+    def result(collapse: Boolean): (Seq[(String, String)], Seq[String]) = {
+      val (m, u) = EntityMatch.fuzzyMatch(incoming, primaryDf, spec, key,
+        collapseIncoming = collapse)
+      (m.select("customerno", "globalid").as[(String, String)].collect().toSeq.sorted,
+        u.select("customerno").as[String].collect().toSeq.sorted)
+    }
+    val direct = result(collapse = false)
+    val collapsed = result(collapse = true)
+    assert(collapsed == direct)
+    assert(direct._1.map(_._1).contains("X9")) // the duplicate signature matched too
+  }
+
   test("fuzzy match level 2 (phone block, exact email) overrides level 1 miss") {
     val spec = mkSpec("t")
     val incoming = Seq(

@@ -893,4 +893,24 @@ class TokenBudgetSpec extends SparkSpec {
     assert(got.values.sum <= budget)
     assert(got.values.sum >= budget - 50) // fills to within one max-doc of target
   }
+
+  test("determinism hardening: null token counts count 0; duplicate ids keep a stable multiset") {
+    // nulls: a null-count doc must neither crash the boundary cumsum nor be
+    // dropped arbitrarily — it costs 0 tokens, so it is always kept when its
+    // bucket is reached
+    val withNulls = Seq((1L, Some(600L)), (2L, None), (3L, Some(600L)))
+      .toDF("doc_id", "n_tokens")
+    val kept = Sampling.tokenBudgetSample(withNulls, "doc_id", "n_tokens", 700L)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
+    assert(kept.values.map(math.max(_, 0L)).sum <= 700L)
+    // duplicate ids with different counts: repeated runs agree exactly (the
+    // (id, tokens) tie-break pins the cut inside the boundary bucket)
+    val dups = Seq((7L, 300L), (7L, 100L), (7L, 300L), (9L, 200L), (9L, 50L))
+      .toDF("doc_id", "n_tokens")
+    def run() = Sampling.tokenBudgetSample(dups, "doc_id", "n_tokens", 450L)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val first = run()
+    (1 to 3).foreach(_ => assert(run() == first))
+    assert(first.map(_._2).sum <= 450L)
+  }
 }
