@@ -193,6 +193,12 @@ object ScaleCheck {
     Seq(1 -> "1x", n -> s"${n}x").foreach { case (m, tag) =>
       fuzzyRun(s"zipf-blocks $tag", noGid(zipfSide("i", zipfBase * m)),
         withGid(zipfSide("p", zipfBase * m)))
+      // the head block has many rows but bounded DISTINCT signatures (200
+      // names) — collapsing incoming turns head-rows × 200 score evals into
+      // ≤200 × 200, the regime this knob exists for
+      fuzzyRun(s"zipf-blocks $tag collapseIncoming",
+        noGid(zipfSide("i", zipfBase * m)), withGid(zipfSide("p", zipfBase * m)),
+        collapse = true)
     }
 
     // DQ quarantine: 3 row-level rules fold into ONE pass — runtime must
