@@ -182,6 +182,50 @@ object Ann {
     * against corpus/2^planes, and prefer more `planes` for routine bucket
     * slimming (the flood case is exactly where near-identical survivors
     * score the same cosine, which is why the sample is sound THERE). */
+  /** ONE distributed k-means (Lloyd) step: assign every vector to its
+    * nearest centroid (max dot — [[graft.functions.expressions.Kernels
+    * .nearestCentroid]], the same scorer [[ivfTopK]] probes with) and return
+    * per-cluster (n, per-dimension mean). One codegen'd scan + one
+    * hash-partitioned aggregation with map-side partial sums — the shape
+    * that holds at any corpus size (no driver data path; `dim` fixed agg
+    * columns). Empty clusters simply emit no row — callers keep the old
+    * centroid ([[kmeansFit]] does). */
+  def kmeansStep(corpus: DataFrame, vecCol: String,
+                 centroids: Array[Array[Double]]): DataFrame = {
+    import graft.functions.expressions.HashExpressions.nearest_centroid
+    val dim = centroids.head.length
+    val aggs = (0 until dim).map(i =>
+      avg(element_at(col("__v"), i + 1).cast("double")).as(s"m$i"))
+    corpus.select(col(vecCol).as("__v"))
+      .withColumn("cluster", nearest_centroid(col("__v"), centroids))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), aggs: _*)
+  }
+
+  /** Distributed k-means fit over the WHOLE corpus (vs [[trainIvfCentroids]]
+    * which Lloyd-iterates a bounded driver-side sample): deterministic init
+    * from the hash-ordered sample's farthest-point pass, then `iters`
+    * full-corpus [[kmeansStep]]s — each one scan + one aggregation, k×dim
+    * doubles to the driver per iteration (centroids are broadcast-sized by
+    * definition). The semantic-clustering primitive for curation recipes
+    * (cluster → per-cluster dedup/sample, SemDeDup-style). */
+  def kmeansFit(corpus: DataFrame, vecCol: String, k: Int, iters: Int = 5,
+                sampleSize: Int = 2048): Array[Array[Double]] = {
+    var cs = trainIvfCentroids(corpus, vecCol, k, sampleSize, iters = 0)
+    var it = 0
+    while (it < iters) {
+      val rows = kmeansStep(corpus, vecCol, cs).collect()
+      val next = cs.map(_.clone())
+      rows.foreach { r =>
+        val c = r.getAs[Int]("cluster")
+        next(c) = Array.tabulate(cs.head.length)(i => r.getDouble(2 + i))
+      }
+      cs = next
+      it += 1
+    }
+    cs
+  }
+
   /** Per-bucket membership histogram under the same bucketing [[lshTopK]]
     * uses — the cheap pre-flight check for degenerate corpora (run it once
     * on a new corpus; a bucket ≫ corpus/2^planes means a boilerplate flood

@@ -164,6 +164,23 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Distributed k-means step (Ann.kmeansStep) with the fixed LCG centroids:
+    // max-dot assignment + per-cluster counts and per-dimension means in ONE
+    // scan + ONE aggregation — the semantic-clustering primitive (SemDeDup-
+    // style curation). Unpivoted to (cluster, n, dim, mean_r) rows so the
+    // DuckDB oracle replays assignment and the 64 per-dim averages exactly.
+    "q89_kmeans_step" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val centroids = Array.tabulate(16, 64)((p, dd) =>
+        graft.functions.expressions.HashExpressions.planeComponent(p + 100, dd))
+      val step = graft.operators.Ann.kmeansStep(emb, "embedding", centroids)
+      val meanArr = array((0 until 64).map(i => col(s"m$i")): _*)
+      step.select(col("cluster"), col("n"), posexplode(meanArr).as(Seq("dim", "mean")))
+        .select(col("cluster"), col("n"), col("dim"),
+          round(col("mean"), 6).as("mean_r"))
+        .orderBy(col("cluster"), col("dim"))
+    }),
+
     // Embedding near-dup pairs via BANDED hyperplane LSH + exact cosine
     // verification — fully oracle-checked since round 5: the DuckDB oracle
     // replays the 24-bit hyperplane signature (same LCG CTE as q29), the
@@ -1157,6 +1174,34 @@ object TextQueries {
       SELECT d.doc_id AS media_id, CAST(d.len AS INTEGER) AS n_bytes, js.embedding_json
       FROM d JOIN js ON d.doc_id = js.doc_id
       ORDER BY media_id""",
+    // K-means-step replay: max-dot assignment against the fixed
+    // planeComponent(p+100) centroids (same LCG CTE as q41), then per-cluster
+    // count + per-dimension mean.
+    "q89_kmeans_step" -> """
+      WITH cc AS (
+        SELECT p - 100 AS ci, d,
+          CAST(
+            ((( (p*1000003 + d*7919 + 12345)::HUGEINT * 6364136223846793005 + 1442695040888963407)
+               % 18446744073709551616::HUGEINT)
+              * 6364136223846793005 + 1442695040888963407) % 18446744073709551616::HUGEINT
+            // 2048 AS DOUBLE) / 4503599627370496.0 * 2.0 - 1.0 AS w
+        FROM range(100,116) t1(p), range(0,64) t2(d)),
+      cents AS (SELECT ci, list(w ORDER BY d) AS cv FROM cc GROUP BY ci),
+      adot AS (
+        SELECT e.vec_id, c.ci, list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv) AS s
+        FROM embeddings e CROSS JOIN cents c),
+      assigned AS (
+        SELECT vec_id, ci AS cluster FROM (
+          SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn FROM adot)
+        WHERE rn = 1),
+      joined AS (
+        SELECT a.cluster, e.embedding FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id)
+      SELECT CAST(cluster AS INTEGER) AS cluster, CAST(count(*) AS BIGINT) AS n,
+             CAST(t.d AS INTEGER) AS dim,
+             round(avg(CAST(embedding[t.d + 1] AS DOUBLE)), 6) AS mean_r
+      FROM joined, range(0, 64) t(d)
+      GROUP BY cluster, t.d
+      ORDER BY cluster, dim""",
     // Frame-sample replay: nFrames = len/64; strided indices 0,2,4,… are
     // re-numbered by posexplode position, every emitted frame is a full
     // 64-byte slice.

@@ -372,6 +372,36 @@ class IvfSpec extends SparkSpec {
     assert(top.head == 11L) // own list is always probed first
   }
 
+  test("kmeansFit: deterministic, recovers planted direction clusters, step counts conserve rows") {
+    // three tight direction-groups in 8-dim space: members of a group must
+    // land in one cluster after a full-corpus fit
+    val base = Seq(
+      Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 0f, 0f, 0f, 1f, 0f))
+    val rows = for {
+      (b, g) <- base.zipWithIndex; j <- 0 until 20
+    } yield (g * 100L + j, b.zipWithIndex.map { case (x, i) =>
+      x + 0.01f * (((g * 100 + j) * 31 + i) % 7) }.toSeq)
+    val df = rows.toDF("vec_id", "embedding")
+    val c1 = graft.operators.Ann.kmeansFit(df, "embedding", k = 3, iters = 4,
+      sampleSize = 64)
+    val c2 = graft.operators.Ann.kmeansFit(df, "embedding", k = 3, iters = 4,
+      sampleSize = 64)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq) // deterministic
+    val assigned = df.select(col("vec_id"),
+        graft.functions.expressions.HashExpressions
+          .nearest_centroid(col("embedding"), c1).as("c"))
+      .as[(Long, Int)].collect()
+    val byGroup = assigned.groupBy(_._1 / 100).view.mapValues(_.map(_._2).distinct).toMap
+    byGroup.foreach { case (g, cs) =>
+      assert(cs.size == 1, s"group $g split across clusters $cs")
+    }
+    assert(byGroup.values.flatten.toSet.size == 3) // groups in distinct clusters
+    val step = graft.operators.Ann.kmeansStep(df, "embedding", c1)
+    assert(step.agg(sum(col("n"))).head().getLong(0) == rows.size) // rows conserved
+  }
+
   test("IVF recall vs brute force at nprobe=4 is substantial") {
     val emb = sf("embeddings")
     val q = emb.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding")
