@@ -144,6 +144,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** SemDeDup-style semantic near-dup pairs: k-means cluster id as the
+    * blocking key (assign with the same max-dot scorer IVF uses), all-pairs
+    * within a cluster, exact-cosine verify. The curation recipe behind
+    * "cluster then dedup within clusters": candidates are bounded by cluster
+    * size, so at scale you pick k large enough that clusters stay small
+    * (k ≈ corpus/target-cluster-size; [[graft.operators.Ann.kmeansFit]]
+    * trains centroids on the full corpus) — and degenerate clusters fall
+    * into the same [[guardedBucketPairs]] chain guard as every other LSH
+    * family member. Returns (id_a, id_b, cosine). */
+  def semanticDedupPairs(df: DataFrame, vecCol: String, idCol: String,
+                         centroids: Array[Array[Double]], threshold: Double,
+                         maxBucketSize: Int = 1000): DataFrame = {
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("__c",
+        graft.functions.expressions.HashExpressions.nearest_centroid(col("v"), centroids))
+    guardedBucketPairs(assigned.select(col("__c"), col("id"), col("v")),
+        Seq("__c"), "id", Seq("v"), maxBucketSize)
+      .select(col("id_a"), col("id_b"), S.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** SemDeDup keep-first: drop every vector that semantically near-dups an
+    * earlier (lower-id) one within its cluster. */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+                    centroids: Array[Array[Double]], threshold: Double,
+                    maxBucketSize: Int = 1000): DataFrame = {
+    val dupIds = semanticDedupPairs(df, vecCol, idCol, centroids, threshold, maxBucketSize)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Per-stage outcome of [[dedupPipeline]]. */
   case class DedupStage(stage: String, docsIn: Long, docsOut: Long)
 

@@ -181,6 +181,19 @@ object TextQueries {
         .orderBy(col("cluster"), col("dim"))
     }),
 
+    // SemDeDup-style semantic near-dup pairs (Dedup.semanticDedupPairs):
+    // fixed-centroid cluster assignment as the blocking key, all-pairs
+    // within cluster, exact cosine >= 0.2 — the oracle replays assignment
+    // (q41/q89's LCG CTE) and the per-cluster pairing exactly.
+    "q90_semantic_dedup" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val centroids = Array.tabulate(16, 64)((p, dd) =>
+        graft.functions.expressions.HashExpressions.planeComponent(p + 100, dd))
+      Dedup.semanticDedupPairs(emb, "embedding", "vec_id", centroids, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Embedding near-dup pairs via BANDED hyperplane LSH + exact cosine
     // verification — fully oracle-checked since round 5: the DuckDB oracle
     // replays the 24-bit hyperplane signature (same LCG CTE as q29), the
@@ -1202,6 +1215,38 @@ object TextQueries {
       FROM joined, range(0, 64) t(d)
       GROUP BY cluster, t.d
       ORDER BY cluster, dim""",
+    // SemDeDup replay: fixed-centroid assignment, within-cluster pairs,
+    // exact cosine filter.
+    "q90_semantic_dedup" -> """
+      WITH cc AS (
+        SELECT p - 100 AS ci, d,
+          CAST(
+            ((( (p*1000003 + d*7919 + 12345)::HUGEINT * 6364136223846793005 + 1442695040888963407)
+               % 18446744073709551616::HUGEINT)
+              * 6364136223846793005 + 1442695040888963407) % 18446744073709551616::HUGEINT
+            // 2048 AS DOUBLE) / 4503599627370496.0 * 2.0 - 1.0 AS w
+        FROM range(100,116) t1(p), range(0,64) t2(d)),
+      cents AS (SELECT ci, list(w ORDER BY d) AS cv FROM cc GROUP BY ci),
+      adot AS (
+        SELECT e.vec_id, c.ci, list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv) AS s
+        FROM embeddings e CROSS JOIN cents c),
+      assigned AS (
+        SELECT vec_id, ci AS cluster FROM (
+          SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn FROM adot)
+        WHERE rn = 1),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assigned a JOIN assigned b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+      scored AS (
+        SELECT p.id_a, p.id_b,
+               list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))) AS cosine
+        FROM pairs p JOIN embeddings x ON p.id_a = x.vec_id
+        JOIN embeddings y ON p.id_b = y.vec_id)
+      SELECT id_a, id_b, round(cosine, 6) AS cosine_r
+      FROM scored WHERE cosine >= 0.2 ORDER BY id_a, id_b""",
     // Frame-sample replay: nFrames = len/64; strided indices 0,2,4,… are
     // re-numbered by posexplode position, every emitted frame is a full
     // 64-byte slice.

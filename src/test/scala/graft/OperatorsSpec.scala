@@ -402,6 +402,27 @@ class IvfSpec extends SparkSpec {
     assert(step.agg(sum(col("n"))).head().getLong(0) == rows.size) // rows conserved
   }
 
+  test("semanticDedup: within-cluster keep-first; cross-cluster twins untouched") {
+    import graft.operators.Dedup
+    // centroids on two orthogonal directions; ids pick cluster membership
+    val cents = Array(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0))
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.01f, 0f, 0f)),   // cluster 0
+      (2L, Seq(1.0f, 0.02f, 0f, 0f)),   // near-dup of 1, same cluster -> dropped
+      (3L, Seq(0f, 0f, 1.0f, 0.01f)),   // cluster 1
+      (4L, Seq(0f, 0f, 1.0f, 0.02f)),   // near-dup of 3 -> dropped
+      (5L, Seq(0.2f, 0f, 1.0f, 0f))     // cluster 1, but cosine vs 3/4 < 0.995
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(rows, "embedding", "vec_id", cents, threshold = 0.995)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L))
+    val pairs = Dedup.semanticDedupPairs(rows, "embedding", "vec_id", cents, 0.995)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+  }
+
   test("IVF recall vs brute force at nprobe=4 is substantial") {
     val emb = sf("embeddings")
     val q = emb.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding")
