@@ -201,6 +201,22 @@ object ScaleCheck {
         collapse = true)
     }
 
+    // Distributed k-means step: one assignment scan + one aggregation with
+    // map-side partial sums — runtime must track input ~linearly, shuffle
+    // stays k × dim-ish (partial aggregates), never input-sized.
+    val embT = queries.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val embOff = embT.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val embN = (0 until n).map(i => embT.select(
+        (col("vec_id") + lit(i.toLong * embOff)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    val kmCents = Array.tabulate(16, 64)((p, dd) =>
+      functions.expressions.HashExpressions.planeComponent(p + 100, dd))
+    Seq(embT -> "1x", embN -> s"${n}x").foreach { case (df, tag) =>
+      timed(s"kmeans step k=16 $tag")(((),
+        operators.Ann.kmeansStep(df, "embedding", kmCents).count()))
+    }
+
     // DQ quarantine: 3 row-level rules fold into ONE pass — runtime must
     // track input size (≤ Nx), never rules × passes.
     val orders = queries.Tables(spark, sfDir, "orders")
