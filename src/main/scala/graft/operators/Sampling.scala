@@ -94,4 +94,42 @@ object Sampling {
       .drop("__cum", "__residual")
     keptFull.unionByName(boundaryRows).drop("__b")
   }
+
+  /** Deterministic SEQUENCE PACKING (concat-then-chunk): documents are laid
+    * out in stable (hashBucket, id, tokens) order, token counts concatenated,
+    * and cut at `seqLen` boundaries — each doc gets the training sequence its
+    * first token lands in plus its offset there (docs may span a boundary,
+    * as in the standard concat recipe). Output: (idCol, n_tokens, seq_id,
+    * seq_offset).
+    *
+    * Scale shape: an EXACT global exclusive prefix sum with NO global
+    * sort/cumsum — per-bucket totals prefix-sum on a ≤65,536-row frame
+    * (broadcast back as bucket start offsets), intra-bucket exclusive cumsum
+    * as an ordinary partitioned window. One shuffle by bucket + one
+    * broadcast, any corpus size. NULL token counts count 0 (same
+    * determinism contract as [[tokenBudgetSample]]). */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    import org.apache.spark.sql.expressions.Window
+    val tok = coalesce(col(tokensCol).cast("long"), lit(0L))
+    val withB = df.select(col(idCol), tok.as("__t"))
+      .withColumn("__b", hashBucket(col(idCol)))
+    val bucketStarts = withB.groupBy(col("__b"))
+      .agg(sum(col("__t")).as("__bt"))
+      .withColumn("__bstart", coalesce(
+        sum(col("__bt")).over(
+          Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__b"), col("__bstart"))
+    withB.join(broadcast(bucketStarts), Seq("__b"))
+      .withColumn("__g", col("__bstart") + coalesce(
+        sum(col("__t")).over(
+          Window.partitionBy(col("__b")).orderBy(col(idCol), col("__t"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(idCol), col("__t").as("n_tokens"),
+        expr(s"__g div $seqLen").as("seq_id"),
+        pmod(col("__g"), lit(seqLen)).as("seq_offset"))
+  }
 }

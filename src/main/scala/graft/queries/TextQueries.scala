@@ -489,6 +489,17 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Sequence packing (Sampling.packSequences): concat-then-chunk doc →
+    // training-sequence mapping at 512 tokens, via the exact distributed
+    // prefix sum (bucket totals + intra-bucket window — no global sort);
+    // the oracle replays the same (bucket, id) order with a window cumsum.
+    "q91_sequence_packing" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), T.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      graft.operators.Sampling.packSequences(docs, "doc_id", "n_tokens", seqLen = 512L)
+        .orderBy(col("doc_id"))
+    }),
+
     // CORPUS-level line dedup (C4/RefinedWeb recipe): a shared boilerplate
     // line is planted on EVERY doc plus a per-doc unique line; across the
     // corpus the boilerplate must survive only in the first document (min
@@ -1187,6 +1198,25 @@ object TextQueries {
       SELECT d.doc_id AS media_id, CAST(d.len AS INTEGER) AS n_bytes, js.embedding_json
       FROM d JOIN js ON d.doc_id = js.doc_id
       ORDER BY media_id""",
+    // Sequence-packing replay: same (md5-bucket, id) global order, exclusive
+    // window cumsum, div/mod 512.
+    "q91_sequence_packing" -> """
+      WITH t AS (
+        SELECT doc_id,
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                    ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens
+        FROM documents),
+      b AS (SELECT doc_id, n_tokens,
+              COALESCE(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER), 0) AS bkt
+            FROM t),
+      g AS (SELECT doc_id, n_tokens,
+              COALESCE(sum(n_tokens) OVER (ORDER BY bkt, doc_id, n_tokens
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS goff
+            FROM b)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(goff // 512 AS BIGINT) AS seq_id,
+             CAST(goff % 512 AS BIGINT) AS seq_offset
+      FROM g ORDER BY doc_id""",
     // K-means-step replay: max-dot assignment against the fixed
     // planeComponent(p+100) centroids (same LCG CTE as q41), then per-cluster
     // count + per-dimension mean.

@@ -945,6 +945,24 @@ class TokenBudgetSpec extends SparkSpec {
     assert(got.values.sum >= budget - 50) // fills to within one max-doc of target
   }
 
+  test("packSequences: exact concat-then-chunk mapping, contiguous global offsets") {
+    val docs = (1L to 150L).map(i => (i, 1L + (i * 13) % 97)).toDF("doc_id", "n_tokens")
+    val L = 128L
+    val got = Sampling.packSequences(docs, "doc_id", "n_tokens", L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // reference: naive global (bucket, id) order exclusive cumsum
+    val ordered = docs.withColumn("b", Sampling.hashBucket(col("doc_id")))
+      .orderBy("b", "doc_id").as[(Long, Long, Int)].collect()
+    var g = 0L
+    val expected = ordered.map { case (id, t, _) =>
+      val row = (id, t, g / L, g % L); g += t; row
+    }.toSet
+    assert(got.toSet == expected)
+    assert(got.forall { case (_, _, _, off) => off >= 0 && off < L })
+    // every token position is covered exactly once: total tokens == final g
+    assert(got.map(_._2).sum == g)
+  }
+
   test("determinism hardening: null token counts count 0; duplicate ids keep a stable multiset") {
     // nulls: a null-count doc must neither crash the boundary cumsum nor be
     // dropped arbitrarily — it costs 0 tokens, so it is always kept when its
