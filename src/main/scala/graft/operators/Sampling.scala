@@ -132,4 +132,43 @@ object Sampling {
         expr(s"__g div $seqLen").as("seq_id"),
         pmod(col("__g"), lit(seqLen)).as("seq_offset"))
   }
+
+  /** Deterministic DOMAIN-MIXTURE sampling: keep a per-group fraction of
+    * rows such that the sampled TOKEN mass approaches the `target`
+    * distribution over `groupCol` (normalized weights), keeping as much data
+    * as possible — the group whose target/available ratio is highest keeps
+    * 100% and every other group scales down proportionally (the data-mixing
+    * primitive: fraction-based per-group sampling can't hit token targets
+    * when group sizes are skewed). Selection is the stable salted id-hash of
+    * [[stratifiedSample]], so the result is reproducible anywhere. Groups
+    * absent from `target` (or with zero weight / zero tokens) are dropped.
+    *
+    * Scale shape: one aggregation over the group cardinality (bounded by the
+    * number of domains), rates joined back as a broadcast — no collect, no
+    * extra pass over rows. Returns the kept rows plus their group `rate`. */
+  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
+                    tokensCol: String, target: Map[String, Double]): DataFrame = {
+    require(target.nonEmpty && target.values.forall(_ >= 0) && target.values.sum > 0,
+      "target weights must be non-negative with a positive sum")
+    import org.apache.spark.sql.expressions.Window
+    val wSum = target.values.sum
+    val tok = coalesce(col(tokensCol).cast("long"), lit(0L))
+    val fExpr = target.foldLeft(lit(0.0)) { case (acc, (g, w)) =>
+      when(col(groupCol) === g, lit(w / wSum)).otherwise(acc)
+    }
+    val rates = df.groupBy(col(groupCol))
+      .agg(sum(tok).as("__tg"))
+      .withColumn("__f", fExpr)
+      .filter(col("__f") > 0 && col("__tg") > 0)
+      .withColumn("__ratio", col("__f") / col("__tg"))
+      // group count is bounded (domains), so the unpartitioned window frame
+      // is a few rows — not a scale concern
+      .withColumn("rate", col("__ratio") / max(col("__ratio")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(groupCol), col("rate"))
+    val bucket = hashBucket(concat(col(groupCol).cast("string"), lit("|"),
+      col(idCol).cast("string")))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(bucket.cast("double") < col("rate") * 65536.0)
+  }
 }

@@ -181,6 +181,21 @@ object TextQueries {
         .orderBy(col("cluster"), col("dim"))
     }),
 
+    // Domain-mixture sampling (Sampling.mixtureSample): per-language rates
+    // derived from target token weights vs available token mass (binding
+    // group keeps 100%), stable salted-hash row selection — the oracle
+    // recomputes rates and replays the same md5 cutoff.
+    "q92_domain_mixture" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          T.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      graft.operators.Sampling.mixtureSample(docs, "doc_id", "lang", "n_tokens",
+          Map("en" -> 0.4, "de" -> 0.3, "fr" -> 0.3))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          round(col("rate"), 6).as("rate_r"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SemDeDup-style semantic near-dup pairs (Dedup.semanticDedupPairs):
     // fixed-centroid cluster assignment as the blocking key, all-pairs
     // within cluster, exact cosine >= 0.2 — the oracle replays assignment
@@ -1198,6 +1213,31 @@ object TextQueries {
       SELECT d.doc_id AS media_id, CAST(d.len AS INTEGER) AS n_bytes, js.embedding_json
       FROM d JOIN js ON d.doc_id = js.doc_id
       ORDER BY media_id""",
+    // Mixture replay: same rate arithmetic (literals forced to DOUBLE — the
+    // Spark side computes the normalized weights in binary floating point,
+    // and DuckDB's default DECIMAL literals would differ) + same salted md5
+    // cutoff.
+    "q92_domain_mixture" -> """
+      WITH t AS (
+        SELECT doc_id, lang,
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                    ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens
+        FROM documents),
+      tg AS (SELECT lang, sum(n_tokens) AS tgt FROM t GROUP BY lang),
+      r0 AS (SELECT lang, tgt,
+               CASE lang
+                 WHEN 'en' THEN CAST(0.4 AS DOUBLE) / (CAST(0.4 AS DOUBLE) + CAST(0.3 AS DOUBLE) + CAST(0.3 AS DOUBLE))
+                 WHEN 'de' THEN CAST(0.3 AS DOUBLE) / (CAST(0.4 AS DOUBLE) + CAST(0.3 AS DOUBLE) + CAST(0.3 AS DOUBLE))
+                 WHEN 'fr' THEN CAST(0.3 AS DOUBLE) / (CAST(0.4 AS DOUBLE) + CAST(0.3 AS DOUBLE) + CAST(0.3 AS DOUBLE))
+                 ELSE CAST(0.0 AS DOUBLE) END AS f
+             FROM tg),
+      r1 AS (SELECT lang, f / CAST(tgt AS DOUBLE) AS ratio FROM r0 WHERE f > 0 AND tgt > 0),
+      r AS (SELECT lang, ratio / (SELECT max(ratio) FROM r1) AS rate FROM r1)
+      SELECT t.doc_id, t.lang, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+             round(r.rate, 6) AS rate_r
+      FROM t JOIN r ON t.lang = r.lang
+      WHERE CAST(COALESCE(CAST(('0x' || substr(md5(t.lang || '|' || CAST(t.doc_id AS VARCHAR)), 1, 4)) AS INTEGER), 0) AS DOUBLE) < r.rate * 65536.0
+      ORDER BY doc_id""",
     // Sequence-packing replay: same (md5-bucket, id) global order, exclusive
     // window cumsum, div/mod 512.
     "q91_sequence_packing" -> """

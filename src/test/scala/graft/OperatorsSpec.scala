@@ -963,6 +963,30 @@ class TokenBudgetSpec extends SparkSpec {
     assert(got.map(_._2).sum == g)
   }
 
+  test("mixtureSample: binding group keeps all rows, kept token mass tracks target, untargeted groups drop") {
+    // groups with equal doc counts but skewed token mass: a=9000, b=1000, c=500
+    val docs = ((1L to 90L).map(i => (i, "a", 100L)) ++
+      (101L to 190L).map(i => (i, "b", 11L)) ++ // ~1000 tokens
+      (201L to 290L).map(i => (i, "c", 5L)))
+      .toDF("doc_id", "grp", "n_tokens")
+    val kept = Sampling.mixtureSample(docs, "doc_id", "grp", "n_tokens",
+        Map("a" -> 0.5, "b" -> 0.5))
+      .select("doc_id", "grp", "n_tokens").as[(Long, String, Long)].collect()
+    assert(!kept.exists(_._2 == "c")) // untargeted group dropped
+    // b is binding (0.5/990 > 0.5/9000): every b row kept
+    assert(kept.count(_._2 == "b") == 90)
+    // kept token mass ratio approaches 50/50 (hash granularity leaves slack)
+    val aTok = kept.filter(_._2 == "a").map(_._3).sum.toDouble
+    val bTok = kept.filter(_._2 == "b").map(_._3).sum.toDouble
+    val frac = aTok / (aTok + bTok)
+    assert(frac > 0.35 && frac < 0.65, s"a-fraction $frac")
+    // deterministic
+    val again = Sampling.mixtureSample(docs, "doc_id", "grp", "n_tokens",
+        Map("a" -> 0.5, "b" -> 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+  }
+
   test("determinism hardening: null token counts count 0; duplicate ids keep a stable multiset") {
     // nulls: a null-count doc must neither crash the boundary cumsum nor be
     // dropped arbitrarily — it costs 0 tokens, so it is always kept when its
