@@ -550,6 +550,40 @@ object PipelineQueries {
         .orderBy(col("orderkey"), col("linenumber"))
     }),
 
+    // Stream-static ENRICHMENT: each micro-batch of the CSV feed broadcast-
+    // joins the static orders dimension (rebuilt from the batch's own cloned
+    // session — foreachBatch contract) — the streaming analog of the cleanse
+    // stage's lookup enrich. Oracle: the equivalent batch join.
+    "q93_streaming_enrich" -> ((s, d) => {
+      import graft.streaming.StreamingOps
+      val src = ensureCsv(s, d)
+      val base = s"/tmp/graft_stream_enrich/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      def reset(sub: String): String = {
+        val p = java.nio.file.Paths.get(base, sub)
+        wipeDir(p)
+        java.nio.file.Files.createDirectories(p)
+        p.toString
+      }
+      val out = reset("out")
+      val ckpt = reset("ckpt")
+      val q = StreamingOps.fileArrivalPipeline(s, src, "csv",
+        "OrderKey BIGINT, LineNumber BIGINT, Quantity DOUBLE, ExtendedPrice DOUBLE, " +
+          "ShipDate STRING, ReturnFlag STRING",
+        ckpt, Map("header" -> "true")) { (batch, _) =>
+        val bs = batch.sparkSession
+        val dim = Tables(bs, d, "orders").select(
+          col("o_orderkey").cast(LongType).as("OrderKey"),
+          col("o_orderstatus").as("orderstatus"),
+          col("o_custkey").cast(LongType).as("custkey"))
+        batch.join(broadcast(dim), Seq("OrderKey"), "left")
+          .select(col("OrderKey").as("orderkey"), col("LineNumber").as("linenumber"),
+            col("orderstatus"), col("custkey"))
+          .write.mode("append").parquet(out)
+      }
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("orderkey"), col("linenumber"))
+    }),
+
     "q37_pipeline_e2e" -> ((s, d) => {
       val src = ensureCsv(s, d)
       val args = JobArgs("Bench", "lineitem_cleansed", src, "bench-exec",
@@ -743,6 +777,13 @@ object PipelineQueries {
       SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q93_streaming_enrich" -> """
+      SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
+             CAST(l_linenumber AS BIGINT) AS linenumber,
+             o_orderstatus AS orderstatus,
+             CAST(o_custkey AS BIGINT) AS custkey
+      FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      ORDER BY orderkey, linenumber""",
     "q68_streaming_ingest" -> """
       SELECT CAST(l_orderkey AS BIGINT) AS orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
              CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS quantity,

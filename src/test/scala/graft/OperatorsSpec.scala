@@ -963,6 +963,23 @@ class TokenBudgetSpec extends SparkSpec {
     assert(got.map(_._2).sum == g)
   }
 
+  test("packSequences edges: zero-token docs, doc longer than seqLen, null counts") {
+    val docs = Seq((1L, Some(0L)), (2L, Some(300L)), (3L, None), (4L, Some(10L)))
+      .toDF("doc_id", "n_tokens")
+    val got = Sampling.packSequences(docs, "doc_id", "n_tokens", 128L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == 4) // zero/null-token docs still get a position
+    assert(got.values.forall { case (_, _, off) => off >= 0 && off < 128 })
+    // the 300-token doc spans sequences: its successor starts 300 later
+    val ordered = docs.withColumn("b", Sampling.hashBucket(col("doc_id")))
+      .orderBy("b", "doc_id").select("doc_id").as[Long].collect()
+    val offsets = ordered.map(id => got(id)._2 * 128 + got(id)._3)
+    val toks = ordered.map(id => got(id)._1)
+    offsets.zip(offsets.drop(1)).zip(toks).foreach { case ((g0, g1), t) =>
+      assert(g1 == g0 + t) // contiguous concat layout, nulls as 0
+    }
+  }
+
   test("mixtureSample: binding group keeps all rows, kept token mass tracks target, untargeted groups drop") {
     // groups with equal doc counts but skewed token mass: a=9000, b=1000, c=500
     val docs = ((1L to 90L).map(i => (i, "a", 100L)) ++
