@@ -28,6 +28,26 @@ object Tfidf {
       .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
   }
 
+  /** Per-document unigram negative log-likelihood — the CCNet-style
+    * perplexity-proxy quality signal with the corpus as its own LM: p(tok) =
+    * corpus count / corpus total, score = mean over the doc's tokens of
+    * −ln p(tok). Low = in-distribution/common text, high = rare-token noise.
+    * Scale shape: one explode + one vocabulary aggregation + one token join
+    * (strategy left to AQE, same reasoning as [[tfidf]]) + one per-doc
+    * aggregation; the corpus total rides along as a broadcast single row,
+    * never a driver scalar. Token-less docs emit no row (there is nothing to
+    * score) — left-join and fill if presence is needed. */
+  def unigramNll(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val terms = docs.select(col(idCol), explode(S.tokens(col(textCol))).as("token"))
+    val counts = terms.groupBy(col("token")).agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum(col("__c")).as("__total"))
+    terms.join(counts, Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(-log(col("__c").cast("double") / col("__total").cast("double"))).as("nll"))
+  }
+
   /** Top-k highest-tfidf tokens per document (deterministic: rounded score,
     * then token, breaks ties). */
   def topTerms(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =

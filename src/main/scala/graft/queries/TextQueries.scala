@@ -181,6 +181,16 @@ object TextQueries {
         .orderBy(col("cluster"), col("dim"))
     }),
 
+    // Unigram-LM negative log-likelihood (Tfidf.unigramNll): the corpus as
+    // its own language model, mean −ln p(token) per doc — the CCNet-style
+    // perplexity-proxy quality filter. Oracle recomputes counts and the
+    // rounded mean.
+    "q94_unigram_nll" -> ((s, d) => {
+      graft.operators.Tfidf.unigramNll(Tables(s, d, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens"), round(col("nll"), 6).as("nll_r"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Domain-mixture sampling (Sampling.mixtureSample): per-language rates
     // derived from target token weights vs available token mass (binding
     // group keeps 100%), stable salted-hash row selection — the oracle
@@ -1213,6 +1223,19 @@ object TextQueries {
       SELECT d.doc_id AS media_id, CAST(d.len AS INTEGER) AS n_bytes, js.embedding_json
       FROM d JOIN js ON d.doc_id = js.doc_id
       ORDER BY media_id""",
+    // Unigram-NLL replay: corpus token counts, −ln(count/total), per-doc
+    // mean rounded to 6.
+    "q94_unigram_nll" -> """
+      WITH terms AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS token
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      counts AS (SELECT token, count(*) AS c FROM terms GROUP BY token),
+      total AS (SELECT sum(c) AS t FROM counts)
+      SELECT terms.doc_id, count(*) AS n_tokens,
+             round(avg(-ln(CAST(counts.c AS DOUBLE) / CAST(total.t AS DOUBLE))), 6) AS nll_r
+      FROM terms JOIN counts USING (token) CROSS JOIN total
+      GROUP BY terms.doc_id
+      ORDER BY doc_id""",
     // Mixture replay: same rate arithmetic (literals forced to DOUBLE — the
     // Spark side computes the normalized weights in binary floating point,
     // and DuckDB's default DECIMAL literals would differ) + same salted md5

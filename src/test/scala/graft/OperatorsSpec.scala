@@ -481,6 +481,22 @@ class TfidfSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Tfidf
 
+  test("unigramNll: rare-token docs score higher; values match the closed form") {
+    val docs = Seq(
+      (1L, "a a a a"),        // only common tokens
+      (2L, "a a zqx"),        // one rare token
+      (3L, "   ")).toDF("doc_id", "text") // token-less → no row
+    val out = Tfidf.unigramNll(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!out.contains(3L))
+    // corpus: a×6, zqx×1, total 7
+    val pA = 6.0 / 7.0; val pZ = 1.0 / 7.0
+    assert(math.abs(out(1L)._2 - (-math.log(pA))) < 1e-12)
+    assert(math.abs(out(2L)._2 - (-(2 * math.log(pA) + math.log(pZ)) / 3.0)) < 1e-12)
+    assert(out(2L)._2 > out(1L)._2)
+    assert(out(1L)._1 == 4 && out(2L)._1 == 3)
+  }
+
   test("tfidf: corpus-wide terms weigh zero, rare terms weigh high") {
     val docs = Seq(
       (1L, "common rare1 common"),
