@@ -116,6 +116,53 @@ class BucketingSpec extends SparkSpec {
   }
 }
 
+/** Round-5 operators: the plan shapes their 100 TB stories depend on. */
+class Round5PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("kmeansStep is one scan + paired partial/final aggregation, no join") {
+    val cents = Array.tabulate(4, 64)((p, d) =>
+      graft.functions.expressions.HashExpressions.planeComponent(p, d))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(graft.operators.Ann.kmeansStep(emb, "embedding", cents))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // map-side combine
+    assert(!p.contains("Join"), s"kmeansStep must not join:\n$p")
+    // exactly one exchange: the cluster-key shuffle of partial aggregates
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+  }
+
+  test("packSequences has no global sort — only bucket-partitioned windows") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, i % 40 + 1)).toDF("doc_id", "n_tokens")
+    val out = graft.operators.Sampling.packSequences(docs, "doc_id", "n_tokens", 128L)
+    out.collect()
+    val p = plan(out)
+    // a global sort would plan a range-partitioning Exchange
+    assert(!p.contains("rangepartitioning"), s"global sort leaked in:\n$p")
+    assert(p.contains("BroadcastExchange"), p) // bucket starts broadcast back
+  }
+
+  test("mixtureSample joins rates as a broadcast, never shuffles the corpus") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, if (i % 2 == 0) "a" else "b", i % 40 + 1))
+      .toDF("doc_id", "grp", "n_tokens")
+    val out = graft.operators.Sampling.mixtureSample(docs, "doc_id", "grp",
+      "n_tokens", Map("a" -> 0.5, "b" -> 0.5))
+    out.collect()
+    assert(plan(out).contains("BroadcastHashJoin"), plan(out))
+  }
+
+  test("semantic dedup candidates come from a cluster equi-join, never a cross join") {
+    val cents = Array.tabulate(4, 64)((p, d) =>
+      graft.functions.expressions.HashExpressions.planeComponent(p, d))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(graft.operators.Dedup.semanticDedupPairs(
+      emb, "embedding", "vec_id", cents, 0.2))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
+
 /** Partition pruning: a y/m/d-partitioned table queried with a partition
   * predicate must scan only the matching partition directories. */
 class PartitionPruningSpec extends SparkSpec {
