@@ -270,6 +270,37 @@ object ScaleCheck {
       timed(s"token-budget sample $tag")(((),
         operators.Sampling.tokenBudgetSample(df, "doc_id", "n_tokens", 100000L).count()))
     }
+
+    // Sequence packing: exact distributed prefix sum — runtime ~Nx (one
+    // bucket shuffle + broadcast), never a global sort.
+    Seq(docsTok -> "1x", repTok -> s"${n}x").foreach { case (df, tag) =>
+      timed(s"sequence packing $tag")(((),
+        operators.Sampling.packSequences(df, "doc_id", "n_tokens", 2048L).count()))
+    }
+
+    // Unigram-NLL scoring: explode + vocab agg + token join + doc agg —
+    // runtime tracks corpus tokens (~Nx).
+    Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+      timed(s"unigram nll $tag")(((),
+        operators.Tfidf.unigramNll(df, "text", "doc_id").count()))
+    }
+
+    // Semantic dedup: cluster-blocked pairs — candidate volume is
+    // Σ cluster², so the replicated corpus (identical embeddings x N in the
+    // same clusters) is adversarial; the hot-cluster chain guard must keep
+    // growth ~linear in OUTPUT, not cluster².
+    val sdCents = Array.tabulate(64, 64)((p, dd) =>
+      functions.expressions.HashExpressions.planeComponent(p + 200, dd))
+    val embSd = queries.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val embSdN = (0 until n).map(i => embSd.select(
+        (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    Seq(embSd -> "1x", embSdN -> s"${n}x").foreach { case (df, tag) =>
+      timed(s"semantic dedup k=64 $tag")(((),
+        operators.Dedup.semanticDedupPairs(df, "embedding", "vec_id", sdCents,
+          threshold = 0.3).count()))
+    }
     spark.stop()
   }
 }
