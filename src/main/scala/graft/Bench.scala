@@ -94,7 +94,7 @@ object Bench {
       // noop sink for column types xxhash64 can't digest.
       try {
         val out = fn(spark, sfDir)
-        try out.agg(bit_xor(xxhash64(struct(out.columns.map(col): _*)))).head()
+        try out.agg(bit_xor(xxhash64(struct(out.columns.toIndexedSeq.map(col): _*)))).head()
         catch {
           // only a plan-time rejection (e.g. a type xxhash64 can't digest)
           // falls back to the noop sink; a RUNTIME failure must not silently

@@ -66,7 +66,7 @@ object HiveParquetFormat extends TableFormat {
     }
     if (partCols.isEmpty) {
       val kept = primary.join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
-      val merged = kept.unionByName(latest.select(primary.columns.map(col): _*))
+      val merged = kept.unionByName(latest.select(primary.columns.toIndexedSeq.map(col): _*))
       Scratch.withScratch(spark, "upsert") { scratch =>
         merged.write.mode(SaveMode.Overwrite).parquet(scratch)
         spark.read.parquet(scratch).write.mode(SaveMode.Overwrite)
@@ -91,7 +91,7 @@ object HiveParquetFormat extends TableFormat {
       val keptInAffected = primary
         .join(aff, nullSafeOn, "left_semi")
         .join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
-      val replacement = keptInAffected.unionByName(latest.select(primary.columns.map(col): _*))
+      val replacement = keptInAffected.unionByName(latest.select(primary.columns.toIndexedSeq.map(col): _*))
       Scratch.withScratch(spark, "upsert") { scratch =>
         replacement.write.mode(SaveMode.Overwrite).parquet(scratch)
         val materialized = spark.read.parquet(scratch)
@@ -111,7 +111,7 @@ object HiveParquetFormat extends TableFormat {
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try materialized
           // insertInto is position-based against the table schema
-          .select(primary.columns.map(col): _*)
+          .select(primary.columns.toIndexedSeq.map(col): _*)
           .write.mode(SaveMode.Overwrite).insertInto(table)
         finally prev match {
           case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)

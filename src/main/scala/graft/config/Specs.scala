@@ -2,7 +2,7 @@ package graft.config
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
-import scala.collection.JavaConverters._
+import scala.jdk.CollectionConverters._
 
 /** Config dialects (SURVEY.md §7.2 item 1): the per-dataset JSON spec with
   * `input_spec` + `transform_spec` (ordered keys, `name:suffix` repetition

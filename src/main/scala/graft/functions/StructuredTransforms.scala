@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import scala.collection.JavaConverters._
+import scala.jdk.CollectionConverters._
 
 /** Structured-data / generator operators (SURVEY.md §2.9, G1–G6).
   * All are built on Spark generator built-ins (`posexplode_outer`, `sequence`,

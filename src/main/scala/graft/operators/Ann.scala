@@ -155,10 +155,10 @@ object Ann {
                                nprobe: Int): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       val dot = graft.functions.expressions.HashExpressions.dot_product(
-        v, array(c.map(x => lit(x.toFloat)): _*))
+        v, array(c.toIndexedSeq.map(x => lit(x.toFloat)): _*))
       struct(dot.as("s"), lit(i).as("i"))
     }
-    val arr = array_sort(array(scored: _*),
+    val arr = array_sort(array(scored.toIndexedSeq: _*),
       (a, b) => when(a.getField("s") > b.getField("s"), -1)
         .when(a.getField("s") < b.getField("s"), 1).otherwise(0))
     transform(slice(arr, 1, nprobe), x => x.getField("i"))

@@ -14,7 +14,7 @@ object DependencyGate {
   case class DependencySpec(dependsOn: Map[String, Int], lookback: Option[Duration])
 
   def parseSpec(root: JsonNode): DependencySpec = {
-    import scala.collection.JavaConverters._
+    import scala.jdk.CollectionConverters._
     val deps = Option(root.get("depends_on")).map(_.properties().asScala
       .map(e => e.getKey -> e.getValue.asInt).toMap).getOrElse(Map.empty)
     val lookback = Option(root.get("lookback")).map { lb =>

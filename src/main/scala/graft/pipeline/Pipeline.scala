@@ -209,7 +209,7 @@ class PipelineRunner(spark: SparkSession) {
       val targetSchema = spark.table(table).schema
       val aligned =
         if (sameTypes)
-          df.select(targetSchema.fieldNames.map(n =>
+          df.select(targetSchema.fieldNames.toIndexedSeq.map(n =>
             if (df.columns.contains(n)) col(n) else lit(null).cast(targetSchema(n).dataType).as(n)): _*)
         else df
       if (sameTypes) {
@@ -228,7 +228,7 @@ class PipelineRunner(spark: SparkSession) {
         // replaced (idempotent per-partition reload), not duplicated.
         val widened = df.schema
         val old = spark.table(table)
-        val oldAligned = old.select(widened.fieldNames.map(n =>
+        val oldAligned = old.select(widened.fieldNames.toIndexedSeq.map(n =>
           (if (old.columns.contains(n)) col(n).cast(widened(n).dataType)
            else lit(null).cast(widened(n).dataType)).as(n)): _*)
         val oldKept =

@@ -423,7 +423,7 @@ object PipelineQueries {
           col("DestName").as("value"))
       val gen = Specs.parseJson(Files.readString(outDir.resolve("genspec.json")))
       val t = gen.get("transform_spec")
-      import scala.collection.JavaConverters._
+      import scala.jdk.CollectionConverters._
       val dates = t.get("date").elements().asScala.map(n =>
         ("date", n.get("field").asText, n.get("format").asText)).toSeq
       val cts = t.get("changetype").properties().asScala.map(e =>

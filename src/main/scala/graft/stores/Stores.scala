@@ -44,7 +44,7 @@ object LookupStore {
       import spark.implicits._
       val path = java.nio.file.Paths.get(dir, s"$name.json")
       val node = graft.config.Specs.readJsonFile(path.toString)
-      import scala.collection.JavaConverters._
+      import scala.jdk.CollectionConverters._
       node.properties().asScala.toSeq.map(e => (e.getKey, e.getValue.asText))
         .toDF("orig_value", "new_value")
     }
