@@ -48,6 +48,34 @@ object Tfidf {
         avg(-log(col("__c").cast("double") / col("__total").cast("double"))).as("nll"))
   }
 
+  /** Per-document BIGRAM conditional NLL with add-one smoothing — the
+    * sharper perplexity proxy ([[unigramNll]]'s big sibling): score = mean
+    * over the doc's bigrams of −ln p(w₂|w₁), p(w₂|w₁) = (c(w₁w₂)+1) /
+    * (c(w₁)+V) where V = unigram vocabulary size. Smoothing keeps unseen
+    * continuations finite, so the filter generalizes beyond the corpus that
+    * trained it. Same scale shape as [[unigramNll]] plus one more
+    * vocabulary-sized aggregation and join; docs with <2 tokens emit no row.
+    * V rides along as a broadcast single row. */
+  def bigramNll(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), S.tokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+    val bigrams = toks.select(col(idCol),
+        explode(expr(
+          "zip_with(slice(__ts, 1, size(__ts) - 1), slice(__ts, 2, size(__ts) - 1), " +
+            "(a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+    val vocab = docs.select(explode(S.tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t")).as("__v"))
+    val bi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
+    bigrams.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(-log((col("__c2").cast("double") + 1.0) /
+          (col("__c1").cast("double") + col("__v").cast("double")))).as("nll"))
+  }
+
   /** Top-k highest-tfidf tokens per document (deterministic: rounded score,
     * then token, breaks ties). */
   def topTerms(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =

@@ -191,6 +191,15 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Bigram conditional NLL with add-one smoothing (Tfidf.bigramNll) — the
+    // sharper perplexity-proxy filter; oracle recomputes bigram/prefix
+    // counts, vocabulary size and the smoothed mean.
+    "q95_bigram_nll" -> ((s, d) => {
+      graft.operators.Tfidf.bigramNll(Tables(s, d, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_bigrams"), round(col("nll"), 6).as("nll_r"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Domain-mixture sampling (Sampling.mixtureSample): per-language rates
     // derived from target token weights vs available token mass (binding
     // group keeps 100%), stable salted-hash row selection — the oracle
@@ -1235,6 +1244,25 @@ object TextQueries {
              round(avg(-ln(CAST(counts.c AS DOUBLE) / CAST(total.t AS DOUBLE))), 6) AS nll_r
       FROM terms JOIN counts USING (token) CROSS JOIN total
       GROUP BY terms.doc_id
+      ORDER BY doc_id""",
+    // Bigram-NLL replay: bigram counts, prefix counts, vocab size, add-one
+    // smoothed conditional mean.
+    "q95_bigram_nll" -> """
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS ts
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      bg AS (
+        SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+        WHERE len(ts) >= 2),
+      c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(ts) AS t FROM toks))
+      SELECT bg.doc_id, count(*) AS n_bigrams,
+             round(avg(-ln((CAST(c2.c2 AS DOUBLE) + 1.0)
+               / (CAST(c1.c1 AS DOUBLE) + CAST(v.v AS DOUBLE)))), 6) AS nll_r
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      GROUP BY bg.doc_id
       ORDER BY doc_id""",
     // Mixture replay: same rate arithmetic (literals forced to DOUBLE — the
     // Spark side computes the normalized weights in binary floating point,

@@ -497,6 +497,23 @@ class TfidfSpec extends SparkSpec {
     assert(out(1L)._1 == 4 && out(2L)._1 == 3)
   }
 
+  test("bigramNll: smoothed conditional values match closed form; short docs emit nothing") {
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams: ab, ba, ab
+      (2L, "a c"),       // unseen-ish continuation c
+      (3L, "solo")).toDF("doc_id", "text")
+    val out = Tfidf.bigramNll(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!out.contains(3L)) // <2 tokens → no bigrams
+    // corpus bigrams: ab×2, ba×1, ac×1; prefix counts: a×3, b×1; V=4 (a,b,c,solo)
+    val pAB = 3.0 / 7.0; val pBA = 2.0 / 5.0; val pAC = 2.0 / 7.0
+    assert(math.abs(out(1L)._2 -
+      (-(2 * math.log(pAB) + math.log(pBA)) / 3.0)) < 1e-12)
+    assert(math.abs(out(2L)._2 - (-math.log(pAC))) < 1e-12)
+    assert(out(1L)._1 == 3 && out(2L)._1 == 1)
+    assert(out(2L)._2 > out(1L)._2) // rarer continuation scores higher
+  }
+
   test("tfidf: corpus-wide terms weigh zero, rare terms weigh high") {
     val docs = Seq(
       (1L, "common rare1 common"),
