@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
-    * a value in [-1,1) derived from a fixed LCG — identical across engines and
-    * runs, no Math.random. */
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d)
+    * from a fixed LCG — identical across engines and runs, no Math.random.
+    * Actual range is [-1, 3) (53 mantissa bits over 2⁵², ×2−1): harmless for
+    * sign-bucketing, where only the hyperplane DIRECTIONS matter, and pinned
+    * as-is because every DuckDB replay oracle (q29/q30/q41/q89/q90)
+    * reproduces this exact arithmetic (LcgPinSpec guards it). */
   private def planeComponent(p: Int, d: Int): Double = {
     var x = p.toLong * 1000003L + d.toLong * 7919L + 12345L
     x = x * 6364136223846793005L + 1442695040888963407L

@@ -1,5 +1,27 @@
 package graft
 
+/** The deterministic LCG behind the hyperplane/centroid family is the
+  * CONTRACT every DuckDB replay oracle re-implements in SQL (q29, q30, q41,
+  * q89, q90 — HUGEINT modular arithmetic). Any drift here silently breaks
+  * all of those green rows at the next correctness run — pin exact values so
+  * the failure happens HERE with a pointed message instead. */
+class LcgPinSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.functions.expressions.HashExpressions.planeComponent
+  test("planeComponent values are frozen (the replay oracles depend on them)") {
+    val pinned = Seq(
+      (0, 0) -> 0.061541183670951405,
+      (7, 63) -> -0.024029225225165263,
+      (100, 0) -> 2.3467313190032315,
+      (115, 63) -> -0.7560238790663028,
+      (200, 31) -> 0.6190397833918504)
+    pinned.foreach { case ((p, d), v) =>
+      assert(planeComponent(p, d) == v,
+        s"planeComponent($p,$d) drifted — q29/q30/q41/q89/q90 DuckDB oracles replay " +
+          "this LCG bit-for-bit; update them together or revert")
+    }
+  }
+}
+
 import graft.functions.{SimilarityFunctions => S}
 import graft.functions.expressions.HashExpressions
 import graft.operators.Ann
