@@ -29,7 +29,8 @@ object EntityMatch {
   case class MatchSpec(primaryTable: String, globalIdField: String, sortField: String,
                        sourcePrimaryKey: String, sourceSystemKey: String,
                        levels: Seq[LevelSpec],
-                       partitionBy: Seq[String] = Seq.empty)
+                       partitionBy: Seq[String] = Seq.empty,
+                       collapseIncoming: Boolean = false)
 
   def parseSpec(root: JsonNode): MatchSpec = {
     val exact = Option(root.get("exact_match_fields"))
@@ -42,6 +43,10 @@ object EntityMatch {
       // extension beyond the reference: partition the primary entity table so
       // upserts rewrite only affected partitions (see upsert)
       partitionBy = root.strList("primary_partition_by"),
+      // extension: per-level incoming-signature collapse for head-heavy block
+      // distributions (see fuzzyMatch) — off by default
+      collapseIncoming = Option(root.get("collapse_incoming"))
+        .exists(_.asBoolean(false)),
       levels = Option(root.get("levels")).toSeq.flatMap(_.elems).map { l =>
         LevelSpec(
           id = l.str("id").getOrElse("1"),
@@ -283,7 +288,8 @@ object EntityMatch {
       val (prematched, tomatch) = splitByNull(incoming, gid)
       val (exactMatched, exactUnmatched) = exactMatch(tomatch, primary, spec,
         materialize = true)
-      val (fuzzyMatched, fuzzyUnmatched) = fuzzyMatch(exactUnmatched, primary, spec, rowKey)
+      val (fuzzyMatched, fuzzyUnmatched) = fuzzyMatch(exactUnmatched, primary, spec, rowKey,
+        collapseIncoming = spec.collapseIncoming)
       val newEntities = fillGlobalId(fuzzyUnmatched, gid)
       val all = prematched.unionByName(exactMatched)
         .unionByName(fuzzyMatched).unionByName(newEntities)

@@ -45,6 +45,10 @@ class EntityMatchSpec extends SparkSpec {
     assert(s.globalIdField == "globalid" && s.sourcePrimaryKey == "customerno")
     assert(s.levels.map(_.blocks) == Seq(Seq("firstname[:1]", "zip"), Seq("phone")))
     assert(s.levels.head.fields.head.threshold.contains(0.85))
+    assert(!s.collapseIncoming) // extension flag defaults OFF
+    val on = EntityMatch.parseSpec(graft.config.Specs.parseJson(
+      """{"collapse_incoming": true}"""))
+    assert(on.collapseIncoming)
   }
 
   test("blocking slice replicates the reference substring conversion") {
