@@ -74,10 +74,13 @@ object Bench {
       // leave no warm-up residue behind in the session or on disk
       try spark.sql("DROP DATABASE IF EXISTS graft_warmup CASCADE")
       catch { case _: Throwable => () }
+      // Files.walk holds directory handles until CLOSED — leaked streams
+      // leak fds for the JVM's life (same fix as PipelineQueries.wipeDir)
       try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(warmDir).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+        val s = java.nio.file.Files.walk(warmDir)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally s.close()
       } catch { case _: Throwable => () }
     }
     val results = selected.map { case (name, fn) =>
@@ -119,11 +122,13 @@ object Bench {
     // Lossless per-query artifact: the driver's BENCH_r{N}.json truncates the
     // head of this (long) stdout line, leaving ~24 of 86 per-query numbers
     // unrecoverable — bench_full.json is the complete record the baseline is
-    // re-pinned from (BASELINE.md §pinning).
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"), line + "\n")
-    catch { case e: Exception =>
-      System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}") }
+    // re-pinned from (BASELINE.md §pinning). FULL-SUITE RUNS ONLY: a filtered
+    // local-iteration run must not clobber the pin source with a subset map.
+    if (wanted.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_full.json"), line + "\n")
+      catch { case e: Exception =>
+        System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}") }
     diffAgainstBaseline(results)
     spark.stop()
   }

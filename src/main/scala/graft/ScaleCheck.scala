@@ -291,12 +291,13 @@ object ScaleCheck {
     // growth ~linear in OUTPUT, not cluster².
     val sdCents = Array.tabulate(64, 64)((p, dd) =>
       functions.expressions.HashExpressions.planeComponent(p + 200, dd))
-    val embSd = queries.Tables(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-    val embSdN = (0 until n).map(i => embSd.select(
-        (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"), col("embedding")))
+    // reuse embT/embOff: replica ids must clear the real id range (a
+    // hard-coded offset would alias on a bigger corpus and corrupt the
+    // growth row through the id_a < id_b filter)
+    val embSdN = (0 until n).map(i => embT.select(
+        (col("vec_id") + lit(i.toLong * embOff)).as("vec_id"), col("embedding")))
       .reduce(_ unionByName _)
-    Seq(embSd -> "1x", embSdN -> s"${n}x").foreach { case (df, tag) =>
+    Seq(embT -> "1x", embSdN -> s"${n}x").foreach { case (df, tag) =>
       timed(s"semantic dedup k=64 $tag")(((),
         operators.Dedup.semanticDedupPairs(df, "embedding", "vec_id", sdCents,
           threshold = 0.3).count()))

@@ -43,10 +43,15 @@ object ImageIoCodec {
         // overhead and tmp churn for byte arrays on executors.
         val in = new javax.imageio.stream.MemoryCacheImageInputStream(
           new ByteArrayInputStream(content))
-        // NO finally-close: ImageIO.read(ImageInputStream) closes the stream
-        // itself (a second close throws IOException("closed")); the backing
-        // ByteArrayInputStream needs no release either way
-        Option(ImageIO.read(in))
+        // ImageIO.read(ImageInputStream) closes the stream itself WHEN a
+        // reader claims it (so a plain finally-close throws
+        // IOException("closed")), but returns null WITHOUT closing when no
+        // registered reader matches (sniff-passing corrupt bytes, TIFF on a
+        // JRE without the plugin) — close tolerantly so that path does not
+        // leak the stream to the Disposer
+        val img = Option(ImageIO.read(in))
+        try in.close() catch { case _: java.io.IOException => () }
+        img
       } catch { case _: Exception => None }
 
   /** Decode at NATIVE size to row-major red-channel doubles in [0,1)

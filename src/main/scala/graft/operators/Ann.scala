@@ -199,7 +199,11 @@ object Ann {
     val dim = centroids.head.length
     val aggs = (0 until dim).map(i =>
       avg(element_at(col("__v"), i + 1).cast("double")).as(s"m$i"))
+    // null vectors would surface as a cluster=null row of null means (the
+    // assignment expression is null-intolerant) and crash/corrupt kmeansFit's
+    // centroid readback — a dirty corpus must not poison the fit
     corpus.select(col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull)
       .withColumn("cluster", nearest_centroid(col("__v"), centroids))
       .groupBy("cluster")
       .agg(count(lit(1)).as("n"), aggs: _*)
@@ -221,7 +225,10 @@ object Ann {
       val next = cs.map(_.clone())
       rows.foreach { r =>
         val c = r.getAs[Int]("cluster")
-        next(c) = Array.tabulate(cs.head.length)(i => r.getDouble(2 + i))
+        // a SHORT vector yields null for the dims past its length — keep the
+        // old centroid coordinates there rather than NPE on readback
+        next(c) = Array.tabulate(cs.head.length)(i =>
+          if (r.isNullAt(2 + i)) cs(c)(i) else r.getDouble(2 + i))
       }
       cs = next
       it += 1

@@ -132,7 +132,14 @@ object Dedup {
     * vote, measured 6 such collisions at sf0.01). The precision-and-recall-
     * complete member of the simhash family — fully oracle-checkable; the
     * hamming-tolerant near-dup regime above is spec-asserted for recall
-    * against the exact jaccard join instead. */
+    * against the exact jaccard join instead.
+    *
+    * Pair-completeness caveat: a duplicate GROUP larger than `maxBucketSize`
+    * degrades to chain pairs (B−1 of the B²/2 true pairs — the group stays
+    * fully CONNECTED, so keep-first dedup and CC clustering are unaffected,
+    * but a consumer of the raw pair set sees a spanning subset). Size the cap
+    * above the largest expected duplicate group when the pair set itself is
+    * the contract (the quadratic output is then inherent). */
   def simhashDupes(df: DataFrame, textCol: String, idCol: String,
                    maxBucketSize: Int = 1000): DataFrame = {
     val cand = simhashPairs(df, textCol, idCol, maxHamming = 0, maxBucketSize)

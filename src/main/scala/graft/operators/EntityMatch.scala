@@ -125,12 +125,18 @@ object EntityMatch {
                  collapseIncoming: Boolean = false): (DataFrame, DataFrame) = {
     val gid = spec.globalIdField
     if (spec.levels.isEmpty || incoming.isEmpty) return splitByNull(incoming, gid)
+    // a primary row with NO gid cannot assign anything — matching it would
+    // just coalesce to null (the entity-match job never writes such rows, but
+    // a dirty external primary table must not make a tie-break pick the null
+    // candidate and silently un-match a row the non-null candidate would win;
+    // the tuple collapse below also relies on min(gid) over non-null gids)
+    val primaryClean = primary.filter(col(gid).isNotNull)
 
     var assignments: DataFrame = null
     spec.levels.zipWithIndex.foreach { case (level, li) =>
       val inc = incoming.withColumn("__block", blockingCol(level.blocks))
         .filter(col("__block").isNotNull).alias("i")
-      val pri = primary.withColumn("__block", blockingCol(level.blocks))
+      val pri = primaryClean.withColumn("__block", blockingCol(level.blocks))
         .filter(col("__block").isNotNull)
         .select(col("__block"), col(gid).as("__cand_gid"),
           struct(level.fields.map(f => col(f.name)): _*).as("__pf")).alias("p")
@@ -202,14 +208,23 @@ object EntityMatch {
               Window.partitionBy(sigNames.map(col): _*)
                 .orderBy(col("__score").desc, col("__cand_gid"))))
             .filter(col("__rn") === 1)
-            .select(sigNames.map(col) :+ col("__cand_gid"): _*)
-            .toDF(winNames :+ "__w_gid": _*)
+            .select(sigNames.map(col) ++ Seq(col("__cand_gid"), col("__score")): _*)
+            .toDF(winNames ++ Seq("__w_gid", "__w_score"): _*)
           val rowsWithSig = inc.select(rowKey.map(k => col(s"i.$k")) ++
             (col("__block") +:
               level.fields.map(f => col(s"i.${f.name}").as(s"__i_${f.name}"))): _*)
           val cond = sigNames.zip(winNames)
             .map { case (l, w) => col(l) <=> col(w) }.reduce(_ && _)
+          // re-apply the per-rowKey window over the joined winners: rowKey is
+          // normally unique, but DUPLICATE rowKey values with different
+          // signatures would otherwise emit one assignment per row where the
+          // direct path picks a single winner across all of them — same
+          // (score desc, gid) tie-break restores exact equivalence
           rowsWithSig.join(perSig, cond)
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy(rowKey.map(col): _*)
+                .orderBy(col("__w_score").desc, col("__w_gid"))))
+            .filter(col("__rn") === 1)
             .select(rowKey.map(col) :+ col("__w_gid").as("__new_gid") :+
               lit(li).as("__level"): _*)
         }

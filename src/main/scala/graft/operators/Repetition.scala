@@ -92,17 +92,21 @@ object Repetition {
       .select(col("__first").getField(idCol).as(idCol),
         col("__first").getField("__p").as("__p"))
       .groupBy(col(idCol))
-      .agg(collect_list(col("__p")).as("__keep"))
-    // Rebuild row-locally: split is the transform INPUT (evaluated once per
-    // row even if CollapseProject inlines it — only lambda BODIES re-evaluate
-    // per element), the lambda keeps positions in __keep, array_compact drops
-    // the rest. Original line order is the array order, no sort needed.
+      .agg(sort_array(collect_list(col("__p"))).as("__keep"))
+    // Rebuild row-locally in O(kept) per doc: element_at on the __parts
+    // ATTRIBUTE is O(1) offset access (UnsafeArrayData), so the cost is the
+    // kept positions — not lines × kept (an array_contains-per-line
+    // formulation is quadratic on huge mostly-kept documents). __parts is
+    // referenced TWICE below (the size() guard) deliberately: CollapseProject
+    // inlines single-use aliases into the lambda, where split() would
+    // re-evaluate PER ELEMENT; a second use of a non-cheap alias blocks the
+    // collapse (guarded by the plan spec).
     df.select(col(idCol), col(textCol)).join(keepPos, Seq(idCol), "left")
+      .withColumn("__parts", split(col(textCol), "\n"))
       .select(col(idCol),
-        when(col("__keep").isNull, lit(""))
+        when(col("__keep").isNull || size(col("__parts")) < 0, lit(""))
           .otherwise(array_join(
-            array_compact(transform(split(col(textCol), "\n"),
-              (l, i) => when(array_contains(col("__keep"), i), l))),
+            transform(col("__keep"), p => element_at(col("__parts"), p + 1)),
             "\n")).as("cleaned"))
   }
 

@@ -114,7 +114,11 @@ object TextQueries {
       val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
       val planted = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
         .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
-      Dedup.simhashDupes(docs.unionByName(planted), "text", "doc_id")
+      // maxBucketSize pinned ABOVE any duplicate-group size so the executed
+      // plan is the complete pair set the oracle computes — the chain guard
+      // kicking in on a bigger corpus would silently diverge from it
+      Dedup.simhashDupes(docs.unionByName(planted), "text", "doc_id",
+          maxBucketSize = 1 << 20)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -223,7 +227,11 @@ object TextQueries {
       val emb = Tables(s, d, "embeddings")
       val centroids = Array.tabulate(16, 64)((p, dd) =>
         graft.functions.expressions.HashExpressions.planeComponent(p + 100, dd))
-      Dedup.semanticDedupPairs(emb, "embedding", "vec_id", centroids, threshold = 0.2)
+      // maxBucketSize pinned above any cluster population: the oracle
+      // computes ALL within-cluster pairs, so the chain guard must never
+      // flip the executed plan away from it on a bigger corpus
+      Dedup.semanticDedupPairs(emb, "embedding", "vec_id", centroids,
+          threshold = 0.2, maxBucketSize = 1 << 20)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
         .orderBy(col("id_a"), col("id_b"))
     }),

@@ -94,7 +94,10 @@ class EntityMatchSpec extends SparkSpec {
       // null field values inside a valid block
       ("X3", "F15", null, "alicia", null, "10001", "555-2222", "b@x.com", "2024-02-01"),
       // level-2 (phone block) match only
-      ("Y1", "F15", null, "bob", "1985-05-05", "77777", "555-2222", "b@x.com", "2024-02-01")
+      ("Y1", "F15", null, "bob", "1985-05-05", "77777", "555-2222", "b@x.com", "2024-02-01"),
+      // DUPLICATE row key with a DIFFERENT signature (re-sent corrected
+      // record): both paths must pick the same single winner per key
+      ("X1", "F15", null, "alicai", "1990-01-01", "10001", "555-0000", "other@x.com", "2024-02-02")
     ).toDF("customerno", "srcsystemid", "globalid", "firstname", "dob", "zip", "phone", "email", "lastupdated")
     val key = Seq("customerno", "srcsystemid")
     def result(collapse: Boolean): (Seq[(String, String)], Seq[String]) = {

@@ -153,6 +153,18 @@ class Round5PlanSpec extends SparkSpec {
     assert(plan(out).contains("BroadcastHashJoin"), plan(out))
   }
 
+  test("corpus line dedup rebuild keeps split OUT of the per-element lambda") {
+    import spark.implicits._
+    val df = Seq((1L, "a\nb\nc"), (2L, "b\nd")).toDF("doc_id", "text")
+    val out = graft.operators.Repetition.dropRepeatedLinesCorpus(df, "doc_id", "text")
+    out.collect()
+    val p = plan(out)
+    // CollapseProject inlining the __parts alias would put split() inside the
+    // transform lambda → re-split per kept position (O(kept × doc_len))
+    assert(!p.contains("element_at(split("),
+      s"split inlined into the rebuild lambda:\n$p")
+  }
+
   test("semantic dedup candidates come from a cluster equi-join, never a cross join") {
     val cents = Array.tabulate(4, 64)((p, d) =>
       graft.functions.expressions.HashExpressions.planeComponent(p, d))
