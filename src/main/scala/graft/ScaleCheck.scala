@@ -210,8 +210,7 @@ object ScaleCheck {
     val embN = (0 until n).map(i => embT.select(
         (col("vec_id") + lit(i.toLong * embOff)).as("vec_id"), col("embedding")))
       .reduce(_ unionByName _)
-    val kmCents = Array.tabulate(16, 64)((p, dd) =>
-      functions.expressions.HashExpressions.planeComponent(p + 100, dd))
+    val kmCents = functions.expressions.HashExpressions.fixedCentroids(100, 16, 64)
     Seq(embT -> "1x", embN -> s"${n}x").foreach { case (df, tag) =>
       timed(s"kmeans step k=16 $tag")(((),
         operators.Ann.kmeansStep(df, "embedding", kmCents).count()))
@@ -289,15 +288,10 @@ object ScaleCheck {
     // Σ cluster², so the replicated corpus (identical embeddings x N in the
     // same clusters) is adversarial; the hot-cluster chain guard must keep
     // growth ~linear in OUTPUT, not cluster².
-    val sdCents = Array.tabulate(64, 64)((p, dd) =>
-      functions.expressions.HashExpressions.planeComponent(p + 200, dd))
-    // reuse embT/embOff: replica ids must clear the real id range (a
-    // hard-coded offset would alias on a bigger corpus and corrupt the
-    // growth row through the id_a < id_b filter)
-    val embSdN = (0 until n).map(i => embT.select(
-        (col("vec_id") + lit(i.toLong * embOff)).as("vec_id"), col("embedding")))
-      .reduce(_ unionByName _)
-    Seq(embT -> "1x", embSdN -> s"${n}x").foreach { case (df, tag) =>
+    val sdCents = functions.expressions.HashExpressions.fixedCentroids(200, 64, 64)
+    // embN reused from the kmeans block: replica ids already clear the real
+    // id range there (a second hand-rolled replication could drift)
+    Seq(embT -> "1x", embN -> s"${n}x").foreach { case (df, tag) =>
       timed(s"semantic dedup k=64 $tag")(((),
         operators.Dedup.semanticDedupPairs(df, "embedding", "vec_id", sdCents,
           threshold = 0.3).count()))

@@ -136,6 +136,14 @@ object HashExpressions {
     (x >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
   }
 
+  /** The fixed pseudo-random centroid matrix the replay oracles pin: row c =
+    * [[planeComponent]](offset + c, ·). ONE definition for q41/q89/q90 and
+    * ScaleCheck — the DuckDB oracle CTEs hard-code `range(offset, offset+k)`,
+    * so these constants must change in LOCKSTEP with the oracle SQL
+    * (LcgPinSpec freezes the underlying values). */
+  def fixedCentroids(offset: Int, k: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(k, dim)((c, d) => planeComponent(offset + c, d))
+
   /** Sequential-order double dot product of two float/double arrays —
     * bit-identical to aggregate(zip_with(a,b,(x,y)=>x*y),0.0,+) but one fused
     * loop. */

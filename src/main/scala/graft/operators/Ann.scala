@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  private val guardAdvisoryPending = new java.util.concurrent.atomic.AtomicBoolean(true)
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d)
     * from a fixed LCG — identical across engines and runs, no Math.random.
     * Actual range is [-1, 3) (53 mantissa bits over 2⁵², ×2−1): harmless for
@@ -250,10 +252,11 @@ object Ann {
               vecCol: String, idCol: String, queryIdCol: String,
               dim: Int, k: Int, planes: Int = 10, probe1: Boolean = true,
               maxBucketSize: Int = 0): DataFrame = {
-    if (maxBucketSize <= 0)
+    if (maxBucketSize <= 0 && guardAdvisoryPending.compareAndSet(true, false))
       // no data pass here (a pre-aggregation would defeat the single-join
       // plan) — make the round-4 default flip (4096 -> 0/off) visible to
-      // callers instead of letting a degenerate corpus regress silently
+      // callers instead of letting a degenerate corpus regress silently;
+      // once per JVM, not per call (this is the operator's normal hot path)
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"lshTopK skew guard is OFF (maxBucketSize=0, the default since the " +
           s"guard drops rows and collapses recall); a degenerate corpus " +

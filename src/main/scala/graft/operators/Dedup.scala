@@ -123,32 +123,33 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** SimHash-accelerated EXACT order-insensitive duplicate pairs: candidate
-    * generation via [[simhashPairs]] at hamming 0 (an equal token multiset
-    * implies an equal fingerprint, so banding surfaces every true pair —
-    * recall 1 by construction), then exact verification by sorted-token-array
-    * equality on the candidates only (fingerprint equality is COARSER than
-    * multiset equality: a one-token edit among ~70 tokens often flips no
-    * vote, measured 6 such collisions at sf0.01). The precision-and-recall-
-    * complete member of the simhash family — fully oracle-checkable; the
-    * hamming-tolerant near-dup regime above is spec-asserted for recall
-    * against the exact jaccard join instead.
+  /** SimHash-keyed EXACT order-insensitive duplicate pairs, emitted as
+    * KEEP-FIRST (group-min id, member id) rows — the precision-and-recall-
+    * complete member of the simhash family, with LINEAR output and no skew
+    * guard needed at any scale.
     *
-    * Pair-completeness caveat: a duplicate GROUP larger than `maxBucketSize`
-    * degrades to chain pairs (B−1 of the B²/2 true pairs — the group stays
-    * fully CONNECTED, so keep-first dedup and CC clustering are unaffected,
-    * but a consumer of the raw pair set sees a spanning subset). Size the cap
-    * above the largest expected duplicate group when the pair set itself is
-    * the contract (the quadratic output is then inherent). */
-  def simhashDupes(df: DataFrame, textCol: String, idCol: String,
-                   maxBucketSize: Int = 1000): DataFrame = {
-    val cand = simhashPairs(df, textCol, idCol, maxHamming = 0, maxBucketSize)
-    val ts = df.select(col(idCol), sort_array(S.tokens(col(textCol))).as("__ts"))
-    cand
-      .join(ts.select(col(idCol).as("id_a"), col("__ts").as("__ts_a")), Seq("id_a"))
-      .join(ts.select(col(idCol).as("id_b"), col("__ts").as("__ts_b")), Seq("id_b"))
-      .filter(col("__ts_a") === col("__ts_b"))
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    * Design: for an equality-verified predicate, banded candidate chaining
+    * is the WRONG shape — a hot band bucket mixes several fingerprint groups,
+    * id-adjacent chain pairs cross groups, equality rejects them, and true
+    * duplicate pairs vanish. Instead the group key IS the exact key: one
+    * hash-partitioned aggregation on (fingerprint, xxhash64(sorted tokens))
+    * finds each group's minimum id (+ its token array via min_by), and each
+    * member joins back to its group min, verified by sorted-token equality
+    * (which also screens out 64-bit composite-key collisions). Every
+    * duplicate is paired with its group's first — recall 1 by construction,
+    * B−1 pairs for a B-member group (a 1M-doc boilerplate flood emits 1M−1
+    * rows, not 5×10¹¹), and `hamming` is 0 by definition of the group.
+    * The hamming-TOLERANT near-dup regime stays in [[simhashPairs]],
+    * recall-asserted against the exact jaccard join (ApproxRecallSpec). */
+  def simhashDupes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"), S.tokens(col(textCol)).as("__t"))
+      .select(col("id"), sort_array(col("__t")).as("__ts"), S.simHash64(col("__t")).as("__fp"))
+      .withColumn("__gk", xxhash64(col("__fp"), col("__ts")))
+    val firsts = keyed.groupBy(col("__gk"))
+      .agg(min(col("id")).as("id_a"), expr("min_by(__ts, id)").as("__ts_a"))
+    keyed.join(firsts, Seq("__gk"))
+      .filter(col("id") > col("id_a") && col("__ts") === col("__ts_a"))
+      .select(col("id_a"), col("id").as("id_b"), lit(0).as("hamming"))
   }
 
   /** SemDeDup-style semantic near-dup pairs: k-means cluster id as the
@@ -157,9 +158,17 @@ object Dedup {
     * "cluster then dedup within clusters": candidates are bounded by cluster
     * size, so at scale you pick k large enough that clusters stay small
     * (k ≈ corpus/target-cluster-size; [[graft.operators.Ann.kmeansFit]]
-    * trains centroids on the full corpus) — and degenerate clusters fall
-    * into the same [[guardedBucketPairs]] chain guard as every other LSH
-    * family member. Returns (id_a, id_b, cosine). */
+    * trains centroids on the full corpus). Returns (id_a, id_b, cosine).
+    *
+    * Hot-cluster caveat: a cluster above `maxBucketSize` degrades to
+    * id-adjacent chain candidates ([[guardedBucketPairs]]), and because the
+    * verification here is a cosine THRESHOLD — not an equality, where a
+    * chain stays connected — non-adjacent twins inside a hot cluster
+    * generate no pair and survive dedup. The chain guard is a RECALL
+    * degradation on this operator, kept only as the backstop against a
+    * quadratic task; the real remedy is more clusters (k sized so cluster
+    * population stays under the cap), which the recipe wants anyway for
+    * candidate quality. */
   def semanticDedupPairs(df: DataFrame, vecCol: String, idCol: String,
                          centroids: Array[Array[Double]], threshold: Double,
                          maxBucketSize: Int = 1000): DataFrame = {

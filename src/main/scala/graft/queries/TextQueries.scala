@@ -104,21 +104,18 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash-accelerated exact order-insensitive duplicate pairs
-    // (Dedup.simhashDupes): banding recall is 1 by construction for equal
-    // token multisets, exact sorted-token verification on candidates —
-    // fully oracle-checked. Identical-text copies are planted (every 7th
-    // doc re-id'd +2000000) for a guaranteed-non-empty result; the
-    // hamming-tolerant near-dup regime is spec-asserted for recall.
+    // SimHash-keyed exact order-insensitive duplicate pairs
+    // (Dedup.simhashDupes): keep-first (group-min, member) rows from one
+    // exact-key aggregation — recall 1 and linear output at ANY scale, no
+    // skew guard involved, fully oracle-checked. Identical-text copies are
+    // planted (every 7th doc re-id'd +2000000) for a guaranteed-non-empty
+    // result; the hamming-tolerant near-dup regime is spec-asserted for
+    // recall.
     "q27_simhash_pairs" -> ((s, d) => {
       val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
       val planted = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
         .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
-      // maxBucketSize pinned ABOVE any duplicate-group size so the executed
-      // plan is the complete pair set the oracle computes — the chain guard
-      // kicking in on a bigger corpus would silently diverge from it
-      Dedup.simhashDupes(docs.unionByName(planted), "text", "doc_id",
-          maxBucketSize = 1 << 20)
+      Dedup.simhashDupes(docs.unionByName(planted), "text", "doc_id")
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -159,8 +156,8 @@ object TextQueries {
       val emb = Tables(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val centroids = Array.tabulate(16, 64)((p, dd) =>
-        graft.functions.expressions.HashExpressions.planeComponent(p + 100, dd))
+      val centroids =
+        graft.functions.expressions.HashExpressions.fixedCentroids(100, 16, 64)
       Ann.ivfTopK(emb, queries, "embedding", "vec_id", "query_id",
           centroids, k = 10, nprobe = 4)
         .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine_r"),
@@ -175,8 +172,8 @@ object TextQueries {
     // DuckDB oracle replays assignment and the 64 per-dim averages exactly.
     "q89_kmeans_step" -> ((s, d) => {
       val emb = Tables(s, d, "embeddings")
-      val centroids = Array.tabulate(16, 64)((p, dd) =>
-        graft.functions.expressions.HashExpressions.planeComponent(p + 100, dd))
+      val centroids =
+        graft.functions.expressions.HashExpressions.fixedCentroids(100, 16, 64)
       val step = graft.operators.Ann.kmeansStep(emb, "embedding", centroids)
       val meanArr = array((0 until 64).map(i => col(s"m$i")): _*)
       step.select(col("cluster"), col("n"), posexplode(meanArr).as(Seq("dim", "mean")))
@@ -225,8 +222,8 @@ object TextQueries {
     // (q41/q89's LCG CTE) and the per-cluster pairing exactly.
     "q90_semantic_dedup" -> ((s, d) => {
       val emb = Tables(s, d, "embeddings")
-      val centroids = Array.tabulate(16, 64)((p, dd) =>
-        graft.functions.expressions.HashExpressions.planeComponent(p + 100, dd))
+      val centroids =
+        graft.functions.expressions.HashExpressions.fixedCentroids(100, 16, 64)
       // maxBucketSize pinned above any cluster population: the oracle
       // computes ALL within-cluster pairs, so the chain guard must never
       // flip the executed plan away from it on a bigger corpus
@@ -1089,8 +1086,8 @@ object TextQueries {
             / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.9
       ORDER BY id_a, id_b""",
     // Exact order-insensitive duplicate pairs (simhashDupes contract):
-    // sorted-token-multiset equality over documents + planted identical
-    // copies.
+    // KEEP-FIRST rows — each doc joined to the minimum doc_id sharing its
+    // sorted token multiset, over documents + planted identical copies.
     "q27_simhash_pairs" -> """
       WITH corpus AS (
         SELECT doc_id, text FROM documents
@@ -1100,9 +1097,10 @@ object TextQueries {
         SELECT doc_id,
                CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
                     ELSE list_sort(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) END AS t
-        FROM corpus)
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
-      FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+        FROM corpus),
+      firsts AS (SELECT t, min(doc_id) AS id_a FROM tok GROUP BY t)
+      SELECT f.id_a, g.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+      FROM tok g JOIN firsts f ON g.t = f.t AND g.doc_id > f.id_a
       ORDER BY id_a, id_b""",
     // Bit-exact replay of hyperplane-LSH top-k: the plane components'
     // LCG (x -> x*6364136223846793005 + 1442695040888963407 mod 2^64, two

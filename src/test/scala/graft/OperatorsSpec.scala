@@ -250,6 +250,19 @@ class DedupAnnSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(2) > 0.99)) // all from the flood, cosine ~1
   }
 
+  test("simhashDupes: keep-first pairs per exact group, immune to near-variant floods") {
+    // three-member duplicate group (order-insensitive) buried among
+    // one-token-edit variants that share band keys — the regime where the
+    // old banded-chain formulation lost non-adjacent true pairs
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = (Seq(
+      (10L, base), (500L, base.split(" ").reverse.mkString(" ")), (900L, base)) ++
+      (100L to 300L).map(i => (i, base.replace("w30", s"v$i")))).toDF("doc_id", "text")
+    val got = Dedup.simhashDupes(docs, "text", "doc_id")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((10L, 500L, 0), (10L, 900L, 0))) // keep-first shape
+  }
+
   test("simhashPairs: whitespace-dup docs collide at hamming 0") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha  beta gamma  delta"),
       (3L, "unrelated totally other words")).toDF("doc_id", "text")

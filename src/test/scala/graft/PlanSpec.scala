@@ -122,8 +122,7 @@ class Round5PlanSpec extends SparkSpec {
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
   test("kmeansStep is one scan + paired partial/final aggregation, no join") {
-    val cents = Array.tabulate(4, 64)((p, d) =>
-      graft.functions.expressions.HashExpressions.planeComponent(p, d))
+    val cents = graft.functions.expressions.HashExpressions.fixedCentroids(0, 4, 64)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = plan(graft.operators.Ann.kmeansStep(emb, "embedding", cents))
     assert("HashAggregate".r.findAllIn(p).length >= 2, p) // map-side combine
@@ -166,8 +165,7 @@ class Round5PlanSpec extends SparkSpec {
   }
 
   test("semantic dedup candidates come from a cluster equi-join, never a cross join") {
-    val cents = Array.tabulate(4, 64)((p, d) =>
-      graft.functions.expressions.HashExpressions.planeComponent(p, d))
+    val cents = graft.functions.expressions.HashExpressions.fixedCentroids(0, 4, 64)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = plan(graft.operators.Dedup.semanticDedupPairs(
       emb, "embedding", "vec_id", cents, 0.2))
