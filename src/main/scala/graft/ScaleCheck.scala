@@ -296,6 +296,14 @@ object ScaleCheck {
         operators.Dedup.semanticDedupPairs(df, "embedding", "vec_id", sdCents,
           threshold = 0.3).count()))
     }
+    // BPE training: the corpus is scanned ONCE (wordVocab aggregation);
+    // each of the 5 merges runs over the vocab table, whose size is
+    // replication-INVARIANT (same words, Nx frequencies) — total must grow
+    // far slower than Nx (only the initial scan scales with the corpus).
+    Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+      timed(s"bpe train 5 merges $tag")(((),
+        operators.Bpe.train(df, "text", 5).count()))
+    }
     spark.stop()
   }
 }

@@ -615,6 +615,32 @@ object TextQueries {
         .select(col("doc_id"), array_min(T.rollingHashes(col("text"), 16)).as("min_kgram_hash"))
         .orderBy(col("doc_id"))
     }),
+
+    // BPE tokenizer training, step 1 (Bpe.pairCounts over Bpe.wordVocab):
+    // frequency-weighted adjacent character-pair counts — the argmax
+    // candidates for the first merge. Top-100 under the full deterministic
+    // tiebreak (cnt desc, pair). The oracle recomputes the word-frequency
+    // vocab and the pair sums via LATERAL position unnest.
+    "q96_bpe_pairs" -> ((s, d) => {
+      val vocab = graft.operators.Bpe.wordVocab(Tables(s, d, "documents"), "text")
+      graft.operators.Bpe.pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("pair_left"), col("pair_right"))
+        .limit(100)
+    }),
+
+    // BPE merge application (Bpe.applyMerges): a fixed 3-merge cascade
+    // ((t,a)->ta, (b,l)->bl, (bl,e)->ble) re-segments the vocab — exercises
+    // the left-to-right greedy fold including multi-character merge
+    // composition. The oracle replays it on a pipe-wrapped symbol-string
+    // encoding ('table' -> '|t||a||b||l||e|'), where SQL replace()'s
+    // non-overlapping left-to-right scan is exactly the BPE merge pass.
+    "q97_bpe_segment" -> ((s, d) => {
+      val vocab = graft.operators.Bpe.wordVocab(Tables(s, d, "documents"), "text")
+      graft.operators.Bpe.applyMerges(vocab,
+          Seq(("t", "a"), ("b", "l"), ("bl", "e")))
+        .select(col("word"), col("freq"), array_join(col("symbols"), " ").as("seg"))
+        .orderBy(col("word"))
+    }),
   )
 
   private val langIdOracle: String = {
@@ -1270,6 +1296,44 @@ object TextQueries {
       FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
       GROUP BY bg.doc_id
       ORDER BY doc_id""",
+    // BPE pair-count replay: word-frequency vocab, adjacent char pairs via
+    // LATERAL position unnest, weighted sums, same deterministic top-100.
+    "q96_bpe_pairs" -> """
+      WITH words AS (
+        SELECT unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS word
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      vocab AS (SELECT word, count(*) AS freq FROM words GROUP BY word),
+      pairs AS (
+        SELECT substr(word, i, 1) AS pair_left, substr(word, i + 1, 1) AS pair_right,
+               sum(freq) AS cnt
+        FROM vocab, LATERAL (SELECT unnest(range(1, len(word))) AS i)
+        GROUP BY 1, 2)
+      SELECT pair_left, pair_right, CAST(cnt AS BIGINT) AS cnt
+      FROM pairs
+      ORDER BY cnt DESC, pair_left, pair_right
+      LIMIT 100""",
+    // BPE merge replay: each symbol wrapped as '|s|' and concatenated, so
+    // merge (l,r) is replace('|l||r|' -> '|lr|') — SQL replace's
+    // non-overlapping left-to-right scan matches the BPE greedy pass
+    // ('|a||a||a|' -> '|aa||a|'), and the wrapping pipes make mid-symbol
+    // false matches impossible. Merges applied in the same fixed order.
+    "q97_bpe_segment" -> """
+      WITH words AS (
+        SELECT unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS word
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      vocab AS (SELECT word, count(*) AS freq FROM words GROUP BY word),
+      enc AS (SELECT word, freq,
+                '|' || array_to_string(regexp_split_to_array(word, ''), '||') || '|' AS s
+              FROM vocab),
+      m AS (SELECT word, freq,
+              replace(replace(replace(s,
+                '|t||a|', '|ta|'),
+                '|b||l|', '|bl|'),
+                '|bl||e|', '|ble|') AS s
+            FROM enc)
+      SELECT word, CAST(freq AS BIGINT) AS freq,
+             replace(trim(s, '|'), '||', ' ') AS seg
+      FROM m ORDER BY word""",
     // Mixture replay: same rate arithmetic (literals forced to DOUBLE — the
     // Spark side computes the normalized weights in binary floating point,
     // and DuckDB's default DECIMAL literals would differ) + same salted md5
