@@ -641,6 +641,26 @@ object TextQueries {
         .select(col("word"), col("freq"), array_join(col("symbols"), " ").as("seg"))
         .orderBy(col("word"))
     }),
+
+    // BPE end-to-end encode (Bpe.train + Bpe.encode): TRAIN 4 merges on the
+    // corpus (driver-cutover path — zero Spark jobs after the one vocab
+    // scan), then tokenize every document with the trained table. The merge
+    // table rides into codegen as literals (broadcast-as-literals: the join
+    // side is vocab-bounded, the corpus side is one linear scan, no
+    // shuffle). The oracle replays the 4 training iterations unrolled
+    // (argmax per stage under the same (cnt desc, pair asc) tiebreak,
+    // merge as pipe-wrapped replace), segments the vocab, and joins
+    // segments back to document word positions.
+    "q99_bpe_encode" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val merges = graft.operators.Bpe.train(docs, "text", 4)
+        .orderBy(col("rank")).select("pair_left", "pair_right")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      graft.operators.Bpe.encode(docs, "text", merges)
+        .filter(size(col("words")) > 0)
+        .select(col("doc_id"), array_join(col("segments"), " / ").as("enc"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   private val langIdOracle: String = {
@@ -1334,6 +1354,60 @@ object TextQueries {
       SELECT word, CAST(freq AS BIGINT) AS freq,
              replace(trim(s, '|'), '||', ' ') AS seg
       FROM m ORDER BY word""",
+    // BPE train-then-encode replay: 4 unrolled training stages (per stage:
+    // adjacent-pair counts from the pipe-wrapped symbol strings, argmax
+    // under (cnt DESC, l, r) — DuckDB's binary UTF-8 string order matches
+    // Spark's — then replace-merge), then per-word segments joined back to
+    // document word positions.
+    "q99_bpe_encode" -> """
+      WITH docs AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS wa
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      vocab AS (
+        SELECT word, count(*) AS freq
+        FROM (SELECT unnest(wa) AS word FROM docs) GROUP BY word),
+      v0 AS (SELECT word, freq,
+               '|' || array_to_string(regexp_split_to_array(word, ''), '||') || '|' AS s
+             FROM vocab),
+      p1 AS (SELECT a[i] AS l, a[i+1] AS r, sum(freq) AS cnt
+             FROM (SELECT freq, regexp_split_to_array(trim(s, '|'), '\|\|') AS a FROM v0),
+                  LATERAL (SELECT unnest(range(1, len(a))) AS i)
+             GROUP BY 1, 2),
+      b1 AS (SELECT l, r FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+      v1 AS (SELECT word, freq,
+               replace(s, '|'||b1.l||'||'||b1.r||'|', '|'||b1.l||b1.r||'|') AS s
+             FROM v0, b1),
+      p2 AS (SELECT a[i] AS l, a[i+1] AS r, sum(freq) AS cnt
+             FROM (SELECT freq, regexp_split_to_array(trim(s, '|'), '\|\|') AS a FROM v1),
+                  LATERAL (SELECT unnest(range(1, len(a))) AS i)
+             GROUP BY 1, 2),
+      b2 AS (SELECT l, r FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+      v2 AS (SELECT word, freq,
+               replace(s, '|'||b2.l||'||'||b2.r||'|', '|'||b2.l||b2.r||'|') AS s
+             FROM v1, b2),
+      p3 AS (SELECT a[i] AS l, a[i+1] AS r, sum(freq) AS cnt
+             FROM (SELECT freq, regexp_split_to_array(trim(s, '|'), '\|\|') AS a FROM v2),
+                  LATERAL (SELECT unnest(range(1, len(a))) AS i)
+             GROUP BY 1, 2),
+      b3 AS (SELECT l, r FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+      v3 AS (SELECT word, freq,
+               replace(s, '|'||b3.l||'||'||b3.r||'|', '|'||b3.l||b3.r||'|') AS s
+             FROM v2, b3),
+      p4 AS (SELECT a[i] AS l, a[i+1] AS r, sum(freq) AS cnt
+             FROM (SELECT freq, regexp_split_to_array(trim(s, '|'), '\|\|') AS a FROM v3),
+                  LATERAL (SELECT unnest(range(1, len(a))) AS i)
+             GROUP BY 1, 2),
+      b4 AS (SELECT l, r FROM p4 ORDER BY cnt DESC, l, r LIMIT 1),
+      v4 AS (SELECT word, freq,
+               replace(s, '|'||b4.l||'||'||b4.r||'|', '|'||b4.l||b4.r||'|') AS s
+             FROM v3, b4),
+      segv AS (SELECT word, replace(trim(s, '|'), '||', ' ') AS seg FROM v4),
+      docw AS (SELECT doc_id, i, wa[i] AS word
+               FROM docs, LATERAL (SELECT unnest(range(1, len(wa) + 1)) AS i))
+      SELECT d.doc_id, string_agg(sv.seg, ' / ' ORDER BY d.i) AS enc
+      FROM docw d JOIN segv sv USING (word)
+      GROUP BY d.doc_id ORDER BY doc_id""",
     // Mixture replay: same rate arithmetic (literals forced to DOUBLE — the
     // Spark side computes the normalized weights in binary floating point,
     // and DuckDB's default DECIMAL literals would differ) + same salted md5
