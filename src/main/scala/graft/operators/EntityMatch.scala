@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   * sides shuffle only on the block key, per-field similarity runs on candidate
   * pairs, and each incoming row keeps its best candidate via one window. At
   * 100 TB the block key bounds the join fan-out; hot blocks are guarded by a
-  * primary-side candidate collapse (see [[fuzzyMatch]]) and residual
-  * task-level skew on a genuinely-diverse hot block is AQE's skew-join split
-  * (the join is a plain equi-join, the shape AQE can split).
+  * primary-side candidate collapse plus an explicit salt split for
+  * genuinely-diverse hot blocks (see [[fuzzyMatch]] — AQE's skew-join
+  * cannot split this shape: it keys on partition input bytes, and a hot
+  * block is tiny-input / quadratic-output).
   */
 object EntityMatch {
 
@@ -122,7 +123,8 @@ object EntityMatch {
     * dedupe + join-back per level, so it stays off for mostly-unique feeds. */
   def fuzzyMatch(incoming: DataFrame, primary: DataFrame, spec: MatchSpec,
                  rowKey: Seq[String],
-                 collapseIncoming: Boolean = false): (DataFrame, DataFrame) = {
+                 collapseIncoming: Boolean = false,
+                 saltTupleThreshold: Int = 1024): (DataFrame, DataFrame) = {
     val gid = spec.globalIdField
     if (spec.levels.isEmpty || incoming.isEmpty) return splitByNull(incoming, gid)
     // a primary row with NO gid cannot assign anything — matching it would
@@ -168,7 +170,53 @@ object EntityMatch {
       def leftField(name: String): Column =
         if (collapseIncoming) col(s"__i_$name") else col(s"i.$name")
 
-      val cands = leftFrame.join(prDistinct, Seq("__block"))
+      // Distinct-tuple hot-block guard (salt split). The tuple collapse
+      // above linearizes BOILERPLATE floods, but a hot block of genuinely
+      // DISTINCT tuples still lands all of its (incoming × tuples) score
+      // work in ONE task — and no built-in mechanism spreads it: AQE's
+      // skew-join keys on partition INPUT bytes and this shape is
+      // tiny-input / quadratic-output (measured: a 6.3k×6.3k hot block ran
+      // 40M jaro evals in one 39 s task while 31 cores idled — AQE had
+      // coalesced the tiny collapsed-tuple aggregate to ONE partition).
+      // Blocks whose distinct-tuple count exceeds `saltTupleThreshold` are
+      // split explicitly: incoming rows hash into S_b salt slices, the
+      // block's tuples replicate across all S_b — each incoming row still
+      // meets every tuple exactly once (exactly result-preserving,
+      // EntityMatchSpec), per-task work drops to (inc_b/S_b)×tup_b.
+      // S_b ≈ tup_b/(threshold/8), capped at 64 — replication stays
+      // bounded on a frame that is already distinct-tuple-collapsed. Both
+      // salted sides are EXPLICITLY co-repartitioned on (block, salt) —
+      // explicit numPartitions is exempt from AQE coalescing, which is
+      // what serialized the unguarded run. The hot map is eager (one
+      // aggregate-sized job, same control-flow-scalar pattern as the
+      // isEmpty gate above): no hot blocks → the common path is untouched,
+      // no extra joins, no salt column, no repartition.
+      val hotMap = prDistinct.groupBy(col("__block"))
+        .agg(count(lit(1)).as("__tup_cnt"))
+        .filter(col("__tup_cnt") > saltTupleThreshold)
+        .select(col("__block"), least(lit(64),
+          ceil(col("__tup_cnt") / lit(math.max(1, saltTupleThreshold / 8))))
+          .cast("int").as("__nsalt"))
+        .localCheckpoint(true)
+      val cands =
+        if (hotMap.isEmpty) leftFrame.join(prDistinct, Seq("__block"))
+        else {
+          val np = incoming.sparkSession.sessionState.conf.numShufflePartitions
+          val saltHashCols =
+            if (collapseIncoming) sigNames.map(col)
+            else rowKey.map(k => col(s"i.$k"))
+          val leftSalted = leftFrame.join(broadcast(hotMap), Seq("__block"), "left")
+            .withColumn("__salt", when(col("__nsalt").isNull, lit(0))
+              .otherwise(pmod(xxhash64(saltHashCols: _*), col("__nsalt")).cast("int")))
+            .drop("__nsalt")
+          val priSalted = prDistinct.join(broadcast(hotMap), Seq("__block"), "left")
+            .withColumn("__salt", explode(when(col("__nsalt").isNull, array(lit(0)))
+              .otherwise(sequence(lit(0), col("__nsalt") - 1))))
+            .drop("__nsalt")
+          leftSalted.repartition(np, col("__block"), col("__salt"))
+            .join(priSalted.repartition(np, col("__block"), col("__salt")),
+              Seq("__block", "__salt"))
+        }
       val wSum = level.fields.map(_.weight).sum
       // per-field similarity feature in [0,1] — recordlinkage semantics:
       // `exact` is 1/0 equality (null never matches); `string` with a

@@ -112,6 +112,41 @@ class EntityMatchSpec extends SparkSpec {
     assert(direct._1.map(_._1).contains("X9")) // the duplicate signature matched too
   }
 
+  test("salt split on a distinct-tuple hot block is exactly result-preserving") {
+    // one hot block value, every primary tuple DISTINCT (the case the tuple
+    // collapse cannot linearize and the salt guard exists for); a tiny
+    // saltTupleThreshold forces the split here, compared against the
+    // unsalted path (threshold above the block size)
+    val spec = EntityMatch.MatchSpec(
+      "t", "globalid", "", "", "",
+      Seq(EntityMatch.LevelSpec("1", Seq("blk"),
+        Seq(EntityMatch.FieldSpec("name", "string", "jarowinkler", Some(0.85), 1.0)),
+        1.0)))
+    val primary = (1 to 400).map(i => (s"p$i", "HOT", f"name-$i%04d", s"g-$i"))
+      .toDF("pid", "blk", "name", "globalid")
+    val incoming = (1 to 300).map(i =>
+        (s"i$i", "HOT", f"name-${i * 7 % 400 + 1}%04d", null: String))
+      .toDF("rid", "blk", "name", "globalid")
+    def run(threshold: Int) = {
+      val (m, u) = EntityMatch.fuzzyMatch(incoming, primary, spec, Seq("rid"),
+        saltTupleThreshold = threshold)
+      (m.select("rid", "globalid").as[(String, String)].collect().toSeq.sorted,
+        u.select("rid").as[String].collect().toSeq.sorted)
+    }
+    val salted = run(threshold = 16) // 400 tuples >> 16 -> nsalt capped at 64
+    val direct = run(threshold = 100000)
+    assert(salted == direct)
+    assert(salted._1.nonEmpty)
+    // both paths also agree under the incoming collapse
+    val saltedCollapsed = {
+      val (m, u) = EntityMatch.fuzzyMatch(incoming, primary, spec, Seq("rid"),
+        collapseIncoming = true, saltTupleThreshold = 16)
+      (m.select("rid", "globalid").as[(String, String)].collect().toSeq.sorted,
+        u.select("rid").as[String].collect().toSeq.sorted)
+    }
+    assert(saltedCollapsed == direct)
+  }
+
   test("fuzzy match level 2 (phone block, exact email) overrides level 1 miss") {
     val spec = mkSpec("t")
     val incoming = Seq(
