@@ -260,6 +260,39 @@ object PipelineQueries {
         .orderBy(col("nationkey"))
     }),
 
+    // S3 + workbookPassword (etl_collect_to_cleanse.py:171-185): the same
+    // nation workbook, agile-encrypted (ECMA-376 AES-256-CBC/SHA-512 via
+    // OoxmlCrypto, JDK crypto only) and read back through the dispatcher
+    // with the spec's `password` field — exercising the CFB container
+    // parse, spin-count key derivation, verifier check, HMAC integrity
+    // check, and segment decryption end-to-end against the parquet oracle.
+    "q98_excel_encrypted" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      val dir = s"/tmp/graft_xlsx_enc/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val f = Paths.get(dir, "nation_enc.xlsx")
+      if (!Files.exists(f)) {
+        Files.createDirectories(Paths.get(dir))
+        val rows = Tables(s, d, "nation")
+          .select(col("n_nationkey").cast(LongType), col("n_regionkey").cast(LongType), col("n_name"))
+          .orderBy(col("n_nationkey")).collect()
+        val plain = Paths.get(dir, "nation_plain.tmp")
+        graft.sources.ExcelSource.write(plain.toString,
+          Seq(Seq("nationkey", "regionkey", "name")) ++ rows.map(r =>
+            Seq(r.getLong(0).toString, r.getLong(1).toString, r.getString(2))))
+        val enc = graft.sources.OoxmlCrypto.encrypt(Files.readAllBytes(plain),
+          "gr@ft-s3cret", spinCount = 10000, seed = 42L)
+        Files.delete(plain)
+        val tmp = Paths.get(dir, "nation_enc.xlsx.tmp")
+        Files.write(tmp, enc)
+        Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      graft.sources.Sources.read(s, f.toString,
+          Some(Specs.parseJson("""{"excel": {"password": "gr@ft-s3cret"}}""")))
+        .select(col("nationkey").cast(LongType).as("nationkey"),
+          col("regionkey").cast(LongType).as("regionkey"), col("name"))
+        .orderBy(col("nationkey"))
+    }),
+
     // S3 + data_address: the table sits at C3:E28 of a sheet with a title
     // row, margin notes, and a TOTAL footer — the range (with a quoted sheet
     // prefix and a sheet_names try-list) must crop all of it away
@@ -737,6 +770,11 @@ object PipelineQueries {
              n_name AS name
       FROM nation ORDER BY nationkey""",
     "q76_excel_range" -> """
+      SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+             CAST(n_regionkey AS BIGINT) AS regionkey,
+             n_name AS name
+      FROM nation ORDER BY nationkey""",
+    "q98_excel_encrypted" -> """
       SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
              CAST(n_regionkey AS BIGINT) AS regionkey,
              n_name AS name

@@ -70,7 +70,23 @@ object ExcelSource {
   }
 
   def read(spark: SparkSession, path: String, sheet: Option[String] = None,
-           header: Boolean = true, dataAddress: Option[String] = None): DataFrame = {
+           header: Boolean = true, dataAddress: Option[String] = None,
+           password: Option[String] = None): DataFrame = {
+    // Encrypted workbooks arrive as CFB containers (not ZIPs): decrypt to a
+    // temp .xlsx first (driver-side, like all of this reader — a workbook is
+    // one opaque blob either way). A CFB with no password, or a password on
+    // a plain ZIP, both fail loudly rather than guessing.
+    if (OoxmlCrypto.isCfbFile(path)) {
+      val pwd = password.getOrElse(throw new IllegalArgumentException(
+        s"workbook is encrypted — provide the password (spec field 'password'): $path"))
+      val tmp = OoxmlCrypto.decryptToTempFile(path, pwd)
+      try return read(spark, tmp.toString, sheet, header, dataAddress, None)
+      finally java.nio.file.Files.deleteIfExists(tmp)
+    } else if (password.isDefined)
+      // a password against a PLAIN workbook is a config error — reading on
+      // while silently ignoring the credential would mask a wrong-file bug
+      throw new IllegalArgumentException(
+        s"password given but workbook is not encrypted (not a CFB container): $path")
     val range = dataAddress.map(parseDataAddress)
     val grid0 = readGrid(path, range.flatMap(_.sheet).orElse(sheet))
     // crop to the range by TRUE sheet coordinates (the r= attributes), so

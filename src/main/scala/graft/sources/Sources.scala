@@ -44,12 +44,10 @@ object Sources {
       // S3: minimal native XLSX reader (driver-side; config-sized workbooks —
       // the reference's use case, etl_collect_to_cleanse.py:154-185)
       val ex = node("excel")
-      if (ex.exists(_.str("password").isDefined))
-        // OOXML agile encryption (AES + spin-count key derivation) is
-        // deliberately out of scope for the JDK-only reader — a wrong
-        // silent decrypt would be worse than a loud gap
-        throw new IllegalArgumentException(
-          "password-protected workbooks are not supported — decrypt upstream")
+      // password-protected workbooks: ECMA-376 agile encryption handled by
+      // OoxmlCrypto (JDK crypto); legacy RC4/"standard" formats reject with
+      // a documented error inside the decryptor
+      val password = ex.flatMap(_.str("password"))
       val header = ex.flatMap(_.bool("header")).getOrElse(true)
       val dataAddress = ex.flatMap(_.str("data_address"))
       // sheet_names is a TRY-LIST: first sheet that resolves wins
@@ -58,13 +56,13 @@ object Sources {
       val candidates = ex.map(_.strList("sheet_names")).filter(_.nonEmpty)
         .getOrElse(ex.flatMap(_.str("sheet")).toSeq)
       if (candidates.isEmpty)
-        ExcelSource.read(spark, path, None, header, dataAddress)
+        ExcelSource.read(spark, path, None, header, dataAddress, password)
       else {
         // retry ONLY on sheet-not-found (the reference's except-pass loop
-        // semantics); any other failure — bad dataAddress, corrupt workbook —
-        // is a real error and must surface as itself
+        // semantics); any other failure — bad dataAddress, corrupt workbook,
+        // wrong password — is a real error and must surface as itself
         val attempts = candidates.iterator.map { s =>
-          try Right(ExcelSource.read(spark, path, Some(s), header, dataAddress))
+          try Right(ExcelSource.read(spark, path, Some(s), header, dataAddress, password))
           catch { case e: SheetNotFoundException => Left(e.getMessage) }
         }
         attempts.collectFirst { case Right(df) => df }.getOrElse(
