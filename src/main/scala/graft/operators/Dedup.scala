@@ -132,23 +132,27 @@ object Dedup {
     * is the WRONG shape — a hot band bucket mixes several fingerprint groups,
     * id-adjacent chain pairs cross groups, equality rejects them, and true
     * duplicate pairs vanish. Instead the group key IS the exact key: one
-    * hash-partitioned aggregation on (fingerprint, xxhash64(sorted tokens))
-    * finds each group's minimum id (+ its token array via min_by), and each
-    * member joins back to its group min, verified by sorted-token equality
-    * (which also screens out 64-bit composite-key collisions). Every
-    * duplicate is paired with its group's first — recall 1 by construction,
-    * B−1 pairs for a B-member group (a 1M-doc boilerplate flood emits 1M−1
-    * rows, not 5×10¹¹), and `hamming` is 0 by definition of the group.
-    * The hamming-TOLERANT near-dup regime stays in [[simhashPairs]],
-    * recall-asserted against the exact jaccard join (ApproxRecallSpec). */
+    * hash-partitioned aggregation DIRECTLY on (fingerprint, sorted tokens)
+    * finds each group's minimum id, and each member equi-joins back to its
+    * group min on the same composite key. Grouping on the token array
+    * itself (not a 64-bit hash of it) keeps this EXACT — a hashed group key
+    * would silently drop every pair of a group whose hash collides with a
+    * lower-id group (a recall loss, not a screened false positive). Spark
+    * hash-partitions and compares array keys natively, and the shuffle
+    * already carried the token arrays for verification, so the exact key
+    * costs nothing extra. Every duplicate is paired with its group's
+    * first — recall 1 by construction, B−1 pairs for a B-member group (a
+    * 1M-doc boilerplate flood emits 1M−1 rows, not 5×10¹¹), and `hamming`
+    * is 0 by definition of the group. The hamming-TOLERANT near-dup regime
+    * stays in [[simhashPairs]], recall-asserted against the exact jaccard
+    * join (OperatorsSpec). */
   def simhashDupes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val keyed = df.select(col(idCol).as("id"), S.tokens(col(textCol)).as("__t"))
       .select(col("id"), sort_array(col("__t")).as("__ts"), S.simHash64(col("__t")).as("__fp"))
-      .withColumn("__gk", xxhash64(col("__fp"), col("__ts")))
-    val firsts = keyed.groupBy(col("__gk"))
-      .agg(min(col("id")).as("id_a"), expr("min_by(__ts, id)").as("__ts_a"))
-    keyed.join(firsts, Seq("__gk"))
-      .filter(col("id") > col("id_a") && col("__ts") === col("__ts_a"))
+    val firsts = keyed.groupBy(col("__fp"), col("__ts"))
+      .agg(min(col("id")).as("id_a"))
+    keyed.join(firsts, Seq("__fp", "__ts"))
+      .filter(col("id") > col("id_a"))
       .select(col("id_a"), col("id").as("id_b"), lit(0).as("hamming"))
   }
 

@@ -55,17 +55,21 @@ object Tfidf {
     * continuations finite, so the filter generalizes beyond the corpus that
     * trained it. Same scale shape as [[unigramNll]] plus one more
     * vocabulary-sized aggregation and join; docs with <2 tokens emit no row.
-    * V rides along as a broadcast single row. */
+    * V rides along as a broadcast single row. The corpus is tokenized ONCE
+    * (`toks0`): both the bigram stream (after the len≥2 filter) and the
+    * distinct-token count V (before it — single-token docs still widen the
+    * vocabulary) derive from that one tokenization subtree, rather than a
+    * second full-corpus tokenization pass just for V. */
   def bigramNll(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = docs.select(col(idCol), S.tokens(col(textCol)).as("__ts"))
-      .filter(size(col("__ts")) >= 2)
+    val toks0 = docs.select(col(idCol), S.tokens(col(textCol)).as("__ts"))
+    val toks = toks0.filter(size(col("__ts")) >= 2)
     val bigrams = toks.select(col(idCol),
         explode(expr(
           "zip_with(slice(__ts, 1, size(__ts) - 1), slice(__ts, 2, size(__ts) - 1), " +
             "(a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val uni = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
-    val vocab = docs.select(explode(S.tokens(col(textCol))).as("t"))
+    val vocab = toks0.select(explode(col("__ts")).as("t"))
       .agg(countDistinct(col("t")).as("__v"))
     val bi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
     bigrams.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
