@@ -83,18 +83,18 @@ object Bench {
         finally s.close()
       } catch { case _: Throwable => () }
     }
-    val results = selected.map { case (name, fn) =>
+    // Checksum aggregation: materializes EVERY column (count() would let
+    // Catalyst prune the projections being measured — regex passes, hashes,
+    // derived columns), while EliminateSorts drops the top-level orderBy
+    // that exists only for the oracle's deterministic compare — a global
+    // sort would execute the whole subtree twice (range-partitioner
+    // sampling pass + sort pass) and we'd be timing the harness, not the
+    // operator. bit_xor, NOT sum: ANSI mode throws ARITHMETIC_OVERFLOW on
+    // a sum of uniform 64-bit hashes after a handful of rows, which would
+    // abort (and under-time) every large-output query. Falls back to the
+    // noop sink for column types xxhash64 can't digest.
+    def runTimed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      // Checksum aggregation: materializes EVERY column (count() would let
-      // Catalyst prune the projections being measured — regex passes, hashes,
-      // derived columns), while EliminateSorts drops the top-level orderBy
-      // that exists only for the oracle's deterministic compare — a global
-      // sort would execute the whole subtree twice (range-partitioner
-      // sampling pass + sort pass) and we'd be timing the harness, not the
-      // operator. bit_xor, NOT sum: ANSI mode throws ARITHMETIC_OVERFLOW on
-      // a sum of uniform 64-bit hashes after a handful of rows, which would
-      // abort (and under-time) every large-output query. Falls back to the
-      // noop sink for column types xxhash64 can't digest.
       try {
         val out = fn(spark, sfDir)
         try out.agg(bit_xor(xxhash64(struct(out.columns.toIndexedSeq.map(col): _*)))).head()
@@ -112,8 +112,9 @@ object Bench {
       // pressure the next query's memory (position-dependent noise)
       try { spark.catalog.clearCache() } catch { case _: Throwable => () }
       System.gc()
-      name -> dt
+      dt
     }
+    val results = selected.map { case (name, fn) => name -> runTimed(fn) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -129,18 +130,46 @@ object Bench {
         java.nio.file.Paths.get("bench_full.json"), line + "\n")
       catch { case e: Exception =>
         System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}") }
-    diffAgainstBaseline(results)
+    diffAgainstBaseline(results,
+      name => runTimed(SparkEntry.queries(name)))
     spark.stop()
   }
 
+  /** One adjudicated gate decision: queries over the first-pass gate
+    * (>2× pin AND >1 s) are RE-TIMED once at end-of-suite — warm JVM, warm
+    * code cache, no position effects — and only flagged if the re-time
+    * ALSO exceeds the gate. Kills the cold-position false positives that
+    * cleared on manual warm A/B in rounds 4-5 (q07/q20: flagged at
+    * 1.35/1.81 s, warm at 0.42/0.25 s). Pure function of its inputs so the
+    * spec can fabricate slow/fast re-times. */
+  private[graft] def gateRegressions(
+      results: Seq[(String, Double)],
+      pinned: String => Option[Double],
+      retime: String => Double): (Seq[String], Seq[String]) = {
+    val flagged = results.flatMap { case (name, sec) =>
+      pinned(name).collect { case b if b > 0 && sec > 2 * b && sec > 1.0 => (name, b, sec) }
+    }
+    val adjudicated = flagged.map { case (name, b, sec) =>
+      val re = retime(name)
+      val confirmed = re > 2 * b && re > 1.0
+      val verdict = if (confirmed) "confirmed" else "cleared"
+      (name, confirmed,
+        f"$name: $sec%.2fs vs pinned $b%.2fs (${sec / b}%.1fx) (retimed: $re%.2fs — $verdict)")
+    }
+    (adjudicated.filter(_._2).map(_._1), adjudicated.map(_._3))
+  }
+
   /** Regression gate against the pinned driver artifact (`bench_baseline.json`,
-    * re-pinned each round from `BENCH_r{N}.json` — BASELINE.md §pinning).
+    * re-pinned each round from `bench_full.json` — BASELINE.md §pinning).
     * Queries >2× their pinned time AND >1 s absolute (smaller timings swing
-    * 2-3× run to run from JIT/GC/position noise — measured) are written to
+    * 2-3× run to run from JIT/GC/position noise — measured), CONFIRMED by an
+    * end-of-suite warm re-time ([[gateRegressions]]), are written to
     * `bench_regressions.txt` so the driver's captured stdout/stderr stays the
-    * one-JSON-line contract; SPARK_GRAFT_FAIL_ON_REGRESSION=1 (local
-    * iteration) additionally prints them to stderr and exits non-zero. */
-  private def diffAgainstBaseline(results: Seq[(String, Double)]): Unit = {
+    * one-JSON-line contract (cleared flags are recorded too, annotated);
+    * SPARK_GRAFT_FAIL_ON_REGRESSION=1 (local iteration) additionally prints
+    * confirmed ones to stderr and exits non-zero. */
+  private def diffAgainstBaseline(results: Seq[(String, Double)],
+                                  retime: String => Double): Unit = {
     val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_baseline.json")
     val f = new java.io.File(path)
     if (!f.isFile) return
@@ -148,17 +177,11 @@ object Bench {
       val root = graft.config.Specs.parseJson(
         new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
       val base = root.get("queries")
-      val regressions = results.flatMap { case (name, sec) =>
-        Option(base.get(name)).map(_.asDouble).collect {
-          case b if b > 0 && sec > 2 * b && sec > 1.0 => (name, b, sec)
-        }
-      }
-      val report = regressions.map { case (name, b, sec) =>
-        f"$name: $sec%.2fs vs pinned $b%.2fs (${sec / b}%.1fx)"
-      }
+      val (confirmed, report) = gateRegressions(results,
+        name => Option(base.get(name)).map(_.asDouble), retime)
       java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_regressions.txt"),
         if (report.isEmpty) "none\n" else report.mkString("", "\n", "\n"))
-      if (regressions.nonEmpty && sys.env.get("SPARK_GRAFT_FAIL_ON_REGRESSION").contains("1")) {
+      if (confirmed.nonEmpty && sys.env.get("SPARK_GRAFT_FAIL_ON_REGRESSION").contains("1")) {
         report.foreach(r => System.err.println(s"[bench-regression] $r"))
         sys.exit(1)
       }
