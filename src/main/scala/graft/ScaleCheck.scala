@@ -151,10 +151,12 @@ object ScaleCheck {
     def noGid(df: DataFrame) =
       df.withColumn("globalid", lit(null).cast("string"))
     def fuzzyRun(tag: String, incoming: DataFrame, primary: DataFrame,
-                 collapse: Boolean = false): Unit =
+                 collapse: Boolean = false,
+                 saltThreshold: Int = 1024): Unit =
       timed(s"fuzzy match $tag") {
         val (m, u) = operators.EntityMatch.fuzzyMatch(incoming, primary, fspec,
-          Seq("rid"), collapseIncoming = collapse)
+          Seq("rid"), collapseIncoming = collapse,
+          saltTupleThreshold = saltThreshold)
         ((), m.count() + u.count())
       }
     val fuzzyBase = 20000
@@ -173,6 +175,28 @@ object ScaleCheck {
         noGid(fuzzySide("i", fuzzyBase).unionByName(floodDf("i"))),
         withGid(fuzzySide("p", fuzzyBase).unionByName(floodDf("p"))),
         collapse = true)
+    }
+
+    // Adversarial DISTINCT-tuple hot block — the case the tuple collapse
+    // cannot linearize: one block value, every field tuple unique on both
+    // sides, so the F_i × F_p score evaluations are semantically REQUIRED.
+    // The scalability question is task BALANCE: AQE's skew split keys on
+    // partition input BYTES and this block is tiny-input/quadratic-output
+    // (it never splits), so the explicit salt guard must spread the block
+    // across tasks — guard-off vs guard-on at identical candidate volume,
+    // then sqrt(10)× flood (= 10× candidate volume) to show wall tracking
+    // WORK, not flood².
+    Seq(2000 -> "F=2000 (4M cands)", 6325 -> "F=6325 (40M cands)").foreach {
+      case (flood, tag) =>
+        def distinctFlood(side: String) = spark.range(flood).select(
+          concat(lit(s"d$side"), col("id")).as("rid"), lit("HOTBLOCK").as("blk"),
+          concat(lit("uniq "), lit(side), col("id")).as("name"))
+        if (flood == 2000)
+          fuzzyRun(s"distinct-tuple hot block $tag SALT OFF",
+            noGid(distinctFlood("i")), withGid(distinctFlood("p")),
+            saltThreshold = Int.MaxValue)
+        fuzzyRun(s"distinct-tuple hot block $tag salt split",
+          noGid(distinctFlood("i")), withGid(distinctFlood("p")))
     }
 
     // Realistic key distribution (not uniform replication): Zipf(≈1) block
@@ -303,6 +327,28 @@ object ScaleCheck {
     Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
       timed(s"bpe train 5 merges $tag")(((),
         operators.Bpe.train(df, "text", 5).count()))
+    }
+    // Driver-cutover depth: 500 merges must cost ~the single corpus scan
+    // plus driver-local milliseconds per merge (the distributed loop would
+    // be ~1000 Spark jobs here). The raw synthetic corpus fully merges
+    // after ~90 ranks, so the depth row enriches each doc with its hash
+    // hex-words — a vocabulary wide enough that all 500 merges are REAL
+    // (hex-gram combinations don't exhaust). Also the encode pass: trained
+    // table compiled to literals, one linear corpus scan, zero shuffle.
+    Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+      val enriched = df.withColumn("text",
+        concat_ws(" ", col("text"), md5(col("text")), sha1(col("text"))))
+      timed(s"bpe train 500 merges (local cutover, hash-widened vocab) $tag")(((),
+        operators.Bpe.train(enriched, "text", 500).count()))
+    }
+    locally {
+      val merges = operators.Bpe.train(docs, "text", 64)
+        .orderBy("rank").select("pair_left", "pair_right")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+        timed(s"bpe encode 64 merges $tag")(((),
+          operators.Bpe.encode(df, "text", merges).select("segments").count()))
+      }
     }
     spark.stop()
   }

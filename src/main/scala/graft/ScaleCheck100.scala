@@ -1,0 +1,123 @@
+package graft
+
+import graft.functions.{SimilarityFunctions => S}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 100× scale tier for the three headliner shapes (round-6 evidence ladder
+  * extension — the 10× table in ScaleCheck stays the per-family sweep):
+  * jaccard self-join, fuzzy entity match on Zipf blocks, sequence packing.
+  *
+  * Replication here PERTURBS each replica (≈40% of tokens get a
+  * replica-unique suffix) so cross-replica near-dup pairs do NOT form:
+  * unperturbed replication grows dup-clique output quadratically — at 100×
+  * that measures the output writer, not the join. With perturbation, input
+  * grows 100× and true output grows ~100× (within-replica pairs only) — the
+  * regime a real 100 TB corpus with bounded dup-group sizes is in, which is
+  * exactly the claim the plans need to support. Zipf/fuzzy and packing
+  * replicate with fresh ids (their cost is key-distribution-driven, not
+  * content-driven).
+  *
+  * Usage: runMain graft.ScaleCheck100 [sfDir] [replication=100]
+  */
+object ScaleCheck100 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val n = args.lift(1).map(_.toInt).getOrElse(100)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def timed[A](tag: String)(f: => (A, Long)): A = {
+      Thread.sleep(300)
+      val sb0 = shuffleBytes.get()
+      val t0 = System.nanoTime()
+      val (a, rows) = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      val sMB = (shuffleBytes.get() - sb0) / 1e6
+      println(f"[scale100] $tag: $rows rows in $dt%.1f s (shuffle ~$sMB%.1f MB)")
+      a
+    }
+
+    val docs = queries.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    docs.count()
+    val offset = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+
+    // ---- 1. jaccard self-join: perturbed 100x replication ----
+    // replica i rewrites tokens whose hash lands in 2/5 of the space to a
+    // replica-suffixed spelling: within-replica similarity is untouched,
+    // cross-replica jaccard drops to ~(3/5)/(2·2/5+3/5) ≈ 0.43 < 0.7.
+    def perturbed(i: Int): DataFrame = docs.select(
+      (col("doc_id") + lit(i.toLong * offset)).as("doc_id"),
+      col("lang"), col("source"),
+      array_join(transform(split(col("text"), "\\s+"), t =>
+        when(pmod(xxhash64(t, lit(i)), lit(5)) < 2, concat(t, lit("_r"), lit(i)))
+          .otherwise(t)), " ").as("text"))
+    val rep = (0 until n).map(perturbed).reduce(_ unionByName _)
+    def toks(df: DataFrame) = df.select(col("lang"), col("source"), col("doc_id"),
+      array_distinct(S.tokens(col("text"))).as("toks"))
+    Seq(perturbed(0) -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+      timed(s"jaccardSelfJoin t=0.7 blocked $tag (perturbed replicas)") {
+        val p = operators.Dedup.jaccardSelfJoin(toks(df), "toks", "doc_id",
+            Seq("lang", "source"), 0.7)
+          .select(col("id_a"), col("id_b")).localCheckpoint(true)
+        ((), p.count())
+      }
+    }
+
+    // ---- 2. fuzzy entity match, Zipf(≈1) blocks ----
+    val fspec = operators.EntityMatch.MatchSpec(
+      primaryTable = "", globalIdField = "globalid", sortField = "",
+      sourcePrimaryKey = "", sourceSystemKey = "",
+      levels = Seq(operators.EntityMatch.LevelSpec("1", Seq("blk"),
+        Seq(operators.EntityMatch.FieldSpec("name", "string", "jarowinkler",
+          Some(0.85), 1.0)), 1.0)))
+    def zipfSide(side: String, nRows: Int): DataFrame = {
+      val k = 10000.0
+      val u = pmod(xxhash64(col("id"), lit(side)), lit(1000000)).cast("double") / 1000000.0
+      spark.range(nRows).select(
+        concat(lit(side), col("id")).as("rid"),
+        concat(lit("z"), floor(exp(u * math.log(k)))).as("blk"),
+        concat(lit("name "), pmod(xxhash64(col("id") * 13), lit(200))).as("name"))
+    }
+    val zipfBase = 15000
+    Seq(1 -> "1x", n -> s"${n}x").foreach { case (m, tag) =>
+      Seq(false -> "", true -> " collapseIncoming").foreach { case (collapse, ctag) =>
+        timed(s"fuzzy match zipf-blocks $tag$ctag") {
+          val (ma, u) = operators.EntityMatch.fuzzyMatch(
+            zipfSide("i", zipfBase * m)
+              .withColumn("globalid", lit(null).cast("string")),
+            zipfSide("p", zipfBase * m)
+              .withColumn("globalid", concat(lit("g-"), col("rid"))),
+            fspec, Seq("rid"), collapseIncoming = collapse)
+          ((), ma.count() + u.count())
+        }
+      }
+    }
+
+    // ---- 3. sequence packing ----
+    val docsTok = docs.select(col("doc_id"),
+      functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val repTok = (0 until n).map(i => docsTok.select(
+        (col("doc_id") + lit(i.toLong * offset)).as("doc_id"), col("n_tokens")))
+      .reduce(_ unionByName _)
+    Seq(docsTok -> "1x", repTok -> s"${n}x").foreach { case (df, tag) =>
+      timed(s"sequence packing $tag")(((),
+        operators.Sampling.packSequences(df, "doc_id", "n_tokens", 2048L).count()))
+    }
+
+    spark.stop()
+  }
+}
