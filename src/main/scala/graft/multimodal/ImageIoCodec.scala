@@ -115,6 +115,34 @@ object ImageIoCodec {
     bos.toByteArray
   }
 
+  /** Deterministic NEAR-DUP test pattern for perceptual-hash dedup (q100):
+    * ids form groups of `groupSize`; all members share the group's base
+    * pattern and differ only at pixel (2,3), whose value shifts by
+    * member·53 — so two members' dHashes differ in at most the two
+    * comparisons that touch that pixel (hamming ≤ 2), while distinct groups
+    * get unrelated base patterns. Gray value, replayed in closed form by the
+    * oracle:
+    *   g = id / groupSize, j = id mod groupSize
+    *   base(x,y) = ((g·31 + y·w + x) · (g·17 + 7)) mod 251
+    *   v(x,y)    = (base + (if j>0 ∧ x=2 ∧ y=3 then j·53 else 0)) mod 256
+    * PNG round-trips losslessly like [[testPattern]]. */
+  def nearDupPattern(id: Long, w: Int, h: Int, groupSize: Int): Array[Byte] = {
+    val g = id / groupSize; val j = id % groupSize
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = ((g * 31 + y * w + x) * (g * 17 + 7)) % 251
+        val v = ((base + (if (j > 0 && x == 2 && y == 3) j * 53 else 0)) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
   /** Deterministic test pattern: gray pixel (x,y) = (seed·31 + y·w + x) mod
     * 256 in all three channels. The q82 oracle recomputes decoded values from
     * this formula — PNG round-trips it losslessly. */

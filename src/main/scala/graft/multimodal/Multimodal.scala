@@ -179,6 +179,50 @@ object Multimodal {
       }
     }
 
+  val dHashSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("fp", LongType)))
+
+  /** Difference-hash (dHash) perceptual fingerprint over REAL image decode:
+    * one bit per horizontally-adjacent pixel comparison, bit (y·(w−1)+x) set
+    * iff px(x,y) < px(x+1,y), row-major. An 8×8 image yields 56 bits —
+    * deliberately ≤ 63 so band keys and XOR stay in non-negative signed-64
+    * territory on BOTH the Spark and oracle sides. Comparisons are invariant
+    * under the decoder's monotone v/256.0 scaling, so the oracle replays
+    * them from raw pixel values. Undecodable blobs emit nothing. */
+  def imageDHash(media: DataFrame, batchSize: Int = 64): DataFrame =
+    mapBatched(media.select("media_id", "content"), batchSize, dHashSchema) { batch =>
+      batch.iterator.flatMap { r =>
+        val id = r.getLong(0)
+        val content = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        ImageIoCodec.decodeNative(content).iterator.collect {
+          case (w, h, px) if h * (w - 1) <= 63 =>
+            var fp = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w - 1) {
+                if (px(y * w + x) < px(y * w + x + 1))
+                  fp |= 1L << (y * (w - 1) + x)
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, fp)
+        }
+      }
+    }
+
+  /** Image near-dup pairs: dHash fingerprints → banded hamming join
+    * ([[graft.operators.Dedup.fingerprintPairs]], 4×14-bit bands over the
+    * 56-bit hash — exact for hamming ≤ 3 by pigeonhole). The 100 TB shape:
+    * decode is embarrassingly parallel over size-bounded partitions, and
+    * only (id, fp) ever enters an exchange — image bytes never shuffle. */
+  def imageDupePairs(media: DataFrame, maxHamming: Int = 3,
+                     maxBucketSize: Int = 1000, batchSize: Int = 64): DataFrame =
+    graft.operators.Dedup.fingerprintPairs(imageDHash(media, batchSize),
+      bandBits = 14, nBands = 4, maxHamming, maxBucketSize)
+
   /** REAL decode, oracle-able: per image row y, the mean of the red channel
     * as v/256.0 doubles (exact in binary — sums are order-independent, so an
     * external oracle that knows the pixel values reproduces these bit-for-

@@ -107,20 +107,36 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Banded hamming-near pairs over an arbitrary integer fingerprint column
+    * (`df` = (id, fp)): candidates share one of `nBands` contiguous
+    * `bandBits`-wide bands, verified by full hamming ≤ `maxHamming`. By
+    * pigeonhole the band join is a SUPERSET of all pairs with hamming <
+    * `nBands`, so with `maxHamming ≤ nBands − 1` the result is EXACTLY
+    * {(a,b) : hamming(fp_a, fp_b) ≤ maxHamming} — no recall loss, which is
+    * what lets callers (q27 simhash, q100 image dHash) be oracle-replayed.
+    * Shuffles only (band, key, id, fp); never a cross join; hot band buckets
+    * fall to the chain guard ([[guardedBucketPairs]]). */
+  def fingerprintPairs(fps: DataFrame, bandBits: Int, nBands: Int,
+                       maxHamming: Int, maxBucketSize: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val banded = fps.select(col("id"), col("fp"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("fp"), b * bandBits).bitwiseAND(mask).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("fp"), col("bk.band"), col("bk.key"))
+    guardedBucketPairs(banded, Seq("band", "key"), "id", Seq("fp"), maxBucketSize)
+      .select(col("id_a"), col("id_b"), S.hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash near-dup: 64-bit fingerprint; candidates share one of 4 16-bit
     * bands (tolerates hamming ≤ 3 by pigeonhole when split 4 ways); verified by
     * full hamming distance ≤ maxHamming. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val fp = df.select(col(idCol).as("id"), S.simHash64(S.tokens(col(textCol))).as("fp"))
-    val banded = fp.select(col("id"), col("fp"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), shiftright(col("fp"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
-      .select(col("id"), col("fp"), col("bk.band"), col("bk.key"))
-    guardedBucketPairs(banded, Seq("band", "key"), "id", Seq("fp"), maxBucketSize)
-      .select(col("id_a"), col("id_b"), S.hamming64(col("fp_a"), col("fp_b")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    fingerprintPairs(fp, bandBits = 16, nBands = 4, maxHamming, maxBucketSize)
   }
 
   /** SimHash-keyed EXACT order-insensitive duplicate pairs, emitted as

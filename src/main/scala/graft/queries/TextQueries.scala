@@ -165,6 +165,46 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Product-quantization ANN with FIXED LCG codebooks (planeComponent rows
+    // 200..327 sliced into 8 subspace codebooks of 16): encode (per-subspace
+    // argmin-L2, lowest index on ties) and ADC search (per-query distance
+    // table + m lookups summed left-to-right) are replayed exactly by the
+    // DuckDB oracle — subspace distances go through the same sequential
+    // dot_product both engines compute bit-identically (q41 precedent).
+    // Sample-trained codebook QUALITY (pqTrain) is spec-asserted for recall
+    // vs brute force separately (OperatorsSpec).
+    "q101_ann_pq" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val fc = graft.functions.expressions.HashExpressions.fixedCentroids(200, 128, 8)
+      val codebooks = Array.tabulate(8)(j => fc.slice(j * 16, j * 16 + 16))
+      val codes = Ann.pqEncode(emb, "embedding", codebooks)
+      Ann.pqTopK(codes, queries, "embedding", "vec_id", "query_id",
+          codebooks, k = 10)
+        .select(col("query_id"), col("vec_id"), round(col("adc"), 6).as("adc_r"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // PQ with exact rerank — the production IVF-PQ read path: ADC shortlist
+    // (50 per query, from the compressed codes) joins back to raw vectors
+    // for an exact-cosine top-10. Same fixed codebooks as q101; the oracle
+    // replays shortlist AND rerank exactly.
+    "q102_ann_pq_rerank" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val fc = graft.functions.expressions.HashExpressions.fixedCentroids(200, 128, 8)
+      val codebooks = Array.tabulate(8)(j => fc.slice(j * 16, j * 16 + 16))
+      val codes = Ann.pqEncode(emb, "embedding", codebooks)
+      Ann.pqTopKRerank(emb, codes, queries, "embedding", "vec_id", "query_id",
+          codebooks, k = 10, shortlist = 50)
+        .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine_r"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Distributed k-means step (Ann.kmeansStep) with the fixed LCG centroids:
     // max-dot assignment + per-cluster counts and per-dimension means in ONE
     // scan + ONE aggregation — the semantic-clustering primitive (SemDeDup-
@@ -372,6 +412,31 @@ object TextQueries {
       }
       Multimodal.audioWindowMeans(media, windowSize = 64)
         .orderBy(col("media_id"), col("window_no"))
+    }),
+
+    // Image near-dup dedup via perceptual hash, fully oracle-checked: 8×8
+    // near-dup PNGs (groups of 5 share a base pattern, members differ at one
+    // pixel — ImageIoCodec.nearDupPattern) decode for real through
+    // javax.imageio, dHash to 56-bit fingerprints, and pair up through the
+    // banded hamming join. With 4 bands over 56 bits, hamming ≤ 3 recall is
+    // exact by pigeonhole, so the oracle replays pixels → comparison bits →
+    // all-pairs XOR popcount in closed form — the decode, the hash, and the
+    // join are ALL value-verified.
+    "q100_image_dedup" -> ((s, d) => {
+      import graft.multimodal.{ImageIoCodec, Multimodal}
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+      val ids = Tables(s, d, "documents")
+        .select(col("doc_id").cast(LongType).as("media_id"))
+      val mediaSchema = StructType(Seq(
+        StructField("media_id", LongType), StructField("content", BinaryType)))
+      val media = Multimodal.mapBatched(ids, 64, mediaSchema) { batch =>
+        batch.iterator.map(r =>
+          Row(r.getLong(0), ImageIoCodec.nearDupPattern(r.getLong(0), 8, 8, 5)))
+      }
+      Multimodal.imageDupePairs(media, maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // Dedup clustering: near-dup pairs (blocked unigram jaccard, same
@@ -680,7 +745,79 @@ object TextQueries {
       ORDER BY doc_id"""
   }
 
+  /** q101 oracle: the PQ pipeline replayed in DuckDB. Centroid weights come
+    * from the same LCG CTE as q41; subspace squared-L2 goes through
+    * `list_dot_product(diff, diff)` (sequential accumulation — bit-identical
+    * to the Spark side's fused dot product); the ADC sum is spelled out as
+    * m explicit left-associated terms so the addition ORDER matches too. */
+  private val pqAdcTerms: String = (0 until 8).map(j =>
+    s"q.tab[${j * 16} + cd.code[${j + 1}] + 1]").mkString(" + ")
+
+  /** Shared CTE prefix for the PQ oracles: LCG codebooks → per-(vector,
+    * subspace, centroid) squared-L2 → codes (argmin, lowest index on ties) →
+    * per-query ADC tables → ADC-ranked candidates. */
+  private val pqCtes: String = s"""
+      WITH cc AS (
+        SELECT p - 200 AS jc, d,
+          CAST(
+            ((( (p*1000003 + d*7919 + 12345)::HUGEINT * 6364136223846793005 + 1442695040888963407)
+               % 18446744073709551616::HUGEINT)
+              * 6364136223846793005 + 1442695040888963407) % 18446744073709551616::HUGEINT
+            // 2048 AS DOUBLE) / 4503599627370496.0 * 2.0 - 1.0 AS w
+        FROM range(200,328) t1(p), range(0,8) t2(d)),
+      cents AS (
+        SELECT jc // 16 AS j, jc % 16 AS c, list(w ORDER BY d) AS cv
+        FROM cc GROUP BY 1, 2),
+      dists AS (
+        SELECT e.vec_id, ct.j, ct.c,
+          list_dot_product(
+            list_transform(range(1, 9), i -> e.embedding[ct.j*8 + i]::DOUBLE - ct.cv[i]),
+            list_transform(range(1, 9), i -> e.embedding[ct.j*8 + i]::DOUBLE - ct.cv[i])) AS d2
+        FROM embeddings e CROSS JOIN cents ct),
+      codes AS (
+        SELECT vec_id, list(c ORDER BY j) AS code FROM (
+          SELECT vec_id, j, c,
+                 row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+          FROM dists) WHERE rn = 1 GROUP BY vec_id),
+      qtab AS (
+        SELECT vec_id AS query_id, list(d2 ORDER BY j, c) AS tab
+        FROM dists WHERE vec_id < 5 GROUP BY vec_id),
+      scored AS (
+        SELECT q.query_id, cd.vec_id, $pqAdcTerms AS adc
+        FROM qtab q CROSS JOIN codes cd),
+      ranked AS (
+        SELECT query_id, vec_id, adc,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+        FROM scored)"""
+
+  private val pqOracle: String = s"""$pqCtes
+      SELECT query_id, vec_id, round(adc, 6) AS adc_r, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  /** q102 oracle: ADC shortlist (rank ≤ 50 from the shared CTEs) joined back
+    * to the raw vectors for the exact-cosine rerank — same cosine formula as
+    * the q41 oracle. */
+  private val pqRerankOracle: String = s"""$pqCtes,
+      shortlist AS (
+        SELECT query_id, vec_id FROM ranked WHERE rank <= 50),
+      rescored AS (
+        SELECT s.query_id, s.vec_id,
+               list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cosine
+        FROM shortlist s
+        JOIN embeddings q ON s.query_id = q.vec_id
+        JOIN embeddings e ON s.vec_id = e.vec_id),
+      reranked AS (
+        SELECT query_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM rescored)
+      SELECT query_id, vec_id, round(cosine, 6) AS cosine_r, CAST(rank AS BIGINT) AS rank
+      FROM reranked WHERE rank <= 10 ORDER BY query_id, rank"""
+
   val oracles: Map[String, String] = Map(
+    "q101_ann_pq" -> pqOracle,
+    "q102_ann_pq_rerank" -> pqRerankOracle,
     "q85_audio_decode" -> """
       WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents),
       g AS (
@@ -797,6 +934,29 @@ object TextQueries {
       firsts AS (SELECT doc_id, line, min(i) AS p FROM pos GROUP BY 1, 2)
       SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS cleaned
       FROM firsts GROUP BY doc_id ORDER BY doc_id""",
+    "q100_image_dedup" -> """
+      WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+      px AS (
+        SELECT id, y, x,
+               (((id // 5) * 31 + y * 8 + x) * ((id // 5) * 17 + 7) % 251
+                + CASE WHEN id % 5 > 0 AND x = 2 AND y = 3
+                       THEN (id % 5) * 53 ELSE 0 END) % 256 AS v
+        FROM ids,
+             (SELECT unnest(range(0, 8)) AS y) yy,
+             (SELECT unnest(range(0, 8)) AS x) xx),
+      fp AS (
+        SELECT a.id,
+               CAST(sum(CASE WHEN a.v < b.v
+                             THEN CAST(1 AS BIGINT) << (a.y * 7 + a.x)
+                             ELSE 0 END) AS BIGINT) AS fp
+        FROM px a JOIN px b ON a.id = b.id AND a.y = b.y AND b.x = a.x + 1
+        WHERE a.x < 7
+        GROUP BY a.id)
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+      FROM fp a JOIN fp b ON a.id < b.id
+      WHERE bit_count(xor(a.fp, b.fp)) <= 3
+      ORDER BY id_a, id_b""",
     "q82_image_decode" -> """
       WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents),
       g AS (

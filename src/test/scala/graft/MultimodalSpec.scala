@@ -121,6 +121,50 @@ class ImageIoCodecSpec extends SparkSpec {
     val expected = Array.tabulate(4)(d => (gray(d * 4) + gray(d * 4 + 1) + gray(d * 4 + 2) + gray(d * 4 + 3)) / 4.0f)
     assert(a.head._3 == expected.toSeq)
   }
+
+  test("imageDHash matches a reference popcount hash; near-dup groups land within hamming 2") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.multimodal.{ImageIoCodec, Multimodal}
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    val rows = (0L until 20L).map(id =>
+      Row(id, ImageIoCodec.nearDupPattern(id, 8, 8, 5))) :+
+      Row(99L, "junk bytes".getBytes("UTF-8"))
+    val media = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val fps = Multimodal.imageDHash(media).as[(Long, Long)].collect().toMap
+    assert(fps.size == 20 && !fps.contains(99L)) // junk emits nothing
+    // reference hash computed directly from the closed-form pixel values
+    def refFp(id: Long): Long = {
+      def v(x: Int, y: Int): Long =
+        (((id / 5) * 31 + y * 8 + x) * ((id / 5) * 17 + 7) % 251 +
+          (if (id % 5 > 0 && x == 2 && y == 3) (id % 5) * 53 else 0L)) % 256
+      (for (y <- 0 until 8; x <- 0 until 7 if v(x, y) < v(x + 1, y))
+        yield 1L << (y * 7 + x)).foldLeft(0L)(_ | _)
+    }
+    for (id <- 0L until 20L) assert(fps(id) == refFp(id), s"id $id")
+    // group members differ only around pixel (2,3): hamming <= 2 intra-group
+    for (g <- 0 until 4; a <- 0 until 5; b <- (a + 1) until 5)
+      assert(java.lang.Long.bitCount(fps(g * 5L + a) ^ fps(g * 5L + b)) <= 2)
+  }
+
+  test("imageDupePairs finds every intra-group pair (exact recall at hamming <= 3)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.multimodal.{ImageIoCodec, Multimodal}
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize((0L until 30L).map(id =>
+        Row(id, ImageIoCodec.nearDupPattern(id, 8, 8, 5)))), schema)
+    val pairs = Multimodal.imageDupePairs(media, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    for (g <- 0 until 6; a <- 0 until 5; b <- (a + 1) until 5)
+      assert(found.contains((g * 5L + a, g * 5L + b)), s"missing intra-group pair $g/$a/$b")
+    // ordered, no self-pairs, verified hamming bound holds
+    assert(pairs.forall(p => p._1 < p._2 && p._3 <= 3))
+  }
 }
 
 class AudioWavCodecSpec extends SparkSpec {
