@@ -285,4 +285,115 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), col("cosine"), col("rank"))
   }
+
+  // ------------------------------------------------------- product quantization
+
+  /** Squared-L2 distance between subvector j of `v` and a literal centroid,
+    * as a sequential-order dot product of the difference vector — the SAME
+    * accumulation order as the oracle's `list_dot_product(diff, diff)`, so
+    * both engines produce bit-identical doubles and therefore identical
+    * argmins. */
+  private def subL2(v: Column, j: Int, centroid: Array[Double]): Column = {
+    val sub = centroid.length
+    val diffs = array((0 until sub).map(i =>
+      element_at(v, j * sub + i + 1).cast("double") - lit(centroid(i))): _*)
+    graft.functions.expressions.HashExpressions.dot_product(diffs, diffs)
+  }
+
+  /** Product-quantization codebook training: the vector's `dim` dimensions
+    * split into `m` contiguous subspaces of dim/m; each subspace gets its own
+    * `k`-centroid codebook via the distributed [[kmeansFit]] over sliced
+    * subvectors. Returns codebooks(j)(c) = centroid c of subspace j.
+    *
+    * Scale shape: training cost is m small k-means fits (each one scan + one
+    * k×(dim/m) aggregation per iteration); at 100 TB you train on a bounded
+    * sample anyway — pass the sampled frame in. The payoff is downstream:
+    * [[pqEncode]] compresses each vector to m small ints (m bytes at k ≤
+    * 256), and [[pqTopK]] scans CODES, never raw vectors. */
+  def pqTrain(corpus: DataFrame, vecCol: String, dim: Int, m: Int, k: Int,
+              iters: Int = 5, sampleSize: Int = 2048): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      val sliced = corpus.select(slice(col(vecCol), j * sub + 1, sub).as("__sv"))
+      kmeansFit(sliced, "__sv", k, iters, sampleSize)
+    }
+  }
+
+  /** PQ encode: each vector becomes an array of m centroid indices (subspace
+    * j's entry = argmin-L2 centroid of codebook j, lowest index on ties). One
+    * codegen'd scan, m×k×(dim/m) arithmetic terms per row, no shuffle — at
+    * 100 TB this is the one full read of the raw vectors, after which search
+    * touches only the m-byte codes (32× smaller at dim=64/m=8/float32). */
+  def pqEncode(df: DataFrame, vecCol: String,
+               codebooks: Array[Array[Array[Double]]],
+               codeCol: String = "code"): DataFrame = {
+    val codeCols = codebooks.indices.map { j =>
+      val scored = codebooks(j).zipWithIndex.map { case (c, ci) =>
+        struct(subL2(col(vecCol), j, c).as("d"), lit(ci).as("i"))
+      }
+      val arr = array_sort(array(scored.toIndexedSeq: _*),
+        (a, b) => when(a.getField("d") < b.getField("d"), -1)
+          .when(a.getField("d") > b.getField("d"), 1)
+          .otherwise(when(a.getField("i") < b.getField("i"), -1)
+            .when(a.getField("i") > b.getField("i"), 1).otherwise(0)))
+      element_at(arr, 1).getField("i")
+    }
+    df.withColumn(codeCol, array(codeCols: _*))
+  }
+
+  /** PQ ANN search via asymmetric distance computation (ADC): each query
+    * precomputes its m×k table of exact subspace distances to every codebook
+    * centroid ONCE (broadcast-sized: m×k doubles per query), then every
+    * corpus code scores as m table lookups summed left-to-right — never a
+    * raw-vector read, never a shuffle of the corpus (queries broadcast, ADC
+    * is map-side, only the per-query top-k window shuffles k rows per
+    * query). Output: (queryIdCol, idCol, adc, rank), rank 1 = smallest
+    * approximate distance, ties by corpus id. */
+  def pqTopK(codes: DataFrame, queries: DataFrame, vecCol: String,
+             idCol: String, queryIdCol: String,
+             codebooks: Array[Array[Array[Double]]], k: Int,
+             codeCol: String = "code"): DataFrame = {
+    val m = codebooks.length
+    val kk = codebooks(0).length
+    val tab = array((for (j <- 0 until m; c <- 0 until kk)
+      yield subL2(col("__qv"), j, codebooks(j)(c))).toIndexedSeq: _*)
+    val q = broadcast(queries.select(col(queryIdCol), col(vecCol).as("__qv"))
+      .withColumn("__qtab", tab).drop("__qv"))
+    // explicit left-assoc sum of the m lookups (matches the oracle term order)
+    val adc = (0 until m).map(j =>
+        element_at(col("__qtab"),
+          lit(j * kk) + element_at(col(codeCol), j + 1) + lit(1)))
+      .reduce(_ + _)
+    codes.select(col(idCol), col(codeCol))
+      .join(q)
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryIdCol)).orderBy(col("adc").asc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("adc"), col("rank"))
+  }
+
+  /** PQ search with exact rerank — the production IVF-PQ read path: ADC
+    * shortlists `shortlist` candidates per query from the compressed codes
+    * ([[pqTopK]]), then ONLY those rows join back to the raw vectors for an
+    * exact-cosine rerank to final top-k. The expensive exact math touches
+    * shortlist×queries rows, not the corpus; the join back to raw vectors is
+    * an id equi-join (shuffle bounded by the shortlist). Output matches
+    * [[bruteForceTopK]]'s shape: (queryIdCol, idCol, cosine, rank). */
+  def pqTopKRerank(corpus: DataFrame, codes: DataFrame, queries: DataFrame,
+                   vecCol: String, idCol: String, queryIdCol: String,
+                   codebooks: Array[Array[Array[Double]]], k: Int,
+                   shortlist: Int = 50, codeCol: String = "code"): DataFrame = {
+    val short = pqTopK(codes, queries, vecCol, idCol, queryIdCol,
+      codebooks, shortlist, codeCol).select(col(queryIdCol), col(idCol))
+    val q = broadcast(queries.select(col(queryIdCol), col(vecCol).as("__qv")))
+    short.join(corpus.select(col(idCol), col(vecCol).as("__cv")), Seq(idCol))
+      .join(q, Seq(queryIdCol))
+      .withColumn("cosine", S.cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryIdCol)).orderBy(col("cosine").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("cosine"), col("rank"))
+  }
 }

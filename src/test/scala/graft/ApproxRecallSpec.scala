@@ -59,4 +59,53 @@ class ApproxRecallSpec extends SparkSpec {
     assert(r4 >= 0.55, s"recall@planes=4 $r4")
     assert(r4 > r8, s"recall knob inverted: planes=4 $r4 <= planes=8 $r8")
   }
+
+  test("PQ: encode is deterministic, codes in range; trained ADC recall@5 vs brute force") {
+    val emb = sf("embeddings")
+    val q = emb.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding")
+    val books = Ann.pqTrain(emb, "embedding", dim = 64, m = 16, k = 16, iters = 3)
+    assert(books.length == 16 && books.forall(b => b.length == 16 && b.forall(_.length == 4)))
+    val codes = Ann.pqEncode(emb, "embedding", books)
+    val c = codes.select($"vec_id", $"code").as[(Long, Seq[Int])].collect()
+    assert(c.forall(_._2.length == 16) && c.forall(_._2.forall(i => i >= 0 && i < 16)))
+    // deterministic: a second encode produces identical codes
+    val c2 = Ann.pqEncode(emb, "embedding", books)
+      .select($"vec_id", $"code").as[(Long, Seq[Int])].collect()
+    assert(c.sortBy(_._1).toSeq == c2.sortBy(_._1).toSeq)
+    // ADC ranks by quantized L2; brute force ranks by cosine — vectors here
+    // aren't normalized, so compare against exact EUCLIDEAN top-k ground truth
+    val qv = q.select($"qid", $"embedding".as("__qv"))
+    val exact = emb.select($"vec_id", $"embedding".as("__cv"))
+      .join(broadcast(qv))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(__qv, __cv, (a, b) -> CAST(a - b AS DOUBLE) * (a - b)), 0D, (acc, x) -> acc + x)"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy($"d2".asc, $"vec_id")))
+      .filter($"rank" <= 5).select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val pq5 = Ann.pqTopK(codes, q, "embedding", "vec_id", "qid", books, k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall5 = pq5.intersect(exact).size.toDouble / exact.size
+    // shortlist contract (the production shape: ADC shortlist -> exact
+    // rerank): the exact top-5 must sit inside the PQ top-20 shortlist
+    val pq20 = Ann.pqTopK(codes, q, "embedding", "vec_id", "qid", books, k = 20)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall20 = pq20.intersect(exact).size.toDouble / exact.size
+    // 16 bytes per vector instead of 256 on a near-random unnormalized
+    // corpus (the hard regime for PQ — no cluster structure to exploit)
+    assert(recall5 >= 0.4, s"PQ direct recall@5 $recall5")
+    assert(recall20 >= 0.8, s"PQ shortlist recall (exact top-5 in ADC top-20) $recall20")
+    // the production read path: exact rerank of the ADC shortlist recovers
+    // (at least) everything the shortlist contains, and must not fall below
+    // the direct ADC ranking — rerank can only promote true neighbors.
+    // Euclidean ground truth again (rerank here scores cosine; on this
+    // unnormalized corpus compare via its own exact-cosine top-5)
+    val exactCos = Ann.bruteForceTopK(emb, q, "embedding", "vec_id", "qid", 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val rr = Ann.pqTopKRerank(emb, codes, q, "embedding", "vec_id", "qid",
+        books, k = 5, shortlist = 50)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val rrRecall = rr.intersect(exactCos).size.toDouble / exactCos.size
+    assert(rrRecall >= 0.6, s"PQ rerank recall@5 $rrRecall")
+  }
 }
