@@ -240,6 +240,24 @@ object ScaleCheck {
         operators.Ann.kmeansStep(df, "embedding", kmCents).count()))
     }
 
+    // PQ: encode is the one full read of raw vectors (map-side, no shuffle);
+    // ADC search scans only the m-byte codes against broadcast query tables.
+    // Both must track corpus size linearly with near-zero shuffle.
+    val pqFc = functions.expressions.HashExpressions.fixedCentroids(200, 128, 8)
+    val pqBooks = Array.tabulate(8)(j => pqFc.slice(j * 16, j * 16 + 16))
+    val pqQ = embT.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    Seq(embT -> "1x", embN -> s"${n}x").foreach { case (df, tag) =>
+      val codes = timed(s"pq encode m=8 k=16 $tag") {
+        val c = operators.Ann.pqEncode(df, "embedding", pqBooks)
+          .select(col("vec_id"), col("code")).localCheckpoint(true)
+        (c, c.count())
+      }
+      timed(s"pq adc top-10, 8 queries $tag")(((),
+        operators.Ann.pqTopK(codes, pqQ, "embedding", "vec_id", "qid",
+          pqBooks, k = 10).count()))
+    }
+
     // DQ quarantine: 3 row-level rules fold into ONE pass — runtime must
     // track input size (≤ Nx), never rules × passes.
     val orders = queries.Tables(spark, sfDir, "orders")
@@ -346,8 +364,16 @@ object ScaleCheck {
         .orderBy("rank").select("pair_left", "pair_right")
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq
       Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
-        timed(s"bpe encode 64 merges $tag")(((),
-          operators.Bpe.encode(df, "text", merges).select("segments").count()))
+        // checksum-materialize the segments (count() would let Catalyst
+        // prune the whole encode expression chain and time a bare scan —
+        // the r2 sink trap, BASELINE.md §pinning)
+        timed(s"bpe encode 64 merges $tag") {
+          val enc = operators.Bpe.encode(df, "text", merges)
+          // head() reads the checksum VALUE — a count() on top of the agg
+          // would let pruning drop the bit_xor expression itself
+          enc.agg(bit_xor(xxhash64(col("segments"))).as("ck"), count(lit(1)).as("n"))
+            .head() match { case r => ((), r.getLong(1)) }
+        }
       }
     }
     spark.stop()
