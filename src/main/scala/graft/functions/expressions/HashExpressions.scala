@@ -297,6 +297,59 @@ object HashExpressions {
   }
 
   // ----------------------------------------------------------- Column facade
+  /** Ordered BPE merge-table application over a symbol array in ONE native
+    * pass. The merge list is plan-stable constructor state (Seq → structural
+    * equality for canonicalization); the hot path reads it as two parallel
+    * String arrays via reference objects. Replaces the per-merge chain of
+    * aggregate() folds, whose slice/concat array rebuilds made a 64-merge
+    * encode ~100× slower than this kernel. */
+  case class BpeApplyExpr(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val lefts: Array[String] = merges.map(_._1).toArray
+    @transient private lazy val rights: Array[String] = merges.map(_._2).toArray
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.bpeApply(input.asInstanceOf[ArrayData], lefts, rights)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lRef = ctx.addReferenceObj("bpeLefts", lefts, "java.lang.String[]")
+      val rRef = ctx.addReferenceObj("bpeRights", rights, "java.lang.String[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $KernelsClass.bpeApply($c, $lRef, $rRef);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "bpe_apply"
+  }
+
+  /** BPE-encode a words array with a trained merge table: per word,
+    * codepoint symbols → ordered merges → join by `sep`. One native call per
+    * row — the whole merge table rides along as reference objects, no join,
+    * no shuffle. */
+  case class BpeSegmentsExpr(child: Expression, merges: Seq[(String, String)],
+                             sep: String)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val lefts: Array[String] = merges.map(_._1).toArray
+    @transient private lazy val rights: Array[String] = merges.map(_._2).toArray
+    @transient private lazy val sepU8: UTF8String = UTF8String.fromString(sep)
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.bpeSegments(input.asInstanceOf[ArrayData], lefts, rights, sepU8)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lRef = ctx.addReferenceObj("bpeLefts", lefts, "java.lang.String[]")
+      val rRef = ctx.addReferenceObj("bpeRights", rights, "java.lang.String[]")
+      val sRef = ctx.addReferenceObj("bpeSep", sepU8, "org.apache.spark.unsafe.types.UTF8String")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $KernelsClass.bpeSegments($c, $lRef, $rRef, $sRef);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "bpe_segments"
+  }
+
   // Spark 4's public Column is ColumnNode-backed; the classic bridge converts
   // Expression ↔ Column.
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -320,4 +373,8 @@ object HashExpressions {
     column(JaccardExpr(expression(a), expression(b)))
   def keep_chars(c: Column, allowed: String): Column =
     column(KeepCharsExpr(expression(c), allowed))
+  def bpe_apply(symbols: Column, merges: Seq[(String, String)]): Column =
+    column(BpeApplyExpr(expression(symbols), merges))
+  def bpe_segments(words: Column, merges: Seq[(String, String)], sep: String): Column =
+    column(BpeSegmentsExpr(expression(words), merges, sep))
 }

@@ -286,4 +286,80 @@ object Kernels {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](bestC, bestCov, best))
   }
+
+  // ------------------------------------------------------------------- BPE
+
+  /** One greedy left-to-right non-overlapping merge pass of (l,r) → l+r —
+    * value-identical to the mergeOnce aggregate() fold and the trainer's
+    * driver-side pass ("a a a" under (a,a) → [aa, a]). */
+  def bpeMergePass(syms: Array[String], l: String, r: String): Array[String] = {
+    val b = Array.newBuilder[String]; var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { b += (l + r); i += 2 }
+      else { b += syms(i); i += 1 }
+    }
+    b.result()
+  }
+
+  /** Apply the ORDERED merge list (later merges see earlier merges' output).
+    * A cheap adjacency presence scan skips the rebuild for merges that don't
+    * occur — the common case once a word is mostly merged — so cost tracks
+    * applied merges, not merges × length. */
+  private def bpeApplyAll(syms0: Array[String], lefts: Array[String],
+                          rights: Array[String]): Array[String] = {
+    var syms = syms0
+    var j = 0
+    while (j < lefts.length && syms.length > 1) {
+      val l = lefts(j); val r = rights(j)
+      var i = 0; var found = false
+      while (i + 1 < syms.length && !found) {
+        if (syms(i) == l && syms(i + 1) == r) found = true
+        i += 1
+      }
+      if (found) syms = bpeMergePass(syms, l, r)
+      j += 1
+    }
+    syms
+  }
+
+  /** Per-CODEPOINT symbols (supplementary-plane safe — matches the
+    * `regexp_extract_all(w, "(?s).")` splitter and the DuckDB oracle). */
+  private def codepointSyms(w: String): Array[String] = {
+    val b = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      b += w.substring(i, i + n); i += n
+    }
+    b.result()
+  }
+
+  /** Whole ordered merge table over a symbol ARRAY in one native call
+    * (replaces a chain of per-merge aggregate() folds). */
+  def bpeApply(symbols: ArrayData, lefts: Array[String],
+               rights: Array[String]): ArrayData = {
+    val n = symbols.numElements()
+    val in = new Array[String](n)
+    var i = 0
+    while (i < n) { in(i) = symbols.getUTF8String(i).toString; i += 1 }
+    new GenericArrayData(
+      bpeApplyAll(in, lefts, rights).map(UTF8String.fromString): Array[Any])
+  }
+
+  /** Encode a WORDS array: each word → codepoint symbols → ordered merges →
+    * symbols joined by `sep`. One native call per row. */
+  def bpeSegments(words: ArrayData, lefts: Array[String],
+                  rights: Array[String], sep: UTF8String): ArrayData = {
+    val s = sep.toString
+    val n = words.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val w = words.getUTF8String(i).toString
+      out(i) = UTF8String.fromString(
+        bpeApplyAll(codepointSyms(w), lefts, rights).mkString(s))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

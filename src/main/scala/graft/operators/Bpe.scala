@@ -64,7 +64,7 @@ object Bpe {
     * collapses and the merged symbol does NOT immediately re-pair with the
     * next `r` (so "a a a" under (a,a) becomes [aa, a], not [aa, aa]'s
     * overlap). Pure per-row expression, zero shuffle. */
-  private[operators] def mergeOnce(symbols: org.apache.spark.sql.Column,
+  private[graft] def mergeOnce(symbols: org.apache.spark.sql.Column,
       l: String, r: String): org.apache.spark.sql.Column =
     aggregate(symbols,
       lit(Array.empty[String]).cast(ArrayType(StringType)),
@@ -77,11 +77,13 @@ object Bpe {
     * "encode with a trained merge table" step (and the distributed
     * training loop's inner rewrite). Later merges see the symbols produced
     * by earlier ones, so multi-char cascades ((t,a) then (ta,b)) compose
-    * exactly as in reference BPE. */
+    * exactly as in reference BPE. One native kernel call per row
+    * ([[graft.functions.expressions.HashExpressions.bpe_apply]]) — the
+    * per-merge [[mergeOnce]] fold chain it replaces rebuilt the array
+    * via slice/concat once per merge (BpeSpec asserts both paths agree). */
   def applyMerges(vocab: DataFrame, merges: Seq[(String, String)]): DataFrame =
-    merges.foldLeft(vocab) { case (v, (l, r)) =>
-      v.withColumn("symbols", mergeOnce(col("symbols"), l, r))
-    }
+    vocab.withColumn("symbols",
+      graft.functions.expressions.HashExpressions.bpe_apply(col("symbols"), merges))
 
   /** Encode documents with a TRAINED merge table — the piece a pipeline
     * actually ships: doc -> lowercased whitespace words -> per-word
@@ -95,14 +97,16 @@ object Bpe {
   def encode(docs: DataFrame, textCol: String, merges: Seq[(String, String)],
              sep: String = " "): DataFrame = {
     val words = S.tokens(col(textCol))
-    val seg = transform(words, w => {
-      // codepoint symbols of the lambda-bound word (call_function hosts
-      // regexp_extract_all on the lambda variable, which expr() cannot)
-      val syms = call_function("regexp_extract_all", w, lit("(?s)."), lit(0))
-      val merged = merges.foldLeft(syms) { case (acc, (l, r)) => mergeOnce(acc, l, r) }
-      array_join(merged, sep)
-    })
-    docs.withColumn("words", words).withColumn("segments", seg)
+    // one native kernel call per row: codepoint split + the whole ordered
+    // merge table + join, with the merges as codegen reference objects. The
+    // previous formulation (a transform() lambda folding mergeOnce per
+    // merge) rebuilt every word's array once PER MERGE through interpreted
+    // slice/concat — 57 s for 5k docs × 64 merges; this kernel does the
+    // same semantics in one pass (~100× less; BpeSpec asserts equality).
+    docs.withColumn("words", words)
+      .withColumn("segments",
+        graft.functions.expressions.HashExpressions.bpe_segments(
+          col("words"), merges, sep))
   }
 
   /** Train `numMerges` BPE merges: per iteration, the globally most frequent

@@ -181,4 +181,24 @@ class BpeSpec extends SparkSpec {
       assert(segs == words.map(vocabSeg))
     }
   }
+
+  test("native bpe_apply kernel is value-identical to the mergeOnce fold chain") {
+    // the kernel replaced the chained aggregate() folds in applyMerges/encode;
+    // mergeOnce stays as the independent spec reference (like the ViaExplode
+    // twins). Merges chosen to exercise cascades, non-overlap, and no-op
+    // entries; words exercise repeats and supplementary-plane codepoints.
+    val merges = Seq(("a", "a"), ("t", "a"), ("b", "l"), ("bl", "e"),
+      ("aa", "a"), ("x", "y"), ("😀", "😀"))
+    val v = Seq("aaaa", "table", "stables", "a😀😀b", "blend aaab")
+      .toDF("text").transform(Bpe.wordVocab(_, "text"))
+    val viaKernel = Bpe.applyMerges(v, merges)
+      .select("word", "symbols").as[(String, Seq[String])].collect().toMap
+    val viaFold = merges.foldLeft(v) { case (d, (l, r)) =>
+      d.withColumn("symbols", Bpe.mergeOnce(col("symbols"), l, r))
+    }.select("word", "symbols").as[(String, Seq[String])].collect().toMap
+    assert(viaKernel == viaFold)
+    // (a,a) pairs greedily non-overlapping -> [aa, aa]; (aa,a) then finds
+    // no lone "a" to its right, so it must NOT fire inside the merged pair
+    assert(viaKernel("aaaa") == Seq("aa", "aa"))
+  }
 }
