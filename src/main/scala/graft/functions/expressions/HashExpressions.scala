@@ -193,6 +193,31 @@ object HashExpressions {
     override def prettyName: String = "nearest_centroid"
   }
 
+  /** PQ encode: vector → m argmin-L2 centroid indices in one fused loop
+    * (the array_sort-of-struct-distances formulation it replaces built
+    * m×k struct arrays and sorted them per row). Ties → lowest index, same
+    * as the oracle's ORDER BY d2, c. */
+  case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Double]]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    private def isFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.pqEncode(input.asInstanceOf[ArrayData], codebooks, isFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bRef = ctx.addReferenceObj("pqBooks", codebooks, "double[][][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $KernelsClass.pqEncode($c, $bRef, $isFloat);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "pq_encode"
+  }
+
   /** Keep-only-allowed-ASCII-chars string filter — one byte scan instead of
     * a char-class regexp_replace (the currency-cleanup hot path). */
   case class KeepCharsExpr(child: Expression, allowed: String)
@@ -375,6 +400,8 @@ object HashExpressions {
     column(KeepCharsExpr(expression(c), allowed))
   def bpe_apply(symbols: Column, merges: Seq[(String, String)]): Column =
     column(BpeApplyExpr(expression(symbols), merges))
+  def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    column(PqEncodeExpr(expression(vec), codebooks))
   def bpe_segments(words: Column, merges: Seq[(String, String)], sep: String): Column =
     column(BpeSegmentsExpr(expression(words), merges, sep))
 }

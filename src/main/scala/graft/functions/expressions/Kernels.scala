@@ -334,6 +334,42 @@ object Kernels {
     b.result()
   }
 
+  /** PQ encode: per contiguous subspace j, the argmin-squared-L2 centroid
+    * index (FIRST index on ties — matches the oracle's ORDER BY d2, c).
+    * Distances accumulate diff² sequentially from 0.0, the same order as
+    * [[dot]] over a difference array, so argmins agree bit-for-bit with the
+    * subL2 expression formulation and the DuckDB replay. */
+  def pqEncode(vec: ArrayData, books: Array[Array[Array[Double]]],
+               isFloat: Boolean): ArrayData = {
+    val m = books.length
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val book = books(j)
+      val sub = book(0).length
+      val off = j * sub
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var acc = 0.0
+        var i = 0
+        while (i < sub) {
+          val t = (if (isFloat) vec.getFloat(off + i).toDouble
+                   else vec.getDouble(off + i)) - cent(i)
+          acc += t * t
+          i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Whole ordered merge table over a symbol ARRAY in one native call
     * (replaces a chain of per-merge aggregate() folds). */
   def bpeApply(symbols: ArrayData, lefts: Array[String],

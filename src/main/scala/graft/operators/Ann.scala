@@ -322,25 +322,17 @@ object Ann {
 
   /** PQ encode: each vector becomes an array of m centroid indices (subspace
     * j's entry = argmin-L2 centroid of codebook j, lowest index on ties). One
-    * codegen'd scan, m×k×(dim/m) arithmetic terms per row, no shuffle — at
-    * 100 TB this is the one full read of the raw vectors, after which search
-    * touches only the m-byte codes (32× smaller at dim=64/m=8/float32). */
+    * fused native kernel call per row
+    * ([[graft.functions.expressions.HashExpressions.pq_encode]] — distance
+    * accumulation order matches the subL2/oracle arithmetic exactly), no
+    * shuffle — at 100 TB this is the one full read of the raw vectors, after
+    * which search touches only the m-byte codes (32× smaller at
+    * dim=64/m=8/float32). */
   def pqEncode(df: DataFrame, vecCol: String,
                codebooks: Array[Array[Array[Double]]],
-               codeCol: String = "code"): DataFrame = {
-    val codeCols = codebooks.indices.map { j =>
-      val scored = codebooks(j).zipWithIndex.map { case (c, ci) =>
-        struct(subL2(col(vecCol), j, c).as("d"), lit(ci).as("i"))
-      }
-      val arr = array_sort(array(scored.toIndexedSeq: _*),
-        (a, b) => when(a.getField("d") < b.getField("d"), -1)
-          .when(a.getField("d") > b.getField("d"), 1)
-          .otherwise(when(a.getField("i") < b.getField("i"), -1)
-            .when(a.getField("i") > b.getField("i"), 1).otherwise(0)))
-      element_at(arr, 1).getField("i")
-    }
-    df.withColumn(codeCol, array(codeCols: _*))
-  }
+               codeCol: String = "code"): DataFrame =
+    df.withColumn(codeCol,
+      graft.functions.expressions.HashExpressions.pq_encode(col(vecCol), codebooks))
 
   /** PQ ANN search via asymmetric distance computation (ADC): each query
     * precomputes its m×k table of exact subspace distances to every codebook
