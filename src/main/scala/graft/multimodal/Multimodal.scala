@@ -184,34 +184,41 @@ object Multimodal {
     StructField("fp", LongType)))
 
   /** Difference-hash (dHash) perceptual fingerprint over REAL image decode:
-    * one bit per horizontally-adjacent pixel comparison, bit (y·(w−1)+x) set
-    * iff px(x,y) < px(x+1,y), row-major. An 8×8 image yields 56 bits —
+    * every image is deterministically resized to hashW×hashH (nearest-
+    * neighbor luminance — [[ImageIoCodec.decodeGray]]; a same-size image is
+    * a pixel copy, and luminance of a gray image is a strictly monotone
+    * rescale, so comparisons match raw values), then one bit per
+    * horizontally-adjacent comparison: bit (y·(hashW−1)+x) set iff
+    * px(x,y) < px(x+1,y), row-major. The default 8×8 yields 56 bits —
     * deliberately ≤ 63 so band keys and XOR stay in non-negative signed-64
-    * territory on BOTH the Spark and oracle sides. Comparisons are invariant
-    * under the decoder's monotone v/256.0 scaling, so the oracle replays
-    * them from raw pixel values. Undecodable blobs emit nothing. */
-  def imageDHash(media: DataFrame, batchSize: Int = 64): DataFrame =
+    * territory on BOTH the Spark and oracle sides. Resizing first is what
+    * makes this a PERCEPTUAL hash (and keeps arbitrary-size corpora from
+    * silently emitting nothing); undecodable blobs emit nothing. */
+  def imageDHash(media: DataFrame, batchSize: Int = 64,
+                 hashW: Int = 8, hashH: Int = 8): DataFrame = {
+    require(hashH * (hashW - 1) <= 63 && hashW >= 2,
+      s"dHash needs 2 <= hashW and hashH*(hashW-1) <= 63 bits, got ${hashW}x$hashH")
     mapBatched(media.select("media_id", "content"), batchSize, dHashSchema) { batch =>
       batch.iterator.flatMap { r =>
         val id = r.getLong(0)
         val content = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-        ImageIoCodec.decodeNative(content).iterator.collect {
-          case (w, h, px) if h * (w - 1) <= 63 =>
-            var fp = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w - 1) {
-                if (px(y * w + x) < px(y * w + x + 1))
-                  fp |= 1L << (y * (w - 1) + x)
-                x += 1
-              }
-              y += 1
+        ImageIoCodec.decodeGray(content, hashW, hashH).iterator.map { px =>
+          var fp = 0L
+          var y = 0
+          while (y < hashH) {
+            var x = 0
+            while (x < hashW - 1) {
+              if (px(y * hashW + x) < px(y * hashW + x + 1))
+                fp |= 1L << (y * (hashW - 1) + x)
+              x += 1
             }
-            Row(id, fp)
+            y += 1
+          }
+          Row(id, fp)
         }
       }
     }
+  }
 
   /** Image near-dup pairs: dHash fingerprints → banded hamming join
     * ([[graft.operators.Dedup.fingerprintPairs]], 4×14-bit bands over the
@@ -221,7 +228,7 @@ object Multimodal {
   def imageDupePairs(media: DataFrame, maxHamming: Int = 3,
                      maxBucketSize: Int = 1000, batchSize: Int = 64): DataFrame =
     graft.operators.Dedup.fingerprintPairs(imageDHash(media, batchSize),
-      bandBits = 14, nBands = 4, maxHamming, maxBucketSize)
+      bandBits = 14, nBands = 4, maxHamming, maxBucketSize, bits = 56)
 
   /** REAL decode, oracle-able: per image row y, the mean of the red channel
     * as v/256.0 doubles (exact in binary — sums are order-independent, so an

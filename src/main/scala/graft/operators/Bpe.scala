@@ -139,15 +139,11 @@ object Bpe {
     UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
 
   /** The greedy left-to-right non-overlapping merge pass, driver-side —
-    * value-identical to [[mergeOnce]]'s fold. */
-  private def mergeVec(syms: Array[String], l: String, r: String): Array[String] = {
-    val b = Array.newBuilder[String]; var i = 0
-    while (i < syms.length) {
-      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { b += (l + r); i += 2 }
-      else { b += syms(i); i += 1 }
-    }
-    b.result()
-  }
+    * the ONE shared implementation ([[graft.functions.expressions.Kernels
+    * .bpeMergePass]], also behind the bpe_apply/bpe_segments expressions),
+    * so trainer and encoder can never diverge on merge semantics. */
+  private def mergeVec(syms: Array[String], l: String, r: String): Array[String] =
+    graft.functions.expressions.Kernels.bpeMergePass(syms, l, r)
 
   /** Driver-side merge loop over the collected word-frequency table.
     * Incremental pair maintenance: a pair->count map, a pair->word-ids

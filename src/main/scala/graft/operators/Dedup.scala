@@ -117,7 +117,15 @@ object Dedup {
     * Shuffles only (band, key, id, fp); never a cross join; hot band buckets
     * fall to the chain guard ([[guardedBucketPairs]]). */
   def fingerprintPairs(fps: DataFrame, bandBits: Int, nBands: Int,
-                       maxHamming: Int, maxBucketSize: Int): DataFrame = {
+                       maxHamming: Int, maxBucketSize: Int,
+                       bits: Int = 64): DataFrame = {
+    // out-of-contract banding is a SILENT recall loss (a pair differing
+    // only in uncovered bits, or in maxHamming > nBands-1 spread bits,
+    // shares no band and quietly vanishes) — fail loudly instead
+    require(bandBits * nBands >= bits,
+      s"$nBands bands x $bandBits bits cover ${bandBits * nBands} < $bits fingerprint bits")
+    require(maxHamming <= nBands - 1,
+      s"pigeonhole needs maxHamming <= nBands-1 (got $maxHamming vs $nBands bands)")
     val mask = (1L << bandBits) - 1
     val banded = fps.select(col("id"), col("fp"),
       explode(array((0 until nBands).map(b =>
@@ -161,7 +169,7 @@ object Dedup {
     * 1M-doc boilerplate flood emits 1M−1 rows, not 5×10¹¹), and `hamming`
     * is 0 by definition of the group. The hamming-TOLERANT near-dup regime
     * stays in [[simhashPairs]], recall-asserted against the exact jaccard
-    * join (OperatorsSpec). */
+    * join (ApproxRecallSpec). */
   def simhashDupes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val keyed = df.select(col(idCol).as("id"), S.tokens(col(textCol)).as("__t"))
       .select(col("id"), sort_array(col("__t")).as("__ts"), S.simHash64(col("__t")).as("__fp"))

@@ -247,12 +247,17 @@ object PipelineQueries {
           .select(col("n_nationkey").cast(LongType), col("n_regionkey").cast(LongType), col("n_name"))
           .orderBy(col("n_nationkey")).collect()
         // write-then-atomic-move: a crash mid-write must not leave a corrupt
-        // zip behind the Files.exists guard forever
-        val tmp = Paths.get(dir, "nation.xlsx.tmp")
+        // zip behind the Files.exists guard forever; per-process tmp name +
+        // tolerated move loss so two racing JVMs can't interleave writes or
+        // throw when the other wins (fixtures are byte-identical)
+        val tmp = Paths.get(dir,
+          s"nation.xlsx.${ProcessHandle.current.pid}-${System.nanoTime()}.tmp")
         graft.sources.ExcelSource.write(tmp.toString,
           Seq(Seq("nationkey", "regionkey", "name")) ++ rows.map(r =>
             Seq(r.getLong(0).toString, r.getLong(1).toString, r.getString(2))))
-        Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        try Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp) }
       }
       graft.sources.Sources.read(s, f.toString, Some(Specs.parseJson("""{"excel": {}}""")))
         .select(col("nationkey").cast(LongType).as("nationkey"),
@@ -275,16 +280,23 @@ object PipelineQueries {
         val rows = Tables(s, d, "nation")
           .select(col("n_nationkey").cast(LongType), col("n_regionkey").cast(LongType), col("n_name"))
           .orderBy(col("n_nationkey")).collect()
-        val plain = Paths.get(dir, "nation_plain.tmp")
+        // per-process tmp names + tolerated move loss: two JVMs racing the
+        // !exists check must not interleave writes into a shared tmp or
+        // throw when the other one wins the ATOMIC_MOVE (both produce
+        // byte-identical fixtures — seed-pinned encrypt)
+        val uniq = s"${ProcessHandle.current.pid}-${System.nanoTime()}"
+        val plain = Paths.get(dir, s"nation_plain.$uniq.tmp")
         graft.sources.ExcelSource.write(plain.toString,
           Seq(Seq("nationkey", "regionkey", "name")) ++ rows.map(r =>
             Seq(r.getLong(0).toString, r.getLong(1).toString, r.getString(2))))
         val enc = graft.sources.OoxmlCrypto.encrypt(Files.readAllBytes(plain),
           "gr@ft-s3cret", spinCount = 10000, seed = 42L)
         Files.delete(plain)
-        val tmp = Paths.get(dir, "nation_enc.xlsx.tmp")
+        val tmp = Paths.get(dir, s"nation_enc.xlsx.$uniq.tmp")
         Files.write(tmp, enc)
-        Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        try Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp) }
       }
       graft.sources.Sources.read(s, f.toString,
           Some(Specs.parseJson("""{"excel": {"password": "gr@ft-s3cret"}}""")))

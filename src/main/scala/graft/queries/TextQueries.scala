@@ -93,7 +93,7 @@ object TextQueries {
     // sf0.01). Near-dups are PLANTED (every 7th doc re-id'd +2000000 with a
     // one-token tail, jaccard s/(s+1)) so the result is guaranteed non-empty;
     // the lossy low-threshold regime is spec-asserted for recall instead
-    // (OperatorsSpec).
+    // (ApproxRecallSpec).
     "q26_minhash_pairs" -> ((s, d) => {
       val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
       val planted = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
@@ -172,7 +172,7 @@ object TextQueries {
     // DuckDB oracle — subspace distances go through the same sequential
     // dot_product both engines compute bit-identically (q41 precedent).
     // Sample-trained codebook QUALITY (pqTrain) is spec-asserted for recall
-    // vs brute force separately (OperatorsSpec).
+    // vs brute force separately (ApproxRecallSpec).
     "q101_ann_pq" -> ((s, d) => {
       val emb = Tables(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)

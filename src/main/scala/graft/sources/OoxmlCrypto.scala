@@ -62,7 +62,11 @@ object OoxmlCrypto {
     private val firstDifat = bb.getInt(0x44)
     private val numDifat = bb.getInt(0x48)
 
-    private def sectorAt(n: Int): Int = 512 + n * sectorSize
+    // MS-CFB §2.1: sector n sits at (n+1) << sectorShift — the header
+    // occupies the whole of "sector -1", which is 512 bytes in a v3 file
+    // but a full 4096 in a v4 file (512 of header + 3584 zero padding).
+    // `512 + n*sectorSize` would agree for v3 and misread every v4 offset.
+    private def sectorAt(n: Int): Int = (n + 1) * sectorSize
 
     private val fat: Array[Int] = {
       val fatSectors = scala.collection.mutable.ArrayBuffer.empty[Int]

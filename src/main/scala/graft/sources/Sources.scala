@@ -58,16 +58,26 @@ object Sources {
       if (candidates.isEmpty)
         ExcelSource.read(spark, path, None, header, dataAddress, password)
       else {
-        // retry ONLY on sheet-not-found (the reference's except-pass loop
-        // semantics); any other failure — bad dataAddress, corrupt workbook,
-        // wrong password — is a real error and must surface as itself
-        val attempts = candidates.iterator.map { s =>
-          try Right(ExcelSource.read(spark, path, Some(s), header, dataAddress, password))
-          catch { case e: SheetNotFoundException => Left(e.getMessage) }
-        }
-        attempts.collectFirst { case Right(df) => df }.getOrElse(
-          throw new IllegalArgumentException(
-            s"none of sheet_names ${candidates.mkString("[", ", ", "]")} found in $path"))
+        // an encrypted workbook is decrypted ONCE before the candidate loop
+        // — per-attempt decryption would redo the whole spin-count KDF +
+        // HMAC + AES pass for every sheet name tried
+        val (readPath, readPwd, cleanup) =
+          if (OoxmlCrypto.isCfbFile(path) && password.isDefined) {
+            val tmp = OoxmlCrypto.decryptToTempFile(path, password.get)
+            (tmp.toString, None, () => { java.nio.file.Files.deleteIfExists(tmp); () })
+          } else (path, password, () => ())
+        try {
+          // retry ONLY on sheet-not-found (the reference's except-pass loop
+          // semantics); any other failure — bad dataAddress, corrupt workbook,
+          // wrong password — is a real error and must surface as itself
+          val attempts = candidates.iterator.map { s =>
+            try Right(ExcelSource.read(spark, readPath, Some(s), header, dataAddress, readPwd))
+            catch { case e: SheetNotFoundException => Left(e.getMessage) }
+          }
+          attempts.collectFirst { case Right(df) => df }.getOrElse(
+            throw new IllegalArgumentException(
+              s"none of sheet_names ${candidates.mkString("[", ", ", "]")} found in $path"))
+        } finally cleanup()
       }
     }
     else if (ext == "json" || ext == "jsonl") {

@@ -143,6 +143,14 @@ class ImageIoCodecSpec extends SparkSpec {
         yield 1L << (y * 7 + x)).foldLeft(0L)(_ | _)
     }
     for (id <- 0L until 20L) assert(fps(id) == refFp(id), s"id $id")
+    // arbitrary-size images are resized to the hash grid, not silently
+    // dropped (the perceptual-hash contract): a 32x24 image still hashes,
+    // and two sizes of the SAME pattern land near each other
+    val big = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(500L, ImageIoCodec.testPattern(5, 32, 24)),
+      Row(501L, ImageIoCodec.testPattern(5, 8, 8)))), schema)
+    val bigFps = Multimodal.imageDHash(big).as[(Long, Long)].collect().toMap
+    assert(bigFps.size == 2 && bigFps.contains(500L))
     // group members differ only around pixel (2,3): hamming <= 2 intra-group
     for (g <- 0 until 4; a <- 0 until 5; b <- (a + 1) until 5)
       assert(java.lang.Long.bitCount(fps(g * 5L + a) ^ fps(g * 5L + b)) <= 2)
