@@ -366,6 +366,46 @@ object Ann {
       .select(col(queryIdCol), col(idCol), col("adc"), col("rank"))
   }
 
+  /** Full IVF-PQ search (the FAISS-style composition): the corpus is
+    * assigned ONCE to its nearest IVF centroid (max-dot, a persistable
+    * partition key) and PQ-encoded ONCE; a query probes its `nprobe`
+    * nearest lists and ADC-scores ONLY those lists' codes. Search cost is
+    * (corpus/nlist)×nprobe code lookups per query instead of a full-corpus
+    * scan — the 100 TB read path where the inverted lists are the partition
+    * layout and the codes are the compressed payload. Output:
+    * (queryIdCol, idCol, adc, rank), rank 1 = smallest approximate
+    * distance, ties by corpus id. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                idCol: String, queryIdCol: String,
+                centroids: Array[Array[Double]],
+                codebooks: Array[Array[Array[Double]]], k: Int,
+                nprobe: Int = 4, codeCol: String = "code"): DataFrame = {
+    import graft.functions.expressions.HashExpressions.{nearest_centroid, pq_encode}
+    val m = codebooks.length
+    val kk = codebooks(0).length
+    val assigned = corpus.select(col(idCol),
+      nearest_centroid(col(vecCol), centroids).as("__list"),
+      pq_encode(col(vecCol), codebooks).as(codeCol))
+    val tab = array((for (j <- 0 until m; c <- 0 until kk)
+      yield subL2(col("__qv"), j, codebooks(j)(c))).toIndexedSeq: _*)
+    val qProbes = broadcast(queries
+      .select(col(queryIdCol), col(vecCol).as("__qv"))
+      .withColumn("__qtab", tab)
+      .withColumn("__probes", probeListsColumn(col("__qv"), centroids, nprobe))
+      .withColumn("__list", explode(col("__probes")))
+      .select(col(queryIdCol), col("__qtab"), col("__list")))
+    val adc = (0 until m).map(j =>
+        element_at(col("__qtab"),
+          lit(j * kk) + element_at(col(codeCol), j + 1) + lit(1)))
+      .reduce(_ + _)
+    qProbes.join(assigned, Seq("__list"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryIdCol)).orderBy(col("adc").asc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("adc"), col("rank"))
+  }
+
   /** PQ search with exact rerank — the production IVF-PQ read path: ADC
     * shortlists `shortlist` candidates per query from the compressed codes
     * ([[pqTopK]]), then ONLY those rows join back to the raw vectors for an

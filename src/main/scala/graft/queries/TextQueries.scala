@@ -205,6 +205,25 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Full IVF-PQ composition (q41's inverted file × q101's codes): corpus
+    // assigned once + encoded once, queries ADC-score only their nprobe
+    // probed lists. Both the routing and the quantized scoring replay
+    // exactly in DuckDB.
+    "q103_ann_ivfpq" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val centroids =
+        graft.functions.expressions.HashExpressions.fixedCentroids(100, 16, 64)
+      val fc = graft.functions.expressions.HashExpressions.fixedCentroids(200, 128, 8)
+      val codebooks = Array.tabulate(8)(j => fc.slice(j * 16, j * 16 + 16))
+      Ann.ivfPqTopK(emb, queries, "embedding", "vec_id", "query_id",
+          centroids, codebooks, k = 10, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), round(col("adc"), 6).as("adc_r"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Distributed k-means step (Ann.kmeansStep) with the fixed LCG centroids:
     // max-dot assignment + per-cluster counts and per-dimension means in ONE
     // scan + ONE aggregation — the semantic-clustering primitive (SemDeDup-
@@ -815,9 +834,49 @@ object TextQueries {
       SELECT query_id, vec_id, round(cosine, 6) AS cosine_r, CAST(rank AS BIGINT) AS rank
       FROM reranked WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q103 oracle: full IVF-PQ — the q41 inverted-file CTEs (LCG centroids
+    * 100..115, max-dot assignment, nprobe probing) composed with the q101 PQ
+    * CTEs (LCG codebooks 200..327, argmin codes, per-query ADC tables);
+    * candidates = probed lists only, ranked by the same left-assoc ADC sum. */
+  private val ivfPqOracle: String = s"""$pqCtes,
+      icc AS (
+        SELECT p - 100 AS ci, d,
+          CAST(
+            ((( (p*1000003 + d*7919 + 12345)::HUGEINT * 6364136223846793005 + 1442695040888963407)
+               % 18446744073709551616::HUGEINT)
+              * 6364136223846793005 + 1442695040888963407) % 18446744073709551616::HUGEINT
+            // 2048 AS DOUBLE) / 4503599627370496.0 * 2.0 - 1.0 AS w
+        FROM range(100,116) t1(p), range(0,64) t2(d)),
+      icents AS (SELECT ci, list(w ORDER BY d) AS cv FROM icc GROUP BY ci),
+      idot AS (
+        SELECT e.vec_id, c.ci, list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv) AS s
+        FROM embeddings e CROSS JOIN icents c),
+      iassigned AS (
+        SELECT vec_id, ci AS lst FROM (
+          SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn FROM idot)
+        WHERE rn = 1),
+      iqprobes AS (
+        SELECT vec_id AS query_id, ci AS lst FROM (
+          SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn
+          FROM idot WHERE vec_id < 5)
+        WHERE rn <= 4),
+      pqscored AS (
+        SELECT q.query_id, cd.vec_id, $pqAdcTerms AS adc
+        FROM iqprobes p
+        JOIN iassigned a ON p.lst = a.lst
+        JOIN qtab q ON q.query_id = p.query_id
+        JOIN codes cd ON cd.vec_id = a.vec_id),
+      pqranked AS (
+        SELECT query_id, vec_id, adc,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+        FROM pqscored)
+      SELECT query_id, vec_id, round(adc, 6) AS adc_r, CAST(rank AS BIGINT) AS rank
+      FROM pqranked WHERE rank <= 10 ORDER BY query_id, rank"""
+
   val oracles: Map[String, String] = Map(
     "q101_ann_pq" -> pqOracle,
     "q102_ann_pq_rerank" -> pqRerankOracle,
+    "q103_ann_ivfpq" -> ivfPqOracle,
     "q85_audio_decode" -> """
       WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents),
       g AS (

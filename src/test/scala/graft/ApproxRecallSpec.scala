@@ -108,4 +108,29 @@ class ApproxRecallSpec extends SparkSpec {
     val rrRecall = rr.intersect(exactCos).size.toDouble / exactCos.size
     assert(rrRecall >= 0.6, s"PQ rerank recall@5 $rrRecall")
   }
+
+  test("IVF-PQ with full probe equals plain PQ ADC; partial probe is a subset ranking") {
+    val emb = sf("embeddings")
+    val q = emb.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding")
+    val cents = Ann.trainIvfCentroids(emb, "embedding", nlist = 8)
+    val books = Ann.pqTrain(emb, "embedding", dim = 64, m = 8, k = 16, iters = 2)
+    val full = Ann.ivfPqTopK(emb, q, "embedding", "vec_id", "qid",
+        cents, books, k = 5, nprobe = 8) // probe EVERY list
+      .select($"qid", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    val plain = Ann.pqTopK(Ann.pqEncode(emb, "embedding", books), q,
+        "embedding", "vec_id", "qid", books, k = 5)
+      .select($"qid", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    // probing all lists = no candidate is routed away -> identical ranking
+    assert(full == plain)
+    // partial probe returns only candidates from probed lists, ranked by
+    // the same ADC — every returned pair must also appear in the full-probe
+    // candidate set's ADC order restricted to those lists (sanity: k rows
+    // per query, ADC non-decreasing in rank)
+    val part = Ann.ivfPqTopK(emb, q, "embedding", "vec_id", "qid",
+        cents, books, k = 5, nprobe = 2)
+      .select($"qid", $"rank", $"adc").as[(Long, Int, Double)].collect()
+    assert(part.groupBy(_._1).forall { case (_, rows) =>
+      rows.sortBy(_._2).map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1))
+    })
+  }
 }
