@@ -256,6 +256,31 @@ object ScaleCheck {
       timed(s"pq adc top-10, 8 queries $tag")(((),
         operators.Ann.pqTopK(codes, pqQ, "embedding", "vec_id", "qid",
           pqBooks, k = 10).count()))
+      // full IVF-PQ: one assign+encode scan, then ADC only over the nprobe
+      // probed lists — per-query cost must track list size, not corpus
+      timed(s"ivf-pq top-10 nprobe=4, 8 queries $tag")(((),
+        operators.Ann.ivfPqTopK(df, pqQ, "embedding", "vec_id", "qid",
+          kmCents, pqBooks, k = 10, nprobe = 4).count()))
+    }
+
+    // Image perceptual-hash dedup: PNG fixtures generated IN EXECUTORS
+    // (grouped near-dups, q100's pattern), decoded for real, dHashed,
+    // paired via the banded hamming join — decode is the dominant cost and
+    // must parallelize; only (id, fp) may shuffle.
+    locally {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      val mediaSchema = StructType(Seq(
+        StructField("media_id", LongType), StructField("content", BinaryType)))
+      def media(count: Int) = multimodal.Multimodal.mapBatched(
+        spark.range(count).select(col("id").as("media_id")), 64, mediaSchema) { b =>
+          b.iterator.map(r => Row(r.getLong(0),
+            multimodal.ImageIoCodec.nearDupPattern(r.getLong(0), 8, 8, 5)))
+        }
+      Seq(5000 -> "1x", 5000 * n -> s"${n}x").foreach { case (cnt, tag) =>
+        timed(s"image dhash dedup pairs $tag")(((),
+          multimodal.Multimodal.imageDupePairs(media(cnt), maxHamming = 3).count()))
+      }
     }
 
     // DQ quarantine: 3 row-level rules fold into ONE pass — runtime must
