@@ -15,6 +15,14 @@ object TextFunctions {
     * would otherwise produce a phantom empty token after split). */
   def wsTrim(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
 
+  /** Repair cp1252/Latin-1 mojibake ("Ã©" → "é", "â€™" → "'") via a strict
+    * round trip — text whose bytes don't form the mojibake pattern passes
+    * through untouched. Native codegen'd expression
+    * ([[graft.functions.expressions.Kernels.fixMojibake]]); the standard
+    * web-scrape cleanup pass before tokenization/quality scoring. */
+  def fixMojibake(c: Column): Column =
+    graft.functions.expressions.HashExpressions.fix_mojibake(c)
+
   /** Whitespace token count. Empty/blank text counts 0. */
   def tokenCount(c: Column): Column =
     when(wsTrim(c) === "", lit(0)).otherwise(size(split(wsTrim(c), "\\s+")))

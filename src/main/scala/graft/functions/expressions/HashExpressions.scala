@@ -218,6 +218,21 @@ object HashExpressions {
     override def prettyName: String = "pq_encode"
   }
 
+  /** Mojibake repair (cp1252-bytes-as-UTF-8 round trip, strict both ways —
+    * see [[Kernels.fixMojibake]]). */
+  case class FixMojibakeExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.fixMojibake(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $KernelsClass.fixMojibake($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "fix_mojibake"
+  }
+
   /** Keep-only-allowed-ASCII-chars string filter — one byte scan instead of
     * a char-class regexp_replace (the currency-cleanup hot path). */
   case class KeepCharsExpr(child: Expression, allowed: String)
@@ -402,6 +417,7 @@ object HashExpressions {
     column(BpeApplyExpr(expression(symbols), merges))
   def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     column(PqEncodeExpr(expression(vec), codebooks))
+  def fix_mojibake(text: Column): Column = column(FixMojibakeExpr(expression(text)))
   def bpe_segments(words: Column, merges: Seq[(String, String)], sep: String): Column =
     column(BpeSegmentsExpr(expression(words), merges, sep))
 }

@@ -287,6 +287,61 @@ object Kernels {
       Array[Any](bestC, bestCov, best))
   }
 
+  // -------------------------------------------------------------- mojibake
+
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+  private val Utf8Strict = new ThreadLocal[java.nio.charset.CharsetDecoder] {
+    override def initialValue(): java.nio.charset.CharsetDecoder =
+      java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+  }
+  private val Cp1252Strict = new ThreadLocal[java.nio.charset.CharsetEncoder] {
+    override def initialValue(): java.nio.charset.CharsetEncoder =
+      Cp1252.newEncoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+  }
+
+  /** Repair the classic mojibake class — UTF-8 bytes mis-decoded as
+    * Windows-1252/Latin-1 ("Ã©" for "é", "â€™" for "'"): re-encode the
+    * string back to its cp1252 bytes and strictly re-decode them as UTF-8.
+    * The repair applies ONLY when the full round trip is clean — any
+    * character with no cp1252 byte, or any byte sequence that is not valid
+    * UTF-8, returns the input unchanged, so already-correct text (whose
+    * cp1252 bytes are almost never coincidentally valid multi-byte UTF-8)
+    * passes through. Runs up to two rounds to unwind double-encoding.
+    * Pure text-in/text-out — the ftfy move, minus the heuristics that need
+    * a language model. */
+  def fixMojibake(s: UTF8String): UTF8String = {
+    var cur = s.toString
+    var rounds = 0
+    var changed = false
+    while (rounds < 2) {
+      // cheap marker scan: mojibake requires at least one char in 0x80-0xFF
+      var hasHigh = false
+      var i = 0
+      while (i < cur.length && !hasHigh) {
+        val c = cur.charAt(i)
+        if (c >= 0x80 && c <= 0xFF) hasHigh = true
+        i += 1
+      }
+      if (!hasHigh) rounds = 2
+      else {
+        val repaired =
+          try {
+            val bytes = Cp1252Strict.get().reset()
+              .encode(java.nio.CharBuffer.wrap(cur))
+            val out = Utf8Strict.get().reset().decode(bytes).toString
+            if (out == cur) null else out
+          } catch { case _: java.nio.charset.CharacterCodingException => null }
+        if (repaired == null) rounds = 2
+        else { cur = repaired; changed = true; rounds += 1 }
+      }
+    }
+    if (changed) UTF8String.fromString(cur) else s
+  }
+
   // ------------------------------------------------------------------- BPE
 
   /** One greedy left-to-right non-overlapping merge pass of (l,r) → l+r —

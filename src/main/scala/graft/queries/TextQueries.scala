@@ -205,6 +205,28 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Mojibake repair, oracle-inverted: real cp1252 mojibake ("Ã©", "â€™" —
+    // generated by the genuine bytes-level mis-decode, not hand-typed
+    // lookalikes) is appended to ASCII-stripped document text; fixMojibake
+    // must invert the corruption EXACTLY, so the oracle simply emits the
+    // clean suffixes. Docs with no injection (id%4=3) prove clean text
+    // passes through untouched.
+    "q104_fix_mojibake" -> ((s, d) => {
+      val truths = Seq(" café résumé", " naïve Ünterläge",
+        " ‘quoted’ – dash…", "")
+      val garbled = truths.map(t => new String(
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.Charset.forName("windows-1252")))
+      // ASCII-stripped base: a (hypothetical) non-ASCII char in the raw
+      // text would abort the whole-string repair and fail the row honestly
+      val base = regexp_replace(col("text"), "[^\\x20-\\x7E]", "")
+      val corrupted = concat(base,
+        element_at(array(garbled.map(lit): _*), (col("doc_id") % 4 + 1).cast("int")))
+      Tables(s, d, "documents")
+        .select(col("doc_id"), T.fixMojibake(corrupted).as("fixed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Full IVF-PQ composition (q41's inverted file × q101's codes): corpus
     // assigned once + encoded once, queries ADC-score only their nprobe
     // probed lists. Both the routing and the quantized scoring replay
@@ -874,6 +896,15 @@ object TextQueries {
       FROM pqranked WHERE rank <= 10 ORDER BY query_id, rank"""
 
   val oracles: Map[String, String] = Map(
+    "q104_fix_mojibake" -> """
+      SELECT doc_id,
+             regexp_replace(text, '[^\x20-\x7E]', '', 'g') ||
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN ' café résumé'
+               WHEN 1 THEN ' naïve Ünterläge'
+               WHEN 2 THEN ' ‘quoted’ – dash…'
+               ELSE '' END AS fixed
+      FROM documents ORDER BY doc_id""",
     "q101_ann_pq" -> pqOracle,
     "q102_ann_pq_rerank" -> pqRerankOracle,
     "q103_ann_ivfpq" -> ivfPqOracle,

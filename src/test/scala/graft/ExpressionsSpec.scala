@@ -149,4 +149,23 @@ class ExtensionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
   }
+
+  test("fix_mojibake: repairs cp1252 mojibake, unwinds double encoding, passes clean text through") {
+    import spark.implicits._
+    import java.nio.charset.{Charset, StandardCharsets}
+    val cp1252 = Charset.forName("windows-1252")
+    def garble(s: String) = new String(s.getBytes(StandardCharsets.UTF_8), cp1252)
+    val truth = "café – it’s naïve…"
+    val cases = Seq(
+      garble(truth)         -> truth,  // single mojibake -> repaired
+      garble(garble(truth)) -> truth,  // double encoding unwinds (2 rounds)
+      truth                 -> truth,  // GENUINE UTF-8 text untouched (its
+                                       // cp1252 bytes are not valid UTF-8)
+      "plain ascii"         -> "plain ascii",
+      "mixed Ω and Ã©"      -> "mixed Ω and Ã©") // Ω has no cp1252 byte ->
+                                                 // whole string passes through
+    val got = cases.map(_._1).toDF("t")
+      .select(graft.functions.TextFunctions.fixMojibake($"t")).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+  }
 }
