@@ -303,43 +303,62 @@ object Kernels {
         .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
   }
 
+  /** Strong mojibake markers — characters that appear when UTF-8 lead
+    * bytes are mis-decoded as cp1252: "Ã"/"Â" (C3/C2, every garbled
+    * 2-byte Latin char), the "â€" digraph (E2 80, garbled general
+    * punctuation), and "ðŸ" (F0 9F, garbled emoji). EVERY repair round is
+    * gated on these: a clean round trip alone is NOT evidence of mojibake —
+    * genuine text like "é–…" has cp1252 bytes (E9 96 85) that form valid
+    * UTF-8, and an ungated "repair" would destroy it (confirmed by
+    * execution, round-6 review). The cost of the gate is that marker-less
+    * 3-byte mojibake (bare CJK garble like "æˆ¦") is left untouched — the
+    * conservative trade: never corrupt plausible text. */
+  private def looksGarbled(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == 0xC3 || c == 0xC2) return true
+      if (i + 1 < s.length) {
+        val d = s.charAt(i + 1)
+        if (c == 0xE2 && d == 0x20AC) return true // â€
+        if (c == 0xF0 && d == 0x0178) return true // ðŸ
+      }
+      i += 1
+    }
+    false
+  }
+
   /** Repair the classic mojibake class — UTF-8 bytes mis-decoded as
     * Windows-1252/Latin-1 ("Ã©" for "é", "â€™" for "'"): re-encode the
     * string back to its cp1252 bytes and strictly re-decode them as UTF-8.
-    * The repair applies ONLY when the full round trip is clean — any
+    * A round applies ONLY when the string carries a strong garbled-lead
+    * marker ([[looksGarbled]]) AND the full round trip is clean — any
     * character with no cp1252 byte, or any byte sequence that is not valid
-    * UTF-8, returns the input unchanged, so already-correct text (whose
-    * cp1252 bytes are almost never coincidentally valid multi-byte UTF-8)
-    * passes through. Runs up to two rounds to unwind double-encoding.
-    * Pure text-in/text-out — the ftfy move, minus the heuristics that need
-    * a language model. */
+    * UTF-8, returns the input unchanged. Up to two rounds unwind double
+    * encoding (each gated). Pure text-in/text-out — the ftfy move, minus
+    * the heuristics that need a language model. */
   def fixMojibake(s: UTF8String): UTF8String = {
-    var cur = s.toString
-    var rounds = 0
-    var changed = false
-    while (rounds < 2) {
-      // cheap marker scan: mojibake requires at least one char in 0x80-0xFF
-      var hasHigh = false
-      var i = 0
-      while (i < cur.length && !hasHigh) {
-        val c = cur.charAt(i)
-        if (c >= 0x80 && c <= 0xFF) hasHigh = true
-        i += 1
-      }
-      if (!hasHigh) rounds = 2
-      else {
-        val repaired =
-          try {
-            val bytes = Cp1252Strict.get().reset()
-              .encode(java.nio.CharBuffer.wrap(cur))
-            val out = Utf8Strict.get().reset().decode(bytes).toString
-            if (out == cur) null else out
-          } catch { case _: java.nio.charset.CharacterCodingException => null }
-        if (repaired == null) rounds = 2
-        else { cur = repaired; changed = true; rounds += 1 }
-      }
+    // zero-allocation fast path: pure-ASCII rows (the common case in a
+    // corpus-wide cleanup pass) never materialize a java String
+    val nb = s.numBytes
+    var bi = 0
+    var anyHigh = false
+    while (bi < nb && !anyHigh) {
+      if (s.getByte(bi) < 0) anyHigh = true
+      bi += 1
     }
-    if (changed) UTF8String.fromString(cur) else s
+    if (!anyHigh) return s
+    def roundTrip(in: String): String =
+      if (!looksGarbled(in)) null
+      else try {
+        val bytes = Cp1252Strict.get().reset().encode(java.nio.CharBuffer.wrap(in))
+        val out = Utf8Strict.get().reset().decode(bytes).toString
+        if (out == in) null else out
+      } catch { case _: java.nio.charset.CharacterCodingException => null }
+    val first = roundTrip(s.toString)
+    if (first == null) return s
+    val second = roundTrip(first)
+    UTF8String.fromString(if (second == null) first else second)
   }
 
   // ------------------------------------------------------------------- BPE

@@ -342,24 +342,32 @@ object Ann {
     * is map-side, only the per-query top-k window shuffles k rows per
     * query). Output: (queryIdCol, idCol, adc, rank), rank 1 = smallest
     * approximate distance, ties by corpus id. */
+  /** Per-query ADC table: the m×k subspace distances flattened (j·k + c),
+    * and the corresponding per-code score — an explicit LEFT-ASSOCIATED sum
+    * of the m table lookups. ONE implementation shared by [[pqTopK]] and
+    * [[ivfPqTopK]]: this arithmetic (subL2 ordering, j·k+code+1 indexing,
+    * sum order) is pinned bit-for-bit by the q101/q103 oracles, and two
+    * drifting copies could break one oracle while the other stays green. */
+  private def adcTable(qv: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    array((for (j <- codebooks.indices; c <- codebooks(j).indices)
+      yield subL2(qv, j, codebooks(j)(c))).toIndexedSeq: _*)
+  private def adcSum(qtab: Column, codeCol: String,
+                     codebooks: Array[Array[Array[Double]]]): Column = {
+    val kk = codebooks(0).length
+    codebooks.indices.map(j =>
+        element_at(qtab, lit(j * kk) + element_at(col(codeCol), j + 1) + lit(1)))
+      .reduce(_ + _)
+  }
+
   def pqTopK(codes: DataFrame, queries: DataFrame, vecCol: String,
              idCol: String, queryIdCol: String,
              codebooks: Array[Array[Array[Double]]], k: Int,
              codeCol: String = "code"): DataFrame = {
-    val m = codebooks.length
-    val kk = codebooks(0).length
-    val tab = array((for (j <- 0 until m; c <- 0 until kk)
-      yield subL2(col("__qv"), j, codebooks(j)(c))).toIndexedSeq: _*)
     val q = broadcast(queries.select(col(queryIdCol), col(vecCol).as("__qv"))
-      .withColumn("__qtab", tab).drop("__qv"))
-    // explicit left-assoc sum of the m lookups (matches the oracle term order)
-    val adc = (0 until m).map(j =>
-        element_at(col("__qtab"),
-          lit(j * kk) + element_at(col(codeCol), j + 1) + lit(1)))
-      .reduce(_ + _)
+      .withColumn("__qtab", adcTable(col("__qv"), codebooks)).drop("__qv"))
     codes.select(col(idCol), col(codeCol))
       .join(q)
-      .withColumn("adc", adc)
+      .withColumn("adc", adcSum(col("__qtab"), codeCol, codebooks))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(queryIdCol)).orderBy(col("adc").asc, col(idCol))))
       .filter(col("rank") <= k)
@@ -381,25 +389,22 @@ object Ann {
                 codebooks: Array[Array[Array[Double]]], k: Int,
                 nprobe: Int = 4, codeCol: String = "code"): DataFrame = {
     import graft.functions.expressions.HashExpressions.{nearest_centroid, pq_encode}
-    val m = codebooks.length
-    val kk = codebooks(0).length
     val assigned = corpus.select(col(idCol),
       nearest_centroid(col(vecCol), centroids).as("__list"),
       pq_encode(col(vecCol), codebooks).as(codeCol))
-    val tab = array((for (j <- 0 until m; c <- 0 until kk)
-      yield subL2(col("__qv"), j, codebooks(j)(c))).toIndexedSeq: _*)
+    // probes broadcast SLIM (qid, list) — the m×k table attaches once per
+    // query AFTER the explode join, not replicated nprobe× in the broadcast
     val qProbes = broadcast(queries
       .select(col(queryIdCol), col(vecCol).as("__qv"))
-      .withColumn("__qtab", tab)
-      .withColumn("__probes", probeListsColumn(col("__qv"), centroids, nprobe))
-      .withColumn("__list", explode(col("__probes")))
-      .select(col(queryIdCol), col("__qtab"), col("__list")))
-    val adc = (0 until m).map(j =>
-        element_at(col("__qtab"),
-          lit(j * kk) + element_at(col(codeCol), j + 1) + lit(1)))
-      .reduce(_ + _)
+      .withColumn("__list",
+        explode(probeListsColumn(col("__qv"), centroids, nprobe)))
+      .select(col(queryIdCol), col("__list")))
+    val qTabs = broadcast(queries
+      .select(col(queryIdCol), col(vecCol).as("__qv"))
+      .withColumn("__qtab", adcTable(col("__qv"), codebooks)).drop("__qv"))
     qProbes.join(assigned, Seq("__list"))
-      .withColumn("adc", adc)
+      .join(qTabs, Seq(queryIdCol))
+      .withColumn("adc", adcSum(col("__qtab"), codeCol, codebooks))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(queryIdCol)).orderBy(col("adc").asc, col(idCol))))
       .filter(col("rank") <= k)

@@ -122,15 +122,31 @@ class ApproxRecallSpec extends SparkSpec {
       .select($"qid", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
     // probing all lists = no candidate is routed away -> identical ranking
     assert(full == plain)
-    // partial probe returns only candidates from probed lists, ranked by
-    // the same ADC — every returned pair must also appear in the full-probe
-    // candidate set's ADC order restricted to those lists (sanity: k rows
-    // per query, ADC non-decreasing in rank)
+    // partial probe must return ONLY members of the query's nprobe nearest
+    // lists — verify routing against a driver-side recomputation of both
+    // the probe sets (max-dot over centroids, ties by index, same order as
+    // probeListsColumn) and each corpus vector's assigned list
+    import graft.functions.expressions.HashExpressions.nearest_centroid
+    def dot(v: Seq[Float], c: Array[Double]) =
+      v.iterator.zip(c.iterator).map { case (a, b) => a * b }.sum
+    val qVecs = q.select($"qid", $"embedding").as[(Long, Seq[Float])].collect()
+    val probed: Map[Long, Set[Int]] = qVecs.map { case (qid, v) =>
+      qid -> cents.indices.sortBy(i => (-dot(v, cents(i)), i)).take(2).toSet
+    }.toMap
+    val assignedList = emb.select($"vec_id",
+        nearest_centroid($"embedding", cents).as("l"))
+      .as[(Long, Int)].collect().toMap
     val part = Ann.ivfPqTopK(emb, q, "embedding", "vec_id", "qid",
         cents, books, k = 5, nprobe = 2)
-      .select($"qid", $"rank", $"adc").as[(Long, Int, Double)].collect()
+      .select($"qid", $"vec_id", $"rank", $"adc").as[(Long, Long, Int, Double)].collect()
+    assert(part.nonEmpty)
+    part.foreach { case (qid, vid, _, _) =>
+      assert(probed(qid).contains(assignedList(vid)),
+        s"query $qid returned vec $vid from unprobed list ${assignedList(vid)}")
+    }
+    // and ADC is non-decreasing in rank per query
     assert(part.groupBy(_._1).forall { case (_, rows) =>
-      rows.sortBy(_._2).map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1))
+      rows.sortBy(_._3).map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1))
     })
   }
 }

@@ -162,8 +162,16 @@ class ExtensionsSpec extends SparkSpec {
       truth                 -> truth,  // GENUINE UTF-8 text untouched (its
                                        // cp1252 bytes are not valid UTF-8)
       "plain ascii"         -> "plain ascii",
-      "mixed Ω and Ã©"      -> "mixed Ω and Ã©") // Ω has no cp1252 byte ->
+      "mixed Ω and Ã©"      -> "mixed Ω and Ã©", // Ω has no cp1252 byte ->
                                                  // whole string passes through
+      // the round-6 review's confirmed corruption cases: "é–…" has cp1252
+      // bytes E9 96 85 = valid UTF-8 for one CJK char, so an ungated round
+      // trip would destroy it — as genuine text AND as round-1 output
+      "é–…"                 -> "é–…",
+      garble("é–…")         -> "é–…",
+      // documented conservative limit: bare 3-byte CJK garble carries no
+      // strong marker and is deliberately left untouched
+      "æˆ¦"                 -> "æˆ¦")
     val got = cases.map(_._1).toDF("t")
       .select(graft.functions.TextFunctions.fixMojibake($"t")).as[String].collect()
     assert(got.toSeq == cases.map(_._2))
