@@ -110,6 +110,55 @@ object Repetition {
             "\n")).as("cleaned"))
   }
 
+  /** CORPUS-level repeated n-gram SPAN SCRUB (the exact-substring-dedup
+    * recipe of Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better", at token-n-gram granularity): any run of `n` consecutive
+    * tokens that appears in at least `minDocs` DISTINCT documents is
+    * boilerplate; every token covered by such a run is removed from every
+    * document (overlapping runs merge naturally — a token is dropped iff ANY
+    * hot n-gram covers it). Distinct-document counting means within-document
+    * repetition alone never triggers the scrub (that is
+    * [[dropRepeatedLines]]/[[topNgramCharFrac]] territory).
+    *
+    * Scale shape: gram construction is the zipped-shifted-slice form (linear,
+    * no slice-in-lambda quadratics); what shuffles is (md5(gram), doc, pos) —
+    * a 128-bit key instead of the gram TEXT, making over-masking from key
+    * collisions ~n²/2¹²⁸ (nonexistent in practice) while keeping shuffle
+    * bytes independent of gram length, and md5 replays in the oracle. The
+    * hot-key table is usually tiny (boilerplate is rare) but corpus-dependent,
+    * so the join back is left to AQE rather than force-broadcast. Each
+    * document is rebuilt ROW-LOCALLY from its own token array and its sorted
+    * hot-start list. Returns (id, n_tokens, n_removed, scrubbed_text). */
+  def scrubRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n > 0 && minDocs >= 2, s"need n > 0, minDocs >= 2: $n, $minDocs")
+    val ts = graft.functions.SimilarityFunctions.tokens(col(textCol))
+    val base = df.select(col(idCol), ts.as("__ts"))
+    val m = size(col("__ts")) - (n - 1)
+    val shifted = (0 until n).map(k => slice(col("__ts"), lit(k + 1), m).as(s"t$k"))
+    val gramArr = transform(arrays_zip(shifted: _*), s =>
+      concat_ws(" ", (0 until n).map(k => s.getField(s"t$k")): _*))
+    val grams = base.filter(size(col("__ts")) >= n)
+      .select(col(idCol), posexplode(gramArr).as(Seq("__p", "__g")))
+      .select(col(idCol), col("__p"), md5(col("__g")).as("__gh"))
+    val hot = grams.groupBy(col("__gh"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__gh"))
+    val hotStarts = grams.join(hot, Seq("__gh"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("__p"))).as("__starts"))
+    base.join(hotStarts, Seq(idCol), "left")
+      .withColumn("__starts",
+        coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("__kept", filter(col("__ts"),
+        (t, i) => !exists(col("__starts"), s => i >= s && i < s + n)))
+      .select(col(idCol),
+        size(col("__ts")).cast("long").as("n_tokens"),
+        (size(col("__ts")) - size(col("__kept"))).cast("long").as("n_removed"),
+        array_join(col("__kept"), " ").as("scrubbed_text"))
+  }
+
   // ------------------------------------------------ cross-check formulations
 
   /** Reference implementation of [[lineRepetition]] via explode + two

@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.functions.{SimilarityFunctions => S}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval + corpus-trained classification — the remaining two
+  * text-side primitives a training-data pipeline runs at corpus scale:
+  * BM25 keyword search (mining task-relevant documents out of a crawl) and
+  * a multinomial Naive Bayes classifier (the classic CCNet/fastText-style
+  * "looks like the reference corpus" quality/language filter, trained and
+  * applied without leaving the cluster). The reference ETL has no analog;
+  * these join the LLM-pipeline pack beside TF-IDF and the NLL scorers.
+  *
+  * Both are engine-independent arithmetic over exact token counts, so both
+  * are fully DuckDB-oracle-checkable (no RNG, no float accumulation beyond
+  * the per-document sums the NLL family already relies on).
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-k document retrieval for a (small) set of keyword
+    * queries.
+    *
+    * score(q, d) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1) /
+    *                          (tf(t,d) + k1·(1 − b + b·dl(d)/avgdl))
+    * with the Lucene-style always-positive idf(t) = ln(1 + (N − df + 0.5) /
+    * (df + 0.5)); dl = whitespace token count, avgdl over ALL documents
+    * (token-less ones included). Query terms are deduplicated (qtf = 1).
+    *
+    * Scale shape: the query set is request-sized, so its term list is
+    * BROADCAST and the corpus token stream is semi-joined down to matching
+    * terms immediately after the explode — tf/df aggregations then run over
+    * the matched slice only, never the full vocabulary. N and avgdl ride
+    * along as one broadcast row (no driver scalar); the final top-k is a
+    * per-query window over candidate documents (queries × matching docs,
+    * already filtered). Ranking ties break on rounded score then doc id, so
+    * the result is engine-independent. */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+               queries: Seq[(String, String)], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "at least one query required")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries
+      .flatMap { case (qid, q) =>
+        q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+          .map(t => (qid, t))
+      }
+      .toDF("query_id", "token")
+    val lens = docs.select(col(idCol),
+      size(S.tokens(col(textCol))).cast("long").as("__dl"))
+    val stats = lens.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+    val matched = docs
+      .select(col(idCol), explode(S.tokens(col(textCol))).as("token"))
+      .join(broadcast(qterms.select(col("token")).distinct()), Seq("token"), "left_semi")
+    val tf = matched.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val contrib = broadcast(qterms)
+      .join(tf, Seq("token"))
+      .join(dfreq, Seq("token"))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf", log(lit(1.0) +
+        (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))))
+      .withColumn("__c", col("__idf") * col("__tf") * lit(k1 + 1.0) /
+        (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+    contrib.groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(col("__c")), 6).as("score_r"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_r").desc, col(idCol))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Multinomial Naive Bayes with add-one smoothing, trained on the rows
+    * matching `trainPred` and applied to the rest — the classic corpus
+    * quality/language classifier (label by `labelCol` on the train side;
+    * the held-out side keeps its label for evaluation).
+    *
+    * score(d, c) = ln p(c) + Σ_{token occurrences t ∈ d}
+    *               ln ((cnt(c,t) + 1) / (tot(c) + V))
+    * where V = train vocabulary size; tokens unseen in class c (or in the
+    * whole train set) get the same smoothed (0+1) mass. Prediction = argmax
+    * class, ties broken by class name — engine-independent. Token-less
+    * held-out documents emit no row (nothing to score), same contract as
+    * [[Tfidf.unigramNll]].
+    *
+    * Scale shape: the model IS a pair of bounded tables — (class, token)
+    * counts (vocabulary × classes) and per-class priors (classes) — built by
+    * two hash aggregations over the train slice. Scoring explodes held-out
+    * tokens once, fans them across the (bounded, broadcast) class list, and
+    * left-joins the count table with strategy left to AQE: a web-scale
+    * vocabulary side can exceed the broadcast limit, and a forced hint would
+    * OOM the driver instead of (correctly) shuffling, same reasoning as
+    * [[Tfidf]]. One per-(doc, class) aggregation and a classes-sized window
+    * pick the argmax. */
+  def naiveBayes(docs: DataFrame, textCol: String, idCol: String,
+                 labelCol: String,
+                 trainPred: org.apache.spark.sql.Column): DataFrame = {
+    val train = docs.filter(trainPred)
+    val trainTerms = train.select(col(labelCol).as("__cls"),
+      explode(S.tokens(col(textCol))).as("token"))
+    val priors = train.groupBy(col(labelCol).as("__cls"))
+      .agg(count(lit(1)).as("__nd"))
+    val nTrain = priors.agg(sum(col("__nd")).as("__ntot"))
+    val cnts = trainTerms.groupBy(col("__cls"), col("token"))
+      .agg(count(lit(1)).as("__cnt"))
+    val classTot = cnts.groupBy(col("__cls")).agg(sum(col("__cnt")).as("__tot"))
+    val vocab = trainTerms.agg(countDistinct(col("token")).as("__v"))
+    val classes = priors.join(classTot, Seq("__cls"), "left")
+      .na.fill(0L, Seq("__tot"))
+      .crossJoin(broadcast(nTrain))
+      .crossJoin(broadcast(vocab))
+      .select(col("__cls"), col("__tot"), col("__v"),
+        log(col("__nd").cast("double") / col("__ntot").cast("double")).as("__lnprior"))
+    val testTerms = docs.filter(!trainPred)
+      .select(col(idCol), col(labelCol), explode(S.tokens(col(textCol))).as("token"))
+    testTerms
+      .crossJoin(broadcast(classes))
+      .join(cnts, Seq("__cls", "token"), "left")
+      .na.fill(0L, Seq("__cnt"))
+      .groupBy(col(idCol), col(labelCol), col("__cls"))
+      .agg((first(col("__lnprior")) +
+        sum(log((col("__cnt").cast("double") + 1.0) /
+          (col("__tot").cast("double") + col("__v").cast("double"))))).as("__score"))
+      .withColumn("score_r", round(col("__score"), 6))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("score_r").desc, col("__cls"))))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col(labelCol), col("__cls").as("pred"), col("score_r"))
+  }
+}

@@ -171,4 +171,84 @@ object Sampling {
     df.join(broadcast(rates), Seq(groupCol))
       .filter(bucket.cast("double") < col("rate") * 65536.0)
   }
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its HASHED unigram features are under the target
+    * slice (`targetPred`) than under the raw corpus, then draw the top-k
+    * under deterministic Gumbel noise — the standard Gumbel-top-k trick that
+    * turns "sample ∝ importance weight" into a sort.
+    *
+    *   logw(d) = Σ_buckets n_d(b) · [ln p̂_target(b) − ln p̂_source(b)]
+    *
+    * with add-one smoothing over `nBuckets` hashed buckets (bucket =
+    * md5-bucket of the token, mod nBuckets — engine-independent, so the
+    * whole computation replays in the oracle). Gumbel noise is a pure
+    * function of the id: u = (md5-bucket("dsir|"+id)+0.5)/65536,
+    * g = −ln(−ln u). Token-less documents emit no row.
+    *
+    * Scale shape: the feature space is BOUNDED (nBuckets rows), so both
+    * "models" are one hash aggregation each collapsed to a broadcast
+    * bucket→weight table; per-document scoring is one explode + one
+    * (doc, bucket) aggregation + the broadcast join. Selection is a global
+    * top-k (TakeOrdered — no full sort materializes); the rank window runs
+    * over the k survivors only. Returns (id, logw_r, key_r, rank). */
+  def dsirSample(docs: DataFrame, idCol: String, textCol: String,
+                 targetPred: Column, nBuckets: Int = 64,
+                 k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets > 0 && k > 0, "nBuckets and k must be positive")
+    val toks = docs.select(col(idCol), targetPred.as("__tgt"),
+        explode(graft.functions.SimilarityFunctions.tokens(col(textCol))).as("token"))
+      .withColumn("__bk", pmod(hashBucket(col("token")), lit(nBuckets)))
+    val perBucket = toks.groupBy(col("__bk"))
+      .agg(count(lit(1)).as("__cs"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"))
+    val totals = perBucket.agg(sum(col("__cs")).as("__ts"), sum(col("__ct")).as("__tt"))
+    // absent buckets never join a document row, so their smoothed mass only
+    // matters through the totals — which count tokens, not buckets
+    val weights = perBucket.crossJoin(broadcast(totals))
+      .select(col("__bk"),
+        (log((col("__ct").cast("double") + 1.0) /
+            (col("__tt").cast("double") + nBuckets.toDouble)) -
+          log((col("__cs").cast("double") + 1.0) /
+            (col("__ts").cast("double") + nBuckets.toDouble))).as("__w"))
+    val scored = toks.groupBy(col(idCol), col("__bk"))
+      .agg(count(lit(1)).as("__n"))
+      .join(broadcast(weights), Seq("__bk"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n") * col("__w")).as("__logw"))
+    val keyed = scored.withColumn("__u",
+        (hashBucket(concat(lit("dsir|"), col(idCol).cast("string"))) + lit(0.5)) / 65536.0)
+      .withColumn("key_r", round(col("__logw") - log(-log(col("__u"))), 6))
+      .withColumn("logw_r", round(col("__logw"), 6))
+      .orderBy(col("key_r").desc, col(idCol)).limit(k)
+    keyed.withColumn("rank", row_number().over(
+        Window.orderBy(col("key_r").desc, col(idCol))).cast("long"))
+      .select(col(idCol), col("logw_r"), col("key_r"), col("rank"))
+  }
+
+  /** Deterministic EPOCH SHUFFLE-SHARD: the training-dataloader prep step —
+    * give every row a pseudo-random position that is a pure function of
+    * (seed, id), bucket rows into `nShards` shards, and number them within
+    * their shard in shuffled order. Different seeds give independent epoch
+    * orders; the same seed reproduces the same order on any cluster.
+    *
+    * Scale shape: ONE hash-partitioned shuffle by shard, then each shard
+    * sorts independently (an ordinary partitioned window — no global sort,
+    * no skew: md5 spreads ids uniformly). This is exactly the physical shape
+    * of a sharded training-data writer: repartition(shard) + sortWithin.
+    * Returns (id, shard, pos) with pos 1-based in shard order. */
+  def epochShuffleShard(df: DataFrame, idCol: String, seed: String,
+                        nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val h = md5(concat(lit(seed + "|"), col(idCol).cast("string")))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(
+        conv(substring(col("__h"), 1, 4), 16, 10).cast("int"), lit(nShards)).cast("long"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))).cast("long"))
+      .drop("__h")
+  }
 }

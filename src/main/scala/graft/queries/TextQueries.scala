@@ -767,7 +767,72 @@ object TextQueries {
         .select(col("doc_id"), array_join(col("segments"), " / ").as("enc"))
         .orderBy(col("doc_id"))
     }),
+
+    // BM25 top-k retrieval (Retrieval.bm25TopK): four keyword queries over
+    // the corpus, Lucene-style always-positive idf, k1=1.2 b=0.75. The
+    // oracle recomputes tf/df/doclen/avgdl and the same rounded-score +
+    // doc-id ranking.
+    "q105_bm25" -> ((s, d) => {
+      graft.operators.Retrieval.bm25TopK(Tables(s, d, "documents"),
+          "text", "doc_id", Bm25Queries, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // DSIR importance resampling (Sampling.dsirSample): hashed-unigram
+    // importance weights of the English slice vs the whole corpus, Gumbel
+    // top-100 under md5-derived deterministic noise. The oracle replays the
+    // md5 bucket arithmetic, both smoothed models, and the Gumbel keys.
+    "q106_dsir" -> ((s, d) => {
+      graft.operators.Sampling.dsirSample(Tables(s, d, "documents"),
+          "doc_id", "text", col("lang") === "en", nBuckets = 64, k = 100)
+        .orderBy(col("rank"))
+    }),
+
+    // Repeated n-gram span scrub (Repetition.scrubRepeatedSpans): 8-token
+    // runs appearing in ≥2 distinct docs are masked everywhere. The corpus
+    // is synthetic-uniform (few natural 8-gram collisions), so boilerplate
+    // is PLANTED: every 7th doc gets the same 10-token banner appended,
+    // guaranteeing a non-empty scrub the oracle verifies end-to-end.
+    "q107_span_scrub" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" subscribe to our newsletter for updates" +
+            " terms of service apply today")))
+          .otherwise(col("text")).as("text"))
+      graft.operators.Repetition.scrubRepeatedSpans(docs, "doc_id", "text",
+          n = 8, minDocs = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Multinomial Naive Bayes language classifier (Retrieval.naiveBayes):
+    // train add-one NB on even doc_ids labeled by lang, score odd doc_ids,
+    // argmax with class-name tiebreak. The oracle recomputes priors,
+    // class-token counts, vocabulary size, and the same rounded argmax.
+    "q108_nb_classifier" -> ((s, d) => {
+      graft.operators.Retrieval.naiveBayes(Tables(s, d, "documents"),
+          "text", "doc_id", "lang", pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), col("lang"), col("pred"), col("score_r"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Epoch shuffle-shard (Sampling.epochShuffleShard): deterministic
+    // pseudo-random training order, 8 shards, seeded "ep0" — the dataloader
+    // prep step. The oracle replays the md5 position hash and the per-shard
+    // row numbering.
+    "q109_epoch_shard" -> ((s, d) => {
+      graft.operators.Sampling.epochShuffleShard(
+          Tables(s, d, "documents").select(col("doc_id")), "doc_id", "ep0", 8)
+        .orderBy(col("shard"), col("pos"))
+    }),
   )
+
+  /** q105's fixed query set — shared between the Spark side and the oracle
+    * VALUES list so the two can never drift. */
+  val Bm25Queries: Seq[(String, String)] = Seq(
+    "qa" -> "spark join merge",
+    "qb" -> "customer order value",
+    "qc" -> "window agg batch",
+    "qd" -> "slow table scan")
 
   private val langIdOracle: String = {
     val scoreExprs = T.LangStopwords.map { case (lang, words) =>
@@ -1771,5 +1836,97 @@ object TextQueries {
       SELECT doc_id AS media_id, CAST(unnest(range(0, cnt)) AS INTEGER) AS frame_no,
              CAST(64 AS INTEGER) AS frame_len
       FROM f ORDER BY media_id, frame_no""",
+    // BM25 replay: tf over query-matched terms, df, doclen/avgdl (ALL docs,
+    // token-less count 0), Lucene idf, same rounded-score + doc-id ranking.
+    // The VALUES list mirrors TextQueries.Bm25Queries.
+    "q105_bm25" -> """
+      WITH q(query_id, qtext) AS (VALUES
+        ('qa','spark join merge'), ('qb','customer order value'),
+        ('qc','window agg batch'), ('qd','slow table scan')),
+      qt AS (SELECT DISTINCT query_id, unnest(regexp_split_to_array(lower(trim(qtext)), '\s+')) AS token FROM q),
+      lens AS (SELECT doc_id, CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+        ELSE len(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) END AS dl FROM documents),
+      stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+      terms AS (SELECT doc_id, unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS token
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM terms WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+      dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      contrib AS (SELECT qt.query_id, tf.doc_id,
+        ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c
+        FROM qt JOIN tf USING (token) JOIN dfq USING (token) JOIN lens USING (doc_id) CROSS JOIN stats),
+      scored AS (SELECT query_id, doc_id, round(sum(c), 6) AS score_r FROM contrib GROUP BY 1, 2),
+      ranked AS (SELECT query_id, doc_id, score_r,
+        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_r DESC, doc_id) AS BIGINT) AS "rank" FROM scored)
+      SELECT query_id, doc_id, score_r, "rank" FROM ranked WHERE "rank" <= 10 ORDER BY query_id, "rank"""",
+    // DSIR replay: md5 token buckets mod 64, add-one smoothed target/source
+    // models, per-doc weighted sums, md5-derived Gumbel keys, top-100.
+    "q106_dsir" -> """
+      WITH toks AS (SELECT doc_id, lang = 'en' AS tgt,
+          unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS token
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      b AS (SELECT doc_id, tgt, CAST(('0x' || substr(md5(token), 1, 4)) AS INTEGER) % 64 AS bk FROM toks),
+      pb AS (SELECT bk, count(*) AS cs, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct FROM b GROUP BY bk),
+      tot AS (SELECT sum(cs) AS ts, sum(ct) AS tt FROM pb),
+      w AS (SELECT bk, ln((ct + 1.0) / (tt + 64.0)) - ln((cs + 1.0) / (ts + 64.0)) AS w FROM pb CROSS JOIN tot),
+      dobk AS (SELECT doc_id, bk, count(*) AS nn FROM b GROUP BY 1, 2),
+      sc AS (SELECT doc_id, sum(nn * w) AS logw FROM dobk JOIN w USING (bk) GROUP BY doc_id),
+      keyed AS (SELECT doc_id, round(logw, 6) AS logw_r,
+        round(logw - ln(-ln((CAST(('0x' || substr(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) + 0.5) / 65536.0)), 6) AS key_r
+        FROM sc),
+      ranked AS (SELECT doc_id, logw_r, key_r,
+        CAST(row_number() OVER (ORDER BY key_r DESC, doc_id) AS BIGINT) AS "rank" FROM keyed)
+      SELECT doc_id, logw_r, key_r, "rank" FROM ranked WHERE "rank" <= 100 ORDER BY "rank"""",
+    // Span-scrub replay: planted banner, md5 8-gram keys, hot = ≥2 distinct
+    // docs, coverage via LATERAL offset range, anti-join rebuild in order.
+    "q107_span_scrub" -> """
+      WITH docs AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+          THEN text || ' subscribe to our newsletter for updates terms of service apply today'
+          ELSE text END AS text FROM documents),
+      toks AS (SELECT doc_id, CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+          ELSE regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') END AS ts FROM docs),
+      grams AS (SELECT doc_id, i - 1 AS p, md5(array_to_string(ts[i:i+7], ' ')) AS gh
+        FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 8 + 2)) AS i) WHERE len(ts) >= 8),
+      hot AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+      cov AS (SELECT DISTINCT g.doc_id, g.p + o AS cp FROM grams g JOIN hot USING (gh), LATERAL (SELECT unnest(range(0, 8)) AS o)),
+      tok AS (SELECT doc_id, i - 1 AS p, ts[i] AS t FROM toks, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i)),
+      kept AS (SELECT tok.doc_id, tok.p, tok.t FROM tok ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.cp),
+      agg AS (SELECT doc_id, count(*) AS n_kept, string_agg(t, ' ' ORDER BY p) AS txt FROM kept GROUP BY doc_id)
+      SELECT toks.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+             CAST(len(ts) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+             coalesce(agg.txt, '') AS scrubbed_text
+      FROM toks LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+    // Naive Bayes replay: priors, class-token counts, class totals, vocab
+    // size, add-one smoothed per-(doc, class) sums, rounded argmax with
+    // class-name tiebreak.
+    "q108_nb_classifier" -> """
+      WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+      tt AS (SELECT lang AS cls, unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS token
+        FROM train WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      pri AS (SELECT lang AS cls, count(*) AS nd FROM train GROUP BY 1),
+      ntot AS (SELECT count(*) AS n FROM train),
+      cnts AS (SELECT cls, token, count(*) AS cnt FROM tt GROUP BY 1, 2),
+      ctot AS (SELECT cls, count(*) AS tot FROM tt GROUP BY 1),
+      v AS (SELECT count(DISTINCT token) AS v FROM tt),
+      cls AS (SELECT pri.cls, coalesce(ctot.tot, 0) AS tot,
+          ln(CAST(nd AS DOUBLE) / n) AS lnprior
+        FROM pri LEFT JOIN ctot ON pri.cls = ctot.cls CROSS JOIN ntot),
+      te AS (SELECT doc_id, lang, unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS token
+        FROM documents WHERE doc_id % 2 <> 0 AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      sc AS (SELECT te.doc_id, te.lang, c.cls, any_value(c.lnprior) +
+          sum(ln((coalesce(cnts.cnt, 0) + 1.0) / (c.tot + v.v))) AS score
+        FROM te CROSS JOIN cls c
+        LEFT JOIN cnts ON cnts.cls = c.cls AND cnts.token = te.token
+        CROSS JOIN v
+        GROUP BY te.doc_id, te.lang, c.cls, c.tot),
+      rk AS (SELECT doc_id, lang, cls, round(score, 6) AS score_r,
+          row_number() OVER (PARTITION BY doc_id ORDER BY round(score, 6) DESC, cls) AS r FROM sc)
+      SELECT doc_id, lang, cls AS pred, score_r FROM rk WHERE r = 1 ORDER BY doc_id""",
+    // Epoch-shard replay: md5('ep0|'||id) order hash, 16-bit prefix mod 8
+    // shard, per-shard row numbering on (hash, id).
+    "q109_epoch_shard" -> """
+      WITH h AS (SELECT doc_id, md5('ep0|' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      s AS (SELECT doc_id, CAST(CAST(('0x' || substr(h, 1, 4)) AS INTEGER) % 8 AS BIGINT) AS shard, h FROM h)
+      SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+      FROM s ORDER BY shard, pos""",
   )
 }

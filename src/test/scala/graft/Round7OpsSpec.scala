@@ -1,0 +1,165 @@
+package graft
+
+import graft.operators.{Repetition, Retrieval, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Round-7 operator pack: BM25 retrieval, Naive Bayes classification, DSIR
+  * importance resampling, repeated-span scrubbing, epoch shuffle-sharding. */
+class Round7OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- BM25
+
+  test("bm25: closed-form single-term scores, tf and length normalization") {
+    val docs = Seq(
+      (1L, "apple banana apple"),        // tf=2, dl=3
+      (2L, "apple pear plum cherry"),    // tf=1, dl=4
+      (3L, "pear plum")                  // no match
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "text", "doc_id",
+      Seq("q1" -> "apple"), k = 10)
+      .orderBy(col("rank")).collect()
+    // N=3, avgdl=3, df(apple)=2, idf=ln(1+1.5/2.5)=ln(1.6)
+    val idf = math.log(1.6)
+    val s1 = idf * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3.0 / 3.0))
+    val s2 = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 4.0 / 3.0))
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L)) // d3 absent
+    assert(out(0).getDouble(2) == math.rint(s1 * 1e6) / 1e6 ||
+      math.abs(out(0).getDouble(2) - s1) < 1e-6)
+    assert(math.abs(out(1).getDouble(2) - s2) < 1e-6)
+    assert(out.map(_.getLong(3)).toSeq == Seq(1L, 2L))
+  }
+
+  test("bm25: multi-term queries sum per-term contributions; k caps rows") {
+    val docs = Seq(
+      (1L, "red blue red blue"),
+      (2L, "red green"),
+      (3L, "blue yellow"),
+      (4L, "green yellow")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "text", "doc_id",
+      Seq("q1" -> "red blue", "q2" -> "yellow"), k = 2)
+    val rows = out.collect()
+    assert(rows.count(_.getString(0) == "q1") == 2) // k caps at 2 of 3 matches
+    // doc 1 matches both query terms → must outrank single-term docs
+    val q1Top = rows.filter(r => r.getString(0) == "q1" && r.getLong(3) == 1L)
+    assert(q1Top.head.getLong(1) == 1L)
+  }
+
+  test("bm25 plan: query-term semi-join is a broadcast") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val p = Retrieval.bm25TopK(docs, "text", "doc_id", Seq("q" -> "a"), 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  // ------------------------------------------------------- Naive Bayes
+
+  test("naive bayes: separable corpus classifies the held-out half; unseen tokens smooth") {
+    val docs = Seq(
+      (0L, "sun sun moon", "astro"), (2L, "sun star moon", "astro"),
+      (4L, "fish fish kelp", "ocean"), (6L, "fish wave kelp", "ocean"),
+      (1L, "sun moon", "astro"), (3L, "star sun", "astro"),
+      (5L, "fish kelp", "ocean"),
+      (7L, "wave fish novelword", "ocean") // unseen token must not explode
+    ).toDF("doc_id", "text", "label")
+    val out = Retrieval.naiveBayes(docs, "text", "doc_id", "label",
+      pmod(col("doc_id"), lit(2)) === 0)
+    val preds = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(preds == Map(1L -> "astro", 3L -> "astro", 5L -> "ocean", 7L -> "ocean"))
+  }
+
+  test("naive bayes: exact score ties break on class name") {
+    val docs = Seq(
+      (0L, "t", "a"), (2L, "t", "b"), // symmetric training
+      (1L, "t t", "b")                // equal scores under both classes
+    ).toDF("doc_id", "text", "label")
+    val out = Retrieval.naiveBayes(docs, "text", "doc_id", "label",
+      pmod(col("doc_id"), lit(2)) === 0).collect()
+    assert(out.length == 1 && out.head.getString(2) == "a")
+  }
+
+  // -------------------------------------------------------------- DSIR
+
+  test("dsir: target-distribution docs outweigh source-only docs; deterministic") {
+    val target = (0L until 6L).map(i => (i, "alpha beta gamma delta", "t"))
+    val source = (6L until 12L).map(i => (i, "omega sigma theta zeta", "s"))
+    val probe = Seq((100L, "alpha beta gamma delta", "s"),
+      (101L, "omega sigma theta zeta", "s"))
+    val docs = (target ++ source ++ probe).toDF("doc_id", "text", "lang")
+    val out = Sampling.dsirSample(docs, "doc_id", "text",
+      col("lang") === "t", nBuckets = 64, k = 100)
+    val w = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w(100L) > w(101L), s"target-like doc must outweigh source-like: $w")
+    val again = Sampling.dsirSample(docs, "doc_id", "text",
+      col("lang") === "t", nBuckets = 64, k = 100).collect()
+    assert(out.collect().map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("dsir: k caps the selection and ranks are 1..k") {
+    val docs = (0L until 50L).map(i => (i, s"tok$i common word", if (i < 10) "t" else "s"))
+      .toDF("doc_id", "text", "lang")
+    val out = Sampling.dsirSample(docs, "doc_id", "text",
+      col("lang") === "t", nBuckets = 32, k = 7).collect()
+    assert(out.length == 7)
+    assert(out.map(_.getLong(3)).sorted.toSeq == (1L to 7L))
+  }
+
+  // -------------------------------------------------------- span scrub
+
+  test("span scrub: cross-doc 8-gram masked in every doc; within-doc repetition survives") {
+    val banner = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"intro words here $banner"),
+      (2L, s"$banner closing remarks"),
+      // within-doc repetition only → distinct-doc count 1 → untouched
+      (3L, "a b c d e f g h a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val out = Repetition.scrubRepeatedSpans(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((11L, 8L, "intro words here")))
+    assert(out(2L) == ((10L, 8L, "closing remarks")))
+    assert(out(3L)._2 == 0L && out(3L)._3 == "a b c d e f g h a b c d e f g h")
+  }
+
+  test("span scrub: overlapping hot grams merge coverage instead of double-counting") {
+    val run9 = "w1 w2 w3 w4 w5 w6 w7 w8 w9" // two overlapping hot 8-grams
+    val docs = Seq((1L, s"$run9 tailone"), (2L, s"lead $run9")).toDF("doc_id", "text")
+    val out = Repetition.scrubRepeatedSpans(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((9L, "tailone")))
+    assert(out(2L) == ((9L, "lead")))
+  }
+
+  test("span scrub: docs shorter than n and empty docs pass through") {
+    val docs = Seq((1L, "just three tokens"), (2L, "")).toDF("doc_id", "text")
+    val out = Repetition.scrubRepeatedSpans(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 0L, "just three tokens")))
+    assert(out(2L) == ((0L, 0L, "")))
+  }
+
+  // -------------------------------------------------------- epoch shard
+
+  test("epoch shard: every row lands in exactly one shard with contiguous 1-based positions") {
+    val df = spark.range(0, 200).select(col("id").as("doc_id"))
+    val out = Sampling.epochShuffleShard(df, "doc_id", "ep0", 8).collect()
+    assert(out.length == 200)
+    assert(out.map(_.getLong(1)).distinct.sorted.forall(s => s >= 0 && s < 8))
+    out.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length))
+    }
+  }
+
+  test("epoch shard: same seed reproduces the order; different seed reshuffles") {
+    val df = spark.range(0, 100).select(col("id").as("doc_id"))
+    val e0 = Sampling.epochShuffleShard(df, "doc_id", "ep0", 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val e0b = Sampling.epochShuffleShard(df, "doc_id", "ep0", 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val e1 = Sampling.epochShuffleShard(df, "doc_id", "ep1", 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(e0.toSeq == e0b.toSeq)
+    assert(e0.toSeq != e1.toSeq)
+  }
+}
