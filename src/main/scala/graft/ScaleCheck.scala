@@ -401,6 +401,55 @@ object ScaleCheck {
         }
       }
     }
+    // BM25 retrieval: query terms broadcast, corpus tokens semi-joined down
+    // immediately after the explode — runtime must track corpus tokens
+    // (~Nx), shuffle only matched (doc, term) rows.
+    Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+      timed(s"bm25 top-10, 4 queries $tag")(((),
+        operators.Retrieval.bm25TopK(df, "text", "doc_id",
+          queries.TextQueries.Bm25Queries, k = 10).count()))
+    }
+
+    // DSIR importance resampling: both models collapse to a 64-row broadcast
+    // bucket table — runtime tracks corpus tokens (~Nx), shuffle is the
+    // (doc, bucket) aggregation, never the token stream twice.
+    Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+      timed(s"dsir resample top-100 $tag")(((),
+        operators.Sampling.dsirSample(df, "doc_id", "text",
+          col("lang") === "en", nBuckets = 64, k = 100).count()))
+    }
+
+    // Repeated-span scrub — replication is the ADVERSARIAL case: every
+    // 8-gram appears in N distinct replica docs, so the ENTIRE gram table
+    // goes hot and every doc is fully masked. Runtime must track grams
+    // (linear), never hot-gram × doc pairs; the rebuild is row-local.
+    // Checksum sink: count() would let Catalyst prune the rebuild lambda.
+    Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+      timed(s"span scrub n=8 (all-hot under replication) $tag")(((),
+        operators.Repetition.scrubRepeatedSpans(df, "doc_id", "text", 8, 2)
+          .agg(bit_xor(xxhash64(col("scrubbed_text"))).as("ck"),
+            count(lit(1)).as("cnt")).head().getLong(1)))
+    }
+
+    // Naive Bayes classify: model = bounded (class, token) count table;
+    // scoring = one explode × classes fan + the count join — runtime ~Nx.
+    Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+      timed(s"naive bayes train+classify $tag")(((),
+        operators.Retrieval.naiveBayes(df, "text", "doc_id", "lang",
+          pmod(col("doc_id"), lit(2)) === 0).count()))
+    }
+
+    // Epoch shuffle-shard: one hash shuffle + per-shard sort — runtime ~Nx,
+    // shuffle ~rows × key width. Checksum sink (no filter depends on pos, so
+    // count() would prune the window entirely).
+    Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+      timed(s"epoch shuffle-shard 32 shards $tag")(((),
+        operators.Sampling.epochShuffleShard(df.select(col("doc_id")),
+            "doc_id", "ep0", 32)
+          .agg(bit_xor(xxhash64(struct(col("doc_id"), col("shard"),
+            col("pos")))).as("ck"), count(lit(1)).as("cnt"))
+          .head().getLong(1)))
+    }
     spark.stop()
   }
 }

@@ -151,6 +151,31 @@ object StreamingOps {
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
+  /** Stream-stream INTERVAL JOIN — the attribution shape (click →
+    * conversion within a window): inner-join two event streams on `keyCol`
+    * where the right event lands in `[left.ts, left.ts + withinSecs]`.
+    * With watermarks on BOTH sides plus the time-range predicate, Structured
+    * Streaming bounds the join state: a left row is dropped once the right
+    * watermark passes `left.ts + withinSecs`, so state is O(events in the
+    * window), never O(stream) — the only stream-stream join shape that
+    * survives an unbounded 100 TB event stream. Emits in Append mode as
+    * matches become final. The two inputs must carry DISTINCT timestamp
+    * column names (they both survive into the output). Batch frames run the
+    * identical join (withWatermark is a no-op in batch), which is how the
+    * oracle replays it. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTs: String, rightTs: String, withinSecs: Long,
+                   watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") +
+          expr(s"INTERVAL $withinSecs SECONDS"))
+      .drop(col(s"r.$keyCol"))
+  }
+
   /** Run a streaming frame to completion over currently-available input and
     * return the collected result via a memory sink (test/drain helper).
     * Pass OutputMode.Complete for aggregated streams; the Append default

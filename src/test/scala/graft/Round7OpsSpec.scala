@@ -139,6 +139,43 @@ class Round7OpsSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L, "")))
   }
 
+  // ------------------------------------------- stream-stream interval join
+
+  test("interval join: streaming drain equals the batch interval join, window closed at both ends") {
+    import graft.streaming.StreamingOps
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(mins: Long) = new java.sql.Timestamp(t0.getTime + mins * 60000L)
+    val events = Seq(
+      (1L, 100L, ts(0), "click"), (1L, 101L, ts(30), "purchase"),   // in window
+      (1L, 102L, ts(61), "purchase"),                               // out (>60m)
+      (2L, 200L, ts(0), "click"), (2L, 201L, ts(0), "purchase"),    // boundary: same instant counts
+      (2L, 202L, ts(60), "purchase"),                               // boundary: exactly 60m counts
+      (3L, 300L, ts(10), "purchase"), (3L, 301L, ts(20), "click")   // purchase BEFORE click: no pair
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    def side(df: org.apache.spark.sql.DataFrame, t: String, idAs: String, tsAs: String) =
+      df.filter(col("event_type") === t)
+        .select(col("user_id"), col("event_id").as(idAs), col("ts").as(tsAs))
+    val expected = StreamingOps.intervalJoin(
+        side(events, "click", "click_id", "click_ts"),
+        side(events, "purchase", "purchase_id", "purchase_ts"),
+        "user_id", "click_ts", "purchase_ts", 3600L, "90 days")
+      .select(col("click_id"), col("purchase_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected == Set((100L, 101L), (200L, 201L), (200L, 202L)))
+    val dir = java.nio.file.Files.createTempDirectory("ij").toString
+    events.coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    def sside(t: String, idAs: String, tsAs: String) =
+      side(spark.readStream.schema(schema).parquet(dir), t, idAs, tsAs)
+    val drained = StreamingOps.drainToMemory(
+      StreamingOps.intervalJoin(sside("click", "click_id", "click_ts"),
+        sside("purchase", "purchase_id", "purchase_ts"),
+        "user_id", "click_ts", "purchase_ts", 3600L, "90 days"),
+      "ij_spec")
+    val got = drained.select(col("click_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
   // -------------------------------------------------------- epoch shard
 
   test("epoch shard: every row lands in exactly one shard with contiguous 1-based positions") {
