@@ -23,6 +23,13 @@ object TextFunctions {
   def fixMojibake(c: Column): Column =
     graft.functions.expressions.HashExpressions.fix_mojibake(c)
 
+  /** Unicode-normalize text (default NFC — composed canonical form): the
+    * tokenizer-prep pass that makes decomposed accents, compatibility
+    * ligatures (NFKC), and width variants hash/join/dedup as one spelling.
+    * Native codegen'd expression with an already-normalized fast path. */
+  def unicodeNormalize(c: Column, form: String = "NFC"): Column =
+    graft.functions.expressions.HashExpressions.unicode_normalize(c, form)
+
   /** Whitespace token count. Empty/blank text counts 0. */
   def tokenCount(c: Column): Column =
     when(wsTrim(c) === "", lit(0)).otherwise(size(split(wsTrim(c), "\\s+")))

@@ -233,6 +233,30 @@ object HashExpressions {
     override def prettyName: String = "fix_mojibake"
   }
 
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) — the tokenizer-prep pass
+    * that canonicalizes decomposed accents/compatibility forms so dedup
+    * keys, BPE symbols, and equality joins see ONE spelling per grapheme.
+    * Codegen'd with an isNormalized fast path (see
+    * [[Kernels.unicodeNormalize]]). */
+  case class UnicodeNormalizeExpr(child: Expression, form: String)
+      extends UnaryExpression {
+    require(Set("NFC", "NFD", "NFKC", "NFKD")(form), s"unknown form: $form")
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.unicodeNormalize(input.asInstanceOf[UTF8String], f)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fRef = ctx.addReferenceObj("normForm", f, "java.text.Normalizer.Form")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $KernelsClass.unicodeNormalize($c, $fRef);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = s"unicode_normalize_${form.toLowerCase}"
+  }
+
   /** Keep-only-allowed-ASCII-chars string filter — one byte scan instead of
     * a char-class regexp_replace (the currency-cleanup hot path). */
   case class KeepCharsExpr(child: Expression, allowed: String)
@@ -418,6 +442,8 @@ object HashExpressions {
   def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     column(PqEncodeExpr(expression(vec), codebooks))
   def fix_mojibake(text: Column): Column = column(FixMojibakeExpr(expression(text)))
+  def unicode_normalize(text: Column, form: String = "NFC"): Column =
+    column(UnicodeNormalizeExpr(expression(text), form))
   def bpe_segments(words: Column, merges: Seq[(String, String)], sep: String): Column =
     column(BpeSegmentsExpr(expression(words), merges, sep))
 }

@@ -456,6 +456,16 @@ object Kernels {
       bpeApplyAll(in, lefts, rights).map(UTF8String.fromString): Array[Any])
   }
 
+  /** Unicode normalization (java.text.Normalizer) with an allocation-free
+    * fast path: `isNormalized` scans without building the normalized copy,
+    * so the overwhelmingly-common already-normal (e.g. pure-ASCII) row costs
+    * one read-only pass and returns the input value unchanged. */
+  def unicodeNormalize(s: UTF8String, form: java.text.Normalizer.Form): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, form)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
+  }
+
   /** Encode a WORDS array: each word → codepoint symbols → ordered merges →
     * symbols joined by `sep`. One native call per row. */
   def bpeSegments(words: ArrayData, lefts: Array[String],

@@ -227,6 +227,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode NFC normalization, oracle-inverted like q104: decomposed
+    // combining sequences (e+U+0301, A+U+030A, …) are appended to
+    // ASCII-stripped text; unicodeNormalize must compose them EXACTLY, so
+    // the oracle emits the composed forms. Docs with id%4=2 get
+    // already-composed text (the fast-path pass-through), id%4=3 none.
+    "q111_nfc_normalize" -> ((s, d) => {
+      val decomposed = Seq(
+        " café résumé",
+        " über Ångström",
+        " pre-composed é stays",
+        "")
+      val base = regexp_replace(col("text"), "[^\\x20-\\x7E]", "")
+      val mixed = concat(base,
+        element_at(array(decomposed.map(lit): _*), (col("doc_id") % 4 + 1).cast("int")))
+      Tables(s, d, "documents")
+        .select(col("doc_id"), T.unicodeNormalize(mixed).as("normalized"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Full IVF-PQ composition (q41's inverted file × q101's codes): corpus
     // assigned once + encoded once, queries ADC-score only their nprobe
     // probed lists. Both the routing and the quantized scoring replay
@@ -961,6 +980,18 @@ object TextQueries {
       FROM pqranked WHERE rank <= 10 ORDER BY query_id, rank"""
 
   val oracles: Map[String, String] = Map(
+    // NFC replay: the oracle emits the COMPOSED forms the normalizer must
+    // produce from the injected combining sequences (composed literals here,
+    // decomposed in the Spark-side injection — the pair can't false-pass)
+    "q111_nfc_normalize" -> """
+      SELECT doc_id,
+             regexp_replace(text, '[^\x20-\x7E]', '', 'g') ||
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN ' café résumé'
+               WHEN 1 THEN ' über Ångström'
+               WHEN 2 THEN ' pre-composed é stays'
+               ELSE '' END AS normalized
+      FROM documents ORDER BY doc_id""",
     "q104_fix_mojibake" -> """
       SELECT doc_id,
              regexp_replace(text, '[^\x20-\x7E]', '', 'g') ||

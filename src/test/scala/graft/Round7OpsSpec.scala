@@ -139,6 +139,30 @@ class Round7OpsSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L, "")))
   }
 
+  // ------------------------------------------------- unicode normalization
+
+  test("unicode normalize: NFC composes combining marks; already-normal text fast-paths; NFKC folds compatibility forms") {
+    import graft.functions.{TextFunctions => T}
+    val df = Seq(
+      (1L, "café"),          // e + combining acute → é
+      (2L, "Ångström"), // ring/diaeresis → Ångström
+      (3L, "plain ascii"),          // fast path
+      (4L, "ﬁle １２") // NFKC: ﬁ → fi, fullwidth digits → 12
+    ).toDF("id", "s")
+    val nfc = df.select(col("id"), T.unicodeNormalize(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nfc(1L) == "café")
+    assert(nfc(2L) == "Ångström")
+    assert(nfc(3L) == "plain ascii")
+    assert(nfc(4L) == "ﬁle １２") // NFC leaves compatibility forms
+    val nfkc = df.select(col("id"), T.unicodeNormalize(col("s"), "NFKC").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nfkc(4L) == "file 12")
+    intercept[IllegalArgumentException] {
+      graft.functions.expressions.HashExpressions.unicode_normalize(col("s"), "NFX")
+    }
+  }
+
   // ------------------------------------------- stream-stream interval join
 
   test("interval join: streaming drain equals the batch interval join, window closed at both ends") {
