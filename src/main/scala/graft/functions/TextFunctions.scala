@@ -34,6 +34,130 @@ object TextFunctions {
   def tokenCount(c: Column): Column =
     when(wsTrim(c) === "", lit(0)).otherwise(size(split(wsTrim(c), "\\s+")))
 
+  // ------------------------------------------------------------- PII scrub
+  // Regex-based PII redaction (emails, NANP phone numbers, IPv4 addresses) —
+  // the standard pre-release scrub pass over web-scraped training text.
+  // Patterns are shared verbatim with the DuckDB oracle, so they use only
+  // syntax common to Java regex and RE2 (no lookarounds, no backrefs).
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Mask PII with typed placeholder tokens. Order matters and is part of the
+    * contract: emails first (their dotted domains must not be half-eaten by
+    * the IPv4 rule), then phones, then IPv4 — the oracle replays the same
+    * three-stage order. Pure codegen'd regexp_replace chain, no shuffle. */
+  def scrubPii(c: Column): Column = {
+    val noEmail = regexp_replace(c, EmailPattern, "<EMAIL>")
+    val noPhone = regexp_replace(noEmail, PhonePattern, "<PHONE>")
+    regexp_replace(noPhone, Ipv4Pattern, "<IP>")
+  }
+
+  /** Per-category PII hit counts over the ORIGINAL text (audit surface:
+    * how much PII did this shard contain, by type). */
+  def piiCounts(c: Column): Seq[Column] = Seq(
+    regexp_count(c, lit(EmailPattern)).cast(LongType).as("n_email"),
+    regexp_count(c, lit(PhonePattern)).cast(LongType).as("n_phone"),
+    regexp_count(c, lit(Ipv4Pattern)).cast(LongType).as("n_ip"))
+
+  // ------------------------------------------------- HTML text extraction
+  // Markup removal + entity unescape — the ingestion step between a raw web
+  // crawl and every text operator above. Tag strip runs FIRST so an escaped
+  // literal ("&lt;b&gt;") unescapes to visible text instead of becoming a
+  // strippable tag; `&amp;` unescapes LAST so "&amp;lt;" yields "&lt;" (one
+  // level of unescaping, never two).
+
+  val HtmlTagPattern = "<[^>]+>"
+  private val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ")
+
+  /** Strip tags, unescape the common entity set, collapse the whitespace the
+    * removed block tags leave behind. Codegen'd replace/regexp chain. */
+  def stripHtml(c: Column): Column = {
+    val noTags = regexp_replace(c, HtmlTagPattern, "")
+    val unescaped = HtmlEntities.foldLeft(noTags) { case (acc, (ent, ch)) =>
+      replace(acc, lit(ent), lit(ch))
+    }
+    wsTrim(regexp_replace(replace(unescaped, lit("&amp;"), lit("&")),
+      "\\s{2,}", " "))
+  }
+
+  /** Markup density (tag count on the raw text) — the quality signal that a
+    * "document" is really a nav page or boilerplate shell. */
+  def htmlTagCount(c: Column): Column =
+    regexp_count(c, lit(HtmlTagPattern)).cast(LongType)
+
+  // ------------------------------------- Gopher-style quality-rule filter
+  // The repetition-free subset of the Gopher (Rae et al. 2021) document
+  // rules, formulated so every rule is EXACT under a hash-compare oracle:
+  // counts are integers and each ratio threshold is an integer
+  // cross-multiplication — no floating-point ratio ever materializes.
+
+  /** Per-document rule columns: raw counts plus one boolean per rule and the
+    * conjunction `pass`. All codegen'd built-ins, one projection, no shuffle:
+    *  - ok_word_count:   5 <= words <= 100000
+    *  - ok_mean_word_len: mean word length in [3, 10]  (3w <= chars <= 10w)
+    *  - ok_symbol_ratio: '#' symbols <= 10% of words
+    *  - ok_bullet_ratio: <= 90% of lines start with "- " or "* "
+    *  - ok_ellipsis_ratio: <= 30% of lines end with "..."
+    *  - ok_alpha_ratio:  >= 80% of words contain a letter
+    *  - has_stopword:    contains one of the/and/of as a whole word
+    */
+  def gopherFlags(c: Column): Seq[Column] = {
+    val words = regexp_count(c, lit("\\S+")).cast(LongType)
+    val alphaWords = regexp_count(c, lit("\\S*[A-Za-z]\\S*")).cast(LongType)
+    val nonWsChars = length(regexp_replace(c, "\\s", "")).cast(LongType)
+    val hashes = regexp_count(c, lit("#")).cast(LongType)
+    val lines = split(c, "\n")
+    val nLines = size(lines).cast(LongType)
+    val bulletLines = size(filter(lines,
+      l => l.startsWith("- ") || l.startsWith("* "))).cast(LongType)
+    val ellipsisLines = size(filter(lines, l => l.endsWith("..."))).cast(LongType)
+    val stop = regexp_like(c, lit("\\bthe\\b|\\band\\b|\\bof\\b"))
+    val okWc = words >= 5 && words <= 100000
+    val okMwl = lit(3) * words <= nonWsChars && nonWsChars <= lit(10) * words
+    val okSym = lit(10) * hashes <= words
+    val okBul = lit(10) * bulletLines <= lit(9) * nLines
+    val okEll = lit(10) * ellipsisLines <= lit(3) * nLines
+    val okAlpha = lit(5) * alphaWords >= lit(4) * words
+    Seq(
+      words.as("n_words"), nLines.as("n_lines"),
+      bulletLines.as("n_bullet_lines"), ellipsisLines.as("n_ellipsis_lines"),
+      alphaWords.as("n_alpha_words"),
+      okWc.as("ok_word_count"), okMwl.as("ok_mean_word_len"),
+      okSym.as("ok_symbol_ratio"), okBul.as("ok_bullet_ratio"),
+      okEll.as("ok_ellipsis_ratio"), okAlpha.as("ok_alpha_ratio"),
+      stop.as("has_stopword"),
+      (okWc && okMwl && okSym && okBul && okEll && okAlpha && stop).as("pass"))
+  }
+
+  // --------------------------------------------- URL canonicalization
+  // Canonical form for dedup/per-domain stats: lowercase scheme+host, strip
+  // `www.`, drop `utm_*` tracking params, drop the fragment, strip the
+  // trailing path slash. Split once with one anchored regex, rebuild from
+  // the normalized parts — every step a codegen'd built-in shared verbatim
+  // with the oracle.
+
+  val UrlSplitPattern = "^(https?)://([^/?#]+)([^?#]*)(\\?[^#]*)?(#.*)?$"
+
+  /** Registrable host: lowercased, `www.`-stripped. Empty for non-URLs. */
+  def urlDomain(u: Column): Column =
+    regexp_replace(lower(regexp_extract(u, UrlSplitPattern, 2)), "^www\\.", "")
+
+  /** Canonical URL (see above). Non-matching input canonicalizes to the empty
+    * string — callers filter or quarantine those rows. */
+  def canonicalizeUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, UrlSplitPattern, 1))
+    val path = regexp_replace(regexp_extract(u, UrlSplitPattern, 3), "/+$", "")
+    val rawQuery = regexp_extract(u, UrlSplitPattern, 4)
+    val noUtm = regexp_replace(rawQuery, "utm_[A-Za-z]+=[^&#]*(&|$)", "")
+    val query = regexp_replace(noUtm, "[?&]+$", "")
+    when(scheme === "", lit(""))
+      .otherwise(concat(scheme, lit("://"), urlDomain(u), path, query))
+  }
+
   /** BPE-ish token-count estimate: counts maximal runs of letters, digits, or
     * other non-space symbols (each optionally preceded by one space) — the
     * GPT-2-style pre-tokenizer shape, minus lookaheads so the same regex runs on

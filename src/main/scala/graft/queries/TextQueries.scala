@@ -25,6 +25,21 @@ object TextQueries {
       materializeVerify = materializeVerify)
   }
 
+  /** Shared doc_id → URL injection + canonicalization projection for
+    * q115 (per-doc rows) and q116 (per-domain stats). */
+  private def urlEnriched(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val site = concat(lit("site"), (id % 7).cast("string"))
+    val url = when(id % 4 === 0, concat(lit("https://WWW.Site"),
+        (id % 7).cast("string"), lit(".Example.COM/Path/"), id.cast("string"),
+        lit("/?utm_source=feed&utm_medium=x&id="), id.cast("string"), lit("#frag")))
+      .when(id % 4 === 1, concat(lit("http://"), site, lit(".example.com/a/b")))
+      .when(id % 4 === 2, concat(lit("https://"), site, lit(".EXAMPLE.com/?utm_campaign=z")))
+      .otherwise(concat(lit("https://www."), site, lit(".example.com")))
+    Tables(s, d, "documents")
+      .select(id, T.canonicalizeUrl(url).as("url_canonical"), T.urlDomain(url).as("domain"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup (hash-groupBy) — keep min doc_id per (lang, source) group.
     "q20_dedup_exact" -> ((s, d) => {
@@ -245,6 +260,80 @@ object TextQueries {
         .select(col("doc_id"), T.unicodeNormalize(mixed).as("normalized"))
         .orderBy(col("doc_id"))
     }),
+
+    // PII scrub, replay-checked: deterministic emails / NANP phones / IPv4
+    // addresses (arithmetic functions of doc_id) are appended per id%4
+    // variant; scrubPii masks them with typed tokens and piiCounts audits
+    // the original. The oracle rebuilds the same injection and replays the
+    // same three-stage regex chain. id%4=3 rows prove clean pass-through.
+    "q112_pii_scrub" -> ((s, d) => {
+      val id = col("doc_id")
+      val email = concat(lit(" mail bob"), id.cast("string"),
+        lit("@mail"), (id % 5).cast("string"), lit(".example.com"))
+      val phone = concat(lit(" call 555-"),
+        lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((id % 10000).cast("string"), 4, "0"))
+      val ip = concat(lit(" host 10."), (id % 256).cast("string"), lit("."),
+        ((id * 7) % 256).cast("string"), lit("."), (id % 100).cast("string"))
+      val doc = concat(col("text"),
+        when(id % 4 === 0, concat(email, phone, ip))
+          .when(id % 4 === 1, email)
+          .when(id % 4 === 2, concat(phone, lit(" and"), ip))
+          .otherwise(lit("")))
+      Tables(s, d, "documents")
+        .select((Seq(id, T.scrubPii(doc).as("scrubbed")) ++ T.piiCounts(doc)): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // HTML text extraction, replay-checked: markup + entity variants wrap the
+    // text per id%4 (nested tags, an entity cluster incl. the one-level
+    // "&amp;lt;" case, an escaped-tag-stays-text case, and untouched).
+    // stripHtml's strip→unescape→collapse order is part of the contract the
+    // oracle replays stage by stage.
+    "q113_html_extract" -> ((s, d) => {
+      val id = col("doc_id")
+      val doc = when(id % 4 === 0, concat(lit("<html><p id=\"p"), id.cast("string"),
+          lit("\">"), col("text"), lit("</p>  <b>bold</b></html>")))
+        .when(id % 4 === 1, concat(lit("<div>"), col("text"),
+          lit("</div> &amp;lt; &quot;q&quot; &#39;a&#39; &nbsp;x")))
+        .when(id % 4 === 2, concat(col("text"), lit(" &lt;script&gt; not a tag &amp; done")))
+        .otherwise(col("text"))
+      Tables(s, d, "documents")
+        .select(id, T.stripHtml(doc).as("extracted"), T.htmlTagCount(doc).as("n_tags"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style quality rules (integer-exact formulation): id%4 variants
+    // exercise each rule — bullet/ellipsis lines appended, a 17-char
+    // truncation that fails the word-count floor, '#' spam that fails the
+    // symbol-ratio cap, and untouched text that passes everything.
+    "q114_gopher_rules" -> ((s, d) => {
+      val id = col("doc_id")
+      val doc = when(id % 4 === 0, concat(col("text"),
+          lit("\n- bullet one\n- bullet two\nplain line\nwrapping up...")))
+        .when(id % 4 === 1, substring(col("text"), 1, 17))
+        .when(id % 4 === 2, concat(col("text"), lit(" ##### ##### #####")))
+        .otherwise(col("text"))
+      Tables(s, d, "documents")
+        .select((id +: T.gopherFlags(doc)): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL canonicalization, replay-checked: per-id%4 URL variants (tracking
+    // params + fragment + mixed-case www host + trailing slash; plain path;
+    // utm-only query; bare host) must collapse to the canonical form the
+    // oracle rebuilds with the same split-normalize-reassemble chain.
+    "q115_url_canonical" -> ((s, d) =>
+      urlEnriched(s, d).orderBy(col("doc_id"))),
+
+    // Per-domain corpus stats over q115's canonicalization: document count
+    // and distinct canonical URLs per registrable domain — the crawl-audit
+    // aggregation (hash-partitioned groupBy, two exact aggregates).
+    "q116_domain_stats" -> ((s, d) =>
+      urlEnriched(s, d).groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url_canonical")).as("n_unique"))
+        .orderBy(col("domain"))),
 
     // Full IVF-PQ composition (q41's inverted file × q101's codes): corpus
     // assigned once + encoded once, queries ADC-score only their nprobe
@@ -992,6 +1081,149 @@ object TextQueries {
                WHEN 2 THEN ' pre-composed é stays'
                ELSE '' END AS normalized
       FROM documents ORDER BY doc_id""",
+    // PII replay: rebuild the deterministic injection, then the same
+    // email→phone→IPv4 replace order and the same audit counts
+    "q112_pii_scrub" -> """
+      WITH parts AS (
+        SELECT doc_id, text,
+          ' mail bob' || CAST(doc_id AS VARCHAR) || '@mail' ||
+            CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS em,
+          ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS ph,
+          ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+            CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||
+            CAST(doc_id % 100 AS VARCHAR) AS ip
+        FROM documents),
+      docs AS (
+        SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN em || ph || ip
+          WHEN 1 THEN em
+          WHEN 2 THEN ph || ' and' || ip
+          ELSE '' END AS doc
+        FROM parts)
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(doc,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed,
+        len(regexp_extract_all(doc, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        len(regexp_extract_all(doc, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+        len(regexp_extract_all(doc, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip
+      FROM docs ORDER BY doc_id""",
+    // HTML replay: same strip → entity chain (&amp; last) → whitespace
+    // collapse → trim order as stripHtml
+    "q113_html_extract" -> """
+      WITH docs AS (
+        SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN '<html><p id="p' || CAST(doc_id AS VARCHAR) || '">' ||
+                      text || '</p>  <b>bold</b></html>'
+          WHEN 1 THEN '<div>' || text || '</div> &amp;lt; &quot;q&quot; &#39;a&#39; &nbsp;x'
+          WHEN 2 THEN text || ' &lt;script&gt; not a tag &amp; done'
+          ELSE text END AS doc
+        FROM documents)
+      SELECT doc_id,
+        regexp_replace(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(doc, '<[^>]+>', '', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+            '&nbsp;', ' '), '&amp;', '&'),
+          '\s{2,}', ' ', 'g'), '^\s+|\s+$', '', 'g') AS extracted,
+        len(regexp_extract_all(doc, '<[^>]+>')) AS n_tags
+      FROM docs ORDER BY doc_id""",
+    // Gopher replay: same injection, same counts, same integer
+    // cross-multiplied thresholds
+    "q114_gopher_rules" -> """
+      WITH docs AS (
+        SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN text || chr(10) || '- bullet one' || chr(10) ||
+                      '- bullet two' || chr(10) || 'plain line' || chr(10) ||
+                      'wrapping up...'
+          WHEN 1 THEN substring(text, 1, 17)
+          WHEN 2 THEN text || ' ##### ##### #####'
+          ELSE text END AS doc
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+          len(regexp_extract_all(doc, '\S+')) AS n_words,
+          len(regexp_extract_all(doc, '\S*[A-Za-z]\S*')) AS n_alpha_words,
+          length(regexp_replace(doc, '\s', '', 'g')) AS non_ws,
+          len(regexp_extract_all(doc, '#')) AS n_hash,
+          len(string_split(doc, chr(10))) AS n_lines,
+          len(list_filter(string_split(doc, chr(10)),
+            x -> x LIKE '- %' OR x LIKE '* %')) AS n_bullet_lines,
+          len(list_filter(string_split(doc, chr(10)),
+            x -> x LIKE '%...')) AS n_ellipsis_lines,
+          regexp_matches(doc, '\bthe\b|\band\b|\bof\b') AS has_stopword
+        FROM docs)
+      SELECT doc_id, n_words, n_lines, n_bullet_lines, n_ellipsis_lines,
+        n_alpha_words,
+        (n_words BETWEEN 5 AND 100000) AS ok_word_count,
+        (3 * n_words <= non_ws AND non_ws <= 10 * n_words) AS ok_mean_word_len,
+        (10 * n_hash <= n_words) AS ok_symbol_ratio,
+        (10 * n_bullet_lines <= 9 * n_lines) AS ok_bullet_ratio,
+        (10 * n_ellipsis_lines <= 3 * n_lines) AS ok_ellipsis_ratio,
+        (5 * n_alpha_words >= 4 * n_words) AS ok_alpha_ratio,
+        has_stopword,
+        ((n_words BETWEEN 5 AND 100000)
+          AND (3 * n_words <= non_ws AND non_ws <= 10 * n_words)
+          AND (10 * n_hash <= n_words)
+          AND (10 * n_bullet_lines <= 9 * n_lines)
+          AND (10 * n_ellipsis_lines <= 3 * n_lines)
+          AND (5 * n_alpha_words >= 4 * n_words)
+          AND has_stopword) AS pass
+      FROM m ORDER BY doc_id""",
+    // URL replay: same anchored split, same normalize steps, same reassembly
+    "q115_url_canonical" -> """
+      WITH urls AS (
+        SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN 'https://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) ||
+                      '.Example.COM/Path/' || CAST(doc_id AS VARCHAR) ||
+                      '/?utm_source=feed&utm_medium=x&id=' ||
+                      CAST(doc_id AS VARCHAR) || '#frag'
+          WHEN 1 THEN 'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/a/b'
+          WHEN 2 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.EXAMPLE.com/?utm_campaign=z'
+          ELSE 'https://www.site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+          END AS url
+        FROM documents),
+      parts AS (
+        SELECT doc_id,
+          lower(regexp_extract(url, '^(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS scheme,
+          regexp_replace(lower(regexp_extract(url, '^(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 2)), '^www\.', '') AS domain,
+          regexp_replace(regexp_extract(url, '^(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 3), '/+$', '') AS path,
+          regexp_replace(regexp_replace(
+            regexp_extract(url, '^(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 4),
+            'utm_[A-Za-z]+=[^&#]*(&|$)', '', 'g'), '[?&]+$', '') AS query
+        FROM urls)
+      SELECT doc_id,
+        CASE WHEN scheme = '' THEN ''
+             ELSE scheme || '://' || domain || path || query END AS url_canonical,
+        domain
+      FROM parts ORDER BY doc_id""",
+    "q116_domain_stats" -> """
+      WITH urls AS (
+        SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN 'https://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) ||
+                      '.Example.COM/Path/' || CAST(doc_id AS VARCHAR) ||
+                      '/?utm_source=feed&utm_medium=x&id=' ||
+                      CAST(doc_id AS VARCHAR) || '#frag'
+          WHEN 1 THEN 'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/a/b'
+          WHEN 2 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.EXAMPLE.com/?utm_campaign=z'
+          ELSE 'https://www.site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+          END AS url
+        FROM documents),
+      parts AS (
+        SELECT doc_id,
+          lower(regexp_extract(url, '^(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS scheme,
+          regexp_replace(lower(regexp_extract(url, '^(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 2)), '^www\.', '') AS domain,
+          regexp_replace(regexp_extract(url, '^(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 3), '/+$', '') AS path,
+          regexp_replace(regexp_replace(
+            regexp_extract(url, '^(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 4),
+            'utm_[A-Za-z]+=[^&#]*(&|$)', '', 'g'), '[?&]+$', '') AS query
+        FROM urls)
+      SELECT domain, COUNT(*) AS n_docs,
+        COUNT(DISTINCT CASE WHEN scheme = '' THEN ''
+          ELSE scheme || '://' || domain || path || query END) AS n_unique
+      FROM parts GROUP BY domain ORDER BY domain""",
     "q104_fix_mojibake" -> """
       SELECT doc_id,
              regexp_replace(text, '[^\x20-\x7E]', '', 'g') ||

@@ -163,6 +163,87 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------- web-text pack
+
+  test("pii scrub: masks email/phone/ipv4 with typed tokens; counts audit the original; order protects dotted email domains") {
+    import graft.functions.{TextFunctions => T}
+    val df = Seq(
+      (1L, "reach a.b-c_d@sub.domain.org now"),
+      (2L, "call 555-123-4567 or visit 192.168.0.1 twice 10.0.0.255"),
+      (3L, "no pii here"),
+      (4L, "ver 1.2 and 1.2.3 are not ips; 1.2.3.4 is")
+    ).toDF("id", "s")
+    val out = df.select(col("id"), T.scrubPii(col("s")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "reach <EMAIL> now")
+    assert(out(2L) == "call <PHONE> or visit <IP> twice <IP>")
+    assert(out(3L) == "no pii here")
+    assert(out(4L) == "ver 1.2 and 1.2.3 are not ips; <IP> is")
+    val counts = df.select((col("id") +: T.piiCounts(col("s"))): _*)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(counts(1L) == ((1L, 0L, 0L)))
+    assert(counts(2L) == ((0L, 1L, 2L)))
+    assert(counts(4L) == ((0L, 0L, 1L)))
+  }
+
+  test("html strip: tags first then one-level entity unescape, &amp; last; whitespace collapsed; escaped tags stay text") {
+    import graft.functions.{TextFunctions => T}
+    val df = Seq(
+      (1L, "<p>a</p>  <b>b</b>"),
+      (2L, "&amp;lt; is one level"),
+      (3L, "&lt;script&gt;alert()&lt;/script&gt;"),
+      (4L, "x &quot;y&quot; &#39;z&#39; &nbsp;w")
+    ).toDF("id", "s")
+    val out = df.select(col("id"), T.stripHtml(col("s")).as("r"), T.htmlTagCount(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("a b", 4L)))
+    assert(out(2L) == (("&lt; is one level", 0L)))      // NOT "<", single unescape
+    assert(out(3L) == (("<script>alert()</script>", 0L))) // escaped tag survives as text
+    assert(out(4L) == (("x \"y\" 'z' w", 0L)))
+  }
+
+  test("gopher rules: each rule trips on its crafted violation and passes on clean prose") {
+    import graft.functions.{TextFunctions => T}
+    val clean = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val df = Seq(
+      (1L, clean),
+      (2L, "one two three"),                                  // < 5 words
+      (3L, clean + " # # # # # # # # # #"),                   // symbol spam
+      (4L, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\nj"), // 9/10 bullet lines ok, all-but-one
+      (5L, clean + "\nend...\nalso...\nmore..."),             // 3/4 ellipsis lines
+      (6L, "1 2 3 4 5 6 7 8 9 10 the of and")                 // digits: alpha ratio fails
+    ).toDF("id", "s")
+    val out = df.select((col("id") +: T.gopherFlags(col("s"))): _*).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flag(id: Long, name: String): Boolean = {
+      val r = out(id); r.getBoolean(r.fieldIndex(name))
+    }
+    assert(flag(1L, "pass"))
+    assert(!flag(2L, "ok_word_count") && !flag(2L, "pass"))
+    assert(!flag(3L, "ok_symbol_ratio"))
+    assert(flag(4L, "ok_bullet_ratio"))   // exactly 90% bullets — boundary holds
+    assert(!flag(5L, "ok_ellipsis_ratio"))
+    assert(!flag(6L, "ok_alpha_ratio") && flag(6L, "has_stopword"))
+  }
+
+  test("url canonicalize: lowercases scheme+host, strips www/utm/fragment/trailing slash, keeps path case and real params; non-urls empty") {
+    import graft.functions.{TextFunctions => T}
+    val df = Seq(
+      (1L, "https://WWW.Ex.COM/A/b/?utm_source=x&id=7#f"),
+      (2L, "http://ex.com/"),
+      (3L, "https://www.ex.com"),
+      (4L, "not a url"),
+      (5L, "https://ex.com/p?utm_a=1&utm_b=2")
+    ).toDF("id", "u")
+    val out = df.select(col("id"), T.canonicalizeUrl(col("u")).as("c"), T.urlDomain(col("u")).as("d"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(out(1L) == (("https://ex.com/A/b?id=7", "ex.com")))
+    assert(out(2L) == (("http://ex.com", "ex.com")))
+    assert(out(3L) == (("https://ex.com", "ex.com")))
+    assert(out(4L) == (("", "")))
+    assert(out(5L) == (("https://ex.com/p", "ex.com")))
+  }
+
   // ------------------------------------------- stream-stream interval join
 
   test("interval join: streaming drain equals the batch interval join, window closed at both ends") {
