@@ -34,33 +34,6 @@ object TextFunctions {
   def tokenCount(c: Column): Column =
     when(wsTrim(c) === "", lit(0)).otherwise(size(split(wsTrim(c), "\\s+")))
 
-  // ------------------------------------------------------------- PII scrub
-  // Regex-based PII redaction (emails, NANP phone numbers, IPv4 addresses) —
-  // the standard pre-release scrub pass over web-scraped training text.
-  // Patterns are shared verbatim with the DuckDB oracle, so they use only
-  // syntax common to Java regex and RE2 (no lookarounds, no backrefs).
-
-  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
-  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-
-  /** Mask PII with typed placeholder tokens. Order matters and is part of the
-    * contract: emails first (their dotted domains must not be half-eaten by
-    * the IPv4 rule), then phones, then IPv4 — the oracle replays the same
-    * three-stage order. Pure codegen'd regexp_replace chain, no shuffle. */
-  def scrubPii(c: Column): Column = {
-    val noEmail = regexp_replace(c, EmailPattern, "<EMAIL>")
-    val noPhone = regexp_replace(noEmail, PhonePattern, "<PHONE>")
-    regexp_replace(noPhone, Ipv4Pattern, "<IP>")
-  }
-
-  /** Per-category PII hit counts over the ORIGINAL text (audit surface:
-    * how much PII did this shard contain, by type). */
-  def piiCounts(c: Column): Seq[Column] = Seq(
-    regexp_count(c, lit(EmailPattern)).cast(LongType).as("n_email"),
-    regexp_count(c, lit(PhonePattern)).cast(LongType).as("n_phone"),
-    regexp_count(c, lit(Ipv4Pattern)).cast(LongType).as("n_ip"))
-
   // ------------------------------------------------- HTML text extraction
   // Markup removal + entity unescape — the ingestion step between a raw web
   // crawl and every text operator above. Tag strip runs FIRST so an escaped
@@ -225,9 +198,12 @@ object TextFunctions {
     * complement of the column-level hash/redact/tokenize transforms. Patterns
     * avoid lookarounds so the same regex runs on Java regex and RE2. */
   val PiiPatterns: Seq[(String, String)] = Seq(
+    // Order is the scrub contract: emails first, so their dotted domains are
+    // never half-eaten by the dotted-phone or IPv4 rules; IPv4 last.
     "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
     "ssn"   -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
     "phone" -> "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b",
+    "ip"    -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
   )
 
   /** Count of PII matches of one kind. */

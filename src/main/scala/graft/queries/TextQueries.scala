@@ -261,12 +261,13 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // PII scrub, replay-checked: deterministic emails / NANP phones / IPv4
-    // addresses (arithmetic functions of doc_id) are appended per id%4
-    // variant; scrubPii masks them with typed tokens and piiCounts audits
-    // the original. The oracle rebuilds the same injection and replays the
-    // same three-stage regex chain. id%4=3 rows prove clean pass-through.
-    "q112_pii_scrub" -> ((s, d) => {
+    // IPv4-extended PII scrub (q39's canonical piiScrub chain, exercising the
+    // 'ip' category and the email-before-ip ordering contract): deterministic
+    // emails / NANP phones / IPv4 addresses (arithmetic functions of doc_id)
+    // are appended per id%4 variant; the oracle rebuilds the injection and
+    // replays the email→ssn→phone→ip chain stage-for-stage. id%4=3 rows
+    // prove clean pass-through.
+    "q112_pii_ipv4" -> ((s, d) => {
       val id = col("doc_id")
       val email = concat(lit(" mail bob"), id.cast("string"),
         lit("@mail"), (id % 5).cast("string"), lit(".example.com"))
@@ -281,7 +282,10 @@ object TextQueries {
           .when(id % 4 === 2, concat(phone, lit(" and"), ip))
           .otherwise(lit("")))
       Tables(s, d, "documents")
-        .select((Seq(id, T.scrubPii(doc).as("scrubbed")) ++ T.piiCounts(doc)): _*)
+        .select(id, T.piiScrub(doc).as("scrubbed"),
+          T.piiCount(doc, "email").cast(LongType).as("n_email"),
+          T.piiCount(doc, "phone").cast(LongType).as("n_phone"),
+          T.piiCount(doc, "ip").cast(LongType).as("n_ip"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1082,8 +1086,8 @@ object TextQueries {
                ELSE '' END AS normalized
       FROM documents ORDER BY doc_id""",
     // PII replay: rebuild the deterministic injection, then the same
-    // email→phone→IPv4 replace order and the same audit counts
-    "q112_pii_scrub" -> """
+    // email→ssn→phone→ip replace order and the same audit counts
+    "q112_pii_ipv4" -> """
       WITH parts AS (
         SELECT doc_id, text,
           ' mail bob' || CAST(doc_id AS VARCHAR) || '@mail' ||
@@ -1102,12 +1106,13 @@ object TextQueries {
           ELSE '' END AS doc
         FROM parts)
       SELECT doc_id,
-        regexp_replace(regexp_replace(regexp_replace(doc,
-          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-          '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
-          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(doc,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+          '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS scrubbed,
         len(regexp_extract_all(doc, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-        len(regexp_extract_all(doc, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+        len(regexp_extract_all(doc, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
         len(regexp_extract_all(doc, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip
       FROM docs ORDER BY doc_id""",
     // HTML replay: same strip → entity chain (&amp; last) → whitespace

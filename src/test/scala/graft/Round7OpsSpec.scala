@@ -165,7 +165,7 @@ class Round7OpsSpec extends SparkSpec {
 
   // ------------------------------------------------------- web-text pack
 
-  test("pii scrub: masks email/phone/ipv4 with typed tokens; counts audit the original; order protects dotted email domains") {
+  test("pii scrub: ipv4 category masks last; email dotted domains protected; counts audit the original") {
     import graft.functions.{TextFunctions => T}
     val df = Seq(
       (1L, "reach a.b-c_d@sub.domain.org now"),
@@ -173,13 +173,16 @@ class Round7OpsSpec extends SparkSpec {
       (3L, "no pii here"),
       (4L, "ver 1.2 and 1.2.3 are not ips; 1.2.3.4 is")
     ).toDF("id", "s")
-    val out = df.select(col("id"), T.scrubPii(col("s")).as("r"))
+    val out = df.select(col("id"), T.piiScrub(col("s")).as("r"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(out(1L) == "reach <EMAIL> now")
-    assert(out(2L) == "call <PHONE> or visit <IP> twice <IP>")
+    assert(out(1L) == "reach [EMAIL] now")
+    assert(out(2L) == "call [PHONE] or visit [IP] twice [IP]")
     assert(out(3L) == "no pii here")
-    assert(out(4L) == "ver 1.2 and 1.2.3 are not ips; <IP> is")
-    val counts = df.select((col("id") +: T.piiCounts(col("s"))): _*)
+    assert(out(4L) == "ver 1.2 and 1.2.3 are not ips; [IP] is")
+    val counts = df.select(col("id"),
+        T.piiCount(col("s"), "email").cast("long").as("e"),
+        T.piiCount(col("s"), "phone").cast("long").as("p"),
+        T.piiCount(col("s"), "ip").cast("long").as("i"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(counts(1L) == ((1L, 0L, 0L)))
     assert(counts(2L) == ((0L, 1L, 2L)))
