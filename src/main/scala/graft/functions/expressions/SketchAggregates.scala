@@ -1,0 +1,194 @@
+package graft.functions.expressions
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mergeable sketch aggregates for corpus-scale statistics — the bounded-
+  * memory answer to "how many distinct tokens / how often does this token
+  * appear" over a corpus too large to shuffle token-grained rows for.
+  *
+  * Both are Catalyst `TypedImperativeAggregate`s, so Spark gives them the
+  * full distributed-aggregation treatment for free: partial sketches build
+  * map-side (one per partition, O(k) / O(d·w) memory), serialized partials
+  * shuffle (bytes per partition, NOT per row), and merge is associative +
+  * commutative, so the final value is independent of partition order —
+  * which is what makes the results exactly replayable by a sequential
+  * DuckDB oracle despite the parallel execution:
+  *
+  *  - KMV keeps the k SMALLEST distinct hashes: a set minimum is reached
+  *    regardless of insertion order or grouping.
+  *  - CMS bucket counts are sums of per-row increments: addition commutes.
+  *
+  * Hashes are md5-derived (first 15 hex chars → 60-bit non-negative long),
+  * the engine-independent hash this repo's oracles replay in DuckDB as
+  * `CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)`.
+  */
+object SketchAggregates {
+
+  /** 60-bit non-negative hash from md5, engine-replayable (see above). */
+  def md5Hash60(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+    // first 15 hex chars = 7.5 bytes: 7 full bytes + high nibble of byte 7
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch: the k smallest DISTINCT
+    * hash values seen. Evaluates to the ascending array (length
+    * min(k, distinct)); the estimator `(k-1) * 2^60 / h_(k)` — or the exact
+    * size when fewer than k survive — is plain Column arithmetic on top.
+    * Buffer: a TreeSet capped at k, O(k) memory however large the input. */
+  case class KmvSketchAgg(
+      child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+    require(k > 0, "k must be positive")
+
+    override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+      new java.util.TreeSet[java.lang.Long]()
+
+    private def add(b: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+      if (b.size < k) { b.add(v); () }
+      else if (v < b.last()) { b.add(v); if (b.size > k) { b.pollLast(); () } }
+    }
+
+    override def update(b: java.util.TreeSet[java.lang.Long],
+                        input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) add(b, v.asInstanceOf[Long])
+      b
+    }
+
+    override def merge(b: java.util.TreeSet[java.lang.Long],
+                       o: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+      val it = o.iterator()
+      while (it.hasNext) add(b, it.next())
+      b
+    }
+
+    override def eval(b: java.util.TreeSet[java.lang.Long]): Any = {
+      val out = new Array[Long](b.size)
+      val it = b.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override def serialize(b: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(4 + 8 * b.size)
+      buf.putInt(b.size)
+      val it = b.iterator()
+      while (it.hasNext) buf.putLong(it.next())
+      buf.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+      val buf = ByteBuffer.wrap(bytes)
+      val n = buf.getInt
+      val b = createAggregationBuffer()
+      var i = 0
+      while (i < n) { b.add(buf.getLong); i += 1 }
+      b
+    }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(newChild: Expression): KmvSketchAgg =
+      copy(child = newChild)
+    override def prettyName: String = "kmv_sketch"
+  }
+
+  /** Count-min sketch: a depth × width matrix of counters; row i increments
+    * bucket md5(i + "|" + token) % width. Evaluates to the flattened
+    * row-major ARRAY<LONG> (length depth·width); a point estimate for token
+    * t is `min_i sketch[i·width + h_i(t)]` — plain Column arithmetic with
+    * the same md5 bucket the probe side computes from built-ins. Counts are
+    * EXACT sums (overestimation comes only from bucket collisions), so the
+    * whole matrix replays in SQL as a (row, bucket) GROUP BY COUNT. */
+  case class CmsSketchAgg(
+      child: Expression, depth: Int, width: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+    override def update(b: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val tok = v.asInstanceOf[UTF8String].toString
+        var i = 0
+        while (i < depth) {
+          val bucket = (md5Hash60(s"$i|$tok") % width).toInt
+          b(i * width + bucket) += 1
+          i += 1
+        }
+      }
+      b
+    }
+
+    override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b.length) { b(i) += o(i); i += 1 }
+      b
+    }
+
+    override def eval(b: Array[Long]): Any = new GenericArrayData(b.clone())
+
+    override def serialize(b: Array[Long]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(8 * b.length)
+      var i = 0
+      while (i < b.length) { buf.putLong(b(i)); i += 1 }
+      buf.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val buf = ByteBuffer.wrap(bytes)
+      val b = createAggregationBuffer()
+      var i = 0
+      while (i < b.length) { b(i) = buf.getLong; i += 1 }
+      b
+    }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(newOffset: Int): CmsSketchAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): CmsSketchAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(newChild: Expression): CmsSketchAgg =
+      copy(child = newChild)
+    override def prettyName: String = "cms_sketch"
+  }
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  /** Aggregate: k smallest distinct values of a LONG hash column, ascending. */
+  def kmv_sketch(hash: Column, k: Int): Column =
+    column(KmvSketchAgg(expression(hash), k).toAggregateExpression())
+
+  /** Aggregate: flattened depth×width count-min matrix over a STRING column. */
+  def cms_sketch(token: Column, depth: Int, width: Int): Column =
+    column(CmsSketchAgg(expression(token), depth, width).toAggregateExpression())
+}

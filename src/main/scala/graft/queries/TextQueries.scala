@@ -339,6 +339,62 @@ object TextQueries {
           countDistinct(col("url_canonical")).as("n_unique"))
         .orderBy(col("domain"))),
 
+    // KMV distinct-count sketch (custom mergeable TypedImperativeAggregate,
+    // SketchAggregates.KmvSketchAgg): per-lang distinct-token estimates from
+    // the k smallest md5-derived hashes. k=16 exercises the estimator path
+    // (vocab > k), k=64 the exact small-set path. The bottom-k set is
+    // insertion-order-independent, so the parallel sketch replays exactly in
+    // DuckDB (row_number over the distinct hashes).
+    "q117_kmv_distinct" -> ((s, d) => {
+      import graft.functions.expressions.{SketchAggregates => SK}
+      val toks = Tables(s, d, "documents")
+        .select(col("lang"), explode(S.tokens(col("text"))).as("tok"))
+      val hashed = toks.select(col("lang"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+      hashed.groupBy(col("lang"))
+        .agg(SK.kmv_sketch(col("h"), 16).as("sk16"),
+          SK.kmv_sketch(col("h"), 64).as("sk64"))
+        .select(col("lang"),
+          size(col("sk16")).cast(LongType).as("n16"),
+          element_at(col("sk16"), 16).as("kth16"),
+          when(size(col("sk16")) < 16, size(col("sk16")).cast("double"))
+            .otherwise(round(lit(15.0 * math.pow(2, 60)) /
+              element_at(col("sk16"), 16).cast("double"), 6)).as("est16_r"),
+          size(col("sk64")).cast(LongType).as("n64"),
+          when(size(col("sk64")) < 64, size(col("sk64")).cast("double"))
+            .otherwise(round(lit(63.0 * math.pow(2, 60)) /
+              element_at(col("sk64"), 64).cast("double"), 6)).as("est64_r"))
+        .orderBy(col("lang"))
+    }),
+
+    // Count-min frequency sketch (SketchAggregates.CmsSketchAgg): per-lang
+    // 4×64 counter matrix built in one bounded-memory aggregation (partials
+    // merge map-side; bytes-per-partition shuffle, not rows-per-token), then
+    // point estimates for a fixed probe set via min-over-rows bucket lookups
+    // — joined to exact counts to surface the overestimate-only property.
+    // Counter sums replay exactly in SQL as (row, bucket) GROUP BY counts.
+    "q118_cms_freq" -> ((s, d) => {
+      import graft.functions.expressions.{SketchAggregates => SK}
+      val toks = Tables(s, d, "documents")
+        .select(col("lang"), explode(S.tokens(col("text"))).as("tok"))
+      val sk = toks.groupBy(col("lang")).agg(SK.cms_sketch(col("tok"), 4, 64).as("sk"))
+      val probes = Seq("the", "table", "value", "spark", "zebra")
+      val probed = sk.select(col("lang"), col("sk"),
+        explode(array(probes.map(lit): _*)).as("ptok"))
+      val est = (0 until 4).map { i =>
+        element_at(col("sk"),
+          (conv(substring(md5(concat(lit(s"$i|"), col("ptok"))), 1, 15), 16, 10)
+            .cast("long") % 64).cast("int") + lit(i * 64 + 1))
+      }.reduce(least(_, _))
+      val truth = toks.groupBy(col("lang"), col("tok")).count()
+        .withColumnRenamed("tok", "ptok").withColumnRenamed("count", "n_true")
+      probed.select(col("lang"), col("ptok"), est.as("est"))
+        .join(truth, Seq("lang", "ptok"), "left")
+        .select(col("lang"), col("ptok"), col("est"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"))
+        .orderBy(col("lang"), col("ptok"))
+    }),
+
     // Full IVF-PQ composition (q41's inverted file × q101's codes): corpus
     // assigned once + encoded once, queries ADC-score only their nprobe
     // probed lists. Both the routing and the quantized scoring replay
@@ -1085,6 +1141,59 @@ object TextQueries {
                WHEN 2 THEN ' pre-composed é stays'
                ELSE '' END AS normalized
       FROM documents ORDER BY doc_id""",
+    // KMV replay: bottom-k of the distinct md5-60bit hashes per lang via
+    // row_number; same (k-1)*2^60/h_k estimator arithmetic
+    "q117_kmv_distinct" -> """
+      WITH toks AS (
+        SELECT lang, unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS tok
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      h AS (SELECT DISTINCT lang, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+      r AS (SELECT lang, h,
+              row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+              count(*) OVER (PARTITION BY lang) AS nd
+            FROM h),
+      g AS (SELECT lang, min(nd) AS nd,
+              max(CASE WHEN rn = 16 THEN h END) AS kth16,
+              max(CASE WHEN rn = 64 THEN h END) AS kth64
+            FROM r GROUP BY lang)
+      SELECT lang,
+        LEAST(nd, 16) AS n16,
+        kth16,
+        CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE)
+             ELSE round(15.0 * 1152921504606846976.0 / CAST(kth16 AS DOUBLE), 6)
+             END AS est16_r,
+        LEAST(nd, 64) AS n64,
+        CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+             ELSE round(63.0 * 1152921504606846976.0 / CAST(kth64 AS DOUBLE), 6)
+             END AS est64_r
+      FROM g ORDER BY lang""",
+    // CMS replay: (row, bucket) occurrence counts per lang, probe buckets
+    // from the same salted md5, min over rows; truth from a plain GROUP BY
+    "q118_cms_freq" -> """
+      WITH toks AS (
+        SELECT lang, unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS tok
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      probes AS (SELECT unnest(['the', 'table', 'value', 'spark', 'zebra']) AS ptok),
+      rows_ AS (SELECT unnest(range(0, 4)) AS i),
+      counts AS (
+        SELECT lang, i,
+          CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || tok), 1, 15)) AS BIGINT) % 64 AS bucket,
+          count(*) AS c
+        FROM toks, rows_ GROUP BY lang, i, bucket),
+      langs AS (SELECT DISTINCT lang FROM toks),
+      pb AS (
+        SELECT l.lang, p.ptok, r.i,
+          CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || '|' || p.ptok), 1, 15)) AS BIGINT) % 64 AS bucket
+        FROM langs l, probes p, rows_ r),
+      est AS (
+        SELECT pb.lang, pb.ptok, min(COALESCE(c.c, 0)) AS est
+        FROM pb LEFT JOIN counts c
+          ON c.lang = pb.lang AND c.i = pb.i AND c.bucket = pb.bucket
+        GROUP BY pb.lang, pb.ptok),
+      truth AS (SELECT lang, tok AS ptok, count(*) AS n_true FROM toks GROUP BY lang, tok)
+      SELECT e.lang, e.ptok, e.est, COALESCE(t.n_true, 0) AS n_true
+      FROM est e LEFT JOIN truth t ON t.lang = e.lang AND t.ptok = e.ptok
+      ORDER BY e.lang, e.ptok""",
     // PII replay: rebuild the deterministic injection, then the same
     // email→ssn→phone→ip replace order and the same audit counts
     "q112_pii_ipv4" -> """

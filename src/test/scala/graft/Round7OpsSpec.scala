@@ -247,6 +247,42 @@ class Round7OpsSpec extends SparkSpec {
     assert(out(5L) == (("https://ex.com/p", "ex.com")))
   }
 
+  // ------------------------------------------------------------- sketches
+
+  test("kmv sketch: bottom-k of distinct hashes, ascending, partition-order independent; under-k set is exact") {
+    import graft.functions.expressions.{SketchAggregates => SK}
+    val words = (1 to 200).map(i => s"w$i") ++ (1 to 200).map(i => s"w$i") // dups collapse
+    val expected = words.distinct.map(SK.md5Hash60).sorted.take(16)
+    def sketch(parts: Int): Seq[Long] = {
+      val df = words.toDF("w").repartition(parts)
+        .select(conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+      df.agg(SK.kmv_sketch(col("h"), 16).as("sk")).collect()(0).getSeq[Long](0)
+    }
+    assert(sketch(1) == expected)
+    assert(sketch(13) == expected) // merge path: many partial sketches
+    val small = Seq("a", "b", "c").toDF("w")
+      .select(conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+      .agg(SK.kmv_sketch(col("h"), 16)).collect()(0).getSeq[Long](0)
+    assert(small == Seq("a", "b", "c").map(SK.md5Hash60).sorted) // n<k: whole set
+  }
+
+  test("cms sketch: row sums equal corpus size, estimates never undercount, merge path equals single partition") {
+    import graft.functions.expressions.{SketchAggregates => SK}
+    val toks = Seq.fill(50)("the") ++ Seq.fill(20)("cat") ++ (1 to 30).map(i => s"t$i")
+    def sketch(parts: Int): Seq[Long] =
+      toks.toDF("t").repartition(parts)
+        .agg(SK.cms_sketch(col("t"), 4, 64)).collect()(0).getSeq[Long](0)
+    val sk = sketch(1)
+    assert(sk == sketch(7))
+    (0 until 4).foreach { i =>
+      assert(sk.slice(i * 64, (i + 1) * 64).sum == toks.size) // each row counts every token
+    }
+    def estimate(tok: String): Long =
+      (0 until 4).map(i => sk((i * 64 + (SK.md5Hash60(s"$i|$tok") % 64)).toInt)).min
+    assert(estimate("the") >= 50 && estimate("cat") >= 20)
+    assert(estimate("absent-token") >= 0) // collision floor only
+  }
+
   // ------------------------------------------- stream-stream interval join
 
   test("interval join: streaming drain equals the batch interval join, window closed at both ends") {
