@@ -450,6 +450,39 @@ object ScaleCheck {
             col("pos")))).as("ck"), count(lit(1)).as("cnt"))
           .head().getLong(1)))
     }
+    // Mergeable sketch aggregates (KMV + CMS): partial sketches build
+    // map-side and shuffle BYTES PER PARTITION (k longs / d×w longs), so
+    // runtime tracks the token scan (~Nx) while shuffle stays ~flat — the
+    // defining property vs. shuffling token-grained rows.
+    Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+      import functions.expressions.{SketchAggregates => SK}
+      val toks = df.select(col("lang"), explode(S.tokens(col("text"))).as("tok"))
+      timed(s"kmv+cms sketch per lang $tag")(((),
+        toks.groupBy(col("lang"))
+          .agg(SK.kmv_sketch(
+              conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"), 64)
+            .as("kmv"),
+            SK.cms_sketch(col("tok"), 4, 64).as("cms"))
+          .count()))
+    }
+
+    // Web-text curation chain (PII scrub + HTML strip + Gopher rules + URL
+    // canonicalize): one fused whole-stage-codegen projection — runtime ~Nx,
+    // ZERO shuffle. Checksum sink (count() would prune the regex chains).
+    Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+      import functions.{TextFunctions => T}
+      timed(s"web-text chain (pii+html+gopher+url) $tag")(((),
+        df.select((Seq(col("doc_id"),
+            T.piiScrub(col("text")).as("pii"),
+            T.stripHtml(col("text")).as("html"),
+            T.canonicalizeUrl(concat(lit("https://www.site"),
+              col("doc_id") % 7, lit(".example.com/p/"), col("doc_id"),
+              lit("/?utm_source=x&id="), col("doc_id"))).as("url")) ++
+            T.gopherFlags(col("text"))): _*)
+          .agg(bit_xor(xxhash64(struct(col("pii"), col("html"), col("url"),
+            col("pass")))).as("ck"), count(lit(1)).as("cnt"))
+          .head().getLong(1)))
+    }
     spark.stop()
   }
 }

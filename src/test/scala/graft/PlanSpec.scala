@@ -47,6 +47,15 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2)
   }
 
+  test("sketch aggregates plan partial (map-side) object aggregation — bytes, not rows, shuffle") {
+    val p = plan(TextQueries.queries("q117_kmv_distinct")(spark, dir))
+    // ObjectHashAggregate twice: partial sketches map-side, merge after the
+    // exchange — the property that keeps the shuffle at O(k) per partition
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final ObjectHashAggregate, got:\n$p")
+    assert(p.contains("partial_kmv_sketch"), "partial mode must carry the sketch")
+  }
+
   test("exact similarity join never plans a cartesian or nested-loop join") {
     // materializeVerify=false: the production barrier hides the join behind
     // an RDD scan, which would make this assertion vacuous
