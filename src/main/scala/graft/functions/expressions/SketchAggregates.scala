@@ -35,10 +35,16 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SketchAggregates {
 
+  // MessageDigest is stateful and not thread-safe; one per task thread saves
+  // a getInstance allocation per hashed token (CMS pays depth per row)
+  private val localMd5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
   /** 60-bit non-negative hash from md5, engine-replayable (see above). */
   def md5Hash60(s: String): Long = {
-    val d = MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
+    val md = localMd5.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
     // first 15 hex chars = 7.5 bytes: 7 full bytes + high nibble of byte 7
     var h = 0L
     var i = 0

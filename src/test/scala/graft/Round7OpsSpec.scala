@@ -283,6 +283,28 @@ class Round7OpsSpec extends SparkSpec {
     assert(estimate("absent-token") >= 0) // collision floor only
   }
 
+  test("sketch aggregates run in streaming aggregation: drained complete-mode sketch equals batch") {
+    import graft.functions.expressions.{SketchAggregates => SK}
+    import graft.streaming.StreamingOps
+    import org.apache.spark.sql.streaming.OutputMode
+    val rows = (1 to 300).map(i => (s"g${i % 3}", s"tok${i % 40}"))
+    val dir = java.nio.file.Files.createTempDirectory("sketch_stream").toString
+    rows.toDF("g", "tok").coalesce(1).write.mode("overwrite").parquet(dir)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("g")).agg(
+        SK.kmv_sketch(conv(substring(md5(col("tok")), 1, 15), 16, 10)
+          .cast("long"), 8).as("kmv"),
+        SK.cms_sketch(col("tok"), 2, 32).as("cms"))
+    val batch = agg(spark.read.parquet(dir)).collect()
+      .map(r => r.getString(0) -> ((r.getSeq[Long](1), r.getSeq[Long](2)))).toMap
+    val schema = spark.read.parquet(dir).schema
+    val streamed = StreamingOps.drainToMemory(
+        agg(spark.readStream.schema(schema).parquet(dir)),
+        "sketch_stream_q", OutputMode.Complete())
+      .collect().map(r => r.getString(0) -> ((r.getSeq[Long](1), r.getSeq[Long](2)))).toMap
+    assert(streamed == batch)
+  }
+
   // ------------------------------------------- stream-stream interval join
 
   test("interval join: streaming drain equals the batch interval join, window closed at both ends") {
