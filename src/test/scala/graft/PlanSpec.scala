@@ -56,6 +56,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_kmv_sketch"), "partial mode must carry the sketch")
   }
 
+  test("web-text transforms plan as pure narrow projections — no Exchange anywhere") {
+    Seq("q112_pii_ipv4", "q113_html_extract", "q114_gopher_rules",
+        "q115_url_canonical").foreach { q =>
+      val df = TextQueries.queries(q)(spark, dir)
+      df.collect() // AQE: codegen spans appear in the FINAL executed plan
+      val p = df.queryExecution.executedPlan.toString
+      // the only allowed shuffle is the orderBy's range partitioning (AQE
+      // prints its query stage + the exchange, so count KINDS, not nodes):
+      // a hash-partitioned exchange would mean the transform itself shuffles
+      assert(!p.contains("Exchange hashpartitioning") &&
+        !p.contains("Exchange SinglePartition"),
+        s"$q should be a narrow projection + sort, got:\n$p")
+      assert(p.contains("*(1)"), s"$q must stay codegen'd") // WSCG span marker
+    }
+  }
+
   test("exact similarity join never plans a cartesian or nested-loop join") {
     // materializeVerify=false: the production barrier hides the join behind
     // an RDD scan, which would make this assertion vacuous
