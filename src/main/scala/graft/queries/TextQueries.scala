@@ -395,6 +395,26 @@ object TextQueries {
         .orderBy(col("lang"), col("ptok"))
     }),
 
+    // Fixed-point PageRank (PageRank.fixedPoint), 3 iterations over a
+    // deterministic synthetic link graph (each doc links to (2·id+1)%N and
+    // (5·id+3)%N — multipliers share factors with N, so in-degrees vary
+    // 0..several and ranks genuinely move) — the source-authority signal
+    // for crawl-quality
+    // weighting. Integer arithmetic end to end, so the distributed
+    // iteration replays bit-for-bit in the oracle's unrolled CTE chain.
+    "q119_pagerank" -> ((s, d) => {
+      import graft.operators.PageRank
+      val docs = Tables(s, d, "documents").select(col("doc_id"))
+      val nn = docs.agg((max(col("doc_id")) + 1).as("__n"))
+      val edges = docs.crossJoin(broadcast(nn))
+        .select(col("doc_id").as("src"), col("__n"),
+          explode(array((col("doc_id") * 2 + 1) % col("__n"),
+            (col("doc_id") * 5 + 3) % col("__n"))).as("dst"))
+        .select(col("src"), col("dst"))
+      PageRank.fixedPoint(edges, "src", "dst", docs, "doc_id", iterations = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // Full IVF-PQ composition (q41's inverted file × q101's codes): corpus
     // assigned once + encoded once, queries ADC-score only their nprobe
     // probed lists. Both the routing and the quantized scoring replay
@@ -1141,6 +1161,30 @@ object TextQueries {
                WHEN 2 THEN ' pre-composed é stays'
                ELSE '' END AS normalized
       FROM documents ORDER BY doc_id""",
+    // PageRank replay: same synthetic graph, 3 unrolled iterations of the
+    // same fixed-point arithmetic (integer floor divisions — bit-exact)
+    "q119_pagerank" -> """
+      WITH n AS (SELECT max(doc_id) + 1 AS nn FROM documents),
+      nodes AS (SELECT doc_id AS id FROM documents),
+      edges AS (
+        SELECT id AS src, (id * 2 + 1) % nn AS dst FROM nodes, n
+        UNION ALL
+        SELECT id, (id * 5 + 3) % nn FROM nodes, n),
+      deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+      r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+      c1 AS (SELECT e.dst, CAST(sum(r.pr // g.d) AS BIGINT) AS s FROM edges e
+             JOIN deg g ON g.src = e.src JOIN r0 r ON r.id = e.src GROUP BY e.dst),
+      r1 AS (SELECT nodes.id, CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS pr
+             FROM nodes LEFT JOIN c1 ON c1.dst = nodes.id),
+      c2 AS (SELECT e.dst, CAST(sum(r.pr // g.d) AS BIGINT) AS s FROM edges e
+             JOIN deg g ON g.src = e.src JOIN r1 r ON r.id = e.src GROUP BY e.dst),
+      r2 AS (SELECT nodes.id, CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS pr
+             FROM nodes LEFT JOIN c2 ON c2.dst = nodes.id),
+      c3 AS (SELECT e.dst, CAST(sum(r.pr // g.d) AS BIGINT) AS s FROM edges e
+             JOIN deg g ON g.src = e.src JOIN r2 r ON r.id = e.src GROUP BY e.dst),
+      r3 AS (SELECT nodes.id, CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS pr
+             FROM nodes LEFT JOIN c3 ON c3.dst = nodes.id)
+      SELECT id AS doc_id, pr FROM r3 ORDER BY doc_id""",
     // KMV replay: bottom-k of the distinct md5-60bit hashes per lang via
     // row_number; same (k-1)*2^60/h_k estimator arithmetic
     "q117_kmv_distinct" -> """

@@ -305,6 +305,27 @@ class Round7OpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  // ------------------------------------------------------------- pagerank
+
+  test("pagerank: hand-computed fixed-point values on a 3-node chain; repartition does not perturb") {
+    import graft.operators.PageRank
+    // 1 -> 2, 1 -> 3, 2 -> 3 (node 3 dangles: its mass drops, standard)
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    def run(parts: Int): Map[Long, Long] =
+      PageRank.fixedPoint(edges.repartition(parts), "src", "dst",
+          nodes, "id", iterations = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // iter1 from r=1000000: c(2)=1000000 div 2=500000; c(3)=500000+1000000
+    //   r1(1)=150000; r1(2)=150000+85*500000 div 100=575000
+    //   r1(3)=150000+85*1500000 div 100=1425000
+    // iter2: c(2)=150000 div 2=75000; c(3)=75000+575000=650000
+    //   r2(1)=150000; r2(2)=150000+63750=213750; r2(3)=150000+552500=702500
+    val expected = Map(1L -> 150000L, 2L -> 213750L, 3L -> 702500L)
+    assert(run(1) == expected)
+    assert(run(7) == expected) // integer arithmetic: partitioning can't perturb
+  }
+
   // ------------------------------------------- stream-stream interval join
 
   test("interval join: streaming drain equals the batch interval join, window closed at both ends") {
