@@ -34,6 +34,20 @@ object TextFunctions {
   def tokenCount(c: Column): Column =
     when(wsTrim(c) === "", lit(0)).otherwise(size(split(wsTrim(c), "\\s+")))
 
+  // ---------------------------------------------- dictionary-term masking
+
+  /** Blocklist scrub: mask every dictionary-term occurrence (multi-word
+    * phrases included) with `token`, leftmost-longest non-overlapping.
+    * Native Aho-Corasick expression — linear in text length regardless of
+    * dictionary size, where a regex alternation of N terms backtracks. */
+  def maskTerms(c: Column, dict: Seq[String],
+                token: String = "[REDACTED]"): Column =
+    graft.functions.expressions.HashExpressions.mask_terms(c, dict, token)
+
+  /** Count of regions [[maskTerms]] masks (audit surface). */
+  def maskTermCount(c: Column, dict: Seq[String]): Column =
+    graft.functions.expressions.HashExpressions.count_terms(c, dict)
+
   // ------------------------------------------------- HTML text extraction
   // Markup removal + entity unescape — the ingestion step between a raw web
   // crawl and every text operator above. Tag strip runs FIRST so an escaped

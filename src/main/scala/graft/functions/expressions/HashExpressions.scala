@@ -257,6 +257,52 @@ object HashExpressions {
     override def prettyName: String = s"unicode_normalize_${form.toLowerCase}"
   }
 
+  /** Multi-term dictionary masking via a shared Aho-Corasick automaton
+    * ([[AcAutomaton]]): linear in text length however large the dict — the
+    * blocklist-scrub operator where a regex alternation would backtrack.
+    * Leftmost-longest non-overlapping; the automaton builds lazily once per
+    * expression instance and ships to executors as a reference object. */
+  case class MaskTermsExpr(child: Expression, dict: Seq[String], token: String)
+      extends UnaryExpression {
+    require(dict.nonEmpty, "empty dictionary")
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val ac = new AcAutomaton(dict.toArray)
+    @transient private lazy val tok = UTF8String.fromString(token)
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.acMask(input.asInstanceOf[UTF8String], ac, tok)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val acRef = ctx.addReferenceObj("acAutomaton", ac, classOf[AcAutomaton].getName)
+      val tokRef = ctx.addReferenceObj("maskToken", tok, "org.apache.spark.unsafe.types.UTF8String")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $KernelsClass.acMask($c, $acRef, $tokRef);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "mask_terms"
+  }
+
+  /** Count of regions [[MaskTermsExpr]] would mask (same selection policy). */
+  case class CountTermsExpr(child: Expression, dict: Seq[String])
+      extends UnaryExpression {
+    require(dict.nonEmpty, "empty dictionary")
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val ac = new AcAutomaton(dict.toArray)
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.acCount(input.asInstanceOf[UTF8String], ac)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val acRef = ctx.addReferenceObj("acAutomaton", ac, classOf[AcAutomaton].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $KernelsClass.acCount($c, $acRef);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "count_terms"
+  }
+
   /** Keep-only-allowed-ASCII-chars string filter — one byte scan instead of
     * a char-class regexp_replace (the currency-cleanup hot path). */
   case class KeepCharsExpr(child: Expression, allowed: String)
@@ -444,6 +490,10 @@ object HashExpressions {
   def fix_mojibake(text: Column): Column = column(FixMojibakeExpr(expression(text)))
   def unicode_normalize(text: Column, form: String = "NFC"): Column =
     column(UnicodeNormalizeExpr(expression(text), form))
+  def mask_terms(text: Column, dict: Seq[String], token: String): Column =
+    column(MaskTermsExpr(expression(text), dict, token))
+  def count_terms(text: Column, dict: Seq[String]): Column =
+    column(CountTermsExpr(expression(text), dict))
   def bpe_segments(words: Column, merges: Seq[(String, String)], sep: String): Column =
     column(BpeSegmentsExpr(expression(words), merges, sep))
 }

@@ -466,6 +466,14 @@ object Kernels {
     else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
   }
 
+  /** Mask every dictionary occurrence in `s` with `token`, leftmost-longest
+    * non-overlapping ([[AcAutomaton.mask]]). */
+  def acMask(s: UTF8String, ac: AcAutomaton, token: UTF8String): UTF8String =
+    UTF8String.fromString(ac.mask(s.toString, token.toString))
+
+  /** Count of masked regions under the same leftmost-longest policy. */
+  def acCount(s: UTF8String, ac: AcAutomaton): Int = ac.count(s.toString)
+
   /** Encode a WORDS array: each word → codepoint symbols → ordered merges →
     * symbols joined by `sep`. One native call per row. */
   def bpeSegments(words: ArrayData, lefts: Array[String],
@@ -482,4 +490,98 @@ object Kernels {
     }
     new GenericArrayData(out)
   }
+}
+
+/** Aho-Corasick multi-pattern automaton over UTF-16 code units — linear-time
+  * dictionary matching however large the term list (a regex alternation of N
+  * terms backtracks; this never does). Built once per expression instance on
+  * the executor, shared across rows. Matching policy for mask/count:
+  * LEFTMOST-LONGEST, NON-OVERLAPPING — all occurrences are collected (output
+  * links give every dict term ending at each position), sorted by
+  * (start asc, length desc), and swept keeping matches that start at or
+  * after the previous kept match's end. Terms containing lone surrogates are
+  * the caller's responsibility (cf. the BPE codepoint contract). */
+final class AcAutomaton(terms: Array[String]) extends Serializable {
+  import scala.collection.mutable.ArrayBuffer
+  private val children = ArrayBuffer(new java.util.HashMap[Character, Integer]())
+  private val termLen = ArrayBuffer(0) // length of the dict term ending HERE
+  terms.filter(_.nonEmpty).foreach { t =>
+    var node = 0
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      var next = children(node).get(c)
+      if (next == null) {
+        children += new java.util.HashMap[Character, Integer]()
+        termLen += 0
+        next = children.size - 1
+        children(node).put(c, next)
+      }
+      node = next
+      i += 1
+    }
+    termLen(node) = t.length
+  }
+  private val fail = new Array[Int](children.size)
+  // fail links via BFS; root's children fail to root
+  locally {
+    val queue = new java.util.ArrayDeque[Int]()
+    children(0).forEach((_, v) => { fail(v) = 0; queue.add(v) })
+    while (!queue.isEmpty) {
+      val u = queue.poll()
+      children(u).forEach { (c, v) =>
+        var f = fail(u)
+        while (f != 0 && !children(f).containsKey(c)) f = fail(f)
+        val fc = children(f).get(c)
+        fail(v) = if (fc != null && fc != v) fc else 0
+        queue.add(v)
+      }
+    }
+  }
+
+  /** All dict occurrences as (start, len), in scan order (end asc). */
+  private def occurrences(s: String): ArrayBuffer[(Int, Int)] = {
+    val out = ArrayBuffer.empty[(Int, Int)]
+    var node = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      while (node != 0 && !children(node).containsKey(c)) node = fail(node)
+      val next = children(node).get(c)
+      node = if (next != null) next else 0
+      // walk the fail chain: every dict term ending at position i
+      var o = node
+      while (o != 0) {
+        if (termLen(o) > 0) out += ((i - termLen(o) + 1, termLen(o)))
+        o = fail(o)
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Leftmost-longest non-overlapping selection of [[occurrences]]. */
+  private def selected(s: String): Seq[(Int, Int)] = {
+    val occ = occurrences(s).sortBy { case (st, len) => (st, -len) }
+    val keep = ArrayBuffer.empty[(Int, Int)]
+    var lastEnd = 0
+    occ.foreach { case (st, len) =>
+      if (st >= lastEnd) { keep += ((st, len)); lastEnd = st + len }
+    }
+    keep.toSeq
+  }
+
+  def mask(s: String, token: String): String = {
+    val keep = selected(s)
+    if (keep.isEmpty) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var pos = 0
+    keep.foreach { case (st, len) =>
+      sb.append(s, pos, st).append(token)
+      pos = st + len
+    }
+    sb.append(s, pos, s.length).toString
+  }
+
+  def count(s: String): Int = selected(s).size
 }

@@ -415,6 +415,38 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Dictionary blocklist masking (Aho-Corasick MaskTermsExpr): known
+    // sensitive phrases injected per id%4 variant are masked
+    // leftmost-longest; the dict terms share no substrings or overlaps, so
+    // the oracle's chained replace() is provably the same selection. id%4=3
+    // rows prove clean pass-through.
+    "q120_term_mask" -> ((s, d) => {
+      val dict = Seq("confidential", "internal use only", "do not distribute")
+      val id = col("doc_id")
+      val doc = when(id % 4 === 0, concat(col("text"), lit(" confidential")))
+        .when(id % 4 === 1,
+          concat(col("text"), lit(" internal use only stays internal use only")))
+        .when(id % 4 === 2,
+          concat(col("text"), lit(" do not distribute confidential")))
+        .otherwise(col("text"))
+      Tables(s, d, "documents")
+        .select(id, T.maskTerms(doc, dict).as("masked"),
+          T.maskTermCount(doc, dict).cast(LongType).as("n_masked"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Histogram-bucket quantiles (CorpusStats.histogramQuantiles): p50/p90/
+    // p99 of document length per lang WITHOUT a global sort — fixed-width
+    // bucket counts (map-side combine) + integer cross-multiplied
+    // thresholds. Bucket-resolution quantiles, exact under the oracle.
+    "q121_histogram_quantiles" -> ((s, d) => {
+      import graft.operators.CorpusStats
+      CorpusStats.histogramQuantiles(Tables(s, d, "documents"), "n_chars",
+          Seq("lang"), bucketWidth = 16L, nBuckets = 64,
+          qs = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)))
+        .orderBy(col("lang"))
+    }),
+
     // Full IVF-PQ composition (q41's inverted file × q101's codes): corpus
     // assigned once + encoded once, queries ADC-score only their nprobe
     // probed lists. Both the routing and the quantized scoring replay
@@ -1185,6 +1217,40 @@ object TextQueries {
       r3 AS (SELECT nodes.id, CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS pr
              FROM nodes LEFT JOIN c3 ON c3.dst = nodes.id)
       SELECT id AS doc_id, pr FROM r3 ORDER BY doc_id""",
+    // Term-mask replay: same injection; chained replace() == AC selection
+    // because the dict terms share no substrings/overlaps; counts are
+    // per-term occurrence sums for the same reason
+    "q120_term_mask" -> """
+      WITH docs AS (
+        SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN ' confidential'
+          WHEN 1 THEN ' internal use only stays internal use only'
+          WHEN 2 THEN ' do not distribute confidential'
+          ELSE '' END AS doc
+        FROM documents)
+      SELECT doc_id,
+        replace(replace(replace(doc,
+          'confidential', '[REDACTED]'),
+          'internal use only', '[REDACTED]'),
+          'do not distribute', '[REDACTED]') AS masked,
+        len(regexp_extract_all(doc, 'confidential')) +
+        len(regexp_extract_all(doc, 'internal use only')) +
+        len(regexp_extract_all(doc, 'do not distribute')) AS n_masked
+      FROM docs ORDER BY doc_id""",
+    // Histogram-quantile replay: same buckets, same cumulative counts, same
+    // integer cross-multiplied thresholds
+    "q121_histogram_quantiles" -> """
+      WITH b AS (SELECT lang, LEAST(n_chars // 16, 63) AS bk FROM documents),
+      c AS (SELECT lang, bk, count(*) AS c FROM b GROUP BY lang, bk),
+      cum AS (SELECT lang, bk, c,
+               sum(c) OVER (PARTITION BY lang ORDER BY bk) AS cum,
+               sum(c) OVER (PARTITION BY lang) AS n
+              FROM c)
+      SELECT lang, CAST(max(n) AS BIGINT) AS n,
+        CAST(min(CASE WHEN cum * 2 >= n * 1 THEN bk END) * 16 AS BIGINT) AS p50_lo,
+        CAST(min(CASE WHEN cum * 10 >= n * 9 THEN bk END) * 16 AS BIGINT) AS p90_lo,
+        CAST(min(CASE WHEN cum * 100 >= n * 99 THEN bk END) * 16 AS BIGINT) AS p99_lo
+      FROM cum GROUP BY lang ORDER BY lang""",
     // KMV replay: bottom-k of the distinct md5-60bit hashes per lang via
     // row_number; same (k-1)*2^60/h_k estimator arithmetic
     "q117_kmv_distinct" -> """

@@ -305,6 +305,40 @@ class Round7OpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  // ------------------------------------------------------ term masking (AC)
+
+  test("mask terms: leftmost-longest wins, non-overlapping sweep, phrases mask whole, counts agree") {
+    import graft.functions.{TextFunctions => T}
+    val dict = Seq("ab", "abc", "aaa", "internal use only")
+    val df = Seq(
+      (1L, "xabcx"),          // abc (longest at 0) not ab
+      (2L, "aaaaa"),          // one aaa at 0; remaining "aa" no match
+      (3L, "abab"),           // two adjacent ab
+      (4L, "see internal use only here"),
+      (5L, "clean row"),
+      (6L, "")
+    ).toDF("id", "s")
+    val out = df.select(col("id"), T.maskTerms(col("s"), dict, "[T]").as("m"),
+        T.maskTermCount(col("s"), dict).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) == (("x[T]x", 1)))
+    assert(out(2L) == (("[T]aa", 1)))
+    assert(out(3L) == (("[T][T]", 2)))
+    assert(out(4L) == (("see [T] here", 1)))
+    assert(out(5L) == (("clean row", 0)))
+    assert(out(6L) == (("", 0)))
+  }
+
+  test("mask terms: shared-prefix dict terms resolve through fail links (suffix term found inside longer miss)") {
+    import graft.functions.{TextFunctions => T}
+    // "she"/"he": scanning "xshe" must find BOTH; masking takes leftmost "she"
+    val out = Seq((1L, "xshe he x")).toDF("id", "s")
+      .select(T.maskTerms(col("s"), Seq("she", "he"), "[T]").as("m"),
+        T.maskTermCount(col("s"), Seq("she", "he")).as("n"))
+      .collect()(0)
+    assert(out.getString(0) == "x[T] [T] x" && out.getInt(1) == 2)
+  }
+
   // ------------------------------------------------------------- pagerank
 
   test("pagerank: hand-computed fixed-point values on a 3-node chain; repartition does not perturb") {
