@@ -483,6 +483,48 @@ object ScaleCheck {
             col("pass")))).as("ck"), count(lit(1)).as("cnt"))
           .head().getLong(1)))
     }
+    // Fixed-point PageRank, 3 iterations over a 2-out-degree synthetic graph
+    // (edges = 2× nodes): per-iteration cost is one edge join + one integer
+    // aggregation — runtime must track edges ~linearly, and integer
+    // arithmetic means the Nx result is the 1x result per replica block.
+    locally {
+      def prNodes(df: DataFrame) = df.select(col("doc_id"))
+      def prEdges(nodesDf: DataFrame) = {
+        val nn = nodesDf.agg((max(col("doc_id")) + 1).as("__n"))
+        nodesDf.crossJoin(broadcast(nn)).select(col("doc_id").as("src"),
+          explode(array((col("doc_id") * 2 + 1) % col("__n"),
+            (col("doc_id") * 5 + 3) % col("__n"))).as("dst"))
+      }
+      Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+        timed(s"pagerank 3 iters $tag")(((),
+          operators.PageRank.fixedPoint(prEdges(prNodes(df)), "src", "dst",
+            prNodes(df), "doc_id", iterations = 3).count()))
+      }
+    }
+
+    // Aho-Corasick blocklist masking with a WIDE dictionary (2k terms): one
+    // automaton broadcast as an expression reference, linear per-row scan —
+    // runtime ~Nx, zero shuffle, cost independent of dict size (the regex
+    // alternation this replaces grows with every added term).
+    locally {
+      val dict = (0 until 2000).map(i => s"blocked$i term$i") :+ "the"
+      Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+        timed(s"ac mask 2k-term dict $tag")(((),
+          df.select(functions.TextFunctions.maskTerms(col("text"), dict).as("m"))
+            .agg(bit_xor(xxhash64(col("m"))).as("ck"), count(lit(1)).as("cnt"))
+            .head().getLong(1)))
+      }
+    }
+
+    // Histogram-bucket quantiles: one groupBy with map-side combine over
+    // 64 buckets — runtime ~Nx, shuffle bounded by groups × buckets.
+    Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+      timed(s"histogram quantiles p50/p90/p99 $tag")(((),
+        operators.CorpusStats.histogramQuantiles(
+          df.select(col("lang"), length(col("text")).cast("long").as("len")),
+          "len", Seq("lang"), 16L, 64,
+          Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))).count()))
+    }
     spark.stop()
   }
 }

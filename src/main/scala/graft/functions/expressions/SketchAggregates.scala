@@ -188,6 +188,105 @@ object SketchAggregates {
     override def prettyName: String = "cms_sketch"
   }
 
+  /** Bounded-heap bottom-k aggregate over an orderable struct: keeps the k
+    * SMALLEST inputs under the struct's natural (field-lexicographic)
+    * ordering — O(k) memory per partial, merged map-side, so "top tokens per
+    * group" costs one aggregation instead of a full window sort of every
+    * (group, token) row. Descending semantics come from negating the sort
+    * field in the struct (e.g. `struct(-count, token)` = highest counts,
+    * token-ascending tie-break — which also makes the kept SET unique and
+    * therefore merge-order independent). Evaluates to the ascending array. */
+  case class BottomKStructAgg(
+      child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[InternalRow]]
+    with UnaryLike[Expression] {
+    require(k > 0, "k must be positive")
+    private def structType: StructType = child.dataType.asInstanceOf[StructType]
+
+    @transient private lazy val ordering =
+      org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(child.dataType)
+    @transient private lazy val proj =
+      org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(structType.fields.map(_.dataType))
+
+    override def createAggregationBuffer(): java.util.TreeSet[InternalRow] =
+      new java.util.TreeSet[InternalRow](new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int =
+          ordering.compare(a, b)
+      })
+
+    private def add(b: java.util.TreeSet[InternalRow], v: InternalRow): Unit = {
+      if (b.size < k) { b.add(v); () }
+      else if (ordering.compare(v, b.last()) < 0) {
+        b.add(v); if (b.size > k) { b.pollLast(); () }
+      }
+    }
+
+    override def update(b: java.util.TreeSet[InternalRow],
+                        input: InternalRow): java.util.TreeSet[InternalRow] = {
+      val v = child.eval(input)
+      if (v != null) add(b, v.asInstanceOf[InternalRow].copy())
+      b
+    }
+
+    override def merge(b: java.util.TreeSet[InternalRow],
+                       o: java.util.TreeSet[InternalRow]): java.util.TreeSet[InternalRow] = {
+      val it = o.iterator()
+      while (it.hasNext) add(b, it.next())
+      b
+    }
+
+    override def eval(b: java.util.TreeSet[InternalRow]): Any = {
+      val out = new Array[Any](b.size)
+      val it = b.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override def serialize(b: java.util.TreeSet[InternalRow]): Array[Byte] = {
+      val rows = new scala.collection.mutable.ArrayBuffer[Array[Byte]](b.size)
+      val it = b.iterator()
+      while (it.hasNext) rows += proj(it.next()).getBytes
+      val total = 4 + rows.map(4 + _.length).sum
+      val buf = ByteBuffer.allocate(total)
+      buf.putInt(rows.size)
+      rows.foreach { r => buf.putInt(r.length); buf.put(r) }
+      buf.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.TreeSet[InternalRow] = {
+      val buf = ByteBuffer.wrap(bytes)
+      val n = buf.getInt
+      val b = createAggregationBuffer()
+      var i = 0
+      while (i < n) {
+        val len = buf.getInt
+        val arr = new Array[Byte](len)
+        buf.get(arr)
+        val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(
+          structType.fields.length)
+        row.pointTo(arr, len)
+        b.add(row)
+        i += 1
+      }
+      b
+    }
+
+    override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(newOffset: Int): BottomKStructAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): BottomKStructAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(newChild: Expression): BottomKStructAgg =
+      copy(child = newChild)
+    override def prettyName: String = "bottom_k_struct"
+  }
+
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   /** Aggregate: k smallest distinct values of a LONG hash column, ascending. */
@@ -197,4 +296,8 @@ object SketchAggregates {
   /** Aggregate: flattened depth×width count-min matrix over a STRING column. */
   def cms_sketch(token: Column, depth: Int, width: Int): Column =
     column(CmsSketchAgg(expression(token), depth, width).toAggregateExpression())
+
+  /** Aggregate: k smallest struct values (natural field order), ascending. */
+  def bottom_k_struct(v: Column, k: Int): Column =
+    column(BottomKStructAgg(expression(v), k).toAggregateExpression())
 }

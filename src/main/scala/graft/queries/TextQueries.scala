@@ -435,6 +435,24 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Top-k tokens per lang via the bounded-heap aggregate
+    // (SketchAggregates.BottomKStructAgg): after the count aggregation, the
+    // per-group top-5 costs ONE more aggregation with O(k) partials — no
+    // window sort of every (lang, token) row. struct(-cnt, tok) gives
+    // count-desc, token-asc ties; merge-order independent, exact replay.
+    "q122_topk_tokens" -> ((s, d) => {
+      import graft.functions.expressions.{SketchAggregates => SK}
+      val toks = Tables(s, d, "documents")
+        .select(col("lang"), explode(S.tokens(col("text"))).as("tok"))
+      val counts = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("lang"))
+        .agg(SK.bottom_k_struct(struct((-col("cnt")).as("negc"), col("tok")), 5).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast(LongType).as("rank"),
+          col("col.tok").as("tok"), (-col("col.negc")).as("cnt"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // Histogram-bucket quantiles (CorpusStats.histogramQuantiles): p50/p90/
     // p99 of document length per lang WITHOUT a global sort — fixed-width
     // bucket counts (map-side combine) + integer cross-multiplied
@@ -1217,6 +1235,17 @@ object TextQueries {
       r3 AS (SELECT nodes.id, CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS pr
              FROM nodes LEFT JOIN c3 ON c3.dst = nodes.id)
       SELECT id AS doc_id, pr FROM r3 ORDER BY doc_id""",
+    // Top-k replay: the window formulation the aggregate replaces
+    "q122_topk_tokens" -> """
+      WITH toks AS (
+        SELECT lang, unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS tok
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      c AS (SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY lang, tok),
+      r AS (SELECT lang, tok, cnt,
+              row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rank
+            FROM c)
+      SELECT lang, CAST(rank AS BIGINT) AS rank, tok, cnt
+      FROM r WHERE rank <= 5 ORDER BY lang, rank""",
     // Term-mask replay: same injection; chained replace() == AC selection
     // because the dict terms share no substrings/overlaps; counts are
     // per-term occurrence sums for the same reason

@@ -305,6 +305,25 @@ class Round7OpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("bottom-k struct aggregate: k smallest under field order, dedup'd ties, partition independent, under-k keeps all") {
+    import graft.functions.expressions.{SketchAggregates => SK}
+    val rows = Seq((5L, "e"), (1L, "a"), (3L, "c"), (1L, "a"), (2L, "b"), (4L, "d"))
+    def run(parts: Int): Seq[(Long, String)] =
+      rows.toDF("v", "s").repartition(parts)
+        .agg(SK.bottom_k_struct(struct(col("v"), col("s")), 3).as("k"))
+        .selectExpr("explode(k) as e").select(col("e.v"), col("e.s"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // duplicate (1,a) occupies ONE slot (set semantics) — (3,c) makes the cut
+    val expected = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+    assert(run(1) == expected)
+    assert(run(5) == expected)
+    // under-k: both rows kept, ascending
+    val all = Seq((9L, "z"), (7L, "y")).toDF("v", "s")
+      .agg(SK.bottom_k_struct(struct(col("v"), col("s")), 10).as("k"))
+      .selectExpr("explode(k) as e").select(col("e.v")).collect().map(_.getLong(0)).toSeq
+    assert(all == Seq(7L, 9L))
+  }
+
   // ------------------------------------------------------ term masking (AC)
 
   test("mask terms: leftmost-longest wins, non-overlapping sweep, phrases mask whole, counts agree") {
