@@ -59,6 +59,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("top_ngram"),
       info("top_ngram", "top_ngram(text, n) — struct(cnt, cov, gram) of the most frequent word n-gram"),
       (args: Seq[Expression]) => TopNgramExpr(args.head, intArg(args(1)))))
+
+    ext.injectFunction((FunctionIdentifier("fix_mojibake"),
+      info("fix_mojibake", "fix_mojibake(text) — repair cp1252 mojibake, strict round trip"),
+      (args: Seq[Expression]) => FixMojibakeExpr(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("unicode_normalize"),
+      info("unicode_normalize", "unicode_normalize(text, form) — NFC/NFD/NFKC/NFKD normalization"),
+      (args: Seq[Expression]) =>
+        UnicodeNormalizeExpr(args.head, stringArg(args(1)))))
+
+    ext.injectFunction((FunctionIdentifier("mask_terms"),
+      info("mask_terms", "mask_terms(text, array(terms...), token) — Aho-Corasick blocklist masking"),
+      (args: Seq[Expression]) =>
+        MaskTermsExpr(args.head, stringSeqArg(args(1)), stringArg(args(2)))))
+
+    ext.injectFunction((FunctionIdentifier("count_terms"),
+      info("count_terms", "count_terms(text, array(terms...)) — count of maskable regions"),
+      (args: Seq[Expression]) => CountTermsExpr(args.head, stringSeqArg(args(1)))))
+  }
+
+  private def stringArg(e: Expression): String = e.eval(null) match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case other => throw new IllegalArgumentException(s"expected string literal, got $other")
+  }
+
+  private def stringSeqArg(e: Expression): Seq[String] = e.eval(null) match {
+    case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+      a.toArray[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    case other => throw new IllegalArgumentException(s"expected array literal, got $other")
   }
 
   private def intArg(e: Expression): Int = e.eval(null) match {
@@ -92,5 +122,20 @@ object GraftExtensions {
       args => DropRepeatedLinesExpr(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("top_ngram",
       args => TopNgramExpr(args.head, args(1).eval(null).toString.toInt), "scala_udf")
+    reg.createOrReplaceTempFunction("fix_mojibake",
+      args => FixMojibakeExpr(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("unicode_normalize",
+      args => UnicodeNormalizeExpr(args.head, args(1).eval(null).toString), "scala_udf")
+    reg.createOrReplaceTempFunction("mask_terms",
+      args => MaskTermsExpr(args.head,
+        args(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toArray[org.apache.spark.unsafe.types.UTF8String](
+            org.apache.spark.sql.types.StringType).map(_.toString).toSeq,
+        args(2).eval(null).toString), "scala_udf")
+    reg.createOrReplaceTempFunction("count_terms",
+      args => CountTermsExpr(args.head,
+        args(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toArray[org.apache.spark.unsafe.types.UTF8String](
+            org.apache.spark.sql.types.StringType).map(_.toString).toSeq), "scala_udf")
   }
 }

@@ -141,6 +141,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(rep.getSeq[Long](0) == Seq(3L, 2L, 3L, 2L))
     assert(rep.getString(1) == "a\nb")
     assert(rep.getStruct(2).getString(2) == "x y")
+    val r7 = spark.sql(
+      """SELECT unicode_normalize('café', 'NFC') AS nn,
+               mask_terms('top secret stuff', array('top secret'), '[X]') AS mt,
+               count_terms('a secret and a secret', array('secret')) AS ct""").head()
+    assert(r7.getString(0) == "café")
+    assert(r7.getString(1) == "[X] stuff")
+    assert(r7.getInt(2) == 2)
   }
 
   test("extensions class wires into a session via spark.sql.extensions") {
