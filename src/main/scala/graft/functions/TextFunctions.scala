@@ -127,7 +127,9 @@ object TextFunctions {
   // the normalized parts — every step a codegen'd built-in shared verbatim
   // with the oracle.
 
-  val UrlSplitPattern = "^(https?)://([^/?#]+)([^?#]*)(\\?[^#]*)?(#.*)?$"
+  // (?i:) on the scheme only: crawls carry "HTTP://" — the host/path split
+  // must not reject them (lowercasing happens during reassembly)
+  val UrlSplitPattern = "^((?i:https?))://([^/?#]+)([^?#]*)(\\?[^#]*)?(#.*)?$"
 
   /** Registrable host: lowercased, `www.`-stripped. Empty for non-URLs. */
   def urlDomain(u: Column): Column =

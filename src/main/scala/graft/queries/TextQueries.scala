@@ -34,7 +34,7 @@ object TextQueries {
         (id % 7).cast("string"), lit(".Example.COM/Path/"), id.cast("string"),
         lit("/?utm_source=feed&utm_medium=x&id="), id.cast("string"), lit("#frag")))
       .when(id % 4 === 1, concat(lit("http://"), site, lit(".example.com/a/b")))
-      .when(id % 4 === 2, concat(lit("https://"), site, lit(".EXAMPLE.com/?utm_campaign=z")))
+      .when(id % 4 === 2, concat(lit("HTTPS://"), site, lit(".EXAMPLE.com/?utm_campaign=z")))
       .otherwise(concat(lit("https://www."), site, lit(".example.com")))
     Tables(s, d, "documents")
       .select(id, T.canonicalizeUrl(url).as("url_canonical"), T.urlDomain(url).as("domain"))
@@ -1434,17 +1434,17 @@ object TextQueries {
                       '/?utm_source=feed&utm_medium=x&id=' ||
                       CAST(doc_id AS VARCHAR) || '#frag'
           WHEN 1 THEN 'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/a/b'
-          WHEN 2 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.EXAMPLE.com/?utm_campaign=z'
+          WHEN 2 THEN 'HTTPS://site' || CAST(doc_id % 7 AS VARCHAR) || '.EXAMPLE.com/?utm_campaign=z'
           ELSE 'https://www.site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
           END AS url
         FROM documents),
       parts AS (
         SELECT doc_id,
-          lower(regexp_extract(url, '^(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS scheme,
-          regexp_replace(lower(regexp_extract(url, '^(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 2)), '^www\.', '') AS domain,
-          regexp_replace(regexp_extract(url, '^(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 3), '/+$', '') AS path,
+          lower(regexp_extract(url, '^((?i:https?))://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS scheme,
+          regexp_replace(lower(regexp_extract(url, '^((?i:https?))://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 2)), '^www\.', '') AS domain,
+          regexp_replace(regexp_extract(url, '^((?i:https?))://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 3), '/+$', '') AS path,
           regexp_replace(regexp_replace(
-            regexp_extract(url, '^(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 4),
+            regexp_extract(url, '^((?i:https?))://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 4),
             'utm_[A-Za-z]+=[^&#]*(&|$)', '', 'g'), '[?&]+$', '') AS query
         FROM urls)
       SELECT doc_id,
@@ -1460,17 +1460,17 @@ object TextQueries {
                       '/?utm_source=feed&utm_medium=x&id=' ||
                       CAST(doc_id AS VARCHAR) || '#frag'
           WHEN 1 THEN 'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/a/b'
-          WHEN 2 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.EXAMPLE.com/?utm_campaign=z'
+          WHEN 2 THEN 'HTTPS://site' || CAST(doc_id % 7 AS VARCHAR) || '.EXAMPLE.com/?utm_campaign=z'
           ELSE 'https://www.site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
           END AS url
         FROM documents),
       parts AS (
         SELECT doc_id,
-          lower(regexp_extract(url, '^(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS scheme,
-          regexp_replace(lower(regexp_extract(url, '^(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 2)), '^www\.', '') AS domain,
-          regexp_replace(regexp_extract(url, '^(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 3), '/+$', '') AS path,
+          lower(regexp_extract(url, '^((?i:https?))://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS scheme,
+          regexp_replace(lower(regexp_extract(url, '^((?i:https?))://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 2)), '^www\.', '') AS domain,
+          regexp_replace(regexp_extract(url, '^((?i:https?))://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 3), '/+$', '') AS path,
           regexp_replace(regexp_replace(
-            regexp_extract(url, '^(https?)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 4),
+            regexp_extract(url, '^((?i:https?))://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 4),
             'utm_[A-Za-z]+=[^&#]*(&|$)', '', 'g'), '[?&]+$', '') AS query
         FROM urls)
       SELECT domain, COUNT(*) AS n_docs,

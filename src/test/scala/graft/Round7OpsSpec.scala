@@ -236,7 +236,8 @@ class Round7OpsSpec extends SparkSpec {
       (2L, "http://ex.com/"),
       (3L, "https://www.ex.com"),
       (4L, "not a url"),
-      (5L, "https://ex.com/p?utm_a=1&utm_b=2")
+      (5L, "https://ex.com/p?utm_a=1&utm_b=2"),
+      (6L, "HTTP://WWW.EX.COM/Q")   // uppercase scheme+host: path case kept
     ).toDF("id", "u")
     val out = df.select(col("id"), T.canonicalizeUrl(col("u")).as("c"), T.urlDomain(col("u")).as("d"))
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
@@ -245,6 +246,7 @@ class Round7OpsSpec extends SparkSpec {
     assert(out(3L) == (("https://ex.com", "ex.com")))
     assert(out(4L) == (("", "")))
     assert(out(5L) == (("https://ex.com/p", "ex.com")))
+    assert(out(6L) == (("http://ex.com/Q", "ex.com")))
   }
 
   // ------------------------------------------------------------- sketches
