@@ -172,6 +172,43 @@ object Sampling {
       .filter(bucket.cast("double") < col("rate") * 65536.0)
   }
 
+  /** Temperature-scaled mixture sampling (the T5/UniMax-style τ exponent):
+    * keep group g at a rate that makes expected kept tokens ∝ tokens_g^τ —
+    * τ<1 flattens the domain distribution toward uniform, τ=1 is identity.
+    *
+    * The normalization cancels in closed form: with ratio_g ∝ tg_g^(τ-1)
+    * and rates scaled so the binding group keeps 100%,
+    *
+    *   rate_g = (tg_ref / tg_g)^(1-τ),   tg_ref = min tg (τ≤1) / max (τ>1).
+    *
+    * No token share p_g, no Σ p^τ — so for τ=0.5 the whole computation is
+    * integer sums + one double division + sqrt, ALL correctly-rounded IEEE
+    * ops, and the result (selection AND rate) is bit-identical across
+    * engines. Other τ go through pow (last-ulp engine-dependent — selection
+    * boundaries are 1-in-2^40 events, rates should be rounded for compare).
+    * Selection is the stable salted id-hash of [[stratifiedSample]].
+    * Scale shape: one bounded aggregation + broadcast join, like
+    * [[mixtureSample]]. */
+  def temperatureMixtureSample(df: DataFrame, idCol: String, groupCol: String,
+                               tokensCol: String, tau: Double): DataFrame = {
+    require(tau > 0, "tau must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val full = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val tok = coalesce(col(tokensCol).cast("long"), lit(0L))
+    val tg = df.groupBy(col(groupCol)).agg(sum(tok).as("__tg"))
+      .filter(col("__tg") > 0)
+    val refCol = if (tau <= 1.0) min(col("__tg")).over(full)
+                 else max(col("__tg")).over(full)
+    val ratio = col("__ref").cast("double") / col("__tg").cast("double")
+    val rateCol = if (tau == 0.5) sqrt(ratio) else pow(ratio, 1.0 - tau)
+    val rates = tg.withColumn("__ref", refCol)
+      .select(col(groupCol), rateCol.as("rate"))
+    val bucket = hashBucket(concat(col(groupCol).cast("string"), lit("|"),
+      col(idCol).cast("string")))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(bucket.cast("double") < col("rate") * 65536.0)
+  }
+
   /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document by
     * how much more likely its HASHED unigram features are under the target

@@ -435,6 +435,19 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Temperature-scaled mixture (Sampling.temperatureMixtureSample, τ=0.5):
+    // per-lang keep rates flatten the char-weighted domain distribution
+    // toward uniform — expected kept mass ∝ tokens^0.5. The τ=0.5 closed
+    // form (rate = sqrt(min_tg/tg)) uses only correctly-rounded IEEE ops,
+    // so selection and rate replay bit-exactly.
+    "q123_temperature_mixture" -> ((s, d) => {
+      import graft.operators.Sampling
+      Sampling.temperatureMixtureSample(Tables(s, d, "documents"),
+          "doc_id", "lang", "n_chars", tau = 0.5)
+        .select(col("doc_id"), col("lang"), round(col("rate"), 6).as("rate_r"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Top-k tokens per lang via the bounded-heap aggregate
     // (SketchAggregates.BottomKStructAgg): after the count aggregation, the
     // per-group top-5 costs ONE more aggregation with O(k) partials — no
@@ -1235,6 +1248,20 @@ object TextQueries {
       r3 AS (SELECT nodes.id, CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS pr
              FROM nodes LEFT JOIN c3 ON c3.dst = nodes.id)
       SELECT id AS doc_id, pr FROM r3 ORDER BY doc_id""",
+    // Temperature-mixture replay: integer group sums, the sqrt closed form,
+    // the same salted md5 bucket cutoff
+    "q123_temperature_mixture" -> """
+      WITH tg AS (
+        SELECT lang, CAST(sum(n_chars) AS BIGINT) AS tg
+        FROM documents GROUP BY lang HAVING sum(n_chars) > 0),
+      r AS (SELECT lang, tg, min(tg) OVER () AS mn FROM tg),
+      rates AS (SELECT lang,
+                  sqrt(CAST(mn AS DOUBLE) / CAST(tg AS DOUBLE)) AS rate
+                FROM r)
+      SELECT d.doc_id, d.lang, round(rate, 6) AS rate_r
+      FROM documents d JOIN rates USING (lang)
+      WHERE CAST(COALESCE(CAST(('0x' || substr(md5(d.lang || '|' || CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER), 0) AS DOUBLE) < rate * 65536.0
+      ORDER BY d.doc_id""",
     // Top-k replay: the window formulation the aggregate replaces
     "q122_topk_tokens" -> """
       WITH toks AS (

@@ -360,6 +360,25 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.getString(0) == "x[T] [T] x" && out.getInt(1) == 2)
   }
 
+  // ---------------------------------------------------- temperature mixture
+
+  test("temperature mixture: tau=1 keeps everything at rate 1; tau=0.5 rate is sqrt(min/tg) with the smallest group binding") {
+    import graft.operators.Sampling
+    val df = (1 to 400).map(i => (i.toLong, if (i <= 360) "big" else "small", 10L))
+      .toDF("id", "g", "toks")
+    val all = Sampling.temperatureMixtureSample(df, "id", "g", "toks", tau = 1.0)
+    assert(all.count() == 400)
+    assert(all.select(col("rate")).distinct().collect().map(_.getDouble(0)).toSeq == Seq(1.0))
+    val flat = Sampling.temperatureMixtureSample(df, "id", "g", "toks", tau = 0.5)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"), first(col("rate")).as("r"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(flat("small")._2 == 1.0)          // binding group keeps 100%
+    assert(flat("small")._1 == 40L)
+    assert(flat("big")._2 == math.sqrt(400.0 / 3600.0)) // sqrt(min_tg/tg), exact
+    // kept count tracks rate within hash-bucket noise
+    assert(math.abs(flat("big")._1 - 360 * flat("big")._2) < 40)
+  }
+
   // ------------------------------------------------------------- pagerank
 
   test("pagerank: hand-computed fixed-point values on a 3-node chain; repartition does not perturb") {
