@@ -66,6 +66,11 @@ object PipelineQueries {
           s"<name>${r.getString(2)}</name></nation>").mkString("\n") + "\n</nations>")
       Files.writeString(Paths.get(dir, "nation.dat"), rows.map(r =>
         f"${r.getLong(0)}%-6d${r.getLong(1)}%-6d${r.getString(2)}%-20s").mkString("\n"))
+      Tables(s, d, "nation")
+        .select(col("n_nationkey").cast(LongType).as("nationkey"),
+          col("n_regionkey").cast(LongType).as("regionkey"),
+          col("n_name").as("name"))
+        .coalesce(1).write.mode("overwrite").orc(s"$dir/nation_orc")
       Files.writeString(Paths.get(dir, ".done"), "ok")
     }
     dir
@@ -707,7 +712,11 @@ object PipelineQueries {
             Sources.FixedWidthField("regionkey", 6),
             Sources.FixedWidthField("name", 20))))
         .withColumn("fmt", lit("fixed"))
-      j.unionByName(x).unionByName(f).orderBy(col("fmt"), col("nationkey"))
+      val o = longs(Sources.read(s, s"$dir/nation_orc",
+          Some(Specs.parseJson("""{"orc": {}}"""))))
+        .withColumn("fmt", lit("orc"))
+      j.unionByName(x).unionByName(f).unionByName(o)
+        .orderBy(col("fmt"), col("nationkey"))
     }),
 
     // K7 + K8: the DQ-results table written by PipelineRunner (one row per
@@ -901,7 +910,7 @@ object PipelineQueries {
       SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
              CAST(n_regionkey AS BIGINT) AS regionkey,
              n_name AS name, fmt
-      FROM nation, (SELECT unnest(['fixed', 'json', 'xml']) AS fmt)
+      FROM nation, (SELECT unnest(['fixed', 'json', 'orc', 'xml']) AS fmt)
       ORDER BY fmt, nationkey""",
     "q58_dq_lineage" -> """
       WITH mapped AS (

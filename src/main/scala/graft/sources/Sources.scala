@@ -95,6 +95,10 @@ object Sources {
         .load(path)
     }
     else if (ext == "parquet" || has("parquet")) spark.read.parquet(path)
+    // ORC is a Spark built-in (orc-core ships with the distribution); Avro
+    // would need the spark-avro module jar, absent here — same jar-blocked
+    // posture as Iceberg (SURVEY.md S8)
+    else if (ext == "orc" || has("orc")) spark.read.orc(path)
     else {
       // CSV family: comma default; tsv/pipe switch the delimiter.
       var delimiter = ","
