@@ -118,6 +118,37 @@ object ScaleCheck100 {
         operators.Sampling.packSequences(df, "doc_id", "n_tokens", 2048L).count()))
     }
 
+    // ---- 4. mergeable sketches at 100× (round-7 ladder extension) ----
+    // partial sketches keep the shuffle at bytes-per-partition however large
+    // the corpus — at 100× (~15M tokens) the wall must track the scan only.
+    val repIds = (0 until n).map(i => docs.select(
+        (col("doc_id") + lit(i.toLong * offset)).as("doc_id"),
+        col("lang"), col("text")))
+      .reduce(_ unionByName _)
+    Seq(docs -> "1x", repIds -> s"${n}x").foreach { case (df, tag) =>
+      import functions.expressions.{SketchAggregates => SK}
+      val t = df.select(col("lang"), explode(S.tokens(col("text"))).as("tok"))
+      timed(s"kmv+cms sketch per lang $tag")(((),
+        t.groupBy(col("lang"))
+          .agg(SK.kmv_sketch(
+              conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"), 64)
+            .as("kmv"),
+            SK.cms_sketch(col("tok"), 4, 64).as("cms"))
+          .count()))
+    }
+
+    // ---- 5. fixed-point PageRank at 100× (1M-edge graph, 3 iterations) ----
+    Seq(docs -> "1x", repIds -> s"${n}x").foreach { case (df, tag) =>
+      val nodes = df.select(col("doc_id"))
+      val nn = nodes.agg((max(col("doc_id")) + 1).as("__n"))
+      val edges = nodes.crossJoin(broadcast(nn)).select(col("doc_id").as("src"),
+        explode(array((col("doc_id") * 2 + 1) % col("__n"),
+          (col("doc_id") * 5 + 3) % col("__n"))).as("dst"))
+      timed(s"pagerank 3 iters $tag")(((),
+        operators.PageRank.fixedPoint(edges, "src", "dst", nodes, "doc_id",
+          iterations = 3).count()))
+    }
+
     spark.stop()
   }
 }
