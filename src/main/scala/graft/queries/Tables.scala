@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Test-table loader for the driver-generated parquet dirs (TESTDATA.md).
   *
-  * `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized reader
-  * rejects; we read nanos as long (`spark.sql.legacy.parquet.nanosAsLong`) and
-  * rebuild a microsecond TIMESTAMP_NTZ — same wall-clock values DuckDB sees.
+  * `events.parquet` has carried TIMESTAMP(NANOS) — which Spark's vectorized
+  * reader rejects — in some driver generations and TIMESTAMP(MICROS) in
+  * others; we read nanos as long (`spark.sql.legacy.parquet.nanosAsLong`) and
+  * rebuild a microsecond TIMESTAMP_NTZ, or just cast when already micros —
+  * same wall-clock values DuckDB sees either way.
   *
   * Spark 4.1 has no per-read option for nanosAsLong (session conf only), so
   * the flip is made safe instead of per-read: it runs under a global lock and
@@ -45,9 +47,16 @@ object Tables {
         val prior = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val df =
-          try spark.read.parquet(s"$dir/events.parquet")
-            .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
-          finally prior match {
+          try {
+            val raw = spark.read.parquet(s"$dir/events.parquet")
+            // driver generations differ: ts arrives as TIMESTAMP(NANOS)
+            // (surfaced as long under nanosAsLong) or already TIMESTAMP(MICROS)
+            val tsIsLong = raw.schema("ts").dataType ==
+              org.apache.spark.sql.types.LongType
+            if (tsIsLong)
+              raw.withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+            else raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+          } finally prior match {
             case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
             case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
           }
