@@ -71,6 +71,26 @@ object PipelineQueries {
           col("n_regionkey").cast(LongType).as("regionkey"),
           col("n_name").as("name"))
         .coalesce(1).write.mode("overwrite").orc(s"$dir/nation_orc")
+      // Avro container fixture via the avro CORE api (no spark-avro module
+      // jar exists here — the same reason AvroSource decodes natively)
+      locally {
+        import org.apache.avro.{Schema, SchemaBuilder}
+        import org.apache.avro.file.DataFileWriter
+        import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+        val schema: Schema = SchemaBuilder.record("nation").fields()
+          .requiredLong("nationkey").requiredLong("regionkey")
+          .requiredString("name").endRecord()
+        val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+        Files.createDirectories(Paths.get(dir, "nation_avro"))
+        w.create(schema, new java.io.File(s"$dir/nation_avro/part-0.avro"))
+        try rows.foreach { r =>
+          val rec = new GenericData.Record(schema)
+          rec.put("nationkey", r.getLong(0))
+          rec.put("regionkey", r.getLong(1))
+          rec.put("name", r.getString(2))
+          w.append(rec)
+        } finally w.close()
+      }
       Files.writeString(Paths.get(dir, ".done"), "ok")
     }
     dir
@@ -715,7 +735,10 @@ object PipelineQueries {
       val o = longs(Sources.read(s, s"$dir/nation_orc",
           Some(Specs.parseJson("""{"orc": {}}"""))))
         .withColumn("fmt", lit("orc"))
-      j.unionByName(x).unionByName(f).unionByName(o)
+      val a = longs(Sources.read(s, s"$dir/nation_avro",
+          Some(Specs.parseJson("""{"avro": {}}"""))))
+        .withColumn("fmt", lit("avro"))
+      j.unionByName(x).unionByName(f).unionByName(o).unionByName(a)
         .orderBy(col("fmt"), col("nationkey"))
     }),
 
@@ -910,7 +933,7 @@ object PipelineQueries {
       SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
              CAST(n_regionkey AS BIGINT) AS regionkey,
              n_name AS name, fmt
-      FROM nation, (SELECT unnest(['fixed', 'json', 'orc', 'xml']) AS fmt)
+      FROM nation, (SELECT unnest(['avro', 'fixed', 'json', 'orc', 'xml']) AS fmt)
       ORDER BY fmt, nationkey""",
     "q58_dq_lineage" -> """
       WITH mapped AS (

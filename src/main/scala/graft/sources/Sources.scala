@@ -96,9 +96,10 @@ object Sources {
     }
     else if (ext == "parquet" || has("parquet")) spark.read.parquet(path)
     // ORC is a Spark built-in (orc-core ships with the distribution); Avro
-    // would need the spark-avro module jar, absent here — same jar-blocked
-    // posture as Iceberg (SURVEY.md S8)
+    // has no spark-avro MODULE jar here but the avro CORE library does ship,
+    // so [[AvroSource]] decodes container files natively (per-file parallel)
     else if (ext == "orc" || has("orc")) spark.read.orc(path)
+    else if (ext == "avro" || has("avro")) AvroSource.read(spark, path)
     else {
       // CSV family: comma default; tsv/pipe switch the delimiter.
       var delimiter = ","
