@@ -52,7 +52,12 @@ object PipelineQueries {
   private def ensureFormats(s: SparkSession, d: String): String = {
     import java.nio.file.{Files, Paths}
     val dir = s"/tmp/graft_src_formats/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-    if (!Files.exists(Paths.get(dir, ".done"))) {
+    // Check every expected artifact, not a single `.done` marker: a fixture
+    // dir written by an older build (pre-ORC, pre-Avro) would otherwise skip
+    // regeneration and the new legs would FileNotFound at read time.
+    val expected = Seq("nation.jsonl", "nation.xml", "nation.dat",
+      "nation_orc/_SUCCESS", "nation_avro/part-0.avro")
+    if (!expected.forall(p => Files.exists(Paths.get(dir, p)))) {
       Files.createDirectories(Paths.get(dir))
       val rows = Tables(s, d, "nation")
         .select(col("n_nationkey").cast(LongType), col("n_regionkey").cast(LongType), col("n_name"))
@@ -82,13 +87,17 @@ object PipelineQueries {
           .requiredString("name").endRecord()
         val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
         Files.createDirectories(Paths.get(dir, "nation_avro"))
-        w.create(schema, new java.io.File(s"$dir/nation_avro/part-0.avro"))
-        try rows.foreach { r =>
-          val rec = new GenericData.Record(schema)
-          rec.put("nationkey", r.getLong(0))
-          rec.put("regionkey", r.getLong(1))
-          rec.put("name", r.getString(2))
-          w.append(rec)
+        // create() is inside the try so a failure there (unwritable dir)
+        // still runs close() and doesn't leak the writer
+        try {
+          w.create(schema, new java.io.File(s"$dir/nation_avro/part-0.avro"))
+          rows.foreach { r =>
+            val rec = new GenericData.Record(schema)
+            rec.put("nationkey", r.getLong(0))
+            rec.put("regionkey", r.getLong(1))
+            rec.put("name", r.getString(2))
+            w.append(rec)
+          }
         } finally w.close()
       }
       Files.writeString(Paths.get(dir, ".done"), "ok")
