@@ -460,6 +460,29 @@ object HashExpressions {
     override def prettyName: String = "bpe_segments"
   }
 
+  /** Positional 128-bit word-n-gram hashes: array element i =
+    * struct(h1, h2) of the i-th n-token window under two xxhash64 seeds
+    * ([[Kernels.gramHashPairs]]). The positional sibling of
+    * [[HashedShinglesExpr]] — for the span-scrub family, where WHERE a hot
+    * gram starts matters, and where a 16-byte shuffle key must stay
+    * collision-free at corpus-scale gram counts (128 bits; 64 would collide
+    * at ~10¹³ grams). */
+  case class GramHashPairsExpr(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, "n must be >= 1")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("h1", LongType, nullable = false),
+      StructField("h2", LongType, nullable = false))), containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.gramHashPairs(input.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $KernelsClass.gramHashPairs($c, $n);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "gram_hash_pairs"
+  }
+
   // Spark 4's public Column is ColumnNode-backed; the classic bridge converts
   // Expression ↔ Column.
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -468,6 +491,8 @@ object HashExpressions {
     column(MinHashSignatureExpr(expression(shingles), numHashes))
   def hashed_shingles(text: Column, n: Int): Column =
     column(HashedShinglesExpr(expression(text), n))
+  def gram_hash_pairs(text: Column, n: Int): Column =
+    column(GramHashPairsExpr(expression(text), n))
   def simhash64(tokens: Column): Column = column(SimHash64Expr(expression(tokens)))
   def hyperplane_bucket(vec: Column, dim: Int, planes: Int): Column =
     column(HyperplaneBucketExpr(expression(vec), dim, planes))

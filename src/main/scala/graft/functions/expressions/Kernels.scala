@@ -490,6 +490,67 @@ object Kernels {
     }
     new GenericArrayData(out)
   }
+
+  // ---------------------------------------------------------- span scrub
+
+  private val SEED2 = 0x9747b28cL // second independent xxhash64 stream
+
+  /** Positional 128-bit word-n-gram hashes in ONE pass: element i =
+    * struct(h1, h2) of the i-th n-token window (tokens space-joined), hashed
+    * under two xxhash64 seeds. Empty below n tokens. Tokenization replicates
+    * SimilarityFunctions.tokens (lowercase, trim, split \\s+). 128 bits keeps
+    * cross-gram collisions at ~m²/2¹²⁸ across a whole corpus — a single
+    * 64-bit key WOULD collide at 100 TB gram counts (~10¹³ grams → ~10⁶
+    * expected collisions), each one a spuriously-masked span. */
+  def gramHashPairs(text: UTF8String, n: Int): ArrayData = {
+    val trimmed = text.toLowerCase.toString.replaceAll("^\\s+|\\s+$", "")
+    if (trimmed.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val toks = trimmed.split("\\s+")
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      val g = UTF8String.fromString(sb.toString)
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](
+          XXH64.hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, SEED),
+          XXH64.hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, SEED2)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Rebuild a document with every token covered by a hot n-gram start
+    * masked out — one pass over tokens with a pointer into the SORTED
+    * ascending `starts` (token covered iff some start s has s ≤ i < s+n).
+    * Returns (n_tokens, n_removed, scrubbed_text); tokenization as above. */
+  def scrubSpans(text: UTF8String, starts: ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val trimmed = text.toLowerCase.toString.replaceAll("^\\s+|\\s+$", "")
+    val toks = if (trimmed.isEmpty) Array.empty[String] else trimmed.split("\\s+")
+    val ns = starts.numElements()
+    val sb = new java.lang.StringBuilder(trimmed.length)
+    var kept = 0; var ptr = 0; var coveredUntil = -1; var i = 0
+    while (i < toks.length) {
+      while (ptr < ns && starts.getInt(ptr) <= i) {
+        val end = starts.getInt(ptr) + n
+        if (end > coveredUntil) coveredUntil = end
+        ptr += 1
+      }
+      if (i >= coveredUntil) {
+        if (kept > 0) sb.append(' ')
+        sb.append(toks(i))
+        kept += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      toks.length.toLong, (toks.length - kept).toLong,
+      UTF8String.fromString(sb.toString)))
+  }
 }
 
 /** Aho-Corasick multi-pattern automaton over UTF-16 code units — linear-time

@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 import org.apache.spark.sql.types._
@@ -65,8 +65,35 @@ object TextStatsExpressions {
     override def prettyName: String = "top_ngram"
   }
 
+  /** struct(n_tokens, n_removed, scrubbed_text): the document rebuilt with
+    * every token covered by a hot n-gram start removed, in one pass
+    * ([[Kernels.scrubSpans]]). `starts` must be a sorted-ascending int array
+    * (token positions); the HOF formulation this replaces (filter + exists
+    * per token) evaluated interpreted and cost O(tokens × starts). */
+  case class ScrubSpansExpr(left: Expression, right: Expression, n: Int)
+      extends BinaryExpression {
+    require(n >= 1, "n must be >= 1")
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("n_removed", LongType, nullable = false),
+      StructField("scrubbed_text", StringType, nullable = false)))
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(t: Any, s: Any): Any =
+      Kernels.scrubSpans(t.asInstanceOf[UTF8String],
+        s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $KernelsClass.scrubSpans($a, $b, $n);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "scrub_spans"
+  }
+
   def line_stats(text: Column): Column = column(LineStatsExpr(expression(text)))
   def drop_repeated_lines(text: Column): Column =
     column(DropRepeatedLinesExpr(expression(text)))
   def top_ngram(text: Column, n: Int): Column = column(TopNgramExpr(expression(text), n))
+  def scrub_spans(text: Column, starts: Column, n: Int): Column =
+    column(ScrubSpansExpr(expression(text), expression(starts), n))
 }

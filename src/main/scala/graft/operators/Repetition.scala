@@ -120,27 +120,28 @@ object Repetition {
     * repetition alone never triggers the scrub (that is
     * [[dropRepeatedLines]]/[[topNgramCharFrac]] territory).
     *
-    * Scale shape: gram construction is the zipped-shifted-slice form (linear,
-    * no slice-in-lambda quadratics); what shuffles is (md5(gram), doc, pos) —
-    * a 128-bit key instead of the gram TEXT, making over-masking from key
-    * collisions ~n²/2¹²⁸ (nonexistent in practice) while keeping shuffle
-    * bytes independent of gram length, and md5 replays in the oracle. The
-    * hot-key table is usually tiny (boilerplate is rare) but corpus-dependent,
-    * so the join back is left to AQE rather than force-broadcast. Each
-    * document is rebuilt ROW-LOCALLY from its own token array and its sorted
-    * hot-start list. Returns (id, n_tokens, n_removed, scrubbed_text). */
+    * Scale shape: gram construction + hashing is ONE codegen'd kernel pass
+    * per document ([[graft.functions.expressions.Kernels.gramHashPairs]] —
+    * the zipped-shifted-slice HOF it replaces evaluated interpreted and cost
+    * ~3× the whole rest of the query); what shuffles is
+    * ((h1, h2), doc, pos) — a 16-byte 128-bit key instead of the gram TEXT
+    * (shuffle bytes independent of gram length) or a 32-char md5 hex, with
+    * over-masking from key collisions ~m²/2¹²⁸ (nonexistent in practice;
+    * 64 bits would NOT survive 100 TB gram counts). The oracle groups the
+    * same windows via md5 — any injective gram key yields identical hot
+    * sets, so the replay needs no xxhash64 in DuckDB. The hot-key table is
+    * usually tiny (boilerplate is rare) but corpus-dependent, so the join
+    * back is left to AQE rather than force-broadcast. Each document is
+    * rebuilt ROW-LOCALLY from its own text and its sorted hot-start list in
+    * one kernel pass ([[graft.functions.expressions.Kernels.scrubSpans]]).
+    * Returns (id, n_tokens, n_removed, scrubbed_text). */
   def scrubRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 8, minDocs: Int = 2): DataFrame = {
     require(n > 0 && minDocs >= 2, s"need n > 0, minDocs >= 2: $n, $minDocs")
-    val ts = graft.functions.SimilarityFunctions.tokens(col(textCol))
-    val base = df.select(col(idCol), ts.as("__ts"))
-    val m = size(col("__ts")) - (n - 1)
-    val shifted = (0 until n).map(k => slice(col("__ts"), lit(k + 1), m).as(s"t$k"))
-    val gramArr = transform(arrays_zip(shifted: _*), s =>
-      concat_ws(" ", (0 until n).map(k => s.getField(s"t$k")): _*))
-    val grams = base.filter(size(col("__ts")) >= n)
-      .select(col(idCol), posexplode(gramArr).as(Seq("__p", "__g")))
-      .select(col(idCol), col("__p"), md5(col("__g")).as("__gh"))
+    import graft.functions.expressions.HashExpressions.gram_hash_pairs
+    import graft.functions.expressions.TextStatsExpressions.scrub_spans
+    val grams = df.select(col(idCol),
+      posexplode(gram_hash_pairs(col(textCol), n)).as(Seq("__p", "__gh")))
     val hot = grams.groupBy(col("__gh"))
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
@@ -148,15 +149,14 @@ object Repetition {
     val hotStarts = grams.join(hot, Seq("__gh"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("__p"))).as("__starts"))
-    base.join(hotStarts, Seq(idCol), "left")
+    df.select(col(idCol), col(textCol)).join(hotStarts, Seq(idCol), "left")
       .withColumn("__starts",
         coalesce(col("__starts"), array().cast("array<int>")))
-      .withColumn("__kept", filter(col("__ts"),
-        (t, i) => !exists(col("__starts"), s => i >= s && i < s + n)))
+      .withColumn("__sc", scrub_spans(col(textCol), col("__starts"), n))
       .select(col(idCol),
-        size(col("__ts")).cast("long").as("n_tokens"),
-        (size(col("__ts")) - size(col("__kept"))).cast("long").as("n_removed"),
-        array_join(col("__kept"), " ").as("scrubbed_text"))
+        col("__sc.n_tokens").as("n_tokens"),
+        col("__sc.n_removed").as("n_removed"),
+        col("__sc.scrubbed_text").as("scrubbed_text"))
   }
 
   // ------------------------------------------------ cross-check formulations
