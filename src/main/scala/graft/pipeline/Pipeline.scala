@@ -38,11 +38,16 @@ class PipelineRunner(spark: SparkSession) {
     "month" -> f"${date.getMonthValue}%02d",
     "day" -> f"${date.getDayOfMonth}%02d")
 
-  /** Collect → Cleanse (etl_collect_to_cleanse.py:58-353). */
+  /** Collect → Cleanse (etl_collect_to_cleanse.py:58-353).
+    *
+    * `extraTransforms` is the user-extension seam: names resolve there
+    * before the built-in registry, mirroring the reference's drop-in
+    * transform modules (datatransform_premiumdemo.py:186-233). */
   def collectToCleanse(args: JobArgs, spec: Specs.DatasetSpec,
                        mapping: Seq[MappingRow],
                        dqRules: Map[String, Map[String, Seq[String]]],
-                       ctx: TransformContext): DataFrame = {
+                       ctx: TransformContext,
+                       extraTransforms: Map[String, TransformRegistry.Transform] = Map.empty): DataFrame = {
     val lineage = ctx.lineage.getOrElse(new Lineage(args.executionId, args.lineageSink))
 
     // 1. format-dispatched read
@@ -102,8 +107,8 @@ class PipelineRunner(spark: SparkSession) {
     val afterDq1 = engine.runRuleset(mapped,
       dqRules.getOrElse("before_transform", Map.empty), "before_transform")
 
-    // 5. transform chain (JSON key order)
-    val transformed = TransformRegistry.applyAll(afterDq1, spec.transformSpec, ctx)
+    // 5. transform chain (JSON key order); user transforms dispatch first
+    val transformed = TransformRegistry.applyAll(afterDq1, spec.transformSpec, ctx, extraTransforms)
 
     // 6. partition + execution_id literal columns
     val withPartition = transformed.withColumns(

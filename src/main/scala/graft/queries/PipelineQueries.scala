@@ -52,13 +52,18 @@ object PipelineQueries {
   private def ensureFormats(s: SparkSession, d: String): String = {
     import java.nio.file.{Files, Paths}
     val dir = s"/tmp/graft_src_formats/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-    // Check every expected artifact, not a single `.done` marker: a fixture
-    // dir written by an older build (pre-ORC, pre-Avro) would otherwise skip
-    // regeneration and the new legs would FileNotFound at read time.
+    // Check every expected artifact AND the `.done` marker (written last):
+    // the artifact list catches a fixture dir written by an older build
+    // (pre-ORC, pre-Avro — new legs would FileNotFound), while `.done`
+    // catches a crash mid-generation that left an artifact existing but
+    // truncated (e.g. a flushed-on-close partial Avro container).
     val expected = Seq("nation.jsonl", "nation.xml", "nation.dat",
-      "nation_orc/_SUCCESS", "nation_avro/part-0.avro")
+      "nation_orc/_SUCCESS", "nation_avro/part-0.avro", ".done")
     if (!expected.forall(p => Files.exists(Paths.get(dir, p)))) {
       Files.createDirectories(Paths.get(dir))
+      // invalidate first: a stale `.done` from an older generation must not
+      // vouch for a regeneration that crashes partway through
+      Files.deleteIfExists(Paths.get(dir, ".done"))
       val rows = Tables(s, d, "nation")
         .select(col("n_nationkey").cast(LongType), col("n_regionkey").cast(LongType), col("n_name"))
         .orderBy(col("n_nationkey")).collect()

@@ -33,14 +33,21 @@ import org.apache.spark.sql.types._
   */
 object AvroSource {
 
+  /** `.avro` files under a directory, sorted. `listFiles()` returns null
+    * (not empty) on an I/O error / permission denial — surface the path,
+    * not an NPE. */
+  private[graft] def listAvroFiles(dir: File): Seq[String] = {
+    val listed = dir.listFiles()
+    require(listed != null, s"cannot list directory ${dir.getPath} (unreadable or I/O error)")
+    listed.filter(x => x.isFile && x.getName.endsWith(".avro"))
+      .map(_.getAbsolutePath).sorted.toSeq
+  }
+
   /** Read one container file or a directory of `.avro` files. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val f = new File(path)
     val files: Seq[String] =
-      if (f.isDirectory)
-        f.listFiles().filter(x => x.isFile && x.getName.endsWith(".avro"))
-          .map(_.getAbsolutePath).sorted.toSeq
-      else Seq(f.getAbsolutePath)
+      if (f.isDirectory) listAvroFiles(f) else Seq(f.getAbsolutePath)
     require(files.nonEmpty, s"no .avro files under $path")
 
     // schema from the first file's header only — no records decoded here
@@ -60,11 +67,24 @@ object AvroSource {
         val schema = new Schema.Parser().parse(schemaJson)
         val reader = new DataFileReader[GenericRecord](
           new File(p), new GenericDatumReader[GenericRecord](schema))
-        // DataFileReader is an iterator; drain eagerly so close() is safe
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        try while (reader.hasNext) out += toRow(reader.next(), schema)
-        finally reader.close()
-        out
+        // lazy close-on-exhaustion iterator: rows stream through the task
+        // instead of materializing the whole container file in an
+        // ArrayBuffer first (one huge file must spill downstream, not OOM
+        // here); close fires exactly once, when the last row is consumed
+        new Iterator[Row] {
+          private var closed = false
+          private def closeOnce(): Unit =
+            if (!closed) { closed = true; reader.close() }
+          override def hasNext: Boolean =
+            !closed && (reader.hasNext || { closeOnce(); false })
+          override def next(): Row = {
+            if (!hasNext) throw new NoSuchElementException(s"exhausted $p")
+            val row = try toRow(reader.next(), schema)
+            catch { case e: Throwable => closeOnce(); throw e }
+            if (!reader.hasNext) closeOnce()
+            row
+          }
+        }
       }
     spark.createDataFrame(rdd, sparkSchema)
   }

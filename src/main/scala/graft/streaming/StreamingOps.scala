@@ -70,8 +70,18 @@ object StreamingOps {
     * watermark, the only shape that is bounded on an unbounded 100 TB stream.
     * (A processing-time timeout would also keep scheduling wake-up batches
     * forever under drain-style triggers.) Caller must `withWatermark` the
-    * input on `ts`. */
-  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    * input on `ts`.
+    *
+    * `maxBatchEventsPerKey` bounds the in-batch sort buffer: one batch's
+    * events for one key ARE materialized to process them in time order, so a
+    * single pathological key (a bot flood, a null-ish default id) would
+    * otherwise OOM its task however healthy the rest of the stream. Past the
+    * bound the key's excess events in that batch are DROPPED (same posture
+    * as the LSH hot-bucket chain guards: degrade the pathological key,
+    * protect the job); the default admits ~1M events per key per batch —
+    * far past any organic session. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 maxBatchEventsPerKey: Int = 1 << 20): Dataset[Session] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
@@ -86,7 +96,16 @@ object StreamingOps {
             // (catch-up/backfill batches) — process in time order and close a
             // session whenever the in-batch gap exceeds gapMs, exactly like
             // the batch-mode sessionizeBatch
-            val evs = rows.toSeq.sortBy(_.ts.getTime)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Event]
+            var dropped = 0L
+            rows.foreach { e =>
+              if (buf.size < maxBatchEventsPerKey) buf += e else dropped += 1
+            }
+            if (dropped > 0)
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"sessionize: key $userId exceeded maxBatchEventsPerKey=" +
+                  s"$maxBatchEventsPerKey in one batch; dropped $dropped events")
+            val evs = buf.sortBy(_.ts.getTime)
             var st = state.getOption.getOrElse(SessionState(0, 0.0, Long.MaxValue, 0L))
             val closed = scala.collection.mutable.ListBuffer.empty[Session]
             evs.foreach { e =>

@@ -33,13 +33,22 @@ object TransformRegistry {
 
   type Transform = (DataFrame, JsonNode, TransformContext) => DataFrame
 
-  /** Run a whole transform_spec in declared order. */
+  /** Run a whole transform_spec in declared order.
+    *
+    * `extra` is the user-transform extension point — the analog of the
+    * reference's drop-in transform modules, whose `transform_*` functions
+    * join the same `globals()` dispatch the built-ins use
+    * (resources/datatransform_premiumdemo.py:186-233,
+    * etl_collect_to_cleanse.py:272-291). Consulted BEFORE the built-in map,
+    * so a user transform can also shadow a built-in name; lineage records
+    * user transforms identically. */
   def applyAll(df: DataFrame, transformSpec: Seq[(String, JsonNode)],
-               ctx: TransformContext): DataFrame =
+               ctx: TransformContext,
+               extra: Map[String, Transform] = Map.empty): DataFrame =
     transformSpec.foldLeft(df) { case (acc, (key, node)) =>
       val name = Specs.dispatchName(key)
-      val t = registry.getOrElse(name,
-        throw new IllegalArgumentException(s"Transform $name called for which there is no registered function"))
+      val t = extra.getOrElse(name, registry.getOrElse(name,
+        throw new IllegalArgumentException(s"Transform $name called for which there is no registered function")))
       val out = t(acc, node, ctx)
       ctx.recordLineage(out, name, node.toString)
       out

@@ -2,6 +2,7 @@ package graft
 
 import graft.catalog.SchemaEvolution
 import graft.config.Specs
+import graft.config.Specs.NodeOps
 import graft.pipeline.{JobArgs, PipelineRunner}
 import graft.sources.{ExcelSource, Sources}
 import graft.stores.{LookupStore, TokenStore}
@@ -70,6 +71,46 @@ class SourcesSpec extends SparkSpec {
     val out = Sources.read(spark, f.toString, Some(spec))
     assert(out.columns.toSeq == Seq("a", "b"))
     assert(out.count() == 2)
+  }
+
+  test("avro reader: streams a container file lazily and round-trips values") {
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = Files.createTempDirectory("graft_avro")
+    val schema = SchemaBuilder.record("r").fields()
+      .requiredLong("id").optionalString("name").endRecord()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, dir.resolve("part-0.avro").toFile)
+    (0L until 100L).foreach { i =>
+      val rec = new GenericData.Record(schema)
+      rec.put("id", i)
+      rec.put("name", if (i % 10 == 0) null else s"n$i")
+      w.append(rec)
+    }
+    w.close()
+    val out = graft.sources.AvroSource.read(spark, dir.toString)
+    assert(out.count() == 100)
+    assert(out.where(org.apache.spark.sql.functions.col("name").isNull).count() == 10)
+    assert(out.selectExpr("sum(id)").head().getLong(0) == (0L until 100L).sum)
+  }
+
+  test("avro reader surfaces an unreadable directory as an error with the path") {
+    // File.listFiles() returns null on I/O error / permission denial; root
+    // bypasses permission bits, so simulate the null contractually
+    val bad = new java.io.File("/some/flaky/mount") {
+      override def listFiles(): Array[java.io.File] = null
+    }
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.AvroSource.listAvroFiles(bad)
+    }
+    assert(e.getMessage.contains("/some/flaky/mount"))
+    // and a present-but-empty dir is the distinct "no .avro files" error
+    val empty = Files.createTempDirectory("graft_avro_empty")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.AvroSource.read(spark, empty.toString)
+    }
+    assert(e2.getMessage.contains("no .avro files"))
   }
 
   test("xlsx round-trip: shared strings, numbers, gaps, header, sheet select") {
@@ -260,6 +301,33 @@ class PipelineE2eSpec extends SparkSpec {
     val q = spark.table(s"$db.policydata_quarantine_after_transform")
     assert(q.count() == 1)
     assert(q.columns.contains("quarantine_timestamp"))
+  }
+
+  test("pipeline dispatches a user-supplied transform from the spec by name") {
+    val dir = Files.createTempDirectory("graft_usertr")
+    Files.writeString(dir.resolve("rates-20240101.csv"),
+      "Product,Rate\nA,0.10\nB,0.20\n")
+    val spec = Specs.datasetSpec(Specs.parseJson(
+      """{
+        "input_spec": {"csv": {"header": true}, "allow_schema_change": "permissive"},
+        "transform_spec": {
+          "changetype": {"rate": "double"},
+          "bump_rate": {"field": "rate", "bps": 50}
+        }
+      }"""))
+    val mapping = Specs.mappingCsv("SourceName,DestName\nProduct,product\nRate,rate\n")
+    // drop-in user transform, same (df, spec, ctx) contract as the built-ins
+    val bumpRate: graft.transforms.TransformRegistry.Transform = (d, s, _) =>
+      d.withColumn(s.str("field").get,
+        col(s.str("field").get) + s.dbl("bps").get / 10000.0)
+    val db = uniqueDb
+    val args = JobArgs("SynTest", "rates", dir.resolve("rates-20240101.csv").toString,
+      "exec-u", Map("year" -> "2024"), db)
+    new PipelineRunner(spark).collectToCleanse(args, spec, mapping, Map.empty,
+      TransformContext(spark, filename = "rates-20240101.csv"),
+      extraTransforms = Map("bump_rate" -> bumpRate))
+    val stored = spark.table(s"$db.rates")
+    assert(stored.select(sum(col("rate"))).as[Double].head() == 0.10 + 0.20 + 2 * 0.005)
   }
 
   test("K10: missing mapping and transform spec write generated files to specOutDir") {

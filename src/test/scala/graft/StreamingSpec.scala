@@ -89,6 +89,38 @@ class StreamingSpec extends SparkSpec {
     assert(closed.forall(_.getAs[Boolean]("closed")))
   }
 
+  test("sessionize caps the per-key in-batch buffer: a flooded key degrades, others are exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.Event]
+    val watermarked = mem.toDS().withWatermark("ts", "0 seconds")
+    // bound of 5: the 100-event flood key keeps only its first 5 events per
+    // batch; the healthy key is untouched
+    val sessions = StreamingOps.sessionize(watermarked, gapMs = 60000L,
+      maxBatchEventsPerKey = 5)
+    val q = sessions.writeStream.format("memory").queryName("flood_sessions")
+      .outputMode(OutputMode.Append).start()
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val flood = (0 until 100).map(i =>
+      StreamingOps.Event(7L, new java.sql.Timestamp(base + i * 10), "click", 1.0))
+    val healthy = Seq(
+      StreamingOps.Event(8L, new java.sql.Timestamp(base), "click", 2.0),
+      StreamingOps.Event(8L, new java.sql.Timestamp(base + 1000), "click", 3.0))
+    mem.addData(flood ++ healthy: _*)
+    q.processAllAvailable()
+    // advance the watermark past both keys' gaps → both sessions close
+    mem.addData(StreamingOps.Event(9L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), "click", 0.0))
+    q.processAllAvailable()
+    val closed = spark.table("flood_sessions").collect()
+    q.stop()
+    val floodRow = closed.filter(_.getAs[Long]("user_id") == 7L)
+    assert(floodRow.length == 1)
+    assert(floodRow.head.getAs[Long]("n_events") == 5) // capped, job survived
+    val healthyRow = closed.filter(_.getAs[Long]("user_id") == 8L)
+    assert(healthyRow.length == 1)
+    assert(healthyRow.head.getAs[Long]("n_events") == 2)
+    assert(healthyRow.head.getAs[Double]("total_value") == 5.0)
+  }
+
   test("batch sessionization splits on gap and aggregates per session") {
     val df = Seq(
       (1L, "2024-01-01 10:00:00", 1.0),

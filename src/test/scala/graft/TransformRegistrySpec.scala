@@ -1,6 +1,7 @@
 package graft
 
 import graft.config.Specs
+import graft.config.Specs.NodeOps
 import graft.stores.LookupStore
 import graft.transforms.{TransformContext, TransformRegistry}
 import org.apache.spark.sql.functions._
@@ -127,6 +128,31 @@ class TransformRegistrySpec extends SparkSpec {
     assert(out.select(col("js.k")).distinct().as[Long].head() == 5L)
     assert(out.select(max(col("month_idx"))).as[Int].head() == 2)
     assert(out.select(max(col("month_end"))).as[java.sql.Date].head().toString == "2024-02-29")
+  }
+
+  test("user-supplied transforms dispatch by name and shadow built-ins") {
+    val df = Seq(("p1", 2.0)).toDF("policy", "amt")
+    val double_amt: TransformRegistry.Transform = (d, spec, _) =>
+      d.withColumn(spec.str("field").get, col(spec.str("field").get) * 2)
+    // a user transform can also shadow a built-in name ("literal")
+    val literalUpper: TransformRegistry.Transform = (d, spec, _) =>
+      d.withColumns(spec.objFields.map { case (c, v) => c -> lit(v.asText.toUpperCase) }.toMap)
+    val spec = Specs.datasetSpec(Specs.parseJson(
+      """{"transform_spec": {
+           "double_amt": {"field": "amt"},
+           "double_amt:2": {"field": "amt"},
+           "literal": {"src": "unit"}
+         }}"""))
+    val out = TransformRegistry.applyAll(df, spec.transformSpec, ctx,
+      extra = Map("double_amt" -> double_amt, "literal" -> literalUpper))
+    val row = out.head()
+    assert(row.getAs[Double]("amt") == 8.0) // applied twice via the :suffix reuse convention
+    assert(row.getAs[String]("src") == "UNIT") // user version won over the built-in
+    // without the extra map the same spec is an unknown-transform error
+    val e = intercept[IllegalArgumentException] {
+      TransformRegistry.applyAll(df, spec.transformSpec, ctx)
+    }
+    assert(e.getMessage.contains("no registered function"))
   }
 
   test("unknown transform key raises the reference's error message") {
