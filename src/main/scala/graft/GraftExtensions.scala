@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.expressions.HashExpressions._
-import graft.functions.expressions.TextStatsExpressions.{DropRepeatedLinesExpr, LineStatsExpr, TopNgramExpr}
+import graft.functions.expressions.TextStatsExpressions.{DropRepeatedLinesExpr, LineStatsExpr, ScrubSpansExpr, TopNgramExpr}
 import graft.functions.SimilarityFunctions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -59,6 +59,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("top_ngram"),
       info("top_ngram", "top_ngram(text, n) — struct(cnt, cov, gram) of the most frequent word n-gram"),
       (args: Seq[Expression]) => TopNgramExpr(args.head, intArg(args(1)))))
+
+    ext.injectFunction((FunctionIdentifier("gram_hash_pairs"),
+      info("gram_hash_pairs", "gram_hash_pairs(text, n) — positional 128-bit word-n-gram hashes, array<struct<h1,h2>>"),
+      (args: Seq[Expression]) => GramHashPairsExpr(args.head, intArg(args(1)))))
+
+    ext.injectFunction((FunctionIdentifier("scrub_spans"),
+      info("scrub_spans", "scrub_spans(text, starts, n) — struct(n_tokens, n_removed, scrubbed_text)"),
+      (args: Seq[Expression]) => ScrubSpansExpr(args.head, args(1), intArg(args(2)))))
 
     ext.injectFunction((FunctionIdentifier("fix_mojibake"),
       info("fix_mojibake", "fix_mojibake(text) — repair cp1252 mojibake, strict round trip"),
@@ -122,6 +130,10 @@ object GraftExtensions {
       args => DropRepeatedLinesExpr(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("top_ngram",
       args => TopNgramExpr(args.head, args(1).eval(null).toString.toInt), "scala_udf")
+    reg.createOrReplaceTempFunction("gram_hash_pairs",
+      args => GramHashPairsExpr(args.head, args(1).eval(null).toString.toInt), "scala_udf")
+    reg.createOrReplaceTempFunction("scrub_spans",
+      args => ScrubSpansExpr(args.head, args(1), args(2).eval(null).toString.toInt), "scala_udf")
     reg.createOrReplaceTempFunction("fix_mojibake",
       args => FixMojibakeExpr(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("unicode_normalize",

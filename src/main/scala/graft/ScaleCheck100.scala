@@ -149,6 +149,43 @@ object ScaleCheck100 {
           iterations = 3).count()))
     }
 
+    // ---- 6. repeated-span scrub at 100× (round-7 ladder extension) ----
+    // q107's shape with the banner planted on every 7th doc, over PERTURBED
+    // replicas: the per-replica token rewrite keeps within-replica banner
+    // grams hot (~14% of the replica's docs share them) while cross-replica
+    // grams diverge — hot-set size grows ~linearly with replicas, the regime
+    // a real corpus's boilerplate is in. Unperturbed replication would make
+    // EVERY gram hot (all docs ≥ 100 copies) and measure the rebuild writer,
+    // not the scrub.
+    def banner(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" subscribe to our newsletter for updates" +
+          " terms of service apply today"))).otherwise(col("text")).as("text"))
+    // localCheckpoint sink, NOT count(): count of the left-preserving join
+    // lets Catalyst prune the entire gram/scrub computation (measured 0.1 s /
+    // 0 MB — the harness, not the operator); checkpointing materializes
+    // every column, same posture as the jaccard row above
+    Seq(perturbed(0) -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+      timed(s"span scrub n=8 minDocs=2 $tag (perturbed replicas)") {
+        val p = operators.Repetition.scrubRepeatedSpans(banner(df), "doc_id", "text",
+          n = 8, minDocs = 2).localCheckpoint(true)
+        val c = p.count()
+        p.unpersist(true)
+        ((), c)
+      }
+    }
+
+    // ---- 7. BM25 top-10 at 100× (round-7 ladder extension) ----
+    // fixed request-sized query set (q105's), corpus replicated with fresh
+    // ids: the broadcast-semi-join contract means only tokens matching the
+    // (tiny) query-term list shuffle — wall must track the scan, shuffle the
+    // matched slice, at any corpus size.
+    Seq(docs -> "1x", repIds -> s"${n}x").foreach { case (df, tag) =>
+      timed(s"bm25 top-10, 4 queries $tag")(((),
+        operators.Retrieval.bm25TopK(df, "text", "doc_id",
+          queries.TextQueries.Bm25Queries, k = 10).count()))
+    }
+
     spark.stop()
   }
 }

@@ -86,6 +86,55 @@ class ExpressionsSpec extends SparkSpec {
     assert(ecmp.filter(col("fast") =!= col("slow")).isEmpty)
   }
 
+  test("gram_hash_pairs == HOF gram construction, positionally") {
+    import graft.functions.expressions.{HashExpressions => H}
+    val n = 8
+    // HOF reference: the zipped-shifted-slice grams the kernel replaced,
+    // hashed with the same seed-42 xxhash64 (h1 must agree gram for gram)
+    val ts = S.tokens(col("text"))
+    val m = size(col("__ts")) - (n - 1)
+    val shifted = (0 until n).map(k => slice(col("__ts"), lit(k + 1), m).as(s"t$k"))
+    val gramArr = transform(arrays_zip(shifted: _*), s =>
+      concat_ws(" ", (0 until n).map(k => s.getField(s"t$k")): _*))
+    val slow = docs.select(col("doc_id"), ts.as("__ts"))
+      .filter(size(col("__ts")) >= n)
+      .select(col("doc_id"), posexplode(gramArr).as(Seq("p", "g")))
+      .select(col("doc_id"), col("p"), xxhash64(col("g")).as("h1"))
+    val fast = docs.select(col("doc_id"),
+        posexplode(H.gram_hash_pairs(col("text"), n)).as(Seq("p", "gh")))
+      .select(col("doc_id"), col("p"), col("gh.h1").as("h1"))
+    assert(fast.count() == slow.count() && fast.count() > 0)
+    assert(fast.join(slow, Seq("doc_id", "p", "h1"), "left_anti").isEmpty)
+    // below n tokens → empty array; h2 differs from h1 (independent stream)
+    val edge = Seq("one two three", "a b c d e f g h i").toDF("text")
+      .select(H.gram_hash_pairs(col("text"), n).as("g"))
+    assert(edge.select(size(col("g"))).as[Int].collect().toSeq == Seq(0, 2))
+    assert(edge.filter(size(col("g")) > 0)
+      .select(explode(col("g")).as("e"))
+      .filter(col("e.h1") === col("e.h2")).isEmpty)
+  }
+
+  test("scrub_spans rebuild: overlap merge, empty starts, empty text, counts") {
+    import graft.functions.expressions.{TextStatsExpressions => T}
+    def run(text: String, starts: Seq[Int], n: Int) = {
+      val out = Seq((text, starts)).toDF("text", "starts")
+        .select(T.scrub_spans(col("text"), col("starts"), n).as("s"))
+        .select(col("s.n_tokens"), col("s.n_removed"), col("s.scrubbed_text"))
+        .head()
+      (out.getLong(0), out.getLong(1), out.getString(2))
+    }
+    // overlapping starts (0 and 2, n=3) cover tokens 0..4 as one merged span
+    assert(run("a b c d e f", Seq(0, 2), 3) == ((6L, 5L, "f")))
+    // disjoint spans
+    assert(run("a b c d e f", Seq(0, 4), 2) == ((6L, 4L, "c d")))
+    // no hot starts → identity (lowercased, whitespace-normalized like tokens())
+    assert(run("A  b\tC", Seq.empty, 3) == ((3L, 0L, "a b c")))
+    // empty text
+    assert(run("   ", Seq.empty, 3) == ((0L, 0L, "")))
+    // span past the end masks through the last token only
+    assert(run("a b c", Seq(2), 4) == ((3L, 1L, "a b")))
+  }
+
   test("keep_chars expression == char-class regexp_replace") {
     import graft.functions.expressions.{HashExpressions => H}
     val vals = Seq("$1,234.56", "€1.234,56", "-9.99", "", "abc", "１２三 -1.5").toDF("v")
@@ -148,6 +197,11 @@ class ExtensionsSpec extends SparkSpec {
     assert(r7.getString(0) == "café")
     assert(r7.getString(1) == "[X] stuff")
     assert(r7.getInt(2) == 2)
+    val r8 = spark.sql(
+      """SELECT size(gram_hash_pairs('a b c d', 3)) AS ng,
+               scrub_spans('a b c d', array(1), 2) AS sc""").head()
+    assert(r8.getInt(0) == 2)
+    assert(r8.getStruct(1).getString(2) == "a d")
   }
 
   test("extensions class wires into a session via spark.sql.extensions") {
