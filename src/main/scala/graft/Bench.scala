@@ -119,13 +119,20 @@ object Bench {
     // loaded shared sandbox the drift quantifies how much ambient load
     // moved underneath the run (the r7 driver artifact ran ~1.5-2× its pin
     // across the board and had to be adjudicated by hand) — "loaded": true
-    // tells the gate and the judge to discount uniformly.
+    // tells the gate and the judge to discount uniformly. MIN of three reps
+    // after a GC: a single rep measures transient JVM state (post-suite
+    // heap pressure, a GC pause landing mid-query — measured ~1.9× drift on
+    // an otherwise-idle machine), not machine capability; the min is the
+    // capability floor both probes can reach.
     def calibrate(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0, 5000000L).select((col("id") % 997).as("k"))
-        .groupBy("k").count()
-        .agg(bit_xor(xxhash64(struct(col("k"), col("count"))))).head()
-      (System.nanoTime() - t0) / 1e9
+      System.gc()
+      (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0, 5000000L).select((col("id") % 997).as("k"))
+          .groupBy("k").count()
+          .agg(bit_xor(xxhash64(struct(col("k"), col("count"))))).head()
+        (System.nanoTime() - t0) / 1e9
+      }.min
     }
     calibrate() // untimed: compiles the calibration plan itself
     val calFirst = calibrate()
