@@ -175,6 +175,24 @@ object ScaleCheck100 {
       }
     }
 
+    // ---- 6b. Bloom decontamination at 100× (round-8 addition) ----
+    // build = one bounded aggregate over the (fixed) bench set; probe = one
+    // codegen'd corpus scan with the 128 KiB bitset as a reference object.
+    // Wall must track the scan; corpus-side shuffle must be ~ZERO at any
+    // size (localCheckpoint sink — count() would prune the probe).
+    val benchSet = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+      .select(col("doc_id"), col("text"))
+    Seq(docs -> "1x", repIds -> s"${n}x").foreach { case (df, tag) =>
+      timed(s"bloom decontamination n=13 $tag") {
+        val p = operators.Dedup.bloomDecontaminate(
+          df.select(col("doc_id"), col("text")), benchSet, "text", "doc_id", n = 13)
+          .localCheckpoint(true)
+        val c = p.count()
+        p.unpersist(true)
+        ((), c)
+      }
+    }
+
     // ---- 7. BM25 top-10 at 100× (round-7 ladder extension) ----
     // fixed request-sized query set (q105's), corpus replicated with fresh
     // ids: the broadcast-semi-join contract means only tokens matching the

@@ -483,6 +483,37 @@ object HashExpressions {
     override def prettyName: String = "gram_hash_pairs"
   }
 
+  /** struct(n_grams, n_hits): a document's distinct word-n-gram count and
+    * how many of them hit the (driver-built, codegen-referenced) Bloom
+    * bitset — the probe side of [[SketchAggregates.BloomSketchAgg]]. The
+    * bitset rides along as a reference object, so decontaminating a corpus
+    * is ONE codegen'd scan: no corpus-side shuffle, no join. */
+  case class BloomGramHitsExpr(child: Expression, n: Int, kHashes: Int,
+                               bits: Array[Byte]) extends UnaryExpression {
+    require(n >= 1, "n must be >= 1")
+    require(bits.nonEmpty && bits.length % 8 == 0, "bits must be whole big-endian longs")
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_grams", LongType, nullable = false),
+      StructField("n_hits", LongType, nullable = false)))
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val words: Array[Long] = {
+      val buf = java.nio.ByteBuffer.wrap(bits)
+      Array.fill(bits.length / 8)(buf.getLong)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.bloomGramHits(input.asInstanceOf[UTF8String], n, words, kHashes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val wRef = ctx.addReferenceObj("bloomWords", words, "long[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $KernelsClass.bloomGramHits($c, $n, $wRef, $kHashes);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "bloom_gram_hits"
+  }
+
   // Spark 4's public Column is ColumnNode-backed; the classic bridge converts
   // Expression ↔ Column.
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -493,6 +524,8 @@ object HashExpressions {
     column(HashedShinglesExpr(expression(text), n))
   def gram_hash_pairs(text: Column, n: Int): Column =
     column(GramHashPairsExpr(expression(text), n))
+  def bloom_gram_hits(text: Column, n: Int, kHashes: Int, bits: Array[Byte]): Column =
+    column(BloomGramHitsExpr(expression(text), n, kHashes, bits))
   def simhash64(tokens: Column): Column = column(SimHash64Expr(expression(tokens)))
   def hyperplane_bucket(vec: Column, dim: Int, planes: Int): Column =
     column(HyperplaneBucketExpr(expression(vec), dim, planes))

@@ -524,6 +524,40 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Probe a document's DISTINCT word n-grams against a Bloom bitset in one
+    * pass: returns (n_grams, n_hits) where n_grams counts the distinct
+    * n-token windows and n_hits those whose kHashes md5-derived positions
+    * are all set ([[SketchAggregates.bloomTest]] — same walk the build agg
+    * uses, so hits ⊇ the exact overlap always). Tokenization replicates
+    * SimilarityFunctions.tokens. */
+  def bloomGramHits(text: UTF8String, n: Int, words: Array[Long],
+                    kHashes: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    def row(g: Long, h: Long) =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](g, h))
+    val trimmed = text.toLowerCase.toString.replaceAll("^\\s+|\\s+$", "")
+    if (trimmed.isEmpty) return row(0L, 0L)
+    val toks = trimmed.split("\\s+")
+    if (toks.length < n) return row(0L, 0L)
+    val mBits = words.length * 64
+    val seen = new java.util.HashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var grams = 0L
+    var hits = 0L
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      val g = sb.toString
+      if (seen.add(g)) {
+        grams += 1
+        if (SketchAggregates.bloomTest(words, mBits, kHashes, g)) hits += 1
+      }
+      i += 1
+    }
+    row(grams, hits)
+  }
+
   /** Rebuild a document with every token covered by a hot n-gram start
     * masked out — one pass over tokens with a pointer into the SORTED
     * ascending `starts` (token covered iff some start s has s ≤ i < s+n).

@@ -188,6 +188,111 @@ object SketchAggregates {
     override def prettyName: String = "cms_sketch"
   }
 
+  /** Second 60-bit value from the SAME md5 digest (hex chars 16-30 — low
+    * nibble of byte 7, then bytes 8-14), engine-replayable as
+    * `CAST(('0x' || substr(md5(x), 16, 15)) AS BIGINT)`. Paired with
+    * [[md5Hash60]] it gives two independent hash streams from one digest
+    * (the classic double-hashing basis h1 + i·h2 for Bloom positions). */
+  def md5Hash60b(s: String): Long = {
+    val md = localMd5.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    var h = d(7) & 0x0fL
+    var i = 8
+    while (i < 15) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** Bloom-position walk shared by the build (agg) and probe (expression)
+    * sides: bit i = (h1 + i·h2) mod m with h1/h2 the two md5-derived 60-bit
+    * streams reduced mod m up front (keeps every intermediate far under
+    * 2^63 — ANSI mode throws on overflow). */
+  private[graft] def bloomSetBits(words: Array[Long], mBits: Int,
+                                        kHashes: Int, g: String): Unit = {
+    val h2 = (md5Hash60b(g) % mBits).toInt
+    var p = (md5Hash60(g) % mBits).toInt
+    var i = 0
+    while (i < kHashes) {
+      words(p >>> 6) |= 1L << (p & 63)
+      p += h2; if (p >= mBits) p -= mBits
+      i += 1
+    }
+  }
+
+  private[graft] def bloomTest(words: Array[Long], mBits: Int,
+                                     kHashes: Int, g: String): Boolean = {
+    val h2 = (md5Hash60b(g) % mBits).toInt
+    var p = (md5Hash60(g) % mBits).toInt
+    var i = 0
+    while (i < kHashes) {
+      if ((words(p >>> 6) & (1L << (p & 63))) == 0L) return false
+      p += h2; if (p >= mBits) p -= mBits
+      i += 1
+    }
+    true
+  }
+
+  /** Bloom-filter aggregate over a STRING column: an m-bit array with
+    * kHashes md5-derived double-hashed bits set per distinct input value.
+    * Evaluates to the bitset as BINARY (m/8 bytes, big-endian longs).
+    *
+    * The decontamination-at-scale primitive: partial bitsets build map-side
+    * and merge by OR (idempotent — duplicate inserts are free), so the
+    * shuffle is m/8 bytes per partition however many grams the eval set
+    * holds, and the result broadcasts to a probe SCAN instead of a join.
+    * NO FALSE NEGATIVES ever; false-positive rate ≈ (1 − e^(−k·n/m))^k —
+    * defaults sized so eval-set cardinalities keep it ~1e-9. */
+  case class BloomSketchAgg(
+      child: Expression, mBits: Int, kHashes: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] {
+    require(mBits > 0 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
+    require(kHashes > 0 && kHashes <= 16, "kHashes must be in [1, 16]")
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](mBits / 64)
+
+    override def update(b: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) bloomSetBits(b, mBits, kHashes, v.asInstanceOf[UTF8String].toString)
+      b
+    }
+
+    override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b.length) { b(i) |= o(i); i += 1 }
+      b
+    }
+
+    override def eval(b: Array[Long]): Any = serialize(b)
+
+    override def serialize(b: Array[Long]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(8 * b.length)
+      var i = 0
+      while (i < b.length) { buf.putLong(b(i)); i += 1 }
+      buf.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val buf = ByteBuffer.wrap(bytes)
+      val b = createAggregationBuffer()
+      var i = 0
+      while (i < b.length) { b(i) = buf.getLong; i += 1 }
+      b
+    }
+
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(newOffset: Int): BloomSketchAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): BloomSketchAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(newChild: Expression): BloomSketchAgg =
+      copy(child = newChild)
+    override def prettyName: String = "bloom_sketch"
+  }
+
   /** Bounded-heap bottom-k aggregate over an orderable struct: keeps the k
     * SMALLEST inputs under the struct's natural (field-lexicographic)
     * ordering — O(k) memory per partial, merged map-side, so "top tokens per
@@ -300,4 +405,8 @@ object SketchAggregates {
   /** Aggregate: k smallest struct values (natural field order), ascending. */
   def bottom_k_struct(v: Column, k: Int): Column =
     column(BottomKStructAgg(expression(v), k).toAggregateExpression())
+
+  /** Aggregate: m-bit Bloom filter (BINARY) over a STRING column. */
+  def bloom_sketch(v: Column, mBits: Int, kHashes: Int): Column =
+    column(BloomSketchAgg(expression(v), mBits, kHashes).toAggregateExpression())
 }

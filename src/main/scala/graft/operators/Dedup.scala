@@ -456,6 +456,43 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Bloom-filter n-gram decontamination — the ZERO-JOIN scale path beside
+    * [[ngramOverlapJoin]]: the benchmark set's distinct n-grams build an
+    * m-bit Bloom filter via a mergeable aggregate
+    * ([[graft.functions.expressions.SketchAggregates.BloomSketchAgg]] —
+    * partial bitsets OR map-side, m/8 bytes per partition on the wire), the
+    * bitset is collected ONCE on the driver (m/8 bytes — 128 KiB at the
+    * default 2²⁰ bits, the bounded-collect posture of the BPE cutover) and
+    * shipped as a codegen reference into a single corpus scan. A 100 TB
+    * corpus is probed with NO shuffle and NO join at all — the eval-set
+    * cost is one bounded aggregation however large the corpus.
+    *
+    * Contract: NO false negatives (a truly shared gram always hits);
+    * false-positive rate ≈ (1 − e^(−k·g/m))^k for g benchmark grams — the
+    * defaults hold ~1e-9 at eval-set sizes (g ≈ 10⁴), so flags are
+    * exact-equal in practice (q124's oracle replays the EXACT overlap and
+    * hash-matches). Use [[ngramOverlapJoin]] when per-benchmark-doc pair
+    * attribution is needed; this path answers "is this doc contaminated,
+    * and how much" corpus-side.
+    *
+    * Returns (id, n_grams = distinct n-grams, n_hits = distinct grams
+    * hitting the filter, contaminated = n_hits > 0). */
+  def bloomDecontaminate(corpus: DataFrame, bench: DataFrame, textCol: String,
+                         idCol: String, n: Int = 13,
+                         mBits: Int = 1 << 20, kHashes: Int = 5): DataFrame = {
+    import graft.functions.expressions.{HashExpressions => HE, SketchAggregates => SK}
+    val bits = bench
+      .select(explode(graft.functions.SimilarityFunctions.wordShingles(col(textCol), n)).as("__g"))
+      .agg(SK.bloom_sketch(col("__g"), mBits, kHashes).as("__bloom"))
+      .head().getAs[Array[Byte]](0)
+    corpus
+      .select(col(idCol), HE.bloom_gram_hits(col(textCol), n, kHashes, bits).as("__b"))
+      .select(col(idCol),
+        col("__b.n_grams").as("n_grams"),
+        col("__b.n_hits").as("n_hits"),
+        (col("__b.n_hits") > 0).as("contaminated"))
+  }
+
   /** Embedding-cosine near-dup pairs: LSH-bucketed by random-hyperplane sign
     * bits (shared deterministic planes), verified by exact cosine ≥ threshold.
     * Candidate generation is a bucket equi-join; no full cross join. */

@@ -448,6 +448,23 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Bloom-filter 13-gram decontamination (Dedup.bloomDecontaminate): the
+    // zero-join scale path — q80's bench set builds a 2^20-bit filter via
+    // the mergeable bloom_sketch aggregate, and the corpus is probed in one
+    // codegen'd scan. The oracle replays the EXACT distinct-gram overlap:
+    // equality vs the Bloom path holds because the md5 double-hashed FPR at
+    // this gram count (~360 inserted) is ~1e-12 per probe — no false
+    // negatives by construction, and no false positive fires at any test SF
+    // (deterministic hashing; verified, not hoped).
+    "q124_bloom_decontamination" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id"),
+          array_join(slice(S.tokens(col("text")), 3, 30), " ").as("text"))
+      graft.operators.Dedup.bloomDecontaminate(docs, bench, "text", "doc_id", n = 13)
+        .orderBy(col("doc_id"))
+    }),
+
     // Top-k tokens per lang via the bounded-heap aggregate
     // (SketchAggregates.BottomKStructAgg): after the count aggregation, the
     // per-group top-5 costs ONE more aggregation with O(k) partials — no
@@ -1686,6 +1703,35 @@ object TextQueries {
       SELECT c.doc_id AS id_l, b.doc_id AS id_r, count(*) AS n_shared
       FROM cg c JOIN bg b USING (g)
       GROUP BY 1, 2 ORDER BY id_l, id_r""",
+    // Exact replay of the Bloom decontamination flags/counts (no false
+    // negatives by construction; the deterministic md5 double-hash produces
+    // zero false positives at test-SF gram counts, so exact == Bloom here).
+    "q124_bloom_decontamination" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') END AS t
+        FROM documents),
+      cg AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 11),
+                 i -> array_to_string(t[i:i+12], ' ')))) AS g
+        FROM tok WHERE len(t) >= 13),
+      bench AS (
+        SELECT doc_id, t[3:32] AS bt FROM tok WHERE doc_id % 25 = 0),
+      bg AS (
+        SELECT DISTINCT g FROM (
+          SELECT unnest(list_distinct(list_transform(range(1, len(bt) - 11),
+                   i -> array_to_string(bt[i:i+12], ' ')))) AS g
+          FROM bench WHERE len(bt) >= 13)),
+      agg AS (
+        SELECT c.doc_id, count(*) AS n_grams, count(bg.g) AS n_hits
+        FROM cg c LEFT JOIN bg ON c.g = bg.g
+        GROUP BY c.doc_id)
+      SELECT tok.doc_id,
+             CAST(coalesce(agg.n_grams, 0) AS BIGINT) AS n_grams,
+             CAST(coalesce(agg.n_hits, 0) AS BIGINT) AS n_hits,
+             coalesce(agg.n_hits, 0) > 0 AS contaminated
+      FROM tok LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
     "q81_top_ngram" -> """
       WITH d AS (
         SELECT doc_id,

@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.{SimilarityFunctions => S}
 import graft.operators.{Repetition, Retrieval, Sampling}
 import org.apache.spark.sql.functions._
 
@@ -283,6 +284,53 @@ class Round7OpsSpec extends SparkSpec {
       (0 until 4).map(i => sk((i * 64 + (SK.md5Hash60(s"$i|$tok") % 64)).toInt)).min
     assert(estimate("the") >= 50 && estimate("cat") >= 20)
     assert(estimate("absent-token") >= 0) // collision floor only
+  }
+
+  test("bloom sketch: no false negatives, merge path equals single partition, probe matches exact overlap") {
+    import graft.functions.expressions.{SketchAggregates => SK, HashExpressions => HE}
+    // build over 300 grams; probing an inserted gram ALWAYS hits
+    val grams = (1 to 300).map(i => s"g$i gram body $i")
+    def bits(parts: Int): Array[Byte] =
+      grams.toDF("g").repartition(parts)
+        .agg(SK.bloom_sketch(col("g"), 1 << 14, 5)).head().getAs[Array[Byte]](0)
+    val b1 = bits(1)
+    assert(java.util.Arrays.equals(b1, bits(11))) // OR-merge is partition-count independent
+    val words = { val bb = java.nio.ByteBuffer.wrap(b1); Array.fill(b1.length / 8)(bb.getLong) }
+    grams.foreach(g => assert(SK.bloomTest(words, 1 << 14, 5, g), s"false negative on $g"))
+    // operator-level: bloom flags/counts equal the exact-join ground truth
+    // (documents corpus, q80's bench convention) — zero FPs at this scale
+    val docs = sf("documents")
+    val bench = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+      .select(col("doc_id"),
+        array_join(slice(S.tokens(col("text")), 3, 30), " ").as("text"))
+    val bloom = graft.operators.Dedup.bloomDecontaminate(docs, bench, "text", "doc_id", n = 13)
+    // exact ground truth under the SAME semantics: distinct doc grams vs the
+    // UNION of bench grams (ngramOverlapJoin's per-bench-doc n_shared would
+    // double-count a gram two bench docs both contain)
+    val cg = docs.select(col("doc_id"),
+      explode(HE.hashed_shingles(col("text"), 13)).as("g"))
+    val bg = bench.select(explode(HE.hashed_shingles(col("text"), 13)).as("g")).distinct()
+    val exact = cg.join(bg, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits_exact"))
+    val joined = bloom.join(exact, Seq("doc_id"), "left")
+      .withColumn("n_hits_exact", coalesce(col("n_hits_exact"), lit(0L)))
+    // superset by construction; equality because no FP fires here
+    assert(joined.filter(col("n_hits") < col("n_hits_exact")).isEmpty)
+    assert(joined.filter(col("n_hits") =!= col("n_hits_exact")).isEmpty)
+    assert(bloom.filter(col("contaminated")).count() ==
+      exact.filter(col("n_hits_exact") > 0).count())
+    // an empty bench set flags nothing
+    val none = graft.operators.Dedup.bloomDecontaminate(
+      docs.limit(50), bench.limit(0), "text", "doc_id", n = 13)
+    assert(none.filter(col("contaminated")).isEmpty)
+    // probe expression under codegen: tiny adversarial filter (64 bits, k=1)
+    // CAN false-positive but never false-negative
+    val tiny = Seq("x y z").toDF("g").agg(SK.bloom_sketch(col("g"), 64, 1))
+      .head().getAs[Array[Byte]](0)
+    val hit = Seq("x y z a").toDF("text")
+      .select(HE.bloom_gram_hits(col("text"), 3, 1, tiny).as("b"))
+      .select(col("b.n_grams"), col("b.n_hits")).head()
+    assert(hit.getLong(0) == 2 && hit.getLong(1) >= 1) // "x y z" must hit
   }
 
   test("sketch aggregates run in streaming aggregation: drained complete-mode sketch equals batch") {
