@@ -56,6 +56,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_kmv_sketch"), "partial mode must carry the sketch")
   }
 
+  test("span scrub exchanges carry 16-byte hash keys, never gram text") {
+    val p = plan(TextQueries.queries("q107_span_scrub")(spark, dir))
+    // hashing fused into the scan projection; no md5/string gram column
+    // survives into any exchange
+    assert(p.contains("gram_hash_pairs"), s"expected the fused kernel, got:\n$p")
+    assert(!p.contains("md5("), "gram keys must be the xxhash64 pair, not md5 hex")
+    // hot-set aggregation is a paired partial/final hash aggregate
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
+  test("bloom decontamination probes with a single scan — no corpus-side exchange or join") {
+    val docs = sf("documents")
+    val bench = docs.limit(20)
+    val probe = graft.operators.Dedup.bloomDecontaminate(
+      docs, bench, "text", "doc_id", n = 13)
+    val p = plan(probe)
+    // the probe side plans as scan -> project(bloom_gram_hits) with no
+    // exchange and no join of any kind: the filter rides as a reference obj
+    assert(p.contains("bloom_gram_hits"), s"expected the probe kernel, got:\n$p")
+    assert(!p.contains("Exchange"), s"corpus probe must not shuffle, got:\n$p")
+    assert(!p.contains("Join"), s"corpus probe must not join, got:\n$p")
+  }
+
   test("web-text transforms plan as pure narrow projections — no Exchange anywhere") {
     Seq("q112_pii_ipv4", "q113_html_extract", "q114_gopher_rules",
         "q115_url_canonical").foreach { q =>
