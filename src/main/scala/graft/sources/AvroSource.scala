@@ -70,21 +70,27 @@ object AvroSource {
         // lazy close-on-exhaustion iterator: rows stream through the task
         // instead of materializing the whole container file in an
         // ArrayBuffer first (one huge file must spill downstream, not OOM
-        // here); close fires exactly once, when the last row is consumed
-        new Iterator[Row] {
+        // here); close fires exactly once, when the last row is consumed —
+        // and the task-completion listener covers consumers that stop early
+        // (a limit() would otherwise leak the file handle for the JVM's life)
+        final class CloseOnExhaustionIter extends Iterator[Row] {
           private var closed = false
-          private def closeOnce(): Unit =
+          def closeNow(): Unit =
             if (!closed) { closed = true; reader.close() }
           override def hasNext: Boolean =
-            !closed && (reader.hasNext || { closeOnce(); false })
+            !closed && (reader.hasNext || { closeNow(); false })
           override def next(): Row = {
             if (!hasNext) throw new NoSuchElementException(s"exhausted $p")
             val row = try toRow(reader.next(), schema)
-            catch { case e: Throwable => closeOnce(); throw e }
-            if (!reader.hasNext) closeOnce()
+            catch { case e: Throwable => closeNow(); throw e }
+            if (!reader.hasNext) closeNow()
             row
           }
         }
+        val it = new CloseOnExhaustionIter
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => it.closeNow())
+        it
       }
     spark.createDataFrame(rdd, sparkSchema)
   }

@@ -93,6 +93,9 @@ class SourcesSpec extends SparkSpec {
     assert(out.count() == 100)
     assert(out.where(org.apache.spark.sql.functions.col("name").isNull).count() == 10)
     assert(out.selectExpr("sum(id)").head().getLong(0) == (0L until 100L).sum)
+    // early-stop consumer (limit): the task-completion listener closes the
+    // reader the iterator never exhausted
+    assert(out.limit(3).collect().length == 3)
   }
 
   test("avro reader surfaces an unreadable directory as an error with the path") {

@@ -333,6 +333,34 @@ class Round7OpsSpec extends SparkSpec {
     assert(hit.getLong(0) == 2 && hit.getLong(1) >= 1) // "x y z" must hit
   }
 
+  test("bloom probe runs in a stream: drained probe of a file stream equals batch") {
+    import graft.functions.expressions.{SketchAggregates => SK, HashExpressions => HE}
+    import graft.streaming.StreamingOps
+    import org.apache.spark.sql.streaming.OutputMode
+    // the probe is a stateless codegen'd projection, so the SAME column
+    // works under readStream — decontaminate-on-ingest with zero state
+    val docs = sf("documents").select(col("doc_id"), col("text")).limit(200)
+    val bench = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+      .select(array_join(slice(S.tokens(col("text")), 3, 30), " ").as("text"))
+    val bits = bench
+      .select(explode(S.wordShingles(col("text"), 13)).as("g"))
+      .agg(SK.bloom_sketch(col("g"), 1 << 20, 5)).head().getAs[Array[Byte]](0)
+    def probe(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), HE.bloom_gram_hits(col("text"), 13, 5, bits).as("b"))
+        .select(col("doc_id"), col("b.n_hits").as("n_hits"))
+    val dir = java.nio.file.Files.createTempDirectory("bloom_stream").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val batch = probe(spark.read.parquet(dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val schema = spark.read.parquet(dir).schema
+    val streamed = StreamingOps.drainToMemory(
+        probe(spark.readStream.schema(schema).parquet(dir)),
+        "bloom_stream_q", OutputMode.Append())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    assert(batch.values.sum > 0) // the planted bench overlap actually fires
+  }
+
   test("sketch aggregates run in streaming aggregation: drained complete-mode sketch equals batch") {
     import graft.functions.expressions.{SketchAggregates => SK}
     import graft.streaming.StreamingOps
