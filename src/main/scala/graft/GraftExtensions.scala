@@ -85,6 +85,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("count_terms"),
       info("count_terms", "count_terms(text, array(terms...)) — count of maskable regions"),
       (args: Seq[Expression]) => CountTermsExpr(args.head, stringSeqArg(args(1)))))
+
+    // Aggregates: the analyzer wraps a returned AggregateFunction in its
+    // AggregateExpression, so GROUP BY sketch building works from plain SQL.
+    ext.injectFunction((FunctionIdentifier("kmv_sketch"),
+      info("kmv_sketch", "kmv_sketch(hash, k) AGG — k smallest distinct hashes, ascending"),
+      (args: Seq[Expression]) =>
+        graft.functions.expressions.SketchAggregates.KmvSketchAgg(args.head, intArg(args(1)))))
+
+    ext.injectFunction((FunctionIdentifier("cms_sketch"),
+      info("cms_sketch", "cms_sketch(token, depth, width) AGG — flattened count-min matrix"),
+      (args: Seq[Expression]) => graft.functions.expressions.SketchAggregates
+        .CmsSketchAgg(args.head, intArg(args(1)), intArg(args(2)))))
+
+    ext.injectFunction((FunctionIdentifier("bloom_sketch"),
+      info("bloom_sketch", "bloom_sketch(gram, mBits, kHashes) AGG — Bloom bitset as BINARY"),
+      (args: Seq[Expression]) => graft.functions.expressions.SketchAggregates
+        .BloomSketchAgg(args.head, intArg(args(1)), intArg(args(2)))))
+
+    ext.injectFunction((FunctionIdentifier("bottom_k_struct"),
+      info("bottom_k_struct", "bottom_k_struct(struct, k) AGG — k smallest structs, ascending"),
+      (args: Seq[Expression]) => graft.functions.expressions.SketchAggregates
+        .BottomKStructAgg(args.head, intArg(args(1)))))
   }
 
   private def stringArg(e: Expression): String = e.eval(null) match {
@@ -149,5 +171,17 @@ object GraftExtensions {
         args(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toArray[org.apache.spark.unsafe.types.UTF8String](
             org.apache.spark.sql.types.StringType).map(_.toString).toSeq), "scala_udf")
+    reg.createOrReplaceTempFunction("kmv_sketch",
+      args => graft.functions.expressions.SketchAggregates
+        .KmvSketchAgg(args.head, args(1).eval(null).toString.toInt), "scala_udf")
+    reg.createOrReplaceTempFunction("cms_sketch",
+      args => graft.functions.expressions.SketchAggregates.CmsSketchAgg(args.head,
+        args(1).eval(null).toString.toInt, args(2).eval(null).toString.toInt), "scala_udf")
+    reg.createOrReplaceTempFunction("bloom_sketch",
+      args => graft.functions.expressions.SketchAggregates.BloomSketchAgg(args.head,
+        args(1).eval(null).toString.toInt, args(2).eval(null).toString.toInt), "scala_udf")
+    reg.createOrReplaceTempFunction("bottom_k_struct",
+      args => graft.functions.expressions.SketchAggregates
+        .BottomKStructAgg(args.head, args(1).eval(null).toString.toInt), "scala_udf")
   }
 }

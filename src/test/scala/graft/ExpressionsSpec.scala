@@ -204,6 +204,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(r8.getStruct(1).getString(2) == "a d")
   }
 
+  test("sketch aggregates work from plain SQL GROUP BY") {
+    GraftExtensions.register(spark)
+    sf("documents").limit(100).createOrReplaceTempView("sk_docs")
+    val rows = spark.sql(
+      """SELECT lang,
+               kmv_sketch(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT), 8) AS kmv,
+               cms_sketch(lang, 2, 16) AS cms,
+               bloom_sketch(text, 1024, 3) AS bloom,
+               bottom_k_struct(named_struct('n', -n_chars, 'id', doc_id), 3) AS topn
+         FROM sk_docs GROUP BY lang""").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1).nonEmpty)           // kmv: some hashes
+      assert(r.getSeq[Long](2).length == 2 * 16)   // cms: depth*width
+      assert(r.getAs[Array[Byte]](3).length == 128) // bloom: 1024 bits
+      assert(r.getSeq[org.apache.spark.sql.Row](4).length <= 3)
+    }
+  }
+
   test("extensions class wires into a session via spark.sql.extensions") {
     // verify the injector itself runs without error on a fresh builder-level
     // extensions object (full new-session wiring needs an isolated JVM)
