@@ -123,4 +123,61 @@ class SparkPropertySpec extends SparkSpec with PropHelper {
       cleaned1 == expected && cleaned2 == cleaned1
     }, tests = 10)
   }
+
+  test("gramHashPairs: positional count, h1 stream matches hashedShingles' distinct set") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.expressions.Kernels
+    val genToks = Gen.chooseNum(0, 12).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("aa", "bb", "cc", "dd", "ee")))
+    checkProp(Prop.forAll(genToks, Gen.chooseNum(1, 4)) { (toks, n) =>
+      val text = UTF8String.fromString(toks.mkString(" "))
+      val pairs = Kernels.gramHashPairs(text, n)
+      val expectedCount = math.max(0, toks.length - n + 1)
+      val h1s = (0 until pairs.numElements())
+        .map(i => pairs.getStruct(i, 2).getLong(0)).toSet
+      val shingleSet = {
+        val a = Kernels.hashedShingles(text, n)
+        (0 until a.numElements()).map(a.getLong).toSet
+      }
+      pairs.numElements() == expectedCount && h1s == shingleSet
+    }, tests = 60)
+  }
+
+  test("scrubSpans: counts consistent, empty starts = identity, superset of starts removes more") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.expressions.Kernels
+    val genToks = Gen.chooseNum(1, 12).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("x", "yy", "zzz")))
+    val genN = Gen.chooseNum(1, 4)
+    checkProp(Prop.forAll(genToks, genN, Gen.chooseNum(0, 11)) { (toks, n, s0) =>
+      val text = UTF8String.fromString(toks.mkString(" "))
+      def run(starts: Seq[Int]) = {
+        val r = Kernels.scrubSpans(text, new GenericArrayData(starts.toArray), n)
+        (r.getLong(0), r.getLong(1), r.getString(2))
+      }
+      val (nt0, nr0, sc0) = run(Seq.empty)
+      val idOk = nt0 == toks.length && nr0 == 0 && sc0 == toks.mkString(" ")
+      val s = math.min(s0, toks.length - 1)
+      val (nt1, nr1, sc1) = run(Seq(s))
+      val oneOk = nt1 == toks.length &&
+        nr1 == math.min(n, toks.length - s) && // span clipped at doc end
+        nr1 == nt1 - (if (sc1.isEmpty) 0 else sc1.split(" ").length)
+      val (_, nr2, _) = run((Seq(s) ++ Seq(math.max(0, s - 2))).distinct.sorted)
+      idOk && oneOk && nr2 >= nr1
+    }, tests = 80)
+  }
+
+  test("bloom: no false negatives for any inserted value, any geometry") {
+    import graft.functions.expressions.SketchAggregates
+    val genVals = Gen.chooseNum(1, 40).flatMap(k =>
+      Gen.listOfN(k, Gen.alphaNumStr.suchThat(_.nonEmpty)))
+    val genWords = Gen.chooseNum(1, 64) // m = words*64 bits
+    checkProp(Prop.forAll(genVals, genWords, Gen.chooseNum(1, 8)) { (vals, w, k) =>
+      val words = new Array[Long](w)
+      val m = w * 64
+      vals.foreach(v => SketchAggregates.bloomSetBits(words, m, k, v))
+      vals.forall(v => SketchAggregates.bloomTest(words, m, k, v))
+    }, tests = 60)
+  }
 }
