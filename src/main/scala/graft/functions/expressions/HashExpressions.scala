@@ -483,6 +483,23 @@ object HashExpressions {
     override def prettyName: String = "gram_hash_pairs"
   }
 
+  /** array<struct(w1h, bgh)>: per-position (condition-word hash, bigram
+    * hash) pairs for bigram-LM counting ([[Kernels.bigramHashes]]). */
+  case class BigramHashesExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("w1h", LongType, nullable = false),
+      StructField("bgh", LongType, nullable = false))), containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.bigramHashes(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $KernelsClass.bigramHashes($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "bigram_hashes"
+  }
+
   /** struct(n_grams, n_hits): a document's distinct word-n-gram count and
     * how many of them hit the (driver-built, codegen-referenced) Bloom
     * bitset — the probe side of [[SketchAggregates.BloomSketchAgg]]. The
@@ -526,6 +543,7 @@ object HashExpressions {
     column(GramHashPairsExpr(expression(text), n))
   def bloom_gram_hits(text: Column, n: Int, kHashes: Int, bits: Array[Byte]): Column =
     column(BloomGramHitsExpr(expression(text), n, kHashes, bits))
+  def bigram_hashes(text: Column): Column = column(BigramHashesExpr(expression(text)))
   def simhash64(tokens: Column): Column = column(SimHash64Expr(expression(tokens)))
   def hyperplane_bucket(vec: Column, dim: Int, planes: Int): Column =
     column(HyperplaneBucketExpr(expression(vec), dim, planes))

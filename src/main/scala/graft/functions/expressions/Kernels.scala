@@ -524,6 +524,31 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Per-position bigram hash pairs in ONE pass: element i =
+    * struct(xxhash64(w_i), xxhash64("w_i w_i+1")) — the (condition-word,
+    * bigram) keys a bigram LM needs, as 8-byte longs instead of the string
+    * pairs the zip_with HOF formulation carried (interpreted, and evaluated
+    * once per downstream use). Empty below 2 tokens. Tokenization replicates
+    * SimilarityFunctions.tokens. */
+  def bigramHashes(text: UTF8String): ArrayData = {
+    val trimmed = text.toLowerCase.toString.replaceAll("^\\s+|\\s+$", "")
+    if (trimmed.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val toks = trimmed.split("\\s+")
+    if (toks.length < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - 1)
+    val sb = new java.lang.StringBuilder(48)
+    var i = 0
+    while (i < toks.length - 1) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1))
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](xx(UTF8String.fromString(toks(i))),
+          xx(UTF8String.fromString(sb.toString))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Probe a document's DISTINCT word n-grams against a Bloom bitset in one
     * pass: returns (n_grams, n_hits) where n_grams counts the distinct
     * n-token windows and n_hits those whose kHashes md5-derived positions

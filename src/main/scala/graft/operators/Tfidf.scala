@@ -54,25 +54,27 @@ object Tfidf {
     * (c(w₁)+V) where V = unigram vocabulary size. Smoothing keeps unseen
     * continuations finite, so the filter generalizes beyond the corpus that
     * trained it. Same scale shape as [[unigramNll]] plus one more
-    * vocabulary-sized aggregation and join; docs with <2 tokens emit no row.
-    * V rides along as a broadcast single row. The corpus is tokenized ONCE
-    * (`toks0`): both the bigram stream (after the len≥2 filter) and the
-    * distinct-token count V (before it — single-token docs still widen the
-    * vocabulary) derive from that one tokenization subtree, rather than a
-    * second full-corpus tokenization pass just for V. */
+    * vocabulary-sized aggregation and join; docs with <2 tokens emit no row
+    * (the kernel returns the empty array below 2 tokens; single-token docs
+    * still widen the vocabulary V via the separate token stream).
+    * V rides along as a broadcast single row. */
   def bigramNll(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks0 = docs.select(col(idCol), S.tokens(col(textCol)).as("__ts"))
-    val toks = toks0.filter(size(col("__ts")) >= 2)
-    val bigrams = toks.select(col(idCol),
-        explode(expr(
-          "zip_with(slice(__ts, 1, size(__ts) - 1), slice(__ts, 2, size(__ts) - 1), " +
-            "(a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
-      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val uni = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
-    val vocab = toks0.select(explode(col("__ts")).as("t"))
+    // Bigram stream = ONE codegen'd kernel pass emitting 8-byte
+    // (w1-hash, bigram-hash) pairs (Kernels.bigramHashes): the zip_with HOF
+    // it replaces evaluated INTERPRETED once per downstream use (three
+    // times — both model aggregations + the probe join; the q107 disease)
+    // and shuffled string pairs. Hash-keyed counts collide at ~vocab²/2⁶⁴
+    // (immaterial for a quality signal; collision-free at oracle scale).
+    // V stays an exact distinct count over token STRINGS.
+    import graft.functions.expressions.HashExpressions.bigram_hashes
+    val bigrams = docs.select(col(idCol),
+        explode(bigram_hashes(col(textCol))).as("bg"))
+      .select(col(idCol), col("bg.w1h").as("w1h"), col("bg.bgh").as("bgh"))
+    val uni = bigrams.groupBy(col("w1h")).agg(count(lit(1)).as("__c1"))
+    val vocab = docs.select(explode(S.tokens(col(textCol))).as("t"))
       .agg(countDistinct(col("t")).as("__v"))
-    val bi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
-    bigrams.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
+    val bi = bigrams.groupBy(col("bgh")).agg(count(lit(1)).as("__c2"))
+    bigrams.join(bi, Seq("bgh")).join(uni, Seq("w1h"))
       .crossJoin(broadcast(vocab))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
