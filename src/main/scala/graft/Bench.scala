@@ -137,7 +137,7 @@ object Bench {
     calibrate() // untimed: compiles the calibration plan itself
     val calFirst = calibrate()
     val results = selected.map { case (name, fn) => name -> runTimed(fn) }
-    val regressionsConfirmed = diffAgainstBaseline(results,
+    val (regressionsConfirmed, failReport) = diffAgainstBaseline(results,
       name => runTimed(SparkEntry.queries(name)))
     val calLast = calibrate()
     val loaded = calLast > 1.5 * calFirst || calFirst > 1.5 * calLast
@@ -160,6 +160,14 @@ object Bench {
         java.nio.file.Paths.get("bench_full.json"), line + "\n")
       catch { case e: Exception =>
         System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}") }
+    // fail-fast exit LAST: exiting before the line is printed and
+    // bench_full.json is written would discard the whole suite's timings —
+    // the data needed to debug the very regression being reported
+    if (failReport.nonEmpty) {
+      failReport.foreach(r => System.err.println(s"[bench-regression] $r"))
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 
@@ -196,11 +204,15 @@ object Bench {
     * one-JSON-line contract (cleared flags are recorded too, annotated);
     * SPARK_GRAFT_FAIL_ON_REGRESSION=1 (local iteration) additionally prints
     * confirmed ones to stderr and exits non-zero. */
+  /** Returns (confirmed-regression count, fail-fast report): the report is
+    * non-empty only when SPARK_GRAFT_FAIL_ON_REGRESSION=1 and a regression
+    * was confirmed — the CALLER exits after emitting the summary line and
+    * bench_full.json, so a failing run still records its timings. */
   private def diffAgainstBaseline(results: Seq[(String, Double)],
-                                  retime: String => Double): Int = {
+                                  retime: String => Double): (Int, Seq[String]) = {
     val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_baseline.json")
     val f = new java.io.File(path)
-    if (!f.isFile) return 0
+    if (!f.isFile) return (0, Seq.empty)
     try {
       val root = graft.config.Specs.parseJson(
         new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
@@ -209,15 +221,13 @@ object Bench {
         name => Option(base.get(name)).map(_.asDouble), retime)
       java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_regressions.txt"),
         if (report.isEmpty) "none\n" else report.mkString("", "\n", "\n"))
-      if (confirmed.nonEmpty && sys.env.get("SPARK_GRAFT_FAIL_ON_REGRESSION").contains("1")) {
-        report.foreach(r => System.err.println(s"[bench-regression] $r"))
-        sys.exit(1)
-      }
-      confirmed.size
+      val fail = confirmed.nonEmpty &&
+        sys.env.get("SPARK_GRAFT_FAIL_ON_REGRESSION").contains("1")
+      (confirmed.size, if (fail) report else Seq.empty)
     } catch {
       case e: Exception =>
         System.err.println(s"[bench-regression] baseline unreadable: ${e.getMessage}")
-        0
+        (0, Seq.empty)
     }
   }
 }

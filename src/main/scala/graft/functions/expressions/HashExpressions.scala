@@ -469,6 +469,11 @@ object HashExpressions {
     * at ~10¹³ grams). */
   case class GramHashPairsExpr(child: Expression, n: Int) extends UnaryExpression {
     require(n >= 1, "n must be >= 1")
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string input, got ${child.dataType.sql}")
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("h1", LongType, nullable = false),
       StructField("h2", LongType, nullable = false))), containsNull = false)
@@ -486,6 +491,11 @@ object HashExpressions {
   /** array<struct(w1h, bgh)>: per-position (condition-word hash, bigram
     * hash) pairs for bigram-LM counting ([[Kernels.bigramHashes]]). */
   case class BigramHashesExpr(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string input, got ${child.dataType.sql}")
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("w1h", LongType, nullable = false),
       StructField("bgh", LongType, nullable = false))), containsNull = false)
@@ -509,6 +519,11 @@ object HashExpressions {
                                bits: Array[Byte]) extends UnaryExpression {
     require(n >= 1, "n must be >= 1")
     require(bits.nonEmpty && bits.length % 8 == 0, "bits must be whole big-endian longs")
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string input, got ${child.dataType.sql}")
     override def dataType: DataType = StructType(Seq(
       StructField("n_grams", LongType, nullable = false),
       StructField("n_hits", LongType, nullable = false)))

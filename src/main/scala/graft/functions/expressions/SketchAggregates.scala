@@ -206,10 +206,15 @@ object SketchAggregates {
   /** Bloom-position walk shared by the build (agg) and probe (expression)
     * sides: bit i = (h1 + i·h2) mod m with h1/h2 the two md5-derived 60-bit
     * streams reduced mod m up front (keeps every intermediate far under
-    * 2^63 — ANSI mode throws on overflow). */
+    * 2^63 — ANSI mode throws on overflow). h2 is forced ODD: a raw
+    * h2 % m of 0 would collapse all k probes onto ONE bit (its per-gram FPR
+    * then ~k·n/m instead of (k·n/m)^k — at 10¹³ corpus probe grams the
+    * 2⁻²⁰-probability degenerate slice alone would emit thousands of false
+    * flags), and with the REQUIRED power-of-two m any odd step is a unit
+    * mod m, so the k positions are always distinct. */
   private[graft] def bloomSetBits(words: Array[Long], mBits: Int,
                                         kHashes: Int, g: String): Unit = {
-    val h2 = (md5Hash60b(g) % mBits).toInt
+    val h2 = ((md5Hash60b(g) % mBits) | 1L).toInt
     var p = (md5Hash60(g) % mBits).toInt
     var i = 0
     while (i < kHashes) {
@@ -221,7 +226,7 @@ object SketchAggregates {
 
   private[graft] def bloomTest(words: Array[Long], mBits: Int,
                                      kHashes: Int, g: String): Boolean = {
-    val h2 = (md5Hash60b(g) % mBits).toInt
+    val h2 = ((md5Hash60b(g) % mBits) | 1L).toInt
     var p = (md5Hash60(g) % mBits).toInt
     var i = 0
     while (i < kHashes) {
@@ -248,7 +253,8 @@ object SketchAggregates {
       inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]]
     with UnaryLike[Expression] {
-    require(mBits > 0 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      "mBits must be a power of two >= 64 (odd double-hash steps are units mod 2^k)")
     require(kHashes > 0 && kHashes <= 16, "kHashes must be in [1, 16]")
 
     override def createAggregationBuffer(): Array[Long] = new Array[Long](mBits / 64)

@@ -73,6 +73,16 @@ object TextStatsExpressions {
   case class ScrubSpansExpr(left: Expression, right: Expression, n: Int)
       extends BinaryExpression {
     require(n >= 1, "n must be >= 1")
+    // analysis-time input check: the kernel reads starts via getInt — an
+    // unchecked SQL caller passing array<bigint> positions would be read 4
+    // bytes per 8-byte slot (silent garbage) instead of failing analysis
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (StringType, ArrayType(IntegerType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"scrub_spans expects (string, array<int>), got (${l.sql}, ${r.sql})")
+      }
     override def dataType: DataType = StructType(Seq(
       StructField("n_tokens", LongType, nullable = false),
       StructField("n_removed", LongType, nullable = false),

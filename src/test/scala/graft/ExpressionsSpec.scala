@@ -204,6 +204,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(r8.getStruct(1).getString(2) == "a d")
   }
 
+  test("SQL-exposed kernels reject wrong input types at analysis, not with garbage") {
+    GraftExtensions.register(spark)
+    // array<bigint> starts would be read getInt-wise (4 of each 8 bytes) —
+    // must fail analysis instead
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT scrub_spans('a b c', array(CAST(1 AS BIGINT)), 2)").collect()
+    }
+    assert(e.getMessage.contains("array<int>"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT gram_hash_pairs(array('a'), 2)").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("string"))
+  }
+
   test("sketch aggregates work from plain SQL GROUP BY") {
     GraftExtensions.register(spark)
     sf("documents").limit(100).createOrReplaceTempView("sk_docs")
