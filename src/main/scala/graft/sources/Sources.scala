@@ -27,10 +27,22 @@ object Sources {
     raw.select(cols: _*)
   }
 
+  /** Trailing compression suffixes Spark's text-based readers decompress
+    * transparently (pure-Java codecs in this distribution; zstd TEXT would
+    * additionally need native libhadoop and is listed for the error path's
+    * sake — parquet/orc zstd goes through zstd-jni and is unaffected). */
+  private val CompressionExts = Set("gz", "bz2", "lz4", "deflate", "zst")
+
   /** Extension- and spec-driven read of a single collected file. */
   def read(spark: SparkSession, path: String, inputSpec: Option[JsonNode],
            fixedWidthFields: Seq[FixedWidthField] = Seq.empty): DataFrame = {
-    val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
+    def lastExt(p: String) = p.substring(p.lastIndexOf('.') + 1).toLowerCase
+    // dispatch on the FORMAT extension: "events.jsonl.gz" is compressed
+    // JSONL, not a ".gz" file (which would fall through to the CSV family)
+    val raw = lastExt(path)
+    val ext =
+      if (CompressionExts.contains(raw)) lastExt(path.dropRight(raw.length + 1))
+      else raw
     def has(key: String) = inputSpec.exists(_.has(key))
     def node(key: String) = inputSpec.flatMap(s => Option(s.get(key)))
 
@@ -80,7 +92,7 @@ object Sources {
         } finally cleanup()
       }
     }
-    else if (ext == "json" || ext == "jsonl") {
+    else if (ext == "json" || ext == "jsonl" || has("json")) {
       spark.read.format("json")
         .option("prefersDecimal", "true")
         .option("allowComments", "true")
@@ -88,7 +100,7 @@ object Sources {
         .option("mode", "PERMISSIVE")
         .load(path)
     }
-    else if (ext == "xml") {
+    else if (ext == "xml" || has("xml")) {
       spark.read.format("xml")
         .option("rowTag", node("xml").flatMap(_.str("row_tag")).getOrElse("row"))
         .option("mode", "PERMISSIVE")

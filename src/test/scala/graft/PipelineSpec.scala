@@ -73,6 +73,34 @@ class SourcesSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("compressed sources: gzip csv, gzip jsonl, zstd parquet round-trip") {
+    import java.util.zip.GZIPOutputStream
+    val dir = Files.createTempDirectory("graft_gz")
+    def gz(name: String, content: String): String = {
+      val p = dir.resolve(name)
+      val out = new GZIPOutputStream(java.nio.file.Files.newOutputStream(p))
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      p.toString
+    }
+    // gzip CSV through the Sources dispatch (Spark decompresses by extension)
+    val csv = gz("t.csv.gz", "a,b\n1,x\n2,y\n")
+    val outCsv = Sources.read(spark, csv, Some(Specs.parseJson("""{"csv": {"header": true}}""")))
+    assert(outCsv.count() == 2 && outCsv.columns.toSeq == Seq("a", "b"))
+    // gzip JSONL
+    val jsonl = gz("t.jsonl.gz", """{"k": 1}""" + "\n" + """{"k": 2}""" + "\n")
+    val outJson = Sources.read(spark, jsonl, Some(Specs.parseJson("""{"json": {}}""")))
+    assert(outJson.selectExpr("sum(k)").head().getLong(0) == 3L)
+    // zstd-compressed parquet (zstd-jni ships in this distribution; the
+    // HADOOP text-codec zstd path would need native libhadoop — absent)
+    import spark.implicits._
+    val pq = dir.resolve("z.parquet").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.option("compression", "zstd").mode("overwrite").parquet(pq)
+    val files = new java.io.File(pq).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty && files.forall(_.getName.contains("zstd")))
+    assert(spark.read.parquet(pq).count() == 2)
+  }
+
   test("avro reader: streams a container file lazily and round-trips values") {
     import org.apache.avro.SchemaBuilder
     import org.apache.avro.file.DataFileWriter
