@@ -163,12 +163,11 @@ object Bench {
     // fail-fast exit LAST: exiting before the line is printed and
     // bench_full.json is written would discard the whole suite's timings —
     // the data needed to debug the very regression being reported
+    spark.stop()
     if (failReport.nonEmpty) {
       failReport.foreach(r => System.err.println(s"[bench-regression] $r"))
-      spark.stop()
       sys.exit(1)
     }
-    spark.stop()
   }
 
   /** One adjudicated gate decision: queries over the first-pass gate

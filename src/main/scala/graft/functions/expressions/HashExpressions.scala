@@ -470,7 +470,7 @@ object HashExpressions {
   case class GramHashPairsExpr(child: Expression, n: Int) extends UnaryExpression {
     require(n >= 1, "n must be >= 1")
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-      if (child.dataType == StringType)
+      if (child.dataType == StringType || child.dataType == NullType)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects a string input, got ${child.dataType.sql}")
@@ -492,7 +492,7 @@ object HashExpressions {
     * hash) pairs for bigram-LM counting ([[Kernels.bigramHashes]]). */
   case class BigramHashesExpr(child: Expression) extends UnaryExpression {
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-      if (child.dataType == StringType)
+      if (child.dataType == StringType || child.dataType == NullType)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects a string input, got ${child.dataType.sql}")
@@ -518,9 +518,12 @@ object HashExpressions {
   case class BloomGramHitsExpr(child: Expression, n: Int, kHashes: Int,
                                bits: Array[Byte]) extends UnaryExpression {
     require(n >= 1, "n must be >= 1")
-    require(bits.nonEmpty && bits.length % 8 == 0, "bits must be whole big-endian longs")
+    // same power-of-two contract as the build side: the odd double-hash
+    // step is only guaranteed a unit (k distinct positions) mod 2^k
+    require(bits.length >= 8 && (bits.length & (bits.length - 1)) == 0,
+      "bits must be a power-of-two byte count >= 8 (a BloomSketchAgg bitset)")
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-      if (child.dataType == StringType)
+      if (child.dataType == StringType || child.dataType == NullType)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects a string input, got ${child.dataType.sql}")

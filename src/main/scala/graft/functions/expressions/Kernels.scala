@@ -491,6 +491,15 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Shared tokenization for the span-scrub/bigram/bloom kernel family —
+    * replicates SimilarityFunctions.tokens (lowercase, regex trim, split
+    * \\s+) in ONE place so the kernels cannot silently diverge from the
+    * Column path. Returns the empty array for blank text. */
+  private def tokensOf(text: UTF8String): Array[String] = {
+    val trimmed = text.toLowerCase.toString.replaceAll("^\\s+|\\s+$", "")
+    if (trimmed.isEmpty) Array.empty[String] else trimmed.split("\\s+")
+  }
+
   // ---------------------------------------------------------- span scrub
 
   private val SEED2 = 0x9747b28cL // second independent xxhash64 stream
@@ -503,9 +512,7 @@ object Kernels {
     * 64-bit key WOULD collide at 100 TB gram counts (~10¹³ grams → ~10⁶
     * expected collisions), each one a spuriously-masked span. */
   def gramHashPairs(text: UTF8String, n: Int): ArrayData = {
-    val trimmed = text.toLowerCase.toString.replaceAll("^\\s+|\\s+$", "")
-    if (trimmed.isEmpty) return new GenericArrayData(Array.empty[Any])
-    val toks = trimmed.split("\\s+")
+    val toks = tokensOf(text)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](toks.length - n + 1)
     val sb = new java.lang.StringBuilder(64)
@@ -531,9 +538,7 @@ object Kernels {
     * once per downstream use). Empty below 2 tokens. Tokenization replicates
     * SimilarityFunctions.tokens. */
   def bigramHashes(text: UTF8String): ArrayData = {
-    val trimmed = text.toLowerCase.toString.replaceAll("^\\s+|\\s+$", "")
-    if (trimmed.isEmpty) return new GenericArrayData(Array.empty[Any])
-    val toks = trimmed.split("\\s+")
+    val toks = tokensOf(text)
     if (toks.length < 2) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](toks.length - 1)
     val sb = new java.lang.StringBuilder(48)
@@ -559,9 +564,7 @@ object Kernels {
                     kHashes: Int): org.apache.spark.sql.catalyst.InternalRow = {
     def row(g: Long, h: Long) =
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](g, h))
-    val trimmed = text.toLowerCase.toString.replaceAll("^\\s+|\\s+$", "")
-    if (trimmed.isEmpty) return row(0L, 0L)
-    val toks = trimmed.split("\\s+")
+    val toks = tokensOf(text)
     if (toks.length < n) return row(0L, 0L)
     val mBits = words.length * 64
     val seen = new java.util.HashSet[String]()
@@ -588,10 +591,9 @@ object Kernels {
     * ascending `starts` (token covered iff some start s has s ≤ i < s+n).
     * Returns (n_tokens, n_removed, scrubbed_text); tokenization as above. */
   def scrubSpans(text: UTF8String, starts: ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
-    val trimmed = text.toLowerCase.toString.replaceAll("^\\s+|\\s+$", "")
-    val toks = if (trimmed.isEmpty) Array.empty[String] else trimmed.split("\\s+")
+    val toks = tokensOf(text)
     val ns = starts.numElements()
-    val sb = new java.lang.StringBuilder(trimmed.length)
+    val sb = new java.lang.StringBuilder(text.numBytes)
     var kept = 0; var ptr = 0; var coveredUntil = -1; var i = 0
     while (i < toks.length) {
       while (ptr < ns && starts.getInt(ptr) <= i) {

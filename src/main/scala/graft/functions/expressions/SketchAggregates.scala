@@ -246,7 +246,13 @@ object SketchAggregates {
     * shuffle is m/8 bytes per partition however many grams the eval set
     * holds, and the result broadcasts to a probe SCAN instead of a join.
     * NO FALSE NEGATIVES ever; false-positive rate ≈ (1 − e^(−k·n/m))^k —
-    * defaults sized so eval-set cardinalities keep it ~1e-9. */
+    * defaults sized so eval-set cardinalities keep it ~1e-9.
+    *
+    * The BINARY bitset is a RUN-INTERNAL artifact, not a stable
+    * serialization format: build and probe must come from the same library
+    * version (the position walk is an implementation detail — e.g. round 8
+    * changed the double-hash step to be forced odd). Persist the eval-set
+    * GRAMS if cross-version reuse is needed, and rebuild the filter. */
   case class BloomSketchAgg(
       child: Expression, mBits: Int, kHashes: Int,
       mutableAggBufferOffset: Int = 0,

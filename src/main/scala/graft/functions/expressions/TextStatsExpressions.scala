@@ -76,9 +76,11 @@ object TextStatsExpressions {
     // analysis-time input check: the kernel reads starts via getInt — an
     // unchecked SQL caller passing array<bigint> positions would be read 4
     // bytes per 8-byte slot (silent garbage) instead of failing analysis
+    // NullType stays accepted (a NULL literal or empty array() null-propagates
+    // / yields the unscrubbed row, as before the check existed)
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       (left.dataType, right.dataType) match {
-        case (StringType, ArrayType(IntegerType, _)) =>
+        case (StringType | NullType, ArrayType(IntegerType | NullType, _) | NullType) =>
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
         case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"scrub_spans expects (string, array<int>), got (${l.sql}, ${r.sql})")
