@@ -99,6 +99,21 @@ object ScaleCheck {
       minhashOn(ids.unionByName(floodDf), s"hot-bucket flood=$flood")
     }
 
+    // Directed containment join (round 8): same prefix-filter family as
+    // jaccardSelfJoin but with a FULL b-side index — the growth check
+    // validates that candidates stay token-linear (shuffle ~N, output ~N²
+    // from the replicated identical cliques where every replica contains
+    // every other with C = 1.0). 2-gram shingles: unigram sets are
+    // degenerate on the shared-vocabulary synthetic corpus.
+    def shingled(df: DataFrame) = df.select(col("lang"), col("source"),
+      col("doc_id"), S.wordShingles(col("text"), 2).as("toks"))
+    def containOf(df: DataFrame, tag: String): Unit =
+      timed(s"containmentJoin t=0.8 blocked $tag")(((),
+        operators.Dedup.containmentJoin(shingled(df), "toks", "doc_id",
+          Seq("lang", "source"), 0.8).count()))
+    containOf(docs, "1x")
+    containOf(rep, s"${n}x")
+
     // K5 partition-scoped upsert: a batch confined to ONE of 25 nationkey
     // partitions must cost ~the affected partition, not the table — the Nx
     // upsert should grow FAR slower than Nx (the residual growth is the

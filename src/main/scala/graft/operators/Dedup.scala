@@ -429,6 +429,59 @@ object Dedup {
     verified.filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT directed set-CONTAINMENT join: every ordered pair (a, b), a ≠ b,
+    * with C(a→b) = |Tₐ ∩ T_b| / |Tₐ| ≥ `threshold` — the asymmetric
+    * complement of [[jaccardSelfJoin]]. Jaccard misses snippet/superset
+    * duplication (a quote, a syndicated excerpt, a doc wholly embedded in a
+    * longer one has high containment but LOW Jaccard because the union is
+    * dominated by the big side); containment is the standard detector for it.
+    *
+    * Prefix lemma (a-side only): C ≥ t needs |Tₐ ∩ T_b| ≥ ⌈t·|Tₐ|⌉, so `a`
+    * can miss at most |Tₐ| − ⌈t·|Tₐ|⌉ of its own tokens — its first
+    * |Tₐ| − ⌈t·|Tₐ|⌉ + 1 tokens in the canonical (global-frequency, token)
+    * order must include a common one. Containment puts NO symmetric bound on
+    * `b`, so the b side contributes its FULL inverted index (still
+    * token-linear shuffle; the asymmetry is inherent to the predicate — see
+    * the containment variants in the AllPairs/PPJoin literature). The only
+    * sound length filter is |T_b| ≥ t·|Tₐ| (intersection can't exceed |T_b|).
+    * Candidates then dedupe and exact-verify against the full token sets.
+    *
+    * Scale: a-side shuffle is prefix-linear, b-side token-linear — same
+    * contract as [[jaccardSelfJoin]]'s index side; no all-pairs path. Hot
+    * (frequent) tokens appear only in LONG docs' a-prefixes (rare tokens
+    * rank first), so b-index bucket fan-out stays bounded by doc length
+    * skew, not corpus size.
+    *
+    * @param df        input with `idCol` (globally unique), `tokensCol`
+    *                  (array; de-dup'd inside), optional `blockCols`
+    * @param threshold containment threshold in (0, 1]
+    * @return (id_a, id_b, containment) directed, containment ≥ threshold */
+  def containmentJoin(df: DataFrame, tokensCol: String, idCol: String,
+                      blockCols: Seq[String], threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1]: $threshold")
+    val blocks = blockCols.map(col)
+    val base = tokenSetBase(df, tokensCol, idCol, blocks)
+    val freq = tokenFreq(Seq(base))
+    val aPrefix = prefixRows(base, freq, blocks, threshold)
+      .select(blocks ++ Seq(col("token"), col("id").as("id_a"), col("sz").as("sz_a")): _*)
+    val bIndex = base.select(
+      blocks :+ col("id").as("id_b") :+ col("sz").as("sz_b") :+ explode(col("toks")).as("token"): _*)
+    val candidates = aPrefix.join(bIndex, blockCols :+ "token")
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("sz_b").cast("double") >= col("sz_a") * threshold - lit(1e-9))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val verified = candidates
+      .join(base.select(col("id").as("id_a"), col("toks").as("t_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("toks").as("t_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("t_a"), col("t_b"))).cast("double") /
+          size(col("t_a")).cast("double")).as("containment"))
+      .localCheckpoint(true) // single-eval barrier, see jaccardSelfJoin
+    verified.filter(col("containment") >= threshold)
+  }
+
   /** Exact word-n-gram decontamination (the GPT-3/PaLM recipe: a training doc
     * is contaminated if it shares ANY exact n-gram — canonically n=13 — with
     * a benchmark doc; [[jaccardCrossJoin]] is the NEAR-dup complement).

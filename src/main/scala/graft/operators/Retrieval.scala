@@ -73,6 +73,38 @@ object Retrieval {
       .filter(col("rank") <= k)
   }
 
+  /** Reciprocal-Rank Fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of N
+    * per-query rank lists: rrf(q, d) = Σ_{legs containing d} 1/(c + rankᵢ),
+    * the standard score-free hybrid-retrieval combiner (sparse BM25 + dense
+    * ANN being the canonical pair). A doc absent from a leg simply
+    * contributes nothing — no outer-join nulls, no score normalization.
+    *
+    * Scale shape: each leg is already top-k-per-query (request-sized ×
+    * k rows), so the union + groupBy + per-query window all run over
+    * bounded, tiny frames regardless of corpus size — the heavy lifting
+    * happened inside the legs. Scores round to 9 dp before ranking so the
+    * (rrf desc, id) order is engine-independent; with each (query, id)
+    * appearing in ≤ 2 legs the two-term IEEE sum is order-exact, and for
+    * more legs the 9-dp round absorbs associativity noise (1/(c+r) terms
+    * are ≥ 1e-4 apart at c = 60, k ≤ 1000).
+    *
+    * @param legs each with (queryIdCol, idCol, rankCol); rank is 1-based
+    * @param k    fused list depth per query
+    * @param c    RRF damping constant (60 in the original paper) */
+  def rrfFuse(legs: Seq[DataFrame], queryIdCol: String, idCol: String,
+              rankCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "at least one ranking leg required")
+    val unioned = legs
+      .map(_.select(col(queryIdCol), col(idCol), col(rankCol).cast("long").as("__r")))
+      .reduce(_ unionByName _)
+    unioned.groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(lit(1.0) / (lit(c.toDouble) + col("__r"))), 9).as("rrf_r"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(col("rrf_r").desc, col(idCol))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Multinomial Naive Bayes with add-one smoothing, trained on the rows
     * matching `trainPred` and applied to the rest — the classic corpus
     * quality/language classifier (label by `labelCol` on the train side;

@@ -288,4 +288,47 @@ object Sampling {
         Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))).cast("long"))
       .drop("__h")
   }
+
+  /** Deterministic STRATIFIED INTERLEAVE: a total training order that
+    * round-robins across strata (domains/sources) — position p of every
+    * stratum comes before position p+1 of any stratum — with a seeded
+    * pseudo-random order inside each stratum. This is the dataloader-prep
+    * "balanced stream" order: a consumer reading the output sequentially
+    * sees every domain early and at its natural rate, instead of whole
+    * domains back-to-back (the failure mode of sorting by domain) or a
+    * domain-blind global shuffle (which under-serves small domains early).
+    *
+    * Scale shape: NO global sort/window anywhere. Per-stratum `pos` is a
+    * partitioned window (one hash shuffle by stratum); the GLOBAL position
+    * is then computed arithmetically from the bounded per-stratum count
+    * vector — global_pos(d, p) = Σ_{d'} min(cnt_{d'}, p)  +  |{d' < d :
+    * cnt_{d'} > p}| — i.e. all rows with smaller pos, plus same-pos rows of
+    * lexicographically earlier strata. The count vector is a
+    * strata-bounded aggregate carried as ONE broadcast array row (same
+    * pattern as [[mixtureSample]]'s rate table), so the whole computation
+    * is a map-side expression: the exact distributed prefix-sum trick of
+    * [[packSequences]], applied to interleaving.
+    *
+    * Returns (id, stratum, pos, global_pos), both positions 0-based;
+    * global_pos is a bijection onto [0, N). */
+  def stratifiedInterleave(df: DataFrame, idCol: String, stratumCol: String,
+                           seed: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withPos = df
+      .select(col(idCol), col(stratumCol).cast("string").as("__dom"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("__dom"))
+          .orderBy(md5(concat(lit(seed + "|"), col(idCol).cast("string"))), col(idCol)))
+        .cast("long") - lit(1L))
+    val countVec = withPos.groupBy(col("__dom"))
+      .agg(count(lit(1)).as("__cnt"))
+      .agg(sort_array(collect_list(struct(col("__dom").as("d"), col("__cnt").as("c"))))
+        .as("__arr"))
+    withPos.crossJoin(broadcast(countVec))
+      .withColumn("global_pos", aggregate(col("__arr"), lit(0L),
+        (acc, e) => acc + least(e.getField("c"), col("pos")) +
+          when(e.getField("d") < col("__dom") && e.getField("c") > col("pos"), lit(1L))
+            .otherwise(lit(0L))))
+      .select(col(idCol), col("__dom").as(stratumCol), col("pos"), col("global_pos"))
+  }
 }

@@ -465,6 +465,64 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Hybrid retrieval via Reciprocal-Rank Fusion (Retrieval.rrfFuse): the
+    // sparse leg is q105's BM25 at k=20, the dense leg is brute-force cosine
+    // top-20 with each keyword query anchored to a fixed embedding row
+    // (vec_id ≡ doc_id in the testdata). rrf = Σ 1/(60+rank), rounded to
+    // 9 dp before the fused re-rank; the oracle replays both legs and the
+    // fusion arithmetic end-to-end.
+    "q125_rrf_fusion" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables(s, d, "documents")
+      val emb = Tables(s, d, "embeddings")
+      val sparse = graft.operators.Retrieval
+        .bm25TopK(docs, "text", "doc_id", Bm25Queries, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val qvecs = RrfAnchors.toSeq.toDF("query_id", "vec_id")
+        .join(emb, Seq("vec_id"))
+        .select(col("query_id"), col("embedding"))
+      val dense = Ann
+        .bruteForceTopK(emb, qvecs, "embedding", "vec_id", "query_id", k = 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval
+        .rrfFuse(Seq(sparse, dense), "query_id", "doc_id", "rank", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Directed containment join (Dedup.containmentJoin): snippet/superset
+    // near-dup detection the Jaccard joins can't see — |A∩B|/|A| ≥ 0.75
+    // over distinct 2-gram shingle sets (unigram sets are degenerate on the
+    // shared-vocabulary synthetic corpus: nearly every pair qualifies).
+    // Containments are PLANTED (every 9th doc's first 60% of tokens
+    // re-id'd +3000000: contained in its source with C = 1.0 by
+    // construction) so the result is guaranteed non-empty; the oracle
+    // verifies the full directed pair set exactly.
+    "q126_containment" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      val snippets = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          array_join(slice(S.tokens(col("text")), lit(1),
+            ceil(size(S.tokens(col("text"))) * lit(0.6)).cast("int")), " ").as("text"))
+      val corpus = docs.unionByName(snippets)
+        .select(col("doc_id"), S.wordShingles(col("text"), 2).as("toks"))
+      graft.operators.Dedup
+        .containmentJoin(corpus, "toks", "doc_id", Nil, 0.75)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 6).as("containment_r"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Stratified curriculum interleave (Sampling.stratifiedInterleave):
+    // seeded per-source shuffle + arithmetic round-robin global order, no
+    // global sort. The oracle replays the md5 order and checks the closed
+    // form against a literal row_number() OVER (ORDER BY pos, domain).
+    "q127_interleave" -> ((s, d) => {
+      graft.operators.Sampling.stratifiedInterleave(
+          Tables(s, d, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source", "cur1")
+        .orderBy(col("global_pos"))
+    }),
+
     // Top-k tokens per lang via the bounded-heap aggregate
     // (SketchAggregates.BottomKStructAgg): after the count aggregation, the
     // per-group top-5 costs ONE more aggregation with O(k) partials — no
@@ -1102,6 +1160,11 @@ object TextQueries {
     "qc" -> "window agg batch",
     "qd" -> "slow table scan")
 
+  /** q125's fixed query→anchor-embedding assignment (vec_id ≡ doc_id in the
+    * testdata) — shared between the Spark side and the oracle VALUES list. */
+  val RrfAnchors: Seq[(String, Long)] =
+    Seq("qa" -> 7L, "qb" -> 110L, "qc" -> 233L, "qd" -> 401L)
+
   private val langIdOracle: String = {
     val scoreExprs = T.LangStopwords.map { case (lang, words) =>
       val sum = words.map(w => s"len(regexp_extract_all(lower(text), '\\b${w}\\b'))").mkString(" + ")
@@ -1732,6 +1795,78 @@ object TextQueries {
              CAST(coalesce(agg.n_hits, 0) AS BIGINT) AS n_hits,
              coalesce(agg.n_hits, 0) > 0 AS contaminated
       FROM tok LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+    // RRF replay: the q105 BM25 chain at k=20, the q28 cosine chain with
+    // anchor query vectors (VALUES list mirrors TextQueries.RrfAnchors),
+    // then sum(1/(60+rank)) rounded to 9 dp and the fused re-rank. The
+    // double cast on 1/(60+rn) keeps DuckDB out of DECIMAL arithmetic —
+    // the Spark side computes IEEE doubles.
+    "q125_rrf_fusion" -> """
+      WITH q(query_id, qtext) AS (VALUES
+        ('qa','spark join merge'), ('qb','customer order value'),
+        ('qc','window agg batch'), ('qd','slow table scan')),
+      qt AS (SELECT DISTINCT query_id, unnest(regexp_split_to_array(lower(trim(qtext)), '\s+')) AS token FROM q),
+      lens AS (SELECT doc_id, CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+        ELSE len(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) END AS dl FROM documents),
+      stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+      terms AS (SELECT doc_id, unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS token
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM terms WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+      dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      contrib AS (SELECT qt.query_id, tf.doc_id,
+        ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c
+        FROM qt JOIN tf USING (token) JOIN dfq USING (token) JOIN lens USING (doc_id) CROSS JOIN stats),
+      sscored AS (SELECT query_id, doc_id, round(sum(c), 6) AS score_r FROM contrib GROUP BY 1, 2),
+      sparse AS (SELECT query_id, doc_id, rn FROM (
+        SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score_r DESC, doc_id) AS rn
+        FROM sscored) WHERE rn <= 20),
+      anchors(query_id, vid) AS (VALUES ('qa', 7), ('qb', 110), ('qc', 233), ('qd', 401)),
+      qv AS (SELECT a.query_id, e.embedding AS v FROM anchors a JOIN embeddings e ON e.vec_id = a.vid),
+      cscored AS (SELECT qv.query_id, e.vec_id AS doc_id,
+        list_dot_product(qv.v::DOUBLE[], e.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(qv.v::DOUBLE[], qv.v::DOUBLE[]))
+             * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cosine
+        FROM qv CROSS JOIN embeddings e),
+      dense AS (SELECT query_id, doc_id, rn FROM (
+        SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rn
+        FROM cscored) WHERE rn <= 20),
+      u AS (SELECT query_id, doc_id, rn FROM sparse UNION ALL SELECT query_id, doc_id, rn FROM dense),
+      f AS (SELECT query_id, doc_id, round(sum(CAST(1 AS DOUBLE) / (60 + rn)), 9) AS rrf_r FROM u GROUP BY 1, 2),
+      r AS (SELECT query_id, doc_id, rrf_r,
+        CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_r DESC, doc_id) AS BIGINT) AS "rank" FROM f)
+      SELECT query_id, doc_id, rrf_r, "rank" FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank"""",
+    // Containment replay: planted 60%-prefix snippets (+3000000 ids),
+    // distinct 2-gram shingles, then the full directed pair set with
+    // |A∩B|/|A| ≥ 0.75. ceil goes through DOUBLE so both engines round the
+    // 0.6·len product identically.
+    "q126_containment" -> """
+      WITH raw AS (SELECT doc_id,
+          CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+               ELSE regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') END AS t
+        FROM documents),
+      sn AS (SELECT doc_id + 3000000 AS doc_id,
+          t[1:CAST(ceil(len(t) * CAST(0.6 AS DOUBLE)) AS INTEGER)] AS t
+        FROM raw WHERE doc_id % 9 = 0),
+      corpus AS (SELECT doc_id, t FROM raw UNION ALL SELECT doc_id, t FROM sn),
+      sh AS (SELECT doc_id, CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+          ELSE list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) END AS s
+        FROM corpus),
+      base AS (SELECT doc_id, s AS t FROM sh WHERE len(s) > 0)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) / len(a.t), 6) AS containment_r
+      FROM base a JOIN base b ON a.doc_id <> b.doc_id
+      WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) / len(a.t) >= 0.75
+      ORDER BY id_a, id_b""",
+    // Interleave replay: seeded md5 per-source order, then the closed-form
+    // global position IS literally row_number() OVER (ORDER BY pos, source)
+    // — the oracle states the spec the arithmetic must reproduce.
+    "q127_interleave" -> """
+      WITH h AS (SELECT doc_id, source,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY md5('cur1|' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
+        FROM documents)
+      SELECT doc_id, source, pos,
+        CAST(row_number() OVER (ORDER BY pos, source) - 1 AS BIGINT) AS global_pos
+      FROM h ORDER BY global_pos""",
     "q81_top_ngram" -> """
       WITH d AS (
         SELECT doc_id,
