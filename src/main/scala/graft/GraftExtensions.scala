@@ -107,6 +107,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("bottom_k_struct", "bottom_k_struct(struct, k) AGG — k smallest structs, ascending"),
       (args: Seq[Expression]) => graft.functions.expressions.SketchAggregates
         .BottomKStructAgg(args.head, intArg(args(1)))))
+
+    ext.injectFunction((FunctionIdentifier("hll_sketch"),
+      info("hll_sketch", "hll_sketch(token, p) AGG — 2^p HLL registers as ARRAY<INT>"),
+      (args: Seq[Expression]) => graft.functions.expressions.SketchAggregates
+        .HllSketchAgg(args.head, intArg(args(1)))))
   }
 
   private def stringArg(e: Expression): String = e.eval(null) match {
@@ -183,5 +188,8 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("bottom_k_struct",
       args => graft.functions.expressions.SketchAggregates
         .BottomKStructAgg(args.head, args(1).eval(null).toString.toInt), "scala_udf")
+    reg.createOrReplaceTempFunction("hll_sketch",
+      args => graft.functions.expressions.SketchAggregates
+        .HllSketchAgg(args.head, args(1).eval(null).toString.toInt), "scala_udf")
   }
 }

@@ -523,6 +523,34 @@ object TextQueries {
         .orderBy(col("global_pos"))
     }),
 
+    // HyperLogLog distinct tokens per lang (SketchAggregates.HllSketchAgg,
+    // p=8 → 256 byte registers): the fixed-size complement of q117's KMV.
+    // Registers are merge-order-independent maxima, the harmonic sum is the
+    // EXACT integer Σ 2^(53−rho), and the estimate is one double division —
+    // all replayed symbol-for-symbol by the oracle (bin() bit-lengths, no
+    // floating log2).
+    // Two cardinality regimes: unigram tokens (~33/lang → the linear-
+    // counting correction branch) and 2-gram shingles (~900/lang → the raw
+    // harmonic-mean branch), so BOTH estimator paths are oracle-pinned.
+    "q128_hll_distinct" -> ((s, d) => {
+      import graft.functions.expressions.{SketchAggregates => SK}
+      def sketchCols(regs: org.apache.spark.sql.Column, tag: String) = Seq(
+        size(filter(regs, r => r =!= 0)).cast(LongType).as(s"nonzero_$tag"),
+        aggregate(regs, lit(0L),
+          (acc, r) => acc + pow(lit(2.0), lit(53) - r).cast("long")).as(s"s_$tag"),
+        round(SK.hll_estimate(regs, 8), 4).as(s"est_${tag}_r"))
+      val docs = Tables(s, d, "documents")
+      val tokSk = docs.select(col("lang"), explode(S.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang")).agg(SK.hll_sketch(col("tok"), 8).as("tregs"))
+      val gramSk = docs
+        .select(col("lang"), explode(S.wordShingles(col("text"), 2)).as("g"))
+        .groupBy(col("lang")).agg(SK.hll_sketch(col("g"), 8).as("gregs"))
+      tokSk.join(gramSk, Seq("lang"))
+        .select(col("lang") +: (sketchCols(col("tregs"), "tok") ++
+          sketchCols(col("gregs"), "gram")): _*)
+        .orderBy(col("lang"))
+    }),
+
     // Top-k tokens per lang via the bounded-heap aggregate
     // (SketchAggregates.BottomKStructAgg): after the count aggregation, the
     // per-group top-5 costs ONE more aggregation with O(k) partials — no
@@ -1867,6 +1895,39 @@ object TextQueries {
       SELECT doc_id, source, pos,
         CAST(row_number() OVER (ORDER BY pos, source) - 1 AS BIGINT) AS global_pos
       FROM h ORDER BY global_pos""",
+    // HLL replay: 60-bit md5 hash split into top-8 bucket / low-52 w,
+    // rho = 52 − bitlen(w) + 1 via bin() (exact integers, no float log2),
+    // register = max rho, harmonic sum as the exact integer Σ 2^(53−rho)
+    // (empty registers contribute 2^53), then the same left-associated
+    // α·m²·2^53 / S double division and linear-counting branch.
+    "q128_hll_distinct" -> """
+      WITH ts AS (
+        SELECT lang, regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS a
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      toks AS (SELECT lang, unnest(a) AS v, 'tok' AS tag FROM ts
+        UNION ALL
+        SELECT lang, unnest([a[i] || ' ' || a[i+1] for i in range(1, len(a))]) AS v, 'gram' AS tag
+        FROM ts WHERE len(a) >= 2),
+      h AS (SELECT lang, tag, CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h FROM toks),
+      b AS (SELECT lang, tag, h // 4503599627370496 AS bucket, h % 4503599627370496 AS w FROM h),
+      r AS (SELECT lang, tag, bucket,
+              max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS rho
+            FROM b GROUP BY 1, 2, 3),
+      g AS (SELECT lang, tag, count(*) AS nonzero,
+              sum(CAST(1 AS BIGINT) << (53 - rho)) + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS s_num
+            FROM r GROUP BY 1, 2),
+      e AS (SELECT lang, tag, nonzero, s_num, 256 - nonzero AS zeros,
+              0.7213 / (1 + 1.079 / 256) * 256 * 256 * power(2.0, 53) / CAST(s_num AS DOUBLE) AS raw
+            FROM g),
+      f AS (SELECT lang, tag, CAST(nonzero AS BIGINT) AS nonzero, CAST(s_num AS BIGINT) AS s_num,
+              round(CASE WHEN zeros > 0 AND raw <= 640.0 THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 4) AS est_r
+            FROM e)
+      SELECT t.lang,
+             t.nonzero AS nonzero_tok, t.s_num AS s_tok, t.est_r AS est_tok_r,
+             g2.nonzero AS nonzero_gram, g2.s_num AS s_gram, g2.est_r AS est_gram_r
+      FROM (SELECT * FROM f WHERE tag = 'tok') t
+      JOIN (SELECT * FROM f WHERE tag = 'gram') g2 USING (lang)
+      ORDER BY lang""",
     "q81_top_ngram" -> """
       WITH d AS (
         SELECT doc_id,

@@ -113,6 +113,57 @@ class Round8OpsSpec extends SparkSpec {
     assert(got.take(4).map(_._2).sorted.toSeq == Seq("dom0", "dom1", "dom2", "tiny"))
   }
 
+  // ------------------------------------------------------- HLL sketch
+
+  test("hll: registers match hand-computed md5 bucket/rho; merge is partition-order independent") {
+    import graft.functions.expressions.{SketchAggregates => SK}
+    val toks = (0 until 500).map(i => s"tok$i")
+    val df = toks.toDF("t")
+    def regsOf(parts: Int) = df.repartition(parts)
+      .agg(SK.hll_sketch(col("t"), 8)).collect()(0).getSeq[Int](0)
+    val regs = regsOf(1)
+    assert(regs == regsOf(7)) // merge-order independence
+    // replay the exact register definition on the driver
+    val expect = Array.fill(256)(0)
+    toks.foreach { t =>
+      val h = SK.md5Hash60(t)
+      val bucket = (h >>> 52).toInt
+      val w = h & ((1L << 52) - 1L)
+      val rho = if (w == 0L) 53 else java.lang.Long.numberOfLeadingZeros(w) - 12 + 1
+      if (rho > expect(bucket)) expect(bucket) = rho
+    }
+    assert(regs == expect.toSeq)
+  }
+
+  test("hll: estimate branches — linear counting at low cardinality, raw within 3σ at high") {
+    import graft.functions.expressions.{SketchAggregates => SK}
+    val small = (0 until 20).map(i => s"s$i").toDF("t")
+      .agg(round(SK.hll_estimate(SK.hll_sketch(col("t"), 8), 8), 4))
+      .collect()(0).getDouble(0)
+    // 20 distinct → V zeros > 0 and raw tiny → m·ln(m/V) branch; the
+    // correction is tight at this range: within ±2 of truth
+    assert(math.abs(small - 20.0) < 2.0, s"small-range estimate $small")
+    val n = 5000
+    val big = (0 until n).map(i => s"b$i").toDF("t")
+      .agg(SK.hll_estimate(SK.hll_sketch(col("t"), 8), 8))
+      .collect()(0).getDouble(0)
+    // σ = 1.04/√256 = 6.5%; 3σ = 19.5%
+    assert(math.abs(big - n) / n < 0.195, s"raw estimate $big for $n")
+  }
+
+  test("hll: SQL registration builds the same sketch") {
+    val df = (0 until 100).map(i => (s"v$i", i % 2)).toDF("t", "g")
+    df.createOrReplaceTempView("hlltest")
+    graft.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT g, hll_sketch(t, 8) AS r FROM hlltest GROUP BY g ORDER BY g")
+      .collect().map(_.getSeq[Int](1))
+    import graft.functions.expressions.{SketchAggregates => SK}
+    val viaApi = df.groupBy(col("g")).agg(SK.hll_sketch(col("t"), 8).as("r"))
+      .orderBy(col("g")).collect().map(_.getSeq[Int](1))
+    assert(viaSql.toSeq == viaApi.toSeq)
+  }
+
   test("interleave: seeded determinism — same seed same order, new seed new order") {
     val df = (0L until 60L).map(i => (i, s"d${i % 2}")).toDF("id", "dom")
     def order(seed: String) = Sampling.stratifiedInterleave(df, "id", "dom", seed)
