@@ -523,4 +523,44 @@ object SketchAggregates {
     when(zeros > 0.0 && raw <= lit(2.5 * m),
       lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(raw)
   }
+
+  // ---------------- KMV set operations (theta-sketch style) ----------------
+  //
+  // Two KMV sketches over the same hash function support set-operation
+  // ESTIMATES without revisiting the data: the bottom-k of the merged hash
+  // sets is itself a valid KMV sketch of the union, and within that union
+  // sample the fraction of hashes present in BOTH inputs is an unbiased
+  // Jaccard estimator (the classic theta-sketch/KMV composition). Everything
+  // here is plain Column array arithmetic over two k-length arrays — row
+  // local, codegen'd, and exactly replayable by a SQL oracle.
+
+  /** Union sketch: bottom-k of the two sketches' distinct hashes. */
+  def kmv_union(a: Column, b: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+  }
+
+  /** Distinct-count estimate from a KMV sketch: exact size when the sketch
+    * never filled, else (k−1)·2^60 / h_(k) — q117's estimator as a reusable
+    * Column. */
+  def kmv_estimate(sk: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit((k - 1).toDouble * math.pow(2, 60)) /
+        element_at(sk, k).cast("double"))
+  }
+
+  /** Jaccard estimate: fraction of the union sample present in both inputs.
+    * O(k²) membership probes per row — k is a constant (e.g. 32), so this is
+    * ~1k branch-free comparisons per GROUP, not per element. */
+  def kmv_jaccard(a: Column, b: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val u = kmv_union(a, b, k)
+    size(filter(u, h => array_contains(a, h) && array_contains(b, h)))
+      .cast("double") / size(u).cast("double")
+  }
+
+  /** Intersection-cardinality estimate: jaccard × union estimate. */
+  def kmv_intersect_estimate(a: Column, b: Column, k: Int): Column =
+    kmv_jaccard(a, b, k) * kmv_estimate(kmv_union(a, b, k), k)
 }

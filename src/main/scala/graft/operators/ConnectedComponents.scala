@@ -178,4 +178,38 @@ object ConnectedComponents {
     val unpaired = ids.select(col(idCol)).join(paired, Seq(idCol), "left_anti")
     reps.unionByName(unpaired)
   }
+
+  /** Quality-aware cluster canonicalization: given duplicate PAIRS and a
+    * per-row quality score, keep the BEST member of each duplicate cluster
+    * (not the arbitrary min-id member dedupByComponents keeps) — the
+    * keep-best-of-near-dup-cluster step of a curation pipeline, where the
+    * longest/cleanest copy should survive, not the lowest doc_id.
+    *
+    * Selection is argmax(score) with ties broken by MIN id — encoded as
+    * `min(struct(−score, id))` so it is ONE merge-order-independent
+    * aggregation (no window sort over cluster members). Singletons (rows in
+    * `rows` that appear in no pair) canonicalize to themselves.
+    *
+    * At scale: run() is edge-linear (see above); the member join shuffles by
+    * id and the argmax shuffles O(1) per cluster per partition (map-side
+    * partial min). No step is quadratic in cluster size.
+    *
+    * @return (component, canonical_id, score, n_members) one row per cluster
+    *         — including size-1 clusters, whose component id is the row id.
+    */
+  def canonicalize(rows: DataFrame, pairs: DataFrame, idCol: String,
+                   scoreCol: String,
+                   aCol: String = "id_a", bCol: String = "id_b",
+                   localEdgeThreshold: Long = 100000L): DataFrame = {
+    val comp = run(pairs, aCol, bCol, localEdgeThreshold = localEdgeThreshold)
+      .select(col("vertex").as(idCol), col("component"))
+    val members = rows.select(col(idCol), col(scoreCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    members.groupBy(col("component"))
+      .agg(min(struct((-col(scoreCol)).as("ns"), col(idCol).as("id"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"), col("best.id").as("canonical_id"),
+        (-col("best.ns")).as(scoreCol), col("n_members"))
+  }
 }

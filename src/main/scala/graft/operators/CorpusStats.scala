@@ -43,4 +43,45 @@ object CorpusStats {
     cum.groupBy(gcols: _*)
       .agg(max(col("__n")).as("n"), qCols: _*)
   }
+
+  /** Token-distribution divergence between two corpus slices, per group —
+    * the distribution-shift monitor of a data pipeline (did this crawl
+    * snapshot / source mix drift from the last one?). For each group the two
+    * slices' add-one-smoothed unigram distributions over the group's union
+    * vocabulary yield KL(A‖B), KL(B‖A), and the χ² statistic
+    * Σ (cA−cB)²/(cA+cB).
+    *
+    * Shape at scale: one token-grained count aggregation (map-side combine —
+    * the same contract as any word count), then a vocab-bounded join to the
+    * per-group totals and ONE more aggregation per group. Nothing is
+    * proportional to corpus bytes after the first combine; no window, no
+    * sort. χ² is a sum of integer-numerator rationals; the KL log terms
+    * round to 6 dp for replay (same convention as the NLL filters).
+    *
+    * @param sideCol 0/1 column assigning each doc to slice A or B
+    * @return (group, v, na, nb, kl_ab, kl_ba, chi2) — v = union vocab size,
+    *         na/nb = slice token totals */
+  def tokenDivergence(docs: DataFrame, tokensCol: String, groupCol: String,
+                      sideCol: String): DataFrame = {
+    val counts = docs
+      .select(col(groupCol), col(sideCol).as("__side"),
+        explode(col(tokensCol)).as("__tok"))
+      .groupBy(col(groupCol), col("__tok"))
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__cb"))
+    val totals = counts.groupBy(col(groupCol))
+      .agg(sum("__ca").as("__na"), sum("__cb").as("__nb"),
+        count(lit(1)).as("__v"))
+    val pa = (col("__ca") + 1).cast("double") / (col("__na") + col("__v")).cast("double")
+    val pb = (col("__cb") + 1).cast("double") / (col("__nb") + col("__v")).cast("double")
+    counts.join(totals, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(max(col("__v")).as("v"), max(col("__na")).as("na"),
+        max(col("__nb")).as("nb"),
+        sum(pa * log(pa / pb)).as("kl_ab"),
+        sum(pb * log(pb / pa)).as("kl_ba"),
+        sum((col("__ca") - col("__cb")).cast("double")
+          * (col("__ca") - col("__cb")).cast("double")
+          / (col("__ca") + col("__cb")).cast("double")).as("chi2"))
+  }
 }

@@ -43,4 +43,35 @@ object WindowOps {
                    rankCol: String = "rank"): DataFrame =
     df.withColumn(rankCol, row_number().over(Window.partitionBy(partition: _*).orderBy(order: _*)))
       .filter(col(rankCol) <= k)
+
+  /** Gap-based BATCH sessionization — the batch twin of
+    * StreamingOps.sessionize: a new session opens when the gap to the user's
+    * previous event exceeds `gapSeconds`. Adds `session_idx` (1-based per
+    * user, in time order).
+    *
+    * Gap arithmetic is in integer MICROSECONDS (`unix_micros`), never float
+    * seconds, so the boundary comparison is exact and an external SQL replay
+    * (epoch_us) reproduces it bit-for-bit.
+    *
+    * At scale: ONE shuffle by `userCol`; both windows share the same
+    * (partition, order) so Catalyst plans a single Window exchange+sort. The
+    * per-user frame is the only ordered scope — no global sort exists. Skewed
+    * users (one key with millions of events) are the same hazard as any
+    * per-key window; upstream bounding (e.g. a per-user event cap like the
+    * streaming state guard) applies.
+    */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+                 gapSeconds: Long, tieBreak: Seq[Column] = Seq.empty): DataFrame = {
+    val order = col(tsCol) +: tieBreak
+    val w = Window.partitionBy(col(userCol)).orderBy(order: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // unix_micros needs TIMESTAMP; a TIMESTAMP_NTZ input is reinterpreted in
+    // the session zone (this engine pins UTC), so micros == the naive epoch
+    val micros = unix_micros(col(tsCol).cast("timestamp"))
+    val prevMicros = lag(micros, 1).over(w)
+    val opens = when(
+      prevMicros.isNull || micros - prevMicros > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    df.withColumn("session_idx", sum(opens).over(run))
+  }
 }

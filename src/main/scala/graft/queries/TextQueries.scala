@@ -1178,6 +1178,104 @@ object TextQueries {
           Tables(s, d, "documents").select(col("doc_id")), "doc_id", "ep0", 8)
         .orderBy(col("shard"), col("pos"))
     }),
+
+    // KMV set operations (SketchAggregates.kmv_union/jaccard/intersect):
+    // cross-corpus overlap estimation from two mergeable sketches — the
+    // "how much does snapshot B overlap snapshot A" question answered
+    // WITHOUT a join between the corpora. Per lang: 2-gram shingle sketches
+    // (k=32) of the even/odd doc_id halves, then union / Jaccard /
+    // intersection estimates as pure array arithmetic over 2×32 longs. The
+    // oracle replays the bottom-k sets and the estimator divisions exactly
+    // (membership in the union sample ⇔ membership in the side's full
+    // distinct-hash set — the KMV closure property).
+    "q129_kmv_setops" -> ((s, d) => {
+      import graft.functions.expressions.{SketchAggregates => SK}
+      val k = 32
+      val grams = Tables(s, d, "documents")
+        .select(col("lang"), pmod(col("doc_id"), lit(2)).as("half"),
+          explode(S.wordShingles(col("text"), 2)).as("g"))
+        .select(col("lang"), col("half"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+      val sks = grams.groupBy(col("lang"), col("half"))
+        .agg(SK.kmv_sketch(col("h"), k).as("sk"))
+      val a = sks.filter(col("half") === 0).select(col("lang"), col("sk").as("ska"))
+      val b = sks.filter(col("half") === 1).select(col("lang"), col("sk").as("skb"))
+      a.join(b, Seq("lang"))
+        .select(col("lang"),
+          size(col("ska")).cast(LongType).as("na"),
+          size(col("skb")).cast(LongType).as("nb"),
+          round(SK.kmv_estimate(col("ska"), k), 6).as("est_a_r"),
+          round(SK.kmv_estimate(col("skb"), k), 6).as("est_b_r"),
+          round(SK.kmv_estimate(SK.kmv_union(col("ska"), col("skb"), k), k), 6)
+            .as("est_u_r"),
+          round(SK.kmv_jaccard(col("ska"), col("skb"), k), 6).as("jacc_r"),
+          round(SK.kmv_intersect_estimate(col("ska"), col("skb"), k), 6)
+            .as("est_i_r"))
+        .orderBy(col("lang"))
+    }),
+
+    // Quality-aware cluster canonicalization (ConnectedComponents
+    // .canonicalize): q52's near-dup clusters, but keeping the BEST member
+    // (max n_chars, min doc_id ties) instead of the min id — the
+    // keep-longest-copy curation rule. Selection is one merge-order-
+    // independent min(struct(−score, id)) aggregation; the oracle replays
+    // the recursive-CTE components and a window argmax.
+    "q130_cluster_canonical" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val toks = docs.select(col("doc_id"), col("lang"), col("source"),
+        S.tokens(col("text")).as("toks"))
+      val pairs = Dedup.jaccardSelfJoin(toks, "toks", "doc_id",
+          Seq("lang", "source"), 0.5)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.ConnectedComponents.canonicalize(
+          docs.select(col("doc_id"), col("n_chars")), pairs,
+          "doc_id", "n_chars", localEdgeThreshold = 1000000L)
+        .orderBy(col("component"))
+    }),
+
+    // Z-order layout (Layout.zorderBy): Morton-interleave the low 8 bits of
+    // (user_id, event_id), range-partition + sort by the curve — the
+    // multi-dimensional file-clustering step that makes parquet min/max
+    // stats prune on BOTH dimensions. The curve code is pure integer bit
+    // arithmetic; the oracle replays the interleave expression symbol for
+    // symbol. (The physical layout — range exchange + in-partition sort —
+    // is asserted by LayoutSpec; the oracle checks the curve values.)
+    "q131_zorder" -> ((s, d) => {
+      graft.operators.Layout.zorderBy(Tables(s, d, "events"),
+          Seq(col("user_id"), col("event_id")), bits = 8, numPartitions = 8)
+        .select(col("event_id"), col("user_id"), col("zval"))
+        .orderBy(col("zval"), col("event_id"))
+    }),
+
+    // Batch sessionization (WindowOps.sessionize): gap>8h splits a user's
+    // event stream into sessions — the batch twin of q78's streaming
+    // sessions, ONE window shuffle by user, exact integer-microsecond gap
+    // arithmetic. Output: per-session start/end/count/value sum.
+    "q132_sessionize" -> ((s, d) => {
+      graft.operators.WindowOps.sessionize(Tables(s, d, "events"),
+          "user_id", "ts", gapSeconds = 8 * 3600, tieBreak = Seq(col("event_id")))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 6).as("value_sum_r"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
+    // Token-distribution divergence (CorpusStats.tokenDivergence): KL both
+    // directions + χ² between the even/odd doc_id halves per lang — the
+    // corpus drift monitor. Vocab-bounded after one word-count combine; the
+    // oracle recomputes smoothed probabilities and the rounded sums.
+    "q133_divergence" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("lang"), pmod(col("doc_id"), lit(2)).as("side"),
+          S.tokens(col("text")).as("toks"))
+      graft.operators.CorpusStats.tokenDivergence(docs, "toks", "lang", "side")
+        .select(col("lang"), col("v"), col("na"), col("nb"),
+          round(col("kl_ab"), 6).as("kl_ab_r"),
+          round(col("kl_ba"), 6).as("kl_ba_r"),
+          round(col("chi2"), 6).as("chi2_r"))
+        .orderBy(col("lang"))
+    }),
   )
 
   /** q105's fixed query set — shared between the Spark side and the oracle
@@ -2713,5 +2811,130 @@ object TextQueries {
       s AS (SELECT doc_id, CAST(CAST(('0x' || substr(h, 1, 4)) AS INTEGER) % 8 AS BIGINT) AS shard, h FROM h)
       SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
       FROM s ORDER BY shard, pos""",
+    // KMV set-op replay: bottom-32 distinct-hash sets per (lang, half); the
+    // union sample is the bottom-32 of the two sketches' hashes, membership
+    // in a side ⇔ membership in its bottom-32 (KMV closure: any union-sample
+    // hash is ≤ the side's 32nd smallest).
+    "q129_kmv_setops" -> """
+      WITH ts AS (
+        SELECT lang, doc_id % 2 AS half, regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS a
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      g AS (SELECT lang, half, unnest([a[i] || ' ' || a[i+1] for i in range(1, len(a))]) AS v
+            FROM ts WHERE len(a) >= 2),
+      h AS (SELECT DISTINCT lang, half, CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h FROM g),
+      rh AS (SELECT lang, half, h,
+               row_number() OVER (PARTITION BY lang, half ORDER BY h) AS rn,
+               count(*) OVER (PARTITION BY lang, half) AS nd
+             FROM h),
+      sk AS (SELECT lang, half, h, nd FROM rh WHERE rn <= 32),
+      st AS (SELECT lang, half, least(max(nd), 32) AS n,
+               CASE WHEN max(nd) < 32 THEN CAST(max(nd) AS DOUBLE)
+                    ELSE 31.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE) END AS est
+             FROM sk GROUP BY lang, half),
+      uh AS (SELECT DISTINCT lang, h FROM sk),
+      ru AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+               count(*) OVER (PARTITION BY lang) AS nd
+             FROM uh),
+      usk AS (SELECT lang, h, nd FROM ru WHERE rn <= 32),
+      ust AS (SELECT u.lang,
+               CASE WHEN max(u.nd) < 32 THEN CAST(least(max(u.nd), 32) AS DOUBLE)
+                    ELSE 31.0 * 1152921504606846976.0 / CAST(max(u.h) AS DOUBLE) END AS est_u,
+               CAST(sum(CASE WHEN ina.h IS NOT NULL AND inb.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) AS jacc
+             FROM usk u
+             LEFT JOIN (SELECT lang, h FROM sk WHERE half = 0) ina ON u.lang = ina.lang AND u.h = ina.h
+             LEFT JOIN (SELECT lang, h FROM sk WHERE half = 1) inb ON u.lang = inb.lang AND u.h = inb.h
+             GROUP BY u.lang)
+      SELECT a.lang,
+             CAST(a.n AS BIGINT) AS na, CAST(b.n AS BIGINT) AS nb,
+             round(a.est, 6) AS est_a_r, round(b.est, 6) AS est_b_r,
+             round(u.est_u, 6) AS est_u_r, round(u.jacc, 6) AS jacc_r,
+             round(u.jacc * u.est_u, 6) AS est_i_r
+      FROM (SELECT * FROM st WHERE half = 0) a
+      JOIN (SELECT * FROM st WHERE half = 1) b USING (lang)
+      JOIN ust u USING (lang)
+      ORDER BY a.lang""",
+    // Canonicalization replay: q52's recursive-CTE components, then a window
+    // argmax (n_chars DESC, doc_id) per component.
+    "q130_cluster_canonical" -> """
+      WITH toks AS (
+        SELECT doc_id, lang, source,
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) END AS t
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM toks a JOIN toks b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+              / CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS DOUBLE) >= 0.5),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      rec AS (
+        WITH RECURSIVE reach(v, l) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, reach.l FROM reach JOIN edges e ON e.src = reach.v)
+        SELECT v, min(l) AS component FROM reach GROUP BY v),
+      comp AS (
+        SELECT d.doc_id, COALESCE(rec.component, d.doc_id) AS component, d.n_chars
+        FROM documents d LEFT JOIN rec ON d.doc_id = rec.v),
+      r AS (
+        SELECT component, doc_id, n_chars,
+               row_number() OVER (PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY component) AS nm
+        FROM comp)
+      SELECT component, doc_id AS canonical_id, n_chars, CAST(nm AS BIGINT) AS n_members
+      FROM r WHERE rn = 1 ORDER BY component""",
+    // Z-order replay: the same 8-bit interleave as Layout.mortonCode, dim 0
+    // (user_id) at the even positions, dim 1 (event_id) at the odd.
+    "q131_zorder" -> s"""
+      SELECT event_id, user_id,
+             ${mortonSqlExpr(Seq("user_id", "event_id"), 8)} AS zval
+      FROM events ORDER BY zval, event_id""",
+    // Sessionize replay: integer-microsecond gaps, same window + running sum.
+    "q132_sessionize" -> """
+      WITH l AS (
+        SELECT user_id, event_id, ts, value,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      f AS (
+        SELECT *, CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 28800000000 THEN 1 ELSE 0 END AS opens
+        FROM l),
+      sess AS (
+        SELECT user_id, ts, value,
+               sum(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM f)
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events, round(sum(value), 6) AS value_sum_r
+      FROM sess GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+    // Divergence replay: per-(lang, half) token counts over the union vocab,
+    // add-one smoothing, rounded KL sums + exact-rational χ².
+    "q133_divergence" -> """
+      WITH tk AS (
+        SELECT lang, doc_id % 2 AS side, unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS tok
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      c AS (SELECT lang, tok,
+              sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+              sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+            FROM tk GROUP BY 1, 2),
+      t AS (SELECT lang, sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM c GROUP BY 1),
+      p AS (SELECT c.lang, t.v, t.na, t.nb,
+              (ca + 1.0) / (na + v) AS pa, (cb + 1.0) / (nb + v) AS pb,
+              CAST((ca - cb) * (ca - cb) AS DOUBLE) / (ca + cb) AS chi
+            FROM c JOIN t USING (lang))
+      SELECT lang, CAST(max(v) AS BIGINT) AS v, CAST(max(na) AS BIGINT) AS na, CAST(max(nb) AS BIGINT) AS nb,
+             round(sum(pa * ln(pa / pb)), 6) AS kl_ab_r,
+             round(sum(pb * ln(pb / pa)), 6) AS kl_ba_r,
+             round(sum(chi), 6) AS chi2_r
+      FROM p GROUP BY lang ORDER BY lang""",
   )
+
+  /** DuckDB bit-interleave expression matching Layout.mortonCode: dim i's
+    * bit j lands at position j·n+i. Kept next to the oracle so the two
+    * sides can never drift silently. */
+  private def mortonSqlExpr(xs: Seq[String], bits: Int): String =
+    (for { j <- 0 until bits; i <- xs.indices }
+      yield s"(((${xs(i)} >> $j) & 1) << ${j * xs.size + i})").mkString(" | ")
 }

@@ -1,0 +1,154 @@
+package graft
+
+import graft.functions.expressions.{SketchAggregates => SK}
+import graft.operators.{ConnectedComponents, CorpusStats, Layout, WindowOps}
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions, second wave: KMV set operations, cluster
+  * canonicalization, Z-order layout, batch sessionization, token-distribution
+  * divergence. */
+class Round8bOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------- batch sessionize
+
+  test("sessionize: gap over threshold opens a new session, per user") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000L)
+    val events = Seq(
+      (1L, 1L, ts(0)), (2L, 1L, ts(10)), (3L, 1L, ts(10 + 3601)),
+      (4L, 2L, ts(5))
+    ).toDF("event_id", "user_id", "ts")
+    val out = WindowOps.sessionize(events, "user_id", "ts", gapSeconds = 3600,
+        tieBreak = Seq(col("event_id")))
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("sessionize: exact-boundary gap does NOT split (strictly greater opens)") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = Seq(
+      (1L, 1L, t0),
+      (2L, 1L, new java.sql.Timestamp(t0.getTime + 3600 * 1000L))
+    ).toDF("event_id", "user_id", "ts")
+    val out = WindowOps.sessionize(events, "user_id", "ts", 3600,
+        Seq(col("event_id")))
+      .select("session_idx").as[Long].collect().toSet
+    assert(out == Set(1L))
+  }
+
+  // ------------------------------------------------- morton / z-order
+
+  test("mortonCode interleaves bits round-robin, dim 0 least significant") {
+    // x=3 (011), y=5 (101), 3 bits: x bits at positions 0,2,4; y at 1,3,5
+    // x: b0=1->pos0, b1=1->pos2, b2=0; y: b0=1->pos1, b1=0, b2=1->pos5
+    val out = Seq((3L, 5L)).toDF("x", "y")
+      .select(Layout.mortonCode(Seq(col("x"), col("y")), 3).as("z"))
+      .as[Long].head()
+    assert(out == (1L | 2L | 4L | 32L))
+  }
+
+  test("mortonCode truncates to the low `bits` bits") {
+    val out = Seq((256L + 3L, 0L)).toDF("x", "y")
+      .select(Layout.mortonCode(Seq(col("x"), col("y")), 8).as("z"))
+      .as[Long].head()
+    val base = Seq((3L, 0L)).toDF("x", "y")
+      .select(Layout.mortonCode(Seq(col("x"), col("y")), 8).as("z"))
+      .as[Long].head()
+    assert(out == base)
+  }
+
+  test("zorderBy: partitions are internally sorted and range-disjoint") {
+    val df = spark.range(0, 2000).select(
+      (col("id") * 7919 % 256).as("x"), (col("id") * 104729 % 256).as("y"))
+    val parts = Layout.zorderBy(df, Seq(col("x"), col("y")), 8, numPartitions = 4)
+      .select("zval").as[Long].rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val v = it.toVector
+        Iterator.single((pid, v == v.sorted, v.headOption, v.lastOption))
+      }.collect().sortBy(_._1)
+    assert(parts.forall(_._2), "each partition sorted by zval")
+    val nonEmpty = parts.filter(_._3.isDefined)
+    nonEmpty.sliding(2).foreach {
+      case Array((_, _, _, Some(hi)), (_, _, Some(lo), _)) =>
+        assert(hi <= lo, s"range partitions overlap: $hi > $lo")
+      case _ =>
+    }
+  }
+
+  // ------------------------------------------------- KMV set operations
+
+  test("kmv set ops: small-set regime is exact") {
+    // two sides with known distinct hash sets, both under k
+    val rows = ((1 to 20).map(i => (0, i.toLong * 10)) ++
+      (11 to 30).map(i => (1, i.toLong * 10))).toDF("half", "h")
+    val k = 64
+    val sks = rows.groupBy(col("half")).agg(SK.kmv_sketch(col("h"), k).as("sk"))
+    val a = sks.filter(col("half") === 0).select(col("sk").as("ska"))
+    val b = sks.filter(col("half") === 1).select(col("sk").as("skb"))
+    val out = a.crossJoin(b).select(
+      SK.kmv_estimate(col("ska"), k).as("ea"),
+      SK.kmv_estimate(SK.kmv_union(col("ska"), col("skb"), k), k).as("eu"),
+      SK.kmv_jaccard(col("ska"), col("skb"), k).as("j"),
+      SK.kmv_intersect_estimate(col("ska"), col("skb"), k).as("ei"))
+      .as[(Double, Double, Double, Double)].head()
+    assert(out._1 == 20.0)            // |A| exact
+    assert(out._2 == 30.0)            // |A u B| exact
+    assert(out._3 == 10.0 / 30.0)     // true Jaccard
+    assert(math.abs(out._4 - 10.0) < 1e-9) // intersection exact
+  }
+
+  test("kmv set ops: full-sketch regime matches the hand-computed estimator") {
+    val k = 8
+    // deterministic "hashes": i * 2^52 spreads values over the 60-bit domain
+    def h(i: Int): Long = i.toLong << 52
+    val rows = ((1 to 100).map(i => (0, h(i))) ++
+      (51 to 150).map(i => (1, h(i)))).toDF("half", "h")
+    val sks = rows.groupBy(col("half")).agg(SK.kmv_sketch(col("h"), k).as("sk"))
+    val a = sks.filter(col("half") === 0).select(col("sk").as("ska"))
+    val b = sks.filter(col("half") === 1).select(col("sk").as("skb"))
+    val out = a.crossJoin(b).select(
+      SK.kmv_estimate(col("ska"), k).as("ea"),
+      SK.kmv_jaccard(col("ska"), col("skb"), k).as("j"))
+      .as[(Double, Double)].head()
+    // A's bottom-8 = h(1..8); estimator (k-1)*2^60 / h(8)
+    assert(out._1 == 7.0 * math.pow(2, 60) / h(8).toDouble)
+    // union bottom-8 = h(1..8) (A side only; B starts at 51) -> no common
+    assert(out._2 == 0.0)
+  }
+
+  // ------------------------------------------------- canonicalization
+
+  test("canonicalize keeps argmax score with min-id ties; singletons self") {
+    val rows = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L)).toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = ConnectedComponents.canonicalize(rows, pairs, "id", "score")
+      .select("component", "canonical_id", "score", "n_members")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 9L, 3L), (4L, 4L, 1L, 1L)))
+  }
+
+  // ------------------------------------------------- divergence
+
+  test("tokenDivergence: identical slices give zero KL and chi2") {
+    val docs = Seq(
+      ("en", 0, Seq("a", "a", "b")), ("en", 1, Seq("a", "a", "b"))
+    ).toDF("lang", "side", "toks")
+    val out = CorpusStats.tokenDivergence(docs, "toks", "lang", "side")
+      .select("v", "na", "nb", "kl_ab", "kl_ba", "chi2")
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(out == ((2L, 3L, 3L, 0.0, 0.0, 0.0)))
+  }
+
+  test("tokenDivergence: shifted slice gives positive divergence both ways") {
+    val docs = Seq(
+      ("en", 0, Seq("a", "a", "a", "b")), ("en", 1, Seq("a", "b", "b", "b"))
+    ).toDF("lang", "side", "toks")
+    val out = CorpusStats.tokenDivergence(docs, "toks", "lang", "side")
+      .select("kl_ab", "kl_ba", "chi2")
+      .as[(Double, Double, Double)].head()
+    assert(out._1 > 0 && out._2 > 0)
+    // chi2 = (3-1)^2/4 + (1-3)^2/4 = 2
+    assert(math.abs(out._3 - 2.0) < 1e-12)
+  }
+}
