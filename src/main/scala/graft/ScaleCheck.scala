@@ -540,6 +540,70 @@ object ScaleCheck {
           "len", Seq("lang"), 16L, 64,
           Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))).count()))
     }
+
+    // Batch sessionize: ONE window shuffle by user — runtime ~Nx, shuffle
+    // ~rows × row width. 1000 users so per-user frames grow Nx too (the
+    // skewed-key regime, worst case for the in-partition sort).
+    locally {
+      def ev(rows: Long) = spark.range(rows).select(
+        col("id").as("event_id"), pmod(col("id"), lit(1000L)).as("user_id"),
+        timestamp_micros(lit(1700000000000000L) +
+          pmod(xxhash64(col("id")), lit(30L * 86400 * 1000000L))).as("ts"))
+      Seq(100000L -> "1x", 100000L * n -> s"${n}x").foreach { case (rows, tag) =>
+        timed(s"batch sessionize gap=1h, 1k users $tag")(((),
+          operators.WindowOps.sessionize(ev(rows), "user_id", "ts", 3600,
+              Seq(col("event_id")))
+            .agg(bit_xor(xxhash64(struct(col("user_id"), col("session_idx"))))
+              .as("ck"), count(lit(1)).as("cnt")).head().getLong(1)))
+      }
+    }
+
+    // Z-order layout: the Morton code is a zero-shuffle projection; the
+    // range repartition is the ONE exchange — runtime ~Nx, shuffle ~rows.
+    locally {
+      def pts(rows: Long) = spark.range(rows).select(
+        pmod(col("id") * 7919, lit(1L << 16)).as("x"),
+        pmod(col("id") * 104729, lit(1L << 16)).as("y"))
+      Seq(200000L -> "1x", 200000L * n -> s"${n}x").foreach { case (rows, tag) =>
+        timed(s"zorder 16-bit 2-dim layout $tag")(((),
+          operators.Layout.zorderBy(pts(rows), Seq(col("x"), col("y")), 16, 32)
+            .agg(bit_xor(xxhash64(col("zval"))).as("ck"),
+              count(lit(1)).as("cnt")).head().getLong(1)))
+      }
+    }
+
+    // Token-distribution divergence: one word-count combine (map-side) then
+    // vocab-bounded join+agg — runtime ~Nx, shuffle bounded by vocab (the
+    // replicas repeat the same tokens, so the count table does NOT grow Nx).
+    Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+      timed(s"token divergence per lang $tag")(((),
+        operators.CorpusStats.tokenDivergence(
+            df.select(col("lang"), pmod(col("doc_id"), lit(2)).as("side"),
+              S.tokens(col("text")).as("toks")), "toks", "lang", "side")
+          .agg(bit_xor(xxhash64(struct(col("kl_ab"), col("kl_ba"),
+            col("chi2")))).as("ck"), count(lit(1)).as("cnt"))
+          .head().getLong(1)))
+    }
+
+    // KMV set operations: sketches stay k longs per (group, side) however
+    // large the corpus — shuffle must stay ~FLAT while runtime tracks the
+    // token scan (~Nx); the set-op arithmetic is per-group constant work.
+    Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+      import functions.expressions.{SketchAggregates => SK}
+      val grams = df.select(col("lang"), pmod(col("doc_id"), lit(2)).as("half"),
+          explode(S.tokens(col("text"))).as("tok"))
+        .select(col("lang"), col("half"),
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+      val sks = grams.groupBy(col("lang"), col("half"))
+        .agg(SK.kmv_sketch(col("h"), 32).as("sk"))
+      timed(s"kmv set ops (union/jacc/intersect) per lang $tag")(((),
+        sks.filter(col("half") === 0).select(col("lang"), col("sk").as("ska"))
+          .join(sks.filter(col("half") === 1)
+            .select(col("lang"), col("sk").as("skb")), Seq("lang"))
+          .select(SK.kmv_jaccard(col("ska"), col("skb"), 32).as("j"),
+            SK.kmv_intersect_estimate(col("ska"), col("skb"), 32).as("i"))
+          .count()))
+    }
     spark.stop()
   }
 }

@@ -204,6 +204,67 @@ object ScaleCheck100 {
           queries.TextQueries.Bm25Queries, k = 10).count()))
     }
 
+    // ---- 9. KMV set ops: the sketches stay 32 longs per (lang, half)
+    // whatever the corpus size — shuffle must stay ~FLAT at 100× while
+    // runtime tracks the token scan. (rep100 token STREAM grows 100×; the
+    // distinct-hash stream the TreeSet sees grows 100× too, but partials
+    // still emit k longs per partition.)
+    locally {
+      import functions.expressions.{SketchAggregates => SK}
+      def setOps(df: DataFrame) = {
+        val grams = df.select(col("lang"),
+            pmod(col("doc_id"), lit(2)).as("half"),
+            explode(S.tokens(col("text"))).as("tok"))
+          .select(col("lang"), col("half"),
+            conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+        val sks = grams.groupBy(col("lang"), col("half"))
+          .agg(SK.kmv_sketch(col("h"), 32).as("sk"))
+        sks.filter(col("half") === 0).select(col("lang"), col("sk").as("ska"))
+          .join(sks.filter(col("half") === 1)
+            .select(col("lang"), col("sk").as("skb")), Seq("lang"))
+          .select(SK.kmv_jaccard(col("ska"), col("skb"), 32).as("j"),
+            SK.kmv_intersect_estimate(col("ska"), col("skb"), 32).as("i"))
+      }
+      val rep100 = (0 until n).map(i => docs.select(
+          (col("doc_id") + lit(i.toLong * offset)).as("doc_id"),
+          col("lang"), col("text")))
+        .reduce(_ unionByName _)
+      Seq(docs -> "1x", rep100 -> s"${n}x").foreach { case (df, tag) =>
+        timed(s"kmv set ops per lang $tag")(((), setOps(df).count()))
+      }
+    }
+
+    // ---- 10. batch sessionize: one user-hash window exchange — runtime
+    // and shuffle must track rows ~linearly (1k users, so per-user frames
+    // grow 100× as well: the in-partition sort is the stressed piece).
+    locally {
+      def ev(rows: Long) = spark.range(rows).select(
+        col("id").as("event_id"), pmod(col("id"), lit(1000L)).as("user_id"),
+        timestamp_micros(lit(1700000000000000L) +
+          pmod(xxhash64(col("id")), lit(30L * 86400 * 1000000L))).as("ts"))
+      Seq(100000L -> "1x", 100000L * n -> s"${n}x").foreach { case (rows, tag) =>
+        timed(s"batch sessionize gap=1h, 1k users $tag")(((),
+          operators.WindowOps.sessionize(ev(rows), "user_id", "ts", 3600,
+              Seq(col("event_id")))
+            .agg(bit_xor(xxhash64(struct(col("user_id"), col("session_idx"))))
+              .as("ck"), count(lit(1)).as("cnt")).head().getLong(1)))
+      }
+    }
+
+    // ---- 11. z-order layout: one range exchange + local sort — runtime
+    // and shuffle must track rows ~linearly; no global sort may appear.
+    locally {
+      def pts(rows: Long) = spark.range(rows).select(
+        pmod(col("id") * 7919, lit(1L << 16)).as("x"),
+        pmod(col("id") * 104729, lit(1L << 16)).as("y"))
+      Seq(200000L -> "1x", 200000L * n -> s"${n}x").foreach { case (rows, tag) =>
+        timed(s"zorder 16-bit 2-dim layout $tag")(((),
+          operators.Layout.zorderBy(pts(rows), Seq(col("x"), col("y")), 16, 32)
+            .agg(bit_xor(xxhash64(col("zval"))).as("ck"),
+              count(lit(1)).as("cnt")).head().getLong(1)))
+      }
+    }
+
     spark.stop()
   }
 }

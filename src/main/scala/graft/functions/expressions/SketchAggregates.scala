@@ -345,7 +345,14 @@ object SketchAggregates {
     override def update(b: java.util.TreeSet[InternalRow],
                         input: InternalRow): java.util.TreeSet[InternalRow] = {
       val v = child.eval(input)
-      if (v != null) add(b, v.asInstanceOf[InternalRow].copy())
+      // deep-copy through the UnsafeProjection: eval may return a
+      // GenericInternalRow whose UTF8String fields still POINT INTO the
+      // scan's reused row buffer — InternalRow.copy() clones only the
+      // reference array, so buffered entries would silently mutate as the
+      // scan advances (string-keyed structs collapsed to near-singletons).
+      // proj(...).copy() materializes the bytes into a self-contained
+      // UnsafeRow.
+      if (v != null) add(b, proj(v.asInstanceOf[InternalRow]).copy())
       b
     }
 
@@ -367,7 +374,14 @@ object SketchAggregates {
     override def serialize(b: java.util.TreeSet[InternalRow]): Array[Byte] = {
       val rows = new scala.collection.mutable.ArrayBuffer[Array[Byte]](b.size)
       val it = b.iterator()
-      while (it.hasNext) rows += proj(it.next()).getBytes
+      // every buffer entry IS a self-contained UnsafeRow (update projects+
+      // copies, deserialize materializes), so getBytes reads each row's own
+      // backing array. Re-projecting here through the SHARED `proj` target
+      // buffer made getBytes alias it — every fixed-width row serialized as
+      // the last one and the set collapsed to one entry per partition on
+      // deserialize (variable-width rows escaped by forcing a copy).
+      while (it.hasNext) rows += it.next().asInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.UnsafeRow].getBytes
       val total = 4 + rows.map(4 + _.length).sum
       val buf = ByteBuffer.allocate(total)
       buf.putInt(rows.size)

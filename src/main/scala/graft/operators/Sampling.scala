@@ -331,4 +331,56 @@ object Sampling {
             .otherwise(lit(0L))))
       .select(col(idCol), col("__dom").as(stratumCol), col("pos"), col("global_pos"))
   }
+
+  /** Deterministic per-group uniform k-sample: the k rows with the smallest
+    * salted order hash in each group — per-domain/per-language caps without
+    * a per-group WINDOW SORT. The bottom-k runs as a
+    * TypedImperativeAggregate with O(k) partials (same machinery as the
+    * top-k token heap), so each partition contributes at most k candidate
+    * rows to the exchange however large the group is; a window row_number
+    * would sort every group member. Uniformity comes from the md5 order
+    * hash (a row's inclusion is a pure function of seed + id — stable
+    * across runs and cluster sizes, the [[splitByHash]] property).
+    *
+    * @return (group, pos, id): pos = 1-based hash-order rank within the
+    *         sample; groups smaller than k keep all members. */
+  def groupSample(df: DataFrame, idCol: String, groupCol: String, k: Int,
+                  seed: String): DataFrame = {
+    import graft.functions.expressions.{SketchAggregates => SK}
+    require(k > 0, "k must be positive")
+    val h = md5(concat(lit(seed + "|"), col(idCol).cast("string")))
+    df.select(col(groupCol), col(idCol), h.as("__h"))
+      .groupBy(col(groupCol))
+      .agg(SK.bottom_k_struct(
+        struct(col("__h").as("h"), col(idCol).as("id")), k).as("__sample"))
+      .select(col(groupCol), posexplode(col("__sample")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("pos"),
+        col("col.id").as(idCol))
+  }
+
+  /** Per-group quality quota: keep the best ⌈(num/den)·n_g⌉ rows of each
+    * group by (score desc, id asc) — "keep the top 30% of every domain".
+    * The fraction is an exact integer rational: the keep predicate is
+    * num·n_g > (rank−1)·den, so no float ceil is involved and a SQL replay
+    * is bit-exact.
+    *
+    * A FRACTIONAL quota needs every group member ranked, so this is a
+    * per-group window sort (partition-bounded — the topKPerGroup shape;
+    * fine wherever a group fits a partition's sort budget). For an ABSOLUTE
+    * quota use [[groupSample]]'s O(k)-partial heap instead — no sort at
+    * any size. Group counts join back as a broadcast (groups are bounded).
+    *
+    * @return input columns + 1-based `rank` within the group. */
+  def qualityQuota(df: DataFrame, idCol: String, groupCol: String,
+                   scoreCol: String, num: Long, den: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(num > 0 && den > 0, "quota fraction must be positive")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .join(broadcast(counts), Seq(groupCol))
+      .filter(lit(num) * col("__n") > (col("rank") - 1) * lit(den))
+      .drop("__n")
+  }
 }

@@ -1261,6 +1261,27 @@ object TextQueries {
         .orderBy(col("user_id"), col("session_idx"))
     }),
 
+    // Per-group uniform sample (Sampling.groupSample): 25 docs per source by
+    // bottom-k salted order hash — O(k) aggregation partials, NO per-group
+    // window sort. The oracle replays the md5 order with a row_number.
+    "q134_group_sample" -> ((s, d) => {
+      graft.operators.Sampling.groupSample(
+          Tables(s, d, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source", k = 25, seed = "gs1")
+        .orderBy(col("source"), col("pos"))
+    }),
+
+    // Per-group quality quota (Sampling.qualityQuota): keep the longest 30%
+    // (exact rational 3/10) of every lang by (n_chars desc, doc_id). The
+    // keep predicate is integer cross-multiplication — no float ceil.
+    "q135_quality_quota" -> ((s, d) => {
+      graft.operators.Sampling.qualityQuota(
+          Tables(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", "lang", "n_chars", num = 3L, den = 10L)
+        .select(col("lang"), col("doc_id"), col("n_chars"), col("rank"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // Token-distribution divergence (CorpusStats.tokenDivergence): KL both
     // directions + χ² between the even/odd doc_id halves per lang — the
     // corpus drift monitor. Vocab-bounded after one word-count combine; the
@@ -2909,6 +2930,26 @@ object TextQueries {
              min(ts) AS session_start, max(ts) AS session_end,
              count(*) AS n_events, round(sum(value), 6) AS value_sum_r
       FROM sess GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+    // Group-sample replay: row_number over the same salted md5 order.
+    "q134_group_sample" -> """
+      WITH r AS (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5('gs1|' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+        FROM documents)
+      SELECT source, CAST(pos AS BIGINT) AS pos, doc_id
+      FROM r WHERE pos <= 25 ORDER BY source, pos""",
+    // Quota replay: window rank + group count + the same integer
+    // cross-multiplied keep predicate.
+    "q135_quality_quota" -> """
+      WITH r AS (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY n_chars DESC, doc_id) AS rank,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents)
+      SELECT lang, doc_id, n_chars, CAST(rank AS BIGINT) AS rank
+      FROM r WHERE 3 * n > (rank - 1) * 10 ORDER BY lang, rank""",
     // Divergence replay: per-(lang, half) token counts over the union vocab,
     // add-one smoothing, rounded KL sums + exact-rational χ².
     "q133_divergence" -> """

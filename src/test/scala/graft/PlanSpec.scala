@@ -242,3 +242,70 @@ class PartitionPruningSpec extends SparkSpec {
     assert(q.count() == 2)
   }
 }
+
+/** Round-8 second-wave operators: the plan shapes behind their 100 TB
+  * contracts. */
+class Round8bPlanSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("sessionize plans ONE user-hash exchange shared by both windows") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    import spark.implicits._
+    val events = (1 to 100).map(i =>
+      (i.toLong, (i % 7).toLong, new java.sql.Timestamp(t0.getTime + i * 1000L)))
+      .toDF("event_id", "user_id", "ts")
+    val p = plan(graft.operators.WindowOps.sessionize(
+      events, "user_id", "ts", 3600, Seq(col("event_id"))))
+    assert("Exchange".r.findAllIn(p).length == 1, s"expected one exchange:\n$p")
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
+  test("sessionize + per-session agg reuses the user partitioning (no second exchange)") {
+    val p = plan(TextQueries.queries("q132_sessionize")(
+      spark, "/root/testdata/sf0.001"))
+    // agg keys (user_id, session_idx) are clustered by the window's
+    // user_id partitioning — the plan must not re-shuffle (the final
+    // orderBy's range exchange is the only other allowed one)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected a single hash exchange:\n$p")
+  }
+
+  test("zorderBy is one range exchange + in-partition sort, no global sort") {
+    val pts = spark.range(0, 1000).select(
+      pmod(col("id") * 7, lit(64L)).as("x"), pmod(col("id") * 11, lit(64L)).as("y"))
+    val p = plan(graft.operators.Layout.zorderBy(pts, Seq(col("x"), col("y")), 6, 4))
+    assert(p.contains("rangepartitioning(zval"), p)
+    assert("Exchange".r.findAllIn(p).length == 1, s"expected one exchange:\n$p")
+    // the sort is local (global = false in the Sort node)
+    assert(p.linesIterator.exists(l => l.contains("Sort") && l.contains("false")), p)
+  }
+
+  test("divergence aggregations are paired partial/final — map-side combine") {
+    val p = plan(TextQueries.queries("q133_divergence")(
+      spark, "/root/testdata/sf0.001"))
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p) // 2 aggs x partial+final
+    assert(!p.contains("Window"), "divergence must not plan any window")
+  }
+
+  test("kmv set ops build sketches with partial object aggregation") {
+    val p = plan(TextQueries.queries("q129_kmv_setops")(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("partial_kmv_sketch"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("canonicalize argmax is a window-free paired aggregation") {
+    import spark.implicits._
+    val rows = Seq((1L, 5L), (2L, 9L)).toDF("id", "score")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val p = plan(graft.operators.ConnectedComponents.canonicalize(
+      rows, pairs, "id", "score"))
+    assert(!p.contains("Window"), "argmax must be min(struct), not a window sort")
+    // struct min/max isn't hash-aggregable — Spark plans SortAggregate, but
+    // the partial/final pairing (map-side combine) is what the scale contract
+    // needs: O(1) rows per cluster per partition cross the exchange
+    assert("partial_min".r.findAllIn(p).nonEmpty, p)
+    assert("(Sort|Hash)Aggregate".r.findAllIn(p).length >= 2, p)
+  }
+}

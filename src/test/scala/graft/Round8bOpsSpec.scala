@@ -117,6 +117,46 @@ class Round8bOpsSpec extends SparkSpec {
     assert(out._2 == 0.0)
   }
 
+  // ------------------------------------------------- bottom-k regression
+
+  test("bottom_k_struct survives partial serialization with FIXED-width rows" +
+    " (shared-buffer aliasing regression)") {
+    // md5-hex keys are constant-width: before the fix, serialize re-projected
+    // every entry through one shared buffer and getBytes aliased it — each
+    // partition's partial collapsed to ONE row (output size == #partitions)
+    for (parts <- Seq(1, 8)) {
+      val out = (1 to 100).map(i => ("g", i.toLong)).toDF("g", "id")
+        .repartition(parts)
+        .select(col("g"), col("id"),
+          md5(concat(lit("x|"), col("id").cast("string"))).as("h"))
+        .groupBy(col("g"))
+        .agg(SK.bottom_k_struct(struct(col("h"), col("id")), 25).as("s"))
+        .select(size(col("s"))).as[Int].head()
+      assert(out == 25, s"parts=$parts got $out")
+    }
+  }
+
+  test("groupSample: every group capped at k, deterministic across runs") {
+    val docs = sf("documents").select(col("doc_id"), col("source"))
+    val a = graft.operators.Sampling.groupSample(docs, "doc_id", "source", 5, "s1")
+    val sizes = a.groupBy(col("source")).count().select("count").as[Long].collect()
+    assert(sizes.forall(_ <= 5))
+    val b = graft.operators.Sampling.groupSample(docs, "doc_id", "source", 5, "s1")
+    assert(a.collect().toSet == b.collect().toSet)
+    // a different seed draws a different sample
+    val c = graft.operators.Sampling.groupSample(docs, "doc_id", "source", 5, "s2")
+    assert(a.select("doc_id").as[Long].collect().toSet !=
+      c.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("qualityQuota keeps exactly ceil(frac*n) per group, best first") {
+    val rows = (1 to 10).map(i => (i.toLong, "g", i.toLong * 10)).toDF("id", "g", "score")
+    val out = graft.operators.Sampling.qualityQuota(rows, "id", "g", "score", 3, 10)
+      .select("id").as[Long].collect().toSet
+    // ceil(0.3*10)=3 best scores = ids 10,9,8
+    assert(out == Set(10L, 9L, 8L))
+  }
+
   // ------------------------------------------------- canonicalization
 
   test("canonicalize keeps argmax score with min-id ties; singletons self") {
