@@ -537,6 +537,44 @@ object PipelineQueries {
     // session conf streams can't set per-read), readStream + window + drain
     // to a memory sink in Complete mode — must equal the batch hourly
     // aggregation (q17 semantics; DECIMAL sums keep the compare exact).
+    // Streaming HLL: distinct-user estimates per (day, event_type) with the
+    // mergeable hll_sketch aggregate INSIDE a streaming window aggregation —
+    // per-group state is the fixed 2^p register array (256 ints at p=8)
+    // however long the stream runs: the streaming corpus-stats contract
+    // (an exact streaming distinct would grow state per user). Register
+    // maxima are batch-order-independent, so the drained result replays
+    // exactly in SQL (q128's estimator arithmetic, including the
+    // linear-counting branch these small groups take).
+    "q136_streaming_hll" -> ((s, d) => {
+      import graft.functions.expressions.{SketchAggregates => SK}
+      val dir = s"/tmp/graft_stream_events/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        Tables(s, d, "events").select(col("event_id"), col("event_type"), col("ts"), col("value"))
+          .write.mode("overwrite").parquet(dir)
+      val staged = s.read.parquet(dir)
+      // rebuild the (event_id -> user_id) mapping the staged feed drops:
+      // the stage writes only q71's column set, and user_id is recoverable
+      // from events by key — a broadcast-joined static enrich, which is
+      // itself the stream-static pattern under test in q93
+      val users = Tables(s, d, "events").select(col("event_id"), col("user_id"))
+      val stream = s.readStream.schema(staged.schema).parquet(dir)
+        .withColumn("ts", col("ts").cast(TimestampType))
+        .join(broadcast(users), Seq("event_id"))
+      val sk = stream
+        .withWatermark("ts", "90 days")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(SK.hll_sketch(col("user_id").cast(StringType), 8).as("regs"))
+      val drained = graft.streaming.StreamingOps.drainToMemory(sk,
+        s"q136h_${math.abs(d.hashCode)}",
+        org.apache.spark.sql.streaming.OutputMode.Complete)
+      drained.select(col("w.start").as("day"), col("event_type"),
+          size(filter(col("regs"), r => r =!= 0)).cast(LongType).as("nonzero"),
+          aggregate(col("regs"), lit(0L),
+            (acc, r) => acc + pow(lit(2.0), lit(53) - r).cast("long")).as("s_num"),
+          round(SK.hll_estimate(col("regs"), 8), 4).as("est_r"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
     "q71_streaming_windows" -> ((s, d) => {
       import graft.streaming.StreamingOps
       val dir = s"/tmp/graft_stream_events/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
@@ -926,6 +964,29 @@ object PipelineQueries {
       SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    // Streaming-HLL replay: q128's register arithmetic over the same
+    // (day, event_type, user) groups the stream aggregates.
+    "q136_streaming_hll" -> """
+      WITH h AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM events),
+      b AS (SELECT day, event_type, h // 4503599627370496 AS bucket,
+              h % 4503599627370496 AS w FROM h),
+      r AS (SELECT day, event_type, bucket,
+              max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS rho
+            FROM b GROUP BY 1, 2, 3),
+      g AS (SELECT day, event_type, count(*) AS nonzero,
+              sum(CAST(1 AS BIGINT) << (53 - rho)) + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS s_num
+            FROM r GROUP BY 1, 2),
+      e AS (SELECT day, event_type, nonzero, s_num, 256 - nonzero AS zeros,
+              0.7213 / (1 + 1.079 / 256) * 256 * 256 * power(2.0, 53) / CAST(s_num AS DOUBLE) AS raw
+            FROM g)
+      SELECT day, event_type, CAST(nonzero AS BIGINT) AS nonzero,
+             CAST(s_num AS BIGINT) AS s_num,
+             round(CASE WHEN zeros > 0 AND raw <= 640.0
+                        THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 4) AS est_r
+      FROM e ORDER BY day, event_type""",
     "q93_streaming_enrich" -> """
       SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
              CAST(l_linenumber AS BIGINT) AS linenumber,

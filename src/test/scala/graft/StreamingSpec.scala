@@ -199,4 +199,33 @@ class StreamingDqSpec extends SparkSpec {
     assert(passed == batchRef.passed.count())
     assert(failed == batchRef.failed.count())
   }
+
+  test("hll sketch inside a streaming aggregation: multi-batch state merge equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.expressions.{SketchAggregates => SK}
+    val mem = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val df = mem.toDF().toDF("ts", "event_type", "user_id")
+    val agg = df.withWatermark("ts", "90 days")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(SK.hll_sketch(col("user_id").cast("string"), 8).as("regs"))
+    val q = agg.writeStream.format("memory").queryName("hll_stream")
+      .outputMode(OutputMode.Complete).start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val day = "2024-01-01"
+    // users split across THREE micro-batches with overlap: the state-store
+    // register array must merge (max) across batches, not reset
+    mem.addData((1L to 40L).map(u => (t(s"$day 01:00:00"), "click", u)): _*)
+    q.processAllAvailable()
+    mem.addData((20L to 70L).map(u => (t(s"$day 02:00:00"), "click", u)): _*)
+    q.processAllAvailable()
+    mem.addData((60L to 100L).map(u => (t(s"$day 03:00:00"), "click", u)): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("hll_stream")
+      .select(SK.hll_estimate(col("regs"), 8).as("est")).as[Double].head()
+    q.stop()
+    val batch = (1L to 100L).toDF("user_id")
+      .agg(SK.hll_sketch(col("user_id").cast("string"), 8).as("regs"))
+      .select(SK.hll_estimate(col("regs"), 8).as("est")).as[Double].head()
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+  }
 }
