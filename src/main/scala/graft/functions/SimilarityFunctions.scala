@@ -87,25 +87,16 @@ object SimilarityFunctions {
     when(t === "", array().cast(ArrayType(StringType))).otherwise(split(t, "\\s+"))
   }
 
-  /** Word n-gram shingles as strings ("w1 w2 ... wn"). Pure HOF expression.
-    *
-    * n=1 short-circuits to distinct tokens: the general HOF form references
-    * the token array inside a lambda, where Catalyst re-evaluates the whole
-    * split() subtree per ELEMENT (no CSE across lambda boundaries) — measured
-    * 7× slower as a similarity-join input. Callers composing shingles with
-    * joins should also materialize the shingle column once (see
-    * Dedup.jaccardSelfJoin) rather than letting CollapseProject re-inline it. */
-  def wordShingles(c: Column, n: Int): Column = {
-    // coalesce keeps NULL-text behavior identical to the general path below
-    // (its when() guard turns a NULL count into the empty array)
-    if (n == 1) return coalesce(array_distinct(tokens(c)),
-      array().cast(ArrayType(StringType)))
-    val ts = tokens(c)
-    val cnt = size(ts)
-    val grams = transform(sequence(lit(0), cnt - n), i =>
-      array_join(slice(ts, i + 1, lit(n)), " "))
-    when(cnt >= n, array_distinct(grams)).otherwise(array().cast(ArrayType(StringType)))
-  }
+  /** Word n-gram shingles as strings ("w1 w2 ... wn"), distinct, first-
+    * occurrence order — the codegen'd [[graft.functions.expressions.Kernels
+    * .shingleStrings]] kernel. The original HOF form (transform over
+    * sequence, slice+array_join per position) re-evaluated the token split
+    * per ELEMENT — Catalyst does no CSE across lambda boundaries — and was
+    * measured at ~10 s for a 5k-doc corpus build (the q107/q95 lesson, again:
+    * no interpreted HOF on a hot path). NULL text → NULL (nullIntolerant),
+    * matching the old when()-guard behavior for non-null inputs. */
+  def wordShingles(c: Column, n: Int): Column =
+    graft.functions.expressions.HashExpressions.shingle_strings(c, n)
 
   /** n-gram Jaccard similarity between two already-computed shingle arrays —
     * native one-pass kernel (no intersection-array allocation; the verify hot

@@ -1,6 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -167,6 +168,48 @@ object HashExpressions {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
     override def prettyName: String = "dot_product"
+  }
+
+  /** Distinct word n-gram shingle STRINGS — the codegen'd form of
+    * SimilarityFunctions.wordShingles (same tokenization contract as
+    * [[HashedShinglesExpr]], emitting the strings instead of hashes). */
+  case class ShingleStringsExpr(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.shingleStrings(input.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $KernelsClass.shingleStrings($c, $n);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "shingle_strings"
+  }
+
+  /** Intersection COUNT of two ascending ARRAY<BIGINT> columns — the
+    * verify-stage workhorse of the similarity joins: one codegen'd merge
+    * walk per pair instead of array_intersect's per-row hash-set build. */
+  case class SortedIntersectCountExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Integer.valueOf(Kernels.sortedIntersectCount(
+        l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = $KernelsClass.sortedIntersectCount($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "sorted_intersect_count"
   }
 
   /** Nearest-centroid id for IVF assignment — centroid matrix carried as a
@@ -557,6 +600,8 @@ object HashExpressions {
     column(MinHashSignatureExpr(expression(shingles), numHashes))
   def hashed_shingles(text: Column, n: Int): Column =
     column(HashedShinglesExpr(expression(text), n))
+  def shingle_strings(text: Column, n: Int): Column =
+    column(ShingleStringsExpr(expression(text), n))
   def gram_hash_pairs(text: Column, n: Int): Column =
     column(GramHashPairsExpr(expression(text), n))
   def bloom_gram_hits(text: Column, n: Int, kHashes: Int, bits: Array[Byte]): Column =
@@ -567,6 +612,8 @@ object HashExpressions {
     column(HyperplaneBucketExpr(expression(vec), dim, planes))
   def dot_product(a: Column, b: Column): Column =
     column(DotProductExpr(expression(a), expression(b)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    column(SortedIntersectCountExpr(expression(a), expression(b)))
   def jaro_winkler(a: Column, b: Column): Column =
     column(JaroWinklerExpr(expression(a), expression(b)))
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =

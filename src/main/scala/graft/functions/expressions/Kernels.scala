@@ -28,6 +28,61 @@ object Kernels {
     acc
   }
 
+  /** Distinct word n-gram shingle STRINGS ("w1 w2 … wn"), first-occurrence
+    * order — the codegen replacement for the slice+array_join HOF form of
+    * SimilarityFunctions.wordShingles, whose lambda re-evaluates the token
+    * split per ELEMENT (no CSE across HOF boundaries; measured ~10 s of a
+    * 5k-doc corpus build). Tokenization must stay bit-compatible with
+    * S.tokens: lowercase, strip leading/trailing java-\s (NOT String.trim,
+    * which also strips non-\s control chars ≤ 0x20), split on \s+. */
+  def shingleStrings(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString.toLowerCase
+    def isWs(ch: Char): Boolean =
+      ch == ' ' || ch == '\t' || ch == '\n' || ch == '\u000B' || ch == '\f' || ch == '\r'
+    var st = 0
+    var en = s.length
+    while (st < en && isWs(s.charAt(st))) st += 1
+    while (en > st && isWs(s.charAt(en - 1))) en -= 1
+    if (st >= en) return new GenericArrayData(Array.empty[Any])
+    val tokens = s.substring(st, en).split("\\s+")
+    if (tokens.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= tokens.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(tokens(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Intersection size of two ASCENDING long arrays — one merge walk, no
+    * per-row set allocation (array_intersect builds a hash set per call;
+    * at millions of candidate pairs that allocation dominates the verify
+    * stage of the similarity joins). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   def simhash64(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0

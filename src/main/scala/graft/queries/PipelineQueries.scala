@@ -537,6 +537,52 @@ object PipelineQueries {
     // session conf streams can't set per-read), readStream + window + drain
     // to a memory sink in Complete mode — must equal the batch hourly
     // aggregation (q17 semantics; DECIMAL sums keep the compare exact).
+    // Streaming CDC upsert: each micro-batch merges into a keyed managed
+    // table through the TableFormat seam (HiveParquetFormat.mergeUpsert) —
+    // the K5 MERGE path driven by a REAL stream. The merge is LATE-DATA-SAFE
+    // (order-independent): per batch, the winner per key is the max-(ts,
+    // event_id) row over {current table row} ∪ {batch rows}, so whatever
+    // order the files arrive in (maxFilesPerTrigger=1 forces many batches),
+    // the final table is the global argmax per key — which IS the oracle.
+    "q138_streaming_upsert" -> ((s, d) => {
+      import graft.catalog.HiveParquetFormat
+      import org.apache.spark.sql.expressions.Window
+      val dir = s"/tmp/graft_stream_events/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        Tables(s, d, "events").select(col("event_id"), col("event_type"), col("ts"), col("value"))
+          .write.mode("overwrite").parquet(dir)
+      val staged = s.read.parquet(dir)
+      val db = s"graftsu${math.abs(d.hashCode)}"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      s.sql(s"DROP TABLE IF EXISTS $db.latest")
+      def keyed(df: DataFrame) = df.select(
+        pmod(col("event_id"), lit(50)).as("k"), col("event_id"),
+        col("event_type"), col("ts"), col("value"))
+      keyed(staged).limit(0).write.format("parquet").saveAsTable(s"$db.latest")
+      val stream = s.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        ss.sql(s"REFRESH TABLE $db.latest")
+        val b = keyed(batch)
+        // only the touched keys' current rows join the contest — the merge
+        // reads (batch keys × 1 row), never the whole table
+        val cur = ss.table(s"$db.latest")
+          .join(b.select("k").distinct(), Seq("k"), "left_semi")
+        val merged = cur.unionByName(b)
+          .withColumn("__r", row_number().over(Window.partitionBy(col("k"))
+            .orderBy(col("ts").desc, col("event_id").desc)))
+          .filter(col("__r") === 1).drop("__r")
+        HiveParquetFormat.mergeUpsert(ss, s"$db.latest", merged, "k")
+        ()
+      }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.sql(s"REFRESH TABLE $db.latest")
+      s.table(s"$db.latest")
+        .select(col("k"), col("event_id"), col("event_type"), col("ts"), col("value"))
+        .orderBy(col("k"))
+    }),
+
     // Streaming HLL: distinct-user estimates per (day, event_type) with the
     // mergeable hll_sketch aggregate INSIDE a streaming window aggregation —
     // per-group state is the fixed 2^p register array (256 ints at p=8)
@@ -964,6 +1010,16 @@ object PipelineQueries {
       SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    // Streaming-upsert replay: global argmax per key — batch-order
+    // independence of the merge makes this exact however the files split.
+    "q138_streaming_upsert" -> """
+      WITH r AS (
+        SELECT event_id % 50 AS k, event_id, event_type, ts, value,
+               row_number() OVER (PARTITION BY event_id % 50
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT k, event_id, event_type, ts, value
+      FROM r WHERE rn = 1 ORDER BY k""",
     // Streaming-HLL replay: q128's register arithmetic over the same
     // (day, event_type, user) groups the stream aggregates.
     "q136_streaming_hll" -> """

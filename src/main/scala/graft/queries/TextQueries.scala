@@ -503,8 +503,14 @@ object TextQueries {
         .select((col("doc_id") + 3000000).as("doc_id"),
           array_join(slice(S.tokens(col("text")), lit(1),
             ceil(size(S.tokens(col("text"))) * lit(0.6)).cast("int")), " ").as("text"))
+      // the fused hashed_shingles kernel replaces the interpreted wordShingles
+      // HOF (measured ~10 s of the query's wall at sf0.1); containment over
+      // 64-bit shingle hashes is exact modulo the pipeline-wide ~2^-64
+      // collision contract, and the verify kernel consumes the hashes as-is
       val corpus = docs.unionByName(snippets)
-        .select(col("doc_id"), S.wordShingles(col("text"), 2).as("toks"))
+        .select(col("doc_id"),
+          graft.functions.expressions.HashExpressions
+            .hashed_shingles(col("text"), 2).as("toks"))
       graft.operators.Dedup
         .containmentJoin(corpus, "toks", "doc_id", Nil, 0.75)
         .select(col("id_a"), col("id_b"),
@@ -1280,6 +1286,19 @@ object TextQueries {
           "doc_id", "lang", "n_chars", num = 3L, den = 10L)
         .select(col("lang"), col("doc_id"), col("n_chars"), col("rank"))
         .orderBy(col("lang"), col("rank"))
+    }),
+
+    // Triangle enumeration (GraphOps.triangles): degree-ordered orientation
+    // — wedge work bounded O(E^1.5) under ANY degree skew, all equi-joins.
+    // Graph: within 16-doc blocks, edges (i, i+1) and (i, i+2) — every
+    // in-block consecutive triple closes a triangle, so the result is dense
+    // and fully known; the oracle replays orientation + wedge + closure.
+    "q137_triangles" -> ((s, d) => {
+      val ids = Tables(s, d, "documents").select(col("doc_id").as("i"))
+      val edges = ids.select(col("i"), explode(array(col("i") + 1, col("i") + 2)).as("j"))
+        .filter(floor(col("j") / 16) === floor(col("i") / 16))
+      graft.operators.GraphOps.triangles(edges, "i", "j")
+        .orderBy(col("a"), col("b"), col("c"))
     }),
 
     // Token-distribution divergence (CorpusStats.tokenDivergence): KL both
@@ -2930,6 +2949,22 @@ object TextQueries {
              min(ts) AS session_start, max(ts) AS session_end,
              count(*) AS n_events, round(sum(value), 6) AS value_sum_r
       FROM sess GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+    // Triangle replay: same block-arithmetic edges; a triangle is any
+    // a<b<c with edges (a,b),(b,c),(a,c) — enumeration is canonical, so no
+    // need to replay the engine's degree orientation.
+    "q137_triangles" -> """
+      WITH ids AS (SELECT doc_id AS i FROM documents),
+      e0 AS (
+        SELECT i, i + 1 AS j FROM ids WHERE (i + 1) // 16 = i // 16
+        UNION ALL
+        SELECT i, i + 2 AS j FROM ids WHERE (i + 2) // 16 = i // 16),
+      ed AS (SELECT DISTINCT least(i, j) AS a, greatest(i, j) AS b
+             FROM e0 WHERE i <> j)
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM ed e1
+      JOIN ed e2 ON e2.a = e1.b
+      JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+      ORDER BY a, b, c""",
     // Group-sample replay: row_number over the same salted md5 order.
     "q134_group_sample" -> """
       WITH r AS (
