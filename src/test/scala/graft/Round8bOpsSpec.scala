@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.expressions.{SketchAggregates => SK}
+import graft.functions.{SimilarityFunctions => S}
 import graft.operators.{ConnectedComponents, CorpusStats, Layout, WindowOps}
 import org.apache.spark.sql.functions._
 
@@ -190,5 +191,46 @@ class Round8bOpsSpec extends SparkSpec {
     assert(out._1 > 0 && out._2 > 0)
     // chi2 = (3-1)^2/4 + (1-3)^2/4 = 2
     assert(math.abs(out._3 - 2.0) < 1e-12)
+  }
+
+  // ------------------------------------------------- shingle kernel parity
+
+  test("shingle_strings kernel matches the HOF formula on edge cases") {
+    import graft.functions.expressions.HashExpressions.shingle_strings
+    val cases = Seq(
+      "the quick brown fox", "  leading and trailing  ", "one",
+      "a a a a", "tabs\tand\nnewlines mixed   spaces", "", "   ",
+      "UPPER Case MiXeD", "x y x y x y")
+    val df = cases.zipWithIndex.map(_.swap).toDF("i", "t")
+    for (n <- Seq(1, 2, 3)) {
+      // reference: the old interpreted HOF formula
+      val ts = S.tokens(col("t"))
+      val grams = transform(sequence(lit(0), size(ts) - n), i =>
+        array_join(slice(ts, i + 1, lit(n)), " "))
+      val ref = when(size(ts) >= n, array_distinct(grams))
+        .otherwise(array().cast("array<string>"))
+      val rows = df.select(col("i"), shingle_strings(col("t"), n).as("k"), ref.as("r"))
+        .collect()
+      rows.foreach { row =>
+        assert(row.getSeq[String](1) == row.getSeq[String](2),
+          s"n=$n case=${cases(row.getInt(0))}: ${row.getSeq[String](1)} != ${row.getSeq[String](2)}")
+      }
+    }
+  }
+
+  test("sorted_intersect_count equals array_intersect size on random long arrays") {
+    import graft.functions.expressions.HashExpressions.sorted_intersect_count
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val bad = df.select(
+        sorted_intersect_count(col("a"), col("b")).as("k"),
+        size(array_intersect(col("a"), col("b"))).as("r"))
+      .filter(col("k") =!= col("r")).count()
+    assert(bad == 0)
   }
 }
