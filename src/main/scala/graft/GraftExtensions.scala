@@ -86,6 +86,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("count_terms", "count_terms(text, array(terms...)) — count of maskable regions"),
       (args: Seq[Expression]) => CountTermsExpr(args.head, stringSeqArg(args(1)))))
 
+    ext.injectFunction((FunctionIdentifier("shingle_strings"),
+      info("shingle_strings", "shingle_strings(text, n) — distinct word n-gram strings, first-occurrence order"),
+      (args: Seq[Expression]) => ShingleStringsExpr(args.head, intArg(args(1)))))
+
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count", "sorted_intersect_count(a, b) — intersection size of two ascending array<bigint>"),
+      (args: Seq[Expression]) => SortedIntersectCountExpr(args.head, args(1))))
+
     // Aggregates: the analyzer wraps a returned AggregateFunction in its
     // AggregateExpression, so GROUP BY sketch building works from plain SQL.
     ext.injectFunction((FunctionIdentifier("kmv_sketch"),
@@ -176,6 +184,10 @@ object GraftExtensions {
         args(1).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toArray[org.apache.spark.unsafe.types.UTF8String](
             org.apache.spark.sql.types.StringType).map(_.toString).toSeq), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_strings",
+      args => ShingleStringsExpr(args.head, args(1).eval(null).toString.toInt), "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_intersect_count",
+      args => SortedIntersectCountExpr(args.head, args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("kmv_sketch",
       args => graft.functions.expressions.SketchAggregates
         .KmvSketchAgg(args.head, args(1).eval(null).toString.toInt), "scala_udf")

@@ -358,6 +358,51 @@ object Sampling {
         col("col.id").as(idCol))
   }
 
+  /** Whole-document bin packing, next-fit-decreasing per hash bucket — the
+    * OTHER real packing strategy next to [[packSequences]]' concat-then-
+    * chunk: each document stays intact (no mid-document truncation), bins
+    * hold ≤ `capacity` tokens (oversize docs get a bin alone), and the
+    * objective is few mostly-full bins for sample-efficient batch assembly.
+    *
+    * Exact FFD/NFD is inherently sequential, so the distributed form runs
+    * NFD independently per salted HASH BUCKET: ONE shuffle by bucket, a
+    * per-bucket (len desc, id) sort, one linear fold — deterministic under
+    * any partitioning/parallelism because the bucket assignment and the
+    * in-bucket order are pure functions of (seed, id, len). Within-bucket
+    * memory is the bucket's rows (the caller scales `buckets` with the
+    * corpus, like epochShuffleShard's shards), and packing quality matches
+    * global NFD to within the usual per-shard fragmentation (≤ one
+    * partially-filled trailing bin per bucket).
+    *
+    * @return (bucket, id, len, bin, load_after): `bin` is 1-based per
+    *         bucket, `load_after` the bin's cumulative tokens after this
+    *         doc — both fully replayable by a sequential oracle. */
+  def binPackDocs(df: DataFrame, idCol: String, lenCol: String,
+                  capacity: Long, buckets: Int, seed: String): DataFrame = {
+    require(capacity > 0 && buckets > 0)
+    val s = df.sparkSession
+    import s.implicits._
+    val keyed = df
+      .select(col(idCol).cast("long").as("id"), col(lenCol).cast("long").as("len"))
+      .withColumn("bucket", pmod(
+        conv(substring(md5(concat(lit(seed + "|"), col("id").cast("string"))), 1, 4),
+          16, 10).cast("int"), lit(buckets)))
+      .as[(Long, Long, Int)]
+    keyed.groupByKey(_._3).flatMapGroups { (bucket, it) =>
+      val docs = it.toArray.sortBy(t => (-t._2, t._1))
+      val out = new scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Long)](docs.length)
+      var bin = 0L
+      var load = 0L
+      docs.foreach { case (id, len, _) =>
+        if (bin == 0L || load + len > capacity) { bin += 1; load = len }
+        else load += len
+        out += ((bucket, id, len, bin, load))
+      }
+      out.iterator
+    }.toDF("bucket", idCol, lenCol, "bin", "load_after")
+      .withColumn("bucket", col("bucket").cast("long"))
+  }
+
   /** Per-group quality quota: keep the best ⌈(num/den)·n_g⌉ rows of each
     * group by (score desc, id asc) — "keep the top 30% of every domain".
     * The fraction is an exact integer rational: the keep predicate is

@@ -200,6 +200,32 @@ object PipelineQueries {
     dir
   }
 
+  /** q140's staged stream: the join feed PLUS one far-future `__sentinel`
+    * row — outer-join NULL emission fires only when the watermark passes
+    * `left_ts + within + delay`, and a bounded drain's watermark stops at
+    * the last real event without it. The sentinel never matches (its ts is
+    * outside every interval) and is filtered from the OUTPUT post-join,
+    * but it DOES pass both sides' pre-join watermark operators. Emission
+    * then needs the post-watermark no-data batch — see
+    * StreamingOps.drainToMemoryProcessAll. */
+  private def ensureEventOuterJoinStream(s: SparkSession, d: String): String = {
+    val dir = s"/tmp/graft_stream_ojoin/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      val real = Tables(s, d, "events")
+        .select(col("event_id").cast(LongType).as("event_id"),
+          col("user_id").cast(LongType).as("user_id"),
+          col("ts").cast(TimestampType).as("ts"), col("event_type"))
+      val mx = real.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinel = s.range(1)
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+          lit(new java.sql.Timestamp(mx.getTime + 40L * 86400000L)).as("ts"),
+          lit("__sentinel").as("event_type"))
+      real.unionByName(sentinel).orderBy(col("ts")).coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
   /** Stage every driver-independent fixture (CSV feed, event stream, format
     * files, lookup store) for a sf dir. Bench calls this in its UNTIMED
     * warm-up so per-query timings measure operators, not one-time fixture
@@ -537,6 +563,44 @@ object PipelineQueries {
     // session conf streams can't set per-read), readStream + window + drain
     // to a memory sink in Complete mode — must equal the batch hourly
     // aggregation (q17 semantics; DECIMAL sums keep the compare exact).
+    // Stream-stream LEFT OUTER interval join: every click, with its
+    // within-1h purchases OR NULL-padded if none — the attribution-with-
+    // negatives query the inner join (q110) can't answer. Unmatched rows
+    // emit only when the watermark proves no match can arrive; the staged
+    // sentinel advances it past every real click (see
+    // ensureEventOuterJoinStream), and the oracle is the batch LEFT JOIN.
+    "q140_stream_outer_join" -> ((s, d) => {
+      import graft.streaming.StreamingOps
+      val dir = ensureEventOuterJoinStream(s, d)
+      val staged = s.read.parquet(dir)
+      def side(t: String, idAs: String, tsAs: String, typeAs: String) =
+        s.readStream.schema(staged.schema).parquet(dir)
+          .filter(col("event_type").isin(t, "__sentinel"))
+          .select(col("user_id"), col("event_id").as(idAs),
+            col("ts").as(tsAs), col("event_type").as(typeAs))
+      val joined = StreamingOps.intervalJoin(
+        side("click", "click_id", "click_ts", "click_type"),
+        side("purchase", "purchase_id", "purchase_ts", "purchase_type"),
+        "user_id", "click_ts", "purchase_ts",
+        withinSecs = 3600L, watermark = "30 days", joinType = "left_outer")
+      // sentinel rows are excluded AFTER the drain, not in the stream: a
+      // pre-sink filter on click_type gets PUSHED BELOW the left side's
+      // EventTimeWatermark operator (it doesn't reference the time column),
+      // silently removing the sentinel before the watermark tracker sees it
+      // — the watermark then never passes the clicks' match bound and zero
+      // NULL rows emit (measured). The drained memory table is batch, where
+      // the filter is safe. The sentinel's own left row stays in state
+      // (watermark never reaches sentinel+within) and is filtered here as
+      // defense in depth.
+      val out = joined.select(col("user_id"), col("click_id"), col("click_type"),
+        col("purchase_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+          .cast(LongType).as("gap_secs"))
+      StreamingOps.drainToMemoryProcessAll(out, s"q140oj_${math.abs(d.hashCode)}")
+        .filter(col("click_type") === "click").drop("click_type")
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
     // Streaming CDC upsert: each micro-batch merges into a keyed managed
     // table through the TableFormat seam (HiveParquetFormat.mergeUpsert) —
     // the K5 MERGE path driven by a REAL stream. The merge is LATE-DATA-SAFE
@@ -1010,6 +1074,18 @@ object PipelineQueries {
       SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    // Outer-join replay: the batch LEFT JOIN over the same interval.
+    "q140_stream_outer_join" -> """
+      WITH e AS (SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(user_id AS BIGINT) AS user_id,
+               date_trunc('microseconds', ts) AS ts, event_type FROM events),
+      c AS (SELECT user_id, event_id AS click_id, ts AS cts FROM e WHERE event_type = 'click'),
+      p AS (SELECT user_id, event_id AS purchase_id, ts AS pts FROM e WHERE event_type = 'purchase')
+      SELECT c.user_id, click_id, purchase_id,
+             CAST(epoch_us(pts) // 1000000 - epoch_us(cts) // 1000000 AS BIGINT) AS gap_secs
+      FROM c LEFT JOIN p ON c.user_id = p.user_id
+        AND pts >= cts AND pts <= cts + INTERVAL 1 HOUR
+      ORDER BY click_id, purchase_id""",
     // Streaming-upsert replay: global argmax per key — batch-order
     // independence of the merge makes this exact however the files split.
     "q138_streaming_upsert" -> """

@@ -1301,6 +1301,17 @@ object TextQueries {
         .orderBy(col("a"), col("b"), col("c"))
     }),
 
+    // Whole-document bin packing (Sampling.binPackDocs): NFD per hash
+    // bucket — documents stay intact, bins ≤ 2048 chars, deterministic
+    // under any parallelism. The oracle replays the per-bucket sequential
+    // fold with a recursive CTE.
+    "q139_bin_packing" -> ((s, d) => {
+      graft.operators.Sampling.binPackDocs(
+          Tables(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", capacity = 2048, buckets = 8, seed = "bp1")
+        .orderBy(col("bucket"), col("bin"), col("doc_id"))
+    }),
+
     // Token-distribution divergence (CorpusStats.tokenDivergence): KL both
     // directions + χ² between the even/odd doc_id halves per lang — the
     // corpus drift monitor. Vocab-bounded after one word-count combine; the
@@ -2985,6 +2996,30 @@ object TextQueries {
         FROM documents)
       SELECT lang, doc_id, n_chars, CAST(rank AS BIGINT) AS rank
       FROM r WHERE 3 * n > (rank - 1) * 10 ORDER BY lang, rank""",
+    // Bin-packing replay: same salted md5 bucket, (len desc, id) order,
+    // sequential NFD fold as a linear recursive CTE stepping rn per bucket.
+    "q139_bin_packing" -> """
+      WITH d AS (
+        SELECT doc_id, n_chars,
+               CAST(('0x' || substr(md5('bp1|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 8 AS bucket
+        FROM documents),
+      r AS (
+        SELECT bucket, doc_id, n_chars,
+               row_number() OVER (PARTITION BY bucket ORDER BY n_chars DESC, doc_id) AS rn
+        FROM d),
+      pack AS (
+        WITH RECURSIVE p(bucket, rn, doc_id, n_chars, bin, load) AS (
+          SELECT bucket, rn, doc_id, n_chars, CAST(1 AS BIGINT), n_chars
+          FROM r WHERE rn = 1
+          UNION ALL
+          SELECT r.bucket, r.rn, r.doc_id, r.n_chars,
+                 CASE WHEN p.load + r.n_chars > 2048 THEN p.bin + 1 ELSE p.bin END,
+                 CASE WHEN p.load + r.n_chars > 2048 THEN r.n_chars ELSE p.load + r.n_chars END
+          FROM p JOIN r ON r.bucket = p.bucket AND r.rn = p.rn + 1)
+        SELECT * FROM p)
+      SELECT CAST(bucket AS BIGINT) AS bucket, doc_id, n_chars,
+             bin, load AS load_after
+      FROM pack ORDER BY bucket, bin, doc_id""",
     // Divergence replay: per-(lang, half) token counts over the union vocab,
     // add-one smoothing, rounded KL sums + exact-rational χ².
     "q133_divergence" -> """

@@ -184,14 +184,20 @@ object StreamingOps {
     * oracle replays it. */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    leftTs: String, rightTs: String, withinSecs: Long,
-                   watermark: String): DataFrame = {
+                   watermark: String, joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark).alias("l")
     val r = right.withWatermark(rightTs, watermark).alias("r")
+    // For OUTER variants the NULL-padded unmatched rows are emitted only
+    // when the watermark provably rules out a future match (left_ts +
+    // within + delay) — on a bounded drain, stage a watermark-advancing
+    // far-future row on BOTH sides or trailing unmatched rows never emit
+    // (same contract as the sessionize sentinel).
     l.join(r,
       col(s"l.$keyCol") === col(s"r.$keyCol") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") &&
         col(s"r.$rightTs") <= col(s"l.$leftTs") +
-          expr(s"INTERVAL $withinSecs SECONDS"))
+          expr(s"INTERVAL $withinSecs SECONDS"),
+      joinType)
       .drop(col(s"r.$keyCol"))
   }
 
@@ -208,6 +214,26 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    df.sparkSession.table(queryName)
+  }
+
+  /** Drain via `processAllAvailable` instead of Trigger.AvailableNow:
+    * AvailableNow stops with the DATA, skipping the no-data micro-batches
+    * that flush watermark-expired state — an OUTER join's NULL-padded
+    * unmatched rows are emitted exactly there, so under AvailableNow a
+    * bounded drain never surfaces them (measured: zero NULL rows even with
+    * a watermark-advancing sentinel). processAllAvailable blocks until the
+    * engine is idle INCLUDING those no-data batches. Drain-only helper —
+    * a production unbounded stream keeps running and flushes naturally. */
+  def drainToMemoryProcessAll(df: DataFrame, queryName: String,
+                              mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q: StreamingQuery = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(mode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
     df.sparkSession.table(queryName)
   }
 }

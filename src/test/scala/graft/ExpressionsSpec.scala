@@ -202,6 +202,12 @@ class ExtensionsSpec extends SparkSpec {
                scrub_spans('a b c d', array(1), 2) AS sc""").head()
     assert(r8.getInt(0) == 2)
     assert(r8.getStruct(1).getString(2) == "a d")
+    val r8b = spark.sql(
+      """SELECT shingle_strings('A b a b', 2) AS sh,
+               sorted_intersect_count(array(CAST(1 AS BIGINT), 3, 5),
+                                      array(CAST(2 AS BIGINT), 3, 5, 7)) AS ic""").head()
+    assert(r8b.getSeq[String](0) == Seq("a b", "b a"))
+    assert(r8b.getInt(1) == 2)
   }
 
   test("SQL-exposed kernels reject wrong input types at analysis, not with garbage") {

@@ -228,4 +228,61 @@ class StreamingDqSpec extends SparkSpec {
       .select(SK.hll_estimate(col("regs"), 8).as("est")).as[Double].head()
     assert(streamed == batch, s"streamed $streamed != batch $batch")
   }
+
+  test("left-outer interval join emits NULL-padded rows after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val lm = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val rm = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val joined = StreamingOps.intervalJoin(
+      lm.toDF().toDF("user_id", "click_id", "click_ts"),
+      rm.toDF().toDF("user_id", "purchase_id", "purchase_ts"),
+      "user_id", "click_ts", "purchase_ts", 3600L, "10 minutes", "left_outer")
+    val q = joined.select("click_id", "purchase_id")
+      .writeStream.format("memory").queryName("oj_spec")
+      .outputMode(OutputMode.Append).start()
+    lm.addData((1L, 100L, t("2024-01-01 10:00:00")), (2L, 101L, t("2024-01-01 10:00:00")))
+    rm.addData((1L, 200L, t("2024-01-01 10:30:00")))
+    q.processAllAvailable()
+    // watermark still behind click+1h: only the match is out
+    assert(spark.table("oj_spec").count() == 1)
+    lm.addData((9L, 900L, t("2024-01-02 10:00:00")))
+    rm.addData((9L, 901L, t("2024-01-02 10:00:00")))
+    q.processAllAvailable() // includes the no-data batch that flushes state
+    q.stop()
+    val rows = spark.table("oj_spec").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(rows.contains((101L, None)), s"unmatched click must NULL-pad: ${rows.mkString(",")}")
+    assert(rows.contains((100L, Some(200L))))
+  }
+
+  test("watermark-advancing sentinels must not be filtered pre-sink (pushdown hazard)") {
+    // a pre-sink filter on a non-time column is pushed BELOW the
+    // EventTimeWatermark operator and removes the sentinel before the
+    // watermark tracker sees it — this spec pins the hazard so the q140
+    // pattern (post-drain filtering) is not \"simplified\" back
+    implicit val sqlCtx = spark.sqlContext
+    val lm = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val rm = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val joined = StreamingOps.intervalJoin(
+      lm.toDF().toDF("user_id", "click_id", "click_ts", "ltype"),
+      rm.toDF().toDF("user_id", "purchase_id", "purchase_ts", "rtype"),
+      "user_id", "click_ts", "purchase_ts", 3600L, "10 minutes", "left_outer")
+    // the HAZARD form: stream-side filter on ltype
+    val q = joined.filter(col("ltype") === "click").select("click_id", "purchase_id")
+      .writeStream.format("memory").queryName("oj_hazard")
+      .outputMode(OutputMode.Append).start()
+    lm.addData((2L, 101L, t("2024-01-01 10:00:00"), "click"),
+      (-1L, -1L, t("2024-01-05 10:00:00"), "__sentinel"))
+    rm.addData((-1L, -1L, t("2024-01-05 10:00:00"), "__sentinel"))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+    // the sentinel was filtered below the watermark op: no NULL row emitted
+    // even though the sentinel should have advanced the watermark past it
+    assert(spark.table("oj_hazard").count() == 0,
+      "if this starts passing, Catalyst stopped pushing filters through " +
+        "EventTimeWatermark and q140 can filter in-stream again")
+  }
 }
