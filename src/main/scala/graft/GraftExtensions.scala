@@ -94,6 +94,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sorted_intersect_count", "sorted_intersect_count(a, b) — intersection size of two ascending array<bigint>"),
       (args: Seq[Expression]) => SortedIntersectCountExpr(args.head, args(1))))
 
+    ext.injectFunction((FunctionIdentifier("hilbert_index"),
+      info("hilbert_index", "hilbert_index(x, y, bits) — 2-D Hilbert curve index"),
+      (args: Seq[Expression]) => HilbertIndexExpr(args.head, args(1), intArg(args(2)))))
+
     // Aggregates: the analyzer wraps a returned AggregateFunction in its
     // AggregateExpression, so GROUP BY sketch building works from plain SQL.
     ext.injectFunction((FunctionIdentifier("kmv_sketch"),
@@ -188,6 +192,8 @@ object GraftExtensions {
       args => ShingleStringsExpr(args.head, args(1).eval(null).toString.toInt), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_intersect_count",
       args => SortedIntersectCountExpr(args.head, args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("hilbert_index",
+      args => HilbertIndexExpr(args.head, args(1), args(2).eval(null).toString.toInt), "scala_udf")
     reg.createOrReplaceTempFunction("kmv_sketch",
       args => graft.functions.expressions.SketchAggregates
         .KmvSketchAgg(args.head, args(1).eval(null).toString.toInt), "scala_udf")

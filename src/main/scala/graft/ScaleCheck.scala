@@ -585,6 +585,20 @@ object ScaleCheck {
           .head().getLong(1)))
     }
 
+    // Whole-document NFD bin packing: one shuffle by salted bucket + a
+    // per-bucket sort/fold — runtime ~Nx with buckets scaled alongside
+    // (fixed per-bucket work), shuffle ~rows.
+    locally {
+      def lens(rows: Long) = spark.range(rows).select(col("id"),
+        (pmod(xxhash64(col("id")), lit(900L)) + 100L).as("len"))
+      Seq((100000L, 64) -> "1x", (100000L * n, 64 * n) -> s"${n}x").foreach {
+        case ((rows, buckets), tag) =>
+          timed(s"nfd bin packing cap=2048 $tag")(((),
+            operators.Sampling.binPackDocs(lens(rows), "id", "len", 2048,
+              buckets, "bp").count()))
+      }
+    }
+
     // KMV set operations: sketches stay k longs per (group, side) however
     // large the corpus — shuffle must stay ~FLAT while runtime tracks the
     // token scan (~Nx); the set-op arithmetic is per-group constant work.

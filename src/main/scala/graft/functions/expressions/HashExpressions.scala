@@ -187,6 +187,25 @@ object HashExpressions {
     override def prettyName: String = "shingle_strings"
   }
 
+  /** 2-D Hilbert curve index over a 2^bits grid — see Kernels.hilbertIndex. */
+  case class HilbertIndexExpr(left: Expression, right: Expression, bits: Int)
+      extends BinaryExpression {
+    require(bits > 0 && 2 * bits <= 62, s"need 0 < 2*bits <= 62, got $bits")
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Long.valueOf(Kernels.hilbertIndex(
+        l.asInstanceOf[Long], r.asInstanceOf[Long], bits))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = $KernelsClass.hilbertIndex($a, $b, $bits);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "hilbert_index"
+  }
+
   /** Intersection COUNT of two ascending ARRAY<BIGINT> columns — the
     * verify-stage workhorse of the similarity joins: one codegen'd merge
     * walk per pair instead of array_intersect's per-row hash-set build. */
@@ -614,6 +633,8 @@ object HashExpressions {
     column(DotProductExpr(expression(a), expression(b)))
   def sorted_intersect_count(a: Column, b: Column): Column =
     column(SortedIntersectCountExpr(expression(a), expression(b)))
+  def hilbert_index(x: Column, y: Column, bits: Int): Column =
+    column(HilbertIndexExpr(expression(x), expression(y), bits))
   def jaro_winkler(a: Column, b: Column): Column =
     column(JaroWinklerExpr(expression(a), expression(b)))
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =

@@ -63,6 +63,33 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** 2-D Hilbert curve index (xy2d) over a 2^bits × 2^bits grid — the
+    * locality-tighter alternative to the Morton code: CONSECUTIVE indices
+    * are always grid-adjacent (|Δx|+|Δy| = 1), where the Z curve jumps at
+    * quadrant seams. Level reduction keeps (x, y) in [0, s) before each
+    * rotation, so every step is bounded integer arithmetic a SQL oracle
+    * replays verbatim. */
+  def hilbertIndex(x0: Long, y0: Long, bits: Int): Long = {
+    val mask = (1L << bits) - 1
+    var x = x0 & mask
+    var y = y0 & mask
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) != 0) 1L else 0L
+      val ry = if ((y & s) != 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      val xm = x & (s - 1)
+      val ym = y & (s - 1)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - ym; y = s - 1 - xm }
+        else { x = ym; y = xm }
+      } else { x = xm; y = ym }
+      s >>= 1
+    }
+    d
+  }
+
   /** Intersection size of two ASCENDING long arrays — one merge walk, no
     * per-row set allocation (array_intersect builds a hash set per call;
     * at millions of candidate pairs that allocation dominates the verify

@@ -50,4 +50,17 @@ object Layout {
     df.withColumn(zCol, mortonCode(dims, bits))
       .repartitionByRange(numPartitions, col(zCol))
       .sortWithinPartitions(col(zCol))
+
+  /** Hilbert-curve layout (2-D): same physical shape as [[zorderBy]] but on
+    * the Hilbert index, whose CONSECUTIVE values are always grid-adjacent —
+    * no quadrant-seam jumps — so curve segments (files) cover tighter boxes
+    * than the Z curve at the same size: measurably fewer files overlap a
+    * given rectangle predicate. The index is a codegen'd per-row kernel
+    * ([[graft.functions.expressions.Kernels.hilbertIndex]]). */
+  def hilbertBy(df: DataFrame, x: Column, y: Column, bits: Int,
+                numPartitions: Int, hCol: String = "hval"): DataFrame =
+    df.withColumn(hCol, graft.functions.expressions.HashExpressions
+        .hilbert_index(x.cast("long"), y.cast("long"), bits))
+      .repartitionByRange(numPartitions, col(hCol))
+      .sortWithinPartitions(col(hCol))
 }

@@ -1253,6 +1253,19 @@ object TextQueries {
         .orderBy(col("zval"), col("event_id"))
     }),
 
+    // Hilbert-curve layout (Layout.hilbertBy): q131's physical shape on the
+    // tighter curve — consecutive indices are always grid-adjacent, so
+    // files cover tighter boxes than Z-order. The oracle replays the
+    // level-reduction xy2d loop with a recursive CTE (8 bounded-integer
+    // iterations per row, identical arithmetic to the codegen kernel).
+    "q141_hilbert" -> ((s, d) => {
+      graft.operators.Layout.hilbertBy(Tables(s, d, "events"),
+          pmod(col("user_id"), lit(256L)), pmod(col("event_id"), lit(256L)),
+          bits = 8, numPartitions = 8)
+        .select(col("event_id"), col("user_id"), col("hval"))
+        .orderBy(col("hval"), col("event_id"))
+    }),
+
     // Batch sessionization (WindowOps.sessionize): gap>8h splits a user's
     // event stream into sessions — the batch twin of q78's streaming
     // sessions, ONE window shuffle by user, exact integer-microsecond gap
@@ -2943,6 +2956,32 @@ object TextQueries {
       SELECT event_id, user_id,
              ${mortonSqlExpr(Seq("user_id", "event_id"), 8)} AS zval
       FROM events ORDER BY zval, event_id""",
+    // Hilbert replay: the same level-reduction xy2d loop, one recursive-CTE
+    // step per bit level (s halves 128 → 1; rows finish at s = 0).
+    "q141_hilbert" -> """
+      WITH pts AS (
+        SELECT event_id, user_id,
+               user_id % 256 AS x0, event_id % 256 AS y0
+        FROM events),
+      h AS (
+        WITH RECURSIVE it(event_id, s, x, y, d) AS (
+          SELECT event_id, CAST(128 AS BIGINT), x0, y0, CAST(0 AS BIGINT) FROM pts
+          UNION ALL
+          SELECT event_id, s // 2,
+            CASE WHEN (y & s) = 0 THEN
+                   CASE WHEN (x & s) > 0 THEN s - 1 - (y % s) ELSE (y % s) END
+                 ELSE (x % s) END,
+            CASE WHEN (y & s) = 0 THEN
+                   CASE WHEN (x & s) > 0 THEN s - 1 - (x % s) ELSE (x % s) END
+                 ELSE (y % s) END,
+            d + s * s * (CASE WHEN (x & s) > 0 AND (y & s) > 0 THEN 2
+                              WHEN (x & s) > 0 THEN 3
+                              WHEN (y & s) > 0 THEN 1 ELSE 0 END)
+          FROM it WHERE s > 0)
+        SELECT event_id, d FROM it WHERE s = 0)
+      SELECT p.event_id, p.user_id, h.d AS hval
+      FROM pts p JOIN h USING (event_id)
+      ORDER BY hval, event_id""",
     // Sessionize replay: integer-microsecond gaps, same window + running sum.
     "q132_sessionize" -> """
       WITH l AS (

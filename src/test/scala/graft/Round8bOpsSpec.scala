@@ -233,4 +233,43 @@ class Round8bOpsSpec extends SparkSpec {
       .filter(col("k") =!= col("r")).count()
     assert(bad == 0)
   }
+
+  // ------------------------------------------------- hilbert curve
+
+  test("hilbertIndex: consecutive indices are ALWAYS grid-adjacent (the property Z-order lacks)") {
+    import graft.functions.expressions.Kernels
+    val bits = 4 // full 16x16 grid = 256 cells
+    val cells = for { x <- 0L until 16L; y <- 0L until 16L }
+      yield (Kernels.hilbertIndex(x, y, bits), (x, y))
+    val byD = cells.sortBy(_._1)
+    // bijection onto [0, 256)
+    assert(byD.map(_._1) == (0L until 256L))
+    byD.sliding(2).foreach { case Seq((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-adjacent step ($x1,$y1)->($x2,$y2)")
+    }
+    // Morton, by contrast, jumps at the first quadrant seam
+    val mByD = (for { x <- 0L until 16L; y <- 0L until 16L } yield {
+      var z = 0L
+      for (j <- 0 until bits) z |= (((x >> j) & 1) << (2 * j)) | (((y >> j) & 1) << (2 * j + 1))
+      (z, (x, y))
+    }).sortBy(_._1)
+    val jumps = mByD.sliding(2).count { case Seq((_, (x1, y1)), (_, (x2, y2))) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    }
+    assert(jumps > 0, "morton should have seam jumps on this grid")
+  }
+
+  test("hilbertBy layout: one range exchange, partitions sorted by hval") {
+    val df = spark.range(0, 1000).select(
+      pmod(col("id") * 7, lit(64L)).as("x"), pmod(col("id") * 11, lit(64L)).as("y"))
+    val out = graft.operators.Layout.hilbertBy(df, col("x"), col("y"), 6, 4)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning(hval"), p)
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+    val parts = out.select("hval").as[Long].rdd
+      .mapPartitions(it => Iterator.single { val v = it.toVector; v == v.sorted })
+      .collect()
+    assert(parts.forall(identity))
+  }
 }
