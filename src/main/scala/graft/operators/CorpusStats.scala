@@ -44,6 +44,44 @@ object CorpusStats {
       .agg(max(col("__n")).as("n"), qCols: _*)
   }
 
+  /** n-gram diversity per group: distinct / total n-gram ratios for each
+    * requested n — the standard repetitiveness / mode-collapse readout for
+    * a corpus slice (low diversity ⇒ templated or duplicated text). Totals
+    * come from token-count ARITHMETIC (Σ max(len−n+1, 0): no n-gram
+    * explosion for the denominator); distincts from one explode +
+    * count_distinct per n. All integer counts + one rounded division.
+    *
+    * Scale: the distinct side shuffles hashed gram tokens once per n with
+    * map-side partial distinct; for sketch-sized state at extreme scale,
+    * swap count_distinct for hll_sketch/kmv_sketch (q117/q128) — the exact
+    * form is kept here because its oracle is exact. */
+  def ngramDiversity(docs: DataFrame, textCol: String, groupCol: String,
+                     ns: Seq[Int]): DataFrame = {
+    import graft.functions.{SimilarityFunctions => S}
+    require(ns.nonEmpty && ns.forall(_ > 0))
+    val toks = docs.select(col(groupCol), S.tokens(col(textCol)).as("__t"))
+    val totCols = ns.map(n =>
+      sum(greatest(size(col("__t")) - (n - 1), lit(0)).cast("long"))
+        .as(s"n${n}_total"))
+    val totals = toks.groupBy(col(groupCol)).agg(totCols.head, totCols.tail: _*)
+    val distincts = ns.map { n =>
+      docs.select(col(groupCol),
+          explode(S.wordShingles(col(textCol), n)).as("__g"))
+        .groupBy(col(groupCol))
+        .agg(count_distinct(col("__g")).as(s"n${n}_distinct"))
+    }
+    val joined = distincts.foldLeft(totals)((acc, d) =>
+      acc.join(d, Seq(groupCol), "left"))
+      .na.fill(0L, ns.map(n => s"n${n}_distinct"))
+    val ratioCols = ns.flatMap { n =>
+      Seq(col(s"n${n}_total"), col(s"n${n}_distinct"),
+        round(when(col(s"n${n}_total") > 0,
+          col(s"n${n}_distinct").cast("double") / col(s"n${n}_total").cast("double"))
+          .otherwise(lit(0.0)), 6).as(s"n${n}_div_r"))
+    }
+    joined.select(col(groupCol) +: ratioCols: _*)
+  }
+
   /** Token-distribution divergence between two corpus slices, per group —
     * the distribution-shift monitor of a data pipeline (did this crawl
     * snapshot / source mix drift from the last one?). For each group the two

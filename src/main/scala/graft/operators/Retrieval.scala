@@ -163,4 +163,38 @@ object Retrieval {
       .filter(col("__rk") === 1)
       .select(col(idCol), col(labelCol), col("__cls").as("pred"), col("score_r"))
   }
+
+  /** Per-class precision / recall / F1 over (label, pred) pairs — the
+    * model-quality readout every classifier-driven curation step (langid
+    * routing, NB filtering) needs next to it. Exact integer confusion
+    * counts; ratios computed once, unrounded, then rounded at 6 dp — so a
+    * SQL replay is bit-equal.
+    *
+    * Scale: ONE count aggregation over the scored rows (map-side combine),
+    * then everything operates on the class×class matrix — bounded however
+    * large the corpus.
+    *
+    * @return (cls, support, predicted, tp, precision_r, recall_r, f1_r),
+    *         one row per class appearing as label OR prediction. */
+  def classifierEval(scored: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val cm = scored
+      .groupBy(col(labelCol).as("cls"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+    val classes = cm.select(col("cls"))
+      .unionByName(cm.select(col("pred").as("cls"))).distinct()
+    val lt = cm.groupBy(col("cls")).agg(sum("n").as("support"))
+    val pt = cm.groupBy(col("pred").as("cls")).agg(sum("n").as("predicted"))
+    val tp = cm.filter(col("cls") === col("pred")).select(col("cls"), col("n").as("tp"))
+    val base = classes
+      .join(lt, Seq("cls"), "left").join(pt, Seq("cls"), "left").join(tp, Seq("cls"), "left")
+      .na.fill(0L, Seq("support", "predicted", "tp"))
+    val p = when(col("predicted") > 0,
+      col("tp").cast("double") / col("predicted").cast("double")).otherwise(lit(0.0))
+    val r = when(col("support") > 0,
+      col("tp").cast("double") / col("support").cast("double")).otherwise(lit(0.0))
+    val f1 = when(p + r > 0.0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0))
+    base.select(col("cls"), col("support"), col("predicted"), col("tp"),
+      round(p, 6).as("precision_r"), round(r, 6).as("recall_r"),
+      round(f1, 6).as("f1_r"))
+  }
 }

@@ -1253,6 +1253,26 @@ object TextQueries {
         .orderBy(col("zval"), col("event_id"))
     }),
 
+    // Classifier evaluation (Retrieval.classifierEval): per-class
+    // precision/recall/F1 of the q24 langid heuristic against true labels
+    // — exact integer confusion counts, bounded class matrix. The oracle
+    // wraps the q24 prediction replay and recomputes the same ratios.
+    "q142_classifier_eval" -> ((s, d) => {
+      val scored = Tables(s, d, "documents")
+        .select(col("lang"), T.langId(col("text")).as("pred"))
+      graft.operators.Retrieval.classifierEval(scored, "lang", "pred")
+        .orderBy(col("cls"))
+    }),
+
+    // n-gram diversity per source (CorpusStats.ngramDiversity): distinct/
+    // total ratios for n=1..3 — the repetitiveness readout. Totals by
+    // token-count arithmetic, distincts by one explode per n.
+    "q143_ngram_diversity" -> ((s, d) => {
+      graft.operators.CorpusStats.ngramDiversity(
+          Tables(s, d, "documents"), "text", "source", Seq(1, 2, 3))
+        .orderBy(col("source"))
+    }),
+
     // Hilbert-curve layout (Layout.hilbertBy): q131's physical shape on the
     // tighter curve — consecutive indices are always grid-adjacent, so
     // files cover tighter boxes than Z-order. The oracle replays the
@@ -2956,6 +2976,65 @@ object TextQueries {
       SELECT event_id, user_id,
              ${mortonSqlExpr(Seq("user_id", "event_id"), 8)} AS zval
       FROM events ORDER BY zval, event_id""",
+    // Classifier-eval replay: q24's generated prediction CTE + the same
+    // integer confusion counts and once-unrounded ratio arithmetic.
+    "q142_classifier_eval" -> s"""
+      WITH preds AS ($langIdOracle),
+      j AS (SELECT d.lang AS cls, p.lang_pred AS pred
+            FROM documents d JOIN preds p USING (doc_id)),
+      cm AS (SELECT cls, pred, count(*) AS n FROM j GROUP BY 1, 2),
+      classes AS (SELECT cls FROM cm UNION SELECT pred FROM cm),
+      lt AS (SELECT cls, sum(n) AS support FROM cm GROUP BY 1),
+      pt AS (SELECT pred AS cls, sum(n) AS predicted FROM cm GROUP BY 1),
+      tp AS (SELECT cls, n AS tp FROM cm WHERE cls = pred),
+      m AS (SELECT c.cls,
+              COALESCE(lt.support, 0) AS support,
+              COALESCE(pt.predicted, 0) AS predicted,
+              COALESCE(tp.tp, 0) AS tp
+            FROM classes c LEFT JOIN lt USING (cls)
+            LEFT JOIN pt USING (cls) LEFT JOIN tp USING (cls)),
+      pr AS (SELECT cls, support, predicted, tp,
+               CASE WHEN predicted > 0 THEN CAST(tp AS DOUBLE) / predicted ELSE 0.0 END AS p,
+               CASE WHEN support > 0 THEN CAST(tp AS DOUBLE) / support ELSE 0.0 END AS r
+             FROM m)
+      SELECT cls, CAST(support AS BIGINT) AS support,
+             CAST(predicted AS BIGINT) AS predicted, CAST(tp AS BIGINT) AS tp,
+             round(p, 6) AS precision_r, round(r, 6) AS recall_r,
+             round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6) AS f1_r
+      FROM pr ORDER BY cls""",
+    // Diversity replay: token arithmetic totals + one distinct per n.
+    "q143_ngram_diversity" -> """
+      WITH base AS (
+        SELECT source,
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') END AS t
+        FROM documents),
+      tot AS (SELECT source,
+               sum(greatest(len(t), 0)) AS n1_total,
+               sum(greatest(len(t) - 1, 0)) AS n2_total,
+               sum(greatest(len(t) - 2, 0)) AS n3_total
+             FROM base GROUP BY 1),
+      g1 AS (SELECT source, count(DISTINCT v) AS n1_distinct
+             FROM (SELECT source, unnest(t) AS v FROM base) GROUP BY 1),
+      g2 AS (SELECT source, count(DISTINCT v) AS n2_distinct
+             FROM (SELECT source, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS v
+                   FROM base WHERE len(t) >= 2) GROUP BY 1),
+      g3 AS (SELECT source, count(DISTINCT v) AS n3_distinct
+             FROM (SELECT source, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS v
+                   FROM base WHERE len(t) >= 3) GROUP BY 1)
+      SELECT tot.source,
+             CAST(n1_total AS BIGINT) AS n1_total,
+             CAST(COALESCE(n1_distinct, 0) AS BIGINT) AS n1_distinct,
+             round(CASE WHEN n1_total > 0 THEN CAST(COALESCE(n1_distinct, 0) AS DOUBLE) / n1_total ELSE 0.0 END, 6) AS n1_div_r,
+             CAST(n2_total AS BIGINT) AS n2_total,
+             CAST(COALESCE(n2_distinct, 0) AS BIGINT) AS n2_distinct,
+             round(CASE WHEN n2_total > 0 THEN CAST(COALESCE(n2_distinct, 0) AS DOUBLE) / n2_total ELSE 0.0 END, 6) AS n2_div_r,
+             CAST(n3_total AS BIGINT) AS n3_total,
+             CAST(COALESCE(n3_distinct, 0) AS BIGINT) AS n3_distinct,
+             round(CASE WHEN n3_total > 0 THEN CAST(COALESCE(n3_distinct, 0) AS DOUBLE) / n3_total ELSE 0.0 END, 6) AS n3_div_r
+      FROM tot
+      LEFT JOIN g1 USING (source) LEFT JOIN g2 USING (source) LEFT JOIN g3 USING (source)
+      ORDER BY tot.source""",
     // Hilbert replay: the same level-reduction xy2d loop, one recursive-CTE
     // step per bit level (s halves 128 → 1; rows finish at s = 0).
     "q141_hilbert" -> """

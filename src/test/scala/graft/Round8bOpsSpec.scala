@@ -272,4 +272,33 @@ class Round8bOpsSpec extends SparkSpec {
       .collect()
     assert(parts.forall(identity))
   }
+
+  // ------------------------------------------------- eval analytics
+
+  test("classifierEval: hand-checked confusion metrics, incl. never-predicted class") {
+    val scored = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"),   // a: tp=2, fn=1
+      ("b", "a"), ("b", "b"),               // b: tp=1, fp from a's side
+      ("c", "a")                            // c never predicted
+    ).toDF("label", "pred")
+    val m = graft.operators.Retrieval.classifierEval(scored, "label", "pred")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    // a: support 3, predicted 4, tp 2 -> p=0.5 r=2/3
+    assert(m("a") == ((3L, 4L, 2L, 0.5, 0.666667)))
+    // b: support 2, predicted 2, tp 1 -> p=r=0.5
+    assert(m("b") == ((2L, 2L, 1L, 0.5, 0.5)))
+    // c: support 1, predicted 0, tp 0 -> p=0 r=0 f1=0
+    assert(m("c") == ((1L, 0L, 0L, 0.0, 0.0)))
+  }
+
+  test("ngramDiversity: closed-form ratios on a two-doc group") {
+    val docs = Seq(("g", "a b a b"), ("g", "a b c")).toDF("src", "text")
+    val r = graft.operators.CorpusStats.ngramDiversity(docs, "text", "src", Seq(1, 2))
+      .head()
+    // n1: total 7 tokens, distinct {a,b,c}=3; n2: total 5 grams, distinct {a b, b a, b c}=3
+    assert((r.getLong(1), r.getLong(2)) == ((7L, 3L)))
+    assert((r.getLong(4), r.getLong(5)) == ((5L, 3L)))
+    assert(r.getDouble(6) == 0.6)
+  }
 }
