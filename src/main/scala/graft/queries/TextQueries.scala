@@ -1253,6 +1253,26 @@ object TextQueries {
         .orderBy(col("zval"), col("event_id"))
     }),
 
+    // Token-dropout augmentation (Augment.tokenDropout): p=0.15 per-position
+    // md5 coin, position 0 exempt — deterministic lexical perturbation,
+    // zero-shuffle. The oracle replays the per-position coin and the
+    // order-preserving rebuild.
+    "q144_token_dropout" -> ((s, d) => {
+      graft.operators.Augment.tokenDropout(
+          Tables(s, d, "documents"), "doc_id", "text", "da1", pPerMille = 150)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Repeat-factor upsampling (Augment.upsampleByFactor): 1 + (doc_id % 3)
+    // copies per doc with stable copy ids — the data-mixing oversample.
+    "q145_upsample" -> ((s, d) => {
+      graft.operators.Augment.upsampleByFactor(
+          Tables(s, d, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", lit(1L) + pmod(col("doc_id"), lit(3L)), maxRepeats = 4)
+        .select(col("doc_id"), col("lang"), col("copy"), col("aug_id"))
+        .orderBy(col("aug_id"))
+    }),
+
     // Classifier evaluation (Retrieval.classifierEval): per-class
     // precision/recall/F1 of the q24 langid heuristic against true labels
     // — exact integer confusion counts, bounded class matrix. The oracle
@@ -2976,6 +2996,36 @@ object TextQueries {
       SELECT event_id, user_id,
              ${mortonSqlExpr(Seq("user_id", "event_id"), 8)} AS zval
       FROM events ORDER BY zval, event_id""",
+    // Dropout replay: same per-position md5 coin, ordered rebuild.
+    "q144_token_dropout" -> """
+      WITH base AS (
+        SELECT doc_id,
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') END AS t
+        FROM documents),
+      pos AS (
+        SELECT doc_id, i - 1 AS i, t[i] AS tok
+        FROM base, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)),
+      dec AS (
+        SELECT doc_id, i, tok,
+               CAST(('0x' || substr(md5('da1|' || CAST(doc_id AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 6)) AS BIGINT) % 1000 AS c
+        FROM pos),
+      agg AS (
+        SELECT doc_id,
+               count(*) FILTER (WHERE i = 0 OR c >= 150) AS n_kept,
+               COALESCE(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE i = 0 OR c >= 150), '') AS text_aug
+        FROM dec GROUP BY doc_id)
+      SELECT b.doc_id, CAST(len(b.t) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+             COALESCE(a.text_aug, '') AS text_aug
+      FROM base b LEFT JOIN agg a USING (doc_id)
+      ORDER BY b.doc_id""",
+    // Upsample replay: per-doc copy range, same id arithmetic.
+    "q145_upsample" -> """
+      SELECT doc_id, lang, CAST(copy AS BIGINT) AS copy,
+             doc_id * 4 + copy AS aug_id
+      FROM documents, LATERAL (SELECT unnest(range(0, 1 + doc_id % 3)) AS copy)
+      ORDER BY aug_id""",
     // Classifier-eval replay: q24's generated prediction CTE + the same
     // integer confusion counts and once-unrounded ratio arithmetic.
     "q142_classifier_eval" -> s"""

@@ -301,4 +301,35 @@ class Round8bOpsSpec extends SparkSpec {
     assert((r.getLong(4), r.getLong(5)) == ((5L, 3L)))
     assert(r.getDouble(6) == 0.6)
   }
+
+  // ------------------------------------------------- augmentation
+
+  test("tokenDropout: deterministic, rate near p, never empties a doc") {
+    val docs = (1 to 50).map(i => (i.toLong, Seq.fill(40)("w").zipWithIndex
+      .map { case (w, j) => s"$w$j" }.mkString(" "))).toDF("id", "text")
+    val a = graft.operators.Augment.tokenDropout(docs, "id", "text", "s1", 300)
+    val b = graft.operators.Augment.tokenDropout(docs, "id", "text", "s1", 300)
+    assert(a.collect().toSeq == b.collect().toSeq)
+    val kept = a.agg(sum("n_kept"), sum("n_tokens")).as[(Long, Long)].head()
+    val rate = 1.0 - kept._1.toDouble / kept._2
+    assert(rate > 0.2 && rate < 0.4, s"drop rate $rate should be near 0.30")
+    assert(a.filter(col("n_kept") === 0).count() == 0)
+    // p=999 keeps ONLY position 0
+    val ext = graft.operators.Augment.tokenDropout(docs, "id", "text", "s1", 999)
+    assert(ext.select("n_kept").as[Long].collect().forall(_ >= 1))
+  }
+
+  test("upsampleByFactor: copy counts follow the factor, ids stable and distinct") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "lang")
+    val out = graft.operators.Augment.upsampleByFactor(
+      docs, "id", col("id"), maxRepeats = 4)
+    val counts = out.groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    val ids = out.select("aug_id").as[Long].collect()
+    assert(ids.distinct.length == ids.length)
+    // factor above the cap clamps
+    val capped = graft.operators.Augment.upsampleByFactor(
+      docs, "id", lit(99L), maxRepeats = 4)
+    assert(capped.count() == 12)
+  }
 }
