@@ -165,24 +165,28 @@ object TextFunctions {
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"),
   )
 
-  /** Count of occurrences of `word` in lowercased text: whole-word (\b) for
-    * ASCII-word stopwords; plain substring count for CJK stopwords — \b never
-    * matches between CJK chars under Java's ASCII \w, so boundary-anchored
-    * CJK patterns would count zero in unsegmented text. */
-  private def wordCount(c: Column, word: String): Column = {
-    val quoted = java.util.regex.Pattern.quote(word)
-    if (word.matches("^\\w+$")) regexp_count(lower(c), lit(s"\\b$quoted\\b"))
-    else regexp_count(lower(c), lit(quoted))
-  }
+  /** All languages' stopword scores in ONE Aho-Corasick scan
+    * (dict_scores): whole-word (\b) counting for ASCII-word stopwords,
+    * substring counting for CJK (where Java's ASCII \b never matches) —
+    * count-for-count identical to the per-word regexp_count formulation the
+    * oracles replay (MultiDictCounter documents the equivalence proof), but
+    * one text pass instead of 40 regex families (~2.5 s → ~0.2 s per
+    * langid pass at sf0.1). */
+  def langScores(c: Column): Column =
+    graft.functions.expressions.HashExpressions
+      .dict_scores(c, LangStopwords.map(_._2))
 
   /** Per-language stopword score (sum of stopword hit counts). */
   def langScore(c: Column, lang: String): Column =
-    LangStopwords.toMap.apply(lang).map(wordCount(c, _)).reduce(_ + _)
+    element_at(langScores(c), LangStopwords.indexWhere(_._1 == lang) + 1)
 
   /** Language-ID: argmax over [[LangStopwords]]; "und" (undetermined) when no
     * stopword of any language appears. */
   def langId(c: Column): Column = {
-    val scores = LangStopwords.map { case (lang, _) => lang -> langScore(c, lang) }
+    val sc = langScores(c)
+    val scores = LangStopwords.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(sc, i + 1)
+    }
     val best = scores.map(_._2).reduce(greatest(_, _))
     val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
       when(s === best && best > 0, lit(lang)).otherwise(acc)

@@ -206,6 +206,29 @@ object HashExpressions {
     override def prettyName: String = "hilbert_index"
   }
 
+  /** Per-dictionary occurrence scores in ONE Aho-Corasick pass — the langid
+    * scorer's 40-regex replacement ([[MultiDictCounter]] documents the exact
+    * regexp_count equivalence contract). Returns array<int>, dict order. */
+  case class DictScoresExpr(child: Expression, dicts: Seq[Seq[String]])
+      extends UnaryExpression {
+    require(dicts.nonEmpty && dicts.forall(_.nonEmpty), "empty dictionary")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val mc =
+      new MultiDictCounter(dicts.map(_.toArray).toArray)
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.dictScores(input.asInstanceOf[UTF8String], mc)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mcRef = ctx.addReferenceObj("dictCounter", mc, classOf[MultiDictCounter].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $KernelsClass.dictScores($c, $mcRef);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "dict_scores"
+  }
+
   /** Intersection COUNT of two ascending ARRAY<BIGINT> columns — the
     * verify-stage workhorse of the similarity joins: one codegen'd merge
     * walk per pair instead of array_intersect's per-row hash-set build. */
@@ -635,6 +658,8 @@ object HashExpressions {
     column(SortedIntersectCountExpr(expression(a), expression(b)))
   def hilbert_index(x: Column, y: Column, bits: Int): Column =
     column(HilbertIndexExpr(expression(x), expression(y), bits))
+  def dict_scores(text: Column, dicts: Seq[Seq[String]]): Column =
+    column(DictScoresExpr(expression(text), dicts))
   def jaro_winkler(a: Column, b: Column): Column =
     column(JaroWinklerExpr(expression(a), expression(b)))
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =

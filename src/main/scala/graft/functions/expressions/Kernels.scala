@@ -90,6 +90,10 @@ object Kernels {
     d
   }
 
+  /** Bridge for [[MultiDictCounter]] — ArrayData result for codegen. */
+  def dictScores(text: UTF8String, mc: MultiDictCounter): ArrayData =
+    new GenericArrayData(mc.count(text.toString))
+
   /** Intersection size of two ASCENDING long arrays — one merge walk, no
     * per-row set allocation (array_intersect builds a hash set per call;
     * at millions of candidate pairs that allocation dominates the verify
@@ -788,4 +792,102 @@ final class AcAutomaton(terms: Array[String]) extends Serializable {
   }
 
   def count(s: String): Int = selected(s).size
+}
+
+/** Multi-dictionary Aho-Corasick occurrence COUNTER: one pass over the text
+  * accumulates a per-dictionary hit count, replacing one regexp_count per
+  * dictionary word (the langid scorer ran 40 regex families per row).
+  *
+  * Word-ish terms (all chars \w) count only at \b boundaries — exactly
+  * `regexp_count(text, '\bterm\b')`, since boundary-validated matches of one
+  * word can never self-overlap. Non-\w terms count every occurrence
+  * (substring semantics, the CJK path); terms with a proper border (prefix =
+  * suffix, e.g. "aba") would then diverge from non-overlapping regexp_count,
+  * so those are rejected at construction rather than silently miscounted.
+  * Terms must be unique across dictionaries. */
+final class MultiDictCounter(dicts: Array[Array[String]]) extends Serializable {
+  private val terms = dicts.flatten
+  require(terms.distinct.length == terms.length, "terms must be unique across dicts")
+  private def isWordCh(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+  terms.filterNot(_.forall(isWordCh)).foreach { t =>
+    (1 until t.length).foreach { b =>
+      require(t.substring(0, b) != t.substring(t.length - b),
+        s"non-word term '$t' has a border: overlapping occurrences would " +
+          "diverge from regexp_count's non-overlapping semantics")
+    }
+  }
+
+  import scala.collection.mutable.ArrayBuffer
+  private val children = ArrayBuffer(new java.util.HashMap[Character, Integer]())
+  private val termLen = ArrayBuffer(0)
+  private val termDict = ArrayBuffer(-1)
+  private val termWordish = ArrayBuffer(false)
+  dicts.zipWithIndex.foreach { case (dict, di) =>
+    dict.filter(_.nonEmpty).foreach { t =>
+      var node = 0
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i)
+        var next = children(node).get(c)
+        if (next == null) {
+          children += new java.util.HashMap[Character, Integer]()
+          termLen += 0
+          termDict += -1
+          termWordish += false
+          next = children.size - 1
+          children(node).put(c, next)
+        }
+        node = next
+        i += 1
+      }
+      termLen(node) = t.length
+      termDict(node) = di
+      termWordish(node) = t.forall(isWordCh)
+    }
+  }
+  private val fail = new Array[Int](children.size)
+  locally {
+    val queue = new java.util.ArrayDeque[Int]()
+    children(0).forEach((_, v) => { fail(v) = 0; queue.add(v) })
+    while (!queue.isEmpty) {
+      val u = queue.poll()
+      children(u).forEach { (c, v) =>
+        var f = fail(u)
+        while (f != 0 && !children(f).containsKey(c)) f = fail(f)
+        val fc = children(f).get(c)
+        fail(v) = if (fc != null && fc != v) fc else 0
+        queue.add(v)
+      }
+    }
+  }
+
+  val nDicts: Int = dicts.length
+
+  /** Per-dictionary occurrence counts over the LOWERCASED text. */
+  def count(raw: String): Array[Int] = {
+    val s = raw.toLowerCase
+    val out = new Array[Int](nDicts)
+    var node = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      while (node != 0 && !children(node).containsKey(c)) node = fail(node)
+      val next = children(node).get(c)
+      node = if (next != null) next else 0
+      var o = node
+      while (o != 0) {
+        if (termLen(o) > 0) {
+          val st = i - termLen(o) + 1
+          val boundaryOk = !termWordish(o) ||
+            ((st == 0 || !isWordCh(s.charAt(st - 1))) &&
+              (i + 1 == s.length || !isWordCh(s.charAt(i + 1))))
+          if (boundaryOk) out(termDict(o)) += 1
+        }
+        o = fail(o)
+      }
+      i += 1
+    }
+    out
+  }
 }

@@ -177,9 +177,14 @@ object Retrieval {
     * @return (cls, support, predicted, tp, precision_r, recall_r, f1_r),
     *         one row per class appearing as label OR prediction. */
   def classifierEval(scored: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    // materialize the class×class matrix ONCE: classes/lt/pt/tp all derive
+    // from it, and without the barrier each re-runs the full scored scan
+    // (the prediction expression is typically the expensive part — measured
+    // ~3× the single-scan cost on the langid query)
     val cm = scored
       .groupBy(col(labelCol).as("cls"), col(predCol).as("pred"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val classes = cm.select(col("cls"))
       .unionByName(cm.select(col("pred").as("cls"))).distinct()
     val lt = cm.groupBy(col("cls")).agg(sum("n").as("support"))

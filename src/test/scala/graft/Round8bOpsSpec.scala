@@ -332,4 +332,31 @@ class Round8bOpsSpec extends SparkSpec {
       docs, "id", lit(99L), maxRepeats = 4)
     assert(capped.count() == 12)
   }
+
+  // ------------------------------------------------- dict-scores kernel
+
+  test("dict_scores equals per-word regexp_count on boundary edge cases") {
+    import graft.functions.expressions.HashExpressions.dict_scores
+    val dicts = Seq(Seq("the", "and"), Seq("der"), Seq("\u7684"))
+    val texts = Seq(
+      "the theater and band the", // 'the' at ends, inside 'theater'/'and' inside 'band'
+      "The AND the",              // case folding
+      "x\u7684y\u7684",         // CJK substring counting, no boundaries
+      "andand the_and and-the",   // underscore is a word char; dash is not
+      "", "der die derder")
+    val df = texts.zipWithIndex.map(_.swap).toDF("i", "t")
+    val got = df.select(col("i"), dict_scores(col("t"), dicts).as("s"))
+      .orderBy("i").collect().map(_.getSeq[Int](1))
+    def rx(t: String, w: String) = {
+      val p = java.util.regex.Pattern.compile(
+        if (w.matches("^\\w+$") || w.forall(_.isLetterOrDigit) && w.forall(_ < 128))
+          "\\b" + java.util.regex.Pattern.quote(w) + "\\b"
+        else java.util.regex.Pattern.quote(w))
+      val m = p.matcher(t.toLowerCase); var c = 0; while (m.find()) c += 1; c
+    }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val expect = dicts.map(_.map(w => rx(t, w)).sum)
+      assert(got(i).toSeq == expect, s"text '$t': ${got(i)} != $expect")
+    }
+  }
 }
