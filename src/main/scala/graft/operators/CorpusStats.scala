@@ -82,6 +82,26 @@ object CorpusStats {
     joined.select(col(groupCol) +: ratioCols: _*)
   }
 
+  /** Merge two HLL register-state tables keyed by `keyCols` — the
+    * INCREMENTAL corpus-statistics step: yesterday's stored sketch states
+    * plus today's batch sketches give the union-corpus states WITHOUT
+    * rescanning the old corpus, because HLL registers merge by per-index
+    * max (and a merge of sketches equals the sketch of the union — the
+    * mergeability contract q117/q128 build on). Keys present on only one
+    * side pass through unchanged (full outer + coalesce).
+    *
+    * Shape: one key-hash join over BOUNDED sketch tables (one row per
+    * group, 2^p ints each) — never corpus-sized. */
+  def mergeHllStates(stored: DataFrame, batch: DataFrame,
+                     keyCols: Seq[String], regsCol: String): DataFrame = {
+    val merged = zip_with(col(s"__a.$regsCol"), col(s"__b.$regsCol"),
+      (a, b) => greatest(a, b))
+    stored.alias("__a").join(batch.alias("__b"), keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        coalesce(merged, col(s"__a.$regsCol"), col(s"__b.$regsCol"))
+          .as(regsCol): _*)
+  }
+
   /** Token-distribution divergence between two corpus slices, per group —
     * the distribution-shift monitor of a data pipeline (did this crawl
     * snapshot / source mix drift from the last one?). For each group the two

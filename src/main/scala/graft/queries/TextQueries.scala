@@ -1253,6 +1253,33 @@ object TextQueries {
         .orderBy(col("zval"), col("event_id"))
     }),
 
+    // Incremental HLL state merge (CorpusStats.mergeHllStates): sketch
+    // states from the even-doc "stored" corpus merge with the odd-doc
+    // "batch" WITHOUT rescanning either — and the merged estimates must
+    // equal the full-corpus sketch, which is exactly what the oracle
+    // computes (merge ≡ union: the mergeability contract, oracle-pinned).
+    // zh lives ONLY in the batch side, so the pass-through leg of the full
+    // outer join is exercised too.
+    "q146_hll_merge" -> ((s, d) => {
+      import graft.functions.expressions.{SketchAggregates => SK}
+      val docs = Tables(s, d, "documents")
+      def sketchOf(side: DataFrame) = side
+        .select(col("lang"), explode(S.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang")).agg(SK.hll_sketch(col("tok"), 8).as("regs"))
+      val stored = sketchOf(docs.filter(
+        pmod(col("doc_id"), lit(2)) === 0 && col("lang") =!= "zh"))
+      val batch = sketchOf(docs.filter(
+        pmod(col("doc_id"), lit(2)) === 1 ||
+          (pmod(col("doc_id"), lit(2)) === 0 && col("lang") === "zh")))
+      graft.operators.CorpusStats.mergeHllStates(stored, batch, Seq("lang"), "regs")
+        .select(col("lang"),
+          size(filter(col("regs"), r => r =!= 0)).cast(LongType).as("nonzero"),
+          aggregate(col("regs"), lit(0L),
+            (acc, r) => acc + pow(lit(2.0), lit(53) - r).cast("long")).as("s_num"),
+          round(SK.hll_estimate(col("regs"), 8), 4).as("est_r"))
+        .orderBy(col("lang"))
+    }),
+
     // Token-dropout augmentation (Augment.tokenDropout): p=0.15 per-position
     // md5 coin, position 0 exempt — deterministic lexical perturbation,
     // zero-shuffle. The oracle replays the per-position coin and the
@@ -2996,6 +3023,27 @@ object TextQueries {
       SELECT event_id, user_id,
              ${mortonSqlExpr(Seq("user_id", "event_id"), 8)} AS zval
       FROM events ORDER BY zval, event_id""",
+    // HLL-merge replay: the FULL-corpus sketch per lang — merge ≡ union is
+    // the property under test, so the oracle never sees the split.
+    "q146_hll_merge" -> """
+      WITH toks AS (
+        SELECT lang, unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS v
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      h AS (SELECT DISTINCT lang, CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h FROM toks),
+      b AS (SELECT lang, h // 4503599627370496 AS bucket, h % 4503599627370496 AS w FROM h),
+      r AS (SELECT lang, bucket,
+              max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS rho
+            FROM b GROUP BY 1, 2),
+      g AS (SELECT lang, count(*) AS nonzero,
+              sum(CAST(1 AS BIGINT) << (53 - rho)) + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS s_num
+            FROM r GROUP BY 1),
+      e AS (SELECT lang, nonzero, s_num, 256 - nonzero AS zeros,
+              0.7213 / (1 + 1.079 / 256) * 256 * 256 * power(2.0, 53) / CAST(s_num AS DOUBLE) AS raw
+            FROM g)
+      SELECT lang, CAST(nonzero AS BIGINT) AS nonzero, CAST(s_num AS BIGINT) AS s_num,
+             round(CASE WHEN zeros > 0 AND raw <= 640.0
+                        THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 4) AS est_r
+      FROM e ORDER BY lang""",
     // Dropout replay: same per-position md5 coin, ordered rebuild.
     "q144_token_dropout" -> """
       WITH base AS (

@@ -359,4 +359,20 @@ class Round8bOpsSpec extends SparkSpec {
       assert(got(i).toSeq == expect, s"text '$t': ${got(i)} != $expect")
     }
   }
+
+  test("mergeHllStates: merge == union sketch; disjoint keys pass through; commutative") {
+    def sk(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("g")).agg(SK.hll_sketch(col("v").cast("string"), 8).as("regs"))
+    val a = sk((1 to 300).map(i => ("x", i)).toDF("g", "v"))
+    val b = sk(((200 to 500).map(i => ("x", i)) ++ (1 to 50).map(i => ("y", i))).toDF("g", "v"))
+    val full = sk(((1 to 500).map(i => ("x", i)) ++ (1 to 50).map(i => ("y", i))).toDF("g", "v"))
+    def est(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("g"), SK.hll_estimate(col("regs"), 8).as("e"))
+      .as[(String, Double)].collect().toMap
+    val ab = est(graft.operators.CorpusStats.mergeHllStates(a, b, Seq("g"), "regs"))
+    val ba = est(graft.operators.CorpusStats.mergeHllStates(b, a, Seq("g"), "regs"))
+    assert(ab == est(full))
+    assert(ab == ba)
+    assert(ab.contains("y")) // key only on one side passes through
+  }
 }
