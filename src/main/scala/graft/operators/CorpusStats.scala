@@ -82,6 +82,47 @@ object CorpusStats {
     joined.select(col(groupCol) +: ratioCols: _*)
   }
 
+  /** Key-skew diagnostics: the "will this key wreck my join/groupBy" report
+    * — key cardinality, row total, hottest-key count, top-k heavy keys
+    * (via the O(k)-partial bottom-k heap, no window over all keys), and the
+    * GINI coefficient of the key-count distribution
+    * (2·Σ i·xᵢ / (n·Σxᵢ) − (n+1)/n over ascending counts: 0 = uniform,
+    * →1 = one key holds everything).
+    *
+    * Shape: ONE combine aggregation over the data (rows → key counts),
+    * then everything runs over the KEY table. The Gini rank is a global
+    * window over distinct keys — bounded by key cardinality, fine for the
+    * join-key profiles this serves; for extreme-cardinality keys where even
+    * the key table is too big to sort, use [[histogramQuantiles]] over the
+    * counts instead (bucket-resolution Lorenz curve, no sort).
+    *
+    * @return ONE row: (n_keys, n_rows, max_count, gini_r,
+    *         top{1..k}_key/top{1..k}_n) */
+  def keySkewReport(df: DataFrame, keyCol: String, topK: Int = 3): DataFrame = {
+    import graft.functions.expressions.{SketchAggregates => SK}
+    require(topK > 0)
+    val counts = df.groupBy(col(keyCol).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // feeds three consumers below
+    val ranked = counts.withColumn("__i",
+      row_number().over(Window.orderBy(col("__c"), col("__k"))).cast("long"))
+    val g = ranked.agg(count(lit(1)).as("n_keys"), sum("__c").as("n_rows"),
+      max("__c").as("max_count"), sum(col("__i") * col("__c")).as("__s1"))
+    val top = counts.agg(SK.bottom_k_struct(
+      struct((-col("__c")).as("nc"), col("__k").as("k")), topK).as("__top"))
+    val gini = (lit(2.0) * col("__s1").cast("double")) /
+      (col("n_keys") * col("n_rows")).cast("double") -
+      (col("n_keys").cast("double") + 1.0) / col("n_keys").cast("double")
+    val topCols = (0 until topK).flatMap { i =>
+      val e = element_at(col("__top"), i + 1)
+      Seq(e.getField("k").as(s"top${i + 1}_key"),
+        (-e.getField("nc")).as(s"top${i + 1}_n"))
+    }
+    g.crossJoin(top).select(
+      Seq(col("n_keys"), col("n_rows"), col("max_count"),
+        round(gini, 6).as("gini_r")) ++ topCols: _*)
+  }
+
   /** Merge two HLL register-state tables keyed by `keyCols` — the
     * INCREMENTAL corpus-statistics step: yesterday's stored sketch states
     * plus today's batch sketches give the union-corpus states WITHOUT

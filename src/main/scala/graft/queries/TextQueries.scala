@@ -1253,6 +1253,18 @@ object TextQueries {
         .orderBy(col("zval"), col("event_id"))
     }),
 
+    // Key-skew diagnostics (CorpusStats.keySkewReport): cardinality, max,
+    // Gini, top-3 heavy keys — ops tooling for join planning. The key is a
+    // deliberately SKEWED derivation (quadratic residues mod 13: 7 classes,
+    // uneven mass) so the Gini and top-k arithmetic is genuinely exercised;
+    // the oracle replays counts, the ascending rank-sum Gini, and the top-3.
+    "q147_key_skew" -> ((s, d) => {
+      graft.operators.CorpusStats.keySkewReport(
+        Tables(s, d, "documents").select(
+          concat(lit("s"), pmod(col("doc_id") * col("doc_id"), lit(13L))).as("skey")),
+        "skey", topK = 3)
+    }),
+
     // Incremental HLL state merge (CorpusStats.mergeHllStates): sketch
     // states from the even-doc "stored" corpus merge with the odd-doc
     // "batch" WITHOUT rescanning either — and the merged estimates must
@@ -3023,6 +3035,25 @@ object TextQueries {
       SELECT event_id, user_id,
              ${mortonSqlExpr(Seq("user_id", "event_id"), 8)} AS zval
       FROM events ORDER BY zval, event_id""",
+    // Skew-report replay: counts, ascending rank-sum Gini, top-3 by
+    // (count desc, key).
+    "q147_key_skew" -> """
+      WITH c AS (SELECT 's' || CAST(doc_id * doc_id % 13 AS VARCHAR) AS k, count(*) AS c
+                 FROM documents GROUP BY 1),
+      r AS (SELECT k, c, row_number() OVER (ORDER BY c, k) AS i FROM c),
+      g AS (SELECT count(*) AS n_keys, sum(c) AS n_rows, max(c) AS max_count,
+                   sum(i * c) AS s1 FROM r),
+      t AS (SELECT k, c, row_number() OVER (ORDER BY c DESC, k) AS rnk FROM c)
+      SELECT CAST(n_keys AS BIGINT) AS n_keys, CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(max_count AS BIGINT) AS max_count,
+             round(2.0 * s1 / (n_keys * n_rows) - (n_keys + 1.0) / n_keys, 6) AS gini_r,
+             (SELECT k FROM t WHERE rnk = 1) AS top1_key,
+             (SELECT c FROM t WHERE rnk = 1) AS top1_n,
+             (SELECT k FROM t WHERE rnk = 2) AS top2_key,
+             (SELECT c FROM t WHERE rnk = 2) AS top2_n,
+             (SELECT k FROM t WHERE rnk = 3) AS top3_key,
+             (SELECT c FROM t WHERE rnk = 3) AS top3_n
+      FROM g""",
     // HLL-merge replay: the FULL-corpus sketch per lang — merge ≡ union is
     // the property under test, so the oracle never sees the split.
     "q146_hll_merge" -> """

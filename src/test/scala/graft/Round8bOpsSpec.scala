@@ -375,4 +375,19 @@ class Round8bOpsSpec extends SparkSpec {
     assert(ab == ba)
     assert(ab.contains("y")) // key only on one side passes through
   }
+
+  test("keySkewReport: closed-form Gini for uniform and one-hot distributions") {
+    // uniform: gini exactly 0
+    val uni = (1 to 100).map(i => ("k" + (i % 4)).toString).toDF("k")
+    val g0 = graft.operators.CorpusStats.keySkewReport(uni, "k", 2)
+      .select("gini_r").as[Double].head()
+    assert(g0 == 0.0)
+    // extreme: one key has 97 of 100 rows -> gini = 2*(1*1+2*1+3*1+4*97)/(4*100) - 5/4
+    val hot = ((1 to 97).map(_ => "hot") ++ Seq("a", "b", "c")).toDF("k")
+    val r = graft.operators.CorpusStats.keySkewReport(hot, "k", 1).head()
+    assert(r.getAs[Long]("n_keys") == 4 && r.getAs[Long]("max_count") == 97)
+    assert(r.getAs[String]("top1_key") == "hot" && r.getAs[Long]("top1_n") == 97)
+    val expected = 2.0 * (1 + 2 + 3 + 4 * 97) / (4 * 100) - 5.0 / 4
+    assert(math.abs(r.getAs[Double]("gini_r") - expected) < 1e-6)
+  }
 }
