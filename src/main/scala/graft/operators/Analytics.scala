@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-profiling and event-analytics operators — the ANALYZE/funnel/
+  * cohort readouts an ETL consume layer serves next to the raw tables. */
+object Analytics {
+
+  /** Column profile: one row per requested column with null/distinct/min/max
+    * — the ANALYZE TABLE readout, computed in ONE scan (all columns'
+    * aggregates in a single aggregation; no per-column passes). Values are
+    * stringified for a uniform schema; numeric min/max keep their natural
+    * ordering by casting BEFORE stringify.
+    *
+    * Exact count_distinct shuffles per-column distinct sets (acceptable for
+    * profiling runs); swap in the HLL/KMV sketches for the streaming or
+    * 100 TB profile — same output shape, bounded state. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val total = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"), col("__n").as("n"),
+        (col("__n") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_s"), col(s"__mx_$c").as("max_s"))
+    }
+    total.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** Funnel analysis: how many users reach step 1, steps 1→2 in order,
+    * 1→2→3, … — the ordered-sequence conversion readout. A user counts for
+    * step k iff there exist events e₁ < e₂ < … < e_k (strictly increasing
+    * (ts, id) order) with the required types. Computed per user with one
+    * min-aggregation per step over the PREVIOUS step's frontier — k bounded
+    * joins on the user key, never a window over full event history.
+    *
+    * @return (step, event_type, n_users), step 1-based, monotone
+    *         non-increasing n_users. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, idCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty)
+    val base = events.select(col(userCol).as("__u"),
+      struct(col(tsCol).as("ts"), col(idCol).as("id")).as("__o"),
+      col(typeCol).as("__t"))
+    // frontier: per user, the earliest event order at which step k completes
+    var frontier: DataFrame = null
+    val counts = steps.zipWithIndex.map { case (step, i) =>
+      val matches = base.filter(col("__t") === step)
+      val stepHits =
+        if (i == 0) matches.groupBy(col("__u")).agg(min(col("__o")).as("__reached"))
+        else matches.join(frontier, Seq("__u"))
+          .filter(col("__o") > col("__reached"))
+          .groupBy(col("__u")).agg(min(col("__o")).as("__reached"))
+      frontier = stepHits.localCheckpoint(true) // feeds count AND next step
+      (i + 1, step, frontier.count())
+    }
+    val s = events.sparkSession
+    import s.implicits._
+    counts.toDF("step", "event_type", "n_users")
+      .select(col("step").cast("long").as("step"), col("event_type"),
+        col("n_users"))
+  }
+
+  /** Retention cohorts: users by first-activity period × activity in later
+    * periods — the "do they come back" matrix. Periods are integer
+    * `floor((ts − epochStart) / periodSeconds)` so bucketing is exact
+    * integer arithmetic on both engines.
+    *
+    * Shape: one agg for first-activity, one distinct on (user, period),
+    * one join + agg — all keyed on the user/cohort, no windows.
+    *
+    * @return (cohort, period_offset, n_users), offset 0 = the cohort's own
+    *         period. */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+                       periodSeconds: Long, epochStartSeconds: Long = 0L): DataFrame = {
+    require(periodSeconds > 0)
+    // integer `div` end to end — float division of epoch seconds rounds
+    // differently across engines at period boundaries
+    val period = expr(s"(unix_micros(cast($tsCol as timestamp)) div 1000000" +
+      s" - $epochStartSeconds) div $periodSeconds").cast("long")
+    val activity = events.select(col(userCol).as("__u"), period.as("__p")).distinct()
+    val cohorts = activity.groupBy(col("__u")).agg(min(col("__p")).as("cohort"))
+    activity.join(cohorts, Seq("__u"))
+      .groupBy(col("cohort"), (col("__p") - col("cohort")).as("period_offset"))
+      .agg(count_distinct(col("__u")).as("n_users"))
+  }
+}

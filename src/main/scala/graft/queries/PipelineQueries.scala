@@ -563,6 +563,34 @@ object PipelineQueries {
     // session conf streams can't set per-read), readStream + window + drain
     // to a memory sink in Complete mode — must equal the batch hourly
     // aggregation (q17 semantics; DECIMAL sums keep the compare exact).
+    // Column profiler (Analytics.profile): per-column null/distinct/min/max
+    // in ONE scan — the ANALYZE TABLE readout. Oracle: plain aggregates.
+    "q148_profile" -> ((s, d) => {
+      graft.operators.Analytics.profile(
+          Tables(s, d, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"))
+        .orderBy(col("column"))
+    }),
+
+    // Funnel analysis (Analytics.funnel): signup → click → purchase with
+    // strict (ts, event_id) ordering — per-step min-frontier joins, no
+    // full-history window. Oracle replays each frontier with row_number.
+    "q149_funnel" -> ((s, d) => {
+      graft.operators.Analytics.funnel(Tables(s, d, "events"),
+          "user_id", "ts", "event_type", "event_id",
+          Seq("signup", "click", "purchase"))
+        .orderBy(col("step"))
+    }),
+
+    // Retention cohorts (Analytics.retentionCohorts): weekly cohorts over
+    // the events table, integer-div period bucketing. Oracle: the same
+    // distinct-activity + first-period join.
+    "q150_retention" -> ((s, d) => {
+      graft.operators.Analytics.retentionCohorts(Tables(s, d, "events"),
+          "user_id", "ts", periodSeconds = 7L * 86400)
+        .orderBy(col("cohort"), col("period_offset"))
+    }),
+
     // Stream-stream LEFT OUTER interval join: every click, with its
     // within-1h purchases OR NULL-padded if none — the attribution-with-
     // negatives query the inner join (q110) can't answer. Unmatched rows
@@ -1074,6 +1102,55 @@ object PipelineQueries {
       SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    // Profiler replay: one UNION ALL leg per column.
+    "q148_profile" -> """
+      SELECT 'o_orderkey' AS "column", count(*) AS n, count(*) - count(o_orderkey) AS n_null,
+             count(DISTINCT o_orderkey) AS n_distinct,
+             CAST(min(o_orderkey) AS VARCHAR) AS min_s, CAST(max(o_orderkey) AS VARCHAR) AS max_s
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', count(*), count(*) - count(o_custkey), count(DISTINCT o_custkey),
+             CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus),
+             min(o_orderstatus), max(o_orderstatus) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice), count(DISTINCT o_totalprice),
+             CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate), count(DISTINCT o_orderdate),
+             CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR) FROM orders
+      ORDER BY "column"""",
+    // Funnel replay: per-step earliest-frontier via row_number + strict
+    // (ts, id) tuple ordering against the previous frontier.
+    "q149_funnel" -> """
+      WITH e AS (SELECT user_id AS u, ts, event_id AS id, event_type AS t FROM events),
+      f1 AS (SELECT u, ts, id FROM (
+               SELECT u, ts, id, row_number() OVER (PARTITION BY u ORDER BY ts, id) AS rn
+               FROM e WHERE t = 'signup') WHERE rn = 1),
+      f2 AS (SELECT u, ts, id FROM (
+               SELECT e.u, e.ts, e.id,
+                      row_number() OVER (PARTITION BY e.u ORDER BY e.ts, e.id) AS rn
+               FROM e JOIN f1 ON e.u = f1.u AND (e.ts, e.id) > (f1.ts, f1.id)
+               WHERE e.t = 'click') WHERE rn = 1),
+      f3 AS (SELECT u, ts, id FROM (
+               SELECT e.u, e.ts, e.id,
+                      row_number() OVER (PARTITION BY e.u ORDER BY e.ts, e.id) AS rn
+               FROM e JOIN f2 ON e.u = f2.u AND (e.ts, e.id) > (f2.ts, f2.id)
+               WHERE e.t = 'purchase') WHERE rn = 1)
+      SELECT CAST(step AS BIGINT) AS step, event_type, CAST(n_users AS BIGINT) AS n_users
+      FROM (VALUES (1, 'signup', (SELECT count(*) FROM f1)),
+                   (2, 'click', (SELECT count(*) FROM f2)),
+                   (3, 'purchase', (SELECT count(*) FROM f3))) v(step, event_type, n_users)
+      ORDER BY step""",
+    // Retention replay: distinct weekly activity + first-period cohort join.
+    "q150_retention" -> """
+      WITH a AS (SELECT DISTINCT user_id AS u,
+               (epoch_us(ts) // 1000000) // 604800 AS p FROM events),
+      c AS (SELECT u, min(p) AS cohort FROM a GROUP BY 1)
+      SELECT cohort, p - cohort AS period_offset, count(DISTINCT u) AS n_users
+      FROM a JOIN c USING (u)
+      GROUP BY 1, 2 ORDER BY cohort, period_offset""",
     // Outer-join replay: the batch LEFT JOIN over the same interval.
     "q140_stream_outer_join" -> """
       WITH e AS (SELECT CAST(event_id AS BIGINT) AS event_id,

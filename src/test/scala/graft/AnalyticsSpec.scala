@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Analytics
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel: order is strict — same-user events must be strictly later") {
+    val events = Seq(
+      // user 1 completes in order
+      (1L, 1L, ts("2024-01-01 10:00:00"), "signup"),
+      (2L, 1L, ts("2024-01-01 11:00:00"), "click"),
+      (3L, 1L, ts("2024-01-01 12:00:00"), "purchase"),
+      // user 2: purchase BEFORE click -> stops at click
+      (4L, 2L, ts("2024-01-01 10:00:00"), "signup"),
+      (5L, 2L, ts("2024-01-01 10:30:00"), "purchase"),
+      (6L, 2L, ts("2024-01-01 11:00:00"), "click"),
+      // user 3: never signs up -> counts nowhere
+      (7L, 3L, ts("2024-01-01 09:00:00"), "click"),
+      (8L, 3L, ts("2024-01-01 09:30:00"), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Analytics.funnel(events, "user_id", "ts", "event_type", "event_id",
+        Seq("signup", "click", "purchase"))
+      .select("step", "n_users").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("funnel: same-timestamp tie breaks by event id (strict struct order)") {
+    val t0 = ts("2024-01-01 10:00:00")
+    val events = Seq(
+      (1L, 1L, t0, "signup"), (2L, 1L, t0, "click"), // same ts, id 2 > 1: counts
+      (20L, 2L, t0, "click"), (21L, 2L, t0, "signup") // click id < signup id: not after
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Analytics.funnel(events, "user_id", "ts", "event_type", "event_id",
+        Seq("signup", "click"))
+      .select("step", "n_users").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("profile: null and distinct accounting") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, null), (2L, "b"), (null, "b"))
+      .toDF("x", "s")
+    val p = Analytics.profile(df, Seq("x", "s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    assert(p("x") == ((4L, 1L, 2L, "1", "2")))
+    assert(p("s") == ((4L, 1L, 2L, "a", "b")))
+  }
+
+  test("retention: cohort offsets count returning users only") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-08 10:00:00")), // w0 + w1
+      (2L, ts("2024-01-01 11:00:00")),                                  // w0 only
+      (3L, ts("2024-01-08 12:00:00")), (3L, ts("2024-01-22 12:00:00"))  // w1 + w3
+    ).toDF("user_id", "ts")
+    val base = ts("2024-01-01 00:00:00").getTime / 1000
+    val out = Analytics.retentionCohorts(events, "user_id", "ts",
+        periodSeconds = 7L * 86400, epochStartSeconds = base)
+      .select("cohort", "period_offset", "n_users")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 1L)))
+  }
+}
