@@ -563,6 +563,16 @@ object PipelineQueries {
     // session conf streams can't set per-read), readStream + window + drain
     // to a memory sink in Complete mode — must equal the batch hourly
     // aggregation (q17 semantics; DECIMAL sums keep the compare exact).
+    // SCD Type-2 history (SnapshotDiff.scd2): per-user event_type history
+    // with consecutive-duplicate collapse and [from, to) intervals — the
+    // policy-history shape. One per-key window; the oracle replays
+    // lag-filter + lead-close.
+    "q151_scd2" -> ((s, d) => {
+      graft.operators.SnapshotDiff.scd2(Tables(s, d, "events"),
+          "user_id", "ts", "event_type", "event_id")
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
     // Column profiler (Analytics.profile): per-column null/distinct/min/max
     // in ONE scan — the ANALYZE TABLE readout. Oracle: plain aggregates.
     "q148_profile" -> ((s, d) => {
@@ -1102,6 +1112,18 @@ object PipelineQueries {
       SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    // SCD2 replay: same lag-filter + lead-close window.
+    "q151_scd2" -> """
+      WITH w AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      ch AS (SELECT user_id, ts, event_id, event_type FROM w
+             WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      FROM ch ORDER BY user_id, valid_from""",
     // Profiler replay: one UNION ALL leg per column.
     "q148_profile" -> """
       SELECT 'o_orderkey' AS "column", count(*) AS n, count(*) - count(o_orderkey) AS n_null,

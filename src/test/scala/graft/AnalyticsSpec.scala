@@ -63,4 +63,20 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(out == Set((0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 2L, 1L)))
   }
+
+  test("scd2: consecutive duplicates collapse; intervals chain; last open") {
+    val feed = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "A"),
+      (2L, 1L, ts("2024-01-02 10:00:00"), "A"), // no-change row: collapsed
+      (3L, 1L, ts("2024-01-03 10:00:00"), "B"),
+      (4L, 1L, ts("2024-01-04 10:00:00"), "A") // back to A: NEW version
+    ).toDF("event_id", "user_id", "ts", "status")
+    val out = graft.operators.SnapshotDiff.scd2(feed, "user_id", "ts", "status", "event_id")
+      .orderBy("valid_from").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getString(1)).toSeq == Seq("A", "B", "A"))
+    assert(out(0).getTimestamp(3) == ts("2024-01-03 10:00:00")) // A closes at B
+    assert(out(2).isNullAt(3) && out(2).getBoolean(4))          // last open, current
+    assert(!out(0).getBoolean(4) && !out(1).getBoolean(4))
+  }
 }
