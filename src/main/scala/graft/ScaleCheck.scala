@@ -599,6 +599,22 @@ object ScaleCheck {
       }
     }
 
+    // Triangle enumeration under ADVERSARIAL hub skew: a celebrity node of
+    // degree d generates d²/2 wedges naively; the degree-ordered
+    // orientation directs every hub edge INTO the hub, so the hub generates
+    // ZERO wedges and runtime must track edges ~linearly, not d².
+    locally {
+      def hubChain(leaves: Long) = {
+        val hub = spark.range(2, leaves + 2).select(lit(1L).as("s"), col("id").as("t"))
+        val chain = spark.range(2, leaves + 1).select(col("id").as("s"), (col("id") + 1).as("t"))
+        hub.unionByName(chain)
+      }
+      Seq(20000L -> "1x", 200000L -> s"${n}x").foreach { case (leaves, tag) =>
+        timed(s"triangles, hub degree=$leaves + chain $tag")(((),
+          operators.GraphOps.triangles(hubChain(leaves), "s", "t").count()))
+      }
+    }
+
     // KMV set operations: sketches stay k longs per (group, side) however
     // large the corpus — shuffle must stay ~FLAT while runtime tracks the
     // token scan (~Nx); the set-op arithmetic is per-group constant work.
