@@ -577,4 +577,23 @@ object SketchAggregates {
   /** Intersection-cardinality estimate: jaccard × union estimate. */
   def kmv_intersect_estimate(a: Column, b: Column, k: Int): Column =
     kmv_jaccard(a, b, k) * kmv_estimate(kmv_union(a, b, k), k)
+
+  /** Equi-join SIZE estimate from two count-min sketches over the join key
+    * (the AGMS/CMS inner-product estimator): |A ⋈ B| = Σ_v cntA(v)·cntB(v),
+    * and each CMS row's dot product overestimates that sum by only the
+    * collision mass — min over rows is the classic upper-bound estimate.
+    * Query planning from sketches: the broadcast-vs-shuffle / skew-risk
+    * decision WITHOUT running the join, from two bounded aggregates that
+    * also merge across partitions/days. Exact integer arithmetic
+    * (counters are longs), so a SQL oracle replays it bit-for-bit. */
+  def cms_join_estimate(a: Column, b: Column, depth: Int, width: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val rowDots = (0 until depth).map { r =>
+      aggregate(
+        zip_with(slice(a, r * width + 1, width), slice(b, r * width + 1, width),
+          (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+    }
+    rowDots.reduce(least(_, _))
+  }
 }

@@ -1253,6 +1253,25 @@ object TextQueries {
         .orderBy(col("zval"), col("event_id"))
     }),
 
+    // CMS join-size estimation (SketchAggregates.cms_join_estimate): the
+    // AGMS inner-product estimator — |lineitem ⋈ orders on orderkey|
+    // predicted from two bounded sketches, next to the exact truth. Query
+    // planning from sketches; min-over-rows of exact integer dot products,
+    // overestimate-only (the q118 property, inner-product form). The oracle
+    // replays counters, dots, and the true join count.
+    "q152_join_estimate" -> ((s, d) => {
+      import graft.functions.expressions.{SketchAggregates => SK}
+      val li = Tables(s, d, "lineitem").select(col("l_orderkey").cast("string").as("k"))
+      val ord = Tables(s, d, "orders").select(col("o_orderkey").cast("string").as("k"))
+      val ska = li.agg(SK.cms_sketch(col("k"), 4, 256).as("ska"))
+      val skb = ord.agg(SK.cms_sketch(col("k"), 4, 256).as("skb"))
+      val truth = Tables(s, d, "lineitem").join(Tables(s, d, "orders"),
+        col("l_orderkey") === col("o_orderkey")).count()
+      ska.crossJoin(skb).select(
+        SK.cms_join_estimate(col("ska"), col("skb"), 4, 256).as("est_join_rows"),
+        lit(truth).as("true_join_rows"))
+    }),
+
     // Key-skew diagnostics (CorpusStats.keySkewReport): cardinality, max,
     // Gini, top-3 heavy keys — ops tooling for join planning. The key is a
     // deliberately SKEWED derivation (quadratic residues mod 13: 7 classes,
@@ -3035,6 +3054,25 @@ object TextQueries {
       SELECT event_id, user_id,
              ${mortonSqlExpr(Seq("user_id", "event_id"), 8)} AS zval
       FROM events ORDER BY zval, event_id""",
+    // Join-estimate replay: salted-md5 CMS counters for both sides, per-row
+    // integer dot products, min over rows, plus the exact join count.
+    "q152_join_estimate" -> """
+      WITH rows_ AS (SELECT unnest(range(0, 4)) AS i),
+      la AS (SELECT i,
+               CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket,
+               count(*) AS c
+             FROM lineitem, rows_ GROUP BY 1, 2),
+      lb AS (SELECT i,
+               CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket,
+               count(*) AS c
+             FROM orders, rows_ GROUP BY 1, 2),
+      dots AS (SELECT a.i, sum(a.c * b.c) AS dot
+               FROM la a JOIN lb b ON a.i = b.i AND a.bucket = b.bucket
+               GROUP BY a.i),
+      est AS (SELECT min(dot) AS e FROM dots),
+      truth AS (SELECT count(*) AS t FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      SELECT CAST(e AS BIGINT) AS est_join_rows, CAST(t AS BIGINT) AS true_join_rows
+      FROM est, truth""",
     // Skew-report replay: counts, ascending rank-sum Gini, top-3 by
     // (count desc, key).
     "q147_key_skew" -> """

@@ -390,4 +390,17 @@ class Round8bOpsSpec extends SparkSpec {
     val expected = 2.0 * (1 + 2 + 3 + 4 * 97) / (4 * 100) - 5.0 / 4
     assert(math.abs(r.getAs[Double]("gini_r") - expected) < 1e-6)
   }
+
+  test("cms_join_estimate: never underestimates; exact when width clears all collisions") {
+    val a = (1 to 500).map(i => ("k" + (i % 40)).toString).toDF("k")
+    val b = (1 to 300).map(i => ("k" + (i % 25)).toString).toDF("k")
+    val truth = a.join(b, Seq("k")).count()
+    def est(w: Int) = a.agg(SK.cms_sketch(col("k"), 4, w).as("sa")).crossJoin(
+        b.agg(SK.cms_sketch(col("k"), 4, w).as("sb")))
+      .select(SK.cms_join_estimate(col("sa"), col("sb"), 4, w)).as[Long].head()
+    assert(est(8) >= truth, "narrow sketch must overestimate, never under")
+    // 4096 buckets for 40 distinct keys: collision-free with overwhelming
+    // probability under the salted md5 -> inner product is EXACT
+    assert(est(4096) == truth)
+  }
 }
