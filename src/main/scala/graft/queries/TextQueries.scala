@@ -1253,6 +1253,39 @@ object TextQueries {
         .orderBy(col("zval"), col("event_id"))
     }),
 
+    // Per-source duplication-rate report: the curation KPI (how dirty is
+    // each source) from normalized-text fingerprints — one distinct + agg.
+    "q153_dup_rate" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("source"), sha2(trim(lower(col("text"))), 256).as("fp"))
+      docs.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          count_distinct(col("fp")).as("n_unique"),
+          round(lit(1.0) - count_distinct(col("fp")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("dup_rate_r"))
+        .orderBy(col("source"))
+    }),
+
+    // Length-quality correlation per lang: Pearson r from exact integer
+    // moments (Σx, Σy, Σxy, Σx², Σy²) with ONE float formula at the end —
+    // the "is quality confounded with length" corpus diagnostic. x = chars,
+    // y = alpha-char count (integer quality proxy).
+    "q154_length_quality_corr" -> ((s, d) => {
+      val base = Tables(s, d, "documents").select(col("lang"),
+        col("n_chars").as("x"),
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long").as("y"))
+      val m = base.groupBy(col("lang")).agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val den = sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+        sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+      m.select(col("lang"), col("n"),
+          round(when(den > 0.0, num / den).otherwise(lit(0.0)), 6).as("pearson_r"))
+        .orderBy(col("lang"))
+    }),
+
     // CMS join-size estimation (SketchAggregates.cms_join_estimate): the
     // AGMS inner-product estimator — |lineitem ⋈ orders on orderkey|
     // predicted from two bounded sketches, next to the exact truth. Query
@@ -3054,6 +3087,28 @@ object TextQueries {
       SELECT event_id, user_id,
              ${mortonSqlExpr(Seq("user_id", "event_id"), 8)} AS zval
       FROM events ORDER BY zval, event_id""",
+    // Dup-rate replay: same sha2 fingerprint + distinct ratio.
+    "q153_dup_rate" -> """
+      WITH f AS (SELECT source, sha256(trim(lower(text))) AS fp FROM documents)
+      SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
+             round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_rate_r
+      FROM f GROUP BY source ORDER BY source""",
+    // Correlation replay: exact integer moments, one float formula.
+    "q154_length_quality_corr" -> """
+      WITH b AS (SELECT lang, n_chars AS x,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS y
+             FROM documents),
+      m AS (SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+              sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM b GROUP BY 1)
+      SELECT lang, CAST(n AS BIGINT) AS n,
+             round(CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                             sqrt(CAST(n * syy - sy * sy AS DOUBLE)) > 0
+                        THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+                             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                              sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                        ELSE 0.0 END, 6) AS pearson_r
+      FROM m ORDER BY lang""",
     // Join-estimate replay: salted-md5 CMS counters for both sides, per-row
     // integer dot products, min over rows, plus the exact join count.
     "q152_join_estimate" -> """
