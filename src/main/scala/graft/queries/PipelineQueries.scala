@@ -563,6 +563,29 @@ object PipelineQueries {
     // session conf streams can't set per-read), readStream + window + drain
     // to a memory sink in Complete mode — must equal the batch hourly
     // aggregation (q17 semantics; DECIMAL sums keep the compare exact).
+    // Hourly rate-anomaly detection: per event_type, hours whose event count
+    // sits ≥ 2σ from that type's hourly mean — pipeline monitoring from two
+    // bounded aggregations (hour counts → per-type integer moments), no
+    // window. z is ONE float formula over exact integer sums, rounded.
+    "q155_rate_anomaly" -> ((s, d) => {
+      val hours = Tables(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val m = hours.groupBy(col("event_type")).agg(
+        count(lit(1)).as("nh"), sum(col("n")).as("sn"),
+        sum(col("n") * col("n")).as("snn"))
+      // z = (n - mean)/std with mean = sn/nh, var = (nh·snn - sn²)/nh² —
+      // cross-multiplied so every operand stays an exact integer until the
+      // one division: z = (n·nh - sn) / sqrt(nh·snn - sn²)
+      val num = (col("n") * col("nh") - col("sn")).cast("double")
+      val den = sqrt((col("nh") * col("snn") - col("sn") * col("sn")).cast("double"))
+      hours.join(m, Seq("event_type"))
+        .withColumn("z_r", round(when(den > 0.0, num / den).otherwise(lit(0.0)), 6))
+        .filter(abs(col("z_r")) >= 2.0)
+        .select(col("event_type"), col("hour"), col("n"), col("z_r"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
     // SCD Type-2 history (SnapshotDiff.scd2): per-user event_type history
     // with consecutive-duplicate collapse and [from, to) intervals — the
     // policy-history shape. One per-key window; the oracle replays
@@ -1112,6 +1135,20 @@ object PipelineQueries {
       SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    // Anomaly replay: same hour counts, integer moments, one division.
+    "q155_rate_anomaly" -> """
+      WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+                 FROM events GROUP BY 1, 2),
+      m AS (SELECT event_type, count(*) AS nh, sum(n) AS sn, sum(n * n) AS snn
+            FROM h GROUP BY 1),
+      z AS (SELECT h.event_type, h.hour, h.n,
+              round(CASE WHEN nh * snn - sn * sn > 0
+                         THEN CAST(h.n * nh - sn AS DOUBLE) /
+                              sqrt(CAST(nh * snn - sn * sn AS DOUBLE))
+                         ELSE 0.0 END, 6) AS z_r
+            FROM h JOIN m USING (event_type))
+      SELECT event_type, hour, n, z_r FROM z
+      WHERE abs(z_r) >= 2.0 ORDER BY event_type, hour""",
     // SCD2 replay: same lag-filter + lead-close window.
     "q151_scd2" -> """
       WITH w AS (
