@@ -69,6 +69,32 @@ object Analytics {
         col("n_users"))
   }
 
+  /** Conversion gaps: per user, seconds from the FIRST `fromStep` event to
+    * the first `toStep` event strictly after it — the funnel's timing
+    * companion (feed the gaps to [[CorpusStats.histogramQuantiles]] for
+    * latency percentiles without a sort). Same strict (ts, id) frontier
+    * semantics as [[funnel]]; users who never convert are absent.
+    *
+    * @return (user, gap_secs) — integer seconds, truncated. */
+  def conversionGaps(events: DataFrame, userCol: String, tsCol: String,
+                     typeCol: String, idCol: String,
+                     fromStep: String, toStep: String): DataFrame = {
+    val base = events.select(col(userCol).as("__u"),
+      struct(col(tsCol).as("ts"), col(idCol).as("id")).as("__o"),
+      col(typeCol).as("__t"))
+    val first = base.filter(col("__t") === fromStep)
+      .groupBy(col("__u")).agg(min(col("__o")).as("__from"))
+    base.filter(col("__t") === toStep)
+      .join(first, Seq("__u"))
+      .filter(col("__o") > col("__from"))
+      .groupBy(col("__u"), col("__from"))
+      .agg(min(col("__o")).as("__to"))
+      .select(col("__u").as(userCol),
+        (unix_micros(col("__to.ts").cast("timestamp")) -
+          unix_micros(col("__from.ts").cast("timestamp")))
+          .divide(1000000L).cast("long").as("gap_secs"))
+  }
+
   /** Retention cohorts: users by first-activity period × activity in later
     * periods — the "do they come back" matrix. Periods are integer
     * `floor((ts − epochStart) / periodSeconds)` so bucketing is exact

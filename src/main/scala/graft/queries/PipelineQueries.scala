@@ -563,6 +563,15 @@ object PipelineQueries {
     // session conf streams can't set per-read), readStream + window + drain
     // to a memory sink in Complete mode — must equal the batch hourly
     // aggregation (q17 semantics; DECIMAL sums keep the compare exact).
+    // Conversion gaps (Analytics.conversionGaps): seconds from first signup
+    // to first subsequent purchase per user — the funnel's latency readout.
+    // Oracle replays the strict frontier + integer-second gap.
+    "q156_conversion_gap" -> ((s, d) => {
+      graft.operators.Analytics.conversionGaps(Tables(s, d, "events"),
+          "user_id", "ts", "event_type", "event_id", "signup", "purchase")
+        .orderBy(col("user_id"))
+    }),
+
     // Hourly rate-anomaly detection: per event_type, hours whose event count
     // sits ≥ 2σ from that type's hourly mean — pipeline monitoring from two
     // bounded aggregations (hour counts → per-type integer moments), no
@@ -1135,6 +1144,21 @@ object PipelineQueries {
       SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    // Conversion-gap replay: first-signup frontier, first strictly-later
+    // purchase, floor-div seconds.
+    "q156_conversion_gap" -> """
+      WITH e AS (SELECT user_id AS u, ts, event_id AS id, event_type AS t FROM events),
+      f AS (SELECT u, ts, id FROM (
+              SELECT u, ts, id, row_number() OVER (PARTITION BY u ORDER BY ts, id) AS rn
+              FROM e WHERE t = 'signup') WHERE rn = 1),
+      p AS (SELECT e.u, e.ts FROM (
+              SELECT e.u, e.ts,
+                     row_number() OVER (PARTITION BY e.u ORDER BY e.ts, e.id) AS rn
+              FROM e JOIN f ON e.u = f.u AND (e.ts, e.id) > (f.ts, f.id)
+              WHERE e.t = 'purchase') e WHERE rn = 1)
+      SELECT f.u AS user_id,
+             (epoch_us(p.ts) - epoch_us(f.ts)) // 1000000 AS gap_secs
+      FROM f JOIN p ON f.u = p.u ORDER BY user_id""",
     // Anomaly replay: same hour counts, integer moments, one division.
     "q155_rate_anomaly" -> """
       WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
