@@ -265,6 +265,36 @@ object ScaleCheck100 {
       }
     }
 
+    // ---- 12. NFD bin packing at 100×, buckets scaled alongside: per-bucket
+    // work constant, shuffle row-linear, wall ~flat.
+    locally {
+      def lens(rows: Long) = spark.range(rows).select(col("id"),
+        (pmod(xxhash64(col("id")), lit(900L)) + 100L).as("len"))
+      Seq((100000L, 64) -> "1x", (100000L * n, 64 * n) -> s"${n}x").foreach {
+        case ((rows, buckets), tag) =>
+          timed(s"nfd bin packing cap=2048 $tag")(((),
+            operators.Sampling.binPackDocs(lens(rows), "id", "len", 2048,
+              buckets, "bp").count()))
+      }
+    }
+
+    // ---- 13. token divergence at 100×: replicas repeat the same tokens, so
+    // the post-combine count table must NOT grow — shuffle bounded by vocab.
+    locally {
+      val rep100 = (0 until n).map(i => docs.select(
+          (col("doc_id") + lit(i.toLong * offset)).as("doc_id"),
+          col("lang"), col("text")))
+        .reduce(_ unionByName _)
+      Seq(docs -> "1x", rep100 -> s"${n}x").foreach { case (df, tag) =>
+        timed(s"token divergence per lang $tag")(((),
+          operators.CorpusStats.tokenDivergence(
+              df.select(col("lang"), pmod(col("doc_id"), lit(2)).as("side"),
+                S.tokens(col("text")).as("toks")), "toks", "lang", "side")
+            .agg(bit_xor(xxhash64(struct(col("kl_ab"), col("chi2")))).as("ck"),
+              count(lit(1)).as("cnt")).head().getLong(1)))
+      }
+    }
+
     spark.stop()
   }
 }
