@@ -286,6 +286,36 @@ object Dedup {
     (afterNearDup, report.toSeq)
   }
 
+  /** Per-document dedup ATTRIBUTION: which pipeline stage dropped each doc
+    * (exact / fingerprint / jaccard) or 'kept' — the curation audit trail
+    * [[dedupPipeline]]'s stage COUNTS summarize. Same stage semantics and
+    * order as dedupPipeline with exactVerify=true; labels come from three
+    * id-keyed survivor joins (marker columns, ids only — never text in the
+    * label joins).
+    *
+    * @return (idCol, stage) for EVERY input row. */
+  def dedupAttribution(df: DataFrame, textCol: String, idCol: String,
+                       shingleN: Int, threshold: Double,
+                       blockCols: Seq[String]): DataFrame = {
+    val s1 = df.join(
+      df.groupBy(textCol).agg(min(col(idCol)).as(idCol)).select(col(idCol)),
+      Seq(idCol), "left_semi").localCheckpoint(true)
+    val s2 = s1.join(byFingerprint(s1, textCol, idCol).select(col(idCol)),
+      Seq(idCol), "left_semi").localCheckpoint(true)
+    val s3 = jaccardDedup(s2, textCol, idCol, shingleN, threshold, blockCols)
+    def keepers(d: DataFrame, mark: String) =
+      d.select(col(idCol)).withColumn(mark, lit(true))
+    df.select(col(idCol))
+      .join(keepers(s1, "__k1"), Seq(idCol), "left")
+      .join(keepers(s2, "__k2"), Seq(idCol), "left")
+      .join(keepers(s3, "__k3"), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__k1").isNull, "exact")
+          .when(col("__k2").isNull, "fingerprint")
+          .when(col("__k3").isNull, "jaccard")
+          .otherwise("kept").as("stage"))
+  }
+
   // ------------- shared prefix-filter machinery (self + cross joins) --------
 
   /** (blocks, id, toks, sz) with empty sets dropped (Jaccard 0 with

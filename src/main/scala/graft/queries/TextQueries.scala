@@ -1253,6 +1253,16 @@ object TextQueries {
         .orderBy(col("zval"), col("event_id"))
     }),
 
+    // Per-doc dedup attribution (Dedup.dedupAttribution): which stage of
+    // q53's pipeline dropped each document, or 'kept' — the curation audit
+    // trail behind the stage counts. Oracle: q53's stage CTEs + a CASE.
+    "q157_dedup_attribution" -> ((s, d) => {
+      graft.operators.Dedup.dedupAttribution(Tables(s, d, "documents"),
+          "text", "doc_id", shingleN = 1, threshold = 0.7,
+          blockCols = Seq("lang", "source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-source duplication-rate report: the curation KPI (how dirty is
     // each source) from normalized-text fingerprints — one distinct + agg.
     "q153_dup_rate" -> ((s, d) => {
@@ -3087,6 +3097,35 @@ object TextQueries {
       SELECT event_id, user_id,
              ${mortonSqlExpr(Seq("user_id", "event_id"), 8)} AS zval
       FROM events ORDER BY zval, event_id""",
+    // Attribution replay: q53's stage CTEs, labeled per doc.
+    "q157_dedup_attribution" -> """
+      WITH s1 AS (
+        SELECT d.doc_id, d.lang, d.source, d.text FROM documents d
+        JOIN (SELECT text, min(doc_id) AS keep FROM documents GROUP BY text) k
+          ON d.doc_id = k.keep),
+      s2 AS (
+        SELECT d.doc_id, d.lang, d.source, d.text FROM s1 d
+        JOIN (SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                     min(doc_id) AS keep
+              FROM s1 GROUP BY 1) k
+          ON d.doc_id = k.keep),
+      toks AS (
+        SELECT doc_id, lang, source,
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) END AS t
+        FROM s2),
+      dups AS (
+        SELECT DISTINCT b.doc_id FROM toks a JOIN toks b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) > 0
+          AND CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+              / CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS DOUBLE) >= 0.7)
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM s1) THEN 'exact'
+                  WHEN d.doc_id NOT IN (SELECT doc_id FROM s2) THEN 'fingerprint'
+                  WHEN d.doc_id IN (SELECT doc_id FROM dups) THEN 'jaccard'
+                  ELSE 'kept' END AS stage
+      FROM documents d ORDER BY d.doc_id""",
     // Dup-rate replay: same sha2 fingerprint + distinct ratio.
     "q153_dup_rate" -> """
       WITH f AS (SELECT source, sha256(trim(lower(text))) AS fp FROM documents)
