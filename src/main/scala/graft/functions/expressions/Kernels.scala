@@ -36,7 +36,9 @@ object Kernels {
     * S.tokens: lowercase, strip leading/trailing java-\s (NOT String.trim,
     * which also strips non-\s control chars ≤ 0x20), split on \s+. */
   def shingleStrings(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toString.toLowerCase
+    // UTF8String.toLowerCase, not String.toLowerCase: the latter is
+    // default-locale (tr/az 'I'→'ı') and would diverge from Spark's lower().
+    val s = text.toLowerCase.toString
     def isWs(ch: Char): Boolean =
       ch == ' ' || ch == '\t' || ch == '\n' || ch == '\u000B' || ch == '\f' || ch == '\r'
     var st = 0
@@ -90,9 +92,11 @@ object Kernels {
     d
   }
 
-  /** Bridge for [[MultiDictCounter]] — ArrayData result for codegen. */
+  /** Bridge for [[MultiDictCounter]] — ArrayData result for codegen.
+    * Lowercases via UTF8String (locale-independent, matches Spark's
+    * lower()) before handing the counter pre-lowercased text. */
   def dictScores(text: UTF8String, mc: MultiDictCounter): ArrayData =
-    new GenericArrayData(mc.count(text.toString))
+    new GenericArrayData(mc.count(text.toLowerCase.toString))
 
   /** Intersection size of two ASCENDING long arrays — one merge walk, no
     * per-row set allocation (array_intersect builds a hash set per call;
@@ -200,7 +204,7 @@ object Kernels {
   }
 
   def hashedShingles(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toString.toLowerCase.trim
+    val s = text.toLowerCase.toString.trim
     if (s.isEmpty) return new GenericArrayData(Array.empty[Long])
     val tokens = s.split("\\s+")
     if (tokens.length < n) return new GenericArrayData(Array.empty[Long])
@@ -804,13 +808,18 @@ final class AcAutomaton(terms: Array[String]) extends Serializable {
   * (substring semantics, the CJK path); terms with a proper border (prefix =
   * suffix, e.g. "aba") would then diverge from non-overlapping regexp_count,
   * so those are rejected at construction rather than silently miscounted.
-  * Terms must be unique across dictionaries. */
+  * A term may belong to SEVERAL dictionaries (stopwords shared by related
+  * languages are common); a match then counts toward each owning
+  * dictionary, exactly as running each dictionary's regexp_count
+  * independently would. Within one dictionary a term must be unique
+  * (listing it twice would double-count vs regexp_count). */
 final class MultiDictCounter(dicts: Array[Array[String]]) extends Serializable {
-  private val terms = dicts.flatten
-  require(terms.distinct.length == terms.length, "terms must be unique across dicts")
+  dicts.zipWithIndex.foreach { case (d, i) =>
+    require(d.distinct.length == d.length, s"dict $i lists a term twice")
+  }
   private def isWordCh(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
-  terms.filterNot(_.forall(isWordCh)).foreach { t =>
+  dicts.flatten.distinct.filterNot(_.forall(isWordCh)).foreach { t =>
     (1 until t.length).foreach { b =>
       require(t.substring(0, b) != t.substring(t.length - b),
         s"non-word term '$t' has a border: overlapping occurrences would " +
@@ -821,7 +830,9 @@ final class MultiDictCounter(dicts: Array[Array[String]]) extends Serializable {
   import scala.collection.mutable.ArrayBuffer
   private val children = ArrayBuffer(new java.util.HashMap[Character, Integer]())
   private val termLen = ArrayBuffer(0)
-  private val termDict = ArrayBuffer(-1)
+  // Dict ids whose term ends at this node — a list, so one trie walk can
+  // credit a shared stopword to every dictionary that owns it.
+  private val termDicts = ArrayBuffer[List[Int]](Nil)
   private val termWordish = ArrayBuffer(false)
   dicts.zipWithIndex.foreach { case (dict, di) =>
     dict.filter(_.nonEmpty).foreach { t =>
@@ -833,7 +844,7 @@ final class MultiDictCounter(dicts: Array[Array[String]]) extends Serializable {
         if (next == null) {
           children += new java.util.HashMap[Character, Integer]()
           termLen += 0
-          termDict += -1
+          termDicts += Nil
           termWordish += false
           next = children.size - 1
           children(node).put(c, next)
@@ -842,7 +853,7 @@ final class MultiDictCounter(dicts: Array[Array[String]]) extends Serializable {
         i += 1
       }
       termLen(node) = t.length
-      termDict(node) = di
+      termDicts(node) = di :: termDicts(node)
       termWordish(node) = t.forall(isWordCh)
     }
   }
@@ -864,9 +875,11 @@ final class MultiDictCounter(dicts: Array[Array[String]]) extends Serializable {
 
   val nDicts: Int = dicts.length
 
-  /** Per-dictionary occurrence counts over the LOWERCASED text. */
-  def count(raw: String): Array[Int] = {
-    val s = raw.toLowerCase
+  /** Per-dictionary occurrence counts. `s` must already be lowercased by
+    * the caller via UTF8String.toLowerCase (see Kernels.dictScores) so the
+    * fold matches Spark's locale-independent lower(); a default-locale
+    * String.toLowerCase here would silently diverge under tr/az JVMs. */
+  def count(s: String): Array[Int] = {
     val out = new Array[Int](nDicts)
     var node = 0
     var i = 0
@@ -882,7 +895,10 @@ final class MultiDictCounter(dicts: Array[Array[String]]) extends Serializable {
           val boundaryOk = !termWordish(o) ||
             ((st == 0 || !isWordCh(s.charAt(st - 1))) &&
               (i + 1 == s.length || !isWordCh(s.charAt(i + 1))))
-          if (boundaryOk) out(termDict(o)) += 1
+          if (boundaryOk) {
+            var ds = termDicts(o)
+            while (ds.nonEmpty) { out(ds.head) += 1; ds = ds.tail }
+          }
         }
         o = fail(o)
       }

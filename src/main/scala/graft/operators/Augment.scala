@@ -19,9 +19,10 @@ object Augment {
     * coin(seed, d, i) < pPerMille — a light lexical perturbation used to
     * de-memorize templated text. Zero-shuffle row-local projection
     * (positions via a HOF filter over the token array); never drops a doc's
-    * LAST surviving token (empty docs poison downstream tokenization), so
-    * one token always survives: position 0 is exempt when every other
-    * position was dropped — implemented as: keep i iff coin ≥ p OR i = 0.
+    * position-0 token: keep i iff coin ≥ p OR i = 0. Position 0 is ALWAYS
+    * kept (its coin is never consulted), which trivially guarantees a
+    * non-empty result (empty docs poison downstream tokenization) at the
+    * cost of a dropout distribution that is biased at position 0.
     *
     * @return (id, n_tokens, n_kept, text_aug) */
   def tokenDropout(df: DataFrame, idCol: String, textCol: String,

@@ -168,6 +168,20 @@ class ExpressionsSpec extends SparkSpec {
     assert(got(1).getSeq[Long](0).forall(_ == HashExpressions.P31)) // empty → sentinel
     assert(got(2).isNullAt(0)) // null in → null out
   }
+
+  test("MultiDictCounter credits a term shared by two dictionaries to both") {
+    import graft.functions.expressions.MultiDictCounter
+    // "de" is a stopword in both German and Dutch lists — one automaton
+    // pass must count it toward each owning dictionary, matching what two
+    // independent regexp_count(text, '\bde\b') calls would return.
+    val mc = new MultiDictCounter(Array(Array("de", "und"), Array("de", "het")))
+    val got = mc.count("de trein und de auto het")
+    assert(got.toSeq == Seq(2 + 1, 2 + 1)) // both dicts see "de" twice
+    // A term repeated WITHIN one dictionary would double-count → rejected.
+    intercept[IllegalArgumentException] {
+      new MultiDictCounter(Array(Array("de", "de")))
+    }
+  }
 }
 
 /** SQL-surface registration of the native expressions. */
