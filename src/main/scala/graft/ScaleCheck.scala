@@ -145,6 +145,35 @@ object ScaleCheck {
           spark.table(s"$db.$tbl").count() }))
     }
 
+    // Compaction FLAT contract: the SAME two fragmented partitions inside a
+    // 1x table vs an Nx table (replicas land in NEW nationkey values, so the
+    // fragmented partitions are byte-identical at both scales). The wall
+    // must track the AFFECTED bytes — flat in table size — because the
+    // manifest walk is O(files) and unselected partitions are never opened.
+    def mkFragmented(tbl: String, extra: Int): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $db.$tbl")
+      val base = entity(0)
+      val allRows = (base +: (1 to extra).map(i => entity(0).select(
+          col("customerno") + lit(i * 40000000L) as "customerno", col("name"),
+          (col("nationkey") + lit(i * 25)).as("nationkey"),
+          col("segment"), col("globalid"))))
+        .reduce(_ unionByName _)
+      allRows.write.partitionBy("nationkey").saveAsTable(s"$db.$tbl")
+      // fragment ONLY nationkey 0 and 1: 16 appended slices each
+      val frag = base.filter(col("nationkey") < 2).repartition(16)
+        .select(spark.table(s"$db.$tbl").columns.map(col).toIndexedSeq: _*)
+      frag.write.mode("append").insertInto(s"$db.$tbl")
+    }
+    mkFragmented("frag1", 0)
+    mkFragmented("fragN", n - 1)
+    Seq("frag1" -> "1x", "fragN" -> s"${n}x").foreach { case (tbl, tag) =>
+      timed(s"compact 2 fragmented partitions of $tag table")(((),
+        { val r = catalog.Compaction.compactTable(spark, s"$db.$tbl",
+            targetBytes = 128L << 20)
+          require(r.partitionsCompacted == 2, s"expected 2 selected: $r")
+          r.filesAfter.toLong }))
+    }
+
     // J4 fuzzy blocking join — adversarial hot block: flood rows sharing ONE
     // block value with boilerplate (identical) field values on BOTH sides.
     // Unguarded, the blocking join is flood² score evaluations (50k flood →
@@ -633,6 +662,17 @@ object ScaleCheck {
           .select(SK.kmv_jaccard(col("ska"), col("skb"), 32).as("j"),
             SK.kmv_intersect_estimate(col("ska"), col("skb"), 32).as("i"))
           .count()))
+    }
+    // Sketch vs exact profiler: exact count_distinct shuffles each column's
+    // distinct set (the `text` column ≈ re-shuffling the corpus), while the
+    // HLL profile's partials are 2^p bytes per column per partition — the
+    // shuffle row must stay ~FLAT from 1x to Nx while exact grows ~Nx.
+    Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+      val cols = Seq("doc_id", "lang", "source", "text")
+      timed(s"profile exact (count_distinct x4) $tag")(((),
+        operators.Analytics.profile(df, cols).count()))
+      timed(s"profile sketch (hll p=12 x4) $tag")(((),
+        operators.Analytics.profileSketch(df, cols, p = 12).count()))
     }
     spark.stop()
   }

@@ -1,0 +1,195 @@
+package graft.catalog
+
+import java.util.concurrent.{Callable, Executors, TimeUnit}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Small-file compaction — the OPTIMIZE verb of a table format, built from
+  * plain Spark primitives for Hive-style Parquet tables.
+  *
+  * WHY: streaming CDC upserts ([[TableFormat.mergeUpsert]] per micro-batch)
+  * and per-run partitioned appends (`Pipeline.writePartitioned`, the analog
+  * of etl_collect_to_cleanse.py:335-350's clear-partition-then-append)
+  * accumulate files far below the parquet sweet spot; at 100 TB the
+  * per-file open/footer overhead and tiny row groups come to dominate scan
+  * cost. The reference never needs this verb only because each Glue run
+  * rewrites whole partitions (etl_cleanse_to_consume.py:186-195); an engine
+  * with incremental writes must compact.
+  *
+  * SHAPE — partition-scoped, one data pass, file-level swap:
+  *   1. a driver-side manifest walk lists data files per partition directory
+  *      (cost ∝ file count, zero data read — the listing a table format's
+  *      manifests would answer);
+  *   2. partitions are selected only where rewriting reduces the file
+  *      count: n_files ≥ `minFiles` AND n_files > ⌈bytes/targetBytes⌉ —
+  *      the bin decision of `Sampling.binPackDocs` applied to manifests;
+  *   3. each selected partition is rewritten INDEPENDENTLY (its own narrow
+  *      read): ⌈bytes/targetBytes⌉ = 1 → `coalesce(1)`, NO shuffle at all;
+  *      k > 1 → ONE range exchange on the `curve` column (Layout Z-order /
+  *      Hilbert codes — every output file stays a CONTIGUOUS curve segment,
+  *      so compaction preserves the clustering that makes min/max pruning
+  *      work) or on a deterministic hash spread. Partitions rewrite
+  *      concurrently (`parallelism` Spark jobs), so a backlog sweep is not
+  *      serialized on per-job latency;
+  *   4. the swap is pure file manipulation: old data files move to a trash
+  *      dir, new files move into the partition directory — no second data
+  *      pass, no catalog change (the partition SET is preserved, so
+  *      partition metadata needs no update). Unselected partitions are
+  *      never opened, never rewritten: their files stay byte-identical
+  *      (asserted by mtime in CompactionSpec) — the K5-upsert FLAT-cost
+  *      contract: compaction cost tracks the AFFECTED bytes only.
+  *
+  * On a failed swap the trash is restored and the scratch dir is left in
+  * place for inspection. As with every Hive-parquet write in this repo the
+  * commit is not snapshot-atomic — on Iceberg/Delta deployments prefer the
+  * format's native OPTIMIZE/rewrite_data_files, whose semantics (content
+  * invariance, partition scoping, layout preservation) this operator
+  * matches without the jar. On object stores rename is a copy: run with a
+  * real rename-capable FS (HDFS/EMRFS-consistent) or accept the copy cost.
+  *
+  * Sizing is approximate by nature (bins come from INPUT bytes; range cuts
+  * are sample-based). What is exact: content invariance (q158's oracle),
+  * per-partition file counts ≤ the bin target, and the never-touch
+  * guarantee for unselected partitions.
+  */
+object Compaction {
+
+  /** One partition directory's manifest: `rel` is the path relative to the
+    * table root ("" for an unpartitioned table); `files`/`bytes` count data
+    * files only (hidden `_`/`.` names excluded). */
+  final case class PartitionManifest(rel: String, files: Int, bytes: Long)
+
+  final case class CompactReport(
+      partitionsSeen: Int, partitionsCompacted: Int,
+      filesBefore: Int, filesAfter: Int, bytesRewritten: Long) {
+    def filesRemoved: Int = filesBefore - filesAfter
+  }
+
+  private def isDataName(n: String): Boolean =
+    !n.startsWith("_") && !n.startsWith(".")
+
+  /** Driver-side manifest walk: data files grouped by partition directory. */
+  def listManifests(spark: SparkSession, table: String): (Path, Seq[PartitionManifest]) = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val root = new Path(meta.location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val byDir = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Long)]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath
+      val relParent = root.toUri.relativize(p.getParent.toUri).getPath.stripSuffix("/")
+      val hiddenDir = relParent.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (isDataName(p.getName) && !hiddenDir) {
+        val (c, b) = byDir.getOrElse(relParent, (0, 0L))
+        byDir(relParent) = (c + 1, b + f.getLen)
+      }
+    }
+    (root, byDir.toSeq.map { case (rel, (c, b)) => PartitionManifest(rel, c, b) })
+  }
+
+  private def binCount(bytes: Long, targetBytes: Long): Int =
+    math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+
+  /** Compact `table` so each partition holds ≈⌈bytes/targetBytes⌉ files.
+    *
+    * @param curve optional clustering column over the table's DATA columns
+    *              (partition columns are constant per file — clustering on
+    *              them is meaningless), e.g. `Layout.mortonCode(...)`; when
+    *              present, rewritten files are contiguous curve segments.
+    * @param minFiles partitions with fewer data files are never considered
+    *                 (2 = "anywhere merging is possible").
+    * @param parallelism concurrent per-partition rewrite jobs.
+    */
+  def compactTable(spark: SparkSession, table: String, targetBytes: Long,
+                   curve: Option[Column] = None, minFiles: Int = 2,
+                   parallelism: Int = 4): CompactReport = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(minFiles >= 2, "minFiles < 2 would select single-file partitions")
+    val (root, manifests) = listManifests(spark, table)
+    val selected = manifests.filter(m =>
+      m.files >= minFiles && m.files > binCount(m.bytes, targetBytes))
+    val filesBeforeAll = manifests.map(_.files).sum
+    if (selected.isEmpty)
+      return CompactReport(manifests.size, 0, filesBeforeAll, filesBeforeAll, 0L)
+
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val partCols = spark.sessionState.catalog.getTableMetadata(ident).partitionColumnNames.toSet
+    val dataSchema = StructType(spark.table(table).schema.filterNot(f => partCols.contains(f.name)))
+    val dataCols = dataSchema.fieldNames.toIndexedSeq
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val scratch = Scratch.newDir(spark, "compact")
+
+    def liveDir(m: PartitionManifest): Path =
+      if (m.rel.isEmpty) root else new Path(root, m.rel)
+
+    // Phase 1: write each selected partition's replacement files to scratch.
+    // Independent Spark jobs, submitted from a bounded pool — the Spark
+    // scheduler runs them concurrently, so many small partitions don't pay
+    // serial per-job latency.
+    val pool = Executors.newFixedThreadPool(math.max(1, math.min(parallelism, selected.size)))
+    try {
+      val futures = selected.zipWithIndex.map { case (m, i) =>
+        pool.submit(new Callable[Unit] {
+          def call(): Unit = {
+            val part = spark.read.schema(dataSchema).parquet(liveDir(m).toString)
+            val nBins = binCount(m.bytes, targetBytes)
+            val key = curve.getOrElse(xxhash64(dataCols.map(col): _*))
+            val arranged =
+              if (nBins == 1) {
+                val one = part.coalesce(1) // narrow: merge reads, zero shuffle
+                if (curve.isDefined) one.sortWithinPartitions(key) else one
+              } else part.repartitionByRange(nBins, key).sortWithinPartitions(key)
+            arranged.write.mode(SaveMode.Overwrite).parquet(s"$scratch/$i")
+          }
+        })
+      }
+      futures.foreach(_.get())
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(1, TimeUnit.MINUTES)
+    }
+
+    // Phase 2: file-level swap per partition — old data files to trash, new
+    // files in. On any swap failure, restore the trashed files and LEAVE the
+    // scratch dir for inspection (deleting it would destroy the only copy of
+    // a half-swapped partition).
+    val moved = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)] // (trash, live) pairs restored on failure
+    try {
+      selected.zipWithIndex.foreach { case (m, i) =>
+        val dir = liveDir(m)
+        val trash = new Path(scratch, s"trash_$i")
+        fs.mkdirs(trash)
+        fs.listStatus(dir).filter(s => s.isFile && isDataName(s.getPath.getName)).foreach { s =>
+          val dst = new Path(trash, s.getPath.getName)
+          if (!fs.rename(s.getPath, dst))
+            throw new java.io.IOException(s"rename to trash failed: ${s.getPath}")
+          moved += ((dst, s.getPath))
+        }
+        val newFiles = fs.listStatus(new Path(s"$scratch/$i"))
+          .filter(s => s.isFile && isDataName(s.getPath.getName))
+        newFiles.foreach { s =>
+          if (!fs.rename(s.getPath, new Path(dir, s.getPath.getName)))
+            throw new java.io.IOException(s"rename into partition failed: ${s.getPath}")
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        moved.reverseIterator.foreach { case (trashed, orig) =>
+          if (fs.exists(trashed)) fs.rename(trashed, orig)
+        }
+        throw new RuntimeException(
+          s"compaction swap failed; originals restored, scratch kept at $scratch", e)
+    }
+    Scratch.delete(spark, scratch)
+    spark.catalog.refreshTable(table)
+
+    val (_, after) = listManifests(spark, table)
+    CompactReport(manifests.size, selected.size,
+      filesBeforeAll, after.map(_.files).sum, selected.map(_.bytes).sum)
+  }
+}

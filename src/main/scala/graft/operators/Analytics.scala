@@ -35,6 +35,42 @@ object Analytics {
     total.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 
+  /** Sketch-mode column profile — [[profile]]'s exact `count_distinct`
+    * replaced by the [[graft.functions.expressions.SketchAggregates]] HLL
+    * aggregate; every other statistic stays exact, and the OUTPUT SHAPE is
+    * identical (AnalyticsSpec asserts schema equality), so callers swap the
+    * two freely.
+    *
+    * This is the 100 TB profile: exact `count_distinct` shuffles each
+    * column's full distinct set (a wide table profiles at the cost of
+    * re-shuffling most of itself), while each HLL partial is 2^p bytes PER
+    * COLUMN PER PARTITION — the shuffle is bounded by cols × partitions ×
+    * 2^p regardless of data volume, and the registers merge
+    * order-independently (also partition-invariantly — asserted in spec).
+    * `n_distinct` is the rounded harmonic-mean estimate (±~1.04/√2^p
+    * relative standard error; p = 12 → ~1.6%). */
+  def profileSketch(df: DataFrame, cols: Seq[String], p: Int = 12): DataFrame = {
+    import graft.functions.expressions.{SketchAggregates => SK}
+    require(cols.nonEmpty)
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        SK.hll_sketch(col(c).cast("string"), p).as(s"__sk_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val total = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"), col("__n").as("n"),
+        (col("__n") - col(s"__nn_$c")).as("n_null"),
+        // coalesce: the when/otherwise estimator is formally nullable; pin
+        // the field non-null so the schema matches profile's count_distinct
+        coalesce(round(SK.hll_estimate(col(s"__sk_$c"), p)).cast("long"), lit(0L))
+          .as("n_distinct"),
+        col(s"__mn_$c").as("min_s"), col(s"__mx_$c").as("max_s"))
+    }
+    total.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
   /** Funnel analysis: how many users reach step 1, steps 1→2 in order,
     * 1→2→3, … — the ordered-sequence conversion readout. A user counts for
     * step k iff there exist events e₁ < e₂ < … < e_k (strictly increasing

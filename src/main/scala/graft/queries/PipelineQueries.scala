@@ -566,6 +566,33 @@ object PipelineQueries {
     // Conversion gaps (Analytics.conversionGaps): seconds from first signup
     // to first subsequent purchase per user — the funnel's latency readout.
     // Oracle replays the strict frontier + integer-second gap.
+    // Small-file compaction (Compaction.compactTable, the OPTIMIZE verb):
+    // orders re-materialized as a deliberately fragmented partitioned table
+    // (12 writers x 3 status partitions), compacted to target size, read
+    // back. The oracle is the source table itself — compaction must be
+    // CONTENT-INVARIANT through the full write→compact→read cycle; the
+    // in-query requires make a silent no-op or a file-count regression an
+    // oracle error rather than a quiet pass.
+    "q158_compaction" -> ((s, d) => {
+      val t = s"graftcompact${math.abs(d.hashCode)}.orders_frag"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS ${t.split('.').head}")
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus"))
+        .repartition(12)
+        .write.partitionBy("o_orderstatus").saveAsTable(t)
+      val report = graft.catalog.Compaction.compactTable(s, t, targetBytes = 128L << 20)
+      require(report.filesAfter < report.filesBefore,
+        s"compaction must reduce files: $report")
+      require(report.partitionsCompacted == report.partitionsSeen,
+        s"all fragmented partitions must be selected: $report")
+      s.table(t)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q156_conversion_gap" -> ((s, d) => {
       graft.operators.Analytics.conversionGaps(Tables(s, d, "events"),
           "user_id", "ts", "event_type", "event_id", "signup", "purchase")
@@ -611,6 +638,19 @@ object PipelineQueries {
       graft.operators.Analytics.profile(
           Tables(s, d, "orders"),
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"))
+        .orderBy(col("column"))
+    }),
+
+    // Sketch-mode profiler (Analytics.profileSketch): q148's shape with
+    // n_distinct from the HLL register aggregate — the bounded-shuffle
+    // profile a 100 TB-wide table needs. Oracle replays the registers and
+    // the estimator arithmetic symbol-for-symbol (q128's regime), covering
+    // BOTH estimator branches: o_orderstatus (3 distinct → linear counting)
+    // and o_orderkey/o_custkey (thousands → raw harmonic mean).
+    "q159_profile_sketch" -> ((s, d) => {
+      graft.operators.Analytics.profileSketch(
+          Tables(s, d, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus"), p = 8)
         .orderBy(col("column"))
     }),
 
@@ -1174,6 +1214,11 @@ object PipelineQueries {
       SELECT event_type, hour, n, z_r FROM z
       WHERE abs(z_r) >= 2.0 ORDER BY event_type, hour""",
     // SCD2 replay: same lag-filter + lead-close window.
+    // Compaction content-invariance: the compacted table must equal the
+    // source rows exactly.
+    "q158_compaction" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders ORDER BY o_orderkey""",
     "q151_scd2" -> """
       WITH w AS (
         SELECT user_id, ts, event_id, event_type,
@@ -1203,6 +1248,48 @@ object PipelineQueries {
       UNION ALL
       SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate), count(DISTINCT o_orderdate),
              CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR) FROM orders
+      ORDER BY "column"""",
+    // Sketch-profiler replay: md5-60bit → (bucket, w) split, rho via bin()
+    // bit length, register max, exact-integer harmonic sum, then the same
+    // left-associated α·m²·2^53/S division and linear-counting branch as
+    // q128, rounded to a BIGINT estimate.
+    "q159_profile_sketch" -> """
+      WITH src AS (
+        SELECT 'o_orderkey' AS colname, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+        UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders),
+      h AS (SELECT colname, CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h
+            FROM src WHERE v IS NOT NULL),
+      b AS (SELECT colname, h // 4503599627370496 AS bucket,
+                   h % 4503599627370496 AS w FROM h),
+      r AS (SELECT colname, bucket,
+              max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS rho
+            FROM b GROUP BY 1, 2),
+      g AS (SELECT colname, count(*) AS nonzero,
+              sum(CAST(1 AS BIGINT) << (53 - rho))
+                + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS s_num
+            FROM r GROUP BY 1),
+      e AS (SELECT colname, 256 - nonzero AS zeros,
+              0.7213 / (1 + 1.079 / 256) * 256 * 256 * power(2.0, 53)
+                / CAST(s_num AS DOUBLE) AS raw
+            FROM g),
+      est AS (SELECT colname,
+              CAST(round(CASE WHEN zeros > 0 AND raw <= 640.0
+                              THEN 256.0 * ln(256.0 / zeros) ELSE raw END)
+                   AS BIGINT) AS n_distinct
+            FROM e),
+      stats AS (
+        SELECT 'o_orderkey' AS colname, count(*) AS n,
+               count(*) - count(o_orderkey) AS n_null,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_s FROM orders
+        UNION ALL SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+               CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        FROM orders
+        UNION ALL SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+               min(o_orderstatus), max(o_orderstatus) FROM orders)
+      SELECT stats.colname AS "column", n, n_null, est.n_distinct, min_s, max_s
+      FROM stats JOIN est USING (colname)
       ORDER BY "column"""",
     // Funnel replay: per-step earliest-frontier via row_number + strict
     // (ts, id) tuple ordering against the previous frontier.

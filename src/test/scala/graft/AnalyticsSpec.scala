@@ -50,6 +50,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(p("s") == ((4L, 1L, 2L, "a", "b")))
   }
 
+  test("profileSketch: same shape as profile, exact stats, bounded-error distinct") {
+    val orders = sf("orders")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus")
+    val exact = Analytics.profile(orders, cols).orderBy(col("column"))
+    val sk = Analytics.profileSketch(orders, cols, p = 12).orderBy(col("column"))
+    // drop-in swap: identical schema (names, types, order)
+    assert(sk.schema == exact.schema)
+    val e = exact.collect().map(r => r.getString(0) -> r).toMap
+    val s = sk.collect().map(r => r.getString(0) -> r).toMap
+    cols.foreach { c =>
+      // n, n_null, min_s, max_s stay exact
+      assert(s(c).getLong(1) == e(c).getLong(1))
+      assert(s(c).getLong(2) == e(c).getLong(2))
+      assert(s(c).getString(4) == e(c).getString(4))
+      assert(s(c).getString(5) == e(c).getString(5))
+      // n_distinct within HLL error (p=12 → ~1.6% RSE; allow 5 sigma + slack)
+      val (est, tru) = (s(c).getLong(3).toDouble, e(c).getLong(3).toDouble)
+      assert(math.abs(est - tru) <= math.max(2.0, 0.10 * tru),
+        s"$c: est=$est true=$tru")
+    }
+  }
+
+  test("profileSketch: partition-count invariant (registers are maxima)") {
+    val orders = sf("orders")
+    val cols = Seq("o_orderkey", "o_orderstatus")
+    val a = Analytics.profileSketch(orders.repartition(7), cols, p = 8)
+      .orderBy(col("column")).collect().toSeq
+    val b = Analytics.profileSketch(orders.repartition(2), cols, p = 8)
+      .orderBy(col("column")).collect().toSeq
+    assert(a == b)
+  }
+
   test("retention: cohort offsets count returning users only") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-08 10:00:00")), // w0 + w1
