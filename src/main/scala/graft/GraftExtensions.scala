@@ -124,6 +124,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hll_sketch", "hll_sketch(token, p) AGG — 2^p HLL registers as ARRAY<INT>"),
       (args: Seq[Expression]) => graft.functions.expressions.SketchAggregates
         .HllSketchAgg(args.head, intArg(args(1)))))
+
+    ext.injectFunction((FunctionIdentifier("kll_sketch"),
+      info("kll_sketch", "kll_sketch(v, k) AGG — quantile sketch as ARRAY<STRUCT<v,w>>"),
+      (args: Seq[Expression]) => graft.functions.expressions.SketchAggregates
+        .KllSketchAgg(args.head, intArg(args(1)))))
   }
 
   private def stringArg(e: Expression): String = e.eval(null) match {
@@ -209,5 +214,8 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("hll_sketch",
       args => graft.functions.expressions.SketchAggregates
         .HllSketchAgg(args.head, args(1).eval(null).toString.toInt), "scala_udf")
+    reg.createOrReplaceTempFunction("kll_sketch",
+      args => graft.functions.expressions.SketchAggregates
+        .KllSketchAgg(args.head, args(1).eval(null).toString.toInt), "scala_udf")
   }
 }

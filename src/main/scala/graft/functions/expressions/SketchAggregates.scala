@@ -578,6 +578,97 @@ object SketchAggregates {
   def kmv_intersect_estimate(a: Column, b: Column, k: Int): Column =
     kmv_jaccard(a, b, k) * kmv_estimate(kmv_union(a, b, k), k)
 
+  /** KLL/MRL-style mergeable QUANTILE sketch: a ladder of compactor levels,
+    * level i holding values of weight 2^i, each capped at `k` values. When a
+    * level fills, its sorted buffer is halved by keeping every second value
+    * (alternating start parity per level, tracked in the buffer, so the
+    * ± rank bias cancels across compactions) and promoting the survivors one
+    * level up — memory O(k·log(n/k)) however large the input, and the
+    * partials merge associatively level-by-level, which is what lets Spark
+    * run it map-side + shuffle bytes-per-partition like every other sketch
+    * here.
+    *
+    * DETERMINISM CONTRACT (what the specs/oracle rely on): compaction is
+    * fully deterministic (sorted buffer, parity counter — no RNG), so a
+    * given merge tree always yields the same sketch; and while the sketch
+    * CONTENT above the exact regime legitimately depends on the merge tree
+    * (true of every sublinear quantile sketch), the ANSWER carries a
+    * deterministic rank-error bound ε·n (KllSketchSpec pins it), and in the
+    * EXACT REGIME — fewer than k values per group, so no compaction ever
+    * fires — the sketch is the sorted value list with unit weights,
+    * bit-identical under ANY partitioning, and quantiles are exact order
+    * statistics a SQL oracle replays (q160).
+    *
+    * Evaluates to ARRAY<STRUCT<v: DOUBLE, w: BIGINT>> sorted by (v, w); the
+    * estimator [[kll_quantile]] is plain Column arithmetic on top. Nulls are
+    * skipped; NaNs are the caller's to filter (they sort last, poisoning the
+    * upper quantiles — same caveat as any order statistic). */
+  case class KllSketchAgg(
+      child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllBuffer]
+    with UnaryLike[Expression] {
+    require(k >= 8 && k % 2 == 0, s"k must be even and >= 8: $k")
+
+    override def createAggregationBuffer(): KllBuffer = new KllBuffer(k)
+
+    override def update(b: KllBuffer, input: InternalRow): KllBuffer = {
+      val v = child.eval(input)
+      if (v != null) b.add(v.asInstanceOf[Double])
+      b
+    }
+
+    override def merge(b: KllBuffer, o: KllBuffer): KllBuffer = { b.mergeIn(o); b }
+
+    override def eval(b: KllBuffer): Any = {
+      val pairs = b.flattenSorted()
+      new GenericArrayData(pairs.map { case (v, w) =>
+        InternalRow(v, w)
+      })
+    }
+
+    override def serialize(b: KllBuffer): Array[Byte] = b.toBytes
+    override def deserialize(bytes: Array[Byte]): KllBuffer = KllBuffer.fromBytes(k, bytes)
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("v", DoubleType, nullable = false),
+        StructField("w", LongType, nullable = false))), containsNull = false)
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): KllSketchAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(newChild: Expression): KllSketchAgg =
+      copy(child = newChild)
+    override def prettyName: String = "kll_sketch"
+  }
+
+  /** Aggregate: KLL quantile sketch over a DOUBLE column — (v, w) pairs. */
+  def kll_sketch(v: Column, k: Int): Column =
+    column(KllSketchAgg(expression(v), k).toAggregateExpression())
+
+  /** Weighted lower quantile over a [[kll_sketch]] array: the smallest v
+    * whose cumulative weight reaches target = min(⌊q·W⌋+1, W) — for unit
+    * weights this is the target-th order statistic exactly, which is the
+    * form the SQL oracle replays (row_number = target over sorted values).
+    * Plain Column arithmetic: one pass over the (already sorted) pair array
+    * with a (cum, answer) fold. */
+  def kll_quantile(sk: Column, q: Double): Column = {
+    import org.apache.spark.sql.functions._
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1]: $q")
+    val w = aggregate(sk, lit(0L), (acc, e) => acc + e.getField("w"))
+    val target = least(floor(lit(q) * w.cast("double")).cast("long") + lit(1L), w)
+    aggregate(sk,
+      struct(lit(0L).as("cum"), lit(null).cast("double").as("ans")),
+      (acc, e) => struct(
+        (acc.getField("cum") + e.getField("w")).as("cum"),
+        when(acc.getField("ans").isNull &&
+            acc.getField("cum") + e.getField("w") >= target, e.getField("v"))
+          .otherwise(acc.getField("ans")).as("ans")),
+      acc => acc.getField("ans"))
+  }
+
   /** Equi-join SIZE estimate from two count-min sketches over the join key
     * (the AGMS/CMS inner-product estimator): |A ⋈ B| = Σ_v cntA(v)·cntB(v),
     * and each CMS row's dot product overestimates that sum by only the
@@ -595,5 +686,98 @@ object SketchAggregates {
         lit(0L), (acc, v) => acc + v)
     }
     rowDots.reduce(least(_, _))
+  }
+}
+
+/** Mutable compactor ladder backing [[SketchAggregates.KllSketchAgg]]:
+  * `levels(i)` holds (unsorted) values of weight 2^i, capped at `k`;
+  * `parity(i)` counts compactions of level i so the kept-index start
+  * alternates (0,1,0,…) — deterministic, and the ± half-weight rank bias of
+  * "keep every second value" cancels over successive compactions instead of
+  * accumulating one-sided. */
+final class KllBuffer(val k: Int) extends Serializable {
+  import scala.collection.mutable.ArrayBuffer
+  private[expressions] val levels = ArrayBuffer(ArrayBuffer.empty[Double])
+  private[expressions] val parity = ArrayBuffer(0)
+
+  def add(v: Double): Unit = {
+    levels(0) += v
+    if (levels(0).size >= k) compact(0)
+  }
+
+  private def ensureLevel(i: Int): Unit =
+    while (levels.size <= i) { levels += ArrayBuffer.empty[Double]; parity += 0 }
+
+  private def compact(i: Int): Unit = {
+    val arr = levels(i).toArray
+    java.util.Arrays.sort(arr)
+    val start = parity(i) & 1
+    parity(i) += 1
+    levels(i).clear()
+    ensureLevel(i + 1)
+    val up = levels(i + 1)
+    var j = start
+    while (j < arr.length) { up += arr(j); j += 2 }
+    if (up.size >= k) compact(i + 1)
+  }
+
+  def mergeIn(o: KllBuffer): Unit = {
+    var i = 0
+    while (i < o.levels.size) {
+      ensureLevel(i)
+      levels(i) ++= o.levels(i)
+      parity(i) += o.parity(i)
+      i += 1
+    }
+    i = 0
+    while (i < levels.size) {
+      if (levels(i).size >= k) compact(i) // cascades; higher levels re-checked below
+      i += 1
+    }
+  }
+
+  /** (value, weight) pairs sorted by (v, w) — weight 2^level. */
+  def flattenSorted(): Array[(Double, Long)] = {
+    val out = ArrayBuffer.empty[(Double, Long)]
+    var i = 0
+    while (i < levels.size) {
+      val w = 1L << i
+      levels(i).foreach(v => out += ((v, w)))
+      i += 1
+    }
+    out.sortInPlace()(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    out.toArray
+  }
+
+  def toBytes: Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(
+      4 + levels.iterator.map(l => 8 + 8 * l.size).sum)
+    buf.putInt(levels.size)
+    var i = 0
+    while (i < levels.size) {
+      buf.putInt(parity(i))
+      buf.putInt(levels(i).size)
+      levels(i).foreach(buf.putDouble)
+      i += 1
+    }
+    buf.array()
+  }
+}
+
+object KllBuffer {
+  def fromBytes(k: Int, bytes: Array[Byte]): KllBuffer = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val b = new KllBuffer(k)
+    val n = buf.getInt
+    var i = 0
+    while (i < n) {
+      if (i > 0) { b.levels += scala.collection.mutable.ArrayBuffer.empty[Double]; b.parity += 0 }
+      b.parity(i) = buf.getInt
+      val c = buf.getInt
+      var j = 0
+      while (j < c) { b.levels(i) += buf.getDouble; j += 1 }
+      i += 1
+    }
+    b
   }
 }

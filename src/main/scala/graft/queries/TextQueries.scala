@@ -538,6 +538,26 @@ object TextQueries {
     // Two cardinality regimes: unigram tokens (~33/lang → the linear-
     // counting correction branch) and 2-gram shingles (~900/lang → the raw
     // harmonic-mean branch), so BOTH estimator paths are oracle-pinned.
+    // KLL quantile sketch in its EXACT REGIME (SketchAggregates.KllSketchAgg,
+    // k=4096 > any lang group): no compaction fires, the sketch is the
+    // sorted value list with unit weights, so the weighted-quantile fold is
+    // the exact order statistic target = min(⌊q·n⌋+1, n) — replayed by the
+    // oracle as a row_number pick. Above this regime the sketch degrades
+    // gracefully to the ε·n rank-error contract pinned in KllSketchSpec.
+    "q160_kll_quantiles" -> ((s, d) => {
+      import graft.functions.expressions.{SketchAggregates => SK}
+      val sk = Tables(s, d, "documents")
+        .select(col("lang"), length(col("text")).cast(DoubleType).as("v"))
+        .groupBy(col("lang")).agg(SK.kll_sketch(col("v"), 4096).as("sk"))
+      sk.select(col("lang"),
+          size(col("sk")).cast(LongType).as("n"),
+          SK.kll_quantile(col("sk"), 0.1).as("p10"),
+          SK.kll_quantile(col("sk"), 0.5).as("p50"),
+          SK.kll_quantile(col("sk"), 0.9).as("p90"),
+          SK.kll_quantile(col("sk"), 0.99).as("p99"))
+        .orderBy(col("lang"))
+    }),
+
     "q128_hll_distinct" -> ((s, d) => {
       import graft.functions.expressions.{SketchAggregates => SK}
       def sketchCols(regs: org.apache.spark.sql.Column, tag: String) = Seq(
@@ -2203,6 +2223,17 @@ object TextQueries {
     // register = max rho, harmonic sum as the exact integer Σ 2^(53−rho)
     // (empty registers contribute 2^53), then the same left-associated
     // α·m²·2^53 / S double division and linear-counting branch.
+    // KLL exact-regime replay: value at rank min(⌊q·n⌋+1, n) per lang.
+    "q160_kll_quantiles" -> """
+      WITH v AS (SELECT lang, CAST(length(text) AS DOUBLE) AS v FROM documents),
+      r AS (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n FROM v)
+      SELECT lang, CAST(max(n) AS BIGINT) AS n,
+             max(CASE WHEN rn = least(floor(0.1 * n) + 1, n) THEN v END) AS p10,
+             max(CASE WHEN rn = least(floor(0.5 * n) + 1, n) THEN v END) AS p50,
+             max(CASE WHEN rn = least(floor(0.9 * n) + 1, n) THEN v END) AS p90,
+             max(CASE WHEN rn = least(floor(0.99 * n) + 1, n) THEN v END) AS p99
+      FROM r GROUP BY lang ORDER BY lang""",
     "q128_hll_distinct" -> """
       WITH ts AS (
         SELECT lang, regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS a
