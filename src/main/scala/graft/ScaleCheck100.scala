@@ -295,6 +295,33 @@ object ScaleCheck100 {
       }
     }
 
+    // ---- 14. directed containment join at 100× (the q126 family): perturbed
+    // replicas keep cross-replica containments from forming, so true output
+    // grows ~100× (within-replica snippet→source pairs). The a-side prefix
+    // is rank-linear and the b-side full inverted index token-linear; the
+    // growth check validates no pairs² term from the hot shared-vocab
+    // tokens (rare/perturbed tokens dominate the prefixes).
+    locally {
+      def withSnippets(df: DataFrame): DataFrame = {
+        val snips = df.filter(pmod(col("doc_id"), lit(9)) === 0)
+          .select((col("doc_id") + lit(100L * offset)).as("doc_id"),
+            col("lang"), col("source"),
+            array_join(slice(split(col("text"), "\\s+"), lit(1),
+              greatest(ceil(size(split(col("text"), "\\s+")) * lit(0.6))
+                .cast("int"), lit(1))), " ").as("text"))
+        df.unionByName(snips)
+      }
+      def shingles(df: DataFrame) = df.select(col("lang"), col("source"),
+        col("doc_id"), graft.functions.expressions.HashExpressions
+          .hashed_shingles(col("text"), 2).as("toks"))
+      Seq(perturbed(0) -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+        timed(s"containmentJoin t=0.8 blocked, planted snippets $tag")(((),
+          operators.Dedup.containmentJoin(shingles(withSnippets(df)), "toks",
+            "doc_id", Seq("lang", "source"), 0.8)
+            .select(col("id_a"), col("id_b")).localCheckpoint(true).count()))
+      }
+    }
+
     spark.stop()
   }
 }

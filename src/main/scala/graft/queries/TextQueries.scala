@@ -489,6 +489,35 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Hybrid retrieval over the REAL ANN stack (round-9): q125's fusion with
+    // the dense leg swapped from brute-force cosine to the bucketed IVF-PQ
+    // path (q103's fixed centroids + codebooks, nprobe=4) — the composition
+    // a 100 TB corpus actually runs, where the dense leg ADC-scans codes in
+    // probed lists and never touches raw vectors. Deterministic end-to-end
+    // (LCG codebooks, argmin/argmax tie rules), so the oracle replays the
+    // sparse chain, the quantized dense chain, and the fusion arithmetic.
+    "q161_hybrid_ivfpq" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables(s, d, "documents")
+      val emb = Tables(s, d, "embeddings")
+      val sparse = graft.operators.Retrieval
+        .bm25TopK(docs, "text", "doc_id", Bm25Queries, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val centroids =
+        graft.functions.expressions.HashExpressions.fixedCentroids(100, 16, 64)
+      val fc = graft.functions.expressions.HashExpressions.fixedCentroids(200, 128, 8)
+      val codebooks = Array.tabulate(8)(j => fc.slice(j * 16, j * 16 + 16))
+      val qvecs = RrfAnchors.toSeq.toDF("query_id", "vec_id")
+        .join(emb, Seq("vec_id"))
+        .select(col("query_id"), col("embedding"))
+      val dense = Ann.ivfPqTopK(emb, qvecs, "embedding", "vec_id", "query_id",
+          centroids, codebooks, k = 20, nprobe = 4)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval
+        .rrfFuse(Seq(sparse, dense), "query_id", "doc_id", "rank", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Directed containment join (Dedup.containmentJoin): snippet/superset
     // near-dup detection the Jaccard joins can't see — |A∩B|/|A| ≥ 0.75
     // over distinct 2-gram shingle sets (unigram sets are degenerate on the
@@ -1543,8 +1572,10 @@ object TextQueries {
 
   /** Shared CTE prefix for the PQ oracles: LCG codebooks → per-(vector,
     * subspace, centroid) squared-L2 → codes (argmin, lowest index on ties) →
-    * per-query ADC tables → ADC-ranked candidates. */
-  private val pqCtes: String = s"""
+    * per-query ADC tables → ADC-ranked candidates. `qPred` selects which
+    * embedding rows act as queries (q101-q103: the first five; q161: the RRF
+    * anchor vectors). */
+  private def pqCtesFor(qPred: String): String = s"""
       WITH cc AS (
         SELECT p - 200 AS jc, d,
           CAST(
@@ -1569,7 +1600,7 @@ object TextQueries {
           FROM dists) WHERE rn = 1 GROUP BY vec_id),
       qtab AS (
         SELECT vec_id AS query_id, list(d2 ORDER BY j, c) AS tab
-        FROM dists WHERE vec_id < 5 GROUP BY vec_id),
+        FROM dists WHERE $qPred GROUP BY vec_id),
       scored AS (
         SELECT q.query_id, cd.vec_id, $pqAdcTerms AS adc
         FROM qtab q CROSS JOIN codes cd),
@@ -1577,6 +1608,8 @@ object TextQueries {
         SELECT query_id, vec_id, adc,
                row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
         FROM scored)"""
+
+  private val pqCtes: String = pqCtesFor("vec_id < 5")
 
   private val pqOracle: String = s"""$pqCtes
       SELECT query_id, vec_id, round(adc, 6) AS adc_r, CAST(rank AS BIGINT) AS rank
@@ -1607,7 +1640,7 @@ object TextQueries {
     * 100..115, max-dot assignment, nprobe probing) composed with the q101 PQ
     * CTEs (LCG codebooks 200..327, argmin codes, per-query ADC tables);
     * candidates = probed lists only, ranked by the same left-assoc ADC sum. */
-  private val ivfPqOracle: String = s"""$pqCtes,
+  private def ivfChainFor(qPred: String): String = s"""
       icc AS (
         SELECT p - 100 AS ci, d,
           CAST(
@@ -1627,7 +1660,7 @@ object TextQueries {
       iqprobes AS (
         SELECT vec_id AS query_id, ci AS lst FROM (
           SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn
-          FROM idot WHERE vec_id < 5)
+          FROM idot WHERE $qPred)
         WHERE rn <= 4),
       pqscored AS (
         SELECT q.query_id, cd.vec_id, $pqAdcTerms AS adc
@@ -1638,9 +1671,48 @@ object TextQueries {
       pqranked AS (
         SELECT query_id, vec_id, adc,
                row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
-        FROM pqscored)
+        FROM pqscored)"""
+
+  private val ivfPqOracle: String = s"""$pqCtes,${ivfChainFor("vec_id < 5")}
       SELECT query_id, vec_id, round(adc, 6) AS adc_r, CAST(rank AS BIGINT) AS rank
       FROM pqranked WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  /** q161 oracle: the q125 sparse BM25 chain fused with the REAL bucketed
+    * dense leg — the q103 IVF-PQ chain with the anchor vectors as queries
+    * (qPred selects them; the anchors VALUES list relabels vec ids to query
+    * ids) — through the same rounded RRF arithmetic. This is the fusion a
+    * 100 TB corpus actually runs: the dense leg scans codes in probed
+    * lists, never raw vectors. */
+  private val hybridIvfPqOracle: String = {
+    val anchorPred = "vec_id IN (7, 110, 233, 401)"
+    s"""${pqCtesFor(anchorPred)},${ivfChainFor(anchorPred)},
+      q(query_id, qtext) AS (VALUES
+        ('qa','spark join merge'), ('qb','customer order value'),
+        ('qc','window agg batch'), ('qd','slow table scan')),
+      qt AS (SELECT DISTINCT query_id, unnest(regexp_split_to_array(lower(trim(qtext)), '\\s+')) AS token FROM q),
+      lens AS (SELECT doc_id, CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0
+        ELSE len(regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+')) END AS dl FROM documents),
+      stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+      terms AS (SELECT doc_id, unnest(regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+')) AS token
+        FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$$', '', 'g') <> ''),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM terms WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+      dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      contrib AS (SELECT qt.query_id, tf.doc_id,
+        ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c
+        FROM qt JOIN tf USING (token) JOIN dfq USING (token) JOIN lens USING (doc_id) CROSS JOIN stats),
+      sscored AS (SELECT query_id, doc_id, round(sum(c), 6) AS score_r FROM contrib GROUP BY 1, 2),
+      sparse AS (SELECT query_id, doc_id, rn FROM (
+        SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score_r DESC, doc_id) AS rn
+        FROM sscored) WHERE rn <= 20),
+      anchors(aqid, vid) AS (VALUES ('qa', 7), ('qb', 110), ('qc', 233), ('qd', 401)),
+      dense AS (SELECT a.aqid AS query_id, p.vec_id AS doc_id, p.rank AS rn
+        FROM pqranked p JOIN anchors a ON p.query_id = a.vid WHERE p.rank <= 20),
+      u AS (SELECT query_id, doc_id, rn FROM sparse UNION ALL SELECT query_id, doc_id, rn FROM dense),
+      f AS (SELECT query_id, doc_id, round(sum(CAST(1 AS DOUBLE) / (60 + rn)), 9) AS rrf_r FROM u GROUP BY 1, 2),
+      r AS (SELECT query_id, doc_id, rrf_r,
+        CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_r DESC, doc_id) AS BIGINT) AS "rank" FROM f)
+      SELECT query_id, doc_id, rrf_r, "rank" FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank""""
+  }
 
   val oracles: Map[String, String] = Map(
     // NFC replay: the oracle emits the COMPOSED forms the normalizer must
@@ -1947,6 +2019,7 @@ object TextQueries {
     "q101_ann_pq" -> pqOracle,
     "q102_ann_pq_rerank" -> pqRerankOracle,
     "q103_ann_ivfpq" -> ivfPqOracle,
+    "q161_hybrid_ivfpq" -> hybridIvfPqOracle,
     "q85_audio_decode" -> """
       WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents),
       g AS (

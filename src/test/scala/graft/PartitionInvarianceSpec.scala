@@ -60,4 +60,73 @@ class PartitionInvarianceSpec extends SparkSpec {
       graft.operators.CorpusStats.ngramDiversity(d, "text", "source", Seq(1, 2))
     }
   }
+
+  // Round-9 extension: the FIRST-WAVE (round 5–7) families, where order
+  // sensitivity is the classic silent failure — sampling cut points, shard
+  // numbering, rank iterations, packing folds.
+  test("first-wave sampling/shard/packing operators are partition-invariant") {
+    invariant("token budget sample") { d =>
+      graft.operators.Sampling.tokenBudgetSample(
+        d.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", 50000L)
+    }
+    invariant("sequence packing") { d =>
+      graft.operators.Sampling.packSequences(
+        d.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", 2048L)
+    }
+    invariant("mixture sample") { d =>
+      graft.operators.Sampling.mixtureSample(d, "doc_id", "lang", "n_chars",
+        Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2))
+    }
+    invariant("temperature mixture sample") { d =>
+      graft.operators.Sampling.temperatureMixtureSample(
+        d, "doc_id", "lang", "n_chars", 0.7)
+    }
+    invariant("dsir sample") { d =>
+      graft.operators.Sampling.dsirSample(d, "doc_id", "text",
+        col("lang") === "en", nBuckets = 32, k = 50)
+    }
+    invariant("epoch shuffle shard") { d =>
+      graft.operators.Sampling.epochShuffleShard(
+        d.select(col("doc_id")), "doc_id", "pi", 8)
+    }
+    invariant("stratified interleave") { d =>
+      graft.operators.Sampling.stratifiedInterleave(d, "doc_id", "source", "pi")
+    }
+    invariant("quality quota") { d =>
+      graft.operators.Sampling.qualityQuota(
+        d.select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "source", "n_chars", 3, 10)
+    }
+  }
+
+  test("first-wave sketch/graph operators are partition-invariant") {
+    invariant("cms sketch") { d =>
+      d.select(col("lang"), explode(S.tokens(col("text"))).as("t"))
+        .groupBy(col("lang")).agg(SK.cms_sketch(col("t"), 4, 64).as("sk"))
+    }
+    invariant("bloom sketch") { d =>
+      // hex(): BINARY collects as Array[Byte], which compares by REFERENCE
+      // in Row equality — the set compare would fail even on equal bitsets
+      d.select(col("lang"), explode(S.tokens(col("text"))).as("t"))
+        .groupBy(col("lang")).agg(hex(SK.bloom_sketch(col("t"), 1 << 12, 4)).as("sk"))
+    }
+    invariant("bottom-k struct") { d =>
+      d.select(col("lang"), explode(S.tokens(col("text"))).as("t"))
+        .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("lang"))
+        .agg(SK.bottom_k_struct(struct((-col("c")).as("negc"), col("t")), 5).as("top"))
+    }
+    invariant("kll sketch (exact regime)") { d =>
+      d.groupBy(col("lang"))
+        .agg(SK.kll_sketch(col("n_chars").cast("double"), 4096).as("sk"))
+    }
+    invariant("pagerank 3 iters") { d =>
+      val nodes = d.select(col("doc_id"))
+      val edges = d.select(col("doc_id").as("src"),
+          (pmod(col("doc_id") * 7 + 3, lit(500)) ).as("dst"))
+        .join(nodes.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      graft.operators.PageRank.fixedPoint(edges, "src", "dst",
+        nodes, "doc_id", iterations = 3)
+    }
+  }
 }
