@@ -669,10 +669,15 @@ object ScaleCheck {
     // shuffle row must stay ~FLAT from 1x to Nx while exact grows ~Nx.
     Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
       val cols = Seq("doc_id", "lang", "source", "text")
+      // checksum sink, NOT count(): count() alone lets nested-schema pruning
+      // drop every aggregate through the explode (the span-scrub lesson)
+      def sink(p: DataFrame): Long = p.agg(
+        bit_xor(xxhash64(struct(p.columns.map(col).toIndexedSeq: _*))).as("ck"),
+        org.apache.spark.sql.functions.count(lit(1)).as("cnt")).head().getLong(1)
       timed(s"profile exact (count_distinct x4) $tag")(((),
-        operators.Analytics.profile(df, cols).count()))
+        sink(operators.Analytics.profile(df, cols))))
       timed(s"profile sketch (hll p=12 x4) $tag")(((),
-        operators.Analytics.profileSketch(df, cols, p = 12).count()))
+        sink(operators.Analytics.profileSketch(df, cols, p = 12))))
     }
     spark.stop()
   }

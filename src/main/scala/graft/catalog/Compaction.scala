@@ -71,24 +71,30 @@ object Compaction {
   private def isDataName(n: String): Boolean =
     !n.startsWith("_") && !n.startsWith(".")
 
-  /** Driver-side manifest walk: data files grouped by partition directory. */
+  /** Driver-side manifest walk: data files grouped by partition directory.
+    * Recursive `listStatus`, NOT `listFiles(recursive)`: the located-status
+    * iterator materializes permissions, which on the local FS forks an
+    * `ls -ld` PER FILE (measured 1.8 s for a 280-file table — the walk was
+    * the dominant term of a no-op compaction); plain statuses keep
+    * permissions lazy and we only read path/length. Hidden dirs are pruned
+    * BEFORE descent, so staging/scratch trees cost nothing. */
   def listManifests(spark: SparkSession, table: String): (Path, Seq[PartitionManifest]) = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
     val root = new Path(meta.location)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val byDir = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Long)]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val p = f.getPath
-      val relParent = root.toUri.relativize(p.getParent.toUri).getPath.stripSuffix("/")
-      val hiddenDir = relParent.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
-      if (isDataName(p.getName) && !hiddenDir) {
-        val (c, b) = byDir.getOrElse(relParent, (0, 0L))
-        byDir(relParent) = (c + 1, b + f.getLen)
+    def walk(dir: Path, rel: String): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (isDataName(name)) walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+        } else if (isDataName(name)) {
+          val (c, b) = byDir.getOrElse(rel, (0, 0L))
+          byDir(rel) = (c + 1, b + st.getLen)
+        }
       }
-    }
+    walk(root, "")
     (root, byDir.toSeq.map { case (rel, (c, b)) => PartitionManifest(rel, c, b) })
   }
 
@@ -117,9 +123,14 @@ object Compaction {
     if (selected.isEmpty)
       return CompactReport(manifests.size, 0, filesBeforeAll, filesBeforeAll, 0L)
 
+    // Schema from CATALOG METADATA, not spark.table(): constructing the
+    // table relation eagerly file-lists the WHOLE table (measured 0.6 s →
+    // 3.4 s at 10× table size with identical affected bytes — the one
+    // growth term in an otherwise flat operation).
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    val partCols = spark.sessionState.catalog.getTableMetadata(ident).partitionColumnNames.toSet
-    val dataSchema = StructType(spark.table(table).schema.filterNot(f => partCols.contains(f.name)))
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val partCols = meta.partitionColumnNames.toSet
+    val dataSchema = StructType(meta.schema.filterNot(f => partCols.contains(f.name)))
     val dataCols = dataSchema.fieldNames.toIndexedSeq
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val scratch = Scratch.newDir(spark, "compact")

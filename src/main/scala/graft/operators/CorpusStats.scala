@@ -44,6 +44,29 @@ object CorpusStats {
       .agg(max(col("__n")).as("n"), qCols: _*)
   }
 
+  /** Sketch quantiles: [[histogramQuantiles]]'s extreme-cardinality
+    * complement — when no sensible fixed bucket width exists (values spread
+    * over many orders of magnitude, or resolution must adapt to the data),
+    * aggregate a KLL sketch per group instead: O(k·log n/k) state, merge
+    * order-independent, VALUE-resolution answers (an actual data value, not
+    * a bucket lower bound). Below k values per group the answers are exact
+    * order statistics (the q160/q162 regime); above, rank error ≤ ε·n
+    * (KllSketchSpec pins the bound). One aggregation, no sort of the raw
+    * values — the same physical shape as the histogram path.
+    *
+    * @param qs (name, quantile in [0,1]) pairs → one `<name>` column each */
+  def sketchQuantiles(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                      qs: Seq[(String, Double)], k: Int = 2048): DataFrame = {
+    import graft.functions.expressions.{SketchAggregates => SK}
+    require(qs.nonEmpty)
+    val gcols = groupCols.map(col)
+    val sk = df.groupBy(gcols: _*)
+      .agg(SK.kll_sketch(col(valueCol).cast("double"), k).as("__sk"),
+        count(col(valueCol)).as("n"))
+    sk.select(gcols ++ (col("n") +:
+      qs.map { case (name, q) => SK.kll_quantile(col("__sk"), q).as(name) }): _*)
+  }
+
   /** n-gram diversity per group: distinct / total n-gram ratios for each
     * requested n — the standard repetitiveness / mode-collapse readout for
     * a corpus slice (low diversity ⇒ templated or duplicated text). Totals

@@ -765,6 +765,37 @@ object PipelineQueries {
     // maxima are batch-order-independent, so the drained result replays
     // exactly in SQL (q128's estimator arithmetic, including the
     // linear-counting branch these small groups take).
+    // Streaming quantiles: the KLL sketch INSIDE a streaming window
+    // aggregation — per-(day, event_type) value quantiles with O(k·log)
+    // state per group however long the stream runs (an exact streaming
+    // quantile would buffer every value). These groups stay under k=2048,
+    // so the sketch operates in its EXACT regime and the drained result is
+    // the exact order statistic the oracle replays (q160's arithmetic per
+    // streaming group); beyond k the same query degrades gracefully to the
+    // ε·n rank-error contract (KllSketchSpec).
+    "q162_streaming_kll" -> ((s, d) => {
+      import graft.functions.expressions.{SketchAggregates => SK}
+      val dir = s"/tmp/graft_stream_events/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        Tables(s, d, "events").select(col("event_id"), col("event_type"), col("ts"), col("value"))
+          .write.mode("overwrite").parquet(dir)
+      val staged = s.read.parquet(dir)
+      val stream = s.readStream.schema(staged.schema).parquet(dir)
+        .withColumn("ts", col("ts").cast(TimestampType))
+      val sk = stream
+        .withWatermark("ts", "90 days")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(SK.kll_sketch(col("value"), 2048).as("sk"))
+      val drained = graft.streaming.StreamingOps.drainToMemory(sk,
+        s"q162k_${math.abs(d.hashCode)}",
+        org.apache.spark.sql.streaming.OutputMode.Complete)
+      drained.select(col("w.start").as("day"), col("event_type"),
+          size(col("sk")).cast(LongType).as("n"),
+          SK.kll_quantile(col("sk"), 0.5).as("p50"),
+          SK.kll_quantile(col("sk"), 0.95).as("p95"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
     "q136_streaming_hll" -> ((s, d) => {
       import graft.functions.expressions.{SketchAggregates => SK}
       val dir = s"/tmp/graft_stream_events/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
@@ -1343,6 +1374,17 @@ object PipelineQueries {
         FROM events)
       SELECT k, event_id, event_type, ts, value
       FROM r WHERE rn = 1 ORDER BY k""",
+    // Streaming-KLL replay: exact-regime order statistics per (day, type).
+    "q162_streaming_kll" -> """
+      WITH v AS (SELECT date_trunc('day', ts) AS day, event_type, value
+                 FROM events WHERE value IS NOT NULL),
+      r AS (SELECT day, event_type, value,
+              row_number() OVER (PARTITION BY day, event_type ORDER BY value) AS rn,
+              count(*) OVER (PARTITION BY day, event_type) AS n FROM v)
+      SELECT day, event_type, CAST(max(n) AS BIGINT) AS n,
+             max(CASE WHEN rn = least(floor(0.5 * n) + 1, n) THEN value END) AS p50,
+             max(CASE WHEN rn = least(floor(0.95 * n) + 1, n) THEN value END) AS p95
+      FROM r GROUP BY day, event_type ORDER BY day, event_type""",
     // Streaming-HLL replay: q128's register arithmetic over the same
     // (day, event_type, user) groups the stream aggregates.
     "q136_streaming_hll" -> """

@@ -105,6 +105,20 @@ class KllSketchSpec extends SparkSpec {
     assert(est == 51.0) // target = floor(0.5*100)+1 = 51st of 1..100
   }
 
+  test("sketchQuantiles: exact regime matches per-group order statistics") {
+    val docs = sf("documents").select(col("lang"), col("n_chars"))
+    val got = graft.operators.CorpusStats
+      .sketchQuantiles(docs, "n_chars", Seq("lang"),
+        Seq(("p50", 0.5), ("p90", 0.9)), k = 4096)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val truth = docs.collect().groupBy(_.getString(0)).map { case (lang, rows) =>
+      val vs = rows.map(_.getLong(1).toDouble).sorted
+      def at(q: Double) = vs(math.min(math.floor(q * vs.length).toInt, vs.length - 1))
+      lang -> ((vs.length.toLong, at(0.5), at(0.9)))
+    }
+    assert(got == truth)
+  }
+
   test("nulls are skipped; weights stay powers of two") {
     val df = Seq[java.lang.Double](1.0, null, 2.0, null, 3.0).toDF("v")
     val pairs = df.agg(SK.kll_sketch(col("v"), 8).as("sk"))
