@@ -129,6 +129,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("kll_sketch", "kll_sketch(v, k) AGG — quantile sketch as ARRAY<STRUCT<v,w>>"),
       (args: Seq[Expression]) => graft.functions.expressions.SketchAggregates
         .KllSketchAgg(args.head, intArg(args(1)))))
+
+    ext.injectFunction((FunctionIdentifier("mg_sketch"),
+      info("mg_sketch", "mg_sketch(v, k) AGG — Misra-Gries heavy hitters as ARRAY<STRUCT<t,c>>"),
+      (args: Seq[Expression]) => graft.functions.expressions.SketchAggregates
+        .MgSketchAgg(args.head, intArg(args(1)))))
   }
 
   private def stringArg(e: Expression): String = e.eval(null) match {
@@ -217,5 +222,8 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("kll_sketch",
       args => graft.functions.expressions.SketchAggregates
         .KllSketchAgg(args.head, args(1).eval(null).toString.toInt), "scala_udf")
+    reg.createOrReplaceTempFunction("mg_sketch",
+      args => graft.functions.expressions.SketchAggregates
+        .MgSketchAgg(args.head, args(1).eval(null).toString.toInt), "scala_udf")
   }
 }

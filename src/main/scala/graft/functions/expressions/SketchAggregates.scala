@@ -578,6 +578,129 @@ object SketchAggregates {
   def kmv_intersect_estimate(a: Column, b: Column, k: Int): Column =
     kmv_jaccard(a, b, k) * kmv_estimate(kmv_union(a, b, k), k)
 
+  /** Misra-Gries heavy-hitters sketch: AT MOST `k` (key, counter) pairs
+    * whatever the stream, the "WHICH keys are hot" complement to
+    * [[CmsSketchAgg]]'s "how hot is this key". Update is the classic MG
+    * step (hit → increment; room → insert at 1; full → decrement ALL and
+    * drop zeros, amortized O(1)); merge is the Agarwal et al. mergeable
+    * form — sum counters, then subtract the (k+1)-st largest counter and
+    * drop non-positives — which keeps the deterministic guarantee
+    * c(t) − n/(k+1) ≤ est(t) ≤ c(t) under ANY merge tree (est is a LOWER
+    * bound; a key with c(t) > n/(k+1) can never be evicted).
+    *
+    * EXACT REGIME: distinct keys ≤ k → no decrement ever fires, the sketch
+    * IS the full count table (order- and partition-invariant), and a SQL
+    * oracle replays it as GROUP BY count (q163). Above k the bound above is
+    * what the specs pin.
+    *
+    * Evaluates to ARRAY<STRUCT<t: STRING, c: BIGINT>> sorted (c desc,
+    * t asc) so top-N is an array slice, no further aggregation. */
+  case class MgSketchAgg(
+      child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[String, java.lang.Long]]
+    with UnaryLike[Expression] {
+    require(k > 0, "k must be positive")
+
+    override def createAggregationBuffer(): java.util.HashMap[String, java.lang.Long] =
+      new java.util.HashMap[String, java.lang.Long]()
+
+    private def decrementAll(b: java.util.HashMap[String, java.lang.Long]): Unit = {
+      val it = b.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
+      }
+    }
+
+    override def update(b: java.util.HashMap[String, java.lang.Long],
+                        input: InternalRow): java.util.HashMap[String, java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val s = v.asInstanceOf[UTF8String].toString
+        val cur = b.get(s)
+        if (cur != null) b.put(s, cur + 1L)
+        else if (b.size < k) b.put(s, 1L)
+        else decrementAll(b)
+      }
+      b
+    }
+
+    override def merge(b: java.util.HashMap[String, java.lang.Long],
+                       o: java.util.HashMap[String, java.lang.Long]): java.util.HashMap[String, java.lang.Long] = {
+      o.forEach { (s, c) =>
+        val cur = b.get(s)
+        b.put(s, if (cur == null) c else cur + c)
+      }
+      if (b.size > k) {
+        // subtract the (k+1)-st largest counter, drop non-positives
+        val counts = new Array[Long](b.size)
+        var i = 0
+        val vit = b.values().iterator()
+        while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+        java.util.Arrays.sort(counts)
+        val d = counts(counts.length - k - 1) // (k+1)-st largest
+        val it = b.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue <= d) it.remove() else e.setValue(e.getValue - d)
+        }
+      }
+      b
+    }
+
+    override def eval(b: java.util.HashMap[String, java.lang.Long]): Any = {
+      val entries = new Array[(String, Long)](b.size)
+      var i = 0
+      b.forEach { (s, c) => entries(i) = (s, c); i += 1 }
+      scala.util.Sorting.stableSort(entries,
+        (a: (String, Long), x: (String, Long)) =>
+          a._2 > x._2 || (a._2 == x._2 && a._1 < x._1))
+      new GenericArrayData(entries.map { case (s, c) =>
+        InternalRow(UTF8String.fromString(s), c)
+      })
+    }
+
+    override def serialize(b: java.util.HashMap[String, java.lang.Long]): Array[Byte] = {
+      val items = new scala.collection.mutable.ArrayBuffer[(Array[Byte], Long)](b.size)
+      b.forEach { (s, c) => items += ((s.getBytes(StandardCharsets.UTF_8), c)) }
+      val buf = ByteBuffer.allocate(4 + items.iterator.map(e => 12 + e._1.length).sum)
+      buf.putInt(items.size)
+      items.foreach { case (sb, c) =>
+        buf.putInt(sb.length); buf.put(sb); buf.putLong(c)
+      }
+      buf.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, java.lang.Long] = {
+      val buf = ByteBuffer.wrap(bytes)
+      val n = buf.getInt
+      val b = createAggregationBuffer()
+      var i = 0
+      while (i < n) {
+        val len = buf.getInt
+        val arr = new Array[Byte](len)
+        buf.get(arr)
+        b.put(new String(arr, StandardCharsets.UTF_8), buf.getLong)
+        i += 1
+      }
+      b
+    }
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("t", StringType, nullable = false),
+        StructField("c", LongType, nullable = false))), containsNull = false)
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(newOffset: Int): MgSketchAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): MgSketchAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(newChild: Expression): MgSketchAgg =
+      copy(child = newChild)
+    override def prettyName: String = "mg_sketch"
+  }
+
   /** KLL/MRL-style mergeable QUANTILE sketch: a ladder of compactor levels,
     * level i holding values of weight 2^i, each capped at `k` values. When a
     * level fills, its sorted buffer is halved by keeping every second value
@@ -647,6 +770,11 @@ object SketchAggregates {
   /** Aggregate: KLL quantile sketch over a DOUBLE column — (v, w) pairs. */
   def kll_sketch(v: Column, k: Int): Column =
     column(KllSketchAgg(expression(v), k).toAggregateExpression())
+
+  /** Aggregate: Misra-Gries heavy hitters over a STRING column — ≤ k
+    * (t, c) pairs sorted (c desc, t asc). */
+  def mg_sketch(v: Column, k: Int): Column =
+    column(MgSketchAgg(expression(v), k).toAggregateExpression())
 
   /** Weighted lower quantile over a [[kll_sketch]] array: the smallest v
     * whose cumulative weight reaches target = min(⌊q·W⌋+1, W) — for unit

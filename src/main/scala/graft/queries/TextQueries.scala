@@ -567,6 +567,26 @@ object TextQueries {
     // Two cardinality regimes: unigram tokens (~33/lang → the linear-
     // counting correction branch) and 2-gram shingles (~900/lang → the raw
     // harmonic-mean branch), so BOTH estimator paths are oracle-pinned.
+    // Misra-Gries heavy hitters per lang (SketchAggregates.MgSketchAgg,
+    // k=1024): WHICH grams are hot, with ≤ k counters per group whatever
+    // the corpus — the frequency complement of CMS (point counts) and
+    // bottom_k_struct (requires a pre-aggregated count table; MG needs NO
+    // count table at all). The per-lang 2-gram vocabulary (~900) sits under
+    // k, so the sketch operates in its EXACT regime — no decrement ever
+    // fires and the oracle replays it as a plain GROUP BY count. Above k
+    // the n/(k+1) undercount bound is pinned in MgSketchSpec.
+    "q163_heavy_hitters" -> ((s, d) => {
+      import graft.functions.expressions.{SketchAggregates => SK}
+      val grams = Tables(s, d, "documents")
+        .select(col("lang"), explode(S.wordShingles(col("text"), 2)).as("g"))
+      grams.groupBy(col("lang"))
+        .agg(SK.mg_sketch(col("g"), 1024).as("sk"))
+        .select(col("lang"), posexplode(slice(col("sk"), 1, 20)))
+        .select(col("lang"), (col("pos") + 1).cast(LongType).as("rank"),
+          col("col.t").as("gram"), col("col.c").as("cnt"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // KLL quantile sketch in its EXACT REGIME (SketchAggregates.KllSketchAgg,
     // k=4096 > any lang group): no compaction fires, the sketch is the
     // sorted value list with unit weights, so the weighted-quantile fold is
@@ -2296,6 +2316,20 @@ object TextQueries {
     // register = max rho, harmonic sum as the exact integer Σ 2^(53−rho)
     // (empty registers contribute 2^53), then the same left-associated
     // α·m²·2^53 / S double division and linear-counting branch.
+    // MG exact-regime replay: per-doc distinct 2-grams → GROUP BY count →
+    // (cnt desc, gram) rank, top 20 per lang.
+    "q163_heavy_hitters" -> """
+      WITH ts AS (
+        SELECT lang, regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS a
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      g AS (SELECT lang, unnest(list_distinct([a[i] || ' ' || a[i+1] for i in range(1, len(a))])) AS gram
+            FROM ts WHERE len(a) >= 2),
+      c AS (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+      r AS (SELECT lang, gram, cnt,
+              row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
+            FROM c)
+      SELECT lang, CAST(rank AS BIGINT) AS rank, gram, cnt
+      FROM r WHERE rank <= 20 ORDER BY lang, rank""",
     // KLL exact-regime replay: value at rank min(⌊q·n⌋+1, n) per lang.
     "q160_kll_quantiles" -> """
       WITH v AS (SELECT lang, CAST(length(text) AS DOUBLE) AS v FROM documents),
