@@ -663,6 +663,25 @@ object ScaleCheck {
             SK.kmv_intersect_estimate(col("ska"), col("skb"), 32).as("i"))
           .count()))
     }
+    // Incremental dedup: FIXED daily batch against a growing stored corpus.
+    // The batch×stored prefix join is stored-TOKEN-linear on the index side
+    // (never corpus-pairs), so wall should grow well under Nx — the daily
+    // cost contract vs re-deduplicating the whole corpus each day.
+    locally {
+      val toksOf = (df: DataFrame) => df.select(col("doc_id"), col("lang"),
+        col("source"), array_distinct(S.tokens(col("text"))).as("toks"))
+      val batch = toksOf(docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + lit(1000L * offset)).as("doc_id"),
+          col("lang"), col("source"), col("text")))
+        .localCheckpoint(true)
+      Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+        timed(s"incremental dedup, fixed batch vs $tag stored corpus")(((),
+          operators.Dedup.incrementalDedup(toksOf(df), batch, "toks",
+            "doc_id", Seq("lang", "source"), 0.7)
+            .groupBy(col("status")).count().collect().map(_.getLong(1)).sum))
+      }
+    }
+
     // Sketch vs exact profiler: exact count_distinct shuffles each column's
     // distinct set (the `text` column ≈ re-shuffling the corpus), while the
     // HLL profile's partials are 2^p bytes per column per partition — the

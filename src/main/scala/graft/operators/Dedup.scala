@@ -459,6 +459,49 @@ object Dedup {
     verified.filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-batch INCREMENTAL near-dedup — the daily-ingest shape: a NEW
+    * batch is deduplicated against the already-curated STORED corpus
+    * without re-running stored×stored (the stored side is internally
+    * deduplicated by construction, so only batch×stored and batch×batch
+    * pairs can exist — at 100 TB that is the whole point: daily cost tracks
+    * |batch|·(prefix-join fan-out), never |corpus|²; the stored side
+    * contributes one prefix-filter index pass, exactly the
+    * [[jaccardCrossJoin]] decontamination shape).
+    *
+    * Precedence is deterministic and replayable: a batch doc matching ANY
+    * stored doc is `dup_of_stored` (attributed to the smallest matching
+    * stored id); the remainder form a batch-only near-dup graph whose
+    * connected components keep their minimum id (`kept`), everything else
+    * `dup_in_batch` attributed to that canonical min. Survivors ∪ stored is
+    * the next day's stored corpus — the operator is its own fixpoint (a
+    * second run of the same batch marks every survivor `dup_of_stored`,
+    * IncrementalDedupSpec pins it).
+    *
+    * @return one row per batch doc: (idCol, status, attributed_to) with
+    *         attributed_to null for kept rows */
+  def incrementalDedup(stored: DataFrame, batch: DataFrame, tokensCol: String,
+                       idCol: String, blockCols: Seq[String],
+                       threshold: Double): DataFrame = {
+    val toStored = jaccardCrossJoin(batch, stored, tokensCol, idCol, blockCols, threshold)
+      .groupBy(col("id_l")).agg(min(col("id_r")).as("__att"))
+    val clean = batch.join(toStored.select(col("id_l").as(idCol)), Seq(idCol), "left_anti")
+    val within = jaccardSelfJoin(clean, tokensCol, idCol, blockCols, threshold)
+      .select(col("id_a"), col("id_b"))
+    val comps = ConnectedComponents.run(within, "id_a", "id_b")
+    batch.select(col(idCol))
+      .join(toStored.withColumnRenamed("id_l", idCol), Seq(idCol), "left")
+      .join(comps.select(col("vertex").as(idCol), col("component")), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__att").isNotNull, lit("dup_of_stored"))
+          .when(col("component").isNotNull && col("component") =!= col(idCol),
+            lit("dup_in_batch"))
+          .otherwise(lit("kept")).as("status"),
+        when(col("__att").isNotNull, col("__att"))
+          .when(col("component").isNotNull && col("component") =!= col(idCol),
+            col("component"))
+          .otherwise(lit(null).cast("long")).as("attributed_to"))
+  }
+
   /** EXACT directed set-CONTAINMENT join: every ordered pair (a, b), a ≠ b,
     * with C(a→b) = |Tₐ ∩ T_b| / |Tₐ| ≥ `threshold` — the asymmetric
     * complement of [[jaccardSelfJoin]]. Jaccard misses snippet/superset

@@ -932,6 +932,22 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Cross-batch incremental dedup (Dedup.incrementalDedup): the daily-
+    // ingest shape — batch (doc_id % 3 = 0) deduplicated against the stored
+    // corpus (the rest) via the exact prefix-filter cross join, then
+    // within-batch components with keep-min canonicalization. Both joins
+    // and the precedence (stored beats in-batch) replay exactly; the
+    // recursive-CTE component replay is q52's.
+    "q164_incremental_dedup" -> ((s, d) => {
+      val toks = Tables(s, d, "documents").select(col("doc_id"), col("lang"),
+        col("source"), array_distinct(S.tokens(col("text"))).as("toks"))
+      val stored = toks.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch = toks.filter(pmod(col("doc_id"), lit(3)) === 0)
+      Dedup.incrementalDedup(stored, batch, "toks", "doc_id",
+          Seq("lang", "source"), 0.7)
+        .orderBy(col("doc_id"))
+    }),
+
     // Composed dedup pipeline (exact text → normalized fingerprint → blocked
     // near-dup, cheapest first, stages persisted) with the DETERMINISTIC
     // prefix-filter Jaccard stage so the whole chain is oracle-checkable
@@ -2524,6 +2540,52 @@ object TextQueries {
         FROM documents)
       WHERE b < CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 16384 ELSE 6554 END
       ORDER BY doc_id""",
+    // Incremental-dedup replay: cross matches (min stored id), batch-only
+    // pairs among the clean remainder, recursive-CTE min-component, then
+    // the stored-beats-in-batch precedence.
+    "q164_incremental_dedup" -> """
+      WITH toks AS (
+        SELECT doc_id, lang, source,
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) END AS t
+        FROM documents),
+      stored AS (SELECT * FROM toks WHERE doc_id % 3 <> 0),
+      batch AS (SELECT * FROM toks WHERE doc_id % 3 = 0),
+      cross_m AS (
+        SELECT b.doc_id AS id, min(s.doc_id) AS att
+        FROM batch b JOIN stored s ON b.lang = s.lang AND b.source = s.source
+        WHERE len(b.t) + len(s.t) - len(list_intersect(b.t, s.t)) > 0
+          AND CAST(len(list_intersect(b.t, s.t)) AS DOUBLE)
+              / CAST(len(b.t) + len(s.t) - len(list_intersect(b.t, s.t)) AS DOUBLE) >= 0.7
+        GROUP BY 1),
+      clean AS (SELECT * FROM batch WHERE doc_id NOT IN (SELECT id FROM cross_m)),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM clean a JOIN clean b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) > 0
+          AND CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+              / CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS DOUBLE) >= 0.7),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      rec AS (
+        WITH RECURSIVE reach(v, l) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, reach.l FROM reach JOIN edges e ON e.src = reach.v)
+        SELECT v, min(l) AS component FROM reach GROUP BY v)
+      SELECT b.doc_id,
+             CASE WHEN cm.att IS NOT NULL THEN 'dup_of_stored'
+                  WHEN rec.component IS NOT NULL AND rec.component <> b.doc_id THEN 'dup_in_batch'
+                  ELSE 'kept' END AS status,
+             CASE WHEN cm.att IS NOT NULL THEN cm.att
+                  WHEN rec.component IS NOT NULL AND rec.component <> b.doc_id THEN rec.component
+                  END AS attributed_to
+      FROM batch b
+      LEFT JOIN cross_m cm ON cm.id = b.doc_id
+      LEFT JOIN rec ON rec.v = b.doc_id
+      ORDER BY b.doc_id""",
     "q53_dedup_pipeline" -> """
       WITH s1 AS (
         SELECT d.doc_id, d.lang, d.source, d.text FROM documents d
