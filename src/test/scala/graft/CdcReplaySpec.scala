@@ -87,6 +87,32 @@ class CdcReplaySpec extends SparkSpec {
     assert(snapshot(t) == afterOnce)
   }
 
+  test("incremental appends fragment the table; compaction repairs it content-invariantly") {
+    // the operational loop round 9 closes: each per-run append adds files
+    // to its partitions (the K1 reload path between full rewrites) →
+    // OPTIMIZE → same rows, fewer files. (The CDC merge path REWRITES its
+    // affected partitions per batch, so its fragmentation is bounded per
+    // partition; appends are the unbounded accumulator.)
+    val db = s"cdcfrag${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val t = s"$db.appended"
+    batchOf((0L, 1L, 10L, 1.0)).write.format("parquet")
+      .partitionBy("k").saveAsTable(t)
+    (1 to 12).foreach { i =>
+      batchOf(((i % 4).toLong, 100L + i, i.toLong * 10, i * 1.0))
+        .select(col("event_id"), col("ts"), col("value"), col("k"))
+        .write.mode("append").insertInto(t)
+    }
+    val before = snapshot(t)
+    val (_, m0) = graft.catalog.Compaction.listManifests(spark, t)
+    assert(m0.map(_.files).sum >= 13, s"appends must fragment: $m0")
+    val report = graft.catalog.Compaction.compactTable(spark, t, 64L << 20)
+    assert(report.filesAfter < report.filesBefore)
+    assert(snapshot(t).map(_.toSeq).sortBy(_.toString) ==
+      before.map(_.toSeq).sortBy(_.toString),
+      "compaction must not change appended content")
+  }
+
   test("full replayed stream (all epochs twice, in order) converges to the same table") {
     val t = mkTable()
     val epochs = Seq(
