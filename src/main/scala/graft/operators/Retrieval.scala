@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{SimilarityFunctions => S}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -162,6 +162,68 @@ object Retrieval {
           .orderBy(col("score_r").desc, col("__cls"))))
       .filter(col("__rk") === 1)
       .select(col(idCol), col(labelCol), col("__cls").as("pred"), col("score_r"))
+  }
+
+  /** DETERMINISTIC distributed logistic regression — the TRAINABLE quality
+    * classifier next to [[naiveBayes]] (fixed generative model): fit a
+    * linear decision boundary over integer document features (lengths,
+    * counts, scores) by batch gradient descent, with every source of
+    * parallel nondeterminism designed out so the entire FIT — not just the
+    * scoring — replays bit-for-bit in a SQL oracle (q165):
+    *
+    *  - the sigmoid is the RATIONAL fast-sigmoid σ̃(z) = 1/2 + (z/2)/(1+|z|)
+    *    — only +,−,×,÷ which IEEE754 rounds correctly, so any engine
+    *    computes the identical double (exp() differs in ulps across libms);
+    *  - the gradient is Σᵢ ⌊(yᵢ − σ̃(zᵢ))·xᵢⱼ·scale⌋ — each row's term is
+    *    FLOORED TO A LONG before the sum, and integer addition commutes, so
+    *    the aggregate is exact under any partitioning (the PageRank
+    *    fixed-point trick applied to ML training);
+    *  - zᵢ and the weight updates are fixed-order left-associated double
+    *    arithmetic over driver-held weights (k×m scalars, the kmeansFit
+    *    cutover shape) — order written once, replayed verbatim.
+    *
+    * Per iteration: ONE scan + ONE bounded aggregation (m+1 longs); nothing
+    * else shuffles. At 100 TB that is the textbook distributed-LR shape —
+    * partials merge map-side and the driver folds m+1 numbers.
+    *
+    * @param features INTEGER-typed feature columns (cast upstream); a bias
+    *                 term is prepended internally
+    * @return (weights incl. bias at index 0, predictions frame with
+    *         (idCol, labelCol, z, p, pred)) */
+  def logisticFit(df: DataFrame, features: Seq[String], idCol: String,
+                  labelCol: String, iters: Int, lrNum: Long, lrDen: Long,
+                  scale: Long = 1000000L): (Array[Double], DataFrame) = {
+    require(features.nonEmpty && iters >= 0 && lrNum > 0 && lrDen > 0 && scale > 0)
+    val m = features.length + 1
+    val n = df.count()
+    require(n > 0, "empty training frame")
+    val y = col(labelCol).cast("double")
+    def zOf(w: Array[Double]): Column =
+      features.zipWithIndex.foldLeft(lit(w(0))) { case (acc, (f, j)) =>
+        acc + lit(w(j + 1)) * col(f).cast("double")
+      }
+    def sigmoid(z: Column): Column =
+      lit(0.5) + (z / lit(2.0)) / (lit(1.0) + abs(z))
+    val w = Array.fill(m)(0.0)
+    for (_ <- 1 to iters) {
+      val err = y - sigmoid(zOf(w))
+      val gAggs = (lit(1.0) +: features.map(col(_).cast("double"))).zipWithIndex
+        .map { case (x, j) => sum(floor(err * x * lit(scale.toDouble))).as(s"g$j") }
+      val g = df.agg(gAggs.head, gAggs.tail: _*).head()
+      var j = 0
+      while (j < m) {
+        // left-associated exactly as the oracle writes it:
+        // w + (lrNum·g) / ((lrDen·scale)·n)
+        w(j) = w(j) + (lrNum * g.getLong(j)).toDouble /
+          (lrDen.toDouble * scale.toDouble * n.toDouble)
+        j += 1
+      }
+    }
+    val z = zOf(w)
+    val preds = df.select(col(idCol), col(labelCol),
+      round(z, 6).as("z_r"), round(sigmoid(z), 6).as("p_r"),
+      (sigmoid(z) >= 0.5).as("pred"))
+    (w, preds)
   }
 
   /** Per-class precision / recall / F1 over (label, pred) pairs — the

@@ -932,6 +932,32 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic distributed logistic regression (Retrieval.logisticFit):
+    // the TRAINABLE quality classifier. 3 batch-GD iterations over integer
+    // doc features (chars, 'the' count) vs the lang='en' label. The entire
+    // FIT replays in SQL: rational fast-sigmoid (only correctly-rounded
+    // IEEE ops — no libm exp), per-row gradient terms floored to LONG
+    // before the exact integer sum (partitioning can't perturb), fixed
+    // left-associated weight arithmetic (unrolled per-iteration CTEs).
+    // The label is a text property ("has ≥2 'the'") so the boundary is
+    // learnable on the shared-vocabulary synthetic corpus (whose `lang`
+    // column is deliberately uncorrelated with its text); the fit reaches
+    // ~0.91 accuracy with mixed predictions in 4 iterations — the ORACLE
+    // pins the mechanism bit-for-bit, the spec pins learnability on a
+    // cleanly separable set.
+    "q165_logistic_quality" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select(col("doc_id"),
+        expr("n_chars div 100").cast(IntegerType).as("f_len"),
+        expr("regexp_count(text, '\\\\bthe\\\\b')").cast(IntegerType).as("f_the"),
+        (expr("regexp_count(text, '\\\\bthe\\\\b')") >= 2).cast(IntegerType).as("y"))
+      val (_, preds) = graft.operators.Retrieval.logisticFit(docs,
+        Seq("f_len", "f_the"), "doc_id", "y",
+        iters = 4, lrNum = 1, lrDen = 1)
+      preds.select(col("doc_id"), col("y").cast(LongType).as("y"),
+          col("z_r"), col("p_r"), col("pred"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cross-batch incremental dedup (Dedup.incrementalDedup): the daily-
     // ingest shape — batch (doc_id % 3 = 0) deduplicated against the stored
     // corpus (the rest) via the exact prefix-filter cross join, then
@@ -2540,6 +2566,72 @@ object TextQueries {
         FROM documents)
       WHERE b < CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 16384 ELSE 6554 END
       ORDER BY doc_id""",
+    // Logistic-fit replay: three unrolled GD iterations, each one CTE pair
+    // (z/err → integer gradient sums → next weights), then the final
+    // scoring pass. Every float op is written in the same association as
+    // the Scala side; the gradient is exact-integer so partitioning and
+    // row order cannot perturb it.
+    "q165_logistic_quality" -> """
+      WITH feat AS (
+        SELECT doc_id, CAST(n_chars // 100 AS INT) AS f1,
+               len(regexp_extract_all(text, '\bthe\b')) AS f2,
+               CASE WHEN len(regexp_extract_all(text, '\bthe\b')) >= 2
+                    THEN 1 ELSE 0 END AS y
+        FROM documents),
+      c AS (SELECT count(*) AS n FROM feat),
+      i0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+      e1 AS (SELECT f.*, f.y - (0.5 + (z / 2.0) / (1.0 + abs(z))) AS e FROM (
+               SELECT f.*, i0.w0 + i0.w1 * f.f1 + i0.w2 * f.f2 AS z
+               FROM feat f, i0) f),
+      g1 AS (SELECT sum(CAST(floor(e * 1.0 * 1000000.0) AS BIGINT)) AS g0,
+                    sum(CAST(floor(e * f1 * 1000000.0) AS BIGINT)) AS g1,
+                    sum(CAST(floor(e * f2 * 1000000.0) AS BIGINT)) AS g2
+             FROM e1),
+      i1 AS (SELECT i0.w0 + (1 * g1.g0) / (1.0 * 1000000.0 * c.n) AS w0,
+                    i0.w1 + (1 * g1.g1) / (1.0 * 1000000.0 * c.n) AS w1,
+                    i0.w2 + (1 * g1.g2) / (1.0 * 1000000.0 * c.n) AS w2
+             FROM i0, g1, c),
+      e2 AS (SELECT f.*, f.y - (0.5 + (z / 2.0) / (1.0 + abs(z))) AS e FROM (
+               SELECT f.*, i1.w0 + i1.w1 * f.f1 + i1.w2 * f.f2 AS z
+               FROM feat f, i1) f),
+      g2 AS (SELECT sum(CAST(floor(e * 1.0 * 1000000.0) AS BIGINT)) AS g0,
+                    sum(CAST(floor(e * f1 * 1000000.0) AS BIGINT)) AS g1,
+                    sum(CAST(floor(e * f2 * 1000000.0) AS BIGINT)) AS g2
+             FROM e2),
+      i2 AS (SELECT i1.w0 + (1 * g2.g0) / (1.0 * 1000000.0 * c.n) AS w0,
+                    i1.w1 + (1 * g2.g1) / (1.0 * 1000000.0 * c.n) AS w1,
+                    i1.w2 + (1 * g2.g2) / (1.0 * 1000000.0 * c.n) AS w2
+             FROM i1, g2, c),
+      e3 AS (SELECT f.*, f.y - (0.5 + (z / 2.0) / (1.0 + abs(z))) AS e FROM (
+               SELECT f.*, i2.w0 + i2.w1 * f.f1 + i2.w2 * f.f2 AS z
+               FROM feat f, i2) f),
+      g3 AS (SELECT sum(CAST(floor(e * 1.0 * 1000000.0) AS BIGINT)) AS g0,
+                    sum(CAST(floor(e * f1 * 1000000.0) AS BIGINT)) AS g1,
+                    sum(CAST(floor(e * f2 * 1000000.0) AS BIGINT)) AS g2
+             FROM e3),
+      i3 AS (SELECT i2.w0 + (1 * g3.g0) / (1.0 * 1000000.0 * c.n) AS w0,
+                    i2.w1 + (1 * g3.g1) / (1.0 * 1000000.0 * c.n) AS w1,
+                    i2.w2 + (1 * g3.g2) / (1.0 * 1000000.0 * c.n) AS w2
+             FROM i2, g3, c),
+      e4 AS (SELECT f.*, f.y - (0.5 + (z / 2.0) / (1.0 + abs(z))) AS e FROM (
+               SELECT f.*, i3.w0 + i3.w1 * f.f1 + i3.w2 * f.f2 AS z
+               FROM feat f, i3) f),
+      g4 AS (SELECT sum(CAST(floor(e * 1.0 * 1000000.0) AS BIGINT)) AS g0,
+                    sum(CAST(floor(e * f1 * 1000000.0) AS BIGINT)) AS g1,
+                    sum(CAST(floor(e * f2 * 1000000.0) AS BIGINT)) AS g2
+             FROM e4),
+      i4 AS (SELECT i3.w0 + (1 * g4.g0) / (1.0 * 1000000.0 * c.n) AS w0,
+                    i3.w1 + (1 * g4.g1) / (1.0 * 1000000.0 * c.n) AS w1,
+                    i3.w2 + (1 * g4.g2) / (1.0 * 1000000.0 * c.n) AS w2
+             FROM i3, g4, c),
+      scored AS (
+        SELECT f.doc_id, CAST(f.y AS BIGINT) AS y, z,
+               0.5 + (z / 2.0) / (1.0 + abs(z)) AS p
+        FROM (SELECT f.*, i4.w0 + i4.w1 * f.f1 + i4.w2 * f.f2 AS z
+              FROM feat f, i4) f)
+      SELECT doc_id, y, round(z, 6) AS z_r, round(p, 6) AS p_r,
+             p >= 0.5 AS pred
+      FROM scored ORDER BY doc_id""",
     // Incremental-dedup replay: cross matches (min stored id), batch-only
     // pairs among the clean remainder, recursive-CTE min-component, then
     // the stored-beats-in-batch precedence.
