@@ -254,6 +254,30 @@ object HashExpressions {
     override def prettyName: String = "sorted_intersect_count"
   }
 
+  /** Weighted lower quantile over a kll_sketch pair array (codegen kernel;
+    * NaN for an empty sketch — wrapped to null by SketchAggregates). */
+  case class KllQuantileExpr(child: Expression, q: Double)
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StructType(Array(f1, f2)), _)
+        if f1.dataType == DoubleType && f2.dataType == LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<struct<v:double,w:bigint>>, got $other")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Double.valueOf(Kernels.kllQuantile(input.asInstanceOf[ArrayData], q))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $KernelsClass.kllQuantile($c, $q);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "kll_quantile"
+  }
+
   /** Nearest-centroid id for IVF assignment — centroid matrix carried as a
     * codegen reference object. */
   case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Double]])

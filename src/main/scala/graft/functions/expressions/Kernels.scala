@@ -98,6 +98,31 @@ object Kernels {
   def dictScores(text: UTF8String, mc: MultiDictCounter): ArrayData =
     new GenericArrayData(mc.count(text.toLowerCase.toString))
 
+  /** Weighted lower quantile over a kll_sketch (v, w) pair array — the
+    * codegen replacement for the two-fold HOF formulation (interpreted HOFs
+    * allocate a struct per element; measured ~0.4 s per quantile column on
+    * a 2k-pair sketch — the q95/q107 lesson). Arithmetic is EXACTLY the HOF
+    * version's: W = Σw, target = min(⌊q·W⌋+1, W), first v whose cumulative
+    * weight reaches target. Empty array → NaN (the Column wrapper maps it
+    * to the HOF's null). */
+  def kllQuantile(pairs: ArrayData, q: Double): Double = {
+    val n = pairs.numElements()
+    if (n == 0) return Double.NaN
+    var w = 0L
+    var i = 0
+    while (i < n) { w += pairs.getStruct(i, 2).getLong(1); i += 1 }
+    val target = math.min(math.floor(q * w.toDouble).toLong + 1L, w)
+    var cum = 0L
+    i = 0
+    while (i < n) {
+      val row = pairs.getStruct(i, 2)
+      cum += row.getLong(1)
+      if (cum >= target) return row.getDouble(0)
+      i += 1
+    }
+    pairs.getStruct(n - 1, 2).getDouble(0) // unreachable for target <= W
+  }
+
   /** Intersection size of two ASCENDING long arrays — one merge walk, no
     * per-row set allocation (array_intersect builds a hash set per call;
     * at millions of candidate pairs that allocation dominates the verify

@@ -780,9 +780,21 @@ object SketchAggregates {
     * whose cumulative weight reaches target = min(⌊q·W⌋+1, W) — for unit
     * weights this is the target-th order statistic exactly, which is the
     * form the SQL oracle replays (row_number = target over sorted values).
-    * Plain Column arithmetic: one pass over the (already sorted) pair array
-    * with a (cum, answer) fold. */
+    * Implemented as ONE codegen kernel pass ([[Kernels.kllQuantile]]); the
+    * HOF formulation below stays as the cross-check ([[kll_quantile_hof]],
+    * equality spec-asserted) — interpreted HOF folds cost ~0.4 s per
+    * quantile column on 2k-pair sketches (the q95/q107 lesson). Null for
+    * an empty sketch, matching the HOF's fold-never-fires null. */
   def kll_quantile(sk: Column, q: Double): Column = {
+    import org.apache.spark.sql.functions.{lit, size, when}
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1]: $q")
+    val raw = column(HashExpressions.KllQuantileExpr(expression(sk), q))
+    when(size(sk) === 0, lit(null).cast("double")).otherwise(raw)
+  }
+
+  /** The pure-Column HOF formulation of [[kll_quantile]] — kept as the
+    * executable specification the kernel is asserted against. */
+  def kll_quantile_hof(sk: Column, q: Double): Column = {
     import org.apache.spark.sql.functions._
     require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1]: $q")
     val w = aggregate(sk, lit(0L), (acc, e) => acc + e.getField("w"))

@@ -169,6 +169,23 @@ class ExpressionsSpec extends SparkSpec {
     assert(got(2).isNullAt(0)) // null in → null out
   }
 
+  test("kll_quantile kernel == HOF formulation, bit for bit (incl. null on empty)") {
+    import graft.functions.expressions.{SketchAggregates => SK}
+    val sk = docs.select(col("lang"), length(col("text")).cast("double").as("v"))
+      .groupBy(col("lang")).agg(SK.kll_sketch(col("v"), 64).as("sk"))
+    Seq(0.0, 0.1, 0.5, 0.9, 0.99, 1.0).foreach { q =>
+      val cmp = sk.select(SK.kll_quantile(col("sk"), q).as("fast"),
+        SK.kll_quantile_hof(col("sk"), q).as("slow"))
+      assert(cmp.filter(not(col("fast") <=> col("slow"))).isEmpty, s"q=$q")
+    }
+    // empty sketch (all-null values) → null from both forms
+    val empty = docs.select(lit(null).cast("double").as("v"))
+      .agg(SK.kll_sketch(col("v"), 8).as("sk"))
+    val r = empty.select(SK.kll_quantile(col("sk"), 0.5).as("fast"),
+      SK.kll_quantile_hof(col("sk"), 0.5).as("slow")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("MultiDictCounter credits a term shared by two dictionaries to both") {
     import graft.functions.expressions.MultiDictCounter
     // "de" is a stopword in both German and Dutch lists — one automaton
