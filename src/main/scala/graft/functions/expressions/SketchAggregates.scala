@@ -606,49 +606,16 @@ object SketchAggregates {
     override def createAggregationBuffer(): java.util.HashMap[String, java.lang.Long] =
       new java.util.HashMap[String, java.lang.Long]()
 
-    private def decrementAll(b: java.util.HashMap[String, java.lang.Long]): Unit = {
-      val it = b.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
-      }
-    }
-
     override def update(b: java.util.HashMap[String, java.lang.Long],
                         input: InternalRow): java.util.HashMap[String, java.lang.Long] = {
       val v = child.eval(input)
-      if (v != null) {
-        val s = v.asInstanceOf[UTF8String].toString
-        val cur = b.get(s)
-        if (cur != null) b.put(s, cur + 1L)
-        else if (b.size < k) b.put(s, 1L)
-        else decrementAll(b)
-      }
+      if (v != null) MgCounter.add(b, k, v.asInstanceOf[UTF8String].toString)
       b
     }
 
     override def merge(b: java.util.HashMap[String, java.lang.Long],
-                       o: java.util.HashMap[String, java.lang.Long]): java.util.HashMap[String, java.lang.Long] = {
-      o.forEach { (s, c) =>
-        val cur = b.get(s)
-        b.put(s, if (cur == null) c else cur + c)
-      }
-      if (b.size > k) {
-        // subtract the (k+1)-st largest counter, drop non-positives
-        val counts = new Array[Long](b.size)
-        var i = 0
-        val vit = b.values().iterator()
-        while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
-        java.util.Arrays.sort(counts)
-        val d = counts(counts.length - k - 1) // (k+1)-st largest
-        val it = b.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getValue <= d) it.remove() else e.setValue(e.getValue - d)
-        }
-      }
-      b
-    }
+                       o: java.util.HashMap[String, java.lang.Long]): java.util.HashMap[String, java.lang.Long] =
+      MgCounter.merge(b, k, o)
 
     override def eval(b: java.util.HashMap[String, java.lang.Long]): Any = {
       val entries = new Array[(String, Long)](b.size)
@@ -699,6 +666,47 @@ object SketchAggregates {
     override protected def withNewChildInternal(newChild: Expression): MgSketchAgg =
       copy(child = newChild)
     override def prettyName: String = "mg_sketch"
+  }
+
+  /** The Misra-Gries algorithm on a plain counter map — factored out of the
+    * aggregate so the guarantee (lower-bound counts within n/(k+1), ≤ k
+    * counters, under any merge tree) is property-testable driver-side. */
+  object MgCounter {
+    def add(b: java.util.HashMap[String, java.lang.Long], k: Int, s: String): Unit = {
+      val cur = b.get(s)
+      if (cur != null) { b.put(s, cur + 1L); () }
+      else if (b.size < k) { b.put(s, 1L); () }
+      else {
+        val it = b.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+
+    def merge(b: java.util.HashMap[String, java.lang.Long], k: Int,
+              o: java.util.HashMap[String, java.lang.Long]): java.util.HashMap[String, java.lang.Long] = {
+      o.forEach { (s, c) =>
+        val cur = b.get(s)
+        b.put(s, if (cur == null) c else cur + c)
+      }
+      if (b.size > k) {
+        // subtract the (k+1)-st largest counter, drop non-positives
+        val counts = new Array[Long](b.size)
+        var i = 0
+        val vit = b.values().iterator()
+        while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+        java.util.Arrays.sort(counts)
+        val d = counts(counts.length - k - 1)
+        val it = b.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue <= d) it.remove() else e.setValue(e.getValue - d)
+        }
+      }
+      b
+    }
   }
 
   /** KLL/MRL-style mergeable QUANTILE sketch: a ladder of compactor levels,
