@@ -33,6 +33,58 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** LEAK-SAFE split: [[splitByHash]] keyed by the near-dup COMPONENT, not
+    * the document — the guard against the classic eval-contamination bug
+    * where a train doc's near-duplicate lands in test and inflates every
+    * metric. Every member of a connected near-dup component hashes on the
+    * component's canonical (min) id, so a whole dup cluster moves to ONE
+    * side of every boundary; singleton docs hash on themselves, exactly as
+    * the plain split would.
+    *
+    * Scale: the pairs frame is whatever near-dup join the pipeline already
+    * ran (jaccardSelfJoin / minhashPairs); components add the usual
+    * path-halving rounds, and the split itself stays one zero-shuffle
+    * projection over the broadcast-joined labels (components frame ≈ the
+    * DUP subset of the corpus, typically far smaller than the corpus).
+    *
+    * @param pairs near-dup pairs (idACol, idBCol) over `df`'s id space
+    * @return df + (split_key, split) — split_key the component canonical id */
+  def leakSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                    idACol: String, idBCol: String,
+                    weights: Seq[(String, Double)]): DataFrame = {
+    val comps = ConnectedComponents.run(pairs, idACol, idBCol)
+    val keyed = df
+      .join(comps.select(col("vertex").as(idCol), col("component")), Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("component"), col(idCol)))
+      .drop("component")
+    splitByHash(keyed, "split_key", weights)
+  }
+
+  /** Deterministic WEIGHTED sample without replacement, k items: Efraimidis-
+    * Spirakis via the Gumbel-key trick already proven in [[dsirSample]] —
+    * key(i) = logw(i) − ln(−ln u(i)) with u a stable per-id hash uniform,
+    * take the top k by (key desc, id). P(i in sample) follows the
+    * sequential weighted draw; deterministic in (seed, id, weight), so an
+    * oracle replays it exactly. One bounded top-k (no global sort — Spark
+    * turns orderBy+limit into TakeOrdered with O(k) per-partition heaps).
+    *
+    * @param logWeightCol log-weight column (log keeps the key arithmetic
+    *                     exact-replayable; pass log(w) for raw weights)
+    * @return the k sampled rows + (u_r, key_r, rank) */
+  def weightedSample(df: DataFrame, idCol: String, logWeightCol: String,
+                     k: Int, seed: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    val u = (hashBucket(concat(lit(seed + "|"), col(idCol).cast("string")))
+      + lit(0.5)) / 65536.0
+    val keyed = df
+      .withColumn("u_r", round(u, 9))
+      .withColumn("key_r", round(col(logWeightCol) - log(-log(u)), 6))
+      .orderBy(col("key_r").desc, col(idCol)).limit(k)
+    keyed.withColumn("rank", row_number().over(
+      Window.orderBy(col("key_r").desc, col(idCol))).cast("long"))
+  }
+
   /** Deterministic stratified sample: keep `fractions(stratum)` of each
     * stratum (default fraction for unlisted strata), selected by the same
     * stable id-hash — the reproducible analog of `DataFrame.stat.sampleBy`.

@@ -1016,6 +1016,37 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Leak-safe split (Sampling.leakSafeSplit): q49's hash split keyed by
+    // the near-dup COMPONENT canonical id, so a whole duplicate cluster
+    // lands on ONE side of every train/test boundary — the guard against
+    // eval contamination via near-duplicates. Oracle: q52's recursive-CTE
+    // components + q49's bucket arithmetic on the component key.
+    "q166_leak_safe_split" -> ((s, d) => {
+      val toks = Tables(s, d, "documents").select(col("doc_id"), col("lang"),
+        col("source"), array_distinct(S.tokens(col("text"))).as("toks"))
+      val pairs = Dedup.jaccardSelfJoin(toks, "toks", "doc_id",
+          Seq("lang", "source"), 0.7)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Sampling.leakSafeSplit(
+          Tables(s, d, "documents").select(col("doc_id")), "doc_id",
+          pairs, "id_a", "id_b", Seq("train" -> 0.8, "test" -> 0.2))
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Weighted sample without replacement (Sampling.weightedSample):
+    // Efraimidis-Spirakis Gumbel keys over stable per-id uniforms — k docs
+    // drawn ∝ exp(logw) deterministically; the top-k is a bounded
+    // TakeOrdered, never a global sort. Oracle replays hash, key, rank.
+    "q167_weighted_sample" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select(col("doc_id"),
+        log(col("n_chars").cast(DoubleType) + lit(1.0)).as("logw"))
+      graft.operators.Sampling.weightedSample(docs, "doc_id", "logw",
+          k = 50, seed = "ws")
+        .select(col("doc_id"), col("u_r"), col("key_r"), col("rank"))
+        .orderBy(col("rank"))
+    }),
+
     // Salted two-phase aggregation (skew mitigation): must equal the plain
     // groupBy result exactly — exact-integer sums and min keep the oracle
     // float-order-independent.
@@ -2748,6 +2779,49 @@ object TextQueries {
               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS b
             FROM documents)
       ORDER BY doc_id""",
+    // Leak-safe split replay: near-dup components (q52's recursive CTE at
+    // t=0.7) → canonical key → q49's bucket arithmetic on that key.
+    "q166_leak_safe_split" -> """
+      WITH toks AS (
+        SELECT doc_id, lang, source,
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) END AS t
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM toks a JOIN toks b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) > 0
+          AND CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+              / CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS DOUBLE) >= 0.7),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      rec AS (
+        WITH RECURSIVE reach(v, l) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, reach.l FROM reach JOIN edges e ON e.src = reach.v)
+        SELECT v, min(l) AS component FROM reach GROUP BY v),
+      keyed AS (
+        SELECT d.doc_id, COALESCE(rec.component, d.doc_id) AS split_key
+        FROM documents d LEFT JOIN rec ON d.doc_id = rec.v)
+      SELECT doc_id, split_key,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 4)) AS INTEGER) < 52429
+                  THEN 'train' ELSE 'test' END AS split
+      FROM keyed ORDER BY doc_id""",
+    // Weighted-sample replay: stable uniform, Gumbel key, top-50 rank.
+    "q167_weighted_sample" -> """
+      WITH k AS (
+        SELECT doc_id,
+               (CAST(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) + 0.5) / 65536.0 AS u,
+               ln(CAST(n_chars AS DOUBLE) + 1.0) AS logw
+        FROM documents),
+      r AS (SELECT doc_id, round(u, 9) AS u_r,
+                   round(logw - ln(-ln(u)), 6) AS key_r FROM k),
+      t AS (SELECT doc_id, u_r, key_r,
+                   row_number() OVER (ORDER BY key_r DESC, doc_id) AS rank FROM r)
+      SELECT doc_id, u_r, key_r, CAST(rank AS BIGINT) AS rank
+      FROM t WHERE rank <= 50 ORDER BY rank""",
     "q42_tfidf" -> """
       WITH terms AS (
         SELECT doc_id, unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS token
