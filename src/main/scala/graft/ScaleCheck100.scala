@@ -322,6 +322,26 @@ object ScaleCheck100 {
       }
     }
 
+    // ---- 15. incremental dedup at 100×: FIXED daily batch against a
+    // 100×-grown stored corpus (perturbed replicas so cross-replica matches
+    // don't explode the output). The batch×stored prefix join is
+    // stored-token-linear on the index side only — the daily-ingest cost
+    // contract at the 100 TB shape.
+    locally {
+      val toksOf = (df: DataFrame) => df.select(col("doc_id"), col("lang"),
+        col("source"), array_distinct(S.tokens(col("text"))).as("toks"))
+      val batch = toksOf(perturbed(0).filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + lit(1000L * offset)).as("doc_id"),
+          col("lang"), col("source"), col("text")))
+        .localCheckpoint(true)
+      Seq(perturbed(0) -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+        timed(s"incremental dedup, fixed batch vs $tag stored corpus")(((),
+          operators.Dedup.incrementalDedup(toksOf(df), batch, "toks",
+            "doc_id", Seq("lang", "source"), 0.7)
+            .groupBy(col("status")).count().collect().map(_.getLong(1)).sum))
+      }
+    }
+
     spark.stop()
   }
 }
