@@ -113,15 +113,23 @@ object Compaction {
     */
   def compactTable(spark: SparkSession, table: String, targetBytes: Long,
                    curve: Option[Column] = None, minFiles: Int = 2,
-                   parallelism: Int = 4): CompactReport = {
+                   parallelism: Int = 4,
+                   lineage: Option[graft.lineage.Lineage] = None): CompactReport = {
     require(targetBytes > 0, "targetBytes must be positive")
     require(minFiles >= 2, "minFiles < 2 would select single-file partitions")
     val (root, manifests) = listManifests(spark, table)
     val selected = manifests.filter(m =>
       m.files >= minFiles && m.files > binCount(m.bytes, targetBytes))
     val filesBeforeAll = manifests.map(_.files).sum
-    if (selected.isEmpty)
-      return CompactReport(manifests.size, 0, filesBeforeAll, filesBeforeAll, 0L)
+    if (selected.isEmpty) {
+      val report = CompactReport(manifests.size, 0, filesBeforeAll, filesBeforeAll, 0L)
+      // a no-op pass still lands in the audit trail: "compaction ran and
+      // found nothing" is operational signal, not silence
+      lineage.foreach(_.update(spark.emptyDataFrame, "compact",
+        s"table=$table partitions=0/${report.partitionsSeen} " +
+          s"files=${report.filesBefore}->${report.filesAfter} bytes=0"))
+      return report
+    }
 
     // Schema from CATALOG METADATA, not spark.table(): constructing the
     // table relation eagerly file-lists the WHOLE table (measured 0.6 s →
@@ -200,7 +208,13 @@ object Compaction {
     spark.catalog.refreshTable(table)
 
     val (_, after) = listManifests(spark, table)
-    CompactReport(manifests.size, selected.size,
+    val report = CompactReport(manifests.size, selected.size,
       filesBeforeAll, after.map(_.files).sum, selected.map(_.bytes).sum)
+    // the OPTIMIZE event belongs in the same audit trail as the writes that
+    // fragmented the table (K8); content is invariant, so no numeric audit
+    lineage.foreach(_.update(spark.emptyDataFrame, "compact",
+      s"table=$table partitions=${report.partitionsCompacted}/${report.partitionsSeen} " +
+        s"files=${report.filesBefore}->${report.filesAfter} bytes=${report.bytesRewritten}"))
+    report
   }
 }

@@ -149,6 +149,21 @@ class CompactionSpec extends SparkSpec {
     assert(multiFileDirs > 0, "fixture must yield a multi-file partition")
   }
 
+  test("compaction emits a lineage event in the table's audit trail") {
+    val t = "compact_t7"
+    makeFragmented(t)
+    val lin = new graft.lineage.Lineage("exec-compact")
+    val report = Compaction.compactTable(spark, t, targetBytes = 64L << 20,
+      lineage = Some(lin))
+    assert(report.partitionsCompacted > 0)
+    val events = lin.log
+    assert(events.size == 1 && events.head.contains("\"op\":\"compact\"") &&
+      events.head.contains(s"files=${report.filesBefore}->${report.filesAfter}"))
+    // a no-op pass still records that it ran (audit completeness)
+    Compaction.compactTable(spark, t, targetBytes = 64L << 20, lineage = Some(lin))
+    assert(lin.log.size == 2 && lin.log(1).contains("partitions=0/"))
+  }
+
   test("unpartitioned table compacts to the bin count") {
     val t = "compact_t6"
     spark.sql(s"DROP TABLE IF EXISTS $t")
