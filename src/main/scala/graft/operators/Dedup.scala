@@ -459,6 +459,102 @@ object Dedup {
     verified.filter(col("jaccard") >= threshold)
   }
 
+  /** Build the persistent MinHash INDEX for [[incrementalMinhash]]: one
+    * text-side scan computing each doc's 64-bit shingle hashes and LSH
+    * signature. (idCol, sh, sig) — exactly what the incremental path needs
+    * so the stored corpus is NEVER re-tokenized. */
+  def minhashIndex(df: DataFrame, textCol: String, idCol: String,
+                   shingleN: Int = 3, bands: Int = 16,
+                   rowsPerBand: Int = 4): DataFrame =
+    df.select(col(idCol),
+        graft.functions.expressions.HashExpressions
+          .hashed_shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("sig", S.minHashSignature(col("sh"), bands * rowsPerBand))
+
+  /** Signature-index INCREMENTAL near-dedup — the LSH complement of
+    * [[incrementalDedup]] for corpora where even one exact prefix-filter
+    * pass over the stored side per day is too much: the stored corpus
+    * participates ONLY through its persisted [[minhashIndex]] (no
+    * re-tokenization, no text scan), the band join forms candidates
+    * bucket-locally with the usual hot-bucket chain guard, and the exact
+    * Jaccard verify touches candidate pairs only.
+    *
+    * Semantics are TRANSITIVE (the honest cluster view): verified pairs
+    * touching the batch form a graph with their stored endpoints; a batch
+    * doc connected to ANY stored doc is `dup_of_stored` (attributed to the
+    * smallest such stored id in its component — stored beats in-batch, as
+    * in [[incrementalDedup]]); a remaining doc whose component min is not
+    * itself is `dup_in_batch`; the rest are `kept`. Recall is the LSH
+    * band recall — exact in the q26 high-threshold regime (identical
+    * shingle sets ⇒ identical signatures ⇒ shared buckets), recall-bounded
+    * below it (ApproxRecallSpec's regime).
+    *
+    * @param stored the (idCol, sh, sig) index from [[minhashIndex]] /
+    *               previous calls' `updatedIndex`
+    * @return (report: one row per batch doc (idCol, status, attributed_to),
+    *         updatedIndex: stored ∪ kept docs' index rows — the input for
+    *         the next day, making the operator its own fixpoint) */
+  def incrementalMinhash(stored: DataFrame, batch: DataFrame, textCol: String,
+                         idCol: String, shingleN: Int = 3, bands: Int = 16,
+                         rowsPerBand: Int = 4, threshold: Double = 0.7,
+                         maxBucketSize: Int = 1000): (DataFrame, DataFrame) = {
+    val batchIdx = minhashIndex(batch, textCol, idCol, shingleN, bands, rowsPerBand)
+      .localCheckpoint(true) // one text scan, reused for buckets + verify + index
+    val all = stored.select(col(idCol).as("id"), col("sh"), col("sig"))
+      .unionByName(batchIdx.select(col(idCol).as("id"), col("sh"), col("sig")))
+    val buckets = all
+      .select(col("id"), explode(S.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val cand = guardedBucketPairs(buckets, Seq("band", "bucket"), "id",
+      Seq.empty, maxBucketSize).distinct()
+    // only batch-touching pairs go to the verify stage: stored×stored pairs
+    // are uninteresting (the stored side is already deduplicated) and on a
+    // deduplicated index they barely form (near-dups were removed)
+    val bIds = batchIdx.select(col(idCol).as("id"))
+    val touched = cand
+      .join(bIds.select(col("id").as("id_a"), lit(1).as("__la")), Seq("id_a"), "left")
+      .join(bIds.select(col("id").as("id_b"), lit(1).as("__lb")), Seq("id_b"), "left")
+      .filter(col("__la").isNotNull || col("__lb").isNotNull)
+      .select(col("id_a"), col("id_b"))
+    val shOf = all.select(col("id"), col("sh"))
+    val verified = touched
+      .join(shOf.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shOf.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), S.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val comps = ConnectedComponents.run(verified, "id_a", "id_b")
+    val storedMin = comps
+      .join(stored.select(col(idCol).as("vertex")), Seq("vertex"), "left_semi")
+      .groupBy(col("component")).agg(min(col("vertex")).as("__smin"))
+    // a batch id that ALREADY EXISTS in the index is by definition stored
+    // (an epoch re-delivery or a re-crawled doc) — without this rule the
+    // id collapses in the union and never forms a pair, silently re-keeping
+    // itself on every replay
+    val already = batch.select(col(idCol))
+      .join(stored.select(col(idCol)), Seq(idCol), "left_semi")
+      .withColumn("__already", lit(1))
+    val report = batch.select(col(idCol))
+      .join(already, Seq(idCol), "left")
+      .join(comps.select(col("vertex").as(idCol), col("component")), Seq(idCol), "left")
+      .join(storedMin, Seq("component"), "left")
+      .select(col(idCol),
+        when(col("__already").isNotNull || col("__smin").isNotNull,
+          lit("dup_of_stored"))
+          .when(col("component").isNotNull && col("component") =!= col(idCol),
+            lit("dup_in_batch"))
+          .otherwise(lit("kept")).as("status"),
+        when(col("__already").isNotNull, col(idCol))
+          .when(col("__smin").isNotNull, col("__smin"))
+          .when(col("component").isNotNull && col("component") =!= col(idCol),
+            col("component"))
+          .otherwise(lit(null).cast("long")).as("attributed_to"))
+    val kept = report.filter(col("status") === "kept").select(col(idCol))
+    val updatedIndex = stored.unionByName(
+      batchIdx.join(kept, Seq(idCol), "left_semi"))
+    (report, updatedIndex)
+  }
+
   /** Cross-batch INCREMENTAL near-dedup — the daily-ingest shape: a NEW
     * batch is deduplicated against the already-curated STORED corpus
     * without re-running stored×stored (the stored side is internally

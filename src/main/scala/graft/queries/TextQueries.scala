@@ -958,6 +958,32 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Signature-index incremental near-dedup (Dedup.incrementalMinhash):
+    // the LSH daily-ingest path — the stored corpus participates ONLY via
+    // its persisted (id, shingle-hash, signature) index; the batch bands
+    // against it and verifies candidate pairs exactly. Run in the q26
+    // provably-exact regime (t=0.999 ⇒ only EQUAL shingle sets pair, and
+    // equal sets ⇒ equal signatures ⇒ shared buckets ⇒ recall 1), so the
+    // oracle replays the whole thing as set-equality groups with the
+    // stored-beats-in-batch precedence.
+    "q168_incremental_minhash" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val stored = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select(col("doc_id"), col("text"))
+      // planted batch: fresh docs (+20000), re-crawled copies of stored
+      // docs (+40000 → dup_of_stored), and second copies of the fresh docs
+      // (+60000 → dup_in_batch toward the +20000 twin)
+      val fresh = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val batch = fresh.select((col("doc_id") + 20000).as("doc_id"), col("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 1)
+          .select((col("doc_id") + 40000).as("doc_id"), col("text")))
+        .unionByName(fresh.select((col("doc_id") + 60000).as("doc_id"), col("text")))
+      val idx = Dedup.minhashIndex(stored, "text", "doc_id")
+      val (report, _) = Dedup.incrementalMinhash(idx, batch, "text", "doc_id",
+        threshold = 0.999)
+      report.orderBy(col("doc_id"))
+    }),
+
     // Cross-batch incremental dedup (Dedup.incrementalDedup): the daily-
     // ingest shape — batch (doc_id % 3 = 0) deduplicated against the stored
     // corpus (the rest) via the exact prefix-filter cross join, then
@@ -2663,6 +2689,48 @@ object TextQueries {
       SELECT doc_id, y, round(z, 6) AS z_r, round(p, 6) AS p_r,
              p >= 0.5 AS pred
       FROM scored ORDER BY doc_id""",
+    // Incremental-minhash replay (exact regime): group by the sorted
+    // distinct 3-shingle set; a batch doc with a stored set-mate is
+    // dup_of_stored (min stored id), else dup_in_batch toward the group's
+    // min batch id, else kept. Empty shingle sets (<3 tokens) never pair
+    // (jaccard(∅,∅)=0 < t).
+    "q168_incremental_minhash" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') END AS a
+        FROM documents),
+      sets AS (
+        SELECT doc_id,
+               CASE WHEN len(a) < 3 THEN CAST([] AS VARCHAR[])
+                    ELSE list_sort(list_distinct(
+                      [a[i] || ' ' || a[i+1] || ' ' || a[i+2] for i in range(1, len(a) - 1)]))
+               END AS s
+        FROM tok),
+      allsides AS (
+        SELECT doc_id, s, 's' AS side FROM sets WHERE doc_id % 5 <> 0
+        UNION ALL
+        SELECT doc_id + 20000, s, 'b' FROM sets WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 40000, s, 'b' FROM sets WHERE doc_id % 5 = 1
+        UNION ALL
+        SELECT doc_id + 60000, s, 'b' FROM sets WHERE doc_id % 5 = 0),
+      g AS (
+        SELECT s, min(CASE WHEN side = 's' THEN doc_id END) AS smin,
+               min(doc_id) AS gmin, count(*) AS sz
+        FROM allsides WHERE len(s) > 0 GROUP BY s)
+      SELECT b.doc_id,
+             CASE WHEN len(b.s) = 0 OR g.sz = 1 THEN 'kept'
+                  WHEN g.smin IS NOT NULL THEN 'dup_of_stored'
+                  WHEN g.gmin <> b.doc_id THEN 'dup_in_batch'
+                  ELSE 'kept' END AS status,
+             CASE WHEN len(b.s) = 0 OR g.sz = 1 THEN NULL
+                  WHEN g.smin IS NOT NULL THEN g.smin
+                  WHEN g.gmin <> b.doc_id THEN g.gmin
+                  END AS attributed_to
+      FROM (SELECT * FROM allsides WHERE side = 'b') b
+      LEFT JOIN g ON b.s = g.s AND len(b.s) > 0
+      ORDER BY b.doc_id""",
     // Incremental-dedup replay: cross matches (min stored id), batch-only
     // pairs among the clean remainder, recursive-CTE min-component, then
     // the stored-beats-in-batch precedence.

@@ -40,6 +40,53 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got(300L) == (("kept", None)))
   }
 
+  test("incrementalMinhash: stored index reused, statuses and index update correct") {
+    import Dedup.{incrementalMinhash, minhashIndex}
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val index0 = minhashIndex(corpus, "text", "doc_id").localCheckpoint(true)
+    val batch = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"), // copy of stored 1
+      (101L, "red orange yellow green blue indigo violet pink"), // new, duplicated below
+      (102L, "red orange yellow green blue indigo violet pink"),
+      (103L, "completely fresh words nobody else uses today")).toDF("doc_id", "text")
+    val (report, index1) = incrementalMinhash(index0, batch, "text", "doc_id",
+      threshold = 0.9)
+    val got = report.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(got(100L) == (("dup_of_stored", Some(1L))))
+    assert(got(101L) == (("kept", None)))
+    assert(got(102L) == (("dup_in_batch", Some(101L))))
+    assert(got(103L) == (("kept", None)))
+    // index grew by exactly the kept docs
+    assert(index1.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 101L, 103L))
+    // fixpoint: the same batch against the updated index is all dups
+    val (second, _) = incrementalMinhash(index1.localCheckpoint(true), batch,
+      "text", "doc_id", threshold = 0.9)
+    assert(second.collect().forall(_.getString(1) == "dup_of_stored"))
+  }
+
+  test("incrementalMinhash matches from-scratch minhashDedup survivors (exact regime)") {
+    import Dedup.{incrementalMinhash, minhashIndex, minhashDedup}
+    // exact copies only (threshold 0.999): LSH recall is provably 1, so
+    // incremental survivors over (old ∪ new) must equal the from-scratch
+    // dedup of the union — the no-drift contract for the daily pipeline
+    val old = sf("documents").limit(60).select(col("doc_id"), col("text"))
+    val oldDeduped = minhashDedup(old, "text", "doc_id", threshold = 0.999)
+    val idx = minhashIndex(oldDeduped, "text", "doc_id").localCheckpoint(true)
+    val batch = sf("documents").limit(100)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val (report, _) = incrementalMinhash(idx, batch, "text", "doc_id",
+      threshold = 0.999)
+    val incSurvivors = oldDeduped.select(col("doc_id")).collect().map(_.getLong(0)).toSet ++
+      report.filter(col("status") === "kept").collect().map(_.getLong(0)).toSet
+    val scratch = minhashDedup(oldDeduped.unionByName(batch), "text", "doc_id",
+      threshold = 0.999).select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(incSurvivors == scratch)
+  }
+
   test("fixpoint: survivors join the corpus; re-running the batch drops everything") {
     val stored = toks(Seq(5L -> "a b c d e"))
     val batch = toks(Seq(100L -> "a b c d e", 101L -> "p q r s t",
