@@ -87,6 +87,33 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(incSurvivors == scratch)
   }
 
+  test("incrementalMinhash lossy regime: dup detection is a recall-bounded subset of exact") {
+    import graft.functions.{SimilarityFunctions => S}
+    // t=0.5 with 16x4 banding: the LSH path may MISS near-dups (lossy) but
+    // must never invent them — every doc the LSH path drops, the exact
+    // prefix-filter path drops too, and recall stays above the band bound
+    val docs = sf("documents").select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val stored = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select((col("doc_id") + 50000).as("doc_id"), col("lang"), col("source"), col("text"))
+    val idx = Dedup.minhashIndex(stored, "text", "doc_id", shingleN = 1)
+    val (lshReport, _) = Dedup.incrementalMinhash(idx, batch, "text", "doc_id",
+      shingleN = 1, threshold = 0.5)
+    val toksOf = (df: DataFrame) => df.select(col("doc_id"),
+      array_distinct(S.tokens(col("text"))).as("toks"))
+    val exactReport = Dedup.incrementalDedup(toksOf(stored), toksOf(batch),
+      "toks", "doc_id", Seq.empty, 0.5)
+    val lshDropped = lshReport.filter(col("status") =!= "kept")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val exactDropped = exactReport.filter(col("status") =!= "kept")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(lshDropped.subsetOf(exactDropped),
+      "LSH path dropped a doc the exact path kept (false positive)")
+    assert(exactDropped.nonEmpty)
+    val recall = lshDropped.size.toDouble / exactDropped.size
+    assert(recall >= 0.6, s"recall $recall below the banding bound at t=0.5")
+  }
+
   test("fixpoint: survivors join the corpus; re-running the batch drops everything") {
     val stored = toks(Seq(5L -> "a b c d e"))
     val batch = toks(Seq(100L -> "a b c d e", 101L -> "p q r s t",
