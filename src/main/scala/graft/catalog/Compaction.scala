@@ -110,11 +110,16 @@ object Compaction {
     * @param minFiles partitions with fewer data files are never considered
     *                 (2 = "anywhere merging is possible").
     * @param parallelism concurrent per-partition rewrite jobs.
+    * @param swapHook fault-injection seam (tests only): invoked with the
+    *                 live destination path just before each new file is
+    *                 renamed into its partition dir; throwing exercises the
+    *                 mid-sweep rollback path.
     */
   def compactTable(spark: SparkSession, table: String, targetBytes: Long,
                    curve: Option[Column] = None, minFiles: Int = 2,
                    parallelism: Int = 4,
-                   lineage: Option[graft.lineage.Lineage] = None): CompactReport = {
+                   lineage: Option[graft.lineage.Lineage] = None,
+                   swapHook: Path => Unit = _ => ()): CompactReport = {
     require(targetBytes > 0, "targetBytes must be positive")
     require(minFiles >= 2, "minFiles < 2 would select single-file partitions")
     val (root, manifests) = listManifests(spark, table)
@@ -174,10 +179,14 @@ object Compaction {
     }
 
     // Phase 2: file-level swap per partition — old data files to trash, new
-    // files in. On any swap failure, restore the trashed files and LEAVE the
-    // scratch dir for inspection (deleting it would destroy the only copy of
-    // a half-swapped partition).
+    // files in. On any swap failure, FIRST rename already-swapped-in new
+    // files back to scratch (otherwise partitions swapped earlier in the
+    // loop — or the partially-populated failing one — would hold BOTH old
+    // and new copies of their rows after the trash restore), THEN restore
+    // the trashed originals. Scratch is LEFT in place for inspection
+    // (deleting it would destroy the only copy of a half-swapped partition).
     val moved = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)] // (trash, live) pairs restored on failure
+    val movedIn = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)] // (live, scratch) new files un-swapped on failure
     try {
       selected.zipWithIndex.foreach { case (m, i) =>
         val dir = liveDir(m)
@@ -192,12 +201,18 @@ object Compaction {
         val newFiles = fs.listStatus(new Path(s"$scratch/$i"))
           .filter(s => s.isFile && isDataName(s.getPath.getName))
         newFiles.foreach { s =>
-          if (!fs.rename(s.getPath, new Path(dir, s.getPath.getName)))
+          val dst = new Path(dir, s.getPath.getName)
+          swapHook(dst)
+          if (!fs.rename(s.getPath, dst))
             throw new java.io.IOException(s"rename into partition failed: ${s.getPath}")
+          movedIn += ((dst, s.getPath))
         }
       }
     } catch {
       case e: Throwable =>
+        movedIn.reverseIterator.foreach { case (live, back) =>
+          if (fs.exists(live)) fs.rename(live, back)
+        }
         moved.reverseIterator.foreach { case (trashed, orig) =>
           if (fs.exists(trashed)) fs.rename(trashed, orig)
         }

@@ -6,7 +6,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -600,8 +600,13 @@ object SketchAggregates {
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.HashMap[String, java.lang.Long]]
-    with UnaryLike[Expression] {
+    with UnaryLike[Expression] with ExpectsInputTypes {
     require(k > 0, "k must be positive")
+
+    // analysis-time type check: a wrong-typed SQL call (mg_sketch(int_col, 8)
+    // via the injected function) fails with a clear message instead of an
+    // executor-time ClassCastException
+    override def inputTypes: Seq[DataType] = Seq(StringType)
 
     override def createAggregationBuffer(): java.util.HashMap[String, java.lang.Long] =
       new java.util.HashMap[String, java.lang.Long]()
@@ -621,9 +626,14 @@ object SketchAggregates {
       val entries = new Array[(String, Long)](b.size)
       var i = 0
       b.forEach { (s, c) => entries(i) = (s, c); i += 1 }
+      // count ties break by UTF-8 BINARY order (= code-point order), the
+      // ordering Spark and the DuckDB oracle both sort strings by — Scala
+      // String '<' is UTF-16 code-unit order, which diverges for
+      // supplementary-plane grams
       scala.util.Sorting.stableSort(entries,
         (a: (String, Long), x: (String, Long)) =>
-          a._2 > x._2 || (a._2 == x._2 && a._1 < x._1))
+          a._2 > x._2 || (a._2 == x._2 &&
+            UTF8String.fromString(a._1).binaryCompare(UTF8String.fromString(x._1)) < 0))
       new GenericArrayData(entries.map { case (s, c) =>
         InternalRow(UTF8String.fromString(s), c)
       })
@@ -739,8 +749,12 @@ object SketchAggregates {
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[KllBuffer]
-    with UnaryLike[Expression] {
+    with UnaryLike[Expression] with ImplicitCastInputTypes {
     require(k >= 8 && k % 2 == 0, s"k must be even and >= 8: $k")
+
+    // numeric inputs coerce to double at analysis time; incompatible types
+    // (arrays, strings) fail analysis instead of throwing on the executor
+    override def inputTypes: Seq[DataType] = Seq(DoubleType)
 
     override def createAggregationBuffer(): KllBuffer = new KllBuffer(k)
 

@@ -75,11 +75,15 @@ object Sampling {
                      k: Int, seed: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, "k must be positive")
-    val u = (hashBucket(concat(lit(seed + "|"), col(idCol).cast("string")))
-      + lit(0.5)) / 65536.0
+    // 52-bit uniform (13 md5 hex digits): every value is mantissa-exact in a
+    // double, so the SQL oracle replays it bit-for-bit — and unlike a 16-bit
+    // bucket, equal-weight docs essentially never collide on u, so the id
+    // tie-break is a true last resort rather than a systematic low-id bias.
+    val u = (conv(substring(md5(concat(lit(seed + "|"), col(idCol).cast("string"))), 1, 13),
+      16, 10).cast("double") + lit(0.5)) / 4503599627370496.0 // 2^52
     val keyed = df
       .withColumn("u_r", round(u, 9))
-      .withColumn("key_r", round(col(logWeightCol) - log(-log(u)), 6))
+      .withColumn("key_r", round(col(logWeightCol) - log(-log(u)), 9))
       .orderBy(col("key_r").desc, col(idCol)).limit(k)
     keyed.withColumn("rank", row_number().over(
       Window.orderBy(col("key_r").desc, col(idCol))).cast("long"))

@@ -933,7 +933,7 @@ object TextQueries {
     }),
 
     // Deterministic distributed logistic regression (Retrieval.logisticFit):
-    // the TRAINABLE quality classifier. 3 batch-GD iterations over integer
+    // the TRAINABLE quality classifier. 4 batch-GD iterations over integer
     // doc features (chars, 'the' count) vs the lang='en' label. The entire
     // FIT replays in SQL: rational fast-sigmoid (only correctly-rounded
     // IEEE ops — no libm exp), per-row gradient terms floored to LONG
@@ -2623,7 +2623,7 @@ object TextQueries {
         FROM documents)
       WHERE b < CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 16384 ELSE 6554 END
       ORDER BY doc_id""",
-    // Logistic-fit replay: three unrolled GD iterations, each one CTE pair
+    // Logistic-fit replay: four unrolled GD iterations, each one CTE pair
     // (z/err → integer gradient sums → next weights), then the final
     // scoring pass. Every float op is written in the same association as
     // the Scala side; the gradient is exact-integer so partitioning and
@@ -2877,15 +2877,15 @@ object TextQueries {
              CASE WHEN CAST(('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 4)) AS INTEGER) < 52429
                   THEN 'train' ELSE 'test' END AS split
       FROM keyed ORDER BY doc_id""",
-    // Weighted-sample replay: stable uniform, Gumbel key, top-50 rank.
+    // Weighted-sample replay: stable 52-bit uniform, Gumbel key, top-50 rank.
     "q167_weighted_sample" -> """
       WITH k AS (
         SELECT doc_id,
-               (CAST(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) + 0.5) / 65536.0 AS u,
+               (CAST(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5) / 4503599627370496.0 AS u,
                ln(CAST(n_chars AS DOUBLE) + 1.0) AS logw
         FROM documents),
       r AS (SELECT doc_id, round(u, 9) AS u_r,
-                   round(logw - ln(-ln(u)), 6) AS key_r FROM k),
+                   round(logw - ln(-ln(u)), 9) AS key_r FROM k),
       t AS (SELECT doc_id, u_r, key_r,
                    row_number() OVER (ORDER BY key_r DESC, doc_id) AS rank FROM r)
       SELECT doc_id, u_r, key_r, CAST(rank AS BIGINT) AS rank

@@ -164,6 +164,33 @@ class CompactionSpec extends SparkSpec {
     assert(lin.log.size == 2 && lin.log(1).contains("partitions=0/"))
   }
 
+  test("mid-sweep swap failure rolls back fully: no duplicates, inventory byte-identical") {
+    val t = "compact_t8"
+    makeFragmented(t)
+    val before = spark.table(t).orderBy(col("o_orderkey")).collect().toSeq
+    val invBefore = fileInventory(t)
+    // small target → multiple new files per partition, so the injected
+    // failure lands with (a) earlier partitions fully swapped and (b) the
+    // failing partition partially populated — the two leak shapes
+    val (_, manifests) = Compaction.listManifests(spark, t)
+    val target = math.max(1L, manifests.map(_.bytes).max / 3)
+    var renamesIn = 0
+    val ex = intercept[RuntimeException] {
+      Compaction.compactTable(spark, t, targetBytes = target, swapHook = { _ =>
+        renamesIn += 1
+        if (renamesIn == 5) throw new java.io.IOException("injected swap failure")
+      })
+    }
+    assert(ex.getMessage.contains("originals restored"))
+    assert(renamesIn == 5, "failure must land mid-sweep, after some renames succeeded")
+    // content invariance: the rollback must remove every already-renamed-in
+    // new file before restoring trash — otherwise rows appear TWICE
+    assert(spark.table(t).orderBy(col("o_orderkey")).collect().toSeq == before,
+      "rolled-back table must hold exactly the original rows (no duplicates)")
+    assert(fileInventory(t) == invBefore,
+      "rolled-back inventory must be byte-identical (names + mtimes)")
+  }
+
   test("unpartitioned table compacts to the bin count") {
     val t = "compact_t6"
     spark.sql(s"DROP TABLE IF EXISTS $t")

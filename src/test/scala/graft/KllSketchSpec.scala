@@ -119,6 +119,23 @@ class KllSketchSpec extends SparkSpec {
     assert(got == truth)
   }
 
+  test("integer inputs implicit-cast to double; incompatible types fail analysis") {
+    GraftExtensions.register(spark)
+    (1 to 100).toDF("n").createOrReplaceTempView("kll_int_in")
+    val est = spark.sql("SELECT kll_sketch(n, 64) AS sk FROM kll_int_in")
+      .select(SK.kll_quantile(col("sk"), 0.5)).head().getDouble(0)
+    assert(est == 51.0)
+    Seq("a", "b").toDF("s").createOrReplaceTempView("kll_bad")
+    // string→double is NOT a sketch-safe coercion path we want silently:
+    // Spark's implicit cast does allow string→double, so probe with a type
+    // that genuinely can't coerce (array) and assert the analysis error
+    Seq(Seq(1.0), Seq(2.0)).toDF("a").createOrReplaceTempView("kll_bad2")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT kll_sketch(a, 64) FROM kll_bad2").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("double"))
+  }
+
   test("nulls are skipped; weights stay powers of two") {
     val df = Seq[java.lang.Double](1.0, null, 2.0, null, 3.0).toDF("v")
     val pairs = df.agg(SK.kll_sketch(col("v"), 8).as("sk"))

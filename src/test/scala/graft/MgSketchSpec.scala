@@ -58,6 +58,27 @@ class MgSketchSpec extends SparkSpec {
     assert(pairs(merged, 16) == pairs(whole, 16))
   }
 
+  test("count ties break in UTF-8 binary (code-point) order, not UTF-16") {
+    // U+FF21 FULLWIDTH A (BMP, utf16 0xFF21) vs U+1D400 MATHEMATICAL BOLD A
+    // (supplementary, utf16 surrogate pair starting 0xD835): code-point
+    // order puts U+FF21 FIRST, UTF-16 code-unit order puts it LAST — the
+    // exact divergence the DuckDB oracle would trip on.
+    val bmp = "Ａ"
+    val supp = new String(Character.toChars(0x1D400))
+    assert(bmp.compareTo(supp) > 0, "fixture must diverge: UTF-16 says bmp > supp")
+    val got = pairs(Seq(bmp, supp, bmp, supp).toDF("t"), 8)
+    assert(got == Seq((bmp, 2L), (supp, 2L)), s"got $got")
+  }
+
+  test("wrong-typed SQL call fails at analysis, not with an executor CCE") {
+    GraftExtensions.register(spark)
+    Seq(1, 2, 2, 3).toDF("n").createOrReplaceTempView("mg_bad")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT mg_sketch(n, 8) FROM mg_bad").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("string"))
+  }
+
   test("SQL registration: mg_sketch from plain SQL") {
     GraftExtensions.register(spark)
     Seq("a", "a", "b", "a", "c", "b").toDF("t").createOrReplaceTempView("mg_in")
