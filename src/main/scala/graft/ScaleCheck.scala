@@ -174,6 +174,23 @@ object ScaleCheck {
           r.filesAfter.toLong }))
     }
 
+    // No-op compaction = pure manifest walk: tables of 250 vs 2500
+    // single-file partitions, nothing selectable — the wall IS the driver
+    // listing, parallelized over partition dirs; 10× the partition count
+    // must stay near-flat (it would serialize linearly single-threaded on
+    // a per-listing-latency store).
+    Seq(250, 2500).foreach { parts =>
+      val tbl = s"noop$parts"
+      spark.sql(s"DROP TABLE IF EXISTS $db.$tbl")
+      spark.range(parts).select(col("id"), col("id").as("p"))
+        .repartition(1).write.partitionBy("p").saveAsTable(s"$db.$tbl")
+      timed(s"no-op compaction (manifest walk only), $parts partitions")(((),
+        { val r = catalog.Compaction.compactTable(spark, s"$db.$tbl",
+            targetBytes = 128L << 20)
+          require(r.partitionsCompacted == 0, s"expected no-op: $r")
+          r.partitionsSeen.toLong }))
+    }
+
     // J4 fuzzy blocking join — adversarial hot block: flood rows sharing ONE
     // block value with boilerplate (identical) field values on BOTH sides.
     // Unguarded, the blocking join is flood² score evaluations (50k flood →
@@ -679,6 +696,61 @@ object ScaleCheck {
           operators.Dedup.incrementalDedup(toksOf(df), batch, "toks",
             "doc_id", Seq("lang", "source"), 0.7)
             .groupBy(col("status")).count().collect().map(_.getLong(1)).sum))
+      }
+    }
+
+    // Incremental MinHash (signature-index path): FIXED daily batch against
+    // a growing stored INDEX. The index is built OUTSIDE the timer (it is
+    // persisted state in the daily contract); what's timed is the daily
+    // path: batch banding + broadcast semi-join of stored bucket rows down
+    // to batch-touched buckets + batch-driven pair join + verify. Pair
+    // enumeration is batch-scoped by construction, so wall must grow well
+    // under Nx (the index contributes one filtered banding scan only).
+    locally {
+      val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + lit(2000L * offset)).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+        val idx = operators.Dedup.minhashIndex(
+            df.select(col("doc_id"), col("text")), "text", "doc_id")
+          .localCheckpoint(true)
+        timed(s"incremental minhash, fixed batch vs $tag stored index")(((),
+          operators.Dedup.incrementalMinhash(idx, batch, "text", "doc_id",
+            threshold = 0.7)._1
+            .groupBy(col("status")).count().collect().map(_.getLong(1)).sum))
+      }
+    }
+
+    // Persisted IVF-PQ index: FIXED daily batch appended (encode-only) to a
+    // 1x vs 10x stored index, then searched. The stored index participates
+    // as codes only (the raw vectors are never re-read); append cost is
+    // batch-scoped and search scans only the probed lists' codes — wall
+    // must grow well under Nx.
+    locally {
+      val embAll = queries.Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val eoff = embAll.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val embRep = (0 until n).map(i => embAll.select(
+          (col("vec_id") + lit(i.toLong * eoff)).as("vec_id"), col("embedding")))
+        .reduce(_ unionByName _)
+      val centroids =
+        graft.functions.expressions.HashExpressions.fixedCentroids(100, 16, 64)
+      val fc = graft.functions.expressions.HashExpressions.fixedCentroids(200, 128, 8)
+      val codebooks = Array.tabulate(8)(j => fc.slice(j * 16, j * 16 + 16))
+      val abatch = embAll.filter(pmod(col("vec_id"), lit(7)) === 0)
+        .select((col("vec_id") + lit(100L * eoff * n)).as("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      val aq = embAll.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding")).localCheckpoint(true)
+      Seq(embAll -> "1x", embRep -> s"${n}x").foreach { case (df, tag) =>
+        val idx = operators.Ann.ivfPqIndex(df, "embedding", "vec_id",
+          centroids, codebooks).localCheckpoint(true)
+        timed(s"ivf-pq append fixed batch + top-10 search vs $tag index")(((),
+          operators.Ann.ivfPqSearch(
+            operators.Ann.ivfPqAppend(idx, abatch, "embedding", "vec_id",
+              centroids, codebooks),
+            aq, "embedding", "vec_id", "query_id", centroids, codebooks,
+            k = 10, nprobe = 4).count()))
       }
     }
 

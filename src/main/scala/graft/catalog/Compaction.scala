@@ -77,24 +77,61 @@ object Compaction {
     * `ls -ld` PER FILE (measured 1.8 s for a 280-file table — the walk was
     * the dominant term of a no-op compaction); plain statuses keep
     * permissions lazy and we only read path/length. Hidden dirs are pruned
-    * BEFORE descent, so staging/scratch trees cost nothing. */
-  def listManifests(spark: SparkSession, table: String): (Path, Seq[PartitionManifest]) = {
+    * BEFORE descent, so staging/scratch trees cost nothing.
+    *
+    * The walk is PARALLEL over top-level partition directories (bounded
+    * pool, `walkParallelism` threads; Hadoop `FileSystem.listStatus` is
+    * thread-safe): a single-threaded listing is the one piece of the
+    * OPTIMIZE verb that grows with table file count even when nothing needs
+    * compacting, and on object stores each directory listing is a network
+    * round-trip — serializing thousands of them turns a no-op pass into
+    * minutes. Production table formats answer this listing from persisted
+    * manifests; the parallel walk is the Hive-layout equivalent. */
+  def listManifests(spark: SparkSession, table: String,
+                    walkParallelism: Int = 8): (Path, Seq[PartitionManifest]) = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
     val root = new Path(meta.location)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val byDir = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Long)]
-    def walk(dir: Path, rel: String): Unit =
+    type Acc = scala.collection.mutable.LinkedHashMap[String, (Int, Long)]
+    def walk(dir: Path, rel: String, into: Acc): Unit =
       fs.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
         if (st.isDirectory) {
-          if (isDataName(name)) walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+          if (isDataName(name)) walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name", into)
         } else if (isDataName(name)) {
-          val (c, b) = byDir.getOrElse(rel, (0, 0L))
-          byDir(rel) = (c + 1, b + st.getLen)
+          val (c, b) = into.getOrElse(rel, (0, 0L))
+          into(rel) = (c + 1, b + st.getLen)
         }
       }
-    walk(root, "")
+    val top = fs.listStatus(root)
+    val byDir: Acc = scala.collection.mutable.LinkedHashMap.empty
+    top.foreach { st => // root-level data files ("" partition) stay inline
+      if (!st.isDirectory && isDataName(st.getPath.getName)) {
+        val (c, b) = byDir.getOrElse("", (0, 0L))
+        byDir("") = (c + 1, b + st.getLen)
+      }
+    }
+    val dirs = top.filter(st => st.isDirectory && isDataName(st.getPath.getName))
+    if (dirs.nonEmpty) {
+      val pool = Executors.newFixedThreadPool(
+        math.max(1, math.min(walkParallelism, dirs.length)))
+      try {
+        val futures = dirs.map { st =>
+          pool.submit(new Callable[Acc] {
+            def call(): Acc = {
+              val local: Acc = scala.collection.mutable.LinkedHashMap.empty
+              walk(st.getPath, st.getPath.getName, local)
+              local
+            }
+          })
+        }
+        futures.foreach(f => byDir ++= f.get()) // merged in top-listing order
+      } finally {
+        pool.shutdown()
+        pool.awaitTermination(1, TimeUnit.MINUTES)
+      }
+    }
     (root, byDir.toSeq.map { case (rel, (c, b)) => PartitionManifest(rel, c, b) })
   }
 
@@ -110,6 +147,11 @@ object Compaction {
     * @param minFiles partitions with fewer data files are never considered
     *                 (2 = "anywhere merging is possible").
     * @param parallelism concurrent per-partition rewrite jobs.
+    * @param kllBounds price the multi-bin range cuts from a one-pass KLL
+    *                  sketch ([[graft.operators.Layout.repartitionByKllRange]])
+    *                  instead of Spark's reservoir sampling — tighter
+    *                  file-size spread on skewed curve distributions at the
+    *                  cost of one extra pass over each rewritten partition.
     * @param swapHook fault-injection seam (tests only): invoked with the
     *                 live destination path just before each new file is
     *                 renamed into its partition dir; throwing exercises the
@@ -119,6 +161,7 @@ object Compaction {
                    curve: Option[Column] = None, minFiles: Int = 2,
                    parallelism: Int = 4,
                    lineage: Option[graft.lineage.Lineage] = None,
+                   kllBounds: Boolean = false,
                    swapHook: Path => Unit = _ => ()): CompactReport = {
     require(targetBytes > 0, "targetBytes must be positive")
     require(minFiles >= 2, "minFiles < 2 would select single-file partitions")
@@ -167,7 +210,9 @@ object Compaction {
               if (nBins == 1) {
                 val one = part.coalesce(1) // narrow: merge reads, zero shuffle
                 if (curve.isDefined) one.sortWithinPartitions(key) else one
-              } else part.repartitionByRange(nBins, key).sortWithinPartitions(key)
+              } else if (kllBounds)
+                graft.operators.Layout.repartitionByKllRange(part, key, nBins)
+              else part.repartitionByRange(nBins, key).sortWithinPartitions(key)
             arranged.write.mode(SaveMode.Overwrite).parquet(s"$scratch/$i")
           }
         })

@@ -387,11 +387,53 @@ object Ann {
                 idCol: String, queryIdCol: String,
                 centroids: Array[Array[Double]],
                 codebooks: Array[Array[Array[Double]]], k: Int,
-                nprobe: Int = 4, codeCol: String = "code"): DataFrame = {
+                nprobe: Int = 4, codeCol: String = "code"): DataFrame =
+    ivfPqSearch(ivfPqIndex(corpus, vecCol, idCol, centroids, codebooks, codeCol),
+      queries, vecCol, idCol, queryIdCol, centroids, codebooks, k, nprobe, codeCol)
+
+  // ------------------------------------------------- persisted IVF-PQ index
+
+  /** Build the persisted IVF-PQ INDEX: ONE raw-vector scan producing
+    * (idCol, list, code) — the inverted-file assignment and the PQ codes,
+    * exactly what [[ivfPqSearch]] reads. Write this frame (partitioned or
+    * bucketed by `list` so a probe prunes to its lists' files) plus the
+    * model frame ([[ivfPqModelToDf]]) and the raw vectors never need to be
+    * touched again: at 100 TB the index build is the single full read, and
+    * every later batch/search is codes-only. */
+  def ivfPqIndex(corpus: DataFrame, vecCol: String, idCol: String,
+                 centroids: Array[Array[Double]],
+                 codebooks: Array[Array[Array[Double]]],
+                 codeCol: String = "code"): DataFrame = {
     import graft.functions.expressions.HashExpressions.{nearest_centroid, pq_encode}
-    val assigned = corpus.select(col(idCol),
+    corpus.select(col(idCol),
       nearest_centroid(col(vecCol), centroids).as("__list"),
       pq_encode(col(vecCol), codebooks).as(codeCol))
+  }
+
+  /** ENCODE-ONLY append — the daily-batch fixpoint: the batch is assigned
+    * and encoded under the EXISTING model (no retrain, no re-encode of
+    * stored rows — the stored index participates as-is), mirroring
+    * [[graft.operators.Dedup.minhashIndex]]/`incrementalMinhash`'s contract.
+    * Id uniqueness is the caller's (route re-deliveries through the
+    * incremental-dedup report first); codebook drift under a shifting
+    * distribution is the operator's documented tradeoff — recall vs a
+    * from-scratch retrain is pinned in AnnIndexSpec, and a periodic rebuild
+    * is the remedy, not a per-batch retrain. */
+  def ivfPqAppend(index: DataFrame, batch: DataFrame, vecCol: String,
+                  idCol: String, centroids: Array[Array[Double]],
+                  codebooks: Array[Array[Array[Double]]],
+                  codeCol: String = "code"): DataFrame =
+    index.unionByName(ivfPqIndex(batch, vecCol, idCol, centroids, codebooks, codeCol))
+
+  /** Search a persisted (id, list, code) index: queries probe their `nprobe`
+    * nearest lists and ADC-score ONLY those lists' codes — never a raw
+    * vector, never a corpus shuffle (probes and ADC tables broadcast; the
+    * only exchange is the per-query top-k window on candidate rows). */
+  def ivfPqSearch(index: DataFrame, queries: DataFrame, vecCol: String,
+                  idCol: String, queryIdCol: String,
+                  centroids: Array[Array[Double]],
+                  codebooks: Array[Array[Array[Double]]], k: Int,
+                  nprobe: Int = 4, codeCol: String = "code"): DataFrame = {
     // probes broadcast SLIM (qid, list) — the m×k table attaches once per
     // query AFTER the explode join, not replicated nprobe× in the broadcast
     val qProbes = broadcast(queries
@@ -402,13 +444,39 @@ object Ann {
     val qTabs = broadcast(queries
       .select(col(queryIdCol), col(vecCol).as("__qv"))
       .withColumn("__qtab", adcTable(col("__qv"), codebooks)).drop("__qv"))
-    qProbes.join(assigned, Seq("__list"))
+    qProbes.join(index.select(col(idCol), col("__list"), col(codeCol)), Seq("__list"))
       .join(qTabs, Seq(queryIdCol))
       .withColumn("adc", adcSum(col("__qtab"), codeCol, codebooks))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(queryIdCol)).orderBy(col("adc").asc, col(idCol))))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), col("adc"), col("rank"))
+  }
+
+  /** IVF-PQ model (centroids + codebooks) as a persistable frame — rows
+    * (part, i, j, v): ("ivf", listId, 0, centroid) and ("pq", subspace,
+    * code, centroid). nlist + m×k rows — driver-bounded by definition. */
+  def ivfPqModelToDf(spark: org.apache.spark.sql.SparkSession,
+                     centroids: Array[Array[Double]],
+                     codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    val rows =
+      centroids.zipWithIndex.map { case (c, i) => ("ivf", i, 0, c.toSeq) }.toSeq ++
+        (for (j <- codebooks.indices; c <- codebooks(j).indices)
+          yield ("pq", j, c, codebooks(j)(c).toSeq))
+    rows.toDF("part", "i", "j", "v")
+  }
+
+  /** Read the model frame back — the collect is nlist + m×k rows. */
+  def ivfPqModelFromDf(df: DataFrame): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val rows = df.select(col("part"), col("i"), col("j"), col("v")).collect()
+    val ivf = rows.filter(_.getString(0) == "ivf").sortBy(_.getInt(1))
+      .map(_.getSeq[Double](3).toArray)
+    val pq = rows.filter(_.getString(0) == "pq")
+      .groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.sortBy(_.getInt(2)).map(_.getSeq[Double](3).toArray) }
+      .toArray
+    (ivf, pq)
   }
 
   /** PQ search with exact rerank — the production IVF-PQ read path: ADC

@@ -475,8 +475,11 @@ object Dedup {
     * [[incrementalDedup]] for corpora where even one exact prefix-filter
     * pass over the stored side per day is too much: the stored corpus
     * participates ONLY through its persisted [[minhashIndex]] (no
-    * re-tokenization, no text scan), the band join forms candidates
-    * bucket-locally with the usual hot-bucket chain guard, and the exact
+    * re-tokenization, no text scan), candidate generation is BATCH-DRIVEN —
+    * the batch's bucket keys semi-join the stored bucket rows down to
+    * batch-touched buckets before any pair forms, so stored×stored pairs
+    * are never enumerated and the daily pair work is batch-scoped by
+    * construction (with the usual hot-bucket chain guard) — and the exact
     * Jaccard verify touches candidate pairs only.
     *
     * Semantics are TRANSITIVE (the honest cluster view): verified pairs
@@ -500,24 +503,56 @@ object Dedup {
                          maxBucketSize: Int = 1000): (DataFrame, DataFrame) = {
     val batchIdx = minhashIndex(batch, textCol, idCol, shingleN, bands, rowsPerBand)
       .localCheckpoint(true) // one text scan, reused for buckets + verify + index
-    val all = stored.select(col(idCol).as("id"), col("sh"), col("sig"))
-      .unionByName(batchIdx.select(col(idCol).as("id"), col("sh"), col("sig")))
-    val buckets = all
+    val storedIdx = stored.select(col(idCol).as("id"), col("sh"), col("sig"))
+    def bandOf(d: DataFrame): DataFrame = d
       .select(col("id"), explode(S.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val cand = guardedBucketPairs(buckets, Seq("band", "bucket"), "id",
-      Seq.empty, maxBucketSize).distinct()
-    // only batch-touching pairs go to the verify stage: stored×stored pairs
-    // are uninteresting (the stored side is already deduplicated) and on a
-    // deduplicated index they barely form (near-dups were removed)
+    // BATCH-SCOPED candidate generation: the stored index is never
+    // self-joined. Its bucket rows are cut down to buckets the BATCH touches
+    // by a broadcast semi-join (evaluated map-side against the batch's bucket
+    // keys — the stored side neither shuffles nor forms stored×stored
+    // pairs), so pair-enumeration work scales with the batch whatever the
+    // index size — the same daily-cost contract as [[incrementalDedup]].
+    // Broadcasting is the design point: a daily batch's (band, bucket) key
+    // set is bands×|batch| narrow rows, far under the stored index size.
+    val bBuckets = bandOf(batchIdx.select(col(idCol).as("id"), col("sig")))
+    val batchKeys = bBuckets.select(col("band"), col("bucket")).distinct()
+    val members = bandOf(storedIdx)
+      .join(broadcast(batchKeys), Seq("band", "bucket"), "left_semi")
+      .unionByName(bBuckets)
+    // membership of every batch-touched bucket stays COMPLETE (the semi-join
+    // only drops whole untouched buckets), so bucket sizes — and with them
+    // the hot-bucket chain guard — are IDENTICAL to the union-self-join
+    // formulation: IncrementalDedupSpec pins report equality.
+    val Wb = Window.partitionBy(col("band"), col("bucket"))
+    val sized = members.withColumn("__bsz", count(lit(1)).over(Wb))
     val bIds = batchIdx.select(col(idCol).as("id"))
-    val touched = cand
-      .join(bIds.select(col("id").as("id_a"), lit(1).as("__la")), Seq("id_a"), "left")
-      .join(bIds.select(col("id").as("id_b"), lit(1).as("__lb")), Seq("id_b"), "left")
+    val small = sized.filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+    val smallPairs = small.join(broadcast(bIds), Seq("id"), "left_semi")
+      .select(col("band"), col("bucket"), col("id").as("__p"))
+      .join(small.select(col("band"), col("bucket"), col("id").as("__o")),
+        Seq("band", "bucket"))
+      .filter(col("__p") =!= col("__o"))
+      .select(least(col("__p"), col("__o")).as("id_a"),
+        greatest(col("__p"), col("__o")).as("id_b"))
+    // hot buckets (> maxBucketSize): the linear id-ordered chain over the
+    // full membership, exactly as [[guardedBucketPairs]] forms it, keeping
+    // only links with a batch endpoint (stored×stored links are the already-
+    // deduplicated side)
+    val hotPairs = sized.filter(col("__bsz") > maxBucketSize)
+      .select(col("band"), col("bucket"), col("id").as("id_a"),
+        lead(col("id"), 1).over(Wb.orderBy(col("id"))).as("id_b"))
+      .filter(col("id_b").isNotNull)
+      .join(broadcast(bIds.select(col("id").as("id_a"), lit(1).as("__la"))),
+        Seq("id_a"), "left")
+      .join(broadcast(bIds.select(col("id").as("id_b"), lit(1).as("__lb"))),
+        Seq("id_b"), "left")
       .filter(col("__la").isNotNull || col("__lb").isNotNull)
       .select(col("id_a"), col("id_b"))
-    val shOf = all.select(col("id"), col("sh"))
-    val verified = touched
+    val cand = smallPairs.unionByName(hotPairs).distinct()
+    val shOf = storedIdx.select(col("id"), col("sh"))
+      .unionByName(batchIdx.select(col(idCol).as("id"), col("sh")))
+    val verified = cand
       .join(shOf.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shOf.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), S.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))

@@ -63,4 +63,64 @@ object Layout {
         .hilbert_index(x.cast("long"), y.cast("long"), bits))
       .repartitionByRange(numPartitions, col(hCol))
       .sortWithinPartitions(col(hCol))
+
+  // ------------------------------------------- KLL-driven range partitioning
+
+  /** `n−1` range cut points for `valueCol` from ONE KLL pass — the
+    * equal-mass bounds `repartitionByRange`'s reservoir sampling
+    * approximates. Spark's range exchange samples ~100 rows per output
+    * partition, so on a skewed or lumpy distribution the sampled bounds
+    * carry a few-percent rank error each and file sizes spread accordingly;
+    * the KLL sketch (k=4096 ≈ 0.4 % rank error, mergeable map-side) prices
+    * the same bounds from the WHOLE distribution in one aggregation. */
+  def rangeBoundsFromKll(df: DataFrame, valueCol: Column, n: Int,
+                         k: Int = 4096): Array[Double] = {
+    require(n > 1, s"need n > 1 ranges, got $n")
+    import graft.functions.expressions.{SketchAggregates => SK}
+    val sk = df.agg(SK.kll_sketch(valueCol.cast("double"), k).as("sk"))
+    val row = sk.select((1 until n).map(i =>
+      SK.kll_quantile(col("sk"), i.toDouble / n).as(s"q$i")): _*).head()
+    (0 until n - 1).map(row.getDouble).toArray
+  }
+
+  /** Range-bucket id (0..bounds.length) of `valueCol` under the given cut
+    * points: the count of bounds strictly below the value — a codegen'd
+    * when-chain, monotone in the value so bucket order IS value order. */
+  def rangeBucket(valueCol: Column, bounds: Array[Double]): Column =
+    bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(valueCol.cast("double") > lit(b), 1).otherwise(0)
+    }
+
+  /** Range repartition with KLL-priced bounds: assign the equal-mass bucket
+    * id, place each bucket in ITS OWN partition via an exact identity
+    * partitioner, sort within partitions by the value.
+    *
+    * Why not `repartitionByRange` on the bucket id: every DataFrame-level
+    * range exchange re-SAMPLES its keys — on the raw value (or any
+    * composite containing it) that re-prices the very quantiles the sketch
+    * just computed, and on the n-valued bucket id the sampler's tie-stepping
+    * bound selection measurably yields empty/doubled partitions when
+    * distinct keys ≈ partitions. The one-per-bucket placement is a
+    * deterministic integer mapping, so this is the rare case where a raw
+    * `Partitioner` is the honest tool (the narrow per-partition sort and
+    * all downstream work stay in the DataFrame plan). Duplicate cut points
+    * (a value heavier than a whole bucket) collapse, so partitions are
+    * never empty by construction. Two passes over the input (sketch +
+    * exchange) vs one, bought back in even file sizes. */
+  def repartitionByKllRange(df: DataFrame, valueCol: Column, n: Int,
+                            k: Int = 4096): DataFrame = {
+    if (n <= 1) return df.coalesce(1).sortWithinPartitions(valueCol)
+    val bounds = rangeBoundsFromKll(df, valueCol, n, k).distinct
+    val m = bounds.length + 1
+    val bucketed = df.withColumn("__kllb", rangeBucket(valueCol, bounds))
+    val idx = bucketed.schema.fieldIndex("__kllb")
+    val placed = bucketed.rdd.map(r => (r.getInt(idx), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = m
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      }).map(_._2)
+    df.sparkSession.createDataFrame(placed, bucketed.schema)
+      .drop("__kllb")
+      .sortWithinPartitions(valueCol)
+  }
 }

@@ -675,6 +675,36 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Persisted IVF-PQ index as a fixpoint operator (Ann.ivfPqIndex /
+    // ivfPqAppend / ivfPqSearch): the index is built in one call over HALF
+    // the corpus, APPENDED with the other half (encode-only — no retrain,
+    // stored index rows untouched), the model round-trips through its
+    // persistable frame, and the search runs over the appended index. The
+    // result must equal the from-scratch IVF-PQ composition (the q103
+    // oracle) bit-for-bit: encode is row-wise, so build(A)∪append(B) is
+    // exactly encode(A∪B) under the same model.
+    "q169_ivfpq_index" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val centroids =
+        graft.functions.expressions.HashExpressions.fixedCentroids(100, 16, 64)
+      val fc = graft.functions.expressions.HashExpressions.fixedCentroids(200, 128, 8)
+      val codebooks = Array.tabulate(8)(j => fc.slice(j * 16, j * 16 + 16))
+      val (cs2, cb2) = Ann.ivfPqModelFromDf(
+        Ann.ivfPqModelToDf(s, centroids, codebooks))
+      val idx0 = Ann.ivfPqIndex(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "embedding", "vec_id", cs2, cb2)
+      val idx1 = Ann.ivfPqAppend(idx0,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "embedding", "vec_id",
+        cs2, cb2)
+      Ann.ivfPqSearch(idx1, queries, "embedding", "vec_id", "query_id",
+          cs2, cb2, k = 10, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), round(col("adc"), 6).as("adc_r"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Distributed k-means step (Ann.kmeansStep) with the fixed LCG centroids:
     // max-dot assignment + per-cluster counts and per-dimension means in ONE
     // scan + ONE aggregation — the semantic-clustering primitive (SemDeDup-
@@ -2138,6 +2168,9 @@ object TextQueries {
     "q101_ann_pq" -> pqOracle,
     "q102_ann_pq_rerank" -> pqRerankOracle,
     "q103_ann_ivfpq" -> ivfPqOracle,
+    // build(A) ∪ append(B) under one model ≡ encode(A∪B): the oracle is the
+    // from-scratch IVF-PQ replay — the no-drift contract for the daily path
+    "q169_ivfpq_index" -> ivfPqOracle,
     "q161_hybrid_ivfpq" -> hybridIvfPqOracle,
     "q85_audio_decode" -> """
       WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents),

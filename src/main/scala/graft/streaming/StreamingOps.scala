@@ -155,17 +155,41 @@ object StreamingOps {
     * cleanse logic (mapping/transforms/DQ) via `processBatch`, and failures
     * restart from the checkpoint instead of a Step Functions retry. At scale
     * this replaces per-file job submission overhead with incremental file
-    * listing + exactly-once sink semantics. */
+    * listing + exactly-once sink semantics.
+    *
+    * MAINTENANCE HOOK: per-batch appends/upserts fragment the target table
+    * by construction (the reason [[graft.catalog.Compaction]] exists), so
+    * the driver can fold OPTIMIZE into the ingest loop itself — set
+    * `maintainTable` + `compactEvery` and every Nth batch is followed by a
+    * [[graft.catalog.Compaction.compactTable]] pass on the SAME single-
+    * writer thread, i.e. strictly BETWEEN micro-batches: ingest and
+    * maintenance cannot interleave, and content invariance is compaction's
+    * own contract. (Readers in OTHER sessions keep the documented
+    * trash-restore swap caveat — a Hive-layout table has no snapshot
+    * isolation; StreamingSpec asserts between-batch reads stay correct.)
+    * A failed compaction pass fails the batch and restarts from the
+    * checkpoint like any other batch error. */
   def fileArrivalPipeline(spark: SparkSession, path: String, format: String,
                           schemaDdl: String, checkpoint: String,
                           options: Map[String, String] = Map.empty,
-                          availableNow: Boolean = true)
+                          availableNow: Boolean = true,
+                          maintainTable: Option[String] = None,
+                          compactEvery: Int = 0,
+                          compactTargetBytes: Long = 128L << 20,
+                          compactCurve: Option[org.apache.spark.sql.Column] = None)
                          (processBatch: (DataFrame, Long) => Unit): StreamingQuery = {
     val stream = fileArrivalStream(spark, path, format, schemaDdl, options)
     val w = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         processBatch(batch, id)
+        maintainTable.foreach { t =>
+          if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+            graft.catalog.Compaction.compactTable(batch.sparkSession, t,
+              targetBytes = compactTargetBytes, curve = compactCurve)
+            ()
+          }
+        }
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }

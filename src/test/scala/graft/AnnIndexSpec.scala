@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.Ann
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index (Ann.ivfPqIndex / ivfPqAppend / ivfPqSearch /
+  * model frame round-trip): the retrieval analog of minhashIndex — build
+  * once, append encode-only, search codes-only. */
+class AnnIndexSpec extends SparkSpec {
+
+  private lazy val emb = sf("embeddings").select(col("vec_id"), col("embedding"))
+  private lazy val queries = emb.filter(col("vec_id") < 5)
+    .select(col("vec_id").as("query_id"), col("embedding"))
+
+  private def fixedModel() = {
+    val centroids =
+      graft.functions.expressions.HashExpressions.fixedCentroids(100, 16, 64)
+    val fc = graft.functions.expressions.HashExpressions.fixedCentroids(200, 128, 8)
+    (centroids, Array.tabulate(8)(j => fc.slice(j * 16, j * 16 + 16)))
+  }
+
+  test("model frame round-trip is exact (doubles bit-preserved, order restored)") {
+    val (cs, cb) = fixedModel()
+    val (cs2, cb2) = Ann.ivfPqModelFromDf(Ann.ivfPqModelToDf(spark, cs, cb))
+    assert(cs2.length == cs.length && cs2.zip(cs).forall { case (a, b) => a.sameElements(b) })
+    assert(cb2.length == cb.length && cb2.zip(cb).forall { case (a, b) =>
+      a.length == b.length && a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+  }
+
+  test("build(A) then append(B) equals the one-shot index over A∪B") {
+    val (cs, cb) = fixedModel()
+    val a = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val b = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val appended = Ann.ivfPqAppend(
+      Ann.ivfPqIndex(a, "embedding", "vec_id", cs, cb),
+      b, "embedding", "vec_id", cs, cb)
+    val oneShot = Ann.ivfPqIndex(emb, "embedding", "vec_id", cs, cb)
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(key(appended) == key(oneShot))
+  }
+
+  test("search over appended index equals from-scratch ivfPqTopK (same model)") {
+    val (cs, cb) = fixedModel()
+    val appended = Ann.ivfPqAppend(
+      Ann.ivfPqIndex(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "embedding", "vec_id", cs, cb),
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1), "embedding", "vec_id", cs, cb)
+    val viaIndex = Ann.ivfPqSearch(appended, queries, "embedding", "vec_id",
+      "query_id", cs, cb, k = 10, nprobe = 4)
+    val scratch = Ann.ivfPqTopK(emb, queries, "embedding", "vec_id",
+      "query_id", cs, cb, k = 10, nprobe = 4)
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(key(viaIndex) == key(scratch))
+  }
+
+  test("stale-model append: recall vs brute force within 0.15 of a full retrain") {
+    // model TRAINED on the initial half only, the batch encoded under it —
+    // the honest daily shape. Recall@10 against exact brute force must stay
+    // within 0.15 of the from-scratch retrain over the union (the codebook-
+    // drift cost on this distribution); a periodic rebuild is the remedy.
+    val a = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val b = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val csA = Ann.trainIvfCentroids(a, "embedding", nlist = 8, sampleSize = 256, iters = 4)
+    val cbA = Ann.pqTrain(a, "embedding", dim = 64, m = 8, k = 16,
+      iters = 3, sampleSize = 256)
+    val csU = Ann.trainIvfCentroids(emb, "embedding", nlist = 8, sampleSize = 256, iters = 4)
+    val cbU = Ann.pqTrain(emb, "embedding", dim = 64, m = 8, k = 16,
+      iters = 3, sampleSize = 256)
+    val appended = Ann.ivfPqAppend(
+      Ann.ivfPqIndex(a, "embedding", "vec_id", csA, cbA),
+      b, "embedding", "vec_id", csA, cbA)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = hits(Ann.bruteForceTopK(emb, queries, "embedding", "vec_id",
+      "query_id", k = 10))
+    // nprobe = nlist: every list probed, so the comparison isolates CODEBOOK
+    // staleness (the append-path drift term) from IVF routing loss — on the
+    // near-unclusterable synthetic embeddings, routing recall at small
+    // nprobe is noise-dominated and would swamp the signal being pinned
+    val stale = hits(Ann.ivfPqSearch(appended, queries, "embedding", "vec_id",
+      "query_id", csA, cbA, k = 10, nprobe = 8))
+    val fresh = hits(Ann.ivfPqTopK(emb, queries, "embedding", "vec_id",
+      "query_id", csU, cbU, k = 10, nprobe = 8))
+    val recallStale = (stale & truth).size.toDouble / truth.size
+    val recallFresh = (fresh & truth).size.toDouble / truth.size
+    assert(recallStale >= recallFresh - 0.15,
+      s"stale-model recall $recallStale collapsed vs retrain $recallFresh")
+    assert(recallStale >= 0.3, s"stale-model recall $recallStale below floor")
+  }
+}

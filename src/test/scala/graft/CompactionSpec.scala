@@ -164,6 +164,26 @@ class CompactionSpec extends SparkSpec {
     assert(lin.log.size == 2 && lin.log(1).contains("partitions=0/"))
   }
 
+  test("kllBounds multi-bin compaction stays content-invariant, respects bin targets") {
+    val t = "compact_t9"
+    makeFragmented(t)
+    val before = spark.table(t).orderBy(col("o_orderkey")).collect().toSeq
+    val (_, manifests) = Compaction.listManifests(spark, t)
+    val target = math.max(1L, manifests.map(_.bytes).max / 3)
+    val curve = Layout.mortonCode(
+      Seq(pmod(col("o_orderkey"), lit(1024)), pmod(col("o_custkey"), lit(1024))), 10)
+    Compaction.compactTable(spark, t, targetBytes = target,
+      curve = Some(curve), kllBounds = true)
+    assert(spark.table(t).orderBy(col("o_orderkey")).collect().toSeq == before)
+    val preBins = manifests.map(m =>
+      m.rel -> math.max(1L, (m.bytes + target - 1) / target)).toMap
+    val (_, m2) = Compaction.listManifests(spark, t)
+    m2.foreach { m =>
+      assert(m.files <= preBins(m.rel),
+        s"${m.rel}: ${m.files} files for want=${preBins(m.rel)}")
+    }
+  }
+
   test("mid-sweep swap failure rolls back fully: no duplicates, inventory byte-identical") {
     val t = "compact_t8"
     makeFragmented(t)

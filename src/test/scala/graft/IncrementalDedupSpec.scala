@@ -114,6 +114,100 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall below the banding bound at t=0.5")
   }
 
+  test("incrementalMinhash batch-scoped candidates: report equals the union-self-join formulation") {
+    import graft.functions.{SimilarityFunctions => S}
+    import graft.operators.ConnectedComponents
+    import org.apache.spark.sql.expressions.Window
+    // The implementation bands only the batch and semi-joins the stored
+    // bucket rows down to batch-touched buckets; this reference reimplements
+    // the original formulation — band the UNION, all-pairs within small
+    // buckets, id-ordered chain in hot ones, then keep batch-touching pairs
+    // — and the two reports must be identical, hot buckets included.
+    def unionFormulationReport(storedIdx: DataFrame, batch: DataFrame,
+                               threshold: Double, maxBucketSize: Int): DataFrame = {
+      val (bands, rows) = (16, 4)
+      val batchIdx = Dedup.minhashIndex(batch, "text", "doc_id", 3, bands, rows)
+      val all = storedIdx.select(col("doc_id").as("id"), col("sh"), col("sig"))
+        .unionByName(batchIdx.select(col("doc_id").as("id"), col("sh"), col("sig")))
+      val buckets = all
+        .select(col("id"), explode(S.lshBandKeys(col("sig"), bands, rows)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      val W = Window.partitionBy(col("band"), col("bucket"))
+      val sized = buckets.withColumn("bsz", count(lit(1)).over(W))
+      val small = sized.filter(col("bsz") <= maxBucketSize)
+      val smallPairs = small.select(col("band"), col("bucket"), col("id").as("id_a"))
+        .join(small.select(col("band"), col("bucket"), col("id").as("id_b")),
+          Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b")).select(col("id_a"), col("id_b"))
+      val hotPairs = sized.filter(col("bsz") > maxBucketSize)
+        .select(col("id").as("id_a"),
+          lead(col("id"), 1).over(W.orderBy(col("id"))).as("id_b"))
+        .filter(col("id_b").isNotNull).select(col("id_a"), col("id_b"))
+      val bIds = batchIdx.select(col("doc_id").as("id"))
+      val cand = smallPairs.unionByName(hotPairs).distinct()
+        .join(bIds.select(col("id").as("id_a"), lit(1).as("la")), Seq("id_a"), "left")
+        .join(bIds.select(col("id").as("id_b"), lit(1).as("lb")), Seq("id_b"), "left")
+        .filter(col("la").isNotNull || col("lb").isNotNull)
+        .select(col("id_a"), col("id_b"))
+      val shOf = all.select(col("id"), col("sh"))
+      val verified = cand
+        .join(shOf.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(shOf.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .filter(S.jaccard(col("sh_a"), col("sh_b")) >= threshold)
+        .select(col("id_a"), col("id_b"))
+      val comps = ConnectedComponents.run(verified, "id_a", "id_b")
+      val storedMin = comps
+        .join(storedIdx.select(col("doc_id").as("vertex")), Seq("vertex"), "left_semi")
+        .groupBy(col("component")).agg(min(col("vertex")).as("smin"))
+      val already = batch.select(col("doc_id"))
+        .join(storedIdx.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .withColumn("already", lit(1))
+      batch.select(col("doc_id"))
+        .join(already, Seq("doc_id"), "left")
+        .join(comps.select(col("vertex").as("doc_id"), col("component")), Seq("doc_id"), "left")
+        .join(storedMin, Seq("component"), "left")
+        .select(col("doc_id"),
+          when(col("already").isNotNull || col("smin").isNotNull, lit("dup_of_stored"))
+            .when(col("component").isNotNull && col("component") =!= col("doc_id"),
+              lit("dup_in_batch"))
+            .otherwise(lit("kept")).as("status"),
+          when(col("already").isNotNull, col("doc_id"))
+            .when(col("smin").isNotNull, col("smin"))
+            .when(col("component").isNotNull && col("component") =!= col("doc_id"),
+              col("component"))
+            .otherwise(lit(null).cast("long")).as("attributed_to"))
+    }
+    // fixture: an identical-text flood (6 stored + 6 batch docs) drives every
+    // one of its band buckets over maxBucketSize=5 (hot chain), plus a
+    // stored/batch near-pair, a batch-only dup pair, a re-delivered stored
+    // id, and unique docs (small buckets)
+    val flood = "storm storm again and again the same words exactly here"
+    val storedDocs = (Seq(10L -> "alpha beta gamma delta epsilon zeta eta",
+      20L -> "one two three four five six seven eight") ++
+      (1L to 6L).map(i => i -> flood)).toDF("doc_id", "text")
+    val batchDocs = (Seq(
+      10L -> "alpha beta gamma delta epsilon zeta eta", // re-delivered stored id
+      100L -> "alpha beta gamma delta epsilon zeta eta", // copy of stored 10
+      101L -> "red orange yellow green blue indigo violet",
+      102L -> "red orange yellow green blue indigo violet",
+      103L -> "completely fresh words nobody else uses today") ++
+      (201L to 206L).map(i => i -> flood)).toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(storedDocs, "text", "doc_id").localCheckpoint(true)
+    val (got, _) = Dedup.incrementalMinhash(idx, batchDocs, "text", "doc_id",
+      threshold = 0.9, maxBucketSize = 5)
+    val want = unionFormulationReport(idx, batchDocs, 0.9, 5)
+    val asSet = (df: DataFrame) => df.collect().map(r => (r.getLong(0),
+      r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val (g, w) = (asSet(got), asSet(want))
+    assert(g == w, s"reports diverge:\n got=$g\nwant=$w")
+    // and the fixture really exercised the shapes it claims to
+    val statuses = g.map(t => t._1 -> t._2).toMap
+    assert(statuses(10L) == "dup_of_stored" && statuses(100L) == "dup_of_stored")
+    assert((201L to 206L).forall(statuses(_) == "dup_of_stored"),
+      "flood batch docs must connect to stored flood docs through the hot chain")
+    assert(statuses(103L) == "kept")
+  }
+
   test("fixpoint: survivors join the corpus; re-running the batch drops everything") {
     val stored = toks(Seq(5L -> "a b c d e"))
     val batch = toks(Seq(100L -> "a b c d e", 101L -> "p q r s t",

@@ -25,6 +25,62 @@ class LayoutPruningSpec extends SparkSpec {
     (touched.count(), stats.count())
   }
 
+  test("fragmented-then-compacted table regains its pruning (compaction closes the loop)") {
+    // the full maintenance cycle: Z-ordered write → ~50 tiny CDC-ish appends
+    // (each spanning the key space, so every new file's min/max box overlaps
+    // every query rectangle) degrade pruning → compactTable with the curve
+    // restores the ≤25%-files-touched bound, content untouched.
+    val t = "layout_compact_t1"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Layout.zorderBy(pts, Seq(col("x"), col("y")), 8, 32).drop("zval")
+      .write.saveAsTable(t)
+    val (root, _) = graft.catalog.Compaction.listManifests(spark, t)
+    val dir = root.toString
+    val checksum = () => spark.table(t)
+      .agg(count(lit(1)), sum(col("x") * 521 + col("y"))).collect().toSeq
+    val (t0, n0) = filesTouched(dir, 100, 131)
+    assert(t0 <= n0 / 4, s"fresh z-order layout must prune ($t0/$n0)")
+    (0 until 50).foreach { i =>
+      pts.filter(pmod(xxhash64(col("x") * 256 + col("y"), lit(i)), lit(50)) === 0)
+        .coalesce(1).write.mode("append").saveAsTable(t)
+    }
+    spark.catalog.refreshTable(t)
+    val before = checksum() // content INCLUDING the appends — what compaction must preserve
+    val (tF, nF) = filesTouched(dir, 100, 131)
+    assert(nF >= n0 + 50 && tF > nF / 4,
+      s"appends must degrade pruning ($tF/$nF touched)")
+    val curve = Layout.mortonCode(Seq(col("x"), col("y")), 8)
+    val (_, manifests) = graft.catalog.Compaction.listManifests(spark, t)
+    val target = math.max(1L, manifests.map(_.bytes).sum / 32)
+    graft.catalog.Compaction.compactTable(spark, t, targetBytes = target,
+      curve = Some(curve))
+    val (t2, n2) = filesTouched(dir, 100, 131)
+    assert(t2 <= n2 / 4, s"compaction must restore pruning ($t2/$n2 touched)")
+    assert(checksum() == before, "compaction must not change content")
+  }
+
+  test("KLL-priced range bounds: partition masses within sketch rank error, not worse than sampling") {
+    // lumpy duplicate-bearing value distribution; the mass split depends
+    // only on rank estimation, where the one-pass KLL (k=4096, ~0.4 % rank
+    // error) beats the range exchange's ~100-rows-per-partition reservoir
+    val df = spark.range(0, 400000).select(
+      (col("id") * col("id") % 7919L * (col("id") % 13L + 1L)).as("v"))
+    val n = 16
+    def maxDev(d: DataFrame, parts: Int): Double = {
+      val m = d.withColumn("p", spark_partition_id()).groupBy("p").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+      val ideal = m.values.sum / parts
+      (0 until parts).map(i => math.abs(m.getOrElse(i, 0.0) - ideal) / ideal).max
+    }
+    val klled = Layout.repartitionByKllRange(df, col("v"), n)
+    assert(klled.rdd.getNumPartitions == n, "distinct bounds must yield n buckets here")
+    val kllDev = maxDev(klled, n)
+    val sampDev = maxDev(df.repartitionByRange(n, col("v")), n)
+    assert(kllDev <= 0.05, s"KLL bounds spread too wide: $kllDev")
+    assert(kllDev <= sampDev * 1.2 + 0.01,
+      s"KLL bounds ($kllDev) must not be worse than sampled bounds ($sampDev)")
+  }
+
   test("z-order and hilbert layouts prune most files for a 2-D box; random layout touches all") {
     val base = java.nio.file.Files.createTempDirectory("graft_layout").toString
     // 32 files each

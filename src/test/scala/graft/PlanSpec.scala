@@ -105,6 +105,46 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "prefix-filter join must stay an equi-join")
   }
 
+  test("ivfPqSearch broadcasts probes and ADC tables — the index side never shuffles for the join") {
+    import graft.operators.Ann
+    val emb = graft.queries.Tables(spark, dir, "embeddings")
+    val centroids =
+      graft.functions.expressions.HashExpressions.fixedCentroids(100, 16, 64)
+    val fc = graft.functions.expressions.HashExpressions.fixedCentroids(200, 128, 8)
+    val codebooks = Array.tabulate(8)(j => fc.slice(j * 16, j * 16 + 16))
+    val idx = Ann.ivfPqIndex(emb, "embedding", "vec_id", centroids, codebooks)
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val p = plan(Ann.ivfPqSearch(idx, queries, "embedding", "vec_id",
+      "query_id", centroids, codebooks, k = 10, nprobe = 4))
+    // both query-side joins build broadcast sides; the only exchange left is
+    // the per-query top-k window — the codes scan streams map-side
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"expected two broadcast joins (probes, ADC tables):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the code index must never shuffle into the probe join")
+  }
+
+  test("incrementalMinhash: stored bucket rows are filtered by a broadcast semi-join") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val docs = graft.queries.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val stored = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val idx = Dedup.minhashIndex(stored, "text", "doc_id")
+    val (report, _) = Dedup.incrementalMinhash(idx, batch, "text", "doc_id")
+    val p = plan(report)
+    // the batch-scoped candidate contract at the plan level: the stored
+    // banding is cut down map-side by a broadcast LeftSemi before any pair
+    // join — a shuffled semi (or none at all) would mean the stored side
+    // pays a full exchange per day
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected broadcast left-semi on the stored bucket rows:\n$p")
+  }
+
   test("salted aggregation plans two aggregation phases over distinct keys") {
     val df = graft.operators.SkewOps.saltedAggregate(
       graft.queries.Tables(spark, dir, "events"), Seq("event_type"),

@@ -172,6 +172,58 @@ class StreamingSpec extends SparkSpec {
     runOnce()
     assert(spark.table(s"$db.cleansed").count() == 3)
   }
+
+  test("every-N-batches compaction inside the ingest loop: same content, bounded files") {
+    // 20 single-file micro-batches append-fragment the target table; the
+    // maintenance hook compacts every 5 batches. The compacted run must end
+    // with the SAME table content as an identical run without maintenance,
+    // a bounded file count, and correct between-batch reads (each batch
+    // re-reads the table it may have just compacted).
+    val src = Files.createTempDirectory("graft_cstream")
+    (0 until 20).foreach { i =>
+      Files.writeString(src.resolve(f"f$i%02d.csv"), s"$i,${i * 10}.5\n")
+    }
+    val db = s"cstreamdb${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+
+    def dataFiles(table: String): Int = {
+      val (_, ms) = graft.catalog.Compaction.listManifests(spark, table)
+      ms.map(_.files).sum
+    }
+    def runIngest(table: String, compactEvery: Int): Long = {
+      spark.sql(s"DROP TABLE IF EXISTS $db.$table")
+      val ckpt = Files.createTempDirectory("graft_cstream_ck").toString
+      var betweenBatchReads = 0L
+      val q = StreamingOps.fileArrivalPipeline(spark, src.toString, "csv",
+        "id INT, amount DOUBLE", ckpt, Map("maxFilesPerTrigger" -> "1"),
+        maintainTable = if (compactEvery > 0) Some(s"$db.$table") else None,
+        compactEvery = compactEvery, compactTargetBytes = 128L << 20) { (batch, _) =>
+        val s = batch.sparkSession
+        if (s.catalog.tableExists(s"$db.$table")) {
+          // between-batch read of the possibly-just-compacted table: rows
+          // already ingested must all be visible to the next batch
+          s.sql(s"REFRESH TABLE $db.$table")
+          betweenBatchReads = math.max(betweenBatchReads, s.table(s"$db.$table").count())
+          batch.write.mode("append").insertInto(s"$db.$table")
+        } else batch.write.saveAsTable(s"$db.$table")
+      }
+      q.awaitTermination()
+      spark.sql(s"REFRESH TABLE $db.$table")
+      betweenBatchReads
+    }
+
+    val reads = runIngest("maint", compactEvery = 5)
+    runIngest("plain", compactEvery = 0)
+    assert(reads == 19L, s"a between-batch read lost rows (max seen $reads of 19)")
+    val a = spark.table(s"$db.maint").orderBy("id").collect().toSeq
+    val b = spark.table(s"$db.plain").orderBy("id").collect().toSeq
+    assert(a == b, "maintained table content must equal the no-compaction run")
+    assert(dataFiles(s"$db.plain") >= 20, "fixture must fragment without maintenance")
+    // 4 compaction passes (after batches 5/10/15/20); the last leaves 1
+    // compacted file and 0 trailing appends
+    assert(dataFiles(s"$db.maint") <= 6,
+      s"maintained file count must stay bounded, got ${dataFiles(s"$db.maint")}")
+  }
 }
 
 class StreamingDqSpec extends SparkSpec {
