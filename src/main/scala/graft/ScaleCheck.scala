@@ -471,6 +471,26 @@ object ScaleCheck {
           queries.TextQueries.Bm25Queries, k = 10).count()))
     }
 
+    // Persisted BM25 index: encode-only append of a fixed batch + search vs
+    // a 1x/10x stored postings index (built OUTSIDE the timer — persisted
+    // state). Stored text is never re-tokenized; search prunes postings to
+    // the query-matched terms map-side — daily wall must grow well under Nx.
+    locally {
+      val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + lit(3000L * offset)).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+        val (p, l) = operators.Retrieval.bm25Index(
+          df.select(col("doc_id"), col("text")), "text", "doc_id")
+        val (pi, li) = (p.localCheckpoint(true), l.localCheckpoint(true))
+        timed(s"bm25 index append fixed batch + top-10 search vs $tag index")(((),
+          { val (p2, l2) = operators.Retrieval.bm25Append(pi, li, batch,
+              "text", "doc_id")
+            operators.Retrieval.bm25Search(p2, l2, "doc_id",
+              queries.TextQueries.Bm25Queries, k = 10).count() }))
+      }
+    }
+
     // DSIR importance resampling: both models collapse to a 64-row broadcast
     // bucket table — runtime tracks corpus tokens (~Nx), shuffle is the
     // (doc, bucket) aggregation, never the token stream twice.

@@ -40,21 +40,86 @@ object Retrieval {
                queries: Seq[(String, String)], k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queries.nonEmpty, "at least one query required")
-    val spark = docs.sparkSession
+    val qterms = queryTerms(docs.sparkSession, queries)
+    val lens = docs.select(col(idCol),
+      size(S.tokens(col(textCol))).cast("long").as("__dl"))
+    // one-shot shape: semi-join BEFORE the tf aggregation, so only the
+    // query-matched token slice ever aggregates/shuffles (the 100× contract
+    // PlanSpec + BASELINE pin); the index path instead pays the full-vocab
+    // aggregation ONCE at build time and filters thereafter
+    val matched = docs
+      .select(col(idCol), explode(S.tokens(col(textCol))).as("token"))
+      .join(broadcast(qterms.select(col("token")).distinct()), Seq("token"), "left_semi")
+    val tf = matched.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__tf"))
+    scoreBm25(qterms, tf, lens, idCol, k, k1, b)
+  }
+
+  /** Persisted BM25 INDEX: ONE text scan producing the two frames sparse
+    * retrieval needs — postings (token, id, tf) and document lengths
+    * (id, dl). Both are APPEND-ONLY under corpus growth: term frequency is
+    * doc-local, and every corpus-level statistic (df, N, avgdl) is priced
+    * at SEARCH time from the index, so a daily batch appends via
+    * [[bm25Append]] without touching or re-scoring a single stored row —
+    * the sparse twin of [[Ann.ivfPqIndex]]/`ivfPqAppend`, and unlike the
+    * dense path there is no model to go stale. Write both frames
+    * (postings bucketed by token so a query's semi-join prunes files) and
+    * the raw text never needs to be read again. */
+  def bm25Index(docs: DataFrame, textCol: String,
+                idCol: String): (DataFrame, DataFrame) = {
+    val lens = docs.select(col(idCol),
+      size(S.tokens(col(textCol))).cast("long").as("__dl"))
+    val postings = docs
+      .select(col(idCol), explode(S.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__tf"))
+    (postings, lens)
+  }
+
+  /** Append a batch to a persisted BM25 index: tokenize the BATCH only and
+    * union — stored postings are untouched (tf is doc-local; df/N/avgdl are
+    * search-time aggregates). Id uniqueness is the caller's, as in
+    * [[Ann.ivfPqAppend]]. */
+  def bm25Append(postings: DataFrame, lens: DataFrame, batch: DataFrame,
+                 textCol: String, idCol: String): (DataFrame, DataFrame) = {
+    val (bp, bl) = bm25Index(batch, textCol, idCol)
+    (postings.unionByName(bp), lens.unionByName(bl))
+  }
+
+  /** BM25 over a persisted index: the query terms broadcast-semi-join the
+    * postings down to matching terms (never the vocabulary — map-side, no
+    * postings shuffle), df comes from the matched slice, N/avgdl from one
+    * narrow aggregate over the length frame. The scoring tail is shared
+    * with [[bm25TopK]] (q105 pins the one-shot path, q170 pins
+    * build+append+search against the same oracle). */
+  def bm25Search(postings: DataFrame, lens: DataFrame, idCol: String,
+                 queries: Seq[(String, String)], k: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "at least one query required")
+    val qterms = queryTerms(postings.sparkSession, queries)
+    val tf = postings
+      .join(broadcast(qterms.select(col("token")).distinct()), Seq("token"), "left_semi")
+      .select(col(idCol), col("token"), col("__tf"))
+    scoreBm25(qterms, tf, lens, idCol, k, k1, b)
+  }
+
+  /** (query_id, token) term frame — query terms lowercased, deduplicated. */
+  private def queryTerms(spark: org.apache.spark.sql.SparkSession,
+                         queries: Seq[(String, String)]): DataFrame = {
     import spark.implicits._
-    val qterms = queries
+    queries
       .flatMap { case (qid, q) =>
         q.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
           .map(t => (qid, t))
       }
       .toDF("query_id", "token")
-    val lens = docs.select(col(idCol),
-      size(S.tokens(col(textCol))).cast("long").as("__dl"))
+  }
+
+  /** Shared BM25 scoring tail over a (idCol, token, __tf) frame — ONE
+    * implementation behind both [[bm25TopK]] and [[bm25Search]], so the
+    * arithmetic the q105 oracle pins bit-for-bit cannot drift between the
+    * one-shot and persisted-index paths. */
+  private def scoreBm25(qterms: DataFrame, tf: DataFrame, lens: DataFrame,
+                        idCol: String, k: Int, k1: Double, b: Double): DataFrame = {
     val stats = lens.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
-    val matched = docs
-      .select(col(idCol), explode(S.tokens(col(textCol))).as("token"))
-      .join(broadcast(qterms.select(col("token")).distinct()), Seq("token"), "left_semi")
-    val tf = matched.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__tf"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
     val contrib = broadcast(qterms)
       .join(tf, Seq("token"))

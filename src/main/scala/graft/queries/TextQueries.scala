@@ -1336,6 +1336,23 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Persisted BM25 index as a fixpoint operator (Retrieval.bm25Index /
+    // bm25Append / bm25Search): postings + lengths built over HALF the
+    // corpus, APPENDED with the other half (stored rows untouched — tf is
+    // doc-local, df/N/avgdl are search-time aggregates), then searched.
+    // Must equal the from-scratch q105 result bit-for-bit: the index is
+    // append-only by construction, the sparse twin of q169.
+    "q170_bm25_index" -> ((s, d) => {
+      import graft.operators.Retrieval
+      val docs = Tables(s, d, "documents")
+      val (p0, l0) = Retrieval.bm25Index(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id")
+      val (p1, l1) = Retrieval.bm25Append(p0, l0,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text", "doc_id")
+      Retrieval.bm25Search(p1, l1, "doc_id", Bm25Queries, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // DSIR importance resampling (Sampling.dsirSample): hashed-unigram
     // importance weights of the English slice vs the whole corpus, Gumbel
     // top-100 under md5-derived deterministic noise. The oracle replays the
@@ -3393,8 +3410,17 @@ object TextQueries {
       FROM f ORDER BY media_id, frame_no""",
     // BM25 replay: tf over query-matched terms, df, doclen/avgdl (ALL docs,
     // token-less count 0), Lucene idf, same rounded-score + doc-id ranking.
-    // The VALUES list mirrors TextQueries.Bm25Queries.
-    "q105_bm25" -> """
+    // The VALUES list mirrors TextQueries.Bm25Queries. q170 (persisted
+    // index: build half + append half + search) must equal the same
+    // from-scratch replay — the append-only no-drift contract.
+    "q170_bm25_index" -> bm25OracleSql,
+    "q105_bm25" -> bm25OracleSql,
+  ) ++ lateOracles
+
+  // shared by q105 (one-shot) and q170 (persisted index) — one replay, two
+  // paths, no drift possible. Lazy: referenced from `oracles` above its
+  // declaration point (object init order).
+  private lazy val bm25OracleSql: String = """
       WITH q(query_id, qtext) AS (VALUES
         ('qa','spark join merge'), ('qb','customer order value'),
         ('qc','window agg batch'), ('qd','slow table scan')),
@@ -3412,7 +3438,9 @@ object TextQueries {
       scored AS (SELECT query_id, doc_id, round(sum(c), 6) AS score_r FROM contrib GROUP BY 1, 2),
       ranked AS (SELECT query_id, doc_id, score_r,
         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_r DESC, doc_id) AS BIGINT) AS "rank" FROM scored)
-      SELECT query_id, doc_id, score_r, "rank" FROM ranked WHERE "rank" <= 10 ORDER BY query_id, "rank"""",
+      SELECT query_id, doc_id, score_r, "rank" FROM ranked WHERE "rank" <= 10 ORDER BY query_id, "rank""""
+
+  private lazy val lateOracles: Map[String, String] = Map(
     // DSIR replay: md5 token buckets mod 64, add-one smoothed target/source
     // models, per-doc weighted sums, md5-derived Gumbel keys, top-100.
     "q106_dsir" -> """

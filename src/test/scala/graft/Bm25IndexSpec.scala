@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.functions._
+
+/** Persisted BM25 index (Retrieval.bm25Index / bm25Append / bm25Search):
+  * append-only postings + lengths, search equality with the one-shot path. */
+class Bm25IndexSpec extends SparkSpec {
+
+  private lazy val docs = sf("documents").select(col("doc_id"), col("text"))
+  private val queries = Seq("qa" -> "spark join merge", "qb" -> "customer order value")
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Double, Long)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+
+  test("build(A) + append(B) searches identically to the one-shot path over A∪B") {
+    val (p0, l0) = Retrieval.bm25Index(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id")
+    val (p1, l1) = Retrieval.bm25Append(p0, l0,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text", "doc_id")
+    val viaIndex = Retrieval.bm25Search(p1, l1, "doc_id", queries, k = 10)
+    val oneShot = Retrieval.bm25TopK(docs, "text", "doc_id", queries, k = 10)
+    assert(rows(viaIndex) == rows(oneShot))
+  }
+
+  test("append is append-only: stored postings rows are a subset of the appended index") {
+    val a = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val b = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val (p0, l0) = Retrieval.bm25Index(a, "text", "doc_id")
+    val (p1, l1) = Retrieval.bm25Append(p0, l0, b, "text", "doc_id")
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val stored = key(p0)
+    val appended = key(p1)
+    assert(stored.subsetOf(appended), "append must not rewrite stored postings")
+    assert((appended -- stored).forall { case (id, _, _) => id % 2 == 1 },
+      "new rows must come from the batch only")
+    assert(l1.count() == docs.count())
+  }
+
+  test("search result is invariant to how the corpus was split across appends") {
+    val thirds = (0 until 3).map(i => docs.filter(pmod(col("doc_id"), lit(3)) === i))
+    val (pa, la) = Retrieval.bm25Index(thirds(0), "text", "doc_id")
+    val (pb, lb) = Retrieval.bm25Append(pa, la, thirds(1), "text", "doc_id")
+    val (pc, lc) = Retrieval.bm25Append(pb, lb, thirds(2), "text", "doc_id")
+    val threeAppends = Retrieval.bm25Search(pc, lc, "doc_id", queries, k = 10)
+    val (pd, ld) = Retrieval.bm25Index(docs, "text", "doc_id")
+    val oneBuild = Retrieval.bm25Search(pd, ld, "doc_id", queries, k = 10)
+    assert(rows(threeAppends) == rows(oneBuild))
+  }
+}

@@ -129,4 +129,69 @@ class PartitionInvarianceSpec extends SparkSpec {
         nodes, "doc_id", iterations = 3)
     }
   }
+
+  // Round-10 extension: the fixpoint/index family — daily-path operators
+  // whose reports feed downstream decisions (what to keep, what to search),
+  // where a partition-dependent answer would silently fork the corpus.
+  test("round-10 fixpoint/index operators are partition-invariant") {
+    invariant("weighted sample") { d =>
+      graft.operators.Sampling.weightedSample(
+        d.select(col("doc_id"),
+          log(col("n_chars").cast("double") + 1.0).as("logw")),
+        "doc_id", "logw", 50, "pi")
+    }
+    invariant("mg sketch (exact regime)") { d =>
+      d.groupBy(col("lang")).agg(SK.mg_sketch(col("source"), 64).as("sk"))
+    }
+    invariant("incremental minhash report (exact regime)") { d =>
+      val stored = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), col("text"))
+      val batch = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select((col("doc_id") + 50000).as("doc_id"), col("text"))
+      val idx = graft.operators.Dedup.minhashIndex(stored, "text", "doc_id")
+      graft.operators.Dedup.incrementalMinhash(idx, batch, "text", "doc_id",
+        threshold = 0.999)._1
+    }
+    invariant("incremental dedup report") { d =>
+      val toks = d.select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(S.tokens(col("text"))).as("toks"))
+      graft.operators.Dedup.incrementalDedup(
+        toks.filter(pmod(col("doc_id"), lit(2)) === 0),
+        toks.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .withColumn("doc_id", col("doc_id") + 50000),
+        "toks", "doc_id", Seq("lang", "source"), 0.7)
+    }
+    invariant("bm25 search over built+appended index") { d =>
+      import graft.operators.Retrieval
+      val (p0, l0) = Retrieval.bm25Index(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id")
+      val (p1, l1) = Retrieval.bm25Append(p0, l0,
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), "text", "doc_id")
+      Retrieval.bm25Search(p1, l1, "doc_id",
+        Seq("qa" -> "spark join merge", "qb" -> "customer order value"), k = 10)
+    }
+  }
+
+  test("ivf-pq search over built+appended index is partition-invariant") {
+    val emb = sf("embeddings").select(col("vec_id"), col("embedding"))
+    val centroids =
+      graft.functions.expressions.HashExpressions.fixedCentroids(100, 16, 64)
+    val fc = graft.functions.expressions.HashExpressions.fixedCentroids(200, 128, 8)
+    val codebooks = Array.tabulate(8)(j => fc.slice(j * 16, j * 16 + 16))
+    def run(e: DataFrame): Set[org.apache.spark.sql.Row] = {
+      val idx = graft.operators.Ann.ivfPqAppend(
+        graft.operators.Ann.ivfPqIndex(e.filter(pmod(col("vec_id"), lit(2)) === 0),
+          "embedding", "vec_id", centroids, codebooks),
+        e.filter(pmod(col("vec_id"), lit(2)) === 1), "embedding", "vec_id",
+        centroids, codebooks)
+      graft.operators.Ann.ivfPqSearch(idx,
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        "embedding", "vec_id", "query_id", centroids, codebooks,
+        k = 10, nprobe = 4).collect().toSet
+    }
+    val a = run(emb.coalesce(1))
+    val b = run(emb.repartition(7, col("vec_id")))
+    assert(a == b && a.nonEmpty)
+  }
 }
