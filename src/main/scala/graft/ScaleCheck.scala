@@ -78,6 +78,22 @@ object ScaleCheck {
     timed("connected components (auto cutover) 1x")(((),
       operators.ConnectedComponents.run(pairs1, "id_a", "id_b").count()))
 
+    // Incremental CC: FIXED daily edge batch merged into a 1x/10x stored
+    // labeling (built OUTSIDE the timer). The replay graph is the
+    // batch-touched components' star edges + the batch — compare against
+    // the from-scratch distributed rows above, which re-traverse the graph.
+    locally {
+      val batchE = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + lit(1L)).as("dst"))
+        .localCheckpoint(true)
+      Seq(pairs1 -> "1x", pairsN -> s"${n}x").foreach { case (p, tag) =>
+        val labels = operators.ConnectedComponents.run(p, "id_a", "id_b",
+          localEdgeThreshold = 0).localCheckpoint(true)
+        timed(s"incremental CC, fixed edge batch vs $tag stored labeling")(((),
+          operators.ConnectedComponents.incremental(labels, batchE).count()))
+      }
+    }
+
     // Adversarial LSH skew: a flood of IDENTICAL docs puts one degenerate
     // bucket in every band — unguarded, the within-bucket self-join is
     // quadratic in the flood (50k copies → 1.25B candidate pairs per band).

@@ -1090,6 +1090,26 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental connected components (ConnectedComponents.incremental):
+    // a stored labeling (deterministic synthetic graph over 2/3 of the
+    // edges) merged with the remaining third as the daily batch — replay
+    // touches only batch-affected components via their star edges, yet the
+    // result must equal from-scratch CC over the FULL edge set, which is
+    // exactly what the oracle's recursive CTE computes.
+    "q171_incremental_cc" -> ((s, d) => {
+      import graft.operators.ConnectedComponents
+      val ids = Tables(s, d, "documents").select(col("doc_id"))
+      val edges = ids
+        .select(col("doc_id").as("src"),
+          (col("doc_id") % lit(500L) * lit(7L) % lit(1000L)).as("dst"))
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      val stored = ConnectedComponents.run(
+        edges.filter(pmod(col("src"), lit(3)) =!= 0), "src", "dst")
+      ConnectedComponents.incremental(stored,
+          edges.filter(pmod(col("src"), lit(3)) === 0), "src", "dst")
+        .orderBy(col("vertex"))
+    }),
+
     // Weighted sample without replacement (Sampling.weightedSample):
     // Efraimidis-Spirakis Gumbel keys over stable per-id uniforms — k docs
     // drawn ∝ exp(logw) deterministically; the top-k is a bounded
@@ -2875,6 +2895,24 @@ object TextQueries {
       SELECT d.doc_id, COALESCE(rec.component, d.doc_id) AS component
       FROM documents d LEFT JOIN rec ON d.doc_id = rec.v
       ORDER BY d.doc_id""",
+    // Incremental-CC replay: the SAME deterministic synthetic edge set, but
+    // solved from scratch with the recursive min-label CTE — the
+    // incremental path (stored 2/3 + star-edge replay of the batch-touched
+    // components) must land on identical labels.
+    "q171_incremental_cc" -> """
+      WITH ids AS (SELECT doc_id FROM documents),
+      e0 AS (
+        SELECT d.doc_id AS src, d.doc_id % 500 * 7 % 1000 AS dst
+        FROM ids d
+        WHERE EXISTS (SELECT 1 FROM ids x WHERE x.doc_id = d.doc_id % 500 * 7 % 1000)),
+      edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      rec AS (
+        WITH RECURSIVE reach(v, l) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, reach.l FROM reach JOIN edges e ON e.src = reach.v)
+        SELECT v, min(l) AS component FROM reach GROUP BY v)
+      SELECT v AS vertex, component FROM rec ORDER BY vertex""",
     "q50_chunking" -> """
       WITH toks AS (
         SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t FROM documents),

@@ -208,6 +208,33 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(statuses(103L) == "kept")
   }
 
+  test("incremental CC: chained daily batches equal from-scratch CC; merges handled") {
+    import graft.operators.ConnectedComponents
+    // deterministic graph with a planted MERGE case: components {1,2,3} and
+    // {10,11} exist in the stored labeling; the batch bridges them (3-10)
+    // and adds a brand-new component {100,101}
+    val stored0 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("src", "dst")
+    val batch1 = Seq((3L, 10L), (100L, 101L)).toDF("src", "dst")
+    val labels0 = ConnectedComponents.run(stored0)
+    val inc = ConnectedComponents.incremental(labels0, batch1)
+    val scratch = ConnectedComponents.run(stored0.unionByName(batch1))
+    val asMap = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asMap(inc) == asMap(scratch))
+    assert(asMap(inc)(11L) == 1L, "bridged components must take the global min")
+    assert(asMap(inc)(20L) == 20L && asMap(inc)(21L) == 20L,
+      "untouched component keeps its label")
+    // chain a second day on the FIRST day's output (the fixpoint shape),
+    // on the distributed path too (localEdgeThreshold = 0)
+    val batch2 = Seq((21L, 101L)).toDF("src", "dst")
+    val inc2 = ConnectedComponents.incremental(inc, batch2,
+      localEdgeThreshold = 0)
+    val scratch2 = ConnectedComponents.run(
+      stored0.unionByName(batch1).unionByName(batch2))
+    assert(asMap(inc2) == asMap(scratch2))
+    assert(asMap(inc2)(101L) == 20L)
+  }
+
   test("fixpoint: survivors join the corpus; re-running the batch drops everything") {
     val stored = toks(Seq(5L -> "a b c d e"))
     val batch = toks(Seq(100L -> "a b c d e", 101L -> "p q r s t",
