@@ -342,6 +342,66 @@ object ScaleCheck100 {
       }
     }
 
+    // ---- 16b. persisted-index fixpoints at 100×: BM25 postings
+    // append+search and IVF-PQ append+search vs 100×-grown indexes (built
+    // OUTSIDE the timers — persisted state), plus incremental CC against a
+    // 100×-node stored labeling. The daily path must stay batch-scoped.
+    locally {
+      val bmBatch = perturbed(0).filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + lit(3000L * offset)).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      Seq(perturbed(0) -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+        val (p, l) = operators.Retrieval.bm25Index(
+          df.select(col("doc_id"), col("text")), "text", "doc_id")
+        val (pi, li) = (p.localCheckpoint(true), l.localCheckpoint(true))
+        timed(s"bm25 index append fixed batch + top-10 search vs $tag index")(((),
+          { val (p2, l2) = operators.Retrieval.bm25Append(pi, li, bmBatch,
+              "text", "doc_id")
+            operators.Retrieval.bm25Search(p2, l2, "doc_id",
+              queries.TextQueries.Bm25Queries, k = 10).count() }))
+      }
+
+      val embAll = queries.Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val eoff = embAll.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val embRep = (0 until n).map(i => embAll.select(
+          (col("vec_id") + lit(i.toLong * eoff)).as("vec_id"), col("embedding")))
+        .reduce(_ unionByName _)
+      val centroids =
+        graft.functions.expressions.HashExpressions.fixedCentroids(100, 16, 64)
+      val fcb = graft.functions.expressions.HashExpressions.fixedCentroids(200, 128, 8)
+      val codebooks = Array.tabulate(8)(j => fcb.slice(j * 16, j * 16 + 16))
+      val vBatch = embAll.filter(pmod(col("vec_id"), lit(7)) === 0)
+        .select((col("vec_id") + lit(100L * eoff * n)).as("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      val vq = embAll.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding")).localCheckpoint(true)
+      Seq(embAll -> "1x", embRep -> s"${n}x").foreach { case (df, tag) =>
+        val idx = operators.Ann.ivfPqIndex(df, "embedding", "vec_id",
+          centroids, codebooks).localCheckpoint(true)
+        timed(s"ivf-pq append fixed batch + top-10 search vs $tag index")(((),
+          operators.Ann.ivfPqSearch(
+            operators.Ann.ivfPqAppend(idx, vBatch, "embedding", "vec_id",
+              centroids, codebooks),
+            vq, "embedding", "vec_id", "query_id", centroids, codebooks,
+            k = 10, nprobe = 4).count()))
+      }
+
+      // 10-star components; the fixed batch bridges 500 component pairs —
+      // the honest merge shape, still batch-scoped
+      def starGraph(nodes: Long) = spark.range(nodes)
+        .select(col("id").as("src"), (col("id") - pmod(col("id"), lit(10))).as("dst"))
+      val ccBatch = spark.range(500)
+        .select((col("id") * 20).as("src"), (col("id") * 20 + 10).as("dst"))
+        .localCheckpoint(true)
+      Seq(10000L -> "1x", 1000000L -> s"${n}x").foreach { case (nn, tag) =>
+        val labels = operators.ConnectedComponents.run(starGraph(nn), "src", "dst",
+          localEdgeThreshold = 0).localCheckpoint(true)
+        timed(s"incremental CC, fixed 500-bridge batch vs $tag stored labeling")(((),
+          operators.ConnectedComponents.incremental(labels, ccBatch).count()))
+      }
+    }
+
     // ---- 16. incremental minhash at 100×: FIXED daily batch against a
     // 100×-grown stored signature INDEX (perturbed replicas). The index is
     // built outside the timer (persisted state in the daily contract); the
