@@ -126,7 +126,14 @@ object Compaction {
             }
           })
         }
-        futures.foreach(f => byDir ++= f.get()) // merged in top-listing order
+        try futures.foreach(f => byDir ++= f.get()) // merged in top-listing order
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            // callers match on the raw IO error, not the pool wrapper; and
+            // the other in-flight listings are doomed work — cancel them
+            pool.shutdownNow()
+            throw Option(e.getCause).getOrElse(e)
+        }
       } finally {
         pool.shutdown()
         pool.awaitTermination(1, TimeUnit.MINUTES)
@@ -217,7 +224,12 @@ object Compaction {
           }
         })
       }
-      futures.foreach(_.get())
+      try futures.foreach(_.get())
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          pool.shutdownNow() // remaining rewrites are doomed work
+          throw Option(e.getCause).getOrElse(e)
+      }
     } finally {
       pool.shutdown()
       pool.awaitTermination(1, TimeUnit.MINUTES)
@@ -255,14 +267,25 @@ object Compaction {
       }
     } catch {
       case e: Throwable =>
+        // every rollback rename's RESULT is checked: a silently-failed
+        // un-swap or restore would leave duplicate (or missing) rows while
+        // the message claims a clean restore — report exactly what happened
+        val failedRestores = scala.collection.mutable.ArrayBuffer.empty[String]
         movedIn.reverseIterator.foreach { case (live, back) =>
-          if (fs.exists(live)) fs.rename(live, back)
+          if (fs.exists(live) && !fs.rename(live, back))
+            failedRestores += s"un-swap $live"
         }
         moved.reverseIterator.foreach { case (trashed, orig) =>
-          if (fs.exists(trashed)) fs.rename(trashed, orig)
+          if (fs.exists(trashed) && !fs.rename(trashed, orig))
+            failedRestores += s"restore $orig"
         }
+        val state =
+          if (failedRestores.isEmpty) "originals restored"
+          else s"ROLLBACK INCOMPLETE (${failedRestores.size} renames failed: " +
+            s"${failedRestores.take(5).mkString("; ")}) — table may hold " +
+            "duplicate or missing rows; reconcile against the scratch dir"
         throw new RuntimeException(
-          s"compaction swap failed; originals restored, scratch kept at $scratch", e)
+          s"compaction swap failed; $state, scratch kept at $scratch", e)
     }
     Scratch.delete(spark, scratch)
     spark.catalog.refreshTable(table)

@@ -6,7 +6,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -749,18 +749,32 @@ object SketchAggregates {
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[KllBuffer]
-    with UnaryLike[Expression] with ImplicitCastInputTypes {
+    with UnaryLike[Expression] {
     require(k >= 8 && k % 2 == 0, s"k must be even and >= 8: $k")
 
-    // numeric inputs coerce to double at analysis time; incompatible types
-    // (arrays, strings) fail analysis instead of throwing on the executor
-    override def inputTypes: Seq[DataType] = Seq(DoubleType)
+    // NUMERIC-only analysis check. Deliberately NOT ImplicitCastInputTypes
+    // with DoubleType: Spark's implicit cast would accept STRING columns
+    // too, silently turning non-numeric values into skipped nulls — a
+    // garbage sketch with no error anywhere. Numeric widths convert at
+    // update time instead, so kll_sketch(int_col, k) still just works.
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case _: NumericType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"kll_sketch requires a numeric column, got ${t.simpleString}")
+      }
 
     override def createAggregationBuffer(): KllBuffer = new KllBuffer(k)
 
     override def update(b: KllBuffer, input: InternalRow): KllBuffer = {
       val v = child.eval(input)
-      if (v != null) b.add(v.asInstanceOf[Double])
+      if (v != null) v match {
+        case d: java.lang.Number => b.add(d.doubleValue)
+        case d: Decimal => b.add(d.toDouble)
+        case other => throw new IllegalStateException(
+          s"kll_sketch: unexpected value type ${other.getClass.getName}")
+      }
       b
     }
 

@@ -80,16 +80,28 @@ object Layout {
     val sk = df.agg(SK.kll_sketch(valueCol.cast("double"), k).as("sk"))
     val row = sk.select((1 until n).map(i =>
       SK.kll_quantile(col("sk"), i.toDouble / n).as(s"q$i")): _*).head()
-    (0 until n - 1).map(row.getDouble).toArray
+    // an empty (or all-null) input yields null quantiles — 0 bounds = one
+    // range, the same graceful degradation repartitionByRange has
+    (0 until n - 1).flatMap(i =>
+      if (row.isNullAt(i)) None else Some(row.getDouble(i))).toArray
   }
 
   /** Range-bucket id (0..bounds.length) of `valueCol` under the given cut
-    * points: the count of bounds strictly below the value — a codegen'd
-    * when-chain, monotone in the value so bucket order IS value order. */
+    * points: the count of bounds strictly below the value, monotone in the
+    * value so bucket order IS value order. Small bound lists compile to a
+    * codegen'd when-chain; past 64 bounds the chain would blow the 64 KB
+    * generated-method limit (falling back to interpreted eval, or a
+    * StackOverflow at thousands of bounds — exactly the huge-partition case
+    * kllBounds targets), so larger lists count via one HOF filter over a
+    * constant array — a shallow expression whatever the bound count. */
   def rangeBucket(valueCol: Column, bounds: Array[Double]): Column =
-    bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(valueCol.cast("double") > lit(b), 1).otherwise(0)
-    }
+    if (bounds.length <= 64)
+      bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(valueCol.cast("double") > lit(b), 1).otherwise(0)
+      }
+    else
+      size(filter(typedLit(bounds.toSeq),
+        b => valueCol.cast("double") > b))
 
   /** Range repartition with KLL-priced bounds: assign the equal-mass bucket
     * id, place each bucket in ITS OWN partition via an exact identity
@@ -111,6 +123,7 @@ object Layout {
                             k: Int = 4096): DataFrame = {
     if (n <= 1) return df.coalesce(1).sortWithinPartitions(valueCol)
     val bounds = rangeBoundsFromKll(df, valueCol, n, k).distinct
+    if (bounds.isEmpty) return df.coalesce(1).sortWithinPartitions(valueCol)
     val m = bounds.length + 1
     val bucketed = df.withColumn("__kllb", rangeBucket(valueCol, bounds))
     val idx = bucketed.schema.fieldIndex("__kllb")

@@ -160,15 +160,18 @@ object StreamingOps {
     * MAINTENANCE HOOK: per-batch appends/upserts fragment the target table
     * by construction (the reason [[graft.catalog.Compaction]] exists), so
     * the driver can fold OPTIMIZE into the ingest loop itself — set
-    * `maintainTable` + `compactEvery` and every Nth batch is followed by a
+    * `maintainTable` + `compactEvery` and every Nth batch STARTS with a
     * [[graft.catalog.Compaction.compactTable]] pass on the SAME single-
-    * writer thread, i.e. strictly BETWEEN micro-batches: ingest and
+    * writer thread, strictly between micro-batch side effects: ingest and
     * maintenance cannot interleave, and content invariance is compaction's
     * own contract. (Readers in OTHER sessions keep the documented
     * trash-restore swap caveat — a Hive-layout table has no snapshot
     * isolation; StreamingSpec asserts between-batch reads stay correct.)
-    * A failed compaction pass fails the batch and restarts from the
-    * checkpoint like any other batch error. */
+    * Compaction runs BEFORE the batch's own side effect deliberately: a
+    * compaction failure then fails the batch with nothing yet written, so
+    * the checkpoint replay re-runs an uncommitted batch — whereas
+    * compacting AFTER processBatch would fail a batch whose sink write
+    * already happened and replay it into a non-idempotent sink twice. */
   def fileArrivalPipeline(spark: SparkSession, path: String, format: String,
                           schemaDdl: String, checkpoint: String,
                           options: Map[String, String] = Map.empty,
@@ -178,18 +181,21 @@ object StreamingOps {
                           compactTargetBytes: Long = 128L << 20,
                           compactCurve: Option[org.apache.spark.sql.Column] = None)
                          (processBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(maintainTable.isEmpty || compactEvery > 0,
+      "maintainTable is set but compactEvery <= 0 — maintenance would silently never run")
     val stream = fileArrivalStream(spark, path, format, schemaDdl, options)
     val w = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        processBatch(batch, id)
         maintainTable.foreach { t =>
-          if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+          if (compactEvery > 0 && id > 0 && id % compactEvery == 0 &&
+              batch.sparkSession.catalog.tableExists(t)) {
             graft.catalog.Compaction.compactTable(batch.sparkSession, t,
               targetBytes = compactTargetBytes, curve = compactCurve)
             ()
           }
         }
+        processBatch(batch, id)
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }

@@ -55,6 +55,22 @@ class AnnIndexSpec extends SparkSpec {
     assert(key(viaIndex) == key(scratch))
   }
 
+  test("index and model round-trip through parquet: search from disk is identical") {
+    val (cs, cb) = fixedModel()
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    Ann.ivfPqIndex(emb, "embedding", "vec_id", cs, cb)
+      .write.mode("overwrite").parquet(s"$base/index")
+    Ann.ivfPqModelToDf(spark, cs, cb).write.mode("overwrite").parquet(s"$base/model")
+    val (cs2, cb2) = Ann.ivfPqModelFromDf(spark.read.parquet(s"$base/model"))
+    val fromDisk = Ann.ivfPqSearch(spark.read.parquet(s"$base/index"), queries,
+      "embedding", "vec_id", "query_id", cs2, cb2, k = 10, nprobe = 4)
+    val fromMem = Ann.ivfPqTopK(emb, queries, "embedding", "vec_id",
+      "query_id", cs, cb, k = 10, nprobe = 4)
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(key(fromDisk) == key(fromMem))
+  }
+
   test("stale-model append: recall vs brute force within 0.15 of a full retrain") {
     // model TRAINED on the initial half only, the batch encoded under it —
     // the honest daily shape. Recall@10 against exact brute force must stay

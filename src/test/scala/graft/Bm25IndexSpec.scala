@@ -38,6 +38,17 @@ class Bm25IndexSpec extends SparkSpec {
     assert(l1.count() == docs.count())
   }
 
+  test("postings and lengths round-trip through parquet: search from disk is identical") {
+    val (p, l) = Retrieval.bm25Index(docs, "text", "doc_id")
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+    p.write.mode("overwrite").parquet(s"$base/postings")
+    l.write.mode("overwrite").parquet(s"$base/lens")
+    val fromDisk = Retrieval.bm25Search(spark.read.parquet(s"$base/postings"),
+      spark.read.parquet(s"$base/lens"), "doc_id", queries, k = 10)
+    val fromMem = Retrieval.bm25TopK(docs, "text", "doc_id", queries, k = 10)
+    assert(rows(fromDisk) == rows(fromMem))
+  }
+
   test("search result is invariant to how the corpus was split across appends") {
     val thirds = (0 until 3).map(i => docs.filter(pmod(col("doc_id"), lit(3)) === i))
     val (pa, la) = Retrieval.bm25Index(thirds(0), "text", "doc_id")

@@ -208,6 +208,23 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(statuses(103L) == "kept")
   }
 
+  test("minhash index round-trips through parquet: incremental run from the re-read index is identical") {
+    import Dedup.{incrementalMinhash, minhashIndex}
+    val docs = sf("documents").select(col("doc_id"), col("text"))
+    val stored = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select((col("doc_id") + 70000).as("doc_id"), col("text"))
+    val idx = minhashIndex(stored, "text", "doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString
+    idx.write.mode("overwrite").parquet(dir) // the PERSISTED index the daily path reads
+    val reread = spark.read.parquet(dir)
+    val asSet = (df: DataFrame) => df.collect().map(r => (r.getLong(0),
+      r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val (rMem, _) = incrementalMinhash(idx, batch, "text", "doc_id", threshold = 0.9)
+    val (rDisk, _) = incrementalMinhash(reread, batch, "text", "doc_id", threshold = 0.9)
+    assert(asSet(rDisk) == asSet(rMem) && asSet(rDisk).nonEmpty)
+  }
+
   test("incremental CC: chained daily batches equal from-scratch CC; merges handled") {
     import graft.operators.ConnectedComponents
     // deterministic graph with a planted MERGE case: components {1,2,3} and

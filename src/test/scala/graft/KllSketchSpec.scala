@@ -119,21 +119,24 @@ class KllSketchSpec extends SparkSpec {
     assert(got == truth)
   }
 
-  test("integer inputs implicit-cast to double; incompatible types fail analysis") {
+  test("integer inputs just work; string and array inputs fail at analysis") {
     GraftExtensions.register(spark)
     (1 to 100).toDF("n").createOrReplaceTempView("kll_int_in")
     val est = spark.sql("SELECT kll_sketch(n, 64) AS sk FROM kll_int_in")
       .select(SK.kll_quantile(col("sk"), 0.5)).head().getDouble(0)
     assert(est == 51.0)
+    // strings must NOT silently coerce (non-numeric values would become
+    // skipped nulls — a garbage sketch with no error anywhere)
     Seq("a", "b").toDF("s").createOrReplaceTempView("kll_bad")
-    // string→double is NOT a sketch-safe coercion path we want silently:
-    // Spark's implicit cast does allow string→double, so probe with a type
-    // that genuinely can't coerce (array) and assert the analysis error
+    val es = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT kll_sketch(s, 64) FROM kll_bad").collect()
+    }
+    assert(es.getMessage.toLowerCase.contains("numeric"))
     Seq(Seq(1.0), Seq(2.0)).toDF("a").createOrReplaceTempView("kll_bad2")
-    val e = intercept[org.apache.spark.sql.AnalysisException] {
+    val ea = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT kll_sketch(a, 64) FROM kll_bad2").collect()
     }
-    assert(e.getMessage.toLowerCase.contains("double"))
+    assert(ea.getMessage.toLowerCase.contains("numeric"))
   }
 
   test("nulls are skipped; weights stay powers of two") {

@@ -81,6 +81,24 @@ class LayoutPruningSpec extends SparkSpec {
       s"KLL bounds ($kllDev) must not be worse than sampled bounds ($sampDev)")
   }
 
+  test("KLL range edge cases: empty/all-null input degrades to one partition; wide bound lists match the chain") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("v", LongType))))
+    assert(Layout.repartitionByKllRange(empty, col("v"), 8).rdd.getNumPartitions == 1)
+    val allNull = spark.range(100).select(lit(null).cast("long").as("v"))
+    assert(Layout.repartitionByKllRange(allNull, col("v"), 8).count() == 100)
+    // >64 bounds takes the HOF path — bucket ids must equal the chain's
+    val bounds = (1 until 100).map(_.toDouble * 10).toArray
+    val df = spark.range(0, 1000).select(col("id").cast("long").as("v"))
+    val viaHof = df.select(col("v"), Layout.rangeBucket(col("v"), bounds).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    df.collect().map(_.getLong(0)).foreach { v =>
+      val expect = bounds.count(v > _)
+      assert(viaHof(v) == expect, s"v=$v")
+    }
+  }
+
   test("z-order and hilbert layouts prune most files for a 2-D box; random layout touches all") {
     val base = java.nio.file.Files.createTempDirectory("graft_layout").toString
     // 32 files each

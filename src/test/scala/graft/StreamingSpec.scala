@@ -219,8 +219,9 @@ class StreamingSpec extends SparkSpec {
     val b = spark.table(s"$db.plain").orderBy("id").collect().toSeq
     assert(a == b, "maintained table content must equal the no-compaction run")
     assert(dataFiles(s"$db.plain") >= 20, "fixture must fragment without maintenance")
-    // 4 compaction passes (after batches 5/10/15/20); the last leaves 1
-    // compacted file and 0 trailing appends
+    // 3 compaction passes (at the START of batches 5/10/15 — before the
+    // batch's own write, so a compaction failure replays an uncommitted
+    // batch); batch 15's pass leaves 1 file + the 5 trailing appends
     assert(dataFiles(s"$db.maint") <= 6,
       s"maintained file count must stay bounded, got ${dataFiles(s"$db.maint")}")
   }
