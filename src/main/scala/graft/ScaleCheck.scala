@@ -440,6 +440,20 @@ object ScaleCheck {
         operators.Dedup.semanticDedupPairs(df, "embedding", "vec_id", sdCents,
           threshold = 0.3).count()))
     }
+    // SemDeDup over the persisted index: same cluster blocking, but pair
+    // scoring runs on m-byte CODES (SDC prefilter) and only survivors join
+    // raw vectors — the index is built outside the timer (persisted state).
+    locally {
+      val sdFc = functions.expressions.HashExpressions.fixedCentroids(300, 128, 8)
+      val sdCb = Array.tabulate(8)(j => sdFc.slice(j * 16, j * 16 + 16))
+      Seq(embT -> "1x", embN -> s"${n}x").foreach { case (df, tag) =>
+        val idx = operators.Ann.ivfPqIndex(df, "embedding", "vec_id",
+          sdCents, sdCb).localCheckpoint(true)
+        timed(s"semantic dedup over index (SDC prefilter) $tag")(((),
+          operators.Dedup.semanticDedupPairsIndexed(idx, df, "embedding",
+            "vec_id", sdCb, sdcMax = 80.0, threshold = 0.3).count()))
+      }
+    }
     // BPE training: the corpus is scanned ONCE (wordVocab aggregation);
     // each of the 5 merges runs over the vocab table, whose size is
     // replication-INVARIANT (same words, Nx frequencies) — total must grow

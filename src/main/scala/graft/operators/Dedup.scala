@@ -209,6 +209,56 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup over the PERSISTED IVF-PQ index — the codes-first variant of
+    * [[semanticDedupPairs]], closing the SemDeDup-over-index loop: candidate
+    * pairs come from the index's inverted lists (the index `__list` IS the
+    * nearest-centroid cluster id), each pair is PREFILTERED by the symmetric
+    * code distance (SDC — m table lookups into the precomputed subspace
+    * centroid-distance table, never a raw-vector read), and only SDC
+    * survivors join the raw vectors for the exact-cosine verify. At 100 TB
+    * the pair enumeration and prefilter run entirely over m-byte codes; raw
+    * vectors are touched for the surviving sliver only.
+    *
+    * `sdcMax` is a RECALL knob: SDC approximates the true L2 distance, so a
+    * tight τ drops true near-dups before the verify. The oracle (q172) pins
+    * the exact two-filter semantics — the SDC table is computed with the
+    * same sequential-diff-dot arithmetic as [[Ann]]'s ADC, so the SQL
+    * replay is bit-identical. Same hot-cluster chain-guard caveat as
+    * [[semanticDedupPairs]]. */
+  def semanticDedupPairsIndexed(index: DataFrame, raw: DataFrame,
+                                vecCol: String, idCol: String,
+                                codebooks: Array[Array[Array[Double]]],
+                                sdcMax: Double, threshold: Double,
+                                maxBucketSize: Int = 1000,
+                                codeCol: String = "code"): DataFrame = {
+    val kk = codebooks(0).length
+    val sub = codebooks(0)(0).length
+    val flat = new Array[Double](codebooks.length * kk * kk)
+    for (j <- codebooks.indices; a <- 0 until kk; b <- 0 until kk) {
+      var s = 0.0
+      var i = 0
+      while (i < sub) {
+        val t = codebooks(j)(a)(i) - codebooks(j)(b)(i); s += t * t; i += 1
+      }
+      flat(j * kk * kk + a * kk + b) = s
+    }
+    val flatLit = typedLit(flat.toSeq)
+    val cand = guardedBucketPairs(
+      index.select(col("__list"), col(idCol).as("id"), col(codeCol).as("cd")),
+      Seq("__list"), "id", Seq("cd"), maxBucketSize)
+    val sdc = codebooks.indices.map(j =>
+        element_at(flatLit, lit(j * kk * kk)
+          + element_at(col("cd_a"), j + 1) * kk
+          + element_at(col("cd_b"), j + 1) + lit(1)))
+      .reduce(_ + _) // left-associated, the order the oracle unrolls
+    cand.withColumn("__sdc", sdc).filter(col("__sdc") <= sdcMax)
+      .select(col("id_a"), col("id_b"))
+      .join(raw.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), Seq("id_a"))
+      .join(raw.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), S.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** SemDeDup keep-first: drop every vector that semantically near-dups an
     * earlier (lower-id) one within its cluster. */
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,

@@ -705,6 +705,25 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // SemDeDup over the persisted IVF-PQ index (Dedup.
+    // semanticDedupPairsIndexed): candidates from the index's inverted
+    // lists, SDC code-distance prefilter (m lookups into the subspace
+    // centroid-distance table — never a raw vector), exact-cosine verify on
+    // survivors only. Oracle replays list assignment, codes, the SDC table
+    // and the unrolled left-assoc SDC sum, then the cosine filter.
+    "q172_semdedup_index" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val centroids =
+        graft.functions.expressions.HashExpressions.fixedCentroids(100, 16, 64)
+      val fc = graft.functions.expressions.HashExpressions.fixedCentroids(200, 128, 8)
+      val codebooks = Array.tabulate(8)(j => fc.slice(j * 16, j * 16 + 16))
+      val idx = Ann.ivfPqIndex(emb, "embedding", "vec_id", centroids, codebooks)
+      Dedup.semanticDedupPairsIndexed(idx, emb, "embedding", "vec_id",
+          codebooks, sdcMax = 80.0, threshold = 0.2, maxBucketSize = 1 << 20)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Distributed k-means step (Ann.kmeansStep) with the fixed LCG centroids:
     // max-dot assignment + per-cluster counts and per-dimension means in ONE
     // scan + ONE aggregation — the semantic-clustering primitive (SemDeDup-
@@ -1863,6 +1882,40 @@ object TextQueries {
       SELECT query_id, vec_id, round(adc, 6) AS adc_r, CAST(rank AS BIGINT) AS rank
       FROM pqranked WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** q172 oracle: SemDeDup over the index — inverted-list pairs, the
+    * flattened subspace centroid-distance table (same sequential diff-dot
+    * arithmetic as the ADC tables), the UNROLLED left-associated 8-term SDC
+    * sum matching the Spark reduce, then the q90-style exact-cosine verify
+    * on SDC survivors. */
+  private val sdcTerms: String = (0 until 8).map(j =>
+    s"f[${j * 256} + x.code[${j + 1}]*16 + y.code[${j + 1}] + 1]").mkString(" + ")
+
+  private val semdedupIndexOracle: String = s"""$pqCtes,${ivfChainFor("vec_id < 5")},
+      sdcd AS (
+        SELECT a.j, a.c AS ca, b.c AS cb,
+          list_dot_product(
+            list_transform(range(1, 9), i -> a.cv[i] - b.cv[i]),
+            list_transform(range(1, 9), i -> a.cv[i] - b.cv[i])) AS d2
+        FROM cents a JOIN cents b ON a.j = b.j),
+      d2flat AS (SELECT list(d2 ORDER BY j, ca, cb) AS f FROM sdcd),
+      prs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM iassigned a JOIN iassigned b ON a.lst = b.lst AND a.vec_id < b.vec_id),
+      sdcv AS (
+        SELECT p.id_a, p.id_b, $sdcTerms AS s
+        FROM prs p JOIN codes x ON x.vec_id = p.id_a
+        JOIN codes y ON y.vec_id = p.id_b CROSS JOIN d2flat),
+      cosv AS (
+        SELECT k.id_a, k.id_b,
+          list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine
+        FROM (SELECT id_a, id_b FROM sdcv WHERE s <= 80.0) k
+        JOIN embeddings a ON a.vec_id = k.id_a
+        JOIN embeddings b ON b.vec_id = k.id_b)
+      SELECT id_a, id_b, round(cosine, 6) AS cosine_r
+      FROM cosv WHERE cosine >= 0.2 ORDER BY id_a, id_b"""
+
   /** q161 oracle: the q125 sparse BM25 chain fused with the REAL bucketed
     * dense leg — the q103 IVF-PQ chain with the anchor vectors as queries
     * (qPred selects them; the anchors VALUES list relabels vec ids to query
@@ -2208,6 +2261,7 @@ object TextQueries {
     // build(A) ∪ append(B) under one model ≡ encode(A∪B): the oracle is the
     // from-scratch IVF-PQ replay — the no-drift contract for the daily path
     "q169_ivfpq_index" -> ivfPqOracle,
+    "q172_semdedup_index" -> semdedupIndexOracle,
     "q161_hybrid_ivfpq" -> hybridIvfPqOracle,
     "q85_audio_decode" -> """
       WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents),

@@ -71,6 +71,31 @@ class AnnIndexSpec extends SparkSpec {
     assert(key(fromDisk) == key(fromMem))
   }
 
+  test("SemDeDup over the index: tau=inf reduces to semanticDedupPairs; SDC filter is monotone") {
+    import graft.operators.Dedup
+    val (cs, cb) = fixedModel()
+    val idx = Ann.ivfPqIndex(emb, "embedding", "vec_id", cs, cb)
+    def pairsAt(tau: Double): Set[(Long, Long)] =
+      Dedup.semanticDedupPairsIndexed(idx, emb, "embedding", "vec_id", cb,
+          sdcMax = tau, threshold = 0.2, maxBucketSize = 1 << 20)
+        .select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unfiltered = pairsAt(Double.MaxValue)
+    val plain = Dedup.semanticDedupPairs(emb, "embedding", "vec_id", cs,
+        threshold = 0.2, maxBucketSize = 1 << 20)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the index's inverted list IS the nearest-centroid cluster: with the
+    // prefilter open, the codes-first path must equal the raw-vector path
+    assert(unfiltered == plain)
+    val mid = pairsAt(80.0)
+    val tight = pairsAt(40.0)
+    assert(tight.subsetOf(mid) && mid.subsetOf(unfiltered),
+      "SDC prefilter must be monotone in tau")
+    assert(mid.nonEmpty && mid.size < unfiltered.size,
+      s"tau=80 must bite in this regime (${mid.size} of ${unfiltered.size})")
+  }
+
   test("stale-model append: recall vs brute force within 0.15 of a full retrain") {
     // model TRAINED on the initial half only, the batch encoded under it —
     // the honest daily shape. Recall@10 against exact brute force must stay
