@@ -820,6 +820,39 @@ object ScaleCheck {
       timed(s"profile sketch (hll p=12 x4) $tag")(((),
         sink(operators.Analytics.profileSketch(df, cols, p = 12))))
     }
+    // Kneser-Ney perplexity: LM trained on a 1x vs Nx corpus, FIXED score
+    // slice — the model is three hash-keyed aggregations off one kernel
+    // scan of the train side (8-byte keys in every exchange, map-side
+    // partial), scoring is pinned to the fixed slice; wall must track the
+    // train scan ~linearly, never a score×model product.
+    locally {
+      val scoreSlice = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+        timed(s"kn-bigram ppl, fixed score slice vs $tag train corpus")(((),
+          operators.Tfidf.knBigramPpl(df.select(col("doc_id"), col("text")),
+            scoreSlice, "text", "doc_id").count()))
+      }
+    }
+
+    // Sparse logistic regression: 3 GD iterations over hashed features of
+    // a 1x vs Nx corpus with the model living in a DataFrame — each
+    // iteration is one feature-keyed join + two map-side-partial
+    // aggregations over the sparse rows, so wall must grow ~linearly in
+    // the corpus, and the driver never holds a weight vector at either
+    // scale (feature building is outside the timer; the FIT is timed).
+    locally {
+      Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+        val labels = df.select(col("doc_id"),
+          (length(col("text")) >= 200).cast("int").as("y"))
+          .localCheckpoint(true)
+        val feats = operators.Retrieval.hashedTokenFeatures(
+          df, "text", "doc_id", 1 << 18).localCheckpoint(true)
+        timed(s"sparse logistic 3 iters, 2^18 features $tag")(((),
+          operators.Retrieval.logisticFitSparse(feats, labels, "doc_id", "y",
+            iters = 3, lrNum = 1, lrDen = 1)._2.count()))
+      }
+    }
     spark.stop()
   }
 }

@@ -619,6 +619,30 @@ object HashExpressions {
     override def prettyName: String = "bigram_hashes"
   }
 
+  /** array<struct(w1h, w2h, bgh)>: per-position (condition-word,
+    * continuation-word, bigram) hashes for Kneser-Ney counting
+    * ([[Kernels.knBigramHashes]]). */
+  case class KnBigramHashesExpr(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType || child.dataType == NullType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string input, got ${child.dataType.sql}")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("w1h", LongType, nullable = false),
+      StructField("w2h", LongType, nullable = false),
+      StructField("bgh", LongType, nullable = false))), containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.knBigramHashes(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $KernelsClass.knBigramHashes($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "kn_bigram_hashes"
+  }
+
   /** struct(n_grams, n_hits): a document's distinct word-n-gram count and
     * how many of them hit the (driver-built, codegen-referenced) Bloom
     * bitset — the probe side of [[SketchAggregates.BloomSketchAgg]]. The
@@ -673,6 +697,7 @@ object HashExpressions {
   def bloom_gram_hits(text: Column, n: Int, kHashes: Int, bits: Array[Byte]): Column =
     column(BloomGramHitsExpr(expression(text), n, kHashes, bits))
   def bigram_hashes(text: Column): Column = column(BigramHashesExpr(expression(text)))
+  def kn_bigram_hashes(text: Column): Column = column(KnBigramHashesExpr(expression(text)))
   def simhash64(tokens: Column): Column = column(SimHash64Expr(expression(tokens)))
   def hyperplane_bucket(vec: Column, dim: Int, planes: Int): Column =
     column(HyperplaneBucketExpr(expression(vec), dim, planes))

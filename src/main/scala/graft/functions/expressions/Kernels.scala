@@ -669,6 +669,31 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Per-position bigram hash TRIPLES in one pass: element i =
+    * struct(xxhash64(w_i), xxhash64(w_i+1), xxhash64("w_i w_i+1")) — the
+    * (condition-word, continuation-word, bigram) keys interpolated
+    * Kneser-Ney needs (the continuation distribution is keyed by the RIGHT
+    * word, which [[bigramHashes]] doesn't carry). Empty below 2 tokens.
+    * Tokenization replicates SimilarityFunctions.tokens. */
+  def knBigramHashes(text: UTF8String): ArrayData = {
+    val toks = tokensOf(text)
+    if (toks.length < 2) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](toks.length)
+    var j = 0
+    while (j < toks.length) { hs(j) = xx(UTF8String.fromString(toks(j))); j += 1 }
+    val out = new Array[Any](toks.length - 1)
+    val sb = new java.lang.StringBuilder(48)
+    var i = 0
+    while (i < toks.length - 1) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1))
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](hs(i), hs(i + 1), xx(UTF8String.fromString(sb.toString))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Probe a document's DISTINCT word n-grams against a Bloom bitset in one
     * pass: returns (n_grams, n_hits) where n_grams counts the distinct
     * n-token windows and n_hits those whose kHashes md5-derived positions

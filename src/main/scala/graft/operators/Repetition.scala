@@ -134,9 +134,19 @@ object Repetition {
     * back is left to AQE rather than force-broadcast. Each document is
     * rebuilt ROW-LOCALLY from its own text and its sorted hot-start list in
     * one kernel pass ([[graft.functions.expressions.Kernels.scrubSpans]]).
-    * Returns (id, n_tokens, n_removed, scrubbed_text). */
+    * Returns (id, n_tokens, n_removed, scrubbed_text).
+    *
+    * `keepFirst = true` is the Lee et al. KEEP-ONE contract: each hot
+    * n-gram's corpus-first occurrence (min (doc, position) — deterministic
+    * however the corpus is partitioned) is exempt from the scrub, so exactly
+    * one copy of every duplicated run survives the corpus instead of zero
+    * (remove-all destroys legitimately-common constructs; keep-one only
+    * destroys the repetition). Cost: one more hot-keyed aggregation (the
+    * per-gram min struct, map-side partial) and the first-occurrence
+    * anti-condition — both on the hot subset only, not the corpus. */
   def scrubRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
-                         n: Int = 8, minDocs: Int = 2): DataFrame = {
+                         n: Int = 8, minDocs: Int = 2,
+                         keepFirst: Boolean = false): DataFrame = {
     require(n > 0 && minDocs >= 2, s"need n > 0, minDocs >= 2: $n, $minDocs")
     import graft.functions.expressions.HashExpressions.gram_hash_pairs
     import graft.functions.expressions.TextStatsExpressions.scrub_spans
@@ -146,7 +156,18 @@ object Repetition {
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select(col("__gh"))
-    val hotStarts = grams.join(hot, Seq("__gh"))
+    val hotOcc = grams.join(hot, Seq("__gh"))
+    val scrubOcc =
+      if (!keepFirst) hotOcc
+      else {
+        val firsts = hotOcc.groupBy(col("__gh"))
+          .agg(min(struct(col(idCol), col("__p"))).as("__f"))
+        hotOcc.join(firsts, Seq("__gh"))
+          .filter(!(col(idCol) === col("__f").getField(idCol) &&
+            col("__p") === col("__f").getField("__p")))
+          .drop("__f")
+      }
+    val hotStarts = scrubOcc
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("__p"))).as("__starts"))
     df.select(col(idCol), col(textCol)).join(hotStarts, Seq(idCol), "left")

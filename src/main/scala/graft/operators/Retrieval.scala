@@ -291,6 +291,140 @@ object Retrieval {
     (w, preds)
   }
 
+  /** Hashed bag-of-words features: (id, feature, cnt) with feature =
+    * md5-bucket of the token mod `numFeatures` (the fastText/Vowpal-Wabbit
+    * hashing trick — no vocabulary pass, collisions fold rare tokens
+    * together). md5 rather than xxhash so the bucket assignment replays in
+    * the SQL oracle; any hash serves the trick itself. One explode + one
+    * (id, feature) count aggregation, map-side combinable. */
+  def hashedTokenFeatures(docs: DataFrame, textCol: String, idCol: String,
+                          numFeatures: Int): DataFrame = {
+    require(numFeatures > 0, s"numFeatures must be positive: $numFeatures")
+    docs.select(col(idCol), explode(S.tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), pmod(
+        conv(substring(md5(col("__tok")), 1, 15), 16, 10).cast("long"),
+        lit(numFeatures.toLong)).as("feature"))
+      .groupBy(col(idCol), col("feature"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Deterministic distributed SPARSE logistic regression — [[logisticFit]]
+    * for the regime where the MODEL no longer fits on the driver: weights
+    * live in a DataFrame (feature → weight), updated by joins, never
+    * collected. With hashed text features ([[hashedTokenFeatures]]) at
+    * 2³⁰ buckets — or raw token-id features with a billion-type vocabulary —
+    * the same plan fits; q165's dense path folds m+1 longs on the driver and
+    * caps m at driver memory.
+    *
+    * Determinism adds ONE trick to q165's three (rational sigmoid, floored
+    * integer gradient terms, fixed-order scalar updates): weights are
+    * QUANTIZED to longs (wq = w·wScale), so the per-document margin
+    * z = (Σ_f wq(f)·cnt + wq(bias)) / wScale is an exact integer sum under
+    * any partitioning — the one place the dense path relied on driver-held
+    * doubles. Each weight update is scalar IEEE arithmetic per feature row:
+    *   wq += ⌊(lrNum·g(f) as double)·wScale / (lrDen·scale·n)⌋
+    * — every op individually correctly rounded, so any engine agrees
+    * bit-for-bit; the SQL oracle unrolls iterations as CTEs over the same
+    * count tables (q174).
+    *
+    * Per iteration: one feats⨝weights join (feature-keyed), one per-doc
+    * integer-sum aggregation, one labels join, one per-feature gradient
+    * aggregation (both map-side partial), one weights⨝gradient join — all
+    * bounded by |feats| rows; the weights frame is localCheckpoint'd per
+    * iteration so lineage stays flat over any iteration count. The bias is
+    * feature −1 with cnt 1 on every labeled row. Gradient-term flooring
+    * biases each term down by <1/scale — the q165 price of exactness.
+    *
+    * @param feats  (idCol, feature: long, cnt: long) sparse rows — build
+    *               with [[hashedTokenFeatures]] or supply any integer
+    *               feature stream; ids without rows get bias-only scores
+    * @param labels (idCol, labelCol) with 0/1 labels, one row per id
+    * @return (weights (feature, wq, w), preds (idCol, label, z_r, p_r, pred)) */
+  def logisticFitSparse(feats: DataFrame, labels: DataFrame, idCol: String,
+                        labelCol: String, iters: Int, lrNum: Long, lrDen: Long,
+                        scale: Long = 1000000L, wScale: Long = 1000000L):
+      (DataFrame, DataFrame) = {
+    require(iters >= 0 && lrNum > 0 && lrDen > 0 && scale > 0 && wScale > 0)
+    val spark = feats.sparkSession
+    val n = labels.count()
+    require(n > 0, "empty label frame")
+    // Materialized EAGERLY, for two reasons: (1) the feature stream is
+    // probed 2× per iteration (margin join + gradient join) — recomputing
+    // tokenize/hash/count every probe would dominate the fit; (2) guards a
+    // measured Spark 4.1.2 wrong-result: with the union's arms sharing a
+    // repartitioned parquet lineage, the later gradient self-join
+    // (allFeats ⨝ err-derived-from-allFeats) returned every row TWICE
+    // (plan-reuse canonicalization — reproduced only with parquet source +
+    // RepartitionByExpression upstream; the invariance spec pins the fix).
+    val allFeats = withBias(feats, labels, idCol).localCheckpoint(true)
+    import spark.implicits._
+    var w: DataFrame = Seq.empty[(Long, Long)].toDF("feature", "wq")
+    for (_ <- 1 to iters)
+      w = sparseGdStep(allFeats, labels, w, idCol, labelCol, n,
+        lrNum, lrDen, scale, wScale).localCheckpoint(true)
+    val z = sparseMargin(allFeats, w, idCol, wScale)
+    val preds = z
+      .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
+      .select(col(idCol), col(labelCol),
+        round(col("z"), 6).as("z_r"),
+        round(fastSigmoid(col("z")), 6).as("p_r"),
+        (fastSigmoid(col("z")) >= 0.5).as("pred"))
+    (w.select(col("feature"), col("wq"),
+      (col("wq").cast("double") / lit(wScale.toDouble)).as("w")), preds)
+  }
+
+  /** The rational fast-sigmoid σ̃(z) = 1/2 + (z/2)/(1+|z|) — only
+    * correctly-rounded IEEE ops, the engine-independence contract of the
+    * logistic family (no libm exp in any fit or score path). */
+  def fastSigmoid(z: Column): Column =
+    lit(0.5) + (z / lit(2.0)) / (lit(1.0) + abs(z))
+
+  /** Per-id margin z = (Σ wq(f)·cnt) / wScale over a sparse feature frame —
+    * an exact integer sum however the data is partitioned. */
+  private def sparseMargin(allFeats: DataFrame, w: DataFrame, idCol: String,
+                           wScale: Long): DataFrame =
+    allFeats.join(w, Seq("feature"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("wq"), lit(0L)) * col("cnt")).as("__znum"))
+      .select(col(idCol), (col("__znum").cast("double") / lit(wScale.toDouble)).as("z"))
+
+  /** ONE deterministic batch-GD step over sparse features: weights in,
+    * weights out — the unit [[logisticFitSparse]] iterates offline and the
+    * streaming online fit applies once per micro-batch (mini-batch SGD).
+    * The weight merge is a FULL OUTER join: offline the gradient side
+    * always covers the weight side (same rows every step) so it degenerates
+    * to the left join, but ONLINE a stored weight whose feature is absent
+    * from today's batch must survive untouched, not vanish.
+    * `allFeats` must carry the bias rows (feature −1, cnt 1 per labeled id)
+    * and should be materialized (it is probed twice). */
+  def sparseGdStep(allFeats: DataFrame, labels: DataFrame, w: DataFrame,
+                   idCol: String, labelCol: String, n: Long,
+                   lrNum: Long, lrDen: Long, scale: Long = 1000000L,
+                   wScale: Long = 1000000L): DataFrame = {
+    require(n > 0 && lrNum > 0 && lrDen > 0 && scale > 0 && wScale > 0)
+    val err = sparseMargin(allFeats, w, idCol, wScale)
+      .join(labels.select(col(idCol), col(labelCol).cast("double").as("__y")), Seq(idCol))
+      .select(col(idCol), (col("__y") - fastSigmoid(col("z"))).as("__e"))
+    val g = allFeats.join(err, Seq(idCol))
+      .groupBy(col("feature"))
+      .agg(sum(floor(col("__e") * col("cnt").cast("double") *
+        lit(scale.toDouble))).as("__g"))
+    g.join(w, Seq("feature"), "full_outer")
+      .select(col("feature"),
+        (coalesce(col("wq"), lit(0L)) +
+          when(col("__g").isNull, lit(0L)).otherwise(
+            floor((lit(lrNum) * col("__g")).cast("double") * lit(wScale.toDouble) /
+              (lit(lrDen.toDouble) * lit(scale.toDouble) * lit(n.toDouble)))
+              .cast("long"))).as("wq"))
+  }
+
+  /** Bias-augmented sparse feature frame for the logistic family: the
+    * caller's (id, feature, cnt) rows plus (id, −1, 1) per labeled id. */
+  def withBias(feats: DataFrame, labels: DataFrame, idCol: String): DataFrame =
+    feats.select(col(idCol), col("feature").cast("long").as("feature"),
+        col("cnt").cast("long").as("cnt"))
+      .unionByName(labels.select(col(idCol), lit(-1L).as("feature"), lit(1L).as("cnt")))
+
   /** Per-class precision / recall / F1 over (label, pred) pairs — the
     * model-quality readout every classifier-driven curation step (langid
     * routing, NB filtering) needs next to it. Exact integer confusion

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{SimilarityFunctions => S}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -80,6 +80,115 @@ object Tfidf {
       .agg(count(lit(1)).as("n_bigrams"),
         avg(-log((col("__c2").cast("double") + 1.0) /
           (col("__c1").cast("double") + col("__v").cast("double")))).as("nll"))
+  }
+
+  /** Per-document interpolated Kneser-Ney bigram NLL/perplexity — the real
+    * smoothing behind CCNet-style LM quality filtering ([[bigramNll]]'s
+    * add-one is a placeholder next to it; KN's continuation distribution is
+    * what separates "rare but well-formed" from "out-of-distribution").
+    * TRAIN and SCORE corpora are separate arguments (self-scoring = pass the
+    * same frame twice), so the filter generalizes: every unseen-event branch
+    * is defined and exercised.
+    *
+    * Model (absolute discount D ∈ (0,1), default 0.75):
+    *   c2(w1,w2)   bigram count          c1(w1) = Σ_w2 c2   (left totals)
+    *   nf(w1)      distinct continuations of w1
+    *   nl(w2)      distinct left contexts of w2
+    *   T           distinct bigram types    V = distinct train tokens
+    *   p_cont(w2)  = (nl(w2)+1) / (T+V+1)   — add-one over continuation
+    *                 types keeps unseen w2 finite (mass held out for OOV)
+    *   p(w2|w1)    = max(c2−D,0)/c1 + (D·nf(w1)/c1)·p_cont(w2)   if c1>0
+    *               = p_cont(w2)                                   otherwise
+    * score = mean over the doc's bigrams of −ln p; ppl = e^score.
+    *
+    * Scale shape: one codegen'd kernel pass per document emits 8-byte
+    * (w1, w2, bigram) hash triples ([[graft.functions.expressions.Kernels
+    * .knBigramHashes]]); the model is THREE vocabulary-sized hash
+    * aggregations derived from one bigram-type table (all map-side partial),
+    * scoring is three token-keyed joins left to AQE (broadcast when the
+    * vocabulary allows, shuffle when web-scale — the [[tfidf]] reasoning),
+    * and (T, V) ride along as one broadcast row. Nothing is ever collected:
+    * the LM itself is a DataFrame, so a 100 TB train corpus with a
+    * billion-type vocabulary fits the same plan. Hash-keyed counts collide
+    * at ~vocab²/2⁶⁴ (immaterial for a quality signal; collision-free at
+    * oracle scale — the oracle groups gram STRINGS). Docs with <2 tokens
+    * emit no row. Returns (id [, groupCols], n_bigrams, nll, ppl).
+    *
+    * `groupCols` fits ONE INDEPENDENT LM PER GROUP in the same plan — the
+    * CCNet shape (a model per language): every model aggregation and
+    * scoring join simply adds the group columns to its key, so a hundred
+    * languages cost one pass, not a hundred plan branches; (T, V) become a
+    * groups-sized broadcast table instead of one row. Score rows join to
+    * their own group's model only (a doc whose group never appeared in
+    * train scores against empty counts → pure smoothed mass). */
+  def knBigramPpl(train: DataFrame, score: DataFrame, textCol: String,
+                  idCol: String, discount: Double = 0.75,
+                  groupCols: Seq[String] = Nil): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, s"discount must be in (0,1): $discount")
+    import graft.functions.expressions.HashExpressions.kn_bigram_hashes
+    val g = groupCols.map(col)
+    def bigrams(d: DataFrame, extra: Column*): DataFrame =
+      d.select(extra ++ g :+ explode(kn_bigram_hashes(col(textCol))).as("bg"): _*)
+        .select(extra ++ g ++ Seq(col("bg.w1h").as("w1h"), col("bg.w2h").as("w2h"),
+          col("bg.bgh").as("bgh")): _*)
+    val bi = bigrams(train).groupBy(g ++ Seq(col("w1h"), col("w2h"), col("bgh")): _*)
+      .agg(count(lit(1)).as("__c2"))
+    val left = bi.groupBy(g :+ col("w1h"): _*)
+      .agg(sum(col("__c2")).as("__c1"), count(lit(1)).as("__nf"))
+    val cont = bi.groupBy(g :+ col("w2h"): _*).agg(count(lit(1)).as("__nl"))
+    val vocab = train.select(g :+ explode(S.tokens(col(textCol))).as("t"): _*)
+      .groupBy(g: _*).agg(countDistinct(col("t")).as("__v"))
+    val types = bi.groupBy(g: _*).agg(count(lit(1)).as("__t"))
+    val totals =
+      if (groupCols.isEmpty) types.crossJoin(vocab)
+      else types.join(vocab, groupCols)
+    // __t/__v coalesce: a score group absent from train has no totals row —
+    // p_cont degenerates to (nl+1)/(0+0+1) = 1, the pure-smoothing floor
+    val pCont = (coalesce(col("__nl"), lit(0L)).cast("double") + 1.0) /
+      (coalesce(col("__t"), lit(0L)).cast("double") +
+        coalesce(col("__v"), lit(0L)).cast("double") + 1.0)
+    val p = when(col("__c1").isNotNull,
+        greatest(coalesce(col("__c2"), lit(0L)).cast("double") - discount, lit(0.0)) /
+          col("__c1").cast("double") +
+          lit(discount) * col("__nf").cast("double") / col("__c1").cast("double") * pCont)
+      .otherwise(pCont)
+    val scored = bigrams(score, col(idCol))
+      .join(bi.select(g ++ Seq(col("bgh"), col("__c2")): _*),
+        groupCols :+ "bgh", "left")
+      .join(left, groupCols :+ "w1h", "left")
+      .join(cont, groupCols :+ "w2h", "left")
+    val withTotals =
+      if (groupCols.isEmpty) scored.crossJoin(broadcast(totals))
+      else scored.join(broadcast(totals), groupCols, "left")
+    withTotals
+      .groupBy(col(idCol) +: g: _*)
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(-log(p)).as("nll"))
+      .withColumn("ppl", exp(col("nll")))
+  }
+
+  /** CCNet-style perplexity buckets: fit one KN bigram LM PER GROUP
+    * ([[knBigramPpl]] with `groupCols`), self-score, and cut each group's
+    * perplexity distribution into `nBuckets` rank buckets (CCNet keeps
+    * head/middle and drops the tail at 3). Bucketing is ntile over
+    * (rounded ppl, id) within the group — deterministic and
+    * engine-replayable; the rank sort is one per-group window (the exact
+    * formulation; at extreme per-group cardinality the KLL cut-point route
+    * — [[graft.operators.CorpusStats.sketchQuantiles]] — computes the same
+    * cuts without a sort, the q160 tradeoff). A group whose every doc has
+    * <2 tokens emits nothing (no LM evidence either way).
+    * Returns (id [, groupCols], n_bigrams, ppl_r, bucket 1..nBuckets). */
+  def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String,
+                        groupCols: Seq[String], nBuckets: Int = 3,
+                        discount: Double = 0.75): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 buckets: $nBuckets")
+    val scoredCols = (idCol +: groupCols).map(col)
+    knBigramPpl(docs, docs, textCol, idCol, discount, groupCols)
+      .withColumn("ppl_r", round(col("ppl"), 3))
+      .withColumn("bucket", ntile(nBuckets).over(
+        Window.partitionBy(groupCols.map(col): _*)
+          .orderBy(col("ppl_r"), col(idCol))).cast("long"))
+      .select(scoredCols ++ Seq(col("n_bigrams"), col("ppl_r"), col("bucket")): _*)
   }
 
   /** Top-k highest-tfidf tokens per document (deterministic: rounded score,

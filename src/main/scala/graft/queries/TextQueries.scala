@@ -724,6 +724,34 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Interpolated Kneser-Ney bigram perplexity (Tfidf.knBigramPpl): LM
+    // trained on the 90% slice (doc_id % 10 <> 0), ALL docs scored — unseen
+    // bigrams, unseen contexts and unseen continuations all exercised. The
+    // oracle rebuilds the four count tables over gram STRINGS and replays
+    // the discounted-interpolation formula exactly.
+    "q173_kn_ppl" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      graft.operators.Tfidf.knBigramPpl(
+          docs.filter(col("doc_id") % 10 =!= 0), docs, "text", "doc_id")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("nll"), 6).as("nll_r"), round(col("ppl"), 3).as("ppl_r"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CCNet perplexity buckets (Tfidf.perplexityBuckets): one KN bigram LM
+    // PER LANGUAGE in a single plan (group columns ride every model key),
+    // self-scored, per-language ntile terciles over (rounded ppl, id).
+    // The oracle rebuilds the per-lang count tables and replays the
+    // interpolation and the ntile cut exactly.
+    "q175_ccnet_buckets" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      graft.operators.Tfidf.perplexityBuckets(docs, "text", "doc_id", Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_bigrams"), col("ppl_r"),
+          col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Distributed k-means step (Ann.kmeansStep) with the fixed LCG centroids:
     // max-dot assignment + per-cluster counts and per-dimension means in ONE
     // scan + ONE aggregation — the semantic-clustering primitive (SemDeDup-
@@ -1002,6 +1030,26 @@ object TextQueries {
       val (_, preds) = graft.operators.Retrieval.logisticFit(docs,
         Seq("f_len", "f_the"), "doc_id", "y",
         iters = 4, lrNum = 1, lrDen = 1)
+      preds.select(col("doc_id"), col("y").cast(LongType).as("y"),
+          col("z_r"), col("p_r"), col("pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic distributed SPARSE logistic regression
+    // (Retrieval.logisticFitSparse): the weights-as-a-DataFrame regime —
+    // hashed bag-of-words features (md5 buckets mod 256), 3 batch-GD
+    // iterations, weights QUANTIZED to longs so the per-doc margin is an
+    // exact integer sum under any partitioning. The oracle unrolls all
+    // three iterations as CTEs over the same (doc, feature, cnt) table —
+    // the fit itself replays, not just the scoring.
+    "q174_sparse_logistic" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val labels = docs.select(col("doc_id"),
+        (expr("regexp_count(text, '\\\\bthe\\\\b')") >= 2).cast(IntegerType).as("y"))
+      val feats = graft.operators.Retrieval.hashedTokenFeatures(
+        docs, "text", "doc_id", 256)
+      val (_, preds) = graft.operators.Retrieval.logisticFitSparse(
+        feats, labels, "doc_id", "y", iters = 3, lrNum = 1, lrDen = 1)
       preds.select(col("doc_id"), col("y").cast(LongType).as("y"),
           col("z_r"), col("p_r"), col("pred"))
         .orderBy(col("doc_id"))
@@ -1415,6 +1463,21 @@ object TextQueries {
           .otherwise(col("text")).as("text"))
       graft.operators.Repetition.scrubRepeatedSpans(docs, "doc_id", "text",
           n = 8, minDocs = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Keep-one span scrub (scrubRepeatedSpans(keepFirst = true)): the Lee
+    // et al. exact-substring-dedup contract — each hot 8-gram's corpus-first
+    // occurrence (min (doc, pos)) survives, every other copy is masked. Same
+    // planted banner as q107; the first banner-carrying doc keeps it.
+    "q176_span_scrub_keepone" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" subscribe to our newsletter for updates" +
+            " terms of service apply today")))
+          .otherwise(col("text")).as("text"))
+      graft.operators.Repetition.scrubRepeatedSpans(docs, "doc_id", "text",
+          n = 8, minDocs = 2, keepFirst = true)
         .orderBy(col("doc_id"))
     }),
 
@@ -2813,6 +2876,54 @@ object TextQueries {
       SELECT doc_id, y, round(z, 6) AS z_r, round(p, 6) AS p_r,
              p >= 0.5 AS pred
       FROM scored ORDER BY doc_id""",
+    "q174_sparse_logistic" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS tok
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      labels AS (
+        SELECT doc_id, CASE WHEN len(regexp_extract_all(text, '\bthe\b')) >= 2
+                            THEN 1 ELSE 0 END AS y
+        FROM documents),
+      feats AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 256 AS feature,
+               count(*) AS cnt
+        FROM toks GROUP BY 1, 2
+        UNION ALL SELECT doc_id, -1 AS feature, 1 AS cnt FROM labels),
+      c AS (SELECT count(*) AS n FROM labels),
+      e1 AS (SELECT doc_id, y - 0.5 AS e FROM labels),
+      g1 AS (SELECT feature, sum(CAST(floor(e * CAST(cnt AS DOUBLE) * 1000000.0) AS BIGINT)) AS g
+             FROM feats JOIN e1 USING (doc_id) GROUP BY feature),
+      w1 AS (SELECT feature, CAST(floor(CAST(1 * g AS DOUBLE) * 1000000.0
+               / (1.0 * 1000000.0 * c.n)) AS BIGINT) AS wq
+             FROM g1 CROSS JOIN c),
+      z2 AS (SELECT f.doc_id, sum(coalesce(w1.wq, 0) * f.cnt) AS znum
+             FROM feats f LEFT JOIN w1 USING (feature) GROUP BY f.doc_id),
+      e2 AS (SELECT l.doc_id, l.y - (0.5 + (z / 2.0) / (1.0 + abs(z))) AS e
+             FROM (SELECT doc_id, CAST(znum AS DOUBLE) / 1000000.0 AS z FROM z2) zz
+             JOIN labels l USING (doc_id)),
+      g2 AS (SELECT feature, sum(CAST(floor(e * CAST(cnt AS DOUBLE) * 1000000.0) AS BIGINT)) AS g
+             FROM feats JOIN e2 USING (doc_id) GROUP BY feature),
+      w2 AS (SELECT feature, coalesce(w1.wq, 0) + CAST(floor(CAST(1 * g AS DOUBLE) * 1000000.0
+               / (1.0 * 1000000.0 * c.n)) AS BIGINT) AS wq
+             FROM g2 LEFT JOIN w1 USING (feature) CROSS JOIN c),
+      z3 AS (SELECT f.doc_id, sum(coalesce(w2.wq, 0) * f.cnt) AS znum
+             FROM feats f LEFT JOIN w2 USING (feature) GROUP BY f.doc_id),
+      e3 AS (SELECT l.doc_id, l.y - (0.5 + (z / 2.0) / (1.0 + abs(z))) AS e
+             FROM (SELECT doc_id, CAST(znum AS DOUBLE) / 1000000.0 AS z FROM z3) zz
+             JOIN labels l USING (doc_id)),
+      g3 AS (SELECT feature, sum(CAST(floor(e * CAST(cnt AS DOUBLE) * 1000000.0) AS BIGINT)) AS g
+             FROM feats JOIN e3 USING (doc_id) GROUP BY feature),
+      w3 AS (SELECT feature, coalesce(w2.wq, 0) + CAST(floor(CAST(1 * g AS DOUBLE) * 1000000.0
+               / (1.0 * 1000000.0 * c.n)) AS BIGINT) AS wq
+             FROM g3 LEFT JOIN w2 USING (feature) CROSS JOIN c),
+      zf AS (SELECT f.doc_id, sum(coalesce(w3.wq, 0) * f.cnt) AS znum
+             FROM feats f LEFT JOIN w3 USING (feature) GROUP BY f.doc_id),
+      scored AS (SELECT doc_id, CAST(znum AS DOUBLE) / 1000000.0 AS z FROM zf)
+      SELECT s.doc_id, CAST(l.y AS BIGINT) AS y,
+             round(s.z, 6) AS z_r,
+             round(0.5 + (s.z / 2.0) / (1.0 + abs(s.z)), 6) AS p_r,
+             (0.5 + (s.z / 2.0) / (1.0 + abs(s.z))) >= 0.5 AS pred
+      FROM scored s JOIN labels l USING (doc_id) ORDER BY s.doc_id""",
     // Incremental-minhash replay (exact regime): group by the sorted
     // distinct 3-shingle set; a batch doc with a stored set-mate is
     // dup_of_stored (min stored id), else dup_in_batch toward the group's
@@ -3297,6 +3408,73 @@ object TextQueries {
       ORDER BY doc_id""",
     // BPE pair-count replay: word-frequency vocab, adjacent char pairs via
     // LATERAL position unnest, weighted sums, same deterministic top-100.
+    "q173_kn_ppl" -> """
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS ts
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      bg_all AS (
+        SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+        WHERE len(ts) >= 2),
+      tr AS (SELECT * FROM bg_all WHERE doc_id % 10 <> 0),
+      bi AS (SELECT w1, w2, count(*) AS c2 FROM tr GROUP BY 1, 2),
+      lft AS (SELECT w1, sum(c2) AS c1, count(*) AS nf FROM bi GROUP BY 1),
+      cont AS (SELECT w2, count(*) AS nl FROM bi GROUP BY 1),
+      tot AS (SELECT (SELECT count(*) FROM bi) AS t,
+                     (SELECT count(DISTINCT u) FROM
+                        (SELECT unnest(ts) AS u FROM toks WHERE doc_id % 10 <> 0)) AS v),
+      scored AS (
+        SELECT s.doc_id,
+          CASE WHEN lft.c1 IS NOT NULL THEN
+            greatest(CAST(coalesce(bi.c2, 0) AS DOUBLE) - 0.75, 0.0) / lft.c1
+            + 0.75 * lft.nf / lft.c1
+              * (CAST(coalesce(cont.nl, 0) AS DOUBLE) + 1.0) / (tot.t + tot.v + 1.0)
+          ELSE (CAST(coalesce(cont.nl, 0) AS DOUBLE) + 1.0) / (tot.t + tot.v + 1.0)
+          END AS p
+        FROM bg_all s
+        LEFT JOIN bi USING (w1, w2)
+        LEFT JOIN lft USING (w1)
+        LEFT JOIN cont USING (w2)
+        CROSS JOIN tot)
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(avg(-ln(p)), 6) AS nll_r,
+             round(exp(avg(-ln(p))), 3) AS ppl_r
+      FROM scored GROUP BY doc_id ORDER BY doc_id""",
+    "q175_ccnet_buckets" -> """
+      WITH toks AS (
+        SELECT doc_id, lang, regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS ts
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      bg AS (
+        SELECT doc_id, lang, ts[i] AS w1, ts[i+1] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+        WHERE len(ts) >= 2),
+      bi AS (SELECT lang, w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2, 3),
+      lft AS (SELECT lang, w1, sum(c2) AS c1, count(*) AS nf FROM bi GROUP BY 1, 2),
+      cont AS (SELECT lang, w2, count(*) AS nl FROM bi GROUP BY 1, 2),
+      tot AS (SELECT lang, count(*) AS t FROM bi GROUP BY 1),
+      voc AS (SELECT lang, count(DISTINCT u) AS v FROM
+                (SELECT lang, unnest(ts) AS u FROM toks) GROUP BY 1),
+      scored AS (
+        SELECT s.doc_id, s.lang,
+          CASE WHEN lft.c1 IS NOT NULL THEN
+            greatest(CAST(coalesce(bi.c2, 0) AS DOUBLE) - 0.75, 0.0) / lft.c1
+            + 0.75 * lft.nf / lft.c1
+              * (CAST(coalesce(cont.nl, 0) AS DOUBLE) + 1.0) / (tot.t + voc.v + 1.0)
+          ELSE (CAST(coalesce(cont.nl, 0) AS DOUBLE) + 1.0) / (tot.t + voc.v + 1.0)
+          END AS p
+        FROM bg s
+        LEFT JOIN bi USING (lang, w1, w2)
+        LEFT JOIN lft USING (lang, w1)
+        LEFT JOIN cont USING (lang, w2)
+        LEFT JOIN tot USING (lang)
+        LEFT JOIN voc USING (lang)),
+      ppl AS (
+        SELECT doc_id, lang, count(*) AS n_bigrams,
+               round(exp(avg(-ln(p))), 3) AS ppl_r
+        FROM scored GROUP BY 1, 2)
+      SELECT doc_id, lang, n_bigrams, ppl_r,
+             CAST(ntile(3) OVER (PARTITION BY lang ORDER BY ppl_r, doc_id) AS BIGINT) AS bucket
+      FROM ppl ORDER BY doc_id""",
     "q96_bpe_pairs" -> """
       WITH words AS (
         SELECT unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS word
@@ -3563,6 +3741,30 @@ object TextQueries {
         FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 8 + 2)) AS i) WHERE len(ts) >= 8),
       hot AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
       cov AS (SELECT DISTINCT g.doc_id, g.p + o AS cp FROM grams g JOIN hot USING (gh), LATERAL (SELECT unnest(range(0, 8)) AS o)),
+      tok AS (SELECT doc_id, i - 1 AS p, ts[i] AS t FROM toks, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i)),
+      kept AS (SELECT tok.doc_id, tok.p, tok.t FROM tok ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.cp),
+      agg AS (SELECT doc_id, count(*) AS n_kept, string_agg(t, ' ' ORDER BY p) AS txt FROM kept GROUP BY doc_id)
+      SELECT toks.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+             CAST(len(ts) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+             coalesce(agg.txt, '') AS scrubbed_text
+      FROM toks LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+    // Keep-one scrub replay: q107's pipeline plus a per-gram first-
+    // occurrence exemption (row_number over (doc, pos)); the anti-join
+    // removes only NON-first occurrences from coverage.
+    "q176_span_scrub_keepone" -> """
+      WITH docs AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+          THEN text || ' subscribe to our newsletter for updates terms of service apply today'
+          ELSE text END AS text FROM documents),
+      toks AS (SELECT doc_id, CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+          ELSE regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') END AS ts FROM docs),
+      grams AS (SELECT doc_id, i - 1 AS p, md5(array_to_string(ts[i:i+7], ' ')) AS gh
+        FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 8 + 2)) AS i) WHERE len(ts) >= 8),
+      hot AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+      occ AS (SELECT g.doc_id, g.p, g.gh,
+                row_number() OVER (PARTITION BY g.gh ORDER BY g.doc_id, g.p) AS rn
+              FROM grams g JOIN hot USING (gh)),
+      scrub AS (SELECT doc_id, p FROM occ WHERE rn > 1),
+      cov AS (SELECT DISTINCT s.doc_id, s.p + o AS cp FROM scrub s, LATERAL (SELECT unnest(range(0, 8)) AS o)),
       tok AS (SELECT doc_id, i - 1 AS p, ts[i] AS t FROM toks, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i)),
       kept AS (SELECT tok.doc_id, tok.p, tok.t FROM tok ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.cp),
       agg AS (SELECT doc_id, count(*) AS n_kept, string_agg(t, ' ' ORDER BY p) AS txt FROM kept GROUP BY doc_id)

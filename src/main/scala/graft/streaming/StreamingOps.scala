@@ -200,6 +200,57 @@ object StreamingOps {
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
+  /** ONLINE quality-classifier training — mini-batch SGD as a streaming
+    * maintenance loop: each micro-batch applies ONE deterministic sparse-GD
+    * step ([[graft.operators.Retrieval.sparseGdStep]]) to a persisted
+    * weights table. The model improves as labeled documents arrive and is
+    * readable between batches (scoring joins the table); nothing is ever
+    * collected to the driver, so the feature space scales like the offline
+    * fit (q174).
+    *
+    * Delivery semantics: foreachBatch is AT-LEAST-ONCE and a GD step is NOT
+    * idempotent, so the table carries the last applied `batch_id` and a
+    * re-delivered batch is SKIPPED (the standard batch-id dedup recipe; the
+    * CDC upsert's argmax merge absorbs replays algebraically, a fit cannot).
+    * Weights are written through `batch.sparkSession` and localCheckpoint'd
+    * before the overwrite (the table being replaced feeds the step).
+    * Empty micro-batches (state flushes) leave the table untouched. */
+  def onlineLogisticFit(docs: DataFrame, textCol: String, idCol: String,
+                        labelCol: String, numFeatures: Int,
+                        weightsTable: String, checkpoint: String,
+                        lrNum: Long = 1, lrDen: Long = 1,
+                        availableNow: Boolean = false): StreamingQuery = {
+    import graft.operators.Retrieval
+    val w = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val ss = batch.sparkSession
+        val labels = batch.select(col(idCol), col(labelCol)).localCheckpoint(true)
+        val n = labels.count()
+        val exists = ss.catalog.tableExists(weightsTable)
+        val applied = exists &&
+          ss.table(weightsTable).agg(max(col("batch_id"))).head().getLong(0) >= id
+        if (n > 0 && !applied) {
+          val feats = Retrieval.hashedTokenFeatures(
+            batch.toDF(), textCol, idCol, numFeatures)
+          val allFeats = Retrieval.withBias(feats, labels, idCol).localCheckpoint(true)
+          val prev =
+            if (exists) ss.table(weightsTable).select(col("feature"), col("wq"))
+            else {
+              import ss.implicits._
+              Seq.empty[(Long, Long)].toDF("feature", "wq")
+            }
+          val next = Retrieval.sparseGdStep(allFeats, labels, prev, idCol,
+              labelCol, n, lrNum, lrDen)
+            .withColumn("batch_id", lit(id))
+            .localCheckpoint(true)
+          next.write.mode("overwrite").saveAsTable(weightsTable)
+        }
+        ()
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
   /** Stream-stream INTERVAL JOIN — the attribution shape (click →
     * conversion within a window): inner-join two event streams on `keyCol`
     * where the right event lands in `[left.ts, left.ts + withinSecs]`.

@@ -527,6 +527,76 @@ class TfidfSpec extends SparkSpec {
     assert(out(2L)._2 > out(1L)._2) // rarer continuation scores higher
   }
 
+  test("knBigramPpl: all four unseen-event branches match the closed form") {
+    val train = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // model: bi types (a,b):2 (b,a):1 (a,c):1 → T=3; left a:(c1=3,nf=2)
+    // b:(c1=1,nf=1); cont nl(a)=nl(b)=nl(c)=1; V=3 → p_cont = (nl+1)/7
+    val score = Seq(
+      (1L, "a b a b"), // all seen
+      (2L, "a d"),     // seen context, unseen bigram AND continuation
+      (3L, "d b"),     // unseen context, seen continuation
+      (4L, "d e"),     // everything unseen
+      (5L, "solo")).toDF("doc_id", "text")
+    val out = Tfidf.knBigramPpl(train, score, "text", "doc_id")
+      .select("doc_id", "n_bigrams", "nll", "ppl")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(!out.contains(5L)) // <2 tokens → no bigrams
+    val pAB = 1.25 / 3.0 + 0.75 * 2.0 / 3.0 * (2.0 / 7.0)
+    val pBA = 0.25 + 0.75 * (2.0 / 7.0)
+    val nll1 = -(2 * math.log(pAB) + math.log(pBA)) / 3.0
+    assert(math.abs(out(1L)._2 - nll1) < 1e-12)
+    assert(math.abs(out(2L)._2 - -math.log(0.75 * 2.0 / 3.0 / 7.0)) < 1e-12)
+    assert(math.abs(out(3L)._2 - -math.log(2.0 / 7.0)) < 1e-12)
+    assert(math.abs(out(4L)._2 - -math.log(1.0 / 7.0)) < 1e-12)
+    out.values.foreach { case (_, nll, ppl) =>
+      assert(java.lang.Double.isFinite(nll) && math.abs(ppl - math.exp(nll)) < 1e-9)
+    }
+    // the fully-out-of-distribution doc scores strictly worse than in-corpus
+    assert(out(4L)._2 > out(1L)._2)
+  }
+
+  test("knBigramPpl groupCols: per-group LMs are isolated; unseen group scores pure smoothed mass") {
+    val langA = Seq((1L, "en", "a b a b"), (2L, "en", "a c"))
+    val langB = Seq((10L, "de", "x y x y"), (11L, "de", "x z x z x y"))
+    val both = (langA ++ langB).toDF("doc_id", "lang", "text")
+    val onlyA = langA.toDF("doc_id", "lang", "text")
+    def scoresOf(train: org.apache.spark.sql.DataFrame) =
+      Tfidf.knBigramPpl(train, both, "text", "doc_id", groupCols = Seq("lang"))
+        .select("doc_id", "nll").as[(Long, Double)].collect().toMap
+    val full = scoresOf(both)
+    val aOnly = scoresOf(onlyA)
+    // adding lang-B training data must not move lang-A scores AT ALL
+    assert(full(1L) == aOnly(1L) && full(2L) == aOnly(2L))
+    // lang-B docs scored against an ABSENT model take the pure-smoothing
+    // branch: every bigram gets p_cont = (0+1)/(0+0+1) = 1 → nll 0
+    assert(aOnly(10L) == 0.0 && aOnly(11L) == 0.0)
+    // with its own model present, lang B scores are real and finite
+    assert(full(10L) > 0.0 && java.lang.Double.isFinite(full(11L)))
+  }
+
+  test("perplexityBuckets: per-group terciles are balanced and rank-ordered") {
+    val docs = (1 to 30).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      // doc i repeats a common phrase i times plus i distinct rare tokens —
+      // higher i → more rare mass → higher perplexity rank variation
+      val text = (Seq.fill(3)("the cat sat") ++ (1 to i).map(j => s"rare${i}_$j")).mkString(" ")
+      (i.toLong, lang, text)
+    }.toDF("doc_id", "lang", "text")
+    val out = Tfidf.perplexityBuckets(docs, "text", "doc_id", Seq("lang"))
+      .select("doc_id", "lang", "ppl_r", "bucket")
+      .as[(Long, String, Double, Long)].collect()
+    assert(out.length == 30)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      // 15 docs per lang → terciles of exactly 5
+      assert(rows.groupBy(_._4).view.mapValues(_.length).toMap ==
+        Map(1L -> 5, 2L -> 5, 3L -> 5))
+      // buckets respect the (ppl_r, doc_id) order
+      val sorted = rows.sortBy(r => (r._3, r._1)).map(_._4)
+      assert(sorted.sameElements(sorted.sorted))
+    }
+  }
+
   test("tfidf: corpus-wide terms weigh zero, rare terms weigh high") {
     val docs = Seq(
       (1L, "common rare1 common"),

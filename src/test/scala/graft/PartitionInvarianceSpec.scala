@@ -172,6 +172,37 @@ class PartitionInvarianceSpec extends SparkSpec {
     }
   }
 
+  test("continuation-wave LM/classifier operators are partition-invariant") {
+    invariant("kn bigram ppl (per-lang models)") { d =>
+      graft.operators.Tfidf.knBigramPpl(
+        d.filter(pmod(col("doc_id"), lit(10)) =!= 0), d, "text", "doc_id",
+        groupCols = Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          round(col("nll"), 6).as("nll_r"))
+    }
+    invariant("ccnet perplexity buckets") { d =>
+      graft.operators.Tfidf.perplexityBuckets(
+        d.select(col("doc_id"), col("lang"), col("text")),
+        "text", "doc_id", Seq("lang"))
+    }
+    invariant("sparse logistic fit (quantized weights)") { d =>
+      val labels = d.select(col("doc_id"),
+        (col("n_chars") >= 200).cast("int").as("y"))
+      val feats = graft.operators.Retrieval.hashedTokenFeatures(
+        d, "text", "doc_id", 256)
+      graft.operators.Retrieval.logisticFitSparse(feats, labels, "doc_id", "y",
+        iters = 2, lrNum = 1, lrDen = 1)._1
+    }
+    invariant("keep-one span scrub") { d =>
+      graft.operators.Repetition.scrubRepeatedSpans(
+        d.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" shared banner tokens one two three four five")))
+            .otherwise(col("text")).as("text")),
+        "doc_id", "text", n = 8, minDocs = 2, keepFirst = true)
+    }
+  }
+
   test("ivf-pq search over built+appended index is partition-invariant") {
     val emb = sf("embeddings").select(col("vec_id"), col("embedding"))
     val centroids =

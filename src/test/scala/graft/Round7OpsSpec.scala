@@ -132,6 +132,39 @@ class Round7OpsSpec extends SparkSpec {
     assert(out(2L) == ((9L, "lead")))
   }
 
+  test("span scrub keepFirst: corpus-first occurrence survives, every later copy masked") {
+    val banner = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"intro words here $banner"),
+      (2L, s"$banner closing remarks"),
+      (5L, s"also carries $banner")
+    ).toDF("doc_id", "text")
+    val out = Repetition.scrubRepeatedSpans(docs, "doc_id", "text",
+        n = 8, minDocs = 2, keepFirst = true)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    // first occurrence is (doc 1, pos 3) — doc 1 keeps the banner
+    assert(out(1L) == ((0L, s"intro words here $banner")))
+    assert(out(2L) == ((8L, "closing remarks")))
+    assert(out(5L) == ((8L, "also carries")))
+    // same corpus under remove-all: doc 1 loses it too
+    val all = Repetition.scrubRepeatedSpans(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .filter($"doc_id" === 1L).select("scrubbed_text").as[String].head()
+    assert(all == "intro words here")
+  }
+
+  test("span scrub keepFirst: within one doc, only the first of repeated hot runs survives") {
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val docs = Seq(
+      (1L, s"$run middle $run"), // first occurrence at pos 0; second copy scrubbed
+      (2L, s"other $run text")
+    ).toDF("doc_id", "text")
+    val out = Repetition.scrubRepeatedSpans(docs, "doc_id", "text",
+        n = 8, minDocs = 2, keepFirst = true)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((8L, s"$run middle")))
+    assert(out(2L) == ((8L, "other text")))
+  }
+
   test("span scrub: docs shorter than n and empty docs pass through") {
     val docs = Seq((1L, "just three tokens"), (2L, "")).toDF("doc_id", "text")
     val out = Repetition.scrubRepeatedSpans(docs, "doc_id", "text", n = 8, minDocs = 2)

@@ -173,6 +173,65 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(s"$db.cleansed").count() == 3)
   }
 
+  test("online logistic fit: per-batch SGD over a weights table equals the offline step sequence; replay is skipped") {
+    val db = s"onlinefit${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    val wt = s"$db.weights"
+    val ckpt = Files.createTempDirectory("graft_olf_ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Int)]
+    val q = StreamingOps.onlineLogisticFit(
+      mem.toDF().toDF("doc_id", "text", "y"),
+      "text", "doc_id", "y", numFeatures = 64,
+      weightsTable = wt, checkpoint = ckpt)
+    val b1 = (1 to 40).map(i => (i.toLong, if (i % 2 == 0) "spam spam junk" else "clean text", i % 2))
+    val b2 = (41 to 80).map(i => (i.toLong, if (i % 3 == 0) "spam spam more" else "fine words", if (i % 3 == 0) 1 else 0))
+    mem.addData(b1: _*); q.processAllAvailable()
+    spark.sql(s"REFRESH TABLE $wt")
+    val after1 = spark.table(wt).select("feature", "wq")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    mem.addData(b2: _*); q.processAllAvailable()
+    spark.sql(s"REFRESH TABLE $wt")
+    val after2 = spark.table(wt).select("feature", "wq")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    q.stop()
+    assert(after1 != after2 && after2.nonEmpty)
+
+    // offline replay of the SAME batch sequence through sparseGdStep
+    import graft.operators.Retrieval
+    def step(rows: Seq[(Long, String, Int)], w: org.apache.spark.sql.DataFrame) = {
+      val df = rows.toDF("doc_id", "text", "y")
+      val labels = df.select(col("doc_id"), col("y"))
+      val allFeats = Retrieval.withBias(
+        Retrieval.hashedTokenFeatures(df, "text", "doc_id", 64), labels, "doc_id")
+        .localCheckpoint(true)
+      Retrieval.sparseGdStep(allFeats, labels, w, "doc_id", "y",
+        rows.size.toLong, 1, 1).localCheckpoint(true)
+    }
+    val w0 = Seq.empty[(Long, Long)].toDF("feature", "wq")
+    val off1 = step(b1, w0)
+    assert(off1.as[(Long, Long)].collect().sortBy(_._1).toSeq == after1)
+    val off2 = step(b2, off1)
+    assert(off2.as[(Long, Long)].collect().sortBy(_._1).toSeq == after2)
+
+    // a feature seen only in batch 1 must SURVIVE batch 2 (full-outer merge)
+    val b1Only = after1.map(_._1).toSet -- step(b2, w0).as[(Long, Long)].collect().map(_._1).toSet
+    if (b1Only.nonEmpty)
+      assert(after2.map(_._1).toSet.intersect(b1Only) == b1Only)
+
+    // re-delivery guard: a fresh query over the SAME checkpoint reprocesses
+    // nothing; manually invoking the batch function again with an old id is
+    // the at-least-once case the batch_id skip absorbs — weights unchanged
+    val q2 = StreamingOps.onlineLogisticFit(
+      mem.toDF().toDF("doc_id", "text", "y"),
+      "text", "doc_id", "y", numFeatures = 64,
+      weightsTable = wt, checkpoint = ckpt)
+    q2.processAllAvailable(); q2.stop()
+    spark.sql(s"REFRESH TABLE $wt")
+    assert(spark.table(wt).select("feature", "wq")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq == after2)
+  }
+
   test("every-N-batches compaction inside the ingest loop: same content, bounded files") {
     // 20 single-file micro-batches append-fragment the target table; the
     // maintenance hook compacts every 5 batches. The compacted run must end
