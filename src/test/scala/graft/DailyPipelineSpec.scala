@@ -67,4 +67,62 @@ class DailyPipelineSpec extends SparkSpec {
       threshold = t)
     assert(replay.collect().forall(_.getString(1) == "dup_of_stored"))
   }
+
+  test("daily pipeline with model maintenance: dedup survivors feed the online model, bit-identically on replay") {
+    import spark.implicits._
+    val t = 0.999
+    // three daily batches of labeled docs: spam carries a signal phrase;
+    // each day also re-delivers one of the previous day's docs (a dup the
+    // dedup stage must stop from double-training the model)
+    def mkDay(i: Int): DataFrame = {
+      val fresh = (1 to 30).map { j =>
+        val id = i * 1000L + j
+        if (j % 3 == 0) (id, s"buy cheap pills now offer$i$j extra tokens", 1)
+        else (id, s"a sensible document about topic$i$j with words", 0)
+      }
+      val redelivered = if (i == 0) Nil
+      else Seq(((i - 1) * 1000L + 777000L,
+        s"a sensible document about topic${i - 1}1 with words", 0))
+      (fresh ++ redelivered).toDF("doc_id", "text", "y")
+    }
+    def runChain(): (Seq[(Long, Long)], Double) = {
+      var index = Dedup.minhashIndex(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", "doc_id")
+        .localCheckpoint(true)
+      var w = Seq.empty[(Long, Long)].toDF("feature", "wq")
+      (0 to 2).foreach { i =>
+        val day = mkDay(i).localCheckpoint(true)
+        val (report, nextIndex) = Dedup.incrementalMinhash(index,
+          day.select(col("doc_id"), col("text")), "text", "doc_id", threshold = t)
+        val kept = day.join(report.filter(col("status") === "kept")
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .localCheckpoint(true)
+        val labels = kept.select(col("doc_id"), col("y"))
+        val allFeats = Retrieval.withBias(
+          Retrieval.hashedTokenFeatures(kept, "text", "doc_id", 128),
+          labels, "doc_id").localCheckpoint(true)
+        w = Retrieval.sparseGdStep(allFeats, labels, w, "doc_id", "y",
+          labels.count(), lrNum = 4, lrDen = 1).localCheckpoint(true)
+        index = nextIndex.localCheckpoint(true)
+      }
+      // score a held-out planted set with the final model
+      val holdout = Seq((900001L, "buy cheap pills now final", 1),
+        (900002L, "a sensible document with words", 0)).toDF("doc_id", "text", "y")
+      val hf = Retrieval.withBias(
+        Retrieval.hashedTokenFeatures(holdout, "text", "doc_id", 128),
+        holdout.select(col("doc_id"), col("y")), "doc_id")
+      val scored = hf.join(w, Seq("feature"), "left")
+        .groupBy(col("doc_id"))
+        .agg((sum(coalesce(col("wq"), lit(0L)) * col("cnt")).cast("double") / 1e6).as("z"))
+        .join(holdout.select(col("doc_id"), col("y")), Seq("doc_id"))
+      val acc = scored.filter((col("z") > 0.0) === (col("y") === 1)).count().toDouble /
+        scored.count()
+      (w.as[(Long, Long)].collect().sortBy(_._1).toSeq, acc)
+    }
+    val (w1, acc1) = runChain()
+    val (w2, acc2) = runChain()
+    assert(w1 == w2, "the composed chain must replay bit-identically")
+    assert(acc1 == 1.0 && acc2 == 1.0,
+      s"three days of online steps must separate the planted classes, got $acc1")
+  }
 }
