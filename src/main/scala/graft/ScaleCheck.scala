@@ -835,6 +835,41 @@ object ScaleCheck {
       }
     }
 
+    // Trigram KN with recursive backoff: same contract as the bigram row —
+    // model aggregations are the train-scan growth term, scoring pinned to
+    // the fixed slice.
+    locally {
+      val scoreSlice = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+        timed(s"kn-trigram ppl, fixed score slice vs $tag train corpus")(((),
+          operators.Tfidf.knTrigramPpl(df.select(col("doc_id"), col("text")),
+            scoreSlice, "text", "doc_id").count()))
+      }
+    }
+
+    // Span corruption: per-doc md5 coins + per-doc windows + one covered-
+    // position join — embarrassingly parallel, wall must track the corpus
+    // ~linearly with doc-keyed shuffles only.
+    Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+      timed(s"span corruption rate~18% $tag")(((),
+        operators.Augment.spanCorrupt(df.select(col("doc_id"), col("text")),
+          "doc_id", "text", "sc", 60, 3).count()))
+    }
+
+    // Winnowing: the kernel scan is linear; matches bucket by 8-byte
+    // fingerprint hash. The replicated corpus is ADVERSARIAL for the match
+    // join (every doc has N-1 exact replicas → true pairs grow ~N² per
+    // clique) — growth must track OUTPUT pairs, not input².
+    Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+      timed(s"winnow fingerprints+matches k=8 w=8 $tag") {
+        val m = operators.Dedup.winnowMatches(
+          df.select(col("doc_id"), col("text")), "text", "doc_id",
+          minShared = 3).localCheckpoint(true)
+        (m, m.count())
+      }
+    }
+
     // Sparse logistic regression: 3 GD iterations over hashed features of
     // a 1x vs Nx corpus with the model living in a DataFrame — each
     // iteration is one feature-keyed join + two map-side-partial

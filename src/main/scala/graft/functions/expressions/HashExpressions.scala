@@ -643,6 +643,54 @@ object HashExpressions {
     override def prettyName: String = "kn_bigram_hashes"
   }
 
+  /** array<struct(pos, fp)>: winnowing fingerprints
+    * ([[Kernels.winnowFingerprints]] — MOSS local fingerprint selection). */
+  case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression {
+    require(k >= 1 && w >= 1, s"need k >= 1, w >= 1: $k, $w")
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType || child.dataType == NullType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string input, got ${child.dataType.sql}")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("fp", LongType, nullable = false))), containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.winnowFingerprints(input.asInstanceOf[UTF8String], k, w)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $KernelsClass.winnowFingerprints($c, $k, $w);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "winnow_fingerprints"
+  }
+
+  /** array<struct(w2h, w3h, b12h, b23h, tgh)>: per-position trigram keys
+    * for recursive Kneser-Ney backoff ([[Kernels.knTrigramHashes]]). */
+  case class KnTrigramHashesExpr(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType || child.dataType == NullType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string input, got ${child.dataType.sql}")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("w2h", LongType, nullable = false),
+      StructField("w3h", LongType, nullable = false),
+      StructField("b12h", LongType, nullable = false),
+      StructField("b23h", LongType, nullable = false),
+      StructField("tgh", LongType, nullable = false))), containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.knTrigramHashes(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $KernelsClass.knTrigramHashes($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "kn_trigram_hashes"
+  }
+
   /** struct(n_grams, n_hits): a document's distinct word-n-gram count and
     * how many of them hit the (driver-built, codegen-referenced) Bloom
     * bitset — the probe side of [[SketchAggregates.BloomSketchAgg]]. The
@@ -698,6 +746,9 @@ object HashExpressions {
     column(BloomGramHitsExpr(expression(text), n, kHashes, bits))
   def bigram_hashes(text: Column): Column = column(BigramHashesExpr(expression(text)))
   def kn_bigram_hashes(text: Column): Column = column(KnBigramHashesExpr(expression(text)))
+  def kn_trigram_hashes(text: Column): Column = column(KnTrigramHashesExpr(expression(text)))
+  def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
+    column(WinnowExpr(expression(text), k, w))
   def simhash64(tokens: Column): Column = column(SimHash64Expr(expression(tokens)))
   def hyperplane_bucket(vec: Column, dim: Int, planes: Int): Column =
     column(HyperplaneBucketExpr(expression(vec), dim, planes))

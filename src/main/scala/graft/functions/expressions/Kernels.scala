@@ -694,6 +694,75 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm) in
+    * ONE pass: over the k-char-gram rolling hashes, each window of `w`
+    * consecutive hashes selects its RIGHTMOST minimum; consecutive windows
+    * selecting the same position record it once. Guarantees: any shared
+    * substring of length ≥ w+k−1 between two documents yields at least one
+    * shared (local) fingerprint, and density is ~2/(w+1) — the robust
+    * middle ground between full k-gram sets (huge) and one global min
+    * (fragile). Monotonic min-deque (O(n)); `>=` eviction makes the
+    * rightmost of equal minima win, matching the paper's tie rule.
+    * Returns array<struct(pos int, fp long)>; empty below k+w−1 chars. */
+  def winnowFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val hsData = rollingHashes(text, k)
+    val m = hsData.numElements()
+    if (m < w) return new GenericArrayData(Array.empty[Any])
+    val hs = hsData.toLongArray()
+    val deque = new Array[Int](m)
+    var head = 0; var tail = 0 // [head, tail) holds candidate indices
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var lastSel = -1
+    var i = 0
+    while (i < m) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1 && deque(head) != lastSel) {
+        lastSel = deque(head)
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](lastSel, hs(lastSel)))
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Per-position TRIGRAM hash tuples in one pass: element i =
+    * struct(xxhash64(w_i+1), xxhash64(w_i+2), xxhash64("w_i w_i+1"),
+    * xxhash64("w_i+1 w_i+2"), xxhash64("w_i w_i+1 w_i+2")) — the
+    * (middle-word, last-word, left-bigram, right-bigram, trigram) keys
+    * recursive Kneser-Ney backoff needs; w1's own hash is never consulted
+    * (only through the left-bigram key), so it is not carried. Empty below
+    * 3 tokens. Tokenization replicates SimilarityFunctions.tokens. */
+  def knTrigramHashes(text: UTF8String): ArrayData = {
+    val toks = tokensOf(text)
+    if (toks.length < 3) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](toks.length)
+    var j = 0
+    while (j < toks.length) { hs(j) = xx(UTF8String.fromString(toks(j))); j += 1 }
+    val bg = new Array[Long](toks.length - 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < toks.length - 1) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1))
+      bg(i) = xx(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    val out = new Array[Any](toks.length - 2)
+    i = 0
+    while (i < toks.length - 2) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1)).append(' ').append(toks(i + 2))
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](hs(i + 1), hs(i + 2), bg(i), bg(i + 1),
+          xx(UTF8String.fromString(sb.toString))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Probe a document's DISTINCT word n-grams against a Bloom bitset in one
     * pass: returns (n_grams, n_hits) where n_grams counts the distinct
     * n-token windows and n_hits those whose kHashes md5-derived positions

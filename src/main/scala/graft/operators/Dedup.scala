@@ -841,6 +841,44 @@ object Dedup {
   /** Embedding-cosine near-dup pairs: LSH-bucketed by random-hyperplane sign
     * bits (shared deterministic planes), verified by exact cosine ≥ threshold.
     * Candidate generation is a bucket equi-join; no full cross join. */
+  /** Winnowing fingerprints (Schleimer et al. 2003 — the MOSS local
+    * fingerprinting scheme) as a table: (id, pos, fp) per selected k-gram.
+    * Any substring of ≥ w+k−1 chars shared between two documents shares at
+    * least one fingerprint (the winnowing guarantee), at density ~2/(w+1) —
+    * the partial-overlap/plagiarism detector that whole-document
+    * fingerprints (q21) and set-similarity (q25/q26) both miss. One
+    * codegen'd kernel pass per document
+    * ([[graft.functions.expressions.Kernels.winnowFingerprints]]); rows are
+    * (id, int, long) — no text ever leaves the scan. */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+                         k: Int = 8, w: Int = 8): DataFrame =
+    df.select(col(idCol),
+        explode(graft.functions.expressions.HashExpressions
+          .winnow_fingerprints(col(textCol), k, w)).as("f"))
+      .select(col(idCol), col("f.pos").as("pos"), col("f.fp").as("fp"))
+
+  /** Cross-document winnowing matches: pairs sharing ≥ `minShared` DISTINCT
+    * fingerprint hashes, with the shared count as overlap evidence. Scale
+    * shape: fingerprints bucket by their 8-byte hash and pairs form within
+    * buckets only — the q21/q26 bucket-join family, with the same hot-bucket
+    * guard (a fingerprint shared by > maxBucketSize docs is boilerplate, not
+    * plagiarism signal; it is dropped and that is part of the contract). */
+  def winnowMatches(df: DataFrame, textCol: String, idCol: String,
+                    k: Int = 8, w: Int = 8, minShared: Int = 2,
+                    maxBucketSize: Int = 2000): DataFrame = {
+    val fps = winnowFingerprints(df, textCol, idCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+    val sizes = fps.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize).select(col("fp"))
+    val kept = fps.join(sizes, Seq("fp"))
+    kept.select(col("fp"), col(idCol).as("id_a"))
+      .join(kept.select(col("fp"), col(idCol).as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                             dim: Int, planesPerBand: Int = 8, bands: Int = 6,
                             threshold: Double = 0.95,

@@ -167,6 +167,86 @@ object Tfidf {
       .withColumn("ppl", exp(col("nll")))
   }
 
+  /** Per-document interpolated Kneser-Ney TRIGRAM NLL/perplexity with true
+    * RECURSIVE backoff — the [[knBigramPpl]] model taken one order higher
+    * (CCNet's KenLM operates at order 5; the recursion shape is identical
+    * from order 3 up, each level interpolating with the next-lower one):
+    *
+    *   p(w3|w1w2) = max(c3−D,0)/c12 + (D·nf12/c12)·p_low(w3|w2)   if c12>0
+    *              = p_low(w3|w2)                                   otherwise
+    *   p_low(w3|w2) — the LOWER order uses CONTINUATION counts, not raw
+    *   counts (the Kneser-Ney insight: "how many contexts has this bigram
+    *   completed", not "how often did it occur"):
+    *              = max(N1+(·w2w3)−D,0)/N1+(·w2·)
+    *                + (D·nf(w2)/N1+(·w2·))·p_cont(w3)              if N1+(·w2·)>0
+    *              = p_cont(w3)                                     otherwise
+    *   p_cont(w3) = (N1+(·w3)+1)/(T2+V+1)   — the [[knBigramPpl]] floor
+    *
+    * where c3/c12/nf12 come from trigram counts, N1+(·w2w3) = distinct w1
+    * preceding the bigram (trigram TYPES grouped by right-bigram),
+    * N1+(·w2·) = distinct (w1,w3) pairs around w2, nf(w2)/N1+(·w3)/T2/V
+    * from the bigram-type tables.
+    *
+    * Scale shape: ONE codegen'd `kn_trigram_hashes` pass + the bigram pass;
+    * the model is SIX hash aggregations (8-byte keys, map-side partial) all
+    * derived from two type tables; scoring is six key joins left to AQE and
+    * one broadcast (T2, V) row. The LM is never collected — same 100 TB
+    * contract as the bigram operator; hash collisions ~vocab³/2⁶⁴ at the
+    * trigram level (quality-signal tolerance, collision-free at oracle
+    * scale). Docs with <3 tokens emit no row.
+    * Returns (id, n_trigrams, nll, ppl). */
+  def knTrigramPpl(train: DataFrame, score: DataFrame, textCol: String,
+                   idCol: String, discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, s"discount must be in (0,1): $discount")
+    import graft.functions.expressions.HashExpressions.{kn_bigram_hashes, kn_trigram_hashes}
+    def trigrams(d: DataFrame, extra: Column*): DataFrame =
+      d.select(extra :+ explode(kn_trigram_hashes(col(textCol))).as("tg"): _*)
+        .select(extra ++ Seq(col("tg.w2h").as("w2h"), col("tg.w3h").as("w3h"),
+          col("tg.b12h").as("b12h"), col("tg.b23h").as("b23h"),
+          col("tg.tgh").as("tgh")): _*)
+    val tri = trigrams(train)
+      .groupBy(col("w2h"), col("w3h"), col("b12h"), col("b23h"), col("tgh"))
+      .agg(count(lit(1)).as("__c3"))
+    val left12 = tri.groupBy(col("b12h"))
+      .agg(sum(col("__c3")).as("__c12"), count(lit(1)).as("__nf12"))
+    val mid23 = tri.groupBy(col("b23h")).agg(count(lit(1)).as("__n1p23"))
+    val midw2 = tri.groupBy(col("w2h")).agg(count(lit(1)).as("__n1pw2"))
+    val bi = train.select(explode(kn_bigram_hashes(col(textCol))).as("bg"))
+      .select(col("bg.w1h").as("w1h"), col("bg.w2h").as("w2h"), col("bg.bgh").as("bgh"))
+      .groupBy(col("w1h"), col("w2h"), col("bgh")).agg(count(lit(1)).as("__c2"))
+    val nfB = bi.groupBy(col("w1h").as("w2h")).agg(count(lit(1)).as("__nfw2"))
+    val contB = bi.groupBy(col("w2h").as("w3h")).agg(count(lit(1)).as("__nl3"))
+    val vocab = train.select(explode(S.tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t")).as("__v"))
+    val totals = bi.agg(count(lit(1)).as("__t2")).crossJoin(vocab)
+    val pCont = (coalesce(col("__nl3"), lit(0L)).cast("double") + 1.0) /
+      (coalesce(col("__t2"), lit(0L)).cast("double") +
+        coalesce(col("__v"), lit(0L)).cast("double") + 1.0)
+    val pLow = when(col("__n1pw2").isNotNull,
+        greatest(coalesce(col("__n1p23"), lit(0L)).cast("double") - discount, lit(0.0)) /
+          col("__n1pw2").cast("double") +
+          lit(discount) * coalesce(col("__nfw2"), lit(0L)).cast("double") /
+            col("__n1pw2").cast("double") * pCont)
+      .otherwise(pCont)
+    val p = when(col("__c12").isNotNull,
+        greatest(coalesce(col("__c3"), lit(0L)).cast("double") - discount, lit(0.0)) /
+          col("__c12").cast("double") +
+          lit(discount) * col("__nf12").cast("double") / col("__c12").cast("double") * pLow)
+      .otherwise(pLow)
+    trigrams(score, col(idCol))
+      .join(tri.select(col("tgh"), col("__c3")), Seq("tgh"), "left")
+      .join(left12, Seq("b12h"), "left")
+      .join(mid23, Seq("b23h"), "left")
+      .join(midw2, Seq("w2h"), "left")
+      .join(nfB, Seq("w2h"), "left")
+      .join(contB, Seq("w3h"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        avg(-log(p)).as("nll"))
+      .withColumn("ppl", exp(col("nll")))
+  }
+
   /** CCNet-style perplexity buckets: fit one KN bigram LM PER GROUP
     * ([[knBigramPpl]] with `groupCols`), self-score, and cut each group's
     * perplexity distribution into `nBuckets` rank buckets (CCNet keeps

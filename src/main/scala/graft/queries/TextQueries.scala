@@ -738,6 +738,42 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Winnowing fingerprints (Dedup.winnowFingerprints): MOSS local
+    // fingerprint selection — each 8-hash window keeps its rightmost
+    // minimum, consecutive selections dedup. The oracle recomputes the
+    // rolling hashes (q31 formula), replays window-min + rightmost-tie +
+    // dedup via DISTINCT, value-exact.
+    "q179_winnow" -> ((s, d) => {
+      graft.operators.Dedup.winnowFingerprints(
+          Tables(s, d, "documents"), "text", "doc_id", k = 8, w = 8)
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("fp"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // T5-style span corruption (Augment.spanCorrupt): deterministic noise
+    // spans (md5 anchor + length coins) replaced by numbered sentinels;
+    // strictly-overlapping spans merge. The oracle replays both coins, the
+    // island merge, and rebuilds inputs/targets strings exactly.
+    "q178_span_corrupt" -> ((s, d) => {
+      graft.operators.Augment.spanCorrupt(Tables(s, d, "documents"),
+          "doc_id", "text", seed = "sc1", anchorPerMille = 60, meanSpan = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Trigram Kneser-Ney with RECURSIVE backoff (Tfidf.knTrigramPpl): the
+    // order-3 model interpolates with a continuation-count order-2 model
+    // which interpolates with the smoothed unigram floor. Same 90/100
+    // train/score split as q173; the oracle rebuilds all six count tables
+    // over gram strings and replays both interpolation levels exactly.
+    "q177_kn_trigram" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      graft.operators.Tfidf.knTrigramPpl(
+          docs.filter(col("doc_id") % 10 =!= 0), docs, "text", "doc_id")
+        .select(col("doc_id"), col("n_trigrams"),
+          round(col("nll"), 6).as("nll_r"), round(col("ppl"), 3).as("ppl_r"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet perplexity buckets (Tfidf.perplexityBuckets): one KN bigram LM
     // PER LANGUAGE in a single plan (group columns ride every model key),
     // self-scored, per-language ntile terciles over (rounded ppl, id).
@@ -3437,6 +3473,130 @@ object TextQueries {
         LEFT JOIN cont USING (w2)
         CROSS JOIN tot)
       SELECT doc_id, count(*) AS n_bigrams,
+             round(avg(-ln(p)), 6) AS nll_r,
+             round(exp(avg(-ln(p))), 3) AS ppl_r
+      FROM scored GROUP BY doc_id ORDER BY doc_id""",
+    // Winnowing replay: q31's rolling-hash comprehension at k=8, window
+    // minima with the rightmost-tie rule via list_reverse position, DISTINCT
+    // for the consecutive-selection dedup (selections of a position are
+    // provably consecutive).
+    "q179_winnow" -> """
+      WITH h AS (
+        SELECT doc_id,
+          [list_reduce([CAST(0 AS BIGINT)] || [CAST(ord(text[i+j]) AS BIGINT) for j in range(0, 8)],
+                       (acc, c) -> (acc * 257 + c) % 2147483647)
+           for i in range(1, length(text) - 8 + 2)] AS hs
+        FROM documents WHERE length(text) >= 15),
+      wins AS (
+        SELECT doc_id, p, hs[p+1 : p+8] AS win
+        FROM h, LATERAL (SELECT unnest(range(0, len(hs) - 8 + 1)) AS p)),
+      sel AS (
+        SELECT DISTINCT doc_id,
+          p + 8 - list_position(list_reverse(win), list_min(win)) AS pos,
+          list_min(win) AS fp
+        FROM wins)
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos, fp
+      FROM sel ORDER BY doc_id, pos""",
+    "q178_span_corrupt" -> """
+      WITH base AS (
+        SELECT doc_id,
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') END AS t
+        FROM documents),
+      pos AS (
+        SELECT doc_id, i - 1 AS p, t[i] AS tok
+        FROM base, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)),
+      n AS (SELECT doc_id, count(*) AS n_tokens FROM pos GROUP BY 1),
+      anch AS (
+        SELECT p.doc_id, p.p AS s,
+               least(p.p + 1 + (CAST(('0x' || substr(md5('sc1L|' || CAST(p.doc_id AS VARCHAR) || '|' || CAST(p.p AS VARCHAR)), 1, 6)) AS BIGINT) % 1000) % 5,
+                     n.n_tokens) AS e
+        FROM pos p JOIN n USING (doc_id)
+        WHERE CAST(('0x' || substr(md5('sc1A|' || CAST(p.doc_id AS VARCHAR) || '|' || CAST(p.p AS VARCHAR)), 1, 6)) AS BIGINT) % 1000 < 60),
+      isl0 AS (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM anch),
+      isl AS (
+        SELECT doc_id, s, e,
+               sum(CASE WHEN pm IS NULL OR s >= pm THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl0),
+      mrg AS (
+        SELECT doc_id, island, min(s) AS ms, max(e) AS me FROM isl GROUP BY 1, 2),
+      mrg2 AS (
+        SELECT doc_id, ms, me,
+               row_number() OVER (PARTITION BY doc_id ORDER BY ms) - 1 AS k
+        FROM mrg),
+      cov AS (
+        SELECT doc_id, k, ms + o AS cp, (o = 0) AS st
+        FROM mrg2, LATERAL (SELECT unnest(range(0, me - ms)) AS o)),
+      pc AS (
+        SELECT p.doc_id, p.p,
+               CASE WHEN c.k IS NULL THEN p.tok
+                    WHEN c.st THEN '<extra_id_' || CAST(c.k AS VARCHAR) || '>'
+                    ELSE NULL END AS inp,
+               CASE WHEN c.k IS NULL THEN NULL
+                    WHEN c.st THEN '<extra_id_' || CAST(c.k AS VARCHAR) || '> ' || p.tok
+                    ELSE p.tok END AS tgt
+        FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.p = c.cp)
+      SELECT doc_id, count(*) AS n_tokens,
+             count(*) FILTER (WHERE tgt IS NOT NULL) AS n_corrupt,
+             count(*) FILTER (WHERE inp IS NOT NULL AND tgt IS NOT NULL) AS n_spans,
+             COALESCE(string_agg(inp, ' ' ORDER BY p) FILTER (WHERE inp IS NOT NULL), '') AS inputs,
+             COALESCE(string_agg(tgt, ' ' ORDER BY p) FILTER (WHERE tgt IS NOT NULL), '') AS targets
+      FROM pc GROUP BY doc_id ORDER BY doc_id""",
+    "q177_kn_trigram" -> """
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS ts
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      tg_all AS (
+        SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
+        FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i)
+        WHERE len(ts) >= 3),
+      tr3 AS (SELECT * FROM tg_all WHERE doc_id % 10 <> 0),
+      tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM tr3 GROUP BY 1, 2, 3),
+      l12 AS (SELECT w1, w2, sum(c3) AS c12, count(*) AS nf12 FROM tri GROUP BY 1, 2),
+      m23 AS (SELECT w2, w3, count(*) AS n1p23 FROM tri GROUP BY 1, 2),
+      mw2 AS (SELECT w2, count(*) AS n1pw2 FROM tri GROUP BY 1),
+      bg_all AS (
+        SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+        WHERE len(ts) >= 2),
+      bi AS (SELECT w1, w2, count(*) AS c2 FROM bg_all
+             WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+      nfb AS (SELECT w1 AS nf_w, count(*) AS nfw2 FROM bi GROUP BY 1),
+      contb AS (SELECT w2 AS ct_w, count(*) AS nl3 FROM bi GROUP BY 1),
+      tot AS (SELECT (SELECT count(*) FROM bi) AS t2,
+                     (SELECT count(DISTINCT u) FROM
+                        (SELECT unnest(ts) AS u FROM toks WHERE doc_id % 10 <> 0)) AS v),
+      scored AS (
+        SELECT s.doc_id,
+          CASE WHEN l12.c12 IS NOT NULL THEN
+            greatest(CAST(coalesce(tri.c3, 0) AS DOUBLE) - 0.75, 0.0) / l12.c12
+            + 0.75 * l12.nf12 / l12.c12 *
+              (CASE WHEN mw2.n1pw2 IS NOT NULL THEN
+                 greatest(CAST(coalesce(m23.n1p23, 0) AS DOUBLE) - 0.75, 0.0) / mw2.n1pw2
+                 + 0.75 * CAST(coalesce(nfb.nfw2, 0) AS DOUBLE) / mw2.n1pw2
+                   * (CAST(coalesce(contb.nl3, 0) AS DOUBLE) + 1.0) / (tot.t2 + tot.v + 1.0)
+               ELSE (CAST(coalesce(contb.nl3, 0) AS DOUBLE) + 1.0) / (tot.t2 + tot.v + 1.0) END)
+          ELSE
+            (CASE WHEN mw2.n1pw2 IS NOT NULL THEN
+               greatest(CAST(coalesce(m23.n1p23, 0) AS DOUBLE) - 0.75, 0.0) / mw2.n1pw2
+               + 0.75 * CAST(coalesce(nfb.nfw2, 0) AS DOUBLE) / mw2.n1pw2
+                 * (CAST(coalesce(contb.nl3, 0) AS DOUBLE) + 1.0) / (tot.t2 + tot.v + 1.0)
+             ELSE (CAST(coalesce(contb.nl3, 0) AS DOUBLE) + 1.0) / (tot.t2 + tot.v + 1.0) END)
+          END AS p
+        FROM tg_all s
+        LEFT JOIN tri USING (w1, w2, w3)
+        LEFT JOIN l12 USING (w1, w2)
+        LEFT JOIN m23 USING (w2, w3)
+        LEFT JOIN mw2 USING (w2)
+        LEFT JOIN nfb ON s.w2 = nfb.nf_w
+        LEFT JOIN contb ON s.w3 = contb.ct_w
+        CROSS JOIN tot)
+      SELECT doc_id, count(*) AS n_trigrams,
              round(avg(-ln(p)), 6) AS nll_r,
              round(exp(avg(-ln(p))), 3) AS ppl_r
       FROM scored GROUP BY doc_id ORDER BY doc_id""",

@@ -556,6 +556,63 @@ class TfidfSpec extends SparkSpec {
     assert(out(4L)._2 > out(1L)._2)
   }
 
+  test("knTrigramPpl: recursive backoff matches an independent reference implementation on every branch") {
+    val trainDocs = Seq("a b c a b d", "x y z")
+    val scoreDocs = Seq(
+      (1L, "a b c q"),  // seen trigram; then unseen trigram w/ seen history
+      (2L, "q q a b"),  // unseen history AND unseen middle; then backoff w/ seen middle
+      (3L, "x y z"),    // fully in-model
+      (4L, "m n"))      // <3 tokens → no row
+    // independent reference: plain-Scala KN over token sequences
+    val D = 0.75
+    val tr = trainDocs.map(_.split(" ").toSeq)
+    val tris = tr.flatMap(t => t.sliding(3).filter(_.size == 3).map { s => (s(0), s(1), s(2)) })
+    val bis = tr.flatMap(t => t.sliding(2).filter(_.size == 2).map { s => (s(0), s(1)) })
+    val c3 = tris.groupBy(identity).view.mapValues(_.size).toMap
+    val triTypes = c3.keySet
+    val c12 = tris.groupBy(t => (t._1, t._2)).view.mapValues(_.size).toMap
+    val nf12 = triTypes.groupBy(t => (t._1, t._2)).view.mapValues(_.size).toMap
+    val n1p23 = triTypes.groupBy(t => (t._2, t._3)).view.mapValues(_.size).toMap
+    val n1pw2 = triTypes.groupBy(_._2).view.mapValues(_.size).toMap
+    val biTypes = bis.distinct
+    val nfw2 = biTypes.groupBy(_._1).view.mapValues(_.size).toMap
+    val nl3 = biTypes.groupBy(_._2).view.mapValues(_.size).toMap
+    val t2 = biTypes.size.toDouble
+    val v = tr.flatten.distinct.size.toDouble
+    def pOf(w1: String, w2: String, w3: String): Double = {
+      val pcont = (nl3.getOrElse(w3, 0) + 1.0) / (t2 + v + 1.0)
+      val plow = n1pw2.get(w2) match {
+        case Some(nw) => math.max(n1p23.getOrElse((w2, w3), 0) - D, 0.0) / nw +
+          D * nfw2.getOrElse(w2, 0) / nw * pcont
+        case None => pcont
+      }
+      c12.get((w1, w2)) match {
+        case Some(c) => math.max(c3.getOrElse((w1, w2, w3), 0) - D, 0.0) / c +
+          D * nf12((w1, w2)) / c * plow
+        case None => plow
+      }
+    }
+    val expected = scoreDocs.collect { case (id, txt) if txt.split(" ").length >= 3 =>
+      val ws = txt.split(" ").toSeq
+      val ps = ws.sliding(3).map { s => pOf(s(0), s(1), s(2)) }.toSeq
+      id -> (ps.size.toLong, ps.map(p => -math.log(p)).sum / ps.size)
+    }.toMap
+
+    val out = Tfidf.knTrigramPpl(
+        trainDocs.zipWithIndex.map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text"),
+        scoreDocs.toDF("doc_id", "text"), "text", "doc_id")
+      .select("doc_id", "n_trigrams", "nll")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!out.contains(4L))
+    assert(out.keySet == expected.keySet)
+    expected.foreach { case (id, (n, nll)) =>
+      assert(out(id)._1 == n)
+      assert(math.abs(out(id)._2 - nll) < 1e-12, s"doc $id: ${out(id)._2} vs $nll")
+    }
+    // in-model text scores better than out-of-distribution text
+    assert(out(3L)._2 < out(2L)._2)
+  }
+
   test("knBigramPpl groupCols: per-group LMs are isolated; unseen group scores pure smoothed mass") {
     val langA = Seq((1L, "en", "a b a b"), (2L, "en", "a c"))
     val langB = Seq((10L, "de", "x y x y"), (11L, "de", "x z x z x y"))

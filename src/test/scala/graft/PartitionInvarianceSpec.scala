@@ -193,6 +193,17 @@ class PartitionInvarianceSpec extends SparkSpec {
       graft.operators.Retrieval.logisticFitSparse(feats, labels, "doc_id", "y",
         iters = 2, lrNum = 1, lrDen = 1)._1
     }
+    invariant("kn trigram ppl (recursive backoff)") { d =>
+      graft.operators.Tfidf.knTrigramPpl(
+        d.filter(pmod(col("doc_id"), lit(10)) =!= 0), d, "text", "doc_id")
+        .select(col("doc_id"), col("n_trigrams"), round(col("nll"), 6).as("nll_r"))
+    }
+    invariant("span corruption") { d =>
+      graft.operators.Augment.spanCorrupt(d, "doc_id", "text", "pi", 100, 3)
+    }
+    invariant("winnow matches") { d =>
+      graft.operators.Dedup.winnowMatches(d, "text", "doc_id", minShared = 2)
+    }
     invariant("keep-one span scrub") { d =>
       graft.operators.Repetition.scrubRepeatedSpans(
         d.select(col("doc_id"),

@@ -319,6 +319,79 @@ class Round8bOpsSpec extends SparkSpec {
     assert(ext.select("n_kept").as[Long].collect().forall(_ >= 1))
   }
 
+  test("winnowing: shared substring >= w+k-1 chars guarantees a match; disjoint docs never pair") {
+    val planted = "the quick brown fox jumps over it" // 33 chars >> w+k-1 = 15
+    val docs = Seq(
+      (1L, s"aaaa bbbb cccc dddd $planted eeee ffff"),
+      (2L, s"gggg hhhh $planted iiii jjjj kkkk llll"),
+      (3L, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq"),
+      (4L, "mmmm nnnn oooo pppp 1111 2222 3333 4444 5555 6666")
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.winnowMatches(docs, "text", "doc_id",
+        k = 8, w = 8, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "winnowing guarantee: planted overlap must pair")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // fingerprint density lands near the 2/(w+1) theory on long docs
+    val longDoc = Seq((9L, (1 to 400).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val fp = graft.operators.Dedup.winnowFingerprints(longDoc, "text", "doc_id", 8, 8)
+    val nChars = longDoc.select(length(col("text"))).as[Int].head()
+    val density = fp.count().toDouble / (nChars - 8 + 1)
+    assert(density > 0.1 && density < 0.4, s"density $density should be near 2/9")
+    // positions point at real k-grams: every fp equals the rolling hash there
+    val txt = longDoc.select("text").as[String].head()
+    val cps = txt.codePoints().toArray
+    def refHash(p: Int): Long = {
+      var h = 0L; var j = 0
+      while (j < 8) { h = (h * 257 + cps(p + j)) % 2147483647L; j += 1 }
+      h
+    }
+    fp.select("pos", "fp").as[(Int, Long)].collect().foreach { case (p, f) =>
+      assert(refHash(p) == f, s"fingerprint at $p mismatches the k-gram hash")
+    }
+  }
+
+  test("spanCorrupt: sentinel round-trip reconstructs the original; invariants hold") {
+    val docs = (1 to 40).map(i => (i.toLong,
+      (0 until 30).map(j => s"tok${i}_$j").mkString(" "))) :+ ((99L, "  "))
+    val df = docs.toDF("doc_id", "text")
+    val out = graft.operators.Augment.spanCorrupt(df, "doc_id", "text", "sp", 120, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(!out.exists(_._1 == 99L)) // token-less doc emits no row
+    assert(out.length == 40)
+    assert(out.exists(_._3 > 0), "at 12% anchor rate something must corrupt")
+    val sent = "<extra_id_(\\d+)>".r
+    out.foreach { case (id, nTok, nCorr, nSpans, inputs, targets) =>
+      // sentinels numbered 0..n_spans-1, in order, same ids in both strings
+      val inpKs = sent.findAllMatchIn(inputs).map(_.group(1).toInt).toSeq
+      val tgtKs = sent.findAllMatchIn(targets).map(_.group(1).toInt).toSeq
+      assert(inpKs == (0 until nSpans.toInt) && tgtKs == inpKs, s"doc $id sentinels")
+      // token accounting: kept + corrupted == total
+      val inpToks = if (inputs.isEmpty) 0 else inputs.split(" ").length
+      assert(inpToks - nSpans + nCorr == nTok, s"doc $id counts")
+      // ROUND-TRIP: substituting each sentinel's target span back into the
+      // inputs must reproduce the original tokenization exactly
+      val spans = sent.split(targets).map(_.trim).filter(_.nonEmpty) // span k at index k-? split leads with ""
+      val spanByK = tgtKs.zip(sent.split(targets).drop(1).map(_.trim)).toMap
+      val rebuilt = inputs.split(" ").flatMap { t =>
+        sent.findFirstMatchIn(t) match {
+          case Some(m) => spanByK(m.group(1).toInt).split(" ").toSeq
+          case None => Seq(t)
+        }
+      }.mkString(" ")
+      val original = docs.find(_._1 == id).get._2.toLowerCase.trim.split("\\s+").mkString(" ")
+      assert(rebuilt == original, s"doc $id round-trip")
+      assert(spans.length == nSpans)
+    }
+    // deterministic
+    val again = graft.operators.Augment.spanCorrupt(df, "doc_id", "text", "sp", 120, 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == out.map(r => org.apache.spark.sql.Row(
+      r._1, r._2, r._3, r._4, r._5, r._6).toString).sorted.toSeq)
+  }
+
   test("upsampleByFactor: copy counts follow the factor, ids stable and distinct") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "lang")
     val out = graft.operators.Augment.upsampleByFactor(
