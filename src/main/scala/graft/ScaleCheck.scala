@@ -870,6 +870,25 @@ object ScaleCheck {
       }
     }
 
+    // Incremental winnowing: FIXED daily batch against a 1x vs Nx stored
+    // fingerprint index — stored text never re-read; candidate work is
+    // batch-scoped (stored rows semi-joined to batch-touched fps before any
+    // pair forms), so wall must grow well under Nx even though the index
+    // itself grows Nx.
+    locally {
+      val batch = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select((col("doc_id") + 3000L * offset).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+        val idx = operators.Dedup.winnowIndex(
+          df.select(col("doc_id"), col("text")), "text", "doc_id")
+          .localCheckpoint(true)
+        timed(s"incremental winnow, fixed batch vs $tag stored index")(((),
+          operators.Dedup.incrementalWinnow(idx, batch, "text", "doc_id",
+            minShared = 3)._1.count()))
+      }
+    }
+
     // Sparse logistic regression: 3 GD iterations over hashed features of
     // a 1x vs Nx corpus with the model living in a DataFrame — each
     // iteration is one feature-keyed join + two map-side-partial

@@ -879,6 +879,51 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Persisted winnowing index — the partial-overlap member of the fixpoint
+    * family (exact q164, LSH q168, BM25 q170, IVF-PQ q169, CC q171): one
+    * kernel pass over the corpus, stored as DISTINCT (id, fp) rows. */
+  def winnowIndex(df: DataFrame, textCol: String, idCol: String,
+                  k: Int = 8, w: Int = 8): DataFrame =
+    winnowFingerprints(df, textCol, idCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+
+  /** Incremental winnowing: find every stored document OVERLAPPING each
+    * batch document (≥ `minShared` shared fingerprints) WITHOUT re-reading
+    * stored text — the stored corpus participates only through its
+    * persisted (id, fp) index. Candidate work is batch-scoped BY
+    * CONSTRUCTION (the q168 lesson, applied from day one): stored index
+    * rows are first semi-joined down to fingerprints the batch actually
+    * produced, so pair enumeration never touches untouched index regions
+    * and stored×stored pairs are never formed. The hot-fingerprint guard
+    * counts documents per fp over (touched stored ∪ batch) and drops
+    * buckets above `maxBucketSize` — shared boilerplate, not overlap
+    * signal; same contract as [[winnowMatches]]. Winnowing is exact (no
+    * LSH loss): a batch doc sharing a ≥ w+k−1-char substring with a stored
+    * doc is guaranteed a shared fingerprint. Batch ids are assumed fresh
+    * (ingest assigns them); re-sent ids simply re-match their own stored
+    * fingerprints.
+    * @return (matches (batch_id, stored_id, shared), updated index) */
+  def incrementalWinnow(index: DataFrame, batch: DataFrame, textCol: String,
+                        idCol: String, k: Int = 8, w: Int = 8,
+                        minShared: Int = 2, maxBucketSize: Int = 2000):
+      (DataFrame, DataFrame) = {
+    // materialized: probed three times below, and the semi-join must see a
+    // settled frame (the union-lineage self-join hazard — Retrieval.scala)
+    val bfp = winnowIndex(batch, textCol, idCol, k, w).localCheckpoint(true)
+    val touched = index.join(bfp.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+    val occ = touched.select(col("fp"), col(idCol))
+      .unionByName(bfp.select(col("fp"), col(idCol)))
+    val ok = occ.groupBy(col("fp")).agg(countDistinct(col(idCol)).as("__n"))
+      .filter(col("__n") <= maxBucketSize).select(col("fp"))
+    val matches = bfp.join(ok, Seq("fp")).select(col("fp"), col(idCol).as("batch_id"))
+      .join(touched.join(ok, Seq("fp")).select(col("fp"), col(idCol).as("stored_id")),
+        Seq("fp"))
+      .groupBy(col("batch_id"), col("stored_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    (matches, index.unionByName(bfp))
+  }
+
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                             dim: Int, planesPerBand: Int = 8, bands: Int = 6,
                             threshold: Double = 0.95,

@@ -738,6 +738,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental winnowing (Dedup.incrementalWinnow): daily batch vs the
+    // persisted (id, fp) index — stored text never re-read, candidate work
+    // batch-scoped by construction (stored rows semi-joined to
+    // batch-touched fingerprints). Winnowing is exact, so the oracle
+    // replays the whole thing: fingerprints for both sides, the touched
+    // restriction, the hot-fp guard, and the shared counts.
+    "q180_incremental_winnow" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val stored = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select(col("doc_id"), col("text"))
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 1)
+        .select((col("doc_id") + 40000).as("doc_id"), col("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      val idx = Dedup.winnowIndex(stored, "text", "doc_id")
+      Dedup.incrementalWinnow(idx, batch, "text", "doc_id")._1
+        .orderBy(col("batch_id"), col("stored_id"))
+    }),
+
     // Winnowing fingerprints (Dedup.winnowFingerprints): MOSS local
     // fingerprint selection — each 8-hash window keeps its rightmost
     // minimum, consecutive selections dedup. The oracle recomputes the
@@ -3480,6 +3499,35 @@ object TextQueries {
     // minima with the rightmost-tie rule via list_reverse position, DISTINCT
     // for the consecutive-selection dedup (selections of a position are
     // provably consecutive).
+    "q180_incremental_winnow" -> """
+      WITH src AS (
+        SELECT 's' AS side, doc_id, text FROM documents WHERE doc_id % 5 <> 0
+        UNION ALL
+        SELECT 'b', doc_id + 40000, text FROM documents WHERE doc_id % 5 = 1
+        UNION ALL
+        SELECT 'b', doc_id + 20000, text FROM documents WHERE doc_id % 5 = 0),
+      h AS (
+        SELECT side, doc_id,
+          [list_reduce([CAST(0 AS BIGINT)] || [CAST(ord(text[i+j]) AS BIGINT) for j in range(0, 8)],
+                       (acc, c) -> (acc * 257 + c) % 2147483647)
+           for i in range(1, length(text) - 8 + 2)] AS hs
+        FROM src WHERE length(text) >= 15),
+      wins AS (
+        SELECT side, doc_id, p, hs[p+1 : p+8] AS win
+        FROM h, LATERAL (SELECT unnest(range(0, len(hs) - 8 + 1)) AS p)),
+      sel AS (
+        SELECT DISTINCT side, doc_id, list_min(win) AS fp FROM wins),
+      bfp AS (SELECT doc_id, fp FROM sel WHERE side = 'b'),
+      sfp AS (SELECT doc_id, fp FROM sel WHERE side = 's'),
+      touched AS (SELECT * FROM sfp WHERE fp IN (SELECT fp FROM bfp)),
+      occ AS (SELECT fp, doc_id FROM touched UNION ALL SELECT fp, doc_id FROM bfp),
+      ok AS (SELECT fp FROM occ GROUP BY fp HAVING count(DISTINCT doc_id) <= 2000),
+      m AS (
+        SELECT b.doc_id AS batch_id, t.doc_id AS stored_id, count(*) AS shared
+        FROM bfp b JOIN ok USING (fp) JOIN touched t USING (fp)
+        GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT batch_id, stored_id, CAST(shared AS BIGINT) AS shared
+      FROM m ORDER BY batch_id, stored_id""",
     "q179_winnow" -> """
       WITH h AS (
         SELECT doc_id,

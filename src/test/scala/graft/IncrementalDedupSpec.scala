@@ -252,6 +252,40 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(asMap(inc2)(101L) == 20L)
   }
 
+  test("incrementalWinnow: equals from-scratch winnowMatches on the cross pairs; index appends; misses nothing planted") {
+    val docs = sf("documents").select(col("doc_id"), col("text"))
+    val stored = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select((col("doc_id") + 70000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(3)) === 1).limit(20)
+        .select((col("doc_id") + 90000L).as("doc_id"), col("text"))) // replicas
+      .localCheckpoint(true)
+    val idx = Dedup.winnowIndex(stored, "text", "doc_id").localCheckpoint(true)
+    val (matches, updated) = Dedup.incrementalWinnow(idx, batch, "text", "doc_id")
+    val inc = matches.select("batch_id", "stored_id", "shared")
+      .as[(Long, Long, Long)].collect().toSet
+    // every planted replica overlaps its stored original (winnowing is exact)
+    val planted = docs.filter(pmod(col("doc_id"), lit(3)) === 1).limit(20)
+      .filter(length(col("text")) >= 15 + 20) // long enough for >= 2 fingerprints
+      .select("doc_id").as[Long].collect()
+    planted.foreach { id =>
+      assert(inc.exists(m => m._1 == id + 90000L && m._2 == id),
+        s"replica of $id must match its original")
+    }
+    // equality with the from-scratch formulation restricted to cross pairs:
+    // for batch-touched fps, full-corpus bucket counts equal touched∪batch
+    // counts, so the guard and shared counts agree exactly
+    val scratch = Dedup.winnowMatches(stored.unionByName(batch), "text", "doc_id")
+      .filter(col("id_b") >= 70000L && col("id_a") < 70000L)
+      .select(col("id_b").as("batch_id"), col("id_a").as("stored_id"), col("shared"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inc == scratch, s"only-inc=${(inc -- scratch).take(3)} only-scratch=${(scratch -- inc).take(3)}")
+    // the updated index is exactly stored ∪ batch fingerprints
+    val expect = Dedup.winnowIndex(stored.unionByName(batch), "text", "doc_id")
+    assert(updated.count() == expect.count() &&
+      updated.exceptAll(expect).isEmpty && expect.exceptAll(updated).isEmpty)
+  }
+
   test("fixpoint: survivors join the corpus; re-running the batch drops everything") {
     val stored = toks(Seq(5L -> "a b c d e"))
     val batch = toks(Seq(100L -> "a b c d e", 101L -> "p q r s t",

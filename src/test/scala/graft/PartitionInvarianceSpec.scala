@@ -204,6 +204,14 @@ class PartitionInvarianceSpec extends SparkSpec {
     invariant("winnow matches") { d =>
       graft.operators.Dedup.winnowMatches(d, "text", "doc_id", minShared = 2)
     }
+    invariant("incremental winnow report") { d =>
+      val idx = graft.operators.Dedup.winnowIndex(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id")
+      graft.operators.Dedup.incrementalWinnow(idx,
+        d.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .withColumn("doc_id", col("doc_id") + 50000L),
+        "text", "doc_id")._1
+    }
     invariant("keep-one span scrub") { d =>
       graft.operators.Repetition.scrubRepeatedSpans(
         d.select(col("doc_id"),
