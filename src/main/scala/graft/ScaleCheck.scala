@@ -835,6 +835,21 @@ object ScaleCheck {
       }
     }
 
+    // Moore-Lewis cross-entropy difference: FIXED scoring pool vs a 1x/Nx
+    // train corpus — BOTH LMs (in-domain + general) fit and score in ONE
+    // plan via the per-group-LM machinery; the growth terms are the train
+    // scans and the vocabulary-sized model exchanges, never score×model.
+    locally {
+      val pool = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+        timed(s"moore-lewis ce-diff, fixed pool vs $tag train corpus")(((),
+          operators.Tfidf.mooreLewisScore(
+            df.filter(col("lang") === "en"), df, pool,
+            "text", "doc_id").count()))
+      }
+    }
+
     // Trigram KN with recursive backoff: same contract as the bigram row —
     // model aggregations are the train-scan growth term, scoring pinned to
     // the fixed slice.

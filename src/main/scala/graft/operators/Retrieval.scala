@@ -118,7 +118,15 @@ object Retrieval {
     * arithmetic the q105 oracle pins bit-for-bit cannot drift between the
     * one-shot and persisted-index paths. */
   private def scoreBm25(qterms: DataFrame, tf: DataFrame, lens: DataFrame,
-                        idCol: String, k: Int, k1: Double, b: Double): DataFrame = {
+                        idCol: String, k: Int, k1: Double, b: Double): DataFrame =
+    rankTopK(scoredBm25(qterms, tf, lens, idCol, k1, b), idCol, k)
+
+  /** Pre-rank BM25 scores: every (query, candidate) pair with its rounded
+    * score — the shared arithmetic behind [[scoreBm25]] and
+    * [[hardNegatives]] (one implementation, so the q105-pinned formula
+    * cannot drift between consumers). */
+  private def scoredBm25(qterms: DataFrame, tf: DataFrame, lens: DataFrame,
+                         idCol: String, k1: Double, b: Double): DataFrame = {
     val stats = lens.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
     val contrib = broadcast(qterms)
@@ -132,10 +140,42 @@ object Retrieval {
         (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
     contrib.groupBy(col("query_id"), col(idCol))
       .agg(round(sum(col("__c")), 6).as("score_r"))
-      .withColumn("rank", row_number().over(
+  }
+
+  /** Deterministic (score desc, id) per-query top-k over a scored frame. */
+  private def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    scored.withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("score_r").desc, col(idCol))).cast("long"))
       .filter(col("rank") <= k)
+
+  /** Hard-negative mining for retrieval-model training (the DPR /
+    * sentence-transformers recipe): for each query, the top-k BM25-scored
+    * documents that are NOT known positives — lexically close enough to
+    * confuse a dense model, labeled negative. Positives are excluded
+    * BEFORE ranking, so returned ranks are dense 1..k over negatives only
+    * (dropping them after would leave holes and short lists).
+    *
+    * Scale shape: identical to [[bm25TopK]] — the corpus token stream is
+    * semi-joined to query terms immediately after the explode, and the
+    * `positives` frame (query_id, idCol; request-sized: queries × a few
+    * gold ids) broadcasts into an anti-join over the already query-bounded
+    * candidate set. Nothing new shuffles at corpus scale. */
+  def hardNegatives(docs: DataFrame, textCol: String, idCol: String,
+                    queries: Seq[(String, String)], positives: DataFrame,
+                    k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "at least one query required")
+    val qterms = queryTerms(docs.sparkSession, queries)
+    val lens = docs.select(col(idCol),
+      size(S.tokens(col(textCol))).cast("long").as("__dl"))
+    val matched = docs
+      .select(col(idCol), explode(S.tokens(col(textCol))).as("token"))
+      .join(broadcast(qterms.select(col("token")).distinct()), Seq("token"), "left_semi")
+    val tf = matched.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__tf"))
+    val negatives = scoredBm25(qterms, tf, lens, idCol, k1, b)
+      .join(broadcast(positives.select(col("query_id"), col(idCol))),
+        Seq("query_id", idCol), "left_anti")
+    rankTopK(negatives, idCol, k)
   }
 
   /** Reciprocal-Rank Fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of N

@@ -271,6 +271,52 @@ object Tfidf {
       .select(scoredCols ++ Seq(col("n_bigrams"), col("ppl_r"), col("bucket")): _*)
   }
 
+  /** Moore-Lewis cross-entropy difference scoring (Moore & Lewis, ACL 2010
+    * — "Intelligent Selection of Language Model Training Data"): score every
+    * pool document under TWO Kneser-Ney bigram LMs — one trained on the
+    * IN-DOMAIN corpus, one on the GENERAL corpus — and rank by
+    * ce_diff = nll_in − nll_gen (per-token cross-entropy difference).
+    * Low ce_diff = reads like the target domain AND not like generic text —
+    * the classic signal for mining domain-relevant training data out of a
+    * crawl (CCNet's ppl filter is the one-sided special case of this).
+    *
+    * Scale shape: both LMs fit and score in ONE plan via [[knBigramPpl]]'s
+    * `groupCols` machinery (one independent LM per group): the train sides
+    * union under an `__lm` tag, so the model is one pass over
+    * in-domain + general with every aggregation keyed by (`__lm`, gram) —
+    * not two plan branches — and the pool's kernel pass runs once with each
+    * bigram row exploded to both tags (2× scoring rows, 0× extra text
+    * scans). Nothing is collected; both LMs stay DataFrames — a 100 TB
+    * general corpus fits the same plan as [[knBigramPpl]]. Pool docs with
+    * <2 tokens emit no row (no LM evidence).
+    * Returns (id, n_bigrams, nll_in, nll_gen, ce_diff). */
+  def mooreLewisScore(inDomain: DataFrame, general: DataFrame,
+                      pool: DataFrame, textCol: String, idCol: String,
+                      discount: Double = 0.75): DataFrame = {
+    val train = inDomain.select(col(textCol)).withColumn("__lm", lit("in"))
+      .unionByName(general.select(col(textCol)).withColumn("__lm", lit("gen")))
+    val tagged = pool.select(col(idCol), col(textCol))
+      .withColumn("__lm", explode(array(lit("in"), lit("gen"))))
+    knBigramPpl(train, tagged, textCol, idCol, discount, groupCols = Seq("__lm"))
+      .groupBy(col(idCol))
+      .agg(max(col("n_bigrams")).as("n_bigrams"),
+        max(when(col("__lm") === "in", col("nll"))).as("nll_in"),
+        max(when(col("__lm") === "gen", col("nll"))).as("nll_gen"))
+      .withColumn("ce_diff", col("nll_in") - col("nll_gen"))
+  }
+
+  /** Moore-Lewis selection: keep pool documents whose cross-entropy
+    * difference clears `threshold` (rounded to 6 dp first so the cut is
+    * engine-replayable — the paper picks the threshold on held-out data;
+    * here it is the caller's knob). A fixed threshold keeps selection a
+    * pure filter — no global sort, no quantile pass — so it composes with
+    * any downstream sampler at any scale. */
+  def mooreLewisSelect(inDomain: DataFrame, general: DataFrame,
+                       pool: DataFrame, textCol: String, idCol: String,
+                       threshold: Double, discount: Double = 0.75): DataFrame =
+    mooreLewisScore(inDomain, general, pool, textCol, idCol, discount)
+      .filter(round(col("ce_diff"), 6) <= threshold)
+
   /** Top-k highest-tfidf tokens per document (deterministic: rounded score,
     * then token, breaks ties). */
   def topTerms(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =

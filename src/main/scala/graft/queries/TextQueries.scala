@@ -757,6 +757,24 @@ object TextQueries {
         .orderBy(col("batch_id"), col("stored_id"))
     }),
 
+    // Moore-Lewis cross-entropy difference selection (Tfidf.mooreLewisScore):
+    // KN bigram LMs on the English 90% slice (in-domain) and the whole 90%
+    // slice (general), every doc scored under both in ONE plan via the
+    // per-group-LM machinery; ce_diff = nll_in − nll_gen. The oracle
+    // rebuilds both LMs' count tables over gram STRINGS keyed by lm and
+    // replays the interpolation and the difference exactly.
+    "q181_moore_lewis" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      graft.operators.Tfidf.mooreLewisScore(
+          train.filter(col("lang") === "en"), train, docs, "text", "doc_id")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("nll_in"), 6).as("nll_in_r"),
+          round(col("nll_gen"), 6).as("nll_gen_r"),
+          round(col("ce_diff"), 6).as("ce_diff_r"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing fingerprints (Dedup.winnowFingerprints): MOSS local
     // fingerprint selection — each 8-hash window keeps its rightmost
     // minimum, consecutive selections dedup. The oracle recomputes the
@@ -1152,6 +1170,31 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // TWO consecutive ingest days through the incremental-dedup fixpoint
+    // (Dedup.incrementalDedup): day-1 survivors JOIN the stored corpus, and
+    // day-2 — an exact re-send of day 1 under fresh ids — must dedup
+    // entirely against it: every day-2 copy of a day-1 'kept' doc comes
+    // back dup_of_stored attributed to that survivor. The oracle replays
+    // BOTH days (cross join, per-day recursive components, survivor union)
+    // — the only multi-step fixpoint replay in the suite.
+    "q183_two_day_dedup" -> ((s, d) => {
+      val toks = Tables(s, d, "documents").select(col("doc_id"), col("lang"),
+        col("source"), array_distinct(S.tokens(col("text"))).as("toks"))
+      val stored0 = toks.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val day1 = toks.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .withColumn("doc_id", col("doc_id") + 20000)
+      val day2 = toks.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .withColumn("doc_id", col("doc_id") + 40000)
+      val r1 = Dedup.incrementalDedup(stored0, day1, "toks", "doc_id",
+        Seq("lang", "source"), 0.7)
+      val stored1 = stored0.unionByName(day1.join(
+        r1.filter(col("status") === "kept").select("doc_id"), Seq("doc_id")))
+      val r2 = Dedup.incrementalDedup(stored1, day2, "toks", "doc_id",
+        Seq("lang", "source"), 0.7)
+      r1.withColumn("day", lit(1L)).unionByName(r2.withColumn("day", lit(2L)))
+        .orderBy(col("day"), col("doc_id"))
+    }),
+
     // Composed dedup pipeline (exact text → normalized fingerprint → blocked
     // near-dup, cheapest first, stages persisted) with the DETERMINISTIC
     // prefix-filter Jaccard stage so the whole chain is oracle-checkable
@@ -1492,6 +1535,21 @@ object TextQueries {
       val (p1, l1) = Retrieval.bm25Append(p0, l0,
         docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text", "doc_id")
       Retrieval.bm25Search(p1, l1, "doc_id", Bm25Queries, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Hard-negative mining (Retrieval.hardNegatives): per query, the BM25
+    // top-10 after removing that query's known positives — here the same
+    // ranking's top-2, the distillation shape — with positives excluded
+    // BEFORE ranking so negative ranks are dense. Oracle replays the shared
+    // scored-candidates CTE, the top-2 positives, the anti-join, and the
+    // re-rank.
+    "q182_hard_negatives" -> ((s, d) => {
+      import graft.operators.Retrieval
+      val docs = Tables(s, d, "documents")
+      val positives = Retrieval.bm25TopK(docs, "text", "doc_id", Bm25Queries, k = 2)
+        .select(col("query_id"), col("doc_id"))
+      Retrieval.hardNegatives(docs, "text", "doc_id", Bm25Queries, positives, k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -3067,6 +3125,94 @@ object TextQueries {
       LEFT JOIN cross_m cm ON cm.id = b.doc_id
       LEFT JOIN rec ON rec.v = b.doc_id
       ORDER BY b.doc_id""",
+    // Two-day fixpoint replay: q164's chain run twice — day-1 report,
+    // survivors unioned into the stored side, day-2 report over the grown
+    // corpus. Each day gets its own nested recursive-CTE component pass.
+    "q183_two_day_dedup" -> """
+      WITH toks AS (
+        SELECT doc_id, lang, source,
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                    ELSE list_distinct(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) END AS t
+        FROM documents),
+      stored0 AS (SELECT * FROM toks WHERE doc_id % 4 <> 0),
+      b1 AS (SELECT doc_id + 20000 AS doc_id, lang, source, t FROM toks WHERE doc_id % 4 = 0),
+      b2 AS (SELECT doc_id + 40000 AS doc_id, lang, source, t FROM toks WHERE doc_id % 4 = 0),
+      cross1 AS (
+        SELECT b.doc_id AS id, min(s.doc_id) AS att
+        FROM b1 b JOIN stored0 s ON b.lang = s.lang AND b.source = s.source
+        WHERE len(b.t) + len(s.t) - len(list_intersect(b.t, s.t)) > 0
+          AND CAST(len(list_intersect(b.t, s.t)) AS DOUBLE)
+              / CAST(len(b.t) + len(s.t) - len(list_intersect(b.t, s.t)) AS DOUBLE) >= 0.7
+        GROUP BY 1),
+      clean1 AS (SELECT * FROM b1 WHERE doc_id NOT IN (SELECT id FROM cross1)),
+      pairs1 AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM clean1 a JOIN clean1 b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) > 0
+          AND CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+              / CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS DOUBLE) >= 0.7),
+      edges1 AS (SELECT id_a AS src, id_b AS dst FROM pairs1
+                 UNION SELECT id_b, id_a FROM pairs1),
+      rec1 AS (
+        WITH RECURSIVE reach(v, l) AS (
+          SELECT src, src FROM edges1
+          UNION
+          SELECT e.dst, reach.l FROM reach JOIN edges1 e ON e.src = reach.v)
+        SELECT v, min(l) AS component FROM reach GROUP BY v),
+      rep1 AS (
+        SELECT b.doc_id,
+               CASE WHEN cm.att IS NOT NULL THEN 'dup_of_stored'
+                    WHEN rec1.component IS NOT NULL AND rec1.component <> b.doc_id THEN 'dup_in_batch'
+                    ELSE 'kept' END AS status,
+               CASE WHEN cm.att IS NOT NULL THEN cm.att
+                    WHEN rec1.component IS NOT NULL AND rec1.component <> b.doc_id THEN rec1.component
+                    END AS attributed_to
+        FROM b1 b
+        LEFT JOIN cross1 cm ON cm.id = b.doc_id
+        LEFT JOIN rec1 ON rec1.v = b.doc_id),
+      stored1 AS (
+        SELECT * FROM stored0
+        UNION ALL
+        SELECT b1.* FROM b1 JOIN rep1 ON b1.doc_id = rep1.doc_id AND rep1.status = 'kept'),
+      cross2 AS (
+        SELECT b.doc_id AS id, min(s.doc_id) AS att
+        FROM b2 b JOIN stored1 s ON b.lang = s.lang AND b.source = s.source
+        WHERE len(b.t) + len(s.t) - len(list_intersect(b.t, s.t)) > 0
+          AND CAST(len(list_intersect(b.t, s.t)) AS DOUBLE)
+              / CAST(len(b.t) + len(s.t) - len(list_intersect(b.t, s.t)) AS DOUBLE) >= 0.7
+        GROUP BY 1),
+      clean2 AS (SELECT * FROM b2 WHERE doc_id NOT IN (SELECT id FROM cross2)),
+      pairs2 AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM clean2 a JOIN clean2 b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) > 0
+          AND CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+              / CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS DOUBLE) >= 0.7),
+      edges2 AS (SELECT id_a AS src, id_b AS dst FROM pairs2
+                 UNION SELECT id_b, id_a FROM pairs2),
+      rec2 AS (
+        WITH RECURSIVE reach(v, l) AS (
+          SELECT src, src FROM edges2
+          UNION
+          SELECT e.dst, reach.l FROM reach JOIN edges2 e ON e.src = reach.v)
+        SELECT v, min(l) AS component FROM reach GROUP BY v),
+      rep2 AS (
+        SELECT b.doc_id,
+               CASE WHEN cm.att IS NOT NULL THEN 'dup_of_stored'
+                    WHEN rec2.component IS NOT NULL AND rec2.component <> b.doc_id THEN 'dup_in_batch'
+                    ELSE 'kept' END AS status,
+               CASE WHEN cm.att IS NOT NULL THEN cm.att
+                    WHEN rec2.component IS NOT NULL AND rec2.component <> b.doc_id THEN rec2.component
+                    END AS attributed_to
+        FROM b2 b
+        LEFT JOIN cross2 cm ON cm.id = b.doc_id
+        LEFT JOIN rec2 ON rec2.v = b.doc_id)
+      SELECT CAST(1 AS BIGINT) AS day, doc_id, status, attributed_to FROM rep1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), doc_id, status, attributed_to FROM rep2
+      ORDER BY day, doc_id""",
     "q53_dedup_pipeline" -> """
       WITH s1 AS (
         SELECT d.doc_id, d.lang, d.source, d.text FROM documents d
@@ -3495,6 +3641,52 @@ object TextQueries {
              round(avg(-ln(p)), 6) AS nll_r,
              round(exp(avg(-ln(p))), 3) AS ppl_r
       FROM scored GROUP BY doc_id ORDER BY doc_id""",
+    // Moore-Lewis replay: q173's four KN count tables rebuilt PER LM (the
+    // lm tag rides every grouping key), every doc scored under both models,
+    // pivot + difference at the end. Rounding happens after the unrounded
+    // difference, matching the Spark side exactly.
+    "q181_moore_lewis" -> """
+      WITH toks AS (
+        SELECT doc_id, lang, regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS ts
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      bg_all AS (
+        SELECT doc_id, lang, ts[i] AS w1, ts[i+1] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+        WHERE len(ts) >= 2),
+      lms(lm) AS (VALUES ('in'), ('gen')),
+      tr AS (
+        SELECT lm, w1, w2 FROM bg_all, lms
+        WHERE doc_id % 10 <> 0 AND (lm = 'gen' OR lang = 'en')),
+      bi AS (SELECT lm, w1, w2, count(*) AS c2 FROM tr GROUP BY 1, 2, 3),
+      lft AS (SELECT lm, w1, sum(c2) AS c1, count(*) AS nf FROM bi GROUP BY 1, 2),
+      cont AS (SELECT lm, w2, count(*) AS nl FROM bi GROUP BY 1, 2),
+      ty AS (SELECT lm, count(*) AS t FROM bi GROUP BY 1),
+      vo AS (SELECT lm, count(DISTINCT u) AS v FROM
+               (SELECT lm, unnest(ts) AS u FROM toks, lms
+                WHERE doc_id % 10 <> 0 AND (lm = 'gen' OR lang = 'en'))
+             GROUP BY lm),
+      tot AS (SELECT lm, t, v FROM ty JOIN vo USING (lm)),
+      scored AS (
+        SELECT s.doc_id, lms.lm,
+          CASE WHEN lft.c1 IS NOT NULL THEN
+            greatest(CAST(coalesce(bi.c2, 0) AS DOUBLE) - 0.75, 0.0) / lft.c1
+            + 0.75 * lft.nf / lft.c1
+              * (CAST(coalesce(cont.nl, 0) AS DOUBLE) + 1.0) / (tot.t + tot.v + 1.0)
+          ELSE (CAST(coalesce(cont.nl, 0) AS DOUBLE) + 1.0) / (tot.t + tot.v + 1.0)
+          END AS p
+        FROM bg_all s CROSS JOIN lms
+        LEFT JOIN bi ON bi.lm = lms.lm AND bi.w1 = s.w1 AND bi.w2 = s.w2
+        LEFT JOIN lft ON lft.lm = lms.lm AND lft.w1 = s.w1
+        LEFT JOIN cont ON cont.lm = lms.lm AND cont.w2 = s.w2
+        JOIN tot ON tot.lm = lms.lm),
+      per AS (SELECT doc_id, lm, count(*) AS nb, avg(-ln(p)) AS nll
+              FROM scored GROUP BY 1, 2)
+      SELECT doc_id, CAST(max(nb) AS BIGINT) AS n_bigrams,
+             round(max(CASE WHEN lm = 'in' THEN nll END), 6) AS nll_in_r,
+             round(max(CASE WHEN lm = 'gen' THEN nll END), 6) AS nll_gen_r,
+             round(max(CASE WHEN lm = 'in' THEN nll END)
+                   - max(CASE WHEN lm = 'gen' THEN nll END), 6) AS ce_diff_r
+      FROM per GROUP BY doc_id ORDER BY doc_id""",
     // Winnowing replay: q31's rolling-hash comprehension at k=8, window
     // minima with the rightmost-tie rule via list_reverse position, DISTINCT
     // for the consecutive-selection dedup (selections of a position are
@@ -3893,12 +4085,16 @@ object TextQueries {
     // from-scratch replay — the append-only no-drift contract.
     "q170_bm25_index" -> bm25OracleSql,
     "q105_bm25" -> bm25OracleSql,
+    "q182_hard_negatives" -> hardNegOracleSql,
   ) ++ lateOracles
 
   // shared by q105 (one-shot) and q170 (persisted index) — one replay, two
   // paths, no drift possible. Lazy: referenced from `oracles` above its
   // declaration point (object init order).
-  private lazy val bm25OracleSql: String = """
+  // Shared BM25 scored-candidates CTE chain (through `scored`) — ONE SQL
+  // replay of the arithmetic behind q105/q170/q182, mirroring the Scala
+  // side's single scoredBm25 implementation.
+  private lazy val bm25ScoredCte: String = """
       WITH q(query_id, qtext) AS (VALUES
         ('qa','spark join merge'), ('qb','customer order value'),
         ('qc','window agg batch'), ('qd','slow table scan')),
@@ -3913,9 +4109,24 @@ object TextQueries {
       contrib AS (SELECT qt.query_id, tf.doc_id,
         ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c
         FROM qt JOIN tf USING (token) JOIN dfq USING (token) JOIN lens USING (doc_id) CROSS JOIN stats),
-      scored AS (SELECT query_id, doc_id, round(sum(c), 6) AS score_r FROM contrib GROUP BY 1, 2),
+      scored AS (SELECT query_id, doc_id, round(sum(c), 6) AS score_r FROM contrib GROUP BY 1, 2)"""
+
+  private lazy val bm25OracleSql: String = bm25ScoredCte + """,
       ranked AS (SELECT query_id, doc_id, score_r,
         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_r DESC, doc_id) AS BIGINT) AS "rank" FROM scored)
+      SELECT query_id, doc_id, score_r, "rank" FROM ranked WHERE "rank" <= 10 ORDER BY query_id, "rank""""
+
+  // Hard-negative replay: positives = the same ranking's top-2, negatives =
+  // the scored candidates minus positives, re-ranked dense 1..10.
+  private lazy val hardNegOracleSql: String = bm25ScoredCte + """,
+      pos AS (SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY score_r DESC, doc_id) AS r
+        FROM scored) WHERE r <= 2),
+      neg AS (SELECT s.query_id, s.doc_id, s.score_r
+        FROM scored s ANTI JOIN pos ON s.query_id = pos.query_id AND s.doc_id = pos.doc_id),
+      ranked AS (SELECT query_id, doc_id, score_r,
+        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_r DESC, doc_id) AS BIGINT) AS "rank" FROM neg)
       SELECT query_id, doc_id, score_r, "rank" FROM ranked WHERE "rank" <= 10 ORDER BY query_id, "rank""""
 
   private lazy val lateOracles: Map[String, String] = Map(

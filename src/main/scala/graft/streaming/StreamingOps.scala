@@ -263,6 +263,72 @@ object StreamingOps {
     * column names (they both survive into the output). Batch frames run the
     * identical join (withWatermark is a no-op in batch), which is how the
     * oracle replays it. */
+  /** Streaming INGEST-DEDUP GATE: [[graft.operators.Dedup.incrementalDedup]]
+    * as a micro-batch maintenance loop — each arriving batch is deduplicated
+    * against the PERSISTED survivor corpus, its per-doc report (kept /
+    * dup_of_stored / dup_in_batch + attribution) appends to `reportTable`,
+    * and its survivors append to `corpusTable`, so the next batch dedups
+    * against everything that ever survived. This is the production shape of
+    * the q183 two-day composition: dedup-on-ingest, corpus as the fixpoint.
+    *
+    * Exactly-once: dedup of a batch is DETERMINISTIC given the corpus, so
+    * under foreachBatch's at-least-once re-delivery the corpus append is
+    * guarded by the corpus table's max batch_id and the report append by the
+    * report table's — re-running a half-committed batch recomputes the same
+    * frames and completes only the missing append (a zero-survivor batch
+    * re-appends an empty frame: harmless). Corpus appends FIRST so a crash
+    * between the two writes never yields a report whose survivors are
+    * missing from the corpus.
+    *
+    * Scale shape: identical to the batch operator — candidate work is
+    * batch×corpus through the prefix-filtered blocked join, never
+    * corpus×corpus; the corpus table only ever APPENDS (no rewrite), so a
+    * year of ingest is a year of immutable parquet plus [[graft.catalog
+    * .Compaction]] as the every-N-batches maintenance hook. */
+  def ingestDedupGate(docs: DataFrame, textCol: String, idCol: String,
+                      blockCols: Seq[String], threshold: Double,
+                      corpusTable: String, reportTable: String,
+                      checkpoint: String,
+                      availableNow: Boolean = false): StreamingQuery = {
+    import graft.functions.{SimilarityFunctions => S}
+    import graft.operators.Dedup
+    val w = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val ss = batch.sparkSession
+        def applied(table: String): Boolean =
+          ss.catalog.tableExists(table) && !ss.table(table).isEmpty &&
+            ss.table(table).agg(max(col("batch_id"))).head().getLong(0) >= id
+        val btoks = batch
+          .select(col(idCol) +: blockCols.map(col) :+
+            array_distinct(S.tokens(col(textCol))).as("__toks"): _*)
+          .localCheckpoint(true)
+        if (btoks.count() > 0 && !applied(reportTable)) {
+          // batch_id < id: on replay after a committed corpus append, the
+          // batch's own survivors must NOT be in its stored side (they would
+          // self-match as dup_of_stored and change the recomputed report)
+          val stored =
+            if (ss.catalog.tableExists(corpusTable))
+              ss.table(corpusTable).filter(col("batch_id") < id).drop("batch_id")
+            else btoks.limit(0)
+          val report = Dedup.incrementalDedup(stored, btoks, "__toks", idCol,
+              blockCols, threshold)
+            .withColumn("batch_id", lit(id))
+            .localCheckpoint(true)
+          if (!applied(corpusTable)) {
+            val survivors = btoks.join(
+              report.filter(col("status") === "kept").select(col(idCol)),
+              Seq(idCol))
+            survivors.withColumn("batch_id", lit(id))
+              .write.mode("append").saveAsTable(corpusTable)
+          }
+          report.write.mode("append").saveAsTable(reportTable)
+        }
+        ()
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    leftTs: String, rightTs: String, withinSecs: Long,
                    watermark: String, joinType: String = "inner"): DataFrame = {

@@ -59,4 +59,29 @@ class Bm25IndexSpec extends SparkSpec {
     val oneBuild = Retrieval.bm25Search(pd, ld, "doc_id", queries, k = 10)
     assert(rows(threeAppends) == rows(oneBuild))
   }
+
+  test("hardNegatives: positives never returned, ranks dense over the remaining ranking") {
+    import spark.implicits._
+    val full = Retrieval.bm25TopK(docs, "text", "doc_id", queries, k = 12)
+    val positives = full.filter(col("rank") <= 2).select("query_id", "doc_id")
+    val posSet = positives.as[(String, Long)].collect().toSet
+    val neg = Retrieval.hardNegatives(docs, "text", "doc_id", queries, positives, k = 10)
+    val negRows = rows(neg)
+    // no positive survives
+    assert(negRows.forall { case (q, id, _, _) => !posSet.contains((q, id)) })
+    // ranks are dense 1..k per query (positives removed BEFORE ranking)
+    negRows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._4).toSeq.sorted == (1L to rs.size).toSeq)
+    }
+    // and the negatives are exactly the full ranking shifted past the
+    // positives: rank r negative == rank r+2 of the unfiltered list
+    val fullMap = rows(full).map { case (q, id, s, r) => (q, r) -> ((id, s)) }.toMap
+    negRows.foreach { case (q, id, s, r) =>
+      assert(fullMap((q, r + 2)) == ((id, s)), s"query $q rank $r")
+    }
+    // empty positives frame degrades to plain bm25TopK
+    val none = positives.filter(lit(false))
+    assert(rows(Retrieval.hardNegatives(docs, "text", "doc_id", queries, none, k = 10)) ==
+      rows(Retrieval.bm25TopK(docs, "text", "doc_id", queries, k = 10)))
+  }
 }

@@ -286,6 +286,38 @@ class IncrementalDedupSpec extends SparkSpec {
       updated.exceptAll(expect).isEmpty && expect.exceptAll(updated).isEmpty)
   }
 
+  test("two-day composition: day-2 copies of day-1 survivors dedup against them") {
+    val docs = sf("documents").select(col("doc_id"), col("lang"),
+      col("source"), array_distinct(
+        split(lower(trim(col("text"))), "\\s+")).as("toks"))
+    val stored0 = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val day1 = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      .withColumn("doc_id", col("doc_id") + 20000)
+    val day2 = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      .withColumn("doc_id", col("doc_id") + 40000)
+    def report(stored: DataFrame, batch: DataFrame) =
+      Dedup.incrementalDedup(stored, batch, "toks", "doc_id",
+          Seq("lang", "source"), 0.7)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    val r1 = report(stored0, day1)
+    val kept1 = r1.collect { case (id, ("kept", _)) => id }.toSet
+    val stored1 = stored0.unionByName(
+      day1.filter(col("doc_id").isin(kept1.toSeq: _*)))
+    val r2 = report(stored1, day2)
+    // every day-2 copy of a day-1 SURVIVOR must come back dup_of_stored,
+    // attributed to exactly that survivor (it matched nothing in stored0 on
+    // day 1, so the +20000 twin is its only — and minimal — match)
+    assert(kept1.nonEmpty)
+    kept1.foreach { id =>
+      assert(r2(id + 20000) == (("dup_of_stored", Some(id))),
+        s"day-2 twin of survivor $id: ${r2(id + 20000)}")
+    }
+    // and nothing in day 2 is 'kept' with a twin that survived day 1
+    val kept2 = r2.collect { case (id, ("kept", _)) => id }.toSet
+    assert(kept2.forall(id => !kept1.contains(id - 20000)))
+  }
+
   test("fixpoint: survivors join the corpus; re-running the batch drops everything") {
     val stored = toks(Seq(5L -> "a b c d e"))
     val batch = toks(Seq(100L -> "a b c d e", 101L -> "p q r s t",

@@ -632,6 +632,45 @@ class TfidfSpec extends SparkSpec {
     assert(full(10L) > 0.0 && java.lang.Double.isFinite(full(11L)))
   }
 
+  test("mooreLewisScore: one-plan formulation equals two separate LM fits; selection discriminates") {
+    val sf = this.sf("documents").select(col("doc_id"), col("lang"), col("text"))
+    val train = sf.filter(col("doc_id") % 10 =!= 0)
+    val inDom = train.filter(col("lang") === "en")
+    val one = Tfidf.mooreLewisScore(inDom, train, sf, "text", "doc_id")
+      .select("doc_id", "n_bigrams", "nll_in", "nll_gen", "ce_diff")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // the single-plan groupCols formulation must equal two independent fits
+    val sepIn = Tfidf.knBigramPpl(inDom, sf, "text", "doc_id")
+      .select("doc_id", "nll").as[(Long, Double)].collect().toMap
+    val sepGen = Tfidf.knBigramPpl(train, sf, "text", "doc_id")
+      .select("doc_id", "nll").as[(Long, Double)].collect().toMap
+    assert(one.keySet == sepIn.keySet)
+    one.foreach { case (id, (_, _, nIn, nGen, diff)) =>
+      assert(math.abs(nIn - sepIn(id)) < 1e-12, s"doc $id in-LM")
+      assert(math.abs(nGen - sepGen(id)) < 1e-12, s"doc $id gen-LM")
+      assert(math.abs(diff - (nIn - nGen)) == 0.0)
+    }
+    // the signal points the right way: English docs average a lower
+    // cross-entropy difference than the rest of the pool
+    val byLang = sf.select("doc_id", "lang").as[(Long, String)].collect().toMap
+    def meanDiff(p: String => Boolean) = {
+      val v = one.collect { case (id, r) if p(byLang(id)) => r._5 }
+      v.sum / v.size
+    }
+    assert(meanDiff(_ == "en") < meanDiff(_ != "en"),
+      "in-domain docs must score closer to the in-domain LM")
+    // select ≡ score + rounded-threshold filter, and it actually selects
+    val thr = -0.05
+    val sel = Tfidf.mooreLewisSelect(inDom, train, sf, "text", "doc_id", thr)
+      .select("doc_id").as[Long].collect().toSet
+    val expect = one.collect {
+      case (id, r) if BigDecimal(r._5).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble <= thr => id
+    }.toSet
+    assert(sel == expect && sel.nonEmpty && sel.size < one.size)
+  }
+
   test("perplexityBuckets: per-group terciles are balanced and rank-ordered") {
     val docs = (1 to 30).map { i =>
       val lang = if (i % 2 == 0) "en" else "de"

@@ -193,6 +193,13 @@ class PartitionInvarianceSpec extends SparkSpec {
       graft.operators.Retrieval.logisticFitSparse(feats, labels, "doc_id", "y",
         iters = 2, lrNum = 1, lrDen = 1)._1
     }
+    invariant("moore-lewis cross-entropy difference") { d =>
+      val train = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      graft.operators.Tfidf.mooreLewisScore(
+        train.filter(col("lang") === "en"), train, d, "text", "doc_id")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("ce_diff"), 6).as("ce_diff_r"))
+    }
     invariant("kn trigram ppl (recursive backoff)") { d =>
       graft.operators.Tfidf.knTrigramPpl(
         d.filter(pmod(col("doc_id"), lit(10)) =!= 0), d, "text", "doc_id")

@@ -173,6 +173,62 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(s"$db.cleansed").count() == 3)
   }
 
+  test("ingest-dedup gate: streamed batches equal the sequential batch fixpoint; restart replays nothing") {
+    val db = s"dedupgate${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    val (ct, rt) = (s"$db.corpus", s"$db.report")
+    val ckpt = Files.createTempDirectory("graft_gate_ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.ingestDedupGate(
+      mem.toDF().toDF("doc_id", "blk", "text"),
+      "text", "doc_id", Seq("blk"), 0.7, ct, rt, ckpt)
+    // day 1: two distinct docs + an in-batch twin of the first
+    val b1 = Seq((1L, "b", "alpha beta gamma delta"),
+                 (2L, "b", "alpha beta gamma delta"),
+                 (3L, "b", "epsilon zeta eta theta"))
+    // day 2: a re-send of doc 1's text (dups vs the day-1 survivor), one new
+    val b2 = Seq((10L, "b", "alpha beta gamma delta"),
+                 (11L, "b", "iota kappa lambda mu"))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    spark.sql(s"REFRESH TABLE $rt"); spark.sql(s"REFRESH TABLE $ct")
+    val rep = spark.table(rt)
+      .select("doc_id", "status", "attributed_to", "batch_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))))
+      .toMap
+    assert(rep(1L)._1 == "kept" && rep(3L)._1 == "kept")
+    assert(rep(2L) == (("dup_in_batch", Some(1L), 0L)))
+    assert(rep(10L) == (("dup_of_stored", Some(1L), 1L)),
+      "day-2 re-send must dedup against the day-1 SURVIVOR in the corpus table")
+    assert(rep(11L)._1 == "kept")
+    // corpus = survivors only, tagged with their batch
+    val corpus = spark.table(ct).select("doc_id", "batch_id")
+      .as[(Long, Long)].collect().toSet
+    assert(corpus == Set(1L -> 0L, 3L -> 0L, 11L -> 1L))
+    // restart over the same checkpoint: nothing reprocessed, tables unchanged
+    val q2 = StreamingOps.ingestDedupGate(
+      mem.toDF().toDF("doc_id", "blk", "text"),
+      "text", "doc_id", Seq("blk"), 0.7, ct, rt, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    spark.sql(s"REFRESH TABLE $rt"); spark.sql(s"REFRESH TABLE $ct")
+    assert(spark.table(rt).count() == 5 && spark.table(ct).count() == 3)
+    // and the streamed reports equal the sequential batch fixpoint
+    import graft.operators.Dedup
+    def toks(rows: Seq[(Long, String, String)]) = rows.toDF("doc_id", "blk", "text")
+      .select(col("doc_id"), col("blk"),
+        array_distinct(split(lower(trim(col("text"))), "\\s+")).as("__toks"))
+    val s0 = toks(b1).limit(0)
+    val r1 = Dedup.incrementalDedup(s0, toks(b1), "__toks", "doc_id", Seq("blk"), 0.7)
+    val s1 = toks(b1).join(r1.filter(col("status") === "kept").select("doc_id"), Seq("doc_id"))
+    val r2 = Dedup.incrementalDedup(s1, toks(b2), "__toks", "doc_id", Seq("blk"), 0.7)
+    val seqRep = (r1.collect() ++ r2.collect()).map(r => r.getLong(0) ->
+      ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(rep.view.mapValues(v => (v._1, v._2)).toMap == seqRep)
+  }
+
   test("online logistic fit: per-batch SGD over a weights table equals the offline step sequence; replay is skipped") {
     val db = s"onlinefit${System.nanoTime()}"
     spark.sql(s"CREATE DATABASE $db")
