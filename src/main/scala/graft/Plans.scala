@@ -51,6 +51,9 @@ object Plans {
       "q171_incremental_cc" -> "incremental CC: broadcast touched-component semi/anti joins, star-edge replay only",
       "q173_kn_ppl" -> "Kneser-Ney perplexity: one kn_bigram_hashes kernel scan feeding three hash-keyed model aggregations, token-keyed scoring joins, broadcast (T,V) row",
       "q179_winnow" -> "winnowing fingerprints: one winnow_fingerprints kernel scan (O(n) min-deque), explode, no joins or shuffles beyond the output sort",
+      "q180_incremental_winnow" -> "incremental winnowing: stored (id, fp) index cut by broadcast left-semi on batch-touched fingerprints before the pair join — batch-scoped candidates",
+      "q181_moore_lewis" -> "Moore-Lewis ce-diff: both KN LMs fit from ONE tagged train union (lm-keyed model aggregations), pool bigrams exploded to both tags, broadcast (T,V) totals",
+      "q182_hard_negatives" -> "hard-negative mining: query-term semi-join cuts the token stream map-side, positives excluded via broadcast left-anti over query-bounded candidates",
       "q37_pipeline_e2e" -> "full collect-to-cleanse pipeline")
 
     val sb = new StringBuilder

@@ -145,6 +145,42 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast left-semi on the stored bucket rows:\n$p")
   }
 
+  test("incrementalWinnow: stored index rows are filtered by a broadcast semi-join") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val docs = graft.queries.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val stored = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val idx = Dedup.winnowIndex(stored, "text", "doc_id")
+    val (report, _) = Dedup.incrementalWinnow(idx, batch, "text", "doc_id")
+    val p = plan(report)
+    // same batch-scoped contract as incrementalMinhash: the stored (id, fp)
+    // rows are cut down map-side by a broadcast LeftSemi on batch-touched
+    // fingerprints BEFORE any pair join
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected broadcast left-semi on the stored index rows:\n$p")
+  }
+
+  test("hardNegatives: token stream semi-joined to query terms; positives anti-joined broadcast") {
+    import graft.operators.Retrieval
+    import org.apache.spark.sql.functions.col
+    val docs = graft.queries.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val qs = Seq("qa" -> "spark join merge", "qb" -> "customer order value")
+    val positives = Retrieval.bm25TopK(docs, "text", "doc_id", qs, k = 2)
+      .select(col("query_id"), col("doc_id"))
+    val p = plan(Retrieval.hardNegatives(docs, "text", "doc_id", qs, positives, k = 10))
+    // the corpus token stream must shrink to query-matched terms BEFORE the
+    // tf aggregation (broadcast LeftSemi), and the positives exclusion must
+    // be a broadcast LeftAnti over the already query-bounded candidates —
+    // the corpus never shuffles for either
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"expected broadcast semi (query terms) + anti (positives):\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("salted aggregation plans two aggregation phases over distinct keys") {
     val df = graft.operators.SkewOps.saltedAggregate(
       graft.queries.Tables(spark, dir, "events"), Seq("event_type"),
