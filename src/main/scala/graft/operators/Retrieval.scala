@@ -41,17 +41,26 @@ object Retrieval {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queries.nonEmpty, "at least one query required")
     val qterms = queryTerms(docs.sparkSession, queries)
+    val (tf, lens) = oneShotTf(docs, textCol, idCol, qterms)
+    scoreBm25(qterms, tf, lens, idCol, k, k1, b)
+  }
+
+  /** One-shot candidate generation shared by [[bm25TopK]] and
+    * [[hardNegatives]]: semi-join BEFORE the tf aggregation, so only the
+    * query-matched token slice ever aggregates/shuffles (the 100× contract
+    * PlanSpec + BASELINE pin); the index path instead pays the full-vocab
+    * aggregation ONCE at build time and filters thereafter. ONE
+    * implementation so tokenization and the semi-join shape cannot drift
+    * between the q105/q170 and q182 paths. */
+  private def oneShotTf(docs: DataFrame, textCol: String, idCol: String,
+                        qterms: DataFrame): (DataFrame, DataFrame) = {
     val lens = docs.select(col(idCol),
       size(S.tokens(col(textCol))).cast("long").as("__dl"))
-    // one-shot shape: semi-join BEFORE the tf aggregation, so only the
-    // query-matched token slice ever aggregates/shuffles (the 100× contract
-    // PlanSpec + BASELINE pin); the index path instead pays the full-vocab
-    // aggregation ONCE at build time and filters thereafter
     val matched = docs
       .select(col(idCol), explode(S.tokens(col(textCol))).as("token"))
       .join(broadcast(qterms.select(col("token")).distinct()), Seq("token"), "left_semi")
     val tf = matched.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__tf"))
-    scoreBm25(qterms, tf, lens, idCol, k, k1, b)
+    (tf, lens)
   }
 
   /** Persisted BM25 INDEX: ONE text scan producing the two frames sparse
@@ -166,12 +175,7 @@ object Retrieval {
                     k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queries.nonEmpty, "at least one query required")
     val qterms = queryTerms(docs.sparkSession, queries)
-    val lens = docs.select(col(idCol),
-      size(S.tokens(col(textCol))).cast("long").as("__dl"))
-    val matched = docs
-      .select(col(idCol), explode(S.tokens(col(textCol))).as("token"))
-      .join(broadcast(qterms.select(col("token")).distinct()), Seq("token"), "left_semi")
-    val tf = matched.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__tf"))
+    val (tf, lens) = oneShotTf(docs, textCol, idCol, qterms)
     val negatives = scoredBm25(qterms, tf, lens, idCol, k1, b)
       .join(broadcast(positives.select(col("query_id"), col(idCol))),
         Seq("query_id", idCol), "left_anti")

@@ -124,6 +124,23 @@ object Tfidf {
   def knBigramPpl(train: DataFrame, score: DataFrame, textCol: String,
                   idCol: String, discount: Double = 0.75,
                   groupCols: Seq[String] = Nil): DataFrame = {
+    import graft.functions.expressions.HashExpressions.kn_bigram_hashes
+    val g = groupCols.map(col)
+    val scoredBg = score
+      .select(col(idCol) +: g :+ explode(kn_bigram_hashes(col(textCol))).as("bg"): _*)
+      .select((col(idCol) +: g) ++ Seq(col("bg.w1h").as("w1h"),
+        col("bg.w2h").as("w2h"), col("bg.bgh").as("bgh")): _*)
+    knBigramPplOnHashes(train, scoredBg, textCol, idCol, discount, groupCols)
+  }
+
+  /** [[knBigramPpl]] with the SCORE side already reduced to hashed bigram
+    * rows (idCol [, groupCols], w1h, w2h, bgh) — the shared formula behind
+    * both the public operator and [[mooreLewisScore]], which tags each pool
+    * bigram with both LM labels AFTER one kernel pass instead of running
+    * the tokenize+hash kernel once per label. */
+  private[operators] def knBigramPplOnHashes(
+      train: DataFrame, scoredBg: DataFrame, textCol: String, idCol: String,
+      discount: Double, groupCols: Seq[String]): DataFrame = {
     require(discount > 0.0 && discount < 1.0, s"discount must be in (0,1): $discount")
     import graft.functions.expressions.HashExpressions.kn_bigram_hashes
     val g = groupCols.map(col)
@@ -152,7 +169,7 @@ object Tfidf {
           col("__c1").cast("double") +
           lit(discount) * col("__nf").cast("double") / col("__c1").cast("double") * pCont)
       .otherwise(pCont)
-    val scored = bigrams(score, col(idCol))
+    val scored = scoredBg
       .join(bi.select(g ++ Seq(col("bgh"), col("__c2")): _*),
         groupCols :+ "bgh", "left")
       .join(left, groupCols :+ "w1h", "left")
@@ -284,20 +301,30 @@ object Tfidf {
     * `groupCols` machinery (one independent LM per group): the train sides
     * union under an `__lm` tag, so the model is one pass over
     * in-domain + general with every aggregation keyed by (`__lm`, gram) —
-    * not two plan branches — and the pool's kernel pass runs once with each
-    * bigram row exploded to both tags (2× scoring rows, 0× extra text
-    * scans). Nothing is collected; both LMs stay DataFrames — a 100 TB
+    * not two plan branches — and the pool runs the tokenize+hash kernel
+    * ONCE, each resulting 8-byte bigram row exploded to both tags
+    * (2× scoring rows, 1× kernel work — the pool is the crawl, the big
+    * side). Nothing is collected; both LMs stay DataFrames — a 100 TB
     * general corpus fits the same plan as [[knBigramPpl]]. Pool docs with
-    * <2 tokens emit no row (no LM evidence).
+    * <2 tokens emit no row (no LM evidence). Both train sides must be
+    * non-empty: an empty LM would score every bigram at the pure-smoothing
+    * floor p = 1 (nll 0) and silently invert the selection.
     * Returns (id, n_bigrams, nll_in, nll_gen, ce_diff). */
   def mooreLewisScore(inDomain: DataFrame, general: DataFrame,
                       pool: DataFrame, textCol: String, idCol: String,
                       discount: Double = 0.75): DataFrame = {
+    require(!inDomain.isEmpty, "in-domain train side is empty — its LM would " +
+      "degenerate to p=1 and select the whole pool")
+    require(!general.isEmpty, "general train side is empty — its LM would " +
+      "degenerate to p=1 and reject the whole pool")
+    import graft.functions.expressions.HashExpressions.kn_bigram_hashes
     val train = inDomain.select(col(textCol)).withColumn("__lm", lit("in"))
       .unionByName(general.select(col(textCol)).withColumn("__lm", lit("gen")))
-    val tagged = pool.select(col(idCol), col(textCol))
-      .withColumn("__lm", explode(array(lit("in"), lit("gen"))))
-    knBigramPpl(train, tagged, textCol, idCol, discount, groupCols = Seq("__lm"))
+    val poolBg = pool
+      .select(col(idCol), explode(kn_bigram_hashes(col(textCol))).as("bg"))
+      .select(col(idCol), explode(array(lit("in"), lit("gen"))).as("__lm"),
+        col("bg.w1h").as("w1h"), col("bg.w2h").as("w2h"), col("bg.bgh").as("bgh"))
+    knBigramPplOnHashes(train, poolBg, textCol, idCol, discount, Seq("__lm"))
       .groupBy(col(idCol))
       .agg(max(col("n_bigrams")).as("n_bigrams"),
         max(when(col("__lm") === "in", col("nll"))).as("nll_in"),

@@ -251,18 +251,6 @@ object StreamingOps {
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
-  /** Stream-stream INTERVAL JOIN — the attribution shape (click →
-    * conversion within a window): inner-join two event streams on `keyCol`
-    * where the right event lands in `[left.ts, left.ts + withinSecs]`.
-    * With watermarks on BOTH sides plus the time-range predicate, Structured
-    * Streaming bounds the join state: a left row is dropped once the right
-    * watermark passes `left.ts + withinSecs`, so state is O(events in the
-    * window), never O(stream) — the only stream-stream join shape that
-    * survives an unbounded 100 TB event stream. Emits in Append mode as
-    * matches become final. The two inputs must carry DISTINCT timestamp
-    * column names (they both survive into the output). Batch frames run the
-    * identical join (withWatermark is a no-op in batch), which is how the
-    * oracle replays it. */
   /** Streaming INGEST-DEDUP GATE: [[graft.operators.Dedup.incrementalDedup]]
     * as a micro-batch maintenance loop — each arriving batch is deduplicated
     * against the PERSISTED survivor corpus, its per-doc report (kept /
@@ -296,9 +284,16 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val ss = batch.sparkSession
+        // ONE max-aggregate per table per batch (null row = empty table) —
+        // a column-pruned scan of the 8-byte batch_id column only. That
+        // still grows with ingest history; at multi-year scale keep a
+        // one-row committed-watermark table (or partition by a batch_id
+        // bucket) so the idempotence probe is O(1)
         def applied(table: String): Boolean =
-          ss.catalog.tableExists(table) && !ss.table(table).isEmpty &&
-            ss.table(table).agg(max(col("batch_id"))).head().getLong(0) >= id
+          ss.catalog.tableExists(table) && {
+            val r = ss.table(table).agg(max(col("batch_id"))).head()
+            !r.isNullAt(0) && r.getLong(0) >= id
+          }
         val btoks = batch
           .select(col(idCol) +: blockCols.map(col) :+
             array_distinct(S.tokens(col(textCol))).as("__toks"): _*)
@@ -329,6 +324,18 @@ object StreamingOps {
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
+  /** Stream-stream INTERVAL JOIN — the attribution shape (click →
+    * conversion within a window): inner-join two event streams on `keyCol`
+    * where the right event lands in `[left.ts, left.ts + withinSecs]`.
+    * With watermarks on BOTH sides plus the time-range predicate, Structured
+    * Streaming bounds the join state: a left row is dropped once the right
+    * watermark passes `left.ts + withinSecs`, so state is O(events in the
+    * window), never O(stream) — the only stream-stream join shape that
+    * survives an unbounded 100 TB event stream. Emits in Append mode as
+    * matches become final. The two inputs must carry DISTINCT timestamp
+    * column names (they both survive into the output). Batch frames run the
+    * identical join (withWatermark is a no-op in batch), which is how the
+    * oracle replays it. */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    leftTs: String, rightTs: String, withinSecs: Long,
                    watermark: String, joinType: String = "inner"): DataFrame = {
