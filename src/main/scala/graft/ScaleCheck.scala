@@ -863,6 +863,20 @@ object ScaleCheck {
       }
     }
 
+    // N-gram novelty: FIXED score slice vs a 1x/Nx train corpus — the train
+    // side reduces to distinct 8-byte gram hashes and the anti-join
+    // shuffles both sides by that key; growth term is the train scan +
+    // its distinct aggregation, never score×train.
+    locally {
+      val slice = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+        timed(s"ngram novelty n=13, fixed slice vs $tag train")(((),
+          operators.Dedup.ngramNovelty(df.select(col("text")), slice,
+            "text", "doc_id").count()))
+      }
+    }
+
     // Span corruption: per-doc md5 coins + per-doc windows + one covered-
     // position join — embarrassingly parallel, wall must track the corpus
     // ~linearly with doc-keyed shuffles only.

@@ -206,4 +206,33 @@ object CorpusStats {
           * (col("__ca") - col("__cb")).cast("double")
           / (col("__ca") + col("__cb")).cast("double")).as("chi2"))
   }
+
+  /** Vocabulary coverage curve — the tokenizer-sizing question: how much of
+    * the corpus token mass do the top-k vocabulary entries cover? Returns
+    * the top `topK` tokens by frequency with their rank and CUMULATIVE
+    * coverage share (count desc, token breaks ties — engine-replayable).
+    *
+    * Scale shape: one token-frequency aggregation (vocabulary-sized,
+    * map-side partial), then `orderBy.limit(topK)` — Spark plans
+    * TakeOrderedAndProject, a per-partition top-k + driver merge, NEVER a
+    * global sort of the vocabulary. The cumulative window then runs over
+    * the topK rows only (request-sized, the [[graft.operators.Retrieval
+    * .rrfFuse]] posture), and the corpus total rides along as one broadcast
+    * row. Returns (rank, token, cnt, coverage = cum/total). */
+  def vocabCoverage(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    import graft.functions.{SimilarityFunctions => S}
+    val freq = docs.select(explode(S.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("__tot"))
+    val top = freq.orderBy(col("cnt").desc, col("token")).limit(topK)
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("cnt"),
+        (col("__cum").cast("double") / col("__tot").cast("double")).as("coverage"))
+  }
 }

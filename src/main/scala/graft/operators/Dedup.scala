@@ -801,6 +801,44 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-document n-gram NOVELTY against a train corpus — the GRADED
+    * complement of [[ngramOverlapJoin]]'s binary contamination flag (the
+    * memorization-risk / novelty analysis of Lee et al. 2022 §5 and the
+    * eval-overlap appendices of GPT-3/PaLM): for each score doc, the
+    * fraction of its DISTINCT n-grams never seen in train (per-doc distinct,
+    * so in-doc boilerplate repetition does not multiply). A re-crawled
+    * near-copy scores ~0; genuinely new text scores ~1; partial overlap
+    * lands in between — the knob a curation pipeline thresholds where the
+    * binary flag is too blunt.
+    *
+    * Scale shape: both sides run the fused `hashed_shingles` kernel, so
+    * every exchange carries (id, 8-byte gram hash) — never gram text. The
+    * train side reduces to DISTINCT hashes; novel occurrences come from a
+    * LEFT ANTI join on the hash (hash-partitioned both sides, map-side
+    * distinct on train); totals are row-local `size()`. No broadcast
+    * assumption: unlike the decontamination join (bench side small), train
+    * here is the big corpus and the anti-join shuffles both sides by the
+    * 8-byte key. Collision contract: ~2⁻⁶⁴ per pair, undercount-only.
+    * Docs with no n-gram (fewer than n tokens) are excluded (no evidence).
+    * Returns (id, n_grams, n_novel, novelty ∈ [0,1]). */
+  def ngramNovelty(train: DataFrame, score: DataFrame, textCol: String,
+                   idCol: String, n: Int = 13): DataFrame = {
+    import graft.functions.expressions.{HashExpressions => HE}
+    val trainGrams = train
+      .select(explode(HE.hashed_shingles(col(textCol), n)).as("__g")).distinct()
+    val totals = score
+      .select(col(idCol), size(HE.hashed_shingles(col(textCol), n)).cast("long").as("n_grams"))
+      .filter(col("n_grams") > 0)
+    val novel = score
+      .select(col(idCol), explode(HE.hashed_shingles(col(textCol), n)).as("__g"))
+      .join(trainGrams, Seq("__g"), "left_anti")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq(idCol), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Bloom-filter n-gram decontamination — the ZERO-JOIN scale path beside
     * [[ngramOverlapJoin]]: the benchmark set's distinct n-grams build an
     * m-bit Bloom filter via a mergeable aggregate

@@ -1195,6 +1195,32 @@ object TextQueries {
         .orderBy(col("day"), col("doc_id"))
     }),
 
+    // Per-doc n-gram novelty vs the train corpus (Dedup.ngramNovelty): the
+    // graded complement of the binary contamination flag — fraction of each
+    // doc's DISTINCT 13-grams unseen in train. Train docs themselves
+    // score 0; fresh text ~1. Oracle replays occurrences minus the distinct
+    // train gram set over gram strings.
+    "q184_ngram_novelty" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      Dedup.ngramNovelty(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+          docs, "text", "doc_id", n = 13)
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("novelty"), 6).as("novelty_r"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Vocabulary coverage curve (CorpusStats.vocabCoverage): top-200 tokens
+    // by frequency with cumulative corpus-mass coverage — the tokenizer-
+    // sizing curve. TakeOrderedAndProject top-k (never a global vocab
+    // sort); the cumulative window runs over the 200 rows only.
+    "q185_vocab_coverage" -> ((s, d) => {
+      graft.operators.CorpusStats.vocabCoverage(
+          Tables(s, d, "documents"), "text", topK = 200)
+        .select(col("rank"), col("token"), col("cnt"),
+          round(col("coverage"), 6).as("coverage_r"))
+        .orderBy(col("rank"))
+    }),
+
     // Composed dedup pipeline (exact text → normalized fingerprint → blocked
     // near-dup, cheapest first, stages persisted) with the DETERMINISTIC
     // prefix-filter Jaccard stage so the whole chain is oracle-checkable
@@ -3125,6 +3151,43 @@ object TextQueries {
       LEFT JOIN cross_m cm ON cm.id = b.doc_id
       LEFT JOIN rec ON rec.v = b.doc_id
       ORDER BY b.doc_id""",
+    // Novelty replay: q80's 13-gram construction on BOTH sides (per-doc
+    // distinct on score, corpus-distinct on train), novel = anti-join
+    // survivors counted per doc.
+    "q184_ngram_novelty" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') END AS t
+        FROM documents),
+      tg AS (
+        SELECT DISTINCT unnest(list_transform(range(1, len(t) - 11),
+                 i -> array_to_string(t[i:i+12], ' '))) AS g
+        FROM tok WHERE doc_id % 3 <> 0 AND len(t) >= 13),
+      sg AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 11),
+                 i -> array_to_string(t[i:i+12], ' ')))) AS g
+        FROM tok WHERE len(t) >= 13),
+      tot AS (SELECT doc_id, count(*) AS n_grams FROM sg GROUP BY 1),
+      nov AS (SELECT doc_id, count(*) AS n_novel FROM sg ANTI JOIN tg USING (g) GROUP BY 1)
+      SELECT t.doc_id, t.n_grams, CAST(coalesce(nov.n_novel, 0) AS BIGINT) AS n_novel,
+             round(CAST(coalesce(nov.n_novel, 0) AS DOUBLE) / t.n_grams, 6) AS novelty_r
+      FROM tot t LEFT JOIN nov USING (doc_id) ORDER BY doc_id""",
+    // Coverage-curve replay: token frequencies, (cnt desc, token) ranking,
+    // running-sum share of the corpus total, top 200.
+    "q185_vocab_coverage" -> """
+      WITH tok AS (
+        SELECT unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS token
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+      tot AS (SELECT sum(cnt) AS t FROM freq),
+      ranked AS (SELECT token, cnt,
+        row_number() OVER (ORDER BY cnt DESC, token) AS r,
+        sum(cnt) OVER (ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING) AS cum
+        FROM freq)
+      SELECT CAST(r AS BIGINT) AS rank, token, cnt,
+             round(CAST(cum AS DOUBLE) / t, 6) AS coverage_r
+      FROM ranked CROSS JOIN tot WHERE r <= 200 ORDER BY rank""",
     // Two-day fixpoint replay: q164's chain run twice — day-1 report,
     // survivors unioned into the stored side, day-2 report over the grown
     // corpus. Each day gets its own nested recursive-CTE component pass.

@@ -948,6 +948,38 @@ class NgramSpec extends SparkSpec {
     assert(got == Seq((1L, 100L, 2L)))
   }
 
+  test("ngramNovelty: exact copy scores 0, fresh text 1, partial overlap in between; short docs excluded") {
+    val train = Seq(
+      (1L, "a b c d e f"),
+      (2L, "p q r s")
+    ).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b c d e f"),         // exact copy: all 4 trigrams seen -> 0
+      (11L, "x y z w v"),           // fresh: 3 novel trigrams -> 1
+      (12L, "a b c x y z"),         // "a b c" seen, 3 others novel -> 3/4
+      (13L, "a b c a b c"),         // DISTINCT grams {abc, bca, cab}: abc seen -> 2/3
+      (14L, "one two")              // < 3 tokens: excluded
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(train, score, "text", "doc_id", n = 3)
+      .select("doc_id", "n_grams", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(14L) && got.size == 4)
+    assert(got(10L) == ((10L, 4L, 0L, 0.0)))
+    assert(got(11L) == ((11L, 3L, 3L, 1.0)))
+    assert(got(12L) == ((12L, 4L, 3L, 0.75)))
+    assert(got(13L) == ((13L, 3L, 2L, 2.0 / 3)))
+  }
+
+  test("vocabCoverage: rank by count then token, cumulative shares, topK truncation") {
+    val df = Seq((1L, "b b b a a c"), (2L, "a d")).toDF("doc_id", "text")
+    // freqs: a=3, b=3, c=1, d=1; total 8; ties break by token
+    val got = graft.operators.CorpusStats.vocabCoverage(df, "text", topK = 3)
+      .select("rank", "token", "cnt", "coverage")
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "a", 3L, 3.0 / 8), (2L, "b", 3L, 6.0 / 8), (3L, "c", 1L, 7.0 / 8)))
+  }
+
   test("top bigram coverage: counts, deterministic struct-max tie-break, short docs") {
     val df = Seq(
       (1L, "go go go go"),            // "go go" x3, chars 11 -> 3*5/11

@@ -181,6 +181,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("vocabCoverage plans a distributed top-k, never a global vocabulary sort") {
+    val df = graft.operators.CorpusStats.vocabCoverage(
+      graft.queries.Tables(spark, dir, "documents"), "text", 100)
+    val p = plan(df)
+    // per-partition top-k + driver merge; the only full sort allowed is the
+    // window over the k retained rows (request-sized by construction)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject for the vocab top-k:\n$p")
+  }
+
   test("salted aggregation plans two aggregation phases over distinct keys") {
     val df = graft.operators.SkewOps.saltedAggregate(
       graft.queries.Tables(spark, dir, "events"), Seq("event_type"),
