@@ -501,4 +501,50 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), col("cosine"), col("rank"))
   }
+
+  /** Margin-criterion pair mining from two precomputed kNN legs (Artetxe &
+    * Schwenk, ACL 2019 — the LASER/CCMatrix bitext-mining score):
+    *
+    *   margin(x, y) = cos(x, y) / (avgK(x)/2 + avgK(y)/2)
+    *
+    * where avgK(x) is the mean cosine of x's k nearest neighbors in Y and
+    * avgK(y) the symmetric term — the RATIO margin that normalizes away
+    * hub vectors whose raw cosine is high against everything. A pair is
+    * emitted when y is x's top-1 neighbor (the paper's "max" retrieval
+    * strategy) and its rounded margin clears `threshold` (≈1.05-1.06 in
+    * CCMatrix practice).
+    *
+    * Leg-agnostic by design (the [[graft.operators.Retrieval.rrfFuse]]
+    * posture): `xy` is X→Y top-k — (queryIdCol = x id, idCol = y id,
+    * cosine, rank) — and `yx` the symmetric Y→X leg; feed [[bruteForceTopK]]
+    * legs at small scale or [[ivfPqSearch]]+rerank legs at 100 TB, the
+    * margin arithmetic never touches a raw vector. Everything downstream of
+    * the legs is per-query averages (corpus × k rows, 8-byte keys) and two
+    * id equi-joins. */
+  def marginFromKnn(xy: DataFrame, yx: DataFrame, queryIdCol: String,
+                    idCol: String, threshold: Double = 1.05): DataFrame = {
+    val ax = xy.groupBy(col(queryIdCol).as("x_id")).agg(avg(col("cosine")).as("__ax"))
+    val ay = yx.groupBy(col(queryIdCol).as("y_id")).agg(avg(col("cosine")).as("__ay"))
+    xy.filter(col("rank") === 1)
+      .select(col(queryIdCol).as("x_id"), col(idCol).as("y_id"), col("cosine"))
+      .join(ax, Seq("x_id"))
+      .join(ay, Seq("y_id"))
+      .withColumn("margin", col("cosine") / (col("__ax") / 2 + col("__ay") / 2))
+      .filter(round(col("margin"), 6) >= threshold)
+      .select(col("x_id"), col("y_id"), col("cosine"), col("margin"))
+  }
+
+  /** [[marginFromKnn]] over brute-force legs — the exact-regime entry point
+    * (and the oracle surface): mine aligned pairs between two embedding
+    * sides X and Y. Broadcast posture inherited from [[bruteForceTopK]]
+    * (each side broadcasts as the query side of one leg); swap in IVF-PQ
+    * legs when both sides outgrow a broadcast. */
+  def marginMine(x: DataFrame, y: DataFrame, vecCol: String, idCol: String,
+                 k: Int = 4, threshold: Double = 1.05): DataFrame = {
+    val qx = x.select(col(idCol).as("__qid"), col(vecCol))
+    val qy = y.select(col(idCol).as("__qid"), col(vecCol))
+    val xy = bruteForceTopK(y, qx, vecCol, idCol, "__qid", k)
+    val yx = bruteForceTopK(x, qy, vecCol, idCol, "__qid", k)
+    marginFromKnn(xy, yx, "__qid", idCol, threshold)
+  }
 }

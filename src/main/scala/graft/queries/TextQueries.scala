@@ -1195,6 +1195,21 @@ object TextQueries {
         .orderBy(col("day"), col("doc_id"))
     }),
 
+    // Margin-criterion pair mining (Ann.marginMine): the LASER/CCMatrix
+    // bitext-mining score over two embedding sides (even/odd vec_ids as
+    // pseudo-languages) — ratio margin over both directions' top-4
+    // neighborhoods, top-1 retrieval, threshold 1.02. Oracle replays the
+    // full cross cosines, both kNN averages, and the margin.
+    "q186_margin_mine" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Ann.marginMine(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "embedding", "vec_id", k = 4, threshold = 1.02)
+        .select(col("x_id"), col("y_id"), round(col("cosine"), 6).as("cosine_r"),
+          round(col("margin"), 6).as("margin_r"))
+        .orderBy(col("x_id"))
+    }),
+
     // Per-doc n-gram novelty vs the train corpus (Dedup.ngramNovelty): the
     // graded complement of the binary contamination flag — fraction of each
     // doc's DISTINCT 13-grams unseen in train. Train docs themselves
@@ -3151,6 +3166,30 @@ object TextQueries {
       LEFT JOIN cross_m cm ON cm.id = b.doc_id
       LEFT JOIN rec ON rec.v = b.doc_id
       ORDER BY b.doc_id""",
+    // Margin replay: full X×Y cosines, per-side top-4 averages (rank ties
+    // on the neighbor id, matching the legs), top-1 pairs, ratio margin,
+    // rounded threshold.
+    "q186_margin_mine" -> """
+      WITH x AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+      y AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+      xy AS (
+        SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+               list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))) AS cosine
+        FROM x CROSS JOIN y),
+      xk AS (SELECT x_id, y_id, cosine,
+               row_number() OVER (PARTITION BY x_id ORDER BY cosine DESC, y_id) AS r FROM xy),
+      yk AS (SELECT x_id, y_id, cosine,
+               row_number() OVER (PARTITION BY y_id ORDER BY cosine DESC, x_id) AS r FROM xy),
+      ax AS (SELECT x_id, avg(cosine) AS ax FROM xk WHERE r <= 4 GROUP BY 1),
+      ay AS (SELECT y_id, avg(cosine) AS ay FROM yk WHERE r <= 4 GROUP BY 1),
+      top1 AS (SELECT x_id, y_id, cosine FROM xk WHERE r = 1),
+      m AS (SELECT t.x_id, t.y_id, t.cosine,
+                   t.cosine / (ax.ax / 2 + ay.ay / 2) AS margin
+            FROM top1 t JOIN ax USING (x_id) JOIN ay USING (y_id))
+      SELECT x_id, y_id, round(cosine, 6) AS cosine_r, round(margin, 6) AS margin_r
+      FROM m WHERE round(margin, 6) >= 1.02 ORDER BY x_id""",
     // Novelty replay: q80's 13-gram construction on BOTH sides (per-doc
     // distinct on score, corpus-distinct on train), novel = anti-join
     // survivors counted per doc.

@@ -131,4 +131,61 @@ class AnnIndexSpec extends SparkSpec {
       s"stale-model recall $recallStale collapsed vs retrain $recallFresh")
     assert(recallStale >= 0.3, s"stale-model recall $recallStale below floor")
   }
+
+  test("marginMine: matches a plain-Scala margin reference; hub-normalized; leg-agnostic") {
+    import spark.implicits._
+    val x = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val y = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val got = Ann.marginMine(x, y, "embedding", "vec_id", k = 4, threshold = 1.02)
+      .select("x_id", "y_id", "cosine", "margin")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+
+    // independent plain-Scala reference over the collected vectors
+    def vecs(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }
+    val xv = vecs(x); val yv = vecs(y)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def topk(qs: Array[(Long, Array[Double])], cs: Array[(Long, Array[Double])]) =
+      qs.map { case (qid, qv) =>
+        qid -> cs.map { case (cid, cv) => (cid, cos(qv, cv)) }
+          .sortBy { case (cid, c) => (-c, cid) }.take(4)
+      }.toMap
+    val xk = topk(xv, yv); val yk = topk(yv, xv)
+    val ax = xk.view.mapValues(l => l.map(_._2).sum / l.size).toMap
+    val ay = yk.view.mapValues(l => l.map(_._2).sum / l.size).toMap
+    val expect = xk.flatMap { case (xid, nn) =>
+      val (yid, c) = nn.head
+      val m = c / (ax(xid) / 2 + ay(yid) / 2)
+      if (BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 1.02)
+        Some(xid -> ((xid, yid, c, m))) else None
+    }
+    assert(got.keySet == expect.keySet,
+      s"pair sets differ: only-got=${(got.keySet -- expect.keySet).take(3)} " +
+        s"only-ref=${(expect.keySet -- got.keySet).take(3)}")
+    got.foreach { case (xid, (_, yid, c, m)) =>
+      assert(yid == expect(xid)._2 && math.abs(c - expect(xid)._3) < 1e-9 &&
+        math.abs(m - expect(xid)._4) < 1e-9, s"x $xid")
+    }
+    // every mined y is its x's top-1, and margin demotes raw cosine: some
+    // top-1 pairs must FAIL the margin cut (otherwise the ratio is inert)
+    assert(got.nonEmpty && got.size < xv.length)
+
+    // leg-agnostic: explicit brute-force legs through marginFromKnn are
+    // identical to the convenience wrapper
+    val qx = x.select(col("vec_id").as("__qid"), col("embedding"))
+    val qy = y.select(col("vec_id").as("__qid"), col("embedding"))
+    val viaLegs = Ann.marginFromKnn(
+      Ann.bruteForceTopK(y, qx, "embedding", "vec_id", "__qid", 4),
+      Ann.bruteForceTopK(x, qy, "embedding", "vec_id", "__qid", 4),
+      "__qid", "vec_id", threshold = 1.02)
+      .select("x_id", "y_id", "cosine", "margin")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(viaLegs == got)
+  }
 }
