@@ -54,6 +54,7 @@ object Plans {
       "q180_incremental_winnow" -> "incremental winnowing: stored (id, fp) index cut by broadcast left-semi on batch-touched fingerprints before the pair join — batch-scoped candidates",
       "q181_moore_lewis" -> "Moore-Lewis ce-diff: both KN LMs fit from ONE tagged train union (lm-keyed model aggregations), pool bigrams exploded to both tags, broadcast (T,V) totals",
       "q182_hard_negatives" -> "hard-negative mining: query-term semi-join cuts the token stream map-side, positives excluded via broadcast left-anti over query-bounded candidates",
+      "q184_ngram_novelty" -> "n-gram novelty: distinct train gram hashes anti-joined against per-doc distinct score grams — 8-byte keys only, no gram text in any exchange",
       "q37_pipeline_e2e" -> "full collect-to-cleanse pipeline")
 
     val sb = new StringBuilder

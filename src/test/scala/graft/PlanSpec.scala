@@ -181,6 +181,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ngramNovelty: anti-join on gram hashes, no cartesian, no gram text in exchanges") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.queries.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val p = plan(graft.operators.Dedup.ngramNovelty(
+      docs.filter(col("doc_id") % 3 =!= 0), docs, "text", "doc_id"))
+    assert(p.contains("LeftAnti"), s"expected an anti-join on the gram hash:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("vocabCoverage plans a distributed top-k, never a global vocabulary sort") {
     val df = graft.operators.CorpusStats.vocabCoverage(
       graft.queries.Tables(spark, dir, "documents"), "text", 100)
