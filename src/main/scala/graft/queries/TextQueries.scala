@@ -1195,6 +1195,29 @@ object TextQueries {
         .orderBy(col("day"), col("doc_id"))
     }),
 
+    // Curation pipeline v2 — the round-10 operators COMPOSED end-to-end:
+    // Moore-Lewis in-domain selection (ce_diff ≤ −0.01) ∩ n-gram novelty
+    // vs the train corpus (novelty ≥ 0.5, drops re-crawls of what the
+    // corpus already holds) → deterministic token-budget cut. The oracle
+    // chains the q181, q184 and q87 replays over one shared tokenization.
+    "q187_curation_v2" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val ml = graft.operators.Tfidf.mooreLewisScore(
+          train.filter(col("lang") === "en"), train, docs, "text", "doc_id")
+        .filter(round(col("ce_diff"), 6) <= -0.01)
+        .select(col("doc_id"), round(col("ce_diff"), 6).as("ce_diff_r"))
+      val nov = Dedup.ngramNovelty(train, docs, "text", "doc_id", n = 13)
+        .filter(round(col("novelty"), 6) >= 0.5)
+        .select(col("doc_id"), round(col("novelty"), 6).as("novelty_r"))
+      val cand = docs.select(col("doc_id"),
+          T.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+        .join(ml, Seq("doc_id")).join(nov, Seq("doc_id"))
+      graft.operators.Sampling.tokenBudgetSample(cand, "doc_id", "n_tokens",
+          budget = 3000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // Margin-criterion pair mining (Ann.marginMine): the LASER/CCMatrix
     // bitext-mining score over two embedding sides (even/odd vec_ids as
     // pseudo-languages) — ratio margin over both directions' top-4
@@ -3166,6 +3189,80 @@ object TextQueries {
       LEFT JOIN cross_m cm ON cm.id = b.doc_id
       LEFT JOIN rec ON rec.v = b.doc_id
       ORDER BY b.doc_id""",
+    // Curation-v2 replay: q181's per-lm KN chain (ce only), q184's novelty
+    // chain, and q87's bucket-cumsum budget cut, chained over one shared
+    // tokenization.
+    "q187_curation_v2" -> """
+      WITH toks AS (
+        SELECT doc_id, lang,
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') END AS ts
+        FROM documents),
+      bg_all AS (
+        SELECT doc_id, lang, ts[i] AS w1, ts[i+1] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+        WHERE len(ts) >= 2),
+      lms(lm) AS (VALUES ('in'), ('gen')),
+      tr AS (
+        SELECT lm, w1, w2 FROM bg_all, lms
+        WHERE doc_id % 10 <> 0 AND (lm = 'gen' OR lang = 'en')),
+      bi AS (SELECT lm, w1, w2, count(*) AS c2 FROM tr GROUP BY 1, 2, 3),
+      lft AS (SELECT lm, w1, sum(c2) AS c1, count(*) AS nf FROM bi GROUP BY 1, 2),
+      cont AS (SELECT lm, w2, count(*) AS nl FROM bi GROUP BY 1, 2),
+      ty AS (SELECT lm, count(*) AS t FROM bi GROUP BY 1),
+      vo AS (SELECT lm, count(DISTINCT u) AS v FROM
+               (SELECT lm, unnest(ts) AS u FROM toks, lms
+                WHERE doc_id % 10 <> 0 AND (lm = 'gen' OR lang = 'en'))
+             GROUP BY lm),
+      tot AS (SELECT lm, t, v FROM ty JOIN vo USING (lm)),
+      sc AS (
+        SELECT s.doc_id, lms.lm,
+          CASE WHEN lft.c1 IS NOT NULL THEN
+            greatest(CAST(coalesce(bi.c2, 0) AS DOUBLE) - 0.75, 0.0) / lft.c1
+            + 0.75 * lft.nf / lft.c1
+              * (CAST(coalesce(cont.nl, 0) AS DOUBLE) + 1.0) / (tot.t + tot.v + 1.0)
+          ELSE (CAST(coalesce(cont.nl, 0) AS DOUBLE) + 1.0) / (tot.t + tot.v + 1.0)
+          END AS p
+        FROM bg_all s CROSS JOIN lms
+        LEFT JOIN bi ON bi.lm = lms.lm AND bi.w1 = s.w1 AND bi.w2 = s.w2
+        LEFT JOIN lft ON lft.lm = lms.lm AND lft.w1 = s.w1
+        LEFT JOIN cont ON cont.lm = lms.lm AND cont.w2 = s.w2
+        JOIN tot ON tot.lm = lms.lm),
+      per AS (SELECT doc_id, lm, avg(-ln(p)) AS nll FROM sc GROUP BY 1, 2),
+      ml AS (SELECT doc_id,
+               round(max(CASE WHEN lm = 'in' THEN nll END)
+                     - max(CASE WHEN lm = 'gen' THEN nll END), 6) AS ce_diff_r
+             FROM per GROUP BY doc_id),
+      tg AS (
+        SELECT DISTINCT unnest(list_transform(range(1, len(ts) - 11),
+                 i -> array_to_string(ts[i:i+12], ' '))) AS g
+        FROM toks WHERE doc_id % 10 <> 0 AND len(ts) >= 13),
+      sg AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts) - 11),
+                 i -> array_to_string(ts[i:i+12], ' ')))) AS g
+        FROM toks WHERE len(ts) >= 13),
+      tot_g AS (SELECT doc_id, count(*) AS n_grams FROM sg GROUP BY 1),
+      nov_g AS (SELECT doc_id, count(*) AS n_novel FROM sg ANTI JOIN tg USING (g) GROUP BY 1),
+      nov AS (SELECT t.doc_id,
+                round(CAST(coalesce(nov_g.n_novel, 0) AS DOUBLE) / t.n_grams, 6) AS novelty_r
+              FROM tot_g t LEFT JOIN nov_g USING (doc_id)),
+      cnt AS (
+        SELECT doc_id,
+               CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                    ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens
+        FROM documents),
+      cand AS (
+        SELECT c.doc_id, c.n_tokens, ml.ce_diff_r, nov.novelty_r
+        FROM cnt c JOIN ml USING (doc_id) JOIN nov USING (doc_id)
+        WHERE ml.ce_diff_r <= -0.01 AND nov.novelty_r >= 0.5),
+      bkt AS (SELECT *, COALESCE(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER), 0) AS b
+              FROM cand),
+      cum AS (SELECT doc_id, n_tokens, ce_diff_r, novelty_r,
+                sum(n_tokens) OVER (ORDER BY b, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+              FROM bkt)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, ce_diff_r, novelty_r
+      FROM cum WHERE cm <= 3000 ORDER BY doc_id""",
     // Margin replay: full X×Y cosines, per-side top-4 averages (rank ties
     // on the neighbor id, matching the legs), top-1 pairs, ratio margin,
     // rounded threshold.
