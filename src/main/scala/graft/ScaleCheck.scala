@@ -804,6 +804,27 @@ object ScaleCheck {
       }
     }
 
+    // Margin-criterion pair mining: FIXED X side vs a 1x/Nx Y corpus
+    // (brute-force legs — each leg broadcasts the fixed X and streams Y, so
+    // wall must track Y ~linearly; the margin arithmetic downstream of the
+    // legs is per-query averages + two id equi-joins, never a vector).
+    locally {
+      val embAll = queries.Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val eoff = embAll.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val embRep = (0 until n).map(i => embAll.select(
+          (col("vec_id") + lit(i.toLong * eoff)).as("vec_id"), col("embedding")))
+        .reduce(_ unionByName _)
+      val xside = embAll.filter(pmod(col("vec_id"), lit(4)) === 0)
+        .localCheckpoint(true)
+      Seq(embAll -> "1x", embRep -> s"${n}x").foreach { case (df, tag) =>
+        timed(s"margin mining, fixed X vs $tag Y corpus")(((),
+          operators.Ann.marginMine(xside,
+            df.filter(pmod(col("vec_id"), lit(4)) =!= 0),
+            "embedding", "vec_id", k = 4, threshold = 1.02).count()))
+      }
+    }
+
     // Sketch vs exact profiler: exact count_distinct shuffles each column's
     // distinct set (the `text` column ≈ re-shuffling the corpus), while the
     // HLL profile's partials are 2^p bytes per column per partition — the
