@@ -425,7 +425,9 @@ object Ann {
                   codeCol: String = "code"): DataFrame =
     index.unionByName(ivfPqIndex(batch, vecCol, idCol, centroids, codebooks, codeCol))
 
-  /** Search a persisted (id, list, code) index: queries probe their `nprobe`
+  /** Search a persisted (idCol, `__list`, codeCol) index — the exact frame
+    * [[ivfPqIndex]]/[[ivfPqAppend]] emit (the list column is literally
+    * named `__list`; keep it when persisting): queries probe their `nprobe`
     * nearest lists and ADC-score ONLY those lists' codes — never a raw
     * vector, never a corpus shuffle (probes and ADC tables broadcast; the
     * only exchange is the per-query top-k window on candidate rows). */

@@ -46,7 +46,13 @@ object Augment {
     *  - position i ANCHORS a span iff coin(seed|A, d, i) < anchorPerMille
     *    (choose ≈ 1000·rate/meanSpan for a T5-like corrupt rate);
     *  - the span covers [i, i+len) with len = 1 + coin(seed|L, d, i) mod
-    *    (2·meanSpan−1) — mean length = meanSpan — clamped to the doc end;
+    *    (2·meanSpan−1), clamped to the doc end. Coins are uniform over
+    *    [0, 1000), so mean length is EXACTLY meanSpan when (2·meanSpan−1)
+    *    divides 1000 (meanSpan 3 — the T5 default — or 13, 63, 101, 251,
+    *    …); for other values the residue bias shifts the mean low by up to
+    *    (2·meanSpan−1)/1000·O(meanSpan) — negligible for small spans, and
+    *    meanSpan > 500 is rejected outright (lengths would hard-cap below
+    *    the requested mean);
     *  - STRICTLY overlapping spans merge into one (gaps-and-islands over a
     *    running max of span ends; adjacent spans stay distinct sentinels);
     *  - merged spans are numbered left-to-right: <extra_id_0>, <extra_id_1>…
@@ -66,7 +72,8 @@ object Augment {
   def spanCorrupt(df: DataFrame, idCol: String, textCol: String, seed: String,
                   anchorPerMille: Int, meanSpan: Int = 3): DataFrame = {
     require(anchorPerMille >= 0 && anchorPerMille < 1000, s"bad rate: $anchorPerMille")
-    require(meanSpan >= 1, s"bad meanSpan: $meanSpan")
+    require(meanSpan >= 1 && 2L * meanSpan - 1 <= 1000,
+      s"bad meanSpan: $meanSpan (coin range caps span lengths above 500)")
     import graft.functions.{SimilarityFunctions => S}
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol), posexplode(S.tokens(col(textCol))).as(Seq("p", "t")))

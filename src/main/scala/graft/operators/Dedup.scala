@@ -41,7 +41,16 @@ object Dedup {
     * which is the approximate-path contract already. The hot path is one
     * window (count + lead over the same partitioning, one shuffle); a hot
     * bucket occupies a single task but at O(B log B) sort cost, carrying only
-    * (keys, id, payload) — not the O(B²) join blow-up. */
+    * (keys, id, payload) — not the O(B²) join blow-up.
+    *
+    * NOTE a specialized twin of this guard lives inline in
+    * [[incrementalMinhash]] (batch-anchored small pairs + batch-endpoint-
+    * filtered chains — shapes this symmetric helper cannot express without
+    * a two-lambda parameterization that would obscure both). The two must
+    * stay semantically aligned: IncrementalDedupSpec pins report equality
+    * between the incremental path and the union-self-join formulation, so
+    * an edit here that changes guard semantics must update there too (the
+    * spec fails loudly if they drift). */
   private def guardedBucketPairs(buckets: DataFrame, keyCols: Seq[String],
                                  idCol: String, payloadCols: Seq[String],
                                  maxBucketSize: Int): DataFrame = {

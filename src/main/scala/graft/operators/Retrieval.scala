@@ -457,7 +457,12 @@ object Retrieval {
       .select(col("feature"),
         (coalesce(col("wq"), lit(0L)) +
           when(col("__g").isNull, lit(0L)).otherwise(
-            floor((lit(lrNum) * col("__g")).cast("double") * lit(wScale.toDouble) /
+            // multiply in DOUBLE: a long product lrNum·__g could overflow
+            // (ANSI: throw) on a pathologically hot feature bucket at full
+            // corpus scale — double-first is value-identical whenever the
+            // product fits 2^53 (everything the oracle or any sane batch
+            // reaches; the cast to double happened next anyway)
+            floor(lit(lrNum.toDouble) * col("__g").cast("double") * lit(wScale.toDouble) /
               (lit(lrDen.toDouble) * lit(scale.toDouble) * lit(n.toDouble)))
               .cast("long"))).as("wq"))
   }

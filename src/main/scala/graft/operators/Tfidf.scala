@@ -119,8 +119,14 @@ object Tfidf {
     * scoring join simply adds the group columns to its key, so a hundred
     * languages cost one pass, not a hundred plan branches; (T, V) become a
     * groups-sized broadcast table instead of one row. Score rows join to
-    * their own group's model only (a doc whose group never appeared in
-    * train scores against empty counts → pure smoothed mass). */
+    * their own group's model only — a doc whose group never appeared in
+    * train scores against empty counts → every bigram takes the pure
+    * smoothing floor p = 1, i.e. nll 0 / ppl 1.0. CAUTION for consumers:
+    * that is the BEST possible score, so a keep-low-perplexity filter fed
+    * groups absent from train would keep fully unmodeled text wholesale —
+    * guard by semi-joining score groups to train groups first (the
+    * self-trained [[perplexityBuckets]] cannot hit this; [[mooreLewisScore]]
+    * rejects empty train sides outright). */
   def knBigramPpl(train: DataFrame, score: DataFrame, textCol: String,
                   idCol: String, discount: Double = 0.75,
                   groupCols: Seq[String] = Nil): DataFrame = {

@@ -228,8 +228,13 @@ object StreamingOps {
         val labels = batch.select(col(idCol), col(labelCol)).localCheckpoint(true)
         val n = labels.count()
         val exists = ss.catalog.tableExists(weightsTable)
-        val applied = exists &&
-          ss.table(weightsTable).agg(max(col("batch_id"))).head().getLong(0) >= id
+        // null max row = table exists but is EMPTY (crash mid-overwrite,
+        // external truncation) — treat as not-applied, same contract as
+        // ingestDedupGate's applied()
+        val applied = exists && {
+          val r = ss.table(weightsTable).agg(max(col("batch_id"))).head()
+          !r.isNullAt(0) && r.getLong(0) >= id
+        }
         if (n > 0 && !applied) {
           val feats = Retrieval.hashedTokenFeatures(
             batch.toDF(), textCol, idCol, numFeatures)
