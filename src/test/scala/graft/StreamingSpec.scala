@@ -229,6 +229,28 @@ class StreamingSpec extends SparkSpec {
     assert(rep.view.mapValues(v => (v._1, v._2)).toMap == seqRep)
   }
 
+  test("online logistic fit: an existing-but-EMPTY weights table does not kill the stream") {
+    // crash mid non-atomic overwrite (or external truncation) leaves the
+    // table present with zero rows — the replay guard's max(batch_id) comes
+    // back as a null row and must read as "not applied", not NPE
+    val db = s"olfempty${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    val wt = s"$db.weights"
+    spark.sql(s"CREATE TABLE $wt (feature BIGINT, wq BIGINT, batch_id BIGINT) USING parquet")
+    val ckpt = Files.createTempDirectory("graft_olf_empty_ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Int)]
+    val q = StreamingOps.onlineLogisticFit(
+      mem.toDF().toDF("doc_id", "text", "y"),
+      "text", "doc_id", "y", numFeatures = 64,
+      weightsTable = wt, checkpoint = ckpt)
+    mem.addData((1 to 20).map(i =>
+      (i.toLong, if (i % 2 == 0) "spam junk" else "clean text", i % 2)): _*)
+    q.processAllAvailable(); q.stop()
+    spark.sql(s"REFRESH TABLE $wt")
+    assert(spark.table(wt).count() > 0, "the batch must train against the empty table")
+  }
+
   test("online logistic fit: per-batch SGD over a weights table equals the offline step sequence; replay is skipped") {
     val db = s"onlinefit${System.nanoTime()}"
     spark.sql(s"CREATE DATABASE $db")
