@@ -80,8 +80,12 @@ object Compaction {
     * BEFORE descent, so staging/scratch trees cost nothing.
     *
     * The walk is PARALLEL over top-level partition directories (bounded
-    * pool, `walkParallelism` threads; Hadoop `FileSystem.listStatus` is
-    * thread-safe): a single-threaded listing is the one piece of the
+    * pool, `walkParallelism` threads). NOTE the threads share one cached
+    * Hadoop `FileSystem` instance: concurrent `listStatus` is safe on the
+    * stock HDFS / S3A / local implementations but is NOT guaranteed by the
+    * `FileSystem` contract — for a store whose client is not thread-safe,
+    * pass `walkParallelism = 1` (plumbed through [[compactTable]]) to
+    * serialize the walk. A single-threaded listing is the one piece of the
     * OPTIMIZE verb that grows with table file count even when nothing needs
     * compacting, and on object stores each directory listing is a network
     * round-trip — serializing thousands of them turns a no-op pass into
@@ -163,16 +167,21 @@ object Compaction {
     *                 live destination path just before each new file is
     *                 renamed into its partition dir; throwing exercises the
     *                 mid-sweep rollback path.
+    * @param walkParallelism threads for the manifest listing
+    *                        ([[listManifests]]); 1 serializes the walk for
+    *                        stores whose FileSystem client is not
+    *                        thread-safe.
     */
   def compactTable(spark: SparkSession, table: String, targetBytes: Long,
                    curve: Option[Column] = None, minFiles: Int = 2,
                    parallelism: Int = 4,
                    lineage: Option[graft.lineage.Lineage] = None,
                    kllBounds: Boolean = false,
-                   swapHook: Path => Unit = _ => ()): CompactReport = {
+                   swapHook: Path => Unit = _ => (),
+                   walkParallelism: Int = 8): CompactReport = {
     require(targetBytes > 0, "targetBytes must be positive")
     require(minFiles >= 2, "minFiles < 2 would select single-file partitions")
-    val (root, manifests) = listManifests(spark, table)
+    val (root, manifests) = listManifests(spark, table, walkParallelism)
     val selected = manifests.filter(m =>
       m.files >= minFiles && m.files > binCount(m.bytes, targetBytes))
     val filesBeforeAll = manifests.map(_.files).sum
@@ -290,7 +299,7 @@ object Compaction {
     Scratch.delete(spark, scratch)
     spark.catalog.refreshTable(table)
 
-    val (_, after) = listManifests(spark, table)
+    val (_, after) = listManifests(spark, table, walkParallelism)
     val report = CompactReport(manifests.size, selected.size,
       filesBeforeAll, after.map(_.files).sum, selected.map(_.bytes).sum)
     // the OPTIMIZE event belongs in the same audit trail as the writes that

@@ -327,6 +327,39 @@ object HashExpressions {
     override def prettyName: String = "pq_encode"
   }
 
+  /** Symmetric-code-distance sum for SemDeDup-over-index: the m·k² subspace
+    * centroid-distance table rides as a codegen REFERENCE OBJECT (one
+    * primitive double[] per executor), never as a plan literal — at the
+    * production PQ shape (m=16, k=256) the table is ~512K doubles, which as
+    * a typedLit serializes into every task and evaluates through boxed
+    * element_at per candidate pair. Arithmetic matches the unrolled-SQL
+    * oracle exactly ([[Kernels.sdcSum]]). */
+  case class SdcSumExpr(left: Expression, right: Expression,
+                        flat: Array[Double], kk: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two array<int> PQ-code inputs, got ${left.dataType} / ${right.dataType}")
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Double.valueOf(Kernels.sdcSum(
+        l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], flat, kk))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fRef = ctx.addReferenceObj("sdcTable", flat, "double[]")
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = $KernelsClass.sdcSum($a, $b, $fRef, $kk);")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "sdc_sum"
+  }
+
   /** Mojibake repair (cp1252-bytes-as-UTF-8 round trip, strict both ways —
     * see [[Kernels.fixMojibake]]). */
   case class FixMojibakeExpr(child: Expression) extends UnaryExpression {
@@ -774,6 +807,8 @@ object HashExpressions {
     column(BpeApplyExpr(expression(symbols), merges))
   def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     column(PqEncodeExpr(expression(vec), codebooks))
+  def sdc_sum(a: Column, b: Column, flat: Array[Double], kk: Int): Column =
+    column(SdcSumExpr(expression(a), expression(b), flat, kk))
   def fix_mojibake(text: Column): Column = column(FixMojibakeExpr(expression(text)))
   def unicode_normalize(text: Column, form: String = "NFC"): Column =
     column(UnicodeNormalizeExpr(expression(text), form))

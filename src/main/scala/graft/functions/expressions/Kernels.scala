@@ -559,6 +559,23 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Symmetric code distance (SDC) between two PQ codes: Σ_j
+    * flat(j·k² + a(j)·k + b(j)) over the precomputed subspace
+    * centroid-distance table. Left-to-right accumulation from 0.0 — the
+    * exact add order the q172 oracle unrolls, so this kernel and the SQL
+    * replay agree bit-for-bit. */
+  def sdcSum(a: ArrayData, b: ArrayData, flat: Array[Double], kk: Int): Double = {
+    val m = a.numElements()
+    val kk2 = kk * kk
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      s += flat(j * kk2 + a.getInt(j) * kk + b.getInt(j))
+      j += 1
+    }
+    s
+  }
+
   /** Whole ordered merge table over a symbol ARRAY in one native call
     * (replaces a chain of per-merge aggregate() folds). */
   def bpeApply(symbols: ArrayData, lefts: Array[String],

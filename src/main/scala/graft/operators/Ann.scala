@@ -524,15 +524,35 @@ object Ann {
     * the legs is per-query averages (corpus × k rows, 8-byte keys) and two
     * id equi-joins. */
   def marginFromKnn(xy: DataFrame, yx: DataFrame, queryIdCol: String,
-                    idCol: String, threshold: Double = 1.05): DataFrame = {
+                    idCol: String, threshold: Double = 1.05,
+                    requireCoverage: Boolean = true): DataFrame = {
     val ax = xy.groupBy(col(queryIdCol).as("x_id")).agg(avg(col("cosine")).as("__ax"))
     val ay = yx.groupBy(col(queryIdCol).as("y_id")).agg(avg(col("cosine")).as("__ay"))
-    xy.filter(col("rank") === 1)
+    // LEFT joins: a top-1 neighbor absent from the opposite leg (possible
+    // when the legs come from different indexes, filters, or truncated
+    // IVF-PQ probes — never from marginMine's symmetric brute legs) is a
+    // LEG INCONSISTENCY, not a non-pair. Default = fail loudly the moment
+    // one surfaces; requireCoverage=false instead emits the pair with a
+    // NULL margin so the caller can audit the mismatch.
+    val joined = xy.filter(col("rank") === 1)
       .select(col(queryIdCol).as("x_id"), col(idCol).as("y_id"), col("cosine"))
-      .join(ax, Seq("x_id"))
-      .join(ay, Seq("y_id"))
+      .join(ax, Seq("x_id"), "left")
+      .join(ay, Seq("y_id"), "left")
+    val covered =
+      if (!requireCoverage) joined
+      else joined.withColumn("__ay",
+        when(col("__ay").isNotNull, col("__ay")).otherwise(raise_error(concat(
+          lit("marginFromKnn: top-1 neighbor absent from the Y->X leg (y_id="),
+          col("y_id").cast("string"),
+          lit(") — the two kNN legs do not cover the same corpus; pass " +
+            "requireCoverage=false to null-propagate instead")))))
+      .withColumn("__ax",
+        when(col("__ax").isNotNull, col("__ax")).otherwise(raise_error(concat(
+          lit("marginFromKnn: query absent from the X->Y averages (x_id="),
+          col("x_id").cast("string"), lit(")")))))
+    covered
       .withColumn("margin", col("cosine") / (col("__ax") / 2 + col("__ay") / 2))
-      .filter(round(col("margin"), 6) >= threshold)
+      .filter(col("margin").isNull || round(col("margin"), 6) >= threshold)
       .select(col("x_id"), col("y_id"), col("cosine"), col("margin"))
   }
 

@@ -251,15 +251,17 @@ object Dedup {
       }
       flat(j * kk * kk + a * kk + b) = s
     }
-    val flatLit = typedLit(flat.toSeq)
     val cand = guardedBucketPairs(
       index.select(col("__list"), col(idCol).as("id"), col(codeCol).as("cd")),
       Seq("__list"), "id", Seq("cd"), maxBucketSize)
-    val sdc = codebooks.indices.map(j =>
-        element_at(flatLit, lit(j * kk * kk)
-          + element_at(col("cd_a"), j + 1) * kk
-          + element_at(col("cd_b"), j + 1) + lit(1)))
-      .reduce(_ + _) // left-associated, the order the oracle unrolls
+    // one codegen kernel call per candidate pair; the m·k² table rides as a
+    // codegen reference object (a primitive double[] broadcast with the
+    // task binary), NOT a typedLit — at m=16/k=256 the literal is ~4 MB of
+    // boxed plan payload evaluated through interpreted element_at per pair.
+    // Accumulation order inside the kernel is the oracle's left-associated
+    // sum (Kernels.sdcSum), so q172 stays bit-identical.
+    val sdc = graft.functions.expressions.HashExpressions
+      .sdc_sum(col("cd_a"), col("cd_b"), flat, kk)
     cand.withColumn("__sdc", sdc).filter(col("__sdc") <= sdcMax)
       .select(col("id_a"), col("id_b"))
       .join(raw.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), Seq("id_a"))

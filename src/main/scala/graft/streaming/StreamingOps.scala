@@ -168,10 +168,21 @@ object StreamingOps {
     * trash-restore swap caveat — a Hive-layout table has no snapshot
     * isolation; StreamingSpec asserts between-batch reads stay correct.)
     * Compaction runs BEFORE the batch's own side effect deliberately: a
-    * compaction failure then fails the batch with nothing yet written, so
-    * the checkpoint replay re-runs an uncommitted batch — whereas
-    * compacting AFTER processBatch would fail a batch whose sink write
-    * already happened and replay it into a non-idempotent sink twice. */
+    * compaction failure then fails nothing that matters to ingest — it is
+    * LOGGED and skipped (the batch proceeds; fragmentation is a performance
+    * debt, not a correctness one), and only `compactMaxFailures`
+    * CONSECUTIVE failures escalate to failing the query, so a persistently
+    * broken maintenance path (e.g. the documented swap-failure mode leaving
+    * scratch behind) surfaces loudly instead of wedging every checkpoint
+    * replay of an otherwise-healthy batch. The failure counter is
+    * driver-local and resets on query restart — acceptable, since the
+    * escalation exists to page a human, not to bound retries exactly.
+    *
+    * SINGLE WRITER assumed: `maintainTable` must not be written by any
+    * other job while this query runs — compaction's trash-restore swap has
+    * no protection against a concurrent writer adding files to a partition
+    * mid-rewrite (the standard Hive-layout limitation; table formats with
+    * optimistic commit exist for exactly this). */
   def fileArrivalPipeline(spark: SparkSession, path: String, format: String,
                           schemaDdl: String, checkpoint: String,
                           options: Map[String, String] = Map.empty,
@@ -179,20 +190,37 @@ object StreamingOps {
                           maintainTable: Option[String] = None,
                           compactEvery: Int = 0,
                           compactTargetBytes: Long = 128L << 20,
-                          compactCurve: Option[org.apache.spark.sql.Column] = None)
+                          compactCurve: Option[org.apache.spark.sql.Column] = None,
+                          compactMaxFailures: Int = 3)
                          (processBatch: (DataFrame, Long) => Unit): StreamingQuery = {
     require(maintainTable.isEmpty || compactEvery > 0,
       "maintainTable is set but compactEvery <= 0 — maintenance would silently never run")
+    require(compactMaxFailures >= 1, "compactMaxFailures must be >= 1")
     val stream = fileArrivalStream(spark, path, format, schemaDdl, options)
+    // driver-side: foreachBatch bodies run sequentially on the stream thread
+    val consecutiveCompactFailures = new java.util.concurrent.atomic.AtomicInteger(0)
     val w = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         maintainTable.foreach { t =>
           if (compactEvery > 0 && id > 0 && id % compactEvery == 0 &&
               batch.sparkSession.catalog.tableExists(t)) {
-            graft.catalog.Compaction.compactTable(batch.sparkSession, t,
-              targetBytes = compactTargetBytes, curve = compactCurve)
-            ()
+            try {
+              graft.catalog.Compaction.compactTable(batch.sparkSession, t,
+                targetBytes = compactTargetBytes, curve = compactCurve)
+              consecutiveCompactFailures.set(0)
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                val n = consecutiveCompactFailures.incrementAndGet()
+                if (n >= compactMaxFailures)
+                  throw new RuntimeException(
+                    s"table maintenance failed $n consecutive times on $t — " +
+                      "escalating (ingest was proceeding; fix compaction or " +
+                      "disable maintainTable)", e)
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"compaction of $t failed at batch $id " +
+                    s"($n/$compactMaxFailures consecutive) — ingest proceeds", e)
+            }
           }
         }
         processBatch(batch, id)
@@ -200,21 +228,75 @@ object StreamingOps {
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
+  /** Idempotent write of ONE batch's rows into a `batch_id`-partitioned
+    * table: create-with-partitioning on first use, DYNAMIC overwrite of
+    * exactly the `batch_id=<id>` partition afterwards — a replayed batch
+    * REPLACES its own half-committed partition instead of appending beside
+    * it, and committed partitions are never rewritten (the immutability
+    * that makes [[BatchCommitLog]]'s guard sound: the data a committed
+    * marker vouches for cannot be damaged by a later crash). */
+  private def writeBatchPartition(df: DataFrame, table: String, id: Long): Unit = {
+    val ss = df.sparkSession
+    if (!ss.catalog.tableExists(table)) {
+      // overwrite: leftover files from a crash mid-create are uncommitted
+      df.write.mode("overwrite").partitionBy("batch_id").saveAsTable(table)
+    } else {
+      val meta = ss.sessionState.catalog.getTableMetadata(
+        ss.sessionState.sqlParser.parseTableIdentifier(table))
+      require(meta.partitionColumnNames.contains("batch_id"),
+        s"$table must be partitioned by batch_id for idempotent replay — " +
+          "drop it and let the operator create it, or recreate it " +
+          "PARTITIONED BY (batch_id)")
+      // STATIC partition spec: INSERT OVERWRITE of exactly this batch's
+      // partition, independent of the session's partitionOverwriteMode
+      // (the writer-level dynamic option is not honored by insertInto)
+      val dataCols = meta.schema.fieldNames
+        .filterNot(meta.partitionColumnNames.contains)
+      val v = s"graft_batch_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      df.drop("batch_id").createOrReplaceTempView(v)
+      try ss.sql(s"INSERT OVERWRITE TABLE $table PARTITION (batch_id=$id) " +
+        s"SELECT ${dataCols.map(c => s"`$c`").mkString(", ")} FROM $v")
+      finally { ss.catalog.dropTempView(v); () }
+    }
+  }
+
+  /** The current committed model of [[onlineLogisticFit]]: the weights
+    * snapshot named by the commit log. Read THIS, not the raw table — the
+    * table keeps one snapshot partition per applied batch (older partitions
+    * are prunable maintenance, and double as restore points). */
+  def committedWeights(spark: SparkSession, weightsTable: String,
+                       checkpoint: String): DataFrame =
+    BatchCommitLog.committed(spark, checkpoint) match {
+      case Some(k) => spark.table(weightsTable)
+        .filter(col("batch_id") === k).select(col("feature"), col("wq"))
+      case None =>
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("feature", "wq")
+    }
+
   /** ONLINE quality-classifier training — mini-batch SGD as a streaming
     * maintenance loop: each micro-batch applies ONE deterministic sparse-GD
     * step ([[graft.operators.Retrieval.sparseGdStep]]) to a persisted
     * weights table. The model improves as labeled documents arrive and is
-    * readable between batches (scoring joins the table); nothing is ever
+    * readable between batches ([[committedWeights]]); nothing is ever
     * collected to the driver, so the feature space scales like the offline
     * fit (q174).
     *
     * Delivery semantics: foreachBatch is AT-LEAST-ONCE and a GD step is NOT
-    * idempotent, so the table carries the last applied `batch_id` and a
-    * re-delivered batch is SKIPPED (the standard batch-id dedup recipe; the
-    * CDC upsert's argmax merge absorbs replays algebraically, a fit cannot).
-    * Weights are written through `batch.sparkSession` and localCheckpoint'd
-    * before the overwrite (the table being replaced feeds the step).
-    * Empty micro-batches (state flushes) leave the table untouched. */
+    * idempotent, so exactly-once is built from three pieces. (1) The replay
+    * guard is the [[BatchCommitLog]] marker file, published ATOMICALLY
+    * after the write — never a `max(batch_id)` probe over the data table,
+    * which a half-committed write can satisfy. (2) The weights table is
+    * PARTITIONED by batch_id and each step writes a NEW snapshot partition
+    * via dynamic overwrite: the committed snapshot it read is never
+    * touched, and a replay after a crash replaces the orphaned partition
+    * instead of corrupting state. (3) The step always reads the snapshot
+    * the log names; if that partition is missing or empty (external
+    * truncation, partition drop) the stream FAILS LOUDLY instead of
+    * silently refitting a one-batch model from zero — restore the
+    * partition (any older snapshot partition is a restore point) or wipe
+    * checkpoint + table together to genuinely start over.
+    * Empty micro-batches (state flushes) leave table and log untouched. */
   def onlineLogisticFit(docs: DataFrame, textCol: String, idCol: String,
                         labelCol: String, numFeatures: Int,
                         weightsTable: String, checkpoint: String,
@@ -227,29 +309,31 @@ object StreamingOps {
         val ss = batch.sparkSession
         val labels = batch.select(col(idCol), col(labelCol)).localCheckpoint(true)
         val n = labels.count()
-        val exists = ss.catalog.tableExists(weightsTable)
-        // null max row = table exists but is EMPTY (crash mid-overwrite,
-        // external truncation) — treat as not-applied, same contract as
-        // ingestDedupGate's applied()
-        val applied = exists && {
-          val r = ss.table(weightsTable).agg(max(col("batch_id"))).head()
-          !r.isNullAt(0) && r.getLong(0) >= id
-        }
-        if (n > 0 && !applied) {
+        if (n > 0 && !BatchCommitLog.applied(ss, checkpoint, id)) {
+          val prev = BatchCommitLog.committed(ss, checkpoint) match {
+            case Some(k) =>
+              // localCheckpoint: materialized snapshot, so the insertInto
+              // below never reads the table it writes
+              val snap = ss.table(weightsTable).filter(col("batch_id") === k)
+                .select(col("feature"), col("wq")).localCheckpoint(true)
+              if (snap.isEmpty) throw new IllegalStateException(
+                s"commit log says batch $k of $weightsTable is committed but " +
+                  "its snapshot partition is missing/empty — the table was " +
+                  "externally modified; restore an older snapshot partition " +
+                  "and repoint the log, or wipe checkpoint AND table to refit")
+              snap
+            case None =>
+              import ss.implicits._
+              Seq.empty[(Long, Long)].toDF("feature", "wq")
+          }
           val feats = Retrieval.hashedTokenFeatures(
             batch.toDF(), textCol, idCol, numFeatures)
           val allFeats = Retrieval.withBias(feats, labels, idCol).localCheckpoint(true)
-          val prev =
-            if (exists) ss.table(weightsTable).select(col("feature"), col("wq"))
-            else {
-              import ss.implicits._
-              Seq.empty[(Long, Long)].toDF("feature", "wq")
-            }
           val next = Retrieval.sparseGdStep(allFeats, labels, prev, idCol,
               labelCol, n, lrNum, lrDen)
             .withColumn("batch_id", lit(id))
-            .localCheckpoint(true)
-          next.write.mode("overwrite").saveAsTable(weightsTable)
+          writeBatchPartition(next, weightsTable, id)
+          BatchCommitLog.commit(ss, checkpoint, id)
         }
         ()
       }
@@ -264,20 +348,24 @@ object StreamingOps {
     * against everything that ever survived. This is the production shape of
     * the q183 two-day composition: dedup-on-ingest, corpus as the fixpoint.
     *
-    * Exactly-once: dedup of a batch is DETERMINISTIC given the corpus, so
-    * under foreachBatch's at-least-once re-delivery the corpus append is
-    * guarded by the corpus table's max batch_id and the report append by the
-    * report table's — re-running a half-committed batch recomputes the same
-    * frames and completes only the missing append (a zero-survivor batch
-    * re-appends an empty frame: harmless). Corpus appends FIRST so a crash
-    * between the two writes never yields a report whose survivors are
-    * missing from the corpus.
+    * Exactly-once: dedup of a batch is DETERMINISTIC given the corpus, and
+    * both tables are PARTITIONED by batch_id with per-batch dynamic
+    * partition overwrite, so a replayed batch recomputes the same frames
+    * and REPLACES its own (possibly half-committed) partitions — a
+    * partially-visible write from a crash can neither satisfy the replay
+    * guard (that is the [[BatchCommitLog]] marker, published atomically
+    * after both writes) nor survive the replay. The stored side reads
+    * `batch_id < id`, so an orphaned partition of the replayed batch never
+    * feeds its own dedup. Corpus writes FIRST so a reader between the two
+    * writes never sees a report whose survivors are missing from the
+    * corpus.
     *
     * Scale shape: identical to the batch operator — candidate work is
     * batch×corpus through the prefix-filtered blocked join, never
-    * corpus×corpus; the corpus table only ever APPENDS (no rewrite), so a
-    * year of ingest is a year of immutable parquet plus [[graft.catalog
-    * .Compaction]] as the every-N-batches maintenance hook. */
+    * corpus×corpus; committed corpus partitions are immutable (one per
+    * batch — [[graft.catalog.Compaction]] remains the every-N-batches
+    * answer to small-partition sprawl), and the replay probe is the commit
+    * log's O(1) marker listing, not a max over ingest history. */
   def ingestDedupGate(docs: DataFrame, textCol: String, idCol: String,
                       blockCols: Seq[String], threshold: Double,
                       corpusTable: String, reportTable: String,
@@ -289,24 +377,15 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val ss = batch.sparkSession
-        // ONE max-aggregate per table per batch (null row = empty table) —
-        // a column-pruned scan of the 8-byte batch_id column only. That
-        // still grows with ingest history; at multi-year scale keep a
-        // one-row committed-watermark table (or partition by a batch_id
-        // bucket) so the idempotence probe is O(1)
-        def applied(table: String): Boolean =
-          ss.catalog.tableExists(table) && {
-            val r = ss.table(table).agg(max(col("batch_id"))).head()
-            !r.isNullAt(0) && r.getLong(0) >= id
-          }
         val btoks = batch
           .select(col(idCol) +: blockCols.map(col) :+
             array_distinct(S.tokens(col(textCol))).as("__toks"): _*)
           .localCheckpoint(true)
-        if (btoks.count() > 0 && !applied(reportTable)) {
-          // batch_id < id: on replay after a committed corpus append, the
-          // batch's own survivors must NOT be in its stored side (they would
-          // self-match as dup_of_stored and change the recomputed report)
+        if (btoks.count() > 0 && !BatchCommitLog.applied(ss, checkpoint, id)) {
+          // batch_id < id: a replayed batch's own orphaned partition (and,
+          // on the partition-pruned read, every uncommitted write) must NOT
+          // be in its stored side — survivors would self-match as
+          // dup_of_stored and change the recomputed report
           val stored =
             if (ss.catalog.tableExists(corpusTable))
               ss.table(corpusTable).filter(col("batch_id") < id).drop("batch_id")
@@ -315,14 +394,13 @@ object StreamingOps {
               blockCols, threshold)
             .withColumn("batch_id", lit(id))
             .localCheckpoint(true)
-          if (!applied(corpusTable)) {
-            val survivors = btoks.join(
+          val survivors = btoks.join(
               report.filter(col("status") === "kept").select(col(idCol)),
               Seq(idCol))
-            survivors.withColumn("batch_id", lit(id))
-              .write.mode("append").saveAsTable(corpusTable)
-          }
-          report.write.mode("append").saveAsTable(reportTable)
+            .withColumn("batch_id", lit(id))
+          writeBatchPartition(survivors, corpusTable, id)
+          writeBatchPartition(report, reportTable, id)
+          BatchCommitLog.commit(ss, checkpoint, id)
         }
         ()
       }

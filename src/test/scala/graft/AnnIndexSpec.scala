@@ -188,4 +188,36 @@ class AnnIndexSpec extends SparkSpec {
       .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
     assert(viaLegs == got)
   }
+
+  test("marginFromKnn: a leg not covering a top-1 neighbor fails loudly; requireCoverage=false null-propagates") {
+    import spark.implicits._
+    val x = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val y = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val qx = x.select(col("vec_id").as("__qid"), col("embedding"))
+    val qy = y.select(col("vec_id").as("__qid"), col("embedding"))
+    val xy = Ann.bruteForceTopK(y, qx, "embedding", "vec_id", "__qid", 4)
+    val yxFull = Ann.bruteForceTopK(x, qy, "embedding", "vec_id", "__qid", 4)
+    // drop some y ids from the Y→X leg — the filtered/truncated-index shape
+    val someTop1 = xy.filter(col("rank") === 1).select(col("vec_id")).limit(2)
+      .as[Long].collect().toSet
+    assert(someTop1.nonEmpty)
+    val yxHoley = yxFull.filter(!col("__qid").isin(someTop1.toSeq: _*))
+    val e = intercept[Exception] {
+      Ann.marginFromKnn(xy, yxHoley, "__qid", "vec_id", threshold = 1.02).collect()
+    }
+    assert(e.getMessage != null || e.getCause != null) // Spark wraps raise_error
+    // null-propagation path: mismatched pairs surface with a NULL margin
+    // instead of silently vanishing; covered pairs are unchanged
+    val lenient = Ann.marginFromKnn(xy, yxHoley, "__qid", "vec_id",
+        threshold = 1.02, requireCoverage = false)
+    val nullRows = lenient.filter(col("margin").isNull)
+      .select(col("y_id")).as[Long].collect().toSet
+    assert(nullRows == someTop1,
+      s"every uncovered top-1 pair must surface as a null-margin row: $nullRows vs $someTop1")
+    val strictFull = Ann.marginFromKnn(xy, yxFull, "__qid", "vec_id", threshold = 1.02)
+      .select("x_id", "y_id").as[(Long, Long)].collect().toSet
+    val lenientCovered = lenient.filter(col("margin").isNotNull)
+      .select("x_id", "y_id").as[(Long, Long)].collect().toSet
+    assert(lenientCovered == strictFull.filterNot(p => someTop1.contains(p._2)))
+  }
 }

@@ -307,4 +307,30 @@ class ExtensionsSpec extends SparkSpec {
       .select(graft.functions.TextFunctions.fixMojibake($"t")).as[String].collect()
     assert(got.toSeq == cases.map(_._2))
   }
+
+  test("sdc_sum kernel == unrolled element_at formulation, bit for bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.expressions.HashExpressions
+    // the typedLit formulation this kernel replaced — kept here as the
+    // semantic pin (and the exact arithmetic the q172 oracle unrolls)
+    val m = 4; val kk = 5
+    val rnd = new scala.util.Random(7)
+    val flat = Array.fill(m * kk * kk)(rnd.nextDouble() * 10)
+    val rows = (0 until 200).map { _ =>
+      (Array.fill(m)(rnd.nextInt(kk)), Array.fill(m)(rnd.nextInt(kk)))
+    }
+    val df = rows.toDF("a", "b")
+    val lit0 = typedLit(flat.toSeq)
+    val unrolled = (0 until m).map(j =>
+        element_at(lit0, lit(j * kk * kk)
+          + element_at(col("a"), j + 1) * kk
+          + element_at(col("b"), j + 1) + lit(1)))
+      .reduce(_ + _)
+    val both = df.select(
+        HashExpressions.sdc_sum(col("a"), col("b"), flat, kk).as("k"),
+        unrolled.as("u"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (k, u) => assert(k == u) }
+  }
 }

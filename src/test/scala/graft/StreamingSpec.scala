@@ -229,15 +229,18 @@ class StreamingSpec extends SparkSpec {
     assert(rep.view.mapValues(v => (v._1, v._2)).toMap == seqRep)
   }
 
-  test("online logistic fit: an existing-but-EMPTY weights table does not kill the stream") {
-    // crash mid non-atomic overwrite (or external truncation) leaves the
-    // table present with zero rows — the replay guard's max(batch_id) comes
-    // back as a null row and must read as "not applied", not NPE
-    val db = s"olfempty${System.nanoTime()}"
+  test("online logistic fit: an orphaned half-committed partition is replaced, never trained against") {
+    // crash mid-write leaves partition batch_id=0 populated with garbage but
+    // NO commit-log marker — the replay must treat the batch as not applied
+    // (the data-table probe would have said "applied") and REPLACE the
+    // orphan via dynamic partition overwrite
+    val db = s"olforphan${System.nanoTime()}"
     spark.sql(s"CREATE DATABASE $db")
     val wt = s"$db.weights"
-    spark.sql(s"CREATE TABLE $wt (feature BIGINT, wq BIGINT, batch_id BIGINT) USING parquet")
-    val ckpt = Files.createTempDirectory("graft_olf_empty_ckpt").toString
+    spark.sql(s"CREATE TABLE $wt (feature BIGINT, wq BIGINT) USING parquet " +
+      "PARTITIONED BY (batch_id BIGINT)")
+    spark.sql(s"INSERT INTO $wt PARTITION (batch_id=0) VALUES (999999, 123456)")
+    val ckpt = Files.createTempDirectory("graft_olf_orphan_ckpt").toString
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Int)]
     val q = StreamingOps.onlineLogisticFit(
@@ -248,7 +251,40 @@ class StreamingSpec extends SparkSpec {
       (i.toLong, if (i % 2 == 0) "spam junk" else "clean text", i % 2)): _*)
     q.processAllAvailable(); q.stop()
     spark.sql(s"REFRESH TABLE $wt")
-    assert(spark.table(wt).count() > 0, "the batch must train against the empty table")
+    val w = StreamingOps.committedWeights(spark, wt, ckpt)
+      .as[(Long, Long)].collect().toMap
+    assert(w.nonEmpty, "the batch must train from zero (nothing committed)")
+    assert(!w.contains(999999L),
+      "the orphaned garbage partition must be replaced, not appended beside")
+  }
+
+  test("online logistic fit: external truncation of the committed snapshot fails loudly, never refits from zero") {
+    val db = s"olftrunc${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    val wt = s"$db.weights"
+    val ckpt = Files.createTempDirectory("graft_olf_trunc_ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Int)]
+    val q = StreamingOps.onlineLogisticFit(
+      mem.toDF().toDF("doc_id", "text", "y"),
+      "text", "doc_id", "y", numFeatures = 64,
+      weightsTable = wt, checkpoint = ckpt)
+    mem.addData((1 to 20).map(i =>
+      (i.toLong, if (i % 2 == 0) "spam junk" else "clean text", i % 2)): _*)
+    q.processAllAvailable()
+    // simulate external damage: the snapshot the log vouches for vanishes
+    spark.sql(s"ALTER TABLE $wt DROP PARTITION (batch_id=0)")
+    mem.addData((21 to 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "spam junk" else "clean text", i % 2)): _*)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("snapshot partition is missing/empty")),
+      s"expected the loud missing-snapshot failure, got: $e")
   }
 
   test("online logistic fit: per-batch SGD over a weights table equals the offline step sequence; replay is skipped") {
@@ -266,13 +302,17 @@ class StreamingSpec extends SparkSpec {
     val b2 = (41 to 80).map(i => (i.toLong, if (i % 3 == 0) "spam spam more" else "fine words", if (i % 3 == 0) 1 else 0))
     mem.addData(b1: _*); q.processAllAvailable()
     spark.sql(s"REFRESH TABLE $wt")
-    val after1 = spark.table(wt).select("feature", "wq")
+    val after1 = StreamingOps.committedWeights(spark, wt, ckpt)
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
     mem.addData(b2: _*); q.processAllAvailable()
     spark.sql(s"REFRESH TABLE $wt")
-    val after2 = spark.table(wt).select("feature", "wq")
+    val after2 = StreamingOps.committedWeights(spark, wt, ckpt)
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
     q.stop()
+    // per-batch snapshot partitions: batch 0's model survives as a restore
+    // point after batch 1 commits
+    assert(spark.table(wt).filter(col("batch_id") === 0)
+      .select("feature", "wq").as[(Long, Long)].collect().sortBy(_._1).toSeq == after1)
     assert(after1 != after2 && after2.nonEmpty)
 
     // offline replay of the SAME batch sequence through sparseGdStep
@@ -306,7 +346,7 @@ class StreamingSpec extends SparkSpec {
       weightsTable = wt, checkpoint = ckpt)
     q2.processAllAvailable(); q2.stop()
     spark.sql(s"REFRESH TABLE $wt")
-    assert(spark.table(wt).select("feature", "wq")
+    assert(StreamingOps.committedWeights(spark, wt, ckpt)
       .as[(Long, Long)].collect().sortBy(_._1).toSeq == after2)
   }
 
