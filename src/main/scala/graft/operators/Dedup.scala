@@ -751,7 +751,15 @@ object Dedup {
     // the prefix family is provably tight — candidates stay ~O(pairs); the
     // kernel-verify below is what keeps that regime cheap.)
     val o = ceil(col("sz_a") * threshold - lit(1e-9))
-    val candidates = aPrefix.join(bIndex, blockCols :+ "token")
+    // PIN the candidate join's parallelism (same rationale as
+    // incrementalWinnow): the token-index inputs are a few MB but the
+    // enumeration is quadratic-in-bucket on a shared-vocabulary corpus, so
+    // AQE's size-based coalesce would run the explosion on a handful of
+    // tasks.
+    val sp = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val joinKeys = blockCols :+ "token"
+    val candidates = aPrefix.repartition(sp, joinKeys.map(col): _*)
+      .join(bIndex.repartition(sp, joinKeys.map(col): _*), joinKeys)
       .filter(col("id_a") =!= col("id_b"))
       .filter(col("sz_b") >= o)
       .filter(col("sz_a") - col("p_a") >= o - 1 &&
@@ -959,13 +967,29 @@ object Dedup {
     // materialized: probed three times below, and the semi-join must see a
     // settled frame (the union-lineage self-join hazard — Retrieval.scala)
     val bfp = winnowIndex(batch, textCol, idCol, k, w).localCheckpoint(true)
+    // touched stays LAZY: it is referenced twice (guard + match join) but
+    // each evaluation is a map-side broadcast semi over the stored index —
+    // materializing it would spool the stored side to executor storage,
+    // which is exactly what the batch-scoped contract avoids at 100 TB.
+    // ok IS materialized: it is tiny (one fp per row) and otherwise the
+    // countDistinct guard re-runs inside both sides of the match join.
     val touched = index.join(bfp.select(col("fp")).distinct(), Seq("fp"), "left_semi")
     val occ = touched.select(col("fp"), col(idCol))
       .unionByName(bfp.select(col("fp"), col(idCol)))
     val ok = occ.groupBy(col("fp")).agg(countDistinct(col(idCol)).as("__n"))
       .filter(col("__n") <= maxBucketSize).select(col("fp"))
+      .localCheckpoint(true)
+    // PIN the pair join's parallelism: its inputs are tiny (16-byte
+    // (fp, id) rows) but its output is quadratic-in-bucket, so AQE's
+    // size-based coalesce collapses the input exchanges to one or two
+    // tasks and SERIALIZES the explosion (measured 15 s -> 6 s at sf0.1,
+    // 28M pair occurrences out of 6 MB of join input). Explicit
+    // numPartitions keeps AQE's hands off these two exchanges only.
+    val sp = index.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val matches = bfp.join(ok, Seq("fp")).select(col("fp"), col(idCol).as("batch_id"))
-      .join(touched.join(ok, Seq("fp")).select(col("fp"), col(idCol).as("stored_id")),
+      .repartition(sp, col("fp"))
+      .join(touched.join(ok, Seq("fp")).select(col("fp"), col(idCol).as("stored_id"))
+        .repartition(sp, col("fp")),
         Seq("fp"))
       .groupBy(col("batch_id"), col("stored_id"))
       .agg(count(lit(1)).as("shared"))
