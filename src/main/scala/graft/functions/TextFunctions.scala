@@ -23,6 +23,15 @@ object TextFunctions {
   def fixMojibake(c: Column): Column =
     graft.functions.expressions.HashExpressions.fix_mojibake(c)
 
+  /** Mask Luhn-VALID payment-card numbers (13–19 digits, optionally
+    * space/dash separated) as `[CARD-<last4>]`, leaving checksum-failing
+    * digit runs (phone numbers, ids, timestamps) untouched — the
+    * precision-preserving PII pass regex-only maskers can't express.
+    * Native codegen'd expression
+    * ([[graft.functions.expressions.Kernels.maskCardNumbers]]). */
+  def maskCardNumbers(c: Column): Column =
+    graft.functions.expressions.HashExpressions.mask_card_numbers(c)
+
   /** Unicode-normalize text (default NFC — composed canonical form): the
     * tokenizer-prep pass that makes decomposed accents, compatibility
     * ligatures (NFKC), and width variants hash/join/dedup as one spelling.

@@ -360,6 +360,26 @@ object HashExpressions {
     override def prettyName: String = "sdc_sum"
   }
 
+  /** Luhn-validated card masking (see [[Kernels.maskCardNumbers]]). */
+  case class MaskCardNumbersExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a string input, got $other")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.maskCardNumbers(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $KernelsClass.maskCardNumbers($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "mask_card_numbers"
+  }
+
   /** Mojibake repair (cp1252-bytes-as-UTF-8 round trip, strict both ways —
     * see [[Kernels.fixMojibake]]). */
   case class FixMojibakeExpr(child: Expression) extends UnaryExpression {
@@ -810,6 +830,8 @@ object HashExpressions {
   def sdc_sum(a: Column, b: Column, flat: Array[Double], kk: Int): Column =
     column(SdcSumExpr(expression(a), expression(b), flat, kk))
   def fix_mojibake(text: Column): Column = column(FixMojibakeExpr(expression(text)))
+  def mask_card_numbers(text: Column): Column =
+    column(MaskCardNumbersExpr(expression(text)))
   def unicode_normalize(text: Column, form: String = "NFC"): Column =
     column(UnicodeNormalizeExpr(expression(text), form))
   def mask_terms(text: Column, dict: Seq[String], token: String): Column =

@@ -559,6 +559,60 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Luhn checksum over a digit buffer (rightmost digit undoubled). */
+  private def luhnOk(d: java.lang.StringBuilder): Boolean = {
+    var sum = 0
+    var alt = false
+    var i = d.length - 1
+    while (i >= 0) {
+      var v = d.charAt(i) - '0'
+      if (alt) { v *= 2; if (v > 9) v -= 9 }
+      sum += v
+      alt = !alt
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  /** Mask Luhn-VALID payment-card candidates: candidates are the maximal
+    * runs the greedy regex `[0-9]([ -]?[0-9])*` matches (digits separated
+    * by at most one space or dash — the manual scan below consumes exactly
+    * that language, so the SQL replay via regexp_extract_all is
+    * candidate-identical); a candidate with 13–19 digits whose digits pass
+    * the Luhn checksum is replaced by `[CARD-<last4>]`, everything else is
+    * copied through. Checksum validation is what keeps recall useful:
+    * phone numbers, ids and timestamps share the digit-run SHAPE but fail
+    * Luhn 90% of the time, so a regex-only masker (q112's posture) would
+    * have to choose between missing cards and shredding every number. */
+  def maskCardNumbers(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val n = str.length
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if (c >= '0' && c <= '9') {
+        var j = i
+        val digits = new java.lang.StringBuilder(24)
+        var go = true
+        while (j < n && go) {
+          val cj = str.charAt(j)
+          if (cj >= '0' && cj <= '9') { digits.append(cj); j += 1 }
+          else if ((cj == ' ' || cj == '-') && j + 1 < n && {
+            val ck = str.charAt(j + 1); ck >= '0' && ck <= '9'
+          }) j += 1
+          else go = false
+        }
+        val nd = digits.length
+        if (nd >= 13 && nd <= 19 && luhnOk(digits))
+          out.append("[CARD-").append(digits.substring(nd - 4)).append(']')
+        else out.append(str, i, j)
+        i = j
+      } else { out.append(c); i += 1 }
+    }
+    UTF8String.fromString(out.toString)
+  }
+
   /** Symmetric code distance (SDC) between two PQ codes: Σ_j
     * flat(j·k² + a(j)·k + b(j)) over the precomputed subspace
     * centroid-distance table. Left-to-right accumulation from 0.0 — the

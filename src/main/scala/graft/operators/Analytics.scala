@@ -154,4 +154,28 @@ object Analytics {
       .groupBy(col("cohort"), (col("__p") - col("cohort")).as("period_offset"))
       .agg(count_distinct(col("__u")).as("n_users"))
   }
+
+  /** Calibration (reliability) bins for a probabilistic score against a
+    * binary label: scores bucket into `bins` equal-width bins over [0,1]
+    * (scores ≥ 1 clamp into the top bin), each bin reporting its size, mean
+    * predicted probability and empirical positive rate — the reliability
+    * diagram behind ECE, and the standard health check before a quality
+    * classifier's scores are used as sampling weights (q135/q175 consume
+    * scores as if calibrated; this measures whether they are).
+    *
+    * Determinism: the mean score is averaged over 6-dp-rounded DECIMAL
+    * values, so the sum is exact and engine-order-independent; the positive
+    * rate is a ratio of exact counts. One hash aggregation. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val b = least(floor(col(scoreCol) * bins).cast("long"), lit(bins - 1L))
+    df.select(b.as("bin"),
+        round(col(scoreCol), 6).cast("decimal(18,6)").as("__s"),
+        col(labelCol).cast("long").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__s")).cast("double") / count(lit(1)), 6).as("avg_score"),
+        round(sum(col("__y")).cast("double") / count(lit(1)), 6).as("pos_rate"))
+  }
 }

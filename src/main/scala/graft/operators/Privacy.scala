@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Privacy operators for training-data release: k-anonymity generalization
+  * and deterministic differentially-private aggregate release. The reference
+  * engine's data-protection layer stops at field hashing/tokenization
+  * (`lib/glue_scripts/lib/datatransform_dataprotection.py` — hash/redact/
+  * tokenize single columns); these close the rest of the standard release
+  * checklist: quasi-identifier COMBINATIONS (which re-identify even when
+  * every single column is "safe") and aggregate counts over small groups.
+  *
+  * Everything here is deterministic — a release run is reproducible
+  * bit-for-bit, which is also what makes the operators oracle-checkable.
+  */
+object Privacy {
+
+  /** k-anonymity with a two-level generalization ladder.
+    *
+    * Level 0: rows whose exact quasi-identifier tuple occurs ≥ k times pass
+    * unchanged. Level 1: the remaining rows have each quasi column replaced
+    * by its generalization (`generalize`, e.g. account balance → band,
+    * nation → region; columns without an entry keep their value), and pass
+    * if their GENERALIZED tuple occurs ≥ k times among those remaining
+    * rows. Level 2: whatever still fails is fully suppressed (every quasi
+    * column becomes `suppressed`). Within each level, every emitted
+    * quasi-tuple therefore appears ≥ k times (suppressed rows are uniform
+    * by construction), and the `anonymity_level` column records the cost.
+    *
+    * Quasi columns are emitted as STRINGS (generalization and suppression
+    * need a common type); non-quasi columns pass through untouched.
+    *
+    * Scale shape: two hash aggregations and two broadcast-or-shuffle joins
+    * on the quasi tuple — no windows over the whole frame, no driver
+    * collection; the group-count frames are one row per distinct tuple. */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String],
+                 generalize: Map[String, Column], k: Int,
+                 suppressed: String = "*"): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 2, s"k must be >= 2: $k")
+    require(generalize.keySet.subsetOf(quasiCols.toSet),
+      "generalize keys must be quasi columns")
+    val rest = df.columns.filterNot(quasiCols.contains).toSeq
+    val exact = quasiCols.map(c => col(c).cast("string").as(c))
+    val gen = quasiCols.map(c =>
+      generalize.getOrElse(c, col(c)).cast("string").as(s"__g_$c"))
+    val base = df.select(rest.map(col) ++ exact ++ gen: _*)
+
+    val w0 = Window.partitionBy(quasiCols.map(col): _*)
+    val leveled0 = base.withColumn("__n0", count(lit(1)).over(w0))
+    val pass0 = leveled0.filter(col("__n0") >= k)
+      .select(rest.map(col) ++ quasiCols.map(col) :+ lit(0).as("anonymity_level"): _*)
+    val fail0 = leveled0.filter(col("__n0") < k)
+
+    val w1 = Window.partitionBy(quasiCols.map(c => col(s"__g_$c")): _*)
+    val leveled1 = fail0.withColumn("__n1", count(lit(1)).over(w1))
+    val pass1 = leveled1.filter(col("__n1") >= k)
+      .select(rest.map(col) ++
+        quasiCols.map(c => col(s"__g_$c").as(c)) :+ lit(1).as("anonymity_level"): _*)
+    val pass2 = leveled1.filter(col("__n1") < k)
+      .select(rest.map(col) ++
+        quasiCols.map(c => lit(suppressed).as(c)) :+ lit(2).as("anonymity_level"): _*)
+    pass0.unionByName(pass1).unionByName(pass2)
+  }
+
+  /** Per-group COUNT release with deterministic Laplace noise — the
+    * ε-differential-privacy counting query, made reproducible: the noise is
+    * Laplace(1/ε) via inverse-CDF over a uniform derived from
+    * md5(seed | group values), so the same release run always publishes the
+    * same numbers (and the oracle can replay them). A true DP deployment
+    * would draw fresh randomness per release and never reuse a seed across
+    * releases of the same data — determinism trades that for auditability,
+    * the same posture as every seeded sampler in this engine.
+    *
+    * noisy = count − (1/ε)·sign(u−½)·ln(1−2·|u−½|),  u ∈ (0,1)
+    *
+    * One hash aggregation; the noise is a per-group scalar expression. */
+  def dpCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+               seed: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(epsilon > 0, s"epsilon must be positive: $epsilon")
+    val key = concat_ws("|", lit(seed) +: groupCols.map(c => col(c).cast("string")): _*)
+    // 32 hex-bit md5 prefix → uniform in (0,1): (v + 0.5) / 2^32 never hits
+    // the endpoints, so ln(1 − 2|u−½|) is finite
+    val u = (conv(substring(md5(key), 1, 8), 16, 10).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    val shifted = u - lit(0.5)
+    val noise = (lit(-1.0) / lit(epsilon)) * signum(shifted) *
+      log(lit(1.0) - lit(2.0) * abs(shifted))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__true"))
+      .select(groupCols.map(col) :+
+        round(col("__true") + noise, 6).as("noisy_count"): _*)
+  }
+}

@@ -1975,6 +1975,140 @@ object TextQueries {
           round(col("chi2"), 6).as("chi2_r"))
         .orderBy(col("lang"))
     }),
+
+    // k-anonymity with a two-level generalization ladder (Privacy.
+    // kAnonymize): exact quasi tuple (nation, segment, 2000-wide balance
+    // band) must occur >= 3 times, else the generalized tuple (nation mod
+    // 5, segment, 3-band coarsening) must among the failures, else full
+    // suppression. The oracle replays both window counts and the ladder.
+    "q188_k_anonymity" -> ((s, d) => {
+      val cust = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000.0).cast(LongType).as("bal_band"))
+      graft.operators.Privacy.kAnonymize(cust,
+          Seq("c_nationkey", "c_mktsegment", "bal_band"),
+          Map("c_nationkey" -> pmod(col("c_nationkey"), lit(5)),
+            "bal_band" -> floor(col("bal_band") / 3.0).cast(LongType)),
+          k = 3)
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Luhn-validated card masking (TextFunctions.maskCardNumbers): digit
+    // runs (space/dash separated, 13-19 digits) are masked as
+    // [CARD-last4] ONLY when the Luhn checksum passes — the planted
+    // fixtures exercise a valid Visa-shaped 16-digit, a valid 15-digit
+    // Amex-shaped with dashes, an invalid 16-digit, and a too-short run.
+    // The oracle extracts the same greedy-regex candidates, replays the
+    // checksum digit-by-digit, and folds replace() over the valid ones.
+    "q189_luhn_mask" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val planted = docs.select(col("doc_id"), concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit(" pay 4539 1488 0343 6467 today")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit(" amex 3782-822463-10005 ok")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit(" ref 1234-5678-9012-3456 end")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(" call 12 34 56")).otherwise(lit(""))).as("text"))
+      planted.select(col("doc_id"),
+          graft.functions.TextFunctions.maskCardNumbers(col("text")).as("masked_text"))
+        .withColumn("n_masked",
+          ((length(col("masked_text")) -
+            length(regexp_replace(col("masked_text"), "\\[CARD-", ""))) / 6L)
+            .cast(LongType))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Differentially-private count release (Privacy.dpCounts): per
+    // (lang, source) counts + deterministic Laplace(1/eps) noise via
+    // inverse-CDF over an md5-derived uniform. The oracle replays the md5
+    // prefix, the uniform, and the noise formula exactly.
+    "q190_dp_counts" -> ((s, d) => {
+      graft.operators.Privacy.dpCounts(Tables(s, d, "documents"),
+          Seq("lang", "source"), epsilon = 0.5, seed = "dp1")
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // Tokenizer fertility by language (Bpe.encode under the q97 fixed
+    // 3-merge cascade): tokens-per-word and chars-per-token — the standard
+    // tokenizer-efficiency diagnostic before committing a vocab to a
+    // multilingual corpus. Exact integer sums; division only at the end.
+    "q192_tokenizer_fertility" -> ((s, d) => {
+      val enc = graft.operators.Bpe.encode(Tables(s, d, "documents"), "text",
+        Seq(("t", "a"), ("b", "l"), ("bl", "e")))
+      enc.filter(size(col("words")) > 0)
+        .select(col("lang"), col("words"),
+          expr("aggregate(segments, 0L, (a, x) -> a + size(split(x, ' ')))").as("__t"),
+          expr("aggregate(words, 0L, (a, x) -> a + length(x))").as("__c"))
+        .groupBy(col("lang"))
+        .agg(sum(size(col("words"))).cast(LongType).as("n_words"),
+          sum(col("__t")).as("n_tokens"),
+          sum(col("__c")).as("n_chars"))
+        .withColumn("fertility",
+          round(col("n_tokens").cast("double") / col("n_words"), 6))
+        .withColumn("chars_per_token",
+          round(col("n_chars").cast("double") / col("n_tokens"), 6))
+        .orderBy(col("lang"))
+    }),
+
+    // Streaming ANN ingest gate (StreamingOps.ingestAnnGate): the corpus
+    // arrives as four micro-batches, each encode-only appended to the
+    // persisted IVF-PQ index table under the fixed model (BatchCommitLog +
+    // per-batch partition, the q168/q183 delivery contract); the search
+    // over the accumulated table must equal the one-shot IVF-PQ
+    // composition bit-for-bit (encode is row-wise, so batch boundaries
+    // cannot matter) — same oracle as q103/q169.
+    "q191_streaming_ann_ingest" -> ((s, d) => {
+      val dir = s"/tmp/graft_stream_emb/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        Tables(s, d, "embeddings").repartition(4)
+          .write.mode("overwrite").parquet(dir)
+      val staged = s.read.parquet(dir)
+      val db = s"graftann${math.abs(d.hashCode)}"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      s.sql(s"DROP TABLE IF EXISTS $db.annidx")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ann_ckpt").toString
+      val centroids =
+        graft.functions.expressions.HashExpressions.fixedCentroids(100, 16, 64)
+      val fc = graft.functions.expressions.HashExpressions.fixedCentroids(200, 128, 8)
+      val codebooks = Array.tabulate(8)(j => fc.slice(j * 16, j * 16 + 16))
+      val stream = s.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = graft.streaming.StreamingOps.ingestAnnGate(stream, "embedding",
+        "vec_id", centroids, codebooks, s"$db.annidx", ckpt, availableNow = true)
+      q.awaitTermination()
+      s.sql(s"REFRESH TABLE $db.annidx")
+      val idx = s.table(s"$db.annidx").select(col("vec_id"), col("__list"), col("code"))
+      val queries = Tables(s, d, "embeddings").filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Ann.ivfPqSearch(idx, queries, "embedding", "vec_id", "query_id",
+          centroids, codebooks, k = 10, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), round(col("adc"), 6).as("adc_r"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Calibration bins (Analytics.calibrationBins): sigmoid of the
+    // standardized doc length as the score, lang='en' as the label, decile
+    // reliability bins — predicted probability vs empirical rate. Mean and
+    // sigma come from exact integer sums; the oracle replays the sigmoid,
+    // the binning, and the decimal-summed averages.
+    "q193_calibration_bins" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val st = docs.agg(sum(col("n_chars")).as("__sx"),
+        sum(col("n_chars") * col("n_chars")).as("__sxx"),
+        count(lit(1)).as("__n"))
+      val scored = docs.crossJoin(broadcast(st))
+        .withColumn("__mu", col("__sx").cast("double") / col("__n"))
+        .withColumn("__sg", sqrt(col("__sxx").cast("double") / col("__n")
+          - col("__mu") * col("__mu")))
+        .withColumn("score",
+          lit(1.0) / (lit(1.0) + exp((col("__mu") - col("n_chars")) / col("__sg"))))
+        .withColumn("label", (col("lang") === "en").cast("int"))
+      graft.operators.Analytics.calibrationBins(scored, "score", "label", bins = 10)
+        .orderBy(col("bin"))
+    }),
   )
 
   /** q105's fixed query set — shared between the Spark side and the oracle
@@ -4826,6 +4960,121 @@ object TextQueries {
              round(sum(pb * ln(pb / pa)), 6) AS kl_ba_r,
              round(sum(chi), 6) AS chi2_r
       FROM p GROUP BY lang ORDER BY lang""",
+    // k-anonymity replay: the same derived bands, both window counts, and
+    // the three ladder levels unioned.
+    "q188_k_anonymity" -> """
+      WITH base AS (
+        SELECT c_custkey,
+               CAST(c_nationkey AS VARCHAR) AS nat,
+               c_mktsegment AS seg,
+               CAST(CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS VARCHAR) AS band,
+               CAST(c_nationkey % 5 AS VARCHAR) AS g_nat,
+               c_mktsegment AS g_seg,
+               CAST(CAST(floor(CAST(floor(c_acctbal / 2000.0) AS BIGINT) / 3.0) AS BIGINT) AS VARCHAR) AS g_band
+        FROM customer),
+      l0 AS (SELECT *, count(*) OVER (PARTITION BY nat, seg, band) AS n0 FROM base),
+      p0 AS (SELECT c_custkey, nat AS c_nationkey, seg AS c_mktsegment,
+                    band AS bal_band, 0 AS anonymity_level
+             FROM l0 WHERE n0 >= 3),
+      f0 AS (SELECT * FROM l0 WHERE n0 < 3),
+      l1 AS (SELECT *, count(*) OVER (PARTITION BY g_nat, g_seg, g_band) AS n1 FROM f0),
+      p1 AS (SELECT c_custkey, g_nat, g_seg, g_band, 1 FROM l1 WHERE n1 >= 3),
+      p2 AS (SELECT c_custkey, '*', '*', '*', 2 FROM l1 WHERE n1 < 3)
+      SELECT * FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1
+                     UNION ALL SELECT * FROM p2)
+      ORDER BY c_custkey""",
+    // Luhn-mask replay: greedy-regex candidates (the kernel's scan consumes
+    // exactly this language), digit-by-digit checksum with the same
+    // double-every-second-from-the-right rule, fold replace() over the
+    // valid candidates (each doc's planted cards are distinct strings and
+    // the base corpus is digit-free, so replace-all == per-occurrence).
+    "q189_luhn_mask" -> """
+      WITH planted AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 7 = 0 THEN ' pay 4539 1488 0343 6467 today' ELSE '' END ||
+          CASE WHEN doc_id % 11 = 0 THEN ' amex 3782-822463-10005 ok' ELSE '' END ||
+          CASE WHEN doc_id % 5 = 0 THEN ' ref 1234-5678-9012-3456 end' ELSE '' END ||
+          CASE WHEN doc_id % 3 = 0 THEN ' call 12 34 56' ELSE '' END AS text
+        FROM documents),
+      cand AS (
+        SELECT doc_id, text,
+               list_distinct(regexp_extract_all(text, '[0-9]([ -]?[0-9])*', 0)) AS cs
+        FROM planted),
+      valid AS (
+        SELECT doc_id, text,
+               list_filter(cs, c ->
+                 length(regexp_replace(c, '[^0-9]', '', 'g')) BETWEEN 13 AND 19
+                 AND list_sum([
+                   CASE WHEN (length(regexp_replace(c, '[^0-9]', '', 'g')) - i) % 2 = 0
+                        THEN ord(regexp_replace(c, '[^0-9]', '', 'g')[i]) - 48
+                        ELSE CASE WHEN (ord(regexp_replace(c, '[^0-9]', '', 'g')[i]) - 48) * 2 > 9
+                                  THEN (ord(regexp_replace(c, '[^0-9]', '', 'g')[i]) - 48) * 2 - 9
+                                  ELSE (ord(regexp_replace(c, '[^0-9]', '', 'g')[i]) - 48) * 2 END END
+                   for i in range(1, length(regexp_replace(c, '[^0-9]', '', 'g')) + 1)]) % 10 = 0) AS vs
+        FROM cand),
+      m AS (
+        SELECT doc_id,
+               list_reduce([text] || vs, (acc, c) -> replace(acc, c,
+                 '[CARD-' || right(regexp_replace(c, '[^0-9]', '', 'g'), 4) || ']')) AS masked_text
+        FROM valid)
+      SELECT doc_id, masked_text,
+             CAST((length(masked_text) - length(replace(masked_text, '[CARD-', ''))) / 6 AS BIGINT) AS n_masked
+      FROM m ORDER BY doc_id""",
+    // DP-count replay: md5-prefix uniform, the same inverse-CDF Laplace.
+    "q190_dp_counts" -> """
+      WITH g AS (SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2),
+      n AS (SELECT lang, source, c,
+              (CAST(CAST(('0x' || substr(md5('dp1' || '|' || lang || '|' || source), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+            FROM g)
+      SELECT lang, source,
+             round(c + (-1.0 / 0.5) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6) AS noisy_count
+      FROM n ORDER BY lang, source""",
+    // Fertility replay: the q97 pipe-encoded replace() merge cascade over
+    // the distinct-word vocab, joined back to the doc word stream.
+    "q192_tokenizer_fertility" -> """
+      WITH docs AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS wa
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      v0 AS (SELECT DISTINCT word FROM (SELECT unnest(wa) AS word FROM docs)),
+      seg AS (SELECT word,
+               replace(replace(replace(
+                 '|' || array_to_string(regexp_split_to_array(word, ''), '||') || '|',
+                 '|t||a|', '|ta|'), '|b||l|', '|bl|'), '|bl||e|', '|ble|') AS s
+              FROM v0),
+      dw AS (SELECT lang, unnest(wa) AS word FROM docs),
+      j AS (SELECT lang, length(word) AS wc,
+                   len(regexp_split_to_array(trim(s, '|'), '\|\|')) AS tc
+            FROM dw JOIN seg USING (word))
+      SELECT lang, count(*) AS n_words,
+             CAST(sum(tc) AS BIGINT) AS n_tokens,
+             CAST(sum(wc) AS BIGINT) AS n_chars,
+             round(CAST(sum(tc) AS DOUBLE) / count(*), 6) AS fertility,
+             round(CAST(sum(wc) AS DOUBLE) / sum(tc), 6) AS chars_per_token
+      FROM j GROUP BY lang ORDER BY lang""",
+    // Calibration replay: exact integer moments, the same sigmoid, decile
+    // bins, decimal-summed mean score.
+    "q193_calibration_bins" -> """
+      WITH st AS (SELECT CAST(sum(n_chars) AS BIGINT) AS sx,
+                         CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx,
+                         count(*) AS n
+                  FROM documents),
+      sc AS (SELECT d.lang, d.n_chars,
+               CAST(sx AS DOUBLE) / n AS mu,
+               sqrt(CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) AS sg
+             FROM documents d, st),
+      s2 AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               1.0 / (1.0 + exp((mu - n_chars) / sg)) AS score FROM sc),
+      b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+               CAST(round(score, 6) AS DECIMAL(18,6)) AS s6, y FROM s2)
+      SELECT bin, count(*) AS n,
+             round(CAST(sum(s6) AS DOUBLE) / count(*), 6) AS avg_score,
+             round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
+      FROM b GROUP BY bin ORDER BY bin""",
+    // Streaming ANN ingest: batch boundaries cannot change a row-wise
+    // encode, so the drained index searches exactly like the one-shot
+    // composition — same replay as q103/q169.
+    "q191_streaming_ann_ingest" -> ivfPqOracle,
   )
 
   /** DuckDB bit-interleave expression matching Layout.mortonCode: dim i's

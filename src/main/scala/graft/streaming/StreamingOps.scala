@@ -407,6 +407,42 @@ object StreamingOps {
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
+  /** Streaming ANN INGEST GATE — [[graft.operators.Ann.ivfPqAppend]]'s
+    * encode-only contract as a micro-batch maintenance loop: each arriving
+    * batch of vectors is assigned to its inverted list and PQ-encoded under
+    * the FIXED model, and its (id, list, code) rows land in `indexTable` as
+    * one batch_id partition. The raw vectors are read once, at arrival, and
+    * never again — searches ([[graft.operators.Ann.ivfPqSearch]] over the
+    * table, minus batch_id) touch only the m-byte codes, completing the
+    * streaming leg of the fixpoint-index family (dedup q168/q183, BM25
+    * q170, CC q171).
+    *
+    * Replay safety mirrors [[ingestDedupGate]]: [[BatchCommitLog]] guard +
+    * per-batch partition overwrite. Encode is row-wise, so the accumulated
+    * index equals the one-shot build over everything ingested (the q169
+    * equality) no matter how the stream batched it; id uniqueness and
+    * codebook drift carry ivfPqAppend's documented contract. */
+  def ingestAnnGate(vecs: DataFrame, vecCol: String, idCol: String,
+                    centroids: Array[Array[Double]],
+                    codebooks: Array[Array[Array[Double]]],
+                    indexTable: String, checkpoint: String,
+                    availableNow: Boolean = false): StreamingQuery = {
+    val w = vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val ss = batch.sparkSession
+        if (!batch.isEmpty && !BatchCommitLog.applied(ss, checkpoint, id)) {
+          val encoded = graft.operators.Ann
+            .ivfPqIndex(batch.toDF(), vecCol, idCol, centroids, codebooks)
+            .withColumn("batch_id", lit(id))
+          writeBatchPartition(encoded, indexTable, id)
+          BatchCommitLog.commit(ss, checkpoint, id)
+        }
+        ()
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
   /** Stream-stream INTERVAL JOIN — the attribution shape (click →
     * conversion within a window): inner-join two event streams on `keyCol`
     * where the right event lands in `[left.ts, left.ts + withinSecs]`.

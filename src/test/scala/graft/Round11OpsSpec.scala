@@ -1,0 +1,166 @@
+package graft
+
+import graft.operators.{Analytics, Ann, Privacy}
+import org.apache.spark.sql.functions._
+
+/** Round-11 additions: k-anonymity ladder, deterministic DP counts,
+  * Luhn-validated card masking, calibration bins, streaming ANN ingest. */
+class Round11OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------- k-anonymity
+
+  private def people = Seq(
+    // a dense exact group (passes level 0 at k=3)
+    (1L, 10, "A", 5L), (2L, 10, "A", 5L), (3L, 10, "A", 5L),
+    // three rows that only group once GENERALIZED (10,11,12 -> band 10/10=1... )
+    (4L, 20, "B", 7L), (5L, 21, "B", 7L), (6L, 22, "B", 7L),
+    // a loner that survives nothing
+    (7L, 30, "C", 9L)
+  ).toDF("id", "zip", "seg", "band")
+
+  test("kAnonymize: ladder levels, group-size invariant, row preservation") {
+    val out = Privacy.kAnonymize(people, Seq("zip", "seg", "band"),
+      Map("zip" -> floor(col("zip") / 10)), k = 3)
+    val rows = out.select("id", "zip", "seg", "band", "anonymity_level")
+      .as[(Long, String, String, String, Int)].collect().sortBy(_._1)
+    assert(rows.length == 7, "k-anonymization must preserve row count")
+    // level 0: the dense exact group, original values
+    rows.take(3).foreach { case (_, z, s, b, l) =>
+      assert(l == 0 && z == "10" && s == "A" && b == "5")
+    }
+    // level 1: zips 20/21/22 generalize to floor/10 = 2
+    rows.slice(3, 6).foreach { case (_, z, s, b, l) =>
+      assert(l == 1 && z == "2" && s == "B" && b == "7")
+    }
+    // level 2: the loner is fully suppressed
+    assert(rows(6) == ((7L, "*", "*", "*", 2)))
+    // invariant: every non-suppressed (level, tuple) group has >= k rows
+    val bad = out.filter(col("anonymity_level") < 2)
+      .groupBy("anonymity_level", "zip", "seg", "band")
+      .agg(count(lit(1)).as("n")).filter(col("n") < 3).count()
+    assert(bad == 0, "an emitted quasi tuple below k would re-identify")
+  }
+
+  test("kAnonymize: rejects non-quasi generalize keys and k < 2") {
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymize(people, Seq("zip"), Map("seg" -> col("seg")), 3)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymize(people, Seq("zip"), Map.empty, 1)
+    }
+  }
+
+  // ------------------------------------------------- DP counts
+
+  test("dpCounts: deterministic, and noise scales exactly as 1/epsilon") {
+    val df = Seq.tabulate(100)(i => (i.toLong, s"g${i % 4}")).toDF("id", "g")
+    val a = Privacy.dpCounts(df, Seq("g"), epsilon = 0.5, seed = "s1")
+      .as[(String, Double)].collect().toMap
+    val b = Privacy.dpCounts(df, Seq("g"), epsilon = 0.5, seed = "s1")
+      .as[(String, Double)].collect().toMap
+    assert(a == b, "same seed must release the same numbers")
+    val c = Privacy.dpCounts(df, Seq("g"), epsilon = 2.0, seed = "s1")
+      .as[(String, Double)].collect().toMap
+    // same uniform per group, so noise(eps=2) = noise(0.5)/4 exactly
+    a.keys.foreach { g =>
+      val n05 = a(g) - 25.0
+      val n20 = c(g) - 25.0
+      // both releases are 6-dp rounded, so the exact 4x relation holds to
+      // half-ulp-of-rounding on each side: |err| <= 0.5e-6 + 4*0.5e-6
+      assert(math.abs(n05 - 4 * n20) <= 2.5e-6, s"group $g: $n05 vs $n20")
+      assert(n05 != 0.0, "a zero-noise release would be a broken uniform")
+    }
+    // a different seed moves the noise
+    val d = Privacy.dpCounts(df, Seq("g"), epsilon = 0.5, seed = "s2")
+      .as[(String, Double)].collect().toMap
+    assert(d != a)
+  }
+
+  // ------------------------------------------------- Luhn card masking
+
+  test("maskCardNumbers: Luhn-valid masked, checksum failures and short runs untouched") {
+    import graft.functions.TextFunctions.maskCardNumbers
+    val cases = Seq(
+      // valid 16-digit (spaces) — classic test PAN
+      "pay 4539 1488 0343 6467 now" -> "pay [CARD-6467] now",
+      // valid 15-digit Amex with dashes
+      "amex 3782-822463-10005 ok" -> "amex [CARD-0005] ok",
+      // same digits, checksum broken by one digit: untouched
+      "pay 4539 1488 0343 6468 now" -> "pay 4539 1488 0343 6468 now",
+      // 12 digits: below the length floor even though Luhn-consistent
+      "id 0000 0000 0000" -> "id 0000 0000 0000",
+      // 20 digits: above the ceiling
+      "n 45391488034364670000 x" -> "n 45391488034364670000 x",
+      // unseparated valid PAN
+      "4539148803436467" -> "[CARD-6467]",
+      // two cards in one string
+      "a 4539148803436467 b 378282246310005 c" -> "a [CARD-6467] b [CARD-0005] c",
+      // double separator breaks the run (two sub-runs, both short)
+      "x 4539  1488 0343 6467" -> "x 4539  1488 0343 6467",
+      // trailing separator stays outside the candidate
+      "4539 1488 0343 6467-" -> "[CARD-6467]-",
+      "" -> "")
+    val got = cases.map(_._1).toDF("t")
+      .select(maskCardNumbers(col("t"))).as[String].collect()
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"input '$in'")
+    }
+  }
+
+  // ------------------------------------------------- calibration bins
+
+  test("calibrationBins: hand-computed bins, clamped top bin, decimal-exact means") {
+    val df = Seq(
+      (0.05, 0), (0.08, 1),            // bin 0
+      (0.52, 1), (0.58, 0), (0.55, 1), // bin 5
+      (0.97, 1), (1.0, 1)              // bin 9 (1.0 clamps in)
+    ).toDF("score", "label")
+    val out = Analytics.calibrationBins(df, "score", "label", bins = 10)
+      .orderBy("bin")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 0.065, 0.5),
+      (5L, 3L, 0.55, 2.0 / 3 match { case v => math.rint(v * 1e6) / 1e6 }),
+      (9L, 2L, 0.985, 1.0)))
+  }
+
+  // ------------------------------------------------- streaming ANN ingest
+
+  test("ingestAnnGate: streamed index equals the one-shot build; replay adds nothing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.expressions.HashExpressions.fixedCentroids
+    val db = s"anngate${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    val it = s"$db.idx"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_anngate_ckpt").toString
+    val cs = fixedCentroids(100, 4, 8)
+    val fc = fixedCentroids(200, 8, 4)
+    val cb = Array.tabulate(2)(j => fc.slice(j * 4, j * 4 + 4))
+    val vecs = Seq.tabulate(40)(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11).toFloat)))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamingOps.ingestAnnGate(
+      mem.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id",
+      cs, cb, it, ckpt)
+    mem.addData(vecs.take(25): _*); q.processAllAvailable()
+    mem.addData(vecs.drop(25): _*); q.processAllAvailable()
+    q.stop()
+    spark.sql(s"REFRESH TABLE $it")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("__list"), col("code"))
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val oneShot = Ann.ivfPqIndex(
+      vecs.toDF("vec_id", "embedding"), "embedding", "vec_id", cs, cb)
+    assert(key(spark.table(it)) == key(oneShot),
+      "batch boundaries must not change a row-wise encode")
+    // restart over the same checkpoint: nothing reprocessed
+    val q2 = graft.streaming.StreamingOps.ingestAnnGate(
+      mem.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id",
+      cs, cb, it, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    spark.sql(s"REFRESH TABLE $it")
+    assert(spark.table(it).count() == 40)
+  }
+}
