@@ -360,6 +360,36 @@ object HashExpressions {
     override def prettyName: String = "sdc_sum"
   }
 
+  /** Dense matrix-vector product (JL projection): the k×d matrix rides as
+    * a codegen reference object; accumulation order pinned by the oracle
+    * (see [[Kernels.matVec]]). */
+  case class MatVecExpr(child: Expression, m: Array[Array[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    private def isFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<float|double>, got $other")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.matVec(input.asInstanceOf[ArrayData], m, isFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mRef = ctx.addReferenceObj("mvMatrix", m, "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $KernelsClass.matVec($c, $mRef, $isFloat);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "mat_vec"
+  }
+
   /** Luhn-validated card masking (see [[Kernels.maskCardNumbers]]). */
   case class MaskCardNumbersExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
@@ -832,6 +862,8 @@ object HashExpressions {
   def fix_mojibake(text: Column): Column = column(FixMojibakeExpr(expression(text)))
   def mask_card_numbers(text: Column): Column =
     column(MaskCardNumbersExpr(expression(text)))
+  def mat_vec(vec: Column, m: Array[Array[Double]]): Column =
+    column(MatVecExpr(expression(vec), m))
   def unicode_normalize(text: Column, form: String = "NFC"): Column =
     column(UnicodeNormalizeExpr(expression(text), form))
   def mask_terms(text: Column, dict: Seq[String], token: String): Column =

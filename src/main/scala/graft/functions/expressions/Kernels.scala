@@ -613,6 +613,27 @@ object Kernels {
     UTF8String.fromString(out.toString)
   }
 
+  /** Dense matrix-vector product y = M·x in one fused loop, sequential
+    * accumulation per output row (j ascending from 0.0 — the order the
+    * oracle's list_reduce replays). The JL-projection hot kernel. */
+  def matVec(vec: ArrayData, m: Array[Array[Double]], isFloat: Boolean): ArrayData = {
+    val k = m.length
+    val out = new Array[Any](k)
+    var i = 0
+    while (i < k) {
+      val row = m(i)
+      var s = 0.0
+      var j = 0
+      while (j < row.length) {
+        s += row(j) * (if (isFloat) vec.getFloat(j).toDouble else vec.getDouble(j))
+        j += 1
+      }
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Symmetric code distance (SDC) between two PQ codes: Σ_j
     * flat(j·k² + a(j)·k + b(j)) over the precomputed subspace
     * centroid-distance table. Left-to-right accumulation from 0.0 — the

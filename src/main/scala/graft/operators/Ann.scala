@@ -556,6 +556,31 @@ object Ann {
       .select(col("x_id"), col("y_id"), col("cosine"), col("margin"))
   }
 
+  /** Deterministic Johnson-Lindenstrauss Rademacher matrix: R[i][j] =
+    * ±1/√outDim with the sign from md5(seed|i|j)'s first byte — the
+    * matrix is a pure function of (seed, dims), so every engine (and the
+    * oracle) rebuilds it identically; no RNG state to ship. */
+  def jlMatrix(dim: Int, outDim: Int, seed: String): Array[Array[Double]] = {
+    val norm = 1.0 / math.sqrt(outDim.toDouble)
+    Array.tabulate(outDim, dim) { (i, j) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed|$i|$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((h(0) & 1) == 0) norm else -norm
+    }
+  }
+
+  /** Johnson-Lindenstrauss projection: embeddings shrink dim → outDim via
+    * one fused matVec kernel scan (no shuffle, no UDF) under the
+    * deterministic [[jlMatrix]]. Pairwise distances are preserved within
+    * (1±ε) w.h.p. for outDim = O(ln n / ε²) — the shrink-before-LSH/ANN
+    * move that cuts a 100 TB embedding read by dim/outDim before any
+    * bucketing. ApproxRecallSpec-style guarantees live in Round11OpsSpec
+    * (top-k recall vs the exact space). */
+  def jlProject(df: DataFrame, vecCol: String, outDim: Int, seed: String,
+                dim: Int, outCol: String = "proj"): DataFrame =
+    df.withColumn(outCol, graft.functions.expressions.HashExpressions
+      .mat_vec(col(vecCol), jlMatrix(dim, outDim, seed)))
+
   /** [[marginFromKnn]] over brute-force legs — the exact-regime entry point
     * (and the oracle surface): mine aligned pairs between two embedding
     * sides X and Y. Broadcast posture inherited from [[bruteForceTopK]]

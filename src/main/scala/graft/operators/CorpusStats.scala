@@ -235,4 +235,48 @@ object CorpusStats {
       .select(col("rank"), col("token"), col("cnt"),
         (col("__cum").cast("double") / col("__tot").cast("double")).as("coverage"))
   }
+
+  /** Token co-occurrence with PMI — collocation mining over document-level
+    * token sets: pairs of DISTINCT tokens appearing together in ≥
+    * `minSupport` documents, scored pmi = ln(support·N / (df_a·df_b)) > 0
+    * iff the pair co-occurs more than independence predicts. Documents
+    * with more than `maxTokens` distinct tokens are EXCLUDED — the
+    * quadratic guard (one boilerplate mega-doc would contribute
+    * maxTokens² pair rows); the exclusion is part of the contract and the
+    * oracle replays it.
+    *
+    * Scale shape: pair enumeration self-joins the (doc, token) stream on
+    * doc id — per-doc volume capped by maxTokens², the join's parallelism
+    * PINNED against AQE's size-based coalesce (the q180 lesson: tiny
+    * inputs, quadratic output); df/N are one aggregation each and join the
+    * surviving pairs only. */
+  def cooccurrencePmi(df: DataFrame, textCol: String, idCol: String,
+                      minSupport: Int, maxTokens: Int = 200): DataFrame = {
+    require(minSupport >= 1 && maxTokens >= 2)
+    import graft.functions.{SimilarityFunctions => S}
+    val toks = df.select(col(idCol).as("id"),
+        array_distinct(S.tokens(col(textCol))).as("ts"))
+      .filter(size(col("ts")) > 0 && size(col("ts")) <= maxTokens)
+      .localCheckpoint(true) // feeds N, df, and both pair-join sides
+    val n = toks.agg(count(lit(1)).as("__N"))
+    val tok = toks.select(col("id"), explode(col("ts")).as("t"))
+    val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("__df"))
+    val sp = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val pairs = tok.select(col("id"), col("t").as("token_a"))
+      .repartition(sp, col("id"))
+      .join(tok.select(col("id"), col("t").as("token_b"))
+        .repartition(sp, col("id")), Seq("id"))
+      .filter(col("token_a") < col("token_b"))
+      .groupBy(col("token_a"), col("token_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    pairs
+      .join(dfreq.select(col("t").as("token_a"), col("__df").as("df_a")), Seq("token_a"))
+      .join(dfreq.select(col("t").as("token_b"), col("__df").as("df_b")), Seq("token_b"))
+      .crossJoin(broadcast(n))
+      .select(col("token_a"), col("token_b"), col("support"),
+        col("df_a"), col("df_b"),
+        round(log((col("support") * col("__N")).cast("double") /
+          (col("df_a") * col("df_b")).cast("double")), 6).as("pmi"))
+  }
 }

@@ -61,4 +61,44 @@ object GraphOps {
     triangles(edges, srcCol, dstCol)
       .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("n_triangles"))
+
+  /** SYNCHRONOUS label propagation — community detection over the link /
+    * near-dup graph, the deterministic variant: every node starts labeled
+    * with its own id; each iteration EVERY node simultaneously adopts the
+    * most frequent label among its (distinct, symmetrized) neighbors, ties
+    * broken by the smallest label; isolated nodes keep theirs. The
+    * textbook asynchronous LPA is update-order-dependent and therefore
+    * irreproducible across partitionings — synchronous + a total tiebreak
+    * is the only formulation a distributed engine should ship (and the
+    * only one an oracle can replay).
+    *
+    * Per iteration: one edge-label equi-join, one (node, label) count, one
+    * per-node argmax window — all shuffles keyed on node id, nothing
+    * quadratic in degree. Labels materialize each round (localCheckpoint)
+    * so the plan does not deepen with `iters`; a hub node's vote count is
+    * one aggregation row per (hub, label), never a widened row. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       nodes: DataFrame, idCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct().localCheckpoint(true)
+    val ids = nodes.select(col(idCol).as("id")).localCheckpoint(true)
+    var labels = ids.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iters) {
+      val votes = sym
+        .join(labels.select(col("id").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("__n"))
+      val next = votes.withColumn("__r", row_number().over(
+          Window.partitionBy(col("a")).orderBy(col("__n").desc, col("label"))))
+        .filter(col("__r") === 1)
+        .select(col("a").as("id"), col("label"))
+      labels = ids.join(next, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("id").as(idCol), col("label"))
+  }
 }

@@ -2089,6 +2089,50 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Synchronous label propagation (GraphOps.labelPropagation): 3 fixed
+    // iterations over the q119 synthetic link graph (symmetrized,
+    // distinct), most-frequent-neighbor-label with smallest-label
+    // tiebreak — the deterministic community-detection variant. The
+    // oracle unrolls all three vote/argmax rounds.
+    "q194_label_propagation" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select(col("doc_id"))
+      val nn = docs.agg((max(col("doc_id")) + 1).as("__n"))
+      val edges = docs.crossJoin(broadcast(nn))
+        .select(col("doc_id").as("src"),
+          explode(array((col("doc_id") * 2 + 1) % col("__n"),
+            (col("doc_id") * 5 + 3) % col("__n"))).as("dst"))
+      graft.operators.GraphOps.labelPropagation(edges, "src", "dst",
+          docs, "doc_id", iters = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token co-occurrence + PMI (CorpusStats.cooccurrencePmi): pairs of
+    // distinct tokens sharing >= 150 documents, PMI vs independence. The
+    // oracle replays the per-doc distinct token sets, the maxTokens
+    // exclusion, the pair counts and the log-ratio.
+    "q195_cooccurrence_pmi" -> ((s, d) => {
+      graft.operators.CorpusStats.cooccurrencePmi(
+          Tables(s, d, "documents"), "text", "doc_id",
+          minSupport = 150, maxTokens = 200)
+        .orderBy(col("token_a"), col("token_b"))
+    }),
+
+    // Johnson-Lindenstrauss projection (Ann.jlProject): 64 -> 16 dims
+    // under the deterministic md5-signed Rademacher matrix, one fused
+    // matVec kernel scan. The oracle rebuilds the same matrix from the
+    // same md5 parity and replays each output dim as an order-pinned
+    // list_reduce sum.
+    "q196_jl_projection" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val m = Ann.jlMatrix(64, 16, "jl1")
+      emb.select(col("vec_id"),
+          posexplode(graft.functions.expressions.HashExpressions
+            .mat_vec(col("embedding"), m)))
+        .select(col("vec_id"), col("pos").cast(LongType).as("dim"),
+          round(col("col"), 6).as("y_r"))
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
     // Calibration bins (Analytics.calibrationBins): sigmoid of the
     // standardized doc length as the score, lang='en' as the label, decile
     // reliability bins — predicted probability vs empirical rate. Mean and
@@ -5075,6 +5119,69 @@ object TextQueries {
     // encode, so the drained index searches exactly like the one-shot
     // composition — same replay as q103/q169.
     "q191_streaming_ann_ingest" -> ivfPqOracle,
+    // Label-propagation replay: the q119 edge fixture symmetrized +
+    // distinct, three unrolled vote/argmax rounds with the (count desc,
+    // label asc) tiebreak, isolated nodes kept via the left join.
+    "q194_label_propagation" -> """
+      WITH n AS (SELECT max(doc_id) + 1 AS nn FROM documents),
+      nodes AS (SELECT doc_id AS id FROM documents),
+      e0 AS (
+        SELECT id AS src, (id * 2 + 1) % nn AS dst FROM nodes, n
+        UNION ALL
+        SELECT id, (id * 5 + 3) % nn FROM nodes, n),
+      sym AS (SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM e0
+        UNION ALL SELECT dst, src FROM e0)),
+      l0 AS (SELECT id, id AS label FROM nodes),
+      v1 AS (SELECT s.a, l.label, count(*) AS cnt FROM sym s JOIN l0 l ON l.id = s.b GROUP BY 1, 2),
+      w1 AS (SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY cnt DESC, label) AS r FROM v1),
+      l1 AS (SELECT nodes.id, COALESCE(t.label, nodes.id) AS label
+             FROM nodes LEFT JOIN (SELECT a, label FROM w1 WHERE r = 1) t ON t.a = nodes.id),
+      v2 AS (SELECT s.a, l.label, count(*) AS cnt FROM sym s JOIN l1 l ON l.id = s.b GROUP BY 1, 2),
+      w2 AS (SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY cnt DESC, label) AS r FROM v2),
+      l2 AS (SELECT nodes.id, COALESCE(t.label, nodes.id) AS label
+             FROM nodes LEFT JOIN (SELECT a, label FROM w2 WHERE r = 1) t ON t.a = nodes.id),
+      v3 AS (SELECT s.a, l.label, count(*) AS cnt FROM sym s JOIN l2 l ON l.id = s.b GROUP BY 1, 2),
+      w3 AS (SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY cnt DESC, label) AS r FROM v3),
+      l3 AS (SELECT nodes.id, COALESCE(t.label, nodes.id) AS label
+             FROM nodes LEFT JOIN (SELECT a, label FROM w3 WHERE r = 1) t ON t.a = nodes.id)
+      SELECT id AS doc_id, label FROM l3 ORDER BY doc_id""",
+    // Co-occurrence replay: distinct token sets, the maxTokens exclusion,
+    // pair counts via the same per-doc self-join, df/N joins, log-ratio.
+    "q195_cooccurrence_pmi" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS ts
+        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      ok AS (SELECT doc_id, ts FROM toks WHERE len(ts) > 0 AND len(ts) <= 200),
+      nn AS (SELECT count(*) AS n FROM ok),
+      tok AS (SELECT doc_id, unnest(ts) AS t FROM ok),
+      dfq AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+      pairs AS (
+        SELECT ta.t AS token_a, tb.t AS token_b, count(*) AS support
+        FROM tok ta JOIN tok tb ON ta.doc_id = tb.doc_id AND ta.t < tb.t
+        GROUP BY 1, 2 HAVING count(*) >= 150)
+      SELECT p.token_a, p.token_b, p.support, da.df AS df_a, db.df AS df_b,
+             round(ln(CAST(p.support * nn.n AS DOUBLE) / CAST(da.df * db.df AS DOUBLE)), 6) AS pmi
+      FROM pairs p
+      JOIN dfq da ON da.t = p.token_a
+      JOIN dfq db ON db.t = p.token_b, nn
+      ORDER BY token_a, token_b""",
+    // JL replay: the same md5-parity Rademacher matrix (±1/sqrt(16)),
+    // each output dim an order-pinned sequential sum over j.
+    "q196_jl_projection" -> """
+      WITH m AS (
+        SELECT i, list(CASE WHEN CAST(('0x' || substr(md5('jl1|' || CAST(i AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 1, 2)) AS INTEGER) % 2 = 0
+                            THEN 1.0 / sqrt(16.0) ELSE -1.0 / sqrt(16.0) END
+                       ORDER BY j) AS row
+        FROM range(0, 16) t(i), range(0, 64) u(j) GROUP BY i)
+      SELECT e.vec_id, CAST(m.i AS BIGINT) AS dim,
+             round(list_reduce(
+               [CAST(0 AS DOUBLE)] ||
+               [m.row[j] * CAST(e.embedding[j] AS DOUBLE) for j in range(1, 65)],
+               (a, x) -> a + x), 6) AS y_r
+      FROM embeddings e, m
+      ORDER BY vec_id, dim""",
   )
 
   /** DuckDB bit-interleave expression matching Layout.mortonCode: dim i's

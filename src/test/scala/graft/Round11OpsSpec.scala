@@ -125,6 +125,91 @@ class Round11OpsSpec extends SparkSpec {
       (9L, 2L, 0.985, 1.0)))
   }
 
+  // ------------------------------------------------- label propagation
+
+  test("labelPropagation: two cliques bridged by one edge resolve to two communities; partition-invariant") {
+    import graft.operators.GraphOps
+    // cliques {1,2,3,4} and {10,11,12,13}, bridge 4-10
+    def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) :+
+      (4L, 10L) :+ (20L, 21L)).toDF("src", "dst") // plus an isolated edge pair
+    val nodes = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L, 20L, 21L) :+ 30L)
+      .toDF("id") // 30 = fully isolated node
+    def run(e: org.apache.spark.sql.DataFrame) =
+      GraphOps.labelPropagation(e, "src", "dst", nodes, "id", iters = 4)
+        .as[(Long, Long)].collect().toMap
+    val got = run(edges)
+    assert(Set(1L, 2L, 3L, 4L).map(got).size == 1, s"clique A must agree: $got")
+    assert(Set(10L, 11L, 12L, 13L).map(got).size == 1, s"clique B must agree: $got")
+    assert(got(1L) != got(10L), "the bridge must not merge the cliques")
+    assert(got(30L) == 30L, "an isolated node keeps its own label")
+    // synchronous + total tiebreak => partitioning cannot change the answer
+    assert(run(edges.repartition(7)) == got)
+  }
+
+  // ------------------------------------------------- co-occurrence PMI
+
+  test("cooccurrencePmi: hand-computed supports and PMI; maxTokens excludes the mega-doc") {
+    import graft.operators.CorpusStats
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta"),
+      (3L, "alpha beta delta"),
+      (4L, "gamma delta"),
+      // a doc over the maxTokens bound must not contribute any pairs
+      (5L, (1 to 50).map(i => s"w$i").mkString("alpha beta ", " ", ""))
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.cooccurrencePmi(docs, "text", "doc_id",
+        minSupport = 2, maxTokens = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // alpha+beta co-occur in docs 1,2,3 (doc 5 excluded); N=4, df both 3
+    val ab = out(("alpha", "beta"))
+    assert(ab._3 == 3 && ab._4 == 3 && ab._5 == 3)
+    assert(math.abs(ab._6 - math.rint(math.log(3.0 * 4 / 9) * 1e6) / 1e6) < 1e-9)
+    assert(!out.contains(("alpha", "w1")), "mega-doc pairs must be excluded")
+    assert(!out.contains(("alpha", "gamma")), "support 1 < minSupport")
+  }
+
+  // ------------------------------------------------- JL projection
+
+  test("jlProject: deterministic matrix, distance preservation in expectation, top-k recall floor") {
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.tabulate(120)(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val m1 = Ann.jlMatrix(64, 16, "s")
+    assert(m1.map(_.toSeq).toSeq == Ann.jlMatrix(64, 16, "s").map(_.toSeq).toSeq)
+    assert(m1.flatten.forall(v => math.abs(math.abs(v) - 0.25) < 1e-12))
+    // projected pairwise squared distances ≈ original on average (JL is an
+    // unbiased estimator for Rademacher projections)
+    val proj = Ann.jlProject(df, "embedding", 16, "s", 64)
+      .select(col("vec_id"), col("proj"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val raw = vecs.toMap.view.mapValues(_.map(_.toDouble)).toMap
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- 0L until 40L; j = i + 40
+    } yield d2(proj(i), proj(j)) / d2(raw(i).toSeq, raw(j).toSeq)
+    val meanRatio = ratios.sum / ratios.size
+    assert(meanRatio > 0.75 && meanRatio < 1.25,
+      s"JL must preserve distances in expectation, mean ratio $meanRatio")
+    // top-10 recall of the projected space vs exact, over 5 query vectors
+    val queries = df.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("__qid"), col("embedding"))
+    val exact = Ann.bruteForceTopK(df, queries, "embedding", "vec_id", "__qid", 10)
+      .select(col("__qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val pdf = Ann.jlProject(df, "embedding", 16, "s", 64)
+      .select(col("vec_id"), col("proj").as("embedding"))
+    val pq = pdf.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("__qid"), col("embedding"))
+    val approx = Ann.bruteForceTopK(pdf, pq, "embedding", "vec_id", "__qid", 10)
+      .select(col("__qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"projected top-10 recall collapsed: $recall")
+  }
+
   // ------------------------------------------------- streaming ANN ingest
 
   test("ingestAnnGate: streamed index equals the one-shot build; replay adds nothing") {
