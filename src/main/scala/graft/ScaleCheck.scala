@@ -957,6 +957,56 @@ object ScaleCheck {
             iters = 3, lrNum = 1, lrDen = 1)._2.count()))
       }
     }
+
+    // Co-occurrence PMI: pair volume is Σ_docs |tokens|² — replicating the
+    // corpus multiplies DOCS, not per-doc token sets, so the enumeration
+    // (and wall) must grow ~linearly in N; the maxTokens guard keeps any
+    // single doc's contribution bounded at both scales.
+    locally {
+      Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+        timed(s"cooccurrencePmi minSupport-scaled $tag")(((),
+          operators.CorpusStats.cooccurrencePmi(df, "text", "doc_id",
+            minSupport = (if (df eq docs) 150 else 150 * n)).count()))
+      }
+    }
+
+    // Synchronous label propagation: 3 iterations over a 2-out-degree
+    // synthetic graph — per iteration one edge join + one vote count +
+    // one argmax window, all linear in edges.
+    locally {
+      Seq(docs -> "1x", rep -> s"${n}x").foreach { case (df, tag) =>
+        val ids = df.select(col("doc_id")).localCheckpoint(true)
+        val nn = ids.agg((max(col("doc_id")) + 1).as("__n"))
+        val edges = ids.crossJoin(broadcast(nn))
+          .select(col("doc_id").as("src"),
+            explode(array((col("doc_id") * 2 + 1) % col("__n"),
+              (col("doc_id") * 5 + 3) % col("__n"))).as("dst"))
+          .localCheckpoint(true)
+        timed(s"labelPropagation 3 iters $tag")(((),
+          operators.GraphOps.labelPropagation(edges, "src", "dst",
+            ids, "doc_id", iters = 3).count()))
+      }
+    }
+
+    // k-anonymity ladder: two window counts + the level split — linear.
+    locally {
+      val cust = queries.Tables(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000.0).cast("long").as("band"))
+        .localCheckpoint(true)
+      val coff = cust.agg(max(col("c_custkey"))).head().getLong(0) + 1
+      val custN = (0 until n).map(i => cust.select(
+          (col("c_custkey") + lit(i.toLong * coff)).as("c_custkey"),
+          col("c_nationkey"), col("c_mktsegment"), col("band")))
+        .reduce(_ unionByName _).localCheckpoint(true)
+      Seq(cust -> "1x", custN -> s"${n}x").foreach { case (df, tag) =>
+        timed(s"kAnonymize k=3 two-level ladder $tag")(((),
+          operators.Privacy.kAnonymize(df,
+            Seq("c_nationkey", "c_mktsegment", "band"),
+            Map("c_nationkey" -> pmod(col("c_nationkey"), lit(5)),
+              "band" -> floor(col("band") / 3.0).cast("long")), k = 3).count()))
+      }
+    }
     spark.stop()
   }
 }

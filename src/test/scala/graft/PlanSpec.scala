@@ -163,6 +163,30 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast left-semi on the stored index rows:\n$p")
   }
 
+  test("explosive pair joins pin their parallelism against AQE coalesce") {
+    // the q180 lesson: these joins have tiny inputs (AQE would coalesce
+    // the exchanges to a couple of tasks) but quadratic-in-bucket output —
+    // the explicit REPARTITION_BY_NUM on the join inputs is load-bearing
+    // and must not be silently dropped in a refactor
+    import graft.operators.{CorpusStats, Dedup}
+    import org.apache.spark.sql.functions.col
+    val docs = graft.queries.Tables(spark, dir, "documents")
+    // (containmentJoin carries the same pin but localCheckpoints its
+    // result, so the executed plan collapses to an ExistingRDD scan —
+    // not assertable from outside; its pin is covered by the measured
+    // q126 numbers in BASELINE.md)
+    val pCo = plan(CorpusStats.cooccurrencePmi(docs, "text", "doc_id", 50))
+    assert(pCo.contains("REPARTITION_BY_NUM"),
+      s"co-occurrence pair join lost its parallelism pin:\n$pCo")
+    val stored = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val pWin = plan(Dedup.incrementalWinnow(
+      Dedup.winnowIndex(stored, "text", "doc_id"), batch, "text", "doc_id")._1)
+    assert(pWin.contains("REPARTITION_BY_NUM"),
+      s"incremental-winnow pair join lost its parallelism pin:\n$pWin")
+  }
+
   test("hardNegatives: token stream semi-joined to query terms; positives anti-joined broadcast") {
     import graft.operators.Retrieval
     import org.apache.spark.sql.functions.col
