@@ -464,6 +464,11 @@ object Dedup {
     // once halves the heaviest stage. Executor-local blocks — swap for
     // reliable checkpoint on preemptible clusters.
     val prefix = prefixRows(base, freq, blocks, threshold).localCheckpoint(true)
+    // NO parallelism pin here, deliberately (contrast incrementalWinnow /
+    // containmentJoin): the rare-token prefix keeps candidate volume close
+    // to the true-pair count, so AQE's coalesce of the small exchanges is
+    // the RIGHT call — pinning was measured 2x SLOWER on q25 at sf0.1
+    // (extra exchanges dominate when there is no explosion to parallelize)
     val a = prefix.select(blocks ++ Seq(col("token"), col("id").as("id_a"), col("sz").as("sz_a")): _*)
     val b = prefix.select(blocks ++ Seq(col("token"), col("id").as("id_b"), col("sz").as("sz_b")): _*)
     val candidates = a.join(b, blockCols :+ "token")
