@@ -251,11 +251,14 @@ class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
     * the query result (left-semi join — the reference's process_rows
     * semantics). Throws when every row fails.
     * Ref: dataquality_check.py:175-258. */
-  def runQuarantine(df: DataFrame, rules: Seq[String],
-                    sinkName: String = "quarantine"): QuarantineResult = {
+  /** The quarantine tier's marked frame: every input row plus the combined
+    * `__dq_pass_all` flag (and per-CustomSql marker columns to drop).
+    * Shared by [[runQuarantine]] (the reference's batch semantics: sink,
+    * timestamp, all-quarantined halt) and [[splitByRules]] (the streaming
+    * gate surface, which wants none of those). */
+  private def markByRules(df: DataFrame, rules: Seq[String],
+                          outcomes: Seq[RuleOutcome]): (DataFrame, Seq[String]) = {
     val parsed = rules.map(r => r -> Dqdl.parse(r))
-    val outcomes = evaluateDataset(df, rules)
-
     // Combine row predicates; CustomSql row-level rules become semi-joins.
     var current = df
     var pred: Column = lit(true)
@@ -279,9 +282,26 @@ class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
         }
       }
     }
+    (current.withColumn("__dq_pass_all", pred),
+      "__dq_pass_all" +: markerCols.toSeq)
+  }
 
-    val marked = current.withColumn("__dq_pass_all", pred)
-    val dropCols = "__dq_pass_all" +: markerCols.toSeq
+  /** Row-level pass/fail split ONLY — the streaming-gate surface: no
+    * quarantine sink, no all-rows-quarantined halt, no timestamp column
+    * (micro-batch delivery wants deterministic frames and supplies its own
+    * failure policy). Rule semantics are [[runQuarantine]]'s exactly —
+    * same predicate compiler, same CustomSql semi-joins, same
+    * dataset-level fold. */
+  def splitByRules(df: DataFrame, rules: Seq[String]): (DataFrame, DataFrame) = {
+    val (marked, dropCols) = markByRules(df, rules, evaluateDataset(df, rules))
+    (marked.filter(col("__dq_pass_all")).drop(dropCols: _*),
+      marked.filter(!col("__dq_pass_all")).drop(dropCols: _*))
+  }
+
+  def runQuarantine(df: DataFrame, rules: Seq[String],
+                    sinkName: String = "quarantine"): QuarantineResult = {
+    val outcomes = evaluateDataset(df, rules)
+    val (marked, dropCols) = markByRules(df, rules, outcomes)
     val passed = marked.filter(col("__dq_pass_all")).drop(dropCols: _*)
     val failed = marked.filter(!col("__dq_pass_all")).drop(dropCols: _*)
       .withColumn("quarantine_timestamp", current_timestamp())

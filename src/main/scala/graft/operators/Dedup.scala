@@ -1002,6 +1002,32 @@ object Dedup {
     (matches, index.unionByName(bfp))
   }
 
+  /** LSH parameter planner: for a hash budget `totalHashes`, enumerate
+    * every (bands b, rowsPerBand r) split with b·r = totalHashes and price
+    * it — collision probability at the target threshold
+    * recall_at_t = 1 − (1 − t^r)^b (the S-curve), the curve's midpoint
+    * (1/b)^(1/r) (the similarity where collision probability crosses ~0.5
+    * — where the banding "thresholds"), and the false-positive mass proxy
+    * at a given junk similarity. This is the design table behind every
+    * banded operator here ([[minhashPairs]], [[simhashPairs]],
+    * [[embeddingNearDupPairs]], `incrementalMinhash`): pick the row whose
+    * midpoint sits just under your threshold and whose junk collision rate
+    * is affordable. Driver-free, data-free, exactly replayable. */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, threshold: Double,
+              totalHashes: Int, junkSimilarity: Double = 0.2): DataFrame = {
+    require(threshold > 0 && threshold < 1 && totalHashes >= 1)
+    spark.range(1, totalHashes + 1L).toDF("bands")
+      .filter(lit(totalHashes) % col("bands") === 0)
+      .withColumn("rows_per_band", (lit(totalHashes) / col("bands")).cast("long"))
+      .select(col("bands"), col("rows_per_band"),
+        round(lit(1.0) - pow(lit(1.0) - pow(lit(threshold), col("rows_per_band")),
+          col("bands")), 6).as("recall_at_t"),
+        round(pow(lit(1.0) / col("bands"), lit(1.0) / col("rows_per_band")), 6)
+          .as("midpoint"),
+        round(lit(1.0) - pow(lit(1.0) - pow(lit(junkSimilarity), col("rows_per_band")),
+          col("bands")), 6).as("junk_collision"))
+  }
+
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                             dim: Int, planesPerBand: Int = 8, bands: Int = 6,
                             threshold: Double = 0.95,

@@ -2133,6 +2133,77 @@ object TextQueries {
         .orderBy(col("vec_id"), col("dim"))
     }),
 
+    // Streaming DQ gate (StreamingOps.ingestDqGate): the quarantine tier
+    // as a standing micro-batch query — orders arrive as four batches,
+    // row-level DQDL rules (incl. a CustomSql semi-join rule) split each
+    // batch into cleansed/quarantine batch_id partitions under the commit
+    // log. Row-level rules are batch-boundary-independent, so the drained
+    // tables equal the one-shot batch split the oracle replays.
+    "q197_streaming_dq_gate" -> ((s, d) => {
+      val dir = s"/tmp/graft_stream_orders/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .repartition(4).write.mode("overwrite").parquet(dir)
+      val staged = s.read.parquet(dir)
+      val db = s"graftdq${math.abs(d.hashCode)}"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      s.sql(s"DROP TABLE IF EXISTS $db.cleansed")
+      s.sql(s"DROP TABLE IF EXISTS $db.quarantine")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_dq_ckpt").toString
+      val rules = Seq(
+        "ColumnValues 'o_orderstatus' in ['O','F']",
+        "ColumnValues 'o_totalprice' >= 30000",
+        "CustomSql 'SELECT o_orderkey FROM primary WHERE o_custkey IS NOT NULL'")
+      val q = graft.streaming.StreamingOps.ingestDqGate(
+        s.readStream.schema(staged.schema).option("maxFilesPerTrigger", 1)
+          .parquet(dir),
+        rules, s"$db.cleansed", s"$db.quarantine", ckpt, availableNow = true)
+      q.awaitTermination()
+      s.sql(s"REFRESH TABLE $db.cleansed")
+      s.sql(s"REFRESH TABLE $db.quarantine")
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      s.table(s"$db.cleansed")
+        .select(cols.map(col) :+ lit("pass").as("dq_status"): _*)
+        .unionByName(s.table(s"$db.quarantine")
+          .select(cols.map(col) :+ lit("quarantine").as("dq_status"): _*))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // LSH parameter planner (Dedup.lshPlan): every (bands, rowsPerBand)
+    // split of a 64-hash budget priced by the S-curve — recall at t=0.7,
+    // curve midpoint, collision mass at junk similarity 0.2. The design
+    // table behind the banded operators; the oracle replays the closed
+    // forms.
+    "q198_lsh_plan" -> ((s, d) => {
+      graft.operators.Dedup.lshPlan(s, threshold = 0.7, totalHashes = 64,
+          junkSimilarity = 0.2)
+        .orderBy(col("bands"))
+    }),
+
+    // Right-to-be-forgotten delete (Retention.deleteRows): a bucketed
+    // events table loses every row of users divisible by 17 — only the
+    // affected bucket partitions rewrite (static INSERT OVERWRITE per
+    // partition, so an emptied partition clears instead of surviving a
+    // dynamic-overwrite skip). The oracle is the surviving-row predicate.
+    "q199_delete_propagation" -> ((s, d) => {
+      val db = s"graftdel${math.abs(d.hashCode)}"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      s.sql(s"DROP TABLE IF EXISTS $db.events")
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      ev.withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+        .write.partitionBy("bucket").saveAsTable(s"$db.events")
+      val keys = ev.filter(pmod(col("user_id"), lit(17)) === 0)
+        .select(col("user_id")).distinct()
+      graft.catalog.Retention.deleteRows(s, s"$db.events", "user_id", keys)
+      s.table(s"$db.events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("bucket"))
+        .orderBy(col("event_id"))
+    }),
+
     // Calibration bins (Analytics.calibrationBins): sigmoid of the
     // standardized doc length as the score, lang='en' as the label, decile
     // reliability bins — predicted probability vs empirical rate. Mean and
@@ -5119,6 +5190,30 @@ object TextQueries {
     // encode, so the drained index searches exactly like the one-shot
     // composition — same replay as q103/q169.
     "q191_streaming_ann_ingest" -> ivfPqOracle,
+    // Streaming DQ gate: row-level rules are batch-independent, so the
+    // drained split equals the one-shot predicate. NULL semantics match
+    // the DQDL compiler's three-valued logic (NULL fails every tier).
+    "q197_streaming_dq_gate" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             CASE WHEN o_orderstatus IN ('O','F') AND o_totalprice >= 30000
+                       AND o_custkey IS NOT NULL
+                  THEN 'pass' ELSE 'quarantine' END AS dq_status
+      FROM orders ORDER BY o_orderkey""",
+    // LSH planner replay: the closed forms over the divisor table.
+    "q198_lsh_plan" -> """
+      SELECT b AS bands, 64 // b AS rows_per_band,
+             round(1 - power(1 - power(0.7, 64 // b), b), 6) AS recall_at_t,
+             round(power(1.0 / b, 1.0 / (64 // b)), 6) AS midpoint,
+             round(1 - power(1 - power(0.2, 64 // b), b), 6) AS junk_collision
+      FROM range(1, 65) t(b) WHERE 64 % b = 0 ORDER BY bands""",
+    // Delete replay: the surviving-row predicate (null user ids survive —
+    // a NULL key never matches a delete request).
+    "q199_delete_propagation" -> """
+      SELECT event_id, user_id, event_type, value,
+             CAST(user_id % 8 AS INTEGER) AS bucket
+      FROM events
+      WHERE user_id IS NULL OR user_id % 17 <> 0
+      ORDER BY event_id""",
     // Label-propagation replay: the q119 edge fixture symmetrized +
     // distinct, three unrolled vote/argmax rounds with the (count desc,
     // label asc) tiebreak, isolated nodes kept via the left join.

@@ -407,6 +407,40 @@ object StreamingOps {
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
+  /** Streaming DATA-QUALITY GATE — the reference's quarantine tier as a
+    * micro-batch loop: each arriving batch is split by the DQDL rules
+    * ([[graft.dq.DqEngine.splitByRules]] — same predicate compiler as the
+    * batch quarantine path), passing rows land in `cleansedTable` and
+    * failing rows in `quarantineTable`, each as one batch_id partition
+    * under the [[BatchCommitLog]] replay contract. This is the 3-Cs
+    * Collect→Cleanse hop running as ONE standing query instead of a
+    * job-per-file loop.
+    *
+    * Use ROW-LEVEL rules here: a dataset-level rule's verdict (e.g. a
+    * Completeness ratio) is a function of batch COMPOSITION, so its
+    * outcome would depend on how the stream happened to batch — legal,
+    * but no longer equal to the batch replay. Row-level rules make the
+    * split row-wise and batch-boundary-independent. */
+  def ingestDqGate(rows: DataFrame, rules: Seq[String],
+                   cleansedTable: String, quarantineTable: String,
+                   checkpoint: String,
+                   availableNow: Boolean = false): StreamingQuery = {
+    val w = rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val ss = batch.sparkSession
+        val b = batch.toDF().localCheckpoint(true)
+        if (b.count() > 0 && !BatchCommitLog.applied(ss, checkpoint, id)) {
+          val (pass, fail) = new graft.dq.DqEngine().splitByRules(b, rules)
+          writeBatchPartition(pass.withColumn("batch_id", lit(id)), cleansedTable, id)
+          writeBatchPartition(fail.withColumn("batch_id", lit(id)), quarantineTable, id)
+          BatchCommitLog.commit(ss, checkpoint, id)
+        }
+        ()
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
   /** Streaming ANN INGEST GATE — [[graft.operators.Ann.ivfPqAppend]]'s
     * encode-only contract as a micro-batch maintenance loop: each arriving
     * batch of vectors is assigned to its inverted list and PQ-encoded under

@@ -210,6 +210,125 @@ class Round11OpsSpec extends SparkSpec {
     assert(recall >= 0.2, s"projected top-10 recall collapsed: $recall")
   }
 
+  // ------------------------------------------------- streaming DQ gate
+
+  test("ingestDqGate: streamed split equals the batch splitByRules; restart replays nothing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val db = s"dqgate${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    val (ct, qt) = (s"$db.cleansed", s"$db.quarantine")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dqgate_ckpt").toString
+    val rules = Seq("ColumnValues 'v' >= 10",
+      "CustomSql 'SELECT id FROM primary WHERE cat IS NOT NULL'")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Integer, String)]
+    val q = graft.streaming.StreamingOps.ingestDqGate(
+      mem.toDF().toDF("id", "v", "cat"), rules, ct, qt, ckpt)
+    val rows = Seq[(Long, Integer, String)](
+      (1L, 50, "a"), (2L, 5, "a"), (3L, 50, null), (4L, null, "b"), (5L, 11, "b"))
+    mem.addData(rows.take(3): _*); q.processAllAvailable()
+    mem.addData(rows.drop(3): _*); q.processAllAvailable()
+    q.stop()
+    spark.sql(s"REFRESH TABLE $ct"); spark.sql(s"REFRESH TABLE $qt")
+    def ids(t: String) = spark.table(t).select("id").as[Long].collect().toSet
+    val (gotPass, gotFail) = (ids(ct), ids(qt))
+    // batch-mode replay of the same rules over the union
+    val all = rows.toDF("id", "v", "cat")
+    val (bp, bf) = new graft.dq.DqEngine().splitByRules(all, rules)
+    assert(gotPass == bp.select("id").as[Long].collect().toSet)
+    assert(gotFail == bf.select("id").as[Long].collect().toSet)
+    assert(gotPass == Set(1L, 5L) && gotFail == Set(2L, 3L, 4L))
+    // restart over the same checkpoint: nothing reprocessed
+    val q2 = graft.streaming.StreamingOps.ingestDqGate(
+      mem.toDF().toDF("id", "v", "cat"), rules, ct, qt, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    spark.sql(s"REFRESH TABLE $ct"); spark.sql(s"REFRESH TABLE $qt")
+    assert(spark.table(ct).count() + spark.table(qt).count() == 5)
+  }
+
+  test("splitByRules == runQuarantine's split (same compiler, no timestamp/sink/halt)") {
+    val df = Seq((1L, 40000.0, "O"), (2L, 10.0, "F"), (3L, 50000.0, "X"))
+      .toDF("k", "price", "status")
+    val rules = Seq("ColumnValues 'status' in ['O','F']",
+      "ColumnValues 'price' >= 30000")
+    val (p1, f1) = new graft.dq.DqEngine().splitByRules(df, rules)
+    val res = new graft.dq.DqEngine().runQuarantine(df, rules)
+    assert(p1.select("k").as[Long].collect().toSet ==
+      res.passed.select("k").as[Long].collect().toSet)
+    assert(f1.select("k").as[Long].collect().toSet ==
+      res.failed.select("k").as[Long].collect().toSet)
+    assert(!f1.columns.contains("quarantine_timestamp"),
+      "the gate split must stay deterministic (no wall-clock column)")
+  }
+
+  // ------------------------------------------------- delete propagation
+
+  test("deleteRows: only affected partitions rewrite, emptied partitions clear, second run is a no-op") {
+    import graft.catalog.{Compaction, Retention}
+    val db = s"retdel${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    val t = s"$db.ev"
+    Seq((1L, 100L, 1.0), (2L, 101L, 2.0), (3L, 102L, 3.0),
+        (4L, 103L, 4.0), (5L, 100L, 5.0), (6L, 104L, 6.0))
+      .toDF("id", "uid", "v")
+      .withColumn("p", (col("uid") % 3).cast("int"))
+      .write.partitionBy("p").saveAsTable(t)
+    def fileSet(rel: String): Set[String] = {
+      val (root, _) = Compaction.listManifests(spark, t)
+      val dir = new org.apache.hadoop.fs.Path(root, rel)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir).map(s => s.getPath.getName + ":" + s.getModificationTime)
+        .toSet
+    }
+    val untouchedBefore = fileSet("p=2") // uid 101, 104 — no deletes land here
+    // delete uid 100 (both rows of p=1... 100%3=1) and uid 102 (sole row of p=0)
+    val keys = Seq(100L, 102L, 999L).toDF("uid") // 999 matches nothing
+    val r = Retention.deleteRows(spark, t, "uid", keys)
+    assert(r.rowsDeleted == 3 && r.partitionsRewritten == 2 && r.partitionsSeen == 3)
+    spark.sql(s"REFRESH TABLE $t")
+    assert(spark.table(t).select("id").as[Long].collect().toSet == Set(2L, 4L, 6L))
+    // p=0 held only uid 102 -> emptied, must not resurrect under dynamic-skip
+    assert(spark.table(t).filter(col("p") === 0).count() == 0)
+    // the untouched partition's files are bit-identical (same names+mtimes)
+    assert(fileSet("p=2") == untouchedBefore,
+      "an unaffected partition must not be rewritten")
+    // idempotence: same request again touches nothing
+    val r2 = Retention.deleteRows(spark, t, "uid", keys)
+    assert(r2.rowsDeleted == 0 && r2.partitionsRewritten == 0)
+    assert(spark.table(t).count() == 3)
+  }
+
+  test("deleteRows: unpartitioned table rewrites wholesale; no-match is a no-op") {
+    import graft.catalog.Retention
+    val db = s"retdel2${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    val t = s"$db.flat"
+    Seq((1L, 10L), (2L, 11L), (3L, 10L)).toDF("id", "uid")
+      .write.saveAsTable(t)
+    val r = Retention.deleteRows(spark, t, "uid", Seq(10L).toDF("uid"))
+    assert(r.rowsDeleted == 2 && r.partitionsRewritten == 1)
+    spark.sql(s"REFRESH TABLE $t")
+    assert(spark.table(t).select("id").as[Long].collect().toSeq == Seq(2L))
+    val r2 = Retention.deleteRows(spark, t, "uid", Seq(77L).toDF("uid"))
+    assert(r2.rowsDeleted == 0 && r2.partitionsRewritten == 0)
+  }
+
+  // ------------------------------------------------- LSH planner
+
+  test("lshPlan: budget-exact splits, monotone midpoint, closed-form spot check") {
+    import graft.operators.Dedup
+    val rows = Dedup.lshPlan(spark, 0.7, 64)
+      .orderBy("bands")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rows.map(r => r._1 * r._2).forall(_ == 64))
+    // midpoint strictly decreasing in bands: more bands = looser threshold
+    assert(rows.map(_._4).sliding(2).forall(p => p(1) < p(0)))
+    val r16 = rows.find(_._1 == 16).get
+    assert(math.abs(r16._3 - (1 - math.pow(1 - math.pow(0.7, 4), 16))) < 1e-6)
+    assert(r16._4 == 0.5) // (1/16)^(1/4)
+  }
+
   // ------------------------------------------------- streaming ANN ingest
 
   test("ingestAnnGate: streamed index equals the one-shot build; replay adds nothing") {
