@@ -484,4 +484,50 @@ object Sampling {
       .filter(lit(num) * col("__n") > (col("rank") - 1) * lit(den))
       .drop("__n")
   }
+
+  /** Cumulative Poisson(1) ladder for the bootstrap weights: weight k iff
+    * u < cdf(k) first; the tail (u past the last threshold) gets 8 —
+    * P ≈ 1e-5, bias negligible, ladder bounded. The literals are spelled
+    * identically in the SQL oracle. */
+  private val poisson1Cdf = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.919698602928606,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253)
+
+  /** POISSON BOOTSTRAP (the streaming/distributed bootstrap: each row draws
+    * an independent Poisson(1) replication count per replicate, instead of
+    * resampling n-of-n globally — the only bootstrap that works in one
+    * pass over data too large to index): `replicates` deterministic
+    * resamples of `valueCol`'s mean, weights from the inverse Poisson(1)
+    * CDF over an md5 uniform, so the whole uncertainty estimate is
+    * reproducible and oracle-replayable. Spread of `mean_r` across
+    * replicates estimates the sampling error of the corpus statistic —
+    * the error bar every corpus-stats dashboard should carry.
+    *
+    * Scale shape: one explode(×B) + one hash aggregation; weighted sums
+    * are exact integers (value quantized 6dp → scaled long) so replicate
+    * means are partition-order-independent. */
+  def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
+                       replicates: Int, seed: String): DataFrame = {
+    require(replicates >= 1 && replicates <= 1000)
+    val rep = df.select(col(idCol), col(valueCol),
+      explode(sequence(lit(0), lit(replicates - 1))).as("replicate"))
+    val u = (conv(substring(md5(concat_ws("|", lit(seed),
+        col("replicate").cast("string"), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("double") + lit(0.5)) / lit(4294967296.0)
+    val w = poisson1Cdf.zipWithIndex.foldRight(lit(8): Column) {
+      case ((t, k), acc) => when(u < lit(t), lit(k)).otherwise(acc)
+    }
+    // exact integer arithmetic: value quantized to 6dp as a scaled long,
+    // so Σ(w·v) commutes under any partitioning
+    val vq = round(col(valueCol).cast("double") * 1000000.0).cast("long")
+    rep.select(col("replicate"), w.as("__w"), vq.as("__v"))
+      .groupBy(col("replicate"))
+      .agg(sum(col("__w")).as("n_eff"),
+        sum(col("__w") * col("__v")).as("__s"))
+      .select(col("replicate").cast("int").as("replicate"), col("n_eff"),
+        when(col("n_eff") === 0, lit(null))
+          .otherwise(round(col("__s").cast("double") / col("n_eff") / 1000000.0, 6))
+          .as("mean_r"))
+  }
 }

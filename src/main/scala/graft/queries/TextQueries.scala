@@ -2204,6 +2204,18 @@ object TextQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Poisson bootstrap (Sampling.poissonBootstrap): 10 deterministic
+    // one-pass resamples of the mean doc length — per-(replicate, doc)
+    // Poisson(1) weights from an md5 uniform through the inverse-CDF
+    // ladder; replicate spread estimates the statistic's sampling error.
+    // The oracle replays uniform, ladder, and the exact integer sums.
+    "q200_poisson_bootstrap" -> ((s, d) => {
+      graft.operators.Sampling.poissonBootstrap(
+          Tables(s, d, "documents"), "doc_id", "n_chars",
+          replicates = 10, seed = "pb1")
+        .orderBy(col("replicate"))
+    }),
+
     // Calibration bins (Analytics.calibrationBins): sigmoid of the
     // standardized doc length as the score, lang='en' as the label, decile
     // reliability bins — predicted probability vs empirical rate. Mean and
@@ -5206,6 +5218,32 @@ object TextQueries {
              round(power(1.0 / b, 1.0 / (64 // b)), 6) AS midpoint,
              round(1 - power(1 - power(0.2, 64 // b), b), 6) AS junk_collision
       FROM range(1, 65) t(b) WHERE 64 % b = 0 ORDER BY bands""",
+    // Bootstrap replay: same md5 uniform, same Poisson(1) CDF literals,
+    // exact scaled-long weighted sums.
+    "q200_poisson_bootstrap" -> """
+      WITH rep AS (
+        SELECT d.doc_id, d.n_chars, b AS replicate
+        FROM documents d, range(0, 10) t(b)),
+      w AS (
+        SELECT replicate,
+          CASE WHEN u < 0.36787944117144233 THEN 0
+               WHEN u < 0.7357588823428847 THEN 1
+               WHEN u < 0.919698602928606 THEN 2
+               WHEN u < 0.9810118431238462 THEN 3
+               WHEN u < 0.9963401531726563 THEN 4
+               WHEN u < 0.9994058151824183 THEN 5
+               WHEN u < 0.9999167588507119 THEN 6
+               WHEN u < 0.9999897508033253 THEN 7
+               ELSE 8 END AS wt,
+          CAST(round(CAST(n_chars AS DOUBLE) * 1000000.0) AS BIGINT) AS v
+        FROM (SELECT *,
+          (CAST(CAST(('0x' || substr(md5('pb1|' || CAST(replicate AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+          FROM rep))
+      SELECT CAST(replicate AS INTEGER) AS replicate,
+             CAST(sum(wt) AS BIGINT) AS n_eff,
+             CASE WHEN sum(wt) = 0 THEN NULL
+                  ELSE round(CAST(sum(wt * v) AS DOUBLE) / sum(wt) / 1000000.0, 6) END AS mean_r
+      FROM w GROUP BY replicate ORDER BY replicate""",
     // Delete replay: the surviving-row predicate (null user ids survive —
     // a NULL key never matches a delete request).
     "q199_delete_propagation" -> """

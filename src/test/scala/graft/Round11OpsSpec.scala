@@ -329,6 +329,30 @@ class Round11OpsSpec extends SparkSpec {
     assert(r16._4 == 0.5) // (1/16)^(1/4)
   }
 
+  // ------------------------------------------------- Poisson bootstrap
+
+  test("poissonBootstrap: deterministic, unbiased resample sizes, means bracket the truth") {
+    import graft.operators.Sampling
+    val df = Seq.tabulate(2000)(i => (i.toLong, (i % 100).toLong)).toDF("id", "x")
+    val truth = (0 until 100).sum / 100.0 // 49.5
+    val a = Sampling.poissonBootstrap(df, "id", "x", replicates = 20, seed = "b1")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(a.length == 20)
+    val b = Sampling.poissonBootstrap(df, "id", "x", replicates = 20, seed = "b1")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "same seed must reproduce the resamples")
+    // E[n_eff] = n; Poisson(1) spread over 2000 rows is ±~45 (1 sd) — 5 sd band
+    a.foreach { case (_, nEff, _) =>
+      assert(math.abs(nEff - 2000L) < 250, s"n_eff $nEff implausible for Poisson(1)")
+    }
+    // replicate means must cluster around the truth (se ≈ sd/sqrt(n) ≈ 0.65)
+    val means = a.map(_._3)
+    assert(means.forall(m => math.abs(m - truth) < 4.0), means.take(5).toSeq.toString)
+    assert(means.distinct.length > 1, "replicates must actually differ")
+    val grand = means.sum / means.length
+    assert(math.abs(grand - truth) < 1.0)
+  }
+
   // ------------------------------------------------- streaming ANN ingest
 
   test("ingestAnnGate: streamed index equals the one-shot build; replay adds nothing") {
