@@ -33,10 +33,16 @@ object Retention {
   final case class DeleteReport(rowsDeleted: Long, partitionsRewritten: Int,
                                 partitionsSeen: Int)
 
+  /** Partition-spec literal: numbers and booleans render bare, EVERYTHING
+    * else (strings, dates, timestamps — anything whose toString the
+    * partition-spec grammar cannot lex as one token) renders as a quoted,
+    * escaped string; Hive partition semantics coerce quoted literals to
+    * the partition column's type. */
   private def sqlLit(v: Any): String = v match {
     case null => "NULL"
-    case s: String => "'" + s.replace("'", "''") + "'"
-    case other => other.toString
+    case n: java.lang.Number => n.toString
+    case b: java.lang.Boolean => b.toString
+    case other => "'" + other.toString.replace("'", "''") + "'"
   }
 
   /** Delete every row of `table` whose `keyCol` appears in `keys`.
@@ -71,7 +77,10 @@ object Retention {
         if (n > 0) overwrite(None, None)
         DeleteReport(n, if (n > 0) 1 else 0, 1)
       } else {
-        val seen = Compaction.listManifests(spark, table)._2.size
+        // partition COUNT from the partition listing only (SHOW PARTITIONS
+        // walks directories, not files) — a full listManifests file walk
+        // here would contradict the affected-partitions-only cost contract
+        val seen = spark.sql(s"SHOW PARTITIONS $table").count().toInt
         // one row per AFFECTED partition + the doomed-row count, one pass
         val affected = matching
           .groupBy(partCols.map(col): _*).agg(count(lit(1)).as("__n"))

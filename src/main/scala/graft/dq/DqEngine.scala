@@ -202,8 +202,11 @@ class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
           val m = metrics(s"len:${r.describe}")
           (m == 1.0, Some(m), if (m == 1.0) None else Some(f"length compliance ${m * 100}%.2f%%"))
         case CustomSql(sql, cmpOpt) =>
-          df.createOrReplaceTempView("primary")
-          val res = df.sparkSession.sql(sql)
+          // same registration+analysis atomicity as markByRules
+          val res = DqEngine.primaryViewLock.synchronized {
+            df.createOrReplaceTempView("primary")
+            df.sparkSession.sql(sql)
+          }
           cmpOpt match {
             case Some((op, n)) =>
               // empty result (e.g. aggregate + HAVING with no groups) → NaN,
@@ -257,8 +260,13 @@ class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
     * timestamp, all-quarantined halt) and [[splitByRules]] (the streaming
     * gate surface, which wants none of those). */
   private def markByRules(df: DataFrame, rules: Seq[String],
-                          outcomes: Seq[RuleOutcome]): (DataFrame, Seq[String]) = {
+                          outcomesF: () => Seq[RuleOutcome]): (DataFrame, Seq[String]) = {
     val parsed = rules.map(r => r -> Dqdl.parse(r))
+    // dataset-level verdicts are only needed when a rule falls through to
+    // the fallback branch — computed at most once, and NOT AT ALL for
+    // row-level-only rulesets (the streaming gate's per-batch hot path:
+    // evaluateDataset is a full metrics pass and re-runs CustomSql)
+    lazy val outcomes = outcomesF()
     // Combine row predicates; CustomSql row-level rules become semi-joins.
     var current = df
     var pred: Column = lit(true)
@@ -268,8 +276,17 @@ class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
         case Some(p) => pred = pred && p
         case None => e match {
           case Leaf(CustomSql(sql, None)) =>
-            df.createOrReplaceTempView("primary")
-            val keys = df.sparkSession.sql(sql).distinct()
+            // the DQDL dialect hard-names the view "primary"
+            // (dataquality_check.py:86-89), so registration + analysis
+            // must be atomic against other DQ runs on the SAME session
+            // (sql() analyzes eagerly, capturing the plan — after that the
+            // view may be rebound freely). Streaming gates get a cloned
+            // session per query and don't contend; this lock covers
+            // same-session concurrent batch callers.
+            val keys = DqEngine.primaryViewLock.synchronized {
+              df.createOrReplaceTempView("primary")
+              df.sparkSession.sql(sql).distinct()
+            }
             val keyCols = keys.columns
             val markerName = s"__dq_pass_$i" // unique per rule — several
             markerCols += markerName        // CustomSql rules may coexist
@@ -293,7 +310,7 @@ class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
     * same predicate compiler, same CustomSql semi-joins, same
     * dataset-level fold. */
   def splitByRules(df: DataFrame, rules: Seq[String]): (DataFrame, DataFrame) = {
-    val (marked, dropCols) = markByRules(df, rules, evaluateDataset(df, rules))
+    val (marked, dropCols) = markByRules(df, rules, () => evaluateDataset(df, rules))
     (marked.filter(col("__dq_pass_all")).drop(dropCols: _*),
       marked.filter(!col("__dq_pass_all")).drop(dropCols: _*))
   }
@@ -301,7 +318,7 @@ class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
   def runQuarantine(df: DataFrame, rules: Seq[String],
                     sinkName: String = "quarantine"): QuarantineResult = {
     val outcomes = evaluateDataset(df, rules)
-    val (marked, dropCols) = markByRules(df, rules, outcomes)
+    val (marked, dropCols) = markByRules(df, rules, () => outcomes)
     val passed = marked.filter(col("__dq_pass_all")).drop(dropCols: _*)
     val failed = marked.filter(!col("__dq_pass_all")).drop(dropCols: _*)
       .withColumn("quarantine_timestamp", current_timestamp())
@@ -397,4 +414,11 @@ class DqEngine(quarantineSink: Option[(DataFrame, String) => Unit] = None) {
     if (target.contains("/")) df.write.mode("append").parquet(target)
     else df.write.mode("append").saveAsTable(target)
   }
+}
+
+object DqEngine {
+  /** JVM-wide lock for the dialect-mandated "primary" temp-view name: view
+    * registration and the eager analysis of the CustomSql that reads it
+    * must not interleave with another DQ run on the same session. */
+  private[dq] val primaryViewLock = new Object
 }

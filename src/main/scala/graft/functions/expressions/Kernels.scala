@@ -618,6 +618,12 @@ object Kernels {
     * oracle's list_reduce replays). The JL-projection hot kernel. */
   def matVec(vec: ArrayData, m: Array[Array[Double]], isFloat: Boolean): ArrayData = {
     val k = m.length
+    // bounds check, not a silent wrap: UnsafeArrayData.getDouble past the
+    // end reads garbage memory without throwing, which would corrupt every
+    // projection downstream instead of failing the mis-sized row
+    if (k > 0 && vec.numElements() != m(0).length)
+      throw new IllegalArgumentException(
+        s"mat_vec: vector has ${vec.numElements()} elements, matrix expects ${m(0).length}")
     val out = new Array[Any](k)
     var i = 0
     while (i < k) {

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Privacy operators for training-data release: k-anonymity generalization
@@ -35,6 +34,15 @@ object Privacy {
     * Scale shape: two hash aggregations and two broadcast-or-shuffle joins
     * on the quasi tuple — no windows over the whole frame, no driver
     * collection; the group-count frames are one row per distinct tuple. */
+  /** Null-safe, injection-proof tuple key: each value md5-hashed
+    * independently (NULL → a fixed out-of-alphabet marker) and the
+    * fixed-width segments concatenated — distinct tuples can never
+    * collide via delimiter injection or concat_ws NULL-skipping, and NULL
+    * keys group/join like any other value (a plain equi-join on raw
+    * values would drop null tuples: NULL = NULL is not true). */
+  private def tupleKey(cols: Seq[Column]): Column =
+    concat(cols.map(c => coalesce(md5(c.cast("string")), lit("~"))): _*)
+
   def kAnonymize(df: DataFrame, quasiCols: Seq[String],
                  generalize: Map[String, Column], k: Int,
                  suppressed: String = "*"): DataFrame = {
@@ -47,15 +55,21 @@ object Privacy {
     val gen = quasiCols.map(c =>
       generalize.getOrElse(c, col(c)).cast("string").as(s"__g_$c"))
     val base = df.select(rest.map(col) ++ exact ++ gen: _*)
+      .withColumn("__k0", tupleKey(quasiCols.map(col)))
+      .withColumn("__k1", tupleKey(quasiCols.map(c => col(s"__g_$c"))))
 
-    val w0 = Window.partitionBy(quasiCols.map(col): _*)
-    val leveled0 = base.withColumn("__n0", count(lit(1)).over(w0))
+    // group-count + equi-join on the tuple key, NOT a window: a window
+    // over the whole frame shuffles AND SORTS every row per level; the
+    // count frame is one narrow row per distinct tuple and joins back
+    // with a hash join (null tuples handled by the key encoding)
+    val cnt0 = base.groupBy(col("__k0")).agg(count(lit(1)).as("__n0"))
+    val leveled0 = base.join(cnt0, Seq("__k0"))
     val pass0 = leveled0.filter(col("__n0") >= k)
       .select(rest.map(col) ++ quasiCols.map(col) :+ lit(0).as("anonymity_level"): _*)
     val fail0 = leveled0.filter(col("__n0") < k)
 
-    val w1 = Window.partitionBy(quasiCols.map(c => col(s"__g_$c")): _*)
-    val leveled1 = fail0.withColumn("__n1", count(lit(1)).over(w1))
+    val cnt1 = fail0.groupBy(col("__k1")).agg(count(lit(1)).as("__n1"))
+    val leveled1 = fail0.join(cnt1, Seq("__k1"))
     val pass1 = leveled1.filter(col("__n1") >= k)
       .select(rest.map(col) ++
         quasiCols.map(c => col(s"__g_$c").as(c)) :+ lit(1).as("anonymity_level"): _*)
@@ -81,7 +95,12 @@ object Privacy {
                seed: String): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(epsilon > 0, s"epsilon must be positive: $epsilon")
-    val key = concat_ws("|", lit(seed) +: groupCols.map(c => col(c).cast("string")): _*)
+    // injection-proof noise key ([[tupleKey]]): concat_ws would skip NULL
+    // group values and has no delimiter escaping, so distinct groups like
+    // (NULL,'en') vs ('en',NULL) — or ('a|b','c') vs ('a','b|c') — would
+    // share one noise draw, and noisy_a − noisy_b would leak the exact
+    // true difference, which is the attack ε-DP exists to prevent
+    val key = concat(md5(lit(seed)), tupleKey(groupCols.map(col)))
     // 32 hex-bit md5 prefix → uniform in (0,1): (v + 0.5) / 2^32 never hits
     // the endpoints, so ln(1 − 2|u−½|) is finite
     val u = (conv(substring(md5(key), 1, 8), 16, 10).cast("double") + lit(0.5)) /

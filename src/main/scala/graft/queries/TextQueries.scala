@@ -5147,11 +5147,12 @@ object TextQueries {
       SELECT doc_id, masked_text,
              CAST((length(masked_text) - length(replace(masked_text, '[CARD-', ''))) / 6 AS BIGINT) AS n_masked
       FROM m ORDER BY doc_id""",
-    // DP-count replay: md5-prefix uniform, the same inverse-CDF Laplace.
+    // DP-count replay: the injection-proof per-column-hashed key, the
+    // md5-prefix uniform, the same inverse-CDF Laplace.
     "q190_dp_counts" -> """
       WITH g AS (SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2),
       n AS (SELECT lang, source, c,
-              (CAST(CAST(('0x' || substr(md5('dp1' || '|' || lang || '|' || source), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+              (CAST(CAST(('0x' || substr(md5(md5('dp1') || coalesce(md5(lang), '~') || coalesce(md5(source), '~')), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
             FROM g)
       SELECT lang, source,
              round(c + (-1.0 / 0.5) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6) AS noisy_count

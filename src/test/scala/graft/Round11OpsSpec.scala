@@ -314,6 +314,52 @@ class Round11OpsSpec extends SparkSpec {
     assert(r2.rowsDeleted == 0 && r2.partitionsRewritten == 0)
   }
 
+  test("deleteRows: date-partitioned table (quoted partition literals)") {
+    import graft.catalog.Retention
+    val db = s"retdel3${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    val t = s"$db.dated"
+    Seq((1L, 10L, "2024-01-01"), (2L, 11L, "2024-01-01"), (3L, 10L, "2024-01-02"))
+      .toDF("id", "uid", "ds")
+      .withColumn("dt", col("ds").cast("date")).drop("ds")
+      .write.partitionBy("dt").saveAsTable(t)
+    val r = Retention.deleteRows(spark, t, "uid", Seq(10L).toDF("uid"))
+    assert(r.rowsDeleted == 2 && r.partitionsRewritten == 2 && r.partitionsSeen == 2)
+    spark.sql(s"REFRESH TABLE $t")
+    assert(spark.table(t).select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("dpCounts: NULL and delimiter-bearing group values get DISTINCT noise draws") {
+    // (NULL,'en') vs ('en',NULL) and ('a|b','c') vs ('a','b|c') would share
+    // a concat_ws key; shared noise leaks the exact count difference
+    val df = (Seq.fill(30)((null: String, "en")) ++ Seq.fill(40)(("en", null: String)) ++
+      Seq.fill(50)(("a|b", "c")) ++ Seq.fill(60)(("a", "b|c")))
+      .toDF("g1", "g2")
+    val out = Privacy.dpCounts(df, Seq("g1", "g2"), epsilon = 0.5, seed = "s")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))) -> r.getDouble(2))
+      .toMap
+    assert(out.size == 4)
+    val nEn = out((None, Some("en"))) - 30.0
+    val enN = out((Some("en"), None)) - 40.0
+    assert(nEn != enN, "NULL-position-swapped groups must not share a noise draw")
+    val ab = out((Some("a|b"), Some("c"))) - 50.0
+    val ab2 = out((Some("a"), Some("b|c"))) - 60.0
+    assert(ab != ab2, "delimiter injection must not alias the noise key")
+  }
+
+  test("mat_vec: dimension mismatch fails loudly, never reads out of bounds") {
+    import graft.functions.expressions.HashExpressions
+    val m = Ann.jlMatrix(64, 16, "s")
+    val short = Seq((1L, Array.fill(32)(1.0f))).toDF("id", "v")
+    val e = intercept[Exception] {
+      short.select(HashExpressions.mat_vec(col("v"), m)).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("matrix expects 64")), s"got $e")
+  }
+
   // ------------------------------------------------- LSH planner
 
   test("lshPlan: budget-exact splits, monotone midpoint, closed-form spot check") {
