@@ -424,6 +424,37 @@ object ScaleCheck100 {
       }
     }
 
+    // ---- 17. co-occurrence PMI at 100×: pair volume Σ_docs tokens² is
+    // linear in docs when per-doc sets are bounded (maxTokens); minSupport
+    // scales with N so output stays the same collocation set. Wall must
+    // grow ~linearly — the pinned-parallelism enumeration, never a 1-task
+    // cliff or a vocab² product.
+    locally {
+      val docs1 = perturbed(0).select(col("doc_id"), col("text"))
+      Seq(docs1 -> ("1x", 150), rep.select(col("doc_id"), col("text")) ->
+          (s"${n}x", 150 * n)).foreach { case (df, (tag, ms)) =>
+        timed(s"cooccurrencePmi minSupport=$ms $tag")(((),
+          operators.CorpusStats.cooccurrencePmi(df, "text", "doc_id",
+            minSupport = ms).count()))
+      }
+    }
+
+    // ---- 18. label propagation at 100×: 3 iterations over a 2-out-degree
+    // graph — per-iteration work linear in edges, labels re-materialized
+    // per round so plan depth is constant at any scale.
+    locally {
+      Seq(5000L -> "1x", 500000L -> s"${n}x").foreach { case (nn, tag) =>
+        val ids = spark.range(nn).select(col("id").as("doc_id")).localCheckpoint(true)
+        val edges = ids.select(col("doc_id").as("src"),
+            explode(array((col("doc_id") * 2 + 1) % nn,
+              (col("doc_id") * 5 + 3) % nn)).as("dst"))
+          .localCheckpoint(true)
+        timed(s"labelPropagation 3 iters $tag")(((),
+          operators.GraphOps.labelPropagation(edges, "src", "dst",
+            ids, "doc_id", iters = 3).count()))
+      }
+    }
+
     spark.stop()
   }
 }

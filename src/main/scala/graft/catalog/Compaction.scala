@@ -149,6 +149,61 @@ object Compaction {
   private def binCount(bytes: Long, targetBytes: Long): Int =
     math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
 
+  /** Consolidate a `batch_id`-partitioned streaming-state table's HISTORY:
+    * fold every partition with batch_id < `upTo` into the batch_id=`upTo`
+    * partition and drop the originals. Complements [[compactTable]], which
+    * merges files WITHIN a partition and cannot touch the
+    * one-partition-per-micro-batch sprawl the streaming gates
+    * (`ingestDedupGate`/`ingestAnnGate`/`ingestDqGate`) accrue by design.
+    *
+    * Contract: callers' readers must select `batch_id < id` or
+    * `<= watermark` ranges (the gate tables' shape) with
+    * `upTo` ≤ the commit log's watermark — every consolidated row keeps
+    * satisfying those predicates, and the replay guard never revisits
+    * committed batches. NOT for snapshot-keyed tables (the online-fit
+    * weights read `batch_id == watermark` exactly; consolidating their
+    * history away is fine only with `upTo` < the watermark).
+    *
+    * Crash safety under the single-writer window (run it where the gates
+    * run their compaction hook — between batches): step 1 OVERWRITES the
+    * target partition with the DEDUPLICATED union of all rows ≤ upTo
+    * (`dedupKeys` — the table's row identity, e.g. the doc id), step 2
+    * drops the source partitions one statement at a time. A crash between
+    * the steps leaves duplicate rows across old+new partitions, and the
+    * RE-RUN CONVERGES: step 1 recomputes from the current (duplicated)
+    * content and dedups, step 2 finishes the drops — idempotent by
+    * construction, which is why dedupKeys is required rather than optional.
+    *
+    * @return number of source partitions folded away. */
+  def consolidateBatches(spark: SparkSession, table: String, upTo: Long,
+                         dedupKeys: Seq[String]): Int = {
+    require(dedupKeys.nonEmpty,
+      "dedupKeys required: the idempotent re-run after a mid-consolidation " +
+        "crash dedups the old+new union on the table's row identity")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    require(meta.partitionColumnNames == Seq("batch_id"),
+      s"$table must be partitioned by exactly (batch_id), " +
+        s"got ${meta.partitionColumnNames.mkString(", ")}")
+    val sources = spark.sql(s"SHOW PARTITIONS $table").collect()
+      .map(_.getString(0).stripPrefix("batch_id=").toLong).filter(_ < upTo)
+    if (sources.isEmpty) return 0
+    val dataCols = meta.schema.fieldNames.filterNot(_ == "batch_id")
+    val all = spark.table(table).filter(col("batch_id") <= upTo)
+      .dropDuplicates(dedupKeys)
+      .select(dataCols.map(col).toIndexedSeq: _*)
+      .localCheckpoint(true) // settle before overwriting a path it reads
+    val v = s"graft_consol_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    all.createOrReplaceTempView(v)
+    try spark.sql(s"INSERT OVERWRITE TABLE $table PARTITION (batch_id=$upTo) " +
+      s"SELECT ${dataCols.map(c => s"`$c`").mkString(", ")} FROM $v")
+    finally { spark.catalog.dropTempView(v); () }
+    sources.foreach(p =>
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (batch_id=$p)"))
+    spark.catalog.refreshTable(table)
+    sources.length
+  }
+
   /** Compact `table` so each partition holds ≈⌈bytes/targetBytes⌉ files.
     *
     * @param curve optional clustering column over the table's DATA columns

@@ -363,9 +363,11 @@ object StreamingOps {
     * Scale shape: identical to the batch operator — candidate work is
     * batch×corpus through the prefix-filtered blocked join, never
     * corpus×corpus; committed corpus partitions are immutable (one per
-    * batch — [[graft.catalog.Compaction]] remains the every-N-batches
-    * answer to small-partition sprawl), and the replay probe is the commit
-    * log's O(1) marker listing, not a max over ingest history. */
+    * batch — [[graft.catalog.Compaction.consolidateBatches]] is the
+    * every-N-batches answer to the partition-per-batch sprawl, folding
+    * committed history below the watermark into one partition), and the
+    * replay probe is the commit log's O(1) marker listing, not a max over
+    * ingest history. */
   def ingestDedupGate(docs: DataFrame, textCol: String, idCol: String,
                       blockCols: Seq[String], threshold: Double,
                       corpusTable: String, reportTable: String,

@@ -360,6 +360,58 @@ class Round11OpsSpec extends SparkSpec {
       c.getMessage.contains("matrix expects 64")), s"got $e")
   }
 
+  // ------------------------------------------------- batch consolidation
+
+  test("consolidateBatches: folds committed history, untouched tail partition stays byte-identical, crash re-run converges") {
+    import graft.catalog.Compaction
+    val db = s"consol${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    val t = s"$db.corpus"
+    (0 to 4).foreach { b =>
+      Seq.tabulate(10)(i => (b * 100L + i, s"doc $b $i"))
+        .toDF("doc_id", "text").withColumn("batch_id", lit(b.toLong))
+        .write.mode(if (b == 0) "overwrite" else "append")
+        .partitionBy("batch_id").saveAsTable(t)
+    }
+    val before = spark.table(t).select("doc_id").as[Long].collect().toSet
+    def files(rel: String): Set[String] = {
+      val (root, _) = Compaction.listManifests(spark, t)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val d = new org.apache.hadoop.fs.Path(root, rel)
+      if (!fs.exists(d)) Set.empty
+      else fs.listStatus(d).map(s => s.getPath.getName + ":" + s.getModificationTime).toSet
+    }
+    val tail = files("batch_id=4")
+    val folded = Compaction.consolidateBatches(spark, t, upTo = 3L, Seq("doc_id"))
+    assert(folded == 3) // partitions 0,1,2 folded into 3
+    spark.sql(s"REFRESH TABLE $t")
+    assert(spark.table(t).select("doc_id").as[Long].collect().toSet == before,
+      "consolidation must be content-invariant")
+    val parts = spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0)).toSet
+    assert(parts == Set("batch_id=3", "batch_id=4"), parts.toString)
+    assert(files("batch_id=4") == tail, "the uncommitted tail must stay untouched")
+    // a reader with the gate's predicate sees the same stored set
+    assert(spark.table(t).filter(col("batch_id") < 5).count() == 50)
+    // no-op re-run
+    assert(Compaction.consolidateBatches(spark, t, 3L, Seq("doc_id")) == 0)
+
+    // crash-between-steps simulation: step 1 ran (target holds the full
+    // union) but the source drops did not — duplicates exist; the re-run
+    // must converge to the exact set
+    val dup = spark.table(t).filter(col("batch_id") <= 4)
+      .select("doc_id", "text").localCheckpoint(true)
+    dup.createOrReplaceTempView("consol_dup")
+    spark.sql(s"INSERT OVERWRITE TABLE $t PARTITION (batch_id=4) " +
+      "SELECT doc_id, text FROM consol_dup")
+    // partition 4 now holds the full 50-row union while partition 3 still
+    // holds its 40 rows — 90 total, the duplicated mid-crash state
+    assert(spark.table(t).count() == 90, "simulated crash leaves duplicates")
+    assert(Compaction.consolidateBatches(spark, t, 4L, Seq("doc_id")) == 1)
+    spark.sql(s"REFRESH TABLE $t")
+    assert(spark.table(t).select("doc_id").as[Long].collect().toSet == before)
+    assert(spark.table(t).count() == 50)
+  }
+
   // ------------------------------------------------- LSH planner
 
   test("lshPlan: budget-exact splits, monotone midpoint, closed-form spot check") {
