@@ -113,4 +113,33 @@ object Privacy {
       .select(groupCols.map(col) :+
         round(col("__true") + noise, 6).as("noisy_count"): _*)
   }
+
+  /** USER-LEVEL DP counting: [[dpCounts]] with contribution bounding — the
+    * piece row-level DP silently skips. Laplace(1/ε) calibrates to
+    * sensitivity 1, i.e. ONE ROW per individual; a user contributing 500
+    * rows to a group moves its count by 500, and ε means nothing. This
+    * variant first caps each user's contribution per group at
+    * `maxPerUser`, then releases Laplace(maxPerUser/ε) — the scaled noise
+    * that makes the release ε-DP at the USER level. */
+  def dpCountsBounded(df: DataFrame, userCol: String, groupCols: Seq[String],
+                      maxPerUser: Int, epsilon: Double, seed: String): DataFrame = {
+    require(maxPerUser >= 1, s"maxPerUser must be >= 1: $maxPerUser")
+    require(epsilon > 0, s"epsilon must be positive: $epsilon")
+    // capping a COUNT never needs to pick which rows survive:
+    // min(n, maxPerUser) per (user, group) is the whole bound — two hash
+    // aggregations, no window, no ordering anywhere
+    val capped = df
+      .groupBy(col(userCol) +: groupCols.map(col): _*)
+      .agg(least(count(lit(1)), lit(maxPerUser.toLong)).as("__c"))
+    val key = concat(md5(lit(seed)), tupleKey(groupCols.map(col)))
+    val u = (conv(substring(md5(key), 1, 8), 16, 10).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    val shifted = u - lit(0.5)
+    val noise = (lit(-maxPerUser.toDouble) / lit(epsilon)) * signum(shifted) *
+      log(lit(1.0) - lit(2.0) * abs(shifted))
+    capped.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__c")).as("__true"))
+      .select(groupCols.map(col) :+
+        round(col("__true") + noise, 6).as("noisy_count"): _*)
+  }
 }

@@ -260,6 +260,20 @@ object StreamingOps {
     }
   }
 
+  /** Replay-safe reader for any gate-maintained state table: rows of
+    * partitions the [[BatchCommitLog]] has committed, nothing else. The
+    * gates themselves filter `batch_id < id` inside the loop, but an
+    * EXTERNAL reader of the corpus/report/index tables would otherwise see
+    * a crashed batch's orphaned partition (written, never committed, not
+    * yet replaced by the replay) — this is the read path that closes that
+    * window. Partition-pruned on batch_id. */
+  def readCommitted(spark: SparkSession, table: String,
+                    checkpoint: String): DataFrame =
+    BatchCommitLog.committed(spark, checkpoint) match {
+      case Some(wm) => spark.table(table).filter(col("batch_id") <= wm)
+      case None => spark.table(table).limit(0)
+    }
+
   /** The current committed model of [[onlineLogisticFit]]: the weights
     * snapshot named by the commit log. Read THIS, not the raw table — the
     * table keeps one snapshot partition per applied batch (older partitions

@@ -77,6 +77,47 @@ class Round11OpsSpec extends SparkSpec {
     assert(d != a)
   }
 
+  test("dpCountsBounded: a flooding user moves the release by at most maxPerUser") {
+    // 5 users x 10 rows in group A, plus one user with 500 rows in group B
+    val df = (for { u <- 1 to 5; _ <- 1 to 10 } yield (u.toLong, "A"))
+      .++(Seq.fill(500)((99L, "B"))).toDF("uid", "g")
+    val out = Privacy.dpCountsBounded(df, "uid", Seq("g"),
+        maxPerUser = 3, epsilon = 0.5, seed = "s")
+      .as[(String, Double)].collect().toMap
+    // capped true counts: A = 5 users x 3 = 15, B = 1 x 3 = 3; same-seed
+    // noise is recoverable by differencing two runs over shifted data —
+    // here just assert the release sits within the noise envelope of the
+    // CAPPED count, far from the raw count for B (500)
+    assert(math.abs(out("A") - 15.0) < 200, out.toString) // Laplace(6) tail
+    assert(math.abs(out("B") - 3.0) < 200 && out("B") < 100,
+      s"B must reflect the capped 3, not the raw 500: ${out("B")}")
+    // determinism
+    val again = Privacy.dpCountsBounded(df, "uid", Seq("g"), 3, 0.5, "s")
+      .as[(String, Double)].collect().toMap
+    assert(again == out)
+  }
+
+  test("readCommitted: an orphaned (written, never committed) partition is invisible") {
+    import graft.streaming.{BatchCommitLog, StreamingOps}
+    val db = s"readcomm${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    val t = s"$db.state"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rc_ckpt").toString
+    Seq((1L, 0L), (2L, 0L)).toDF("id", "batch_id")
+      .write.partitionBy("batch_id").saveAsTable(t)
+    BatchCommitLog.commit(spark, ckpt, 0L)
+    // a crashed batch 1: partition written, marker never placed
+    Seq((3L, 1L)).toDF("id", "batch_id")
+      .write.mode("append").partitionBy("batch_id").saveAsTable(t)
+    spark.sql(s"REFRESH TABLE $t")
+    assert(spark.table(t).count() == 3, "raw read sees the orphan")
+    val committed = StreamingOps.readCommitted(spark, t, ckpt)
+      .select("id").as[Long].collect().toSet
+    assert(committed == Set(1L, 2L), "committed read must exclude the orphan")
+    BatchCommitLog.commit(spark, ckpt, 1L)
+    assert(StreamingOps.readCommitted(spark, t, ckpt).count() == 3)
+  }
+
   // ------------------------------------------------- Luhn card masking
 
   test("maskCardNumbers: Luhn-valid masked, checksum failures and short runs untouched") {
