@@ -142,4 +142,32 @@ object Privacy {
       .select(groupCols.map(col) :+
         round(col("__true") + noise, 6).as("noisy_count"): _*)
   }
+
+  /** ε-DP SUM release with value clipping — the third member of the
+    * release family (counts, bounded counts, sums): each row's value is
+    * CLIPPED into [lo, hi] before summing (the sensitivity bound — without
+    * it one outlier row moves the sum arbitrarily and ε is meaningless),
+    * then Laplace((hi−lo)/ε) noise is added via the same deterministic
+    * inverse-CDF draw. Values are quantized to 6dp scaled longs so the
+    * clipped sum is exact and partition-order-independent; row-level
+    * sensitivity — compose with the [[dpCountsBounded]] cap upstream for
+    * user-level. One hash aggregation. */
+  def dpSums(df: DataFrame, valueCol: String, groupCols: Seq[String],
+             lo: Double, hi: Double, epsilon: Double, seed: String): DataFrame = {
+    require(lo < hi, s"need lo < hi: [$lo, $hi]")
+    require(epsilon > 0, s"epsilon must be positive: $epsilon")
+    val clipped = least(greatest(col(valueCol).cast("double"), lit(lo)), lit(hi))
+    val vq = round(clipped * 1000000.0).cast("long")
+    val key = concat(md5(lit(seed)), tupleKey(groupCols.map(col)))
+    val u = (conv(substring(md5(key), 1, 8), 16, 10).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    val shifted = u - lit(0.5)
+    val noise = (lit(-(hi - lo)) / lit(epsilon)) * signum(shifted) *
+      log(lit(1.0) - lit(2.0) * abs(shifted))
+    df.select(groupCols.map(col) :+ vq.as("__v"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__v")).as("__s"))
+      .select(groupCols.map(col) :+
+        round(col("__s").cast("double") / 1000000.0 + noise, 6).as("noisy_sum"): _*)
+  }
 }

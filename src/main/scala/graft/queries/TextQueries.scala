@@ -2228,6 +2228,17 @@ object TextQueries {
         .orderBy(col("event_type"))
     }),
 
+    // eps-DP SUM release (Privacy.dpSums): event values clipped into
+    // [0, 500] (the sensitivity bound), exact scaled-long sums,
+    // Laplace((hi-lo)/eps) noise off the same deterministic draw. The
+    // oracle replays clip, quantized sum, key, and noise.
+    "q202_dp_sums" -> ((s, d) => {
+      graft.operators.Privacy.dpSums(Tables(s, d, "events"), "value",
+          Seq("event_type"), lo = 0.0, hi = 500.0, epsilon = 0.5,
+          seed = "dps1")
+        .orderBy(col("event_type"))
+    }),
+
     // Calibration bins (Analytics.calibrationBins): sigmoid of the
     // standardized doc length as the score, lang='en' as the label, decile
     // reliability bins — predicted probability vs empirical rate. Mean and
@@ -5242,6 +5253,18 @@ object TextQueries {
             FROM g)
       SELECT event_type,
              round(t + (-3.0 / 0.5) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6) AS noisy_count
+      FROM n ORDER BY event_type""",
+    // DP-sum replay: clip, quantize, exact sums, the shared key + Laplace.
+    "q202_dp_sums" -> """
+      WITH v AS (SELECT event_type,
+                   CAST(round(least(greatest(CAST(value AS DOUBLE), 0.0), 500.0) * 1000000.0) AS BIGINT) AS vq
+                 FROM events),
+      g AS (SELECT event_type, CAST(sum(vq) AS BIGINT) AS s FROM v GROUP BY 1),
+      n AS (SELECT event_type, s,
+              (CAST(CAST(('0x' || substr(md5(md5('dps1') || coalesce(md5(event_type), '~')), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+            FROM g)
+      SELECT event_type,
+             round(CAST(s AS DOUBLE) / 1000000.0 + (-500.0 / 0.5) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6) AS noisy_sum
       FROM n ORDER BY event_type""",
     // Bootstrap replay: same md5 uniform, same Poisson(1) CDF literals,
     // exact scaled-long weighted sums.

@@ -268,4 +268,76 @@ class SparkPropertySpec extends SparkSpec with PropHelper {
       vals.forall(v => SketchAggregates.bloomTest(words, m, k, v))
     }, tests = 60)
   }
+
+  test("maskCardNumbers: agrees with an independent reference on arbitrary digit/sep soup") {
+    import graft.functions.expressions.Kernels
+    import org.apache.spark.unsafe.types.UTF8String
+    // independent reference: regex candidates + straightforward Luhn
+    def luhnRef(ds: String): Boolean = {
+      var sum = 0
+      ds.reverse.zipWithIndex.foreach { case (c, i) =>
+        var v = c - '0'
+        if (i % 2 == 1) { v *= 2; if (v > 9) v -= 9 }
+        sum += v
+      }
+      sum % 10 == 0
+    }
+    def maskRef(s: String): String = {
+      val m = java.util.regex.Pattern.compile("[0-9]([ -]?[0-9])*").matcher(s)
+      val sb = new StringBuilder
+      var last = 0
+      while (m.find()) {
+        sb.append(s.substring(last, m.start()))
+        val cand = m.group()
+        val ds = cand.filter(_.isDigit)
+        if (ds.length >= 13 && ds.length <= 19 && luhnRef(ds))
+          sb.append("[CARD-").append(ds.takeRight(4)).append(']')
+        else sb.append(cand)
+        last = m.end()
+      }
+      sb.append(s.substring(last)).toString
+    }
+    val genSoup = Gen.listOf(Gen.frequency(
+      6 -> Gen.numChar.map(_.toString), 2 -> Gen.const(" "), 1 -> Gen.const("-"),
+      2 -> Gen.alphaChar.map(_.toString))).map(_.mkString)
+    checkProp(Prop.forAllNoShrink(genSoup) { s =>
+      val got = Kernels.maskCardNumbers(UTF8String.fromString(s)).toString
+      val want = maskRef(s)
+      if (got != want) info(s"mask mismatch: in=<$s> got=<$got> want=<$want>")
+      got == want
+    }, tests = 300)
+  }
+
+  test("matVec: agrees with a naive product on arbitrary matrices/vectors") {
+    import graft.functions.expressions.Kernels
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val genDim = Gen.chooseNum(1, 16)
+    checkProp(Prop.forAll(genDim, genDim, Gen.long) { (k, d, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val m = Array.fill(k, d)(rnd.nextDouble() - 0.5)
+      val v = Array.fill(d)(rnd.nextDouble() - 0.5)
+      val got = Kernels.matVec(
+        new GenericArrayData(v.map(x => x: Any)), m, isFloat = false)
+      (0 until k).forall { i =>
+        val want = (0 until d).foldLeft(0.0)((a, j) => a + m(i)(j) * v(j))
+        got.getDouble(i) == want
+      }
+    }, tests = 100)
+  }
+
+  test("sdcSum: agrees with a naive table lookup sum for arbitrary codes") {
+    import graft.functions.expressions.Kernels
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    checkProp(Prop.forAll(Gen.chooseNum(1, 8), Gen.chooseNum(2, 6), Gen.long) {
+      (mm, kk, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val flat = Array.fill(mm * kk * kk)(rnd.nextDouble())
+        val a = Array.fill(mm)(rnd.nextInt(kk))
+        val b = Array.fill(mm)(rnd.nextInt(kk))
+        val want = (0 until mm).foldLeft(0.0)((s, j) =>
+          s + flat(j * kk * kk + a(j) * kk + b(j)))
+        Kernels.sdcSum(new GenericArrayData(a.map(x => x: Any)),
+          new GenericArrayData(b.map(x => x: Any)), flat, kk) == want
+    }, tests = 100)
+  }
 }
