@@ -529,5 +529,22 @@ class Round11OpsSpec extends SparkSpec {
     q2.processAllAvailable(); q2.stop()
     spark.sql(s"REFRESH TABLE $it")
     assert(spark.table(it).count() == 40)
+
+    // maintenance composition: fold the committed batch history into one
+    // partition — the search over the consolidated index is identical
+    val queries = vecs.take(3).toDF("vec_id", "embedding")
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def search() = Ann.ivfPqSearch(
+        spark.table(it).select(col("vec_id"), col("__list"), col("code")),
+        queries, "embedding", "vec_id", "query_id", cs, cb, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val before = search()
+    val wm = graft.streaming.BatchCommitLog.committed(spark, ckpt).get
+    assert(graft.catalog.Compaction.consolidateBatches(
+      spark, it, wm, Seq("vec_id")) == 1)
+    spark.sql(s"REFRESH TABLE $it")
+    assert(spark.sql(s"SHOW PARTITIONS $it").count() == 1)
+    assert(search() == before,
+      "consolidating index history must not change a single search result")
   }
 }
