@@ -160,19 +160,27 @@ object Compaction {
     * `<= watermark` ranges (the gate tables' shape) with
     * `upTo` ≤ the commit log's watermark — every consolidated row keeps
     * satisfying those predicates, and the replay guard never revisits
-    * committed batches. NOT for snapshot-keyed tables (the online-fit
-    * weights read `batch_id == watermark` exactly; consolidating their
-    * history away is fine only with `upTo` < the watermark).
+    * committed batches. NEVER for snapshot-keyed tables (the online-fit
+    * weights hold one complete model per partition and read
+    * `batch_id == watermark` exactly — deduping ACROSS snapshots would
+    * splice an arbitrary per-feature mixture no training step ever
+    * emitted; prune their history by dropping whole old partitions
+    * instead).
     *
-    * Crash safety under the single-writer window (run it where the gates
-    * run their compaction hook — between batches): step 1 OVERWRITES the
-    * target partition with the DEDUPLICATED union of all rows ≤ upTo
-    * (`dedupKeys` — the table's row identity, e.g. the doc id), step 2
-    * drops the source partitions one statement at a time. A crash between
-    * the steps leaves duplicate rows across old+new partitions, and the
-    * RE-RUN CONVERGES: step 1 recomputes from the current (duplicated)
-    * content and dedups, step 2 finishes the drops — idempotent by
-    * construction, which is why dedupKeys is required rather than optional.
+    * Crash safety under the single-writer window (run it via the gates'
+    * `maintain` hook — between batches, never beside a live writer):
+    * the deduplicated union of all rows ≤ upTo (`dedupKeys` — the table's
+    * row identity) is first written DURABLY to a hidden scratch dir under
+    * the table root (the write-ahead copy: the target partition's rows
+    * exist on disk before anything deletes them — an in-memory
+    * localCheckpoint would not survive a driver crash, and INSERT
+    * OVERWRITE clears the target partition before its job commits), then
+    * the target partition overwrites FROM the scratch, then the source
+    * partitions drop, then the scratch deletes. A re-run after a crash at
+    * ANY point converges: an incomplete scratch (no _SUCCESS) is
+    * recomputed from the untouched table; a complete scratch is reused as
+    * the source (the table's partial state is irrelevant); remaining drops
+    * and the cleanup finish idempotently.
     *
     * @return number of source partitions folded away. */
   def consolidateBatches(spark: SparkSession, table: String, upTo: Long,
@@ -185,21 +193,34 @@ object Compaction {
     require(meta.partitionColumnNames == Seq("batch_id"),
       s"$table must be partitioned by exactly (batch_id), " +
         s"got ${meta.partitionColumnNames.mkString(", ")}")
-    val sources = spark.sql(s"SHOW PARTITIONS $table").collect()
-      .map(_.getString(0).stripPrefix("batch_id=").toLong).filter(_ < upTo)
-    if (sources.isEmpty) return 0
+    val partNames = spark.sql(s"SHOW PARTITIONS $table").collect()
+      .map(_.getString(0).stripPrefix("batch_id="))
+    val nonNumeric = partNames.filter(p => scala.util.Try(p.toLong).isFailure)
+    require(nonNumeric.isEmpty,
+      s"$table has non-numeric batch_id partitions (${nonNumeric.take(3).mkString(", ")}) " +
+        "— e.g. a null-batch_id backfill; repair the table before consolidating")
+    val sources = partNames.map(_.toLong).filter(_ < upTo)
+    val scratch = new Path(new Path(meta.location), s".graft_consolidate_upTo=$upTo")
+    val fs = scratch.getFileSystem(spark.sessionState.newHadoopConf())
+    if (sources.isEmpty) {
+      fs.delete(scratch, true) // stale WAL from a fully-completed prior run
+      return 0
+    }
     val dataCols = meta.schema.fieldNames.filterNot(_ == "batch_id")
-    val all = spark.table(table).filter(col("batch_id") <= upTo)
-      .dropDuplicates(dedupKeys)
-      .select(dataCols.map(col).toIndexedSeq: _*)
-      .localCheckpoint(true) // settle before overwriting a path it reads
+    // WRITE-AHEAD copy: durable before anything is deleted
+    if (!fs.exists(new Path(scratch, "_SUCCESS")))
+      spark.table(table).filter(col("batch_id") <= upTo)
+        .dropDuplicates(dedupKeys)
+        .select(dataCols.map(col).toIndexedSeq: _*)
+        .write.mode(SaveMode.Overwrite).parquet(scratch.toString)
     val v = s"graft_consol_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    all.createOrReplaceTempView(v)
+    spark.read.parquet(scratch.toString).createOrReplaceTempView(v)
     try spark.sql(s"INSERT OVERWRITE TABLE $table PARTITION (batch_id=$upTo) " +
       s"SELECT ${dataCols.map(c => s"`$c`").mkString(", ")} FROM $v")
     finally { spark.catalog.dropTempView(v); () }
     sources.foreach(p =>
       spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (batch_id=$p)"))
+    fs.delete(scratch, true)
     spark.catalog.refreshTable(table)
     sources.length
   }

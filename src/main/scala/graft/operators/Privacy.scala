@@ -91,56 +91,78 @@ object Privacy {
     * noisy = count − (1/ε)·sign(u−½)·ln(1−2·|u−½|),  u ∈ (0,1)
     *
     * One hash aggregation; the noise is a per-group scalar expression. */
+  /** Deterministic Laplace(scale) draw keyed by the group tuple.
+    * Injection-proof key ([[tupleKey]]): concat_ws would skip NULL group
+    * values and has no delimiter escaping, so distinct groups like
+    * (NULL,'en') vs ('en',NULL) — or ('a|b','c') vs ('a','b|c') — would
+    * share one noise draw, and noisy_a − noisy_b would leak the exact true
+    * difference, which is the attack ε-DP exists to prevent. The 32
+    * hex-bit md5 prefix maps to a uniform in (0,1): (v + 0.5) / 2^32 never
+    * hits the endpoints, so ln(1 − 2|u−½|) is finite. ONE implementation
+    * for all three releases — the draw arithmetic is oracle-pinned and two
+    * drifting copies could break one oracle while another stays green. */
+  private def laplaceNoise(groupCols: Seq[String], seed: String,
+                           scale: Double): Column = {
+    val key = concat(md5(lit(seed)), tupleKey(groupCols.map(col)))
+    val u = (conv(substring(md5(key), 1, 8), 16, 10).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    val shifted = u - lit(0.5)
+    lit(-scale) * signum(shifted) * log(lit(1.0) - lit(2.0) * abs(shifted))
+  }
+
   def dpCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
                seed: String): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(epsilon > 0, s"epsilon must be positive: $epsilon")
-    // injection-proof noise key ([[tupleKey]]): concat_ws would skip NULL
-    // group values and has no delimiter escaping, so distinct groups like
-    // (NULL,'en') vs ('en',NULL) — or ('a|b','c') vs ('a','b|c') — would
-    // share one noise draw, and noisy_a − noisy_b would leak the exact
-    // true difference, which is the attack ε-DP exists to prevent
-    val key = concat(md5(lit(seed)), tupleKey(groupCols.map(col)))
-    // 32 hex-bit md5 prefix → uniform in (0,1): (v + 0.5) / 2^32 never hits
-    // the endpoints, so ln(1 − 2|u−½|) is finite
-    val u = (conv(substring(md5(key), 1, 8), 16, 10).cast("double") + lit(0.5)) /
-      lit(4294967296.0)
-    val shifted = u - lit(0.5)
-    val noise = (lit(-1.0) / lit(epsilon)) * signum(shifted) *
-      log(lit(1.0) - lit(2.0) * abs(shifted))
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__true"))
       .select(groupCols.map(col) :+
-        round(col("__true") + noise, 6).as("noisy_count"): _*)
+        round(col("__true") + laplaceNoise(groupCols, seed, 1.0 / epsilon), 6)
+          .as("noisy_count"): _*)
   }
 
-  /** USER-LEVEL DP counting: [[dpCounts]] with contribution bounding — the
-    * piece row-level DP silently skips. Laplace(1/ε) calibrates to
+  /** USER-LEVEL DP counting: [[dpCounts]] with BOTH contribution bounds —
+    * the pieces row-level DP silently skips. Laplace(1/ε) calibrates to
     * sensitivity 1, i.e. ONE ROW per individual; a user contributing 500
-    * rows to a group moves its count by 500, and ε means nothing. This
-    * variant first caps each user's contribution per group at
-    * `maxPerUser`, then releases Laplace(maxPerUser/ε) — the scaled noise
-    * that makes the release ε-DP at the USER level. */
+    * rows to a group moves its count by 500, and a user touching 26 groups
+    * moves 26 releases at once, so without bounding BOTH dimensions ε
+    * means nothing. This variant (the standard recipe, e.g. Google's DP
+    * library's max_contributions_per_partition × max_partitions_contributed):
+    *   1. caps each user's rows per group at `maxPerUser`
+    *      (min(n, maxPerUser) — no ordering needed, counts are
+    *      row-interchangeable);
+    *   2. caps the GROUPS a user contributes to at `maxGroupsPerUser`,
+    *      keeping the user's groups with the lowest md5 rank
+    *      (deterministic, replayable — which groups survive must not
+    *      depend on partitioning);
+    *   3. releases with Laplace(maxPerUser·maxGroupsPerUser/ε) — the L1
+    *      sensitivity of the WHOLE release to one user, so the release is
+    *      ε-DP at the user level, not ε-per-group.
+    * Two hash aggregations + one per-user window over (user, group) rows
+    * (one row per cell, never per event). */
   def dpCountsBounded(df: DataFrame, userCol: String, groupCols: Seq[String],
-                      maxPerUser: Int, epsilon: Double, seed: String): DataFrame = {
+                      maxPerUser: Int, maxGroupsPerUser: Int,
+                      epsilon: Double, seed: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(maxPerUser >= 1, s"maxPerUser must be >= 1: $maxPerUser")
+    require(maxGroupsPerUser >= 1, s"maxGroupsPerUser must be >= 1: $maxGroupsPerUser")
     require(epsilon > 0, s"epsilon must be positive: $epsilon")
-    // capping a COUNT never needs to pick which rows survive:
-    // min(n, maxPerUser) per (user, group) is the whole bound — two hash
-    // aggregations, no window, no ordering anywhere
+    import org.apache.spark.sql.expressions.Window
     val capped = df
       .groupBy(col(userCol) +: groupCols.map(col): _*)
       .agg(least(count(lit(1)), lit(maxPerUser.toLong)).as("__c"))
-    val key = concat(md5(lit(seed)), tupleKey(groupCols.map(col)))
-    val u = (conv(substring(md5(key), 1, 8), 16, 10).cast("double") + lit(0.5)) /
-      lit(4294967296.0)
-    val shifted = u - lit(0.5)
-    val noise = (lit(-maxPerUser.toDouble) / lit(epsilon)) * signum(shifted) *
-      log(lit(1.0) - lit(2.0) * abs(shifted))
-    capped.groupBy(groupCols.map(col): _*)
+    val rk = md5(concat(md5(lit(seed)),
+      tupleKey(col(userCol) +: groupCols.map(col))))
+    val selected = capped
+      .withColumn("__gr", row_number().over(Window.partitionBy(col(userCol))
+        .orderBy(rk, tupleKey(groupCols.map(col)))))
+      .filter(col("__gr") <= maxGroupsPerUser)
+    val scale = maxPerUser.toDouble * maxGroupsPerUser / epsilon
+    selected.groupBy(groupCols.map(col): _*)
       .agg(sum(col("__c")).as("__true"))
       .select(groupCols.map(col) :+
-        round(col("__true") + noise, 6).as("noisy_count"): _*)
+        round(col("__true") + laplaceNoise(groupCols, seed, scale), 6)
+          .as("noisy_count"): _*)
   }
 
   /** ε-DP SUM release with value clipping — the third member of the
@@ -154,20 +176,17 @@ object Privacy {
     * user-level. One hash aggregation. */
   def dpSums(df: DataFrame, valueCol: String, groupCols: Seq[String],
              lo: Double, hi: Double, epsilon: Double, seed: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(lo < hi, s"need lo < hi: [$lo, $hi]")
     require(epsilon > 0, s"epsilon must be positive: $epsilon")
     val clipped = least(greatest(col(valueCol).cast("double"), lit(lo)), lit(hi))
     val vq = round(clipped * 1000000.0).cast("long")
-    val key = concat(md5(lit(seed)), tupleKey(groupCols.map(col)))
-    val u = (conv(substring(md5(key), 1, 8), 16, 10).cast("double") + lit(0.5)) /
-      lit(4294967296.0)
-    val shifted = u - lit(0.5)
-    val noise = (lit(-(hi - lo)) / lit(epsilon)) * signum(shifted) *
-      log(lit(1.0) - lit(2.0) * abs(shifted))
     df.select(groupCols.map(col) :+ vq.as("__v"): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("__v")).as("__s"))
       .select(groupCols.map(col) :+
-        round(col("__s").cast("double") / 1000000.0 + noise, 6).as("noisy_sum"): _*)
+        round(col("__s").cast("double") / 1000000.0 +
+          laplaceNoise(groupCols, seed, (hi - lo) / epsilon), 6)
+          .as("noisy_sum"): _*)
   }
 }

@@ -2217,14 +2217,15 @@ object TextQueries {
     }),
 
     // USER-LEVEL DP counts (Privacy.dpCountsBounded): per-user
-    // contribution capped at 3 rows per event_type before counting, noise
-    // scaled to Laplace(maxPerUser/eps) — the sensitivity bounding
-    // row-level DP silently skips. The oracle replays cap, sums, key,
-    // and noise.
+    // contribution capped at 3 rows per event_type AND at 2 event_types
+    // per user (md5-ranked deterministic selection), noise scaled to
+    // Laplace(maxPerUser*maxGroupsPerUser/eps) — the L1 sensitivity of
+    // the WHOLE release to one user. The oracle replays both caps, the
+    // rank, the sums, and the noise.
     "q201_dp_bounded" -> ((s, d) => {
       graft.operators.Privacy.dpCountsBounded(Tables(s, d, "events"),
-          "user_id", Seq("event_type"), maxPerUser = 3, epsilon = 0.5,
-          seed = "dpu1")
+          "user_id", Seq("event_type"), maxPerUser = 3,
+          maxGroupsPerUser = 2, epsilon = 0.5, seed = "dpu1")
         .orderBy(col("event_type"))
     }),
 
@@ -5242,17 +5243,24 @@ object TextQueries {
              round(power(1.0 / b, 1.0 / (64 // b)), 6) AS midpoint,
              round(1 - power(1 - power(0.2, 64 // b), b), 6) AS junk_collision
       FROM range(1, 65) t(b) WHERE 64 % b = 0 ORDER BY bands""",
-    // Bounded-DP replay: per-(user, group) capped counts, group sums, the
-    // per-column-hashed key, the maxPerUser-scaled Laplace.
+    // Bounded-DP replay: per-(user, group) capped counts, the md5-ranked
+    // per-user group cap, group sums, the per-column-hashed key, the
+    // (maxPerUser*maxGroupsPerUser)-scaled Laplace.
     "q201_dp_bounded" -> """
       WITH c AS (SELECT user_id, event_type, least(count(*), 3) AS c
                  FROM events GROUP BY 1, 2),
-      g AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS t FROM c GROUP BY 1),
+      r AS (SELECT user_id, event_type, c,
+              md5(md5('dpu1') || coalesce(md5(CAST(user_id AS VARCHAR)), '~') || coalesce(md5(event_type), '~')) AS rk
+            FROM c),
+      s AS (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY rk, coalesce(md5(event_type), '~')) AS gr FROM r),
+      g AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS t
+            FROM s WHERE gr <= 2 GROUP BY 1),
       n AS (SELECT event_type, t,
               (CAST(CAST(('0x' || substr(md5(md5('dpu1') || coalesce(md5(event_type), '~')), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
             FROM g)
       SELECT event_type,
-             round(t + (-3.0 / 0.5) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6) AS noisy_count
+             round(t + (-12.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6) AS noisy_count
       FROM n ORDER BY event_type""",
     // DP-sum replay: clip, quantize, exact sums, the shared key + Laplace.
     "q202_dp_sums" -> """

@@ -77,24 +77,40 @@ class Round11OpsSpec extends SparkSpec {
     assert(d != a)
   }
 
-  test("dpCountsBounded: a flooding user moves the release by at most maxPerUser") {
+  test("dpCountsBounded: both contribution bounds bite — rows per group AND groups per user") {
     // 5 users x 10 rows in group A, plus one user with 500 rows in group B
     val df = (for { u <- 1 to 5; _ <- 1 to 10 } yield (u.toLong, "A"))
       .++(Seq.fill(500)((99L, "B"))).toDF("uid", "g")
     val out = Privacy.dpCountsBounded(df, "uid", Seq("g"),
-        maxPerUser = 3, epsilon = 0.5, seed = "s")
+        maxPerUser = 3, maxGroupsPerUser = 4, epsilon = 0.5, seed = "s")
       .as[(String, Double)].collect().toMap
-    // capped true counts: A = 5 users x 3 = 15, B = 1 x 3 = 3; same-seed
-    // noise is recoverable by differencing two runs over shifted data —
-    // here just assert the release sits within the noise envelope of the
-    // CAPPED count, far from the raw count for B (500)
-    assert(math.abs(out("A") - 15.0) < 200, out.toString) // Laplace(6) tail
-    assert(math.abs(out("B") - 3.0) < 200 && out("B") < 100,
+    // capped true counts: A = 5 users x 3 = 15, B = 1 x 3 = 3; assert the
+    // release sits within the noise envelope of the CAPPED count, far
+    // from the raw count for B (500)
+    assert(math.abs(out("A") - 15.0) < 400, out.toString) // Laplace(24) tail
+    assert(math.abs(out("B") - 3.0) < 400 && out("B") < 200,
       s"B must reflect the capped 3, not the raw 500: ${out("B")}")
     // determinism
-    val again = Privacy.dpCountsBounded(df, "uid", Seq("g"), 3, 0.5, "s")
+    val again = Privacy.dpCountsBounded(df, "uid", Seq("g"), 3, 4, 0.5, "s")
       .as[(String, Double)].collect().toMap
     assert(again == out)
+
+    // group cap: a user spread over 4 groups contributes to exactly 2 of
+    // them when maxGroupsPerUser = 2 — total capped mass 2, not 4 — and
+    // WHICH two is deterministic (md5 rank, not partitioning)
+    val spread = Seq("w", "x", "y", "z").flatMap(g => Seq.fill(5)((7L, g)))
+      .toDF("uid", "g")
+    def release() = Privacy.dpCountsBounded(spread, "uid", Seq("g"),
+        maxPerUser = 1, maxGroupsPerUser = 2, epsilon = 1000.0, seed = "s2")
+      .as[(String, Double)].collect().toMap
+    val rel = release()
+    // eps=1000 makes noise ~0: surviving groups release ~1, dropped
+    // groups are ABSENT from the release entirely
+    assert(rel.size == 2 && rel.values.forall(v => math.abs(v - 1.0) < 0.1),
+      rel.toString)
+    assert(release() == rel)
+    assert(release() == Privacy.dpCountsBounded(spread.repartition(7), "uid",
+      Seq("g"), 1, 2, 1000.0, "s2").as[(String, Double)].collect().toMap)
   }
 
   test("readCommitted: an orphaned (written, never committed) partition is invisible") {
