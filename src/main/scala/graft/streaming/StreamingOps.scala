@@ -382,11 +382,31 @@ object StreamingOps {
     * committed history below the watermark into one partition), and the
     * replay probe is the commit log's O(1) marker listing, not a max over
     * ingest history. */
+  /** Runs a gate's maintenance hook on the single-writer stream thread,
+    * AFTER the batch's own commit: every `maintainEvery`-th batch calls
+    * `maintain(session, committed batch id)` — the API window
+    * [[graft.catalog.Compaction.consolidateBatches]]'s crash-safety
+    * argument requires (no other writer can be active). Failures log and
+    * skip (maintenance debt is a performance problem, ingest health is
+    * not), mirroring [[fileArrivalPipeline]]'s posture. */
+  private def runMaintenance(ss: SparkSession, id: Long, maintainEvery: Int,
+                             maintain: (SparkSession, Long) => Unit): Unit =
+    if (maintainEvery > 0 && id > 0 && id % maintainEvery == 0) {
+      try maintain(ss, id)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"gate maintenance failed at batch $id — ingest proceeds", e)
+      }
+    }
+
   def ingestDedupGate(docs: DataFrame, textCol: String, idCol: String,
                       blockCols: Seq[String], threshold: Double,
                       corpusTable: String, reportTable: String,
                       checkpoint: String,
-                      availableNow: Boolean = false): StreamingQuery = {
+                      availableNow: Boolean = false,
+                      maintainEvery: Int = 0,
+                      maintain: (SparkSession, Long) => Unit = (_, _) => ()): StreamingQuery = {
     import graft.functions.{SimilarityFunctions => S}
     import graft.operators.Dedup
     val w = docs.writeStream
@@ -418,6 +438,7 @@ object StreamingOps {
           writeBatchPartition(report, reportTable, id)
           BatchCommitLog.commit(ss, checkpoint, id)
         }
+        runMaintenance(ss, id, maintainEvery, maintain)
         ()
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
@@ -440,7 +461,9 @@ object StreamingOps {
   def ingestDqGate(rows: DataFrame, rules: Seq[String],
                    cleansedTable: String, quarantineTable: String,
                    checkpoint: String,
-                   availableNow: Boolean = false): StreamingQuery = {
+                   availableNow: Boolean = false,
+                   maintainEvery: Int = 0,
+                   maintain: (SparkSession, Long) => Unit = (_, _) => ()): StreamingQuery = {
     val w = rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -452,6 +475,7 @@ object StreamingOps {
           writeBatchPartition(fail.withColumn("batch_id", lit(id)), quarantineTable, id)
           BatchCommitLog.commit(ss, checkpoint, id)
         }
+        runMaintenance(ss, id, maintainEvery, maintain)
         ()
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
@@ -476,7 +500,9 @@ object StreamingOps {
                     centroids: Array[Array[Double]],
                     codebooks: Array[Array[Array[Double]]],
                     indexTable: String, checkpoint: String,
-                    availableNow: Boolean = false): StreamingQuery = {
+                    availableNow: Boolean = false,
+                    maintainEvery: Int = 0,
+                    maintain: (SparkSession, Long) => Unit = (_, _) => ()): StreamingQuery = {
     val w = vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -488,6 +514,7 @@ object StreamingOps {
           writeBatchPartition(encoded, indexTable, id)
           BatchCommitLog.commit(ss, checkpoint, id)
         }
+        runMaintenance(ss, id, maintainEvery, maintain)
         ()
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()

@@ -469,6 +469,43 @@ class Round11OpsSpec extends SparkSpec {
     assert(spark.table(t).count() == 50)
   }
 
+  test("gate maintain hook: in-loop consolidation preserves the dedup fixpoint, partitions bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    def run(consolidate: Boolean): (Set[(Long, String)], Long) = {
+      val db = s"gmaint${System.nanoTime()}"
+      spark.sql(s"CREATE DATABASE $db")
+      val (ct, rt) = (s"$db.corpus", s"$db.report")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_gm_ckpt").toString
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, String, String)]
+      val q = StreamingOps.ingestDedupGate(
+        mem.toDF().toDF("doc_id", "blk", "text"),
+        "text", "doc_id", Seq("blk"), 0.7, ct, rt, ckpt,
+        maintainEvery = if (consolidate) 2 else 0,
+        maintain = (ss, id) => {
+          // fold corpus history below the committed watermark (the hook
+          // runs after commit, so the watermark IS id)
+          graft.catalog.Compaction.consolidateBatches(ss, ct, id, Seq("doc_id"))
+          ()
+        })
+      (0 until 6).foreach { b =>
+        mem.addData((1 to 3).map(i =>
+          ((b * 10 + i).toLong, "k", s"doc text $b $i unique words")): _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      spark.sql(s"REFRESH TABLE $ct")
+      (spark.table(ct).select("doc_id", "blk").as[(Long, String)].collect().toSet,
+        spark.sql(s"SHOW PARTITIONS $ct").count())
+    }
+    val (plain, plainParts) = run(consolidate = false)
+    val (folded, foldedParts) = run(consolidate = true)
+    assert(folded == plain, "in-loop consolidation must not change the corpus")
+    assert(plainParts == 6 && foldedParts < plainParts,
+      s"consolidation must bound partition sprawl: $foldedParts vs $plainParts")
+  }
+
   // ------------------------------------------------- LSH planner
 
   test("lshPlan: budget-exact splits, monotone midpoint, closed-form spot check") {
