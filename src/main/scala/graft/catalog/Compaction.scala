@@ -213,6 +213,18 @@ object Compaction {
         .dropDuplicates(dedupKeys)
         .select(dataCols.map(col).toIndexedSeq: _*)
         .write.mode(SaveMode.Overwrite).parquet(scratch.toString)
+    finishFromScratch(spark, table, upTo, sources.toSeq, dataCols.toSeq, scratch, fs)
+    sources.length
+  }
+
+  /** The swap tail of [[consolidateBatches]], re-runnable from a COMPLETE
+    * scratch (_SUCCESS present): overwrite the target partition from the
+    * WAL copy, drop the folded sources, delete the WAL. Every step is
+    * idempotent against a crash at any point, which is what lets
+    * [[convergeConsolidation]] replay it verbatim. */
+  private def finishFromScratch(spark: SparkSession, table: String, upTo: Long,
+                                sources: Seq[Long], dataCols: Seq[String],
+                                scratch: Path, fs: FileSystem): Unit = {
     val v = s"graft_consol_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     spark.read.parquet(scratch.toString).createOrReplaceTempView(v)
     try spark.sql(s"INSERT OVERWRITE TABLE $table PARTITION (batch_id=$upTo) " +
@@ -222,7 +234,58 @@ object Compaction {
       spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (batch_id=$p)"))
     fs.delete(scratch, true)
     spark.catalog.refreshTable(table)
-    sources.length
+  }
+
+  /** STARTUP CONVERGENCE for [[consolidateBatches]]: finish any
+    * consolidation that crashed mid-swap, BEFORE a gate processes its
+    * first batch. The crash window this closes: after the target
+    * partition's INSERT OVERWRITE but before every source-partition drop,
+    * rows exist in BOTH the upTo partition and the undropped sources — a
+    * gate reader's `batch_id < id` range would see them twice until the
+    * next maintenance tick happened to re-fold (and row-count-sensitive
+    * stored state, e.g. incrementalWinnow's shared-fingerprint counts,
+    * would diverge from the no-crash run in the interim).
+    *
+    * The lingering WAL scratch dir under the table root is the crash
+    * evidence and carries everything needed to converge withOUT the
+    * caller's dedupKeys: a scratch WITH `_SUCCESS` is the complete
+    * deduplicated fold — replay the swap tail from it; a scratch WITHOUT
+    * `_SUCCESS` means the table was never touched (the overwrite only runs
+    * after the WAL commits) — delete the stale scratch and done. No
+    * scratch → nothing to converge, O(1) listing cost.
+    *
+    * Single-writer window applies (run at gate startup or between
+    * batches, never beside a live consolidation).
+    *
+    * @return source partitions folded away across all converged runs. */
+  def convergeConsolidation(spark: SparkSession, table: String): Int = {
+    if (!spark.catalog.tableExists(table)) return 0
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    if (meta.partitionColumnNames != Seq("batch_id")) return 0
+    val root = new Path(meta.location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return 0
+    val pending = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith(".graft_consolidate_upTo="))
+      .flatMap(p => scala.util.Try(
+        p.getName.stripPrefix(".graft_consolidate_upTo=").toLong).toOption
+        .map(p -> _))
+    var folded = 0
+    pending.foreach { case (scratch, upTo) =>
+      if (!fs.exists(new Path(scratch, "_SUCCESS"))) {
+        fs.delete(scratch, true) // incomplete WAL: table untouched, stale
+      } else {
+        val sources = spark.sql(s"SHOW PARTITIONS $table").collect()
+          .map(_.getString(0).stripPrefix("batch_id="))
+          .flatMap(p => scala.util.Try(p.toLong).toOption)
+          .filter(_ < upTo).toSeq
+        val dataCols = meta.schema.fieldNames.filterNot(_ == "batch_id").toSeq
+        finishFromScratch(spark, table, upTo, sources, dataCols, scratch, fs)
+        folded += sources.length
+      }
+    }
+    folded
   }
 
   /** Compact `table` so each partition holds ≈⌈bytes/targetBytes⌉ files.

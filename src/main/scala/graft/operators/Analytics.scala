@@ -157,7 +157,9 @@ object Analytics {
 
   /** Calibration (reliability) bins for a probabilistic score against a
     * binary label: scores bucket into `bins` equal-width bins over [0,1]
-    * (scores ≥ 1 clamp into the top bin), each bin reporting its size, mean
+    * (scores ≥ 1 clamp into the top bin, scores < 0 into bin 0 — the
+    * binning contract is [0,1] and out-of-range scores must not mint
+    * phantom negative/overflow bin ids), each bin reporting its size, mean
     * predicted probability and empirical positive rate — the reliability
     * diagram behind ECE, and the standard health check before a quality
     * classifier's scores are used as sampling weights (q135/q175 consume
@@ -169,7 +171,8 @@ object Analytics {
   def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
                       bins: Int = 10): DataFrame = {
     require(bins >= 2, s"bins must be >= 2: $bins")
-    val b = least(floor(col(scoreCol) * bins).cast("long"), lit(bins - 1L))
+    val b = greatest(
+      least(floor(col(scoreCol) * bins).cast("long"), lit(bins - 1L)), lit(0L))
     df.select(b.as("bin"),
         round(col(scoreCol), 6).cast("decimal(18,6)").as("__s"),
         col(labelCol).cast("long").as("__y"))

@@ -54,9 +54,15 @@ object Privacy {
     val exact = quasiCols.map(c => col(c).cast("string").as(c))
     val gen = quasiCols.map(c =>
       generalize.getOrElse(c, col(c)).cast("string").as(s"__g_$c"))
+    // localCheckpoint: `base` feeds four output branches (pass0 and,
+    // through fail0, pass1/pass2) and `fail0` feeds three — without
+    // materialization one action replays the input scan + md5 tuple keys
+    // up to ~4-6x. Same eager-cut convention as cooccurrencePmi /
+    // labelPropagation / the streaming gates.
     val base = df.select(rest.map(col) ++ exact ++ gen: _*)
       .withColumn("__k0", tupleKey(quasiCols.map(col)))
       .withColumn("__k1", tupleKey(quasiCols.map(c => col(s"__g_$c"))))
+      .localCheckpoint(true)
 
     // group-count + equi-join on the tuple key, NOT a window: a window
     // over the whole frame shuffles AND SORTS every row per level; the
@@ -66,7 +72,7 @@ object Privacy {
     val leveled0 = base.join(cnt0, Seq("__k0"))
     val pass0 = leveled0.filter(col("__n0") >= k)
       .select(rest.map(col) ++ quasiCols.map(col) :+ lit(0).as("anonymity_level"): _*)
-    val fail0 = leveled0.filter(col("__n0") < k)
+    val fail0 = leveled0.filter(col("__n0") < k).localCheckpoint(true)
 
     val cnt1 = fail0.groupBy(col("__k1")).agg(count(lit(1)).as("__n1"))
     val leveled1 = fail0.join(cnt1, Seq("__k1"))
@@ -80,13 +86,31 @@ object Privacy {
   }
 
   /** Per-group COUNT release with deterministic Laplace noise — the
-    * ε-differential-privacy counting query, made reproducible: the noise is
+    * ε-differential-privacy counting MECHANISM (noise calibrated to
+    * add/remove-one-row sensitivity 1), made reproducible: the noise is
     * Laplace(1/ε) via inverse-CDF over a uniform derived from
     * md5(seed | group values), so the same release run always publishes the
-    * same numbers (and the oracle can replay them). A true DP deployment
-    * would draw fresh randomness per release and never reuse a seed across
-    * releases of the same data — determinism trades that for auditability,
-    * the same posture as every seeded sampler in this engine.
+    * same numbers (and the oracle can replay them).
+    *
+    * The ε-DP guarantee holds ONLY under two deployment preconditions the
+    * operator cannot enforce:
+    *
+    *  1. **Group keys must be PUBLIC** (a fixed, data-independent domain —
+    *     e.g. an enum of event types, a country list). The release emits
+    *     exactly the groups present in the data with no noisy-threshold
+    *     partition selection, so when keys are derived from private data a
+    *     group's presence/absence reveals one user's presence
+    *     deterministically. For private key domains, pre-join against the
+    *     public domain (releasing noisy zeros) or do thresholded partition
+    *     selection upstream; this operator deliberately does not guess.
+    *  2. **The seed must be SECRET and never reused** across releases of
+    *     the same (or overlapping) data. The noise is a pure function of
+    *     (seed, group), so anyone who learns the seed recovers exact
+    *     counts, and two releases with one seed share draws (their
+    *     difference is noiseless). A true DP deployment draws fresh secret
+    *     randomness per release; determinism here trades that for
+    *     auditability, the same posture as every seeded sampler in this
+    *     engine.
     *
     * noisy = count − (1/ε)·sign(u−½)·ln(1−2·|u−½|),  u ∈ (0,1)
     *
@@ -136,8 +160,11 @@ object Privacy {
     *      (deterministic, replayable — which groups survive must not
     *      depend on partitioning);
     *   3. releases with Laplace(maxPerUser·maxGroupsPerUser/ε) — the L1
-    *      sensitivity of the WHOLE release to one user, so the release is
-    *      ε-DP at the user level, not ε-per-group.
+    *      sensitivity of the WHOLE release to one user, so the mechanism
+    *      is user-level (not merely per-group) under the same
+    *      public-group-keys + secret-unreused-seed preconditions
+    *      documented on [[dpCounts]] (they apply verbatim here: groups a
+    *      lone user creates still appear/vanish with that user).
     * Two hash aggregations + one per-user window over (user, group) rows
     * (one row per cell, never per event). */
   def dpCountsBounded(df: DataFrame, userCol: String, groupCols: Seq[String],
@@ -169,11 +196,18 @@ object Privacy {
     * release family (counts, bounded counts, sums): each row's value is
     * CLIPPED into [lo, hi] before summing (the sensitivity bound — without
     * it one outlier row moves the sum arbitrarily and ε is meaningless),
-    * then Laplace((hi−lo)/ε) noise is added via the same deterministic
-    * inverse-CDF draw. Values are quantized to 6dp scaled longs so the
-    * clipped sum is exact and partition-order-independent; row-level
-    * sensitivity — compose with the [[dpCountsBounded]] cap upstream for
-    * user-level. One hash aggregation. */
+    * then Laplace(max(|lo|,|hi|)/ε) noise is added via the same
+    * deterministic inverse-CDF draw. The scale is max(|lo|,|hi|), NOT
+    * hi−lo: the family's adjacency is add/remove-one-row (dpCounts'
+    * sensitivity-1 calibration assumes it), and adding or removing one
+    * clipped row moves the sum by up to max(|lo|,|hi|) — for a range
+    * excluding zero (say [100,200]) that is 200 while hi−lo is only 100,
+    * so the hi−lo convention would under-noise 2×. (Same convention as
+    * Google's DP library BoundedSum.) Values are quantized to 6dp scaled
+    * longs so the clipped sum is exact and partition-order-independent;
+    * row-level sensitivity — compose with the [[dpCountsBounded]] cap
+    * upstream for user-level; [[dpCounts]]'s public-group-keys and
+    * secret-seed preconditions apply verbatim. One hash aggregation. */
   def dpSums(df: DataFrame, valueCol: String, groupCols: Seq[String],
              lo: Double, hi: Double, epsilon: Double, seed: String): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
@@ -186,7 +220,8 @@ object Privacy {
       .agg(sum(col("__v")).as("__s"))
       .select(groupCols.map(col) :+
         round(col("__s").cast("double") / 1000000.0 +
-          laplaceNoise(groupCols, seed, (hi - lo) / epsilon), 6)
+          laplaceNoise(groupCols, seed,
+            math.max(math.abs(lo), math.abs(hi)) / epsilon), 6)
           .as("noisy_sum"): _*)
   }
 }

@@ -2231,8 +2231,10 @@ object TextQueries {
 
     // eps-DP SUM release (Privacy.dpSums): event values clipped into
     // [0, 500] (the sensitivity bound), exact scaled-long sums,
-    // Laplace((hi-lo)/eps) noise off the same deterministic draw. The
-    // oracle replays clip, quantized sum, key, and noise.
+    // Laplace(max(|lo|,|hi|)/eps) noise off the same deterministic draw
+    // (here max(|0|,|500|) = 500, so the oracle's -500.0/0.5 scale is the
+    // add/remove-one sensitivity). The oracle replays clip, quantized sum,
+    // key, and noise.
     "q202_dp_sums" -> ((s, d) => {
       graft.operators.Privacy.dpSums(Tables(s, d, "events"), "value",
           Seq("event_type"), lo = 0.0, hi = 500.0, epsilon = 0.5,

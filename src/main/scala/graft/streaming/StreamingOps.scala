@@ -409,10 +409,17 @@ object StreamingOps {
                       maintain: (SparkSession, Long) => Unit = (_, _) => ()): StreamingQuery = {
     import graft.functions.{SimilarityFunctions => S}
     import graft.operators.Dedup
+    var converged = false // foreachBatch runs serially on the driver
     val w = docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val ss = batch.sparkSession
+        if (!converged) { // finish any crashed consolidation BEFORE the
+          // stored-side read can see half-folded (duplicated) partitions
+          graft.catalog.Compaction.convergeConsolidation(ss, corpusTable)
+          graft.catalog.Compaction.convergeConsolidation(ss, reportTable)
+          converged = true
+        }
         val btoks = batch
           .select(col(idCol) +: blockCols.map(col) :+
             array_distinct(S.tokens(col(textCol))).as("__toks"): _*)
@@ -464,10 +471,16 @@ object StreamingOps {
                    availableNow: Boolean = false,
                    maintainEvery: Int = 0,
                    maintain: (SparkSession, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    var converged = false // foreachBatch runs serially on the driver
     val w = rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val ss = batch.sparkSession
+        if (!converged) {
+          graft.catalog.Compaction.convergeConsolidation(ss, cleansedTable)
+          graft.catalog.Compaction.convergeConsolidation(ss, quarantineTable)
+          converged = true
+        }
         val b = batch.toDF().localCheckpoint(true)
         if (b.count() > 0 && !BatchCommitLog.applied(ss, checkpoint, id)) {
           val (pass, fail) = new graft.dq.DqEngine().splitByRules(b, rules)
@@ -503,10 +516,15 @@ object StreamingOps {
                     availableNow: Boolean = false,
                     maintainEvery: Int = 0,
                     maintain: (SparkSession, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    var converged = false // foreachBatch runs serially on the driver
     val w = vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val ss = batch.sparkSession
+        if (!converged) {
+          graft.catalog.Compaction.convergeConsolidation(ss, indexTable)
+          converged = true
+        }
         if (!batch.isEmpty && !BatchCommitLog.applied(ss, checkpoint, id)) {
           val encoded = graft.operators.Ann
             .ivfPqIndex(batch.toDF(), vecCol, idCol, centroids, codebooks)
