@@ -668,6 +668,46 @@ object ScaleCheck {
       }
     }
 
+    // Stats-pruned forget-me delete: partition COUNT scales with the data
+    // (constant partition size), the key set is FIXED — so the rewrite
+    // term is constant and what the row measures is DISCOVERY. The
+    // stats-index path probes per-file blooms (flat-ish: a tiny stats-row
+    // scan + the handful of candidate files); the full-scan path
+    // semi-joins the whole table (~Nx). Refresh is timed separately — it
+    // is the write-path's amortized cost, not the delete's.
+    locally {
+      import graft.catalog.{FileStats, Retention}
+      def build(rows: Long, parts: Int, name: String): String = {
+        val t = s"scaledel.$name"
+        spark.sql("CREATE DATABASE IF NOT EXISTS scaledel")
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.range(rows).select(col("id").as("event_id"),
+            col("id").as("user_id"),
+            pmod(col("id"), lit(parts.toLong)).cast("int").as("bucket"))
+          .repartition(parts, col("bucket"))
+          .write.partitionBy("bucket").saveAsTable(t)
+        t
+      }
+      val keys = spark.range(10).select((col("id") * 1777L + 13L).as("user_id"))
+        .localCheckpoint(true)
+      Seq((200000L, 32, "1x"), (200000L * n, 32 * n, s"${n}x")).foreach {
+        case (rows, parts, tag) =>
+          val tFull = build(rows, parts, s"full_${tag}")
+          timed(s"deleteRows FULL-SCAN discovery $tag")(((),
+            Retention.deleteRows(spark, tFull, "user_id", keys).rowsDeleted))
+          val tIdx = build(rows, parts, s"idx_${tag}")
+          val st = s"scaledel.idx_${tag}_stats"
+          spark.sql(s"DROP TABLE IF EXISTS $st")
+          timed(s"deleteRows stats REFRESH (write-path amortized) $tag")(((),
+            FileStats.refresh(spark, tIdx, st, FileStats.StatsSpec(
+              Seq("user_id"), bloomCols = Seq("user_id"),
+              bloomBits = 1 << 17)).filesScanned.toLong))
+          timed(s"deleteRows STATS-PRUNED discovery $tag")(((),
+            Retention.deleteRows(spark, tIdx, "user_id", keys,
+              statsTable = Some(st)).rowsDeleted))
+      }
+    }
+
     // Token-distribution divergence: one word-count combine (map-side) then
     // vocab-bounded join+agg — runtime ~Nx, shuffle bounded by vocab (the
     // replicas repeat the same tokens, so the count table does NOT grow Nx).

@@ -1,0 +1,424 @@
+package graft.catalog
+
+import java.util.concurrent.{Callable, Executors, TimeUnit}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-FILE min/max + Bloom statistics index over a Hive-layout table — the
+  * file-skipping layer a production table format answers from its manifests,
+  * rebuilt here from plain Spark primitives. The reference offloads this to
+  * Athena/Glue partition pruning (predicates on non-partition columns always
+  * scan every file); this index closes that gap for the homegrown catalog:
+  * a predicate on any DECLARED column prunes to the files whose stats admit
+  * a match before a single data byte is read, which is exactly what the
+  * Z-order/Hilbert layout work ([[graft.operators.Layout]]) clusters min/max
+  * ranges to enable.
+  *
+  * SHAPE:
+  *   - The stats table (any name, managed) holds ONE ROW PER FILE × DECLARED
+  *     COLUMN: `(rel, file, bytes, n_rows, col_name, family, min_long,
+  *     max_long, min_dbl, max_dbl, min_str, max_str, bloom)`. Values are
+  *     stored through a MONOTONE per-type ordinal encoding (integral /
+  *     date / timestamp → LONG; float / double / decimal → DOUBLE; string
+  *     stays STRING), and predicate bounds go through the same encoding, so
+  *     pruning can never falsely exclude a file: v ∈ [lo,hi] ⇒
+  *     enc(v) ∈ [enc(lo), enc(hi)] ⊆ [min,max] of v's file.
+  *   - [[refresh]] is INCREMENTAL in data cost: it diffs the current file
+  *     listing against the recorded files and scans ONLY uncovered files
+  *     (one pass: per-file min/max/count plus an optional per-file Bloom
+  *     filter over declared key columns), then rewrites the narrow stats
+  *     table. At 100 TB the rewrite is O(total files) TINY rows while the
+  *     scan is O(new bytes) — the term that matters.
+  *   - [[pruneFiles]] evaluates predicates AGAINST THE STATS TABLE and
+  *     returns the surviving files. Files with no stats rows (written since
+  *     the last refresh) always survive — staleness costs performance,
+  *     never correctness. Files whose stats VIOLATE any predicate (range
+  *     disjoint, or Bloom says no key present — no false negatives) are
+  *     skipped.
+  *   - [[scanPruned]] reads only the surviving files (basePath-anchored so
+  *     partition columns reconstruct) and re-applies the row-level
+  *     predicate, so its result EQUALS `spark.table(t).filter(pred)`
+  *     bit-for-bit — the oracle-checkable contract.
+  *
+  * The driver-side file listing mirrors Spark's own scan planning (an
+  * InMemoryFileIndex holds every file status on the driver); the per-file
+  * stats rows it joins against stay distributed.
+  *
+  * Single writer assumed during [[refresh]] (the Hive-layout caveat shared
+  * with [[Compaction.compactTable]]); readers are safe at any time because
+  * unknown files admit. */
+object FileStats {
+
+  /** Which columns to index. `bloomCols` ⊆ `cols` additionally get a
+    * per-file Bloom filter over the column's values rendered as strings
+    * (integral/string columns only — the key-lookup shape), sized
+    * `bloomBits` bits (power of two; default 2^20 = 128 KiB ≈ 10 bits/row
+    * for a 100k-row file, ~1 % FPR) with `bloomHashes` probes. */
+  final case class StatsSpec(cols: Seq[String], bloomCols: Seq[String] = Nil,
+                             bloomBits: Int = 1 << 20, bloomHashes: Int = 5)
+
+  sealed trait StatsPredicate { def column: String }
+  /** `column BETWEEN lo AND hi` (either bound optional). */
+  final case class RangePredicate(column: String, lo: Option[Any],
+                                  hi: Option[Any]) extends StatsPredicate
+  /** `column IN (keys)` — uses min/max range AND the per-file Bloom. */
+  final case class KeysPredicate(column: String, keys: Seq[Any]) extends StatsPredicate
+
+  final case class FileEntry(rel: String, name: String, bytes: Long)
+  final case class RefreshReport(filesScanned: Int, filesRemoved: Int, filesKept: Int)
+  final case class PruneReport(filesTotal: Int, filesSelected: Int, filesUnknown: Int)
+
+  // ------------------------------------------------------------------ listing
+
+  /** File-level manifest walk: every data file with its partition-relative
+    * dir — [[Compaction.listManifests]]'s shape at file granularity, same
+    * parallel-walk/hidden-dir-pruning posture. */
+  def listDataFiles(spark: SparkSession, table: String,
+                    walkParallelism: Int = 8): (Path, Seq[FileEntry]) = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val root = new Path(meta.location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def ok(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    type Acc = scala.collection.mutable.ArrayBuffer[FileEntry]
+    def walk(dir: Path, rel: String, into: Acc): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (ok(name)) walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name", into)
+        } else if (ok(name)) into += FileEntry(rel, name, st.getLen)
+      }
+    val top = fs.listStatus(root)
+    val out: Acc = scala.collection.mutable.ArrayBuffer.empty
+    top.foreach { st =>
+      if (!st.isDirectory && ok(st.getPath.getName))
+        out += FileEntry("", st.getPath.getName, st.getLen)
+    }
+    val dirs = top.filter(st => st.isDirectory && ok(st.getPath.getName))
+    if (dirs.nonEmpty) {
+      val pool = Executors.newFixedThreadPool(
+        math.max(1, math.min(walkParallelism, dirs.length)))
+      try {
+        val futures = dirs.map { st =>
+          pool.submit(new Callable[Acc] {
+            def call(): Acc = {
+              val local: Acc = scala.collection.mutable.ArrayBuffer.empty
+              walk(st.getPath, st.getPath.getName, local)
+              local
+            }
+          })
+        }
+        try futures.foreach(f => out ++= f.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            pool.shutdownNow()
+            throw Option(e.getCause).getOrElse(e)
+        }
+      } finally {
+        pool.shutdown()
+        pool.awaitTermination(1, TimeUnit.MINUTES)
+      }
+    }
+    (root, out.toSeq)
+  }
+
+  // ------------------------------------------------------------------ encoding
+
+  /** The monotone ordinal encoding: which stats family a column lands in
+    * and the Column expression producing the stored value. Monotonicity is
+    * the correctness argument for decimal→double (cast-to-nearest is
+    * order-preserving, and min/max commute with monotone maps), so no
+    * slack is ever needed. */
+  private def family(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | BooleanType => "long"
+    case FloatType | DoubleType | _: DecimalType => "dbl"
+    case StringType => "str"
+    case other => throw new IllegalArgumentException(
+      s"file stats do not support ${other.sql} columns")
+  }
+
+  private def encodeCol(c: Column, dt: DataType): Column = dt match {
+    case ByteType | ShortType | IntegerType | LongType => c.cast(LongType)
+    case DateType => unix_date(c).cast(LongType)
+    case TimestampType => unix_micros(c)
+    case BooleanType => when(c, 1L).otherwise(0L)
+    case FloatType | DoubleType => c.cast(DoubleType)
+    case _: DecimalType => c.cast(DoubleType)
+    case StringType => c
+    case other => throw new IllegalArgumentException(s"unsupported ${other.sql}")
+  }
+
+  /** Driver-side twin of [[encodeCol]] for predicate bounds. */
+  private def encodeValue(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => throw new IllegalArgumentException("null predicate bound")
+    case (n: Number, ByteType | ShortType | IntegerType | LongType) => n.longValue()
+    case (d: java.sql.Date, DateType) => d.toLocalDate.toEpochDay
+    case (d: java.time.LocalDate, DateType) => d.toEpochDay
+    case (t: java.sql.Timestamp, TimestampType) =>
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    case (t: java.time.Instant, TimestampType) =>
+      t.getEpochSecond * 1000000L + t.getNano / 1000L
+    case (b: java.lang.Boolean, BooleanType) => if (b) 1L else 0L
+    case (n: Number, FloatType | DoubleType | _: DecimalType) => n.doubleValue()
+    case (s: String, StringType) => s
+    case (other, t) => throw new IllegalArgumentException(
+      s"predicate bound $other (${other.getClass.getSimpleName}) does not fit ${t.sql}")
+  }
+
+  /** Key rendered exactly as the build side's `CAST(col AS STRING)` —
+    * why [[StatsSpec.bloomCols]] is restricted to integral/string. */
+  private def bloomKeyString(v: Any, dt: DataType): String = (v, dt) match {
+    case (n: Number, ByteType | ShortType | IntegerType | LongType) =>
+      n.longValue().toString
+    case (s: String, StringType) => s
+    case (other, t) => throw new IllegalArgumentException(
+      s"bloom key $other does not fit ${t.sql}")
+  }
+
+  private def bloomEligible(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
+  /** Scheme-independent path key: both the driver-built absolute path and
+    * `_metadata.file_path` reduce to the same string. */
+  private val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*:/+"
+  private def normPath(p: String): String = p.replaceFirst(SchemeRe, "/")
+
+  private def absPath(root: Path, f: FileEntry): Path =
+    if (f.rel.isEmpty) new Path(root, f.name)
+    else new Path(new Path(root, f.rel), f.name)
+
+  private val statsSchema = StructType(Seq(
+    StructField("rel", StringType), StructField("file", StringType),
+    StructField("bytes", LongType), StructField("n_rows", LongType),
+    StructField("col_name", StringType), StructField("family", StringType),
+    StructField("min_long", LongType), StructField("max_long", LongType),
+    StructField("min_dbl", DoubleType), StructField("max_dbl", DoubleType),
+    StructField("min_str", StringType), StructField("max_str", StringType),
+    StructField("bloom", BinaryType)))
+
+  private def dataSchemaOf(spark: SparkSession, table: String) = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val partCols = meta.partitionColumnNames.toSet
+    (meta, StructType(meta.schema.filterNot(f => partCols.contains(f.name))))
+  }
+
+  // ------------------------------------------------------------------ refresh
+
+  /** Bring `statsTable` up to date with `table`'s current files: scan only
+    * files not yet covered for every `spec.cols` entry (new files, or files
+    * recorded under a NARROWER spec), drop rows of vanished files. Call it
+    * after writes/compaction/deletes, or from a streaming gate's `maintain`
+    * hook — between the table's writes, never beside one.
+    *
+    * Zero-row files produce no stats rows and therefore always admit at
+    * prune time (they cost nothing to "read"). Changing `bloomBits`/
+    * `bloomHashes` does not rescan existing filters — drop the stats table
+    * to resize. */
+  def refresh(spark: SparkSession, table: String, statsTable: String,
+              spec: StatsSpec, walkParallelism: Int = 8): RefreshReport = {
+    require(spec.cols.nonEmpty, "spec.cols must be non-empty")
+    require(spec.bloomCols.toSet.subsetOf(spec.cols.toSet),
+      "bloomCols must be a subset of cols")
+    val (meta, dataSchema) = dataSchemaOf(spark, table)
+    val fieldsByName = dataSchema.fields.map(f => f.name -> f).toMap
+    spec.cols.foreach { c =>
+      require(fieldsByName.contains(c),
+        s"$c is not a data column of $table (partition columns are pruned " +
+          "by the catalog already and cannot carry file stats)")
+      family(fieldsByName(c).dataType) // rejects unsupported types loudly
+    }
+    spec.bloomCols.foreach(c => require(bloomEligible(fieldsByName(c).dataType),
+      s"bloom column $c must be integral or string, got ${fieldsByName(c).dataType.sql}"))
+
+    val (root, files) = listDataFiles(spark, table, walkParallelism)
+    import scala.jdk.CollectionConverters._
+    val curDf = spark.createDataFrame(
+      files.map(f => org.apache.spark.sql.Row(f.rel, f.name, f.bytes)).asJava,
+      StructType(Seq(StructField("rel", StringType), StructField("file", StringType),
+        StructField("bytes", LongType)))).localCheckpoint(true)
+
+    val old =
+      if (spark.catalog.tableExists(statsTable))
+        spark.table(statsTable).join(curDf.select("rel", "file"), Seq("rel", "file"))
+          .localCheckpoint(true) // rows of vanished files dropped here
+      else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), statsSchema)
+
+    // a file is COVERED iff every spec col has a row, with a bloom where one
+    // is declared — anything else rescans (one pass re-derives everything)
+    val coveredFiles = old
+      .filter(col("col_name").isin(spec.cols: _*) &&
+        (!col("col_name").isin(spec.bloomCols: _*) || col("bloom").isNotNull))
+      .select("rel", "file", "col_name").distinct()
+      .groupBy("rel", "file").agg(count(lit(1)).as("__ncov"))
+      .filter(col("__ncov") === spec.cols.size)
+      .select("rel", "file")
+    val toScan = curDf.join(coveredFiles, Seq("rel", "file"), "left_anti")
+      .select("rel", "file", "bytes").collect()
+      .map(r => FileEntry(r.getString(0), r.getString(1), r.getLong(2)))
+
+    val fresh: DataFrame =
+      if (toScan.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), statsSchema)
+      else {
+        val paths = toScan.map(f => absPath(root, f).toString)
+        val aggCols = count(lit(1)).as("__n") +: spec.cols.flatMap { c =>
+          val enc = encodeCol(col(c), fieldsByName(c).dataType)
+          val base = Seq(min(enc).as(s"__min_$c"), max(enc).as(s"__max_$c"))
+          if (spec.bloomCols.contains(c))
+            base :+ graft.functions.expressions.SketchAggregates
+              .bloom_sketch(col(c).cast(StringType), spec.bloomBits, spec.bloomHashes)
+              .as(s"__bloom_$c")
+          else base
+        }
+        val wide = spark.read.schema(dataSchema).parquet(paths: _*)
+          .groupBy(regexp_replace(col("_metadata.file_path"), SchemeRe, "/").as("__p"))
+          .agg(aggCols.head, aggCols.tail: _*)
+        val mapDf = spark.createDataFrame(
+          toScan.map(f => org.apache.spark.sql.Row(
+            normPath(absPath(root, f).toString), f.rel, f.name, f.bytes)).toSeq.asJava,
+          StructType(Seq(StructField("__p", StringType), StructField("rel", StringType),
+            StructField("file", StringType), StructField("bytes", LongType))))
+        val joined = wide.join(broadcast(mapDf), Seq("__p")).localCheckpoint(true)
+        require(joined.count() == wide.count(),
+          s"stats path mapping lost files for $table — path normalization " +
+            "does not round-trip on this filesystem")
+        spec.cols.map { c =>
+          val fam = family(fieldsByName(c).dataType)
+          def pick(want: String, t: DataType, side: String): Column =
+            if (fam == want) col(s"__${side}_$c").cast(t)
+            else lit(null).cast(t)
+          joined.select(col("rel"), col("file"), col("bytes"),
+            col("__n").as("n_rows"), lit(c).as("col_name"), lit(fam).as("family"),
+            pick("long", LongType, "min").as("min_long"),
+            pick("long", LongType, "max").as("max_long"),
+            pick("dbl", DoubleType, "min").as("min_dbl"),
+            pick("dbl", DoubleType, "max").as("max_dbl"),
+            pick("str", StringType, "min").as("min_str"),
+            pick("str", StringType, "max").as("max_str"),
+            (if (spec.bloomCols.contains(c)) col(s"__bloom_$c")
+             else lit(null).cast(BinaryType)).as("bloom"))
+        }.reduce(_ unionByName _)
+      }
+
+    val rescanned = spark.createDataFrame(
+      toScan.map(f => org.apache.spark.sql.Row(f.rel, f.name)).toSeq.asJava,
+      StructType(Seq(StructField("rel", StringType), StructField("file", StringType))))
+    val next = old.join(rescanned, Seq("rel", "file"), "left_anti")
+      .unionByName(fresh)
+      .localCheckpoint(true) // settle before overwriting the table it read
+    next.write.mode("overwrite").saveAsTable(statsTable)
+    spark.catalog.refreshTable(statsTable)
+    RefreshReport(toScan.length, 0, files.length - toScan.length)
+  }
+
+  // ------------------------------------------------------------------ pruning
+
+  private def admitExpr(p: StatsPredicate, dt: DataType,
+                        bloomHashes: Int): Column = {
+    val fam = family(dt)
+    val (minC, maxC) = fam match {
+      case "long" => (col("min_long"), col("max_long"))
+      case "dbl" => (col("min_dbl"), col("max_dbl"))
+      case _ => (col("min_str"), col("max_str"))
+    }
+    def litOf(v: Any): Column = lit(encodeValue(v, dt))
+    p match {
+      case RangePredicate(_, lo, hi) =>
+        val loOk = lo.map(v => maxC >= litOf(v)).getOrElse(lit(true))
+        val hiOk = hi.map(v => minC <= litOf(v)).getOrElse(lit(true))
+        maxC.isNotNull && loOk && hiOk
+      case KeysPredicate(_, keys) =>
+        if (keys.isEmpty) lit(false)
+        else {
+          val encs = keys.map(encodeValue(_, dt))
+          val (loK, hiK) = fam match {
+            case "str" =>
+              val ss = encs.map(_.asInstanceOf[String])
+              (lit(ss.min), lit(ss.max))
+            case "dbl" =>
+              val ds = encs.map(_.asInstanceOf[Double])
+              (lit(ds.min), lit(ds.max))
+            case _ =>
+              val ls = encs.map(_.asInstanceOf[Long])
+              (lit(ls.min), lit(ls.max))
+          }
+          val range = maxC.isNotNull && maxC >= loK && minC <= hiK
+          val bloomOk =
+            if (!bloomEligible(dt)) lit(true)
+            else coalesce(graft.functions.expressions.HashExpressions
+              .bloom_contains_any(col("bloom"),
+                keys.map(bloomKeyString(_, dt)), bloomHashes), lit(true))
+          range && bloomOk
+        }
+    }
+  }
+
+  /** Files of `table` that MIGHT satisfy every predicate, per the stats.
+    * Unknown files (no stats rows) survive; a file is excluded only when a
+    * recorded stats row rules it out. `bloomHashes` must match the spec the
+    * filters were built with. */
+  def pruneFiles(spark: SparkSession, table: String, statsTable: String,
+                 preds: Seq[StatsPredicate], bloomHashes: Int = 5,
+                 walkParallelism: Int = 8): (Path, Seq[FileEntry], PruneReport) = {
+    val (meta, dataSchema) = dataSchemaOf(spark, table)
+    val fieldsByName = dataSchema.fields.map(f => f.name -> f).toMap
+    preds.foreach(p => require(fieldsByName.contains(p.column),
+      s"${p.column} is not a data column of $table"))
+    val (root, files) = listDataFiles(spark, table, walkParallelism)
+    if (preds.isEmpty || !spark.catalog.tableExists(statsTable))
+      return (root, files, PruneReport(files.length, files.length, files.length))
+    import scala.jdk.CollectionConverters._
+    val curDf = spark.createDataFrame(
+      files.map(f => org.apache.spark.sql.Row(f.rel, f.name, f.bytes)).asJava,
+      StructType(Seq(StructField("rel", StringType), StructField("file", StringType),
+        StructField("bytes", LongType)))).localCheckpoint(true)
+    val stats = spark.table(statsTable)
+      .join(curDf.select("rel", "file"), Seq("rel", "file")) // stale rows ignored
+    val admit = preds.foldLeft(when(lit(false), lit(true))) { (acc, p) =>
+      acc.when(col("col_name") === p.column,
+        admitExpr(p, fieldsByName(p.column).dataType, bloomHashes))
+    }.otherwise(lit(true)) // rows of non-predicate columns never exclude
+    val excluded = stats.filter(!admit).select("rel", "file").distinct()
+    val known = stats.select("rel", "file").distinct()
+    val selected = curDf.join(excluded, Seq("rel", "file"), "left_anti")
+      .select("rel", "file", "bytes").collect()
+      .map(r => FileEntry(r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val unknown = curDf.join(known, Seq("rel", "file"), "left_anti").count().toInt
+    (root, selected, PruneReport(files.length, selected.length, unknown))
+  }
+
+  /** Row-level residual of a stats predicate — what [[scanPruned]] applies
+    * after the file cut so the result equals the unpruned filter exactly. */
+  private def residual(p: StatsPredicate): Column = p match {
+    case RangePredicate(c, lo, hi) =>
+      val loOk = lo.map(v => col(c) >= lit(v)).getOrElse(lit(true))
+      val hiOk = hi.map(v => col(c) <= lit(v)).getOrElse(lit(true))
+      loOk && hiOk
+    case KeysPredicate(c, keys) =>
+      if (keys.isEmpty) lit(false) else col(c).isin(keys: _*)
+  }
+
+  /** `spark.table(table).filter(preds)` that reads ONLY the files the stats
+    * admit. Partition columns reconstruct via basePath; column order is
+    * realigned to the table's. */
+  def scanPruned(spark: SparkSession, table: String, statsTable: String,
+                 preds: Seq[StatsPredicate], bloomHashes: Int = 5,
+                 walkParallelism: Int = 8): DataFrame = {
+    val (root, selected, _) =
+      pruneFiles(spark, table, statsTable, preds, bloomHashes, walkParallelism)
+    val cols = spark.table(table).columns.toSeq
+    val rowPred = preds.map(residual).reduceOption(_ && _).getOrElse(lit(true))
+    if (selected.isEmpty) spark.table(table).filter(lit(false)).select(cols.map(col): _*)
+    else spark.read.option("basePath", root.toString)
+      .parquet(selected.map(f => absPath(root, f).toString): _*)
+      .filter(rowPred)
+      .select(cols.map(col): _*)
+  }
+}

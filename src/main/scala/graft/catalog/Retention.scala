@@ -46,15 +46,35 @@ object Retention {
   }
 
   /** Delete every row of `table` whose `keyCol` appears in `keys`.
-    * Unpartitioned tables rewrite wholesale (there is nothing to prune). */
+    * Unpartitioned tables rewrite wholesale (there is nothing to prune).
+    *
+    * With `statsTable` (a [[FileStats]] index whose spec declares `keyCol`,
+    * ideally as a bloom column), the affected-partition DISCOVERY reads
+    * only the files whose per-file stats admit a key — cost ∝ files the
+    * keys might live in, FLAT in table size — instead of the full-table
+    * semi-join scan, which at 100 TB charges every forget-me batch a whole
+    * table read. The key set is collected to the driver for the stats
+    * probe (bounded by `maxDiscoveryKeys`; the md5 key hashes are computed
+    * once and probed against every per-file filter in one stats-table
+    * pass); larger batches fall back to the full scan, which is the right
+    * trade anyway — a million-key delete touches most partitions. After
+    * the rewrite the index is refreshed under the SAME spec it carries
+    * (new files of rewritten partitions get scanned; dropped files'
+    * rows vanish), so the next delete prunes correctly. Stats staleness is
+    * never a correctness risk ([[FileStats.pruneFiles]] treats unknown
+    * files as candidates). */
   def deleteRows(spark: SparkSession, table: String, keyCol: String,
                  keys: DataFrame,
-                 lineage: Option[graft.lineage.Lineage] = None): DeleteReport = {
+                 lineage: Option[graft.lineage.Lineage] = None,
+                 statsTable: Option[String] = None,
+                 maxDiscoveryKeys: Int = 100000): DeleteReport = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     val partCols = meta.partitionColumnNames
     val k = keys.select(col(keyCol)).distinct().localCheckpoint(true)
-    val matching = spark.table(table).join(k, Seq(keyCol), "left_semi")
+    val matching = statsPrunedMatching(spark, table, keyCol, k, statsTable,
+        maxDiscoveryKeys)
+      .getOrElse(spark.table(table).join(k, Seq(keyCol), "left_semi"))
     val dataCols = meta.schema.fieldNames.filterNot(partCols.contains)
 
     def overwrite(partSpecSql: Option[String], pred: Option[org.apache.spark.sql.Column]): Unit = {
@@ -99,6 +119,55 @@ object Retention {
       s"table=$table key=$keyCol rows=${report.rowsDeleted} " +
         s"partitions=${report.partitionsRewritten}/${report.partitionsSeen}"))
     spark.catalog.refreshTable(table)
+    statsTable.filter(_ => report.partitionsRewritten > 0)
+      .foreach(st => specOf(spark, st).foreach(sp =>
+        FileStats.refresh(spark, table, st, sp)))
     report
+  }
+
+  /** Stats-pruned replacement for the discovery semi-join: read only the
+    * files whose [[FileStats]] rows admit one of the keys, then semi-join
+    * those. None → caller falls back to the full scan (no/missing index,
+    * key set over the probe bound, or keyCol not indexed). */
+  private def statsPrunedMatching(spark: SparkSession, table: String,
+                                  keyCol: String, k: DataFrame,
+                                  statsTable: Option[String],
+                                  maxDiscoveryKeys: Int): Option[DataFrame] =
+    statsTable.filter(spark.catalog.tableExists).flatMap { st =>
+      val indexed = spark.table(st).filter(col("col_name") === keyCol).limit(1)
+      if (indexed.isEmpty) None
+      else {
+        val keyRows = k.limit(maxDiscoveryKeys + 1).collect()
+        if (keyRows.length > maxDiscoveryKeys) None
+        else {
+          val values = keyRows.map(_.get(0)).toSeq
+          if (values.isEmpty) Some(spark.table(table).limit(0))
+          else Some(FileStats.scanPruned(spark, table, st,
+            Seq(FileStats.KeysPredicate(keyCol, values)))
+            .join(k, Seq(keyCol), "left_semi"))
+        }
+      }
+    }
+
+  /** Recover the index's column spec from the stats table itself (columns
+    * recorded, which of them carry blooms, and the bloom geometry from any
+    * stored bitset) so post-delete refresh needs no caller-side plumbing.
+    * Hash count is not recoverable from the bitset — refresh keeps filters
+    * intact for unscanned files and the 5-hash default for new ones; pass
+    * a custom spec through [[FileStats.refresh]] directly if it differs. */
+  private def specOf(spark: SparkSession, statsTable: String): Option[FileStats.StatsSpec] = {
+    val rows = spark.table(statsTable)
+      .groupBy(col("col_name"))
+      .agg(max(when(col("bloom").isNotNull, octet_length(col("bloom"))))
+        .as("bloom_bytes"))
+      .collect()
+    if (rows.isEmpty) None
+    else {
+      val cols = rows.map(_.getString(0)).toSeq.sorted
+      val blooms = rows.filter(!_.isNullAt(1))
+      val bits = blooms.map(_.getInt(1) * 8)
+      Some(FileStats.StatsSpec(cols, blooms.map(_.getString(0)).toSeq.sorted,
+        if (bits.isEmpty) 1 << 20 else bits.max))
+    }
   }
 }

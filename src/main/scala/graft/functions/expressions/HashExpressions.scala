@@ -813,6 +813,39 @@ object HashExpressions {
     override def prettyName: String = "bloom_gram_hits"
   }
 
+  /** TRUE iff the row's Bloom bitset (a [[SketchAggregates.BloomSketchAgg]]
+    * BINARY) might contain ANY of the driver-hashed keys — the probe side
+    * of the file-stats index ([[graft.catalog.FileStats]]): one stats scan
+    * tests every per-FILE filter against one key set, so the keys are
+    * md5-hashed ONCE on the driver (reference objects) and only the
+    * mod-mBits reduction happens per row, making mixed filter sizes legal.
+    * NULL bitset → NULL (callers decide whether unknown admits). */
+  case class BloomContainsAnyExpr(child: Expression, kHashes: Int,
+                                  h1s: Array[Long], h2s: Array[Long])
+    extends UnaryExpression {
+    require(kHashes > 0 && kHashes <= 16, "kHashes must be in [1, 16]")
+    require(h1s.length == h2s.length, "hash stream lengths must match")
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == BinaryType || child.dataType == NullType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a binary bitset, got ${child.dataType.sql}")
+    override def dataType: DataType = BooleanType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.bloomContainsAny(input.asInstanceOf[Array[Byte]], kHashes, h1s, h2s)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val h1Ref = ctx.addReferenceObj("bloomH1s", h1s, "long[]")
+      val h2Ref = ctx.addReferenceObj("bloomH2s", h2s, "long[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $KernelsClass.bloomContainsAny($c, $kHashes, $h1Ref, $h2Ref);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "bloom_contains_any"
+  }
+
   // Spark 4's public Column is ColumnNode-backed; the classic bridge converts
   // Expression ↔ Column.
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -827,6 +860,10 @@ object HashExpressions {
     column(GramHashPairsExpr(expression(text), n))
   def bloom_gram_hits(text: Column, n: Int, kHashes: Int, bits: Array[Byte]): Column =
     column(BloomGramHitsExpr(expression(text), n, kHashes, bits))
+  def bloom_contains_any(bloom: Column, keys: Seq[String], kHashes: Int): Column =
+    column(BloomContainsAnyExpr(expression(bloom), kHashes,
+      keys.map(SketchAggregates.md5Hash60).toArray,
+      keys.map(SketchAggregates.md5Hash60b).toArray))
   def bigram_hashes(text: Column): Column = column(BigramHashesExpr(expression(text)))
   def kn_bigram_hashes(text: Column): Column = column(KnBigramHashesExpr(expression(text)))
   def kn_trigram_hashes(text: Column): Column = column(KnTrigramHashesExpr(expression(text)))

@@ -919,6 +919,36 @@ object Kernels {
       toks.length.toLong, (toks.length - kept).toLong,
       UTF8String.fromString(sb.toString)))
   }
+
+  /** Probe a [[SketchAggregates.BloomSketchAgg]] bitset (big-endian-long
+    * BINARY) for ANY of a set of pre-hashed keys, reading bits straight off
+    * the byte array — no long[] materialization per row, which matters when
+    * one stats scan probes thousands of per-file filters. `h1s`/`h2s` are
+    * the raw md5-derived 60-bit streams ([[SketchAggregates.md5Hash60]] /
+    * `md5Hash60b`), hashed ONCE on the driver and reduced mod mBits here so
+    * one key set probes filters of ANY size. Bit layout mirrors
+    * `bloomSetBits`: word w = 8 big-endian bytes at offset 8w, bit k of the
+    * long lives in byte (7 − k/8) at in-byte position k%8. */
+  def bloomContainsAny(bytes: Array[Byte], kHashes: Int,
+                       h1s: Array[Long], h2s: Array[Long]): Boolean = {
+    val mBits = bytes.length << 3
+    var i = 0
+    while (i < h1s.length) {
+      var p = (h1s(i) % mBits).toInt
+      val h2 = ((h2s(i) % mBits) | 1L).toInt
+      var j = 0
+      var hit = true
+      while (hit && j < kHashes) {
+        val base = (p >>> 6) << 3
+        val k = p & 63
+        if (((bytes(base + 7 - (k >>> 3)) >> (k & 7)) & 1) == 0) hit = false
+        else { p += h2; if (p >= mBits) p -= mBits; j += 1 }
+      }
+      if (hit) return true
+      i += 1
+    }
+    false
+  }
 }
 
 /** Aho-Corasick multi-pattern automaton over UTF-16 code units — linear-time

@@ -2247,6 +2247,61 @@ object TextQueries {
     // reliability bins — predicted probability vs empirical rate. Mean and
     // sigma come from exact integer sums; the oracle replays the sigmoid,
     // the binning, and the decimal-summed averages.
+    // File-skipping stats index (FileStats.refresh + scanPruned): the
+    // events table is written range-clustered on event_id into many files
+    // per bucket partition, a per-file min/max(+bloom) index is built, and
+    // the pruned scan — which opens ONLY the files whose stats admit the
+    // predicate — must equal the plain filter bit-for-bit (the oracle).
+    // The un-indexed event_type predicate rides along as a residual,
+    // proving unknown-column predicates stay row-exact.
+    "q203_stats_pruned_scan" -> ((s, d) => {
+      import graft.catalog.FileStats
+      val db = s"graftfs${math.abs(d.hashCode)}"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      s.sql(s"DROP TABLE IF EXISTS $db.events")
+      s.sql(s"DROP TABLE IF EXISTS $db.events_stats")
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      ev.withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
+        .repartitionByRange(8, col("event_id"))
+        .write.partitionBy("bucket").saveAsTable(s"$db.events")
+      FileStats.refresh(s, s"$db.events", s"$db.events_stats",
+        FileStats.StatsSpec(Seq("event_id", "user_id"), bloomCols = Seq("user_id")))
+      FileStats.scanPruned(s, s"$db.events", s"$db.events_stats",
+          Seq(FileStats.RangePredicate("event_id", Some(2000L), Some(4000L)),
+            FileStats.KeysPredicate("event_type", Seq("click", "purchase"))))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("bucket"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Stats-pruned right-to-be-forgotten (Retention.deleteRows with a
+    // FileStats index): q199's delete, but the affected-partition
+    // discovery probes per-file blooms instead of scanning the table; the
+    // index auto-refreshes after the rewrite. Same surviving-row oracle
+    // shape — the discovery mechanism must be invisible in the result.
+    "q204_delete_pruned" -> ((s, d) => {
+      import graft.catalog.{FileStats, Retention}
+      val db = s"graftdp${math.abs(d.hashCode)}"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      s.sql(s"DROP TABLE IF EXISTS $db.events")
+      s.sql(s"DROP TABLE IF EXISTS $db.events_stats")
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      ev.withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+        .write.partitionBy("bucket").saveAsTable(s"$db.events")
+      FileStats.refresh(s, s"$db.events", s"$db.events_stats",
+        FileStats.StatsSpec(Seq("user_id"), bloomCols = Seq("user_id")))
+      val keys = ev.filter(pmod(col("user_id"), lit(13)) === 0)
+        .select(col("user_id")).distinct()
+      Retention.deleteRows(s, s"$db.events", "user_id", keys,
+        statsTable = Some(s"$db.events_stats"))
+      s.table(s"$db.events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("bucket"))
+        .orderBy(col("event_id"))
+    }),
+
     "q193_calibration_bins" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       val st = docs.agg(sum(col("n_chars")).as("__sx"),
@@ -5309,6 +5364,24 @@ object TextQueries {
              CAST(user_id % 8 AS INTEGER) AS bucket
       FROM events
       WHERE user_id IS NULL OR user_id % 17 <> 0
+      ORDER BY event_id""",
+    // Pruned-scan replay: pruning is a pure file cut, so the oracle is the
+    // plain predicate over the full table — any divergence means a file
+    // was wrongly skipped (or a residual was dropped).
+    "q203_stats_pruned_scan" -> """
+      SELECT event_id, user_id, event_type, value,
+             CAST(user_id % 4 AS INTEGER) AS bucket
+      FROM events
+      WHERE event_id BETWEEN 2000 AND 4000
+        AND event_type IN ('click', 'purchase')
+      ORDER BY event_id""",
+    // Stats-pruned delete replay: identical surviving-row predicate as the
+    // full-scan q199 shape (mod 13 here) — discovery mechanics invisible.
+    "q204_delete_pruned" -> """
+      SELECT event_id, user_id, event_type, value,
+             CAST(user_id % 8 AS INTEGER) AS bucket
+      FROM events
+      WHERE user_id IS NULL OR user_id % 13 <> 0
       ORDER BY event_id""",
     // Label-propagation replay: the q119 edge fixture symmetrized +
     // distinct, three unrolled vote/argmax rounds with the (count desc,
