@@ -125,6 +125,51 @@ object Retention {
     report
   }
 
+  /** One derived table a forget-me request must reach: the key column the
+    * document/user id appears under there, plus an optional [[FileStats]]
+    * index for pruned discovery. */
+  final case class DeleteTarget(table: String, keyCol: String,
+                                statsTable: Option[String] = None)
+
+  /** Right-to-be-forgotten PROPAGATION: delete one key set from a table
+    * AND every derived table that remembers it — the dedup corpus/report,
+    * a minhash signature index, BM25 postings + lengths, IVF-PQ code
+    * tables (all of which are row-per-id by construction, so row deletion
+    * leaves each index bit-equal to one built over a corpus that never
+    * contained the ids; BM25's df/N/avgdl and ANN's candidate sets are
+    * derived at SEARCH time from the surviving rows). The reference's
+    * token store keeps raw↔hash pairs in exactly this derived-side-table
+    * shape (`datatransform_dataprotection.py:158-173`) — a delete that
+    * stops at the primary table is not a delete.
+    *
+    * Run inside the same single-writer window as the gates' `maintain`
+    * hook — never beside a live writer of ANY target. Each target is
+    * deleted independently ([[deleteRows]] semantics and crash posture
+    * apply per table; a crash mid-list leaves completed targets clean and
+    * the re-run converges — re-deleting an absent key is a no-op).
+    *
+    * What this verb deliberately does NOT do: rewrite rows that REFERENCE
+    * a forgotten id in non-key columns (e.g. a dedup report's
+    * `attributed_to`). Deleting those rows would falsify history for
+    * surviving docs; scrubbing the reference is a schema-specific UPDATE
+    * the caller owns. Declare such tables as extra targets keyed on the
+    * referencing column if full erasure is required.
+    *
+    * @return per-table reports, in target order. */
+  def deleteRowsAll(spark: SparkSession, keys: DataFrame,
+                    targets: Seq[DeleteTarget],
+                    lineage: Option[graft.lineage.Lineage] = None,
+                    maxDiscoveryKeys: Int = 100000): Seq[(String, DeleteReport)] = {
+    require(keys.columns.length == 1,
+      s"keys must be a single-column frame, got ${keys.columns.mkString(", ")}")
+    require(targets.nonEmpty, "no delete targets")
+    val k = keys.distinct().localCheckpoint(true)
+    targets.map { t =>
+      t.table -> deleteRows(spark, t.table, t.keyCol, k.toDF(t.keyCol),
+        lineage, t.statsTable, maxDiscoveryKeys)
+    }
+  }
+
   /** Stats-pruned replacement for the discovery semi-join: read only the
     * files whose [[FileStats]] rows admit one of the keys, then semi-join
     * those. None → caller falls back to the full scan (no/missing index,

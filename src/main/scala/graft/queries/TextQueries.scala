@@ -2302,6 +2302,78 @@ object TextQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Forget-propagation, sparse leg (Retention.deleteRowsAll over a
+    // persisted BM25 index): postings + lengths built as two batch
+    // partitions, every doc_id % 9 == 0 deleted from BOTH tables, then the
+    // q170 search — which derives df/N/avgdl from the surviving rows at
+    // query time — must equal an index built over a corpus that NEVER
+    // contained those docs (the oracle: the same scoring replay with the
+    // surviving-doc predicate). Row-wise postings make deletion exact.
+    "q205_forget_bm25" -> ((s, d) => {
+      import graft.catalog.Retention
+      import graft.operators.Retrieval
+      val db = s"graftfg${math.abs(d.hashCode)}"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      s.sql(s"DROP TABLE IF EXISTS $db.postings")
+      s.sql(s"DROP TABLE IF EXISTS $db.lens")
+      val docs = Tables(s, d, "documents")
+      Seq(0, 1).foreach { b =>
+        val (p, l) = Retrieval.bm25Index(
+          docs.filter(pmod(col("doc_id"), lit(2)) === b), "text", "doc_id")
+        val m = if (b == 0) "overwrite" else "append"
+        p.withColumn("batch_id", lit(b.toLong))
+          .write.mode(m).partitionBy("batch_id").saveAsTable(s"$db.postings")
+        l.withColumn("batch_id", lit(b.toLong))
+          .write.mode(m).partitionBy("batch_id").saveAsTable(s"$db.lens")
+      }
+      val doomed = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select(col("doc_id"))
+      Retention.deleteRowsAll(s, doomed, Seq(
+        Retention.DeleteTarget(s"$db.postings", "doc_id"),
+        Retention.DeleteTarget(s"$db.lens", "doc_id")))
+      Retrieval.bm25Search(s.table(s"$db.postings").drop("batch_id"),
+          s.table(s"$db.lens").drop("batch_id"), "doc_id", Bm25Queries, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Forget-propagation, dense leg (Retention.deleteRowsAll over the
+    // persisted IVF-PQ code table): codes built in two batch partitions
+    // under the fixed q103 model, vec_id % 9 == 0 deleted, then the search
+    // over the surviving codes must equal the never-contained replay
+    // (candidates restricted to survivors; encode is row-wise so no other
+    // row changes). Queries still run — they come from the raw vectors.
+    "q206_forget_ann" -> ((s, d) => {
+      import graft.catalog.Retention
+      val db = s"graftfa${math.abs(d.hashCode)}"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      s.sql(s"DROP TABLE IF EXISTS $db.codes")
+      val emb = Tables(s, d, "embeddings")
+      val centroids =
+        graft.functions.expressions.HashExpressions.fixedCentroids(100, 16, 64)
+      val fc = graft.functions.expressions.HashExpressions.fixedCentroids(200, 128, 8)
+      val codebooks = Array.tabulate(8)(j => fc.slice(j * 16, j * 16 + 16))
+      Seq(0, 1).foreach { b =>
+        Ann.ivfPqIndex(emb.filter(pmod(col("vec_id"), lit(2)) === b),
+            "embedding", "vec_id", centroids, codebooks)
+          .withColumn("batch_id", lit(b.toLong))
+          .write.mode(if (b == 0) "overwrite" else "append")
+          .partitionBy("batch_id").saveAsTable(s"$db.codes")
+      }
+      val doomed = emb.filter(pmod(col("vec_id"), lit(9)) === 0)
+        .select(col("vec_id"))
+      Retention.deleteRowsAll(s, doomed,
+        Seq(Retention.DeleteTarget(s"$db.codes", "vec_id")))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Ann.ivfPqSearch(
+          s.table(s"$db.codes").select(col("vec_id"), col("__list"), col("code")),
+          queries, "embedding", "vec_id", "query_id", centroids, codebooks,
+          k = 10, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), round(col("adc"), 6).as("adc_r"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q193_calibration_bins" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       val st = docs.agg(sum(col("n_chars")).as("__sx"),
@@ -2427,7 +2499,7 @@ object TextQueries {
     * 100..115, max-dot assignment, nprobe probing) composed with the q101 PQ
     * CTEs (LCG codebooks 200..327, argmin codes, per-query ADC tables);
     * candidates = probed lists only, ranked by the same left-assoc ADC sum. */
-  private def ivfChainFor(qPred: String): String = s"""
+  private def ivfChainFor(qPred: String, docPred: String = "TRUE"): String = s"""
       icc AS (
         SELECT p - 100 AS ci, d,
           CAST(
@@ -2443,7 +2515,7 @@ object TextQueries {
       iassigned AS (
         SELECT vec_id, ci AS lst FROM (
           SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn FROM idot)
-        WHERE rn = 1),
+        WHERE rn = 1 AND ($docPred)),
       iqprobes AS (
         SELECT vec_id AS query_id, ci AS lst FROM (
           SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn
@@ -2461,6 +2533,15 @@ object TextQueries {
         FROM pqscored)"""
 
   private val ivfPqOracle: String = s"""$pqCtes,${ivfChainFor("vec_id < 5")}
+      SELECT query_id, vec_id, round(adc, 6) AS adc_r, CAST(rank AS BIGINT) AS rank
+      FROM pqranked WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  // q206: the never-contained IVF-PQ replay — candidate rows (iassigned)
+  // restricted to surviving ids; queries still run (they come from the raw
+  // vectors, not the index), and a deleted query's own code row is simply
+  // never a candidate.
+  private val ivfPqForgetOracle: String =
+    s"""$pqCtes,${ivfChainFor("vec_id < 5", "vec_id % 9 <> 0")}
       SELECT query_id, vec_id, round(adc, 6) AS adc_r, CAST(rank AS BIGINT) AS rank
       FROM pqranked WHERE rank <= 10 ORDER BY query_id, rank"""
 
@@ -4625,6 +4706,8 @@ object TextQueries {
     // index: build half + append half + search) must equal the same
     // from-scratch replay — the append-only no-drift contract.
     "q170_bm25_index" -> bm25OracleSql,
+    "q205_forget_bm25" -> bm25ForgetOracle,
+    "q206_forget_ann" -> ivfPqForgetOracle,
     "q105_bm25" -> bm25OracleSql,
     "q182_hard_negatives" -> hardNegOracleSql,
   ) ++ lateOracles
@@ -4635,16 +4718,20 @@ object TextQueries {
   // Shared BM25 scored-candidates CTE chain (through `scored`) — ONE SQL
   // replay of the arithmetic behind q105/q170/q182, mirroring the Scala
   // side's single scoredBm25 implementation.
-  private lazy val bm25ScoredCte: String = """
+  /** BM25 scored-candidate CTEs over `documents WHERE docPred` — the
+    * parameterized form exists for the forget-propagation replay (q205):
+    * "never contained the doc" is literally this CTE with the surviving-doc
+    * predicate, since df/N/avgdl all derive from the filtered corpus. */
+  private def bm25ScoredCteFor(docPred: String): String = s"""
       WITH q(query_id, qtext) AS (VALUES
         ('qa','spark join merge'), ('qb','customer order value'),
         ('qc','window agg batch'), ('qd','slow table scan')),
-      qt AS (SELECT DISTINCT query_id, unnest(regexp_split_to_array(lower(trim(qtext)), '\s+')) AS token FROM q),
-      lens AS (SELECT doc_id, CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
-        ELSE len(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) END AS dl FROM documents),
+      qt AS (SELECT DISTINCT query_id, unnest(regexp_split_to_array(lower(trim(qtext)), '\\s+')) AS token FROM q),
+      lens AS (SELECT doc_id, CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0
+        ELSE len(regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+')) END AS dl FROM documents WHERE ($docPred)),
       stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
-      terms AS (SELECT doc_id, unnest(regexp_split_to_array(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS token
-        FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      terms AS (SELECT doc_id, unnest(regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+')) AS token
+        FROM documents WHERE ($docPred) AND regexp_replace(text, '^\\s+|\\s+$$', '', 'g') <> ''),
       tf AS (SELECT doc_id, token, count(*) AS tf FROM terms WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
       dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
       contrib AS (SELECT qt.query_id, tf.doc_id,
@@ -4652,10 +4739,20 @@ object TextQueries {
         FROM qt JOIN tf USING (token) JOIN dfq USING (token) JOIN lens USING (doc_id) CROSS JOIN stats),
       scored AS (SELECT query_id, doc_id, round(sum(c), 6) AS score_r FROM contrib GROUP BY 1, 2)"""
 
-  private lazy val bm25OracleSql: String = bm25ScoredCte + """,
+  private lazy val bm25ScoredCte: String = bm25ScoredCteFor("TRUE")
+
+  private lazy val bm25RankedTail: String = """,
       ranked AS (SELECT query_id, doc_id, score_r,
         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_r DESC, doc_id) AS BIGINT) AS "rank" FROM scored)
       SELECT query_id, doc_id, score_r, "rank" FROM ranked WHERE "rank" <= 10 ORDER BY query_id, "rank""""
+
+  private lazy val bm25OracleSql: String = bm25ScoredCte + bm25RankedTail
+
+  // q205: "an index that never contained the forgotten docs" is the SAME
+  // scoring replay over the filtered corpus — df/N/avgdl shift with the
+  // deletion, which is exactly what row-wise postings/length deletion gives.
+  private lazy val bm25ForgetOracle: String =
+    bm25ScoredCteFor("doc_id % 9 <> 0") + bm25RankedTail
 
   // Hard-negative replay: positives = the same ranking's top-2, negatives =
   // the scored candidates minus positives, re-ranked dense 1..10.
