@@ -2302,6 +2302,45 @@ object TextQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Streaming DATASET-tier DQ gate (StreamingOps.ingestDatasetDqGate):
+    // orders staged as 4 single-file group partitions stream through with
+    // one file per micro-batch, so each batch IS one deterministic group —
+    // per-batch warn (ColumnValues compliance ratio) and halt (RowCount)
+    // outcomes land in the results table keyed by batch, and the oracle
+    // replays each group's dataset verdict. The halt rule passes on every
+    // batch here (the halt-the-stream semantics are spec-pinned, where a
+    // failing replay can be observed without wedging Verify).
+    "q207_streaming_dataset_dq" -> ((s, d) => {
+      val dir = s"/tmp/graft_stream_dsdq/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("grp", pmod(col("o_orderkey"), lit(4)).cast("int"))
+          .repartition(4, col("grp"))
+          .write.mode("overwrite").partitionBy("grp").parquet(dir)
+      val staged = s.read.parquet(dir)
+      val db = s"graftdsdq${math.abs(d.hashCode)}"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      s.sql(s"DROP TABLE IF EXISTS $db.sink")
+      s.sql(s"DROP TABLE IF EXISTS $db.dq_results")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_dsdq_ckpt").toString
+      val q = graft.streaming.StreamingOps.ingestDatasetDqGate(
+        s.readStream.schema(staged.schema).option("maxFilesPerTrigger", 1)
+          .parquet(dir),
+        warnRules = Seq("ColumnValues 'o_orderstatus' in ['O','F']"),
+        haltRules = Seq("RowCount > 0"),
+        s"$db.sink", s"$db.dq_results", ckpt, availableNow = true)
+      q.awaitTermination()
+      s.sql(s"REFRESH TABLE $db.sink")
+      s.sql(s"REFRESH TABLE $db.dq_results")
+      val bg = s.table(s"$db.sink").groupBy(col("batch_id"))
+        .agg(first(col("grp")).as("grp")) // one group per batch by construction
+      s.table(s"$db.dq_results").join(bg, Seq("batch_id"))
+        .select(col("grp").cast(LongType).as("grp"), col("tier"), col("rule"),
+          col("outcome"), round(col("metric"), 6).as("metric_r"))
+        .orderBy(col("grp"), col("tier"), col("rule"))
+    }),
+
     // Forget-propagation, sparse leg (Retention.deleteRowsAll over a
     // persisted BM25 index): postings + lengths built as two batch
     // partitions, every doc_id % 9 == 0 deleted from BOTH tables, then the
@@ -4708,6 +4747,26 @@ object TextQueries {
     "q170_bm25_index" -> bm25OracleSql,
     "q205_forget_bm25" -> bm25ForgetOracle,
     "q206_forget_ann" -> ivfPqForgetOracle,
+    // Dataset-DQ replay: each staged group's compliance ratio and row count
+    // (sums of 0/1 doubles are exact in any order, so the avg compares
+    // bit-stable at 6dp).
+    "q207_streaming_dataset_dq" -> """
+      WITH g AS (SELECT o_orderkey % 4 AS grp, o_orderstatus FROM orders),
+      m AS (SELECT grp,
+              avg(CASE WHEN o_orderstatus IN ('O','F') THEN 1.0 ELSE 0.0 END) AS comp,
+              count(*) AS n
+            FROM g GROUP BY grp)
+      SELECT grp, 'warn' AS tier,
+             'ColumnValues ''o_orderstatus'' in [''O'',''F'']' AS rule,
+             CASE WHEN comp = 1.0 THEN 'Passed' ELSE 'Failed' END AS outcome,
+             round(comp, 6) AS metric_r
+      FROM m
+      UNION ALL
+      SELECT grp, 'halt' AS tier, 'RowCount > 0' AS rule,
+             CASE WHEN n > 0 THEN 'Passed' ELSE 'Failed' END AS outcome,
+             round(CAST(n AS DOUBLE), 6) AS metric_r
+      FROM m
+      ORDER BY grp, tier, rule""",
     "q105_bm25" -> bm25OracleSql,
     "q182_hard_negatives" -> hardNegOracleSql,
   ) ++ lateOracles

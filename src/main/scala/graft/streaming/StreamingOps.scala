@@ -464,7 +464,9 @@ object StreamingOps {
     * Completeness ratio) is a function of batch COMPOSITION, so its
     * outcome would depend on how the stream happened to batch — legal,
     * but no longer equal to the batch replay. Row-level rules make the
-    * split row-wise and batch-boundary-independent. */
+    * split row-wise and batch-boundary-independent. The warn/halt DATASET
+    * tiers live in [[ingestDatasetDqGate]], which embraces the per-batch
+    * verdict as the operational contract. */
   def ingestDqGate(rows: DataFrame, rules: Seq[String],
                    cleansedTable: String, quarantineTable: String,
                    checkpoint: String,
@@ -489,6 +491,78 @@ object StreamingOps {
           BatchCommitLog.commit(ss, checkpoint, id)
         }
         runMaintenance(ss, id, maintainEvery, maintain)
+        ()
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
+  /** Streaming DATASET-TIER DQ GATE — the reference's warn and halt tiers
+    * (`dataquality_check.py:116-171`) as a micro-batch loop, completing the
+    * three-action set beside the row-level quarantine gate
+    * ([[ingestDqGate]]): each micro-batch is evaluated AS A DATASET against
+    * `warnRules` and `haltRules` (Completeness ratios, RowCount,
+    * Mean/Sum/StdDev bounds, IsUnique, CustomSql — the same DQDL dialect as
+    * the batch tiers), one outcome row per (tier, rule) lands in
+    * `resultsTable` as the batch's batch_id partition (the K7 results shape
+    * plus batch_id), and then:
+    *   - WARN failures are recorded and the batch still FLOWS to
+    *     `sinkTable` (one batch_id partition, committed via
+    *     [[BatchCommitLog]]);
+    *   - a HALT failure is recorded and then FAILS THE STREAM — the batch
+    *     is never written to the sink and never committed, so
+    *     [[readCommitted]] exposes nothing of it. On restart the same batch
+    *     REPLAYS: evaluation is deterministic, its outcome partition is
+    *     overwritten (never duplicated), and the stream halts again until
+    *     the rules change or the source data is repaired — halt is a
+    *     standing verdict, not a one-shot exception. Read `resultsTable`
+    *     RAW (not [[readCommitted]]) to observe failures: the failing
+    *     batch's outcome partition is exactly the uncommitted one.
+    *
+    * BATCH-COMPOSITION CAVEAT (the reason [[ingestDqGate]] takes row-level
+    * rules only): a dataset verdict is a function of how the stream
+    * happened to batch — a `Completeness >= 0.9` can pass every micro-batch
+    * yet fail their union, and vice versa. These tiers gate BATCHES (the
+    * operational per-delivery health check the reference runs per arriving
+    * file); for dataset-level truth over everything ingested, run the batch
+    * `evaluateDataset` over the drained table. Outcome rows are exact under
+    * replay because the outcome partition is per-batch overwritten. */
+  def ingestDatasetDqGate(rows: DataFrame, warnRules: Seq[String],
+                          haltRules: Seq[String], sinkTable: String,
+                          resultsTable: String, checkpoint: String,
+                          availableNow: Boolean = false): StreamingQuery = {
+    require(warnRules.nonEmpty || haltRules.nonEmpty, "no rules configured")
+    var converged = false // foreachBatch runs serially on the driver
+    val w = rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val ss = batch.sparkSession
+        if (!converged) {
+          graft.catalog.Compaction.convergeConsolidation(ss, sinkTable)
+          graft.catalog.Compaction.convergeConsolidation(ss, resultsTable)
+          converged = true
+        }
+        val b = batch.toDF().localCheckpoint(true)
+        if (b.count() > 0 && !BatchCommitLog.applied(ss, checkpoint, id)) {
+          import ss.implicits._
+          val eng = new graft.dq.DqEngine()
+          val warnOut = eng.evaluateDataset(b, warnRules)
+          val haltOut = eng.evaluateDataset(b, haltRules)
+          val outcomes = (warnOut.map("warn" -> _) ++ haltOut.map("halt" -> _))
+            .map { case (tier, o) => (tier, o.rule, o.outcome,
+              o.metric.getOrElse(Double.NaN), o.failureReason.getOrElse("")) }
+            .toDF("tier", "rule", "outcome", "metric", "failure_reason")
+            .withColumn("batch_id", lit(id))
+          // results FIRST: a halt must be observable even though the batch
+          // never commits; a crash between the two writes replays both
+          writeBatchPartition(outcomes, resultsTable, id)
+          val haltFailed = haltOut.filterNot(_.passed)
+          if (haltFailed.nonEmpty)
+            throw new RuntimeException(
+              s"Dataset DQ halt at batch $id: " +
+                haltFailed.map(_.rule).mkString("; "))
+          writeBatchPartition(b.withColumn("batch_id", lit(id)), sinkTable, id)
+          BatchCommitLog.commit(ss, checkpoint, id)
+        }
         ()
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()

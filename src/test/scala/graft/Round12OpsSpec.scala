@@ -178,6 +178,65 @@ class Round12OpsSpec extends SparkSpec {
       _.getPath.getName.startsWith(".graft_consolidate_upTo=")))
   }
 
+  // ------------------------------------------------- dataset-tier DQ gate
+
+  test("ingestDatasetDqGate: halt is a standing verdict under replay; relaxed rules release the batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val db = s"dsdq${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    val (sink, res) = (s"$db.sink", s"$db.results")
+    val ckpt = java.nio.file.Files.createTempDirectory("r12_dsdq_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    def gate(halt: Seq[String]) = StreamingOps.ingestDatasetDqGate(
+      mem.toDF().toDF("id", "status"),
+      warnRules = Seq("ColumnValues 'status' in ['ok']"),
+      haltRules = halt, sink, res, ckpt, availableNow = true)
+
+    // batch 0: 2 rows, passes RowCount <= 3, flows (warn records a failure)
+    mem.addData((1L, "ok"), (2L, "bad"))
+    gate(Seq("RowCount <= 3")).awaitTermination()
+    spark.catalog.refreshTable(sink); spark.catalog.refreshTable(res)
+    assert(spark.table(sink).count() == 2)
+    assert(spark.table(res).filter(col("tier") === "warn" &&
+      col("outcome") === "Failed").count() == 1, "warn failure recorded, batch flowed")
+
+    // batch 1: 5 rows -> halt fails, stream dies, nothing committed
+    mem.addData((3L, "ok"), (4L, "ok"), (5L, "ok"), (6L, "ok"), (7L, "ok"))
+    val e1 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      gate(Seq("RowCount <= 3")).awaitTermination()
+    }
+    assert(e1.getMessage.contains("Dataset DQ halt"), e1.getMessage)
+    spark.catalog.refreshTable(sink); spark.catalog.refreshTable(res)
+    assert(spark.table(sink).count() == 2, "halted batch must not reach the sink")
+    val haltRows = spark.table(res).filter(col("tier") === "halt" &&
+      col("outcome") === "Failed")
+    assert(haltRows.count() == 1, "the standing failure is observable")
+    assert(StreamingOps.readCommitted(spark, sink, ckpt).count() == 2,
+      "committed view excludes the halted batch")
+
+    // replay with the same rules: deterministic re-failure, outcome rows
+    // REPLACED not duplicated
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      gate(Seq("RowCount <= 3")).awaitTermination()
+    }
+    assert(e2.getMessage.contains("Dataset DQ halt"))
+    spark.catalog.refreshTable(res)
+    assert(spark.table(res).filter(col("tier") === "halt" &&
+      col("outcome") === "Failed").count() == 1, "replay must not duplicate outcomes")
+    assert(spark.table(sink).count() == 2)
+
+    // operator intervenes: relaxed halt rule -> the batch replays, passes,
+    // flows, commits; the outcome partition now records the pass
+    gate(Seq("RowCount <= 100")).awaitTermination()
+    spark.catalog.refreshTable(sink); spark.catalog.refreshTable(res)
+    assert(spark.table(sink).count() == 7, "released batch reaches the sink")
+    assert(StreamingOps.readCommitted(spark, sink, ckpt).count() == 7)
+    assert(spark.table(res).filter(col("tier") === "halt" &&
+      col("outcome") === "Failed").isEmpty, "the standing failure clears")
+  }
+
   // ------------------------------------------------- null-partition deletes
 
   test("deleteRows: null-valued partition (the __HIVE_DEFAULT_PARTITION__ dir) deletes correctly") {
