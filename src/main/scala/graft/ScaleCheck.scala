@@ -708,6 +708,36 @@ object ScaleCheck {
       }
     }
 
+    // Incremental sync-LPA: the stored graph scales Nx (ring communities
+    // of 10 nodes), the batch is FIXED (rewires 50 communities near the
+    // id origin). The from-scratch trace row is both the stored-state
+    // build cost and the comparison: it pays 3 full vote rounds (~Nx);
+    // the incremental pass's vote COMPUTE is frontier-bounded — its
+    // residual growth is the O(N) narrow trace-override unions and scans,
+    // with no per-node sort anywhere outside the frontier.
+    locally {
+      import graft.operators.GraphOps
+      def ring(rows: Long) = spark.range(rows).select(col("id").as("src"),
+        (col("id") - pmod(col("id"), lit(10L)) +
+          pmod(col("id") + 1, lit(10L))).as("dst"))
+      val batch = spark.range(50).select((col("id") * 10L).as("src"),
+        (col("id") * 10L + 5L).as("dst")).localCheckpoint(true)
+      Seq(100000L -> "1x", 100000L * n -> s"${n}x").foreach { case (rows, tag) =>
+        val nodes = spark.range(rows).select(col("id"))
+        val edges = ring(rows).localCheckpoint(true)
+        val trace = timed(s"LPA from-scratch 3-iter trace $tag")({
+          val t = GraphOps.labelPropagationTrace(edges, "src", "dst",
+            nodes, "id", 3).localCheckpoint(true)
+          (t, t.count())
+        })
+        timed(s"LPA incremental fixed batch $tag")(((),
+          GraphOps.incrementalLabelPropagation(edges, trace, batch,
+              "src", "dst", 3)
+            .agg(bit_xor(xxhash64(struct(col("iter"), col("id"), col("label"))))
+              .as("ck"), count(lit(1)).as("cnt")).head().getLong(1)))
+      }
+    }
+
     // Token-distribution divergence: one word-count combine (map-side) then
     // vocab-bounded join+agg — runtime ~Nx, shuffle bounded by vocab (the
     // replicas repeat the same tokens, so the count table does NOT grow Nx).

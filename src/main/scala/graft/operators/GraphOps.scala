@@ -101,4 +101,140 @@ object GraphOps {
     }
     labels.select(col("id").as(idCol), col("label"))
   }
+
+  /** [[labelPropagation]] with its full per-iteration TRACE — the stored
+    * form incremental LPA needs: `(iter, id, label)` for iter 0..`iters`
+    * (iter 0 = identity labels). A node's synchronous-LPA label at
+    * iteration i is a function of its i-hop ball, so an incremental update
+    * must know what every UNTOUCHED node's label was at every intermediate
+    * round — the final labeling alone is not a sufficient statistic (unlike
+    * connected components, where the labeling is a lossless contraction).
+    * `iters` is small (3 in every use here), so the trace costs iters+1
+    * narrow rows per node — persist it partitioned by `iter`. */
+  def labelPropagationTrace(edges: DataFrame, srcCol: String, dstCol: String,
+                            nodes: DataFrame, idCol: String,
+                            iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct().localCheckpoint(true)
+    val ids = nodes.select(col(idCol).as("id")).localCheckpoint(true)
+    var labels = ids.select(col("id"), col("id").as("label"))
+    var trace = labels.withColumn("iter", lit(0))
+    for (i <- 1 to iters) {
+      val votes = sym
+        .join(labels.select(col("id").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("__n"))
+      val next = votes.withColumn("__r", row_number().over(
+          Window.partitionBy(col("a")).orderBy(col("__n").desc, col("label"))))
+        .filter(col("__r") === 1)
+        .select(col("a").as("id"), col("label"))
+      labels = ids.join(next, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+        .localCheckpoint(true)
+      trace = trace.unionByName(labels.withColumn("iter", lit(i)))
+    }
+    trace.select(col("iter"), col("id"), col("label"))
+  }
+
+  /** INCREMENTAL synchronous label propagation — the q171 incremental-CC
+    * recipe applied to communities: merge a batch of NEW edges into a
+    * stored per-iteration labeling ([[labelPropagationTrace]]) by
+    * replaying votes ONLY where the batch can have changed them, with
+    * EXACT equality to [[labelPropagation]] over stored ∪ batch edges.
+    *
+    * The delta frontier, per iteration i:
+    *   - `dirtyAdj` — nodes incident to a batch edge: their NEIGHBOR SET
+    *     changed, so their vote must recompute every round regardless of
+    *     labels (a new neighbor shifts the tally even when nobody moved);
+    *   - nodes adjacent (in the union graph) to a node whose iteration-i−1
+    *     label CHANGED vs the stored trace — the only other way a vote can
+    *     move. Brand-new nodes count as changed (they have no stored
+    *     label).
+    * Everything outside the frontier keeps its stored trace row verbatim:
+    * its i-hop ball is bit-identical between the two graphs, so
+    * synchronous LPA gives it the same label — the exactness argument, and
+    * why this needs the trace rather than the final labels.
+    *
+    * Cost: per iteration, one edge semi-join to find the frontier and one
+    * vote join over frontier-incident edges — COMPUTE is
+    * Σ deg(frontier), batch-local whenever community structure is (the
+    * honest worst case — a batch rewiring a hub — cascades like the
+    * giant-bridging case of [[ConnectedComponents.incremental]]). Scans of
+    * the stored edge/trace tables are per-iteration but compute-light.
+    *
+    * @param storedEdges the FULL stored edge set (the persisted edge table
+    *                    the trace was computed from)
+    * @param trace       `(iter, id, label)` from [[labelPropagationTrace]]
+    *                    (or a previous incremental pass) with the same
+    *                    `iters`
+    * @return the updated trace over the union graph — slice `iter = iters`
+    *         for final labels; feed the whole thing to the next pass. */
+  def incrementalLabelPropagation(storedEdges: DataFrame, trace: DataFrame,
+                                  batchEdges: DataFrame, srcCol: String,
+                                  dstCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    import org.apache.spark.sql.expressions.Window
+    def symOf(e: DataFrame): DataFrame = e
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(e.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+    val symUnion = symOf(storedEdges.unionByName(batchEdges)).localCheckpoint(true)
+    val dirtyAdj = symOf(batchEdges).select(col("a").as("id")).distinct()
+      .localCheckpoint(true)
+    val storedIds = trace.filter(col("iter") === 0).select(col("id"))
+    val newIds = dirtyAdj.join(storedIds, Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    // changed_0: new nodes only (stored iteration-0 labels are ids, as are
+    // the union run's)
+    var changed = newIds.select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var out = trace.filter(col("iter") === 0)
+      .unionByName(changed.withColumn("iter", lit(0)))
+    // prevFull: iteration-(i-1) labels of the union run = stored trace
+    // overridden by the accumulated changes
+    var prevOverride = changed
+    for (i <- 1 to iters) {
+      val prevStored = trace.filter(col("iter") === i - 1).select(col("id"), col("label"))
+      val prevFull = prevStored.join(prevOverride, Seq("id"), "left_anti")
+        .unionByName(prevOverride).localCheckpoint(true)
+      // frontier: dirty adjacency ∪ neighbors of last round's label changes
+      val frontier = dirtyAdj.unionByName(
+          symUnion.join(changed.select(col("id").as("b")), Seq("b"), "left_semi")
+            .select(col("a").as("id")))
+        .distinct().localCheckpoint(true)
+      val votes = symUnion
+        .join(frontier.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(prevFull.select(col("id").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("__n"))
+      val voted = votes.withColumn("__r", row_number().over(
+          Window.partitionBy(col("a")).orderBy(col("__n").desc, col("label"))))
+        .filter(col("__r") === 1)
+        .select(col("a").as("id"), col("label"))
+      // frontier nodes with no neighbors cannot exist (every frontier node
+      // is edge-incident by construction), so voted covers the frontier
+      val curStored = trace.filter(col("iter") === i).select(col("id"), col("label"))
+      val recomputed = frontier.join(voted, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+      // a node NOT in the frontier keeps its stored row even if its OWN
+      // label moved last round: a node does not vote for itself, so its
+      // iteration-i outcome depends only on its neighbors' i−1 labels —
+      // all unchanged, or the node would be in the frontier. New nodes are
+      // always in the frontier (newIds ⊆ dirtyAdj) and always land in the
+      // override (no stored row to match).
+      val override_ = recomputed.join(curStored, Seq("id", "label"), "left_anti")
+        .localCheckpoint(true)
+      val full = curStored.join(override_, Seq("id"), "left_anti")
+        .unionByName(override_)
+      out = out.unionByName(full.withColumn("iter", lit(i)))
+      changed = override_
+      // next round's i−1 view = stored trace overridden by EXACTLY this
+      // round's differences (never accumulated: a node that changed at
+      // i−1 but reverted at i must show its stored label next round)
+      prevOverride = override_
+    }
+    out.select(col("iter"), col("id"), col("label"))
+  }
 }

@@ -2341,6 +2341,30 @@ object TextQueries {
         .orderBy(col("grp"), col("tier"), col("rule"))
     }),
 
+    // Incremental sync-LPA (GraphOps.incrementalLabelPropagation): the
+    // q194 synthetic graph split into a stored half (the 2i+1 edge family,
+    // traced with labelPropagationTrace) and a batch half (the 5i+3
+    // family) merged incrementally — the final labels must equal the
+    // from-scratch 3-round replay over the UNION graph, which is exactly
+    // q194's oracle. Frontier-exact by construction; the batch-local cost
+    // story is the ScaleCheck row.
+    "q208_incremental_lpa" -> ((s, d) => {
+      import graft.operators.GraphOps
+      val docs = Tables(s, d, "documents").select(col("doc_id"))
+      val nn = docs.agg((max(col("doc_id")) + 1).as("__n"))
+      val base = docs.crossJoin(broadcast(nn))
+      val e1 = base.select(col("doc_id").as("src"),
+        ((col("doc_id") * 2 + 1) % col("__n")).as("dst"))
+      val e2 = base.select(col("doc_id").as("src"),
+        ((col("doc_id") * 5 + 3) % col("__n")).as("dst"))
+      val trace = GraphOps.labelPropagationTrace(e1, "src", "dst",
+        docs, "doc_id", iters = 3)
+      GraphOps.incrementalLabelPropagation(e1, trace, e2, "src", "dst", iters = 3)
+        .filter(col("iter") === 3)
+        .select(col("id").as("doc_id"), col("label"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Forget-propagation, sparse leg (Retention.deleteRowsAll over a
     // persisted BM25 index): postings + lengths built as two batch
     // partitions, every doc_id % 9 == 0 deleted from BOTH tables, then the
@@ -5543,6 +5567,30 @@ object TextQueries {
     // distinct, three unrolled vote/argmax rounds with the (count desc,
     // label asc) tiebreak, isolated nodes kept via the left join.
     "q194_label_propagation" -> """
+      WITH n AS (SELECT max(doc_id) + 1 AS nn FROM documents),
+      nodes AS (SELECT doc_id AS id FROM documents),
+      e0 AS (
+        SELECT id AS src, (id * 2 + 1) % nn AS dst FROM nodes, n
+        UNION ALL
+        SELECT id, (id * 5 + 3) % nn FROM nodes, n),
+      sym AS (SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM e0
+        UNION ALL SELECT dst, src FROM e0)),
+      l0 AS (SELECT id, id AS label FROM nodes),
+      v1 AS (SELECT s.a, l.label, count(*) AS cnt FROM sym s JOIN l0 l ON l.id = s.b GROUP BY 1, 2),
+      w1 AS (SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY cnt DESC, label) AS r FROM v1),
+      l1 AS (SELECT nodes.id, COALESCE(t.label, nodes.id) AS label
+             FROM nodes LEFT JOIN (SELECT a, label FROM w1 WHERE r = 1) t ON t.a = nodes.id),
+      v2 AS (SELECT s.a, l.label, count(*) AS cnt FROM sym s JOIN l1 l ON l.id = s.b GROUP BY 1, 2),
+      w2 AS (SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY cnt DESC, label) AS r FROM v2),
+      l2 AS (SELECT nodes.id, COALESCE(t.label, nodes.id) AS label
+             FROM nodes LEFT JOIN (SELECT a, label FROM w2 WHERE r = 1) t ON t.a = nodes.id),
+      v3 AS (SELECT s.a, l.label, count(*) AS cnt FROM sym s JOIN l2 l ON l.id = s.b GROUP BY 1, 2),
+      w3 AS (SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY cnt DESC, label) AS r FROM v3),
+      l3 AS (SELECT nodes.id, COALESCE(t.label, nodes.id) AS label
+             FROM nodes LEFT JOIN (SELECT a, label FROM w3 WHERE r = 1) t ON t.a = nodes.id)
+      SELECT id AS doc_id, label FROM l3 ORDER BY doc_id""",
+    "q208_incremental_lpa" -> """
       WITH n AS (SELECT max(doc_id) + 1 AS nn FROM documents),
       nodes AS (SELECT doc_id AS id FROM documents),
       e0 AS (

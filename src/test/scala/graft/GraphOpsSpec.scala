@@ -46,4 +46,71 @@ class GraphOpsSpec extends SparkSpec {
     // triangles: (1, v, v+1) for each chain edge
     assert(got == (2L until 101L).map(v => (1L, v, v + 1)).toSet)
   }
+
+  // ------------------------------------------------- incremental LPA
+
+  private def lpaNodes(ids: Seq[Long]) = ids.toDF("id")
+  private def lpaEdges(es: Seq[(Long, Long)]) = es.toDF("src", "dst")
+
+  test("labelPropagationTrace: final slice equals labelPropagation; iter 0 is identity") {
+    import graft.operators.GraphOps
+    val nodes = lpaNodes(0L to 14L)
+    val edges = lpaEdges(Seq((0L, 1L), (1L, 2L), (2L, 0L), (5L, 6L), (6L, 7L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L)))
+    val trace = GraphOps.labelPropagationTrace(edges, "src", "dst", nodes, "id", 3)
+    val direct = GraphOps.labelPropagation(edges, "src", "dst", nodes, "id", 3)
+    val finalSlice = trace.filter(col("iter") === 3).select("id", "label")
+    assert(finalSlice.exceptAll(direct).isEmpty && direct.exceptAll(finalSlice).isEmpty)
+    val it0 = trace.filter(col("iter") === 0).as[(Int, Long, Long)].collect()
+    assert(it0.forall(r => r._2 == r._3) && it0.length == 15)
+    assert(trace.count() == 4 * 15)
+  }
+
+  test("incrementalLabelPropagation: exact equality with from-scratch LPA on the union graph") {
+    import graft.operators.GraphOps
+    // three communities + a chain; the batch bridges two of them and
+    // attaches two brand-new nodes — the third community must be untouched
+    val storedNodes = lpaNodes(0L to 29L)
+    val storedEdges = lpaEdges(
+      (0L to 4L).combinations(2).map(p => (p(0), p(1))).toSeq ++
+      (10L to 14L).combinations(2).map(p => (p(0), p(1))).toSeq ++
+      (20L to 24L).combinations(2).map(p => (p(0), p(1))).toSeq ++
+      Seq((25L, 26L), (26L, 27L), (27L, 28L), (28L, 29L)))
+    val batchEdges = lpaEdges(Seq((4L, 10L), (100L, 0L), (100L, 101L)))
+    val iters = 3
+    val trace = GraphOps.labelPropagationTrace(storedEdges, "src", "dst",
+      storedNodes, "id", iters)
+    val inc = GraphOps.incrementalLabelPropagation(storedEdges, trace,
+      batchEdges, "src", "dst", iters)
+    val unionNodes = lpaNodes((0L to 29L) ++ Seq(100L, 101L))
+    val unionEdges = storedEdges.unionByName(batchEdges)
+    val scratchTrace = GraphOps.labelPropagationTrace(unionEdges, "src", "dst",
+      unionNodes, "id", iters)
+    // the WHOLE trace matches, not just the final labels — the trace is
+    // the stored state the next day's pass consumes
+    assert(inc.exceptAll(scratchTrace).isEmpty && scratchTrace.exceptAll(inc).isEmpty,
+      "incremental trace must equal the from-scratch union trace")
+    // and the untouched community's rows came through verbatim
+    val untouched = inc.filter(col("id").between(20L, 24L) && col("iter") === iters)
+      .select("id", "label").as[(Long, Long)].collect().toSet
+    val storedRows = trace.filter(col("id").between(20L, 24L) && col("iter") === iters)
+      .select("id", "label").as[(Long, Long)].collect().toSet
+    assert(untouched == storedRows)
+  }
+
+  test("incrementalLabelPropagation: a second day composes on the first day's trace") {
+    import graft.operators.GraphOps
+    val nodes = lpaNodes(0L to 9L)
+    val day0 = lpaEdges(Seq((0L, 1L), (1L, 2L), (5L, 6L)))
+    val day1 = lpaEdges(Seq((2L, 5L)))
+    val day2 = lpaEdges(Seq((6L, 7L), (8L, 9L)))
+    val iters = 3
+    val t0 = GraphOps.labelPropagationTrace(day0, "src", "dst", nodes, "id", iters)
+    val t1 = GraphOps.incrementalLabelPropagation(day0, t0, day1, "src", "dst", iters)
+    val t2 = GraphOps.incrementalLabelPropagation(
+      day0.unionByName(day1), t1, day2, "src", "dst", iters)
+    val scratch = GraphOps.labelPropagationTrace(
+      day0.unionByName(day1).unionByName(day2), "src", "dst", nodes, "id", iters)
+    assert(t2.exceptAll(scratch).isEmpty && scratch.exceptAll(t2).isEmpty)
+  }
 }
