@@ -2341,6 +2341,119 @@ object TextQueries {
         .orderBy(col("grp"), col("tier"), col("rule"))
     }),
 
+    // DAILY-OPS COMPOSITION — the q187 idea applied to operations: ONE
+    // chained run driving DQ gate → dedup gate → ANN gate →
+    // consolidateBatches → deleteRowsAll → DP release over the same
+    // corpus, with the final released aggregates oracle-checked against a
+    // straight-line batch replay. Determinism choices that make the chain
+    // replayable: batches are single-file group partitions (doc_id % 4);
+    // dedup BLOCKS on that group, so duplicate resolution is always
+    // within one batch (keep-min) and batch ORDER cannot matter; twins are
+    // planted in their original's group; jaccard 0.999 on <1000-token sets
+    // means exact token-set equality. In-query `require`s pin the legs the
+    // oracle cannot see (consolidation folded, ANN index equals the
+    // never-contained build, quarantine non-empty).
+    "q209_daily_ops" -> ((s, d) => {
+      import graft.catalog.{Compaction, Retention}
+      import graft.streaming.{BatchCommitLog, StreamingOps}
+      val db = s"graftops${math.abs(d.hashCode)}"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      Seq("cleansed", "quarantine", "corpus", "report", "annidx")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $db.$t"))
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      val ingest = docs.unionByName(
+          docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+            .select((col("doc_id") + 40000).as("doc_id"), col("lang"),
+              col("n_chars"), col("text")))
+        .withColumn("grp", pmod(col("doc_id"), lit(4)).cast("int"))
+      val dir1 = s"/tmp/graft_ops_docs/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (!new java.io.File(s"$dir1/_SUCCESS").exists())
+        ingest.repartition(4, col("grp"))
+          .write.mode("overwrite").partitionBy("grp").parquet(dir1)
+      val staged1 = s.read.parquet(dir1)
+
+      // 1. streaming DQ gate: short docs quarantine (row-level rule)
+      val ck1 = java.nio.file.Files.createTempDirectory("graft_ops_dq").toString
+      StreamingOps.ingestDqGate(
+        s.readStream.schema(staged1.schema).option("maxFilesPerTrigger", 1)
+          .parquet(dir1),
+        Seq("ColumnValues 'n_chars' >= 200"),
+        s"$db.cleansed", s"$db.quarantine", ck1, availableNow = true)
+        .awaitTermination()
+      s.sql(s"REFRESH TABLE $db.cleansed"); s.sql(s"REFRESH TABLE $db.quarantine")
+      require(s.table(s"$db.quarantine").count() > 0, "DQ tier must bite")
+
+      // 2. streaming dedup gate over the cleansed corpus, blocked on grp
+      val dir2 = s"/tmp/graft_ops_clean/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      s.table(s"$db.cleansed").select("doc_id", "grp", "text")
+        .repartition(4, col("grp"))
+        .write.mode("overwrite").partitionBy("grp").parquet(dir2)
+      val staged2 = s.read.parquet(dir2)
+      val ck2 = java.nio.file.Files.createTempDirectory("graft_ops_dd").toString
+      StreamingOps.ingestDedupGate(
+        s.readStream.schema(staged2.schema).option("maxFilesPerTrigger", 1)
+          .parquet(dir2),
+        "text", "doc_id", Seq("grp"), threshold = 0.999,
+        s"$db.corpus", s"$db.report", ck2, availableNow = true)
+        .awaitTermination()
+      s.sql(s"REFRESH TABLE $db.corpus")
+
+      // 3. streaming ANN gate over the embeddings (q191 fixed model)
+      val dir3 = s"/tmp/graft_stream_emb/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (!new java.io.File(s"$dir3/_SUCCESS").exists())
+        Tables(s, d, "embeddings").repartition(4)
+          .write.mode("overwrite").parquet(dir3)
+      val staged3 = s.read.parquet(dir3)
+      val centroids =
+        graft.functions.expressions.HashExpressions.fixedCentroids(100, 16, 64)
+      val fc = graft.functions.expressions.HashExpressions.fixedCentroids(200, 128, 8)
+      val codebooks = Array.tabulate(8)(j => fc.slice(j * 16, j * 16 + 16))
+      val ck3 = java.nio.file.Files.createTempDirectory("graft_ops_ann").toString
+      StreamingOps.ingestAnnGate(
+        s.readStream.schema(staged3.schema).option("maxFilesPerTrigger", 1)
+          .parquet(dir3),
+        "embedding", "vec_id", centroids, codebooks, s"$db.annidx", ck3,
+        availableNow = true).awaitTermination()
+      s.sql(s"REFRESH TABLE $db.annidx")
+
+      // 4. maintenance: fold committed batch history on both state tables
+      val wm2 = BatchCommitLog.committed(s, ck2).get
+      val wm3 = BatchCommitLog.committed(s, ck3).get
+      require(Compaction.consolidateBatches(s, s"$db.corpus", wm2, Seq("doc_id")) >= 1,
+        "corpus consolidation must fold history")
+      require(Compaction.consolidateBatches(s, s"$db.annidx", wm3, Seq("vec_id")) >= 1,
+        "index consolidation must fold history")
+
+      // 5. right-to-be-forgotten across corpus, report, and ANN index
+      val docKeys = s.table(s"$db.corpus")
+        .filter(pmod(col("doc_id"), lit(13)) === 0).select(col("doc_id")).distinct()
+      Retention.deleteRowsAll(s, docKeys, Seq(
+        Retention.DeleteTarget(s"$db.corpus", "doc_id"),
+        Retention.DeleteTarget(s"$db.report", "doc_id")))
+      val vecKeys = Tables(s, d, "embeddings")
+        .filter(pmod(col("vec_id"), lit(13)) === 0).select(col("vec_id")).distinct()
+      Retention.deleteRowsAll(s, vecKeys,
+        Seq(Retention.DeleteTarget(s"$db.annidx", "vec_id")))
+
+      // 6. the ANN leg's never-contained equality, asserted in-chain
+      val survivorIdx = Ann.ivfPqIndex(
+        Tables(s, d, "embeddings").filter(pmod(col("vec_id"), lit(13)) =!= 0),
+        "embedding", "vec_id", centroids, codebooks)
+      val storedIdx = s.table(s"$db.annidx").select("vec_id", "__list", "code")
+      require(storedIdx.exceptAll(survivorIdx).isEmpty &&
+        survivorIdx.exceptAll(storedIdx).isEmpty,
+        "post-delete ANN index must equal the never-contained build")
+
+      // 7. DP release over the final corpus (lang joined back from ingest —
+      // identical texts can carry different langs, so lang is not a block)
+      graft.operators.Privacy.dpCounts(
+          s.table(s"$db.corpus")
+            .join(ingest.select(col("doc_id"), col("lang")), Seq("doc_id")),
+          Seq("lang"), epsilon = 0.5, seed = "ops1")
+        .orderBy(col("lang"))
+    }),
+
     // Incremental sync-LPA (GraphOps.incrementalLabelPropagation): the
     // q194 synthetic graph split into a stored half (the 2i+1 edge family,
     // traced with labelPropagationTrace) and a batch half (the 5i+3
@@ -4771,6 +4884,33 @@ object TextQueries {
     "q170_bm25_index" -> bm25OracleSql,
     "q205_forget_bm25" -> bm25ForgetOracle,
     "q206_forget_ann" -> ivfPqForgetOracle,
+    // Daily-ops replay: plant twins, apply the row-level DQ predicate,
+    // dedup = keep-min per (group, exact token set) — jaccard 0.999 on
+    // <1000-token sets is set equality, and blocking on the group makes
+    // resolution batch-order-free — then the forget predicate, then the
+    // q190 deterministic Laplace draw over per-lang counts.
+    "q209_daily_ops" -> """
+      WITH ingest AS (
+        SELECT doc_id, lang, n_chars, text FROM documents
+        UNION ALL
+        SELECT doc_id + 40000, lang, n_chars, text FROM documents WHERE doc_id % 20 = 0),
+      cleansed AS (
+        SELECT doc_id, lang, doc_id % 4 AS grp,
+               CAST(list_sort(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS VARCHAR) AS ts
+        FROM ingest WHERE n_chars >= 200),
+      survivors AS (
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY grp, ts ORDER BY doc_id) AS rn
+          FROM cleansed) WHERE rn = 1),
+      final AS (SELECT * FROM survivors WHERE doc_id % 13 <> 0),
+      g AS (SELECT lang, count(*) AS t FROM final GROUP BY lang),
+      n AS (SELECT lang, t,
+              (CAST(CAST(('0x' || substr(md5(md5('ops1') || coalesce(md5(lang), '~')), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+            FROM g)
+      SELECT lang,
+             round(t + (-2.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6) AS noisy_count
+      FROM n ORDER BY lang""",
     // Dataset-DQ replay: each staged group's compliance ratio and row count
     // (sums of 0/1 doubles are exact in any order, so the avg compares
     // bit-stable at 6dp).

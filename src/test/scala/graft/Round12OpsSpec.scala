@@ -237,6 +237,30 @@ class Round12OpsSpec extends SparkSpec {
       col("outcome") === "Failed").isEmpty, "the standing failure clears")
   }
 
+  // ------------------------------------------------- daily-ops composition
+
+  test("q209 daily-ops chain: gates, consolidation, forget, and DP release hold their invariants") {
+    val d = "/root/testdata/sf0.001"
+    // the query body carries its own requires (quarantine non-empty,
+    // consolidation folded, post-delete ANN == never-contained build);
+    // this spec drives it end-to-end and checks the state it leaves
+    val out = graft.SparkEntry.queries("q209_daily_ops")(spark, d).collect()
+    assert(out.nonEmpty, "DP release must emit per-lang rows")
+    val db = s"graftops${math.abs(d.hashCode)}"
+    val corpus = spark.table(s"$db.corpus")
+    assert(corpus.filter(pmod(col("doc_id"), lit(13)) === 0).isEmpty,
+      "forgotten ids must be gone from the corpus")
+    assert(corpus.filter(col("doc_id") >= 40000).isEmpty,
+      "planted twins must never survive dedup")
+    val ids = corpus.select("doc_id").as[Long].collect()
+    assert(ids.length == ids.distinct.length, "corpus holds no duplicates")
+    assert(spark.sql(s"SHOW PARTITIONS $db.corpus").count() <= 2,
+      "consolidation must fold the per-batch partition sprawl")
+    assert(spark.table(s"$db.annidx")
+      .filter(pmod(col("vec_id"), lit(13)) === 0).isEmpty,
+      "forgotten vectors must be gone from the ANN index")
+  }
+
   // ------------------------------------------------- null-partition deletes
 
   test("deleteRows: null-valued partition (the __HIVE_DEFAULT_PARTITION__ dir) deletes correctly") {
