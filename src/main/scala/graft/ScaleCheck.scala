@@ -708,6 +708,28 @@ object ScaleCheck {
       }
     }
 
+    // Char-level ExactSubstr dedup: prefix-doubling suffix ranks over the
+    // concatenated corpus — ~log(minLen) rounds, each one keyed equi-join
+    // + one distinct-rank over the position stream, so runtime ~Nx with
+    // shuffle ~rows x rounds; nothing is ever quadratic and no
+    // minLen-char strings are materialized (ranks are longs).
+    locally {
+      def sdocs(rows: Long) = spark.range(rows).select(col("id").as("doc_id"),
+        concat(lit("document body with unique trail "),
+          (col("id") * 7919L).cast("string"),
+          when(pmod(col("id"), lit(13L)) === 0,
+            lit(" shared-fortycharacter-boilerplate-banner-text")).otherwise(lit("")))
+          .as("text"))
+      Seq(20000L -> "1x", 20000L * n -> s"${n}x").foreach { case (rows, tag) =>
+        timed(s"exact-substring char dedup minLen=40 $tag")(((),
+          operators.SuffixArray.scrubRepeatedCharSpans(sdocs(rows), "doc_id",
+              "text", 40)
+            .agg(bit_xor(xxhash64(struct(col("doc_id"), col("n_masked"),
+              col("scrubbed_text")))).as("ck"), count(lit(1)).as("cnt"))
+            .head().getLong(1)))
+      }
+    }
+
     // Incremental sync-LPA: the stored graph scales Nx (ring communities
     // of 10 nodes), the batch is FIXED (rewires 50 communities near the
     // id origin). The from-scratch trace row is both the stored-state

@@ -2341,6 +2341,26 @@ object TextQueries {
         .orderBy(col("grp"), col("tier"), col("rule"))
     }),
 
+    // Character-exact substring dedup (SuffixArray.scrubRepeatedCharSpans):
+    // the Lee et al. ExactSubstr contract via distributed prefix-doubling
+    // suffix ranks — every char inside a >= 40-CHAR substring occurring
+    // >= 2 times anywhere (within or across docs) is scrubbed. The planted
+    // banner is 3 long tokens, so the 8-token gram scrubs (q107/q176)
+    // provably cannot align on it; the natural corpus's exact-duplicate
+    // docs scrub each other wholesale. The oracle replays with literal
+    // 40-char substr windows — window equality IS the arbitrary-length
+    // contract, since an M-char repeat is the union of its M-39 windows.
+    "q210_exact_substring_dedup" -> ((s, d) => {
+      val banner = "supercalifragilisticexpialidocious corporate-boilerplate appended-automatically"
+      val docs = Tables(s, d, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(col("text"), lit(" " + banner)))
+          .otherwise(col("text")).as("text"))
+      graft.operators.SuffixArray.scrubRepeatedCharSpans(
+          docs, "doc_id", "text", minLen = 40)
+        .orderBy(col("doc_id"))
+    }),
+
     // DAILY-OPS COMPOSITION — the q187 idea applied to operations: ONE
     // chained run driving DQ gate → dedup gate → ANN gate →
     // consolidateBatches → deleteRowsAll → DP release over the same
@@ -4884,6 +4904,29 @@ object TextQueries {
     "q170_bm25_index" -> bm25OracleSql,
     "q205_forget_bm25" -> bm25ForgetOracle,
     "q206_forget_ann" -> ivfPqForgetOracle,
+    // ExactSubstr replay: literal 40-char windows (substr), hot = any
+    // window occurring >= 2 times corpus-wide (within-doc occurrences
+    // count), coverage via LATERAL offsets, position-ordered rebuild.
+    "q210_exact_substring_dedup" -> """
+      WITH docs AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+          THEN text || ' supercalifragilisticexpialidocious corporate-boilerplate appended-automatically'
+          ELSE text END AS text FROM documents),
+      starts AS (SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 40) AS g
+        FROM docs, LATERAL (SELECT unnest(range(1, length(text) - 40 + 2)) AS i)
+        WHERE length(text) >= 40),
+      hot AS (SELECT g FROM starts GROUP BY g HAVING count(*) >= 2),
+      cov AS (SELECT DISTINCT s.doc_id, s.i + o AS p
+        FROM starts s JOIN hot USING (g), LATERAL (SELECT unnest(range(0, 40)) AS o)),
+      chars AS (SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 1) AS ch
+        FROM docs, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i)),
+      kept AS (SELECT c.doc_id, c.i, c.ch FROM chars c
+        ANTI JOIN cov ON c.doc_id = cov.doc_id AND c.i = cov.p),
+      agg AS (SELECT doc_id, count(*) AS n_kept,
+                string_agg(ch, '' ORDER BY i) AS txt FROM kept GROUP BY doc_id)
+      SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+             CAST(length(d.text) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_masked,
+             coalesce(agg.txt, '') AS scrubbed_text
+      FROM docs d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""",
     // Daily-ops replay: plant twins, apply the row-level DQ predicate,
     // dedup = keep-min per (group, exact token set) — jaccard 0.999 on
     // <1000-token sets is set equality, and blocking on the group makes

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.SuffixArray
+import org.apache.spark.sql.functions._
+
+/** Character-exact substring dedup: hand-checked spans, the
+  * arbitrary-length-vs-gram contrast, within-doc repeats, and cross-doc
+  * window safety. */
+class SuffixArraySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(docs: Seq[(Long, String)], minLen: Int) =
+    SuffixArray.scrubRepeatedCharSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+
+  test("hand-checked: a shared 12-char substring is scrubbed from both docs, unique text survives") {
+    val banner = "AAAABBBBCCCC" // 12 chars
+    val out = run(Seq(
+      (1L, s"xy${banner}z"),   // banner at pos 2..13
+      (2L, s"qq${banner}"),    // banner at pos 2..13
+      (3L, "totally unique doc")), minLen = 12)
+    assert(out(0) == ((1L, 15L, 12L, "xyz")))
+    assert(out(1) == ((2L, 14L, 12L, "qq")))
+    assert(out(2) == ((3L, 18L, 0L, "totally unique doc")))
+  }
+
+  test("arbitrary length: a repeat LONGER than minLen is fully covered (maximal span, not one window)") {
+    val long = "0123456789abcdefghij" // 20 chars, repeated verbatim
+    val out = run(Seq((1L, s"L${long}R"), (2L, s"x$long")), minLen = 8)
+    // every char of the 20-char repeat is inside some hot 8-window
+    assert(out(0)._3 == 20L && out(0)._4 == "LR")
+    assert(out(1)._3 == 20L && out(1)._4 == "x")
+  }
+
+  test("the gram scrub provably misses what the char scrub catches: few long tokens") {
+    // 4 tokens, 47 chars — an 8-TOKEN gram can never align on it
+    val banner = "supercalifragilistic expialidocious corporate boilerplate"
+    val docs = Seq((1L, s"alpha beta $banner"), (2L, s"gamma delto $banner"))
+    val gram = graft.operators.Repetition.scrubRepeatedSpans(
+      docs.toDF("doc_id", "text"), "doc_id", "text", n = 8, minDocs = 2)
+    val gramMasked = gram.agg(sum(col("n_removed"))).head().getLong(0)
+    assert(gramMasked == 0L, "8-token grams cannot align on a 4-token banner")
+    val out = run(docs, minLen = 40)
+    assert(out.forall(_._3 >= banner.length.toLong),
+      s"char-level scrub must cover the banner: ${out.mkString(", ")}")
+    // the maximal repeat is " supercal..." (the shared leading space rides
+    // along), so the kept prefix is exactly the distinct words
+    assert(out(0)._4 == "alpha beta" && !out(0)._4.contains("boilerplate"))
+  }
+
+  test("within-doc repeats count; windows never match across the doc boundary") {
+    val out = run(Seq(
+      (1L, "abcdefghij-MIDDLE-abcdefghij"),  // 10-char repeat twice in ONE doc
+      // doc 2 ends with 'WXYZab', doc 3 starts with 'cdefgh' — the
+      // concatenation-adjacent text must NOT form a phantom repeat with
+      // doc 1's 'abcdefghij' (texts otherwise share no 10-char substring)
+      (2L, "zz quiet tail WXYZab"),
+      (3L, "cdefgh calm head qq")), minLen = 10)
+    assert(out(0)._3 == 20L && out(0)._4 == "-MIDDLE-")
+    assert(out(1)._3 == 0L && out(2)._3 == 0L, "no cross-doc phantom windows")
+  }
+
+  test("docs shorter than minLen pass through untouched") {
+    val out = run(Seq((1L, "short"), (2L, "short")), minLen = 10)
+    assert(out.forall(r => r._3 == 0L && r._4 == (if (r._1 == 1L) "short" else "short")))
+    // but at minLen <= len they do dedup
+    val out2 = run(Seq((1L, "short"), (2L, "short")), minLen = 5)
+    assert(out2.forall(r => r._3 == 5L && r._4 == ""))
+  }
+
+  test("multibyte (BMP) text: code-point positions stay aligned") {
+    val zh = "机器学习模型训练数据去重"
+    val out = run(Seq((1L, s"前缀$zh"), (2L, s"另外$zh")), minLen = 12)
+    assert(out(0) == ((1L, 14L, 12L, "前缀")))
+    assert(out(1) == ((2L, 14L, 12L, "另外")))
+  }
+}
