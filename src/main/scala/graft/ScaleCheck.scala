@@ -740,8 +740,9 @@ object ScaleCheck {
     locally {
       import graft.operators.GraphOps
       def ring(rows: Long) = spark.range(rows).select(col("id").as("src"),
-        (col("id") - pmod(col("id"), lit(10L)) +
-          pmod(col("id") + 1, lit(10L))).as("dst"))
+        explode(array(Seq(1L, 3L, 5L).map(o =>
+          col("id") - pmod(col("id"), lit(10L)) +
+            pmod(col("id") + o, lit(10L))): _*)).as("dst"))
       val batch = spark.range(50).select((col("id") * 10L).as("src"),
         (col("id") * 10L + 5L).as("dst")).localCheckpoint(true)
       Seq(100000L -> "1x", 100000L * n -> s"${n}x").foreach { case (rows, tag) =>

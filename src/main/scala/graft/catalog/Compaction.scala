@@ -266,20 +266,31 @@ object Compaction {
     val root = new Path(meta.location)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return 0
+    // ascending upTo: an older crashed fold must finish before a newer one
+    // re-reads its sources (processing a newer scratch first is legal —
+    // its WAL supersedes the older fold — but then the older scratch is
+    // STALE, which the sources-empty sweep below handles either way)
     val pending = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.startsWith(".graft_consolidate_upTo="))
       .flatMap(p => scala.util.Try(
         p.getName.stripPrefix(".graft_consolidate_upTo=").toLong).toOption
         .map(p -> _))
+      .sortBy(_._2)
     var folded = 0
     pending.foreach { case (scratch, upTo) =>
-      if (!fs.exists(new Path(scratch, "_SUCCESS"))) {
-        fs.delete(scratch, true) // incomplete WAL: table untouched, stale
+      val sources = spark.sql(s"SHOW PARTITIONS $table").collect()
+        .map(_.getString(0).stripPrefix("batch_id="))
+        .flatMap(p => scala.util.Try(p.toLong).toOption)
+        .filter(_ < upTo).toSeq
+      if (!fs.exists(new Path(scratch, "_SUCCESS")) || sources.isEmpty) {
+        // incomplete WAL (table untouched) — or a STALE complete WAL: no
+        // sources below upTo means either this fold's drops all finished
+        // or a LATER successful consolidation already folded past upTo
+        // (it deletes only its own scratch). Overwriting from a stale WAL
+        // here would RESURRECT rows that now live in the later partition
+        // — duplicates, the exact state this verb exists to repair. Sweep.
+        fs.delete(scratch, true)
       } else {
-        val sources = spark.sql(s"SHOW PARTITIONS $table").collect()
-          .map(_.getString(0).stripPrefix("batch_id="))
-          .flatMap(p => scala.util.Try(p.toLong).toOption)
-          .filter(_ < upTo).toSeq
         val dataCols = meta.schema.fieldNames.filterNot(_ == "batch_id").toSeq
         finishFromScratch(spark, table, upTo, sources, dataCols, scratch, fs)
         folded += sources.length

@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
   * SHAPE:
   *   - The stats table (any name, managed) holds ONE ROW PER FILE × DECLARED
   *     COLUMN: `(rel, file, bytes, n_rows, col_name, family, min_long,
-  *     max_long, min_dbl, max_dbl, min_str, max_str, bloom)`. Values are
+  *     max_long, min_dbl, max_dbl, min_str, max_str, bloom, bloom_k)`. Values are
   *     stored through a MONOTONE per-type ordinal encoding (integral /
   *     date / timestamp → LONG; float / double / decimal → DOUBLE; string
   *     stays STRING), and predicate bounds go through the same encoding, so
@@ -200,7 +200,7 @@ object FileStats {
     StructField("min_long", LongType), StructField("max_long", LongType),
     StructField("min_dbl", DoubleType), StructField("max_dbl", DoubleType),
     StructField("min_str", StringType), StructField("max_str", StringType),
-    StructField("bloom", BinaryType)))
+    StructField("bloom", BinaryType), StructField("bloom_k", LongType)))
 
   private def dataSchemaOf(spark: SparkSession, table: String) = {
     val meta = spark.sessionState.catalog.getTableMetadata(
@@ -254,7 +254,8 @@ object FileStats {
     // is declared — anything else rescans (one pass re-derives everything)
     val coveredFiles = old
       .filter(col("col_name").isin(spec.cols: _*) &&
-        (!col("col_name").isin(spec.bloomCols: _*) || col("bloom").isNotNull))
+        (!col("col_name").isin(spec.bloomCols: _*) || col("bloom").isNotNull ||
+          col("n_rows") === 0L))
       .select("rel", "file", "col_name").distinct()
       .groupBy("rel", "file").agg(count(lit(1)).as("__ncov"))
       .filter(col("__ncov") === spec.cols.size)
@@ -303,19 +304,38 @@ object FileStats {
             pick("str", StringType, "min").as("min_str"),
             pick("str", StringType, "max").as("max_str"),
             (if (spec.bloomCols.contains(c)) col(s"__bloom_$c")
-             else lit(null).cast(BinaryType)).as("bloom"))
+             else lit(null).cast(BinaryType)).as("bloom"),
+            (if (spec.bloomCols.contains(c)) lit(spec.bloomHashes.toLong)
+             else lit(null).cast(LongType)).as("bloom_k"))
         }.reduce(_ unionByName _)
       }
 
+    // ZERO-ROW files produce no aggregate row; record explicit markers
+    // (n_rows = 0, all stats null) so steady-state refresh really scans
+    // nothing — and pruning correctly excludes them (no value matches an
+    // empty file)
+    val scannedSet = if (toScan.isEmpty) Set.empty[(String, String)]
+      else fresh.select("rel", "file").distinct().collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val markers = toScan.filterNot(f => scannedSet((f.rel, f.name))).flatMap(f =>
+      spec.cols.map(cn => org.apache.spark.sql.Row(
+        f.rel, f.name, f.bytes, 0L, cn,
+        family(fieldsByName(cn).dataType), null, null, null, null, null, null,
+        null, null)))
+    val markerDf = spark.createDataFrame(markers.toSeq.asJava, statsSchema)
     val rescanned = spark.createDataFrame(
       toScan.map(f => org.apache.spark.sql.Row(f.rel, f.name)).toSeq.asJava,
       StructType(Seq(StructField("rel", StringType), StructField("file", StringType))))
+    val removed =
+      if (!spark.catalog.tableExists(statsTable)) 0
+      else (spark.table(statsTable).select("rel", "file").distinct().count() -
+        old.select("rel", "file").distinct().count()).toInt
     val next = old.join(rescanned, Seq("rel", "file"), "left_anti")
-      .unionByName(fresh)
+      .unionByName(fresh).unionByName(markerDf)
       .localCheckpoint(true) // settle before overwriting the table it read
     next.write.mode("overwrite").saveAsTable(statsTable)
     spark.catalog.refreshTable(statsTable)
-    RefreshReport(toScan.length, 0, files.length - toScan.length)
+    RefreshReport(toScan.length, removed, files.length - toScan.length)
   }
 
   // ------------------------------------------------------------------ pruning
@@ -330,6 +350,11 @@ object FileStats {
     }
     def litOf(v: Any): Column = lit(encodeValue(v, dt))
     p match {
+      case RangePredicate(_, None, None) =>
+        // no constraint: even an all-NULL file admits (the residual is
+        // `true` and keeps every row, so excluding here would break the
+        // scanPruned == plain-filter contract)
+        lit(true)
       case RangePredicate(_, lo, hi) =>
         val loOk = lo.map(v => maxC >= litOf(v)).getOrElse(lit(true))
         val hiOk = hi.map(v => minC <= litOf(v)).getOrElse(lit(true))
@@ -340,8 +365,15 @@ object FileStats {
           val encs = keys.map(encodeValue(_, dt))
           val (loK, hiK) = fam match {
             case "str" =>
+              // min/max under Spark's UTF8String (byte) ordering — Java's
+              // UTF-16 ordering sorts supplementary-plane chars below
+              // U+E000..U+FFFF, which could falsely exclude a file
               val ss = encs.map(_.asInstanceOf[String])
-              (lit(ss.min), lit(ss.max))
+              implicit val utf8Ord: Ordering[String] = Ordering.comparatorToOrdering(
+                (a: String, b: String) =>
+                  org.apache.spark.unsafe.types.UTF8String.fromString(a)
+                    .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)))
+              (lit(ss.min(utf8Ord)), lit(ss.max(utf8Ord)))
             case "dbl" =>
               val ds = encs.map(_.asInstanceOf[Double])
               (lit(ds.min), lit(ds.max))
@@ -362,8 +394,11 @@ object FileStats {
 
   /** Files of `table` that MIGHT satisfy every predicate, per the stats.
     * Unknown files (no stats rows) survive; a file is excluded only when a
-    * recorded stats row rules it out. `bloomHashes` must match the spec the
-    * filters were built with. */
+    * recorded stats row rules it out. The Bloom probe's hash count comes
+    * from the stats table itself (`bloom_k`, recorded at build time) — a
+    * probe with the wrong k would read unset bit positions and could
+    * falsely report "absent"; `bloomHashes` is only the fallback for
+    * tables predating the column. */
   def pruneFiles(spark: SparkSession, table: String, statsTable: String,
                  preds: Seq[StatsPredicate], bloomHashes: Int = 5,
                  walkParallelism: Int = 8): (Path, Seq[FileEntry], PruneReport) = {
@@ -381,9 +416,19 @@ object FileStats {
         StructField("bytes", LongType)))).localCheckpoint(true)
     val stats = spark.table(statsTable)
       .join(curDf.select("rel", "file"), Seq("rel", "file")) // stale rows ignored
+    val kHashes: Int =
+      if (!spark.table(statsTable).columns.contains("bloom_k")) bloomHashes
+      else {
+        val ks = spark.table(statsTable).filter(col("bloom_k").isNotNull)
+          .select(col("bloom_k")).distinct().collect().map(_.getLong(0))
+        require(ks.length <= 1,
+          s"$statsTable mixes bloom hash counts (${ks.mkString(", ")}) — " +
+            "rebuild it under one spec")
+        ks.headOption.map(_.toInt).getOrElse(bloomHashes)
+      }
     val admit = preds.foldLeft(when(lit(false), lit(true))) { (acc, p) =>
       acc.when(col("col_name") === p.column,
-        admitExpr(p, fieldsByName(p.column).dataType, bloomHashes))
+        admitExpr(p, fieldsByName(p.column).dataType, kHashes))
     }.otherwise(lit(true)) // rows of non-predicate columns never exclude
     val excluded = stats.filter(!admit).select("rel", "file").distinct()
     val known = stats.select("rel", "file").distinct()

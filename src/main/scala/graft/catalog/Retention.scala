@@ -185,7 +185,11 @@ object Retention {
         val keyRows = k.limit(maxDiscoveryKeys + 1).collect()
         if (keyRows.length > maxDiscoveryKeys) None
         else {
-          val values = keyRows.map(_.get(0)).toSeq
+          // NULL keys never match an equality delete (the full-scan
+          // semi-join drops them silently; q199 codifies null keys as
+          // legal) — filter them before the stats probe, which would
+          // otherwise refuse to encode a null bound
+          val values = keyRows.map(_.get(0)).toSeq.filterNot(_ == null)
           if (values.isEmpty) Some(spark.table(table).limit(0))
           else Some(FileStats.scanPruned(spark, table, st,
             Seq(FileStats.KeysPredicate(keyCol, values)))
@@ -195,24 +199,25 @@ object Retention {
     }
 
   /** Recover the index's column spec from the stats table itself (columns
-    * recorded, which of them carry blooms, and the bloom geometry from any
-    * stored bitset) so post-delete refresh needs no caller-side plumbing.
-    * Hash count is not recoverable from the bitset — refresh keeps filters
-    * intact for unscanned files and the 5-hash default for new ones; pass
-    * a custom spec through [[FileStats.refresh]] directly if it differs. */
+    * recorded, which of them carry blooms, bitset size from any stored
+    * bitset, hash count from the recorded `bloom_k`) so post-delete
+    * refresh needs no caller-side plumbing and never mixes geometries. */
   private def specOf(spark: SparkSession, statsTable: String): Option[FileStats.StatsSpec] = {
     val rows = spark.table(statsTable)
       .groupBy(col("col_name"))
       .agg(max(when(col("bloom").isNotNull, octet_length(col("bloom"))))
-        .as("bloom_bytes"))
+        .as("bloom_bytes"),
+        max(col("bloom_k")).as("bk"))
       .collect()
     if (rows.isEmpty) None
     else {
       val cols = rows.map(_.getString(0)).toSeq.sorted
       val blooms = rows.filter(!_.isNullAt(1))
       val bits = blooms.map(_.getInt(1) * 8)
+      val k = rows.flatMap(r => if (r.isNullAt(2)) None else Some(r.getLong(2).toInt))
+        .headOption.getOrElse(5)
       Some(FileStats.StatsSpec(cols, blooms.map(_.getString(0)).toSeq.sorted,
-        if (bits.isEmpty) 1 << 20 else bits.max))
+        if (bits.isEmpty) 1 << 20 else bits.max, k))
     }
   }
 }

@@ -159,7 +159,9 @@ object Analytics {
     * binary label: scores bucket into `bins` equal-width bins over [0,1]
     * (scores ≥ 1 clamp into the top bin, scores < 0 into bin 0 — the
     * binning contract is [0,1] and out-of-range scores must not mint
-    * phantom negative/overflow bin ids), each bin reporting its size, mean
+    * phantom negative/overflow bin ids; NULL scores/labels are excluded —
+    * a row with no prediction belongs in no reliability bin), each bin
+    * reporting its size, mean
     * predicted probability and empirical positive rate — the reliability
     * diagram behind ECE, and the standard health check before a quality
     * classifier's scores are used as sampling weights (q135/q175 consume
@@ -173,7 +175,12 @@ object Analytics {
     require(bins >= 2, s"bins must be >= 2: $bins")
     val b = greatest(
       least(floor(col(scoreCol) * bins).cast("long"), lit(bins - 1L)), lit(0L))
-    df.select(b.as("bin"),
+    // NULL scores/labels are excluded, not binned: least()/greatest() SKIP
+    // nulls, so a null score would otherwise land silently in the top bin
+    // with a null mean contribution — a calibration diagram over rows that
+    // carry no prediction is meaningless
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(b.as("bin"),
         round(col(scoreCol), 6).cast("decimal(18,6)").as("__s"),
         col(labelCol).cast("long").as("__y"))
       .groupBy(col("bin"))

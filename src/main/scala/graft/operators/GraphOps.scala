@@ -196,17 +196,27 @@ object GraphOps {
     // prevFull: iteration-(i-1) labels of the union run = stored trace
     // overridden by the accumulated changes
     var prevOverride = changed
+    // Every join below pairs an O(graph) frame with a FRONTIER-BOUNDED
+    // delta. The deltas carry explicit broadcast() hints (they are small by
+    // design and localCheckpointed, but letting the planner guess risks an
+    // O(nodes) shuffle per round — exactly the cost this operator exists
+    // to avoid): all big-side work is then map-side scans of the stored
+    // edge/trace frames, and the only sorts/aggregations run over
+    // frontier-incident rows.
     for (i <- 1 to iters) {
       val prevStored = trace.filter(col("iter") === i - 1).select(col("id"), col("label"))
-      val prevFull = prevStored.join(prevOverride, Seq("id"), "left_anti")
-        .unionByName(prevOverride).localCheckpoint(true)
       // frontier: dirty adjacency ∪ neighbors of last round's label changes
       val frontier = dirtyAdj.unionByName(
-          symUnion.join(changed.select(col("id").as("b")), Seq("b"), "left_semi")
+          symUnion.join(broadcast(changed.select(col("id").as("b"))), Seq("b"), "left_semi")
             .select(col("a").as("id")))
         .distinct().localCheckpoint(true)
+      // i−1 labels of the union run, only ever read THROUGH the vote join:
+      // stored slice with the (small) override patched in map-side
+      val prevFull = prevStored
+        .join(broadcast(prevOverride), Seq("id"), "left_anti")
+        .unionByName(prevOverride)
       val votes = symUnion
-        .join(frontier.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(broadcast(frontier.select(col("id").as("a"))), Seq("a"), "left_semi")
         .join(prevFull.select(col("id").as("b"), col("label")), Seq("b"))
         .groupBy(col("a"), col("label")).agg(count(lit(1)).as("__n"))
       val voted = votes.withColumn("__r", row_number().over(
@@ -223,10 +233,14 @@ object GraphOps {
       // iteration-i outcome depends only on its neighbors' i−1 labels —
       // all unchanged, or the node would be in the frontier. New nodes are
       // always in the frontier (newIds ⊆ dirtyAdj) and always land in the
-      // override (no stored row to match).
-      val override_ = recomputed.join(curStored, Seq("id", "label"), "left_anti")
+      // override (no stored row to match). The stored side is cut to
+      // frontier ids FIRST (map-side via the broadcast), so the change
+      // detection never shuffles the trace.
+      val curStoredF = curStored.join(broadcast(frontier), Seq("id"), "left_semi")
         .localCheckpoint(true)
-      val full = curStored.join(override_, Seq("id"), "left_anti")
+      val override_ = recomputed.join(curStoredF, Seq("id", "label"), "left_anti")
+        .localCheckpoint(true)
+      val full = curStored.join(broadcast(override_), Seq("id"), "left_anti")
         .unionByName(override_)
       out = out.unionByName(full.withColumn("iter", lit(i)))
       changed = override_

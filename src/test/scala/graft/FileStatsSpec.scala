@@ -231,4 +231,66 @@ class FileStatsSpec extends SparkSpec {
       assert(excludedStamps(stamp(f)), s"untouched file changed: $f")
     }
   }
+
+  test("bloom built with non-default hash count: probe uses the recorded bloom_k, never misses") {
+    import graft.catalog.Retention
+    val db = s"fk3${System.nanoTime()}"
+    val t = mkTable(db)
+    val st = s"$db.events_stats"
+    FileStats.refresh(spark, t, st, StatsSpec(Seq("user_id"),
+      bloomCols = Seq("user_id"), bloomBits = 1 << 16, bloomHashes = 3))
+    // a probe with the old hardcoded k=5 would read unset positions and
+    // falsely exclude files; the recorded bloom_k must win
+    val expect = spark.table(t).filter(!(col("user_id") === 13L))
+      .select("event_id").as[Long].collect().toSet
+    val r = Retention.deleteRows(spark, t, "user_id", Seq(13L).toDF("user_id"),
+      statsTable = Some(st))
+    assert(r.rowsDeleted == 33, r.toString)
+    assert(spark.table(t).select("event_id").as[Long].collect().toSet == expect)
+    // the auto-refresh kept one geometry (no k=5 rows crept in)
+    val ks = spark.table(st).filter(col("bloom_k").isNotNull)
+      .select("bloom_k").distinct().as[Long].collect().toSeq
+    assert(ks == Seq(3L), ks.toString)
+  }
+
+  test("null keys in the stats-pruned delete are ignored, like the full-scan path") {
+    import graft.catalog.Retention
+    val db = s"fnull${System.nanoTime()}"
+    val t = mkTable(db)
+    val st = s"$db.events_stats"
+    FileStats.refresh(spark, t, st, StatsSpec(Seq("user_id"), Seq("user_id"),
+      bloomBits = 1 << 16))
+    val keys = Seq(Some(13L), None).toDF("user_id")
+    val r = Retention.deleteRows(spark, t, "user_id", keys, statsTable = Some(st))
+    assert(r.rowsDeleted == 33, "the null key deletes nothing, 13 deletes its rows")
+  }
+
+  test("unbounded RangePredicate admits all-NULL files; zero-row files stop rescanning") {
+    val db = s"fedge${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    val t = s"$db.t"
+    Seq((1L, Some(1.0), 0), (2L, Some(2.0), 0)).toDF("id", "v", "b")
+      .write.partitionBy("b").saveAsTable(t)
+    // one file whose v is entirely NULL, one file with ZERO rows
+    Seq((3L, None: Option[Double], 1)).toDF("id", "v", "b")
+      .repartition(1).write.mode("append").insertInto(t)
+    spark.table(t).filter(lit(false)).repartition(1)
+      .write.mode("append").insertInto(t)
+    spark.catalog.refreshTable(t)
+    val st = s"$db.t_stats"
+    val r1 = FileStats.refresh(spark, t, st, StatsSpec(Seq("v")))
+    val r2 = FileStats.refresh(spark, t, st, StatsSpec(Seq("v")))
+    assert(r2.filesScanned == 0,
+      s"zero-row files must not rescan forever: $r2 (first: $r1)")
+    // None/None: residual keeps every row incl. the null-v row
+    val all = FileStats.scanPruned(spark, t, st,
+      Seq(RangePredicate("v", None, None)))
+    assert(all.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L),
+      "an unconstrained range must not exclude the all-NULL file")
+    // a real range still excludes both the null file and the empty file
+    val (_, sel, _) = FileStats.pruneFiles(spark, t, st,
+      Seq(RangePredicate("v", Some(0.5), Some(3.0))))
+    assert(sel.size == spark.table(t).filter(col("b") === 0).inputFiles.length,
+      "null-only and zero-row files are pruned for a bounded range")
+  }
 }

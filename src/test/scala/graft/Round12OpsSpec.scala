@@ -281,4 +281,41 @@ class Round12OpsSpec extends SparkSpec {
     assert(left == Set((1L, Some("p1")), (2L, Some("p1")), (4L, None)),
       left.toString)
   }
+
+  test("convergeConsolidation: a STALE complete WAL (superseded by a later fold) is swept, never resurrected") {
+    import graft.catalog.Compaction
+    val db = s"convs${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    val t = s"$db.corpus"
+    stageBatchTable(t, 5)
+    val before = spark.table(t).select("doc_id").as[Long].collect().toSet
+    // run 1 crashes after its overwrite of partition 2 (scratch 2 lingers)
+    stageCrashAfterOverwrite(t, upTo = 2L)
+    // run 2 (a later maintenance tick) folds up to 4 SUCCESSFULLY — it
+    // deletes only its own scratch, leaving scratch 2 stale
+    assert(Compaction.consolidateBatches(spark, t, 4L, Seq("doc_id")) >= 1)
+    assert(spark.table(t).count() == 50)
+    // convergence must SWEEP scratch 2 — overwriting partition 2 from the
+    // stale WAL would resurrect rows that now live in partition 4
+    assert(Compaction.convergeConsolidation(spark, t) == 0)
+    assert(spark.table(t).select("doc_id").as[Long].collect().toSet == before)
+    assert(spark.table(t).count() == 50, "no resurrected duplicates")
+    val parts = spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0)).toSet
+    assert(parts == Set("batch_id=4"), parts.toString)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(t))
+    val root = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.listStatus(root).exists(
+      _.getPath.getName.startsWith(".graft_consolidate_upTo=")))
+  }
+
+  test("calibrationBins: NULL scores/labels are excluded, not routed to the top bin") {
+    import graft.operators.Analytics
+    val df = Seq((Some(0.95), Some(1)), (None, Some(1)), (Some(0.05), None))
+      .toDF("score", "label")
+    val out = Analytics.calibrationBins(df, "score", "label", bins = 10)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.toSeq == Seq((9L, 1L, 0.95, 1.0)), out.mkString(", "))
+  }
 }

@@ -75,4 +75,11 @@ class SuffixArraySpec extends SparkSpec {
     assert(out(0) == ((1L, 14L, 12L, "前缀")))
     assert(out(1) == ((2L, 14L, 12L, "另外")))
   }
+
+  test("empty documents pass through with zero phantom rows") {
+    val out = run(Seq((1L, ""), (2L, ""), (3L, "some real text here that is long")), minLen = 5)
+    assert(out(0) == ((1L, 0L, 0L, "")))
+    assert(out(1) == ((2L, 0L, 0L, "")))
+    assert(out(2)._3 == 0L && out(2)._4 == "some real text here that is long")
+  }
 }
