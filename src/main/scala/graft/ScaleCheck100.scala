@@ -455,6 +455,74 @@ object ScaleCheck100 {
       }
     }
 
+    // ---- 19. delete-discovery CROSSOVER at 100×: partition count scales
+    // with the data (constant partition size), keys fixed. The stats path
+    // is flat in table size (stats rows + the handful of candidate files);
+    // the full-table semi-join grows with the data — at 100× the absolute
+    // ordering flips and the index pays for itself.
+    locally {
+      import graft.catalog.{FileStats, Retention}
+      def build(rows: Long, parts: Int, name: String): String = {
+        val t = s"scaledel100.$name"
+        spark.sql("CREATE DATABASE IF NOT EXISTS scaledel100")
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.range(rows).select(col("id").as("event_id"),
+            col("id").as("user_id"),
+            pmod(col("id"), lit(parts.toLong)).cast("int").as("bucket"))
+          .repartition(parts, col("bucket"))
+          .write.partitionBy("bucket").saveAsTable(t)
+        t
+      }
+      val keys = spark.range(10).select((col("id") * 1777L + 13L).as("user_id"))
+        .localCheckpoint(true)
+      Seq((200000L, 32, "1x"), (200000L * n, 32 * n, s"${n}x")).foreach {
+        case (rows, parts, tag) =>
+          val tFull = build(rows, parts, s"full_$tag")
+          timed(s"deleteRows FULL-SCAN discovery $tag")(((),
+            Retention.deleteRows(spark, tFull, "user_id", keys).rowsDeleted))
+          val tIdx = build(rows, parts, s"idx_$tag")
+          val st = s"scaledel100.idx_${tag}_stats"
+          spark.sql(s"DROP TABLE IF EXISTS $st")
+          timed(s"deleteRows stats REFRESH (write-path amortized) $tag")(((),
+            FileStats.refresh(spark, tIdx, st, FileStats.StatsSpec(
+              Seq("user_id"), bloomCols = Seq("user_id"),
+              bloomBits = 1 << 17)).filesScanned.toLong))
+          timed(s"deleteRows STATS-PRUNED discovery $tag")(((),
+            Retention.deleteRows(spark, tIdx, "user_id", keys,
+              statsTable = Some(st)).rowsDeleted))
+      }
+    }
+
+    // ---- 20. incremental LPA at 100×: stored graph ×100 (communities of
+    // 10, in-block degree 3), batch fixed. From-scratch pays 3 full vote
+    // rounds (joins + per-node argmax sorts over ~6·N edge-label rows);
+    // the incremental pass broadcasts its frontier deltas, so big-side
+    // work is map-side scans — at 100× the wall gap opens, not just the
+    // shuffle-byte gap.
+    locally {
+      import graft.operators.GraphOps
+      def ring(rows: Long) = spark.range(rows).select(col("id").as("src"),
+        explode(array(Seq(1L, 3L, 5L).map(o =>
+          col("id") - pmod(col("id"), lit(10L)) +
+            pmod(col("id") + o, lit(10L))): _*)).as("dst"))
+      val batch = spark.range(50).select((col("id") * 1777L).as("src"),
+        (col("id") * 1777L + 5L).as("dst")).localCheckpoint(true)
+      Seq(100000L -> "1x", 100000L * n -> s"${n}x").foreach { case (rows, tag) =>
+        val nodes = spark.range(rows).select(col("id"))
+        val edges = ring(rows).localCheckpoint(true)
+        val trace = timed(s"LPA from-scratch 3-iter trace $tag")({
+          val t = GraphOps.labelPropagationTrace(edges, "src", "dst",
+            nodes, "id", 3).localCheckpoint(true)
+          (t, t.count())
+        })
+        timed(s"LPA incremental fixed batch $tag")(((),
+          GraphOps.incrementalLabelPropagation(edges, trace, batch,
+              "src", "dst", 3)
+            .agg(bit_xor(xxhash64(struct(col("iter"), col("id"), col("label"))))
+              .as("ck"), count(lit(1)).as("cnt")).head().getLong(1)))
+      }
+    }
+
     spark.stop()
   }
 }
