@@ -328,7 +328,8 @@ object Compaction {
                    lineage: Option[graft.lineage.Lineage] = None,
                    kllBounds: Boolean = false,
                    swapHook: Path => Unit = _ => (),
-                   walkParallelism: Int = 8): CompactReport = {
+                   walkParallelism: Int = 8,
+                   statsTable: Option[String] = None): CompactReport = {
     require(targetBytes > 0, "targetBytes must be positive")
     require(minFiles >= 2, "minFiles < 2 would select single-file partitions")
     val (root, manifests) = listManifests(spark, table, walkParallelism)
@@ -457,6 +458,14 @@ object Compaction {
     lineage.foreach(_.update(spark.emptyDataFrame, "compact",
       s"table=$table partitions=${report.partitionsCompacted}/${report.partitionsSeen} " +
         s"files=${report.filesBefore}->${report.filesAfter} bytes=${report.bytesRewritten}"))
+    // OPTIMIZE is a write: without a refresh the rewritten partitions'
+    // files are UNKNOWN to a FileStats index and every pruned scan reads
+    // them (safe, but the compaction just un-did its own pruning win —
+    // a curve-preserving rewrite exists precisely to tighten per-file
+    // min/max boxes). The refresh scans only the replacement files.
+    statsTable.filter(_ => report.partitionsCompacted > 0)
+      .foreach(st => FileStats.statsSpecOf(spark, st).foreach(sp =>
+        FileStats.refresh(spark, table, st, sp, walkParallelism)))
     report
   }
 }

@@ -439,6 +439,33 @@ object FileStats {
     (root, selected, PruneReport(files.length, selected.length, unknown))
   }
 
+  /** Recover the column spec an existing stats table was built under
+    * (columns recorded, which carry blooms, bitset size from any stored
+    * bitset, hash count from `bloom_k`) — what the write-path maintenance
+    * hooks ([[Retention.deleteRows]]'s auto-refresh,
+    * [[Compaction.compactTable]]'s `statsTable`) use so no caller-side
+    * spec plumbing is needed and geometries never mix. None for an empty
+    * table. */
+  def statsSpecOf(spark: SparkSession, statsTable: String): Option[StatsSpec] = {
+    if (!spark.catalog.tableExists(statsTable)) return None
+    val rows = spark.table(statsTable)
+      .groupBy(col("col_name"))
+      .agg(max(when(col("bloom").isNotNull, octet_length(col("bloom"))))
+        .as("bloom_bytes"),
+        max(col("bloom_k")).as("bk"))
+      .collect()
+    if (rows.isEmpty) None
+    else {
+      val cols = rows.map(_.getString(0)).toSeq.sorted
+      val blooms = rows.filter(!_.isNullAt(1))
+      val bits = blooms.map(_.getInt(1) * 8)
+      val k = rows.flatMap(r => if (r.isNullAt(2)) None else Some(r.getLong(2).toInt))
+        .headOption.getOrElse(5)
+      Some(StatsSpec(cols, blooms.map(_.getString(0)).toSeq.sorted,
+        if (bits.isEmpty) 1 << 20 else bits.max, k))
+    }
+  }
+
   /** Row-level residual of a stats predicate — what [[scanPruned]] applies
     * after the file cut so the result equals the unpruned filter exactly. */
   private def residual(p: StatsPredicate): Column = p match {

@@ -198,26 +198,7 @@ object Retention {
       }
     }
 
-  /** Recover the index's column spec from the stats table itself (columns
-    * recorded, which of them carry blooms, bitset size from any stored
-    * bitset, hash count from the recorded `bloom_k`) so post-delete
-    * refresh needs no caller-side plumbing and never mixes geometries. */
-  private def specOf(spark: SparkSession, statsTable: String): Option[FileStats.StatsSpec] = {
-    val rows = spark.table(statsTable)
-      .groupBy(col("col_name"))
-      .agg(max(when(col("bloom").isNotNull, octet_length(col("bloom"))))
-        .as("bloom_bytes"),
-        max(col("bloom_k")).as("bk"))
-      .collect()
-    if (rows.isEmpty) None
-    else {
-      val cols = rows.map(_.getString(0)).toSeq.sorted
-      val blooms = rows.filter(!_.isNullAt(1))
-      val bits = blooms.map(_.getInt(1) * 8)
-      val k = rows.flatMap(r => if (r.isNullAt(2)) None else Some(r.getLong(2).toInt))
-        .headOption.getOrElse(5)
-      Some(FileStats.StatsSpec(cols, blooms.map(_.getString(0)).toSeq.sorted,
-        if (bits.isEmpty) 1 << 20 else bits.max, k))
-    }
-  }
+  private def specOf(spark: SparkSession, statsTable: String): Option[FileStats.StatsSpec] =
+    FileStats.statsSpecOf(spark, statsTable)
+
 }

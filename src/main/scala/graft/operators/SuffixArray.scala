@@ -56,8 +56,14 @@ object SuffixArray {
       StructField("r2", LongType), StructField("rk", LongType))))
   }
 
+  /** @param keepFirst when true, each hot window's CORPUS-FIRST occurrence
+    *        (minimum global position = lexicographic (doc, pos), the q176
+    *        convention at character granularity) survives and only the
+    *        other copies are scrubbed — the full Lee et al. keep-one
+    *        contract. Default false = mask every occurrence (the
+    *        boilerplate-removal posture of q107). */
   def scrubRepeatedCharSpans(docs: DataFrame, idCol: String, textCol: String,
-                             minLen: Int): DataFrame = {
+                             minLen: Int, keepFirst: Boolean = false): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2: $minLen")
     val base = docs.select(col(idCol).as("__doc"), col(textCol).as("__text"))
       .localCheckpoint(true)
@@ -114,7 +120,16 @@ object SuffixArray {
     // hot windows (LCP >= minLen runs) -> per-doc covered characters
     val hotR = ranks.groupBy(col("r")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2).select(col("r"))
-    val covered = ranks.join(hotR, Seq("r"), "left_semi")
+    val hotStarts = ranks.join(hotR, Seq("r"), "left_semi")
+    // keepFirst: the minimum gpos of each class IS lexicographic-first
+    // (doc, pos) because gpos = doc*C + pos with pos < C — one aggregation,
+    // no window sort
+    val maskedStarts =
+      if (!keepFirst) hotStarts
+      else hotStarts.join(
+        hotStarts.groupBy(col("r")).agg(min(col("gpos")).as("gpos")),
+        Seq("r", "gpos"), "left_anti")
+    val covered = maskedStarts
       .select(expr(s"gpos div $c").as("__doc"), (col("gpos") % c).as("s"))
       .select(col("__doc"),
         explode(sequence(col("s"), col("s") + (minLen - 1))).as("cpos"))

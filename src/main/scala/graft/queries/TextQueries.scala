@@ -2361,6 +2361,22 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Keep-one exact-substring dedup (scrubRepeatedCharSpans(keepFirst)):
+    // the full Lee et al. keep-one-occurrence contract at char level —
+    // each hot 40-char window's corpus-FIRST occurrence (lexicographic
+    // (doc, pos) = min global position) survives, every other copy is
+    // scrubbed; the first banner-carrying doc keeps its banner.
+    "q211_exact_substring_keepone" -> ((s, d) => {
+      val banner = "supercalifragilisticexpialidocious corporate-boilerplate appended-automatically"
+      val docs = Tables(s, d, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(col("text"), lit(" " + banner)))
+          .otherwise(col("text")).as("text"))
+      graft.operators.SuffixArray.scrubRepeatedCharSpans(
+          docs, "doc_id", "text", minLen = 40, keepFirst = true)
+        .orderBy(col("doc_id"))
+    }),
+
     // DAILY-OPS COMPOSITION — the q187 idea applied to operations: ONE
     // chained run driving DQ gate → dedup gate → ANN gate →
     // consolidateBatches → deleteRowsAll → DP release over the same
@@ -4917,6 +4933,32 @@ object TextQueries {
       hot AS (SELECT g FROM starts GROUP BY g HAVING count(*) >= 2),
       cov AS (SELECT DISTINCT s.doc_id, s.i + o AS p
         FROM starts s JOIN hot USING (g), LATERAL (SELECT unnest(range(0, 40)) AS o)),
+      chars AS (SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 1) AS ch
+        FROM docs, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i)),
+      kept AS (SELECT c.doc_id, c.i, c.ch FROM chars c
+        ANTI JOIN cov ON c.doc_id = cov.doc_id AND c.i = cov.p),
+      agg AS (SELECT doc_id, count(*) AS n_kept,
+                string_agg(ch, '' ORDER BY i) AS txt FROM kept GROUP BY doc_id)
+      SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+             CAST(length(d.text) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_masked,
+             coalesce(agg.txt, '') AS scrubbed_text
+      FROM docs d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""",
+    // Keep-one replay: identical window machinery, but each hot window's
+    // (doc, pos)-first start is exempt from coverage.
+    "q211_exact_substring_keepone" -> """
+      WITH docs AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+          THEN text || ' supercalifragilisticexpialidocious corporate-boilerplate appended-automatically'
+          ELSE text END AS text FROM documents),
+      starts AS (SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 40) AS g
+        FROM docs, LATERAL (SELECT unnest(range(1, length(text) - 40 + 2)) AS i)
+        WHERE length(text) >= 40),
+      hot AS (SELECT g FROM starts GROUP BY g HAVING count(*) >= 2),
+      masked AS (SELECT s.doc_id, s.i, s.g FROM (
+          SELECT doc_id, i, g,
+                 row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
+          FROM starts) s JOIN hot USING (g) WHERE s.rn > 1),
+      cov AS (SELECT DISTINCT m.doc_id, m.i + o AS p
+        FROM masked m, LATERAL (SELECT unnest(range(0, 40)) AS o)),
       chars AS (SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 1) AS ch
         FROM docs, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i)),
       kept AS (SELECT c.doc_id, c.i, c.ch FROM chars c

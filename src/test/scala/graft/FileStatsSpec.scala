@@ -293,4 +293,53 @@ class FileStatsSpec extends SparkSpec {
     assert(sel.size == spark.table(t).filter(col("b") === 0).inputFiles.length,
       "null-only and zero-row files are pruned for a bounded range")
   }
+
+  test("compactTable(statsTable): a curve-preserving compact restores pruning AND refreshes the index") {
+    import graft.operators.Layout
+    import graft.catalog.Compaction
+    val db = s"fcomp${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    val t = s"$db.pts"
+    val pts = spark.range(0, 40000).select(
+      pmod(col("id") * 7919, lit(256L)).as("x"),
+      pmod(col("id") * 104729, lit(256L)).as("y"))
+    Layout.zorderBy(pts, Seq(col("x"), col("y")), 8, 32).drop("zval")
+      .write.saveAsTable(t)
+    val st = s"$db.pts_stats"
+    FileStats.refresh(spark, t, st, StatsSpec(Seq("x", "y")))
+    val preds = Seq(RangePredicate("x", Some(100L), Some(131L)),
+      RangePredicate("y", Some(100L), Some(131L)))
+    val (_, _, fresh0) = FileStats.pruneFiles(spark, t, st, preds)
+    assert(fresh0.filesSelected <= fresh0.filesTotal / 4, fresh0.toString)
+    // ~30 tiny appends spanning the key space degrade pruning: the new
+    // files are UNKNOWN (stats stale) so they all survive every predicate
+    (0 until 30).foreach { i =>
+      pts.filter(pmod(xxhash64(col("x") * 256 + col("y"), lit(i)), lit(50)) === 0)
+        .coalesce(1).write.mode("append").saveAsTable(t)
+    }
+    spark.catalog.refreshTable(t)
+    val before = spark.table(t).agg(count(lit(1)),
+      sum(col("x") * 521 + col("y"))).collect().toSeq
+    val (_, _, degraded) = FileStats.pruneFiles(spark, t, st, preds)
+    assert(degraded.filesUnknown >= 30 &&
+      degraded.filesSelected > degraded.filesTotal / 4, degraded.toString)
+    // compact with the curve AND the stats hook: pruning bound restored,
+    // index refreshed (zero unknown files), content untouched
+    val curve = Layout.mortonCode(Seq(col("x"), col("y")), 8)
+    val (_, manifests) = Compaction.listManifests(spark, t)
+    val target = math.max(1L, manifests.map(_.bytes).sum / 32)
+    Compaction.compactTable(spark, t, targetBytes = target,
+      curve = Some(curve), statsTable = Some(st))
+    val (_, _, after) = FileStats.pruneFiles(spark, t, st, preds)
+    assert(after.filesUnknown == 0, s"compaction must refresh the index: $after")
+    assert(after.filesSelected <= after.filesTotal / 4,
+      s"compaction must restore the pruning bound: $after")
+    assert(spark.table(t).agg(count(lit(1)),
+      sum(col("x") * 521 + col("y"))).collect().toSeq == before)
+    // and the pruned scan still equals the plain filter
+    val pruned = FileStats.scanPruned(spark, t, st, preds)
+    val full = spark.table(t).filter(col("x").between(100L, 131L) &&
+      col("y").between(100L, 131L))
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+  }
 }

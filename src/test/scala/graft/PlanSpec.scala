@@ -428,4 +428,24 @@ class Round8bPlanSpec extends SparkSpec {
     assert("partial_min".r.findAllIn(p).nonEmpty, p)
     assert("(Sort|Hash)Aggregate".r.findAllIn(p).length >= 2, p)
   }
+
+  test("incremental LPA: the trace-override anti-joins broadcast the frontier delta") {
+    import graft.operators.GraphOps
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val nodes = spark.range(0, 200).toDF("id")
+    val edges = nodes.select(col("id").as("src"),
+      ((col("id") + 1) % 200).as("dst"))
+    val trace = GraphOps.labelPropagationTrace(edges, "src", "dst", nodes, "id", 2)
+    val out = GraphOps.incrementalLabelPropagation(edges, trace,
+      Seq((0L, 100L)).toDF("src", "dst"), "src", "dst", 2)
+    val p = plan(out)
+    // one per iteration slice: stored-trace ANTI override, override
+    // broadcast — a planner that shuffled the O(N) trace here would undo
+    // the operator's reason to exist (the vote-side broadcasts sit behind
+    // localCheckpoints and are covered by the measured shuffle rows in
+    // BASELINE.md)
+    assert("BroadcastHashJoin.*LeftAnti".r.findAllIn(p).size >= 2,
+      s"override anti-joins must broadcast:\n$p")
+  }
 }

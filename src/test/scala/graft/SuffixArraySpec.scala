@@ -82,4 +82,22 @@ class SuffixArraySpec extends SparkSpec {
     assert(out(1) == ((2L, 0L, 0L, "")))
     assert(out(2)._3 == 0L && out(2)._4 == "some real text here that is long")
   }
+
+  test("keepFirst: the corpus-first occurrence survives, all later copies scrub") {
+    val banner = "AAAABBBBCCCCDDDD" // 16 chars
+    def runKF(docs: Seq[(Long, String)], minLen: Int) =
+      graft.operators.SuffixArray.scrubRepeatedCharSpans(docs.toDF("doc_id", "text"),
+          "doc_id", "text", minLen, keepFirst = true)
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    val out = runKF(Seq(
+      (1L, s"xx$banner"),      // first occurrence: kept
+      (2L, s"yy$banner"),      // later copy: scrubbed
+      (3L, s"$banner$banner")), minLen = 16) // within-doc copies after doc 1: both scrubbed
+    assert(out(0) == ((1L, 18L, 0L, s"xx$banner")), out(0).toString)
+    assert(out(1) == ((2L, 18L, 16L, "yy")), out(1).toString)
+    assert(out(2)._3 == 32L && out(2)._4 == "", out(2).toString)
+    // and the default mode scrubs doc 1 too
+    val all = run(Seq((1L, s"xx$banner"), (2L, s"yy$banner")), minLen = 16)
+    assert(all(0)._3 == 16L && all(1)._3 == 16L)
+  }
 }
