@@ -2268,7 +2268,7 @@ object TextQueries {
       FileStats.refresh(s, s"$db.events", s"$db.events_stats",
         FileStats.StatsSpec(Seq("event_id", "user_id"), bloomCols = Seq("user_id")))
       FileStats.scanPruned(s, s"$db.events", s"$db.events_stats",
-          Seq(FileStats.RangePredicate("event_id", Some(2000L), Some(4000L)),
+          Seq(FileStats.RangePredicate("event_id", Some(200L), Some(400L)),
             FileStats.KeysPredicate("event_type", Seq("click", "purchase"))))
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), col("bucket"))
@@ -2368,10 +2368,15 @@ object TextQueries {
     // scrubbed; the first banner-carrying doc keeps its banner.
     "q211_exact_substring_keepone" -> ((s, d) => {
       val banner = "supercalifragilisticexpialidocious corporate-boilerplate appended-automatically"
-      val docs = Tables(s, d, "documents").select(col("doc_id"),
-        when(pmod(col("doc_id"), lit(11)) === 0,
-          concat(col("text"), lit(" " + banner)))
-          .otherwise(col("text")).as("text"))
+      // the even half of the corpus: q210 exercises the full machinery on
+      // everything; this query pins the keep-first SEMANTICS without
+      // paying the doubling twice over the whole corpus in every bench
+      val docs = Tables(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" " + banner)))
+            .otherwise(col("text")).as("text"))
       graft.operators.SuffixArray.scrubRepeatedCharSpans(
           docs, "doc_id", "text", minLen = 40, keepFirst = true)
         .orderBy(col("doc_id"))
@@ -4948,7 +4953,7 @@ object TextQueries {
     "q211_exact_substring_keepone" -> """
       WITH docs AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
           THEN text || ' supercalifragilisticexpialidocious corporate-boilerplate appended-automatically'
-          ELSE text END AS text FROM documents),
+          ELSE text END AS text FROM documents WHERE doc_id % 2 = 0),
       starts AS (SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 40) AS g
         FROM docs, LATERAL (SELECT unnest(range(1, length(text) - 40 + 2)) AS i)
         WHERE length(text) >= 40),
@@ -5777,7 +5782,7 @@ object TextQueries {
       SELECT event_id, user_id, event_type, value,
              CAST(user_id % 4 AS INTEGER) AS bucket
       FROM events
-      WHERE event_id BETWEEN 2000 AND 4000
+      WHERE event_id BETWEEN 200 AND 400
         AND event_type IN ('click', 'purchase')
       ORDER BY event_id""",
     // Stats-pruned delete replay: identical surviving-row predicate as the
