@@ -400,15 +400,36 @@ object StreamingOps {
       }
     }
 
+  /** @param statsTable optional [[graft.catalog.FileStats]] index over the
+    *        corpus table's FIRST block column (per-file bloom), maintained
+    *        BY THE GATE: after each committed batch the index refreshes
+    *        (scans only the new partition's files), and the next batch's
+    *        stored-side read prunes to files whose block-bloom intersects
+    *        the batch's blocks — result-preserving because candidates only
+    *        ever form within a block (the incrementalMinhash bucket
+    *        semi-join argument at FILE granularity, before a single stored
+    *        byte is read). Unknown/stale files always admit, so a missed
+    *        refresh (it logs and skips on failure — index health is a
+    *        performance problem, ingest health is not) costs reads, never
+    *        rows. Requires a non-empty integral/string first block column;
+    *        batches with more distinct blocks than `maxPruneKeys` read
+    *        unpruned. */
   def ingestDedupGate(docs: DataFrame, textCol: String, idCol: String,
                       blockCols: Seq[String], threshold: Double,
                       corpusTable: String, reportTable: String,
                       checkpoint: String,
                       availableNow: Boolean = false,
                       maintainEvery: Int = 0,
-                      maintain: (SparkSession, Long) => Unit = (_, _) => ()): StreamingQuery = {
+                      maintain: (SparkSession, Long) => Unit = (_, _) => (),
+                      statsTable: Option[String] = None,
+                      maxPruneKeys: Int = 100000): StreamingQuery = {
+    import graft.catalog.FileStats
     import graft.functions.{SimilarityFunctions => S}
     import graft.operators.Dedup
+    require(statsTable.isEmpty || blockCols.nonEmpty,
+      "statsTable pruning needs a block column to bloom on")
+    val statsSpec = FileStats.StatsSpec(blockCols.take(1),
+      bloomCols = blockCols.take(1), bloomBits = 1 << 17)
     var converged = false // foreachBatch runs serially on the driver
     val w = docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -430,9 +451,10 @@ object StreamingOps {
           // be in its stored side — survivors would self-match as
           // dup_of_stored and change the recomputed report
           val stored =
-            if (ss.catalog.tableExists(corpusTable))
-              ss.table(corpusTable).filter(col("batch_id") < id).drop("batch_id")
-            else btoks.limit(0)
+            if (!ss.catalog.tableExists(corpusTable)) btoks.limit(0)
+            else statsPrunedStored(ss, corpusTable, statsTable,
+                blockCols, btoks, maxPruneKeys)
+              .filter(col("batch_id") < id).drop("batch_id")
           val report = Dedup.incrementalDedup(stored, btoks, "__toks", idCol,
               blockCols, threshold)
             .withColumn("batch_id", lit(id))
@@ -444,11 +466,40 @@ object StreamingOps {
           writeBatchPartition(survivors, corpusTable, id)
           writeBatchPartition(report, reportTable, id)
           BatchCommitLog.commit(ss, checkpoint, id)
+          statsTable.foreach { st =>
+            try FileStats.refresh(ss, corpusTable, st, statsSpec)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"corpus stats refresh failed at batch $id — the new " +
+                    "partition stays unpruned until the next refresh", e)
+            }
+          }
         }
         runMaintenance(ss, id, maintainEvery, maintain)
         ()
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
+  /** The gate's stored-side read, file-pruned through the block bloom when
+    * an index is available and the batch's block set is collectible;
+    * falls back to the plain table read otherwise (identical rows either
+    * way — pruned-away files hold only blocks the batch never joins). */
+  private def statsPrunedStored(ss: SparkSession, corpusTable: String,
+                                statsTable: Option[String],
+                                blockCols: Seq[String], btoks: DataFrame,
+                                maxPruneKeys: Int): DataFrame = {
+    import graft.catalog.FileStats
+    val pruned = statsTable.filter(ss.catalog.tableExists).flatMap { st =>
+      val bc = blockCols.head
+      val keys = btoks.select(col(bc)).distinct()
+        .limit(maxPruneKeys + 1).collect().map(_.get(0)).filterNot(_ == null)
+      if (keys.length > maxPruneKeys) None
+      else scala.util.Try(FileStats.scanPruned(ss, corpusTable, st,
+        Seq(FileStats.KeysPredicate(bc, keys.toSeq)))).toOption
+    }
+    pruned.getOrElse(ss.table(corpusTable))
   }
 
   /** Streaming DATA-QUALITY GATE — the reference's quarantine tier as a

@@ -318,4 +318,60 @@ class Round12OpsSpec extends SparkSpec {
       .as[(Long, Long, Double, Double)].collect()
     assert(out.toSeq == Seq((9L, 1L, 0.95, 1.0)), out.mkString(", "))
   }
+
+  test("ingestDedupGate(statsTable): block-bloom pruned stored reads, bit-identical outcome, index gate-maintained") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.catalog.FileStats
+    import graft.streaming.StreamingOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def drive(db: String, statsTable: Option[String]): (Set[(Long, String, Long)], String) = {
+      spark.sql(s"CREATE DATABASE $db")
+      val (ct, rt) = (s"$db.corpus", s"$db.report")
+      val ckpt = java.nio.file.Files.createTempDirectory(s"r12_bp_$db").toString
+      val mem = MemoryStream[(Long, String, String)]
+      def run(): Unit = {
+        val q = StreamingOps.ingestDedupGate(
+          mem.toDF().toDF("doc_id", "blk", "text"), "text", "doc_id",
+          Seq("blk"), 0.7, ct, rt, ckpt, availableNow = true,
+          statsTable = statsTable)
+        q.awaitTermination()
+      }
+      // three batches over DISJOINT-ish blocks, with a cross-batch dup in
+      // block a and a never-seen block in batch 3
+      mem.addData((1L, "a", "alpha beta gamma delta"),
+        (2L, "b", "omega psi chi phi"))
+      run()
+      mem.addData((3L, "a", "alpha beta gamma delta"), // dup_of_stored 1
+        (4L, "c", "epsilon zeta eta theta"))
+      run()
+      mem.addData((5L, "d", "rho sigma tau upsilon"))
+      run()
+      spark.catalog.refreshTable(ct); spark.catalog.refreshTable(rt)
+      val rep = spark.table(rt)
+        .select(col("doc_id"), col("status"),
+          coalesce(col("attributed_to"), lit(-1L)).as("att"))
+        .as[(Long, String, Long)].collect().toSet
+      (rep, ct)
+    }
+
+    val dbA = s"bpgate${System.nanoTime()}"
+    val (repPlain, _) = drive(dbA, None)
+    val dbB = s"bpgate${System.nanoTime()}x"
+    val st = s"$dbB.corpus_stats"
+    val (repPruned, ct) = drive(dbB, Some(st))
+    assert(repPruned == repPlain,
+      "block-bloom pruning must not change a single report row")
+    assert(repPruned.exists(_._2 == "dup_of_stored"),
+      "the cross-batch dup proves the stored side was actually consulted")
+    // the gate maintained the index: every corpus file covered
+    val (_, _, cover) = FileStats.pruneFiles(spark, ct, st,
+      Seq(FileStats.RangePredicate("blk", None, None)))
+    assert(cover.filesUnknown == 0, s"gate must refresh its index: $cover")
+    // and a single-block probe skips files of other blocks
+    val (_, _, probe) = FileStats.pruneFiles(spark, ct, st,
+      Seq(FileStats.KeysPredicate("blk", Seq("d"))))
+    assert(probe.filesSelected < probe.filesTotal,
+      s"a one-block probe must prune: $probe")
+  }
 }
