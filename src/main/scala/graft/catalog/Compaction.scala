@@ -463,9 +463,19 @@ object Compaction {
     // them (safe, but the compaction just un-did its own pruning win —
     // a curve-preserving rewrite exists precisely to tighten per-file
     // min/max boxes). The refresh scans only the replacement files.
-    statsTable.filter(_ => report.partitionsCompacted > 0)
-      .foreach(st => FileStats.statsSpecOf(spark, st).foreach(sp =>
-        FileStats.refresh(spark, table, st, sp, walkParallelism)))
+    statsTable.filter(_ => report.partitionsCompacted > 0).foreach { st =>
+      // a refresh failure must NOT surface a fully-successful compaction
+      // as failed (stats staleness is a performance problem, the OPTIMIZE
+      // result is not) — same posture as the gates' refresh hooks
+      try FileStats.statsSpecOf(spark, st).foreach(sp =>
+        FileStats.refresh(spark, table, st, sp, walkParallelism))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"post-compaction stats refresh of $st failed — rewritten " +
+              "files stay unpruned until the next refresh", e)
+      }
+    }
     report
   }
 }

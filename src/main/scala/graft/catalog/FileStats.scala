@@ -439,6 +439,39 @@ object FileStats {
     (root, selected, PruneReport(files.length, selected.length, unknown))
   }
 
+  /** The bounded key-probe read both stats-pruned consumers share
+    * ([[Retention.deleteRows]] discovery, the dedup gate's stored-side
+    * read): collect up to `maxKeys` distinct keys, prune `table`'s files
+    * through [[KeysPredicate]] and return the residual-filtered scan.
+    * None ⇒ caller must fall back to the plain table read — key set over
+    * the bound (checked on the RAW collected rows, BEFORE null filtering,
+    * so a null can never mask a truncated key set), missing index, or a
+    * probe failure (logged — silently losing pruning forever is how a
+    * perf feature dies unnoticed). NULL keys are dropped after the bound
+    * check: they never equi-match, so their stored rows are irrelevant;
+    * an all-null key set returns an EMPTY frame for the same reason. */
+  def keysPrunedScan(spark: SparkSession, table: String, statsTable: String,
+                     keyCol: String, keys: DataFrame,
+                     maxKeys: Int): Option[DataFrame] = {
+    if (!spark.catalog.tableExists(statsTable)) return None
+    val raw = keys.select(col(keyCol)).distinct().limit(maxKeys + 1).collect()
+    if (raw.length > maxKeys) None
+    else {
+      val values = raw.map(_.get(0)).toSeq.filterNot(_ == null)
+      if (values.isEmpty) Some(spark.table(table).limit(0))
+      else
+        try Some(scanPruned(spark, table, statsTable,
+          Seq(KeysPredicate(keyCol, values))))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"stats-pruned probe of $table via $statsTable failed — " +
+                "falling back to the unpruned read", e)
+            None
+        }
+    }
+  }
+
   /** Recover the column spec an existing stats table was built under
     * (columns recorded, which carry blooms, bitset size from any stored
     * bitset, hash count from `bloom_k`) — what the write-path maintenance

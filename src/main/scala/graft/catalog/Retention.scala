@@ -170,10 +170,11 @@ object Retention {
     }
   }
 
-  /** Stats-pruned replacement for the discovery semi-join: read only the
-    * files whose [[FileStats]] rows admit one of the keys, then semi-join
-    * those. None → caller falls back to the full scan (no/missing index,
-    * key set over the probe bound, or keyCol not indexed). */
+  /** Stats-pruned replacement for the discovery semi-join: the shared
+    * [[FileStats.keysPrunedScan]] probe, semi-joined back to the exact key
+    * frame. None → caller falls back to the full scan (no/missing index,
+    * key set over the probe bound, keyCol not indexed, or probe failure —
+    * the helper logs it). */
   private def statsPrunedMatching(spark: SparkSession, table: String,
                                   keyCol: String, k: DataFrame,
                                   statsTable: Option[String],
@@ -181,21 +182,8 @@ object Retention {
     statsTable.filter(spark.catalog.tableExists).flatMap { st =>
       val indexed = spark.table(st).filter(col("col_name") === keyCol).limit(1)
       if (indexed.isEmpty) None
-      else {
-        val keyRows = k.limit(maxDiscoveryKeys + 1).collect()
-        if (keyRows.length > maxDiscoveryKeys) None
-        else {
-          // NULL keys never match an equality delete (the full-scan
-          // semi-join drops them silently; q199 codifies null keys as
-          // legal) — filter them before the stats probe, which would
-          // otherwise refuse to encode a null bound
-          val values = keyRows.map(_.get(0)).toSeq.filterNot(_ == null)
-          if (values.isEmpty) Some(spark.table(table).limit(0))
-          else Some(FileStats.scanPruned(spark, table, st,
-            Seq(FileStats.KeysPredicate(keyCol, values)))
-            .join(k, Seq(keyCol), "left_semi"))
-        }
-      }
+      else FileStats.keysPrunedScan(spark, table, st, keyCol, k, maxDiscoveryKeys)
+        .map(_.join(k, Seq(keyCol), "left_semi"))
     }
 
   private def specOf(spark: SparkSession, statsTable: String): Option[FileStats.StatsSpec] =

@@ -68,10 +68,17 @@ object SuffixArray {
     val base = docs.select(col(idCol).as("__doc"), col(textCol).as("__text"))
       .localCheckpoint(true)
     val lens = base.select(col("__doc"), length(col("__text")).as("__len"))
-    // C: one scalar over a narrow agg — the driver reads one long
-    val c = lens.agg(max(col("__len"))).head() match {
+    // C (and the id-domain check): one scalar row over a narrow agg —
+    // the driver reads two longs. Ids must be non-negative: the gpos
+    // encode/decode uses truncating div/mod, which mis-attributes
+    // positions of negative ids to other documents.
+    val c = lens.agg(max(col("__len")), min(col("__doc").cast(LongType))).head() match {
       case r if r.isNullAt(0) => 2L
-      case r => r.getInt(0).toLong + 2L
+      case r =>
+        require(r.getLong(1) >= 0L,
+          s"$idCol must be non-negative for the positional encoding, " +
+            s"got ${r.getLong(1)}")
+        r.getInt(0).toLong + 2L
     }
     // character stream: substring-based (code-point aligned with SQL
     // engines' substr; split-by-empty-regex is edge-cased across JDKs).

@@ -482,25 +482,20 @@ object StreamingOps {
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
-  /** The gate's stored-side read, file-pruned through the block bloom when
-    * an index is available and the batch's block set is collectible;
-    * falls back to the plain table read otherwise (identical rows either
-    * way — pruned-away files hold only blocks the batch never joins). */
+  /** The gate's stored-side read, file-pruned through the block bloom via
+    * the shared [[graft.catalog.FileStats.keysPrunedScan]] probe; plain
+    * table read when the index is absent, the batch's block set exceeds
+    * the bound, or the probe fails (the helper logs it) — identical rows
+    * either way: pruned-away files hold only blocks the batch never
+    * joins. */
   private def statsPrunedStored(ss: SparkSession, corpusTable: String,
                                 statsTable: Option[String],
                                 blockCols: Seq[String], btoks: DataFrame,
-                                maxPruneKeys: Int): DataFrame = {
-    import graft.catalog.FileStats
-    val pruned = statsTable.filter(ss.catalog.tableExists).flatMap { st =>
-      val bc = blockCols.head
-      val keys = btoks.select(col(bc)).distinct()
-        .limit(maxPruneKeys + 1).collect().map(_.get(0)).filterNot(_ == null)
-      if (keys.length > maxPruneKeys) None
-      else scala.util.Try(FileStats.scanPruned(ss, corpusTable, st,
-        Seq(FileStats.KeysPredicate(bc, keys.toSeq)))).toOption
-    }
-    pruned.getOrElse(ss.table(corpusTable))
-  }
+                                maxPruneKeys: Int): DataFrame =
+    statsTable
+      .flatMap(st => graft.catalog.FileStats.keysPrunedScan(ss, corpusTable,
+        st, blockCols.head, btoks.select(col(blockCols.head)), maxPruneKeys))
+      .getOrElse(ss.table(corpusTable))
 
   /** Streaming DATA-QUALITY GATE — the reference's quarantine tier as a
     * micro-batch loop: each arriving batch is split by the DQDL rules

@@ -342,4 +342,27 @@ class FileStatsSpec extends SparkSpec {
       col("y").between(100L, 131L))
     assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
   }
+
+  test("keysPrunedScan: a null key cannot mask an over-bound key set (guard checks raw rows)") {
+    val db = s"fguard${System.nanoTime()}"
+    val t = mkTable(db)
+    val st = s"$db.events_stats"
+    FileStats.refresh(spark, t, st, StatsSpec(Seq("user_id"), Seq("user_id"),
+      bloomBits = 1 << 16))
+    // 3 distinct non-null keys + a null, bound = 3: raw distinct count is 4
+    // (> bound) so the probe MUST decline — pruning with a silently
+    // truncated key set would drop real blocks
+    val keys = Seq(Some(1L), Some(2L), Some(3L), None).toDF("user_id")
+    assert(FileStats.keysPrunedScan(spark, t, st, "user_id", keys, 3).isEmpty,
+      "over-bound sets (counting the null) must fall back")
+    // at bound 4 it prunes, and the null is simply dropped
+    val scan = FileStats.keysPrunedScan(spark, t, st, "user_id", keys, 4)
+    assert(scan.isDefined)
+    val expect = spark.table(t).filter(col("user_id").isin(1L, 2L, 3L))
+    assert(scan.get.exceptAll(expect).isEmpty && expect.exceptAll(scan.get).isEmpty)
+    // all-null keys => empty frame (null never equi-matches)
+    val empty = FileStats.keysPrunedScan(spark, t, st, "user_id",
+      Seq(None: Option[Long]).toDF("user_id"), 4)
+    assert(empty.isDefined && empty.get.isEmpty)
+  }
 }

@@ -100,4 +100,10 @@ class SuffixArraySpec extends SparkSpec {
     val all = run(Seq((1L, s"xx$banner"), (2L, s"yy$banner")), minLen = 16)
     assert(all(0)._3 == 16L && all(1)._3 == 16L)
   }
+
+  test("negative doc ids are rejected (the positional encoding requires non-negative ids)") {
+    intercept[IllegalArgumentException] {
+      run(Seq((-1L, "some text"), (2L, "some text")), minLen = 5)
+    }
+  }
 }
