@@ -244,11 +244,15 @@ object FileStats {
       StructType(Seq(StructField("rel", StringType), StructField("file", StringType),
         StructField("bytes", LongType)))).localCheckpoint(true)
 
-    val old =
-      if (spark.catalog.tableExists(statsTable))
-        spark.table(statsTable).join(curDf.select("rel", "file"), Seq("rel", "file"))
-          .localCheckpoint(true) // rows of vanished files dropped here
+    val exists = spark.catalog.tableExists(statsTable)
+    val legacyLayout = exists && spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(statsTable))
+      .partitionColumnNames != Seq("sb")
+    val oldRaw =
+      if (exists) spark.table(statsTable).drop("sb")
       else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), statsSchema)
+    val old = oldRaw.join(curDf.select("rel", "file"), Seq("rel", "file"))
+      .localCheckpoint(true) // rows of vanished files dropped here
 
     // a file is COVERED iff every spec col has a row, with a bloom where one
     // is declared — anything else rescans (one pass re-derives everything)
@@ -326,17 +330,57 @@ object FileStats {
     val rescanned = spark.createDataFrame(
       toScan.map(f => org.apache.spark.sql.Row(f.rel, f.name)).toSeq.asJava,
       StructType(Seq(StructField("rel", StringType), StructField("file", StringType))))
-    val removed =
-      if (!spark.catalog.tableExists(statsTable)) 0
-      else (spark.table(statsTable).select("rel", "file").distinct().count() -
-        old.select("rel", "file").distinct().count()).toInt
+    val gone = oldRaw.select("rel", "file").distinct()
+      .join(curDf.select("rel", "file"), Seq("rel", "file"), "left_anti")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val removed = gone.length
+    // BUCKETED incremental rewrite: the stats table is partitioned by a
+    // hash bucket of the file identity, and only buckets holding CHANGED
+    // files (scanned, or vanished) rewrite — with per-file Bloom payloads
+    // a full-table rewrite per refresh would be the one term that grows
+    // with TOTAL file count (1M files x 16-128 KiB bitsets is a real
+    // table), while changed buckets track the write batch. A bucket whose
+    // last rows vanished keeps dead rows until its next rewrite — they are
+    // invisible (every reader joins stats to the live listing) and bounded.
+    val sbCol = pmod(
+      expr("hash(concat(rel, '/', file))").cast(LongType), lit(StatsBuckets.toLong))
+      .cast("int")
+    // changed buckets computed through the SAME Spark hash expression the
+    // rows are bucketed with (a driver-side reimplementation would have to
+    // track Spark's Murmur3 seed forever)
+    val changedFiles = toScan.map(f => (f.rel, f.name)) ++ gone
+    val changedBuckets: Set[Int] =
+      if (changedFiles.isEmpty) Set.empty
+      else spark.createDataFrame(
+        changedFiles.map { case (r, f) => org.apache.spark.sql.Row(r, f) }.toSeq.asJava,
+        StructType(Seq(StructField("rel", StringType), StructField("file", StringType))))
+        .select(sbCol.as("sb")).distinct().collect().map(_.getInt(0)).toSet
     val next = old.join(rescanned, Seq("rel", "file"), "left_anti")
       .unionByName(fresh).unionByName(markerDf)
+      .withColumn("sb", sbCol)
       .localCheckpoint(true) // settle before overwriting the table it read
-    next.write.mode("overwrite").saveAsTable(statsTable)
+    if (!exists || legacyLayout) {
+      if (legacyLayout) spark.sql(s"DROP TABLE $statsTable") // one-time migration
+      next.write.partitionBy("sb").mode("overwrite").saveAsTable(statsTable)
+    } else if (changedBuckets.nonEmpty) {
+      // insertInto reads the SESSION conf, not the per-write option
+      // (TableFormat.mergeUpsert's convention)
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try next.filter(col("sb").isin(changedBuckets.toSeq: _*))
+        .write.mode("overwrite").insertInto(statsTable)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
     spark.catalog.refreshTable(statsTable)
     RefreshReport(toScan.length, removed, files.length - toScan.length)
   }
+
+  /** Stats-table bucket count: fixed so a file's rows always land in the
+    * same partition across refreshes (changing it requires a rebuild). */
+  private val StatsBuckets = 64
 
   // ------------------------------------------------------------------ pruning
 

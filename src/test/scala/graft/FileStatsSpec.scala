@@ -365,4 +365,43 @@ class FileStatsSpec extends SparkSpec {
       Seq(None: Option[Long]).toDF("user_id"), 4)
     assert(empty.isDefined && empty.get.isEmpty)
   }
+
+  test("refresh rewrites only the stats buckets holding changed files") {
+    val db = s"fbkt${System.nanoTime()}"
+    val t = mkTable(db)
+    val st = s"$db.events_stats"
+    val spec = StatsSpec(Seq("user_id"), Seq("user_id"), bloomBits = 1 << 16)
+    FileStats.refresh(spark, t, st, spec)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(st))
+    assert(meta.partitionColumnNames == Seq("sb"),
+      "stats table must be bucket-partitioned")
+    val root = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def stamps(): Map[String, Set[(String, Long, Long)]] =
+      fs.listStatus(root).filter(_.isDirectory)
+        .filter(d => !d.getPath.getName.startsWith("_") && !d.getPath.getName.startsWith("."))
+        .map(d => d.getPath.getName ->
+          fs.listStatus(d.getPath).map(f =>
+            (f.getPath.getName, f.getLen, f.getModificationTime)).toSet).toMap
+    val before = stamps()
+    // append ONE file -> at most one bucket changes; every other bucket's
+    // files must stay byte-identical (the O(changed) rewrite contract —
+    // with per-file bloom payloads a full rewrite per refresh would grow
+    // with TOTAL file count)
+    Seq((900002L, 7L, "type_x", 44.0, 3))
+      .toDF("event_id", "user_id", "kind", "value", "bucket")
+      .repartition(1).write.mode("append").insertInto(t)
+    spark.catalog.refreshTable(t)
+    val r = FileStats.refresh(spark, t, st, spec)
+    assert(r.filesScanned == 1, r.toString)
+    val after = stamps()
+    val rewritten = after.keySet.filter(k => before.get(k) != after.get(k))
+    assert(rewritten.size <= 1, s"only the changed bucket rewrites: $rewritten")
+    // pruning still correct over the mixed-age buckets
+    val got = FileStats.scanPruned(spark, t, st,
+      Seq(KeysPredicate("user_id", Seq(7L))))
+    val expect = spark.table(t).filter(col("user_id") === 7L)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
 }
