@@ -245,9 +245,12 @@ object FileStats {
         StructField("bytes", LongType)))).localCheckpoint(true)
 
     val exists = spark.catalog.tableExists(statsTable)
-    val legacyLayout = exists && spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(statsTable))
-      .partitionColumnNames != Seq("sb")
+    val statsMeta = if (exists) Some(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(statsTable))) else None
+    val storedBuckets = statsMeta.flatMap(_.properties.get(BucketsProp))
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+    val legacyLayout = exists && (statsMeta.exists(
+      _.partitionColumnNames != Seq("sb")) || storedBuckets.isEmpty)
     val oldRaw =
       if (exists) spark.table(statsTable).drop("sb")
       else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), statsSchema)
@@ -342,8 +345,15 @@ object FileStats {
     // table), while changed buckets track the write batch. A bucket whose
     // last rows vanished keeps dead rows until its next rewrite — they are
     // invisible (every reader joins stats to the live listing) and bounded.
+    // bucket count: sized to the table at CREATION (small tables pay no
+    // 64-dir overhead; big tables get O(changed)-rewrite granularity) and
+    // PERSISTED as a table property — a file's bucket must be stable
+    // across refreshes forever (rebucketing requires a rebuild: drop the
+    // stats table)
+    val nb: Int = storedBuckets.filter(_ => !legacyLayout)
+      .getOrElse(math.max(1, math.min(1024, (files.length + 7) / 8)))
     val sbCol = pmod(
-      expr("hash(concat(rel, '/', file))").cast(LongType), lit(StatsBuckets.toLong))
+      expr("hash(concat(rel, '/', file))").cast(LongType), lit(nb.toLong))
       .cast("int")
     // changed buckets computed through the SAME Spark hash expression the
     // rows are bucketed with (a driver-side reimplementation would have to
@@ -362,6 +372,7 @@ object FileStats {
     if (!exists || legacyLayout) {
       if (legacyLayout) spark.sql(s"DROP TABLE $statsTable") // one-time migration
       next.write.partitionBy("sb").mode("overwrite").saveAsTable(statsTable)
+      spark.sql(s"ALTER TABLE $statsTable SET TBLPROPERTIES ('$BucketsProp' = '$nb')")
     } else if (changedBuckets.nonEmpty) {
       // insertInto reads the SESSION conf, not the per-write option
       // (TableFormat.mergeUpsert's convention)
@@ -378,9 +389,10 @@ object FileStats {
     RefreshReport(toScan.length, removed, files.length - toScan.length)
   }
 
-  /** Stats-table bucket count: fixed so a file's rows always land in the
-    * same partition across refreshes (changing it requires a rebuild). */
-  private val StatsBuckets = 64
+  /** Table property recording the stats table's bucket count (set at
+    * creation, immutable thereafter — a file's rows must land in the same
+    * partition across refreshes; rebucketing requires a rebuild). */
+  private val BucketsProp = "graft.stats.buckets"
 
   // ------------------------------------------------------------------ pruning
 
