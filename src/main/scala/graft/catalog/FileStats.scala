@@ -254,8 +254,13 @@ object FileStats {
     val oldRaw =
       if (exists) spark.table(statsTable).drop("sb")
       else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), statsSchema)
-    val old = oldRaw.join(curDf.select("rel", "file"), Seq("rel", "file"))
-      .localCheckpoint(true) // rows of vanished files dropped here
+    // join includes BYTES so a same-name in-place rewrite (different
+    // length) drops the stale rows and forces a rescan — without it the
+    // old stats would keep pruning against the replaced content. (A
+    // rewrite preserving name AND length is not detectable from the
+    // listing; Spark's UUID part names make both vanishingly unlikely.)
+    val old = oldRaw.join(curDf, Seq("rel", "file", "bytes"))
+      .localCheckpoint(true) // rows of vanished/rewritten files dropped here
 
     // a file is COVERED iff every spec col has a row, with a bloom where one
     // is declared — anything else rescans (one pass re-derives everything)
@@ -285,15 +290,19 @@ object FileStats {
               .as(s"__bloom_$c")
           else base
         }
+        // the one O(new bytes) pass — checkpointed HERE so the
+        // path-mapping require and every downstream select reuse the
+        // materialized per-file aggregates instead of rescanning parquet
         val wide = spark.read.schema(dataSchema).parquet(paths: _*)
           .groupBy(regexp_replace(col("_metadata.file_path"), SchemeRe, "/").as("__p"))
           .agg(aggCols.head, aggCols.tail: _*)
+          .localCheckpoint(true)
         val mapDf = spark.createDataFrame(
           toScan.map(f => org.apache.spark.sql.Row(
             normPath(absPath(root, f).toString), f.rel, f.name, f.bytes)).toSeq.asJava,
           StructType(Seq(StructField("__p", StringType), StructField("rel", StringType),
             StructField("file", StringType), StructField("bytes", LongType))))
-        val joined = wide.join(broadcast(mapDf), Seq("__p")).localCheckpoint(true)
+        val joined = wide.join(broadcast(mapDf), Seq("__p"))
         require(joined.count() == wide.count(),
           s"stats path mapping lost files for $table — path normalization " +
             "does not round-trip on this filesystem")
@@ -350,8 +359,20 @@ object FileStats {
     // PERSISTED as a table property — a file's bucket must be stable
     // across refreshes forever (rebucketing requires a rebuild: drop the
     // stats table)
-    val nb: Int = storedBuckets.filter(_ => !legacyLayout)
-      .getOrElse(math.max(1, math.min(1024, (files.length + 7) / 8)))
+    // AUTO-REBUCKET: a stats table created small (the streaming gates
+    // auto-create on their first, tiny batch) must not keep ~1 bucket
+    // forever — once the live file count outgrows the stored bucket count
+    // by RebucketFactor, rebuild the whole table at the size it would get
+    // if created today. The rebuild is a full O(total stats) rewrite, but
+    // it fires at most once per 64× growth epoch (amortized O(1) per
+    // file), after which refresh returns to O(changed buckets).
+    val targetNb = math.max(1, math.min(1024, (files.length + 7) / 8))
+    val grown = exists && !legacyLayout &&
+      storedBuckets.exists(b => b < 1024 && files.length > b.toLong * RebucketFactor)
+    val fullRewrite = !exists || legacyLayout || grown
+    val nb: Int =
+      if (fullRewrite) targetNb
+      else storedBuckets.get // non-legacy existing table always has it
     val sbCol = pmod(
       expr("hash(concat(rel, '/', file))").cast(LongType), lit(nb.toLong))
       .cast("int")
@@ -360,7 +381,7 @@ object FileStats {
     // track Spark's Murmur3 seed forever)
     val changedFiles = toScan.map(f => (f.rel, f.name)) ++ gone
     val changedBuckets: Set[Int] =
-      if (changedFiles.isEmpty) Set.empty
+      if (fullRewrite || changedFiles.isEmpty) Set.empty
       else spark.createDataFrame(
         changedFiles.map { case (r, f) => org.apache.spark.sql.Row(r, f) }.toSeq.asJava,
         StructType(Seq(StructField("rel", StringType), StructField("file", StringType))))
@@ -368,18 +389,24 @@ object FileStats {
     val next = old.join(rescanned, Seq("rel", "file"), "left_anti")
       .unionByName(fresh).unionByName(markerDf)
       .withColumn("sb", sbCol)
-      .localCheckpoint(true) // settle before overwriting the table it read
-    if (!exists || legacyLayout) {
-      if (legacyLayout) spark.sql(s"DROP TABLE $statsTable") // one-time migration
-      next.write.partitionBy("sb").mode("overwrite").saveAsTable(statsTable)
+    if (fullRewrite) {
+      if (exists) spark.sql(s"DROP TABLE $statsTable") // migration / rebucket
+      // full-table checkpoint only here, where the whole frame is written
+      next.localCheckpoint(true)
+        .write.partitionBy("sb").mode("overwrite").saveAsTable(statsTable)
       spark.sql(s"ALTER TABLE $statsTable SET TBLPROPERTIES ('$BucketsProp' = '$nb')")
     } else if (changedBuckets.nonEmpty) {
+      // materialize ONLY the changed buckets (the whole point of the
+      // bucketed layout — a full-frame checkpoint would pay O(total stats
+      // bytes) per refresh); lineage is already settled, every input is a
+      // checkpointed or driver-local frame
+      val delta = next.filter(col("sb").isin(changedBuckets.toSeq: _*))
+        .localCheckpoint(true)
       // insertInto reads the SESSION conf, not the per-write option
       // (TableFormat.mergeUpsert's convention)
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try next.filter(col("sb").isin(changedBuckets.toSeq: _*))
-        .write.mode("overwrite").insertInto(statsTable)
+      try delta.write.mode("overwrite").insertInto(statsTable)
       finally prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
@@ -390,9 +417,15 @@ object FileStats {
   }
 
   /** Table property recording the stats table's bucket count (set at
-    * creation, immutable thereafter — a file's rows must land in the same
-    * partition across refreshes; rebucketing requires a rebuild). */
+    * creation, then immutable until an auto-rebucket rebuild — a file's
+    * rows must land in the same partition across incremental refreshes). */
   private val BucketsProp = "graft.stats.buckets"
+
+  /** Live-files / stored-buckets ratio past which [[refresh]] rebuilds the
+    * stats table at today's target bucket count (creation targets ~8
+    * files/bucket; 64× past that the O(changed)-rewrite granularity is
+    * gone and one amortized rebuild buys it back). */
+  private val RebucketFactor = 64L
 
   // ------------------------------------------------------------------ pruning
 
@@ -470,8 +503,11 @@ object FileStats {
       files.map(f => org.apache.spark.sql.Row(f.rel, f.name, f.bytes)).asJava,
       StructType(Seq(StructField("rel", StringType), StructField("file", StringType),
         StructField("bytes", LongType)))).localCheckpoint(true)
+    // bytes in the join: stats of a same-name in-place rewrite no longer
+    // match the listing, so the file downgrades to UNKNOWN (admits) rather
+    // than pruning on the replaced content's stats
     val stats = spark.table(statsTable)
-      .join(curDf.select("rel", "file"), Seq("rel", "file")) // stale rows ignored
+      .join(curDf, Seq("rel", "file", "bytes")) // stale rows ignored
     val kHashes: Int =
       if (!spark.table(statsTable).columns.contains("bloom_k")) bloomHashes
       else {
@@ -574,12 +610,19 @@ object FileStats {
                  walkParallelism: Int = 8): DataFrame = {
     val (root, selected, _) =
       pruneFiles(spark, table, statsTable, preds, bloomHashes, walkParallelism)
-    val cols = spark.table(table).columns.toSeq
+    // CATALOG schema, not inference: data columns read under the table's
+    // declared types, and partition values parse as strings cast to the
+    // declared partition type (Spark skips type inference when the user
+    // schema names the column) — so a date-shaped STRING partition can't
+    // drift to DATE and break the bit-for-bit contract (or feed a wrongly
+    // typed partition spec to Retention.deleteRows' rewrite)
+    val tableSchema = spark.table(table).schema
+    val cols = tableSchema.fields.map(f => col(f.name)).toSeq
     val rowPred = preds.map(residual).reduceOption(_ && _).getOrElse(lit(true))
-    if (selected.isEmpty) spark.table(table).filter(lit(false)).select(cols.map(col): _*)
-    else spark.read.option("basePath", root.toString)
+    if (selected.isEmpty) spark.table(table).filter(lit(false)).select(cols: _*)
+    else spark.read.schema(tableSchema).option("basePath", root.toString)
       .parquet(selected.map(f => absPath(root, f).toString): _*)
       .filter(rowPred)
-      .select(cols.map(col): _*)
+      .select(cols: _*)
   }
 }

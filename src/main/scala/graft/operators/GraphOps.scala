@@ -174,9 +174,19 @@ object GraphOps {
     *         for final labels; feed the whole thing to the next pass. */
   def incrementalLabelPropagation(storedEdges: DataFrame, trace: DataFrame,
                                   batchEdges: DataFrame, srcCol: String,
-                                  dstCol: String, iters: Int): DataFrame = {
+                                  dstCol: String, iters: Int,
+                                  broadcastMaxRows: Long = 10000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     import org.apache.spark.sql.expressions.Window
+    // The deltas below are frontier-bounded by design, but the documented
+    // worst case (a batch rewiring a hub) makes a delta O(nodes) — an
+    // UNCONDITIONAL broadcast hint would then die on the broadcast size
+    // limit / driver memory instead of degrading to a shuffle join. Every
+    // delta is localCheckpointed, so one count per round is cheap: hint
+    // only under the bound, above it the planner's shuffle join makes the
+    // round slow but correct.
+    def hintIfSmall(df: DataFrame): DataFrame =
+      if (df.count() <= broadcastMaxRows) broadcast(df) else df
     def symOf(e: DataFrame): DataFrame = e
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionByName(e.select(col(dstCol).as("a"), col(srcCol).as("b")))
@@ -197,26 +207,29 @@ object GraphOps {
     // overridden by the accumulated changes
     var prevOverride = changed
     // Every join below pairs an O(graph) frame with a FRONTIER-BOUNDED
-    // delta. The deltas carry explicit broadcast() hints (they are small by
-    // design and localCheckpointed, but letting the planner guess risks an
-    // O(nodes) shuffle per round — exactly the cost this operator exists
-    // to avoid): all big-side work is then map-side scans of the stored
-    // edge/trace frames, and the only sorts/aggregations run over
-    // frontier-incident rows.
+    // delta. The deltas carry broadcast() hints GUARDED by hintIfSmall
+    // (small by design and localCheckpointed, but letting the planner
+    // guess risks an O(nodes) shuffle per round — exactly the cost this
+    // operator exists to avoid): all big-side work is then map-side scans
+    // of the stored edge/trace frames, and the only sorts/aggregations
+    // run over frontier-incident rows.
     for (i <- 1 to iters) {
       val prevStored = trace.filter(col("iter") === i - 1).select(col("id"), col("label"))
       // frontier: dirty adjacency ∪ neighbors of last round's label changes
       val frontier = dirtyAdj.unionByName(
-          symUnion.join(broadcast(changed.select(col("id").as("b"))), Seq("b"), "left_semi")
+          symUnion.join(hintIfSmall(changed.select(col("id").as("b"))), Seq("b"), "left_semi")
             .select(col("a").as("id")))
         .distinct().localCheckpoint(true)
+      // one count per round decides both frontier hints
+      val frontierIsSmall = frontier.count() <= broadcastMaxRows
+      def fh(df: DataFrame): DataFrame = if (frontierIsSmall) broadcast(df) else df
       // i−1 labels of the union run, only ever read THROUGH the vote join:
       // stored slice with the (small) override patched in map-side
       val prevFull = prevStored
-        .join(broadcast(prevOverride), Seq("id"), "left_anti")
+        .join(hintIfSmall(prevOverride), Seq("id"), "left_anti")
         .unionByName(prevOverride)
       val votes = symUnion
-        .join(broadcast(frontier.select(col("id").as("a"))), Seq("a"), "left_semi")
+        .join(fh(frontier.select(col("id").as("a"))), Seq("a"), "left_semi")
         .join(prevFull.select(col("id").as("b"), col("label")), Seq("b"))
         .groupBy(col("a"), col("label")).agg(count(lit(1)).as("__n"))
       val voted = votes.withColumn("__r", row_number().over(
@@ -236,11 +249,11 @@ object GraphOps {
       // override (no stored row to match). The stored side is cut to
       // frontier ids FIRST (map-side via the broadcast), so the change
       // detection never shuffles the trace.
-      val curStoredF = curStored.join(broadcast(frontier), Seq("id"), "left_semi")
+      val curStoredF = curStored.join(fh(frontier), Seq("id"), "left_semi")
         .localCheckpoint(true)
       val override_ = recomputed.join(curStoredF, Seq("id", "label"), "left_anti")
         .localCheckpoint(true)
-      val full = curStored.join(broadcast(override_), Seq("id"), "left_anti")
+      val full = curStored.join(hintIfSmall(override_), Seq("id"), "left_anti")
         .unionByName(override_)
       out = out.unionByName(full.withColumn("iter", lit(i)))
       changed = override_

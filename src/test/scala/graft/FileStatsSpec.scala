@@ -366,6 +366,100 @@ class FileStatsSpec extends SparkSpec {
     assert(empty.isDefined && empty.get.isEmpty)
   }
 
+  test("same-name in-place rewrite: stale stats are ignored and refresh rescans the file") {
+    val db = s"frw${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    val t = s"$db.docs"
+    (0L until 1000L).map(i => (i, i % 50L)).toDF("id", "grp")
+      .repartition(8).write.saveAsTable(t)
+    val st = s"$db.docs_stats"
+    val spec = StatsSpec(Seq("id"), Seq("id"), bloomBits = 1 << 14)
+    FileStats.refresh(spark, t, st, spec)
+    // replace ONE data file in place: same name, different content/length.
+    // (Spark never does this — UUID part names — but an external writer
+    // or a restored backup can; the stats must not keep pruning on the
+    // replaced content.)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(t))
+    val root = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val victim = fs.listStatus(root).filter(f => !f.isDirectory &&
+      !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      .maxBy(_.getLen).getPath
+    val tmp = new org.apache.hadoop.fs.Path(root, "_tmp_rewrite")
+    // new content: ids far outside the original range, so the OLD file
+    // stats would wrongly exclude them
+    Seq((999999L, 0L), (999998L, 1L)).toDF("id", "grp")
+      .coalesce(1).write.parquet(tmp.toString)
+    val newFile = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs.delete(victim, false)
+    fs.rename(newFile, victim)
+    fs.delete(tmp, true)
+    spark.catalog.refreshTable(t)
+    assert(fs.getFileStatus(victim).getLen > 0)
+    // BEFORE any refresh: the bytes mismatch downgrades the file to
+    // UNKNOWN, so a probe for the new content finds it
+    val got = FileStats.scanPruned(spark, t, st, Seq(KeysPredicate("id", Seq(999999L))))
+    assert(got.select("id").as[Long].collect().toSeq == Seq(999999L),
+      "stale stats must not exclude rewritten content")
+    // refresh notices the rewrite (covered requires matching bytes)
+    val r = FileStats.refresh(spark, t, st, spec)
+    assert(r.filesScanned == 1, s"exactly the rewritten file rescans: $r")
+    val again = FileStats.scanPruned(spark, t, st, Seq(KeysPredicate("id", Seq(999999L))))
+    assert(again.select("id").as[Long].collect().toSeq == Seq(999999L))
+  }
+
+  test("auto-rebucket: a stats table created tiny rebuilds once the table outgrows it") {
+    val db = s"fgrow${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    val t = s"$db.docs"
+    // 1 file -> created with 1 bucket (the gate-auto-create shape)
+    Seq((1L, 1L)).toDF("id", "grp").coalesce(1).write.saveAsTable(t)
+    val st = s"$db.docs_stats"
+    val spec = StatsSpec(Seq("id"))
+    FileStats.refresh(spark, t, st, spec)
+    def buckets(): Int = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(st))
+      .properties("graft.stats.buckets").toInt
+    assert(buckets() == 1)
+    // grow past 64 files/bucket -> the next refresh rebuilds at today's size
+    (2L until 1000L).map(i => (i, i % 9L)).toDF("id", "grp")
+      .repartition(80).write.mode("append").insertInto(t)
+    spark.catalog.refreshTable(t)
+    FileStats.refresh(spark, t, st, spec)
+    val nb = buckets()
+    assert(nb > 1 && nb <= 1024, s"rebucketed count: $nb")
+    // stats intact across the rebuild: steady state + pruning correct
+    val r = FileStats.refresh(spark, t, st, spec)
+    assert(r.filesScanned == 0, s"post-rebuild steady state: $r")
+    val got = FileStats.scanPruned(spark, t, st,
+      Seq(RangePredicate("id", Some(10L), Some(20L))))
+    val expect = spark.table(t).filter(col("id").between(10L, 20L))
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
+
+  test("scanPruned reads under the CATALOG schema: date-shaped string partitions don't drift") {
+    val db = s"fschema${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    val t = s"$db.daily"
+    // partition column is a STRING holding date-shaped values — inference
+    // would read it back as DATE and break the bit-for-bit contract
+    Seq((1L, 10.0, "2024-01-05"), (2L, 20.0, "2024-01-06"),
+        (3L, 30.0, "2024-01-05"), (4L, 40.0, "2024-01-07"))
+      .toDF("id", "value", "day")
+      .write.partitionBy("day").saveAsTable(t)
+    val st = s"$db.daily_stats"
+    FileStats.refresh(spark, t, st, StatsSpec(Seq("id")))
+    val got = FileStats.scanPruned(spark, t, st,
+      Seq(RangePredicate("id", Some(1L), Some(3L))))
+    val expect = spark.table(t).filter(col("id").between(1L, 3L))
+    assert(got.schema == expect.schema,
+      s"catalog schema must survive the pruned read: ${got.schema.sql}")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    assert(got.filter(col("day") === "2024-01-05").count() == 2L)
+  }
+
   test("refresh rewrites only the stats buckets holding changed files") {
     val db = s"fbkt${System.nanoTime()}"
     val t = mkTable(db)

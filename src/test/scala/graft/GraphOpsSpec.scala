@@ -98,6 +98,27 @@ class GraphOpsSpec extends SparkSpec {
     assert(untouched == storedRows)
   }
 
+  test("incrementalLabelPropagation: hub-rewiring batch with the broadcast " +
+    "guard forced to shuffle joins stays exact") {
+    import graft.operators.GraphOps
+    // worst case the docstring admits: the batch rewires a hub, blowing
+    // the frontier to O(nodes). broadcastMaxRows = 1 forces EVERY delta
+    // past the guard, so all the joins run as shuffle joins — the result
+    // must be bit-identical to the from-scratch union trace.
+    val n = 60L
+    val nodes = lpaNodes(0L to n)
+    val storedEdges = lpaEdges((1L to n).map(v => (0L, v))) // star on hub 0
+    val batchEdges = lpaEdges(Seq((1L, 2L), (0L, 1L), (3L, 4L), (0L, n)))
+    val iters = 3
+    val trace = GraphOps.labelPropagationTrace(storedEdges, "src", "dst",
+      nodes, "id", iters)
+    val inc = GraphOps.incrementalLabelPropagation(storedEdges, trace,
+      batchEdges, "src", "dst", iters, broadcastMaxRows = 1L)
+    val scratch = GraphOps.labelPropagationTrace(
+      storedEdges.unionByName(batchEdges), "src", "dst", nodes, "id", iters)
+    assert(inc.exceptAll(scratch).isEmpty && scratch.exceptAll(inc).isEmpty)
+  }
+
   test("incrementalLabelPropagation: a second day composes on the first day's trace") {
     import graft.operators.GraphOps
     val nodes = lpaNodes(0L to 9L)
