@@ -60,7 +60,7 @@ object Plans {
       "q184_ngram_novelty" -> "n-gram novelty: distinct train gram hashes anti-joined against per-doc distinct score grams — 8-byte keys only, no gram text in any exchange",
       "q203_stats_pruned_scan" -> "file-stats pruned scan: per-file min/max+bloom admit evaluated on the narrow stats table, surviving files read basePath-anchored, residual re-applied — the un-read files are the plan",
       "q208_incremental_lpa" -> "incremental sync-LPA: stored-trace slices ANTI broadcast frontier overrides (map-side), vote joins frontier-scoped; no O(N) exchange outside the trace write",
-      "q210_exact_substring_dedup" -> "char-exact substring dedup: prefix-doubling rank rounds — gpos equi-join + distinct-rank per round, long keys only, coverage via merged hot-window explode",
+      "q210_exact_substring_dedup" -> "char-exact substring dedup: rolling-hash kernel nomination (one 8-byte-key count + one semi-join over the corpus) — exact content verify and span rebuild over CANDIDATE rows only",
       "q37_pipeline_e2e" -> "full collect-to-cleanse pipeline")
 
     val sb = new StringBuilder

@@ -708,11 +708,11 @@ object ScaleCheck {
       }
     }
 
-    // Char-level ExactSubstr dedup: prefix-doubling suffix ranks over the
-    // concatenated corpus — ~log(minLen) rounds, each one keyed equi-join
-    // + one distinct-rank over the position stream, so runtime ~Nx with
-    // shuffle ~rows x rounds; nothing is ever quadratic and no
-    // minLen-char strings are materialized (ranks are longs).
+    // Char-level ExactSubstr dedup: rolling-hash window nomination + exact
+    // verify — corpus-sized cost is ONE 8-byte-key count plus ONE
+    // (gpos, h) semi-join; every later stage (window re-extraction,
+    // content classes, span rebuild) is CANDIDATE-sized, so shuffle
+    // tracks hot positions, not corpus characters.
     locally {
       def sdocs(rows: Long) = spark.range(rows).select(col("id").as("doc_id"),
         concat(lit("document body with unique trail "),

@@ -523,6 +523,30 @@ object ScaleCheck100 {
       }
     }
 
+    // Char-exact substring dedup (rolling-hash nomination + exact verify):
+    // duplicated content is a FIXED 1/13 fraction, so hot positions grow
+    // ~Nx while unique text grows ~Nx too — the check is that WALL and
+    // SHUFFLE both track N linearly (the corpus-sized stages are one
+    // 8-byte count and one 16-byte semi-join per char; the verify/rebuild
+    // stages are candidate-sized). The prefix-doubling form this replaced
+    // measured 3.3 GB shuffle at 10x and could not be run at 100x.
+    locally {
+      def sdocs(rows: Long) = spark.range(rows).select(col("id").as("doc_id"),
+        concat(lit("document body with unique trail "),
+          (col("id") * 7919L).cast("string"),
+          when(pmod(col("id"), lit(13L)) === 0,
+            lit(" shared-fortycharacter-boilerplate-banner-text")).otherwise(lit("")))
+          .as("text"))
+      Seq(20000L -> "1x", 20000L * n -> s"${n}x").foreach { case (rows, tag) =>
+        timed(s"exact-substring char dedup minLen=40 $tag")(((),
+          operators.SuffixArray.scrubRepeatedCharSpans(sdocs(rows), "doc_id",
+              "text", 40)
+            .agg(bit_xor(xxhash64(struct(col("doc_id"), col("n_masked"),
+              col("scrubbed_text")))).as("ck"), count(lit(1)).as("cnt"))
+            .head().getLong(1)))
+      }
+    }
+
     spark.stop()
   }
 }

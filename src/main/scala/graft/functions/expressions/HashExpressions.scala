@@ -846,9 +846,74 @@ object HashExpressions {
     override def prettyName: String = "bloom_contains_any"
   }
 
+  /** array<long>: per-position rolling hashes of `minLen`-code-point
+    * character windows ([[Kernels.charWindowHashes]]) — the candidate
+    * NOMINATION pass of the exact-substring scrub. 64 bits suffices
+    * (unlike [[GramHashPairsExpr]]'s 128) because every hot class is
+    * exact-verified by string compare before masking. */
+  case class CharWindowHashesExpr(child: Expression, minLen: Int)
+      extends UnaryExpression {
+    require(minLen >= 2, "minLen must be >= 2")
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType || child.dataType == NullType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string input, got ${child.dataType.sql}")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.charWindowHashes(input.asInstanceOf[UTF8String], minLen)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $KernelsClass.charWindowHashes($c, $minLen);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "char_window_hashes"
+  }
+
+  /** struct(n_masked, scrubbed): text with the `minLen`-code-point spans at
+    * `starts` (1-based, sorted ascending) removed, in one pass
+    * ([[Kernels.maskCharSpans]]) — the per-document REBUILD of the
+    * exact-substring scrub, replacing per-character explode/anti-join/
+    * collect_list reassembly. */
+  case class MaskCharSpansExpr(left: Expression, right: Expression, minLen: Int)
+      extends BinaryExpression {
+    require(minLen >= 2, "minLen must be >= 2")
+    override def checkInputDataTypes(): TypeCheckResult =
+      if ((left.dataType == StringType || left.dataType == NullType) &&
+          (right.dataType == ArrayType(LongType, containsNull = false) ||
+           right.dataType == ArrayType(LongType, containsNull = true) ||
+           right.dataType == NullType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, array<bigint>), got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_masked", LongType, nullable = false),
+      StructField("scrubbed", StringType, nullable = false)))
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(text: Any, starts: Any): Any =
+      Kernels.maskCharSpans(text.asInstanceOf[UTF8String],
+        starts.asInstanceOf[ArrayData], minLen)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (t, st) =>
+        s"${ev.value} = $KernelsClass.maskCharSpans($t, $st, $minLen);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "mask_char_spans"
+  }
+
   // Spark 4's public Column is ColumnNode-backed; the classic bridge converts
   // Expression ↔ Column.
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def char_window_hashes(text: Column, minLen: Int): Column =
+    column(CharWindowHashesExpr(expression(text), minLen))
+  def mask_char_spans(text: Column, starts: Column, minLen: Int): Column =
+    column(MaskCharSpansExpr(expression(text), expression(starts), minLen))
 
   def minhash_signature(shingles: Column, numHashes: Int): Column =
     column(MinHashSignatureExpr(expression(shingles), numHashes))

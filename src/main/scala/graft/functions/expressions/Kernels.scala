@@ -744,6 +744,68 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Per-position CHARACTER-window rolling hashes in ONE pass: element i =
+    * 64-bit polynomial hash (mod 2^64, odd base) of the `minLen`-CODE-POINT
+    * window starting at code-point index i. Empty below `minLen` code
+    * points. Unlike [[gramHashPairs]], 64 bits is enough here: the hash
+    * only NOMINATES candidates — an exact string compare verifies every
+    * hot class before anything is masked, so a collision costs verify
+    * work, never a spurious mask. Code points (not UTF-16 units) keep
+    * positions aligned with SQL `substring`, which the verify stage uses
+    * to re-extract the window text. */
+  def charWindowHashes(text: UTF8String, minLen: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
+    if (n < minLen) return new GenericArrayData(Array.empty[Any])
+    val B = 0x100000001b3L // FNV-1a prime (odd)
+    var bPow = 1L
+    var j = 0
+    while (j < minLen - 1) { bPow *= B; j += 1 } // B^(minLen-1) mod 2^64
+    val out = new Array[Long](n - minLen + 1)
+    var h = 0L
+    var i = 0
+    while (i < minLen) { h = h * B + cps(i); i += 1 }
+    out(0) = h
+    i = 1
+    while (i <= n - minLen) {
+      h = (h - cps(i - 1) * bPow) * B + cps(i + minLen - 1)
+      out(i) = h
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Scrub `minLen`-code-point spans starting at each 1-based position in
+    * `starts` (sorted ascending, possibly overlapping): returns
+    * struct(n_masked, scrubbed) in one pass — the per-document rebuild of
+    * the exact-substring scrub without ever materializing per-character
+    * rows. */
+  def maskCharSpans(text: UTF8String, starts: ArrayData,
+                    minLen: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val ns = starts.numElements()
+    val sb = new java.lang.StringBuilder(s.length)
+    var masked = 0L
+    var idx = 0
+    var coverEnd = 0L // exclusive end of the current covered run, 1-based
+    var cp = 1L       // current code-point position, 1-based
+    var i = 0         // UTF-16 index
+    while (i < s.length) {
+      val c = s.codePointAt(i)
+      while (idx < ns && starts.getLong(idx) <= cp) {
+        val e = starts.getLong(idx) + minLen
+        if (e > coverEnd) coverEnd = e
+        idx += 1
+      }
+      if (cp < coverEnd) masked += 1L
+      else sb.appendCodePoint(c)
+      cp += 1L
+      i += Character.charCount(c)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](masked, UTF8String.fromString(sb.toString)))
+  }
+
   /** Per-position bigram hash pairs in ONE pass: element i =
     * struct(xxhash64(w_i), xxhash64("w_i w_i+1")) — the (condition-word,
     * bigram) keys a bigram LM needs, as 8-byte longs instead of the string

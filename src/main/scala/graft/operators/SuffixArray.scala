@@ -11,37 +11,127 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * scrubbed. The token-n-gram scrubs ([[Repetition.scrubRepeatedSpans]],
   * q107/q176) need ≥ n whole tokens to align; a 60-character boilerplate of
   * four long tokens sails straight through an 8-token gram — this operator
-  * is the character-exact complement.
+  * is the character-exact complement. A repeat of ANY length M ≥ minLen is
+  * exactly the union of its M−minLen+1 hot length-minLen windows, so
+  * masking hot windows covers arbitrary-length repeats with no
+  * gram-alignment loss.
   *
-  * MECHANISM — distributed PREFIX-DOUBLING suffix ranks: position i's rank
-  * at level k equality-classes the corpus substring [i, i+k). Level 1 ranks
-  * single characters; each round joins rank(i) with rank(i+step) and
-  * re-ranks the pairs (the suffix-array construction of Manber–Myers, each
-  * round one equi-join + one distinct-rank, all keyed shuffles), stopping
-  * at k = `minLen` — a full suffix array would keep doubling to n, but the
-  * contract only needs length-`minLen` equality classes: a repeat of ANY
-  * length M ≥ minLen is exactly the union of its M−minLen+1 hot length-
-  * minLen windows, so span extraction over hot windows (the LCP ≥ minLen
-  * runs of the suffix order) covers arbitrary-length repeats with no
-  * gram-alignment loss. O(n log minLen) shuffle rows total; ranks are
-  * longs, so no L-character strings are ever materialized or shuffled —
-  * the reason this scales where a naive windows-as-strings group-by
-  * would ship n×minLen bytes.
+  * MECHANISM — rolling-hash nomination + exact verification:
+  *   1. ONE codegen kernel pass emits a 64-bit rolling hash per
+  *      length-`minLen` code-point window ([[graft.functions.expressions
+  *      .Kernels.charWindowHashes]]); windows are per-document, so nothing
+  *      can straddle a document boundary by construction.
+  *   2. Hash classes with ≥ 2 members are HOT — a count aggregation over
+  *      8-byte keys (map-side combinable, no giant rows even on a
+  *      degenerate single-character corpus).
+  *   3. Candidate positions (members of hot classes) re-extract their
+  *      actual `minLen`-char window text and re-classify BY CONTENT — a
+  *      hash collision dies here (its content class is a singleton), so
+  *      collisions cost verify work, never a spurious mask. Every true
+  *      repeat's windows share a hash, so no candidate is ever missed:
+  *      the result is EXACT.
+  *   4. Masked starts fold back per document and one kernel call rebuilds
+  *      the scrubbed text ([[graft.functions.expressions.Kernels
+  *      .maskCharSpans]]) — no per-character rows anywhere.
   *
-  * Cross-document and cross-gap safety: positions live at
-  * `doc_id·C + cpos` (C > max doc length, no cumsum — fully parallel) with
-  * ONE unique separator row per document at `doc_id·C + len`; any window
-  * that leaves its document contains that document's separator in its
-  * recursion leaves, so its rank class is a singleton and it can never be
-  * hot. Within-document repeats count (the reference contract), unlike the
-  * ≥-2-distinct-docs gram scrubs.
+  * SCALE: the corpus-sized stages shuffle one 8-byte hash per character
+  * (the count) plus one 16-byte (gpos, h) row per character (the hot
+  * semi-join) — ONE round, vs the log₂(minLen) ≈ 6 join+re-rank rounds of
+  * the prefix-doubling construction this replaces
+  * ([[scrubRepeatedCharSpansPrefixDoubling]], kept as the spec'd reference
+  * implementation). Every later stage is CANDIDATE-sized: duplicated
+  * characters plus the hash-collision tail (~m²/2⁶⁴ expected windows —
+  * negligible even at 10¹³ windows), so the expensive joins track the
+  * dedup signal, not the corpus.
   *
-  * Determinism: ranks are arbitrary-but-consistent ids per equality class
-  * (only the classes surface), coverage is a set union, and the rebuild is
-  * position-sorted — the whole operator is oracle-replayable.
+  * Positions live at `doc_id·C + cpos` (C > max doc length, no cumsum —
+  * fully parallel); within-document repeats count (the reference
+  * contract), unlike the ≥-2-distinct-docs gram scrubs.
+  *
+  * Determinism: classes are content classes, coverage is a set union, and
+  * the rebuild is position-ordered — the whole operator is
+  * oracle-replayable.
   *
   * @return (idCol, n_chars, n_masked, scrubbed_text) one row per doc. */
 object SuffixArray {
+
+  private def positionalC(lens: DataFrame, idCol: String): Long =
+    lens.agg(max(col("__len")), min(col("__doc").cast(LongType))).head() match {
+      case r if r.isNullAt(0) => 2L
+      case r =>
+        require(r.getLong(1) >= 0L,
+          s"$idCol must be non-negative for the positional encoding, " +
+            s"got ${r.getLong(1)}")
+        r.getInt(0).toLong + 2L
+    }
+
+  /** @param keepFirst when true, each hot window's CORPUS-FIRST occurrence
+    *        (minimum global position = lexicographic (doc, pos), the q176
+    *        convention at character granularity) survives and only the
+    *        other copies are scrubbed — the full Lee et al. keep-one
+    *        contract. Default false = mask every occurrence (the
+    *        boilerplate-removal posture of q107). */
+  def scrubRepeatedCharSpans(docs: DataFrame, idCol: String, textCol: String,
+                             minLen: Int, keepFirst: Boolean = false): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2: $minLen")
+    import graft.functions.expressions.HashExpressions.{char_window_hashes, mask_char_spans}
+    val base = docs.select(col(idCol).as("__doc"), col(textCol).as("__text"))
+      .localCheckpoint(true)
+    val lens = base.select(col("__doc"), length(col("__text")).as("__len"))
+    // C (and the id-domain check): one scalar row over a narrow agg —
+    // the driver reads two longs. Ids must be non-negative: the gpos
+    // encode/decode uses truncating div/mod, which mis-attributes
+    // positions of negative ids to other documents.
+    val c = positionalC(lens, idCol)
+
+    // 1. nomination: (gpos, h) per window — 1-based start positions so the
+    // verify stage's SQL substring (1-based, code-point) lines up
+    val winh = base.select(col("__doc"),
+        posexplode(char_window_hashes(col("__text"), minLen)))
+      .select((col("__doc") * c + col("pos") + lit(1L)).as("gpos"),
+        col("col").as("h"))
+
+    // 2. hot hash classes: count only (streaming agg — safe even when one
+    // class holds most of the corpus)
+    val hotH = winh.groupBy(col("h")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select(col("h"))
+
+    // 3. candidates: members of hot classes, folded per document (list
+    // size bounded by the doc's own length — the same order as its text)
+    val candPerDoc = winh.join(hotH, Seq("h"), "left_semi")
+      .select(expr(s"gpos div $c").as("__doc"), (col("gpos") % c).as("cpos"))
+      .groupBy(col("__doc")).agg(collect_list(col("cpos")).as("__ps"))
+
+    // 4. exact verify: candidate windows' literal text, re-classified by
+    // content; a class that is only hash-hot (collision) is a content
+    // singleton and drops out here
+    val wins = base.join(candPerDoc, Seq("__doc"))
+      .select(col("__doc"), explode(expr(
+        s"transform(__ps, p -> struct(p AS cpos, " +
+          s"substring(__text, CAST(p AS INT), $minLen) AS w))")).as("x"))
+      .select((col("__doc") * c + col("x.cpos")).as("gpos"), col("x.w").as("w"))
+    val hotW = wins.groupBy(col("w"))
+      .agg(count(lit(1)).as("__n"), min(col("gpos")).as("__first"))
+      .filter(col("__n") >= 2)
+    // keepFirst: the minimum gpos of each content class IS
+    // lexicographic-first (doc, pos) because gpos = doc*C + pos with
+    // pos < C — one aggregation, no window sort
+    val maskedStarts = wins.join(hotW, Seq("w"))
+      .filter(if (keepFirst) col("gpos") =!= col("__first") else lit(true))
+      .select(expr(s"gpos div $c").as("__doc"), (col("gpos") % c).as("s"))
+
+    // 5. per-doc rebuild: sorted span starts -> one kernel call
+    val spansPerDoc = maskedStarts.groupBy(col("__doc"))
+      .agg(sort_array(collect_list(col("s"))).as("__starts"))
+    base.join(spansPerDoc, Seq("__doc"), "left")
+      .select(col("__doc"), col("__text"),
+        mask_char_spans(col("__text"),
+          coalesce(col("__starts"), lit(Array.empty[Long])), minLen).as("__m"))
+      .select(col("__doc").as(idCol),
+        length(col("__text")).cast(LongType).as("n_chars"),
+        col("__m.n_masked").as("n_masked"),
+        col("__m.scrubbed").as("scrubbed_text"))
+  }
 
   /** Equality-class ids for (r1, r2) pairs: distinct pairs zipWithIndex —
     * the one RDD use (Spark's canonical distributed dense-id assignment);
@@ -56,30 +146,27 @@ object SuffixArray {
       StructField("r2", LongType), StructField("rk", LongType))))
   }
 
-  /** @param keepFirst when true, each hot window's CORPUS-FIRST occurrence
-    *        (minimum global position = lexicographic (doc, pos), the q176
-    *        convention at character granularity) survives and only the
-    *        other copies are scrubbed — the full Lee et al. keep-one
-    *        contract. Default false = mask every occurrence (the
-    *        boilerplate-removal posture of q107). */
-  def scrubRepeatedCharSpans(docs: DataFrame, idCol: String, textCol: String,
-                             minLen: Int, keepFirst: Boolean = false): DataFrame = {
+  /** The REFERENCE implementation: distributed PREFIX-DOUBLING suffix
+    * ranks (Manber–Myers truncated at `minLen` — position i's rank at
+    * level k equality-classes the corpus substring [i, i+k); each round
+    * one equi-join + one distinct-rank re-ranking, all keyed shuffles of
+    * longs). Exact by construction with no hashing anywhere, which is why
+    * it stays as the spec oracle for [[scrubRepeatedCharSpans]] — but it
+    * shuffles the corpus log₂(minLen) times at one row per CHARACTER,
+    * so the rolling-hash form above is the production path.
+    *
+    * Cross-document and cross-gap safety: one unique separator row per
+    * document at `doc_id·C + len`; any window that leaves its document
+    * contains that document's separator in its recursion leaves, so its
+    * rank class is a singleton and can never be hot. */
+  def scrubRepeatedCharSpansPrefixDoubling(docs: DataFrame, idCol: String,
+                                           textCol: String, minLen: Int,
+                                           keepFirst: Boolean = false): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2: $minLen")
     val base = docs.select(col(idCol).as("__doc"), col(textCol).as("__text"))
       .localCheckpoint(true)
     val lens = base.select(col("__doc"), length(col("__text")).as("__len"))
-    // C (and the id-domain check): one scalar row over a narrow agg —
-    // the driver reads two longs. Ids must be non-negative: the gpos
-    // encode/decode uses truncating div/mod, which mis-attributes
-    // positions of negative ids to other documents.
-    val c = lens.agg(max(col("__len")), min(col("__doc").cast(LongType))).head() match {
-      case r if r.isNullAt(0) => 2L
-      case r =>
-        require(r.getLong(1) >= 0L,
-          s"$idCol must be non-negative for the positional encoding, " +
-            s"got ${r.getLong(1)}")
-        r.getInt(0).toLong + 2L
-    }
+    val c = positionalC(lens, idCol)
     // character stream: substring-based (code-point aligned with SQL
     // engines' substr; split-by-empty-regex is edge-cased across JDKs).
     // Empty docs must yield ZERO char rows: sequence(1, 0) is [1, 0] (the

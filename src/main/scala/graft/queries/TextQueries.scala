@@ -2342,9 +2342,10 @@ object TextQueries {
     }),
 
     // Character-exact substring dedup (SuffixArray.scrubRepeatedCharSpans):
-    // the Lee et al. ExactSubstr contract via distributed prefix-doubling
-    // suffix ranks — every char inside a >= 40-CHAR substring occurring
-    // >= 2 times anywhere (within or across docs) is scrubbed. The planted
+    // the Lee et al. ExactSubstr contract via rolling-hash window
+    // nomination + exact content verify (spec'd bit-equal to the
+    // prefix-doubling reference) — every char inside a >= 40-CHAR substring
+    // occurring >= 2 times anywhere (within or across docs) is scrubbed. The planted
     // banner is 3 long tokens, so the 8-token gram scrubs (q107/q176)
     // provably cannot align on it; the natural corpus's exact-duplicate
     // docs scrub each other wholesale. The oracle replays with literal

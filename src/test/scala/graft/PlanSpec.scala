@@ -429,6 +429,25 @@ class Round8bPlanSpec extends SparkSpec {
     assert("(Sort|Hash)Aggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("exact-substring dedup: kernel nomination + kernel rebuild, no window sort, no per-char reassembly") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = (0L until 50L).map(i =>
+      (i, s"body $i ${if (i % 7 == 0) "shared-boilerplate-string-forty-chars!!" else ""}"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.operators.SuffixArray.scrubRepeatedCharSpans(
+      docs, "doc_id", "text", minLen = 12))
+    // the corpus pass is the rolling-hash kernel; the rebuild is the span
+    // kernel — NOT per-character explode + collect_list reassembly
+    assert(p.contains("char_window_hashes"), s"nomination kernel missing:\n$p")
+    assert(p.contains("mask_char_spans"), s"rebuild kernel missing:\n$p")
+    assert(!p.contains("Window"), "no window sort anywhere")
+    // keepFirst's class-first selection is an aggregation, not a sort
+    val pk = plan(graft.operators.SuffixArray.scrubRepeatedCharSpans(
+      docs, "doc_id", "text", minLen = 12, keepFirst = true))
+    assert(!pk.contains("Window"), "keep-first must be min-agg, not a window")
+  }
+
   test("incremental LPA: the trace-override anti-joins broadcast the frontier delta") {
     import graft.operators.GraphOps
     import org.apache.spark.sql.functions.col

@@ -101,6 +101,42 @@ class SuffixArraySpec extends SparkSpec {
     assert(all(0)._3 == 16L && all(1)._3 == 16L)
   }
 
+  test("supplementary-plane text: kernel code-point positions align with SQL substring") {
+    // U+1F680 is 2 UTF-16 units; a kernel counting UTF-16 chars would
+    // mis-align verify extraction and the rebuild after the first emoji
+    val core = "🚀launch🚀sequence" // 18 UTF-16 units, 16 code points
+    val out = run(Seq((1L, s"aa$core"), (2L, s"bb$core")), minLen = 16)
+    assert(out(0) == ((1L, 18L, 16L, "aa")), out(0).toString)
+    assert(out(1) == ((2L, 18L, 16L, "bb")), out(1).toString)
+  }
+
+  test("rolling-hash production path bit-equals the prefix-doubling reference, both modes") {
+    // a fixture hitting every edge at once: exact dup docs, a shared
+    // banner, within-doc repeats, multibyte text, empties, sub-minLen
+    // docs, and a doc that is one long self-repeat
+    val banner = "supercalifragilisticexpialidocious corporate-boilerplate!!"
+    val rep = "0123456789abcdef"
+    val docs = Seq(
+      (0L, s"alpha beta $banner gamma"),
+      (1L, s"delta $banner epsilon"),
+      (2L, "totally unique text with nothing repeated anywhere at all ok"),
+      (3L, s"$rep-MID-$rep tail"),
+      (4L, ""),
+      (5L, "shorty"),
+      (6L, "机器学习模型训练数据去重是一个重要的问题 机器学习模型训练数据去重是一个重要的问题"),
+      (7L, rep * 5),
+      (8L, s"alpha beta $banner gamma")) // exact dup of doc 0
+    for (minLen <- Seq(12, 16); kf <- Seq(false, true)) {
+      val fast = SuffixArray.scrubRepeatedCharSpans(
+        docs.toDF("doc_id", "text"), "doc_id", "text", minLen, keepFirst = kf)
+      val ref = SuffixArray.scrubRepeatedCharSpansPrefixDoubling(
+        docs.toDF("doc_id", "text"), "doc_id", "text", minLen, keepFirst = kf)
+      assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty,
+        s"minLen=$minLen keepFirst=$kf: rolling-hash result must bit-equal " +
+          "the prefix-doubling reference")
+    }
+  }
+
   test("negative doc ids are rejected (the positional encoding requires non-negative ids)") {
     intercept[IllegalArgumentException] {
       run(Seq((-1L, "some text"), (2L, "some text")), minLen = 5)
