@@ -2383,6 +2383,59 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Unified THREE-TIER streaming DQ gate (StreamingOps.ingestRulesetDqGate):
+    // the reference's full per-hook ruleset — warn + quarantine + halt in
+    // ONE evaluation per batch, halt on the PRE-quarantine frame (the
+    // dataquality_check.py:312 quirk) — over orders staged as 4 single-file
+    // group partitions, one per micro-batch. The output replays every
+    // tier's verdict per group PLUS the row split the quarantine tier
+    // produced (cleansed/quarantined counts), so the oracle checks the
+    // verdicts AND the data path in one shot. The halt rule passes on
+    // every batch here; halt-the-stream and quarantined-all-rows semantics
+    // are spec-pinned where a failing replay can be observed without
+    // wedging Verify.
+    "q212_streaming_ruleset_dq" -> ((s, d) => {
+      val dir = s"/tmp/graft_stream_rsdq/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("grp", pmod(col("o_orderkey"), lit(4)).cast("int"))
+          .repartition(4, col("grp"))
+          .write.mode("overwrite").partitionBy("grp").parquet(dir)
+      val staged = s.read.parquet(dir)
+      val db = s"graftrsdq${math.abs(d.hashCode)}"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      Seq("cleansed", "quarantine", "dq_results")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $db.$t"))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_rsdq_ckpt").toString
+      val q = graft.streaming.StreamingOps.ingestRulesetDqGate(
+        s.readStream.schema(staged.schema).option("maxFilesPerTrigger", 1)
+          .parquet(dir),
+        warnRules = Seq("ColumnValues 'o_orderstatus' in ['O','F']"),
+        quarantineRules = Seq("ColumnValues 'o_totalprice' <= 300000"),
+        haltRules = Seq("RowCount > 0"),
+        s"$db.cleansed", s"$db.quarantine", s"$db.dq_results", ckpt,
+        availableNow = true)
+      q.awaitTermination()
+      Seq("cleansed", "quarantine", "dq_results")
+        .foreach(t => s.sql(s"REFRESH TABLE $db.$t"))
+      // batch -> group map and the quarantine tier's row split, from both
+      // sides (a batch could in principle quarantine everything)
+      val sides = s.table(s"$db.cleansed").select(col("batch_id"), col("grp"),
+          lit(1L).as("is_clean"))
+        .unionByName(s.table(s"$db.quarantine").select(col("batch_id"),
+          col("grp"), lit(0L).as("is_clean")))
+      val bg = sides.groupBy(col("batch_id")).agg(
+        first(col("grp")).as("grp"), // one group per batch by construction
+        sum(col("is_clean")).as("n_clean"),
+        sum(lit(1L) - col("is_clean")).as("n_quarantined"))
+      s.table(s"$db.dq_results").join(bg, Seq("batch_id"))
+        .select(col("grp").cast(LongType).as("grp"), col("tier"), col("rule"),
+          col("outcome"), round(col("metric"), 6).as("metric_r"),
+          col("n_clean"), col("n_quarantined"))
+        .orderBy(col("grp"), col("tier"), col("rule"))
+    }),
+
     // DAILY-OPS COMPOSITION — the q187 idea applied to operations: ONE
     // chained run driving DQ gate → dedup gate → ANN gate →
     // consolidateBatches → deleteRowsAll → DP release over the same
@@ -5020,6 +5073,35 @@ object TextQueries {
       SELECT grp, 'halt' AS tier, 'RowCount > 0' AS rule,
              CASE WHEN n > 0 THEN 'Passed' ELSE 'Failed' END AS outcome,
              round(CAST(n AS DOUBLE), 6) AS metric_r
+      FROM m
+      ORDER BY grp, tier, rule""",
+    // Three-tier replay: every tier's per-group verdict plus the
+    // quarantine row split (counts are exact; compliance avgs of 0/1
+    // doubles are order-stable at 6dp).
+    "q212_streaming_ruleset_dq" -> """
+      WITH g AS (SELECT o_orderkey % 4 AS grp, o_orderstatus, o_totalprice FROM orders),
+      m AS (SELECT grp,
+              avg(CASE WHEN o_orderstatus IN ('O','F') THEN 1.0 ELSE 0.0 END) AS wcomp,
+              avg(CASE WHEN o_totalprice <= 300000 THEN 1.0 ELSE 0.0 END) AS qcomp,
+              count(*) AS n,
+              CAST(sum(CASE WHEN o_totalprice <= 300000 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+              CAST(sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined
+            FROM g GROUP BY grp)
+      SELECT grp, 'warn' AS tier,
+             'ColumnValues ''o_orderstatus'' in [''O'',''F'']' AS rule,
+             CASE WHEN wcomp = 1.0 THEN 'Passed' ELSE 'Failed' END AS outcome,
+             round(wcomp, 6) AS metric_r, n_clean, n_quarantined
+      FROM m
+      UNION ALL
+      SELECT grp, 'quarantine' AS tier,
+             'ColumnValues ''o_totalprice'' <= 300000' AS rule,
+             CASE WHEN qcomp = 1.0 THEN 'Passed' ELSE 'Failed' END AS outcome,
+             round(qcomp, 6) AS metric_r, n_clean, n_quarantined
+      FROM m
+      UNION ALL
+      SELECT grp, 'halt' AS tier, 'RowCount > 0' AS rule,
+             CASE WHEN n > 0 THEN 'Passed' ELSE 'Failed' END AS outcome,
+             round(CAST(n AS DOUBLE), 6) AS metric_r, n_clean, n_quarantined
       FROM m
       ORDER BY grp, tier, rule""",
     "q105_bm25" -> bm25OracleSql,

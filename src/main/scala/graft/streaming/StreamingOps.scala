@@ -614,6 +614,111 @@ object StreamingOps {
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
+  /** Streaming THREE-TIER DQ GATE — the reference's full per-hook ruleset
+    * (`dataquality_check.py:266-316`, `run_data_quality`) as ONE
+    * micro-batch evaluation: each arriving batch runs warn + quarantine +
+    * halt in a single foreachBatch, in the reference's order and with its
+    * quirks intact, unifying what [[ingestDqGate]] (row quarantine) and
+    * [[ingestDatasetDqGate]] (dataset warn/halt) previously required two
+    * standing queries — and two passes over the batch — to express.
+    *
+    * Per batch, in reference order:
+    *   1. WARN outcomes are evaluated and recorded; the batch always flows.
+    *   2. QUARANTINE rules split the batch row-wise
+    *      ([[graft.dq.DqEngine.splitByRules]] — the batch tier's predicate
+    *      compiler); failing rows land in `quarantineTable`, and the
+    *      tier's per-rule outcomes are recorded. Quarantining EVERY row is
+    *      itself a halt (`dataquality_check.py:257-259`) — checked BEFORE
+    *      the halt tier, as the reference does.
+    *   3. HALT rules evaluate on the PRE-quarantINE frame — the reference's
+    *      `:312` quirk ("even rows filtered above can trigger abort"): a
+    *      batch whose bad rows were all quarantined away still halts if
+    *      those rows trip a halt rule. A failure fails the stream; the
+    *      cleansed batch is never written and never committed.
+    *
+    * Crash/replay ordering: per-(tier, rule) outcome rows land in
+    * `resultsTable` FIRST (a halt verdict must be observable though its
+    * batch never commits), then the quarantine partition (the reference
+    * persists quarantined rows before evaluating halt), then — only past
+    * both halt checks — the cleansed partition and the
+    * [[BatchCommitLog]] commit. Every write is a per-batch partition
+    * overwrite, so a replayed batch (after a crash, a standing halt, or a
+    * rule relaxation) REPLACES its outcome/quarantine rows rather than
+    * duplicating them, and [[readCommitted]] exposes nothing of an
+    * uncommitted batch.
+    *
+    * [[ingestDqGate]]'s batch-composition caveat applies to the DATASET
+    * tiers here exactly as in [[ingestDatasetDqGate]]: warn/halt verdicts
+    * gate BATCHES. Keep quarantine rules row-level for
+    * batch-boundary-independent splits. */
+  def ingestRulesetDqGate(rows: DataFrame, warnRules: Seq[String],
+                          quarantineRules: Seq[String], haltRules: Seq[String],
+                          cleansedTable: String, quarantineTable: String,
+                          resultsTable: String, checkpoint: String,
+                          availableNow: Boolean = false,
+                          maintainEvery: Int = 0,
+                          maintain: (SparkSession, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    require(warnRules.nonEmpty || quarantineRules.nonEmpty || haltRules.nonEmpty,
+      "no rules configured")
+    var converged = false // foreachBatch runs serially on the driver
+    val w = rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val ss = batch.sparkSession
+        if (!converged) {
+          graft.catalog.Compaction.convergeConsolidation(ss, cleansedTable)
+          graft.catalog.Compaction.convergeConsolidation(ss, quarantineTable)
+          graft.catalog.Compaction.convergeConsolidation(ss, resultsTable)
+          converged = true
+        }
+        val b = batch.toDF().localCheckpoint(true)
+        if (b.count() > 0 && !BatchCommitLog.applied(ss, checkpoint, id)) {
+          import ss.implicits._
+          val eng = new graft.dq.DqEngine()
+          val warnOut = if (warnRules.isEmpty) Nil
+            else eng.evaluateDataset(b, warnRules)
+          val quarOut = if (quarantineRules.isEmpty) Nil
+            else eng.evaluateDataset(b, quarantineRules)
+          val (pass, fail) =
+            if (quarantineRules.isEmpty) (b, b.limit(0))
+            else eng.splitByRules(b, quarantineRules)
+          // halt evaluates the PRE-quarantine frame (the :312 quirk)
+          val haltOut = if (haltRules.isEmpty) Nil
+            else eng.evaluateDataset(b, haltRules)
+          val outcomes = (warnOut.map("warn" -> _) ++
+              quarOut.map("quarantine" -> _) ++ haltOut.map("halt" -> _))
+            .map { case (tier, o) => (tier, o.rule, o.outcome,
+              o.metric.getOrElse(Double.NaN), o.failureReason.getOrElse("")) }
+            .toDF("tier", "rule", "outcome", "metric", "failure_reason")
+            .withColumn("batch_id", lit(id))
+          // results FIRST, quarantined rows SECOND: both must be
+          // observable even when a halt below keeps the batch uncommitted
+          writeBatchPartition(outcomes, resultsTable, id)
+          val passCount =
+            if (quarantineRules.isEmpty) -1L
+            else {
+              writeBatchPartition(fail.withColumn("batch_id", lit(id)),
+                quarantineTable, id)
+              pass.count()
+            }
+          if (passCount == 0L)
+            throw new RuntimeException(
+              s"DQ gate at batch $id: quarantined all rows")
+          val haltFailed = haltOut.filterNot(_.passed)
+          if (haltFailed.nonEmpty)
+            throw new RuntimeException(
+              s"Dataset DQ halt at batch $id: " +
+                haltFailed.map(_.rule).mkString("; "))
+          writeBatchPartition(pass.withColumn("batch_id", lit(id)),
+            cleansedTable, id)
+          BatchCommitLog.commit(ss, checkpoint, id)
+        }
+        runMaintenance(ss, id, maintainEvery, maintain)
+        ()
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
   /** Streaming ANN INGEST GATE — [[graft.operators.Ann.ivfPqAppend]]'s
     * encode-only contract as a micro-batch maintenance loop: each arriving
     * batch of vectors is assigned to its inverted list and PQ-encoded under

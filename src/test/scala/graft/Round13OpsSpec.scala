@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 operators: the unified three-tier streaming DQ gate (reference
+  * ordering incl. the pre-quarantine-halt quirk), and its failure modes. */
+class Round13OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------ unified three-tier DQ gate
+
+  test("ingestRulesetDqGate: one pass runs warn + quarantine + halt; halt " +
+    "evaluates the PRE-quarantine frame (the :312 quirk)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val db = s"rsdq${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    val (cl, qt, res) = (s"$db.cleansed", s"$db.quarantine", s"$db.results")
+    val ckpt = java.nio.file.Files.createTempDirectory("r13_rsdq_ckpt").toString
+    val mem = MemoryStream[(Long, String, Double)]
+    def gate(halt: Seq[String]) = StreamingOps.ingestRulesetDqGate(
+      mem.toDF().toDF("id", "status", "amount"),
+      warnRules = Seq("ColumnValues 'status' in ['ok']"),
+      quarantineRules = Seq("ColumnValues 'amount' >= 0"),
+      haltRules = halt, cl, qt, res, ckpt, availableNow = true)
+
+    // batch 0: one negative row -> quarantined; warn records a failure;
+    // halt (amount >= -100, pre-quarantine) passes; batch flows
+    mem.addData((1L, "ok", 5.0), (2L, "bad", 7.0), (3L, "ok", -1.0))
+    gate(Seq("ColumnValues 'amount' >= -100")).awaitTermination()
+    Seq(cl, qt, res).foreach(t => spark.catalog.refreshTable(t))
+    assert(spark.table(cl).select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(spark.table(qt).select("id").as[Long].collect().toSeq == Seq(3L))
+    val r0 = spark.table(res).filter(col("batch_id") === 0L)
+      .select("tier", "outcome").as[(String, String)].collect().toSet
+    assert(r0 == Set(("warn", "Failed"), ("quarantine", "Failed"), ("halt", "Passed")), r0)
+
+    // batch 1: THE QUIRK — the only halt-violating row (-500) is ALSO
+    // quarantined away; a post-quarantine halt would pass, but the
+    // reference evaluates halt on the original frame, so the stream halts.
+    // The quarantine partition and verdicts are written; nothing commits.
+    mem.addData((4L, "ok", 10.0), (5L, "ok", -500.0))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      gate(Seq("ColumnValues 'amount' >= -100")).awaitTermination()
+    }
+    assert(e.getMessage.contains("Dataset DQ halt"), e.getMessage)
+    Seq(cl, qt, res).foreach(t => spark.catalog.refreshTable(t))
+    assert(spark.table(cl).filter(col("id") === 4L).isEmpty,
+      "halted batch must not reach the cleansed table")
+    assert(spark.table(qt).filter(col("batch_id") === 1L)
+      .select("id").as[Long].collect().toSeq == Seq(5L),
+      "quarantined rows persist even under a halt (reference write order)")
+    assert(spark.table(res).filter(col("batch_id") === 1L &&
+      col("tier") === "halt" && col("outcome") === "Failed").count() == 1,
+      "the halt verdict is observable though the batch never commits")
+    assert(StreamingOps.readCommitted(spark, cl, ckpt)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L),
+      "committed view excludes the halted batch")
+
+    // operator relaxes the halt rule: the SAME batch replays, its
+    // outcome/quarantine partitions are REPLACED (not duplicated), flows
+    gate(Seq("ColumnValues 'amount' >= -1000")).awaitTermination()
+    Seq(cl, qt, res).foreach(t => spark.catalog.refreshTable(t))
+    assert(spark.table(cl).select("id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    assert(spark.table(qt).filter(col("batch_id") === 1L).count() == 1)
+    assert(spark.table(res).filter(col("batch_id") === 1L &&
+      col("tier") === "halt").count() == 1, "replay replaces, never duplicates")
+    assert(spark.table(res).filter(col("batch_id") === 1L &&
+      col("tier") === "halt" && col("outcome") === "Passed").count() == 1)
+  }
+
+  test("ingestRulesetDqGate: quarantining every row is itself a halt, checked before the halt tier") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val db = s"rsdqall${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    val (cl, qt, res) = (s"$db.cleansed", s"$db.quarantine", s"$db.results")
+    val ckpt = java.nio.file.Files.createTempDirectory("r13_rsdqall_ckpt").toString
+    val mem = MemoryStream[(Long, Double)]
+    def gate(quar: Seq[String]) = StreamingOps.ingestRulesetDqGate(
+      mem.toDF().toDF("id", "amount"),
+      warnRules = Nil, quarantineRules = quar,
+      haltRules = Seq("RowCount > 0"), cl, qt, res, ckpt, availableNow = true)
+
+    mem.addData((1L, -5.0), (2L, -6.0))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      gate(Seq("ColumnValues 'amount' >= 0")).awaitTermination()
+    }
+    assert(e.getMessage.contains("quarantined all rows"), e.getMessage)
+    Seq(qt, res).foreach(t => spark.catalog.refreshTable(t))
+    assert(spark.table(qt).count() == 2, "the rows are in quarantine, observable")
+    assert(spark.table(res).filter(col("tier") === "quarantine" &&
+      col("outcome") === "Failed").count() == 1)
+    // relaxed quarantine rule releases the batch on replay
+    gate(Seq("ColumnValues 'amount' >= -100")).awaitTermination()
+    Seq(cl, qt, res).foreach(t => spark.catalog.refreshTable(t))
+    assert(spark.table(cl).count() == 2)
+    assert(spark.table(qt).filter(col("batch_id") === 0L).count() == 0,
+      "the replayed batch's quarantine partition is replaced with the new (empty) split")
+  }
+}
