@@ -761,6 +761,34 @@ object ScaleCheck {
       }
     }
 
+    // Incremental fixed-point PageRank: the same ring fixture and FIXED
+    // 50-edge batch — rank influence is cycle-local (floor divisions
+    // quantize the cascade), so the incremental recompute is
+    // batch-bounded; the from-scratch trace row is both the stored-state
+    // build cost and the ~Nx comparison.
+    locally {
+      import graft.operators.PageRank
+      def ring(rows: Long) = spark.range(rows).select(col("id").as("src"),
+        (col("id") - pmod(col("id"), lit(10L)) +
+          pmod(col("id") + 1L, lit(10L))).as("dst"))
+      val batch = spark.range(50).select((col("id") * 10L).as("src"),
+        (col("id") * 10L + 5L).as("dst")).localCheckpoint(true)
+      Seq(100000L -> "1x", 100000L * n -> s"${n}x").foreach { case (rows, tag) =>
+        val nodes = spark.range(rows).select(col("id"))
+        val edges = ring(rows).localCheckpoint(true)
+        val trace = timed(s"PageRank from-scratch 3-iter trace $tag")({
+          val t = PageRank.fixedPointTrace(edges, "src", "dst",
+            nodes, "id", 3).localCheckpoint(true)
+          (t, t.count())
+        })
+        timed(s"PageRank incremental fixed batch $tag")(((),
+          PageRank.incrementalFixedPoint(edges, trace, batch,
+              "src", "dst", 3)
+            .agg(bit_xor(xxhash64(struct(col("iter"), col("id"), col("pr"))))
+              .as("ck"), count(lit(1)).as("cnt")).head().getLong(1)))
+      }
+    }
+
     // Token-distribution divergence: one word-count combine (map-side) then
     // vocab-bounded join+agg — runtime ~Nx, shuffle bounded by vocab (the
     // replicas repeat the same tokens, so the count table does NOT grow Nx).

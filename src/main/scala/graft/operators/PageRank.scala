@@ -63,4 +63,150 @@ object PageRank {
     }
     ranks
   }
+
+  /** [[fixedPoint]] with its full per-iteration TRACE — the stored form
+    * incremental PageRank needs: `(iter, id, pr)` for iter 0..`iterations`
+    * (iter 0 = uniform `scale`). A node's rank at iteration i is a
+    * function of its i-hop in-ball's ranks AND out-degrees, so the
+    * incremental pass must know every untouched node's rank at every
+    * intermediate round — same sufficiency argument as
+    * [[GraphOps.labelPropagationTrace]]. Persist partitioned by `iter`. */
+  def fixedPointTrace(edges: DataFrame, srcCol: String, dstCol: String,
+                      nodes: DataFrame, idCol: String, iterations: Int,
+                      scale: Long = 1000000L, dampNum: Long = 85,
+                      dampDen: Long = 100): DataFrame = {
+    require(iterations >= 1 && scale > 0 && dampNum >= 0 && dampDen > 0)
+    val base = scale - (dampNum * scale) / dampDen
+    val ids = nodes.select(col(idCol).as("id")).localCheckpoint(true)
+    val outdeg = edges.groupBy(col(srcCol)).agg(count(lit(1)).as("__deg"))
+    val degEdges = edges.select(col(srcCol), col(dstCol))
+      .join(outdeg, srcCol).localCheckpoint(true)
+    var ranks = ids.withColumn("pr", lit(scale))
+    var trace = ranks.withColumn("iter", lit(0))
+    for (i <- 1 to iterations) {
+      val contribs = degEdges
+        .join(ranks.withColumnRenamed("id", "__src_id"),
+          col(srcCol) === col("__src_id"))
+        .select(col(dstCol), expr("pr div __deg").as("__c"))
+        .groupBy(col(dstCol)).agg(sum(col("__c")).as("__s"))
+      ranks = ids
+        .join(contribs, col("id") === col(dstCol), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"$dampNum * coalesce(__s, 0) div $dampDen"))
+            .as("pr"))
+        .localCheckpoint(true)
+      trace = trace.unionByName(ranks.withColumn("iter", lit(i)))
+    }
+    trace.select(col("iter"), col("id"), col("pr"))
+  }
+
+  /** INCREMENTAL fixed-point PageRank — the q171/q208 stored-trace recipe
+    * completing the incremental graph family: merge a batch of NEW edges
+    * into a stored per-iteration rank trace ([[fixedPointTrace]]) by
+    * recomputing ONLY where the batch can have changed a rank, with EXACT
+    * equality to [[fixedPointTrace]] over stored ∪ batch edges.
+    *
+    * Why EXACT is achievable here (float PageRank would need a tolerance
+    * cutoff, because every rank shifts a little and the deltas never
+    * die): this formulation is fixed-point INTEGER arithmetic, so "did
+    * node v's rank at iteration i change?" is decidable by equality, and
+    * the floor divisions QUANTIZE propagation — a rank delta too small to
+    * move `pr div outdeg` contributes exactly nothing downstream and the
+    * cascade stops. The delta frontier, per iteration i:
+    *   - out-neighbors (union graph) of DIRTY SOURCES — nodes with a
+    *     batch out-edge: their out-degree changed, so every contribution
+    *     they make is re-derived each round regardless of rank movement;
+    *   - out-neighbors of nodes whose iteration-(i−1) rank CHANGED vs the
+    *     stored trace (brand-new nodes count as changed);
+    *   - new nodes themselves (they need trace rows even with no
+    *     in-edges).
+    * A node outside the frontier has a bit-identical in-neighbor
+    * (rank, out-degree) multiset between the two graphs, so its integer
+    * rank is unchanged — the induction mirrors
+    * [[GraphOps.incrementalLabelPropagation]], and its stored row passes
+    * through verbatim.
+    *
+    * Honest worst case: ranks DO propagate through the damping term, so a
+    * batch shifting a hub's rank by ≥ its smallest out-quantum cascades —
+    * potentially O(nodes·iters) recompute. The frontier then degrades to
+    * the from-scratch cost, never to wrong answers, and the guarded
+    * broadcasts (`broadcastMaxRows`, counted per round on checkpointed
+    * deltas) fall back to shuffle joins instead of dying. Batch-local
+    * cost whenever rank influence is (the measured ScaleCheck posture).
+    *
+    * @param storedEdges the FULL stored edge set the trace was built from
+    *                    (parallel edges count, as in [[fixedPoint]])
+    * @param trace       `(iter, id, pr)` from [[fixedPointTrace]] (or a
+    *                    previous incremental pass) with the same params
+    * @return the updated trace over the union graph — slice
+    *         `iter = iterations` for final ranks; feed the whole thing to
+    *         the next pass. */
+  def incrementalFixedPoint(storedEdges: DataFrame, trace: DataFrame,
+                            batchEdges: DataFrame, srcCol: String,
+                            dstCol: String, iterations: Int,
+                            scale: Long = 1000000L, dampNum: Long = 85,
+                            dampDen: Long = 100,
+                            broadcastMaxRows: Long = 10000000L): DataFrame = {
+    require(iterations >= 1 && scale > 0 && dampNum >= 0 && dampDen > 0)
+    val base = scale - (dampNum * scale) / dampDen
+    def hintIfSmall(df: DataFrame): DataFrame =
+      if (df.count() <= broadcastMaxRows) broadcast(df) else df
+    val union = storedEdges.select(col(srcCol), col(dstCol))
+      .unionByName(batchEdges.select(col(srcCol), col(dstCol)))
+    val outdeg = union.groupBy(col(srcCol)).agg(count(lit(1)).as("__deg"))
+    val degEdges = union.join(outdeg, srcCol).localCheckpoint(true)
+    // dirty sources: out-degree changed (covers new edges' contributions)
+    val dirtySrc = batchEdges.select(col(srcCol).as("id")).distinct()
+      .localCheckpoint(true)
+    val storedIds = trace.filter(col("iter") === 0).select(col("id"))
+    val newIds = batchEdges.select(col(srcCol).as("id"))
+      .unionByName(batchEdges.select(col(dstCol).as("id"))).distinct()
+      .join(storedIds, Seq("id"), "left_anti").localCheckpoint(true)
+    // changed_0: new nodes only (iteration 0 is uniform scale everywhere)
+    var changed = newIds.withColumn("pr", lit(scale)).localCheckpoint(true)
+    var out = trace.filter(col("iter") === 0)
+      .unionByName(changed.withColumn("iter", lit(0)))
+    var prevOverride = changed
+    for (i <- 1 to iterations) {
+      val prevStored = trace.filter(col("iter") === i - 1)
+        .select(col("id"), col("pr"))
+      // frontier: union out-neighbors of (dirty srcs ∪ rank changes),
+      // plus new nodes (they need rows even with no in-edges)
+      val touchedSrc = dirtySrc.unionByName(changed.select(col("id"))).distinct()
+      val frontier = degEdges
+        .join(hintIfSmall(touchedSrc.withColumnRenamed("id", srcCol)),
+          Seq(srcCol), "left_semi")
+        .select(col(dstCol).as("id"))
+        .unionByName(newIds).distinct().localCheckpoint(true)
+      val frontierIsSmall = frontier.count() <= broadcastMaxRows
+      def fh(df: DataFrame): DataFrame = if (frontierIsSmall) broadcast(df) else df
+      // i−1 ranks of the union run: stored slice patched by the override
+      val prevFull = prevStored
+        .join(hintIfSmall(prevOverride), Seq("id"), "left_anti")
+        .unionByName(prevOverride)
+      val contribs = degEdges
+        .join(fh(frontier.withColumnRenamed("id", dstCol)), Seq(dstCol), "left_semi")
+        .join(prevFull.withColumnRenamed("id", "__src_id"),
+          col(srcCol) === col("__src_id"))
+        .select(col(dstCol), expr("pr div __deg").as("__c"))
+        .groupBy(col(dstCol)).agg(sum(col("__c")).as("__s"))
+      val recomputed = frontier
+        .join(contribs, col("id") === col(dstCol), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"$dampNum * coalesce(__s, 0) div $dampDen"))
+            .as("pr"))
+      // change detection against the stored slice, frontier-cut map-side
+      val curStored = trace.filter(col("iter") === i).select(col("id"), col("pr"))
+      val curStoredF = curStored.join(fh(frontier), Seq("id"), "left_semi")
+        .localCheckpoint(true)
+      val override_ = recomputed.join(curStoredF, Seq("id", "pr"), "left_anti")
+        .localCheckpoint(true)
+      val full = curStored.join(hintIfSmall(override_), Seq("id"), "left_anti")
+        .unionByName(override_)
+      out = out.unionByName(full.withColumn("iter", lit(i)))
+      changed = override_
+      prevOverride = override_
+    }
+    out.select(col("iter"), col("id"), col("pr"))
+  }
 }

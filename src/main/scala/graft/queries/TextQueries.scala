@@ -2436,6 +2436,32 @@ object TextQueries {
         .orderBy(col("grp"), col("tier"), col("rule"))
     }),
 
+    // Incremental fixed-point PageRank (PageRank.incrementalFixedPoint):
+    // the q119 synthetic link graph split into a stored half (the 2i+1
+    // edge family, traced with fixedPointTrace) and a batch half (the
+    // 5i+3 family) merged incrementally — final ranks must equal the
+    // from-scratch 3-round integer replay over the UNION graph, which is
+    // exactly q119's oracle. EXACT (no tolerance) because the fixed-point
+    // integer formulation makes rank-change detection an equality test
+    // and the floor divisions quantize propagation; the batch-local cost
+    // story is the ScaleCheck row.
+    "q213_incremental_pagerank" -> ((s, d) => {
+      import graft.operators.PageRank
+      val docs = Tables(s, d, "documents").select(col("doc_id"))
+      val nn = docs.agg((max(col("doc_id")) + 1).as("__n"))
+      val base = docs.crossJoin(broadcast(nn))
+      val e1 = base.select(col("doc_id").as("src"),
+        ((col("doc_id") * 2 + 1) % col("__n")).as("dst"))
+      val e2 = base.select(col("doc_id").as("src"),
+        ((col("doc_id") * 5 + 3) % col("__n")).as("dst"))
+      val trace = PageRank.fixedPointTrace(e1, "src", "dst",
+        docs, "doc_id", iterations = 3)
+      PageRank.incrementalFixedPoint(e1, trace, e2, "src", "dst", iterations = 3)
+        .filter(col("iter") === 3)
+        .select(col("id").as("doc_id"), col("pr"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DAILY-OPS COMPOSITION — the q187 idea applied to operations: ONE
     // chained run driving DQ gate → dedup gate → ANN gate →
     // consolidateBatches → deleteRowsAll → DP release over the same
@@ -2901,29 +2927,11 @@ object TextQueries {
                ELSE '' END AS normalized
       FROM documents ORDER BY doc_id""",
     // PageRank replay: same synthetic graph, 3 unrolled iterations of the
-    // same fixed-point arithmetic (integer floor divisions — bit-exact)
-    "q119_pagerank" -> """
-      WITH n AS (SELECT max(doc_id) + 1 AS nn FROM documents),
-      nodes AS (SELECT doc_id AS id FROM documents),
-      edges AS (
-        SELECT id AS src, (id * 2 + 1) % nn AS dst FROM nodes, n
-        UNION ALL
-        SELECT id, (id * 5 + 3) % nn FROM nodes, n),
-      deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
-      r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
-      c1 AS (SELECT e.dst, CAST(sum(r.pr // g.d) AS BIGINT) AS s FROM edges e
-             JOIN deg g ON g.src = e.src JOIN r0 r ON r.id = e.src GROUP BY e.dst),
-      r1 AS (SELECT nodes.id, CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS pr
-             FROM nodes LEFT JOIN c1 ON c1.dst = nodes.id),
-      c2 AS (SELECT e.dst, CAST(sum(r.pr // g.d) AS BIGINT) AS s FROM edges e
-             JOIN deg g ON g.src = e.src JOIN r1 r ON r.id = e.src GROUP BY e.dst),
-      r2 AS (SELECT nodes.id, CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS pr
-             FROM nodes LEFT JOIN c2 ON c2.dst = nodes.id),
-      c3 AS (SELECT e.dst, CAST(sum(r.pr // g.d) AS BIGINT) AS s FROM edges e
-             JOIN deg g ON g.src = e.src JOIN r2 r ON r.id = e.src GROUP BY e.dst),
-      r3 AS (SELECT nodes.id, CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS pr
-             FROM nodes LEFT JOIN c3 ON c3.dst = nodes.id)
-      SELECT id AS doc_id, pr FROM r3 ORDER BY doc_id""",
+    // same fixed-point arithmetic (integer floor divisions — bit-exact).
+    // SHARED with q213: the incremental pass over (stored 2i+1 half +
+    // batch 5i+3 half) must equal this from-scratch union replay exactly.
+    "q119_pagerank" -> pagerankUnionOracleSql,
+    "q213_incremental_pagerank" -> pagerankUnionOracleSql,
     // Temperature-mixture replay: integer group sums, the sqrt closed form,
     // the same salted md5 bucket cutoff
     "q123_temperature_mixture" -> """
@@ -5136,6 +5144,32 @@ object TextQueries {
       scored AS (SELECT query_id, doc_id, round(sum(c), 6) AS score_r FROM contrib GROUP BY 1, 2)"""
 
   private lazy val bm25ScoredCte: String = bm25ScoredCteFor("TRUE")
+
+  /** Shared by q119 (from-scratch) and q213 (incremental over the split
+    * halves): 3 unrolled fixed-point iterations over the FULL synthetic
+    * graph — one replay, two paths, no drift possible. */
+  private lazy val pagerankUnionOracleSql: String = """
+      WITH n AS (SELECT max(doc_id) + 1 AS nn FROM documents),
+      nodes AS (SELECT doc_id AS id FROM documents),
+      edges AS (
+        SELECT id AS src, (id * 2 + 1) % nn AS dst FROM nodes, n
+        UNION ALL
+        SELECT id, (id * 5 + 3) % nn FROM nodes, n),
+      deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+      r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+      c1 AS (SELECT e.dst, CAST(sum(r.pr // g.d) AS BIGINT) AS s FROM edges e
+             JOIN deg g ON g.src = e.src JOIN r0 r ON r.id = e.src GROUP BY e.dst),
+      r1 AS (SELECT nodes.id, CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS pr
+             FROM nodes LEFT JOIN c1 ON c1.dst = nodes.id),
+      c2 AS (SELECT e.dst, CAST(sum(r.pr // g.d) AS BIGINT) AS s FROM edges e
+             JOIN deg g ON g.src = e.src JOIN r1 r ON r.id = e.src GROUP BY e.dst),
+      r2 AS (SELECT nodes.id, CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS pr
+             FROM nodes LEFT JOIN c2 ON c2.dst = nodes.id),
+      c3 AS (SELECT e.dst, CAST(sum(r.pr // g.d) AS BIGINT) AS s FROM edges e
+             JOIN deg g ON g.src = e.src JOIN r2 r ON r.id = e.src GROUP BY e.dst),
+      r3 AS (SELECT nodes.id, CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS pr
+             FROM nodes LEFT JOIN c3 ON c3.dst = nodes.id)
+      SELECT id AS doc_id, pr FROM r3 ORDER BY doc_id"""
 
   private lazy val bm25RankedTail: String = """,
       ranked AS (SELECT query_id, doc_id, score_r,

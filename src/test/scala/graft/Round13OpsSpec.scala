@@ -70,6 +70,66 @@ class Round13OpsSpec extends SparkSpec {
       col("tier") === "halt" && col("outcome") === "Passed").count() == 1)
   }
 
+  // ------------------------------------------ incremental PageRank
+
+  private def prEdges(es: Seq[(Long, Long)]) = es.toDF("src", "dst")
+  private def prNodes(ids: Seq[Long]) = ids.toDF("id")
+  private def eq(a: org.apache.spark.sql.DataFrame,
+                 b: org.apache.spark.sql.DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("fixedPointTrace: final slice equals fixedPoint; iter 0 is uniform scale") {
+    import graft.operators.PageRank
+    val nodes = prNodes(0L to 19L)
+    val edges = prEdges((0L to 19L).flatMap(i =>
+      Seq((i, (2 * i + 1) % 20), (i, (5 * i + 3) % 20))))
+    val trace = PageRank.fixedPointTrace(edges, "src", "dst", nodes, "id", 3)
+    val direct = PageRank.fixedPoint(edges, "src", "dst", nodes, "id", 3)
+      .withColumnRenamed("id", "id")
+    assert(eq(trace.filter(col("iter") === 3).select("id", "pr"), direct))
+    val it0 = trace.filter(col("iter") === 0).as[(Int, Long, Long)].collect()
+    assert(it0.length == 20 && it0.forall(_._3 == 1000000L))
+  }
+
+  test("incrementalFixedPoint: exact whole-trace equality with the from-scratch union run") {
+    import graft.operators.PageRank
+    // two communities plus a chain; the batch bridges, adds a parallel
+    // edge (out-degree change on an existing src), and attaches two
+    // brand-new nodes
+    val nodes = prNodes(0L to 29L)
+    val stored = prEdges(
+      (0L to 9L).map(i => (i, (i + 1) % 10)) ++
+      (10L to 19L).map(i => (i, 10L + (i + 3) % 10)) ++
+      Seq((20L, 21L), (21L, 22L), (22L, 23L)))
+    val batch = prEdges(Seq((5L, 15L), (0L, 1L), (100L, 7L), (101L, 100L)))
+    val trace = PageRank.fixedPointTrace(stored, "src", "dst", nodes, "id", 3)
+    val inc = PageRank.incrementalFixedPoint(stored, trace, batch, "src", "dst", 3)
+    val unionNodes = prNodes((0L to 29L) ++ Seq(100L, 101L))
+    val scratch = PageRank.fixedPointTrace(stored.unionByName(batch),
+      "src", "dst", unionNodes, "id", 3)
+    assert(eq(inc, scratch), "incremental trace must equal the union trace")
+    // untouched chain rows pass through verbatim from the stored trace
+    val chainInc = inc.filter(col("id").between(21L, 23L))
+    val chainStored = trace.filter(col("id").between(21L, 23L))
+    assert(eq(chainInc, chainStored))
+  }
+
+  test("incrementalFixedPoint: day-2 composes on day-1's trace; forced shuffle fallback stays exact") {
+    import graft.operators.PageRank
+    val nodes = prNodes(0L to 9L)
+    val day0 = prEdges(Seq((0L, 1L), (1L, 2L), (2L, 0L), (5L, 6L)))
+    val day1 = prEdges(Seq((2L, 5L), (6L, 7L)))
+    val day2 = prEdges(Seq((7L, 0L), (8L, 9L)))
+    val t0 = PageRank.fixedPointTrace(day0, "src", "dst", nodes, "id", 3)
+    val t1 = PageRank.incrementalFixedPoint(day0, t0, day1, "src", "dst", 3)
+    // broadcastMaxRows = 1 forces every guarded hint to shuffle joins
+    val t2 = PageRank.incrementalFixedPoint(day0.unionByName(day1), t1, day2,
+      "src", "dst", 3, broadcastMaxRows = 1L)
+    val scratch = PageRank.fixedPointTrace(
+      day0.unionByName(day1).unionByName(day2), "src", "dst", nodes, "id", 3)
+    assert(eq(t2, scratch))
+  }
+
   test("ingestRulesetDqGate: quarantining every row is itself a halt, checked before the halt tier") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingOps
