@@ -761,6 +761,36 @@ object ScaleCheck {
       }
     }
 
+    // Incremental exact-substring dedup: the stored corpus (and its
+    // hot-window index) grows Nx, the batch is FIXED — the daily cost is
+    // the batch's window pass plus a map-side semi-join scan of the index
+    // (compute-light, no stored shuffle), so wall should stay near-flat
+    // while the from-scratch index build (the comparison row) grows ~Nx.
+    locally {
+      import graft.operators.SuffixArray
+      def corpus(rows: Long, off: Long) = spark.range(rows)
+        .select((col("id") + off).as("doc_id"),
+          concat(lit("stored body with unique trail "),
+            ((col("id") + off) * 7919L).cast("string"),
+            when(pmod(col("id"), lit(13L)) === 0,
+              lit(" shared-fortycharacter-boilerplate-banner-text")).otherwise(lit("")))
+            .as("text"))
+      val batch = corpus(2000L, 90000000L).localCheckpoint(true)
+      Seq(20000L -> "1x", 20000L * n -> s"${n}x").foreach { case (rows, tag) =>
+        val idx = timed(s"char-window index build $tag")({
+          val i = SuffixArray.charWindowIndex(corpus(rows, 0L), "doc_id",
+            "text", 40).localCheckpoint(true)
+          (i, i.count())
+        })
+        timed(s"incremental substring dedup, fixed batch vs $tag index")(((),
+          SuffixArray.incrementalScrubRepeatedCharSpans(idx, batch,
+              "doc_id", "text", 40, keepFirst = true)._1
+            .agg(bit_xor(xxhash64(struct(col("doc_id"), col("n_masked"),
+              col("scrubbed_text")))).as("ck"), count(lit(1)).as("cnt"))
+            .head().getLong(1)))
+      }
+    }
+
     // Incremental fixed-point PageRank: the same ring fixture and FIXED
     // 50-edge batch — rank influence is cycle-local (floor divisions
     // quantize the cascade), so the incremental recompute is

@@ -872,6 +872,32 @@ object HashExpressions {
     override def prettyName: String = "char_window_hashes"
   }
 
+  /** array<struct(h, w)>: per-position (rolling hash, window text) pairs
+    * ([[Kernels.charWindows]]) — the window-INDEX build/probe pass of the
+    * incremental exact-substring scrub. */
+  case class CharWindowsExpr(child: Expression, minLen: Int)
+      extends UnaryExpression {
+    require(minLen >= 2, "minLen must be >= 2")
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType || child.dataType == NullType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string input, got ${child.dataType.sql}")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("h", LongType, nullable = false),
+      StructField("w", StringType, nullable = false))), containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.charWindows(input.asInstanceOf[UTF8String], minLen)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $KernelsClass.charWindows($c, $minLen);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "char_windows"
+  }
+
   /** struct(n_masked, scrubbed): text with the `minLen`-code-point spans at
     * `starts` (1-based, sorted ascending) removed, in one pass
     * ([[Kernels.maskCharSpans]]) — the per-document REBUILD of the
@@ -912,6 +938,8 @@ object HashExpressions {
 
   def char_window_hashes(text: Column, minLen: Int): Column =
     column(CharWindowHashesExpr(expression(text), minLen))
+  def char_windows(text: Column, minLen: Int): Column =
+    column(CharWindowsExpr(expression(text), minLen))
   def mask_char_spans(text: Column, starts: Column, minLen: Int): Column =
     column(MaskCharSpansExpr(expression(text), expression(starts), minLen))
 

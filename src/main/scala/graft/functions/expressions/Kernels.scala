@@ -775,6 +775,34 @@ object Kernels {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** [[charWindowHashes]] plus the window TEXT: element i =
+    * struct(h, w) of the `minLen`-code-point window at index i — the
+    * one-pass form the persisted window INDEX needs (the index is keyed
+    * by content, so hash collisions can never merge distinct windows). */
+  def charWindows(text: UTF8String, minLen: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
+    if (n < minLen) return new GenericArrayData(Array.empty[Any])
+    val B = 0x100000001b3L
+    var bPow = 1L
+    var j = 0
+    while (j < minLen - 1) { bPow *= B; j += 1 }
+    val out = new Array[Any](n - minLen + 1)
+    var h = 0L
+    var i = 0
+    while (i < minLen) { h = h * B + cps(i); i += 1 }
+    out(0) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](h, UTF8String.fromString(new String(cps, 0, minLen))))
+    i = 1
+    while (i <= n - minLen) {
+      h = (h - cps(i - 1) * bPow) * B + cps(i + minLen - 1)
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](h, UTF8String.fromString(new String(cps, i, minLen))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Scrub `minLen`-code-point spans starting at each 1-based position in
     * `starts` (sorted ascending, possibly overlapping): returns
     * struct(n_masked, scrubbed) in one pass — the per-document rebuild of

@@ -133,6 +133,119 @@ object SuffixArray {
         col("__m.scrubbed").as("scrubbed_text"))
   }
 
+  private def windowsOf(docs: DataFrame, idCol: String, textCol: String,
+                        minLen: Int): DataFrame = {
+    import graft.functions.expressions.HashExpressions.char_windows
+    docs.select(col(idCol).as("__doc"),
+        posexplode(char_windows(col(textCol), minLen)))
+      .select(col("__doc"), (col("pos") + 1).cast(LongType).as("cpos"),
+        col("col.h").as("h"), col("col.w").as("w"))
+  }
+
+  /** The persisted HOT-WINDOW INDEX the daily form of the exact-substring
+    * scrub consumes: one row per DISTINCT `minLen`-window CONTENT in the
+    * corpus — `(h, w, cnt, first_doc, first_pos)` where `h` is the
+    * window's rolling hash (the narrow probe/bucket key — declare it a
+    * [[graft.catalog.FileStats]] bloom column to file-skip the index on
+    * daily probes), `w` the window text itself (the index is keyed by
+    * CONTENT, so hash collisions can never merge distinct windows), `cnt`
+    * its corpus occurrence count, and `(first_doc, first_pos)` its
+    * lexicographically-first occurrence (the keep-one exemption). This is
+    * a sufficient statistic for the union-corpus masking of ANY future
+    * batch: hotness needs only counts, and keep-first needs only the
+    * global minimum — neither needs the stored text again. */
+  def charWindowIndex(docs: DataFrame, idCol: String, textCol: String,
+                      minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2: $minLen")
+    windowsOf(docs, idCol, textCol, minLen)
+      .groupBy(col("w"))
+      .agg(max(col("h")).as("h"), // h is a function of w — any row's value
+        count(lit(1)).as("cnt"),
+        min(struct(col("__doc").as("d"), col("cpos").as("p"))).as("__f"))
+      .select(col("h"), col("w"), col("cnt"),
+        col("__f.d").as("first_doc"), col("__f.p").as("first_pos"))
+  }
+
+  /** INCREMENTAL exact-substring scrub — the daily form of
+    * [[scrubRepeatedCharSpans]], completing the fixpoint-index family
+    * (minhash q168, BM25 q170, CC q171, LPA q208): scrub a BATCH of new
+    * documents against stored ∪ batch, where the stored corpus
+    * participates ONLY through its persisted [[charWindowIndex]] — no
+    * stored text is re-read, and the index is cut to batch-touched hash
+    * keys map-side (a guarded-broadcast semi-join) before anything joins,
+    * so the daily pair work is batch-scoped by construction.
+    *
+    * CONTRACT — equal to the from-scratch run on the union corpus, sliced
+    * to the batch: a batch window is masked iff its content occurs ≥ 2
+    * times in stored ∪ batch, except (keepFirst) its occurrence IS the
+    * union's lexicographically-first `(doc, pos)`. Exact because the index
+    * is keyed by window CONTENT (`w`) — the hash only prunes. Stored
+    * documents' already-released scrubs are not retroactively updated
+    * (released data is released — the shared posture of every incremental
+    * operator here); re-running from scratch over everything remains the
+    * dataset-tier truth.
+    *
+    * @param index the `(h, w, cnt, first_doc, first_pos)` frame from
+    *              [[charWindowIndex]] / previous calls' updated index
+    * @return (report: `(idCol, n_chars, n_masked, scrubbed_text)` one row
+    *         per batch doc, updatedIndex: the union corpus's index — the
+    *         next day's input, making the operator its own fixpoint) */
+  def incrementalScrubRepeatedCharSpans(index: DataFrame, batch: DataFrame,
+                                        idCol: String, textCol: String,
+                                        minLen: Int, keepFirst: Boolean = false,
+                                        broadcastMaxRows: Long = 2000000L): (DataFrame, DataFrame) = {
+    require(minLen >= 2, s"minLen must be >= 2: $minLen")
+    import graft.functions.expressions.HashExpressions.mask_char_spans
+    def hintIfSmall(df: DataFrame): DataFrame =
+      if (df.count() <= broadcastMaxRows) broadcast(df) else df
+    val base = batch.select(col(idCol).as("__doc"), col(textCol).as("__text"))
+      .localCheckpoint(true)
+    val bwin = windowsOf(base, "__doc", "__text", minLen).localCheckpoint(true)
+    // stored side: index rows of batch-touched HASH keys only, evaluated
+    // map-side against the (small) batch key set — the stored index never
+    // shuffles and stored-only windows never surface
+    val bKeysH = bwin.select(col("h")).distinct()
+    val touched = index
+      .join(hintIfSmall(bKeysH), Seq("h"), "left_semi")
+      .select(col("w"), col("cnt").as("__scnt"),
+        struct(col("first_doc").as("d"), col("first_pos").as("p")).as("__sf"))
+      .localCheckpoint(true) // batch-scoped rows, reused for stats + merge
+    val bAgg = bwin.groupBy(col("w")).agg(max(col("h")).as("h"),
+      count(lit(1)).as("__bcnt"),
+      min(struct(col("__doc").as("d"), col("cpos").as("p"))).as("__bf"))
+    val stats = bAgg.join(touched, Seq("w"), "left")
+      .select(col("w"), col("h"),
+        (col("__bcnt") + coalesce(col("__scnt"), lit(0L))).as("__ucnt"),
+        when(col("__scnt").isNull, col("__bf"))
+          .otherwise(least(col("__sf"), col("__bf"))).as("__uf"))
+      .localCheckpoint(true) // reused for masking + the index merge
+    val maskedStarts = bwin.join(stats.select(col("w"), col("__ucnt"), col("__uf")), Seq("w"))
+      .filter(col("__ucnt") >= 2 &&
+        (if (keepFirst)
+           struct(col("__doc").as("d"), col("cpos").as("p")) =!= col("__uf")
+         else lit(true)))
+      .select(col("__doc"), col("cpos").as("s"))
+    val spansPerDoc = maskedStarts.groupBy(col("__doc"))
+      .agg(sort_array(collect_list(col("s"))).as("__starts"))
+    val report = base.join(spansPerDoc, Seq("__doc"), "left")
+      .select(col("__doc"), col("__text"),
+        mask_char_spans(col("__text"),
+          coalesce(col("__starts"), lit(Array.empty[Long])), minLen).as("__m"))
+      .select(col("__doc").as(idCol),
+        length(col("__text")).cast(LongType).as("n_chars"),
+        col("__m.n_masked").as("n_masked"),
+        col("__m.scrubbed").as("scrubbed_text"))
+    // updated index: untouched stored rows pass through (content-keyed
+    // anti-join, map-side via the batch's distinct window set); touched
+    // and batch-new contents carry the merged count and first occurrence
+    val bw = bwin.select(col("w")).distinct()
+    val untouched = index.join(hintIfSmall(bw), Seq("w"), "left_anti")
+    val merged = stats.select(col("h"), col("w"), col("__ucnt").as("cnt"),
+      col("__uf.d").as("first_doc"), col("__uf.p").as("first_pos"))
+    (report, untouched.select("h", "w", "cnt", "first_doc", "first_pos")
+      .unionByName(merged))
+  }
+
   /** Equality-class ids for (r1, r2) pairs: distinct pairs zipWithIndex —
     * the one RDD use (Spark's canonical distributed dense-id assignment);
     * values are meaningless beyond equality, so no global sort is paid. */

@@ -2436,6 +2436,30 @@ object TextQueries {
         .orderBy(col("grp"), col("tier"), col("rule"))
     }),
 
+    // Incremental exact-substring dedup
+    // (SuffixArray.incrementalScrubRepeatedCharSpans): the corpus split
+    // into a stored two-thirds (indexed once with charWindowIndex — one
+    // row per distinct 40-char window content) and a batch third scrubbed
+    // against stored ∪ batch THROUGH the index alone (no stored text
+    // re-read; index cut to batch-touched hash keys map-side). Keep-one
+    // mode, so the corpus-first occurrence exemption must merge correctly
+    // across the stored/batch boundary. The oracle is the from-scratch
+    // keep-one replay over the union, sliced to the batch.
+    "q214_incremental_substring_dedup" -> ((s, d) => {
+      import graft.operators.SuffixArray
+      val banner = "supercalifragilisticexpialidocious corporate-boilerplate appended-automatically"
+      val docs = Tables(s, d, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(col("text"), lit(" " + banner)))
+          .otherwise(col("text")).as("text"))
+      val stored = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val idx = SuffixArray.charWindowIndex(stored, "doc_id", "text", minLen = 40)
+      val (report, _) = SuffixArray.incrementalScrubRepeatedCharSpans(
+        idx, batch, "doc_id", "text", minLen = 40, keepFirst = true)
+      report.orderBy(col("doc_id"))
+    }),
+
     // Incremental fixed-point PageRank (PageRank.incrementalFixedPoint):
     // the q119 synthetic link graph split into a stored half (the 2i+1
     // edge family, traced with fixedPointTrace) and a batch half (the
@@ -5036,6 +5060,34 @@ object TextQueries {
              CAST(length(d.text) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_masked,
              coalesce(agg.txt, '') AS scrubbed_text
       FROM docs d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""",
+    // Incremental keep-one replay: the union corpus's window machinery
+    // (identical to q211's), sliced to the batch third — the incremental
+    // path must be invisible in the result.
+    "q214_incremental_substring_dedup" -> """
+      WITH docs AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+          THEN text || ' supercalifragilisticexpialidocious corporate-boilerplate appended-automatically'
+          ELSE text END AS text FROM documents),
+      starts AS (SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 40) AS g
+        FROM docs, LATERAL (SELECT unnest(range(1, length(text) - 40 + 2)) AS i)
+        WHERE length(text) >= 40),
+      hot AS (SELECT g FROM starts GROUP BY g HAVING count(*) >= 2),
+      masked AS (SELECT s.doc_id, s.i, s.g FROM (
+          SELECT doc_id, i, g,
+                 row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
+          FROM starts) s JOIN hot USING (g) WHERE s.rn > 1),
+      cov AS (SELECT DISTINCT m.doc_id, m.i + o AS p
+        FROM masked m, LATERAL (SELECT unnest(range(0, 40)) AS o)),
+      chars AS (SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 1) AS ch
+        FROM docs, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i)),
+      kept AS (SELECT c.doc_id, c.i, c.ch FROM chars c
+        ANTI JOIN cov ON c.doc_id = cov.doc_id AND c.i = cov.p),
+      agg AS (SELECT doc_id, count(*) AS n_kept,
+                string_agg(ch, '' ORDER BY i) AS txt FROM kept GROUP BY doc_id)
+      SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+             CAST(length(d.text) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_masked,
+             coalesce(agg.txt, '') AS scrubbed_text
+      FROM docs d LEFT JOIN agg USING (doc_id)
+      WHERE d.doc_id % 3 = 0 ORDER BY d.doc_id""",
     // Daily-ops replay: plant twins, apply the row-level DQ predicate,
     // dedup = keep-min per (group, exact token set) — jaccard 0.999 on
     // <1000-token sets is set equality, and blocking on the group makes

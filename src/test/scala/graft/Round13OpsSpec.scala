@@ -70,6 +70,63 @@ class Round13OpsSpec extends SparkSpec {
       col("tier") === "halt" && col("outcome") === "Passed").count() == 1)
   }
 
+  // ------------------------------ incremental exact-substring dedup
+
+  private def charDocs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+  test("incrementalScrubRepeatedCharSpans: batch scrub equals the from-scratch union run, both modes") {
+    import graft.operators.SuffixArray
+    val banner = "shared-boilerplate-across-the-corpus!!"
+    val stored = charDocs(Seq(
+      (1L, s"alpha $banner omega"),
+      (2L, "totally unique stored text with nothing repeated here"),
+      (3L, s"stored twin $banner"),
+      (4L, "sh")))
+    val batch = charDocs(Seq(
+      (10L, s"new doc carrying $banner too"),        // hot vs stored
+      (11L, "fresh unique content nothing shared"),  // untouched
+      (12L, "batch-only duplicate window ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789abcd!"),
+      (13L, "batch-only duplicate window ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789abcd!"),
+      (14L, "")))                                     // empty passes through
+    for (kf <- Seq(false, true); minLen <- Seq(20, 38)) {
+      val idx = SuffixArray.charWindowIndex(stored, "doc_id", "text", minLen)
+      val (report, updated) = SuffixArray.incrementalScrubRepeatedCharSpans(
+        idx, batch, "doc_id", "text", minLen, keepFirst = kf)
+      val union = stored.unionByName(batch)
+      val scratch = SuffixArray.scrubRepeatedCharSpans(
+          union, "doc_id", "text", minLen, keepFirst = kf)
+        .filter(col("doc_id") >= 10L)
+      assert(report.exceptAll(scratch).isEmpty && scratch.exceptAll(report).isEmpty,
+        s"keepFirst=$kf minLen=$minLen: batch scrub must equal the union slice")
+      // the updated index IS the union corpus's index — tomorrow composes
+      val unionIdx = SuffixArray.charWindowIndex(union, "doc_id", "text", minLen)
+      assert(updated.exceptAll(unionIdx).isEmpty && unionIdx.exceptAll(updated).isEmpty,
+        s"keepFirst=$kf minLen=$minLen: updated index must equal the union build")
+    }
+  }
+
+  test("incrementalScrubRepeatedCharSpans: two chained days compose; forced shuffle fallback stays exact") {
+    import graft.operators.SuffixArray
+    val b = "another-long-banner-window-for-days!"
+    val day0 = charDocs(Seq((1L, s"base $b"), (2L, "quiet stored doc one")))
+    val day1 = charDocs(Seq((10L, s"first delivery $b"), (11L, "noise alpha")))
+    val day2 = charDocs(Seq((20L, s"second delivery $b and more"), (21L, "noise beta")))
+    val minLen = b.length
+    val i0 = SuffixArray.charWindowIndex(day0, "doc_id", "text", minLen)
+    val (_, i1) = SuffixArray.incrementalScrubRepeatedCharSpans(
+      i0, day1, "doc_id", "text", minLen, keepFirst = true)
+    // broadcastMaxRows = 1 forces every guarded hint to shuffle joins
+    val (r2, i2) = SuffixArray.incrementalScrubRepeatedCharSpans(
+      i1, day2, "doc_id", "text", minLen, keepFirst = true, broadcastMaxRows = 1L)
+    val union = day0.unionByName(day1).unionByName(day2)
+    val scratch = SuffixArray.scrubRepeatedCharSpans(
+        union, "doc_id", "text", minLen, keepFirst = true)
+      .filter(col("doc_id") >= 20L)
+    assert(r2.exceptAll(scratch).isEmpty && scratch.exceptAll(r2).isEmpty)
+    val unionIdx = SuffixArray.charWindowIndex(union, "doc_id", "text", minLen)
+    assert(i2.exceptAll(unionIdx).isEmpty && unionIdx.exceptAll(i2).isEmpty)
+  }
+
   // ------------------------------------------ incremental PageRank
 
   private def prEdges(es: Seq[(Long, Long)]) = es.toDF("src", "dst")
