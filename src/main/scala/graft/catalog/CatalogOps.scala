@@ -1,6 +1,10 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
+  Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual,
+  Literal}
 
 /** Catalog-level physical-layout helpers.
   *
@@ -20,5 +24,119 @@ object CatalogOps {
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
     w.saveAsTable(table)
+  }
+
+  /** `spark.table(table).filter(filter)` with FILE SKIPPING through the
+    * table's [[FileStats]] index, for callers that hold an ordinary
+    * `Column` predicate rather than hand-built [[FileStats.StatsPredicate]]s
+    * — the general read-path hook the consume-SQL stage and the streaming
+    * gates' stored reads use. The filter's top-level conjuncts are
+    * inspected: `col = v` / `col IN (…)` become [[FileStats.KeysPredicate]]
+    * and `col (<|<=|>|>=) v` / `BETWEEN` bounds fold into one
+    * [[FileStats.RangePredicate]] per column — but ONLY for columns the
+    * stats table actually indexes ([[FileStats.statsSpecOf]]).
+    * Unrecognized or un-indexed conjuncts simply don't prune. The FULL
+    * original filter is re-applied row-level on the pruned read, so the
+    * result equals the plain filtered table read bit-for-bit whatever the
+    * extraction recognized; when no stats table exists or nothing is
+    * extractable, this IS the plain read. Correct-by-construction under
+    * staleness for the same reason [[FileStats.pruneFiles]] is: unknown
+    * files always survive. */
+  def readPruned(spark: SparkSession, table: String, statsTable: String,
+                 filter: Column): DataFrame = {
+    val plain = spark.table(table).filter(filter)
+    val spec = FileStats.statsSpecOf(spark, statsTable)
+      .getOrElse(return plain)
+    val indexed = spec.cols.toSet
+
+    // the RESOLVED predicate, from the analyzed plan (the public Column is
+    // ColumnNode-backed in Spark 4 — analysis is what turns it into real
+    // Catalyst comparisons); literal-side casts the analyzer inserted for
+    // type alignment fold here so the bounds carry their aligned values
+    val cond: Expression = plain.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    } match {
+      case Some(c) => c.transformUp {
+        case cast: org.apache.spark.sql.catalyst.expressions.Cast
+            if cast.child.isInstanceOf[Literal] && cast.foldable =>
+          Literal.create(cast.eval(), cast.dataType)
+      }
+      case None => return plain
+    }
+
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: Attribute => Some(a.name).filter(indexed.contains)
+      case _ => None
+    }
+    def valueOf(l: Literal): Option[Any] =
+      Option(CatalystTypeConverters.convertToScala(l.value, l.dataType))
+
+    // fold comparison conjuncts into per-column bounds; collect key sets
+    val lo = scala.collection.mutable.Map.empty[String, Any]
+    val hi = scala.collection.mutable.Map.empty[String, Any]
+    val keys = scala.collection.mutable.ListBuffer.empty[FileStats.KeysPredicate]
+    // later bounds only NARROW (keep the first — any recognized bound is a
+    // valid admit filter; tightest-bound selection would need type-aware
+    // comparison for no correctness gain)
+    def setLo(c: String, v: Any): Unit = if (!lo.contains(c)) lo(c) = v
+    def setHi(c: String, v: Any): Unit = if (!hi.contains(c)) hi(c) = v
+    conjuncts(cond).foreach {
+      case EqualTo(a, l: Literal) => nameOf(a).zip(valueOf(l)).foreach {
+        case (c, v) => keys += FileStats.KeysPredicate(c, Seq(v)) }
+      case EqualTo(l: Literal, a) => nameOf(a).zip(valueOf(l)).foreach {
+        case (c, v) => keys += FileStats.KeysPredicate(c, Seq(v)) }
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        nameOf(a).foreach { c =>
+          val ext = vs.map(v => valueOf(v.asInstanceOf[Literal]))
+          if (ext.forall(_.isDefined)) keys += FileStats.KeysPredicate(c, ext.map(_.get))
+        }
+      case GreaterThan(a, l: Literal) =>
+        nameOf(a).zip(valueOf(l)).foreach { case (c, v) => setLo(c, v) }
+      case GreaterThanOrEqual(a, l: Literal) =>
+        nameOf(a).zip(valueOf(l)).foreach { case (c, v) => setLo(c, v) }
+      case LessThan(a, l: Literal) =>
+        nameOf(a).zip(valueOf(l)).foreach { case (c, v) => setHi(c, v) }
+      case LessThanOrEqual(a, l: Literal) =>
+        nameOf(a).zip(valueOf(l)).foreach { case (c, v) => setHi(c, v) }
+      case GreaterThan(l: Literal, a) => // v > col  ⇔  col < v
+        nameOf(a).zip(valueOf(l)).foreach { case (c, v) => setHi(c, v) }
+      case GreaterThanOrEqual(l: Literal, a) =>
+        nameOf(a).zip(valueOf(l)).foreach { case (c, v) => setHi(c, v) }
+      case LessThan(l: Literal, a) =>
+        nameOf(a).zip(valueOf(l)).foreach { case (c, v) => setLo(c, v) }
+      case LessThanOrEqual(l: Literal, a) =>
+        nameOf(a).zip(valueOf(l)).foreach { case (c, v) => setLo(c, v) }
+      case _ => () // unrecognized conjunct: row-level only, never prunes
+    }
+    val ranges = (lo.keySet ++ hi.keySet).toSeq.sorted.map(c =>
+      FileStats.RangePredicate(c, lo.get(c), hi.get(c)))
+    val preds: Seq[FileStats.StatsPredicate] = ranges ++ keys
+    if (preds.isEmpty) return plain
+    // PRUNE with the extracted predicates, FILTER with the original Column
+    // (the extracted set is a superset-admitting relaxation, so the full
+    // row-level filter restores exact semantics)
+    try {
+      val (root, selected, _) =
+        FileStats.pruneFiles(spark, table, statsTable, preds)
+      val tableSchema = spark.table(table).schema
+      val cols = tableSchema.fields.map(f => org.apache.spark.sql.functions.col(f.name)).toSeq
+      if (selected.isEmpty)
+        spark.table(table).filter(org.apache.spark.sql.functions.lit(false))
+          .select(cols: _*)
+      else spark.read.schema(tableSchema).option("basePath", root.toString)
+        .parquet(selected.map(f => FileStats.absDataPath(root, f)): _*)
+        .filter(filter)
+        .select(cols: _*)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"stats-pruned read of $table via $statsTable failed — " +
+            "falling back to the plain filtered read", e)
+        plain
+    }
   }
 }

@@ -193,6 +193,10 @@ object FileStats {
     if (f.rel.isEmpty) new Path(root, f.name)
     else new Path(new Path(root, f.rel), f.name)
 
+  /** Absolute path of a pruned-scan survivor — for callers assembling
+    * their own reads over [[pruneFiles]] output ([[CatalogOps.readPruned]]). */
+  def absDataPath(root: Path, f: FileEntry): String = absPath(root, f).toString
+
   private val statsSchema = StructType(Seq(
     StructField("rel", StringType), StructField("file", StringType),
     StructField("bytes", LongType), StructField("n_rows", LongType),
@@ -518,10 +522,16 @@ object FileStats {
             "rebuild it under one spec")
         ks.headOption.map(_.toInt).getOrElse(bloomHashes)
       }
-    val admit = preds.foldLeft(when(lit(false), lit(true))) { (acc, p) =>
-      acc.when(col("col_name") === p.column,
-        admitExpr(p, fieldsByName(p.column).dataType, kHashes))
-    }.otherwise(lit(true)) // rows of non-predicate columns never exclude
+    // ALL predicates on a column must admit its stats row (a when-chain
+    // would silently drop every predicate after the first per column —
+    // e.g. readPruned's range + key pair on one column); rows of
+    // non-predicate columns never exclude
+    val admit = preds.groupBy(_.column).toSeq.sortBy(_._1)
+      .foldLeft(lit(true)) { case (acc, (c, ps)) =>
+        acc && (!(col("col_name") === c) ||
+          ps.map(p => admitExpr(p, fieldsByName(c).dataType, kHashes))
+            .reduce(_ && _))
+      }
     val excluded = stats.filter(!admit).select("rel", "file").distinct()
     val known = stats.select("rel", "file").distinct()
     val selected = curDf.join(excluded, Seq("rel", "file"), "left_anti")

@@ -460,6 +460,42 @@ class FileStatsSpec extends SparkSpec {
     assert(got.filter(col("day") === "2024-01-05").count() == 2L)
   }
 
+  test("readPruned: an ordinary Column filter gets file skipping; results bit-equal the plain read") {
+    import graft.catalog.CatalogOps
+    val db = s"frp${System.nanoTime()}"
+    val t = mkTable(db)
+    val st = s"$db.events_stats"
+    FileStats.refresh(spark, t, st, StatsSpec(Seq("value", "event_id"),
+      bloomCols = Seq("event_id"), bloomBits = 1 << 14))
+    // a consume-SQL-style predicate: an indexed range, an indexed key, and
+    // an UN-indexed residual (kind) that must not break anything
+    val pred = col("value") >= 100.0 && col("value") <= 180.0 &&
+      col("kind") =!= "type_9"
+    val pruned = CatalogOps.readPruned(spark, t, st, pred)
+    val plain = spark.table(t).filter(pred)
+    assert(pruned.schema == plain.schema, pruned.schema.sql)
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+    assert(pruned.count() > 0)
+    // the PLAN-LEVEL claim: the pruned read touches a fraction of the files
+    val allFiles = spark.table(t).inputFiles.length
+    val readFiles = pruned.inputFiles.length
+    assert(allFiles >= 60, s"fixture must be fragmented: $allFiles")
+    assert(readFiles <= allFiles / 4,
+      s"clustered range must skip files: $readFiles of $allFiles")
+    // point lookup through the bloom, plus key-flipped comparison forms
+    val pred2 = lit(200L) <= col("event_id") && col("event_id") === 12345L
+    val pruned2 = CatalogOps.readPruned(spark, t, st, pred2)
+    assert(pruned2.select("event_id").as[Long].collect().toSeq == Seq(12345L))
+    assert(pruned2.inputFiles.length <= math.max(4, allFiles / 8))
+    // no stats table -> plain read, same rows
+    val noIdx = CatalogOps.readPruned(spark, t, s"$db.absent_stats", pred)
+    assert(noIdx.exceptAll(plain).isEmpty && plain.exceptAll(noIdx).isEmpty)
+    // nothing extractable (unindexed column only) -> plain read, same rows
+    val resid = CatalogOps.readPruned(spark, t, st, col("kind") === "type_3")
+    val plainResid = spark.table(t).filter(col("kind") === "type_3")
+    assert(resid.exceptAll(plainResid).isEmpty && plainResid.exceptAll(resid).isEmpty)
+  }
+
   test("refresh rewrites only the stats buckets holding changed files") {
     val db = s"fbkt${System.nanoTime()}"
     val t = mkTable(db)
