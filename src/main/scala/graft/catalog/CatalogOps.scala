@@ -43,11 +43,40 @@ object CatalogOps {
     * staleness for the same reason [[FileStats.pruneFiles]] is: unknown
     * files always survive. */
   def readPruned(spark: SparkSession, table: String, statsTable: String,
-                 filter: Column): DataFrame = {
+                 filter: Column): DataFrame =
+    readPruned(spark, table, statsTable, filter, indexedCols = None)
+
+  /** `indexedCols`: the columns the stats table indexes, when the caller
+    * already knows them ([[FileStats.keysPrunedScan]] probes exactly its
+    * key column) — skips the [[FileStats.statsSpecOf]] discovery pass,
+    * which reads the stats table's bloom bytes and would be a real cost
+    * on a per-micro-batch hot path. */
+  private[catalog] def readPruned(spark: SparkSession, table: String,
+                                  statsTable: String, filter: Column,
+                                  indexedCols: Option[Set[String]]): DataFrame = {
     val plain = spark.table(table).filter(filter)
-    val spec = FileStats.statsSpecOf(spark, statsTable)
-      .getOrElse(return plain)
-    val indexed = spec.cols.toSet
+    // EVERYTHING stats-related degrades to the plain read — a malformed or
+    // concurrently-dropped stats table must cost pruning, never the read
+    try readPrunedOrThrow(spark, table, statsTable, filter, plain, indexedCols)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"stats-pruned read of $table via $statsTable failed — " +
+            "falling back to the plain filtered read", e)
+        plain
+    }
+  }
+
+  private def readPrunedOrThrow(spark: SparkSession, table: String,
+                                statsTable: String, filter: Column,
+                                plain: DataFrame,
+                                indexedCols: Option[Set[String]]): DataFrame = {
+    val indexed: Set[String] = indexedCols.getOrElse {
+      FileStats.statsSpecOf(spark, statsTable) match {
+        case Some(spec) => spec.cols.toSet
+        case None => return plain
+      }
+    }
 
     // the RESOLVED predicate, from the analyzed plan (the public Column is
     // ColumnNode-backed in Spark 4 — analysis is what turns it into real
@@ -119,24 +148,16 @@ object CatalogOps {
     // PRUNE with the extracted predicates, FILTER with the original Column
     // (the extracted set is a superset-admitting relaxation, so the full
     // row-level filter restores exact semantics)
-    try {
-      val (root, selected, _) =
-        FileStats.pruneFiles(spark, table, statsTable, preds)
-      val tableSchema = spark.table(table).schema
-      val cols = tableSchema.fields.map(f => org.apache.spark.sql.functions.col(f.name)).toSeq
-      if (selected.isEmpty)
-        spark.table(table).filter(org.apache.spark.sql.functions.lit(false))
-          .select(cols: _*)
-      else spark.read.schema(tableSchema).option("basePath", root.toString)
-        .parquet(selected.map(f => FileStats.absDataPath(root, f)): _*)
-        .filter(filter)
+    val (root, selected, _) =
+      FileStats.pruneFiles(spark, table, statsTable, preds)
+    val tableSchema = spark.table(table).schema
+    val cols = tableSchema.fields.map(f => org.apache.spark.sql.functions.col(f.name)).toSeq
+    if (selected.isEmpty)
+      spark.table(table).filter(org.apache.spark.sql.functions.lit(false))
         .select(cols: _*)
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"stats-pruned read of $table via $statsTable failed — " +
-            "falling back to the plain filtered read", e)
-        plain
-    }
+    else spark.read.schema(tableSchema).option("basePath", root.toString)
+      .parquet(selected.map(f => FileStats.absDataPath(root, f)): _*)
+      .filter(filter)
+      .select(cols: _*)
   }
 }

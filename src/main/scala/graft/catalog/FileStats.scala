@@ -562,8 +562,12 @@ object FileStats {
       val values = raw.map(_.get(0)).toSeq.filterNot(_ == null)
       if (values.isEmpty) Some(spark.table(table).limit(0))
       else
-        try Some(scanPruned(spark, table, statsTable,
-          Seq(KeysPredicate(keyCol, values))))
+        // delegate to the general read-path hook — ONE pruning engine for
+        // every stats consumer (readPruned extracts the isin back into a
+        // KeysPredicate and degrades to the plain filtered read on any
+        // stats failure, which still satisfies this probe's contract)
+        try Some(CatalogOps.readPruned(spark, table, statsTable,
+          col(keyCol).isin(values: _*), indexedCols = Some(Set(keyCol))))
         catch {
           case scala.util.control.NonFatal(e) =>
             org.slf4j.LoggerFactory.getLogger(getClass).warn(

@@ -178,15 +178,12 @@ object GraphOps {
                                   broadcastMaxRows: Long = 10000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     import org.apache.spark.sql.expressions.Window
-    // The deltas below are frontier-bounded by design, but the documented
-    // worst case (a batch rewiring a hub) makes a delta O(nodes) — an
-    // UNCONDITIONAL broadcast hint would then die on the broadcast size
-    // limit / driver memory instead of degrading to a shuffle join. Every
-    // delta is localCheckpointed, so one count per round is cheap: hint
-    // only under the bound, above it the planner's shuffle join makes the
-    // round slow but correct.
+    // Deltas are frontier-bounded by design, but the documented worst case
+    // (a batch rewiring a hub) makes a delta O(nodes) — the shared guard
+    // ([[Broadcasting.hintIfSmall]]) falls back to shuffle joins above the
+    // bound instead of dying on the broadcast limit.
     def hintIfSmall(df: DataFrame): DataFrame =
-      if (df.count() <= broadcastMaxRows) broadcast(df) else df
+      Broadcasting.hintIfSmall(df, broadcastMaxRows)
     def symOf(e: DataFrame): DataFrame = e
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionByName(e.select(col(dstCol).as("a"), col(srcCol).as("b")))

@@ -150,7 +150,7 @@ object PageRank {
     require(iterations >= 1 && scale > 0 && dampNum >= 0 && dampDen > 0)
     val base = scale - (dampNum * scale) / dampDen
     def hintIfSmall(df: DataFrame): DataFrame =
-      if (df.count() <= broadcastMaxRows) broadcast(df) else df
+      Broadcasting.hintIfSmall(df, broadcastMaxRows)
     val union = storedEdges.select(col(srcCol), col(dstCol))
       .unionByName(batchEdges.select(col(srcCol), col(dstCol)))
     val outdeg = union.groupBy(col(srcCol)).agg(count(lit(1)).as("__deg"))

@@ -104,10 +104,15 @@ object SuffixArray {
 
     // 4. exact verify: candidate windows' literal text, re-classified by
     // content; a class that is only hash-hot (collision) is a content
-    // singleton and drops out here
+    // singleton and drops out here. The candidate list is extracted in
+    // WindowChunk slices so a wholly-duplicated huge document cannot
+    // materialize all its windows' text in one row.
     val wins = base.join(candPerDoc, Seq("__doc"))
+      .select(col("__doc"), col("__text"), explode(expr(
+        s"transform(sequence(0, CAST((size(__ps) - 1) div $WindowChunk AS INT)), " +
+          s"ci -> slice(__ps, ci * $WindowChunk + 1, $WindowChunk))")).as("__pc"))
       .select(col("__doc"), explode(expr(
-        s"transform(__ps, p -> struct(p AS cpos, " +
+        s"transform(__pc, p -> struct(p AS cpos, " +
           s"substring(__text, CAST(p AS INT), $minLen) AS w))")).as("x"))
       .select((col("__doc") * c + col("x.cpos")).as("gpos"), col("x.w").as("w"))
     val hotW = wins.groupBy(col("w"))
@@ -133,12 +138,30 @@ object SuffixArray {
         col("__m.scrubbed").as("scrubbed_text"))
   }
 
+  /** Window starts per kernel call / per extraction row — bounds the
+    * per-row memory of the (hash, text) window materializations to
+    * ~chunk × minLen bytes, so a single multi-megabyte document cannot
+    * build a gigabyte array before explode splits it. */
+  private val WindowChunk = 1 << 16
+
   private def windowsOf(docs: DataFrame, idCol: String, textCol: String,
                         minLen: Int): DataFrame = {
     import graft.functions.expressions.HashExpressions.char_windows
-    docs.select(col(idCol).as("__doc"),
-        posexplode(char_windows(col(textCol), minLen)))
-      .select(col("__doc"), (col("pos") + 1).cast(LongType).as("cpos"),
+    // long documents are SLICED before the kernel: chunk i covers window
+    // starts [i·C, (i+1)·C) via a substring of C+minLen−1 code points, so
+    // every window lands in exactly one chunk and per-row memory is
+    // bounded whatever the document length
+    val lastChunk = greatest(lit(0),
+      expr(s"CAST((length(__text) - $minLen) div $WindowChunk AS INT)"))
+    docs.select(col(idCol).as("__doc"), col(textCol).as("__text"))
+      .select(col("__doc"), col("__text"),
+        explode(sequence(lit(0), lastChunk)).as("__ci"))
+      .select(col("__doc"), (col("__ci").cast(LongType) * WindowChunk).as("__off"),
+        expr(s"substring(__text, CAST(__ci * $WindowChunk + 1 AS INT), " +
+          s"${WindowChunk + minLen - 1})").as("__slice"))
+      .select(col("__doc"), col("__off"),
+        posexplode(char_windows(col("__slice"), minLen)))
+      .select(col("__doc"), (col("__off") + col("pos") + 1).as("cpos"),
         col("col.h").as("h"), col("col.w").as("w"))
   }
 
@@ -197,7 +220,7 @@ object SuffixArray {
     require(minLen >= 2, s"minLen must be >= 2: $minLen")
     import graft.functions.expressions.HashExpressions.mask_char_spans
     def hintIfSmall(df: DataFrame): DataFrame =
-      if (df.count() <= broadcastMaxRows) broadcast(df) else df
+      Broadcasting.hintIfSmall(df, broadcastMaxRows)
     val base = batch.select(col(idCol).as("__doc"), col(textCol).as("__text"))
       .localCheckpoint(true)
     val bwin = windowsOf(base, "__doc", "__text", minLen).localCheckpoint(true)
