@@ -523,6 +523,60 @@ object ScaleCheck100 {
       }
     }
 
+    // Incremental fixed-point PageRank: same ring fixture, FIXED 50-edge
+    // batch — floor divisions quantize rank cascades, so the recompute is
+    // batch-bounded; the from-scratch trace row is the ~Nx comparison.
+    locally {
+      import graft.operators.PageRank
+      def ring(rows: Long) = spark.range(rows).select(col("id").as("src"),
+        (col("id") - pmod(col("id"), lit(10L)) +
+          pmod(col("id") + 1L, lit(10L))).as("dst"))
+      val batch = spark.range(50).select((col("id") * 10L).as("src"),
+        (col("id") * 10L + 5L).as("dst")).localCheckpoint(true)
+      Seq(100000L -> "1x", 100000L * n -> s"${n}x").foreach { case (rows, tag) =>
+        val nodes = spark.range(rows).select(col("id"))
+        val edges = ring(rows).localCheckpoint(true)
+        val trace = timed(s"PageRank from-scratch 3-iter trace $tag")({
+          val t = PageRank.fixedPointTrace(edges, "src", "dst",
+            nodes, "id", 3).localCheckpoint(true)
+          (t, t.count())
+        })
+        timed(s"PageRank incremental fixed batch $tag")(((),
+          PageRank.incrementalFixedPoint(edges, trace, batch,
+              "src", "dst", 3)
+            .agg(bit_xor(xxhash64(struct(col("iter"), col("id"), col("pr"))))
+              .as("ck"), count(lit(1)).as("cnt")).head().getLong(1)))
+      }
+    }
+
+    // Incremental exact-substring dedup: the stored window index grows Nx,
+    // the batch is FIXED — daily cost = the batch's window pass plus a
+    // map-side semi-join scan of the content-keyed index.
+    locally {
+      import graft.operators.SuffixArray
+      def corpus(rows: Long, off: Long) = spark.range(rows)
+        .select((col("id") + off).as("doc_id"),
+          concat(lit("stored body with unique trail "),
+            ((col("id") + off) * 7919L).cast("string"),
+            when(pmod(col("id"), lit(13L)) === 0,
+              lit(" shared-fortycharacter-boilerplate-banner-text")).otherwise(lit("")))
+            .as("text"))
+      val batch = corpus(2000L, 900000000L).localCheckpoint(true)
+      Seq(20000L -> "1x", 20000L * n -> s"${n}x").foreach { case (rows, tag) =>
+        val idx = timed(s"char-window index build $tag")({
+          val i = SuffixArray.charWindowIndex(corpus(rows, 0L), "doc_id",
+            "text", 40).localCheckpoint(true)
+          (i, i.count())
+        })
+        timed(s"incremental substring dedup, fixed batch vs $tag index")(((),
+          SuffixArray.incrementalScrubRepeatedCharSpans(idx, batch,
+              "doc_id", "text", 40, keepFirst = true)._1
+            .agg(bit_xor(xxhash64(struct(col("doc_id"), col("n_masked"),
+              col("scrubbed_text")))).as("ck"), count(lit(1)).as("cnt"))
+            .head().getLong(1)))
+      }
+    }
+
     // Char-exact substring dedup (rolling-hash nomination + exact verify):
     // duplicated content is a FIXED 1/13 fraction, so hot positions grow
     // ~Nx while unique text grows ~Nx too — the check is that WALL and
