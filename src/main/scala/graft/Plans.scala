@@ -61,6 +61,8 @@ object Plans {
       "q203_stats_pruned_scan" -> "file-stats pruned scan: per-file min/max+bloom admit evaluated on the narrow stats table, surviving files read basePath-anchored, residual re-applied — the un-read files are the plan",
       "q208_incremental_lpa" -> "incremental sync-LPA: stored-trace slices ANTI broadcast frontier overrides (map-side), vote joins frontier-scoped; no O(N) exchange outside the trace write",
       "q210_exact_substring_dedup" -> "char-exact substring dedup: rolling-hash kernel nomination (one 8-byte-key count + one semi-join over the corpus) — exact content verify and span rebuild over CANDIDATE rows only",
+      "q213_incremental_pagerank" -> "incremental fixed-point PageRank: stored-trace slices ANTI broadcast rank overrides, contribution joins frontier-scoped via broadcast semi-joins on the degree-edges frame",
+      "q214_incremental_substring_dedup" -> "incremental exact-substring dedup: batch windows one kernel pass; stored side cut to batch-touched hash keys by a broadcast semi-join of the content-keyed index — no stored shuffle, no stored text",
       "q37_pipeline_e2e" -> "full collect-to-cleanse pipeline")
 
     val sb = new StringBuilder
