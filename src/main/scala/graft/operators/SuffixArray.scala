@@ -226,12 +226,18 @@ object SuffixArray {
     val bwin = windowsOf(base, "__doc", "__text", minLen).localCheckpoint(true)
     // stored side: index rows of batch-touched HASH keys only, evaluated
     // map-side against the (small) batch key set — the stored index never
-    // shuffles and stored-only windows never surface
+    // shuffles and stored-only windows never surface. The aggregation
+    // AFTER the cut (batch-scoped, cheap) means the index may be any
+    // DECOMPOSITION of the union index whose per-content sums/mins equal
+    // it — e.g. the per-batch partitions a streaming gate appends
+    // ([[graft.streaming.StreamingOps.ingestSubstringDedupGate]]) — not
+    // only the one-row-per-content form charWindowIndex builds.
     val bKeysH = bwin.select(col("h")).distinct()
     val touched = index
       .join(hintIfSmall(bKeysH), Seq("h"), "left_semi")
-      .select(col("w"), col("cnt").as("__scnt"),
-        struct(col("first_doc").as("d"), col("first_pos").as("p")).as("__sf"))
+      .groupBy(col("w"))
+      .agg(sum(col("cnt")).as("__scnt"),
+        min(struct(col("first_doc").as("d"), col("first_pos").as("p"))).as("__sf"))
       .localCheckpoint(true) // batch-scoped rows, reused for stats + merge
     val bAgg = bwin.groupBy(col("w")).agg(max(col("h")).as("h"),
       count(lit(1)).as("__bcnt"),

@@ -2460,6 +2460,48 @@ object TextQueries {
       report.orderBy(col("doc_id"))
     }),
 
+    // Streaming exact-substring dedup gate
+    // (StreamingOps.ingestSubstringDedupGate): documents staged as 4
+    // single-file group partitions drain through the gate one batch per
+    // file; each batch is scrubbed against everything ingested before it
+    // and appends its own window statistics to the APPEND-ONLY index
+    // table. Per-batch reports are delivery-order-scoped (spec-pinned);
+    // the oracle checks the gate's ORDER-INDEPENDENT contract — the
+    // aggregated index equals the one-shot window index of the whole
+    // corpus — by replaying every hot 40-char window's count and
+    // corpus-first occurrence in SQL.
+    "q215_streaming_substring_gate" -> ((s, d) => {
+      val banner = "supercalifragilisticexpialidocious corporate-boilerplate appended-automatically"
+      val dir = s"/tmp/graft_stream_ssdg/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        Tables(s, d, "documents").select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(11)) === 0,
+              concat(col("text"), lit(" " + banner)))
+              .otherwise(col("text")).as("text"))
+          .withColumn("grp", pmod(col("doc_id"), lit(4)).cast("int"))
+          .repartition(4, col("grp"))
+          .write.mode("overwrite").partitionBy("grp").parquet(dir)
+      val staged = s.read.parquet(dir)
+      val db = s"graftssdg${math.abs(d.hashCode)}"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      Seq("report", "windex").foreach(t => s.sql(s"DROP TABLE IF EXISTS $db.$t"))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ssdg_ckpt").toString
+      val q = graft.streaming.StreamingOps.ingestSubstringDedupGate(
+        s.readStream.schema(staged.schema).option("maxFilesPerTrigger", 1)
+          .parquet(dir).drop("grp"),
+        "text", "doc_id", minLen = 40, keepFirst = true,
+        s"$db.report", s"$db.windex", ckpt, availableNow = true)
+      q.awaitTermination()
+      Seq("report", "windex").foreach(t => s.sql(s"REFRESH TABLE $db.$t"))
+      s.table(s"$db.windex")
+        .groupBy(col("w")).agg(sum(col("cnt")).as("cnt"),
+          min(struct(col("first_doc").as("d"), col("first_pos").as("p"))).as("f"))
+        .filter(col("cnt") >= 2)
+        .select(col("w"), col("cnt"),
+          col("f.d").as("first_doc"), col("f.p").as("first_pos"))
+        .orderBy(col("w"))
+    }),
+
     // Incremental fixed-point PageRank (PageRank.incrementalFixedPoint):
     // the q119 synthetic link graph split into a stored half (the 2i+1
     // edge family, traced with fixedPointTrace) and a batch half (the
@@ -5088,6 +5130,24 @@ object TextQueries {
              coalesce(agg.txt, '') AS scrubbed_text
       FROM docs d LEFT JOIN agg USING (doc_id)
       WHERE d.doc_id % 3 = 0 ORDER BY d.doc_id""",
+    // Gate-state replay: every hot 40-window's corpus count and
+    // lexicographically-first (doc, pos) — order-independent, so it holds
+    // whatever order the stream delivered the four groups in. min_by key
+    // doc_id*2^20+i is collision-free (docs are far shorter than 2^20).
+    "q215_streaming_substring_gate" -> """
+      WITH docs AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+          THEN text || ' supercalifragilisticexpialidocious corporate-boilerplate appended-automatically'
+          ELSE text END AS text FROM documents),
+      starts AS (SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 40) AS g
+        FROM docs, LATERAL (SELECT unnest(range(1, length(text) - 40 + 2)) AS i)
+        WHERE length(text) >= 40),
+      agg AS (SELECT g AS w, CAST(count(*) AS BIGINT) AS cnt,
+              min(doc_id * 1048576 + i) AS fk
+              FROM starts GROUP BY g)
+      SELECT w, cnt,
+             CAST(fk // 1048576 AS BIGINT) AS first_doc,
+             CAST(fk % 1048576 AS BIGINT) AS first_pos
+      FROM agg WHERE cnt >= 2 ORDER BY w""",
     // Daily-ops replay: plant twins, apply the row-level DQ predicate,
     // dedup = keep-min per (group, exact token set) — jaccard 0.999 on
     // <1000-token sets is set equality, and blocking on the group makes

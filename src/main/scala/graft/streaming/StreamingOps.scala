@@ -614,6 +614,92 @@ object StreamingOps {
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
+  /** Streaming EXACT-SUBSTRING DEDUP GATE — the daily form of the
+    * character-exact scrub ([[graft.operators.SuffixArray
+    * .incrementalScrubRepeatedCharSpans]]) as a standing micro-batch
+    * query, completing the fixpoint-index gate family (dedup, ANN, DQ):
+    * each arriving batch of documents is scrubbed against everything
+    * ingested before it ∪ itself, its
+    * `(idCol, n_chars, n_masked, scrubbed_text)` report lands in
+    * `reportTable`, and its own window statistics
+    * ([[graft.operators.SuffixArray.charWindowIndex]] over the batch)
+    * APPEND to `indexTable` — both as batch_id partitions under the
+    * [[BatchCommitLog]] replay contract.
+    *
+    * The index table is APPEND-ONLY by design: per-batch window rows are
+    * a valid decomposition of the union index because hotness needs only
+    * per-content SUMS and keep-first only per-content MINS — the
+    * incremental operator aggregates the batch-touched slice after its
+    * map-side hash cut, so probing stays batch-scoped whatever the
+    * partition count, and [[graft.catalog.Compaction.consolidateBatches]]
+    * can fold partition sprawl without changing any answer. Replay
+    * safety: the stored side excludes THIS batch's partition (a crash
+    * between the index append and the commit must not double-count the
+    * batch against itself); both writes are per-batch partition
+    * overwrites.
+    *
+    * Reports are DELIVERY-ORDER-SCOPED like [[ingestDedupGate]]'s: a
+    * window shared by two batches is hot in the later one (and in the
+    * earlier one only if it repeats within it or in prior state). The
+    * index STATE is order-independent — its aggregation equals the
+    * one-shot [[graft.operators.SuffixArray.charWindowIndex]] over
+    * everything ingested, which is the oracle-checkable contract. */
+  def ingestSubstringDedupGate(docs: DataFrame, textCol: String, idCol: String,
+                               minLen: Int, keepFirst: Boolean,
+                               reportTable: String, indexTable: String,
+                               checkpoint: String,
+                               availableNow: Boolean = false,
+                               maintainEvery: Int = 0,
+                               maintain: (SparkSession, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    var converged = false // foreachBatch runs serially on the driver
+    val w = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val ss = batch.sparkSession
+        if (!converged) {
+          graft.catalog.Compaction.convergeConsolidation(ss, reportTable)
+          graft.catalog.Compaction.convergeConsolidation(ss, indexTable)
+          converged = true
+        }
+        val b = batch.toDF().localCheckpoint(true)
+        if (b.count() > 0 && !BatchCommitLog.applied(ss, checkpoint, id)) {
+          val stored =
+            if (ss.catalog.tableExists(indexTable))
+              // exclude THIS batch's partition: a replay after a crash
+              // between the index append and the commit must not count
+              // the batch against itself
+              ss.table(indexTable).filter(col("batch_id") =!= lit(id))
+                .drop("batch_id")
+            else b.sparkSession.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("h",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("w",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("cnt",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("first_doc",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("first_pos",
+                  org.apache.spark.sql.types.LongType))))
+          val (report, _) = graft.operators.SuffixArray
+            .incrementalScrubRepeatedCharSpans(stored, b, idCol, textCol,
+              minLen, keepFirst)
+          writeBatchPartition(report.withColumn("batch_id", lit(id)),
+            reportTable, id)
+          val batchIdx = graft.operators.SuffixArray
+            .charWindowIndex(b, idCol, textCol, minLen)
+            .withColumn("batch_id", lit(id))
+          writeBatchPartition(batchIdx, indexTable, id)
+          BatchCommitLog.commit(ss, checkpoint, id)
+        }
+        runMaintenance(ss, id, maintainEvery, maintain)
+        ()
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
   /** Streaming THREE-TIER DQ GATE — the reference's full per-hook ruleset
     * (`dataquality_check.py:266-316`, `run_data_quality`) as ONE
     * micro-batch evaluation: each arriving batch runs warn + quarantine +

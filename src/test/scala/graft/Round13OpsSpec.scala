@@ -127,6 +127,72 @@ class Round13OpsSpec extends SparkSpec {
     assert(i2.exceptAll(unionIdx).isEmpty && unionIdx.exceptAll(i2).isEmpty)
   }
 
+  // ------------------------------ streaming substring-dedup gate
+
+  test("ingestSubstringDedupGate: per-batch reports match the incremental op; " +
+    "index state equals the one-shot union build; replay adds nothing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    import graft.operators.SuffixArray
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val db = s"ssd${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    val (rt, it) = (s"$db.report", s"$db.windex")
+    val ckpt = java.nio.file.Files.createTempDirectory("r13_ssd_ckpt").toString
+    val banner = "gate-level-shared-banner-across-batches!"
+    val minLen = banner.length
+    val mem = MemoryStream[(Long, String)]
+    def gate() = StreamingOps.ingestSubstringDedupGate(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id", minLen,
+      keepFirst = true, rt, it, ckpt, availableNow = true)
+
+    // batch 0: banner appears twice WITHIN the batch -> second copy scrubbed
+    val b0 = Seq((1L, s"first $banner"), (2L, s"second $banner"),
+      (3L, "unique quiet document one"))
+    mem.addData(b0: _*)
+    gate().awaitTermination()
+    Seq(rt, it).foreach(t => spark.catalog.refreshTable(t))
+    val r0 = spark.table(rt).filter(col("batch_id") === 0L)
+      .select("doc_id", "n_masked").as[(Long, Long)].collect().toMap
+    // the maximal shared repeat is " $banner" — the leading space rides
+    // along, so 41 chars mask, not 40
+    assert(r0 == Map(1L -> 0L, 2L -> (minLen + 1).toLong, 3L -> 0L), r0.toString)
+
+    // batch 1: banner arrives again -> scrubbed against STORED state; a
+    // batch-unique doc passes
+    val b1 = Seq((10L, s"third $banner"), (11L, "another quiet document"))
+    mem.addData(b1: _*)
+    gate().awaitTermination()
+    Seq(rt, it).foreach(t => spark.catalog.refreshTable(t))
+    val r1 = spark.table(rt).filter(col("batch_id") === 1L)
+      .select("doc_id", "n_masked").as[(Long, Long)].collect().toMap
+    // "third" and the stored "second" both end in 'd', so the maximal
+    // shared repeat is "d $banner" — 42 chars
+    assert(r1 == Map(10L -> (minLen + 2).toLong, 11L -> 0L), r1.toString)
+    // and the report equals the incremental op run against batch-0 state
+    val (expect1, _) = SuffixArray.incrementalScrubRepeatedCharSpans(
+      SuffixArray.charWindowIndex(b0.toDF("doc_id", "text"), "doc_id", "text", minLen),
+      b1.toDF("doc_id", "text"), "doc_id", "text", minLen, keepFirst = true)
+    val got1 = spark.table(rt).filter(col("batch_id") === 1L).drop("batch_id")
+    assert(got1.exceptAll(expect1).isEmpty && expect1.exceptAll(got1).isEmpty)
+
+    // the gate-maintained index AGGREGATES to the one-shot union build
+    val aggIdx = spark.table(it).drop("batch_id")
+      .groupBy(col("w")).agg(max(col("h")).as("h"), sum(col("cnt")).as("cnt"),
+        min(struct(col("first_doc").as("d"), col("first_pos").as("p"))).as("f"))
+      .select(col("h"), col("w"), col("cnt"),
+        col("f.d").as("first_doc"), col("f.p").as("first_pos"))
+    val unionIdx = SuffixArray.charWindowIndex(
+      (b0 ++ b1).toDF("doc_id", "text"), "doc_id", "text", minLen)
+    assert(aggIdx.exceptAll(unionIdx).isEmpty && unionIdx.exceptAll(aggIdx).isEmpty,
+      "gate index must aggregate to the union build")
+
+    // replay: a fresh drain with no new data changes nothing
+    gate().awaitTermination()
+    Seq(rt, it).foreach(t => spark.catalog.refreshTable(t))
+    assert(spark.table(rt).count() == 5 && spark.table(it).groupBy("batch_id").count().count() == 2)
+  }
+
   // ------------------------------------------ incremental PageRank
 
   private def prEdges(es: Seq[(Long, Long)]) = es.toDF("src", "dst")
