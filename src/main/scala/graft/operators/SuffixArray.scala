@@ -189,6 +189,30 @@ object SuffixArray {
         col("__f.d").as("first_doc"), col("__f.p").as("first_pos"))
   }
 
+  /** [[charWindowIndex]] at PER-DOCUMENT granularity: one row per
+    * (document, distinct window content) — `(h, w, cnt, first_doc,
+    * first_pos)` where `first_doc` IS the contributing document and
+    * `cnt`/`first_pos` are within-document. A valid decomposition of the
+    * union index (per-content sums and struct-mins recover it — what
+    * [[incrementalScrubRepeatedCharSpans]] aggregates after its hash
+    * cut), with one property the compact form cannot have: every row
+    * belongs to exactly ONE document, so right-to-be-forgotten deletion
+    * ([[graft.catalog.Retention.deleteRowsAll]] on `first_doc`) removes
+    * exactly that document's contribution and the remaining aggregation
+    * equals a never-contained build — the same row-per-id forgettability
+    * contract as the minhash/BM25/IVF-PQ index tables. The streaming
+    * gate appends THIS form. */
+  def charWindowIndexPerDoc(docs: DataFrame, idCol: String, textCol: String,
+                            minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2: $minLen")
+    windowsOf(docs, idCol, textCol, minLen)
+      .groupBy(col("__doc"), col("w"))
+      .agg(max(col("h")).as("h"), count(lit(1)).as("cnt"),
+        min(col("cpos")).as("first_pos"))
+      .select(col("h"), col("w"), col("cnt"),
+        col("__doc").as("first_doc"), col("first_pos"))
+  }
+
   /** INCREMENTAL exact-substring scrub — the daily form of
     * [[scrubRepeatedCharSpans]], completing the fixpoint-index family
     * (minhash q168, BM25 q170, CC q171, LPA q208): scrub a BATCH of new

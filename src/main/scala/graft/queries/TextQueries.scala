@@ -2502,6 +2502,52 @@ object TextQueries {
         .orderBy(col("w"))
     }),
 
+    // Forget-propagation, substring-index leg (Retention.deleteRowsAll
+    // over the gate-maintained window index): the q215 gate state is
+    // rebuilt, every doc_id % 9 == 0 is deleted from BOTH the report and
+    // the window index (the index is PER-DOC decomposed — first_doc IS
+    // the contributing document — so deletion is row-per-id exact), and
+    // the surviving aggregation must equal a window index over a corpus
+    // that NEVER contained those docs: the oracle is q215's replay with
+    // the survivor predicate.
+    "q216_forget_substring_index" -> ((s, d) => {
+      import graft.catalog.Retention
+      val banner = "supercalifragilisticexpialidocious corporate-boilerplate appended-automatically"
+      val dir = s"/tmp/graft_stream_ssdg/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        Tables(s, d, "documents").select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(11)) === 0,
+              concat(col("text"), lit(" " + banner)))
+              .otherwise(col("text")).as("text"))
+          .withColumn("grp", pmod(col("doc_id"), lit(4)).cast("int"))
+          .repartition(4, col("grp"))
+          .write.mode("overwrite").partitionBy("grp").parquet(dir)
+      val staged = s.read.parquet(dir)
+      val db = s"graftfgs${math.abs(d.hashCode)}"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      Seq("report", "windex").foreach(t => s.sql(s"DROP TABLE IF EXISTS $db.$t"))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_fgs_ckpt").toString
+      graft.streaming.StreamingOps.ingestSubstringDedupGate(
+        s.readStream.schema(staged.schema).option("maxFilesPerTrigger", 1)
+          .parquet(dir).drop("grp"),
+        "text", "doc_id", minLen = 40, keepFirst = true,
+        s"$db.report", s"$db.windex", ckpt, availableNow = true)
+        .awaitTermination()
+      Seq("report", "windex").foreach(t => s.sql(s"REFRESH TABLE $db.$t"))
+      val doomed = Tables(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(9)) === 0).select(col("doc_id"))
+      Retention.deleteRowsAll(s, doomed, Seq(
+        Retention.DeleteTarget(s"$db.report", "doc_id"),
+        Retention.DeleteTarget(s"$db.windex", "first_doc")))
+      s.table(s"$db.windex")
+        .groupBy(col("w")).agg(sum(col("cnt")).as("cnt"),
+          min(struct(col("first_doc").as("d"), col("first_pos").as("p"))).as("f"))
+        .filter(col("cnt") >= 2)
+        .select(col("w"), col("cnt"),
+          col("f.d").as("first_doc"), col("f.p").as("first_pos"))
+        .orderBy(col("w"))
+    }),
+
     // Incremental fixed-point PageRank (PageRank.incrementalFixedPoint):
     // the q119 synthetic link graph split into a stored half (the 2i+1
     // edge family, traced with fixedPointTrace) and a batch half (the
@@ -5138,6 +5184,23 @@ object TextQueries {
       WITH docs AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
           THEN text || ' supercalifragilisticexpialidocious corporate-boilerplate appended-automatically'
           ELSE text END AS text FROM documents),
+      starts AS (SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 40) AS g
+        FROM docs, LATERAL (SELECT unnest(range(1, length(text) - 40 + 2)) AS i)
+        WHERE length(text) >= 40),
+      agg AS (SELECT g AS w, CAST(count(*) AS BIGINT) AS cnt,
+              min(doc_id * 1048576 + i) AS fk
+              FROM starts GROUP BY g)
+      SELECT w, cnt,
+             CAST(fk // 1048576 AS BIGINT) AS first_doc,
+             CAST(fk % 1048576 AS BIGINT) AS first_pos
+      FROM agg WHERE cnt >= 2 ORDER BY w""",
+    // Never-contained replay: q215's window-state SQL over the SURVIVING
+    // corpus only — deletion from the per-doc index must be
+    // indistinguishable from never having ingested the forgotten docs.
+    "q216_forget_substring_index" -> """
+      WITH docs AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+          THEN text || ' supercalifragilisticexpialidocious corporate-boilerplate appended-automatically'
+          ELSE text END AS text FROM documents WHERE doc_id % 9 <> 0),
       starts AS (SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 40) AS g
         FROM docs, LATERAL (SELECT unnest(range(1, length(text) - 40 + 2)) AS i)
         WHERE length(text) >= 40),

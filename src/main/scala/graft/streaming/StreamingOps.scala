@@ -688,8 +688,12 @@ object StreamingOps {
               minLen, keepFirst)
           writeBatchPartition(report.withColumn("batch_id", lit(id)),
             reportTable, id)
+          // PER-DOC granularity (not the compact per-content form): every
+          // index row belongs to exactly one document, so
+          // Retention.deleteRowsAll(first_doc) forgets a document from
+          // this index exactly — the family's row-per-id contract
           val batchIdx = graft.operators.SuffixArray
-            .charWindowIndex(b, idCol, textCol, minLen)
+            .charWindowIndexPerDoc(b, idCol, textCol, minLen)
             .withColumn("batch_id", lit(id))
           writeBatchPartition(batchIdx, indexTable, id)
           BatchCommitLog.commit(ss, checkpoint, id)
