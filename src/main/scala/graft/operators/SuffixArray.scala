@@ -144,6 +144,14 @@ object SuffixArray {
     * build a gigabyte array before explode splits it. */
   private val WindowChunk = 1 << 16
 
+  /** The per-position window frame `(__doc, cpos, h, w)` the index builds
+    * and the incremental scrub share — public so a caller driving BOTH (the
+    * streaming gate) can run the kernel ONCE, checkpoint, and hand the same
+    * frame to each. */
+  def batchWindows(docs: DataFrame, idCol: String, textCol: String,
+                   minLen: Int): DataFrame =
+    windowsOf(docs, idCol, textCol, minLen)
+
   private def windowsOf(docs: DataFrame, idCol: String, textCol: String,
                         minLen: Int): DataFrame = {
     import graft.functions.expressions.HashExpressions.char_windows
@@ -205,13 +213,18 @@ object SuffixArray {
   def charWindowIndexPerDoc(docs: DataFrame, idCol: String, textCol: String,
                             minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2: $minLen")
-    windowsOf(docs, idCol, textCol, minLen)
+    perDocIndexOfWindows(windowsOf(docs, idCol, textCol, minLen))
+  }
+
+  /** [[charWindowIndexPerDoc]] from an already-computed [[batchWindows]]
+    * frame — the gate's one-kernel-pass path. */
+  def perDocIndexOfWindows(windows: DataFrame): DataFrame =
+    windows
       .groupBy(col("__doc"), col("w"))
       .agg(max(col("h")).as("h"), count(lit(1)).as("cnt"),
         min(col("cpos")).as("first_pos"))
       .select(col("h"), col("w"), col("cnt"),
         col("__doc").as("first_doc"), col("first_pos"))
-  }
 
   /** INCREMENTAL exact-substring scrub — the daily form of
     * [[scrubRepeatedCharSpans]], completing the fixpoint-index family
@@ -237,17 +250,24 @@ object SuffixArray {
     * @return (report: `(idCol, n_chars, n_masked, scrubbed_text)` one row
     *         per batch doc, updatedIndex: the union corpus's index — the
     *         next day's input, making the operator its own fixpoint) */
+  /** @param precomputedWindows a MATERIALIZED (localCheckpointed)
+    *        [[batchWindows]] frame over `batch`, when the caller already
+    *        built one (the streaming gate runs the window kernel once and
+    *        shares the frame between the scrub and its index append);
+    *        None ⇒ computed here. */
   def incrementalScrubRepeatedCharSpans(index: DataFrame, batch: DataFrame,
                                         idCol: String, textCol: String,
                                         minLen: Int, keepFirst: Boolean = false,
-                                        broadcastMaxRows: Long = 2000000L): (DataFrame, DataFrame) = {
+                                        broadcastMaxRows: Long = 2000000L,
+                                        precomputedWindows: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     require(minLen >= 2, s"minLen must be >= 2: $minLen")
     import graft.functions.expressions.HashExpressions.mask_char_spans
     def hintIfSmall(df: DataFrame): DataFrame =
       Broadcasting.hintIfSmall(df, broadcastMaxRows)
     val base = batch.select(col(idCol).as("__doc"), col(textCol).as("__text"))
       .localCheckpoint(true)
-    val bwin = windowsOf(base, "__doc", "__text", minLen).localCheckpoint(true)
+    val bwin = precomputedWindows.getOrElse(
+      windowsOf(base, "__doc", "__text", minLen).localCheckpoint(true))
     // stored side: index rows of batch-touched HASH keys only, evaluated
     // map-side against the (small) batch key set — the stored index never
     // shuffles and stored-only windows never surface. The aggregation

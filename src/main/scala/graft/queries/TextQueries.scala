@@ -27,6 +27,48 @@ object TextQueries {
 
   /** Shared doc_id → URL injection + canonicalization projection for
     * q115 (per-doc rows) and q116 (per-domain stats). */
+  /** Shared q215/q216 fixture: stage banner-planted documents as 4
+    * single-file group partitions and drain the streaming substring-dedup
+    * gate into `db`.{report,windex} — ONE staging block so the two
+    * queries' fixtures can never diverge (they share the staged dir). */
+  private def substringGateState(s: SparkSession, d: String, db: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val banner = "supercalifragilisticexpialidocious corporate-boilerplate appended-automatically"
+    val dir = s"/tmp/graft_stream_ssdg/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      Tables(s, d, "documents").select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" " + banner)))
+            .otherwise(col("text")).as("text"))
+        .withColumn("grp", pmod(col("doc_id"), lit(4)).cast("int"))
+        .repartition(4, col("grp"))
+        .write.mode("overwrite").partitionBy("grp").parquet(dir)
+    val staged = s.read.parquet(dir)
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    Seq("report", "windex").foreach(t => s.sql(s"DROP TABLE IF EXISTS $db.$t"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssdg_ckpt").toString
+    graft.streaming.StreamingOps.ingestSubstringDedupGate(
+      s.readStream.schema(staged.schema).option("maxFilesPerTrigger", 1)
+        .parquet(dir).drop("grp"),
+      "text", "doc_id", minLen = 40, keepFirst = true,
+      s"$db.report", s"$db.windex", ckpt, availableNow = true)
+      .awaitTermination()
+    Seq("report", "windex").foreach(t => s.sql(s"REFRESH TABLE $db.$t"))
+  }
+
+  /** The gate-maintained window index aggregated to its hot-window state
+    * — q215/q216's order-independent output shape. */
+  private def windexHotState(s: SparkSession, db: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    s.table(s"$db.windex")
+      .groupBy(col("w")).agg(sum(col("cnt")).as("cnt"),
+        min(struct(col("first_doc").as("d"), col("first_pos").as("p"))).as("f"))
+      .filter(col("cnt") >= 2)
+      .select(col("w"), col("cnt"),
+        col("f.d").as("first_doc"), col("f.p").as("first_pos"))
+      .orderBy(col("w"))
+  }
+
   private def urlEnriched(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
     val site = concat(lit("site"), (id % 7).cast("string"))
@@ -2471,35 +2513,9 @@ object TextQueries {
     // corpus — by replaying every hot 40-char window's count and
     // corpus-first occurrence in SQL.
     "q215_streaming_substring_gate" -> ((s, d) => {
-      val banner = "supercalifragilisticexpialidocious corporate-boilerplate appended-automatically"
-      val dir = s"/tmp/graft_stream_ssdg/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-      if (!new java.io.File(s"$dir/_SUCCESS").exists())
-        Tables(s, d, "documents").select(col("doc_id"),
-            when(pmod(col("doc_id"), lit(11)) === 0,
-              concat(col("text"), lit(" " + banner)))
-              .otherwise(col("text")).as("text"))
-          .withColumn("grp", pmod(col("doc_id"), lit(4)).cast("int"))
-          .repartition(4, col("grp"))
-          .write.mode("overwrite").partitionBy("grp").parquet(dir)
-      val staged = s.read.parquet(dir)
       val db = s"graftssdg${math.abs(d.hashCode)}"
-      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-      Seq("report", "windex").foreach(t => s.sql(s"DROP TABLE IF EXISTS $db.$t"))
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_ssdg_ckpt").toString
-      val q = graft.streaming.StreamingOps.ingestSubstringDedupGate(
-        s.readStream.schema(staged.schema).option("maxFilesPerTrigger", 1)
-          .parquet(dir).drop("grp"),
-        "text", "doc_id", minLen = 40, keepFirst = true,
-        s"$db.report", s"$db.windex", ckpt, availableNow = true)
-      q.awaitTermination()
-      Seq("report", "windex").foreach(t => s.sql(s"REFRESH TABLE $db.$t"))
-      s.table(s"$db.windex")
-        .groupBy(col("w")).agg(sum(col("cnt")).as("cnt"),
-          min(struct(col("first_doc").as("d"), col("first_pos").as("p"))).as("f"))
-        .filter(col("cnt") >= 2)
-        .select(col("w"), col("cnt"),
-          col("f.d").as("first_doc"), col("f.p").as("first_pos"))
-        .orderBy(col("w"))
+      substringGateState(s, d, db)
+      windexHotState(s, db)
     }),
 
     // Forget-propagation, substring-index leg (Retention.deleteRowsAll
@@ -2512,40 +2528,15 @@ object TextQueries {
     // the survivor predicate.
     "q216_forget_substring_index" -> ((s, d) => {
       import graft.catalog.Retention
-      val banner = "supercalifragilisticexpialidocious corporate-boilerplate appended-automatically"
-      val dir = s"/tmp/graft_stream_ssdg/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-      if (!new java.io.File(s"$dir/_SUCCESS").exists())
-        Tables(s, d, "documents").select(col("doc_id"),
-            when(pmod(col("doc_id"), lit(11)) === 0,
-              concat(col("text"), lit(" " + banner)))
-              .otherwise(col("text")).as("text"))
-          .withColumn("grp", pmod(col("doc_id"), lit(4)).cast("int"))
-          .repartition(4, col("grp"))
-          .write.mode("overwrite").partitionBy("grp").parquet(dir)
-      val staged = s.read.parquet(dir)
       val db = s"graftfgs${math.abs(d.hashCode)}"
-      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-      Seq("report", "windex").foreach(t => s.sql(s"DROP TABLE IF EXISTS $db.$t"))
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_fgs_ckpt").toString
-      graft.streaming.StreamingOps.ingestSubstringDedupGate(
-        s.readStream.schema(staged.schema).option("maxFilesPerTrigger", 1)
-          .parquet(dir).drop("grp"),
-        "text", "doc_id", minLen = 40, keepFirst = true,
-        s"$db.report", s"$db.windex", ckpt, availableNow = true)
-        .awaitTermination()
-      Seq("report", "windex").foreach(t => s.sql(s"REFRESH TABLE $db.$t"))
+      substringGateState(s, d, db)
       val doomed = Tables(s, d, "documents")
         .filter(pmod(col("doc_id"), lit(9)) === 0).select(col("doc_id"))
       Retention.deleteRowsAll(s, doomed, Seq(
         Retention.DeleteTarget(s"$db.report", "doc_id"),
         Retention.DeleteTarget(s"$db.windex", "first_doc")))
-      s.table(s"$db.windex")
-        .groupBy(col("w")).agg(sum(col("cnt")).as("cnt"),
-          min(struct(col("first_doc").as("d"), col("first_pos").as("p"))).as("f"))
-        .filter(col("cnt") >= 2)
-        .select(col("w"), col("cnt"),
-          col("f.d").as("first_doc"), col("f.p").as("first_pos"))
-        .orderBy(col("w"))
+      s.sql(s"REFRESH TABLE $db.windex")
+      windexHotState(s, db)
     }),
 
     // Incremental fixed-point PageRank (PageRank.incrementalFixedPoint):

@@ -626,24 +626,37 @@ object StreamingOps {
     * APPEND to `indexTable` — both as batch_id partitions under the
     * [[BatchCommitLog]] replay contract.
     *
-    * The index table is APPEND-ONLY by design: per-batch window rows are
-    * a valid decomposition of the union index because hotness needs only
-    * per-content SUMS and keep-first only per-content MINS — the
-    * incremental operator aggregates the batch-touched slice after its
-    * map-side hash cut, so probing stays batch-scoped whatever the
-    * partition count, and [[graft.catalog.Compaction.consolidateBatches]]
-    * can fold partition sprawl without changing any answer. Replay
-    * safety: the stored side excludes THIS batch's partition (a crash
-    * between the index append and the commit must not double-count the
-    * batch against itself); both writes are per-batch partition
-    * overwrites.
+    * The index table is APPEND-ONLY and PER-DOCUMENT
+    * ([[graft.operators.SuffixArray.charWindowIndexPerDoc]]): a valid
+    * decomposition of the union index (hotness needs only per-content
+    * SUMS, keep-first only per-content MINS — the incremental operator
+    * aggregates the batch-touched slice after its map-side hash cut),
+    * with every row owned by exactly ONE document so
+    * [[graft.catalog.Retention.deleteRowsAll]] on `first_doc` forgets a
+    * document EXACTLY. Probe cost is ∝ the STORED OCCURRENCES of
+    * batch-touched window contents — the same per-occurrence shape as
+    * the BM25 postings and minhash bucket-membership probes, NOT bounded
+    * by the batch alone: content hot across the whole corpus (universal
+    * boilerplate) makes its slice grow with the corpus. The compact
+    * one-row-per-content form probes less but cannot forget; this gate
+    * picks forgettability.
     *
-    * Reports are DELIVERY-ORDER-SCOPED like [[ingestDedupGate]]'s: a
-    * window shared by two batches is hot in the later one (and in the
-    * earlier one only if it repeats within it or in prior state). The
-    * index STATE is order-independent — its aggregation equals the
-    * one-shot [[graft.operators.SuffixArray.charWindowIndex]] over
-    * everything ingested, which is the oracle-checkable contract. */
+    * PRECONDITION (shared with [[ingestDedupGate]]'s id contract): each
+    * document id arrives in at most one committed batch — a re-delivered
+    * id would double-count its windows in the sums (the upstream exact
+    * dedup gate is the fix). Under it, rows are identity-keyed by
+    * `(first_doc, w)`, which is therefore the safe `dedupKeys` for
+    * [[graft.catalog.Compaction.consolidateBatches]].
+    *
+    * Replay safety: the stored side excludes THIS batch's partition (a
+    * crash between the index append and the commit must not count the
+    * batch against itself); both writes are per-batch partition
+    * overwrites. Reports are DELIVERY-ORDER-SCOPED like
+    * [[ingestDedupGate]]'s: a window shared by two batches is hot in the
+    * later one (and in the earlier one only if it repeats within it or in
+    * prior state). The index STATE is order-independent — its aggregation
+    * equals the one-shot [[graft.operators.SuffixArray.charWindowIndex]]
+    * over everything ingested, which is the oracle-checkable contract. */
   def ingestSubstringDedupGate(docs: DataFrame, textCol: String, idCol: String,
                                minLen: Int, keepFirst: Boolean,
                                reportTable: String, indexTable: String,
@@ -683,17 +696,17 @@ object StreamingOps {
                   org.apache.spark.sql.types.LongType),
                 org.apache.spark.sql.types.StructField("first_pos",
                   org.apache.spark.sql.types.LongType))))
+          // ONE window-kernel pass over the batch, shared by the scrub
+          // and the index append
+          val wins = graft.operators.SuffixArray
+            .batchWindows(b, idCol, textCol, minLen).localCheckpoint(true)
           val (report, _) = graft.operators.SuffixArray
             .incrementalScrubRepeatedCharSpans(stored, b, idCol, textCol,
-              minLen, keepFirst)
+              minLen, keepFirst, precomputedWindows = Some(wins))
           writeBatchPartition(report.withColumn("batch_id", lit(id)),
             reportTable, id)
-          // PER-DOC granularity (not the compact per-content form): every
-          // index row belongs to exactly one document, so
-          // Retention.deleteRowsAll(first_doc) forgets a document from
-          // this index exactly — the family's row-per-id contract
           val batchIdx = graft.operators.SuffixArray
-            .charWindowIndexPerDoc(b, idCol, textCol, minLen)
+            .perDocIndexOfWindows(wins)
             .withColumn("batch_id", lit(id))
           writeBatchPartition(batchIdx, indexTable, id)
           BatchCommitLog.commit(ss, checkpoint, id)
