@@ -31,12 +31,15 @@ object TextQueries {
     * single-file group partitions and drain the streaming substring-dedup
     * gate into `db`.{report,windex} — ONE staging block so the two
     * queries' fixtures can never diverge (they share the staged dir). */
-  private def substringGateState(s: SparkSession, d: String, db: String): Unit = {
+  private def substringGateState(s: SparkSession, d: String, db: String,
+                                 parity: Int): Unit = {
     import org.apache.spark.sql.functions._
     val banner = "supercalifragilisticexpialidocious corporate-boilerplate appended-automatically"
-    val dir = s"/tmp/graft_stream_ssdg/${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val dir = s"/tmp/graft_stream_ssdg/${d.replaceAll("[^a-zA-Z0-9]", "_")}_p$parity"
     if (!new java.io.File(s"$dir/_SUCCESS").exists())
-      Tables(s, d, "documents").select(col("doc_id"),
+      Tables(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(2)) === parity)
+        .select(col("doc_id"),
           when(pmod(col("doc_id"), lit(11)) === 0,
             concat(col("text"), lit(" " + banner)))
             .otherwise(col("text")).as("text"))
@@ -2513,8 +2516,10 @@ object TextQueries {
     // corpus — by replaying every hot 40-char window's count and
     // corpus-first occurrence in SQL.
     "q215_streaming_substring_gate" -> ((s, d) => {
+      // the even half of the corpus: q216 takes the odd half, so the two
+      // gate-state builds never pay the full corpus twice per bench run
       val db = s"graftssdg${math.abs(d.hashCode)}"
-      substringGateState(s, d, db)
+      substringGateState(s, d, db, parity = 0)
       windexHotState(s, db)
     }),
 
@@ -2529,7 +2534,7 @@ object TextQueries {
     "q216_forget_substring_index" -> ((s, d) => {
       import graft.catalog.Retention
       val db = s"graftfgs${math.abs(d.hashCode)}"
-      substringGateState(s, d, db)
+      substringGateState(s, d, db, parity = 1)
       val doomed = Tables(s, d, "documents")
         .filter(pmod(col("doc_id"), lit(9)) === 0).select(col("doc_id"))
       Retention.deleteRowsAll(s, doomed, Seq(
@@ -5174,7 +5179,7 @@ object TextQueries {
     "q215_streaming_substring_gate" -> """
       WITH docs AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
           THEN text || ' supercalifragilisticexpialidocious corporate-boilerplate appended-automatically'
-          ELSE text END AS text FROM documents),
+          ELSE text END AS text FROM documents WHERE doc_id % 2 = 0),
       starts AS (SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 40) AS g
         FROM docs, LATERAL (SELECT unnest(range(1, length(text) - 40 + 2)) AS i)
         WHERE length(text) >= 40),
@@ -5191,7 +5196,8 @@ object TextQueries {
     "q216_forget_substring_index" -> """
       WITH docs AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
           THEN text || ' supercalifragilisticexpialidocious corporate-boilerplate appended-automatically'
-          ELSE text END AS text FROM documents WHERE doc_id % 9 <> 0),
+          ELSE text END AS text FROM documents
+          WHERE doc_id % 2 = 1 AND doc_id % 9 <> 0),
       starts AS (SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 40) AS g
         FROM docs, LATERAL (SELECT unnest(range(1, length(text) - 40 + 2)) AS i)
         WHERE length(text) >= 40),
