@@ -330,8 +330,18 @@ object EntityMatch {
     * creates the primary table with uuid-filled gids; subsequent runs split
     * prematched/tomatch, exact-match, fuzzy-match, uuid-fill, recombine, and
     * upsert. Returns the final incoming frame with gids assigned. */
+  /** @param statsTable optional [[graft.catalog.FileStats]] index on the
+    *        primary table (bloom on `sourcePrimaryKey`): the EXACT-match
+    *        leg then reads only primary files whose stats admit the
+    *        incoming batch's key set — result-preserving (a primary row
+    *        whose pk is absent from the batch can never equi-join) and
+    *        the 100 TB posture for a daily batch against a years-deep
+    *        primary. The fuzzy leg joins on a DERIVED blocking column, so
+    *        it keeps the full table read. Probe failures / over-bound key
+    *        sets fall back to the plain read (keysPrunedScan's contract). */
   def run(spark: SparkSession, incoming0: DataFrame, spec: MatchSpec,
-          rowKey: Seq[String]): DataFrame = {
+          rowKey: Seq[String], statsTable: Option[String] = None,
+          maxPruneKeys: Int = 100000): DataFrame = {
     val gid = spec.globalIdField
     val incoming =
       if (incoming0.columns.contains(gid)) incoming0
@@ -349,7 +359,14 @@ object EntityMatch {
     } else {
       val primary = spark.table(spec.primaryTable)
       val (prematched, tomatch) = splitByNull(incoming, gid)
-      val (exactMatched, exactUnmatched) = exactMatch(tomatch, primary, spec,
+      // stats-pruned primary for the exact leg only: the equi-join on
+      // (pk, sk) makes pk-filtered reads result-preserving
+      val primaryForExact = statsTable.flatMap(st =>
+        graft.catalog.FileStats.keysPrunedScan(spark, spec.primaryTable, st,
+          spec.sourcePrimaryKey,
+          tomatch.select(col(spec.sourcePrimaryKey)), maxPruneKeys))
+        .getOrElse(primary)
+      val (exactMatched, exactUnmatched) = exactMatch(tomatch, primaryForExact, spec,
         materialize = true)
       val (fuzzyMatched, fuzzyUnmatched) = fuzzyMatch(exactUnmatched, primary, spec, rowKey,
         collapseIncoming = spec.collapseIncoming)

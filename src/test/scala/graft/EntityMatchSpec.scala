@@ -230,6 +230,59 @@ class EntityMatchSpec extends SparkSpec {
     assert(primary.select("globalid").distinct().count() == 4)
   }
 
+  test("stats-pruned exact leg: identical result to the plain run, fewer primary files read") {
+    import graft.catalog.FileStats
+    val db = s"empr${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE $db")
+    // a years-deep primary: 2000 entities across 16 files, pk clustered so
+    // the bloom + range stats can prune hard
+    val big = spark.range(0, 2000).select(
+      concat(lit("C"), col("id")).as("customerno"), lit("A01").as("srcsystemid"),
+      concat(lit("g-"), col("id")).as("globalid"),
+      concat(lit("name"), col("id")).as("firstname"),
+      lit("1990-01-01").as("dob"),
+      (col("id") % 90000 + 10000).cast("string").as("zip"),
+      concat(lit("555-"), col("id")).as("phone"),
+      concat(lit("u"), col("id"), lit("@x.com")).as("email"),
+      lit("2024-01-01").as("lastupdated"))
+    def mk(t: String): Unit =
+      big.repartitionByRange(16, col("customerno")).write.saveAsTable(t)
+    mk(s"$db.plain"); mk(s"$db.pruned")
+    FileStats.refresh(spark, s"$db.pruned", s"$db.pruned_stats",
+      FileStats.StatsSpec(Seq("customerno"), bloomCols = Seq("customerno"),
+        bloomBits = 1 << 15))
+    // a small daily batch: two exact re-matches, one fuzzy, one new
+    val day = Seq(
+      ("C7", "A01", "name7", "1990-01-01", "10007", "555-7", "u7@x.com", "2024-03-01"),
+      ("C1500", "A01", "name1500", "1990-01-01", "11500", "555-1500", "u1500@x.com", "2024-03-01"),
+      ("X1", "B99", "name42", "1990-01-01", "10042", "555-42", "u42@x.com", "2024-03-01"),
+      ("Z9", "B99", "zed", "1999-09-09", "99999", "555-0000", "z@x.com", "2024-03-01")
+    ).toDF("customerno", "srcsystemid", "firstname", "dob", "zip", "phone", "email", "lastupdated")
+    val outPlain = EntityMatch.run(spark, day,
+      mkSpec(s"$db.plain"), Seq("customerno", "srcsystemid"))
+    val outPruned = EntityMatch.run(spark, day,
+      mkSpec(s"$db.pruned"), Seq("customerno", "srcsystemid"),
+      statsTable = Some(s"$db.pruned_stats"))
+    // gids are uuid-filled for new entities, so compare the MATCH outcome:
+    // which incoming rows landed which stored gid (null-safe for news)
+    def outcome(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("customerno"), col("srcsystemid"),
+        when(col("globalid").startsWith("g-"), col("globalid")).as("stored_gid"))
+    assert(outcome(outPruned).exceptAll(outcome(outPlain)).isEmpty &&
+      outcome(outPlain).exceptAll(outcome(outPruned)).isEmpty,
+      "pruned exact leg must be result-preserving")
+    // both primaries converged identically (modulo the new entity's uuid)
+    def state(t: String) = spark.table(t)
+      .select(col("customerno"), col("lastupdated"))
+    assert(state(s"$db.pruned").exceptAll(state(s"$db.plain")).isEmpty)
+    // and the plan-level claim: the exact leg read a fraction of the files
+    val probe = FileStats.keysPrunedScan(spark, s"$db.pruned",
+      s"$db.pruned_stats", "customerno",
+      day.select(col("customerno")), 1000).get
+    assert(probe.inputFiles.length <= 16 / 2,
+      s"bloom must prune the primary read: ${probe.inputFiles.length} of 16")
+  }
+
   test("TableFormat seam: explicit HiveParquetFormat behaves identically") {
     val db = s"emdbs${System.nanoTime()}"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
