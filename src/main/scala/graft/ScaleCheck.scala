@@ -791,6 +791,50 @@ object ScaleCheck {
       }
     }
 
+    // Stats-pruned entity-match exact leg: the primary table grows Nx,
+    // the daily batch is FIXED — the pruned read's cost tracks the
+    // batch's key set (stats rows + admitting files), while the plain
+    // exact leg's join scans the whole primary.
+    locally {
+      import graft.catalog.FileStats
+      import graft.operators.EntityMatch
+      def primary(rows: Long, t: String): Unit = {
+        spark.range(rows).select(
+          concat(lit("C"), col("id")).as("customerno"),
+          lit("A01").as("srcsystemid"),
+          concat(lit("g-"), col("id")).as("globalid"),
+          lit("2024-01-01").as("lastupdated"))
+          .repartitionByRange(32, col("customerno"))
+          .write.mode("overwrite").saveAsTable(t)
+        ()
+      }
+      val batch = spark.range(50).select(
+        concat(lit("C"), col("id") * 977L).as("customerno"),
+        lit("A01").as("srcsystemid"),
+        lit(null).cast("string").as("globalid")).localCheckpoint(true)
+      Seq(100000L -> "1x", 100000L * n -> s"${n}x").foreach { case (rows, tag) =>
+        val db = s"emsc${System.nanoTime()}"
+        spark.sql(s"CREATE DATABASE $db")
+        primary(rows, s"$db.primary")
+        FileStats.refresh(spark, s"$db.primary", s"$db.primary_stats",
+          FileStats.StatsSpec(Seq("customerno"), bloomCols = Seq("customerno"),
+            bloomBits = 1 << 17))
+        def leg(p: org.apache.spark.sql.DataFrame): Long = {
+          val joined = batch.drop("globalid").join(
+            p.select(col("customerno"), col("srcsystemid"),
+              col("globalid").as("__primary_gid")),
+            Seq("customerno", "srcsystemid"), "left")
+          joined.agg(count(col("__primary_gid"))).head().getLong(0)
+        }
+        timed(s"entity exact leg, FULL primary read $tag")(((),
+          leg(spark.table(s"$db.primary"))))
+        timed(s"entity exact leg, STATS-PRUNED read $tag")(((),
+          leg(FileStats.keysPrunedScan(spark, s"$db.primary",
+            s"$db.primary_stats", "customerno",
+            batch.select(col("customerno")), 100000).get)))
+      }
+    }
+
     // Incremental fixed-point PageRank: the same ring fixture and FIXED
     // 50-edge batch — rank influence is cycle-local (floor divisions
     // quantize the cascade), so the incremental recompute is

@@ -382,6 +382,22 @@ object EntityMatch {
       all.write.mode(SaveMode.Overwrite).parquet(scratch)
       val materialized = spark.read.parquet(scratch)
       upsert(spark, spec.primaryTable, materialized, spec)
+      // write-path index maintenance, the Retention.deleteRows convention:
+      // the upsert rewrote partitions, so refresh the stats index under its
+      // own recorded spec — tomorrow's batch prunes against fresh stats
+      // instead of paying the staleness admit on every rewritten file.
+      // Failures log and fall back (statsSpecOf/refresh are best-effort
+      // here; the probe itself is correct under staleness regardless).
+      statsTable.foreach { st =>
+        try graft.catalog.FileStats.statsSpecOf(spark, st).foreach(sp =>
+          graft.catalog.FileStats.refresh(spark, spec.primaryTable, st, sp))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"post-upsert stats refresh of ${spec.primaryTable} failed — " +
+                "pruning degrades until the next refresh", e)
+        }
+      }
       materialized
     }
   }

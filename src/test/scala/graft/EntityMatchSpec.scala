@@ -281,6 +281,15 @@ class EntityMatchSpec extends SparkSpec {
       day.select(col("customerno")), 1000).get
     assert(probe.inputFiles.length <= 16 / 2,
       s"bloom must prune the primary read: ${probe.inputFiles.length} of 16")
+    // write-path maintenance: the run refreshed the index after its
+    // upsert, so a follow-up refresh is steady-state (scans nothing) and
+    // post-rewrite probes prune against FRESH stats (zero unknown files)
+    val r = FileStats.refresh(spark, s"$db.pruned", s"$db.pruned_stats",
+      FileStats.statsSpecOf(spark, s"$db.pruned_stats").get)
+    assert(r.filesScanned == 0, s"post-run refresh must be steady-state: $r")
+    val (_, _, rep) = FileStats.pruneFiles(spark, s"$db.pruned",
+      s"$db.pruned_stats", Seq(FileStats.KeysPredicate("customerno", Seq("C7"))))
+    assert(rep.filesUnknown == 0, rep.toString)
   }
 
   test("TableFormat seam: explicit HiveParquetFormat behaves identically") {
