@@ -72,7 +72,9 @@ object CatalogOps {
                                 plain: DataFrame,
                                 indexedCols: Option[Set[String]]): DataFrame = {
     val indexed: Set[String] = indexedCols.getOrElse {
-      FileStats.statsSpecOf(spark, statsTable) match {
+      // memoized: statsSpecOf scans the whole stats table (bloom payload
+      // lengths included) and the spec is invariant between refreshes
+      FileStats.cachedStatsSpecOf(spark, statsTable) match {
         case Some(spec) => spec.cols.toSet
         case None => return plain
       }
@@ -97,8 +99,13 @@ object CatalogOps {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
+    // resolve attribute names against the indexed set with the SESSION's
+    // resolver (case-insensitive by default) — a filter written col("ID")
+    // on indexed column `id` must not silently lose file skipping; the
+    // canonical stats-table name is what flows into the predicates
+    val resolver = spark.sessionState.conf.resolver
     def nameOf(e: Expression): Option[String] = e match {
-      case a: Attribute => Some(a.name).filter(indexed.contains)
+      case a: Attribute => indexed.find(c => resolver(c, a.name))
       case _ => None
     }
     def valueOf(l: Literal): Option[Any] =

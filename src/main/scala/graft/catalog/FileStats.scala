@@ -417,8 +417,34 @@ object FileStats {
       }
     }
     spark.catalog.refreshTable(statsTable)
+    specCache.remove(specCacheKey(statsTable))
     RefreshReport(toScan.length, removed, files.length - toScan.length)
   }
+
+  // spec memoization: the discovered spec is invariant between refreshes,
+  // and statsSpecOf aggregates the whole stats table (incl. octet_length
+  // over the bloom payloads) — an O(stats-table) scan a hot read path must
+  // not pay per call. Keyed by the (case-normalized) table name; refresh is
+  // the ONLY writer/creator of stats tables, so invalidating there covers
+  // creation, spec widening, and rebucket rebuilds. A stale entry for a
+  // dropped-and-never-refreshed table only sends readPruned into its
+  // degrade-to-plain-read path (pruneFiles fails on the missing table).
+  private val specCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[StatsSpec]]()
+  private def specCacheKey(statsTable: String): String =
+    statsTable.toLowerCase(java.util.Locale.ROOT)
+
+  /** Memoized [[statsSpecOf]] — what per-read callers
+    * ([[CatalogOps.readPruned]]) use. Callers must name the stats table
+    * consistently (always qualified or always bare) for the cache to hit. */
+  def cachedStatsSpecOf(spark: SparkSession, statsTable: String): Option[StatsSpec] =
+    specCache.computeIfAbsent(specCacheKey(statsTable),
+      _ => statsSpecOf(spark, statsTable))
+
+  /** Drops a memoized spec — for callers that drop/recreate a stats table
+    * outside [[refresh]] (tests, manual rebuilds). */
+  def invalidateStatsSpec(statsTable: String): Unit =
+    specCache.remove(specCacheKey(statsTable))
 
   /** Table property recording the stats table's bucket count (set at
     * creation, then immutable until an auto-rebucket rebuild — a file's

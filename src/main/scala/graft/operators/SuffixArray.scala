@@ -276,7 +276,10 @@ object SuffixArray {
     // it — e.g. the per-batch partitions a streaming gate appends
     // ([[graft.streaming.StreamingOps.ingestSubstringDedupGate]]) — not
     // only the one-row-per-content form charWindowIndex builds.
-    val bKeysH = bwin.select(col("h")).distinct()
+    // materialized before hintIfSmall: its guard count() would otherwise
+    // recompute the batch-window distinct once for the guard and again in
+    // the join (Broadcasting documents the checkpointed-input precondition)
+    val bKeysH = bwin.select(col("h")).distinct().localCheckpoint(true)
     val touched = index
       .join(hintIfSmall(bKeysH), Seq("h"), "left_semi")
       .groupBy(col("w"))
@@ -311,7 +314,7 @@ object SuffixArray {
     // updated index: untouched stored rows pass through (content-keyed
     // anti-join, map-side via the batch's distinct window set); touched
     // and batch-new contents carry the merged count and first occurrence
-    val bw = bwin.select(col("w")).distinct()
+    val bw = bwin.select(col("w")).distinct().localCheckpoint(true)
     val untouched = index.join(hintIfSmall(bw), Seq("w"), "left_anti")
     val merged = stats.select(col("h"), col("w"), col("__ucnt").as("cnt"),
       col("__uf.d").as("first_doc"), col("__uf.p").as("first_pos"))

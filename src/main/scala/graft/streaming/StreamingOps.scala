@@ -692,8 +692,11 @@ object StreamingOps {
                   org.apache.spark.sql.types.StringType),
                 org.apache.spark.sql.types.StructField("cnt",
                   org.apache.spark.sql.types.LongType),
+                // first_doc carries the BATCH's id type — a hardcoded long
+                // would diverge from the type the first append creates the
+                // table with whenever idCol is not long
                 org.apache.spark.sql.types.StructField("first_doc",
-                  org.apache.spark.sql.types.LongType),
+                  b.schema(idCol).dataType),
                 org.apache.spark.sql.types.StructField("first_pos",
                   org.apache.spark.sql.types.LongType))))
           // ONE window-kernel pass over the batch, shared by the scrub
