@@ -223,8 +223,10 @@ object FileStats {
     *
     * Zero-row files produce no stats rows and therefore always admit at
     * prune time (they cost nothing to "read"). Changing `bloomBits`/
-    * `bloomHashes` does not rescan existing filters — drop the stats table
-    * to resize. */
+    * `bloomHashes` against a table carrying the spec property forces a
+    * FULL RESCAN under the new geometry (mixed-geometry blooms would probe
+    * wrong bit positions — a correctness hazard, never tolerated); legacy
+    * tables without the property must still be dropped to resize. */
   def refresh(spark: SparkSession, table: String, statsTable: String,
               spec: StatsSpec, walkParallelism: Int = 8): RefreshReport = {
     require(spec.cols.nonEmpty, "spec.cols must be non-empty")
@@ -255,28 +257,52 @@ object FileStats {
       .flatMap(v => scala.util.Try(v.toInt).toOption)
     val legacyLayout = exists && (statsMeta.exists(
       _.partitionColumnNames != Seq("sb")) || storedBuckets.isEmpty)
-    val oldRaw =
-      if (exists) spark.table(statsTable).drop("sb")
-      else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), statsSchema)
+    // GEOMETRY GUARD: a spec whose bloom bits/hashes differ from the
+    // property the table is maintained under forces a full rescan —
+    // mixed-geometry blooms would be probed at wrong bit positions, and a
+    // false "absent" falsely excludes a file (correctness, not perf)
+    val storedSpecProp = statsMeta.flatMap(_.properties.get(SpecProp))
+      .flatMap(parseSpec)
+    val geometryChanged = storedSpecProp.exists(p =>
+      p.bloomHashes != spec.bloomHashes ||
+        (spec.bloomCols.nonEmpty && p.bloomBits != spec.bloomBits))
+
+    // NARROW bookkeeping read: coverage and vanish detection never touch
+    // the bloom payload bytes (bloom presence is answered by bloom_k,
+    // written iff the bloom is) — a steady-state refresh of a large table
+    // must not pay an O(total bloom bytes) scan to conclude "nothing to do"
+    val narrowSchema = StructType(Seq(StructField("rel", StringType),
+      StructField("file", StringType), StructField("bytes", LongType),
+      StructField("col_name", StringType), StructField("n_rows", LongType),
+      StructField("has_bloom", BooleanType)))
+    val hasKCol = !exists || spark.table(statsTable).columns.contains("bloom_k")
+    val oldNarrow = (
+      if (exists) spark.table(statsTable).select(col("rel"), col("file"),
+        col("bytes"), col("col_name"), col("n_rows"),
+        (if (hasKCol) col("bloom_k").isNotNull else col("bloom").isNotNull)
+          .as("has_bloom"))
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), narrowSchema)
+    ).localCheckpoint(true)
     // join includes BYTES so a same-name in-place rewrite (different
     // length) drops the stale rows and forces a rescan — without it the
     // old stats would keep pruning against the replaced content. (A
     // rewrite preserving name AND length is not detectable from the
     // listing; Spark's UUID part names make both vanishingly unlikely.)
-    val old = oldRaw.join(curDf, Seq("rel", "file", "bytes"))
-      .localCheckpoint(true) // rows of vanished/rewritten files dropped here
+    val oldKept = oldNarrow.join(curDf, Seq("rel", "file", "bytes"))
 
     // a file is COVERED iff every spec col has a row, with a bloom where one
     // is declared — anything else rescans (one pass re-derives everything)
-    val coveredFiles = old
+    val coveredFiles = oldKept
       .filter(col("col_name").isin(spec.cols: _*) &&
-        (!col("col_name").isin(spec.bloomCols: _*) || col("bloom").isNotNull ||
+        (!col("col_name").isin(spec.bloomCols: _*) || col("has_bloom") ||
           col("n_rows") === 0L))
       .select("rel", "file", "col_name").distinct()
       .groupBy("rel", "file").agg(count(lit(1)).as("__ncov"))
       .filter(col("__ncov") === spec.cols.size)
       .select("rel", "file")
-    val toScan = curDf.join(coveredFiles, Seq("rel", "file"), "left_anti")
+    val toScan = (if (geometryChanged) curDf
+      else curDf.join(coveredFiles, Seq("rel", "file"), "left_anti"))
       .select("rel", "file", "bytes").collect()
       .map(r => FileEntry(r.getString(0), r.getString(1), r.getLong(2)))
 
@@ -346,7 +372,7 @@ object FileStats {
     val rescanned = spark.createDataFrame(
       toScan.map(f => org.apache.spark.sql.Row(f.rel, f.name)).toSeq.asJava,
       StructType(Seq(StructField("rel", StringType), StructField("file", StringType))))
-    val gone = oldRaw.select("rel", "file").distinct()
+    val gone = oldNarrow.select("rel", "file").distinct()
       .join(curDf.select("rel", "file"), Seq("rel", "file"), "left_anti")
       .collect().map(r => (r.getString(0), r.getString(1)))
     val removed = gone.length
@@ -373,7 +399,7 @@ object FileStats {
     val targetNb = math.max(1, math.min(1024, (files.length + 7) / 8))
     val grown = exists && !legacyLayout &&
       storedBuckets.exists(b => b < 1024 && files.length > b.toLong * RebucketFactor)
-    val fullRewrite = !exists || legacyLayout || grown
+    val fullRewrite = !exists || legacyLayout || grown || geometryChanged
     val nb: Int =
       if (fullRewrite) targetNb
       else storedBuckets.get // non-legacy existing table always has it
@@ -390,21 +416,35 @@ object FileStats {
         changedFiles.map { case (r, f) => org.apache.spark.sql.Row(r, f) }.toSeq.asJava,
         StructType(Seq(StructField("rel", StringType), StructField("file", StringType))))
         .select(sbCol.as("sb")).distinct().collect().map(_.getInt(0)).toSet
-    val next = old.join(rescanned, Seq("rel", "file"), "left_anti")
-      .unionByName(fresh).unionByName(markerDf)
-      .withColumn("sb", sbCol)
+    // surviving old rows (FULL width, bloom payloads included) + fresh +
+    // markers for a given source of old rows — the full-rewrite path feeds
+    // the whole table through, the delta path only the changed buckets
+    // (partition-pruned read: unchanged buckets' bloom bytes are never
+    // touched; every fresh/marker row lies in a changed bucket by
+    // construction, since its file is in toScan)
+    def nextOf(oldFull: DataFrame): DataFrame =
+      oldFull.join(curDf, Seq("rel", "file", "bytes"))
+        .join(rescanned, Seq("rel", "file"), "left_anti")
+        .unionByName(fresh).unionByName(markerDf)
+        .withColumn("sb", sbCol)
     if (fullRewrite) {
+      // full-table checkpoint only here, where the whole frame is written —
+      // and BEFORE the drop (the lineage reads the table being replaced)
+      val next = nextOf(
+        if (exists) spark.table(statsTable).drop("sb")
+        else spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), statsSchema))
+        .localCheckpoint(true)
       if (exists) spark.sql(s"DROP TABLE $statsTable") // migration / rebucket
-      // full-table checkpoint only here, where the whole frame is written
-      next.localCheckpoint(true)
-        .write.partitionBy("sb").mode("overwrite").saveAsTable(statsTable)
+      next.write.partitionBy("sb").mode("overwrite").saveAsTable(statsTable)
       spark.sql(s"ALTER TABLE $statsTable SET TBLPROPERTIES ('$BucketsProp' = '$nb')")
     } else if (changedBuckets.nonEmpty) {
       // materialize ONLY the changed buckets (the whole point of the
       // bucketed layout — a full-frame checkpoint would pay O(total stats
       // bytes) per refresh); lineage is already settled, every input is a
       // checkpointed or driver-local frame
-      val delta = next.filter(col("sb").isin(changedBuckets.toSeq: _*))
+      val delta = nextOf(spark.table(statsTable)
+          .filter(col("sb").isin(changedBuckets.toSeq: _*)).drop("sb"))
         .localCheckpoint(true)
       // insertInto reads the SESSION conf, not the per-write option
       // (TableFormat.mergeUpsert's convention)
@@ -416,8 +456,18 @@ object FileStats {
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
+    // record the maintenance spec as metadata (spec discovery becomes a
+    // catalog read) and prime the memo with exactly what a discovery would
+    // now answer; renderSpec-unrepresentable column names keep the
+    // aggregation fallback
+    renderSpec(spec).flatMap(parseSpec) match {
+      case Some(canonical) =>
+        spark.sql(s"ALTER TABLE $statsTable SET TBLPROPERTIES " +
+          s"('$SpecProp' = '${renderSpec(spec).get}')")
+        specCache.put(specCacheKey(statsTable), Some(canonical))
+      case None => specCache.remove(specCacheKey(statsTable))
+    }
     spark.catalog.refreshTable(statsTable)
-    specCache.remove(specCacheKey(statsTable))
     RefreshReport(toScan.length, removed, files.length - toScan.length)
   }
 
@@ -450,6 +500,30 @@ object FileStats {
     * creation, then immutable until an auto-rebucket rebuild — a file's
     * rows must land in the same partition across incremental refreshes). */
   private val BucketsProp = "graft.stats.buckets"
+
+  /** Table property recording the spec the stats table is maintained under
+    * (`bits|k|cols,csv|bloomCols,csv`) — what [[statsSpecOf]] answers from,
+    * so spec discovery is a metadata read instead of an O(stats-table)
+    * aggregation over the bloom payloads. Set on every [[refresh]];
+    * tables predating it fall back to the aggregation. Skipped (never set)
+    * for column names containing the delimiters — the fallback handles
+    * them. */
+  private val SpecProp = "graft.stats.spec"
+
+  private def renderSpec(spec: StatsSpec): Option[String] =
+    if (spec.cols.exists(c => c.contains(",") || c.contains("|"))) None
+    else Some(s"${spec.bloomBits}|${spec.bloomHashes}|" +
+      s"${spec.cols.sorted.mkString(",")}|${spec.bloomCols.sorted.mkString(",")}")
+
+  private def parseSpec(s: String): Option[StatsSpec] = {
+    val parts = s.split("\\|", -1)
+    if (parts.length != 4) None
+    else scala.util.Try {
+      val cols = parts(2).split(",", -1).toSeq.filter(_.nonEmpty)
+      val bloomCols = parts(3).split(",", -1).toSeq.filter(_.nonEmpty)
+      StatsSpec(cols, bloomCols, parts(0).toInt, parts(1).toInt)
+    }.toOption
+  }
 
   /** Live-files / stored-buckets ratio past which [[refresh]] rebuilds the
     * stats table at today's target bucket count (creation targets ~8
@@ -528,25 +602,23 @@ object FileStats {
     val (root, files) = listDataFiles(spark, table, walkParallelism)
     if (preds.isEmpty || !spark.catalog.tableExists(statsTable))
       return (root, files, PruneReport(files.length, files.length, files.length))
-    import scala.jdk.CollectionConverters._
-    val curDf = spark.createDataFrame(
-      files.map(f => org.apache.spark.sql.Row(f.rel, f.name, f.bytes)).asJava,
-      StructType(Seq(StructField("rel", StringType), StructField("file", StringType),
-        StructField("bytes", LongType)))).localCheckpoint(true)
-    // bytes in the join: stats of a same-name in-place rewrite no longer
-    // match the listing, so the file downgrades to UNKNOWN (admits) rather
-    // than pruning on the replaced content's stats
-    val stats = spark.table(statsTable)
-      .join(curDf, Seq("rel", "file", "bytes")) // stale rows ignored
-    val kHashes: Int =
-      if (!spark.table(statsTable).columns.contains("bloom_k")) bloomHashes
-      else {
-        val ks = spark.table(statsTable).filter(col("bloom_k").isNotNull)
-          .select(col("bloom_k")).distinct().collect().map(_.getLong(0))
-        require(ks.length <= 1,
-          s"$statsTable mixes bloom hash counts (${ks.mkString(", ")}) — " +
-            "rebuild it under one spec")
-        ks.headOption.map(_.toInt).getOrElse(bloomHashes)
+    // hash count: the spec property (a catalog metadata read) when present;
+    // only legacy tables pay the bloom_k scan — which keeps its strict
+    // mixed-geometry check (a wrong k reads unset bit positions and could
+    // falsely exclude a file)
+    val kHashes: Int = scala.util.Try(spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(statsTable))
+        .properties.get(SpecProp)).toOption.flatten.flatMap(parseSpec)
+      .map(_.bloomHashes).getOrElse {
+        if (!spark.table(statsTable).columns.contains("bloom_k")) bloomHashes
+        else {
+          val ks = spark.table(statsTable).filter(col("bloom_k").isNotNull)
+            .select(col("bloom_k")).distinct().collect().map(_.getLong(0))
+          require(ks.length <= 1,
+            s"$statsTable mixes bloom hash counts (${ks.mkString(", ")}) — " +
+              "rebuild it under one spec")
+          ks.headOption.map(_.toInt).getOrElse(bloomHashes)
+        }
       }
     // ALL predicates on a column must admit its stats row (a when-chain
     // would silently drop every predicate after the first per column —
@@ -558,12 +630,24 @@ object FileStats {
           ps.map(p => admitExpr(p, fieldsByName(c).dataType, kHashes))
             .reduce(_ && _))
       }
-    val excluded = stats.filter(!admit).select("rel", "file").distinct()
-    val known = stats.select("rel", "file").distinct()
-    val selected = curDf.join(excluded, Seq("rel", "file"), "left_anti")
-      .select("rel", "file", "bytes").collect()
-      .map(r => FileEntry(r.getString(0), r.getString(1), r.getLong(2))).toSeq
-    val unknown = curDf.join(known, Seq("rel", "file"), "left_anti").count().toInt
+    // ONE job over the stats table: per-file verdict (a file is excluded
+    // iff ANY of its stats rows DEFINITIVELY violates a predicate — a null
+    // admit never excludes, matching the old `filter(!admit)` semantics).
+    // The identity triple includes BYTES so stats of a same-name in-place
+    // rewrite no longer match the listing and the file downgrades to
+    // UNKNOWN (admits) rather than pruning on the replaced content's
+    // stats; the triple match happens driver-side against the listing the
+    // caller already holds (the old path collected the same O(files) rows).
+    val verdicts = spark.table(statsTable)
+      .groupBy(col("rel"), col("file"), col("bytes"))
+      .agg(max(when(coalesce(admit, lit(true)), lit(0)).otherwise(lit(1)))
+        .as("__excl"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> (r.getInt(3) == 1))
+      .toMap
+    val selected = files.filter(f =>
+      !verdicts.getOrElse((f.rel, f.name, f.bytes), false))
+    val unknown = files.count(f => !verdicts.contains((f.rel, f.name, f.bytes)))
     (root, selected, PruneReport(files.length, selected.length, unknown))
   }
 
@@ -613,6 +697,13 @@ object FileStats {
     * table. */
   def statsSpecOf(spark: SparkSession, statsTable: String): Option[StatsSpec] = {
     if (!spark.catalog.tableExists(statsTable)) return None
+    // metadata fast path: refresh records its spec as a table property —
+    // the aggregation below (which reads every bloom payload) is only the
+    // fallback for tables predating the property
+    val fromProp = scala.util.Try(spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(statsTable))
+      .properties.get(SpecProp)).toOption.flatten.flatMap(parseSpec)
+    if (fromProp.isDefined) return fromProp
     val rows = spark.table(statsTable)
       .groupBy(col("col_name"))
       .agg(max(when(col("bloom").isNotNull, octet_length(col("bloom"))))

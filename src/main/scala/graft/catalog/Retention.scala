@@ -180,13 +180,14 @@ object Retention {
                                   statsTable: Option[String],
                                   maxDiscoveryKeys: Int): Option[DataFrame] =
     statsTable.filter(spark.catalog.tableExists).flatMap { st =>
-      val indexed = spark.table(st).filter(col("col_name") === keyCol).limit(1)
-      if (indexed.isEmpty) None
+      // spec-level indexed-column check — a metadata/memoized read, not a
+      // stats-table job on the discovery hot path
+      if (!FileStats.cachedStatsSpecOf(spark, st).exists(_.cols.contains(keyCol))) None
       else FileStats.keysPrunedScan(spark, table, st, keyCol, k, maxDiscoveryKeys)
         .map(_.join(k, Seq(keyCol), "left_semi"))
     }
 
   private def specOf(spark: SparkSession, statsTable: String): Option[FileStats.StatsSpec] =
-    FileStats.statsSpecOf(spark, statsTable)
+    FileStats.cachedStatsSpecOf(spark, statsTable)
 
 }
