@@ -73,14 +73,18 @@ object GraphOps {
     * only one an oracle can replay).
     *
     * Per iteration: one edge-label equi-join, one (node, label) count, one
-    * per-node argmax window — all shuffles keyed on node id, nothing
-    * quadratic in degree. Labels materialize each round (localCheckpoint)
-    * so the plan does not deepen with `iters`; a hub node's vote count is
-    * one aggregation row per (hub, label), never a widened row. */
+    * per-node argmax window — sharing ONE exchange: the vote rows are
+    * hash-repartitioned by node id up front, which satisfies BOTH the
+    * count's ClusteredDistribution(a, label) (a ⊆ {a, label}) and the
+    * window's ClusteredDistribution(a), so the round-13 shape's second
+    * full exchange of the vote rows is gone (guide §2.4 — two operations
+    * keyed the same way share one exchange). Labels materialize each round
+    * (localCheckpoint) so the plan does not deepen with `iters`; a hub
+    * node's vote count is one aggregation row per (hub, label), never a
+    * widened row. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        nodes: DataFrame, idCol: String, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    import org.apache.spark.sql.expressions.Window
     val sym = edges
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
@@ -88,18 +92,34 @@ object GraphOps {
     val ids = nodes.select(col(idCol).as("id")).localCheckpoint(true)
     var labels = ids.select(col("id"), col("id").as("label"))
     for (_ <- 1 to iters) {
-      val votes = sym
-        .join(labels.select(col("id").as("b"), col("label")), Seq("b"))
-        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("__n"))
-      val next = votes.withColumn("__r", row_number().over(
-          Window.partitionBy(col("a")).orderBy(col("__n").desc, col("label"))))
-        .filter(col("__r") === 1)
-        .select(col("a").as("id"), col("label"))
+      val next = argmaxVote(sym
+        .join(labels.select(col("id").as("b"), col("label")), Seq("b")))
       labels = ids.join(next, Seq("id"), "left")
         .select(col("id"), coalesce(col("label"), col("id")).as("label"))
         .localCheckpoint(true)
     }
     labels.select(col("id").as(idCol), col("label"))
+  }
+
+  /** The synchronous-LPA vote: most frequent `label` per `a`, ties to the
+    * smallest label. One explicit hash repartition on `a` feeds both the
+    * (a, label) count and the per-a argmax window — HashPartitioning(a)
+    * satisfies ClusteredDistribution(a, label) AND ClusteredDistribution(a),
+    * so the vote rows cross the network ONCE per round instead of twice
+    * (measured on the 100× ScaleCheck ring: the round-13 two-exchange form
+    * shuffled every vote row through Exchange(a, label) and again through
+    * Exchange(a)). A min-struct aggregation would avoid the window's sort
+    * but plans as SortAggregate (struct buffers are not hash-aggregable),
+    * which SORTS the full vote set twice — measured 4× slower at 100×. */
+  private[graft] def argmaxVote(edgeLabels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    edgeLabels
+      .repartition(col("a"))
+      .groupBy(col("a"), col("label")).agg(count(lit(1)).as("__n"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("a")).orderBy(col("__n").desc, col("label"))))
+      .filter(col("__r") === 1)
+      .select(col("a").as("id"), col("label"))
   }
 
   /** [[labelPropagation]] with its full per-iteration TRACE — the stored
@@ -115,7 +135,6 @@ object GraphOps {
                             nodes: DataFrame, idCol: String,
                             iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    import org.apache.spark.sql.expressions.Window
     val sym = edges
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
@@ -124,13 +143,8 @@ object GraphOps {
     var labels = ids.select(col("id"), col("id").as("label"))
     var trace = labels.withColumn("iter", lit(0))
     for (i <- 1 to iters) {
-      val votes = sym
-        .join(labels.select(col("id").as("b"), col("label")), Seq("b"))
-        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("__n"))
-      val next = votes.withColumn("__r", row_number().over(
-          Window.partitionBy(col("a")).orderBy(col("__n").desc, col("label"))))
-        .filter(col("__r") === 1)
-        .select(col("a").as("id"), col("label"))
+      val next = argmaxVote(sym
+        .join(labels.select(col("id").as("b"), col("label")), Seq("b")))
       labels = ids.join(next, Seq("id"), "left")
         .select(col("id"), coalesce(col("label"), col("id")).as("label"))
         .localCheckpoint(true)
@@ -177,13 +191,12 @@ object GraphOps {
                                   dstCol: String, iters: Int,
                                   broadcastMaxRows: Long = 10000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    import org.apache.spark.sql.expressions.Window
     // Deltas are frontier-bounded by design, but the documented worst case
-    // (a batch rewiring a hub) makes a delta O(nodes) — the shared guard
-    // ([[Broadcasting.hintIfSmall]]) falls back to shuffle joins above the
-    // bound instead of dying on the broadcast limit.
-    def hintIfSmall(df: DataFrame): DataFrame =
-      Broadcasting.hintIfSmall(df, broadcastMaxRows)
+    // (a batch rewiring a hub) makes a delta O(nodes) — every broadcast
+    // below is guarded by a row-count bound and falls back to shuffle
+    // joins instead of dying on the broadcast limit. Counts are taken ONCE
+    // per materialized delta and the decision reused (each count is a
+    // driver job; at small scale job overhead dominated the round).
     def symOf(e: DataFrame): DataFrame = e
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionByName(e.select(col(dstCol).as("a"), col(srcCol).as("b")))
@@ -198,41 +211,51 @@ object GraphOps {
     // the union run's)
     var changed = newIds.select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
+    var changedSmall = changed.count() <= broadcastMaxRows
     var out = trace.filter(col("iter") === 0)
       .unionByName(changed.withColumn("iter", lit(0)))
-    // prevFull: iteration-(i-1) labels of the union run = stored trace
-    // overridden by the accumulated changes
-    var prevOverride = changed
     // Every join below pairs an O(graph) frame with a FRONTIER-BOUNDED
-    // delta. The deltas carry broadcast() hints GUARDED by hintIfSmall
+    // delta. The deltas carry broadcast() hints GUARDED by a counted bound
     // (small by design and localCheckpointed, but letting the planner
     // guess risks an O(nodes) shuffle per round — exactly the cost this
     // operator exists to avoid): all big-side work is then map-side scans
-    // of the stored edge/trace frames, and the only sorts/aggregations
-    // run over frontier-incident rows.
+    // of the stored edge/trace frames, and the only aggregations run over
+    // frontier-incident rows. In particular the i−1 labels are CUT to the
+    // neighbor ids the vote join actually needs (bNeeded, map-side via the
+    // broadcast semi) BEFORE that join — the round-13 shape joined the
+    // frontier-cut edges against the FULL patched slice, an O(nodes)
+    // shuffle per round that made the 100× incremental wall exceed
+    // from-scratch even as it shuffled 5× fewer bytes.
     for (i <- 1 to iters) {
       val prevStored = trace.filter(col("iter") === i - 1).select(col("id"), col("label"))
+      def ch(df: DataFrame): DataFrame = if (changedSmall) broadcast(df) else df
       // frontier: dirty adjacency ∪ neighbors of last round's label changes
       val frontier = dirtyAdj.unionByName(
-          symUnion.join(hintIfSmall(changed.select(col("id").as("b"))), Seq("b"), "left_semi")
+          symUnion.join(ch(changed.select(col("id").as("b"))), Seq("b"), "left_semi")
             .select(col("a").as("id")))
         .distinct().localCheckpoint(true)
-      // one count per round decides both frontier hints
+      // one count per round decides every frontier hint
       val frontierIsSmall = frontier.count() <= broadcastMaxRows
       def fh(df: DataFrame): DataFrame = if (frontierIsSmall) broadcast(df) else df
-      // i−1 labels of the union run, only ever read THROUGH the vote join:
-      // stored slice with the (small) override patched in map-side
-      val prevFull = prevStored
-        .join(hintIfSmall(prevOverride), Seq("id"), "left_anti")
-        .unionByName(prevOverride)
-      val votes = symUnion
+      // frontier-incident edges, materialized ONCE: the vote join's left
+      // side AND the source of the neighbor-id cut below
+      val frontEdges = symUnion
         .join(fh(frontier.select(col("id").as("a"))), Seq("a"), "left_semi")
-        .join(prevFull.select(col("id").as("b"), col("label")), Seq("b"))
-        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("__n"))
-      val voted = votes.withColumn("__r", row_number().over(
-          Window.partitionBy(col("a")).orderBy(col("__n").desc, col("label"))))
-        .filter(col("__r") === 1)
-        .select(col("a").as("id"), col("label"))
+        .localCheckpoint(true)
+      val bNeeded = frontEdges.select(col("b").as("id")).distinct()
+        .localCheckpoint(true)
+      val bSmall = bNeeded.count() <= broadcastMaxRows
+      def bh(df: DataFrame): DataFrame = if (bSmall) broadcast(df) else df
+      // i−1 labels of the union run, restricted to the neighbors the vote
+      // join reads: stored slice cut map-side to bNeeded, the (small)
+      // override patched in — the trace slice is SCANNED but never
+      // shuffled, and the vote join itself is delta×delta
+      val prevNeeded = prevStored
+        .join(bh(bNeeded), Seq("id"), "left_semi")
+        .join(ch(changed.select(col("id"))), Seq("id"), "left_anti")
+        .unionByName(changed.join(bh(bNeeded), Seq("id"), "left_semi"))
+      val voted = argmaxVote(frontEdges
+        .join(prevNeeded.select(col("id").as("b"), col("label")), Seq("b")))
       // frontier nodes with no neighbors cannot exist (every frontier node
       // is edge-incident by construction), so voted covers the frontier
       val curStored = trace.filter(col("iter") === i).select(col("id"), col("label"))
@@ -247,17 +270,19 @@ object GraphOps {
       // frontier ids FIRST (map-side via the broadcast), so the change
       // detection never shuffles the trace.
       val curStoredF = curStored.join(fh(frontier), Seq("id"), "left_semi")
-        .localCheckpoint(true)
       val override_ = recomputed.join(curStoredF, Seq("id", "label"), "left_anti")
         .localCheckpoint(true)
-      val full = curStored.join(hintIfSmall(override_), Seq("id"), "left_anti")
+      val overrideSmall = override_.count() <= broadcastMaxRows
+      val full = curStored
+        .join(if (overrideSmall) broadcast(override_) else override_,
+          Seq("id"), "left_anti")
         .unionByName(override_)
       out = out.unionByName(full.withColumn("iter", lit(i)))
-      changed = override_
       // next round's i−1 view = stored trace overridden by EXACTLY this
       // round's differences (never accumulated: a node that changed at
       // i−1 but reverted at i must show its stored label next round)
-      prevOverride = override_
+      changed = override_
+      changedSmall = overrideSmall
     }
     out.select(col("iter"), col("id"), col("label"))
   }

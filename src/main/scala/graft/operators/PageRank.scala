@@ -149,8 +149,6 @@ object PageRank {
                             broadcastMaxRows: Long = 10000000L): DataFrame = {
     require(iterations >= 1 && scale > 0 && dampNum >= 0 && dampDen > 0)
     val base = scale - (dampNum * scale) / dampDen
-    def hintIfSmall(df: DataFrame): DataFrame =
-      Broadcasting.hintIfSmall(df, broadcastMaxRows)
     val union = storedEdges.select(col(srcCol), col(dstCol))
       .unionByName(batchEdges.select(col(srcCol), col(dstCol)))
     val outdeg = union.groupBy(col(srcCol)).agg(count(lit(1)).as("__deg"))
@@ -164,29 +162,54 @@ object PageRank {
       .join(storedIds, Seq("id"), "left_anti").localCheckpoint(true)
     // changed_0: new nodes only (iteration 0 is uniform scale everywhere)
     var changed = newIds.withColumn("pr", lit(scale)).localCheckpoint(true)
+    var changedSmall = changed.count() <= broadcastMaxRows
     var out = trace.filter(col("iter") === 0)
       .unionByName(changed.withColumn("iter", lit(0)))
-    var prevOverride = changed
+    // Broadcast hints are GUARDED by a counted bound (deltas are
+    // frontier-bounded by design, but the documented hub-cascade worst
+    // case makes one O(nodes) — fall back to shuffle joins, never die on
+    // the broadcast limit); each count is taken ONCE per materialized
+    // delta and reused. The i−1 ranks are CUT map-side to the sources the
+    // contribution join actually reads (srcNeeded) — the round-13 shape
+    // joined the frontier-cut edges against the FULL patched slice, an
+    // O(nodes) shuffle per round that made the 100× incremental wall
+    // exceed from-scratch even as it shuffled 2.7× fewer bytes.
     for (i <- 1 to iterations) {
       val prevStored = trace.filter(col("iter") === i - 1)
         .select(col("id"), col("pr"))
+      def ch(df: DataFrame): DataFrame = if (changedSmall) broadcast(df) else df
       // frontier: union out-neighbors of (dirty srcs ∪ rank changes),
       // plus new nodes (they need rows even with no in-edges)
       val touchedSrc = dirtySrc.unionByName(changed.select(col("id"))).distinct()
+        .localCheckpoint(true)
+      val touchedSmall = touchedSrc.count() <= broadcastMaxRows
       val frontier = degEdges
-        .join(hintIfSmall(touchedSrc.withColumnRenamed("id", srcCol)),
+        .join(if (touchedSmall) broadcast(touchedSrc.withColumnRenamed("id", srcCol))
+              else touchedSrc.withColumnRenamed("id", srcCol),
           Seq(srcCol), "left_semi")
         .select(col(dstCol).as("id"))
         .unionByName(newIds).distinct().localCheckpoint(true)
       val frontierIsSmall = frontier.count() <= broadcastMaxRows
       def fh(df: DataFrame): DataFrame = if (frontierIsSmall) broadcast(df) else df
-      // i−1 ranks of the union run: stored slice patched by the override
-      val prevFull = prevStored
-        .join(hintIfSmall(prevOverride), Seq("id"), "left_anti")
-        .unionByName(prevOverride)
-      val contribs = degEdges
+      // edges INTO the frontier, materialized ONCE: the contribution
+      // join's left side AND the source of the src-id cut below
+      val frontEdges = degEdges
         .join(fh(frontier.withColumnRenamed("id", dstCol)), Seq(dstCol), "left_semi")
-        .join(prevFull.withColumnRenamed("id", "__src_id"),
+        .localCheckpoint(true)
+      val srcNeeded = frontEdges.select(col(srcCol).as("id")).distinct()
+        .localCheckpoint(true)
+      val srcSmall = srcNeeded.count() <= broadcastMaxRows
+      def sh(df: DataFrame): DataFrame = if (srcSmall) broadcast(df) else df
+      // i−1 ranks of the union run, restricted to the sources the
+      // contribution join reads: stored slice cut map-side, override
+      // patched in — the trace slice is SCANNED but never shuffled, and
+      // the contribution join itself is delta×delta
+      val prevNeeded = prevStored
+        .join(sh(srcNeeded), Seq("id"), "left_semi")
+        .join(ch(changed.select(col("id"))), Seq("id"), "left_anti")
+        .unionByName(changed.join(sh(srcNeeded), Seq("id"), "left_semi"))
+      val contribs = frontEdges
+        .join(prevNeeded.withColumnRenamed("id", "__src_id"),
           col(srcCol) === col("__src_id"))
         .select(col(dstCol), expr("pr div __deg").as("__c"))
         .groupBy(col(dstCol)).agg(sum(col("__c")).as("__s"))
@@ -198,14 +221,16 @@ object PageRank {
       // change detection against the stored slice, frontier-cut map-side
       val curStored = trace.filter(col("iter") === i).select(col("id"), col("pr"))
       val curStoredF = curStored.join(fh(frontier), Seq("id"), "left_semi")
-        .localCheckpoint(true)
       val override_ = recomputed.join(curStoredF, Seq("id", "pr"), "left_anti")
         .localCheckpoint(true)
-      val full = curStored.join(hintIfSmall(override_), Seq("id"), "left_anti")
+      val overrideSmall = override_.count() <= broadcastMaxRows
+      val full = curStored
+        .join(if (overrideSmall) broadcast(override_) else override_,
+          Seq("id"), "left_anti")
         .unionByName(override_)
       out = out.unionByName(full.withColumn("iter", lit(i)))
       changed = override_
-      prevOverride = override_
+      changedSmall = overrideSmall
     }
     out.select(col("iter"), col("id"), col("pr"))
   }

@@ -254,18 +254,35 @@ object SuffixArray {
     *        [[batchWindows]] frame over `batch`, when the caller already
     *        built one (the streaming gate runs the window kernel once and
     *        shares the frame between the scrub and its index append);
-    *        None ⇒ computed here. */
+    *        None ⇒ computed here.
+    * @param needUpdatedIndex false when the caller DISCARDS the returned
+    *        updated index (the streaming gate appends per-doc rows instead;
+    *        q214 consumes only the report): the untouched-rows anti-join is
+    *        then built fully LAZILY — no eager distinct/checkpoint/guard-
+    *        count of the batch's window-content set, which was a full
+    *        batch-window shuffle paid per call for a frame nobody executed
+    *        (guide §1.2 — don't compute things you throw away). The frame
+    *        returned is row-identical either way; only the physical
+    *        strategy (checkpoint + guarded broadcast hint) differs, so a
+    *        caller that opts out but executes it anyway is correct, just
+    *        unhinted. */
   def incrementalScrubRepeatedCharSpans(index: DataFrame, batch: DataFrame,
                                         idCol: String, textCol: String,
                                         minLen: Int, keepFirst: Boolean = false,
                                         broadcastMaxRows: Long = 2000000L,
-                                        precomputedWindows: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+                                        precomputedWindows: Option[DataFrame] = None,
+                                        needUpdatedIndex: Boolean = true): (DataFrame, DataFrame) = {
     require(minLen >= 2, s"minLen must be >= 2: $minLen")
     import graft.functions.expressions.HashExpressions.mask_char_spans
     def hintIfSmall(df: DataFrame): DataFrame =
       Broadcasting.hintIfSmall(df, broadcastMaxRows)
-    val base = batch.select(col(idCol).as("__doc"), col(textCol).as("__text"))
-      .localCheckpoint(true)
+    // base is consumed TWICE only when the windows are computed here (the
+    // kernel pass + the report join) — with precomputedWindows the caller
+    // already materialized the batch, and re-checkpointing its projection
+    // was a second full materialization of the batch text per gate batch
+    val baseLazy = batch.select(col(idCol).as("__doc"), col(textCol).as("__text"))
+    val base =
+      if (precomputedWindows.isDefined) baseLazy else baseLazy.localCheckpoint(true)
     val bwin = precomputedWindows.getOrElse(
       windowsOf(base, "__doc", "__text", minLen).localCheckpoint(true))
     // stored side: index rows of batch-touched HASH keys only, evaluated
@@ -280,21 +297,25 @@ object SuffixArray {
     // recompute the batch-window distinct once for the guard and again in
     // the join (Broadcasting documents the checkpointed-input precondition)
     val bKeysH = bwin.select(col("h")).distinct().localCheckpoint(true)
+    // touched flows only into stats (one consumer) — checkpointing it was
+    // one extra materialization of the batch-scoped slice per gate batch
     val touched = index
       .join(hintIfSmall(bKeysH), Seq("h"), "left_semi")
       .groupBy(col("w"))
       .agg(sum(col("cnt")).as("__scnt"),
         min(struct(col("first_doc").as("d"), col("first_pos").as("p"))).as("__sf"))
-      .localCheckpoint(true) // batch-scoped rows, reused for stats + merge
     val bAgg = bwin.groupBy(col("w")).agg(max(col("h")).as("h"),
       count(lit(1)).as("__bcnt"),
       min(struct(col("__doc").as("d"), col("cpos").as("p"))).as("__bf"))
-    val stats = bAgg.join(touched, Seq("w"), "left")
+    val statsLazy = bAgg.join(touched, Seq("w"), "left")
       .select(col("w"), col("h"),
         (col("__bcnt") + coalesce(col("__scnt"), lit(0L))).as("__ucnt"),
         when(col("__scnt").isNull, col("__bf"))
           .otherwise(least(col("__sf"), col("__bf"))).as("__uf"))
-      .localCheckpoint(true) // reused for masking + the index merge
+    // masking + the index merge both read stats — materialize only when the
+    // merge leg is live; otherwise masking is its single consumer
+    val stats =
+      if (needUpdatedIndex) statsLazy.localCheckpoint(true) else statsLazy
     val maskedStarts = bwin.join(stats.select(col("w"), col("__ucnt"), col("__uf")), Seq("w"))
       .filter(col("__ucnt") >= 2 &&
         (if (keepFirst)
@@ -313,9 +334,14 @@ object SuffixArray {
         col("__m.scrubbed").as("scrubbed_text"))
     // updated index: untouched stored rows pass through (content-keyed
     // anti-join, map-side via the batch's distinct window set); touched
-    // and batch-new contents carry the merged count and first occurrence
-    val bw = bwin.select(col("w")).distinct().localCheckpoint(true)
-    val untouched = index.join(hintIfSmall(bw), Seq("w"), "left_anti")
+    // and batch-new contents carry the merged count and first occurrence.
+    // needUpdatedIndex=false ⇒ no checkpoint/guard-count of the window-
+    // content set: the whole leg stays unexecuted unless someone runs it
+    val bwAll = bwin.select(col("w")).distinct()
+    val untouched =
+      if (needUpdatedIndex)
+        index.join(hintIfSmall(bwAll.localCheckpoint(true)), Seq("w"), "left_anti")
+      else index.join(bwAll, Seq("w"), "left_anti")
     val merged = stats.select(col("h"), col("w"), col("__ucnt").as("cnt"),
       col("__uf.d").as("first_doc"), col("__uf.p").as("first_pos"))
     (report, untouched.select("h", "w", "cnt", "first_doc", "first_pos")

@@ -2501,7 +2501,8 @@ object TextQueries {
       val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
       val idx = SuffixArray.charWindowIndex(stored, "doc_id", "text", minLen = 40)
       val (report, _) = SuffixArray.incrementalScrubRepeatedCharSpans(
-        idx, batch, "doc_id", "text", minLen = 40, keepFirst = true)
+        idx, batch, "doc_id", "text", minLen = 40, keepFirst = true,
+        needUpdatedIndex = false) // only the report is consumed
       report.orderBy(col("doc_id"))
     }),
 

@@ -703,9 +703,13 @@ object StreamingOps {
           // and the index append
           val wins = graft.operators.SuffixArray
             .batchWindows(b, idCol, textCol, minLen).localCheckpoint(true)
+          // needUpdatedIndex=false: the gate appends PER-DOC index rows
+          // below — the compact updated index the scrub can return is
+          // discarded, so its window-content distinct must not execute
           val (report, _) = graft.operators.SuffixArray
             .incrementalScrubRepeatedCharSpans(stored, b, idCol, textCol,
-              minLen, keepFirst, precomputedWindows = Some(wins))
+              minLen, keepFirst, precomputedWindows = Some(wins),
+              needUpdatedIndex = false)
           writeBatchPartition(report.withColumn("batch_id", lit(id)),
             reportTable, id)
           val batchIdx = graft.operators.SuffixArray
