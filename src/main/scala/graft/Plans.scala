@@ -52,7 +52,7 @@ object Plans {
       "q173_kn_ppl" -> "Kneser-Ney perplexity: one kn_bigram_hashes kernel scan feeding three hash-keyed model aggregations, token-keyed scoring joins, broadcast (T,V) row",
       "q179_winnow" -> "winnowing fingerprints: one winnow_fingerprints kernel scan (O(n) min-deque), explode, no joins or shuffles beyond the output sort",
       "q180_incremental_winnow" -> "incremental winnowing: stored (id, fp) index cut by broadcast left-semi on batch-touched fingerprints before the pair join — batch-scoped candidates, pair-join parallelism pinned against AQE coalesce",
-      "q194_label_propagation" -> "synchronous label propagation: per-iteration edge-label equi-join + vote count + argmax window, labels materialized per round",
+      "q194_label_propagation" -> "synchronous label propagation: per-iteration edge-label equi-join, then ONE node-id exchange shared by the vote count and the argmax window (r14 — was two), labels materialized per round",
       "q195_cooccurrence_pmi" -> "co-occurrence PMI: per-doc pair self-join with pinned parallelism (tiny input, quadratic output), df/N joined to surviving pairs only",
       "q196_jl_projection" -> "JL projection: one fused mat_vec kernel scan, matrix as codegen reference object, no join/shuffle",
       "q181_moore_lewis" -> "Moore-Lewis ce-diff: both KN LMs fit from ONE tagged train union (lm-keyed model aggregations), pool bigrams exploded to both tags, broadcast (T,V) totals",

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
   */
 object QProfile {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").toSeq
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val cpus = args.lift(2).getOrElse("32")
     val spark = SparkSession.builder()
@@ -41,6 +41,7 @@ object QProfile {
       }
     })
     graft.queries.PipelineQueries.stageFixtures(spark, sfDir)
+    names.foreach { name =>
     Thread.sleep(500)
     done.clear()
     val t0 = System.nanoTime()
@@ -65,6 +66,7 @@ object QProfile {
     }
     val tiny = rows.filter(_._3 < 0.05)
     println(f"[qprofile]   (+${tiny.size} jobs < 0.05 s, sum ${tiny.map(_._3).sum}%.2f s)")
+    }
     spark.stop()
   }
 }
