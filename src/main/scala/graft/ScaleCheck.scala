@@ -1202,6 +1202,123 @@ object ScaleCheck {
               "band" -> floor(col("band") / 3.0).cast("long")), k = 3).count()))
       }
     }
+    // q209 daily-ops CHAIN at 1x/Nx with PER-LEG attribution (the
+    // composition previously had 1x bench evidence only): DQ gate →
+    // dedup gate → ANN gate → consolidateBatches → deleteRowsAll → DP
+    // release, corpus and embeddings replicated Nx with id offsets. The
+    // gate batch count stays 4 (grp = doc_id % 4) so Nx models a BIGGER
+    // DAY, not more days — each micro-batch grows Nx and per-leg wall
+    // should track it. Twins plant at +twinOff (multiple of 20 so the
+    // twin keeps its original's grp and the %20 selector stays disjoint).
+    locally {
+      import graft.catalog.{Compaction, Retention}
+      import graft.streaming.{BatchCommitLog, StreamingOps}
+      val d0 = queries.Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      val dOff = d0.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val e0 = queries.Tables(spark, sfDir, "embeddings")
+      val eOff = e0.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val centroids =
+        graft.functions.expressions.HashExpressions.fixedCentroids(100, 16, 64)
+      val fc = graft.functions.expressions.HashExpressions.fixedCentroids(200, 128, 8)
+      val codebooks = Array.tabulate(8)(j => fc.slice(j * 16, j * 16 + 16))
+      def chain(k: Int, tag: String): Unit = {
+        val db = s"scaleops_$tag"
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+        Seq("cleansed", "quarantine", "corpus", "report", "annidx")
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
+        val docsK = (0 until k).map(i => d0.select(
+            (col("doc_id") + lit(i.toLong * dOff)).as("doc_id"),
+            col("lang"), col("n_chars"), col("text")))
+          .reduce(_ unionByName _)
+        val twinOff = (k.toLong * dOff + 19) / 20 * 20
+        val ingest = docsK.unionByName(
+            docsK.filter(pmod(col("doc_id"), lit(20)) === 0)
+              .select((col("doc_id") + twinOff).as("doc_id"), col("lang"),
+                col("n_chars"), col("text")))
+          .withColumn("grp", pmod(col("doc_id"), lit(4)).cast("int"))
+        val dir1 = java.nio.file.Files.createTempDirectory(s"scaleops_docs").toString
+        timed(s"daily-ops staging $tag")(((),
+          { ingest.repartition(4, col("grp"))
+              .write.mode("overwrite").partitionBy("grp").parquet(dir1); 0L }))
+        val staged1 = spark.read.parquet(dir1)
+        val ck1 = java.nio.file.Files.createTempDirectory("scaleops_dq").toString
+        timed(s"daily-ops leg1 DQ gate $tag")(((), {
+          StreamingOps.ingestDqGate(
+            spark.readStream.schema(staged1.schema).option("maxFilesPerTrigger", 1)
+              .parquet(dir1),
+            Seq("ColumnValues 'n_chars' >= 200"),
+            s"$db.cleansed", s"$db.quarantine", ck1, availableNow = true)
+            .awaitTermination()
+          spark.sql(s"REFRESH TABLE $db.cleansed")
+          spark.sql(s"REFRESH TABLE $db.quarantine")
+          spark.table(s"$db.quarantine").count() }))
+        val dir2 = java.nio.file.Files.createTempDirectory("scaleops_clean").toString
+        val ck2 = java.nio.file.Files.createTempDirectory("scaleops_dd").toString
+        timed(s"daily-ops leg2 dedup gate $tag")(((), {
+          spark.table(s"$db.cleansed").select("doc_id", "grp", "text")
+            .repartition(4, col("grp"))
+            .write.mode("overwrite").partitionBy("grp").parquet(dir2)
+          val staged2 = spark.read.parquet(dir2)
+          StreamingOps.ingestDedupGate(
+            spark.readStream.schema(staged2.schema).option("maxFilesPerTrigger", 1)
+              .parquet(dir2),
+            "text", "doc_id", Seq("grp"), threshold = 0.999,
+            s"$db.corpus", s"$db.report", ck2, availableNow = true)
+            .awaitTermination()
+          spark.sql(s"REFRESH TABLE $db.corpus")
+          spark.table(s"$db.corpus").count() }))
+        val embK = (0 until k).map(i => e0.select(
+            (col("vec_id") + lit(i.toLong * eOff)).as("vec_id"), col("embedding")))
+          .reduce(_ unionByName _)
+        val dir3 = java.nio.file.Files.createTempDirectory("scaleops_emb").toString
+        embK.repartition(4).write.mode("overwrite").parquet(dir3)
+        val staged3 = spark.read.parquet(dir3)
+        val ck3 = java.nio.file.Files.createTempDirectory("scaleops_ann").toString
+        timed(s"daily-ops leg3 ANN gate $tag")(((), {
+          StreamingOps.ingestAnnGate(
+            spark.readStream.schema(staged3.schema).option("maxFilesPerTrigger", 1)
+              .parquet(dir3),
+            "embedding", "vec_id", centroids, codebooks, s"$db.annidx", ck3,
+            availableNow = true).awaitTermination()
+          spark.sql(s"REFRESH TABLE $db.annidx")
+          spark.table(s"$db.annidx").count() }))
+        timed(s"daily-ops leg4 consolidation $tag")(((), {
+          val wm2 = BatchCommitLog.committed(spark, ck2).get
+          val wm3 = BatchCommitLog.committed(spark, ck3).get
+          (Compaction.consolidateBatches(spark, s"$db.corpus", wm2, Seq("doc_id")) +
+            Compaction.consolidateBatches(spark, s"$db.annidx", wm3, Seq("vec_id"))).toLong }))
+        timed(s"daily-ops leg5 forget $tag")(((), {
+          val docKeys = spark.table(s"$db.corpus")
+            .filter(pmod(col("doc_id"), lit(13)) === 0).select(col("doc_id")).distinct()
+          Retention.deleteRowsAll(spark, docKeys, Seq(
+            Retention.DeleteTarget(s"$db.corpus", "doc_id"),
+            Retention.DeleteTarget(s"$db.report", "doc_id")))
+          val vecKeys = embK
+            .filter(pmod(col("vec_id"), lit(13)) === 0).select(col("vec_id")).distinct()
+          Retention.deleteRowsAll(spark, vecKeys,
+            Seq(Retention.DeleteTarget(s"$db.annidx", "vec_id")))
+          0L }))
+        timed(s"daily-ops leg6 never-contained ANN equality $tag")(((), {
+          val survivorIdx = operators.Ann.ivfPqIndex(
+            embK.filter(pmod(col("vec_id"), lit(13)) =!= 0),
+            "embedding", "vec_id", centroids, codebooks)
+          val storedIdx = spark.table(s"$db.annidx").select("vec_id", "__list", "code")
+          require(storedIdx.exceptAll(survivorIdx).isEmpty &&
+            survivorIdx.exceptAll(storedIdx).isEmpty,
+            "post-delete ANN index must equal the never-contained build")
+          0L }))
+        timed(s"daily-ops leg7 DP release $tag")(((),
+          operators.Privacy.dpCounts(
+              spark.table(s"$db.corpus")
+                .join(ingest.select(col("doc_id"), col("lang")), Seq("doc_id")),
+              Seq("lang"), epsilon = 0.5, seed = "ops1")
+            .count()))
+      }
+      chain(1, "1x")
+      chain(n, s"${n}x")
+    }
+
     spark.stop()
   }
 }

@@ -577,6 +577,47 @@ object ScaleCheck100 {
       }
     }
 
+    // PER-DOC (gate-form) substring-index probe with a CORPUS-HOT window:
+    // the q215 gate's index keeps one row per (document, window content) so
+    // deletion is row-exact — the price is that a batch touching a window
+    // present in EVERY stored document pulls O(corpus occurrences) index
+    // rows into the batch-touched aggregation (per-occurrence probe cost,
+    // the BM25-postings shape). This row MEASURES that documented growth
+    // instead of leaving it asserted: the same fixed batch probes (a) the
+    // COMPACT one-row-per-content index and (b) the PER-DOC index, both
+    // built over a corpus where the boilerplate banner is in EVERY doc.
+    locally {
+      import graft.operators.SuffixArray
+      def hot(rows: Long, off: Long) = spark.range(rows)
+        .select((col("id") + off).as("doc_id"),
+          concat(lit("stored body with unique trail "),
+            ((col("id") + off) * 7919L).cast("string"),
+            lit(" shared-fortycharacter-boilerplate-banner-text")).as("text"))
+      val batch = hot(2000L, 900000000L).localCheckpoint(true)
+      def probe(idx: org.apache.spark.sql.DataFrame, tag: String): Unit =
+        timed(tag)(((),
+          SuffixArray.incrementalScrubRepeatedCharSpans(idx, batch,
+              "doc_id", "text", 40, keepFirst = true,
+              needUpdatedIndex = false)._1
+            .agg(bit_xor(xxhash64(struct(col("doc_id"), col("n_masked"),
+              col("scrubbed_text")))).as("ck"), count(lit(1)).as("cnt"))
+            .head().getLong(1)))
+      Seq(20000L -> "1x", 20000L * n -> s"${n}x").foreach { case (rows, tag) =>
+        val compact = timed(s"hot-window COMPACT index build $tag")({
+          val i = SuffixArray.charWindowIndex(hot(rows, 0L), "doc_id",
+            "text", 40).localCheckpoint(true)
+          (i, i.count())
+        })
+        probe(compact, s"hot-window scrub, fixed batch vs $tag COMPACT index")
+        val perDoc = timed(s"hot-window PER-DOC index build $tag")({
+          val i = SuffixArray.charWindowIndexPerDoc(hot(rows, 0L), "doc_id",
+            "text", 40).localCheckpoint(true)
+          (i, i.count())
+        })
+        probe(perDoc, s"hot-window scrub, fixed batch vs $tag PER-DOC index")
+      }
+    }
+
     // Char-exact substring dedup (rolling-hash nomination + exact verify):
     // duplicated content is a FIXED 1/13 fraction, so hot positions grow
     // ~Nx while unique text grows ~Nx too — the check is that WALL and
