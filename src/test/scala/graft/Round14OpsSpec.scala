@@ -110,4 +110,30 @@ class Round14OpsSpec extends SparkSpec {
     assert(aggIdx.exceptAll(unionIdx).isEmpty && unionIdx.exceptAll(aggIdx).isEmpty,
       "string-id gate index must aggregate to the union build")
   }
+
+  test("incrementalScrubRepeatedCharSpans: needUpdatedIndex=false is a " +
+    "physical-strategy flag only — report AND updated index row-identical") {
+    import graft.operators.SuffixArray
+    val banner = "shared-fortycharacter-boilerplate-banner-text!!"
+    val minLen = 40
+    val stored = (0L until 40L).map(i =>
+      (i, s"stored body $i ${if (i % 5 == 0) banner else ""}")).toDF("doc_id", "text")
+    val batch = (100L until 120L).map(i =>
+      (i, s"batch body $i ${if (i % 3 == 0) banner else ""}")).toDF("doc_id", "text")
+    val idx = SuffixArray.charWindowIndex(stored, "doc_id", "text", minLen)
+      .localCheckpoint(true)
+    val (repT, updT) = SuffixArray.incrementalScrubRepeatedCharSpans(
+      idx, batch, "doc_id", "text", minLen, keepFirst = true)
+    val (repF, updF) = SuffixArray.incrementalScrubRepeatedCharSpans(
+      idx, batch, "doc_id", "text", minLen, keepFirst = true,
+      needUpdatedIndex = false)
+    assert(repT.exceptAll(repF).isEmpty && repF.exceptAll(repT).isEmpty,
+      "reports must be identical across the flag")
+    // the lazily-built updated index (the flag's target) stays row-identical
+    // if a caller executes it anyway — only checkpoint/hint strategy differs
+    assert(updT.exceptAll(updF).isEmpty && updF.exceptAll(updT).isEmpty,
+      "updated index must be identical across the flag")
+    // and some masking actually happened, so the equality is not vacuous
+    assert(repT.filter(col("n_masked") > 0).count() > 0)
+  }
 }
