@@ -154,16 +154,29 @@ object Bench {
     // Lossless per-query artifact: bench_full.json is the complete record
     // the baseline is re-pinned from (BASELINE.md §pinning). FULL-SUITE RUNS
     // ONLY: a filtered local-iteration run must not clobber the pin source
-    // with a subset map.
-    if (wanted.isEmpty)
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("bench_full.json"), line + "\n")
-      catch { case e: Exception =>
-        System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}") }
+    // with a subset map. The pin source is written ONLY by default-core runs:
+    // the driver's low-core scaling pass previously overwrote it and
+    // destroyed the lossless 32-core record of the same round (r14) — every
+    // full run now ALSO leaves a core-count-suffixed copy so both records
+    // survive on disk whatever order the driver runs them in.
+    if (wanted.isEmpty) {
+      def writeArtifact(p: String): Unit =
+        try java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(p), line + "\n")
+        catch { case e: Exception =>
+          System.err.println(s"[bench] $p write failed: ${e.getMessage}") }
+      writeArtifact(s"bench_full_c$cpus.json")
+      if (cpus == "32") writeArtifact("bench_full.json")
+    }
     // fail-fast exit LAST: exiting before the line is printed and
     // bench_full.json is written would discard the whole suite's timings —
     // the data needed to debug the very regression being reported
     spark.stop()
+    // re-print the summary as the FINAL program line: spark.stop() (and the
+    // regression report below) can emit after the first print, and the
+    // driver's artifact keeps a bounded TAIL of stdout — the last line is
+    // the one with the best chance of surviving the capture whole
+    println(line)
     if (failReport.nonEmpty) {
       failReport.foreach(r => System.err.println(s"[bench-regression] $r"))
       sys.exit(1)

@@ -9,6 +9,20 @@ import java.nio.file.{Files, Paths}
   *   runMain graft.PlanDump <outDir> <tag> <q1,q2,...> [sfDir]
   */
 object PlanDump {
+  private def crossShape(s: SparkSession, freqFrom: String) = {
+    import org.apache.spark.sql.functions._
+    val stored = s.range(0, 5000).select(col("id").as("doc_id"),
+      (col("id") % 4).as("grp"),
+      split(concat(lit("tok"), col("id") % 97, lit(" tok"), col("id") % 31,
+        lit(" tok"), col("id") % 13), " ").as("toks"))
+    val batch = s.range(5000, 5500).select(col("id").as("doc_id"),
+      (col("id") % 4).as("grp"),
+      split(concat(lit("tok"), col("id") % 97, lit(" tok"), col("id") % 31,
+        lit(" tok"), col("id") % 13), " ").as("toks"))
+    graft.operators.Dedup.jaccardCrossJoin(batch, stored, "toks", "doc_id",
+      Seq("grp"), 0.7, freqFrom = freqFrom, materializeVerify = false)
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val tag = args(1)
@@ -40,6 +54,12 @@ object PlanDump {
         graft.operators.GraphOps.argmaxVote(
           sym.join(labels.select(col("id").as("b"), col("label")), Seq("b")))
       },
+      // the incremental-dedup cross join under both canonical-order
+      // strategies (r15: the gate's per-batch O(stored-tokens) tokenFreq
+      // fix) — materializeVerify=false so the verify barrier does not hide
+      // the join shape; the gate's stored side is pre-tokenized, as here
+      "op_incdedup_cross_union" -> (s => crossShape(s, "union")),
+      "op_incdedup_cross_left" -> (s => crossShape(s, "left")),
       // the round-13 vote formulation, inlined VERBATIM from
       // eab6dc0:GraphOps.labelPropagation, so the before/after plan pair is
       // mechanically generated (the declared queries checkpoint per round,

@@ -1222,6 +1222,18 @@ object ScaleCheck {
         graft.functions.expressions.HashExpressions.fixedCentroids(100, 16, 64)
       val fc = graft.functions.expressions.HashExpressions.fixedCentroids(200, 128, 8)
       val codebooks = Array.tabulate(8)(j => fc.slice(j * 16, j * 16 + 16))
+      // bounded-footprint harness: the chain's staged parquet copies and
+      // checkpoints are Nx-sized, so repeated runs must not accumulate —
+      // every temp dir is recursively deleted and the scaleops_* database
+      // dropped at the end of chain() (best-effort: a failed leg leaves
+      // debuggable state behind; the next run's re-create still converges)
+      def rmTree(p: String): Unit =
+        try {
+          val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+          finally s.close()
+        } catch { case _: Throwable => () }
       def chain(k: Int, tag: String): Unit = {
         val db = s"scaleops_$tag"
         spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
@@ -1314,6 +1326,8 @@ object ScaleCheck {
                 .join(ingest.select(col("doc_id"), col("lang")), Seq("doc_id")),
               Seq("lang"), epsilon = 0.5, seed = "ops1")
             .count()))
+        spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+        Seq(dir1, ck1, dir2, ck2, dir3, ck3).foreach(rmTree)
       }
       chain(1, "1x")
       chain(n, s"${n}x")

@@ -67,6 +67,84 @@ object CatalogOps {
     }
   }
 
+  /** Stats-pruned rewrite of an already-built SQL DataFrame — the
+    * consume-stage read-path hook: every `Filter` sitting directly on a
+    * catalog relation (through subquery aliases) whose table has an entry
+    * in `statsTables` is replaced by the [[readPruned]] scan of that table
+    * under the same predicate, so a consume-SQL `WHERE` on an indexed
+    * column reads only the files whose [[FileStats]] admit it. Works on
+    * the OPTIMIZED plan, where the optimizer has already pushed each
+    * filter down to its scan — a predicate written above a join still
+    * prunes the table it constrains. Row-identical by [[readPruned]]'s
+    * contract (the full predicate is re-applied row-level; unknown or
+    * unindexed files always survive); ANY failure — unresolvable rewrite,
+    * subquery predicates, missing stats — degrades to the original frame,
+    * never to an error or a row change. Table names in `statsTables` are
+    * matched db-qualified, case-insensitively. */
+  def prunePlanScans(spark: SparkSession, df: DataFrame,
+                     statsTables: Map[String, String]): DataFrame = {
+    if (statsTables.isEmpty) return df
+    try {
+      val out = prunePlanScansOrThrow(spark, df, statsTables)
+      out.schema // force analysis NOW so a broken rewrite degrades here
+      out
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "stats-pruned SQL rewrite failed — using the unpruned plan", e)
+        df
+    }
+  }
+
+  private def prunePlanScansOrThrow(spark: SparkSession, df: DataFrame,
+                                    statsTables: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.catalog.HiveTableRelation
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, PlanExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    def canon(n: String): String =
+      n.split('.').takeRight(2).mkString(".").toLowerCase(java.util.Locale.ROOT)
+    val wanted = statsTables.map { case (t, st) => canon(t) -> st }
+    def relationNameOf(plan: LogicalPlan): Option[String] = plan match {
+      case s: SubqueryAlias => relationNameOf(s.child)
+      case lr: LogicalRelation => lr.catalogTable.map(_.identifier.unquotedString)
+      case h: HiveTableRelation => Some(h.tableMeta.identifier.unquotedString)
+      case _ => None
+    }
+    var changed = false
+    val rewritten = df.queryExecution.optimizedPlan.transformUp {
+      case f @ LFilter(cond, child)
+          if relationNameOf(child).exists(n => wanted.contains(canon(n))) &&
+            !cond.exists(_.isInstanceOf[PlanExpression[_]]) =>
+        // 2-part name: catalog metadata answers `spark_catalog.db.t`, but
+        // the FileStats/TableIdentifier machinery speaks db.t
+        val full = relationNameOf(child).get
+        val name = full.split('.').takeRight(2).mkString(".")
+        // rebind the predicate by NAME so it resolves against a fresh read
+        val nameCond = cond.transform {
+          case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+        }
+        val pruned = readPruned(spark, name, wanted(canon(name)),
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(nameCond))
+        val prunedPlan = pruned.queryExecution.analyzed
+        val resolver = spark.sessionState.conf.resolver
+        // graft the pruned subtree under the old output ids so every
+        // downstream reference keeps resolving
+        val projList = f.output.map { o =>
+          val n = prunedPlan.output.find(a => resolver(a.name, o.name))
+            .getOrElse(throw new IllegalStateException(
+              s"pruned read of $name lost column ${o.name}"))
+          Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier,
+            explicitMetadata = Some(o.metadata))
+        }
+        changed = true
+        Project(projList, prunedPlan)
+    }
+    if (!changed) df
+    else org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, rewritten)
+  }
+
   private def readPrunedOrThrow(spark: SparkSession, table: String,
                                 statsTable: String, filter: Column,
                                 plain: DataFrame,

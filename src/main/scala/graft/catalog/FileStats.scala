@@ -75,9 +75,15 @@ object FileStats {
 
   /** File-level manifest walk: every data file with its partition-relative
     * dir — [[Compaction.listManifests]]'s shape at file granularity, same
-    * parallel-walk/hidden-dir-pruning posture. */
+    * parallel-walk/hidden-dir-pruning posture.
+    *
+    * `onlyRels`: walk ONLY the given partition-relative dirs (the scoped
+    * refresh of [[Retention.deleteRows]] — listing cost ∝ touched
+    * partitions, not table size). A scoped rel that no longer exists lists
+    * as empty (its files are gone — exactly what the caller must see). */
   def listDataFiles(spark: SparkSession, table: String,
-                    walkParallelism: Int = 8): (Path, Seq[FileEntry]) = {
+                    walkParallelism: Int = 8,
+                    onlyRels: Option[Seq[String]] = None): (Path, Seq[FileEntry]) = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     val root = new Path(meta.location)
@@ -91,6 +97,21 @@ object FileStats {
           if (ok(name)) walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name", into)
         } else if (ok(name)) into += FileEntry(rel, name, st.getLen)
       }
+    onlyRels.foreach { rels =>
+      val out: Acc = scala.collection.mutable.ArrayBuffer.empty
+      rels.distinct.foreach { r =>
+        if (r.isEmpty) { // root-level files of an unpartitioned layout
+          fs.listStatus(root).foreach { st =>
+            if (!st.isDirectory && ok(st.getPath.getName))
+              out += FileEntry("", st.getPath.getName, st.getLen)
+          }
+        } else {
+          try walk(new Path(root, r), r, out)
+          catch { case _: java.io.FileNotFoundException => () } // emptied partition
+        }
+      }
+      return (root, out.toSeq)
+    }
     val top = fs.listStatus(root)
     val out: Acc = scala.collection.mutable.ArrayBuffer.empty
     top.foreach { st =>
@@ -228,7 +249,8 @@ object FileStats {
     * wrong bit positions — a correctness hazard, never tolerated); legacy
     * tables without the property must still be dropped to resize. */
   def refresh(spark: SparkSession, table: String, statsTable: String,
-              spec: StatsSpec, walkParallelism: Int = 8): RefreshReport = {
+              spec: StatsSpec, walkParallelism: Int = 8,
+              scopeRels: Option[Set[String]] = None): RefreshReport = {
     require(spec.cols.nonEmpty, "spec.cols must be non-empty")
     require(spec.bloomCols.toSet.subsetOf(spec.cols.toSet),
       "bloomCols must be a subset of cols")
@@ -243,7 +265,18 @@ object FileStats {
     spec.bloomCols.foreach(c => require(bloomEligible(fieldsByName(c).dataType),
       s"bloom column $c must be integral or string, got ${fieldsByName(c).dataType.sql}"))
 
-    val (root, files) = listDataFiles(spark, table, walkParallelism)
+    // SCOPED refresh (the forget-path hook): the caller guarantees only
+    // files under `scopeRels` changed since the last refresh (a
+    // single-writer delete knows exactly which partitions it rewrote), so
+    // listing, coverage, vanish detection and the bucketed rewrite all run
+    // over the scope only — refresh cost ∝ touched partitions, not table
+    // size. Preconditions for the scoped path: a healthy existing stats
+    // table under the SAME geometry; anything else (creation, legacy
+    // layout, geometry change, pending auto-rebucket — all of which need
+    // the full listing) falls back to an unscoped refresh. The auto-
+    // rebucket growth check is deliberately skipped in scoped mode: it is
+    // deferred to the next full refresh, never lost.
+    val (root, files) = listDataFiles(spark, table, walkParallelism, scopeRels.map(_.toSeq))
     import scala.jdk.CollectionConverters._
     val curDf = spark.createDataFrame(
       files.map(f => org.apache.spark.sql.Row(f.rel, f.name, f.bytes)).asJava,
@@ -266,6 +299,10 @@ object FileStats {
     val geometryChanged = storedSpecProp.exists(p =>
       p.bloomHashes != spec.bloomHashes ||
         (spec.bloomCols.nonEmpty && p.bloomBits != spec.bloomBits))
+    // the scoped path needs a healthy same-geometry table — anything that
+    // would force a full rewrite re-runs unscoped (full listing)
+    if (scopeRels.isDefined && (!exists || legacyLayout || geometryChanged))
+      return refresh(spark, table, statsTable, spec, walkParallelism, None)
 
     // NARROW bookkeeping read: coverage and vanish detection never touch
     // the bloom payload bytes (bloom presence is answered by bloom_k,
@@ -277,7 +314,10 @@ object FileStats {
       StructField("has_bloom", BooleanType)))
     val hasKCol = !exists || spark.table(statsTable).columns.contains("bloom_k")
     val oldNarrow = (
-      if (exists) spark.table(statsTable).select(col("rel"), col("file"),
+      if (exists) scopeRels
+        .fold(spark.table(statsTable))(rs =>
+          spark.table(statsTable).filter(col("rel").isin(rs.toSeq: _*)))
+        .select(col("rel"), col("file"),
         col("bytes"), col("col_name"), col("n_rows"),
         (if (hasKCol) col("bloom_k").isNotNull else col("bloom").isNotNull)
           .as("has_bloom"))
@@ -397,7 +437,9 @@ object FileStats {
     // it fires at most once per 64× growth epoch (amortized O(1) per
     // file), after which refresh returns to O(changed buckets).
     val targetNb = math.max(1, math.min(1024, (files.length + 7) / 8))
-    val grown = exists && !legacyLayout &&
+    // grown is undecidable from a scoped (partial) listing — deferred to
+    // the next full refresh in scoped mode
+    val grown = scopeRels.isEmpty && exists && !legacyLayout &&
       storedBuckets.exists(b => b < 1024 && files.length > b.toLong * RebucketFactor)
     val fullRewrite = !exists || legacyLayout || grown || geometryChanged
     val nb: Int =
@@ -422,11 +464,23 @@ object FileStats {
     // (partition-pruned read: unchanged buckets' bloom bytes are never
     // touched; every fresh/marker row lies in a changed bucket by
     // construction, since its file is in toScan)
-    def nextOf(oldFull: DataFrame): DataFrame =
-      oldFull.join(curDf, Seq("rel", "file", "bytes"))
+    def nextOf(oldFull: DataFrame): DataFrame = {
+      // scoped mode: rows OUTSIDE the scope pass through UNTOUCHED — the
+      // caller warrants they did not change, and the scoped curDf cannot
+      // vouch for them (joining them against a scoped listing would drop
+      // live rows of unchanged files that merely share a hash bucket with
+      // a changed one)
+      val (inScope, outScope) = scopeRels match {
+        case Some(rs) => (oldFull.filter(col("rel").isin(rs.toSeq: _*)),
+          oldFull.filter(!col("rel").isin(rs.toSeq: _*)))
+        case None => (oldFull, oldFull.limit(0))
+      }
+      inScope.join(curDf, Seq("rel", "file", "bytes"))
         .join(rescanned, Seq("rel", "file"), "left_anti")
+        .unionByName(outScope)
         .unionByName(fresh).unionByName(markerDf)
         .withColumn("sb", sbCol)
+    }
     if (fullRewrite) {
       // full-table checkpoint only here, where the whole frame is written —
       // and BEFORE the drop (the lineage reads the table being replaced)

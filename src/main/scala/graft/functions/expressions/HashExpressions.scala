@@ -360,6 +360,37 @@ object HashExpressions {
     override def prettyName: String = "sdc_sum"
   }
 
+  /** Row-local prefix-filter prefix under a driver-collected canonical
+    * order ([[Kernels.prefixTokens]]): the map rides as a codegen
+    * reference object (the sdc_sum posture), so the BIG side of an
+    * incremental cross join extracts its prefix with no explode-join-rank
+    * shuffle — the O(stored tokens) per-batch exchange the r15 dedup-gate
+    * fix removes. Set-identical to the window formulation by
+    * construction (same k, same (cnt, token) order, same tie-break). */
+  case class PrefixTokensExpr(child: Expression, threshold: Double,
+                              freq: java.util.HashMap[UTF8String, java.lang.Long])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<string> tokens, got $other")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      Kernels.prefixTokens(input.asInstanceOf[ArrayData], threshold, freq)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fRef = ctx.addReferenceObj("prefixFreq", freq,
+        "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String, java.lang.Long>")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $KernelsClass.prefixTokens($c, $threshold, $fRef);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "prefix_tokens"
+  }
+
   /** Dense matrix-vector product (JL projection): the k×d matrix rides as
     * a codegen reference object; accumulation order pinned by the oracle
     * (see [[Kernels.matVec]]). */
@@ -989,6 +1020,9 @@ object HashExpressions {
     column(PqEncodeExpr(expression(vec), codebooks))
   def sdc_sum(a: Column, b: Column, flat: Array[Double], kk: Int): Column =
     column(SdcSumExpr(expression(a), expression(b), flat, kk))
+  def prefix_tokens(toks: Column, threshold: Double,
+                    freq: java.util.HashMap[UTF8String, java.lang.Long]): Column =
+    column(PrefixTokensExpr(expression(toks), threshold, freq))
   def fix_mojibake(text: Column): Column = column(FixMojibakeExpr(expression(text)))
   def mask_card_numbers(text: Column): Column =
     column(MaskCardNumbersExpr(expression(text)))

@@ -15,6 +15,46 @@ object Kernels {
   def xx(s: UTF8String): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, SEED)
 
+  /** Prefix-filter prefix of ONE document, row-locally: the first
+    * `|toks| − ⌈t·|toks|⌉ + 1` of its tokens under the canonical
+    * (cnt, token-bytes) order, where cnt comes from the driver-collected
+    * frequency map and tokens ABSENT from the map drop out of the ranking
+    * (the single-side order of Dedup.jaccardCrossJoin). Must match the
+    * window formulation exactly: k from the FULL distinct size (epsilon as
+    * in prefixLenCol), ties by binary UTF8 comparison (Spark's string
+    * ordering), selection over present tokens only. One row-local sort —
+    * the stored side of an incremental cross join pays NO shuffle for its
+    * prefix extraction. */
+  def prefixTokens(toks: ArrayData, threshold: Double,
+                   freq: java.util.HashMap[UTF8String, java.lang.Long]): ArrayData = {
+    val n = toks.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val k = (n - math.ceil(n * threshold - 1e-9) + 1).toInt
+    if (k <= 0) return new GenericArrayData(Array.empty[Any])
+    val present = new java.util.ArrayList[UTF8String](math.min(n, 64))
+    val cnts = new java.util.ArrayList[java.lang.Long](math.min(n, 64))
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      val c = freq.get(t)
+      if (c != null) { present.add(t); cnts.add(c) }
+      i += 1
+    }
+    val m = present.size()
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val idx = Array.tabulate(m)(j => j)
+    val sorted = idx.sortBy(j => (cnts.get(j).longValue(), present.get(j)))(
+      Ordering.Tuple2(Ordering.Long, Ordering.comparatorToOrdering(
+        new java.util.Comparator[UTF8String] {
+          override def compare(a: UTF8String, b: UTF8String): Int = a.compareTo(b)
+        })))
+    val take = math.min(k, m)
+    val out = new Array[Any](take)
+    var j = 0
+    while (j < take) { out(j) = present.get(sorted(j)); j += 1 }
+    new GenericArrayData(out)
+  }
+
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0

@@ -385,10 +385,20 @@ object Dedup {
     * CollapseProject would otherwise re-inline it into every consumer. */
   private def tokenSetBase(df: DataFrame, tokensCol: String, idCol: String,
                            blocks: Seq[org.apache.spark.sql.Column]): DataFrame =
+    tokenSetBaseLazy(df, tokensCol, idCol, blocks).localCheckpoint(true)
+
+  /** [[tokenSetBase]] WITHOUT the eager materialization — for the BIG side
+    * of an asymmetric cross join ([[jaccardCrossJoin]] with a single-side
+    * `freqFrom`): a per-call localCheckpoint of the stored corpus is an
+    * O(corpus) write the daily-batch contract cannot afford; the two
+    * consumers (prefix index, verify join) instead re-scan the source
+    * map-side, which is strictly cheaper than writing and re-reading a full
+    * copy once the corpus dwarfs the batch. */
+  private def tokenSetBaseLazy(df: DataFrame, tokensCol: String, idCol: String,
+                               blocks: Seq[org.apache.spark.sql.Column]): DataFrame =
     df.select(blocks :+ col(idCol).as("id") :+ array_distinct(col(tokensCol)).as("toks"): _*)
       .withColumn("sz", size(col("toks")))
       .filter(col("sz") > 0)
-      .localCheckpoint(true)
 
   /** Token frequencies over the given bases — the shared canonical order. */
   private def tokenFreq(bases: Seq[DataFrame]): DataFrame =
@@ -500,29 +510,137 @@ object Dedup {
     * (block, token), then length-filter, dedupe, exact-verify.
     * Ids must be globally unique within each side (see [[jaccardSelfJoin]]).
     *
+    * `freqFrom` picks which side the canonical token order is counted over —
+    * `"union"` (both, the historical default), `"left"` or `"right"`. A
+    * single-side order is RESULT-IDENTICAL by the prefix-filter lemma: the
+    * lemma holds for ANY fixed total order shared by both sides (frequency
+    * ordering only minimizes bucket sizes), and a token absent from the
+    * freq side's vocabulary can be dropped from the OTHER side's ranking
+    * with recall intact — every common token of a qualifying pair lives in
+    * both documents, hence in the freq side's vocabulary, so the pair's
+    * first common token still lands inside both prefixes (the rank of that
+    * token only DROPS when non-shared tokens vanish from the ranking, and
+    * the prefix length is still computed from the FULL set size). The
+    * verify stage is exact, so the emitted pairs are the same rows either
+    * way (candidate supersets differ, results do not — spec-pinned).
+    *
+    * Name the SMALL side (the daily batch of [[incrementalDedup]]): the
+    * per-call frequency aggregation becomes O(small-side tokens) instead
+    * of O(corpus tokens), the big side is never materialized
+    * ([[tokenSetBaseLazy]]), and — when the order fits the driver
+    * (`freqCollectMaxRows`) and tokens are strings — BOTH sides' prefixes
+    * are extracted ROW-LOCALLY against the collected order
+    * ([[graft.functions.expressions.Kernels.prefixTokens]] as a codegen
+    * reference object): the big side pays NO explode→join→rank exchange
+    * at all, which was the remaining per-batch O(stored tokens) shuffle
+    * (measured: the 10× daily-ops dedup-gate leg's 195 MB candidate-side
+    * shuffle was this rank exchange, not the frequency aggregation). The
+    * small side's prefix rows then carry a guarded broadcast hint (bounded
+    * by its token-occurrence count) so the candidate join is map-side on
+    * the big side too. Above the collect bound, the window path runs with
+    * the order guarded-broadcast (`freqBroadcastMaxRows`); above both,
+    * the planner/AQE decide.
+    *
+    * Candidate-volume caveat (measured): a single-side order removes the
+    * OTHER side's private tokens from its prefixes, so prefix slots shift
+    * to shared-vocabulary tokens. On same-distribution corpora at a low
+    * threshold the private rare tokens were the discriminating keys and
+    * candidates inflate (q65 at t=0.5: +30% wall under freqFrom="right"
+    * — it stays on "union"); at the incremental gate's high thresholds
+    * with block keys the inflation is negligible and the O(stored) cut
+    * dominates (q164 −15%, q209 −6% at sf0.1, matched A/B).
+    *
     * @return (id_l, id_r, jaccard) with jaccard ≥ threshold */
   def jaccardCrossJoin(left: DataFrame, right: DataFrame, tokensCol: String,
                        idCol: String, blockCols: Seq[String],
-                       threshold: Double): DataFrame = {
+                       threshold: Double, freqFrom: String = "union",
+                       freqBroadcastMaxRows: Long = 4000000L,
+                       materializeVerify: Boolean = true,
+                       freqCollectMaxRows: Long = 1000000L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1]: $threshold")
+    require(Set("union", "left", "right")(freqFrom),
+      s"freqFrom must be union|left|right: $freqFrom")
     val blocks = blockCols.map(col)
-    val lBase = tokenSetBase(left, tokensCol, idCol, blocks)
-    val rBase = tokenSetBase(right, tokensCol, idCol, blocks)
-    val freq = tokenFreq(Seq(lBase, rBase)) // shared canonical order
-    val lPrefix = prefixRows(lBase, freq, blocks, threshold)
-      .select(blocks ++ Seq(col("token"), col("id").as("id_l"), col("sz").as("sz_l")): _*)
-    val rPrefix = prefixRows(rBase, freq, blocks, threshold)
-      .select(blocks ++ Seq(col("token"), col("id").as("id_r"), col("sz").as("sz_r")): _*)
-    val candidates = lPrefix.join(rPrefix, blockCols :+ "token")
+    val lBase = if (freqFrom == "right") tokenSetBaseLazy(left, tokensCol, idCol, blocks)
+                else tokenSetBase(left, tokensCol, idCol, blocks)
+    val rBase = if (freqFrom == "left") tokenSetBaseLazy(right, tokensCol, idCol, blocks)
+                else tokenSetBase(right, tokensCol, idCol, blocks)
+    val stringToks = lBase.schema("toks").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }
+    def prefixOf(base: DataFrame, sfx: String,
+                 mk: DataFrame => DataFrame): DataFrame =
+      mk(base).select(blocks ++ Seq(col("token"), col("id").as(s"id_$sfx"),
+        col("sz").as(s"sz_$sfx")): _*)
+    // the canonical order, and with it the prefix strategy (doc above):
+    // row-local against the collected small-side order when it fits;
+    // window against the (guarded-broadcast) order frame otherwise
+    val (lPrefix, rPrefix) = freqFrom match {
+      case "union" =>
+        val freq = tokenFreq(Seq(lBase, rBase))
+        (prefixOf(lBase, "l", prefixRows(_, freq, blocks, threshold)),
+          prefixOf(rBase, "r", prefixRows(_, freq, blocks, threshold)))
+      case side =>
+        val small = if (side == "left") lBase else rBase
+        val f = tokenFreq(Seq(small)).localCheckpoint(true)
+        val nf = f.count()
+        if (stringToks && nf <= freqCollectMaxRows) {
+          val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+            java.lang.Long](math.max(16, (nf * 2).toInt))
+          f.collect().foreach(r => m.put(
+            org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+            java.lang.Long.valueOf(r.getLong(1))))
+          import graft.functions.expressions.HashExpressions.prefix_tokens
+          def local(base: DataFrame): DataFrame =
+            base.select(blocks :+ col("id") :+ col("sz") :+
+              explode(prefix_tokens(col("toks"), threshold, m)).as("token"): _*)
+          (prefixOf(lBase, "l", local), prefixOf(rBase, "r", local))
+        } else {
+          val freq = if (nf <= freqBroadcastMaxRows) broadcast(f) else f
+          (prefixOf(lBase, "l", prefixRows(_, freq, blocks, threshold)),
+            prefixOf(rBase, "r", prefixRows(_, freq, blocks, threshold)))
+        }
+    }
+    // guarded broadcast of the SMALL side's prefix rows (bounded above by
+    // its token-occurrence count — prefixes are a subset of occurrences),
+    // so the candidate join never shuffles the big side's prefix rows
+    def occOf(base: DataFrame): Long =
+      base.agg(sum(col("sz"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    val (lHinted, rHinted) = freqFrom match {
+      case "left" if occOf(lBase) <= freqBroadcastMaxRows =>
+        (broadcast(lPrefix), rPrefix)
+      case "right" if occOf(rBase) <= freqBroadcastMaxRows =>
+        (lPrefix, broadcast(rPrefix))
+      case _ => (lPrefix, rPrefix)
+    }
+    val candidates0 = lHinted.join(rHinted, blockCols :+ "token")
       .filter(lengthFilter("sz_l", "sz_r", threshold))
       .select(col("id_l"), col("id_r"))
       .distinct()
+    // single-side mode: candidates are materialized and guarded-broadcast
+    // into the verify joins, so the big (lazy) side's verify leg is a
+    // map-side scan — it never shuffle-writes its token arrays. Union mode
+    // keeps the historical lazy candidates (both bases are checkpointed
+    // there; AQE handles the join strategy).
+    val candidates =
+      if (freqFrom == "union" || !materializeVerify) candidates0
+      else {
+        val c = candidates0.localCheckpoint(true)
+        if (c.count() <= freqBroadcastMaxRows) broadcast(c) else c
+      }
     val verified = candidates
       .join(lBase.select(col("id").as("id_l"), col("toks").as("t_l")), Seq("id_l"))
       .join(rBase.select(col("id").as("id_r"), col("toks").as("t_r")), Seq("id_r"))
       .select(col("id_l"), col("id_r"), S.jaccard(col("t_l"), col("t_r")).as("jaccard"))
-      .localCheckpoint(true) // single-eval barrier, see jaccardSelfJoin
-    verified.filter(col("jaccard") >= threshold)
+    // single-eval barrier, see jaccardSelfJoin; materializeVerify=false
+    // keeps the plan inspectable (PlanDump/PlanSpec), same as there
+    val barriered = if (materializeVerify) verified.localCheckpoint(true) else verified
+    barriered.filter(col("jaccard") >= threshold)
   }
 
   /** Build the persistent MinHash INDEX for [[incrementalMinhash]]: one
@@ -679,15 +797,72 @@ object Dedup {
   def incrementalDedup(stored: DataFrame, batch: DataFrame, tokensCol: String,
                        idCol: String, blockCols: Seq[String],
                        threshold: Double): DataFrame = {
-    val toStored = jaccardCrossJoin(batch, stored, tokensCol, idCol, blockCols, threshold)
+    // EXACT PRE-COLLAPSE (cheapest filter first — the dedupPipeline recipe
+    // applied inside the incremental operator): batch docs with an
+    // IDENTICAL (block, token-SET) are interchangeable in the similarity
+    // graph — J(x, ·) is a function of the set alone — so ONE
+    // representative per group (its min id) runs the expensive cross/self
+    // legs and members inherit its fate. Report-identical by construction:
+    // identical-set docs are pairwise J=1 ≥ t, so a full-graph component is
+    // exactly a rep-graph component expanded by its groups, and because
+    // each rep IS its group's min id, component minima (the attribution
+    // ids) coincide. Without this, a flood of N copies of one content in a
+    // batch (re-crawls, boilerplate, epoch re-delivery) makes the
+    // within-batch leg enumerate and verify ~N²/2 TRUE pairs per content —
+    // the quadratic term the 10× ScaleCheck daily-ops fixture exposed;
+    // with it, the flood costs one group row and N-1 membership rows.
+    // Docs with NULL/empty token sets never form pairs (the sz>0 contract
+    // of the joins) and stay out of the grouping — each is its own rep.
+    val canonSet = sort_array(array_distinct(col(tokensCol)))
+    val keyed = batch.select(
+      blockCols.map(col) :+ col(idCol) :+ canonSet.as("__cset"): _*)
+    val groupable = keyed.filter(col("__cset").isNotNull && size(col("__cset")) > 0)
+    // (id, __rep, __gsz) for every groupable batch doc: rep and group size
+    // share ONE exchange (min + count over the same window partitioning —
+    // guide §2.4), where a groupBy + join-back would shuffle the token
+    // arrays three times
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(blockCols.map(col) :+ col("__cset"): _*)
+    val members = groupable.select(col(idCol),
+        min(col(idCol)).over(W).as("__rep"),
+        count(lit(1)).over(W).as("__gsz"))
+      .localCheckpoint(true)
+    val reps = batch.join(
+      members.filter(col(idCol) === col("__rep")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    // freqFrom = the BATCH side: the canonical token order is counted over
+    // the batch only (result-identical — see jaccardCrossJoin), so the
+    // daily cost never includes an O(stored tokens) frequency aggregation
+    // and the stored side's prefix index carries batch-vocabulary tokens
+    // only. This was the one per-batch O(corpus) term left in the dedup
+    // gate (the stored side is already stats-pruned to batch-touched files
+    // before it gets here).
+    val toStoredRep = jaccardCrossJoin(reps, stored, tokensCol, idCol, blockCols,
+        threshold, freqFrom = "left")
       .groupBy(col("id_l")).agg(min(col("id_r")).as("__att"))
-    val clean = batch.join(toStored.select(col("id_l").as(idCol)), Seq(idCol), "left_anti")
-    val within = jaccardSelfJoin(clean, tokensCol, idCol, blockCols, threshold)
+    // a member's stored matches are exactly its rep's (identical sets)
+    val toStored = members.select(col(idCol), col("__rep"))
+      .join(toStoredRep.withColumnRenamed("id_l", "__rep"), Seq("__rep"))
+      .select(col(idCol), col("__att"))
+    val cleanReps = reps.join(toStoredRep.select(col("id_l").as(idCol)),
+      Seq(idCol), "left_anti")
+    val within = jaccardSelfJoin(cleanReps, tokensCol, idCol, blockCols, threshold)
       .select(col("id_a"), col("id_b"))
-    val comps = ConnectedComponents.run(within, "id_a", "id_b")
+    val compsRep = ConnectedComponents.run(within, "id_a", "id_b")
+    // expand rep components to members: a member of a PAIRED rep takes the
+    // rep's component; an unpaired group of size ≥ 2 is its own full-graph
+    // component with min = the rep (members are pairwise J=1); a singleton
+    // unpaired group has no component (kept) — exactly the pre-collapse
+    // full-graph semantics
+    val comps = members
+      .join(compsRep.select(col("vertex").as("__rep"), col("component")), Seq("__rep"), "left")
+      .select(col(idCol),
+        coalesce(col("component"),
+          when(col("__gsz") >= 2, col("__rep"))).as("component"))
+      .filter(col("component").isNotNull)
     batch.select(col(idCol))
-      .join(toStored.withColumnRenamed("id_l", idCol), Seq(idCol), "left")
-      .join(comps.select(col("vertex").as(idCol), col("component")), Seq(idCol), "left")
+      .join(toStored, Seq(idCol), "left")
+      .join(comps, Seq(idCol), "left")
       .select(col(idCol),
         when(col("__att").isNotNull, lit("dup_of_stored"))
           .when(col("component").isNotNull && col("component") =!= col(idCol),

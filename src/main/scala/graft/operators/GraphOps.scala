@@ -110,7 +110,19 @@ object GraphOps {
     * shuffled every vote row through Exchange(a, label) and again through
     * Exchange(a)). A min-struct aggregation would avoid the window's sort
     * but plans as SortAggregate (struct buffers are not hash-aggregable),
-    * which SORTS the full vote set twice — measured 4× slower at 100×. */
+    * which SORTS the full vote set twice — measured 4× slower at 100×.
+    *
+    * HUB-SKEW tradeoff (deliberate): keying the first exchange by `a`
+    * alone lands a hub's ENTIRE O(deg) raw vote set in one task before any
+    * aggregation, where the old (a, label)-keyed first exchange
+    * partial-aggregated map-side and spread it. The single-exchange form
+    * wins whenever label diversity per neighborhood is non-trivial (the
+    * partial agg then barely shrinks rows, so the second full exchange is
+    * pure loss); on a power-law graph whose max degree is a large fraction
+    * of one task's comfortable row budget, the straggler risk flips the
+    * trade — restore the (a, label)-keyed aggregation ahead of the window
+    * for such inputs. The memory note below is unaffected: a hub is many
+    * NARROW rows in one task (sorted, spillable), never a widened row. */
   private[graft] def argmaxVote(edgeLabels: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     edgeLabels
@@ -242,9 +254,16 @@ object GraphOps {
       val frontEdges = symUnion
         .join(fh(frontier.select(col("id").as("a"))), Seq("a"), "left_semi")
         .localCheckpoint(true)
+      // bNeeded stays LAZY (guide §1.2): its distinct runs once inside the
+      // broadcast build (the two bh() uses below are identical subtrees —
+      // exchange reuse), so a per-round localCheckpoint + count of it were
+      // two driver jobs and a shuffle materialization for a frame with one
+      // other consumer. The hint is guarded by |frontEdges| ≥ |bNeeded| —
+      // a NARROW count over the already-checkpointed edge blocks; the
+      // bound is conservative (hint downgrade on huge edge sets, never an
+      // oversized broadcast).
       val bNeeded = frontEdges.select(col("b").as("id")).distinct()
-        .localCheckpoint(true)
-      val bSmall = bNeeded.count() <= broadcastMaxRows
+      val bSmall = frontEdges.count() <= broadcastMaxRows
       def bh(df: DataFrame): DataFrame = if (bSmall) broadcast(df) else df
       // i−1 labels of the union run, restricted to the neighbors the vote
       // join reads: stored slice cut map-side to bNeeded, the (small)

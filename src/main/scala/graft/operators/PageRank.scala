@@ -156,13 +156,15 @@ object PageRank {
     // dirty sources: out-degree changed (covers new edges' contributions)
     val dirtySrc = batchEdges.select(col(srcCol).as("id")).distinct()
       .localCheckpoint(true)
+    val nDirtySrc = dirtySrc.count() // once — feeds every round's touched bound
     val storedIds = trace.filter(col("iter") === 0).select(col("id"))
     val newIds = batchEdges.select(col(srcCol).as("id"))
       .unionByName(batchEdges.select(col(dstCol).as("id"))).distinct()
       .join(storedIds, Seq("id"), "left_anti").localCheckpoint(true)
     // changed_0: new nodes only (iteration 0 is uniform scale everywhere)
     var changed = newIds.withColumn("pr", lit(scale)).localCheckpoint(true)
-    var changedSmall = changed.count() <= broadcastMaxRows
+    var changedCount = changed.count()
+    var changedSmall = changedCount <= broadcastMaxRows
     var out = trace.filter(col("iter") === 0)
       .unionByName(changed.withColumn("iter", lit(0)))
     // Broadcast hints are GUARDED by a counted bound (deltas are
@@ -179,10 +181,14 @@ object PageRank {
         .select(col("id"), col("pr"))
       def ch(df: DataFrame): DataFrame = if (changedSmall) broadcast(df) else df
       // frontier: union out-neighbors of (dirty srcs ∪ rank changes),
-      // plus new nodes (they need rows even with no in-edges)
+      // plus new nodes (they need rows even with no in-edges).
+      // touchedSrc stays LAZY with an ARITHMETIC hint bound (guide §1.2):
+      // |touched| ≤ |dirtySrc| + |changed|, both already counted — its old
+      // localCheckpoint + count were two driver jobs per round for a
+      // single-consumer frame whose distinct runs inside the broadcast
+      // build anyway. Conservative: the bound can only downgrade the hint.
       val touchedSrc = dirtySrc.unionByName(changed.select(col("id"))).distinct()
-        .localCheckpoint(true)
-      val touchedSmall = touchedSrc.count() <= broadcastMaxRows
+      val touchedSmall = nDirtySrc + changedCount <= broadcastMaxRows
       val frontier = degEdges
         .join(if (touchedSmall) broadcast(touchedSrc.withColumnRenamed("id", srcCol))
               else touchedSrc.withColumnRenamed("id", srcCol),
@@ -196,9 +202,12 @@ object PageRank {
       val frontEdges = degEdges
         .join(fh(frontier.withColumnRenamed("id", dstCol)), Seq(dstCol), "left_semi")
         .localCheckpoint(true)
+      // srcNeeded stays LAZY: distinct runs once inside the broadcast
+      // build (the two sh() uses are identical subtrees — exchange reuse);
+      // the hint is guarded by |frontEdges| ≥ |srcNeeded|, a NARROW count
+      // over the checkpointed edge blocks (the GraphOps bNeeded fold)
       val srcNeeded = frontEdges.select(col(srcCol).as("id")).distinct()
-        .localCheckpoint(true)
-      val srcSmall = srcNeeded.count() <= broadcastMaxRows
+      val srcSmall = frontEdges.count() <= broadcastMaxRows
       def sh(df: DataFrame): DataFrame = if (srcSmall) broadcast(df) else df
       // i−1 ranks of the union run, restricted to the sources the
       // contribution join reads: stored slice cut map-side, override
@@ -223,13 +232,15 @@ object PageRank {
       val curStoredF = curStored.join(fh(frontier), Seq("id"), "left_semi")
       val override_ = recomputed.join(curStoredF, Seq("id", "pr"), "left_anti")
         .localCheckpoint(true)
-      val overrideSmall = override_.count() <= broadcastMaxRows
+      val overrideCount = override_.count()
+      val overrideSmall = overrideCount <= broadcastMaxRows
       val full = curStored
         .join(if (overrideSmall) broadcast(override_) else override_,
           Seq("id"), "left_anti")
         .unionByName(override_)
       out = out.unionByName(full.withColumn("iter", lit(i)))
       changed = override_
+      changedCount = overrideCount
       changedSmall = overrideSmall
     }
     out.select(col("iter"), col("id"), col("pr"))

@@ -263,9 +263,13 @@ object SuffixArray {
     *        batch-window shuffle paid per call for a frame nobody executed
     *        (guide §1.2 — don't compute things you throw away). The frame
     *        returned is row-identical either way; only the physical
-    *        strategy (checkpoint + guarded broadcast hint) differs, so a
-    *        caller that opts out but executes it anyway is correct, just
-    *        unhinted. */
+    *        strategy (checkpoint + guarded broadcast hint) differs. A
+    *        caller that opts out but executes the index anyway is CORRECT
+    *        but pays the operator's own anti-cost: the unhinted anti-join
+    *        plans as a sort-merge that shuffles the ENTIRE stored index —
+    *        exactly the O(index) exchange this operator exists to avoid —
+    *        and recomputes touched/stats per action. Opt out ONLY when the
+    *        index leg is discarded (`val (report, _) = …`). */
   def incrementalScrubRepeatedCharSpans(index: DataFrame, batch: DataFrame,
                                         idCol: String, textCol: String,
                                         minLen: Int, keepFirst: Boolean = false,

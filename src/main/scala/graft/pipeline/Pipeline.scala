@@ -137,11 +137,19 @@ class PipelineRunner(spark: SparkSession) {
 
   /** Cleanse → Consume (etl_cleanse_to_consume.py:69-247): run the per-dataset
     * Spark SQL (with `{placeholder}` substitution and optional
-    * `CREATE TABLE <name> AS` target override), DQ, publish. */
+    * `CREATE TABLE <name> AS` target override), DQ, publish.
+    *
+    * `statsTables` (data table → its [[graft.catalog.FileStats]] stats
+    * table) routes the SQL's scans through the stats-pruned read path
+    * ([[graft.catalog.CatalogOps.prunePlanScans]]): a `WHERE` on an indexed
+    * column then reads only the files whose per-file stats admit it —
+    * row-identical, degrade-to-plain on any failure. Empty map (the
+    * default) leaves the plan untouched. */
   def cleanseToConsume(args: JobArgs, sql: String,
                        substitutions: Map[String, String],
                        dqRules: Map[String, Map[String, Seq[String]]],
-                       viewSql: Seq[String] = Seq.empty): DataFrame = {
+                       viewSql: Seq[String] = Seq.empty,
+                       statsTables: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     val substituted = substitutions.foldLeft(sql) { case (s, (k, v)) =>
       s.replace(s"{$k}", v)
@@ -157,7 +165,8 @@ class PipelineRunner(spark: SparkSession) {
         (if (t.contains(".")) t else s"${args.databaseName}_consume.$t", rest)
       case q => (s"${args.databaseName}_consume.${args.tableName}", q)
     }
-    val df = spark.sql(query)
+    val df = graft.catalog.CatalogOps.prunePlanScans(spark,
+      spark.sql(query), statsTables)
     val engine = new DqEngine(Some(quarantineSink(args)))
     val filtered = engine.runRuleset(df,
       dqRules.getOrElse("after_sparksql", Map.empty), "after_sparksql")

@@ -141,6 +141,12 @@ object TextQueries {
       val leaked = bench.filter(pmod(col("doc_id"), lit(50)) === 0)
         .withColumn("doc_id", col("doc_id") + lit(1000000))
       val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0).unionByName(leaked)
+      // union order, deliberately (measured): a bench-side order drops the
+      // train side's PRIVATE rare tokens from its prefixes — on these
+      // same-distribution corpora those are the discriminating keys, so
+      // candidates inflate (q65 1.75 → 2.28 s at t=0.5, matched A/B).
+      // freqFrom="left" stays the per-batch incremental-dedup win, where
+      // the threshold is high and the stored side is the term to cut.
       Dedup.jaccardCrossJoin(train, bench, "toks", "doc_id", Seq("lang", "source"), 0.5)
         .orderBy(col("id_l"), col("id_r"))
     }),
