@@ -30,4 +30,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // GCLocker starvation (JDK-8192647): 32 local executor threads in JNI
+  // critical regions (lz4/zstd shuffle compression) can block GC long
+  // enough that an allocation exhausts the DEFAULT retry budget of 2 and
+  // throws a spurious heap OOM with gigabytes free ("Retried waiting for
+  // GCLocker too often" in -Xlog:gc — observed killing the 100× graph
+  // rows). Raising the retry count is the documented workaround; it only
+  // changes allocation-failure retry behavior, never measurement
+  // semantics.
+  "-XX:+UnlockDiagnosticVMOptions", "-XX:GCLockerRetryAllocationCount=64",
 )

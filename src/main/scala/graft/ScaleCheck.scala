@@ -33,6 +33,13 @@ object ScaleCheck {
         shuffleBytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
     })
     def timed[A](tag: String)(f: => (A, Long)): A = {
+      // untimed inter-row cleanup (Bench.runTimed's posture): drop caches
+      // and nudge the ContextCleaner so earlier rows' localCheckpoint
+      // blocks don't pressure this row's execution memory — measured: the
+      // winnow 10× row ran 54.7 s isolated vs 557 s late in the sequence
+      // (identical code, identical result rows), pure position noise
+      try { spark.catalog.clearCache() } catch { case _: Throwable => () }
+      System.gc()
       Thread.sleep(200)
       val sb0 = shuffleBytes.get()
       val t0 = System.nanoTime()

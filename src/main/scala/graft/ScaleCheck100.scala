@@ -39,6 +39,9 @@ object ScaleCheck100 {
         shuffleBytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
     })
     def timed[A](tag: String)(f: => (A, Long)): A = {
+      // untimed inter-row cleanup (Bench.runTimed's posture — see ScaleCheck)
+      try { spark.catalog.clearCache() } catch { case _: Throwable => () }
+      System.gc()
       Thread.sleep(300)
       val sb0 = shuffleBytes.get()
       val t0 = System.nanoTime()

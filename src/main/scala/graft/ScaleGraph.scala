@@ -44,6 +44,9 @@ object ScaleGraph {
     calibrate()
     println(f"[scale100] calibration_first_s: ${calibrate()}%.3f")
     def timed[A](tag: String)(f: => (A, Long)): A = {
+      // untimed inter-row cleanup (Bench.runTimed's posture — see ScaleCheck)
+      try { spark.catalog.clearCache() } catch { case _: Throwable => () }
+      System.gc()
       Thread.sleep(300)
       val sb0 = shuffleBytes.get()
       val t0 = System.nanoTime()

@@ -35,6 +35,9 @@ object ScaleOps {
       }
     })
     def timed[A](tag: String)(f: => (A, Long)): A = {
+      // untimed inter-row cleanup (Bench.runTimed's posture — see ScaleCheck)
+      try { spark.catalog.clearCache() } catch { case _: Throwable => () }
+      System.gc()
       Thread.sleep(200)
       val sb0 = shuffleBytes.get()
       val t0 = System.nanoTime()

@@ -633,9 +633,26 @@ object Dedup {
         val c = candidates0.localCheckpoint(true)
         if (c.count() <= freqBroadcastMaxRows) broadcast(c) else c
       }
+    // verify legs: the LAZY side is cut to candidate ids BEFORE its token
+    // expression evaluates (semi-join on the RAW side, tokenize survivors),
+    // so re-deriving tokens on the big side costs candidate-proportional
+    // work — the prefix leg stays the single full tokenization pass.
+    // Only with materialized candidates: a lazy candidate frame would
+    // re-run the whole candidate subtree once per verify leg.
+    def slimLazy(src: DataFrame, ids: DataFrame): DataFrame =
+      tokenSetBaseLazy(src.join(ids, Seq(idCol), "left_semi"),
+        tokensCol, idCol, blocks)
+    val lVerify =
+      if (freqFrom == "right" && materializeVerify)
+        slimLazy(left, candidates.select(col("id_l").as(idCol)))
+      else lBase
+    val rVerify =
+      if (freqFrom == "left" && materializeVerify)
+        slimLazy(right, candidates.select(col("id_r").as(idCol)))
+      else rBase
     val verified = candidates
-      .join(lBase.select(col("id").as("id_l"), col("toks").as("t_l")), Seq("id_l"))
-      .join(rBase.select(col("id").as("id_r"), col("toks").as("t_r")), Seq("id_r"))
+      .join(lVerify.select(col("id").as("id_l"), col("toks").as("t_l")), Seq("id_l"))
+      .join(rVerify.select(col("id").as("id_r"), col("toks").as("t_r")), Seq("id_r"))
       .select(col("id_l"), col("id_r"), S.jaccard(col("t_l"), col("t_r")).as("jaccard"))
     // single-eval barrier, see jaccardSelfJoin; materializeVerify=false
     // keeps the plan inspectable (PlanDump/PlanSpec), same as there
